@@ -1,0 +1,189 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables._
+
+/** Relational query surface: scans, filters, aggregation, joins (broadcast /
+  * semi / anti), window ranking, set ops, sort + limit.
+  *
+  * The reference pipeline is a map-only dataflow (SURVEY.md §2.9: no sorts,
+  * limits, joins beyond one lookup, or set ops in
+  * `/root/reference/city-directories.js`), so these queries exercise the
+  * capabilities Spark supplies natively, on the driver's TPC-H-ish tables —
+  * the oracle-checkable half of the engine's relational surface.
+  *
+  * Scale notes (100 TB):
+  *  - every aggregate is a partial (map-side) agg before the shuffle — Spark's
+  *    HashAggregate does this automatically for all these shapes;
+  *  - dimension joins (`customer`, `nation`, `region`, filtered order keys)
+  *    are explicitly `broadcast()` so the big fact side never shuffles;
+  *  - rank-per-group uses a single window shuffle on the partition key, no
+  *    self-join;
+  *  - doubles aggregated across partitions are rounded in BOTH engines so the
+  *    hash compare is stable under summation order.
+  */
+object RelationalQueries {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Full-scan aggregation with map-side combine (TPC-H Q1 shape).
+    "q1_agg" -> ((s, d) => {
+      lineitem(s, d)
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          sum("l_quantity").as("sum_qty"),
+          round(sum("l_extendedprice"), 2).as("sum_price"),
+          round(avg("l_discount"), 6).as("avg_disc"),
+          count(lit(1)).as("n"))
+    }),
+
+    // Star-join: big fact (orders) against broadcast dims.
+    "q2_region_revenue" -> ((s, d) => {
+      val o = orders(s, d)
+      val c = customer(s, d).select("c_custkey", "c_nationkey")
+      val n = nation(s, d)
+      val r = region(s, d)
+      o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .groupBy("r_name")
+        .agg(round(sum("o_totalprice"), 2).as("revenue"),
+             count(lit(1)).as("n_orders"))
+    }),
+
+    // Global top-k: sort + limit (Spark TakeOrderedAndProject — no full sort).
+    "q3_topk_orders" -> ((s, d) => {
+      orders(s, d)
+        .select(col("o_orderkey"), round(col("o_totalprice"), 2).as("price"))
+        .orderBy(col("price").desc, col("o_orderkey").asc)
+        .limit(10)
+    }),
+
+    // Per-group top-k via window rank — one shuffle on the partition key.
+    "q4_window_rank" -> ((s, d) => {
+      val o = orders(s, d)
+      val c = customer(s, d).select("c_custkey", "c_mktsegment")
+      val w = Window.partitionBy("c_mktsegment")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3)
+        .select(col("c_mktsegment"), col("rk"), col("o_orderkey"),
+                round(col("o_totalprice"), 2).as("price"))
+    }),
+
+    // Anti join: customers with no pending ('P') order (NOT EXISTS).
+    "q5_anti_join" -> ((s, d) => {
+      val p = orders(s, d).filter(col("o_orderstatus") === "P")
+      customer(s, d)
+        .join(p, col("c_custkey") === col("o_custkey"), "left_anti")
+        .select("c_custkey")
+    }),
+
+    // Semi join: customers with at least one 'F'-status order (EXISTS).
+    "q6_semi_join" -> ((s, d) => {
+      val f = orders(s, d).filter(col("o_orderstatus") === "F")
+      customer(s, d)
+        .join(f, col("c_custkey") === col("o_custkey"), "left_semi")
+        .select("c_custkey")
+    }),
+
+    // Date-function aggregation per year.
+    "q7_year_agg" -> ((s, d) => {
+      orders(s, d)
+        .groupBy(year(col("o_orderdate")).as("yr"))
+        .agg(count(lit(1)).as("n"),
+             round(sum("o_totalprice"), 2).as("total"))
+    }),
+
+    // GROUP BY ... HAVING.
+    "q8_having" -> ((s, d) => {
+      orders(s, d)
+        .groupBy("o_custkey")
+        .agg(count(lit(1)).as("n_orders"),
+             round(sum("o_totalprice"), 2).as("spend"))
+        .filter(col("n_orders") >= 15)
+    }),
+
+    // Exact distinct counting per group (two-phase distinct agg).
+    "q9_count_distinct" -> ((s, d) => {
+      lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(countDistinct(col("l_partkey")).as("n_parts"),
+             countDistinct(col("l_suppkey")).as("n_supps"))
+    }),
+
+    // Set ops over derived key sets.
+    "q10_intersect" -> ((s, d) => {
+      val o = orders(s, d)
+      val y95 = o.filter(year(col("o_orderdate")) === 1995).select("o_custkey")
+      val y96 = o.filter(year(col("o_orderdate")) === 1996).select("o_custkey")
+      y95.intersect(y96).withColumnRenamed("o_custkey", "custkey")
+    }),
+
+    "q11_except" -> ((s, d) => {
+      val o = orders(s, d)
+      val y95 = o.filter(year(col("o_orderdate")) === 1995).select("o_custkey")
+      val y96 = o.filter(year(col("o_orderdate")) === 1996).select("o_custkey")
+      y95.except(y96).withColumnRenamed("o_custkey", "custkey")
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+         sum(l_quantity) AS sum_qty,
+         round(sum(l_extendedprice), 2) AS sum_price,
+         round(avg(l_discount), 6) AS avg_disc,
+         count(*) AS n
+         FROM lineitem GROUP BY l_returnflag, l_linestatus""",
+    "q2_region_revenue" ->
+      """SELECT r_name, round(sum(o_totalprice), 2) AS revenue, count(*) AS n_orders
+         FROM orders
+         JOIN customer ON o_custkey = c_custkey
+         JOIN nation ON c_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         GROUP BY r_name""",
+    "q3_topk_orders" ->
+      """SELECT o_orderkey, round(o_totalprice, 2) AS price
+         FROM orders ORDER BY price DESC, o_orderkey ASC LIMIT 10""",
+    "q4_window_rank" ->
+      """SELECT c_mktsegment, rk, o_orderkey, price FROM (
+           SELECT c_mktsegment,
+                  row_number() OVER (PARTITION BY c_mktsegment
+                                     ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk,
+                  o_orderkey, round(o_totalprice, 2) AS price
+           FROM orders JOIN customer ON o_custkey = c_custkey)
+         WHERE rk <= 3""",
+    "q5_anti_join" ->
+      """SELECT c_custkey FROM customer
+         WHERE NOT EXISTS (SELECT 1 FROM orders
+                           WHERE o_custkey = c_custkey AND o_orderstatus = 'P')""",
+    "q6_semi_join" ->
+      """SELECT c_custkey FROM customer
+         WHERE EXISTS (SELECT 1 FROM orders
+                       WHERE o_custkey = c_custkey AND o_orderstatus = 'F')""",
+    "q7_year_agg" ->
+      """SELECT year(o_orderdate) AS yr, count(*) AS n,
+                round(sum(o_totalprice), 2) AS total
+         FROM orders GROUP BY yr""",
+    "q8_having" ->
+      """SELECT o_custkey, count(*) AS n_orders,
+                round(sum(o_totalprice), 2) AS spend
+         FROM orders GROUP BY o_custkey HAVING count(*) >= 15""",
+    "q9_count_distinct" ->
+      """SELECT l_returnflag,
+                count(DISTINCT l_partkey) AS n_parts,
+                count(DISTINCT l_suppkey) AS n_supps
+         FROM lineitem GROUP BY l_returnflag""",
+    "q10_intersect" ->
+      """SELECT o_custkey AS custkey FROM orders WHERE year(o_orderdate) = 1995
+         INTERSECT
+         SELECT o_custkey AS custkey FROM orders WHERE year(o_orderdate) = 1996""",
+    "q11_except" ->
+      """SELECT o_custkey AS custkey FROM orders WHERE year(o_orderdate) = 1995
+         EXCEPT
+         SELECT o_custkey AS custkey FROM orders WHERE year(o_orderdate) = 1996"""
+  )
+}
