@@ -18,9 +18,24 @@ object SparkEntry {
      _root_.graft.queries.RelationalQueries.oracles)
   )
 
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    queries("q1_agg")(spark, "/root/testdata/sf0.001")
+  /** Flagship: the full city-directory pipeline end-to-end on the
+    * deterministic synthetic corpus — archive scan (pushed page filter) →
+    * column detect → line explode → dot collapse → entry parse → geocode
+    * broadcast lookup → tagged-union transform. Driver smoke-checks
+    * rows>0.
+    */
+  def entry(spark: SparkSession): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    val dir = "/tmp/graft-entry-fixture"
+    fixtures.CityDirFixture.ensure(dir)
+    import spark.implicits._
+    val manifest = sources.Manifest.load(spark,
+      Files.readString(Paths.get(dir, "manifest.html")))
+    val lines = CityDirectories.parse(spark, manifest, dir)
+    val dim = spark.createDataset(fixtures.CityDirFixture.dimension)
+    val geocoded = CityDirectories.geocode(spark, lines, dim)
+    CityDirectories.transform(geocoded)
+  }
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -1,0 +1,143 @@
+package graft.geocode
+
+import graft.model._
+import org.apache.spark.broadcast.Broadcast
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Historical-street geocoder: the reference's per-address lookup against
+  * the `nyc-streets` + `addresses` dimension (city-directories.js:272-323;
+  * dimension lineage city-directories.dataset.json:27-30). The reference
+  * loads the whole dimension into an in-process lunr full-text index and
+  * does point lookups per address; misses throw and are kept in-band as
+  * `{found:false, error}` (city-directories.js:298-309).
+  *
+  * Spark-first design — a BROADCAST LOOKUP, not a shuffle join:
+  *  - the dimension is normalized once, collected, and broadcast as a
+  *    hash map (a street dimension is, by construction, ≪ the fact
+  *    table: even all of NYC's historical addresses are ~10^6 rows /
+  *    ~100 MB — broadcastable on any executor profile that can run this
+  *    job);
+  *  - each line's `parsed.locations` array is mapped through the
+  *    broadcast map in one row-local pass, so per-line result arrays
+  *    keep their order and the fact side NEVER shuffles — same plan
+  *    shape at 60k rows and at 100 TB;
+  *  - a miss is data, not an exception: `{found:false, error}`.
+  *
+  * `geocodeViaJoin` is the explode → broadcast-equi-join → re-collect
+  * variant for dimensions too large to hold as one map; it keeps the
+  * join broadcast but pays a re-aggregation shuffle — documented
+  * trade-off, not the default.
+  */
+object Geocoder {
+
+  /** Address normalization (the fuzzy half of the reference's lunr
+    * matching, done as deterministic canonicalization): lowercase, strip
+    * punctuation, collapse whitespace, expand the classic street
+    * abbreviations. Pure Column ops — codegen'd, usable on both the
+    * dimension and the fact side so the two agree.
+    */
+  def normalizeAddress(c: Column): Column = {
+    val lowered = lower(trim(c))
+    val noPunct = regexp_replace(lowered, "[.,;:']", "")
+    // leading h/r home-markers ("h 19 Pearl st") are not part of the address
+    val noMarker = regexp_replace(noPunct, "^[hr] +", "")
+    val expanded = Seq(
+      "\\bav\\b" -> "avenue", "\\bave\\b" -> "avenue",
+      "\\bst\\b" -> "street", "\\bbway\\b" -> "broadway",
+      "\\bpl\\b" -> "place", "\\brd\\b" -> "road",
+      "\\bla\\b" -> "lane", "\\bct\\b" -> "court",
+      "\\bsq\\b" -> "square", "\\bw\\b" -> "west",
+      "\\be\\b" -> "east", "\\bn\\b" -> "north", "\\bs\\b" -> "south"
+    ).foldLeft(noMarker) { case (col, (re, to)) =>
+      regexp_replace(col, re, to)
+    }
+    regexp_replace(expanded, "\\s+", " ")
+  }
+
+  def normalizeAddress(s: String): String = {
+    var x = s.trim.toLowerCase.replaceAll("[.,;:']", "")
+      .replaceAll("^[hr] +", "")
+    Seq("av" -> "avenue", "ave" -> "avenue", "st" -> "street",
+        "bway" -> "broadway", "pl" -> "place", "rd" -> "road",
+        "la" -> "lane", "ct" -> "court", "sq" -> "square",
+        "w" -> "west", "e" -> "east", "n" -> "north", "s" -> "south")
+      .foreach { case (ab, full) => x = x.replaceAll(s"\\b$ab\\b", full) }
+    x.replaceAll("\\s+", " ")
+  }
+
+  /** Build the broadcast lookup index from the dimension table. */
+  def buildIndex(spark: SparkSession, dim: Dataset[GeoAddress])
+      : Broadcast[Map[String, GeoResult]] = {
+    val entries = dim.collect().map { a =>
+      a.normalizedKey -> GeoResult(
+        GeoProperties(
+          address = GeoRef(a.addressId, a.addressName),
+          street = GeoRef(a.streetId, a.streetName)),
+        a.geometry)
+    }.toMap
+    spark.sparkContext.broadcast(entries)
+  }
+
+  /** Attach `geocoded: array<struct<found,result,error>>` aligned 1:1
+    * with `parsed.locations` (city-directories.js:294-315).
+    */
+  def geocode(df: DataFrame, index: Broadcast[Map[String, GeoResult]],
+              locationsCol: String = "parsed.locations"): DataFrame = {
+    val lookup = udf { (locations: Seq[String]) =>
+      if (locations == null) Seq.empty[Geocoded]
+      else locations.map { value =>
+        index.value.get(normalizeAddress(value)) match {
+          case Some(r) => Geocoded(found = true, Some(r), None)
+          case None => Geocoded(found = false, None,
+            Some(s"Address not found: $value"))
+        }
+      }
+    }
+    df.withColumn("geocoded",
+      lookup(expr(s"transform($locationsCol, l -> l.value)")))
+  }
+
+  /** Join-based variant for very large dimensions: posexplode the
+    * addresses, broadcast-equi-join on the normalized key, re-collect in
+    * position order. One shuffle (the groupBy re-collect) on the fact's
+    * row id.
+    */
+  def geocodeViaJoin(df: DataFrame, dim: DataFrame, rowId: String,
+                     locationsCol: String = "parsed.locations"): DataFrame = {
+    val exploded = df
+      .select(col(rowId).as("_gid"),
+        posexplode(expr(s"transform($locationsCol, l -> l.value)"))
+          .as(Seq("_pos", "_addr")))
+      .withColumn("_key", normalizeAddress(col("_addr")))
+    val dimKeyed = dim.select(
+      col("normalizedKey").as("_key"),
+      struct(
+        struct(
+          struct(col("addressId").as("id"), col("addressName").as("name"))
+            .as("address"),
+        struct(col("streetId").as("id"), col("streetName").as("name"))
+            .as("street")).as("properties"),
+        col("geometry")).as("_result"))
+    val matched = exploded.join(broadcast(dimKeyed), Seq("_key"), "left")
+      .select(col("_gid"), col("_pos"),
+        struct(
+          col("_result").isNotNull.as("found"),
+          col("_result").as("result"),
+          when(col("_result").isNull,
+            concat(lit("Address not found: "), col("_addr"))).as("error"))
+          .as("_geocoded"))
+    val collected = matched.groupBy("_gid")
+      .agg(transform(
+        array_sort(collect_list(struct(col("_pos"), col("_geocoded")))),
+        x => x.getField("_geocoded")).as("geocoded"))
+      .withColumnRenamed("_gid", rowId)
+    df.join(collected, Seq(rowId), "left")
+      .withColumn("geocoded", coalesce(col("geocoded"),
+        expr("cast(array() as array<struct<found:boolean," +
+          "result:struct<properties:struct<address:struct<id:string,name:string>," +
+          "street:struct<id:string,name:string>>," +
+          "geometry:struct<type:string,coordinates:array<array<double>>>>," +
+          "error:string>>)")))
+  }
+}

@@ -1,0 +1,73 @@
+package graft.parse
+
+import java.io.{BufferedReader, BufferedWriter, InputStreamReader, OutputStreamWriter}
+import java.nio.charset.StandardCharsets
+import org.apache.spark.sql.Dataset
+import scala.collection.mutable
+
+/** Per-partition external-process parser — the exact semantic twin of the
+  * reference's `EntryParser` Transform stream (entry-parser.js): one
+  * process per partition, one input line per record on stdin, one JSON
+  * result line on stdout, strict FIFO pairing of results with inputs
+  * (entry-parser.js:34,41-42,76-78).
+  *
+  * This is `RDD.pipe()` semantics with the pairing kept intact: a writer
+  * thread feeds stdin while the task thread consumes stdout, so the
+  * process's pipe buffers can't deadlock. Order is preserved WITHIN a
+  * partition (all the reference ever guaranteed was order within its
+  * single stream); nothing is promised across partitions.
+  *
+  * Escape hatch only (SURVEY.md O-32 design (a)): the default parser is
+  * the native `EntryParser`, which keeps the hot path inside codegen and
+  * spawns no processes.
+  */
+object PipeParser {
+
+  /** Run `cmd` once per partition; yield (record, rawResultLine) pairs.
+    * `extract` turns a record into the line written to the process.
+    */
+  def pipe[T](ds: Dataset[T], cmd: Seq[String])(extract: T => String)
+      : Dataset[(T, String)] = {
+    implicit val enc: org.apache.spark.sql.Encoder[(T, String)] =
+      org.apache.spark.sql.Encoders.tuple(
+        ds.encoder, org.apache.spark.sql.Encoders.STRING)
+    ds.mapPartitions { it =>
+      if (it.isEmpty) Iterator.empty
+      else {
+        val proc = new ProcessBuilder(cmd: _*)
+          .redirectErrorStream(false).start()
+        val stdin = new BufferedWriter(new OutputStreamWriter(
+          proc.getOutputStream, StandardCharsets.UTF_8))
+        val stdout = new BufferedReader(new InputStreamReader(
+          proc.getInputStream, StandardCharsets.UTF_8))
+        // FIFO queue of in-flight records (entry-parser.js `objectQueue`);
+        // the writer thread owns stdin, the task thread owns stdout.
+        val queue = new java.util.concurrent.LinkedBlockingQueue[T]()
+        val writer = new Thread(() => {
+          try {
+            it.foreach { rec =>
+              queue.put(rec)
+              stdin.write(extract(rec)); stdin.write('\n')
+            }
+            stdin.flush()
+          } finally stdin.close() // _flush closes stdin (entry-parser.js:86-89)
+        })
+        writer.setDaemon(true)
+        writer.start()
+        new Iterator[(T, String)] {
+          private var nextLine: String = stdout.readLine()
+          override def hasNext: Boolean = {
+            if (nextLine == null) { proc.waitFor(); stdout.close() }
+            nextLine != null
+          }
+          override def next(): (T, String) = {
+            val rec = queue.take() // strict FIFO pairing
+            val out = (rec, nextLine)
+            nextLine = stdout.readLine()
+            out
+          }
+        }
+      }
+    }
+  }
+}
