@@ -15,7 +15,9 @@ object SparkEntry {
   private val catalogs: Seq[(Map[String, (SparkSession, String) => DataFrame],
                              Map[String, String])] = Seq(
     (_root_.graft.queries.RelationalQueries.queries,
-     _root_.graft.queries.RelationalQueries.oracles)
+     _root_.graft.queries.RelationalQueries.oracles),
+    (_root_.graft.queries.CityDirQueries.queries,
+     _root_.graft.queries.CityDirQueries.oracles)
   )
 
   /** Flagship: the full city-directory pipeline end-to-end on the

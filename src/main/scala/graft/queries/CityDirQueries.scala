@@ -1,0 +1,223 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables._
+import graft.operators.CityDirOps
+
+/** Oracle-gated exercises of the reference-parity operators (SURVEY.md §2)
+  * over the driver's tables. The real pipeline (tar/hOCR → parse → geocode
+  * → transform) is covered end-to-end by ScalaTest goldens; these queries
+  * put the SAME operator implementations under the DuckDB hash-compare by
+  * deriving reference-shaped inputs (year-union strings, page ranges,
+  * bboxes, manifests) deterministically from the test tables — the
+  * synthesis expression is reproduced verbatim in the oracle SQL, so the
+  * operator itself is the only thing under test.
+  */
+object CityDirQueries {
+
+  /** Deterministic year-union string from an order row: every third order
+    * is a split volume ("1995/96").
+    */
+  private def yearStr: Column = {
+    val y = year(col("o_orderdate"))
+    when(col("o_orderkey") % 3 === 0,
+      concat(y.cast("string"), lit("/"),
+        substring((y + 1).cast("string"), 3, 2)))
+      .otherwise(y.cast("string"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // O-15/O-16: year-union normalization, `[y, y+1]` rule.
+    "cd1_year_norm" -> ((s, d) => {
+      orders(s, d)
+        .select(col("o_orderkey"), CityDirOps.yearNorm(yearStr).as("yn"))
+        .select(col("o_orderkey"),
+          col("yn.yearMin").as("year_min"), col("yn.yearMax").as("year_max"))
+    }),
+
+    // O-23: interval CONTAINMENT filter on the normalized union.
+    "cd2_interval_filter" -> ((s, d) => {
+      orders(s, d)
+        .select(col("o_orderkey"), CityDirOps.yearNorm(yearStr).as("yn"))
+        .filter(CityDirOps.yearInterval(
+          col("yn.yearMin"), col("yn.yearMax"), Some(1995), Some(1996)))
+        .select(col("o_orderkey"))
+    }),
+
+    // O-18: deterministic id minting with JS-truthiness guards.
+    "cd3_id_mint" -> ((s, d) => {
+      val li = lineitem(s, d)
+      val yMin = year(col("l_shipdate"))
+      val yMax = when(col("l_orderkey") % 5 === 0, yMin + 1).otherwise(yMin)
+      val bbox = array(col("l_partkey") % 100, col("l_suppkey") % 100,
+        (col("l_partkey") + col("l_suppkey")) % 100, col("l_linenumber") * 10)
+      li.select(col("l_orderkey"), col("l_linenumber"),
+        CityDirOps.mintId(yMin, yMax, col("l_linenumber") % 4, bbox).as("id"))
+    }),
+
+    // O-13 + O-17: trim-to-null + dot-run collapse.
+    "cd4_clean_text" -> ((s, d) => {
+      val noisy = concat(lit("  "),
+        regexp_replace(col("text"), " ", "..."), lit("  "))
+      documents(s, d).select(col("doc_id"),
+        CityDirOps.trimToNull(CityDirOps.collapseDots(noisy)).as("cleaned"))
+    }),
+
+    // O-20: first/last element projection over a split array.
+    "cd5_first_element" -> ((s, d) => {
+      val words = split(col("text"), " ")
+      documents(s, d).select(col("doc_id"),
+        CityDirOps.firstElement(words).as("first_word"),
+        element_at(words, -1).as("last_word"))
+    }),
+
+    // O-25: body-page range filter.
+    "cd6_page_range" -> ((s, d) => {
+      lineitem(s, d)
+        .filter(CityDirOps.pageInRange(col("l_linenumber"), lit(2), lit(5)))
+        .groupBy("l_returnflag").agg(count(lit(1)).as("n"))
+    }),
+
+    // O-22: manifest validity (all keys present and JS-truthy).
+    "cd7_manifest_valid" -> ((s, d) => {
+      val p = part(s, d)
+      p.select(col("p_partkey"),
+          col("p_partkey").cast("string").as("uuid"),
+          (col("p_size") % 7).as("startPage"),
+          col("p_size").as("endPage"),
+          (col("p_partkey") % 4).as("columnCount"),
+          lit(1850).as("yearMin"))
+        .filter(CityDirOps.manifestValid(col("uuid"), col("yearMin"),
+          col("startPage"), col("endPage"), col("columnCount")))
+        .select(col("p_partkey"))
+    }),
+
+    // O-33: geocode-shaped broadcast lookup join — explode per-doc
+    // address candidates (first 3 words), left-join a dimension derived
+    // from the corpus (words with global count >= 200), re-aggregate
+    // found/missed per doc keeping misses in-band.
+    "cd8_geocode_join" -> ((s, d) => {
+      val docs = documents(s, d)
+      val words = docs.select(explode(slice(split(col("text"), " "), 1, 3)).as("w"))
+      val dim = words.groupBy("w").agg(count(lit(1)).as("cnt"))
+        .filter(col("cnt") >= 200).select(col("w").as("key"))
+      val exploded = docs.select(col("doc_id"),
+        explode(slice(split(col("text"), " "), 1, 3)).as("w"))
+      exploded.join(broadcast(dim), exploded("w") === dim("key"), "left")
+        .groupBy("doc_id")
+        .agg(sum(when(col("key").isNotNull, 1).otherwise(0)).as("n_found"),
+             sum(when(col("key").isNull, 1).otherwise(0)).as("n_missed"))
+    }),
+
+    // O-31/O-40: tagged-union fan-out (object / relation / log).
+    "cd9_tagged_union" -> ((s, d) => {
+      val docs = documents(s, d)
+      val objects = docs.select(
+        lit("object").as("type"),
+        concat(lit("doc."), col("doc_id")).as("id"),
+        element_at(split(col("text"), " "), 1).as("name"),
+        lit(null).cast("string").as("from"),
+        lit(null).cast("string").as("to"),
+        lit(null).cast("string").as("error"))
+      val relations = docs.select(
+        lit("relation").as("type"),
+        lit(null).cast("string").as("id"),
+        lit(null).cast("string").as("name"),
+        concat(lit("doc."), col("doc_id")).as("from"),
+        col("source").as("to"),
+        lit(null).cast("string").as("error"))
+      val logs = docs.filter(col("n_chars") < 100).select(
+        lit("log").as("type"),
+        concat(lit("doc."), col("doc_id")).as("id"),
+        lit(null).cast("string").as("name"),
+        lit(null).cast("string").as("from"),
+        lit(null).cast("string").as("to"),
+        lit("short document").as("error"))
+      objects.unionByName(relations).unionByName(logs)
+    }),
+
+    // O-35: per-group geometry collect — Point vs MultiPoint by
+    // cardinality, coordinates canonically ordered.
+    "cd10_multipoint" -> ((s, d) => {
+      documents(s, d).groupBy("source")
+        .agg(count(lit(1)).as("n_points"),
+          array_join(transform(sort_array(collect_list(col("doc_id"))),
+            x => x.cast("string")), "-").as("coords"))
+        .withColumn("geom_type",
+          when(col("n_points") === 1, "Point").otherwise("MultiPoint"))
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "cd1_year_norm" ->
+      """SELECT o_orderkey, year(o_orderdate) AS year_min,
+           CASE WHEN o_orderkey % 3 = 0 THEN year(o_orderdate) + 1
+                ELSE year(o_orderdate) END AS year_max
+         FROM orders""",
+    "cd2_interval_filter" ->
+      """SELECT o_orderkey FROM (
+           SELECT o_orderkey, year(o_orderdate) AS mn,
+             CASE WHEN o_orderkey % 3 = 0 THEN year(o_orderdate) + 1
+                  ELSE year(o_orderdate) END AS mx
+           FROM orders)
+         WHERE mn >= 1995 AND mx <= 1996""",
+    "cd3_id_mint" ->
+      """SELECT l_orderkey, l_linenumber,
+           CASE WHEN l_linenumber % 4 = 0 THEN NULL ELSE
+             (CASE WHEN l_orderkey % 5 = 0
+                   THEN year(l_shipdate)::VARCHAR || '-' || (year(l_shipdate)+1)::VARCHAR
+                   ELSE year(l_shipdate)::VARCHAR END)
+             || '.' || (l_linenumber % 4)::VARCHAR || '.'
+             || (l_partkey % 100)::VARCHAR || '-' || (l_suppkey % 100)::VARCHAR
+             || '-' || ((l_partkey + l_suppkey) % 100)::VARCHAR
+             || '-' || (l_linenumber * 10)::VARCHAR
+           END AS id
+         FROM lineitem""",
+    "cd4_clean_text" ->
+      """SELECT doc_id,
+           nullif(trim(regexp_replace('  ' || regexp_replace(text, ' ', '...', 'g') || '  ',
+                                      '\.+', '.', 'g')), '') AS cleaned
+         FROM documents""",
+    "cd5_first_element" ->
+      """SELECT doc_id,
+           string_split(text, ' ')[1] AS first_word,
+           string_split(text, ' ')[-1] AS last_word
+         FROM documents""",
+    "cd6_page_range" ->
+      """SELECT l_returnflag, count(*) AS n FROM lineitem
+         WHERE l_linenumber BETWEEN 2 AND 5 GROUP BY l_returnflag""",
+    "cd7_manifest_valid" ->
+      """SELECT p_partkey FROM part
+         WHERE p_partkey IS NOT NULL
+           AND (p_size % 7) <> 0 AND p_size <> 0 AND (p_partkey % 4) <> 0""",
+    "cd8_geocode_join" ->
+      """WITH words AS (
+           SELECT doc_id, unnest(string_split(text, ' ')[1:3]) AS w
+           FROM documents),
+         dim AS (
+           SELECT w AS key FROM words GROUP BY w HAVING count(*) >= 200)
+         SELECT doc_id,
+           sum(CASE WHEN key IS NOT NULL THEN 1 ELSE 0 END) AS n_found,
+           sum(CASE WHEN key IS NULL THEN 1 ELSE 0 END) AS n_missed
+         FROM words LEFT JOIN dim ON words.w = dim.key
+         GROUP BY doc_id""",
+    "cd9_tagged_union" ->
+      """SELECT 'object' AS type, 'doc.' || doc_id AS id,
+              string_split(text, ' ')[1] AS name,
+              NULL::VARCHAR AS "from", NULL::VARCHAR AS "to",
+              NULL::VARCHAR AS error
+         FROM documents
+         UNION ALL
+         SELECT 'relation', NULL, NULL, 'doc.' || doc_id, source, NULL
+         FROM documents
+         UNION ALL
+         SELECT 'log', 'doc.' || doc_id, NULL, NULL, NULL, 'short document'
+         FROM documents WHERE n_chars < 100""",
+    "cd10_multipoint" ->
+      """SELECT source, count(*) AS n_points,
+           string_agg(doc_id::VARCHAR, '-' ORDER BY doc_id) AS coords,
+           CASE WHEN count(*) = 1 THEN 'Point' ELSE 'MultiPoint' END AS geom_type
+         FROM documents GROUP BY source"""
+  )
+}
