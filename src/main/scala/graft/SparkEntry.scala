@@ -17,7 +17,17 @@ object SparkEntry {
     (_root_.graft.queries.RelationalQueries.queries,
      _root_.graft.queries.RelationalQueries.oracles),
     (_root_.graft.queries.CityDirQueries.queries,
-     _root_.graft.queries.CityDirQueries.oracles)
+     _root_.graft.queries.CityDirQueries.oracles),
+    (_root_.graft.queries.DedupQueries.queries,
+     _root_.graft.queries.DedupQueries.oracles),
+    (_root_.graft.queries.SimilarityQueries.queries,
+     _root_.graft.queries.SimilarityQueries.oracles),
+    (_root_.graft.queries.TextQueries.queries,
+     _root_.graft.queries.TextQueries.oracles),
+    (_root_.graft.queries.EventQueries.queries,
+     _root_.graft.queries.EventQueries.oracles),
+    (_root_.graft.queries.MultimodalQueries.queries,
+     _root_.graft.queries.MultimodalQueries.oracles)
   )
 
   /** Flagship: the full city-directory pipeline end-to-end on the

@@ -24,7 +24,17 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame = table(s, d, "part")
   def nation(s: SparkSession, d: String): DataFrame = table(s, d, "nation")
   def region(s: SparkSession, d: String): DataFrame = table(s, d, "region")
-  def events(s: SparkSession, d: String): DataFrame = table(s, d, "events")
+  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark 4 refuses by
+    * default: read it as a raw ns long (legacy conf) and convert to a µs
+    * timestamp at the source boundary (integer `div` — a double division
+    * would lose precision above 2^53 ns).
+    */
+  def events(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    table(s, d, "events")
+      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
+        org.apache.spark.sql.functions.expr("ts div 1000")))
+  }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
 }

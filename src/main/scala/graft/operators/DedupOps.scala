@@ -1,0 +1,133 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for large-scale corpus pipelines: exact,
+  * MinHash+LSH, SimHash, and blocked n-gram Jaccard.
+  *
+  * Design for 100 TB:
+  *  - everything per-document (shingles, signatures, band hashes) is a
+  *    row-local codegen'd projection — no UDFs, no state;
+  *  - candidate generation NEVER compares all pairs: LSH band hashing
+  *    reduces the self-join to equality on band keys (one shuffle on the
+  *    band hash, bucket sizes bounded by collision rate); blocked Jaccard
+  *    joins only within caller-chosen blocks;
+  *  - hashes are `md5` strings so an external SQL engine can replay the
+  *    exact pipeline — the minhash of permutation `i` is
+  *    `min(md5(i || ':' || shingle))`, a string-min, which is
+  *    order-independent and engine-portable (no murmur seed drift).
+  */
+object DedupOps {
+
+  /** Exact dedup: one representative (min of `idCol`) per distinct value
+    * of `keyCols`. Map-side partial agg + one shuffle on the key hash.
+    */
+  def dedupExact(df: DataFrame, keyCols: Seq[String], idCol: String): DataFrame =
+    df.groupBy(keyCols.map(col): _*)
+      .agg(min(col(idCol)).as(idCol))
+
+  /** Distinct word array of a text column (the unit shingle). */
+  def words(text: Column): Column =
+    array_distinct(split(text, " "))
+
+  /** Distinct word k-shingles ("a b c" 3-grams) as strings. Row-local:
+    * built with `transform` over index offsets, no explode.
+    */
+  def shingles(text: Column, k: Int): Column = {
+    val w = split(text, " ")
+    val n = size(w)
+    array_distinct(
+      when(n >= k,
+        transform(sequence(lit(1), n - k + 1),
+          i => array_join(slice(w, i, lit(k)), " ")))
+        .otherwise(array().cast("array<string>")))
+  }
+
+  /** MinHash signature over `numPerm` md5 "permutations":
+    * sig[i] = min over shingles of md5(i ++ ":" ++ shingle).
+    */
+  def minhashSignature(shingleCol: Column, numPerm: Int): Column =
+    array((0 until numPerm).map { i =>
+      array_min(transform(shingleCol, t => md5(concat(lit(s"$i:"), t))))
+    }: _*)
+
+  /** LSH band hashes: split the signature into `bands` bands of
+    * `rowsPerBand` and hash each band. Docs sharing ANY band hash are
+    * candidate duplicates.
+    */
+  def lshBandHashes(sig: Column, bands: Int, rowsPerBand: Int): Column =
+    array((0 until bands).map { b =>
+      md5(array_join(slice(sig, b * rowsPerBand + 1, rowsPerBand), "|"))
+    }: _*)
+
+  /** MinHash-LSH candidate pairs over `textCol`, identified by `idCol`
+    * (ascending pair order, deduplicated across bands).
+    *
+    * Plan shape: row-local signature projection → explode to
+    * (band, bandHash) → equi-self-join on the band hash → distinct.
+    * The only shuffles are the join on bandHash and the final distinct —
+    * both keyed, both AQE-skew-splittable; no O(n²) stage exists.
+    */
+  def minhashCandidates(df: DataFrame, idCol: String, textCol: String,
+                        shingleK: Int = 1, numPerm: Int = 16,
+                        bands: Int = 4): DataFrame = {
+    val rowsPerBand = numPerm / bands
+    val sh = if (shingleK == 1) words(col(textCol))
+             else shingles(col(textCol), shingleK)
+    val sig = minhashSignature(sh, numPerm)
+    val banded = df
+      .filter(size(sh) > 0)
+      .select(col(idCol).as("_id"),
+        posexplode(lshBandHashes(sig, bands, rowsPerBand))
+          .as(Seq("_band", "_bh")))
+    val l = banded.select(col("_band"), col("_bh"), col("_id").as("a"))
+    val r = banded.select(col("_band"), col("_bh"), col("_id").as("b"))
+    l.join(r, Seq("_band", "_bh"))
+      .filter(col("a") < col("b"))
+      .select("a", "b").distinct()
+  }
+
+  /** 16-bit SimHash from the high bit of each md5 hex digit: bit d is the
+    * sign of `sum over tokens of (+1 if md5(token)[d] >= '8' else -1)`.
+    * Emitted as a 16-char '0'/'1' string. One shuffle (groupBy id).
+    */
+  def simhash16(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tok = df.select(col(idCol),
+      explode(words(col(textCol))).as("_t"))
+      .withColumn("_h", md5(col("_t")))
+    val sums = (1 to 16).map { d =>
+      sum(when(substring(col("_h"), d, 1).between("8", "f"), 1)
+        .otherwise(-1)).as(s"_b$d")
+    }
+    tok.groupBy(col(idCol))
+      .agg(sums.head, sums.tail: _*)
+      .select(col(idCol),
+        concat((1 to 16).map(d =>
+          when(col(s"_b$d") > 0, lit("1")).otherwise(lit("0"))): _*)
+          .as("simhash"))
+  }
+
+  /** Blocked n-gram Jaccard similarity pairs: self-join restricted to a
+    * caller-supplied blocking key (e.g. a text prefix, an LSH band, a
+    * length bucket), Jaccard over distinct word sets, threshold filter.
+    * The block key is what keeps this from being O(n²) — pairs are only
+    * formed within blocks.
+    */
+  def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
+                   blockKey: Column, threshold: Double): DataFrame = {
+    val base = df.select(col(idCol).as("_id"), col(textCol).as("_t"),
+      blockKey.as("_blk"))
+    val l = base.select(col("_blk"), col("_id").as("a"), col("_t").as("ta"))
+    val r = base.select(col("_blk"), col("_id").as("b"), col("_t").as("tb"))
+    l.join(r, Seq("_blk"))
+      .filter(col("a") < col("b"))
+      .withColumn("_wa", words(col("ta")))
+      .withColumn("_wb", words(col("tb")))
+      .withColumn("jaccard",
+        round(size(array_intersect(col("_wa"), col("_wb"))).cast("double") /
+          size(array_union(col("_wa"), col("_wb"))), 4))
+      .filter(col("jaccard") >= threshold)
+      .select("a", "b", "jaccard")
+  }
+}

@@ -1,0 +1,65 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Event-stream operators over the `events` table shape
+  * (event_id, ts, user_id, event_type, value, props). Batch forms here;
+  * `graft.streaming.StreamingOps` runs the same aggregations under
+  * Structured Streaming with watermarks.
+  *
+  * Scale: every aggregation shuffles exactly once on its natural key
+  * (window/type, user). Timestamps are compared in epoch seconds at the
+  * output boundary so results are portable across engines with different
+  * sub-second precision (the source parquet is ns; Spark truncates to µs).
+  */
+object EventOps {
+
+  /** Tumbling-window aggregation (fixed windows). */
+  def tumbling(events: DataFrame, width: String): DataFrame =
+    events.groupBy(window(col("ts"), width).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total"))
+      .select(unix_timestamp(col("w.start")).as("win_start"),
+        col("event_type"), col("n"), col("total"))
+
+  /** Sliding-window aggregation: each event lands in width/slide windows. */
+  def sliding(events: DataFrame, width: String, slide: String): DataFrame =
+    events.groupBy(window(col("ts"), width, slide).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total"))
+      .select(unix_timestamp(col("w.start")).as("win_start"),
+        col("event_type"), col("n"), col("total"))
+
+  /** Session-window aggregation per user: sessions close after `gap` of
+    * inactivity. Session start = first event's ts (Spark's session_window
+    * start; its `end` is last event + gap, deliberately not emitted so
+    * the output is engine-portable).
+    */
+  def sessions(events: DataFrame, gap: String): DataFrame =
+    events.groupBy(session_window(col("ts"), gap).as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), round(sum("value"), 2).as("total"))
+      .select(col("user_id"),
+        unix_timestamp(col("w.start")).as("session_start"),
+        col("n_events"), col("total"))
+
+  /** Keep-latest dedup: the most recent event per user (window rank, one
+    * shuffle on user_id — the standard changelog-compaction shape).
+    */
+  def latestPerUser(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts").desc, col("event_id").desc)
+    events.withColumn("_rk", row_number().over(w))
+      .filter(col("_rk") === 1)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        round(col("value"), 2).as("value"))
+  }
+
+  /** JSON property extraction + aggregation (the `props` column is a JSON
+    * string; extraction stays codegen'd via get_json_object).
+    */
+  def jsonKeyAgg(events: DataFrame): DataFrame =
+    events
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
+      .groupBy((col("k") % 10).as("k_bucket"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total"))
+}

@@ -1,0 +1,108 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal-column plumbing: image/audio/video payloads ride as opaque
+  * `binary` columns with typed metadata structs; decode / feature-extract
+  * / frame-sample run as per-partition batch functions over the binary
+  * column.
+  *
+  * The decode kernels themselves are STUBBED (this container ships no
+  * image/audio codecs — see the builder brief): `decodeStub` produces a
+  * deterministic fake feature vector from the bytes. Everything around
+  * the stub — the asset schema, the mapPartitions batching, the frame
+  * index arithmetic, the metadata projection — is real, tested Spark
+  * plumbing that a real codec drops into.
+  *
+  * Scale: binary payloads stay opaque until the last possible operator
+  * (no accidental row-cache of decoded frames); per-partition batching
+  * amortizes codec init; frame sampling is index arithmetic pushed to a
+  * row-local `sequence()` — the bytes of unsampled frames are never
+  * touched.
+  */
+object MultimodalOps {
+
+  /** Canonical asset schema: payload + typed metadata. */
+  val assetSchema: StructType = StructType(Seq(
+    StructField("asset_id", LongType, nullable = false),
+    StructField("content", BinaryType, nullable = true),
+    StructField("meta", StructType(Seq(
+      StructField("kind", StringType, nullable = true),   // image|audio|video
+      StructField("n_bytes", LongType, nullable = true),
+      StructField("mime", StringType, nullable = true))), nullable = true)))
+
+  /** Wrap any (id, string payload) source into the asset shape — the test
+    * corpus has no real media, so text bytes stand in for payloads.
+    */
+  def toAssets(df: DataFrame, idCol: String, payloadCol: String): DataFrame = {
+    val bytes = col(payloadCol).cast("binary")
+    val kind = element_at(
+      array(lit("image"), lit("audio"), lit("video")),
+      (col(idCol) % 3 + 1).cast("int"))
+    df.select(col(idCol).as("asset_id"), bytes.as("content"),
+      struct(kind.as("kind"),
+        octet_length(bytes).cast("long").as("n_bytes"),
+        concat(lit("application/x-"), kind).as("mime")).as("meta"))
+  }
+
+  /** Metadata projection — never touches `content` (column pruning keeps
+    * the binary out of the scan when only metadata is asked for).
+    */
+  def describe(assets: DataFrame): DataFrame =
+    assets.select(col("asset_id"), col("meta.kind").as("kind"),
+      col("meta.n_bytes").as("n_bytes"), md5(col("content")).as("content_hash"))
+
+  /** Frame-sample index plan: one row per sampled frame offset (every
+    * `step` bytes stands in for every Nth video frame). Pure index
+    * arithmetic — the payload is not read.
+    */
+  def frameSampleOffsets(assets: DataFrame, step: Int): DataFrame =
+    assets.select(col("asset_id"), col("meta.n_bytes").as("n_bytes"))
+      .withColumn("frame_off",
+        explode(sequence(lit(0L), col("n_bytes") - 1, lit(step.toLong))))
+      .withColumn("frame_id",
+        md5(concat(col("asset_id"), lit(":"), col("frame_off"))))
+
+  /** Deterministic fake "decode": 8 doubles derived from the md5 of the
+    * payload — the shape a real `decode(bytes) -> features` kernel would
+    * return. Clearly a stub; swap for a codec-backed kernel in prod.
+    */
+  val decodeStub: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf { (bytes: Array[Byte]) =>
+      if (bytes == null) null
+      else {
+        val h = java.security.MessageDigest.getInstance("MD5").digest(bytes)
+        (0 until 8).map(i =>
+          ((h(2 * i) & 0xff) * 256 + (h(2 * i + 1) & 0xff)) / 65535.0).toArray
+      }
+    }
+
+  /** Batched decode over partitions: iterator-to-iterator (no
+    * materialization), codec init once per partition — the Scala analog
+    * of a `mapInPandas` batch UDF.
+    */
+  def decodeFeatures(assets: DataFrame): DataFrame = {
+    val schema = StructType(assets.schema.fields :+
+      StructField("features", ArrayType(DoubleType), nullable = true))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    assets.mapPartitions { it =>
+      // per-partition "codec" init happens here (stubbed)
+      val md = java.security.MessageDigest.getInstance("MD5")
+      it.map { r =>
+        val bytes = r.getAs[Array[Byte]]("content")
+        val feats: Array[Double] =
+          if (bytes == null) null
+          else {
+            md.reset()
+            val h = md.digest(bytes)
+            (0 until 8).map(i =>
+              ((h(2 * i) & 0xff) * 256 + (h(2 * i + 1) & 0xff)) / 65535.0)
+              .toArray
+          }
+        Row.fromSeq(r.toSeq :+ feats)
+      }
+    }(enc)
+  }
+}

@@ -1,0 +1,115 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Similarity search over an embedding column (`array<float>`).
+  *
+  * Two paths, same cosine kernel:
+  *  - `bruteForceTopK` — exact: broadcast the (small) query set against
+  *    the full corpus; correct baseline at any scale where queries ≪
+  *    corpus (the corpus side streams, never shuffles);
+  *  - `lshBucketed` — approximate scale path: sign-bit bucket on a fixed
+  *    dimension subset; candidates only form within a bucket, so the
+  *    join is an equi-join on the bucket key (shuffle on bucket, no
+  *    cross product). Recall is traded for the usual LSH bound.
+  *
+  * The cosine kernel is built from `zip_with`/`aggregate` higher-order
+  * functions — codegen'd, no UDF — accumulating in double left-to-right,
+  * which makes results bit-reproducible against external engines that
+  * fold the same way.
+  */
+object SimilarityOps {
+
+  /** Sequential-fold dot product in double precision. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  def norm(a: Column): Column =
+    sqrt(aggregate(transform(a, x => x.cast("double") * x.cast("double")),
+      lit(0.0), (acc, v) => acc + v))
+
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (norm(a) * norm(b))
+
+  /** Cosine in pure float32 arithmetic: float accumulators, float sqrt
+    * (double sqrt of a float rounds exactly to the float sqrt), float
+    * product and divide. Bit-identical to engines that keep FLOAT[]
+    * kernels in single precision (e.g. DuckDB's list_cosine_similarity),
+    * which makes cross-engine verification exact instead of
+    * tolerance-based. Use the double kernel (`cosine`) when quality
+    * matters more than replay.
+    */
+  def cosineF32(a: Column, b: Column): Column = {
+    def sumF(arr: Column): Column =
+      aggregate(arr, lit(0.0f), (acc, v) => acc + v)
+    def sqrtF(x: Column): Column = sqrt(x.cast("double")).cast("float")
+    val d = sumF(zip_with(a, b, (x, y) => x * y))
+    val na = sumF(transform(a, x => x * x))
+    val nb = sumF(transform(b, x => x * x))
+    (d / (sqrtF(na) * sqrtF(nb))).cast("double")
+  }
+
+  /** Exact top-k neighbors for each query vector.
+    * `queries` must be small (it is broadcast); the corpus side is a
+    * single streaming pass + one shuffle for the per-query rank window.
+    */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+                     idCol: String = "vec_id",
+                     vecCol: String = "embedding"): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"),
+      col(vecCol).as("_qv"))
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+      col(vecCol).as("_cv"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("sim", round(cosine(col("_qv"), col("_cv")), 4))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("sim").desc, col("neighbor_id").asc)
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select("query_id", "neighbor_id", "sim", "rk")
+  }
+
+  /** All pairs above a similarity threshold between a broadcast query set
+    * and the corpus — rank-free, so exactly reproducible.
+    */
+  def thresholdPairs(corpus: DataFrame, queries: DataFrame,
+                     threshold: Double, idCol: String = "vec_id",
+                     vecCol: String = "embedding"): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("_qv"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("_cv"))
+    c.crossJoin(broadcast(q))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("sim", round(cosine(col("_qv"), col("_cv")), 4))
+      .filter(col("sim") >= threshold)
+      .select("query_id", "neighbor_id", "sim")
+  }
+
+  /** Sign-bit LSH bucket over the first `bits` dimensions: a compact,
+    * deterministic hyperplane family (axis-aligned). Vectors only meet
+    * inside their bucket.
+    */
+  def signBucket(vec: Column, bits: Int): Column =
+    concat((1 to bits).map(i =>
+      when(element_at(vec, i) > 0f, lit("1")).otherwise(lit("0"))): _*)
+
+  /** Bucketed approximate similarity pairs: equi-join on the sign bucket,
+    * cosine + threshold within the bucket.
+    */
+  def lshBucketed(corpus: DataFrame, threshold: Double, bits: Int = 8,
+                  idCol: String = "vec_id",
+                  vecCol: String = "embedding"): DataFrame = {
+    val b = corpus.select(col(idCol).as("_id"), col(vecCol).as("_v"),
+      signBucket(col(vecCol), bits).as("_bkt"))
+    val l = b.select(col("_bkt"), col("_id").as("a"), col("_v").as("va"))
+    val r = b.select(col("_bkt"), col("_id").as("b"), col("_v").as("vb"))
+    l.join(r, Seq("_bkt"))
+      .filter(col("a") < col("b"))
+      .withColumn("sim", round(cosine(col("va"), col("vb")), 4))
+      .filter(col("sim") >= threshold)
+      .select("a", "b", "sim")
+  }
+}

@@ -1,0 +1,104 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables._
+import graft.operators.DedupOps
+
+/** Oracle-gated dedup operators on the `documents` corpus. Hash functions
+  * are md5-based by design (DedupOps scaladoc) so the DuckDB oracle can
+  * replay the exact signature pipeline.
+  */
+object DedupQueries {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Exact dedup over a corpus with synthetic duplicates (the corpus
+    // itself has none): keep the min doc_id per distinct text.
+    "dd1_exact" -> ((s, d) => {
+      val docs = documents(s, d).select("doc_id", "text")
+      val dup = docs.select((col("doc_id") + 10000).as("doc_id"), col("text"))
+      DedupOps.dedupExact(docs.unionByName(dup), Seq("text"), "doc_id")
+        .select("doc_id")
+    }),
+
+    // MinHash(16 perms, md5 string-min) + LSH(4 bands): candidate
+    // duplicate pairs over 3-gram shingles.
+    "dd2_minhash_lsh" -> ((s, d) => {
+      DedupOps.minhashCandidates(documents(s, d), "doc_id", "text",
+        shingleK = 3, numPerm = 16, bands = 4)
+    }),
+
+    // 16-bit SimHash per document from md5 hex-digit signs.
+    "dd3_simhash" -> ((s, d) => {
+      DedupOps.simhash16(documents(s, d), "doc_id", "text")
+    }),
+
+    // Blocked n-gram Jaccard: pairs within a 40-char-prefix block with
+    // word-set Jaccard >= 0.5.
+    "dd4_jaccard" -> ((s, d) => {
+      DedupOps.jaccardPairs(documents(s, d), "doc_id", "text",
+        substring(col("text"), 1, 40), 0.5)
+    }),
+
+    // Canonical + min-shingle fingerprints (text-analysis dedup keys).
+    "dd5_fingerprint" -> ((s, d) => {
+      import graft.operators.TextAnalysisOps
+      documents(s, d).select(col("doc_id"),
+        TextAnalysisOps.fingerprint(col("text")).as("fp"),
+        TextAnalysisOps.minShingleFingerprint(col("text"), 3).as("min_shingle_fp"))
+    })
+  )
+
+  private val simhashConcat: String = (1 to 16).map { d1 =>
+    s"(CASE WHEN sum(CASE WHEN substr(h,$d1,1) BETWEEN '8' AND 'f' THEN 1 ELSE -1 END) > 0 THEN '1' ELSE '0' END)"
+  }.mkString(" || ")
+
+  val oracles: Map[String, String] = Map(
+    "dd1_exact" ->
+      """SELECT min(doc_id) AS doc_id FROM (
+           SELECT doc_id, text FROM documents
+           UNION ALL
+           SELECT doc_id + 10000, text FROM documents)
+         GROUP BY text""",
+    "dd2_minhash_lsh" ->
+      """WITH s AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
+         sh AS (SELECT doc_id,
+                  unnest(list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                                        for i in range(1, len(w)-1)])) AS s
+                FROM s WHERE len(w) >= 3),
+         sig AS (SELECT doc_id, i, min(md5(i::VARCHAR || ':' || s)) AS mh
+                 FROM sh CROSS JOIN (SELECT unnest(range(0,16)) AS i) perms
+                 GROUP BY doc_id, i),
+         bands AS (SELECT doc_id, i // 4 AS band,
+                     md5(string_agg(mh, '|' ORDER BY i)) AS bh
+                   FROM sig GROUP BY doc_id, i // 4)
+         SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+         FROM bands l JOIN bands r
+           ON l.band = r.band AND l.bh = r.bh AND l.doc_id < r.doc_id""",
+    "dd3_simhash" ->
+      s"""WITH toks AS (SELECT doc_id, unnest(list_distinct(string_split(text,' '))) AS t
+            FROM documents),
+          h AS (SELECT doc_id, md5(t) AS h FROM toks)
+          SELECT doc_id, $simhashConcat AS simhash FROM h GROUP BY doc_id""",
+    "dd4_jaccard" ->
+      """WITH blocked AS (SELECT doc_id, text, substr(text,1,40) blk FROM documents)
+         SELECT a, b, jaccard FROM (
+           SELECT l.doc_id AS a, r.doc_id AS b,
+             round(len(list_intersect(list_distinct(string_split(l.text,' ')),
+                                      list_distinct(string_split(r.text,' '))))::DOUBLE /
+                   len(list_distinct(string_split(l.text,' ') || string_split(r.text,' '))),
+                   4) AS jaccard
+           FROM blocked l JOIN blocked r
+             ON l.blk = r.blk AND l.doc_id < r.doc_id)
+         WHERE jaccard >= 0.5""",
+    "dd5_fingerprint" ->
+      """WITH s AS (SELECT doc_id, text, string_split(text, ' ') w FROM documents)
+         SELECT doc_id,
+           md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp,
+           CASE WHEN len(w) >= 3 THEN
+             list_min([md5(w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+                       for i in range(1, len(w)-1)])
+           ELSE NULL END AS min_shingle_fp
+         FROM s"""
+  )
+}

@@ -1,0 +1,69 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.Tables._
+import graft.operators.EventOps
+
+/** Event/windowing queries over `events`. Output timestamps are epoch
+  * seconds (EventOps scaladoc: the parquet is ns, Spark truncates to µs —
+  * epoch-floor makes results engine-portable; session boundaries compare
+  * at µs so gap semantics are exact).
+  */
+object EventQueries {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ev1_tumbling" -> ((s, d) => EventOps.tumbling(events(s, d), "1 hour")),
+    "ev2_sliding" -> ((s, d) =>
+      EventOps.sliding(events(s, d), "1 hour", "30 minutes")),
+    "ev3_session" -> ((s, d) =>
+      EventOps.sessions(events(s, d), "30 minutes")),
+    "ev4_latest" -> ((s, d) => EventOps.latestPerUser(events(s, d))),
+    "ev5_json_agg" -> ((s, d) => EventOps.jsonKeyAgg(events(s, d)))
+  )
+
+  val oracles: Map[String, String] = Map(
+    "ev1_tumbling" ->
+      """SELECT (floor(epoch(ts))::BIGINT // 3600) * 3600 AS win_start,
+           event_type, count(*) AS n, round(sum(value), 2) AS total
+         FROM events GROUP BY win_start, event_type""",
+    // sliding(1h, 30m): each event belongs to exactly two windows —
+    // the 30-min-aligned starts at floor30(ts) and floor30(ts)-1800
+    "ev2_sliding" ->
+      """WITH e AS (
+           SELECT event_type, value,
+             (floor(epoch(ts))::BIGINT // 1800) * 1800 AS es30
+           FROM events),
+         w AS (SELECT event_type, value,
+                 unnest([es30, es30 - 1800]) AS win_start FROM e)
+         SELECT win_start, event_type, count(*) AS n,
+           round(sum(value), 2) AS total
+         FROM w GROUP BY win_start, event_type""",
+    // session_window(30 min): merge while gap < 30min (µs precision);
+    // session_start = floor-seconds of the first event
+    "ev3_session" ->
+      """WITH e AS (SELECT user_id, value, epoch_us(ts) AS us FROM events),
+         f AS (SELECT user_id, value, us,
+                 CASE WHEN us - lag(us) OVER (PARTITION BY user_id ORDER BY us)
+                        >= 1800000000
+                      OR lag(us) OVER (PARTITION BY user_id ORDER BY us) IS NULL
+                      THEN 1 ELSE 0 END AS brk
+               FROM e),
+         g AS (SELECT user_id, value, us,
+                 sum(brk) OVER (PARTITION BY user_id ORDER BY us
+                                ROWS UNBOUNDED PRECEDING) AS sid
+               FROM f)
+         SELECT user_id, (min(us) // 1000000)::BIGINT AS session_start,
+           count(*) AS n_events, round(sum(value), 2) AS total
+         FROM g GROUP BY user_id, sid""",
+    "ev4_latest" ->
+      """SELECT user_id, event_id, event_type, round(value, 2) AS value
+         FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+                 ORDER BY epoch_us(ts) DESC, event_id DESC) AS rk
+               FROM events)
+         WHERE rk = 1""",
+    "ev5_json_agg" ->
+      """SELECT (json_extract_string(props, '$.k')::INTEGER % 10) AS k_bucket,
+           count(*) AS n, round(sum(value), 2) AS total
+         FROM events GROUP BY k_bucket"""
+  )
+}

@@ -1,0 +1,117 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables._
+import graft.operators.SimilarityOps
+
+/** Similarity-search queries over `embeddings` (array<float>, dim 64).
+  * Cosine uses the float32 kernel (SimilarityOps.cosineF32) so every
+  * similarity value is bit-identical to DuckDB's
+  * `list_cosine_similarity` — rankings and thresholds verify exactly,
+  * no tolerance games.
+  */
+object SimilarityQueries {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Exact brute-force top-5 neighbors for 10 query vectors: corpus
+    // streams once against the broadcast queries; rank on the exact sim.
+    "ss1_topk_bruteforce" -> ((s, d) => {
+      val emb = embeddings(s, d)
+      val q = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("embedding").as("_qv"))
+      val c = emb.select(col("vec_id").as("neighbor_id"),
+        col("embedding").as("_cv"))
+      val scored = c.crossJoin(broadcast(q))
+        .filter(col("query_id") =!= col("neighbor_id"))
+        .withColumn("_sim", SimilarityOps.cosineF32(col("_qv"), col("_cv")))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("query_id")
+        .orderBy(col("_sim").desc, col("neighbor_id").asc)
+      scored.withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 5)
+        .select(col("query_id"), col("rk"), col("neighbor_id"),
+          round(col("_sim"), 4).as("sim"))
+    }),
+
+    // Rank-free threshold pairs (queries x corpus, sim >= 0.3).
+    "ss2_threshold" -> ((s, d) => {
+      val emb = embeddings(s, d)
+      val q = emb.filter(col("vec_id") < 25)
+        .select(col("vec_id").as("query_id"), col("embedding").as("_qv"))
+      val c = emb.select(col("vec_id").as("neighbor_id"),
+        col("embedding").as("_cv"))
+      c.crossJoin(broadcast(q))
+        .filter(col("query_id") =!= col("neighbor_id"))
+        .withColumn("sim", round(
+          SimilarityOps.cosineF32(col("_qv"), col("_cv")), 4))
+        .filter(col("sim") >= 0.3)
+        .select("query_id", "neighbor_id", "sim")
+    }),
+
+    // LSH-bucketed approximate pairs: sign-bit bucket on dims 1..8,
+    // equi-join within bucket (the 100 TB scale path — no cross product).
+    "ss3_lsh_bucket" -> ((s, d) => {
+      val emb = embeddings(s, d)
+      val b = emb.select(col("vec_id").as("_id"), col("embedding").as("_v"),
+        SimilarityOps.signBucket(col("embedding"), 8).as("_bkt"))
+      val l = b.select(col("_bkt"), col("_id").as("a"), col("_v").as("va"))
+      val r = b.select(col("_bkt"), col("_id").as("b"), col("_v").as("vb"))
+      l.join(r, Seq("_bkt"))
+        .filter(col("a") < col("b"))
+        .withColumn("sim", round(
+          SimilarityOps.cosineF32(col("va"), col("vb")), 4))
+        .filter(col("sim") >= 0.2)
+        .select("a", "b", "sim")
+    }),
+
+    // Per-label centroid-free stats: dot-product norms per label bucket —
+    // exercises the vector kernel inside an aggregation.
+    "ss4_norm_stats" -> ((s, d) => {
+      embeddings(s, d)
+        .withColumn("_n", SimilarityOps.cosineF32(col("embedding"), col("embedding")))
+        .groupBy("label")
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("_n")), 2).as("sum_self_sim"))
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "ss1_topk_bruteforce" ->
+      """SELECT query_id, rk, neighbor_id, sim FROM (
+           SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             row_number() OVER (PARTITION BY q.vec_id
+               ORDER BY list_cosine_similarity(q.embedding, c.embedding) DESC,
+                        c.vec_id ASC) AS rk,
+             round(list_cosine_similarity(q.embedding, c.embedding)::DOUBLE, 4) AS sim
+           FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+           WHERE q.vec_id < 10)
+         WHERE rk <= 5""",
+    "ss2_threshold" ->
+      """SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           round(list_cosine_similarity(q.embedding, c.embedding)::DOUBLE, 4) AS sim
+         FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+         WHERE q.vec_id < 25
+           AND round(list_cosine_similarity(q.embedding, c.embedding)::DOUBLE, 4) >= 0.3""",
+    "ss3_lsh_bucket" ->
+      """WITH b AS (
+           SELECT vec_id, embedding,
+             (CASE WHEN embedding[1] > 0 THEN '1' ELSE '0' END) ||
+             (CASE WHEN embedding[2] > 0 THEN '1' ELSE '0' END) ||
+             (CASE WHEN embedding[3] > 0 THEN '1' ELSE '0' END) ||
+             (CASE WHEN embedding[4] > 0 THEN '1' ELSE '0' END) ||
+             (CASE WHEN embedding[5] > 0 THEN '1' ELSE '0' END) ||
+             (CASE WHEN embedding[6] > 0 THEN '1' ELSE '0' END) ||
+             (CASE WHEN embedding[7] > 0 THEN '1' ELSE '0' END) ||
+             (CASE WHEN embedding[8] > 0 THEN '1' ELSE '0' END) AS bkt
+           FROM embeddings)
+         SELECT l.vec_id AS a, r.vec_id AS b,
+           round(list_cosine_similarity(l.embedding, r.embedding)::DOUBLE, 4) AS sim
+         FROM b l JOIN b r ON l.bkt = r.bkt AND l.vec_id < r.vec_id
+         WHERE round(list_cosine_similarity(l.embedding, r.embedding)::DOUBLE, 4) >= 0.2""",
+    "ss4_norm_stats" ->
+      """SELECT label, count(*) AS n,
+           round(sum(list_cosine_similarity(embedding, embedding)), 2) AS sum_self_sim
+         FROM embeddings GROUP BY label"""
+  )
+}

@@ -1,0 +1,95 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables._
+import graft.operators.TextAnalysisOps
+
+/** Text-analysis queries over `documents`. */
+object TextQueries {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Token counting: whitespace tokens + BPE-ish subword pieces.
+    "tx1_tokens" -> ((s, d) => {
+      documents(s, d).select(col("doc_id"),
+        TextAnalysisOps.tokenCount(col("text")).as("n_tokens"),
+        TextAnalysisOps.subwordCount(col("text")).as("n_subwords"))
+    }),
+
+    // Quality scoring: length/punct/stopword/word-length metrics.
+    "tx2_quality" -> ((s, d) => {
+      TextAnalysisOps.qualityMetrics(documents(s, d), "doc_id", "text")
+    }),
+
+    // Language-ID heuristic with deterministic tie precedence.
+    "tx3_langid" -> ((s, d) => {
+      TextAnalysisOps.langId(documents(s, d), "doc_id", "text")
+    }),
+
+    // Corpus-level n-gram profile: distinct word-3-gram count per doc +
+    // corpus distinct total per source.
+    "tx4_ngram_profile" -> ((s, d) => {
+      val sh = graft.operators.DedupOps.shingles(col("text"), 3)
+      documents(s, d)
+        .select(col("source"), col("doc_id"), size(sh).as("n_shingles"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_shingles").as("total_shingles"),
+          max("n_shingles").as("max_shingles"))
+    })
+  )
+
+  private val stop = TextAnalysisOps.stopwords
+    .map(w => s"'$w'").mkString(", ")
+
+  val oracles: Map[String, String] = Map(
+    "tx1_tokens" ->
+      """SELECT doc_id,
+           CASE WHEN length(trim(text)) = 0 THEN 0
+                ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tokens,
+           len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_subwords
+         FROM documents""",
+    "tx2_quality" ->
+      s"""SELECT doc_id,
+            length(text) AS n_chars,
+            len(string_split(text, ' ')) AS n_tokens,
+            round(len(regexp_extract_all(text, '[.,;:!?]'))::DOUBLE /
+                  greatest(length(text), 1), 4) AS punct_ratio,
+            round(len(list_filter(string_split(text, ' '),
+                                  w -> w IN ($stop)))::DOUBLE /
+                  greatest(len(string_split(text, ' ')), 1), 4) AS stopword_ratio,
+            round((length(text) - len(string_split(text, ' ')) + 1)::DOUBLE /
+                  greatest(len(string_split(text, ' ')), 1), 4) AS avg_word_len
+          FROM documents""",
+    "tx3_langid" ->
+      """WITH scored AS (
+           SELECT doc_id,
+             len(list_filter(string_split(text,' '),
+                 w -> w IN ('the','and','of','is','with'))) AS score_en,
+             len(list_filter(string_split(text,' '),
+                 w -> w IN ('el','la','de','que','los'))) AS score_es,
+             len(list_filter(string_split(text,' '),
+                 w -> w IN ('der','die','das','und','nicht'))) AS score_de,
+             len(list_filter(string_split(text,' '),
+                 w -> w IN ('le','les','et','est','une'))) AS score_fr
+           FROM documents)
+         SELECT doc_id, score_en, score_es, score_de, score_fr,
+           CASE WHEN score_en >= score_es AND score_en >= score_de AND score_en >= score_fr THEN 'en'
+                WHEN score_es >= score_de AND score_es >= score_fr THEN 'es'
+                WHEN score_de >= score_fr THEN 'de'
+                ELSE 'fr' END AS predicted
+         FROM scored""",
+    "tx4_ngram_profile" ->
+      """WITH s AS (SELECT source, doc_id, string_split(text, ' ') w FROM documents),
+         n AS (SELECT source, doc_id,
+                 CASE WHEN len(w) >= 3 THEN
+                   len(list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                                      for i in range(1, len(w)-1)]))
+                 ELSE 0 END AS n_shingles
+               FROM s)
+         SELECT source, count(*) AS n_docs,
+           sum(n_shingles) AS total_shingles,
+           max(n_shingles) AS max_shingles
+         FROM n GROUP BY source"""
+  )
+}

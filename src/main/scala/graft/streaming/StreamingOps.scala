@@ -1,0 +1,75 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
+
+/** Structured Streaming forms of the event aggregations (EventOps holds
+  * the batch twins — same expressions, same results once the stream is
+  * drained).
+  *
+  * The reference has no streaming surface (SURVEY.md §2.9); this is the
+  * engine-native extension: watermarked tumbling/sliding/session windows
+  * and an arbitrary-stateful running aggregate via
+  * `mapGroupsWithState`.
+  */
+object StreamingOps {
+
+  /** Watermarked tumbling-window aggregation over a streaming frame with
+    * an `events`-shaped schema.
+    */
+  def tumblingStream(events: DataFrame, width: String,
+                     watermark: String = "1 hour"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), width).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total"))
+      .select(unix_timestamp(col("w.start")).as("win_start"),
+        col("event_type"), col("n"), col("total"))
+
+  /** Watermarked session windows per user. */
+  def sessionStream(events: DataFrame, gap: String,
+                    watermark: String = "1 hour"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), gap).as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), round(sum("value"), 2).as("total"))
+      .select(col("user_id"),
+        unix_timestamp(col("w.start")).as("session_start"),
+        col("n_events"), col("total"))
+
+  final case class UserEvent(user_id: Long, value: Double)
+  final case class UserTotal(user_id: Long, n: Long, total: Double)
+
+  /** Custom-state running per-user totals (`mapGroupsWithState`): the
+    * state survives across micro-batches — the shape a dedup cache or a
+    * feature accumulator takes in a production ingest stream.
+    */
+  def runningTotals(spark: SparkSession, events: DataFrame): DataFrame = {
+    import spark.implicits._
+    events.select(col("user_id"), col("value")).as[UserEvent]
+      .groupByKey(_.user_id)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (uid: Long, it: Iterator[UserEvent], st: GroupState[UserTotal]) =>
+          val prev = st.getOption.getOrElse(UserTotal(uid, 0L, 0.0))
+          val (n, tot) = it.foldLeft((prev.n, prev.total)) {
+            case ((c, t), e) => (c + 1, t + e.value)
+          }
+          val next = UserTotal(uid, n, math.rint(tot * 100) / 100)
+          st.update(next)
+          next
+      }.toDF()
+  }
+
+  /** Drain a streaming aggregation into an in-memory table and return the
+    * result — the batch-equivalence harness used by the tests.
+    */
+  def drainToTable(df: DataFrame, name: String,
+                   mode: OutputMode = OutputMode.Complete()): DataFrame = {
+    val q: StreamingQuery = df.writeStream
+      .format("memory").queryName(name)
+      .outputMode(mode)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    df.sparkSession.table(name)
+  }
+}

@@ -1,0 +1,150 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class ExtOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  val corpus = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "the quick brown fox jumps over the lazy cat"), // near-dup of 1
+    (3L, "completely different content about spark engines"),
+    (4L, "the quick brown fox jumps over the lazy dog"), // exact dup of 1
+    (5L, "tiny"))
+
+  lazy val df = corpus.toDF("doc_id", "text")
+
+  test("dedupExact keeps min id per distinct text") {
+    val out = DedupOps.dedupExact(df, Seq("text"), "doc_id")
+      .as[(String, Long)].collect().toMap
+    assert(out("the quick brown fox jumps over the lazy dog") == 1L)
+    assert(out.size == 4)
+  }
+
+  test("shingles: k-grams, distinct, short-text empty") {
+    val sh = df.select(col("doc_id"),
+      DedupOps.shingles(col("text"), 3).as("sh"))
+      .as[(Long, Seq[String])].collect().toMap
+    assert(sh(1L).contains("the quick brown"))
+    assert(sh(1L).size == 7)
+    assert(sh(5L).isEmpty)
+  }
+
+  test("minhash LSH: exact dups always pair; near-dups pair; distinct texts don't") {
+    val pairs = DedupOps.minhashCandidates(df, "doc_id", "text",
+      shingleK = 3, numPerm = 16, bands = 4)
+      .as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 4L))) // identical → identical signature
+    assert(!pairs.exists { case (a, b) => a == 3L || b == 3L })
+  }
+
+  test("simhash16: identical texts identical hash; 16 bits") {
+    val sh = DedupOps.simhash16(df, "doc_id", "text")
+      .as[(Long, String)].collect().toMap
+    assert(sh(1L) == sh(4L))
+    assert(sh(1L).matches("[01]{16}"))
+    assert(sh(1L) != sh(3L))
+  }
+
+  test("jaccardPairs: identical 1.0; near-dup high; blocked") {
+    val pairs = DedupOps.jaccardPairs(df, "doc_id", "text",
+      substring(col("text"), 1, 10), 0.5)
+      .as[(Long, Long, Double)].collect()
+      .map { case (a, b, j) => (a, b) -> j }.toMap
+    assert(pairs((1L, 4L)) == 1.0)
+    assert(pairs((1L, 2L)) >= 0.7 && pairs((1L, 2L)) < 1.0)
+    assert(!pairs.contains((1L, 3L))) // different block
+  }
+
+  test("cosine kernels: orthogonal 0, identical 1, f32 ≈ double") {
+    val vecs = Seq(
+      (1L, Array(1f, 0f, 0f)), (2L, Array(0f, 1f, 0f)),
+      (3L, Array(1f, 0f, 0f)), (4L, Array(0.5f, 0.5f, 0.1f)))
+      .toDF("vec_id", "embedding")
+    val l = vecs.select(col("vec_id").as("a"), col("embedding").as("va"))
+    val r = vecs.select(col("vec_id").as("b"), col("embedding").as("vb"))
+    val sims = l.crossJoin(r).filter(col("a") < col("b"))
+      .select(col("a"), col("b"),
+        SimilarityOps.cosine(col("va"), col("vb")).as("d"),
+        SimilarityOps.cosineF32(col("va"), col("vb")).as("f"))
+      .as[(Long, Long, Double, Double)].collect()
+      .map { case (a, b, x, y) => (a, b) -> (x, y) }.toMap
+    assert(sims((1L, 2L))._1 == 0.0)
+    assert(sims((1L, 3L))._1 == 1.0)
+    sims.values.foreach { case (d, f) => assert(math.abs(d - f) < 1e-6) }
+  }
+
+  test("bruteForceTopK ranks neighbors deterministically") {
+    val vecs = Seq(
+      (1L, Array(1f, 0f)), (2L, Array(0.9f, 0.1f)),
+      (3L, Array(0f, 1f)), (4L, Array(1f, 0.01f)))
+      .toDF("vec_id", "embedding")
+    val top = SimilarityOps.bruteForceTopK(vecs,
+      vecs.filter(col("vec_id") === 1), 2)
+      .select("neighbor_id", "rk").as[(Long, Int)].collect().toSeq
+    assert(top == Seq((4L, 1), (2L, 2)))
+  }
+
+  test("langId picks the max-score language with fixed tie precedence") {
+    val docs = Seq(
+      (1L, "the cat and the dog is with us"),
+      (2L, "el que la los de aqui"),
+      (3L, "zzz qqq")) // all scores 0 → tie → 'en' by precedence
+      .toDF("doc_id", "text")
+    val out = TextAnalysisOps.langId(docs, "doc_id", "text")
+      .select("doc_id", "predicted").as[(Long, String)].collect().toMap
+    assert(out(1L) == "en")
+    assert(out(2L) == "es")
+    assert(out(3L) == "en")
+  }
+
+  test("quality metrics and token counts behave on edge inputs") {
+    val docs = Seq((1L, "a b, c."), (2L, "")).toDF("doc_id", "text")
+    val q = TextAnalysisOps.qualityMetrics(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(q(1L).getAs[Int]("n_chars") == 7)
+    assert(q(1L).getAs[Double]("punct_ratio") > 0)
+    val t = docs.select(col("doc_id"),
+      TextAnalysisOps.tokenCount(col("text")).as("n"))
+      .as[(Long, Int)].collect().toMap
+    assert(t(1L) == 3 && t(2L) == 0)
+  }
+
+  test("multimodal: asset schema, decode batching, frame offsets") {
+    val assets = MultimodalOps.toAssets(df, "doc_id", "text")
+    assert(assets.schema.fieldNames.toSeq ==
+      Seq("asset_id", "content", "meta"))
+    val feats = MultimodalOps.decodeFeatures(assets)
+      .select("asset_id", "features")
+      .as[(Long, Seq[Double])].collect().toMap
+    assert(feats(1L).size == 8)
+    assert(feats(1L) == feats(4L)) // same bytes → same stub features
+    assert(feats.values.flatten.forall(v => v >= 0.0 && v <= 1.0))
+    val frames = MultimodalOps.frameSampleOffsets(assets, 10)
+      .filter(col("asset_id") === 5).select("frame_off")
+      .as[Long].collect().toSeq.sorted
+    assert(frames == Seq(0L)) // "tiny" = 4 bytes → single frame at 0
+  }
+
+  test("event ops: tumbling/session/latest on a tiny frame") {
+    val ev = Seq(
+      (1L, "2024-01-01 00:05:00", 10L, "click", 1.0),
+      (2L, "2024-01-01 00:50:00", 10L, "click", 2.0),
+      (3L, "2024-01-01 02:00:00", 10L, "view", 4.0),
+      (4L, "2024-01-01 00:10:00", 20L, "click", 8.0))
+      .toDF("event_id", "ts_s", "user_id", "event_type", "value")
+      .withColumn("ts", to_timestamp(col("ts_s"))).drop("ts_s")
+    val tmb = EventOps.tumbling(ev, "1 hour")
+      .as[(Long, String, Long, Double)].collect().toSet
+    assert(tmb.contains((1704067200L, "click", 3L, 11.0)))
+    val sess = EventOps.sessions(ev, "30 minutes")
+      .select("user_id", "n_events").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSeq.sorted).toMap
+    assert(sess(10L) == Seq(1L, 1L, 1L)) // 3 sessions (gaps 45m, 70m)
+    assert(sess(20L) == Seq(1L))
+    val latest = EventOps.latestPerUser(ev)
+      .select("user_id", "event_id").as[(Long, Long)].collect().toMap
+    assert(latest(10L) == 3L && latest(20L) == 4L)
+  }
+}

@@ -1,0 +1,63 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.operators.EventOps
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+case class Ev(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+              event_type: String, value: Double)
+
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def mkEvents: Seq[Ev] = Seq(
+    Ev(1, java.sql.Timestamp.valueOf("2024-01-01 00:05:00"), 10, "click", 1.0),
+    Ev(2, java.sql.Timestamp.valueOf("2024-01-01 00:50:00"), 10, "click", 2.0),
+    Ev(3, java.sql.Timestamp.valueOf("2024-01-01 02:00:00"), 10, "view", 4.0),
+    Ev(4, java.sql.Timestamp.valueOf("2024-01-01 00:10:00"), 20, "click", 8.0))
+
+  test("streaming tumbling windows match the batch twin") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    mem.addData(mkEvents: _*)
+    val streamed = StreamingOps.drainToTable(
+      StreamingOps.tumblingStream(mem.toDF(), "1 hour"), "t_tumbling")
+      .as[(Long, String, Long, Double)].collect().toSet
+    val batch = EventOps.tumbling(mkEvents.toDF(), "1 hour")
+      .as[(Long, String, Long, Double)].collect().toSet
+    assert(streamed == batch)
+    assert(batch.nonEmpty)
+  }
+
+  test("streaming session windows match the batch twin") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    mem.addData(mkEvents: _*)
+    val streamed = StreamingOps.drainToTable(
+      StreamingOps.sessionStream(mem.toDF(), "30 minutes"), "t_session")
+      .as[(Long, Long, Long, Double)].collect().toSet
+    val batch = EventOps.sessions(mkEvents.toDF(), "30 minutes")
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(streamed == batch)
+  }
+
+  test("mapGroupsWithState running totals accumulate across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = StreamingOps.runningTotals(spark, mem.toDF())
+      .writeStream.format("memory").queryName("t_running")
+      .outputMode("update").start()
+    mem.addData(mkEvents.take(2): _*)
+    q.processAllAvailable()
+    mem.addData(mkEvents.drop(2): _*)
+    q.processAllAvailable()
+    q.stop()
+    val latest = spark.table("t_running")
+      .groupBy("user_id").agg(max("n").as("n"), max("total").as("total"))
+      .as[(Long, Long, Double)].collect()
+      .map { case (u, n, t) => u -> ((n, t)) }.toMap
+    assert(latest(10L) == ((3L, 7.0)))
+    assert(latest(20L) == ((1L, 8.0)))
+  }
+}
