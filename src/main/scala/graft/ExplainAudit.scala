@@ -1,0 +1,28 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Dev tool: dump formatted physical plans for the named queries (or a
+  * default set of plan-shape-interesting ones) so broadcast/pushdown/
+  * exchange-reuse can be audited. Not part of the driver contract.
+  */
+object ExplainAudit {
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"
+    val names = if (args.length > 1) args.drop(1).toSeq
+      else Seq("q1_agg", "q2_region_revenue", "q3_topk_orders",
+        "dd2_minhash_lsh", "ss1_topk_bruteforce", "ss3_lsh_bucket",
+        "cd8_geocode_join", "ev3_session")
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    names.foreach { n =>
+      println(s"\n========== $n ==========")
+      SparkEntry.queries(n)(spark, sfDir).explain("formatted")
+    }
+    spark.stop()
+  }
+}

@@ -75,17 +75,32 @@ object DedupOps {
     val rowsPerBand = numPerm / bands
     val sh = if (shingleK == 1) words(col(textCol))
              else shingles(col(textCol), shingleK)
-    val sig = minhashSignature(sh, numPerm)
+    // STAGED projections: each level references the previous through a
+    // single column attribute. Building sig/bands directly over the
+    // shingle EXPRESSION would inline the shingle construction into all
+    // numPerm (and then all `bands`) branches — measured 60×+ redundant
+    // compute at sf0.1. Catalyst's CollapseProject keeps these stages
+    // apart because collapsing would duplicate non-cheap expressions.
     val banded = df
-      .filter(size(sh) > 0)
-      .select(col(idCol).as("_id"),
-        posexplode(lshBandHashes(sig, bands, rowsPerBand))
+      .select(col(idCol).as("_id"), sh.as("_sh"))
+      .filter(size(col("_sh")) > 0)
+      .select(col("_id"), minhashSignature(col("_sh"), numPerm).as("_sig"))
+      .select(col("_id"),
+        posexplode(lshBandHashes(col("_sig"), bands, rowsPerBand))
           .as(Seq("_band", "_bh")))
-    val l = banded.select(col("_band"), col("_bh"), col("_id").as("a"))
-    val r = banded.select(col("_band"), col("_bh"), col("_id").as("b"))
-    l.join(r, Seq("_band", "_bh"))
-      .filter(col("a") < col("b"))
-      .select("a", "b").distinct()
+    // Self-join with the rename AFTER the join, hinted to shuffle: both
+    // sides are then the IDENTICAL plan exchanged on the same key, so
+    // ReuseExchange computes the signature pipeline once and reads the
+    // shuffle twice. A broadcast build here would recompute the whole
+    // md5 pipeline for the build side — worse at every scale for a
+    // self-join. (At 100 TB, persist/checkpoint the banded projection
+    // instead if the optimizer cannot prove reuse.)
+    val l = banded.hint("shuffle_hash").as("l")
+    val r = banded.hint("shuffle_hash").as("r")
+    l.join(r, col("l._band") === col("r._band") &&
+        col("l._bh") === col("r._bh") && col("l._id") < col("r._id"))
+      .select(col("l._id").as("a"), col("r._id").as("b"))
+      .distinct()
   }
 
   /** 16-bit SimHash from the high bit of each md5 hex digit: bit d is the
