@@ -49,7 +49,12 @@ object SimilarityOps {
     val d = sumF(zip_with(a, b, (x, y) => x * y))
     val na = sumF(transform(a, x => x * x))
     val nb = sumF(transform(b, x => x * x))
-    (d / (sqrtF(na) * sqrtF(nb))).cast("double")
+    // Spark coerces float `/` to double division; the cast back to float
+    // recovers the single-precision quotient exactly (double carries
+    // ≥ 2p+2 bits of the float, so the two-step rounding equals one
+    // float division) — keeping this kernel bit-identical to
+    // functions.CosineF32 and to float32 engines.
+    (d / (sqrtF(na) * sqrtF(nb))).cast("float").cast("double")
   }
 
   /** Exact top-k neighbors for each query vector.

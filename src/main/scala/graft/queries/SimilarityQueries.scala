@@ -4,10 +4,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables._
 import graft.operators.SimilarityOps
+import graft.functions.CosineF32.cosineF32Native
 
 /** Similarity-search queries over `embeddings` (array<float>, dim 64).
-  * Cosine uses the float32 kernel (SimilarityOps.cosineF32) so every
-  * similarity value is bit-identical to DuckDB's
+  * Cosine uses the native codegen'd float32 kernel
+  * (graft.functions.CosineF32 — bit-identical to the HOF kernel, see
+  * CosineF32Spec) so every similarity value is bit-identical to DuckDB's
   * `list_cosine_similarity` — rankings and thresholds verify exactly,
   * no tolerance games.
   */
@@ -24,7 +26,7 @@ object SimilarityQueries {
         col("embedding").as("_cv"))
       val scored = c.crossJoin(broadcast(q))
         .filter(col("query_id") =!= col("neighbor_id"))
-        .withColumn("_sim", SimilarityOps.cosineF32(col("_qv"), col("_cv")))
+        .withColumn("_sim", cosineF32Native(col("_qv"), col("_cv")))
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy("query_id")
         .orderBy(col("_sim").desc, col("neighbor_id").asc)
@@ -44,7 +46,7 @@ object SimilarityQueries {
       c.crossJoin(broadcast(q))
         .filter(col("query_id") =!= col("neighbor_id"))
         .withColumn("sim", round(
-          SimilarityOps.cosineF32(col("_qv"), col("_cv")), 4))
+          cosineF32Native(col("_qv"), col("_cv")), 4))
         .filter(col("sim") >= 0.3)
         .select("query_id", "neighbor_id", "sim")
     }),
@@ -60,7 +62,7 @@ object SimilarityQueries {
       l.join(r, Seq("_bkt"))
         .filter(col("a") < col("b"))
         .withColumn("sim", round(
-          SimilarityOps.cosineF32(col("va"), col("vb")), 4))
+          cosineF32Native(col("va"), col("vb")), 4))
         .filter(col("sim") >= 0.2)
         .select("a", "b", "sim")
     }),
@@ -69,7 +71,7 @@ object SimilarityQueries {
     // exercises the vector kernel inside an aggregation.
     "ss4_norm_stats" -> ((s, d) => {
       embeddings(s, d)
-        .withColumn("_n", SimilarityOps.cosineF32(col("embedding"), col("embedding")))
+        .withColumn("_n", cosineF32Native(col("embedding"), col("embedding")))
         .groupBy("label")
         .agg(count(lit(1)).as("n"),
           round(sum(col("_n")), 2).as("sum_self_sim"))
