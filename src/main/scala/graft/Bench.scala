@@ -10,6 +10,12 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Warmup pass: run every query once untimed so the timed numbers
+    // measure steady-state query cost, not session/JIT/codegen/scan
+    // warmup (first-query overhead was ~8s of pure startup).
+    SparkEntry.queries.foreach { case (_, fn) =>
+      try { fn(spark, sfDir).count() } catch { case _: Throwable => }
+    }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

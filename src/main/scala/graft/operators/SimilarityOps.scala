@@ -101,6 +101,56 @@ object SimilarityOps {
     concat((1 to bits).map(i =>
       when(element_at(vec, i) > 0f, lit("1")).otherwise(lit("0"))): _*)
 
+  /** IVF-style approximate top-k: partition the corpus into `nList`
+    * Voronoi cells around centroids, probe only the `nProbe` cells
+    * nearest each query.
+    *
+    * All DataFrame ops: centroids come from a posexplode + per-dimension
+    * mean (two small keyed shuffles), cell assignment and query probing
+    * are broadcast joins against the tiny centroid table, and the search
+    * join is an equi-join on the cell id — the corpus is touched once,
+    * and only ~nProbe/nList of candidate pairs are scored. The scale
+    * path when even sign-bucket LSH scores too many pairs.
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+              nList: Int, nProbe: Int, idCol: String = "vec_id",
+              vecCol: String = "embedding"): DataFrame = {
+    // 1. centroids: seed cells by id hash, then per-dimension mean
+    val assigned0 = corpus.select(
+      (abs(hash(col(idCol))) % nList).as("_cell"),
+      posexplode(col(vecCol)).as(Seq("_pos", "_x")))
+    val centroids = assigned0.groupBy("_cell", "_pos")
+      .agg(avg(col("_x")).cast("float").as("_cx"))
+      .groupBy("_cell")
+      .agg(transform(array_sort(collect_list(struct(col("_pos"), col("_cx")))),
+        p => p.getField("_cx")).as("_cvec"))
+    // 2. assign every corpus vector to its nearest centroid
+    val cw = Window.partitionBy(col(idCol)).orderBy(col("_d").desc)
+    val cells = corpus.crossJoin(broadcast(centroids))
+      .withColumn("_d", cosine(col(vecCol), col("_cvec")))
+      .withColumn("_rk", row_number().over(cw))
+      .filter(col("_rk") === 1)
+      .select(col(idCol).as("_cid"), col(vecCol).as("_cv"), col("_cell"))
+    // 3. probe the nProbe nearest cells per query
+    val qw = Window.partitionBy(col("query_id")).orderBy(col("_d").desc)
+    val probes = queries
+      .select(col(idCol).as("query_id"), col(vecCol).as("_qv"))
+      .crossJoin(broadcast(centroids))
+      .withColumn("_d", cosine(col("_qv"), col("_cvec")))
+      .withColumn("_rk", row_number().over(qw))
+      .filter(col("_rk") <= nProbe)
+      .select(col("query_id"), col("_qv"), col("_cell"))
+    // 4. score only within probed cells, rank top-k
+    val rw = Window.partitionBy("query_id")
+      .orderBy(col("sim").desc, col("neighbor_id").asc)
+    probes.join(cells, Seq("_cell"))
+      .filter(col("query_id") =!= col("_cid"))
+      .withColumn("sim", round(cosine(col("_qv"), col("_cv")), 4))
+      .select(col("query_id"), col("_cid").as("neighbor_id"), col("sim"))
+      .withColumn("rk", row_number().over(rw))
+      .filter(col("rk") <= k)
+  }
+
   /** Bucketed approximate similarity pairs: equi-join on the sign bucket,
     * cosine + threshold within the bucket.
     */

@@ -25,7 +25,33 @@ object TransformOps {
     */
   val unionColumns: Seq[String] = Seq(
     "type", "id", "objType", "name", "validSince", "validUntil",
-    "data", "geometry", "from", "to", "relType", "error")
+    "data", "geometry", "to", "from", "relType", "error", "text")
+
+  /** The `data` payload contract — the JSON Schema of
+    * city-directories.dataset.json:47-131 declares exactly these keys
+    * with `additionalProperties: false`.
+    */
+  val dataContractFields: Seq[String] = Seq(
+    "volumeUuid", "pageUuid", "pageNum", "bbox", "text",
+    "occupation", "locations", "geocoded")
+
+  /** Enforce the output contract (SURVEY.md §1.2: "schema strictness —
+    * additionalProperties:false means output columns must be exact"):
+    * the union must carry exactly `unionColumns` and the object payload
+    * exactly `dataContractFields`, in order. Fails fast at plan time,
+    * before any data is written.
+    */
+  def enforceContract(union: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val cols = union.schema.fieldNames.toSeq
+    require(cols.sorted == unionColumns.sorted,
+      s"union columns ${cols.sorted} != contract ${unionColumns.sorted}")
+    val dataType = union.schema("data").dataType
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    require(dataType.fieldNames.toSeq == dataContractFields,
+      s"data payload ${dataType.fieldNames.toSeq} != contract $dataContractFields")
+    union.select(unionColumns.map(col): _*)
+  }
 
   def taggedUnion(lines: DataFrame): DataFrame = {
     val id = CityDirOps.mintId(

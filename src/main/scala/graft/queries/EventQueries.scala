@@ -18,7 +18,24 @@ object EventQueries {
     "ev3_session" -> ((s, d) =>
       EventOps.sessions(events(s, d), "30 minutes")),
     "ev4_latest" -> ((s, d) => EventOps.latestPerUser(events(s, d))),
-    "ev5_json_agg" -> ((s, d) => EventOps.jsonKeyAgg(events(s, d)))
+    "ev5_json_agg" -> ((s, d) => EventOps.jsonKeyAgg(events(s, d))),
+    // As-of join: each purchase matched to the user's latest click at or
+    // before it (point-in-time lookup; EventOps.asOfJoin composition).
+    "ev6_asof" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val ev = events(s, d)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"),
+          col("event_id").as("click_event"),
+          unix_micros(col("ts")).as("click_us"))
+      EventOps.asOfJoin(purchases, clicks, "user_id", "ts",
+          Seq("click_event", "click_us"))
+        .select(col("event_id"), col("user_id"),
+          col("_match.click_event").as("click_id"),
+          col("_match.click_us").as("click_us"))
+    })
   )
 
   val oracles: Map[String, String] = Map(
@@ -64,6 +81,12 @@ object EventQueries {
     "ev5_json_agg" ->
       """SELECT (json_extract_string(props, '$.k')::INTEGER % 10) AS k_bucket,
            count(*) AS n, round(sum(value), 2) AS total
-         FROM events GROUP BY k_bucket"""
+         FROM events GROUP BY k_bucket""",
+    "ev6_asof" ->
+      """SELECT p.event_id, p.user_id, c.event_id AS click_id,
+           epoch_us(c.ts) AS click_us
+         FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+         ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+           ON p.user_id = c.user_id AND p.ts >= c.ts"""
   )
 }

@@ -67,6 +67,15 @@ object SimilarityQueries {
         .select("a", "b", "sim")
     }),
 
+    // IVF approximate top-k (rows-only check: the centroid means are not
+    // reasonably SQL-expressible — recall vs brute force is asserted in
+    // ExtOpsSpec instead).
+    "ss5_ivf_topk" -> ((s, d) => {
+      val emb = embeddings(s, d)
+      SimilarityOps.ivfTopK(emb, emb.filter(col("vec_id") < 10), 5,
+        nList = 8, nProbe = 3)
+    }),
+
     // Per-label centroid-free stats: dot-product norms per label bucket —
     // exercises the vector kernel inside an aggregation.
     "ss4_norm_stats" -> ((s, d) => {

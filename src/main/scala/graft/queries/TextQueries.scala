@@ -26,6 +26,14 @@ object TextQueries {
       TextAnalysisOps.langId(documents(s, d), "doc_id", "text")
     }),
 
+    // Sketch-based distinct counting (rows-only: HLL estimates are
+    // engine-specific; accuracy vs exact distinct asserted in ExtOpsSpec).
+    "tx5_approx_distinct" -> ((s, d) => {
+      documents(s, d).groupBy("source")
+        .agg(approx_count_distinct(col("text")).as("approx_texts"),
+          count(lit(1)).as("n"))
+    }),
+
     // Corpus-level n-gram profile: distinct word-3-gram count per doc +
     // corpus distinct total per source.
     "tx4_ngram_profile" -> ((s, d) => {

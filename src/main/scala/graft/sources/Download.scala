@@ -1,0 +1,61 @@
+package graft.sources
+
+import graft.model.DirectoryMeta
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+import java.util.concurrent.Executors
+import scala.concurrent.{Await, ExecutionContext, Future}
+import scala.concurrent.duration.Duration
+
+/** The reference `download` step (city-directories.js:76-106,135-160):
+  * fetch each manifest volume's `<uuid>.tar.gz`; a failed fetch is
+  * DEAD-LETTERED — the reference renames the partial file to
+  * `<uuid>.xml` (city-directories.js:93-94) and still resolves, so one
+  * bad volume never aborts the run (SURVEY.md O-3/O-10).
+  *
+  * Network I/O is pluggable (`fetch`): this build environment has zero
+  * egress, so production would pass an HTTP fetcher while tests pass a
+  * fake. Downloading is driver-coordinated with a bounded pool — the
+  * reference's unbounded `Promise.all` concurrency (city-directories.js:156)
+  * becomes `parallelism` workers; at real scale the same function body
+  * moves into `foreachPartition` over the manifest with executors
+  * writing to shared storage.
+  */
+object Download {
+
+  final case class FetchResult(uuid: String, path: String, ok: Boolean,
+                               error: Option[String])
+
+  def downloadAll(targetDir: String, manifest: Seq[DirectoryMeta],
+                  fetch: String => Array[Byte],
+                  parallelism: Int = 8): Seq[FetchResult] = {
+    Files.createDirectories(Paths.get(targetDir))
+    val pool = Executors.newFixedThreadPool(math.max(1, parallelism))
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    try {
+      val futures = manifest.map { m =>
+        Future {
+          val okPath = Paths.get(targetDir, s"${m.uuid}.tar.gz")
+          try {
+            val bytes = fetch(m.uuid)
+            Files.write(okPath, bytes)
+            FetchResult(m.uuid, okPath.toString, ok = true, None)
+          } catch {
+            case e: Exception =>
+              // dead-letter marker: the quarantine file records the error
+              // (reference renames the partial download; same observable
+              // contract — `<uuid>.xml` exists, `<uuid>.tar.gz` does not)
+              Files.deleteIfExists(okPath)
+              val dead = Paths.get(targetDir, s"${m.uuid}.xml")
+              Files.write(dead,
+                Option(e.getMessage).getOrElse("fetch failed")
+                  .getBytes(StandardCharsets.UTF_8))
+              FetchResult(m.uuid, dead.toString, ok = false,
+                Some(Option(e.getMessage).getOrElse("fetch failed")))
+          }
+        }
+      }
+      Await.result(Future.sequence(futures), Duration.Inf)
+    } finally pool.shutdown()
+  }
+}

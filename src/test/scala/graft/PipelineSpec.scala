@@ -100,6 +100,30 @@ class PipelineSpec extends SparkSpec {
     assert(js.exists(_.startsWith("""{"type":"MultiPoint","coordinates":[[-""")))
   }
 
+  test("contract enforcement: exact columns, exact data payload") {
+    import graft.operators.TransformOps
+    val enforced = TransformOps.enforceContract(union)
+    assert(enforced.columns.toSeq == TransformOps.unionColumns)
+    // dropping a payload field must fail fast at plan time
+    val broken = union.withColumn("data",
+      col("data").dropFields("occupation"))
+    intercept[IllegalArgumentException] {
+      TransformOps.enforceContract(broken)
+    }
+  }
+
+  test("observation metrics ride the parse job") {
+    import graft.operators.ProgressOps
+    val (observed, obs) = ProgressOps.observed(lines, "parse-progress")
+    assert(observed.count() == 24)
+    val m = obs.get
+    assert(m("rows") == 24L)
+    assert(m("min_year") == 1850 && m("max_year") == 1851)
+    val perYear = ProgressOps.perYearCounts(lines)
+      .as[(Int, Long)].collect().toMap
+    assert(perYear == Map(1850 -> 12L, 1851 -> 12L))
+  }
+
   test("union sink writes per-type NDJSON partitions") {
     val out = Files.createTempDirectory("graft-out").toString
     CityDirectories.writeUnion(union, out)
