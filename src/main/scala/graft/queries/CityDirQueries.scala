@@ -137,6 +137,18 @@ object CityDirQueries {
       objects.unionByName(relations).unionByName(logs)
     }),
 
+    // O-5/O-8: JSON codec both directions — from_json with an explicit
+    // schema, transform, re-encode with to_json (NDJSON line framing is
+    // the built-in json sink, exercised in PipelineSpec).
+    "cd11_json_codec" -> ((s, d) => {
+      val ev = events(s, d)
+      val k = from_json(col("props"),
+        org.apache.spark.sql.types.StructType.fromDDL("k INT")).getField("k")
+      ev.select(col("event_id"),
+        to_json(struct((k * 2).as("k2"), col("event_type").as("t")))
+          .as("out_json"))
+    }),
+
     // O-35: per-group geometry collect — Point vs MultiPoint by
     // cardinality, coordinates canonically ordered.
     "cd10_multipoint" -> ((s, d) => {
@@ -214,6 +226,12 @@ object CityDirQueries {
          UNION ALL
          SELECT 'log', 'doc.' || doc_id, NULL, NULL, NULL, 'short document'
          FROM documents WHERE n_chars < 100""",
+    "cd11_json_codec" ->
+      """SELECT event_id,
+           to_json(struct_pack(
+             k2 := json_extract_string(props, '$.k')::INTEGER * 2,
+             t := event_type)) AS out_json
+         FROM events""",
     "cd10_multipoint" ->
       """SELECT source, count(*) AS n_points,
            string_agg(doc_id::VARCHAR, '-' ORDER BY doc_id) AS coords,

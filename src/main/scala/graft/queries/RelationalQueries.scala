@@ -127,6 +127,34 @@ object RelationalQueries {
       val y95 = o.filter(year(col("o_orderdate")) === 1995).select("o_custkey")
       val y96 = o.filter(year(col("o_orderdate")) === 1996).select("o_custkey")
       y95.except(y96).withColumnRenamed("o_custkey", "custkey")
+    }),
+
+    // Salted two-phase aggregation (skew path) — must equal the plain
+    // GROUP BY, which is exactly what the oracle runs.
+    "q12_salted_agg" -> ((s, d) => {
+      graft.operators.SkewOps
+        .saltedSumCount(orders(s, d).select("o_custkey", "o_totalprice"),
+          Seq("o_custkey"), "o_totalprice", salts = 16)
+        .select(col("o_custkey"), round(col("total"), 2).as("total"),
+          col("n"))
+    }),
+
+    // Running aggregate window (rows frame) per customer.
+    "q13_running" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("o_custkey")
+        .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)
+      orders(s, d).select(col("o_custkey"), col("o_orderkey"),
+        round(sum(col("o_totalprice")).over(w), 2).as("running"))
+    }),
+
+    // Hierarchical totals: ROLLUP(year, status).
+    "q14_rollup" -> ((s, d) => {
+      orders(s, d)
+        .rollup(year(col("o_orderdate")).as("yr"), col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("total"))
     })
   )
 
@@ -184,6 +212,21 @@ object RelationalQueries {
     "q11_except" ->
       """SELECT o_custkey AS custkey FROM orders WHERE year(o_orderdate) = 1995
          EXCEPT
-         SELECT o_custkey AS custkey FROM orders WHERE year(o_orderdate) = 1996"""
+         SELECT o_custkey AS custkey FROM orders WHERE year(o_orderdate) = 1996""",
+    "q12_salted_agg" ->
+      """SELECT o_custkey, round(sum(o_totalprice), 2) AS total,
+                count(*) AS n
+         FROM orders GROUP BY o_custkey""",
+    "q13_running" ->
+      """SELECT o_custkey, o_orderkey,
+           round(sum(o_totalprice) OVER (
+             PARTITION BY o_custkey
+             ORDER BY o_orderdate ASC, o_orderkey ASC
+             ROWS UNBOUNDED PRECEDING), 2) AS running
+         FROM orders""",
+    "q14_rollup" ->
+      """SELECT year(o_orderdate) AS yr, o_orderstatus,
+           count(*) AS n, round(sum(o_totalprice), 2) AS total
+         FROM orders GROUP BY ROLLUP (yr, o_orderstatus)"""
   )
 }

@@ -68,4 +68,38 @@ object Manifest {
     import spark.implicits._
     spark.createDataset(parseTable(html))
   }
+
+  /** O-7: the pretty-printed JSON manifest checkpoint the reference
+    * writes between download and parse (`directories.json`,
+    * city-directories.js:151). Driver-side by design — it is one small
+    * file.
+    */
+  def saveJson(manifest: Seq[DirectoryMeta], path: String): Unit = {
+    val rows = manifest.map { m =>
+      s"""  {
+         |    "uuid": "${m.uuid}",
+         |    "yearMin": ${m.yearMin},
+         |    "yearMax": ${m.yearMax},
+         |    "startPage": ${m.startPage},
+         |    "endPage": ${m.endPage},
+         |    "columnCount": ${m.columnCount}
+         |  }""".stripMargin
+    }
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(path),
+      rows.mkString("[\n", ",\n", "\n]"))
+  }
+
+  /** O-6: load the JSON manifest checkpoint (`require(directories.json)`,
+    * city-directories.js:188) — a multiLine JSON array read with the
+    * explicit schema.
+    */
+  def loadJson(spark: SparkSession, path: String): Dataset[DirectoryMeta] = {
+    import spark.implicits._
+    spark.read
+      .option("multiLine", true)
+      .schema("uuid STRING, yearMin INT, yearMax INT, startPage INT, " +
+        "endPage INT, columnCount INT")
+      .json(path)
+      .as[DirectoryMeta]
+  }
 }

@@ -22,6 +22,17 @@ class ManifestSpec extends AnyFunSuite {
       DirectoryMeta("u2", 1851, 1851, 5, 180, 3)))
   }
 
+  test("JSON manifest checkpoint roundtrips (O-6/O-7)") {
+    val spark = graft.TestSpark.spark
+    val rows = Manifest.parseTable(html)
+    val path = java.nio.file.Files
+      .createTempFile("directories", ".json").toString
+    Manifest.saveJson(rows, path)
+    val loaded = Manifest.loadJson(spark, path).collect().toSeq
+      .sortBy(_.uuid)
+    assert(loaded == rows.sortBy(_.uuid))
+  }
+
   test("year union semantics: +1, not the printed suffix") {
     // reference computes years[0]+1 even for '1899/00' (city-directories.js:127)
     assert(Manifest.parseYear("1899/00").contains((1899, 1900)))
