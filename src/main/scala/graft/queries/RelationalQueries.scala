@@ -150,6 +150,20 @@ object RelationalQueries {
         round(sum(col("o_totalprice")).over(w), 2).as("running"))
     }),
 
+    // The SAME top-3-per-segment as q4, through the custom TopKPerKey
+    // physical operator (graft.plans) instead of a window sort — the
+    // identical oracle proves rank equivalence, map-side heaps replace
+    // the sort-everything shuffle.
+    "q15_topk_native" -> ((s, d) => {
+      val o = orders(s, d)
+      val c = customer(s, d).select("c_custkey", "c_mktsegment")
+      val joined = o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      graft.plans.TopK.perKey(joined, Seq("c_mktsegment"),
+          Seq(col("o_totalprice").desc, col("o_orderkey").asc), 3)
+        .select(col("c_mktsegment"), col("rk"), col("o_orderkey"),
+          round(col("o_totalprice"), 2).as("price"))
+    }),
+
     // Hierarchical totals: ROLLUP(year, status).
     "q14_rollup" -> ((s, d) => {
       orders(s, d)
@@ -224,6 +238,14 @@ object RelationalQueries {
              ORDER BY o_orderdate ASC, o_orderkey ASC
              ROWS UNBOUNDED PRECEDING), 2) AS running
          FROM orders""",
+    "q15_topk_native" ->
+      """SELECT c_mktsegment, rk, o_orderkey, price FROM (
+           SELECT c_mktsegment,
+                  row_number() OVER (PARTITION BY c_mktsegment
+                                     ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk,
+                  o_orderkey, round(o_totalprice, 2) AS price
+           FROM orders JOIN customer ON o_custkey = c_custkey)
+         WHERE rk <= 3""",
     "q14_rollup" ->
       """SELECT year(o_orderdate) AS yr, o_orderstatus,
            count(*) AS n, round(sum(o_totalprice), 2) AS total
