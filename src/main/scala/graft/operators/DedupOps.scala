@@ -123,6 +123,30 @@ object DedupOps {
           .as("simhash"))
   }
 
+  /** Duplicate-cluster resolution: candidate pairs → connected
+    * components → (member, cluster_rep = min member id). The step after
+    * LSH in every dedup pipeline: near-dup PAIRS must become GROUPS
+    * before one representative per group can be kept.
+    *
+    * GraphX (RDD-based) is the right tool here per the preference
+    * ladder's last rung: connected components is genuinely iterative —
+    * a fixed-point label propagation no single DataFrame plan
+    * expresses. Cost scales with the candidate-pair graph (tiny after
+    * LSH), never with the corpus.
+    */
+  def clusters(pairs: DataFrame, aCol: String = "a",
+               bCol: String = "b"): DataFrame = {
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    val edges = pairs
+      .select(col(aCol).cast("long"), col(bCol).cast("long"))
+      .as[(Long, Long)].rdd
+      .map { case (a, b) => org.apache.spark.graphx.Edge(a, b, ()) }
+    org.apache.spark.graphx.Graph.fromEdges(edges, ())
+      .connectedComponents().vertices // component id = min vertex id
+      .toDF("member", "cluster_rep")
+  }
+
   /** Blocked n-gram Jaccard similarity pairs: self-join restricted to a
     * caller-supplied blocking key (e.g. a text prefix, an LSH band, a
     * length bucket), Jaccard over distinct word sets, threshold filter.

@@ -40,6 +40,14 @@ object DedupQueries {
         substring(col("text"), 1, 40), 0.5)
     }),
 
+    // MinHash-LSH pairs resolved to duplicate clusters via connected
+    // components (GraphX); rep = min doc_id of the component.
+    "dd6_clusters" -> ((s, d) => {
+      DedupOps.clusters(
+        DedupOps.minhashCandidates(documents(s, d), "doc_id", "text",
+          shingleK = 3, numPerm = 16, bands = 4))
+    }),
+
     // Canonical + min-shingle fingerprints (text-analysis dedup keys).
     "dd5_fingerprint" -> ((s, d) => {
       import graft.operators.TextAnalysisOps
@@ -91,6 +99,29 @@ object DedupQueries {
            FROM blocked l JOIN blocked r
              ON l.blk = r.blk AND l.doc_id < r.doc_id)
          WHERE jaccard >= 0.5""",
+    "dd6_clusters" ->
+      """WITH RECURSIVE s AS (SELECT doc_id, string_split(text,' ') w FROM documents),
+         sh AS (SELECT doc_id,
+                  unnest(list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                                        for i in range(1, len(w)-1)])) AS s
+                FROM s WHERE len(w) >= 3),
+         sig AS (SELECT doc_id, i, min(md5(i::VARCHAR || ':' || s)) AS mh
+                 FROM sh CROSS JOIN (SELECT unnest(range(0,16)) AS i) perms
+                 GROUP BY doc_id, i),
+         bands AS (SELECT doc_id, i // 4 AS band,
+                     md5(string_agg(mh, '|' ORDER BY i)) AS bh
+                   FROM sig GROUP BY doc_id, i // 4),
+         pairs AS (SELECT DISTINCT l.doc_id a, r.doc_id b
+                   FROM bands l JOIN bands r
+                     ON l.band = r.band AND l.bh = r.bh AND l.doc_id < r.doc_id),
+         edges AS (SELECT a, b FROM pairs UNION SELECT b, a FROM pairs),
+         nodes AS (SELECT DISTINCT a AS n FROM edges),
+         reach(node, rep) AS (
+           SELECT n, n FROM nodes
+           UNION
+           SELECT e.b, r.rep FROM reach r JOIN edges e ON e.a = r.node)
+         SELECT node AS member, min(rep) AS cluster_rep
+         FROM reach GROUP BY node""",
     "dd5_fingerprint" ->
       """WITH s AS (SELECT doc_id, text, string_split(text, ' ') w FROM documents)
          SELECT doc_id,

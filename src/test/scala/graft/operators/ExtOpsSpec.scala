@@ -47,6 +47,13 @@ class ExtOpsSpec extends SparkSpec {
     assert(sh(1L) != sh(3L))
   }
 
+  test("clusters: transitive pairs merge; rep is min member") {
+    val pairs = Seq((1L, 4L), (4L, 9L), (20L, 30L)).toDF("a", "b")
+    val out = DedupOps.clusters(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(out == Map(1L -> 1L, 4L -> 1L, 9L -> 1L, 20L -> 20L, 30L -> 20L))
+  }
+
   test("jaccardPairs: identical 1.0; near-dup high; blocked") {
     val pairs = DedupOps.jaccardPairs(df, "doc_id", "text",
       substring(col("text"), 1, 10), 0.5)
