@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Dev tool: head-to-head of the custom TopKPerKey operator vs the
+  * window row_number formulation on a synthetic frame large enough for
+  * the shuffle/sort difference to dominate (the driver tables are too
+  * small to show it). Prints one JSON line.
+  */
+object PerfCompare {
+  def main(args: Array[String]): Unit = {
+    val rows = if (args.nonEmpty) args(0).toLong else 5000000L
+    val keys = if (args.length > 1) args(1).toInt else 1000
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val df = spark.range(rows)
+      .select(col("id"),
+        pmod(hash(col("id")), lit(keys)).as("grp"),
+        pmod(hash(col("id") + 1), lit(1000000)).cast("double").as("score"))
+      .cache()
+    df.count() // materialize
+
+    def time(f: => Long): (Double, Long) = {
+      val t0 = System.nanoTime()
+      val n = f
+      ((System.nanoTime() - t0) / 1e9, n)
+    }
+    // warmup both paths
+    val w = Window.partitionBy("grp")
+      .orderBy(col("score").desc, col("id").asc)
+    def viaWindow: Long = df.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 5).count()
+    def viaNative: Long = plans.TopK.perKey(df, Seq("grp"),
+      Seq(col("score").desc, col("id").asc), 5).count()
+    viaWindow; viaNative
+    val (tw, nw) = time(viaWindow)
+    val (tn, nn) = time(viaNative)
+    require(nw == nn, s"row count mismatch: $nw vs $nn")
+    println(s"""{"rows":$rows,"keys":$keys,"window_sec":$tw,"topk_native_sec":$tn,"result_rows":$nw}""")
+    spark.stop()
+  }
+}

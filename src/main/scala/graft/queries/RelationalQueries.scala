@@ -164,6 +164,19 @@ object RelationalQueries {
           round(col("o_totalprice"), 2).as("price"))
     }),
 
+    // Date/time function breadth (SURVEY §2.10): trunc, extract, date
+    // arithmetic, day differences.
+    "q16_date_funcs" -> ((s, d) => {
+      orders(s, d).select(
+        col("o_orderkey"),
+        date_trunc("month", col("o_orderdate")).cast("date").as("month_start"),
+        month(col("o_orderdate")).as("mon"),
+        dayofweek(col("o_orderdate")).as("dow"),
+        date_add(col("o_orderdate").cast("date"), 30).as("due_date"),
+        datediff(lit(java.sql.Date.valueOf("1998-12-31")),
+          col("o_orderdate").cast("date")).as("days_to_eoy"))
+    }),
+
     // Hierarchical totals: ROLLUP(year, status).
     "q14_rollup" -> ((s, d) => {
       orders(s, d)
@@ -246,6 +259,14 @@ object RelationalQueries {
                   o_orderkey, round(o_totalprice, 2) AS price
            FROM orders JOIN customer ON o_custkey = c_custkey)
          WHERE rk <= 3""",
+    "q16_date_funcs" ->
+      """SELECT o_orderkey,
+           date_trunc('month', o_orderdate)::DATE AS month_start,
+           month(o_orderdate) AS mon,
+           dayofweek(o_orderdate) + 1 AS dow,
+           (o_orderdate::DATE + INTERVAL 30 DAY)::DATE AS due_date,
+           datediff('day', o_orderdate::DATE, DATE '1998-12-31') AS days_to_eoy
+         FROM orders""",
     "q14_rollup" ->
       """SELECT year(o_orderdate) AS yr, o_orderstatus,
            count(*) AS n, round(sum(o_totalprice), 2) AS total

@@ -42,6 +42,26 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("file-source stream over real events parquet matches batch") {
+    // the production shape: readStream over a parquet directory
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get("/root/testdata/sf0.001/events.parquet"),
+      dir.resolve("events.parquet"))
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(dir.toString).schema
+    val raw = spark.readStream.schema(schema).parquet(dir.toString)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val streamed = StreamingOps.drainToTable(
+      StreamingOps.tumblingStream(raw, "1 hour"), "t_file_stream")
+      .as[(Long, String, Long, Double)].collect().toSet
+    val batch = graft.operators.EventOps.tumbling(
+      graft.Tables.events(spark, "/root/testdata/sf0.001"), "1 hour")
+      .as[(Long, String, Long, Double)].collect().toSet
+    assert(streamed == batch)
+    assert(streamed.size > 100)
+  }
+
   test("mapGroupsWithState running totals accumulate across batches") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Ev]
