@@ -21,8 +21,8 @@ object DedupQueries {
         .select("doc_id")
     }),
 
-    // MinHash(16 perms, md5 string-min) + LSH(4 bands): candidate
-    // duplicate pairs over 3-gram shingles.
+    // MinHash(16 arithmetic perms over one md5 base hash) + LSH(4 bands):
+    // candidate duplicate pairs over 3-gram shingles.
     "dd2_minhash_lsh" -> ((s, d) => {
       DedupOps.minhashCandidates(documents(s, d), "doc_id", "text",
         shingleK = 3, numPerm = 16, bands = 4)
@@ -74,11 +74,15 @@ object DedupQueries {
                   unnest(list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
                                         for i in range(1, len(w)-1)])) AS s
                 FROM s WHERE len(w) >= 3),
-         sig AS (SELECT doc_id, i, min(md5(i::VARCHAR || ':' || s)) AS mh
-                 FROM sh CROSS JOIN (SELECT unnest(range(0,16)) AS i) perms
+         xh AS (SELECT doc_id,
+                  (('0x' || substr(md5(s), 1, 15))::UBIGINT % 2147483647)::BIGINT AS x
+                FROM sh),
+         sig AS (SELECT doc_id, i,
+                   min(((i*1000003 + 12345) * x + i*999983 + 54321) % 2147483647) AS mh
+                 FROM xh CROSS JOIN (SELECT unnest(range(0,16)) AS i) perms
                  GROUP BY doc_id, i),
          bands AS (SELECT doc_id, i // 4 AS band,
-                     md5(string_agg(mh, '|' ORDER BY i)) AS bh
+                     md5(string_agg(mh::VARCHAR, '|' ORDER BY i)) AS bh
                    FROM sig GROUP BY doc_id, i // 4)
          SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
          FROM bands l JOIN bands r
@@ -105,11 +109,15 @@ object DedupQueries {
                   unnest(list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
                                         for i in range(1, len(w)-1)])) AS s
                 FROM s WHERE len(w) >= 3),
-         sig AS (SELECT doc_id, i, min(md5(i::VARCHAR || ':' || s)) AS mh
-                 FROM sh CROSS JOIN (SELECT unnest(range(0,16)) AS i) perms
+         xh AS (SELECT doc_id,
+                  (('0x' || substr(md5(s), 1, 15))::UBIGINT % 2147483647)::BIGINT AS x
+                FROM sh),
+         sig AS (SELECT doc_id, i,
+                   min(((i*1000003 + 12345) * x + i*999983 + 54321) % 2147483647) AS mh
+                 FROM xh CROSS JOIN (SELECT unnest(range(0,16)) AS i) perms
                  GROUP BY doc_id, i),
          bands AS (SELECT doc_id, i // 4 AS band,
-                     md5(string_agg(mh, '|' ORDER BY i)) AS bh
+                     md5(string_agg(mh::VARCHAR, '|' ORDER BY i)) AS bh
                    FROM sig GROUP BY doc_id, i // 4),
          pairs AS (SELECT DISTINCT l.doc_id a, r.doc_id b
                    FROM bands l JOIN bands r
