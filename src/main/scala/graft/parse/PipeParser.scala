@@ -57,7 +57,16 @@ object PipeParser {
         new Iterator[(T, String)] {
           private var nextLine: String = stdout.readLine()
           override def hasNext: Boolean = {
-            if (nextLine == null) { proc.waitFor(); stdout.close() }
+            if (nextLine == null) {
+              proc.waitFor(); stdout.close()
+              // a process that died mid-stream would otherwise silently
+              // drop its in-flight records — the reference treats an
+              // unwritable parser as an error (entry-parser.js:82)
+              if (!queue.isEmpty)
+                throw new IllegalStateException(
+                  s"external parser exited with ${proc.exitValue()} " +
+                    s"leaving ${queue.size()} record(s) unanswered")
+            }
             nextLine != null
           }
           override def next(): (T, String) = {

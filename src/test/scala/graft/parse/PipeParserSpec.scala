@@ -18,6 +18,17 @@ class PipeParserSpec extends SparkSpec {
     assert(rows.forall { case (in, res) => res == in.toUpperCase })
   }
 
+  test("pipe: process dying mid-stream fails the task, not silence") {
+    val ds = spark.createDataset(1 to 50).map(i => s"line$i").coalesce(1)
+    val ex = intercept[org.apache.spark.SparkException] {
+      // answers exactly one line, then exits — 49 records unanswered
+      PipeParser.pipe(ds, Seq("sh", "-c", "read l; echo \"$l\""))(identity)
+        .collect()
+    }
+    assert(ex.getMessage.contains("unanswered") ||
+      Option(ex.getCause).exists(_.getMessage.contains("unanswered")))
+  }
+
   test("pipe: empty partitions spawn no process") {
     val ds = spark.createDataset(Seq("a")).repartition(8)
     val out = PipeParser.pipe(ds, Seq("cat"))(identity).collect()

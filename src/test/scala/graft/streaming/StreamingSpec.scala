@@ -62,6 +62,35 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.size > 100)
   }
 
+  test("checkpointed file stream restarts exactly-once (no double counting)") {
+    import org.apache.spark.sql.streaming.Trigger
+    val src = java.nio.file.Files.createTempDirectory("graft-src")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-ckpt")
+    def writeBatch(name: String, evs: Seq[Ev]): Unit =
+      evs.toDF().write.mode("append").parquet(s"$src/")
+    val schema = mkEvents.toDF().schema
+
+    def runOnce(): Unit = {
+      val q = spark.readStream.schema(schema).parquet(src.toString)
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n"), sum("value").as("total"))
+        .writeStream.format("memory").queryName("t_ckpt")
+        .outputMode("complete")
+        .option("checkpointLocation", ckpt.toString)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    writeBatch("b1", mkEvents.take(2))
+    runOnce()
+    writeBatch("b2", mkEvents.drop(2))
+    runOnce() // restart from the checkpoint; only new files processed
+    val out = spark.table("t_ckpt")
+      .as[(Long, Long, Double)].collect()
+      .map { case (u, n, t) => u -> ((n, t)) }.toMap
+    assert(out(10L) == ((3L, 7.0)))
+    assert(out(20L) == ((1L, 8.0)))
+  }
+
   test("mapGroupsWithState running totals accumulate across batches") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Ev]
