@@ -147,6 +147,30 @@ object DedupOps {
           .as("simhash"))
   }
 
+  /** SimHash near-dup pairs: block on the first `prefixBits` of the
+    * 16-bit simhash (candidates must agree there — the single-table
+    * simplification of multi-index Hamming LSH; production would union
+    * several rotated prefix tables for full recall), then keep pairs
+    * within `maxHamming` bit flips. The Hamming distance is a codegen'd
+    * 16-term positional comparison, no UDF.
+    */
+  def simhashPairs(df: DataFrame, idCol: String, textCol: String,
+                   maxHamming: Int, prefixBits: Int = 8): DataFrame = {
+    val sh = simhash16(df, idCol, textCol)
+      .withColumn("_blk", substring(col("simhash"), 1, prefixBits))
+    val l = sh.select(col("_blk"), col(idCol).as("a"), col("simhash").as("sa"))
+    val r = sh.select(col("_blk"), col(idCol).as("b"), col("simhash").as("sb"))
+    val hamming = (1 to 16).map { i =>
+      when(substring(col("sa"), i, 1) =!= substring(col("sb"), i, 1), 1)
+        .otherwise(0)
+    }.reduce(_ + _)
+    l.join(r, Seq("_blk"))
+      .filter(col("a") < col("b"))
+      .withColumn("hamming", hamming)
+      .filter(col("hamming") <= maxHamming)
+      .select("a", "b", "hamming")
+  }
+
   /** Duplicate-cluster resolution: candidate pairs → connected
     * components → (member, cluster_rep = min member id). The step after
     * LSH in every dedup pipeline: near-dup PAIRS must become GROUPS

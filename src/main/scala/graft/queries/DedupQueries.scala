@@ -61,6 +61,7 @@ object DedupQueries {
     s"(CASE WHEN sum(CASE WHEN substr(h,$d1,1) BETWEEN '8' AND 'f' THEN 1 ELSE -1 END) > 0 THEN '1' ELSE '0' END)"
   }.mkString(" || ")
 
+
   val oracles: Map[String, String] = Map(
     "dd1_exact" ->
       """SELECT min(doc_id) AS doc_id FROM (

@@ -47,6 +47,16 @@ class ExtOpsSpec extends SparkSpec {
     assert(sh(1L) != sh(3L))
   }
 
+  test("simhashPairs: near-dups within hamming radius, distinct texts not") {
+    val out = DedupOps.simhashPairs(df, "doc_id", "text",
+      maxHamming = 3, prefixBits = 4)
+      .as[(Long, Long, Int)].collect()
+      .map { case (a, b, h) => (a, b) -> h }.toMap
+    assert(out((1L, 4L)) == 0) // identical text → identical simhash
+    assert(out.get((1L, 2L)).forall(_ <= 3))
+    assert(!out.contains((1L, 3L)) && !out.contains((3L, 4L)))
+  }
+
   test("clusters: transitive pairs merge; rep is min member") {
     val pairs = Seq((1L, 4L), (4L, 9L), (20L, 30L)).toDF("a", "b")
     val out = DedupOps.clusters(pairs)
