@@ -36,6 +36,18 @@ object StreamingOps {
         unix_timestamp(col("w.start")).as("session_start"),
         col("n_events"), col("total"))
 
+  /** Streaming exact dedup on `event_id` (the streaming twin of
+    * `DedupOps.dedupExact` / at-least-once ingest compaction).
+    * `dropDuplicatesWithinWatermark` keys the state store on the id
+    * columns only and EVICTS state once the watermark passes an id's
+    * event time — bounded state at any scale, unlike plain
+    * `dropDuplicates` on a stream, whose state grows without bound.
+    */
+  def dedupStream(events: DataFrame,
+                  watermark: String = "1 hour"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("event_id")
+
   final case class UserEvent(user_id: Long, value: Double)
   final case class UserTotal(user_id: Long, n: Long, total: Double)
 

@@ -164,4 +164,26 @@ class ExtOpsSpec extends SparkSpec {
       .select("user_id", "event_id").as[(Long, Long)].collect().toMap
     assert(latest(10L) == 3L && latest(20L) == 4L)
   }
+
+  test("event ops: sliding windows multiply-assign; json key agg buckets") {
+    val ev = Seq(
+      (1L, "2024-01-01 00:05:00", 10L, "click", 1.0, """{"k":3}"""),
+      (2L, "2024-01-01 00:50:00", 10L, "click", 2.0, """{"k":13}"""),
+      (3L, "2024-01-01 02:00:00", 10L, "view", 4.0, """{"k":7}"""))
+      .toDF("event_id", "ts_s", "user_id", "event_type", "value", "props")
+      .withColumn("ts", to_timestamp(col("ts_s"))).drop("ts_s")
+    // 1h windows sliding every 30m: each event lands in exactly 2 windows
+    val sld = EventOps.sliding(ev, "1 hour", "30 minutes")
+      .as[(Long, String, Long, Double)].collect()
+    assert(sld.map(_._3).sum == 2L * 3)
+    val click = sld.filter(_._2 == "click")
+      .map(t => t._1 -> ((t._3, t._4))).toMap
+    assert(click(1704065400L) == ((1L, 1.0))) // 23:30 window: event 1 only
+    assert(click(1704067200L) == ((2L, 3.0))) // 00:00 window: events 1+2
+    val jk = EventOps.jsonKeyAgg(ev)
+      .as[(Int, Long, Double)].collect()
+      .map { case (b, n, t) => b -> ((n, t)) }.toMap
+    assert(jk(3) == ((2L, 3.0))) // k=3 and k=13 share bucket 3
+    assert(jk(7) == ((1L, 4.0)))
+  }
 }

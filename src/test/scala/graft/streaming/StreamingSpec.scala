@@ -91,6 +91,22 @@ class StreamingSpec extends SparkSpec {
     assert(out(20L) == ((1L, 8.0)))
   }
 
+  test("streaming dedup drops duplicate event_ids within the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val dup = mkEvents.head.copy(event_type = "replayed", value = 99.0)
+    mem.addData(mkEvents :+ dup: _*)
+    val streamed = StreamingOps.drainToTable(
+      StreamingOps.dedupStream(mem.toDF()), "t_dedup",
+      org.apache.spark.sql.streaming.OutputMode.Append())
+      .as[Ev].collect()
+    assert(streamed.length == mkEvents.length)
+    assert(streamed.map(_.event_id).sorted.toSeq ==
+      mkEvents.map(_.event_id).sorted)
+    // first writer wins: the replayed copy of event 1 was dropped
+    assert(streamed.find(_.event_id == 1L).get.value == 1.0)
+  }
+
   test("mapGroupsWithState running totals accumulate across batches") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Ev]
