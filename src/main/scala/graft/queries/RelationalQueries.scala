@@ -177,6 +177,23 @@ object RelationalQueries {
           col("o_orderdate").cast("date")).as("days_to_eoy"))
     }),
 
+    // Ordered-set aggregates: exact interpolated quantiles (DuckDB
+    // quantile_cont semantics). Scale-safe here because Spark's exact
+    // Percentile agg keeps a (value → count) map as partial state and
+    // l_quantity has ~50 distinct values — the shuffle carries counts,
+    // not row buffers. For high-cardinality columns at 100 TB the scale
+    // path is approx_percentile (t-digest sketch, see tx5).
+    "q17_percentiles" -> ((s, d) => {
+      lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(
+          round(expr("percentile(l_quantity, 0.25)"), 2).as("p25"),
+          round(expr("percentile(l_quantity, 0.5)"), 2).as("p50"),
+          round(expr("percentile(l_quantity, 0.75)"), 2).as("p75"),
+          round(expr("percentile(l_quantity, 0.9)"), 2).as("p90"),
+          count(lit(1)).as("n"))
+    }),
+
     // Hierarchical totals: ROLLUP(year, status).
     "q14_rollup" -> ((s, d) => {
       orders(s, d)
@@ -267,6 +284,14 @@ object RelationalQueries {
            (o_orderdate::DATE + INTERVAL 30 DAY)::DATE AS due_date,
            datediff('day', o_orderdate::DATE, DATE '1998-12-31') AS days_to_eoy
          FROM orders""",
+    "q17_percentiles" ->
+      """SELECT l_returnflag,
+           round(quantile_cont(l_quantity, 0.25), 2) AS p25,
+           round(quantile_cont(l_quantity, 0.5), 2) AS p50,
+           round(quantile_cont(l_quantity, 0.75), 2) AS p75,
+           round(quantile_cont(l_quantity, 0.9), 2) AS p90,
+           count(*) AS n
+         FROM lineitem GROUP BY l_returnflag""",
     "q14_rollup" ->
       """SELECT year(o_orderdate) AS yr, o_orderstatus,
            count(*) AS n, round(sum(o_totalprice), 2) AS total
