@@ -84,6 +84,27 @@ object EventOps {
       .drop("_r", "_isR")
   }
 
+  /** Banded (range) self-join: for each purchase event, count the same
+    * user's click events in the preceding `window` (funnel attribution).
+    *
+    * The equality key (`user_id`) makes this a plain shuffled equi-join
+    * with the time band as a join-time filter — NOT a nested-loop range
+    * join — so it's one shuffle on user_id at any scale, and the band
+    * bounds the per-key match blowup. Skewed power-users split via AQE.
+    */
+  def bandJoin(events: DataFrame, window: String = "30 minutes"): DataFrame = {
+    val p = events.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("ts").as("p_ts"))
+    val c = events.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"))
+    p.join(c, p("user_id") === c("c_user") &&
+        c("c_ts") >= p("p_ts") - expr(s"INTERVAL $window") &&
+        c("c_ts") < p("p_ts"), "left")
+      .groupBy("purchase_id", "user_id")
+      .agg(count(col("c_user")).as("n_clicks"))
+  }
+
   /** JSON property extraction + aggregation (the `props` column is a JSON
     * string; extraction stays codegen'd via get_json_object).
     */

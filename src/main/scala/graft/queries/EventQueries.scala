@@ -19,6 +19,9 @@ object EventQueries {
       EventOps.sessions(events(s, d), "30 minutes")),
     "ev4_latest" -> ((s, d) => EventOps.latestPerUser(events(s, d))),
     "ev5_json_agg" -> ((s, d) => EventOps.jsonKeyAgg(events(s, d))),
+    // Banded range join: clicks within 30 minutes before each purchase.
+    "ev7_band_join" -> ((s, d) =>
+      EventOps.bandJoin(events(s, d), "30 minutes")),
     // As-of join: each purchase matched to the user's latest click at or
     // before it (point-in-time lookup; EventOps.asOfJoin composition).
     "ev6_asof" -> ((s, d) => {
@@ -82,6 +85,15 @@ object EventQueries {
       """SELECT (json_extract_string(props, '$.k')::INTEGER % 10) AS k_bucket,
            count(*) AS n, round(sum(value), 2) AS total
          FROM events GROUP BY k_bucket""",
+    "ev7_band_join" ->
+      """SELECT p.event_id AS purchase_id, p.user_id,
+           count(c.user_id) AS n_clicks
+         FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+         LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+           ON p.user_id = c.user_id
+          AND epoch_us(c.ts) >= epoch_us(p.ts) - 1800000000
+          AND epoch_us(c.ts) < epoch_us(p.ts)
+         GROUP BY purchase_id, p.user_id""",
     "ev6_asof" ->
       """SELECT p.event_id, p.user_id, c.event_id AS click_id,
            epoch_us(c.ts) AS click_us

@@ -165,6 +165,22 @@ class ExtOpsSpec extends SparkSpec {
     assert(latest(10L) == 3L && latest(20L) == 4L)
   }
 
+  test("band join counts preceding-window clicks per purchase") {
+    val ev = Seq(
+      (1L, "2024-01-01 00:00:00", 10L, "click", 1.0),   // 20m before → in
+      (2L, "2024-01-01 00:10:00", 10L, "click", 1.0),   // 10m before → in
+      (3L, "2024-01-01 00:20:00", 10L, "purchase", 5.0),
+      (4L, "2024-01-01 00:20:00", 10L, "click", 1.0),   // same instant → out (strict <)
+      (5L, "2023-12-31 23:40:00", 10L, "click", 1.0),   // 40m before → out
+      (6L, "2024-01-01 01:00:00", 20L, "purchase", 7.0)) // no clicks → 0
+      .toDF("event_id", "ts_s", "user_id", "event_type", "value")
+      .withColumn("ts", to_timestamp(col("ts_s"))).drop("ts_s")
+    val out = EventOps.bandJoin(ev, "30 minutes")
+      .as[(Long, Long, Long)].collect()
+      .map { case (p, _, n) => p -> n }.toMap
+    assert(out == Map(3L -> 2L, 6L -> 0L))
+  }
+
   test("event ops: sliding windows multiply-assign; json key agg buckets") {
     val ev = Seq(
       (1L, "2024-01-01 00:05:00", 10L, "click", 1.0, """{"k":3}"""),
