@@ -26,6 +26,17 @@ object StreamingOps {
       .select(unix_timestamp(col("w.start")).as("win_start"),
         col("event_type"), col("n"), col("total"))
 
+  /** Watermarked sliding-window aggregation (width/slide windows per
+    * event; state per open window, evicted past the watermark).
+    */
+  def slidingStream(events: DataFrame, width: String, slide: String,
+                    watermark: String = "1 hour"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), width, slide).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total"))
+      .select(unix_timestamp(col("w.start")).as("win_start"),
+        col("event_type"), col("n"), col("total"))
+
   /** Watermarked session windows per user. */
   def sessionStream(events: DataFrame, gap: String,
                     watermark: String = "1 hour"): DataFrame =

@@ -30,6 +30,19 @@ class StreamingSpec extends SparkSpec {
     assert(batch.nonEmpty)
   }
 
+  test("streaming sliding windows match the batch twin") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    mem.addData(mkEvents: _*)
+    val streamed = StreamingOps.drainToTable(
+      StreamingOps.slidingStream(mem.toDF(), "1 hour", "30 minutes"), "t_sliding")
+      .as[(Long, String, Long, Double)].collect().toSet
+    val batch = EventOps.sliding(mkEvents.toDF(), "1 hour", "30 minutes")
+      .as[(Long, String, Long, Double)].collect().toSet
+    assert(streamed == batch)
+    assert(batch.nonEmpty)
+  }
+
   test("streaming session windows match the batch twin") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Ev]
