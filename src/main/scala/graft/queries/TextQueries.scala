@@ -44,6 +44,26 @@ object TextQueries {
         .agg(count(lit(1)).as("n_docs"),
           sum("n_shingles").as("total_shingles"),
           max("n_shingles").as("max_shingles"))
+    }),
+
+    // End-to-end corpus curation (the canonical training-data pipeline):
+    // cheap quality gate → exact dedup → per-language stats. The quality
+    // filter is map-side (no shuffle); dedup shuffles on md5(text) — a
+    // 32-byte key — so full document bodies never cross the wire; the
+    // final agg is a partial-agg over ~10 language keys.
+    "tx6_curation" -> ((s, d) => {
+      val docs = documents(s, d)
+      val keep = TextAnalysisOps.qualityMetrics(docs, "doc_id", "text")
+        .filter(col("n_tokens") >= 25 && col("stopword_ratio") > 0)
+        .select("doc_id")
+      val kept = docs.join(keep, Seq("doc_id"))
+      val ids = graft.operators.DedupOps.dedupExact(
+        kept.withColumn("_k", md5(col("text"))), Seq("_k"), "doc_id")
+        .select("doc_id")
+      kept.join(ids, Seq("doc_id"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          round(avg("n_chars"), 2).as("avg_chars"))
     })
   )
 
@@ -98,6 +118,21 @@ object TextQueries {
          SELECT source, count(*) AS n_docs,
            sum(n_shingles) AS total_shingles,
            max(n_shingles) AS max_shingles
-         FROM n GROUP BY source"""
+         FROM n GROUP BY source""",
+    "tx6_curation" ->
+      s"""WITH q AS (
+            SELECT doc_id FROM documents
+            WHERE len(string_split(text, ' ')) >= 25
+              AND len(list_filter(string_split(text, ' '),
+                                  w -> w IN ($stop))) > 0
+          ), kept AS (
+            SELECT d.* FROM documents d JOIN q USING (doc_id)
+          ), ids AS (
+            SELECT min(doc_id) AS doc_id FROM kept GROUP BY md5(text)
+          )
+          SELECT lang, count(*) AS n_docs,
+            round(avg(n_chars), 2) AS avg_chars
+          FROM kept JOIN ids USING (doc_id)
+          GROUP BY lang"""
   )
 }
