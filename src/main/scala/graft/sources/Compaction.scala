@@ -1,0 +1,49 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.functions._
+
+/** Managed parquet sink for curated corpora: partition layout + bounded
+  * file sizes + within-file clustering — the output-management half of a
+  * training-data pipeline (the reference's only sinks are a sequential
+  * NDJSON stream and a JSON manifest, `city-directories.js:341-450`;
+  * this is the engine-native, cluster-scale replacement).
+  *
+  * Scale design:
+  *  - `repartition(partCols)` puts each output partition's rows on one
+  *    task set, so a directory is written by few tasks instead of every
+  *    task emitting a sliver file into every directory (the classic
+  *    small-files explosion: tasks × partitions files).
+  *  - `maxRecordsPerFile` caps file size from above; the repartition
+  *    caps file COUNT from below — together they bound files into the
+  *    [target, 2×target] band a downstream trainer wants.
+  *  - `sortWithinPartitions(clusterBy)` clusters rows inside each file
+  *    so parquet min/max stats make downstream range predicates prune
+  *    row groups (poor man's Z-order for one key).
+  */
+object Compaction {
+
+  def writePartitioned(df: DataFrame, path: String,
+                       partCols: Seq[String],
+                       clusterBy: Seq[String] = Nil,
+                       maxRecordsPerFile: Long = 1000000L): Unit = {
+    val parted = df.repartition(partCols.map(col): _*)
+    val clustered =
+      if (clusterBy.isEmpty) parted
+      else parted.sortWithinPartitions((partCols ++ clusterBy).map(col): _*)
+    clustered.write
+      .mode(SaveMode.Overwrite)
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .partitionBy(partCols: _*)
+      .parquet(path)
+  }
+
+  /** Rewrite an existing (possibly fragmented) parquet directory into the
+    * managed layout — the standalone compaction job a pipeline schedules
+    * after many incremental appends.
+    */
+  def compact(df: DataFrame, path: String, partCols: Seq[String],
+              clusterBy: Seq[String] = Nil,
+              maxRecordsPerFile: Long = 1000000L): Unit =
+    writePartitioned(df, path, partCols, clusterBy, maxRecordsPerFile)
+}

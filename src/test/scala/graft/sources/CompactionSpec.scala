@@ -1,0 +1,45 @@
+package graft.sources
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import java.nio.file.{Files, Paths}
+import scala.jdk.CollectionConverters._
+
+class CompactionSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("writePartitioned: hive layout, bounded files, clustered, lossless") {
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val out = Files.createTempDirectory("graft-compact").toString
+    Compaction.writePartitioned(docs, out, Seq("lang"),
+      clusterBy = Seq("doc_id"), maxRecordsPerFile = 20L)
+
+    // hive-style partition directories, one per language
+    val langDirs = Files.list(Paths.get(out)).iterator().asScala
+      .filter(p => p.getFileName.toString.startsWith("lang=")).toSeq
+    val langs = docs.select("lang").distinct().as[String].collect().toSet
+    assert(langDirs.map(_.getFileName.toString.stripPrefix("lang=")).toSet
+      == langs)
+
+    // every data file respects maxRecordsPerFile
+    val files = langDirs.flatMap(d => Files.list(d).iterator().asScala)
+      .filter(_.toString.endsWith(".parquet"))
+    assert(files.nonEmpty)
+    files.foreach { f =>
+      val n = spark.read.parquet(f.toString).count()
+      assert(n <= 20L, s"$f has $n rows")
+      // clustering: rows inside each file are sorted by doc_id, so
+      // parquet row-group min/max stats prune doc_id range predicates
+      val ids = spark.read.parquet(f.toString)
+        .select("doc_id").as[Long].collect().toSeq
+      assert(ids == ids.sorted, s"$f not clustered by doc_id")
+    }
+
+    // read-back is lossless (partition column restored from the path)
+    val back = spark.read.parquet(out)
+    assert(back.count() == docs.count())
+    val a = docs.select("doc_id", "lang").as[(Long, String)].collect().toSet
+    val b = back.select("doc_id", "lang").as[(Long, String)].collect().toSet
+    assert(a == b)
+  }
+}
