@@ -12,7 +12,8 @@ object ExplainAudit {
     val names = if (args.length > 1) args.drop(1).toSeq
       else Seq("q1_agg", "q2_region_revenue", "q3_topk_orders",
         "dd2_minhash_lsh", "ss1_topk_bruteforce", "ss3_lsh_bucket",
-        "cd8_geocode_join", "ev3_session")
+        "cd8_geocode_join", "ev3_session", "ev7_band_join",
+        "q17_percentiles", "tx6_curation")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
