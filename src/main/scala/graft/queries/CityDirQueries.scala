@@ -210,8 +210,8 @@ object CityDirQueries {
          dim AS (
            SELECT w AS key FROM words GROUP BY w HAVING count(*) >= 200)
          SELECT doc_id,
-           sum(CASE WHEN key IS NOT NULL THEN 1 ELSE 0 END) AS n_found,
-           sum(CASE WHEN key IS NULL THEN 1 ELSE 0 END) AS n_missed
+           sum(CASE WHEN key IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_found,
+           sum(CASE WHEN key IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_missed
          FROM words LEFT JOIN dim ON words.w = dim.key
          GROUP BY doc_id""",
     "cd9_tagged_union" ->

@@ -116,7 +116,7 @@ object TextQueries {
                  ELSE 0 END AS n_shingles
                FROM s)
          SELECT source, count(*) AS n_docs,
-           sum(n_shingles) AS total_shingles,
+           sum(n_shingles)::BIGINT AS total_shingles,
            max(n_shingles) AS max_shingles
          FROM n GROUP BY source""",
     "tx6_curation" ->
