@@ -64,6 +64,25 @@ class ExtOpsSpec extends SparkSpec {
     assert(out == Map(1L -> 1L, 4L -> 1L, 9L -> 1L, 20L -> 20L, 30L -> 20L))
   }
 
+  test("clusters matches GraphX twin on chain / star / dup-edge graphs") {
+    // chain (worst-case diameter for naive propagation), descending edge
+    // order, a star, duplicate + reversed edges, an isolated pair
+    val pairs = Seq(
+      (9L, 8L), (8L, 7L), (7L, 6L), (6L, 5L), (5L, 4L), (4L, 3L),
+      (100L, 101L), (100L, 102L), (100L, 103L),
+      (101L, 100L), (100L, 101L),
+      (200L, 201L)).toDF("a", "b")
+    val df1 = DedupOps.clusters(pairs).as[(Long, Long)].collect().toSet
+    val df2 = DedupOps.clustersGraphx(pairs).as[(Long, Long)].collect().toSet
+    assert(df1 == df2)
+    assert(df1.filter(_._2 == 3L).map(_._1) == Set(3L, 4L, 5L, 6L, 7L, 8L, 9L))
+  }
+
+  test("clusters: empty pair set yields empty result") {
+    val empty = Seq.empty[(Long, Long)].toDF("a", "b")
+    assert(DedupOps.clusters(empty).count() == 0)
+  }
+
   test("jaccardPairs: identical 1.0; near-dup high; blocked") {
     val pairs = DedupOps.jaccardPairs(df, "doc_id", "text",
       substring(col("text"), 1, 10), 0.5)
