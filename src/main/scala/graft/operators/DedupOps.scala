@@ -242,6 +242,46 @@ object DedupOps {
       .toDF("member", "cluster_rep")
   }
 
+  /** Embedding-cosine near-duplicate pairs: sign-bit LSH bucket on the
+    * first `bits` dimensions (SimilarityOps.signBucket), cosine within
+    * the bucket only — an equi-join on the bucket key, never a cross
+    * product — thresholded at `threshold`. The semantic twin of
+    * [[minhashCandidates]] for the modality where "same content" is
+    * measured in embedding space (paraphrases, re-encodes, translations)
+    * rather than token space.
+    */
+  def embeddingPairs(df: DataFrame, threshold: Double, bits: Int = 4,
+                     idCol: String = "vec_id",
+                     vecCol: String = "embedding"): DataFrame = {
+    import graft.functions.CosineF32.cosineF32Native
+    val b = df.select(col(idCol).as("_id"), col(vecCol).as("_v"),
+      SimilarityOps.signBucket(col(vecCol), bits).as("_bkt"))
+    val l = b.select(col("_bkt"), col("_id").as("a"), col("_v").as("va"))
+    val r = b.select(col("_bkt"), col("_id").as("b"), col("_v").as("vb"))
+    l.join(r, Seq("_bkt"))
+      .filter(col("a") < col("b"))
+      .withColumn("sim", round(cosineF32Native(col("va"), col("vb")), 4))
+      .filter(col("sim") >= threshold)
+      .select("a", "b", "sim")
+  }
+
+  /** Embedding-cosine near-dup DEDUP: drop every vector that has a
+    * near-duplicate (cosine >= threshold, within its LSH bucket) with a
+    * smaller id; return the survivors. The greedy keep-first rule — a
+    * deterministic single anti-join, no transitive closure — is the
+    * standard curation semantics ("keep the earliest copy"); when full
+    * transitive groups are wanted instead, feed [[embeddingPairs]]
+    * through [[clusters]]. Scale shape: one bucket-keyed equi-join + one
+    * broadcast-able anti-join on the (small) drop list.
+    */
+  def embeddingDedup(df: DataFrame, threshold: Double, bits: Int = 4,
+                     idCol: String = "vec_id",
+                     vecCol: String = "embedding"): DataFrame = {
+    val drops = embeddingPairs(df, threshold, bits, idCol, vecCol)
+      .select(col("b").as(idCol)).distinct()
+    df.join(drops, Seq(idCol), "left_anti")
+  }
+
   /** Blocked n-gram Jaccard similarity pairs: self-join restricted to a
     * caller-supplied blocking key (e.g. a text prefix, an LSH band, a
     * length bucket), Jaccard over distinct word sets, threshold filter.

@@ -88,4 +88,67 @@ object TextAnalysisOps {
     */
   def minShingleFingerprint(text: Column, k: Int = 3): Column =
     array_min(transform(DedupOps.shingles(text, k), s => md5(s)))
+
+  /** Sliding-window token chunking (LLM training prep): split each
+    * document into chunks of `chunkSize` tokens every `stride` tokens
+    * (overlap = chunkSize - stride). Pure narrow plan: one row-local
+    * sequence of window starts, one posexplode — no shuffle, scales
+    * linearly, and chunk ids are deterministic (0-based window index).
+    */
+  def chunk(df: DataFrame, idCol: String, textCol: String,
+            chunkSize: Int, stride: Int): DataFrame = {
+    val w = split(col(textCol), " ")
+    val starts = sequence(lit(1),
+      greatest(size(w) - chunkSize + 1, lit(1)), lit(stride))
+    df.select(col(idCol), w.as("_w"),
+        posexplode(starts).as(Seq("chunk_id", "_st")))
+      .select(col(idCol), col("chunk_id"),
+        array_join(slice(col("_w"), col("_st"), lit(chunkSize)), " ")
+          .as("chunk_text"),
+        least(lit(chunkSize), size(col("_w")) - col("_st") + 1)
+          .as("chunk_tokens"))
+  }
+
+  /** Train/eval contamination check: for each training document, how
+    * many of its distinct word k-shingles appear anywhere in the eval
+    * corpus. The join key is the shingle string (could be its md5 to
+    * shrink the exchange at scale); the eval side is reduced to its
+    * DISTINCT shingle set first, so the join's build side is the eval
+    * vocabulary, not the eval corpus. Two keyed shuffles total
+    * (eval-distinct, join+regroup) — never a cross product.
+    */
+  def contamination(train: DataFrame, eval_ : DataFrame, idCol: String,
+                    textCol: String, k: Int = 3): DataFrame = {
+    val trainSh = train.select(col(idCol),
+      explode(DedupOps.shingles(col(textCol), k)).as("_s"))
+    val evalSh = eval_.select(
+      explode(DedupOps.shingles(col(textCol), k)).as("_s"),
+      lit(1).as("_hit")).distinct()
+    trainSh.join(evalSh, Seq("_s"), "left")
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(coalesce(col("_hit"), lit(0))).cast("long").as("n_contaminated"))
+      .withColumn("contamination_ratio",
+        round(col("n_contaminated").cast("double") / col("n_shingles"), 4))
+  }
+
+  /** Deterministic stratified hash sampling: keep a row iff the first 8
+    * hex digits of md5(id) land below the stratum's percentage. No RNG,
+    * no seed state — the sample is a pure function of the id, so it is
+    * reproducible across runs, engines, and cluster topologies, and
+    * membership is decidable per-row (map-side filter, no shuffle, no
+    * sort, pushdown-friendly). `rates` maps stratum value → keep-%;
+    * strata not listed keep `defaultPct`%.
+    */
+  def stratifiedHashSample(df: DataFrame, idCol: String, strataCol: String,
+                           rates: Map[String, Int],
+                           defaultPct: Int): DataFrame = {
+    val bucket = conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10)
+      .cast("long") % 100
+    val rateExpr = rates.foldLeft(lit(defaultPct): Column) {
+      case (acc, (stratum, pct)) =>
+        when(col(strataCol) === stratum, lit(pct)).otherwise(acc)
+    }
+    df.filter(bucket < rateExpr)
+  }
 }

@@ -48,6 +48,13 @@ object DedupQueries {
           shingleK = 3, numPerm = 16, bands = 4))
     }),
 
+    // Embedding-cosine near-dup dedup: sign-bucket LSH pairs (4 bits,
+    // cosine >= 0.4), greedy keep-smallest-id survivors.
+    "dd7_embedding_dedup" -> ((s, d) => {
+      DedupOps.embeddingDedup(embeddings(s, d), 0.4, bits = 4)
+        .select("vec_id")
+    }),
+
     // Canonical + min-shingle fingerprints (text-analysis dedup keys).
     "dd5_fingerprint" -> ((s, d) => {
       import graft.operators.TextAnalysisOps
@@ -131,6 +138,19 @@ object DedupQueries {
            SELECT e.b, r.rep FROM reach r JOIN edges e ON e.a = r.node)
          SELECT node AS member, min(rep) AS cluster_rep
          FROM reach GROUP BY node""",
+    "dd7_embedding_dedup" ->
+      """WITH b AS (
+           SELECT vec_id, embedding,
+             (CASE WHEN embedding[1] > 0 THEN '1' ELSE '0' END) ||
+             (CASE WHEN embedding[2] > 0 THEN '1' ELSE '0' END) ||
+             (CASE WHEN embedding[3] > 0 THEN '1' ELSE '0' END) ||
+             (CASE WHEN embedding[4] > 0 THEN '1' ELSE '0' END) AS bkt
+           FROM embeddings)
+         SELECT vec_id FROM b r
+         WHERE NOT EXISTS (
+           SELECT 1 FROM b l
+           WHERE l.bkt = r.bkt AND l.vec_id < r.vec_id
+             AND round(list_cosine_similarity(l.embedding, r.embedding)::DOUBLE, 4) >= 0.4)""",
     "dd5_fingerprint" ->
       """WITH s AS (SELECT doc_id, text, string_split(text, ' ') w FROM documents)
          SELECT doc_id,

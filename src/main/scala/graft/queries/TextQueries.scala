@@ -46,6 +46,32 @@ object TextQueries {
           max("n_shingles").as("max_shingles"))
     }),
 
+    // Sliding-window token chunking (32-token chunks, stride 24): the
+    // LLM training-prep explode. Narrow plan — no shuffle.
+    "tx7_chunking" -> ((s, d) => {
+      TextAnalysisOps.chunk(documents(s, d), "doc_id", "text",
+        chunkSize = 32, stride = 24)
+    }),
+
+    // Train/eval contamination: distinct 3-gram overlap of every
+    // non-src0 doc against the src0 eval set's shingle vocabulary.
+    "tx8_contamination" -> ((s, d) => {
+      val docs = documents(s, d)
+      TextAnalysisOps.contamination(
+        docs.filter(col("source") =!= "src0"),
+        docs.filter(col("source") === "src0"),
+        "doc_id", "text", k = 3)
+    }),
+
+    // Deterministic stratified hash sampling: per-source keep rates, a
+    // pure function of md5(doc_id) — reproducible on any engine.
+    "tx9_sample" -> ((s, d) => {
+      TextAnalysisOps.stratifiedHashSample(documents(s, d),
+        "doc_id", "source",
+        Map("src0" -> 80, "src1" -> 50, "src2" -> 10), defaultPct = 25)
+        .select("doc_id", "source")
+    }),
+
     // End-to-end corpus curation (the canonical training-data pipeline):
     // cheap quality gate → exact dedup → per-language stats. The quality
     // filter is map-side (no shuffle); dedup shuffles on md5(text) — a
@@ -119,6 +145,42 @@ object TextQueries {
            sum(n_shingles)::BIGINT AS total_shingles,
            max(n_shingles) AS max_shingles
          FROM n GROUP BY source""",
+    "tx7_chunking" ->
+      """WITH s AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
+         st AS (SELECT doc_id, w,
+                  unnest(range(1, greatest(len(w) - 31, 1) + 1, 24)) AS st
+                FROM s)
+         SELECT doc_id, ((st - 1) // 24)::INT AS chunk_id,
+           array_to_string(w[st:st+31], ' ') AS chunk_text,
+           least(32, len(w) - st + 1)::INT AS chunk_tokens
+         FROM st""",
+    "tx8_contamination" ->
+      """WITH tr AS (SELECT doc_id, string_split(text, ' ') w
+                     FROM documents WHERE source <> 'src0'),
+         tsh AS (SELECT doc_id,
+                   unnest(list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                                         for i in range(1, len(w)-1)])) AS s
+                 FROM tr WHERE len(w) >= 3),
+         ev AS (SELECT DISTINCT
+                  unnest(list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                                        for i in range(1, len(w)-1)])) AS s
+                FROM (SELECT string_split(text, ' ') w
+                      FROM documents WHERE source = 'src0')
+                WHERE len(w) >= 3)
+         SELECT doc_id, count(*) AS n_shingles,
+           sum(CASE WHEN ev.s IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+             AS n_contaminated,
+           round(sum(CASE WHEN ev.s IS NOT NULL THEN 1 ELSE 0 END)::DOUBLE /
+                 count(*), 4) AS contamination_ratio
+         FROM tsh LEFT JOIN ev ON tsh.s = ev.s
+         GROUP BY doc_id""",
+    "tx9_sample" ->
+      """SELECT doc_id, source FROM documents
+         WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::UBIGINT % 100 <
+           CASE WHEN source = 'src0' THEN 80
+                WHEN source = 'src1' THEN 50
+                WHEN source = 'src2' THEN 10
+                ELSE 25 END""",
     "tx6_curation" ->
       s"""WITH q AS (
             SELECT doc_id FROM documents

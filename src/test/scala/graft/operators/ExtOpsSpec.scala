@@ -83,6 +83,21 @@ class ExtOpsSpec extends SparkSpec {
     assert(DedupOps.clusters(empty).count() == 0)
   }
 
+  test("embeddingDedup drops near-dups with smaller-id twin; distinct vectors survive") {
+    val emb = Seq(
+      (1L, Array(1f, 0.1f, 0.1f, 0.1f)),     // bucket 1111
+      (2L, Array(0.99f, 0.1f, 0.11f, 0.1f)), // near-dup of 1, same bucket
+      (3L, Array(0.1f, 1f, 0.5f, 0.2f)),     // same bucket, dissimilar
+      (4L, Array(-1f, -0.1f, -0.1f, -0.1f))  // bucket 0000
+    ).toDF("vec_id", "embedding")
+    val pairs = DedupOps.embeddingPairs(emb, 0.9, bits = 4)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L)))
+    val survivors = DedupOps.embeddingDedup(emb, 0.9, bits = 4)
+      .select("vec_id").as[Long].collect().toSet
+    assert(survivors == Set(1L, 3L, 4L))
+  }
+
   test("jaccardPairs: identical 1.0; near-dup high; blocked") {
     val pairs = DedupOps.jaccardPairs(df, "doc_id", "text",
       substring(col("text"), 1, 10), 0.5)
@@ -145,6 +160,42 @@ class ExtOpsSpec extends SparkSpec {
       TextAnalysisOps.tokenCount(col("text")).as("n"))
       .as[(Long, Int)].collect().toMap
     assert(t(1L) == 3 && t(2L) == 0)
+  }
+
+  test("chunk: full windows at stride; short tail only when doc < size; tiny doc one chunk") {
+    val docs = Seq(
+      (1L, (1 to 10).map(i => s"w$i").mkString(" ")),
+      (2L, "a b")).toDF("doc_id", "text")
+    val out = TextAnalysisOps.chunk(docs, "doc_id", "text", 4, 3)
+      .as[(Long, Int, String, Int)].collect().toSet
+    assert(out == Set(
+      (1L, 0, "w1 w2 w3 w4", 4),
+      (1L, 1, "w4 w5 w6 w7", 4),
+      (1L, 2, "w7 w8 w9 w10", 4),
+      (2L, 0, "a b", 2)))
+  }
+
+  test("contamination counts eval-set shingle hits per train doc") {
+    val train = Seq(
+      (1L, "x y z q a b"), // {x y z} hits, 4 shingles
+      (2L, "p q r s")).toDF("doc_id", "text")
+    val eval_ = Seq((100L, "x y z w")).toDF("doc_id", "text")
+    val out = TextAnalysisOps.contamination(train, eval_, "doc_id", "text", 3)
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(out == Set((1L, 4L, 1L, 0.25), (2L, 2L, 0L, 0.0)))
+  }
+
+  test("stratifiedHashSample: deterministic, rate-0 drops all, rate-100 keeps all") {
+    val docs = (1L to 50L).map(i => (i, if (i % 2 == 0) "ev" else "odd"))
+      .toDF("doc_id", "source")
+    val all = TextAnalysisOps.stratifiedHashSample(
+      docs, "doc_id", "source", Map("ev" -> 100), defaultPct = 0)
+      .as[(Long, String)].collect().toSet
+    assert(all.map(_._1) == (2L to 50L by 2).toSet)
+    val half = TextAnalysisOps.stratifiedHashSample(
+      docs, "doc_id", "source", Map.empty, defaultPct = 40)
+    assert(half.collect().toSet == half.collect().toSet) // reproducible
+    assert(half.count() > 0 && half.count() < 50)
   }
 
   test("multimodal: asset schema, decode batching, frame offsets") {
