@@ -95,23 +95,23 @@ object DedupOps {
   def minhashCandidates(df: DataFrame, idCol: String, textCol: String,
                         shingleK: Int = 1, numPerm: Int = 16,
                         bands: Int = 4): DataFrame = {
-    val rowsPerBand = numPerm / bands
-    val sh = if (shingleK == 1) words(col(textCol))
-             else shingles(col(textCol), shingleK)
-    // STAGED projections: each level references the previous through a
-    // single column attribute. Building sig/bands directly over the
-    // shingle EXPRESSION would inline the shingle construction into all
-    // numPerm (and then all `bands`) branches — measured 60×+ redundant
-    // compute at sf0.1. Catalyst's CollapseProject keeps these stages
-    // apart because collapsing would duplicate non-cheap expressions.
+    // Text → shingles → signature → band hashes → (band, hash) rows is
+    // ONE custom whole-pipeline Generator
+    // (functions.MinhashTextBandsGenerate): a single JVM pass per doc,
+    // one digest per shingle computed over byte ranges of the original
+    // text, zero intermediate arrays — bit-identical to the staged
+    // shingleHashes→minhashSignature→lshBandHashes HOF pipeline
+    // (asserted by spec). The declarative formulations all lose big
+    // here: HOF lambdas evaluate interpreted (~10× codegen cost), and a
+    // posexplode-shaped plan additionally triggers
+    // InferFiltersFromGenerate + pushdown, re-evaluating the pipeline
+    // 2× more inside an interpreted Filter. Texts with fewer than k
+    // words emit no rows (the non-outer explode semantics).
     val banded = df
-      .select(col(idCol).as("_id"), sh.as("_sh"))
-      .filter(size(col("_sh")) > 0)
-      .select(col("_id"), shingleHashes(col("_sh")).as("_xh"))
-      .select(col("_id"), minhashSignature(col("_xh"), numPerm).as("_sig"))
-      .select(col("_id"),
-        posexplode(lshBandHashes(col("_sig"), bands, rowsPerBand))
-          .as(Seq("_band", "_bh")))
+      .select(col(idCol).as("_id"),
+        graft.functions.MinhashSig.minhashTextBandsGen(col(textCol),
+          shingleK, numPerm, bands))
+      .toDF("_id", "_band", "_bh")
     // Self-join with the rename AFTER the join, hinted to shuffle: both
     // sides are then the IDENTICAL plan exchanged on the same key, so
     // ReuseExchange computes the signature pipeline once and reads the
@@ -217,7 +217,11 @@ object DedupOps {
         .unionAll(minLo.select(col("hi"), col("m").as("lo")))
         .filter(col("hi") =!= col("lo")).distinct()
         .localCheckpoint()
-      converged = next.exceptAll(e).isEmpty && e.exceptAll(next).isEmpty
+      // Both sides are distinct sets, so |next| == |e| plus next ⊆ e
+      // implies equality; the cheap count-equality test short-circuits
+      // the except in the early rounds where the edge set is still
+      // shrinking.
+      converged = next.count() == e.count() && next.except(e).isEmpty
       e = next
     }
     // Fixed point is a star forest hi→componentMin; add the roots.

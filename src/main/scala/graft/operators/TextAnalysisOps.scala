@@ -132,6 +132,53 @@ object TextAnalysisOps {
         round(col("n_contaminated").cast("double") / col("n_shingles"), 4))
   }
 
+  /** Repetition quality signals (the Gopher-style filters): per-doc
+    * duplicate-word ratio (1 - distinct/total, row-local) and the
+    * fraction of all bigrams taken by the single most frequent bigram
+    * (explode → two keyed partial aggs on doc_id — full text never
+    * shuffles, only (doc_id, bigram) pairs). Docs with < 2 words are
+    * excluded (no bigram exists).
+    */
+  def repetitionMetrics(df: DataFrame, idCol: String,
+                        textCol: String): DataFrame = {
+    val w = split(col(textCol), " ")
+    val bigrams = transform(sequence(lit(1), size(w) - 1),
+      i => array_join(slice(w, i, lit(2)), " "))
+    val base = df.filter(size(w) >= 2).select(col(idCol),
+      size(w).as("n_words"),
+      round(lit(1) - size(array_distinct(w)).cast("double") / size(w), 4)
+        .as("dup_word_ratio"),
+      explode(bigrams).as("_b"))
+    base.groupBy(col(idCol), col("_b"))
+      .agg(first(col("n_words")).as("n_words"),
+        first(col("dup_word_ratio")).as("dup_word_ratio"),
+        count(lit(1)).as("_n"))
+      .groupBy(col(idCol))
+      .agg(first(col("n_words")).as("n_words"),
+        first(col("dup_word_ratio")).as("dup_word_ratio"),
+        max(col("_n")).as("top_bigram_n"),
+        sum(col("_n")).as("n_bigrams"))
+      .withColumn("top_bigram_frac",
+        round(col("top_bigram_n").cast("double") / col("n_bigrams"), 4))
+  }
+
+  val emailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val longNumPattern = "[0-9]{3,}"
+
+  /** PII-style scrubbing: replace email addresses and 3+-digit runs with
+    * placeholder tags, reporting match counts. Pure row-local regex —
+    * codegen'd, shuffle-free; the patterns stay inside the
+    * RE2-compatible subset so external engines replay them exactly.
+    */
+  def redact(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = col(textCol)
+    df.select(col(idCol),
+      size(regexp_extract_all(t, lit(emailPattern), lit(0))).as("n_emails"),
+      size(regexp_extract_all(t, lit(longNumPattern), lit(0))).as("n_long_nums"),
+      regexp_replace(regexp_replace(t, emailPattern, "<EMAIL>"),
+        longNumPattern, "<NUM>").as("redacted"))
+  }
+
   /** Deterministic stratified hash sampling: keep a row iff the first 8
     * hex digits of md5(id) land below the stratum's percentage. No RNG,
     * no seed state — the sample is a pure function of the id, so it is

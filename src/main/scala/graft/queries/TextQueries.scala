@@ -72,6 +72,20 @@ object TextQueries {
         .select("doc_id", "source")
     }),
 
+    // Repetition quality signals: duplicate-word ratio + top-bigram
+    // dominance (the Gopher-style repetition filters).
+    "tx10_repetition" -> ((s, d) => {
+      TextAnalysisOps.repetitionMetrics(documents(s, d), "doc_id", "text")
+    }),
+
+    // PII-style scrubbing: emails + long digit runs → placeholder tags,
+    // with match counts; fingerprint keeps the compare compact.
+    "tx11_redact" -> ((s, d) => {
+      TextAnalysisOps.redact(documents(s, d), "doc_id", "text")
+        .select(col("doc_id"), col("n_emails"), col("n_long_nums"),
+          md5(col("redacted")).as("redacted_fp"))
+    }),
+
     // End-to-end corpus curation (the canonical training-data pipeline):
     // cheap quality gate → exact dedup → per-language stats. The quality
     // filter is map-side (no shuffle); dedup shuffles on md5(text) — a
@@ -181,6 +195,32 @@ object TextQueries {
                 WHEN source = 'src1' THEN 50
                 WHEN source = 'src2' THEN 10
                 ELSE 25 END""",
+    "tx10_repetition" ->
+      """WITH s AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
+         base AS (SELECT doc_id, len(w)::INT AS n_words,
+                    round(1 - len(list_distinct(w))::DOUBLE / len(w), 4)
+                      AS dup_word_ratio
+                  FROM s WHERE len(w) >= 2),
+         bg AS (SELECT doc_id,
+                  unnest([w[i] || ' ' || w[i+1] for i in range(1, len(w))]) AS b
+                FROM s WHERE len(w) >= 2),
+         c AS (SELECT doc_id, b, count(*) AS n FROM bg GROUP BY doc_id, b),
+         t AS (SELECT doc_id, max(n) AS top_bigram_n,
+                 sum(n)::BIGINT AS n_bigrams
+               FROM c GROUP BY doc_id)
+         SELECT base.doc_id, n_words, dup_word_ratio, top_bigram_n,
+           n_bigrams,
+           round(top_bigram_n::DOUBLE / n_bigrams, 4) AS top_bigram_frac
+         FROM base JOIN t ON base.doc_id = t.doc_id""",
+    "tx11_redact" ->
+      """SELECT doc_id,
+           len(regexp_extract_all(text,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
+           len(regexp_extract_all(text, '[0-9]{3,}')) AS n_long_nums,
+           md5(regexp_replace(regexp_replace(text,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             '[0-9]{3,}', '<NUM>', 'g')) AS redacted_fp
+         FROM documents""",
     "tx6_curation" ->
       s"""WITH q AS (
             SELECT doc_id FROM documents

@@ -39,6 +39,56 @@ class ExtOpsSpec extends SparkSpec {
     assert(!pairs.exists { case (a, b) => a == 3L || b == 3L })
   }
 
+  test("native minhash signature is bit-identical to the staged HOF pipeline") {
+    val sh = DedupOps.shingles(col("text"), 3)
+    val staged = df.filter(size(sh) > 0)
+      .select(col("doc_id"), DedupOps.minhashSignature(
+        DedupOps.shingleHashes(sh), 16).as("sig"))
+      .as[(Long, Seq[Long])].collect().toMap
+    val native = df.filter(size(sh) > 0)
+      .select(col("doc_id"),
+        graft.functions.MinhashSig.minhashSigNative(sh, 16).as("sig"))
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(native == staged)
+    assert(native.keySet == Set(1L, 2L, 3L, 4L)) // doc 5 has no 3-shingle
+
+    val stagedBands = df.filter(size(sh) > 0)
+      .select(col("doc_id"), DedupOps.lshBandHashes(
+        DedupOps.minhashSignature(DedupOps.shingleHashes(sh), 16), 4, 4)
+        .as("b")).as[(Long, Seq[String])].collect().toMap
+    val fusedBands = df
+      .select(col("doc_id"),
+        graft.functions.MinhashSig.minhashBandsNative(sh, 16, 4).as("b"))
+      .filter(col("b").isNotNull)
+      .as[(Long, Seq[String])].collect().toMap
+    assert(fusedBands == stagedBands)
+  }
+
+  test("whole-pipeline text generator matches staged HOF bands on tricky inputs") {
+    val tricky = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "a  double  space keeps empty tokens here"), // empty tokens
+      (3L, "héllo wörld ünïcode shingle bytes test"),   // multi-byte UTF-8
+      (4L, "trailing space run here "),                 // trailing empty
+      (5L, "dup dup dup dup dup"),                      // duplicate shingles
+      (6L, "two words"),                                // n < k → no rows
+      (7L, "")).toDF("doc_id", "text")
+    for (k <- Seq(1, 3)) {
+      val sh = if (k == 1) DedupOps.words(col("text"))
+               else DedupOps.shingles(col("text"), k)
+      val staged = tricky.filter(size(sh) > 0)
+        .select(col("doc_id"), posexplode(DedupOps.lshBandHashes(
+          DedupOps.minhashSignature(DedupOps.shingleHashes(sh), 16), 4, 4))
+          .as(Seq("pos", "bh")))
+        .as[(Long, Int, String)].collect().toSet
+      val gen = tricky
+        .select(col("doc_id"),
+          graft.functions.MinhashSig.minhashTextBandsGen(col("text"), k, 16, 4))
+        .as[(Long, Int, String)].collect().toSet
+      assert(gen == staged, s"k=$k")
+    }
+  }
+
   test("simhash16: identical texts identical hash; 16 bits") {
     val sh = DedupOps.simhash16(df, "doc_id", "text")
       .as[(Long, String)].collect().toMap
@@ -183,6 +233,23 @@ class ExtOpsSpec extends SparkSpec {
     val out = TextAnalysisOps.contamination(train, eval_, "doc_id", "text", 3)
       .as[(Long, Long, Long, Double)].collect().toSet
     assert(out == Set((1L, 4L, 1L, 0.25), (2L, 2L, 0L, 0.0)))
+  }
+
+  test("repetitionMetrics: dup-word ratio and top-bigram dominance; 1-word doc excluded") {
+    val docs = Seq((1L, "a a a b"), (2L, "x")).toDF("doc_id", "text")
+    val out = TextAnalysisOps.repetitionMetrics(docs, "doc_id", "text")
+      .select("doc_id", "n_words", "dup_word_ratio", "top_bigram_n",
+        "n_bigrams", "top_bigram_frac")
+      .as[(Long, Int, Double, Long, Long, Double)].collect().toSet
+    assert(out == Set((1L, 4, 0.5, 2L, 3L, 0.6667)))
+  }
+
+  test("redact replaces emails and long digit runs, counts matches") {
+    val docs = Seq((1L, "mail bob@x.com or call 12345 ext 12"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysisOps.redact(docs, "doc_id", "text")
+      .as[(Long, Int, Int, String)].collect().head
+    assert(out == ((1L, 1, 1, "mail <EMAIL> or call <NUM> ext 12")))
   }
 
   test("stratifiedHashSample: deterministic, rate-0 drops all, rate-100 keeps all") {
