@@ -133,7 +133,8 @@ object DedupOps {
     */
   def simhash16(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val tok = df.select(col(idCol),
-      explode(words(col(textCol))).as("_t"))
+      graft.functions.ShingleGen.shingleGen(col(textCol), 1,
+        distinct = true)).toDF(idCol, "_t")
       .withColumn("_h", md5(col("_t")))
     val sums = (1 to 16).map { d =>
       sum(when(substring(col("_h"), d, 1).between("8", "f"), 1)

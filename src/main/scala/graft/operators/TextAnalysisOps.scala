@@ -119,11 +119,15 @@ object TextAnalysisOps {
     */
   def contamination(train: DataFrame, eval_ : DataFrame, idCol: String,
                     textCol: String, k: Int = 3): DataFrame = {
+    // native shingle generator: no HOF lambdas, no inferred pre-Generate
+    // filter re-evaluating the shingle array (see ShingleGenerate)
     val trainSh = train.select(col(idCol),
-      explode(DedupOps.shingles(col(textCol), k)).as("_s"))
+      graft.functions.ShingleGen.shingleGen(col(textCol), k,
+        distinct = true)).toDF(idCol, "_s")
     val evalSh = eval_.select(
-      explode(DedupOps.shingles(col(textCol), k)).as("_s"),
-      lit(1).as("_hit")).distinct()
+      graft.functions.ShingleGen.shingleGen(col(textCol), k,
+        distinct = true)).toDF("_s")
+      .distinct().withColumn("_hit", lit(1))
     trainSh.join(evalSh, Seq("_s"), "left")
       .groupBy(idCol)
       .agg(count(lit(1)).as("n_shingles"),
@@ -142,13 +146,15 @@ object TextAnalysisOps {
   def repetitionMetrics(df: DataFrame, idCol: String,
                         textCol: String): DataFrame = {
     val w = split(col(textCol), " ")
-    val bigrams = transform(sequence(lit(1), size(w) - 1),
-      i => array_join(slice(w, i, lit(2)), " "))
-    val base = df.filter(size(w) >= 2).select(col(idCol),
+    // native bigram generator (duplicates kept — they ARE the signal);
+    // docs with < 2 words emit no rows, which is the wanted exclusion
+    val base = df.select(col(idCol),
       size(w).as("n_words"),
       round(lit(1) - size(array_distinct(w)).cast("double") / size(w), 4)
         .as("dup_word_ratio"),
-      explode(bigrams).as("_b"))
+      graft.functions.ShingleGen.shingleGen(col(textCol), 2,
+        distinct = false))
+      .toDF(idCol, "n_words", "dup_word_ratio", "_b")
     base.groupBy(col(idCol), col("_b"))
       .agg(first(col("n_words")).as("n_words"),
         first(col("dup_word_ratio")).as("dup_word_ratio"),

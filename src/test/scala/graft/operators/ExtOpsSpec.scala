@@ -64,6 +64,27 @@ class ExtOpsSpec extends SparkSpec {
     assert(fusedBands == stagedBands)
   }
 
+  test("shingle generator matches declarative explode (distinct and not) on tricky inputs") {
+    val tricky = Seq(
+      (1L, "a  double  space"), (2L, "dup dup dup"), (3L, "héllo wörld x y"),
+      (4L, "one"), (5L, "")).toDF("doc_id", "text")
+    for (k <- Seq(1, 2, 3)) {
+      val declDistinct = tricky.select(col("doc_id"),
+        explode(if (k == 1) DedupOps.words(col("text"))
+                else DedupOps.shingles(col("text"), k)).as("s"))
+        .as[(Long, String)].collect().toSeq.sorted
+      val gen = tricky.select(col("doc_id"),
+        graft.functions.ShingleGen.shingleGen(col("text"), k, distinct = true))
+        .as[(Long, String)].collect().toSeq.sorted
+      assert(gen == declDistinct, s"k=$k distinct")
+    }
+    // non-distinct keeps duplicates in order
+    val dups = tricky.filter(col("doc_id") === 2L).select(
+      graft.functions.ShingleGen.shingleGen(col("text"), 2, distinct = false))
+      .as[String].collect().toSeq
+    assert(dups == Seq("dup dup", "dup dup"))
+  }
+
   test("whole-pipeline text generator matches staged HOF bands on tricky inputs") {
     val tricky = Seq(
       (1L, "the quick brown fox jumps over the lazy dog"),
