@@ -124,31 +124,31 @@ object SimilarityOps {
       .groupBy("_cell")
       .agg(transform(array_sort(collect_list(struct(col("_pos"), col("_cx")))),
         p => p.getField("_cx")).as("_cvec"))
-    // 2. assign every corpus vector to its nearest centroid
-    val cw = Window.partitionBy(col(idCol)).orderBy(col("_d").desc)
-    val cells = corpus.crossJoin(broadcast(centroids))
-      .withColumn("_d", cosine(col(vecCol), col("_cvec")))
-      .withColumn("_rk", row_number().over(cw))
-      .filter(col("_rk") === 1)
+    // 2. assign every corpus vector to its nearest centroid. Top-1 via
+    // the custom heap-based TopKPerKey operator — the window row_number
+    // formulation exchanges AND fully sorts every (vector × centroid)
+    // row; the heap keeps one row per key per partition.
+    val cells = graft.plans.TopK.perKey(
+      corpus.crossJoin(broadcast(centroids))
+        .withColumn("_d", cosine(col(vecCol), col("_cvec"))),
+      Seq(idCol), Seq(col("_d").desc), 1)
       .select(col(idCol).as("_cid"), col(vecCol).as("_cv"), col("_cell"))
     // 3. probe the nProbe nearest cells per query
-    val qw = Window.partitionBy(col("query_id")).orderBy(col("_d").desc)
-    val probes = queries
-      .select(col(idCol).as("query_id"), col(vecCol).as("_qv"))
-      .crossJoin(broadcast(centroids))
-      .withColumn("_d", cosine(col("_qv"), col("_cvec")))
-      .withColumn("_rk", row_number().over(qw))
-      .filter(col("_rk") <= nProbe)
+    val probes = graft.plans.TopK.perKey(
+      queries
+        .select(col(idCol).as("query_id"), col(vecCol).as("_qv"))
+        .crossJoin(broadcast(centroids))
+        .withColumn("_d", cosine(col("_qv"), col("_cvec"))),
+      Seq("query_id"), Seq(col("_d").desc), nProbe)
       .select(col("query_id"), col("_qv"), col("_cell"))
     // 4. score only within probed cells, rank top-k
-    val rw = Window.partitionBy("query_id")
-      .orderBy(col("sim").desc, col("neighbor_id").asc)
-    probes.join(cells, Seq("_cell"))
-      .filter(col("query_id") =!= col("_cid"))
-      .withColumn("sim", round(cosine(col("_qv"), col("_cv")), 4))
-      .select(col("query_id"), col("_cid").as("neighbor_id"), col("sim"))
-      .withColumn("rk", row_number().over(rw))
-      .filter(col("rk") <= k)
+    graft.plans.TopK.perKey(
+      probes.join(cells, Seq("_cell"))
+        .filter(col("query_id") =!= col("_cid"))
+        .withColumn("sim", round(cosine(col("_qv"), col("_cv")), 4))
+        .select(col("query_id"), col("_cid").as("neighbor_id"), col("sim")),
+      Seq("query_id"), Seq(col("sim").desc, col("neighbor_id").asc), k,
+      rankCol = "rk")
   }
 
   /** Bucketed approximate similarity pairs: equi-join on the sign bucket,
