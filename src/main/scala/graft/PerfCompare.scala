@@ -45,6 +45,25 @@ object PerfCompare {
     val (tn, nn) = time(viaNative)
     require(nw == nn, s"row count mismatch: $nw vs $nn")
     println(s"""{"rows":$rows,"keys":$keys,"window_sec":$tw,"topk_native_sec":$tn,"result_rows":$nw}""")
+
+    // Connected components: DataFrame large-star/small-star vs GraphX on
+    // a synthetic candidate-pair graph shaped like LSH output — many
+    // small clusters (chains of length 2-6) plus a few larger hubs.
+    val nEdges = if (args.length > 2) args(2).toLong else 1000000L
+    val pairs = spark.range(nEdges).select(
+      // chain edges inside clusters of size ~5, cluster id = id/5
+      (col("id") - (col("id") % 5)).as("a"),
+      col("id").as("b"))
+      .filter(col("a") =!= col("b"))
+      .cache()
+    pairs.count()
+    def viaDf: Long = operators.DedupOps.clustersDataFrame(pairs).count()
+    def viaGx: Long = operators.DedupOps.clusters(pairs).count()
+    viaDf; viaGx
+    val (td, nd) = time(viaDf)
+    val (tg, ng) = time(viaGx)
+    require(nd == ng, s"CC row count mismatch: $nd vs $ng")
+    println(s"""{"cc_edges":$nEdges,"cc_df_sec":$td,"cc_graphx_sec":$tg,"cc_members":$nd}""")
     spark.stop()
   }
 }

@@ -177,21 +177,36 @@ object DedupOps {
     * LSH in every dedup pipeline: near-dup PAIRS must become GROUPS
     * before one representative per group can be kept.
     *
-    * DataFrame-native alternating large-star / small-star (Kiveris et
-    * al., "Connected Components in MapReduce and Beyond", 2014): each
-    * round is two keyed groupBy-min + join stages that reattach every
-    * node to the minimum of its neighborhood; converges in
-    * O(log² n) rounds (dup clusters after LSH: 1–2). All stages are
-    * codegen'd hash aggregations/joins — no RDD hop, no Pregel
-    * machinery — and each round is `localCheckpoint`ed to truncate
-    * lineage. Cost scales with the candidate-pair graph (tiny after
-    * LSH), never with the corpus; at cluster scale every stage is one
-    * keyed exchange, AQE-coalesced. ~4× faster than the GraphX twin
-    * ([[clustersGraphx]]) on small graphs where per-iteration overhead
-    * dominates; the spec asserts both return identical components.
+    * The load-bearing decision (measured, PERF.md): MATERIALIZE the
+    * candidate-pair lineage once (`localCheckpoint`) before the
+    * iterative algorithm. GraphX's Pregel walks its input RDD several
+    * times; fed directly by the (expensive) LSH candidate pipeline it
+    * re-executes that pipeline per pass — that, not Pregel itself, was
+    * the observed cost. On materialized edges GraphX wins at every
+    * graph size tested (1k → 1M edges, 3–6× vs the DataFrame rounds of
+    * [[clustersDataFrame]]), so: checkpoint, then GraphX.
     */
   def clusters(pairs: DataFrame, aCol: String = "a",
                bCol: String = "b"): DataFrame = {
+    val e = pairs.select(col(aCol).cast("long").as("a"),
+        col(bCol).cast("long").as("b"))
+      .filter(col("a") =!= col("b"))
+      .localCheckpoint()
+    clustersGraphx(e)
+  }
+
+  /** Pure-DataFrame connected components: alternating large-star /
+    * small-star (Kiveris et al., "Connected Components in MapReduce and
+    * Beyond", 2014) — each round two keyed groupBy-min + join stages,
+    * O(log² n) rounds, lineage truncated per round. Kept as the
+    * catalog-only alternative (no RDD/GraphX dependency) and as the
+    * cross-check implementation; the spec asserts it matches
+    * [[clustersGraphx]] exactly. Loses to GraphX-on-materialized-edges
+    * on every size tested: its per-round cost is ~8 exchanges of the
+    * full edge set plus an exact set-equality convergence check.
+    */
+  def clustersDataFrame(pairs: DataFrame, aCol: String = "a",
+                        bCol: String = "b"): DataFrame = {
     // Canonical directed edges hi→lo (hi > lo), self-loops dropped.
     var e = pairs.select(
         greatest(col(aCol).cast("long"), col(bCol).cast("long")).as("hi"),

@@ -145,13 +145,16 @@ class ExtOpsSpec extends SparkSpec {
       (200L, 201L)).toDF("a", "b")
     val df1 = DedupOps.clusters(pairs).as[(Long, Long)].collect().toSet
     val df2 = DedupOps.clustersGraphx(pairs).as[(Long, Long)].collect().toSet
+    val df3 = DedupOps.clustersDataFrame(pairs).as[(Long, Long)].collect().toSet
     assert(df1 == df2)
+    assert(df1 == df3)
     assert(df1.filter(_._2 == 3L).map(_._1) == Set(3L, 4L, 5L, 6L, 7L, 8L, 9L))
   }
 
   test("clusters: empty pair set yields empty result") {
     val empty = Seq.empty[(Long, Long)].toDF("a", "b")
     assert(DedupOps.clusters(empty).count() == 0)
+    assert(DedupOps.clustersDataFrame(empty).count() == 0)
   }
 
   test("embeddingDedup drops near-dups with smaller-id twin; distinct vectors survive") {
