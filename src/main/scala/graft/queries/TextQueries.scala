@@ -86,6 +86,19 @@ object TextQueries {
           md5(col("redacted")).as("redacted_fp"))
     }),
 
+    // Top-5 most frequent terms per source: native token generator +
+    // the custom heap-based TopKPerKey operator (map-side pruned — at
+    // most k rows per source per partition reach the exchange).
+    "tx12_top_terms" -> ((s, d) => {
+      val toks = documents(s, d).select(col("source"),
+        graft.functions.ShingleGen.shingleGen(col("text"), 1,
+          distinct = false)).toDF("source", "term")
+      val counts = toks.groupBy("source", "term")
+        .agg(count(lit(1)).as("n"))
+      graft.plans.TopK.perKey(counts, Seq("source"),
+        Seq(col("n").desc, col("term").asc), 5)
+    }),
+
     // End-to-end corpus curation (the canonical training-data pipeline):
     // cheap quality gate → exact dedup → per-language stats. The quality
     // filter is map-side (no shuffle); dedup shuffles on md5(text) — a
@@ -221,6 +234,17 @@ object TextQueries {
              '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
              '[0-9]{3,}', '<NUM>', 'g')) AS redacted_fp
          FROM documents""",
+    "tx12_top_terms" ->
+      """WITH t AS (SELECT source, unnest(string_split(text, ' ')) AS term
+                    FROM documents),
+         c AS (SELECT source, term, count(*) AS n
+               FROM t GROUP BY source, term)
+         SELECT source, term, n, rk FROM (
+           SELECT source, term, n,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY n DESC, term ASC)::INT AS rk
+           FROM c)
+         WHERE rk <= 5""",
     "tx6_curation" ->
       s"""WITH q AS (
             SELECT doc_id FROM documents
