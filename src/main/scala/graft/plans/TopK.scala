@@ -20,11 +20,21 @@ object TopKStrategy extends SparkStrategy {
 }
 
 /** SparkSessionExtensions entry point
-  * (`spark.sql.extensions=graft.plans.GraftExtensions`).
+  * (`spark.sql.extensions=graft.plans.GraftExtensions`): the TopKPerKey
+  * planner strategy plus every graft native function/generator under
+  * its SQL name (see functions.GraftFunctions).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(e: SparkSessionExtensions): Unit =
+  override def apply(e: SparkSessionExtensions): Unit = {
     e.injectPlannerStrategy(_ => TopKStrategy)
+    graft.functions.GraftFunctions.builders.foreach { case (name, builder) =>
+      e.injectFunction((
+        org.apache.spark.sql.catalyst.FunctionIdentifier(name),
+        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+          "graft.functions.GraftFunctions", name),
+        builder))
+    }
+  }
 }
 
 /** Column-API front end for the custom operator. */
