@@ -98,6 +98,88 @@ object Geocoder {
       lookup(expr(s"transform($locationsCol, l -> l.value)")))
   }
 
+  /** Bounded Levenshtein distance (early-exit when the running minimum
+    * of a row exceeds `max` — O(len·max) not O(len²)).
+    */
+  private[geocode] def editDistance(a: String, b: String, max: Int): Int = {
+    if (math.abs(a.length - b.length) > max) return max + 1
+    var prev = Array.tabulate(b.length + 1)(identity)
+    var cur = new Array[Int](b.length + 1)
+    var i = 1
+    while (i <= a.length) {
+      cur(0) = i
+      var rowMin = i
+      var j = 1
+      while (j <= b.length) {
+        val cost = if (a.charAt(i - 1) == b.charAt(j - 1)) 0 else 1
+        cur(j) = math.min(math.min(cur(j - 1) + 1, prev(j) + 1),
+          prev(j - 1) + cost)
+        if (cur(j) < rowMin) rowMin = cur(j)
+        j += 1
+      }
+      if (rowMin > max) return max + 1
+      val t = prev; prev = cur; cur = t
+      i += 1
+    }
+    prev(b.length)
+  }
+
+  /** Fuzzy index: the exact map plus candidates blocked by house number
+    * (the leading digit run — OCR rarely corrupts it, street names
+    * often). Both structures ride one broadcast.
+    */
+  def buildFuzzyIndex(spark: SparkSession, dim: Dataset[GeoAddress])
+      : Broadcast[(Map[String, GeoResult], Map[String, Seq[(String, GeoResult)]])] = {
+    val entries = dim.collect().map { a =>
+      a.normalizedKey -> GeoResult(
+        GeoProperties(
+          address = GeoRef(a.addressId, a.addressName),
+          street = GeoRef(a.streetId, a.streetName)),
+        a.geometry)
+    }
+    val exact = entries.toMap
+    val byNumber = entries.groupBy { case (key, _) =>
+      key.takeWhile(_.isDigit)
+    }.map { case (num, es) => num -> es.toSeq.sortBy(_._1) }
+    spark.sparkContext.broadcast((exact, byNumber))
+  }
+
+  /** Fuzzy variant of [[geocode]] — the semantic twin of the reference's
+    * lunr full-text lookup (city-directories.js:291-309): exact
+    * normalized match first; on a miss, candidates sharing the house
+    * number are ranked by bounded edit distance (≤ `maxEdit`, ties to
+    * the lexicographically smallest key). Still a row-local broadcast
+    * lookup — the fact side never shuffles.
+    */
+  def geocodeFuzzy(df: DataFrame,
+                   index: Broadcast[(Map[String, GeoResult], Map[String, Seq[(String, GeoResult)]])],
+                   locationsCol: String = "parsed.locations",
+                   maxEdit: Int = 2): DataFrame = {
+    val lookup = udf { (locations: Seq[String]) =>
+      if (locations == null) Seq.empty[Geocoded]
+      else locations.map { value =>
+        val key = normalizeAddress(value)
+        val (exact, byNumber) = index.value
+        exact.get(key) match {
+          case Some(r) => Geocoded(found = true, Some(r), None)
+          case None =>
+            val block = byNumber.getOrElse(key.takeWhile(_.isDigit), Seq.empty)
+            val best = block.iterator
+              .map { case (k, r) => (editDistance(key, k, maxEdit), k, r) }
+              .filter(_._1 <= maxEdit)
+              .minByOption { case (d, k, _) => (d, k) }
+            best match {
+              case Some((_, _, r)) => Geocoded(found = true, Some(r), None)
+              case None => Geocoded(found = false, None,
+                Some(s"Address not found: $value"))
+            }
+        }
+      }
+    }
+    df.withColumn("geocoded",
+      lookup(expr(s"transform($locationsCol, l -> l.value)")))
+  }
+
   /** Join-based variant for very large dimensions: posexplode the
     * addresses, broadcast-equi-join on the normalized key, re-collect in
     * position order. One shuffle (the groupBy re-collect) on the fact's

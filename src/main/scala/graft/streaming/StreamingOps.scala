@@ -59,6 +59,33 @@ object StreamingOps {
     events.withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Streaming near-duplicate detection against a STATIC corpus: each
+    * incoming document is banded by the whole-pipeline MinHash generator
+    * (stateless — generators run unchanged in streaming plans) and
+    * joined against the static corpus's band index. The stream side
+    * never accumulates state; the static side is a normal broadcast-able
+    * batch plan, the production shape for "is this incoming doc a dup of
+    * anything we already have".
+    * Returns (doc_id, n_dup_candidates = distinct static docs sharing ≥1
+    * band).
+    */
+  def nearDupAgainstStatic(stream: DataFrame, corpus: DataFrame,
+                           idCol: String = "doc_id",
+                           textCol: String = "text",
+                           shingleK: Int = 3): DataFrame = {
+    import graft.functions.MinhashSig.minhashTextBandsGen
+    def banded(df: DataFrame, id: String) = df
+      .select(col(idCol).as(id),
+        minhashTextBandsGen(col(textCol), shingleK, 16, 4))
+      .toDF(id, "_band", "_bh")
+    banded(stream, "doc_id")
+      .join(broadcast(banded(corpus, "_static_id")), Seq("_band", "_bh"))
+      .groupBy("doc_id")
+      // distinct aggs aren't allowed on streams; a collect_set buffer is
+      // (bounded by the static corpus's matching docs per stream doc)
+      .agg(size(collect_set(col("_static_id"))).as("n_dup_candidates"))
+  }
+
   final case class UserEvent(user_id: Long, value: Double)
   final case class UserTotal(user_id: Long, n: Long, total: Double)
 

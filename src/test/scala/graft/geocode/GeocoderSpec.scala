@@ -28,6 +28,35 @@ class GeocoderSpec extends SparkSpec {
     assert(viaCol == addrs.map(Geocoder.normalizeAddress))
   }
 
+  test("editDistance: exact, bounded, early-exit") {
+    assert(Geocoder.editDistance("broadway", "broadway", 2) == 0)
+    assert(Geocoder.editDistance("brodway", "broadway", 2) == 1)
+    assert(Geocoder.editDistance("brdwy", "broadway", 2) == 3) // > max → max+1
+    assert(Geocoder.editDistance("abc", "xyz", 1) == 2)        // capped
+  }
+
+  test("geocodeFuzzy: exact hit, typo within edit bound, wrong number stays missed") {
+    val dim = spark.createDataset(CityDirFixture.dimension)
+    val idx = Geocoder.buildFuzzyIndex(spark, dim)
+    val lines = Seq(
+      (1L, Seq("123 Broadway")),   // exact
+      (2L, Seq("123 Brodway")),    // 1 edit after normalization
+      (3L, Seq("999 Broadway")),   // unknown house number → miss
+      (4L, Seq("19 Paerl st"))     // transposition: 2 edits
+    ).toDF("id", "vals")
+      .withColumn("parsed", struct(expr(
+        "transform(vals, v -> struct(v as value))").as("locations")))
+      .drop("vals")
+    val out = Geocoder.geocodeFuzzy(lines, idx)
+      .select(col("id"), expr("geocoded[0].found").as("found"),
+        expr("geocoded[0].result.properties.address.name").as("name"))
+      .as[(Long, Boolean, Option[String])].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out(1L)._1 && out(2L)._1 && out(4L)._1)
+    assert(out(2L)._2 == out(1L)._2) // typo resolved to the same address
+    assert(!out(3L)._1)
+  }
+
   test("geocodeViaJoin agrees with broadcast-lookup geocode") {
     val dim = spark.createDataset(CityDirFixture.dimension)
     val lines = Seq(

@@ -120,6 +120,25 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.find(_.event_id == 1L).get.value == 1.0)
   }
 
+  test("streaming near-dup detection flags docs sharing bands with the static corpus") {
+    implicit val sqlCtx = spark.sqlContext
+    case class Doc(doc_id: Long, text: String)
+    val staticCorpus = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog tonight"),
+      (101L, "completely different static content about engines")
+    ).toDF("doc_id", "text")
+    val mem = MemoryStream[(Long, String)]
+    mem.addData(
+      (1L, "the quick brown fox jumps over the lazy dog tonight"), // dup of 100
+      (2L, "nothing like anything in the static corpus at all"))
+    val out = StreamingOps.drainToTable(
+      StreamingOps.nearDupAgainstStatic(
+        mem.toDF().toDF("doc_id", "text"), staticCorpus),
+      "t_neardup").as[(Long, Int)].collect().toMap
+    assert(out(1L) >= 1)
+    assert(!out.contains(2L) || out(2L) == 0)
+  }
+
   test("mapGroupsWithState running totals accumulate across batches") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Ev]
