@@ -47,8 +47,12 @@ object HocrArchive {
   def readPages(spark: SparkSession, archiveDir: String,
                 manifest: Dataset[DirectoryMeta]): Dataset[PageRecord] = {
     import spark.implicits._
+    // pathGlobFilter rather than a glob in the path: same file set, but
+    // the path stays a real directory (no FileStreamSink metadata-probe
+    // warning, and partition discovery short-circuits cleanly)
     val archives: DataFrame = spark.read.format("binaryFile")
-      .load(s"$archiveDir/*.tar.gz")
+      .option("pathGlobFilter", "*.tar.gz")
+      .load(archiveDir)
       .select(
         regexp_extract(col("path"), "([^/]+)\\.tar\\.gz$", 1).as("uuid"),
         col("content"))
