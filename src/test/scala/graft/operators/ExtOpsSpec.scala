@@ -289,6 +289,27 @@ class ExtOpsSpec extends SparkSpec {
     assert(half.count() > 0 && half.count() < 50)
   }
 
+  test("MultiPointAgg gathers geometries across rows with partial-agg merge") {
+    import graft.model.Geometry
+    val rows = Seq(
+      (1L, Option(Geometry("Point", Seq(Seq(1.0, 2.0))))),
+      (1L, Option(Geometry("Point", Seq(Seq(3.0, 4.0))))),
+      (2L, Option(Geometry("Point", Seq(Seq(5.0, 6.0))))),
+      (3L, Option.empty[Geometry]))
+    val ds = spark.createDataset(rows)(
+      org.apache.spark.sql.Encoders.product[(Long, Option[Geometry])])
+    val out = ds.groupByKey(_._1)
+      .mapValues(_._2)
+      .agg(MultiPointAgg.asColumn)
+      .collect().toMap
+    // merge order across partitions is not deterministic — compare sets
+    assert(out(1L).map(_.`type`).contains("MultiPoint"))
+    assert(out(1L).get.coordinates.toSet ==
+      Set(Seq(1.0, 2.0), Seq(3.0, 4.0)))
+    assert(out(2L).contains(Geometry("Point", Seq(Seq(5.0, 6.0)))))
+    assert(out(3L).isEmpty)
+  }
+
   test("multimodal: asset schema, decode batching, frame offsets") {
     val assets = MultimodalOps.toAssets(df, "doc_id", "text")
     assert(assets.schema.fieldNames.toSeq ==
