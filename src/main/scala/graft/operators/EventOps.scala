@@ -108,6 +108,24 @@ object EventOps {
   /** JSON property extraction + aggregation (the `props` column is a JSON
     * string; extraction stays codegen'd via get_json_object).
     */
+  /** Event-transition matrix: per user, order events by (ts, event_id)
+    * and count each consecutive (prev_type → type) pair with its mean
+    * gap. The lag window is keyed on user_id, so each user's timeline
+    * sorts independently; the final agg has ~|types|² keys.
+    */
+  def transitions(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val us = unix_micros(col("ts"))
+    events
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .withColumn("gap_us", us - lag(us, 1).over(w))
+      .filter(col("prev_type").isNotNull)
+      .groupBy("prev_type", "event_type")
+      .agg(count(lit(1)).as("n"),
+        round(avg(col("gap_us")) / 1000000L, 2).as("avg_gap_s"))
+  }
+
   def jsonKeyAgg(events: DataFrame): DataFrame =
     events
       .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))

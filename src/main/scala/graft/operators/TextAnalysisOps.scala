@@ -185,6 +185,25 @@ object TextAnalysisOps {
         longNumPattern, "<NUM>").as("redacted"))
   }
 
+  /** Greedy sequence packing (training-batch prep): assign documents to
+    * fixed-budget context bins by cumulative token count, walking each
+    * stratum in deterministic id order. One windowed running sum per
+    * stratum — the window key is the stratum, so at scale each stratum
+    * sorts independently (no global sort). Bin b of stratum s holds the
+    * consecutive docs whose preceding cumulative tokens fall in
+    * [b·budget, (b+1)·budget).
+    */
+  def packBins(df: DataFrame, idCol: String, textCol: String,
+               strataCol: String, budgetTokens: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(strataCol).orderBy(idCol)
+    df.select(col(strataCol), col(idCol),
+        tokenCount(col(textCol)).as("n_tokens"))
+      .withColumn("cum", sum("n_tokens").over(w))
+      .withColumn("bin",
+        floor((col("cum") - col("n_tokens")) / budgetTokens).cast("int"))
+  }
+
   /** Deterministic stratified hash sampling: keep a row iff the first 8
     * hex digits of md5(id) land below the stratum's percentage. No RNG,
     * no seed state — the sample is a pure function of the id, so it is

@@ -22,6 +22,9 @@ object EventQueries {
     // Banded range join: clicks within 30 minutes before each purchase.
     "ev7_band_join" -> ((s, d) =>
       EventOps.bandJoin(events(s, d), "30 minutes")),
+    // Event-transition matrix: consecutive (prev → next) event-type
+    // pairs per user with mean gap (lag window exercise).
+    "ev8_transitions" -> ((s, d) => EventOps.transitions(events(s, d))),
     // As-of join: each purchase matched to the user's latest click at or
     // before it (point-in-time lookup; EventOps.asOfJoin composition).
     "ev6_asof" -> ((s, d) => {
@@ -94,6 +97,18 @@ object EventQueries {
           AND epoch_us(c.ts) >= epoch_us(p.ts) - 1800000000
           AND epoch_us(c.ts) < epoch_us(p.ts)
          GROUP BY purchase_id, p.user_id""",
+    "ev8_transitions" ->
+      """WITH o AS (
+           SELECT user_id, event_type, ts, event_id,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_type,
+             epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS gap_us
+           FROM events)
+         SELECT prev_type, event_type, count(*) AS n,
+           round(avg(gap_us) / 1000000, 2) AS avg_gap_s
+         FROM o WHERE prev_type IS NOT NULL
+         GROUP BY prev_type, event_type""",
     "ev6_asof" ->
       """SELECT p.event_id, p.user_id, c.event_id AS click_id,
            epoch_us(c.ts) AS click_us

@@ -99,6 +99,13 @@ object TextQueries {
         Seq(col("n").desc, col("term").asc), 5)
     }),
 
+    // Greedy sequence packing: documents → fixed-budget context bins by
+    // per-source running token count (training-batch prep).
+    "tx13_packing" -> ((s, d) => {
+      TextAnalysisOps.packBins(documents(s, d), "doc_id", "text",
+        "source", budgetTokens = 512)
+    }),
+
     // End-to-end corpus curation (the canonical training-data pipeline):
     // cheap quality gate → exact dedup → per-language stats. The quality
     // filter is map-side (no shuffle); dedup shuffles on md5(text) — a
@@ -245,6 +252,20 @@ object TextQueries {
                                 ORDER BY n DESC, term ASC)::INT AS rk
            FROM c)
          WHERE rk <= 5""",
+    "tx13_packing" ->
+      """WITH t AS (
+           SELECT source, doc_id,
+             CASE WHEN length(trim(text)) = 0 THEN 0
+                  ELSE len(string_split_regex(trim(text), '\s+')) END::INT
+               AS n_tokens
+           FROM documents),
+         c AS (SELECT source, doc_id, n_tokens,
+                 sum(n_tokens) OVER (PARTITION BY source
+                                     ORDER BY doc_id)::BIGINT AS cum
+               FROM t)
+         SELECT source, doc_id, n_tokens, cum,
+           ((cum - n_tokens) // 512)::INT AS bin
+         FROM c""",
     "tx6_curation" ->
       s"""WITH q AS (
             SELECT doc_id FROM documents

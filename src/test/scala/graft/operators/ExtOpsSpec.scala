@@ -310,6 +310,37 @@ class ExtOpsSpec extends SparkSpec {
     assert(out(3L).isEmpty)
   }
 
+  test("packBins fills fixed-budget bins in id order per stratum") {
+    val docs = Seq(
+      (1L, "a b c", "s1"), (2L, "a b", "s1"), (3L, "a b c d", "s1"),
+      (4L, "x", "s2")).toDF("doc_id", "text", "source")
+    val out = TextAnalysisOps.packBins(docs, "doc_id", "text", "source", 5)
+      .select("doc_id", "n_tokens", "cum", "bin")
+      .as[(Long, Int, Long, Int)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(out(1L) == ((3, 3L, 0)))
+    assert(out(2L) == ((2, 5L, 0)))
+    assert(out(3L) == ((4, 9L, 1))) // preceding cum 5 ≥ budget → next bin
+    assert(out(4L) == ((1, 1L, 0)))
+  }
+
+  test("transitions counts consecutive event-type pairs with mean gap") {
+    val ts = (s: Int) => java.sql.Timestamp.from(
+      java.time.Instant.parse("2024-01-01T00:00:00Z").plusSeconds(s))
+    val ev = Seq(
+      (1L, ts(0), 10L, "click", 1.0),
+      (2L, ts(60), 10L, "view", 1.0),
+      (3L, ts(120), 10L, "purchase", 1.0),
+      (4L, ts(0), 20L, "click", 1.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val out = EventOps.transitions(ev)
+      .as[(String, String, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+    assert(out == Map(
+      ("click", "view") -> ((1L, 60.0)),
+      ("view", "purchase") -> ((1L, 60.0))))
+  }
+
   test("multimodal: asset schema, decode batching, frame offsets") {
     val assets = MultimodalOps.toAssets(df, "doc_id", "text")
     assert(assets.schema.fieldNames.toSeq ==
