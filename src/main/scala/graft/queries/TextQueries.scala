@@ -106,6 +106,27 @@ object TextQueries {
         "source", budgetTokens = 512)
     }),
 
+    // KMV (k-minimum-values) distinct-count sketch, k=16: because the
+    // hash is deterministic md5, this APPROXIMATE algorithm verifies
+    // EXACTLY against the oracle — unlike HLL (tx5, rows-only). The
+    // k smallest hashes per source come from the heap-based TopKPerKey
+    // (map-side pruned); estimate = (k-1)/F(h_k), exact count when a
+    // source has fewer than k distinct hashes.
+    "tx14_kmv_distinct" -> ((s, d) => {
+      val hashed = documents(s, d).select(col("source"),
+        conv(substring(md5(col("text")), 1, 15), 16, 10).cast("long")
+          .as("h")).distinct()
+      val topk = graft.plans.TopK.perKey(hashed, Seq("source"),
+        Seq(col("h").asc), 16)
+      topk.groupBy("source")
+        .agg(count(lit(1)).as("n_kept"), max(col("h")).as("hk"))
+        .select(col("source"), col("n_kept"),
+          when(col("n_kept") < 16, col("n_kept").cast("double"))
+            .otherwise(round(lit(15.0) /
+              (col("hk") / lit(1152921504606846976.0)), 2))
+            .as("est_distinct"))
+    }),
+
     // End-to-end corpus curation (the canonical training-data pipeline):
     // cheap quality gate → exact dedup → per-language stats. The quality
     // filter is map-side (no shuffle); dedup shuffles on md5(text) — a
@@ -266,6 +287,21 @@ object TextQueries {
          SELECT source, doc_id, n_tokens, cum,
            ((cum - n_tokens) // 512)::INT AS bin
          FROM c""",
+    "tx14_kmv_distinct" ->
+      """WITH h AS (
+           SELECT DISTINCT source,
+             ('0x' || substr(md5(text), 1, 15))::UBIGINT::BIGINT AS h
+           FROM documents),
+         r AS (SELECT source, h,
+                 row_number() OVER (PARTITION BY source ORDER BY h) AS rk
+               FROM h),
+         k AS (SELECT source, count(*) AS n_kept, max(h) AS hk
+               FROM r WHERE rk <= 16 GROUP BY source)
+         SELECT source, n_kept,
+           CASE WHEN n_kept < 16 THEN n_kept::DOUBLE
+                ELSE round(15.0 / (hk / 1152921504606846976.0), 2)
+           END AS est_distinct
+         FROM k""",
     "tx6_curation" ->
       s"""WITH q AS (
             SELECT doc_id FROM documents

@@ -341,6 +341,22 @@ class ExtOpsSpec extends SparkSpec {
       ("view", "purchase") -> ((1L, 60.0))))
   }
 
+  test("KMV sketch estimate lands near the true distinct count") {
+    val docs = (1L to 200L).map(i => (i, s"unique document number $i", "s"))
+      .toDF("doc_id", "text", "source")
+    val hashed = docs.select(col("source"),
+      conv(substring(md5(col("text")), 1, 15), 16, 10).cast("long").as("h"))
+      .distinct()
+    val topk = graft.plans.TopK.perKey(hashed, Seq("source"),
+      Seq(col("h").asc), 16)
+    val (nKept, hk) = topk.groupBy("source")
+      .agg(count(lit(1)).as("n"), max(col("h")).as("hk"))
+      .select("n", "hk").as[(Long, Long)].head()
+    assert(nKept == 16L)
+    val est = 15.0 / (hk / 1152921504606846976.0)
+    assert(est > 100 && est < 400, s"estimate $est for true 200")
+  }
+
   test("multimodal: asset schema, decode batching, frame offsets") {
     val assets = MultimodalOps.toAssets(df, "doc_id", "text")
     assert(assets.schema.fieldNames.toSeq ==
