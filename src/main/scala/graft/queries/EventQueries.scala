@@ -22,6 +22,18 @@ object EventQueries {
     // Banded range join: clicks within 30 minutes before each purchase.
     "ev7_band_join" -> ((s, d) =>
       EventOps.bandJoin(events(s, d), "30 minutes")),
+    // Spark-4 VARIANT path for semi-structured props: parse_json →
+    // typed variant_get, then bucket agg (the engine-native JSON lane;
+    // ev5 is the json_extract string lane).
+    "ev9_variant" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      events(s, d)
+        .select(col("value"),
+          variant_get(parse_json(col("props")), "$.k", "int").as("k"))
+        .groupBy((col("k") % 5).as("k_mod"))
+        .agg(count(lit(1)).as("n"), round(max(col("value")), 2).as("max_v"))
+    }),
+
     // Event-transition matrix: consecutive (prev → next) event-type
     // pairs per user with mean gap (lag window exercise).
     "ev8_transitions" -> ((s, d) => EventOps.transitions(events(s, d))),
@@ -97,6 +109,10 @@ object EventQueries {
           AND epoch_us(c.ts) >= epoch_us(p.ts) - 1800000000
           AND epoch_us(c.ts) < epoch_us(p.ts)
          GROUP BY purchase_id, p.user_id""",
+    "ev9_variant" ->
+      """SELECT (json_extract_string(props, '$.k')::INTEGER % 5) AS k_mod,
+           count(*) AS n, round(max(value), 2) AS max_v
+         FROM events GROUP BY k_mod""",
     "ev8_transitions" ->
       """WITH o AS (
            SELECT user_id, event_type, ts, event_id,

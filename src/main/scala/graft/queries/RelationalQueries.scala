@@ -194,6 +194,15 @@ object RelationalQueries {
           count(lit(1)).as("n"))
     }),
 
+    // Pivot: status columns per year (explicit value list keeps the
+    // schema static — no extra pass to discover pivot values).
+    "q18_pivot" -> ((s, d) => {
+      orders(s, d)
+        .groupBy(year(col("o_orderdate")).as("yr"))
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(round(sum("o_totalprice"), 2))
+    }),
+
     // Hierarchical totals: ROLLUP(year, status).
     "q14_rollup" -> ((s, d) => {
       orders(s, d)
@@ -292,6 +301,12 @@ object RelationalQueries {
            round(quantile_cont(l_quantity, 0.9), 2) AS p90,
            count(*) AS n
          FROM lineitem GROUP BY l_returnflag""",
+    "q18_pivot" ->
+      """SELECT year(o_orderdate) AS yr,
+           round(sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END), 2) AS "F",
+           round(sum(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END), 2) AS "O",
+           round(sum(CASE WHEN o_orderstatus = 'P' THEN o_totalprice END), 2) AS "P"
+         FROM orders GROUP BY yr""",
     "q14_rollup" ->
       """SELECT year(o_orderdate) AS yr, o_orderstatus,
            count(*) AS n, round(sum(o_totalprice), 2) AS total
