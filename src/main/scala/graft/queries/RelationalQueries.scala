@@ -194,6 +194,31 @@ object RelationalQueries {
           count(lit(1)).as("n"))
     }),
 
+    // CUBE: totals over every (year, status) subset combination.
+    "q19_cube" -> ((s, d) => {
+      orders(s, d)
+        .cube(year(col("o_orderdate")).as("yr"), col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"))
+    }),
+
+    // Bag semantics: EXCEPT ALL keeps duplicate multiplicity (the
+    // distinct variant is q11).
+    "q20_except_all" -> ((s, d) => {
+      val o = orders(s, d).select(col("o_orderpriority").as("p"))
+      o.exceptAll(o.filter(col("p").startsWith("1")))
+    }),
+
+    // Unpivot/melt: wide per-year status columns back to long form.
+    "q21_unpivot" -> ((s, d) => {
+      orders(s, d)
+        .groupBy(year(col("o_orderdate")).as("yr"))
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(round(sum("o_totalprice"), 2))
+        .unpivot(Array(col("yr")), Array(col("F"), col("O"), col("P")),
+          "status", "total")
+        .filter(col("total").isNotNull)
+    }),
+
     // Pivot: status columns per year (explicit value list keeps the
     // schema static — no extra pass to discover pivot values).
     "q18_pivot" -> ((s, d) => {
@@ -301,6 +326,25 @@ object RelationalQueries {
            round(quantile_cont(l_quantity, 0.9), 2) AS p90,
            count(*) AS n
          FROM lineitem GROUP BY l_returnflag""",
+    "q19_cube" ->
+      """SELECT year(o_orderdate) AS yr, o_orderstatus, count(*) AS n
+         FROM orders GROUP BY CUBE (yr, o_orderstatus)""",
+    "q20_except_all" ->
+      """SELECT o_orderpriority AS p FROM orders
+         EXCEPT ALL
+         SELECT o_orderpriority AS p FROM orders WHERE o_orderpriority LIKE '1%'""",
+    "q21_unpivot" ->
+      """WITH w AS (
+           SELECT year(o_orderdate) AS yr,
+             round(sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END), 2) AS f,
+             round(sum(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END), 2) AS o,
+             round(sum(CASE WHEN o_orderstatus = 'P' THEN o_totalprice END), 2) AS p
+           FROM orders GROUP BY yr)
+         SELECT yr, status, total FROM (
+           SELECT yr, 'F' AS status, f AS total FROM w
+           UNION ALL SELECT yr, 'O', o FROM w
+           UNION ALL SELECT yr, 'P', p FROM w)
+         WHERE total IS NOT NULL""",
     "q18_pivot" ->
       """SELECT year(o_orderdate) AS yr,
            round(sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END), 2) AS "F",

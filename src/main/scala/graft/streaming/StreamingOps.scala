@@ -86,6 +86,29 @@ object StreamingOps {
       .agg(size(collect_set(col("_static_id"))).as("n_dup_candidates"))
   }
 
+  /** Stream-stream interval join (the batch twin is EventOps.bandJoin):
+    * purchases joined to the same user's clicks in the preceding
+    * `window`. Both sides are watermarked and the join carries a range
+    * condition on event time, so each side's buffered state is bounded —
+    * rows age out once the watermark passes their interval. Append-mode
+    * only (Spark's stream-stream join contract).
+    */
+  def clickAttributionStream(clicks: DataFrame, purchases: DataFrame,
+                             window: String = "30 minutes",
+                             watermark: String = "1 hour"): DataFrame = {
+    val c = clicks.withWatermark("ts", watermark)
+      .select(col("user_id").as("c_user"), col("ts").as("click_ts"),
+        col("event_id").as("click_id"))
+    val p = purchases.withWatermark("ts", watermark)
+      .select(col("user_id"), col("ts").as("purchase_ts"),
+        col("event_id").as("purchase_id"))
+    p.join(c, expr(
+      s"""user_id = c_user AND
+          click_ts >= purchase_ts - INTERVAL $window AND
+          click_ts < purchase_ts"""))
+      .select("purchase_id", "user_id", "click_id")
+  }
+
   final case class UserEvent(user_id: Long, value: Double)
   final case class UserTotal(user_id: Long, n: Long, total: Double)
 

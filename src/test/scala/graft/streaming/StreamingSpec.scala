@@ -139,6 +139,26 @@ class StreamingSpec extends SparkSpec {
     assert(!out.contains(2L) || out(2L) == 0)
   }
 
+  test("stream-stream interval join pairs purchases with preceding clicks") {
+    implicit val sqlCtx = spark.sqlContext
+    val t = (s: Int) => java.sql.Timestamp.valueOf(
+      java.time.LocalDateTime.of(2024, 1, 1, 0, 0, 0).plusSeconds(s))
+    val clicks = MemoryStream[Ev]
+    val purchases = MemoryStream[Ev]
+    clicks.addData(
+      Ev(1, t(0), 10, "click", 1.0),      // 10 min before purchase → match
+      Ev(2, t(300), 10, "click", 1.0),    //  5 min before → match
+      Ev(3, t(0), 20, "click", 1.0),      // other user
+      Ev(4, t(7200), 10, "click", 1.0))   // after the purchase → no match
+    purchases.addData(Ev(100, t(600), 10, "purchase", 5.0))
+    val out = StreamingOps.drainToTable(
+      StreamingOps.clickAttributionStream(clicks.toDF(), purchases.toDF(),
+        "30 minutes"),
+      "t_attrib", org.apache.spark.sql.streaming.OutputMode.Append())
+      .as[(Long, Long, Long)].collect().toSet
+    assert(out == Set((100L, 10L, 1L), (100L, 10L, 2L)))
+  }
+
   test("mapGroupsWithState running totals accumulate across batches") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Ev]
