@@ -13,7 +13,10 @@ object ExplainAudit {
       else Seq("q1_agg", "q2_region_revenue", "q3_topk_orders",
         "dd2_minhash_lsh", "ss1_topk_bruteforce", "ss3_lsh_bucket",
         "cd8_geocode_join", "ev3_session", "ev7_band_join",
-        "q17_percentiles", "tx6_curation")
+        "q17_percentiles", "tx6_curation",
+        "dd7_embedding_dedup", "tx8_contamination", "tx12_top_terms",
+        "tx13_packing", "tx14_kmv_distinct", "ev8_transitions",
+        "ev9_variant", "q18_pivot", "q21_unpivot")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
