@@ -22,8 +22,40 @@ object MultimodalQueries {
     "mm2_frame_sample" -> ((s, d) => {
       MultimodalOps.frameSampleOffsets(
         MultimodalOps.toAssets(documents(s, d), "doc_id", "text"), 100)
+    }),
+
+    // Decode → similarity composition: batched (stub) decode produces a
+    // feature vector per asset, then top-10 nearest assets to asset 0 by
+    // cosine. The stub features are deterministic md5 derivations, so
+    // even this "decoded" path hash-matches the oracle; the sim
+    // arithmetic is spelled out identically on both sides (left-assoc
+    // sums, sqrt(na)*sqrt(nb)) for bit-equality.
+    "mm3_decode_topk" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      import graft.operators.SimilarityOps
+      val feats = MultimodalOps.decodeFeatures(
+        MultimodalOps.toAssets(documents(s, d), "doc_id", "text"))
+        .select(col("asset_id"), col("features"))
+      val q = feats.filter(col("asset_id") === 0)
+        .select(col("features").as("_qf"))
+      feats.crossJoin(broadcast(q))
+        .filter(col("asset_id") =!= 0)
+        .withColumn("sim",
+          round(SimilarityOps.cosine(col("features"), col("_qf")), 4))
+        .select("asset_id", "sim")
+        .orderBy(col("sim").desc, col("asset_id").asc)
+        .limit(10)
     })
   )
+
+  // the stub feature i = uint16 from md5 hex chars [4i+1, 4i+4] / 65535
+  private def featSql(src: String): String =
+    (0 until 8).map(i =>
+      s"('0x' || substr(md5($src), ${4 * i + 1}, 4))::UBIGINT::DOUBLE / 65535.0")
+      .mkString("[", ", ", "]")
+
+  private def dotSql(a: String, b: String): String =
+    (1 to 8).map(i => s"$a[$i] * $b[$i]").mkString(" + ")
 
   val oracles: Map[String, String] = Map(
     "mm1_asset_meta" ->
@@ -37,6 +69,17 @@ object MultimodalQueries {
            unnest(range(0, octet_length(text::BLOB), 100)) AS frame_off,
            md5(doc_id::VARCHAR || ':' ||
                unnest(range(0, octet_length(text::BLOB), 100))::VARCHAR) AS frame_id
-         FROM documents"""
+         FROM documents""",
+    "mm3_decode_topk" ->
+      s"""WITH f AS (
+            SELECT doc_id AS asset_id, ${featSql("text")} AS features
+            FROM documents),
+          q AS (SELECT features AS qf FROM f WHERE asset_id = 0)
+          SELECT asset_id,
+            round((${dotSql("features", "qf")}) /
+                  (sqrt(${dotSql("features", "features")}) *
+                   sqrt(${dotSql("qf", "qf")})), 4) AS sim
+          FROM f, q WHERE asset_id <> 0
+          ORDER BY sim DESC, asset_id ASC LIMIT 10"""
   )
 }
