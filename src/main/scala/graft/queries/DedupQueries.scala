@@ -55,6 +55,15 @@ object DedupQueries {
         .select("vec_id")
     }),
 
+    // Rolling-hash winnowing fingerprint: min Rabin hash over all 8-byte
+    // windows (native one-pass O(1)-update expression; the
+    // content-defined-chunking primitive).
+    "dd8_rolling_fp" -> ((s, d) => {
+      documents(s, d).select(col("doc_id"),
+        graft.functions.RollingHash.rollingMinHash(col("text"), 8)
+          .as("rolling_fp"))
+    }),
+
     // Canonical + min-shingle fingerprints (text-analysis dedup keys).
     "dd5_fingerprint" -> ((s, d) => {
       import graft.operators.TextAnalysisOps
@@ -69,7 +78,22 @@ object DedupQueries {
   }.mkString(" || ")
 
 
+  // per-window polynomial coefficients for the rolling-hash oracle
+  // (exact HUGEINT arithmetic, mod at the end — ring-equal to the
+  // native expression's rolling mod updates); corpus is ASCII so
+  // ord(char) == byte
+  private val rollTerms: String = (0 until 8).map { t =>
+    s"ord(substr(text, j + $t, 1))::HUGEINT * ${BigInt(257).pow(7 - t)}"
+  }.mkString(" + ")
+
   val oracles: Map[String, String] = Map(
+    "dd8_rolling_fp" ->
+      s"""SELECT doc_id,
+            CASE WHEN length(text) >= 8 THEN
+              list_min([($rollTerms) % 2147483647
+                        for j in range(1, length(text) - 6)])::BIGINT
+            ELSE NULL END AS rolling_fp
+          FROM documents""",
     "dd1_exact" ->
       """SELECT min(doc_id) AS doc_id FROM (
            SELECT doc_id, text FROM documents

@@ -341,6 +341,28 @@ class ExtOpsSpec extends SparkSpec {
       ("view", "purchase") -> ((1L, 60.0))))
   }
 
+  test("rolling min-hash matches brute-force polynomial eval; short text null") {
+    def brute(s: String, w: Int): Option[Long] = {
+      val b = s.getBytes("UTF-8")
+      if (b.length < w) None
+      else Some((0 to b.length - w).map { j =>
+        (0 until w).map(t =>
+          BigInt(b(j + t) & 0xff) * BigInt(257).pow(w - 1 - t)).sum
+          .mod(BigInt(2147483647)).toLong
+      }.min)
+    }
+    val samples = Seq("the quick brown fox", "aaaaaaaaaa", "short", "",
+      "exactly8", "x" * 200 + "needle in the haystack")
+    val df2 = samples.zipWithIndex.map { case (s, i) => (i.toLong, s) }
+      .toDF("id", "text")
+    val native = df2.select(col("id"),
+      graft.functions.RollingHash.rollingMinHash(col("text"), 8))
+      .as[(Long, Option[Long])].collect().toMap
+    samples.zipWithIndex.foreach { case (s, i) =>
+      assert(native(i.toLong) == brute(s, 8), s"sample $i: '$s'")
+    }
+  }
+
   test("KMV sketch estimate lands near the true distinct count") {
     val docs = (1L to 200L).map(i => (i, s"unique document number $i", "s"))
       .toDF("doc_id", "text", "source")
