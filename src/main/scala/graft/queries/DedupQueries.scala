@@ -55,6 +55,27 @@ object DedupQueries {
         .select("vec_id")
     }),
 
+    // End-to-end near-dup removal (the flagship dedup composite):
+    // MinHash-LSH candidate pairs → connected components → drop every
+    // non-representative member → per-source survivor stats. The corpus
+    // is salted with synthetic duplicates (ids +10000) so the pipeline
+    // has real work; only doc ids and 32-byte keys ever shuffle.
+    "dd9_dedup_e2e" -> ((s, d) => {
+      val docs = documents(s, d).select("doc_id", "source", "text", "n_chars")
+      val salted = docs.unionByName(
+        docs.select((col("doc_id") + 10000).as("doc_id"), col("source"),
+          col("text"), col("n_chars")))
+      val members = DedupOps.clusters(
+        DedupOps.minhashCandidates(salted, "doc_id", "text",
+          shingleK = 3, numPerm = 16, bands = 4))
+      val drops = members.filter(col("member") =!= col("cluster_rep"))
+        .select(col("member").as("doc_id"))
+      salted.join(drops, Seq("doc_id"), "left_anti")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          round(avg("n_chars"), 2).as("avg_chars"))
+    }),
+
     // Rolling-hash winnowing fingerprint: min Rabin hash over all 8-byte
     // windows (native one-pass O(1)-update expression; the
     // content-defined-chunking primitive).
@@ -175,6 +196,41 @@ object DedupQueries {
            SELECT 1 FROM b l
            WHERE l.bkt = r.bkt AND l.vec_id < r.vec_id
              AND round(list_cosine_similarity(l.embedding, r.embedding)::DOUBLE, 4) >= 0.4)""",
+    "dd9_dedup_e2e" ->
+      """WITH RECURSIVE docs2 AS (
+           SELECT doc_id, source, text, n_chars FROM documents
+           UNION ALL
+           SELECT doc_id + 10000, source, text, n_chars FROM documents),
+         s AS (SELECT doc_id, string_split(text,' ') w FROM docs2),
+         sh AS (SELECT doc_id,
+                  unnest(list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                                        for i in range(1, len(w)-1)])) AS s
+                FROM s WHERE len(w) >= 3),
+         xh AS (SELECT doc_id,
+                  (('0x' || substr(md5(s), 1, 15))::UBIGINT % 2147483647)::BIGINT AS x
+                FROM sh),
+         sig AS (SELECT doc_id, i,
+                   min(((i*1000003 + 12345) * x + i*999983 + 54321) % 2147483647) AS mh
+                 FROM xh CROSS JOIN (SELECT unnest(range(0,16)) AS i) perms
+                 GROUP BY doc_id, i),
+         bands AS (SELECT doc_id, i // 4 AS band,
+                     md5(string_agg(mh::VARCHAR, '|' ORDER BY i)) AS bh
+                   FROM sig GROUP BY doc_id, i // 4),
+         pairs AS (SELECT DISTINCT l.doc_id a, r.doc_id b
+                   FROM bands l JOIN bands r
+                     ON l.band = r.band AND l.bh = r.bh AND l.doc_id < r.doc_id),
+         edges AS (SELECT a, b FROM pairs UNION SELECT b, a FROM pairs),
+         nodes AS (SELECT DISTINCT a AS n FROM edges),
+         reach(node, rep) AS (
+           SELECT n, n FROM nodes
+           UNION
+           SELECT e.b, r.rep FROM reach r JOIN edges e ON e.a = r.node),
+         members AS (SELECT node, min(rep) AS rep FROM reach GROUP BY node),
+         drops AS (SELECT node AS doc_id FROM members WHERE node <> rep)
+         SELECT source, count(*) AS n_docs,
+           round(avg(n_chars), 2) AS avg_chars
+         FROM docs2 WHERE doc_id NOT IN (SELECT doc_id FROM drops)
+         GROUP BY source""",
     "dd5_fingerprint" ->
       """WITH s AS (SELECT doc_id, text, string_split(text, ' ') w FROM documents)
          SELECT doc_id,
