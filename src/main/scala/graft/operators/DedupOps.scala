@@ -310,14 +310,14 @@ object DedupOps {
     */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
                    blockKey: Column, threshold: Double): DataFrame = {
-    val base = df.select(col(idCol).as("_id"), col(textCol).as("_t"),
-      blockKey.as("_blk"))
-    val l = base.select(col("_blk"), col("_id").as("a"), col("_t").as("ta"))
-    val r = base.select(col("_blk"), col("_id").as("b"), col("_t").as("tb"))
+    // tokenize BEFORE the self-join: one split per row instead of one
+    // per joined pair, and token arrays (not full texts) cross the join
+    val base = df.select(col(idCol).as("_id"),
+      words(col(textCol)).as("_w"), blockKey.as("_blk"))
+    val l = base.select(col("_blk"), col("_id").as("a"), col("_w").as("_wa"))
+    val r = base.select(col("_blk"), col("_id").as("b"), col("_w").as("_wb"))
     l.join(r, Seq("_blk"))
       .filter(col("a") < col("b"))
-      .withColumn("_wa", words(col("ta")))
-      .withColumn("_wb", words(col("tb")))
       .withColumn("jaccard",
         round(size(array_intersect(col("_wa"), col("_wb"))).cast("double") /
           size(array_union(col("_wa"), col("_wb"))), 4))

@@ -60,23 +60,35 @@ object MultimodalOps {
     */
   def frameSampleOffsets(assets: DataFrame, step: Int): DataFrame =
     assets.select(col("asset_id"), col("meta.n_bytes").as("n_bytes"))
+      // empty payloads sample zero frames; sequence(0, -1) would throw
       .withColumn("frame_off",
-        explode(sequence(lit(0L), col("n_bytes") - 1, lit(step.toLong))))
+        explode(when(col("n_bytes") > 0,
+          sequence(lit(0L), col("n_bytes") - 1, lit(step.toLong)))
+          .otherwise(array().cast("array<bigint>"))))
       .withColumn("frame_id",
         md5(concat(col("asset_id"), lit(":"), col("frame_off"))))
 
-  /** Deterministic fake "decode": 8 doubles derived from the md5 of the
+  /** The single stub "decode" kernel: 8 doubles from the md5 of the
     * payload — the shape a real `decode(bytes) -> features` kernel would
-    * return. Clearly a stub; swap for a codec-backed kernel in prod.
+    * return. Shared by the UDF and the batched path so the two cannot
+    * drift; swap for a codec-backed kernel in prod.
+    */
+  private[operators] def stubFeatures(
+      md: java.security.MessageDigest, bytes: Array[Byte]): Array[Double] =
+    if (bytes == null) null
+    else {
+      md.reset()
+      val h = md.digest(bytes)
+      (0 until 8).map(i =>
+        ((h(2 * i) & 0xff) * 256 + (h(2 * i + 1) & 0xff)) / 65535.0).toArray
+    }
+
+  /** Row-at-a-time UDF form of the stub decode (the batched
+    * [[decodeFeatures]] is the production shape).
     */
   val decodeStub: org.apache.spark.sql.expressions.UserDefinedFunction =
     udf { (bytes: Array[Byte]) =>
-      if (bytes == null) null
-      else {
-        val h = java.security.MessageDigest.getInstance("MD5").digest(bytes)
-        (0 until 8).map(i =>
-          ((h(2 * i) & 0xff) * 256 + (h(2 * i + 1) & 0xff)) / 65535.0).toArray
-      }
+      stubFeatures(java.security.MessageDigest.getInstance("MD5"), bytes)
     }
 
   /** Batched decode over partitions: iterator-to-iterator (no
@@ -91,16 +103,7 @@ object MultimodalOps {
       // per-partition "codec" init happens here (stubbed)
       val md = java.security.MessageDigest.getInstance("MD5")
       it.map { r =>
-        val bytes = r.getAs[Array[Byte]]("content")
-        val feats: Array[Double] =
-          if (bytes == null) null
-          else {
-            md.reset()
-            val h = md.digest(bytes)
-            (0 until 8).map(i =>
-              ((h(2 * i) & 0xff) * 256 + (h(2 * i + 1) & 0xff)) / 65535.0)
-              .toArray
-          }
+        val feats = stubFeatures(md, r.getAs[Array[Byte]]("content"))
         Row.fromSeq(r.toSeq :+ feats)
       }
     }(enc)

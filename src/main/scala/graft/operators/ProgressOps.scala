@@ -25,7 +25,7 @@ object ProgressOps {
     val obs = Observation(name)
     val metrics = Seq(
       count(lit(1)).as("rows")) ++
-      (if (df.columns.contains("yearMin"))
+      (if (df.columns.contains("yearMin") && df.columns.contains("yearMax"))
          Seq(approx_count_distinct(col("yearMin")).as("years"),
              min(col("yearMin")).as("min_year"),
              max(col("yearMax")).as("max_year"))

@@ -91,15 +91,21 @@ object TextAnalysisOps {
 
   /** Sliding-window token chunking (LLM training prep): split each
     * document into chunks of `chunkSize` tokens every `stride` tokens
-    * (overlap = chunkSize - stride). Pure narrow plan: one row-local
-    * sequence of window starts, one posexplode — no shuffle, scales
-    * linearly, and chunk ids are deterministic (0-based window index).
+    * (overlap = chunkSize - stride). EVERY token lands in at least one
+    * chunk: the number of windows is ceil((n - size)/stride) + 1, so the
+    * final window is emitted (shorter than `chunkSize` when the length
+    * isn't stride-aligned) rather than silently dropping the tail.
+    * Pure narrow plan: one row-local sequence of window starts, one
+    * posexplode — no shuffle, scales linearly, and chunk ids are
+    * deterministic (0-based window index).
     */
   def chunk(df: DataFrame, idCol: String, textCol: String,
             chunkSize: Int, stride: Int): DataFrame = {
     val w = split(col(textCol), " ")
-    val starts = sequence(lit(1),
-      greatest(size(w) - chunkSize + 1, lit(1)), lit(stride))
+    val nChunks = greatest(lit(1),
+      floor((size(w) - chunkSize + stride - 1).cast("double") / stride)
+        .cast("int") + 1)
+    val starts = sequence(lit(1), (nChunks - 1) * stride + 1, lit(stride))
     df.select(col(idCol), w.as("_w"),
         posexplode(starts).as(Seq("chunk_id", "_st")))
       .select(col(idCol), col("chunk_id"),

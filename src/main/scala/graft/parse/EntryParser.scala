@@ -34,13 +34,13 @@ object EntryParser {
     "row", "alley", "bowery", "blvd", "boulevard", "ter", "terrace",
     "dr", "drive", "pk", "park", "slip", "wharf", "pier", "mkt", "market")
 
-  private val houseNumRe = "^\\d+[\\s,].*".r
+  private val houseNumRe = "^\\d+([\\s,].*)?$".r
   private val homeMarkerRe = "^(h|r|h\\.|r\\.)\\s+\\d.*".r
 
   def isAddress(segment: String): Boolean = {
     val s = segment.trim.toLowerCase
     if (s.isEmpty) false
-    else if (s.matches("^\\d+\\s.*") || s.matches("^\\d+$")) true
+    else if (houseNumRe.pattern.matcher(s).matches) true
     else if (homeMarkerRe.pattern.matcher(s).matches) true
     else {
       val lastWord = s.split("[\\s.]+").lastOption.getOrElse("")

@@ -43,6 +43,7 @@ object PipeParser {
         // FIFO queue of in-flight records (entry-parser.js `objectQueue`);
         // the writer thread owns stdin, the task thread owns stdout.
         val queue = new java.util.concurrent.LinkedBlockingQueue[T]()
+        @volatile var writerError: Throwable = null
         val writer = new Thread(() => {
           try {
             it.foreach { rec =>
@@ -50,7 +51,15 @@ object PipeParser {
               stdin.write(extract(rec)); stdin.write('\n')
             }
             stdin.flush()
-          } finally stdin.close() // _flush closes stdin (entry-parser.js:86-89)
+          } catch {
+            // a dead process breaks the pipe mid-write; remember it so
+            // the task thread can fail loudly instead of yielding a
+            // truncated partition
+            case t: Throwable => writerError = t
+          } finally {
+            try stdin.close() // _flush closes stdin (entry-parser.js:86-89)
+            catch { case _: java.io.IOException => }
+          }
         })
         writer.setDaemon(true)
         writer.start()
@@ -58,19 +67,35 @@ object PipeParser {
           private var nextLine: String = stdout.readLine()
           override def hasNext: Boolean = {
             if (nextLine == null) {
+              // writer.join() first: queue contents aren't final until
+              // the writer thread is done (an immediately-dying process
+              // can EOF stdout before the writer ran at all — checking
+              // the queue without joining would silently drop the
+              // partition's records)
+              writer.join()
               proc.waitFor(); stdout.close()
               // a process that died mid-stream would otherwise silently
               // drop its in-flight records — the reference treats an
               // unwritable parser as an error (entry-parser.js:82)
-              if (!queue.isEmpty)
+              if (writerError != null || !queue.isEmpty)
                 throw new IllegalStateException(
                   s"external parser exited with ${proc.exitValue()} " +
-                    s"leaving ${queue.size()} record(s) unanswered")
+                    s"leaving ${queue.size()} record(s) unanswered" +
+                    (if (writerError != null) s" (writer: $writerError)"
+                     else ""))
             }
             nextLine != null
           }
           override def next(): (T, String) = {
-            val rec = queue.take() // strict FIFO pairing
+            // the record for output line N is enqueued before line N is
+            // written to stdin, so a well-behaved process can never get
+            // ahead of the queue; a bounded poll turns a misbehaving
+            // process (more output lines than inputs) into an error
+            // instead of a hung task
+            val rec = queue.poll(60, java.util.concurrent.TimeUnit.SECONDS)
+            if (rec == null)
+              throw new IllegalStateException(
+                "external parser emitted more output lines than inputs")
             val out = (rec, nextLine)
             nextLine = stdout.readLine()
             out

@@ -202,9 +202,13 @@ object TextQueries {
          FROM n GROUP BY source""",
     "tx7_chunking" ->
       """WITH s AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
+         c AS (SELECT doc_id, w,
+                 greatest(1, floor((len(w) - 32 + 23)::DOUBLE / 24)::INT + 1)
+                   AS nc
+               FROM s),
          st AS (SELECT doc_id, w,
-                  unnest(range(1, greatest(len(w) - 31, 1) + 1, 24)) AS st
-                FROM s)
+                  unnest(range(1, (nc - 1) * 24 + 2, 24)) AS st
+                FROM c)
          SELECT doc_id, ((st - 1) // 24)::INT AS chunk_id,
            array_to_string(w[st:st+31], ' ') AS chunk_text,
            least(32, len(w) - st + 1)::INT AS chunk_tokens

@@ -57,9 +57,12 @@ object Hocr {
     }
   }
 
+  // &amp; must be unescaped LAST: doing it first turns a literal
+  // "&amp;lt;" into "&lt;" and then (wrongly) into "<"
   private def unescape(s: String): String =
-    s.replace("&amp;", "&").replace("&lt;", "<").replace("&gt;", ">")
+    s.replace("&lt;", "<").replace("&gt;", ">")
       .replace("&quot;", "\"").replace("&#39;", "'")
+      .replace("&amp;", "&")
 
   /** Detect `columnCount` columns from the distribution of line left edges
     * and assign each line a column index.

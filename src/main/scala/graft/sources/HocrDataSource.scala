@@ -113,9 +113,21 @@ class HocrScan(path: String, pushed: Array[Filter], required: StructType)
     case _ => true
   }
 
+  /** The session's Hadoop configuration, captured at plan time on the
+    * driver and shipped to readers as plain entries — a bare
+    * `new Configuration()` would drop credentials/endpoint/defaultFS
+    * settings (s3a etc.) configured via spark.hadoop.*.
+    */
+  private lazy val hadoopConfEntries: Map[String, String] = {
+    import scala.jdk.CollectionConverters._
+    org.apache.spark.sql.SparkSession.active
+      .sessionState.newHadoopConf()
+      .iterator().asScala.map(e => e.getKey -> e.getValue).toMap
+  }
+
   override def planInputPartitions(): Array[InputPartition] = {
     val hPath = new Path(path)
-    val fs = hPath.getFileSystem(new Configuration())
+    val fs = hPath.getFileSystem(HocrDataSourceConf.toConf(hadoopConfEntries))
     val files = fs.globStatus(new Path(hPath, "*.tar.gz"))
     if (files == null) Array.empty
     else files.iterator
@@ -138,27 +150,37 @@ class HocrScan(path: String, pushed: Array[Filter], required: StructType)
         lo = math.max(lo, v.toInt); hi = math.min(hi, v.toInt)
       case _ =>
     }
-    HocrReaderFactory(lo, hi, required.fieldNames)
+    HocrReaderFactory(lo, hi, required.fieldNames, hadoopConfEntries)
+  }
+}
+
+object HocrDataSourceConf {
+  def toConf(entries: Map[String, String]): Configuration = {
+    val c = new Configuration(false)
+    entries.foreach { case (k, v) => c.set(k, v) }
+    c
   }
 }
 
 case class HocrPartition(file: String, uuid: String) extends InputPartition
 
-case class HocrReaderFactory(lo: Int, hi: Int, fields: Array[String])
+case class HocrReaderFactory(lo: Int, hi: Int, fields: Array[String],
+                             confEntries: Map[String, String])
     extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] =
-    new HocrPartitionReader(p.asInstanceOf[HocrPartition], lo, hi, fields)
+    new HocrPartitionReader(p.asInstanceOf[HocrPartition], lo, hi, fields,
+      confEntries)
 }
 
 /** Streams one archive; memory bounded by a single entry. */
 class HocrPartitionReader(p: HocrPartition, lo: Int, hi: Int,
-                          fields: Array[String])
+                          fields: Array[String],
+                          confEntries: Map[String, String])
     extends PartitionReader[InternalRow] {
 
-  private val needHocr = fields.contains("hocr")
   private val in = {
     val hPath = new Path(p.file)
-    val fs = hPath.getFileSystem(new Configuration())
+    val fs = hPath.getFileSystem(HocrDataSourceConf.toConf(confEntries))
     new TarArchiveInputStream(new GzipCompressorInputStream(fs.open(hPath)))
   }
   private var row: InternalRow = _

@@ -126,9 +126,11 @@ object StreamingOps {
           val (n, tot) = it.foldLeft((prev.n, prev.total)) {
             case ((c, t), e) => (c + 1, t + e.value)
           }
-          val next = UserTotal(uid, n, math.rint(tot * 100) / 100)
-          st.update(next)
-          next
+          // state keeps the UNROUNDED total (rounding the accumulator
+          // each micro-batch would permanently discard sub-cent value);
+          // rounding happens only on the emitted row
+          st.update(UserTotal(uid, n, tot))
+          UserTotal(uid, n, math.rint(tot * 100) / 100)
       }.toDF()
   }
 

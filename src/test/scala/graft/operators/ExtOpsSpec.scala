@@ -236,17 +236,20 @@ class ExtOpsSpec extends SparkSpec {
     assert(t(1L) == 3 && t(2L) == 0)
   }
 
-  test("chunk: full windows at stride; short tail only when doc < size; tiny doc one chunk") {
+  test("chunk: every token covered; short tail window when unaligned; tiny doc one chunk") {
     val docs = Seq(
-      (1L, (1 to 10).map(i => s"w$i").mkString(" ")),
-      (2L, "a b")).toDF("doc_id", "text")
+      (1L, (1 to 10).map(i => s"w$i").mkString(" ")), // aligned: n-size % stride == 0
+      (2L, "a b"),                                    // shorter than one window
+      (3L, "a b c d e")).toDF("doc_id", "text")       // unaligned: tail window
     val out = TextAnalysisOps.chunk(docs, "doc_id", "text", 4, 3)
       .as[(Long, Int, String, Int)].collect().toSet
     assert(out == Set(
       (1L, 0, "w1 w2 w3 w4", 4),
       (1L, 1, "w4 w5 w6 w7", 4),
       (1L, 2, "w7 w8 w9 w10", 4),
-      (2L, 0, "a b", 2)))
+      (2L, 0, "a b", 2),
+      (3L, 0, "a b c d", 4),
+      (3L, 1, "d e", 2))) // token e would be lost without the tail window
   }
 
   test("contamination counts eval-set shingle hits per train doc") {
