@@ -28,6 +28,13 @@ object Tables {
     * default: read it as a raw ns long (legacy conf) and convert to a µs
     * timestamp at the source boundary (integer `div` — a double division
     * would lose precision above 2^53 ns).
+    *
+    * KNOWN SIDE EFFECT: the legacy conf is session-wide, so any later
+    * TIMESTAMP(NANOS) parquet read in the same session also gets raw
+    * longs. Acceptable here (the ns-typed events table is the only such
+    * input and every consumer goes through this loader, converting at
+    * the boundary); a production deployment would set the conf at
+    * session build instead of inside a loader.
     */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -32,11 +32,16 @@ case class CosineF32(left: Expression, right: Expression)
         s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
   }
   override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true // ragged pair → null
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    // length mismatch → null, exactly like the HOF kernel (zip_with
+    // pads the shorter side with nulls, nulling the whole fold) — a
+    // truncated prefix similarity would be a silent wrong answer
+    if (x.numElements() != y.numElements()) return null
+    val n = x.numElements()
     var dot = 0.0f; var na = 0.0f; var nb = 0.0f
     var i = 0
     while (i < n) {
@@ -58,16 +63,20 @@ case class CosineF32(left: Expression, right: Expression)
       val xi = ctx.freshName("xi")
       val yi = ctx.freshName("yi")
       s"""
-        int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-        float $dot = 0.0f; float $na = 0.0f; float $nb = 0.0f;
-        for (int $i = 0; $i < $n; $i++) {
-          float $xi = $a.getFloat($i);
-          float $yi = $b.getFloat($i);
-          $dot += $xi * $yi; $na += $xi * $xi; $nb += $yi * $yi;
+        if ($a.numElements() != $b.numElements()) {
+          ${ev.isNull} = true;
+        } else {
+          int $n = $a.numElements();
+          float $dot = 0.0f; float $na = 0.0f; float $nb = 0.0f;
+          for (int $i = 0; $i < $n; $i++) {
+            float $xi = $a.getFloat($i);
+            float $yi = $b.getFloat($i);
+            $dot += $xi * $yi; $na += $xi * $xi; $nb += $yi * $yi;
+          }
+          ${ev.value} = (double)($dot /
+            ((float) java.lang.Math.sqrt((double) $na) *
+             (float) java.lang.Math.sqrt((double) $nb)));
         }
-        ${ev.value} = (double)($dot /
-          ((float) java.lang.Math.sqrt((double) $na) *
-           (float) java.lang.Math.sqrt((double) $nb)));
       """
     })
 

@@ -202,37 +202,46 @@ object MinhashSig {
 
   private val hexDigits = "0123456789abcdef".toCharArray
 
+  /** Running minima over the NON-NULL elements; null when none exist —
+    * matching the staged pipeline, where a null shingle hashes to null
+    * and `array_min` skips nulls (the SQL-registered form can legally
+    * receive arrays with null elements).
+    */
   private def mins(arr: ArrayData, numPerm: Int): Array[Long] = {
     val n = arr.numElements()
     val out = Array.fill(numPerm)(Long.MaxValue)
     val md = mdLocal.get()
+    var seen = false
     var j = 0
     while (j < n) {
-      md.reset()
-      val digest = md.digest(arr.getUTF8String(j).getBytes)
-      // top 60 bits = the 15-hex-char prefix: bytes 0..6 + high nibble
-      // of byte 7 — exactly conv(substr(md5(s),1,15),16,10)
-      var x = 0L
-      var b = 0
-      while (b < 7) { x = (x << 8) | (digest(b) & 0xffL); b += 1 }
-      x = ((x << 4) | ((digest(7) & 0xf0L) >>> 4)) % P
-      var i = 0
-      while (i < numPerm) {
-        val h = ((i * 1000003L + 12345L) * x + i * 999983L + 54321L) % P
-        if (h < out(i)) out(i) = h
-        i += 1
+      if (!arr.isNullAt(j)) {
+        seen = true
+        md.reset()
+        val digest = md.digest(arr.getUTF8String(j).getBytes)
+        // top 60 bits = the 15-hex-char prefix: bytes 0..6 + high nibble
+        // of byte 7 — exactly conv(substr(md5(s),1,15),16,10)
+        var x = 0L
+        var b = 0
+        while (b < 7) { x = (x << 8) | (digest(b) & 0xffL); b += 1 }
+        x = ((x << 4) | ((digest(7) & 0xf0L) >>> 4)) % P
+        var i = 0
+        while (i < numPerm) {
+          val h = ((i * 1000003L + 12345L) * x + i * 999983L + 54321L) % P
+          if (h < out(i)) out(i) = h
+          i += 1
+        }
       }
       j += 1
     }
-    out
+    if (seen) out else null
   }
 
   /** One-pass signature; called from both interpreted eval and codegen.
-    * Returns null for an empty shingle array (no minimum exists).
+    * Returns null when no non-null shingle exists (no minimum exists).
     */
   def compute(arr: ArrayData, numPerm: Int): ArrayData = {
-    if (arr.numElements() == 0) return null
-    new GenericArrayData(mins(arr, numPerm))
+    val m = mins(arr, numPerm)
+    if (m == null) null else new GenericArrayData(m)
   }
 
   /** Fold one reduced shingle hash into all running minima. */
@@ -280,9 +289,10 @@ object MinhashSig {
 
   /** Signature + band md5s in one pass (see [[MinhashBandsExpr]]). */
   def computeBands(arr: ArrayData, numPerm: Int, bands: Int): ArrayData = {
-    if (arr.numElements() == 0) return null
-    new GenericArrayData(
-      bandHexes(mins(arr, numPerm), numPerm, bands).asInstanceOf[Array[Any]])
+    val m = mins(arr, numPerm)
+    if (m == null) null
+    else new GenericArrayData(
+      bandHexes(m, numPerm, bands).asInstanceOf[Array[Any]])
   }
 
   /** Raw text → k-shingle minhash band hashes, no intermediate arrays

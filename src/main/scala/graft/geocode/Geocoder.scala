@@ -37,45 +37,56 @@ object Geocoder {
     * abbreviations. Pure Column ops — codegen'd, usable on both the
     * dimension and the fact side so the two agree.
     */
+  /** SINGLE source of truth for the normalization rules — the Column and
+    * String implementations below both derive from these, so the
+    * broadcast-map path and the join path can never normalize the same
+    * address differently (the property spec asserts their agreement).
+    */
+  private val punctRe = "[.,;:']"
+  private val homeMarkerRe = "^[hr] +"
+  private val abbreviations: Seq[(String, String)] = Seq(
+    "av" -> "avenue", "ave" -> "avenue", "st" -> "street",
+    "bway" -> "broadway", "pl" -> "place", "rd" -> "road",
+    "la" -> "lane", "ct" -> "court", "sq" -> "square",
+    "w" -> "west", "e" -> "east", "n" -> "north", "s" -> "south")
+
   def normalizeAddress(c: Column): Column = {
     val lowered = lower(trim(c))
-    val noPunct = regexp_replace(lowered, "[.,;:']", "")
+    val noPunct = regexp_replace(lowered, punctRe, "")
     // leading h/r home-markers ("h 19 Pearl st") are not part of the address
-    val noMarker = regexp_replace(noPunct, "^[hr] +", "")
-    val expanded = Seq(
-      "\\bav\\b" -> "avenue", "\\bave\\b" -> "avenue",
-      "\\bst\\b" -> "street", "\\bbway\\b" -> "broadway",
-      "\\bpl\\b" -> "place", "\\brd\\b" -> "road",
-      "\\bla\\b" -> "lane", "\\bct\\b" -> "court",
-      "\\bsq\\b" -> "square", "\\bw\\b" -> "west",
-      "\\be\\b" -> "east", "\\bn\\b" -> "north", "\\bs\\b" -> "south"
-    ).foldLeft(noMarker) { case (col, (re, to)) =>
-      regexp_replace(col, re, to)
+    val noMarker = regexp_replace(noPunct, homeMarkerRe, "")
+    val expanded = abbreviations.foldLeft(noMarker) {
+      case (col, (ab, full)) => regexp_replace(col, s"\\b$ab\\b", full)
     }
     regexp_replace(expanded, "\\s+", " ")
   }
 
   def normalizeAddress(s: String): String = {
-    var x = s.trim.toLowerCase.replaceAll("[.,;:']", "")
-      .replaceAll("^[hr] +", "")
-    Seq("av" -> "avenue", "ave" -> "avenue", "st" -> "street",
-        "bway" -> "broadway", "pl" -> "place", "rd" -> "road",
-        "la" -> "lane", "ct" -> "court", "sq" -> "square",
-        "w" -> "west", "e" -> "east", "n" -> "north", "s" -> "south")
-      .foreach { case (ab, full) => x = x.replaceAll(s"\\b$ab\\b", full) }
+    var x = s.trim.toLowerCase.replaceAll(punctRe, "")
+      .replaceAll(homeMarkerRe, "")
+    abbreviations.foreach { case (ab, full) =>
+      x = x.replaceAll(s"\\b$ab\\b", full)
+    }
     x.replaceAll("\\s+", " ")
   }
 
-  /** Build the broadcast lookup index from the dimension table. */
+  /** Build the broadcast lookup index from the dimension table.
+    * Duplicate normalizedKeys resolve deterministically to the MIN
+    * addressId — the same rule the join variant applies, so the two
+    * paths agree on ambiguous dimensions.
+    */
   def buildIndex(spark: SparkSession, dim: Dataset[GeoAddress])
       : Broadcast[Map[String, GeoResult]] = {
-    val entries = dim.collect().map { a =>
-      a.normalizedKey -> GeoResult(
-        GeoProperties(
-          address = GeoRef(a.addressId, a.addressName),
-          street = GeoRef(a.streetId, a.streetName)),
-        a.geometry)
-    }.toMap
+    val entries = dim.collect()
+      .groupBy(_.normalizedKey)
+      .map { case (key, as) =>
+        val a = as.minBy(_.addressId)
+        key -> GeoResult(
+          GeoProperties(
+            address = GeoRef(a.addressId, a.addressName),
+            street = GeoRef(a.streetId, a.streetName)),
+          a.geometry)
+      }
     spark.sparkContext.broadcast(entries)
   }
 
@@ -130,13 +141,17 @@ object Geocoder {
     */
   def buildFuzzyIndex(spark: SparkSession, dim: Dataset[GeoAddress])
       : Broadcast[(Map[String, GeoResult], Map[String, Seq[(String, GeoResult)]])] = {
-    val entries = dim.collect().map { a =>
-      a.normalizedKey -> GeoResult(
-        GeoProperties(
-          address = GeoRef(a.addressId, a.addressName),
-          street = GeoRef(a.streetId, a.streetName)),
-        a.geometry)
-    }
+    // duplicate keys → min addressId, same rule as buildIndex
+    val entries = dim.collect()
+      .groupBy(_.normalizedKey)
+      .map { case (key, as) =>
+        val a = as.minBy(_.addressId)
+        key -> GeoResult(
+          GeoProperties(
+            address = GeoRef(a.addressId, a.addressName),
+            street = GeoRef(a.streetId, a.streetName)),
+          a.geometry)
+      }.toSeq
     val exact = entries.toMap
     val byNumber = entries.groupBy { case (key, _) =>
       key.takeWhile(_.isDigit)
@@ -192,7 +207,15 @@ object Geocoder {
         posexplode(expr(s"transform($locationsCol, l -> l.value)"))
           .as(Seq("_pos", "_addr")))
       .withColumn("_key", normalizeAddress(col("_addr")))
-    val dimKeyed = dim.select(
+    // duplicate normalizedKeys would fan the join out and break the
+    // 1:1 geocoded/locations alignment — resolve to min addressId, the
+    // same deterministic rule the broadcast index applies
+    val dedupWindow = org.apache.spark.sql.expressions.Window
+      .partitionBy("normalizedKey").orderBy("addressId")
+    val dimDeduped = dim
+      .withColumn("_rk", row_number().over(dedupWindow))
+      .filter(col("_rk") === 1).drop("_rk")
+    val dimKeyed = dimDeduped.select(
       col("normalizedKey").as("_key"),
       struct(
         struct(

@@ -272,18 +272,9 @@ object DedupOps {
     */
   def embeddingPairs(df: DataFrame, threshold: Double, bits: Int = 4,
                      idCol: String = "vec_id",
-                     vecCol: String = "embedding"): DataFrame = {
-    import graft.functions.CosineF32.cosineF32Native
-    val b = df.select(col(idCol).as("_id"), col(vecCol).as("_v"),
-      SimilarityOps.signBucket(col(vecCol), bits).as("_bkt"))
-    val l = b.select(col("_bkt"), col("_id").as("a"), col("_v").as("va"))
-    val r = b.select(col("_bkt"), col("_id").as("b"), col("_v").as("vb"))
-    l.join(r, Seq("_bkt"))
-      .filter(col("a") < col("b"))
-      .withColumn("sim", round(cosineF32Native(col("va"), col("vb")), 4))
-      .filter(col("sim") >= threshold)
-      .select("a", "b", "sim")
-  }
+                     vecCol: String = "embedding"): DataFrame =
+    SimilarityOps.lshBucketed(df, threshold, bits, idCol, vecCol,
+      kernel = graft.functions.CosineF32.cosineF32Native)
 
   /** Embedding-cosine near-dup DEDUP: drop every vector that has a
     * near-duplicate (cosine >= threshold, within its LSH bucket) with a

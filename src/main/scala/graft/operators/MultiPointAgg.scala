@@ -21,28 +21,43 @@ import graft.model.Geometry
   * Use: `ds.groupByKey(_.personId).agg(MultiPointAgg.toColumn)` or via
   * `agg(MultiPointAgg.asColumn("geom"))` on a typed Dataset[Geometry].
   */
+/** Aggregation buffer: (geometry count, type of the sole geometry so
+  * far, coordinates) — the count and type are carried so a single input
+  * geometry is returned UNCHANGED (a one-coordinate MultiPoint stays a
+  * MultiPoint), exactly the reference's three-way rule.
+  */
+final case class MultiPointBuf(n: Long, soleType: Option[String],
+                               coords: Seq[Seq[Double]])
+
 object MultiPointAgg
-    extends Aggregator[Option[Geometry], Seq[Seq[Double]], Option[Geometry]] {
+    extends Aggregator[Option[Geometry], MultiPointBuf, Option[Geometry]] {
+  type Buf = MultiPointBuf
+  private def Buf(n: Long, soleType: Option[String],
+                  coords: Seq[Seq[Double]]): MultiPointBuf =
+    MultiPointBuf(n, soleType, coords)
 
-  override def zero: Seq[Seq[Double]] = Vector.empty
+  override def zero: Buf = Buf(0L, None, Vector.empty)
 
-  override def reduce(buf: Seq[Seq[Double]],
-                      g: Option[Geometry]): Seq[Seq[Double]] = g match {
-    case Some(geo) if geo.coordinates != null => buf ++ geo.coordinates
+  override def reduce(buf: Buf, g: Option[Geometry]): Buf = g match {
+    case Some(geo) if geo.coordinates != null =>
+      Buf(buf.n + 1,
+        if (buf.n == 0) Some(geo.`type`) else None,
+        buf.coords ++ geo.coordinates)
     case _ => buf
   }
 
-  override def merge(a: Seq[Seq[Double]], b: Seq[Seq[Double]]): Seq[Seq[Double]] =
-    a ++ b
+  override def merge(a: Buf, b: Buf): Buf =
+    Buf(a.n + b.n,
+      if (a.n == 0) b.soleType else if (b.n == 0) a.soleType else None,
+      a.coords ++ b.coords)
 
-  override def finish(buf: Seq[Seq[Double]]): Option[Geometry] = buf.length match {
+  override def finish(buf: Buf): Option[Geometry] = buf.n match {
     case 0 => None
-    case 1 => Some(Geometry("Point", buf))
-    case _ => Some(Geometry("MultiPoint", buf))
+    case 1 => Some(Geometry(buf.soleType.getOrElse("Point"), buf.coords))
+    case _ => Some(Geometry("MultiPoint", buf.coords))
   }
 
-  override def bufferEncoder: Encoder[Seq[Seq[Double]]] =
-    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Seq[Double]]]()
+  override def bufferEncoder: Encoder[Buf] = Encoders.product[Buf]
 
   override def outputEncoder: Encoder[Option[Geometry]] =
     org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Option[Geometry]]()

@@ -152,18 +152,23 @@ object SimilarityOps {
   }
 
   /** Bucketed approximate similarity pairs: equi-join on the sign bucket,
-    * cosine + threshold within the bucket.
+    * cosine + threshold within the bucket. `kernel` selects the
+    * similarity implementation (default: double-precision HOF cosine;
+    * pass `functions.CosineF32.cosineF32Native` for the float32 native
+    * kernel) — there is ONE bucketed-pairs implementation, shared by
+    * `DedupOps.embeddingPairs`.
     */
   def lshBucketed(corpus: DataFrame, threshold: Double, bits: Int = 8,
                   idCol: String = "vec_id",
-                  vecCol: String = "embedding"): DataFrame = {
+                  vecCol: String = "embedding",
+                  kernel: (Column, Column) => Column = cosine): DataFrame = {
     val b = corpus.select(col(idCol).as("_id"), col(vecCol).as("_v"),
       signBucket(col(vecCol), bits).as("_bkt"))
     val l = b.select(col("_bkt"), col("_id").as("a"), col("_v").as("va"))
     val r = b.select(col("_bkt"), col("_id").as("b"), col("_v").as("vb"))
     l.join(r, Seq("_bkt"))
       .filter(col("a") < col("b"))
-      .withColumn("sim", round(cosine(col("va"), col("vb")), 4))
+      .withColumn("sim", round(kernel(col("va"), col("vb")), 4))
       .filter(col("sim") >= threshold)
       .select("a", "b", "sim")
   }

@@ -36,6 +36,13 @@ object PipeParser {
       else {
         val proc = new ProcessBuilder(cmd: _*)
           .redirectErrorStream(false).start()
+        // an abandoned partition iterator (limit/take, stage failure)
+        // would otherwise leak the process and its pipe buffers on a
+        // long-lived executor
+        Option(org.apache.spark.TaskContext.get()).foreach(
+          _.addTaskCompletionListener[Unit] { _ =>
+            if (proc.isAlive) proc.destroyForcibly()
+          })
         val stdin = new BufferedWriter(new OutputStreamWriter(
           proc.getOutputStream, StandardCharsets.UTF_8))
         val stdout = new BufferedReader(new InputStreamReader(

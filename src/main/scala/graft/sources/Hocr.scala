@@ -69,11 +69,13 @@ object Hocr {
     *
     * Algorithm (ours; the reference delegates to `hocr-detect-columns`):
     * sort lines by x0, split the x0 axis at the (columnCount-1) widest
-    * gaps; detection succeeds iff every resulting cluster is tight
-    * (width ≤ `tolerance` px). A line belongs to a column if its x0 is
-    * within `tolerance` of the cluster's left edge; indented lines
-    * (x0 deeper than that) get columnIndex = None, mirroring the
-    * reference's `columnIndex !== undefined` filter.
+    * gaps; detection succeeds iff each of those column breaks is a REAL
+    * gap (> `tolerance` px) — clusters themselves may be wide, because
+    * indented continuation lines legitimately sit deep inside a column.
+    * A line belongs to a column if its x0 is within `tolerance` of the
+    * cluster's left edge; indented lines (x0 deeper than that) get
+    * columnIndex = None, mirroring the reference's
+    * `columnIndex !== undefined` filter.
     *
     * Deterministic, O(n log n) per page, no state shared across pages —
     * embarrassingly parallel across a cluster.

@@ -58,8 +58,13 @@ object HocrArchive {
         col("content"))
     // availability filter (O-24) + metadata denormalization in one
     // broadcast join: the manifest is tiny relative to the archives.
+    // explicit named select before the tuple decode: positional decode
+    // of the join output would silently transpose fields if
+    // DirectoryMeta's declaration order ever changed
     val joined = archives
       .join(broadcast(manifest.toDF()), Seq("uuid"), "inner")
+      .select("uuid", "content", "yearMin", "yearMax",
+        "startPage", "endPage", "columnCount")
       .as[(String, Array[Byte], Int, Int, Int, Int, Int)]
     joined.flatMap { case (uuid, bytes, yMin, yMax, sp, ep, cc) =>
       readArchive(bytes, sp, ep).map { case (pageNum, imageId, pageUuid, hocr) =>

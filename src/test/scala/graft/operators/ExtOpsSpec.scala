@@ -298,7 +298,10 @@ class ExtOpsSpec extends SparkSpec {
       (1L, Option(Geometry("Point", Seq(Seq(1.0, 2.0))))),
       (1L, Option(Geometry("Point", Seq(Seq(3.0, 4.0))))),
       (2L, Option(Geometry("Point", Seq(Seq(5.0, 6.0))))),
-      (3L, Option.empty[Geometry]))
+      (3L, Option.empty[Geometry]),
+      // a SINGLE MultiPoint input must come back unchanged, not be
+      // relabeled Point because it happens to hold one coordinate
+      (4L, Option(Geometry("MultiPoint", Seq(Seq(7.0, 8.0))))))
     val ds = spark.createDataset(rows)(
       org.apache.spark.sql.Encoders.product[(Long, Option[Geometry])])
     val out = ds.groupByKey(_._1)
@@ -311,6 +314,7 @@ class ExtOpsSpec extends SparkSpec {
       Set(Seq(1.0, 2.0), Seq(3.0, 4.0)))
     assert(out(2L).contains(Geometry("Point", Seq(Seq(5.0, 6.0)))))
     assert(out(3L).isEmpty)
+    assert(out(4L).contains(Geometry("MultiPoint", Seq(Seq(7.0, 8.0)))))
   }
 
   test("packBins fills fixed-budget bins in id order per stratum") {
