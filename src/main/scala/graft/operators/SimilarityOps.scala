@@ -115,15 +115,15 @@ object SimilarityOps {
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
               nList: Int, nProbe: Int, idCol: String = "vec_id",
               vecCol: String = "embedding"): DataFrame = {
-    // 1. centroids: seed cells by id hash, then per-dimension mean
-    val assigned0 = corpus.select(
-      (abs(hash(col(idCol))) % nList).as("_cell"),
-      posexplode(col(vecCol)).as(Seq("_pos", "_x")))
-    val centroids = assigned0.groupBy("_cell", "_pos")
-      .agg(avg(col("_x")).cast("float").as("_cx"))
+    // 1. centroids: seed cells by id hash, then per-dimension mean via
+    // the VectorMeanAgg buffer — one keyed partial agg (no posexplode
+    // fan-out into dim × rows, no second re-collect shuffle)
+    val centroids = corpus
+      .select((abs(hash(col(idCol))) % nList).as("_cell"), col(vecCol))
       .groupBy("_cell")
-      .agg(transform(array_sort(collect_list(struct(col("_pos"), col("_cx")))),
-        p => p.getField("_cx")).as("_cvec"))
+      .agg(VectorMeanAgg.vecMean(col(vecCol)).as("_cmean"))
+      .select(col("_cell"),
+        transform(col("_cmean"), x => x.cast("float")).as("_cvec"))
     // 2. assign every corpus vector to its nearest centroid. Top-1 via
     // the custom heap-based TopKPerKey operator — the window row_number
     // formulation exchanges AND fully sorts every (vector × centroid)

@@ -76,6 +76,17 @@ object SimilarityQueries {
         nList = 8, nProbe = 3)
     }),
 
+    // Per-label embedding centroids via the VectorMeanAgg buffer (one
+    // keyed partial agg; only group buffers cross the shuffle).
+    "ss6_label_centroids" -> ((s, d) => {
+      embeddings(s, d)
+        .groupBy("label")
+        .agg(graft.operators.VectorMeanAgg.vecMean(col("embedding"))
+          .as("_c"), count(lit(1)).as("n"))
+        .select(col("label"), col("n"),
+          transform(col("_c"), x => round(x, 4)).as("centroid"))
+    }),
+
     // Per-label centroid-free stats: dot-product norms per label bucket —
     // exercises the vector kernel inside an aggregation.
     "ss4_norm_stats" -> ((s, d) => {
@@ -120,6 +131,18 @@ object SimilarityQueries {
            round(list_cosine_similarity(l.embedding, r.embedding)::DOUBLE, 4) AS sim
          FROM b l JOIN b r ON l.bkt = r.bkt AND l.vec_id < r.vec_id
          WHERE round(list_cosine_similarity(l.embedding, r.embedding)::DOUBLE, 4) >= 0.2""",
+    "ss6_label_centroids" ->
+      """WITH u AS (
+           SELECT label, unnest(embedding) AS x,
+             generate_subscripts(embedding, 1) AS pos
+           FROM embeddings),
+         m AS (SELECT label, pos,
+                 round(sum(x::DOUBLE) / count(*), 4) AS mx
+               FROM u GROUP BY label, pos)
+         SELECT label,
+           (SELECT count(*) FROM embeddings e WHERE e.label = m.label) AS n,
+           list(mx ORDER BY pos) AS centroid
+         FROM m GROUP BY label""",
     "ss4_norm_stats" ->
       """SELECT label, count(*) AS n,
            round(sum(list_cosine_similarity(embedding, embedding)), 2) AS sum_self_sim

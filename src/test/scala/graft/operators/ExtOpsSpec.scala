@@ -292,6 +292,20 @@ class ExtOpsSpec extends SparkSpec {
     assert(half.count() > 0 && half.count() < 50)
   }
 
+  test("VectorMeanAgg: element-wise mean, null/ragged rows skipped") {
+    val vecs = Seq(
+      (1L, Array(1f, 2f)), (1L, Array(3f, 6f)),
+      (2L, Array(10f, 20f)),
+      (2L, null.asInstanceOf[Array[Float]]),
+      (2L, Array(1f, 2f, 3f)) // ragged → skipped
+    ).toDF("grp", "v")
+    val out = vecs.groupBy("grp")
+      .agg(VectorMeanAgg.vecMean(col("v")).as("m"))
+      .as[(Long, Seq[Double])].collect().toMap
+    assert(out(1L) == Seq(2.0, 4.0))
+    assert(out(2L) == Seq(10.0, 20.0))
+  }
+
   test("MultiPointAgg gathers geometries across rows with partial-agg merge") {
     import graft.model.Geometry
     val rows = Seq(
