@@ -25,9 +25,12 @@ object PipeParser {
 
   /** Run `cmd` once per partition; yield (record, rawResultLine) pairs.
     * `extract` turns a record into the line written to the process.
+    * `drainTimeoutSec` bounds how long an output line may wait for its
+    * queued input record — only a misbehaving process (more output
+    * lines than inputs) ever hits it.
     */
-  def pipe[T](ds: Dataset[T], cmd: Seq[String])(extract: T => String)
-      : Dataset[(T, String)] = {
+  def pipe[T](ds: Dataset[T], cmd: Seq[String], drainTimeoutSec: Int = 60)(
+      extract: T => String): Dataset[(T, String)] = {
     implicit val enc: org.apache.spark.sql.Encoder[(T, String)] =
       org.apache.spark.sql.Encoders.tuple(
         ds.encoder, org.apache.spark.sql.Encoders.STRING)
@@ -99,7 +102,8 @@ object PipeParser {
             // ahead of the queue; a bounded poll turns a misbehaving
             // process (more output lines than inputs) into an error
             // instead of a hung task
-            val rec = queue.poll(60, java.util.concurrent.TimeUnit.SECONDS)
+            val rec = queue.poll(drainTimeoutSec.toLong,
+              java.util.concurrent.TimeUnit.SECONDS)
             if (rec == null)
               throw new IllegalStateException(
                 "external parser emitted more output lines than inputs")
