@@ -137,7 +137,9 @@ object SimilarityQueries {
              generate_subscripts(embedding, 1) AS pos
            FROM embeddings),
          m AS (SELECT label, pos,
-                 round(sum(x::DOUBLE) / count(*), 4) AS mx
+                 -- + 0 normalizes IEEE -0.0 (DuckDB round keeps the
+                 -- sign of a tiny negative mean; Spark's drops it)
+                 round(sum(x::DOUBLE) / count(*), 4) + 0 AS mx
                FROM u GROUP BY label, pos)
          SELECT label,
            (SELECT count(*) FROM embeddings e WHERE e.label = m.label) AS n,
