@@ -1,0 +1,133 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Randomized property tests (deterministic seed, batched so each
+  * property is O(1) Spark jobs) — the SURVEY §5 property suite:
+  * year-union invariants, chunk token coverage, rolling-hash model
+  * equality, generator/staged minhash equality on random corpora.
+  */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private val rnd = new scala.util.Random(20260812)
+
+  test("yearNorm: random year strings obey the union invariants") {
+    val samples: Seq[String] = Seq.fill(120) {
+      rnd.nextInt(4) match {
+        case 0 => (1700 + rnd.nextInt(400)).toString            // plain
+        case 1 => val y = 1700 + rnd.nextInt(400)               // split
+          s"$y/${(y + 1).toString.takeRight(2)}"
+        case 2 => s"  ${1700 + rnd.nextInt(400)}  "             // padded
+        case _ => Seq("", "junk", "n/a", "??", "18x5")(rnd.nextInt(5))
+      }
+    }
+    val out = samples.toDF("y")
+      .select(col("y"), CityDirOps.yearNorm(col("y")).as("yn"))
+      .select(col("y"), col("yn.yearMin"), col("yn.yearMax"))
+      .as[(String, Option[Int], Option[Int])].collect()
+    out.foreach { case (y, mn, mx) =>
+      val digitsLead = y.trim.takeWhile(_.isDigit)
+      if (digitsLead.isEmpty) assert(mn.isEmpty && mx.isEmpty, y)
+      else {
+        val base = digitsLead.toInt
+        assert(mn.contains(base), y)
+        val expectMax = if (y.contains("/")) base + 1 else base
+        assert(mx.contains(expectMax), y)
+        assert(mn.get <= mx.get, y)
+      }
+    }
+  }
+
+  test("chunk: every token covered exactly per the stride formula, texts are substrings") {
+    for ((size, stride) <- Seq((4, 3), (5, 5), (3, 1), (8, 2), (6, 4))) {
+      val docs = (0 until 12).map { i =>
+        val n = rnd.nextInt(20) // 0..19 tokens
+        (i.toLong, (1 to n).map(t => s"t$t").mkString(" "))
+      }
+      val byId = docs.toMap
+      val chunks = TextAnalysisOps.chunk(docs.toDF("doc_id", "text"),
+        "doc_id", "text", size, stride)
+        .as[(Long, Int, String, Int)].collect()
+      chunks.foreach { case (id, _, text, nTok) =>
+        assert(byId(id).contains(text), s"chunk not a substring: $text")
+        assert(text.split(" ", -1).length == nTok)
+      }
+      docs.foreach { case (id, text) =>
+        val tokens = text.split(" ", -1)
+        val covered = chunks.filter(_._1 == id)
+          .flatMap(c => c._3.split(" ", -1)).toSet
+        assert(tokens.toSet.subsetOf(covered),
+          s"size=$size stride=$stride doc=$id lost tokens")
+      }
+    }
+  }
+
+  test("rolling min-hash equals the BigInt model on random ASCII text") {
+    def model(s: String, w: Int): Option[Long] = {
+      val b = s.getBytes("UTF-8")
+      if (b.length < w) None
+      else Some((0 to b.length - w).map { j =>
+        (0 until w).map(t =>
+          BigInt(b(j + t) & 0xff) * BigInt(257).pow(w - 1 - t)).sum
+          .mod(BigInt(2147483647)).toLong
+      }.min)
+    }
+    val alphabet = "abcdefgh XYZ012.,"
+    val samples = (0 until 60).map { i =>
+      (i.toLong, Seq.fill(rnd.nextInt(40))(
+        alphabet(rnd.nextInt(alphabet.length))).mkString)
+    }
+    val native = samples.toDF("id", "text")
+      .select(col("id"),
+        graft.functions.RollingHash.rollingMinHash(col("text"), 8))
+      .as[(Long, Option[Long])].collect().toMap
+    samples.foreach { case (id, s) =>
+      assert(native(id) == model(s, 8), s"id=$id text='$s'")
+    }
+  }
+
+  test("whole-pipeline minhash generator equals staged HOF on random corpora") {
+    val words = Vector("alpha", "beta", "gamma", "", "δφ", "x1", "beta")
+    val docs = (0 until 40).map { i =>
+      (i.toLong, Seq.fill(rnd.nextInt(12))(
+        words(rnd.nextInt(words.length))).mkString(" "))
+    }
+    val df = docs.toDF("doc_id", "text")
+    val sh = DedupOps.shingles(col("text"), 3)
+    val staged = df.filter(size(sh) > 0)
+      .select(col("doc_id"), posexplode(DedupOps.lshBandHashes(
+        DedupOps.minhashSignature(DedupOps.shingleHashes(sh), 16), 4, 4))
+        .as(Seq("pos", "bh")))
+      .as[(Long, Int, String)].collect().toSet
+    val gen = df.select(col("doc_id"),
+      graft.functions.MinhashSig.minhashTextBandsGen(col("text"), 3, 16, 4))
+      .as[(Long, Int, String)].collect().toSet
+    assert(gen == staged)
+  }
+
+  test("mintId: null exactly when a component is missing/zero/empty") {
+    val rows = (0 until 80).map { i =>
+      val yMin = if (rnd.nextBoolean()) Some(1800 + rnd.nextInt(100)) else
+        if (rnd.nextBoolean()) Some(0) else None
+      val page = if (rnd.nextBoolean()) Some(rnd.nextInt(5)) else None
+      val bbox = rnd.nextInt(3) match {
+        case 0 => Some(Seq(1, 2, 3, 4))
+        case 1 => Some(Seq.empty[Int])
+        case _ => None
+      }
+      (i.toLong, yMin, page, bbox)
+    }
+    val out = rows.toDF("id", "ymin", "page", "bbox")
+      .select(col("id"), CityDirOps.mintId(col("ymin"), col("ymin"),
+        col("page"), col("bbox")).as("mid"))
+      .as[(Long, Option[String])].collect().toMap
+    rows.foreach { case (id, yMin, page, bbox) =>
+      val valid = yMin.exists(_ != 0) && page.exists(_ != 0) &&
+        bbox.exists(_.nonEmpty)
+      assert(out(id).isDefined == valid,
+        s"id=$id y=$yMin p=$page b=$bbox → ${out(id)}")
+    }
+  }
+}
