@@ -36,12 +36,14 @@ object CityDirQueries {
           col("yn.yearMin").as("year_min"), col("yn.yearMax").as("year_max"))
     }),
 
-    // O-23: interval CONTAINMENT filter on the normalized union.
+    // O-23: interval CONTAINMENT filter on the normalized union — via
+    // the fused native predicate (one parse per row; the declarative
+    // yearNorm+yearInterval form re-runs the regex tree per struct
+    // field in the substituted Filter; PropertySpec asserts equality).
     "cd2_interval_filter" -> ((s, d) => {
       orders(s, d)
-        .select(col("o_orderkey"), CityDirOps.yearNorm(yearStr).as("yn"))
-        .filter(CityDirOps.yearInterval(
-          col("yn.yearMin"), col("yn.yearMax"), Some(1995), Some(1996)))
+        .filter(graft.functions.YearInRange.yearInRange(
+          yearStr, Some(1995), Some(1996)))
         .select(col("o_orderkey"))
     }),
 

@@ -107,6 +107,35 @@ class PropertySpec extends SparkSpec {
     assert(gen == staged)
   }
 
+  test("native year_in_range equals the declarative yearNorm+yearInterval filter") {
+    val samples: Seq[String] = Seq.fill(150) {
+      rnd.nextInt(5) match {
+        case 0 => (1700 + rnd.nextInt(400)).toString
+        case 1 => val y = 1700 + rnd.nextInt(400)
+          s"$y/${(y + 1).toString.takeRight(2)}"
+        case 2 => s"  ${1700 + rnd.nextInt(400)} "
+        case 3 => Seq("", "junk", "/1850", "18/50x", "1850abc/51",
+          "1850xyz")(rnd.nextInt(6))
+        case _ => (1990 + rnd.nextInt(10)).toString +
+          (if (rnd.nextBoolean()) "/x" else "")
+      }
+    }
+    val df = samples.zipWithIndex.map { case (s, i) => (i.toLong, s) }
+      .toDF("id", "y")
+    for ((lo, hi) <- Seq((Some(1800), Some(1900)),
+      (Some(1995), Some(1996)), (None, Some(1850)), (Some(1993), None))) {
+      val declarative = df
+        .select(col("id"), CityDirOps.yearNorm(col("y")).as("yn"))
+        .filter(CityDirOps.yearInterval(
+          col("yn.yearMin"), col("yn.yearMax"), lo, hi))
+        .select("id").as[Long].collect().toSet
+      val native = df
+        .filter(graft.functions.YearInRange.yearInRange(col("y"), lo, hi))
+        .select("id").as[Long].collect().toSet
+      assert(native == declarative, s"bounds=($lo,$hi)")
+    }
+  }
+
   test("mintId: null exactly when a component is missing/zero/empty") {
     val rows = (0 until 80).map { i =>
       val yMin = if (rnd.nextBoolean()) Some(1800 + rnd.nextInt(100)) else
