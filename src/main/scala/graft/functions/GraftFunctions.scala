@@ -45,7 +45,10 @@ object GraftFunctions {
       intArg(exprs(3), "minhash_text_bands", 4))),
     "shingle_gen" -> (exprs => ShingleGenerate(exprs(0),
       intArg(exprs(1), "shingle_gen", 2),
-      boolArg(exprs(2), "shingle_gen", 3))))
+      boolArg(exprs(2), "shingle_gen", 3))),
+    "year_in_range" -> (exprs => YearInRangeExpr(exprs(0),
+      intArg(exprs(1), "year_in_range", 2),
+      intArg(exprs(2), "year_in_range", 3))))
 
   /** Session-local registration (idempotent). */
   def register(spark: SparkSession): Unit =

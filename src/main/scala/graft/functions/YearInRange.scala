@@ -61,18 +61,28 @@ object YearInRange {
     val bytes = s.getBytes
     val len = bytes.length
     var i = 0
-    // leading whitespace (the \s* in yearNorm's extract)
+    // leading whitespace — Java \s is [ \t\n\x0B\f\r], and yearNorm's
+    // regexp_extract("^\\s*(\\d+)") skips all five, so the fused
+    // predicate must too (form feeds are plausible OCR noise here)
     while (i < len && (bytes(i) == ' ' || bytes(i) == '\t' ||
-      bytes(i) == '\n' || bytes(i) == '\r')) i += 1
+      bytes(i) == '\n' || bytes(i) == 0x0B || bytes(i) == '\f' ||
+      bytes(i) == '\r')) i += 1
+    var sawDigit = false
+    // leading zeros carry no magnitude; skipping them lets
+    // "0000001850" parse to 1850 exactly as the int cast does
+    while (i < len && bytes(i) == '0') { i += 1; sawDigit = true }
     var y = 0L
     var digits = 0
     while (i < len && bytes(i) >= '0' && bytes(i) <= '9') {
       y = y * 10 + (bytes(i) - '0')
       digits += 1
-      if (digits > 9) return false // int cast would overflow → null → drop
+      // > 10 significant digits can't fit an int; the declarative form
+      // would raise under ANSI — out-of-range is the usable semantics
+      if (digits > 10) return false
       i += 1
     }
-    if (digits == 0) return false // no leading digits → parseInt NaN
+    if (!sawDigit && digits == 0) return false // no leading digits → parseInt NaN
+    if (y > Int.MaxValue) return false // int overflow, as above
     // split-volume marker anywhere after the digits
     var split = false
     var j = i

@@ -105,12 +105,13 @@ object SimilarityOps {
     * Voronoi cells around centroids, probe only the `nProbe` cells
     * nearest each query.
     *
-    * All DataFrame ops: centroids come from a posexplode + per-dimension
-    * mean (two small keyed shuffles), cell assignment and query probing
-    * are broadcast joins against the tiny centroid table, and the search
-    * join is an equi-join on the cell id — the corpus is touched once,
-    * and only ~nProbe/nList of candidate pairs are scored. The scale
-    * path when even sign-bucket LSH scores too many pairs.
+    * All DataFrame ops: centroids come from a single keyed partial agg
+    * ([[VectorMeanAgg]] — one double[dim] buffer per cell per partition,
+    * map-side combined), cell assignment and query probing are broadcast
+    * joins against the tiny centroid table, and the search join is an
+    * equi-join on the cell id — the corpus is touched once, and only
+    * ~nProbe/nList of candidate pairs are scored. The scale path when
+    * even sign-bucket LSH scores too many pairs.
     */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
               nList: Int, nProbe: Int, idCol: String = "vec_id",
@@ -122,6 +123,10 @@ object SimilarityOps {
       .select((abs(hash(col(idCol))) % nList).as("_cell"), col(vecCol))
       .groupBy("_cell")
       .agg(VectorMeanAgg.vecMean(col(vecCol)).as("_cmean"))
+      // a cell whose vectors were all null/empty has no centroid (the
+      // agg yields null) — drop it rather than probe a dead cell with
+      // null cosines
+      .filter(col("_cmean").isNotNull)
       .select(col("_cell"),
         transform(col("_cmean"), x => x.cast("float")).as("_cvec"))
     // 2. assign every corpus vector to its nearest centroid. Top-1 via

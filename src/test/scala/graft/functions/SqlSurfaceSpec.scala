@@ -54,4 +54,13 @@ class SqlSurfaceSpec extends SparkSpec {
     assert(r.getSeq[Long](0).length == 4)
     assert(r.getSeq[String](1).length == 2)
   }
+
+  test("year_in_range predicate from SQL") {
+    val kept = spark.sql(
+      """SELECT y FROM VALUES ('1850'), ('1850/51'), ('1901'), ('junk'),
+         (CAST(NULL AS STRING)) AS t(y)
+         WHERE year_in_range(y, 1800, 1900)""")
+      .as[String].collect().toSet
+    assert(kept == Set("1850", "1850/51"))
+  }
 }

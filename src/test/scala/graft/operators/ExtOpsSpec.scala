@@ -292,18 +292,38 @@ class ExtOpsSpec extends SparkSpec {
     assert(half.count() > 0 && half.count() < 50)
   }
 
-  test("VectorMeanAgg: element-wise mean, null/ragged rows skipped") {
+  test("VectorMeanAgg: element-wise mean; null/empty rows skipped") {
     val vecs = Seq(
       (1L, Array(1f, 2f)), (1L, Array(3f, 6f)),
       (2L, Array(10f, 20f)),
       (2L, null.asInstanceOf[Array[Float]]),
-      (2L, Array(1f, 2f, 3f)) // ragged → skipped
+      (2L, Array.empty[Float]), // failed embedding — must not poison the group
+      (3L, null.asInstanceOf[Array[Float]]),
+      (3L, Array.empty[Float])
     ).toDF("grp", "v")
+    // null and empty are skipped in ANY encounter order, so this holds
+    // across partitionings
     val out = vecs.groupBy("grp")
       .agg(VectorMeanAgg.vecMean(col("v")).as("m"))
       .as[(Long, Seq[Double])].collect().toMap
     assert(out(1L) == Seq(2.0, 4.0))
     assert(out(2L) == Seq(10.0, 20.0))
+    assert(out(3L) == null) // nothing to average
+  }
+
+  test("VectorMeanAgg: ragged minority loses to the heavier buffer") {
+    // mixed dimensionality is contractually malformed; the defined part
+    // is that a heavier (more rows) buffer survives a merge and a
+    // mismatched input row is skipped. Single partition pins encounter
+    // order so the assertion is deterministic.
+    val vecs = Seq(
+      (2L, Array(10f, 20f)), (2L, Array(30f, 40f)),
+      (2L, Array(1f, 2f, 3f)) // ragged minority
+    ).toDF("grp", "v").coalesce(1)
+    val out = vecs.groupBy("grp")
+      .agg(VectorMeanAgg.vecMean(col("v")).as("m"))
+      .as[(Long, Seq[Double])].collect().toMap
+    assert(out(2L) == Seq(20.0, 30.0))
   }
 
   test("MultiPointAgg gathers geometries across rows with partial-agg merge") {

@@ -108,14 +108,20 @@ class PropertySpec extends SparkSpec {
   }
 
   test("native year_in_range equals the declarative yearNorm+yearInterval filter") {
-    val samples: Seq[String] = Seq.fill(150) {
-      rnd.nextInt(5) match {
+    val samples: Seq[String] = Seq.fill(210) {
+      rnd.nextInt(7) match {
         case 0 => (1700 + rnd.nextInt(400)).toString
         case 1 => val y = 1700 + rnd.nextInt(400)
           s"$y/${(y + 1).toString.takeRight(2)}"
         case 2 => s"  ${1700 + rnd.nextInt(400)} "
         case 3 => Seq("", "junk", "/1850", "18/50x", "1850abc/51",
           "1850xyz")(rnd.nextInt(6))
+        case 4 => // full Java \s whitespace, incl. \f and vertical tab
+          Seq("\f", "\u000B", "\t\f", " \u000B ")(rnd.nextInt(4)) +
+            (1700 + rnd.nextInt(400)).toString
+        case 5 => // leading zeros + 10-digit int-fitting magnitudes
+          Seq("0" * (1 + rnd.nextInt(7)) + (1700 + rnd.nextInt(400)),
+            "2000000000", "0000000000", "2147483647")(rnd.nextInt(4))
         case _ => (1990 + rnd.nextInt(10)).toString +
           (if (rnd.nextBoolean()) "/x" else "")
       }
