@@ -142,6 +142,45 @@ object TextAnalysisOps {
         round(col("n_contaminated").cast("double") / col("n_shingles"), 4))
   }
 
+  /** [[contamination]] with a Bloom pre-filter on the training shingles
+    * — IDENTICAL results (no false negatives; false positives die in the
+    * exact join), different shuffle economics: the plain form exchanges
+    * EVERY training shingle into the join, this form exchanges only the
+    * bloom survivors (~contaminated + fpp of them). The per-doc totals
+    * come from a separate pure map-side count — two narrow passes over
+    * the training text instead of one full-corpus shuffle, which is the
+    * winning trade once the corpus dwarfs the eval vocabulary. Use when
+    * the eval shingle set is too large to broadcast but its bit array
+    * (~1.2 MB per million shingles at 3% fpp) is not.
+    */
+  def contaminationBloom(train: DataFrame, eval_ : DataFrame,
+                         idCol: String, textCol: String, k: Int = 3,
+                         expectedShingles: Long = 1L << 22,
+                         fpp: Double = 0.03): DataFrame = {
+    val trainSh = train.select(col(idCol),
+      graft.functions.ShingleGen.shingleGen(col(textCol), k,
+        distinct = true)).toDF(idCol, "_s")
+    val evalSh = eval_.select(
+      graft.functions.ShingleGen.shingleGen(col(textCol), k,
+        distinct = true)).toDF("_s").distinct()
+    val bloom = BloomJoin.buildBloom(evalSh, col("_s"), expectedShingles, fpp)
+    // pass 1: per-doc totals — partial-agg'd map side, only (id, count)
+    // partials shuffle
+    val totals = trainSh.groupBy(idCol)
+      .agg(count(lit(1)).as("n_shingles"))
+    // pass 2: only bloom survivors reach the exact semi join
+    val contaminated = trainSh
+      .filter(BloomJoin.mightContain(bloom, col("_s")))
+      .join(evalSh, Seq("_s"), "left_semi")
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_contaminated"))
+    totals.join(contaminated, Seq(idCol), "left")
+      .select(col(idCol), col("n_shingles"),
+        coalesce(col("n_contaminated"), lit(0L)).as("n_contaminated"))
+      .withColumn("contamination_ratio",
+        round(col("n_contaminated").cast("double") / col("n_shingles"), 4))
+  }
+
   /** Repetition quality signals (the Gopher-style filters): per-doc
     * duplicate-word ratio (1 - distinct/total, row-local) and the
     * fraction of all bigrams taken by the single most frequent bigram

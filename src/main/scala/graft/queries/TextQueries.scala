@@ -63,6 +63,19 @@ object TextQueries {
         "doc_id", "text", k = 3)
     }),
 
+    // Same contamination semantics, bloom-reduced join: the sketch is
+    // built distributed over the eval vocabulary, training shingles are
+    // pre-filtered by BloomFilterMightContain, and only survivors reach
+    // the exact semi join. The oracle is the PLAIN exact SQL — bloom
+    // false positives must be invisible in the result.
+    "tx15_contamination_bloom" -> ((s, d) => {
+      val docs = documents(s, d)
+      TextAnalysisOps.contaminationBloom(
+        docs.filter(col("source") =!= "src1"),
+        docs.filter(col("source") === "src1"),
+        "doc_id", "text", k = 3, expectedShingles = 1L << 16)
+    }),
+
     // Deterministic stratified hash sampling: per-source keep rates, a
     // pure function of md5(doc_id) — reproducible on any engine.
     "tx9_sample" -> ((s, d) => {
@@ -225,6 +238,26 @@ object TextQueries {
                                         for i in range(1, len(w)-1)])) AS s
                 FROM (SELECT string_split(text, ' ') w
                       FROM documents WHERE source = 'src0')
+                WHERE len(w) >= 3)
+         SELECT doc_id, count(*) AS n_shingles,
+           sum(CASE WHEN ev.s IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+             AS n_contaminated,
+           round(sum(CASE WHEN ev.s IS NOT NULL THEN 1 ELSE 0 END)::DOUBLE /
+                 count(*), 4) AS contamination_ratio
+         FROM tsh LEFT JOIN ev ON tsh.s = ev.s
+         GROUP BY doc_id""",
+    "tx15_contamination_bloom" ->
+      """WITH tr AS (SELECT doc_id, string_split(text, ' ') w
+                     FROM documents WHERE source <> 'src1'),
+         tsh AS (SELECT doc_id,
+                   unnest(list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                                         for i in range(1, len(w)-1)])) AS s
+                 FROM tr WHERE len(w) >= 3),
+         ev AS (SELECT DISTINCT
+                  unnest(list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                                        for i in range(1, len(w)-1)])) AS s
+                FROM (SELECT string_split(text, ' ') w
+                      FROM documents WHERE source = 'src1')
                 WHERE len(w) >= 3)
          SELECT doc_id, count(*) AS n_shingles,
            sum(CASE WHEN ev.s IS NOT NULL THEN 1 ELSE 0 END)::BIGINT

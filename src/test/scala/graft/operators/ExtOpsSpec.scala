@@ -262,6 +262,41 @@ class ExtOpsSpec extends SparkSpec {
     assert(out == Set((1L, 4L, 1L, 0.25), (2L, 2L, 0L, 0.0)))
   }
 
+  test("contaminationBloom: identical to exact contamination; empty eval → all zero") {
+    val train = Seq(
+      (1L, "x y z q a b"),
+      (2L, "p q r s"),
+      (3L, "x y z q a b c d e f")).toDF("doc_id", "text")
+    val eval_ = Seq((100L, "x y z w"), (101L, "a b c d")).toDF("doc_id", "text")
+    val exact = TextAnalysisOps.contamination(train, eval_, "doc_id", "text", 3)
+      .as[(Long, Long, Long, Double)].collect().toSet
+    // tiny expectedShingles → saturated filter, maximal false positives:
+    // the exact join must still erase them
+    for (expected <- Seq(4L, 1L << 20)) {
+      val bloom = TextAnalysisOps.contaminationBloom(train, eval_,
+        "doc_id", "text", 3, expectedShingles = expected)
+        .as[(Long, Long, Long, Double)].collect().toSet
+      assert(bloom == exact, s"expectedShingles=$expected")
+    }
+    val none = TextAnalysisOps.contaminationBloom(train,
+      eval_.filter(col("doc_id") < 0), "doc_id", "text", 3)
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(none.map(r => (r._1, r._3)) == Set((1L, 0L), (2L, 0L), (3L, 0L)))
+  }
+
+  test("bloomSemiJoin equals a plain left-semi join") {
+    val left = (1L to 200L).map(i => (i, s"v$i")).toDF("k", "payload")
+    val right = (150L to 400L by 2).map(i => Tuple1(i)).toDF("k")
+    val viaBloom = BloomJoin.bloomSemiJoin(left, right, "k", 1000)
+      .as[(Long, String)].collect().toSet
+    val plain = left.join(right, Seq("k"), "left_semi")
+      .as[(Long, String)].collect().toSet
+    assert(viaBloom == plain && plain.nonEmpty)
+    // empty build side → empty result, not a crash
+    assert(BloomJoin.bloomSemiJoin(left, right.filter(col("k") < 0),
+      "k", 1000).isEmpty)
+  }
+
   test("repetitionMetrics: dup-word ratio and top-bigram dominance; 1-word doc excluded") {
     val docs = Seq((1L, "a a a b"), (2L, "x")).toDF("doc_id", "text")
     val out = TextAnalysisOps.repetitionMetrics(docs, "doc_id", "text")
