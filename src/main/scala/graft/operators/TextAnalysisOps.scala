@@ -268,4 +268,26 @@ object TextAnalysisOps {
     }
     df.filter(bucket < rateExpr)
   }
+
+  /** Efraimidis–Spirakis weighted sampling WITHOUT replacement: the
+    * top-k rows per stratum by priority u^(1/w) are a weighted sample —
+    * heavier rows draw larger priorities in expectation, and unlike
+    * Bernoulli thresholding the sample size is exactly k. `u` is the
+    * md5-derived uniform (same as [[stratifiedHashSample]]), so the
+    * draw is a pure function of the id — reproducible across engines
+    * and retries, no RNG state. Selection runs on the TopKPerKey heap
+    * operator: each partition forwards at most k rows per stratum, no
+    * full sort, no global shuffle of losers. Rows with weight <= 0 are
+    * excluded (E-S is undefined for them).
+    */
+  def weightedSample(df: DataFrame, idCol: String, strataCol: String,
+                     weightCol: String, k: Int): DataFrame = {
+    val u = conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10)
+      .cast("double") / lit(4294967296.0)
+    val base = df.filter(col(weightCol) > 0)
+      .withColumn("_pri", pow(u, lit(1.0) / col(weightCol).cast("double")))
+    graft.plans.TopK.perKey(base, Seq(strataCol),
+      Seq(col("_pri").desc, col(idCol).asc), k)
+      .drop("_pri", "rk")
+  }
 }

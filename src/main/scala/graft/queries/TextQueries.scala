@@ -76,6 +76,17 @@ object TextQueries {
         "doc_id", "text", k = 3, expectedShingles = 1L << 16)
     }),
 
+    // Weighted sampling without replacement (Efraimidis–Spirakis):
+    // exactly 5 docs per source, drawn proportionally to token count,
+    // deterministic via the md5 uniform — replayed exactly in DuckDB.
+    "tx16_weighted_sample" -> ((s, d) => {
+      val docs = documents(s, d)
+        .withColumn("n_tokens", size(split(col("text"), " ")))
+      TextAnalysisOps.weightedSample(docs, "doc_id", "source",
+        "n_tokens", 5)
+        .select("source", "doc_id", "n_tokens")
+    }),
+
     // Deterministic stratified hash sampling: per-source keep rates, a
     // pure function of md5(doc_id) — reproducible on any engine.
     "tx9_sample" -> ((s, d) => {
@@ -266,6 +277,17 @@ object TextQueries {
                  count(*), 4) AS contamination_ratio
          FROM tsh LEFT JOIN ev ON tsh.s = ev.s
          GROUP BY doc_id""",
+    "tx16_weighted_sample" ->
+      """WITH w AS (SELECT doc_id, source,
+                      len(string_split(text, ' ')) AS n_tokens,
+                      ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::UBIGINT /
+                        4294967296.0 AS u
+                    FROM documents),
+         r AS (SELECT source, doc_id, n_tokens,
+                 row_number() OVER (PARTITION BY source
+                   ORDER BY pow(u, 1.0/n_tokens) DESC, doc_id) AS rn
+               FROM w WHERE n_tokens > 0)
+         SELECT source, doc_id, n_tokens FROM r WHERE rn <= 5""",
     "tx9_sample" ->
       """SELECT doc_id, source FROM documents
          WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::UBIGINT % 100 <

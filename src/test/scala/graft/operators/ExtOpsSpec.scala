@@ -284,6 +284,24 @@ class ExtOpsSpec extends SparkSpec {
     assert(none.map(r => (r._1, r._3)) == Set((1L, 0L), (2L, 0L), (3L, 0L)))
   }
 
+  test("weightedSample: exact-k E-S draw equals the window formulation; w<=0 excluded") {
+    val docs = (1L to 100L)
+      .map(i => (i, if (i % 2 == 0) "a" else "b", (i % 7).toInt)) // w=0 every 7th
+      .toDF("doc_id", "src", "wt")
+    val out = TextAnalysisOps.weightedSample(docs, "doc_id", "src", "wt", 3)
+      .as[(Long, String, Int)].collect().toSet
+    val u = conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+      .cast("double") / lit(4294967296.0)
+    val pri = pow(u, lit(1.0) / col("wt").cast("double"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("src").orderBy(pri.desc, col("doc_id").asc)
+    val ref = docs.filter(col("wt") > 0)
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
+      .drop("rn").as[(Long, String, Int)].collect().toSet
+    assert(out == ref && out.size == 6)
+    assert(out.forall(_._3 > 0))
+  }
+
   test("bloomSemiJoin equals a plain left-semi join") {
     val left = (1L to 200L).map(i => (i, s"v$i")).toDF("k", "payload")
     val right = (150L to 400L by 2).map(i => Tuple1(i)).toDF("k")
