@@ -112,10 +112,17 @@ object SimilarityOps {
     * equi-join on the cell id — the corpus is touched once, and only
     * ~nProbe/nList of candidate pairs are scored. The scale path when
     * even sign-bucket LSH scores too many pairs.
+    *
+    * `kernel` picks the similarity implementation, like
+    * [[bucketedPairs]]: default double-precision HOF cosine (exact
+    * replay), or `functions.CosineF32.cosineF32Native` for the codegen
+    * float32 kernel — selection only needs the ordering, so the cheaper
+    * kernel is the right default at scale.
     */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
               nList: Int, nProbe: Int, idCol: String = "vec_id",
-              vecCol: String = "embedding"): DataFrame = {
+              vecCol: String = "embedding",
+              kernel: (Column, Column) => Column = cosine): DataFrame = {
     // 1. centroids: seed cells by id hash, then per-dimension mean via
     // the VectorMeanAgg buffer — one keyed partial agg (no posexplode
     // fan-out into dim × rows, no second re-collect shuffle)
@@ -135,7 +142,7 @@ object SimilarityOps {
     // row; the heap keeps one row per key per partition.
     val cells = graft.plans.TopK.perKey(
       corpus.crossJoin(broadcast(centroids))
-        .withColumn("_d", cosine(col(vecCol), col("_cvec"))),
+        .withColumn("_d", kernel(col(vecCol), col("_cvec"))),
       Seq(idCol), Seq(col("_d").desc), 1)
       .select(col(idCol).as("_cid"), col(vecCol).as("_cv"), col("_cell"))
     // 3. probe the nProbe nearest cells per query
@@ -143,14 +150,14 @@ object SimilarityOps {
       queries
         .select(col(idCol).as("query_id"), col(vecCol).as("_qv"))
         .crossJoin(broadcast(centroids))
-        .withColumn("_d", cosine(col("_qv"), col("_cvec"))),
+        .withColumn("_d", kernel(col("_qv"), col("_cvec"))),
       Seq("query_id"), Seq(col("_d").desc), nProbe)
       .select(col("query_id"), col("_qv"), col("_cell"))
     // 4. score only within probed cells, rank top-k
     graft.plans.TopK.perKey(
       probes.join(cells, Seq("_cell"))
         .filter(col("query_id") =!= col("_cid"))
-        .withColumn("sim", round(cosine(col("_qv"), col("_cv")), 4))
+        .withColumn("sim", round(kernel(col("_qv"), col("_cv")), 4))
         .select(col("query_id"), col("_cid").as("neighbor_id"), col("sim")),
       Seq("query_id"), Seq(col("sim").desc, col("neighbor_id").asc), k,
       rankCol = "rk")

@@ -72,8 +72,11 @@ object SimilarityQueries {
     // ExtOpsSpec instead).
     "ss5_ivf_topk" -> ((s, d) => {
       val emb = embeddings(s, d)
+      // native float32 kernel: ANN selection only needs the ordering,
+      // and the codegen kernel is ~2.5x the interpreted HOF fold
       SimilarityOps.ivfTopK(emb, emb.filter(col("vec_id") < 10), 5,
-        nList = 8, nProbe = 3)
+        nList = 8, nProbe = 3,
+        kernel = graft.functions.CosineF32.cosineF32Native)
     }),
 
     // Per-label embedding centroids via the VectorMeanAgg buffer (one
