@@ -79,6 +79,19 @@ object SimilarityQueries {
         kernel = graft.functions.CosineF32.cosineF32Native)
     }),
 
+    // Persisted IVF index: build to a scratch dir, search against it
+    // (rows-only check; equality with the transient ivfTopK and the
+    // partition-pruned scan shape are asserted in AsOfIvfSpec).
+    "ss7_ivf_index" -> ((s, d) => {
+      val emb = embeddings(s, d)
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft-ivf-q").toString
+      val kernel = graft.functions.CosineF32.cosineF32Native(_, _)
+      graft.operators.IvfIndex.build(emb, dir, nList = 8, kernel = kernel)
+      graft.operators.IvfIndex.search(s, dir, emb.filter(col("vec_id") < 10),
+        5, nProbe = 3, kernel = kernel)
+    }),
+
     // Per-label embedding centroids via the VectorMeanAgg buffer (one
     // keyed partial agg; only group buffers cross the shuffle).
     "ss6_label_centroids" -> ((s, d) => {

@@ -45,6 +45,34 @@ class AsOfIvfSpec extends SparkSpec {
     assert(again == approx)
   }
 
+  test("IvfIndex: persisted build+search equals transient ivfTopK; scan prunes to probed cells") {
+    val emb = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val queries = emb.filter(col("vec_id") < 10)
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf").toString
+    IvfIndex.build(emb, dir, nList = 8)
+    val indexed = IvfIndex.search(spark, dir, queries, 5, nProbe = 3)
+      .select("query_id", "neighbor_id", "sim")
+      .as[(Long, Long, Double)].collect().toSet
+    val transient_ = SimilarityOps.ivfTopK(emb, queries, 5,
+      nList = 8, nProbe = 3)
+      .select("query_id", "neighbor_id", "sim")
+      .as[(Long, Long, Double)].collect().toSet
+    assert(indexed == transient_ && indexed.nonEmpty)
+    // the probed-cells scan prunes at the partition level: its scan
+    // carries PartitionFilters (file listing skips unprobed cells)
+    val scan = IvfIndex.probedCellScan(spark, dir, Seq(1, 3))
+    val leaves = scan.queryExecution.executedPlan.collectLeaves()
+    val fs = leaves.collectFirst {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    assert(fs.isDefined, "expected a FileSourceScanExec leaf")
+    assert(fs.get.partitionFilters.exists(_.references.exists(
+      _.name == "_cell")), "expected a _cell partition filter")
+    assert(scan.select("_cell").distinct().as[Int].collect().toSet
+      .subsetOf(Set(1, 3)))
+  }
+
   test("approx_count_distinct within 5% of exact on documents") {
     val docs = spark.read
       .parquet("/root/testdata/sf0.001/documents.parquet")
