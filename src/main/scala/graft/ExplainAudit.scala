@@ -16,7 +16,8 @@ object ExplainAudit {
         "q17_percentiles", "tx6_curation",
         "dd7_embedding_dedup", "tx8_contamination", "tx12_top_terms",
         "tx13_packing", "tx14_kmv_distinct", "ev8_transitions",
-        "ev9_variant", "q18_pivot", "q21_unpivot")
+        "ev9_variant", "q18_pivot", "q21_unpivot",
+        "tx15_contamination_bloom", "tx16_weighted_sample")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

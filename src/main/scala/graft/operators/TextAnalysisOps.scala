@@ -269,6 +269,31 @@ object TextAnalysisOps {
     df.filter(bucket < rateExpr)
   }
 
+  /** Deterministic corpus mixing: keep each stratum's rows, visited in
+    * md5-hash order (a reproducible shuffle — no RNG state, identical
+    * on retry and across engines), until the stratum's weight budget is
+    * exhausted; first row over the line is cut. This is the
+    * training-mix primitive ("N tokens of web, M of code") as a single
+    * running-sum window per stratum. One shuffle on the stratum key;
+    * mixes are usually over many sources/shards, so the key cardinality
+    * carries the parallelism — for a pathological two-source mix, split
+    * the budget over synthetic sub-strata first and union.
+    */
+  def mixToBudget(df: DataFrame, idCol: String, strataCol: String,
+                  weightCol: String, budgets: Map[String, Long],
+                  defaultBudget: Long): DataFrame = {
+    val h = md5(col(idCol).cast("string"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(strataCol)).orderBy(h.asc, col(idCol).asc)
+      .rowsBetween(Long.MinValue, 0)
+    val budget = budgets.foldLeft(lit(defaultBudget): Column) {
+      case (acc, (s, b)) => when(col(strataCol) === s, lit(b)).otherwise(acc)
+    }
+    df.withColumn("_run", sum(col(weightCol).cast("long")).over(w))
+      .filter(col("_run") <= budget)
+      .drop("_run")
+  }
+
   /** Efraimidis–Spirakis weighted sampling WITHOUT replacement: the
     * top-k rows per stratum by priority u^(1/w) are a weighted sample —
     * heavier rows draw larger priorities in expectation, and unlike

@@ -76,6 +76,17 @@ object TextQueries {
         "doc_id", "text", k = 3, expectedShingles = 1L << 16)
     }),
 
+    // Corpus mixing to per-source token budgets: md5-hash visiting
+    // order, running token sum per source, cut at the budget line —
+    // replayed exactly by a DuckDB window.
+    "tx17_mix_budget" -> ((s, d) => {
+      val docs = documents(s, d)
+        .withColumn("n_tokens", size(split(col("text"), " ")))
+      TextAnalysisOps.mixToBudget(docs, "doc_id", "source", "n_tokens",
+        Map("src0" -> 3000L, "src1" -> 1500L), defaultBudget = 2000L)
+        .select("source", "doc_id", "n_tokens")
+    }),
+
     // Weighted sampling without replacement (Efraimidis–Spirakis):
     // exactly 5 docs per source, drawn proportionally to token count,
     // deterministic via the md5 uniform — replayed exactly in DuckDB.
@@ -277,6 +288,19 @@ object TextQueries {
                  count(*), 4) AS contamination_ratio
          FROM tsh LEFT JOIN ev ON tsh.s = ev.s
          GROUP BY doc_id""",
+    "tx17_mix_budget" ->
+      """WITH w AS (SELECT doc_id, source,
+                      len(string_split(text, ' ')) AS n_tokens,
+                      md5(doc_id::VARCHAR) AS h
+                    FROM documents),
+         r AS (SELECT source, doc_id, n_tokens,
+                 sum(n_tokens) OVER (PARTITION BY source
+                   ORDER BY h, doc_id ROWS UNBOUNDED PRECEDING) AS run
+               FROM w)
+         SELECT source, doc_id, n_tokens FROM r
+         WHERE run <= CASE source WHEN 'src0' THEN 3000
+                                  WHEN 'src1' THEN 1500
+                                  ELSE 2000 END""",
     "tx16_weighted_sample" ->
       """WITH w AS (SELECT doc_id, source,
                       len(string_split(text, ' ')) AS n_tokens,

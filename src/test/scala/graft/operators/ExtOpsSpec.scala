@@ -284,6 +284,26 @@ class ExtOpsSpec extends SparkSpec {
     assert(none.map(r => (r._1, r._3)) == Set((1L, 0L), (2L, 0L), (3L, 0L)))
   }
 
+  test("mixToBudget: md5-order prefix per stratum, cut at the budget line") {
+    val rows = Seq((1L, "a", 10), (2L, "a", 10), (3L, "a", 10),
+      (4L, "b", 5), (5L, "b", 100), (6L, "b", 1))
+    val out = TextAnalysisOps.mixToBudget(
+      rows.toDF("doc_id", "src", "wt"), "doc_id", "src", "wt",
+      Map("a" -> 20L), defaultBudget = 50L)
+      .select("doc_id").as[Long].collect().toSet
+    // reference model: greedy cumulative sum in md5-hex order
+    def hex(id: Long) = java.security.MessageDigest.getInstance("MD5")
+      .digest(id.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val expected = rows.groupBy(_._2).flatMap { case (src, rs) =>
+      val budget = if (src == "a") 20L else 50L
+      var run = 0L
+      rs.sortBy(r => (hex(r._1), r._1)).takeWhile { r =>
+        run += r._3; run <= budget
+      }.map(_._1)
+    }.toSet
+    assert(out == expected && out.nonEmpty)
+  }
+
   test("weightedSample: exact-k E-S draw equals the window formulation; w<=0 excluded") {
     val docs = (1L to 100L)
       .map(i => (i, if (i % 2 == 0) "a" else "b", (i % 7).toInt)) // w=0 every 7th
