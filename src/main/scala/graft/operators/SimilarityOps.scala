@@ -93,6 +93,26 @@ object SimilarityOps {
       .select("query_id", "neighbor_id", "sim")
   }
 
+  /** Symmetric per-vector int8 quantization: `qscale = max|x| / 127`,
+    * `q_i = round(x_i / qscale)` ∈ [-127, 127] — a 4× storage shrink
+    * for ANN candidate stages (dequantize is `q_i * qscale`, max
+    * per-element error qscale/2). All arithmetic is exact-IEEE double
+    * (float→double widening, one correctly-rounded division) plus an
+    * away-from-zero half-rounding that Spark and DuckDB share, so the
+    * oracle compare is bit-exact, not tolerance-based. A zero (or
+    * empty) vector quantizes to zeros with qscale 0; null stays null.
+    */
+  def quantizeInt8(df: DataFrame, idCol: String,
+                   vecCol: String = "embedding"): DataFrame = {
+    val s = array_max(transform(col(vecCol), x => abs(x)))
+      .cast("double") / lit(127.0)
+    df.select(col(idCol), s.as("qscale"),
+      when(s === 0.0, transform(col(vecCol), _ => lit(0).cast("byte")))
+        .otherwise(transform(col(vecCol),
+          x => round(x.cast("double") / s).cast("byte")))
+        .as("q8"))
+  }
+
   /** Sign-bit LSH bucket over the first `bits` dimensions: a compact,
     * deterministic hyperplane family (axis-aligned). Vectors only meet
     * inside their bucket.

@@ -92,6 +92,11 @@ object SimilarityQueries {
         5, nProbe = 3, kernel = kernel)
     }),
 
+    // Symmetric int8 quantization — bit-exact across engines (widening,
+    // one correctly-rounded division, shared half-away-from-zero round).
+    "ss8_quantize" -> ((s, d) =>
+      SimilarityOps.quantizeInt8(embeddings(s, d), "vec_id")),
+
     // Per-label embedding centroids via the VectorMeanAgg buffer (one
     // keyed partial agg; only group buffers cross the shuffle).
     "ss6_label_centroids" -> ((s, d) => {
@@ -147,6 +152,18 @@ object SimilarityQueries {
            round(list_cosine_similarity(l.embedding, r.embedding)::DOUBLE, 4) AS sim
          FROM b l JOIN b r ON l.bkt = r.bkt AND l.vec_id < r.vec_id
          WHERE round(list_cosine_similarity(l.embedding, r.embedding)::DOUBLE, 4) >= 0.2""",
+    "ss8_quantize" ->
+      """WITH s AS (SELECT vec_id, embedding,
+                      list_max(list_transform(embedding,
+                        x -> abs(x)))::DOUBLE / 127.0 AS qscale
+                    FROM embeddings)
+         SELECT vec_id, qscale,
+           CASE WHEN qscale = 0
+                THEN list_transform(embedding, x -> 0::TINYINT)
+                ELSE list_transform(embedding,
+                       x -> round(x::DOUBLE / qscale)::TINYINT)
+           END AS q8
+         FROM s""",
     "ss6_label_centroids" ->
       """WITH u AS (
            SELECT label, unnest(embedding) AS x,

@@ -284,6 +284,35 @@ class ExtOpsSpec extends SparkSpec {
     assert(none.map(r => (r._1, r._3)) == Set((1L, 0L), (2L, 0L), (3L, 0L)))
   }
 
+  test("quantizeInt8: codes bounded, round-trip error <= qscale/2; zero/empty vectors safe") {
+    val vecs = Seq(
+      (1L, Array(0.5f, -1.0f, 0.25f)),
+      (2L, Array(0f, 0f)),          // zero vector → qscale 0, zero codes
+      (3L, Array.empty[Float]),
+      (4L, null.asInstanceOf[Array[Float]])
+    ).toDF("vec_id", "embedding")
+    val out = SimilarityOps.quantizeInt8(vecs, "vec_id")
+      .as[(Long, Option[Double], Seq[Byte])].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    val (s1, q1) = out(1L)
+    assert(s1.contains(1.0 / 127.0))
+    assert(q1 == Seq[Byte](64, -127, 32)) // round(0.5*127)=64 (63.5 → away from zero)
+    assert(out(2L) == ((Some(0.0), Seq.empty[Byte] ++ Seq[Byte](0, 0))))
+    assert(out(3L)._2 != null && out(3L)._2.isEmpty)
+    assert(out(4L)._2 == null)
+    // round-trip error bound on real data
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val err = SimilarityOps.quantizeInt8(emb, "vec_id")
+      .join(emb, "vec_id")
+      .select(aggregate(
+        zip_with(col("embedding"), col("q8"),
+          (x, q) => abs(x.cast("double") - q.cast("double") * col("qscale"))),
+        lit(0.0), (a, v) => greatest(a, v)).as("e"),
+        col("qscale"))
+      .filter(col("e") > col("qscale") * 0.5 + 1e-12)
+    assert(err.isEmpty)
+  }
+
   test("mixToBudget: md5-order prefix per stratum, cut at the budget line") {
     val rows = Seq((1L, "a", 10), (2L, "a", 10), (3L, "a", 10),
       (4L, "b", 5), (5L, "b", 100), (6L, "b", 1))
