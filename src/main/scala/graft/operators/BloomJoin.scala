@@ -34,6 +34,14 @@ object BloomJoin {
   /** Aggregate `key` values of `df` into a serialized Bloom filter
     * sized for `expectedItems` at `fpp`. Returns null when `df` is
     * empty (no filter can be built; treat as "nothing matches").
+    *
+    * `BloomFilterAggregate` silently clamps its sizing to
+    * `spark.sql.optimizer.runtime.bloomFilter.maxNumItems` / `.maxNumBits`
+    * (defaults 4M items / 64M bits) — a saturated filter would stay
+    * CORRECT but degrade to might-contain-everything, quietly voiding
+    * the reduction. The requested sizing is raised into those confs for
+    * the build (restored after), so the filter is actually as big as
+    * asked.
     */
   def buildBloom(df: DataFrame, key: Column, expectedItems: Long,
                  fpp: Double = 0.03): Array[Byte] = {
@@ -41,7 +49,19 @@ object BloomJoin {
     val agg = new BloomFilterAggregate(
       ColumnBridge.eagerExpression(xxhash64(key)),
       Literal(expectedItems), Literal(numBits)).toAggregateExpression()
-    val row = df.select(ColumnBridge.column(agg)).head()
+    val conf = df.sparkSession.conf
+    val itemsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumItems"
+    val bitsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumBits"
+    val (oldItems, oldBits) = (conf.get(itemsKey), conf.get(bitsKey))
+    val row =
+      try {
+        conf.set(itemsKey, math.max(oldItems.toLong, expectedItems))
+        conf.set(bitsKey, math.max(oldBits.toLong, numBits))
+        df.select(ColumnBridge.column(agg)).head()
+      } finally {
+        conf.set(itemsKey, oldItems)
+        conf.set(bitsKey, oldBits)
+      }
     if (row.isNullAt(0)) null else row.getAs[Array[Byte]](0)
   }
 

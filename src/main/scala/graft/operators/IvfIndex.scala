@@ -5,7 +5,10 @@ import org.apache.spark.sql.functions._
 
 /** Persisted IVF index: build ONCE, search many — the index-artifact
   * counterpart of the transient [[SimilarityOps.ivfTopK]] (which
-  * re-derives centroids and assignments on every call).
+  * re-derives centroids and assignments on every call). Both run the
+  * same shared steps (`SimilarityOps.ivfCentroids/ivfAssign/ivfProbe/
+  * ivfScore`), so a fix or kernel change lands in one place and the
+  * persisted==transient equality holds by construction.
   *
   * Layout under `dir`:
   *   `centroids/` — nList rows `(_cell, _cvec)`;
@@ -21,30 +24,19 @@ import org.apache.spark.sql.functions._
   */
 object IvfIndex {
 
-  /** Derive centroids + nearest-cell assignments (identical derivation
-    * to [[SimilarityOps.ivfTopK]] steps 1-2) and persist both.
-    */
+  /** Derive centroids + nearest-cell assignments and persist both. */
   def build(corpus: DataFrame, dir: String, nList: Int,
             idCol: String = "vec_id", vecCol: String = "embedding",
             kernel: (Column, Column) => Column = SimilarityOps.cosine)
       : Unit = {
     val spark = corpus.sparkSession
-    val centroids = corpus
-      .select((abs(hash(col(idCol))) % nList).as("_cell"), col(vecCol))
-      .groupBy("_cell")
-      .agg(VectorMeanAgg.vecMean(col(vecCol)).as("_cmean"))
-      .filter(col("_cmean").isNotNull)
-      .select(col("_cell"),
-        transform(col("_cmean"), x => x.cast("float")).as("_cvec"))
-    centroids.write.mode(SaveMode.Overwrite).parquet(s"$dir/centroids")
+    SimilarityOps.ivfCentroids(corpus, nList, idCol, vecCol)
+      .write.mode(SaveMode.Overwrite).parquet(s"$dir/centroids")
     // read the persisted centroids back for the assignment pass, so the
     // (cheap but not free) centroid derivation runs exactly once
     val persisted = spark.read.parquet(s"$dir/centroids")
-    val cells = graft.plans.TopK.perKey(
-      corpus.crossJoin(broadcast(persisted))
-        .withColumn("_d", kernel(col(vecCol), col("_cvec"))),
-      Seq(idCol), Seq(col("_d").desc), 1)
-      .select(col(idCol), col(vecCol), col("_cell"))
+    val cells = SimilarityOps.ivfAssign(corpus, persisted, idCol, vecCol,
+      kernel)
     graft.sources.Compaction.writePartitioned(
       cells, s"$dir/cells", Seq("_cell"), clusterBy = Seq(idCol))
   }
@@ -58,9 +50,12 @@ object IvfIndex {
     spark.read.parquet(s"$dir/cells")
       .filter(col("_cell").isin(cells.map(c => c: Any): _*))
 
-  /** Top-k ANN against a persisted index. Same probe/score/rank shape
-    * as [[SimilarityOps.ivfTopK]] steps 3-4, but the corpus side comes
-    * from the partition-pruned cells scan.
+  /** Top-k ANN against a persisted index. The probe result is cached:
+    * it is both collected (for the partition filter) and joined (for
+    * scoring); the collect fills the cache, so the join reads the SAME
+    * probe set without a second queries × centroids pass. (Probe
+    * ordering also carries a deterministic `_cell` tiebreak, so even a
+    * cache-evicted recompute cannot diverge.)
     */
   def search(spark: SparkSession, dir: String, queries: DataFrame,
              k: Int, nProbe: Int,
@@ -68,23 +63,12 @@ object IvfIndex {
              kernel: (Column, Column) => Column = SimilarityOps.cosine)
       : DataFrame = {
     val centroids = spark.read.parquet(s"$dir/centroids")
-    val probes = graft.plans.TopK.perKey(
-      queries
-        .select(col(idCol).as("query_id"), col(vecCol).as("_qv"))
-        .crossJoin(broadcast(centroids))
-        .withColumn("_d", kernel(col("_qv"), col("_cvec"))),
-      Seq("query_id"), Seq(col("_d").desc), nProbe)
-      .select(col("query_id"), col("_qv"), col("_cell"))
+    val probes = SimilarityOps.ivfProbe(queries, centroids, nProbe,
+      idCol, vecCol, kernel).persist()
     val probedCells = probes.select("_cell").distinct()
       .collect().map(_.getInt(0)).toSeq
     val cells = probedCellScan(spark, dir, probedCells)
       .select(col(idCol).as("_cid"), col(vecCol).as("_cv"), col("_cell"))
-    graft.plans.TopK.perKey(
-      probes.join(cells, Seq("_cell"))
-        .filter(col("query_id") =!= col("_cid"))
-        .withColumn("sim", round(kernel(col("_qv"), col("_cv")), 4))
-        .select(col("query_id"), col("_cid").as("neighbor_id"), col("sim")),
-      Seq("query_id"), Seq(col("sim").desc, col("neighbor_id").asc), k,
-      rankCol = "rk")
+    SimilarityOps.ivfScore(probes, cells, k, kernel)
   }
 }

@@ -31,8 +31,13 @@ object SimilarityOps {
     sqrt(aggregate(transform(a, x => x.cast("double") * x.cast("double")),
       lit(0.0), (acc, v) => acc + v))
 
+  /** Null (not NaN, not an ANSI DIVIDE_BY_ZERO error) for a zero-norm
+    * input: try_divide keeps the denominator single-evaluation and the
+    * null sorts LAST under desc, so degenerate vectors never outrank
+    * real neighbors.
+    */
   def cosine(a: Column, b: Column): Column =
-    dot(a, b) / (norm(a) * norm(b))
+    try_divide(dot(a, b), norm(a) * norm(b))
 
   /** Cosine in pure float32 arithmetic: float accumulators, float sqrt
     * (double sqrt of a float rounds exactly to the float sqrt), float
@@ -49,12 +54,13 @@ object SimilarityOps {
     val d = sumF(zip_with(a, b, (x, y) => x * y))
     val na = sumF(transform(a, x => x * x))
     val nb = sumF(transform(b, x => x * x))
-    // Spark coerces float `/` to double division; the cast back to float
+    // Spark coerces the float division to double; the cast back to float
     // recovers the single-precision quotient exactly (double carries
     // ≥ 2p+2 bits of the float, so the two-step rounding equals one
     // float division) — keeping this kernel bit-identical to
-    // functions.CosineF32 and to float32 engines.
-    (d / (sqrtF(na) * sqrtF(nb))).cast("float").cast("double")
+    // functions.CosineF32 and to float32 engines. try_divide: zero-norm
+    // input → null, not an ANSI error (same contract as `cosine`).
+    try_divide(d, sqrtF(na) * sqrtF(nb)).cast("float").cast("double")
   }
 
   /** Exact top-k neighbors for each query vector.
@@ -99,8 +105,9 @@ object SimilarityOps {
     * per-element error qscale/2). All arithmetic is exact-IEEE double
     * (float→double widening, one correctly-rounded division) plus an
     * away-from-zero half-rounding that Spark and DuckDB share, so the
-    * oracle compare is bit-exact, not tolerance-based. A zero (or
-    * empty) vector quantizes to zeros with qscale 0; null stays null.
+    * oracle compare is bit-exact, not tolerance-based. A zero vector
+    * quantizes to zeros with qscale 0; an empty vector yields qscale
+    * NULL (no max exists) with empty codes; null stays null.
     */
   def quantizeInt8(df: DataFrame, idCol: String,
                    vecCol: String = "embedding"): DataFrame = {
@@ -120,6 +127,74 @@ object SimilarityOps {
   def signBucket(vec: Column, bits: Int): Column =
     concat((1 to bits).map(i =>
       when(element_at(vec, i) > 0f, lit("1")).otherwise(lit("0"))): _*)
+
+  /** NaN-guard for similarity ordering: catalyst orders NaN ABOVE every
+    * real double, so a zero-norm vector (cosine 0/0 = NaN) would
+    * otherwise outrank genuine neighbors. Mapping NaN → null instead
+    * puts it LAST under `desc` (nulls-last), deterministically.
+    */
+  private def noNaN(c: Column): Column =
+    nanvl(c, lit(null).cast("double"))
+
+  /** Hash-seeded IVF centroids — the shared step 1 of [[ivfTopK]] and
+    * [[IvfIndex.build]]: one keyed partial agg, dead (all-null/empty)
+    * cells dropped.
+    */
+  private[operators] def ivfCentroids(corpus: DataFrame, nList: Int,
+                                      idCol: String, vecCol: String)
+      : DataFrame =
+    corpus
+      .select((abs(hash(col(idCol))) % nList).as("_cell"), col(vecCol))
+      .groupBy("_cell")
+      .agg(VectorMeanAgg.vecMean(col(vecCol)).as("_cmean"))
+      .filter(col("_cmean").isNotNull)
+      .select(col("_cell"),
+        transform(col("_cmean"), x => x.cast("float")).as("_cvec"))
+
+  /** Nearest-centroid assignment (shared step 2): top-1 per corpus row
+    * via the heap operator; `_cell asc` tiebreak pins the winner when
+    * distances tie (duplicate centroids, NaN-guarded nulls).
+    */
+  private[operators] def ivfAssign(corpus: DataFrame, centroids: DataFrame,
+                                   idCol: String, vecCol: String,
+                                   kernel: (Column, Column) => Column)
+      : DataFrame =
+    graft.plans.TopK.perKey(
+      corpus.crossJoin(broadcast(centroids))
+        .withColumn("_d", noNaN(kernel(col(vecCol), col("_cvec")))),
+      Seq(idCol), Seq(col("_d").desc, col("_cell").asc), 1)
+      .select(col(idCol), col(vecCol), col("_cell"))
+
+  /** Probe selection (shared step 3): the `nProbe` nearest cells per
+    * query, same guards as [[ivfAssign]].
+    */
+  private[operators] def ivfProbe(queries: DataFrame, centroids: DataFrame,
+                                  nProbe: Int, idCol: String, vecCol: String,
+                                  kernel: (Column, Column) => Column)
+      : DataFrame =
+    graft.plans.TopK.perKey(
+      queries
+        .select(col(idCol).as("query_id"), col(vecCol).as("_qv"))
+        .crossJoin(broadcast(centroids))
+        .withColumn("_d", noNaN(kernel(col("_qv"), col("_cvec")))),
+      Seq("query_id"), Seq(col("_d").desc, col("_cell").asc), nProbe)
+      .select(col("query_id"), col("_qv"), col("_cell"))
+
+  /** Score-and-rank (shared step 4): candidates meet on the cell id,
+    * top-k per query. `probes` must carry (query_id, _qv, _cell);
+    * `cells` must carry (_cid, _cv, _cell).
+    */
+  private[operators] def ivfScore(probes: DataFrame, cells: DataFrame,
+                                  k: Int,
+                                  kernel: (Column, Column) => Column)
+      : DataFrame =
+    graft.plans.TopK.perKey(
+      probes.join(cells, Seq("_cell"))
+        .filter(col("query_id") =!= col("_cid"))
+        .withColumn("sim", round(noNaN(kernel(col("_qv"), col("_cv"))), 4))
+        .select(col("query_id"), col("_cid").as("neighbor_id"), col("sim")),
+      Seq("query_id"), Seq(col("sim").desc, col("neighbor_id").asc), k,
+      rankCol = "rk")
 
   /** IVF-style approximate top-k: partition the corpus into `nList`
     * Voronoi cells around centroids, probe only the `nProbe` cells
@@ -143,44 +218,16 @@ object SimilarityOps {
               nList: Int, nProbe: Int, idCol: String = "vec_id",
               vecCol: String = "embedding",
               kernel: (Column, Column) => Column = cosine): DataFrame = {
-    // 1. centroids: seed cells by id hash, then per-dimension mean via
-    // the VectorMeanAgg buffer — one keyed partial agg (no posexplode
-    // fan-out into dim × rows, no second re-collect shuffle)
-    val centroids = corpus
-      .select((abs(hash(col(idCol))) % nList).as("_cell"), col(vecCol))
-      .groupBy("_cell")
-      .agg(VectorMeanAgg.vecMean(col(vecCol)).as("_cmean"))
-      // a cell whose vectors were all null/empty has no centroid (the
-      // agg yields null) — drop it rather than probe a dead cell with
-      // null cosines
-      .filter(col("_cmean").isNotNull)
-      .select(col("_cell"),
-        transform(col("_cmean"), x => x.cast("float")).as("_cvec"))
-    // 2. assign every corpus vector to its nearest centroid. Top-1 via
-    // the custom heap-based TopKPerKey operator — the window row_number
-    // formulation exchanges AND fully sorts every (vector × centroid)
-    // row; the heap keeps one row per key per partition.
-    val cells = graft.plans.TopK.perKey(
-      corpus.crossJoin(broadcast(centroids))
-        .withColumn("_d", kernel(col(vecCol), col("_cvec"))),
-      Seq(idCol), Seq(col("_d").desc), 1)
+    // steps 1-4 are the shared helpers: centroid partial agg (no
+    // posexplode fan-out), heap-based top-1 assignment (the window
+    // row_number formulation exchanges AND fully sorts every
+    // (vector x centroid) row; the heap keeps one row per key per
+    // partition), probe selection, in-cell score + rank.
+    val centroids = ivfCentroids(corpus, nList, idCol, vecCol)
+    val cells = ivfAssign(corpus, centroids, idCol, vecCol, kernel)
       .select(col(idCol).as("_cid"), col(vecCol).as("_cv"), col("_cell"))
-    // 3. probe the nProbe nearest cells per query
-    val probes = graft.plans.TopK.perKey(
-      queries
-        .select(col(idCol).as("query_id"), col(vecCol).as("_qv"))
-        .crossJoin(broadcast(centroids))
-        .withColumn("_d", kernel(col("_qv"), col("_cvec"))),
-      Seq("query_id"), Seq(col("_d").desc), nProbe)
-      .select(col("query_id"), col("_qv"), col("_cell"))
-    // 4. score only within probed cells, rank top-k
-    graft.plans.TopK.perKey(
-      probes.join(cells, Seq("_cell"))
-        .filter(col("query_id") =!= col("_cid"))
-        .withColumn("sim", round(kernel(col("_qv"), col("_cv")), 4))
-        .select(col("query_id"), col("_cid").as("neighbor_id"), col("sim")),
-      Seq("query_id"), Seq(col("sim").desc, col("neighbor_id").asc), k,
-      rankCol = "rk")
+    val probes = ivfProbe(queries, centroids, nProbe, idCol, vecCol, kernel)
+    ivfScore(probes, cells, k, kernel)
   }
 
   /** Bucketed approximate similarity pairs: equi-join on the sign bucket,

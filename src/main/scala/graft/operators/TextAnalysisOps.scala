@@ -160,9 +160,13 @@ object TextAnalysisOps {
     val trainSh = train.select(col(idCol),
       graft.functions.ShingleGen.shingleGen(col(textCol), k,
         distinct = true)).toDF(idCol, "_s")
+    // cache the eval vocabulary: it is consumed twice (bloom build,
+    // then exact-join build side) and the shingling + distinct shuffle
+    // should not run twice. persist (not checkpoint): the bloom build's
+    // eager collect fills the cache as a side effect — no extra job.
     val evalSh = eval_.select(
       graft.functions.ShingleGen.shingleGen(col(textCol), k,
-        distinct = true)).toDF("_s").distinct()
+        distinct = true)).toDF("_s").distinct().persist()
     val bloom = BloomJoin.buildBloom(evalSh, col("_s"), expectedShingles, fpp)
     // pass 1: per-doc totals — partial-agg'd map side, only (id, count)
     // partials shuffle

@@ -84,8 +84,10 @@ object SimilarityQueries {
     // partition-pruned scan shape are asserted in AsOfIvfSpec).
     "ss7_ivf_index" -> ((s, d) => {
       val emb = embeddings(s, d)
-      val dir = java.nio.file.Files
-        .createTempDirectory("graft-ivf-q").toString
+      // fixed scratch path, overwritten per run — repeated bench/verify
+      // invocations must not accumulate corpus-sized index copies
+      val dir = java.nio.file.Paths.get(
+        sys.props("java.io.tmpdir"), "graft-ivf-q-index").toString
       val kernel = graft.functions.CosineF32.cosineF32Native(_, _)
       graft.operators.IvfIndex.build(emb, dir, nList = 8, kernel = kernel)
       graft.operators.IvfIndex.search(s, dir, emb.filter(col("vec_id") < 10),

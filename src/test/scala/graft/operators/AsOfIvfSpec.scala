@@ -45,6 +45,19 @@ class AsOfIvfSpec extends SparkSpec {
     assert(again == approx)
   }
 
+  test("ivfTopK: a zero-norm corpus vector never outranks real neighbors (NaN guard)") {
+    val rows = (1L to 40L).map { i =>
+      (i, Array.tabulate(8)(d => ((i * 31 + d * 7) % 13 - 6).toFloat / 6f))
+    } :+ (99L, Array.fill(8)(0f)) // zero vector → cosine NaN
+    val emb = rows.toDF("vec_id", "embedding")
+    val out = SimilarityOps.ivfTopK(emb, emb.filter(col("vec_id") <= 3),
+      3, nList = 4, nProbe = 4)
+    val neighbors = out.select("neighbor_id").as[Long].collect()
+    assert(!neighbors.contains(99L),
+      "zero vector ranked as a neighbor via NaN ordering")
+    assert(out.count() == 9) // 3 queries x top-3, all real
+  }
+
   test("IvfIndex: persisted build+search equals transient ivfTopK; scan prunes to probed cells") {
     val emb = spark.read
       .parquet("/root/testdata/sf0.001/embeddings.parquet")

@@ -298,7 +298,7 @@ class ExtOpsSpec extends SparkSpec {
     assert(s1.contains(1.0 / 127.0))
     assert(q1 == Seq[Byte](64, -127, 32)) // round(0.5*127)=64 (63.5 → away from zero)
     assert(out(2L) == ((Some(0.0), Seq.empty[Byte] ++ Seq[Byte](0, 0))))
-    assert(out(3L)._2 != null && out(3L)._2.isEmpty)
+    assert(out(3L) == ((None, Seq.empty[Byte]))) // empty → NULL qscale, [] codes
     assert(out(4L)._2 == null)
     // round-trip error bound on real data
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
