@@ -351,6 +351,28 @@ class ExtOpsSpec extends SparkSpec {
     assert(out.forall(_._3 > 0))
   }
 
+  test("buildBloom sizes past the runtime-filter conf caps (no silent saturation)") {
+    val itemsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumItems"
+    val bitsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumBits"
+    val (oldItems, oldBits) = (spark.conf.get(itemsKey), spark.conf.get(bitsKey))
+    try {
+      // hostile caps: without the conf raise the filter clamps to 8
+      // items / 64 bits and saturates on 2000 keys (FP rate ~1)
+      spark.conf.set(itemsKey, 8L)
+      spark.conf.set(bitsKey, 64L)
+      val members = (1L to 2000L).map(Tuple1(_)).toDF("k")
+      val bloom = BloomJoin.buildBloom(members, col("k"), 2000, fpp = 0.01)
+      val fps = (100001L to 102000L).map(Tuple1(_)).toDF("k")
+        .filter(BloomJoin.mightContain(bloom, col("k"))).count()
+      assert(fps < 100, s"saturated filter: $fps/2000 false positives")
+      // and the caps are restored afterwards
+      assert(spark.conf.get(itemsKey) == "8")
+    } finally {
+      spark.conf.set(itemsKey, oldItems)
+      spark.conf.set(bitsKey, oldBits)
+    }
+  }
+
   test("bloomSemiJoin equals a plain left-semi join") {
     val left = (1L to 200L).map(i => (i, s"v$i")).toDF("k", "payload")
     val right = (150L to 400L by 2).map(i => Tuple1(i)).toDF("k")
