@@ -48,7 +48,8 @@ object GraftFunctions {
       boolArg(exprs(2), "shingle_gen", 3))),
     "year_in_range" -> (exprs => YearInRangeExpr(exprs(0),
       intArg(exprs(1), "year_in_range", 2),
-      intArg(exprs(2), "year_in_range", 3))))
+      intArg(exprs(2), "year_in_range", 3))),
+    "char_entropy" -> (exprs => CharEntropyExpr(exprs(0))))
 
   /** Session-local registration (idempotent). */
   def register(spark: SparkSession): Unit =

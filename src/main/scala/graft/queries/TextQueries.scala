@@ -76,6 +76,17 @@ object TextQueries {
         "doc_id", "text", k = 3, expectedShingles = 1L << 16)
     }),
 
+    // Per-doc code-point entropy via the native single-pass expression
+    // (the declarative form explodes rows × chars and shuffles the
+    // corpus' character count through two keyed aggs).
+    "tx18_char_entropy" -> ((s, d) => {
+      documents(s, d)
+        .filter(length(col("text")) > 0)
+        .select(col("doc_id"),
+          round(graft.functions.CharEntropy.charEntropy(col("text")), 4)
+            .as("char_entropy"))
+    }),
+
     // Corpus mixing to per-source token budgets: md5-hash visiting
     // order, running token sum per source, cut at the budget line —
     // replayed exactly by a DuckDB window.
@@ -288,6 +299,15 @@ object TextQueries {
                  count(*), 4) AS contamination_ratio
          FROM tsh LEFT JOIN ev ON tsh.s = ev.s
          GROUP BY doc_id""",
+    "tx18_char_entropy" ->
+      """WITH ch AS (SELECT doc_id, unnest(string_split_regex(text, '')) AS c
+                     FROM documents WHERE length(text) > 0),
+         f AS (SELECT doc_id, c, count(*)::DOUBLE AS cnt
+               FROM ch GROUP BY doc_id, c),
+         t AS (SELECT doc_id, sum(cnt) AS n FROM f GROUP BY doc_id)
+         SELECT f.doc_id,
+           round(-sum((cnt / n) * ln(cnt / n) / ln(2)), 4) AS char_entropy
+         FROM f JOIN t USING (doc_id) GROUP BY f.doc_id""",
     "tx17_mix_budget" ->
       """WITH w AS (SELECT doc_id, source,
                       len(string_split(text, ' ')) AS n_tokens,

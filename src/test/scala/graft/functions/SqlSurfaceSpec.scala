@@ -55,6 +55,18 @@ class SqlSurfaceSpec extends SparkSpec {
     assert(r.getSeq[String](1).length == 2)
   }
 
+  test("char_entropy from SQL matches hand-computed values and unicode") {
+    val r = spark.sql(
+      """SELECT char_entropy('aabb') AS e1, char_entropy('aaaa') AS e2,
+                char_entropy('') AS e3, char_entropy(CAST(NULL AS STRING)) AS e4,
+                char_entropy('ℓℓδδ') AS e5""").head()
+    assert(r.getDouble(0) == 1.0) // two symbols, equal mass
+    assert(r.getDouble(1) == 0.0) // single symbol
+    assert(r.getDouble(2) == 0.0) // empty
+    assert(r.isNullAt(3))
+    assert(r.getDouble(4) == 1.0) // non-ASCII path, two code points
+  }
+
   test("year_in_range predicate from SQL") {
     val kept = spark.sql(
       """SELECT y FROM VALUES ('1850'), ('1850/51'), ('1901'), ('junk'),
