@@ -201,6 +201,22 @@ object RelationalQueries {
         .agg(count(lit(1)).as("n"))
     }),
 
+    // Arbitrary GROUPING SETS (not the cube/rollup lattice) with
+    // grouping_id disambiguating which columns are aggregated away —
+    // completes the group-by family next to q14 rollup and q19 cube.
+    "q22_grouping_sets" -> ((s, d) => {
+      val o = orders(s, d)
+        .select(year(col("o_orderdate")).as("yr"), col("o_orderstatus"),
+          col("o_totalprice"))
+      o.groupingSets(
+          Seq(Seq(col("yr"), col("o_orderstatus")), Seq(col("o_orderstatus")),
+            Seq()),
+          col("yr"), col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("o_totalprice")), 2).as("total"),
+          grouping_id().as("gid"))
+    }),
+
     // Bag semantics: EXCEPT ALL keeps duplicate multiplicity (the
     // distinct variant is q11).
     "q20_except_all" -> ((s, d) => {
@@ -329,6 +345,12 @@ object RelationalQueries {
     "q19_cube" ->
       """SELECT year(o_orderdate) AS yr, o_orderstatus, count(*) AS n
          FROM orders GROUP BY CUBE (yr, o_orderstatus)""",
+    "q22_grouping_sets" ->
+      """SELECT year(o_orderdate) AS yr, o_orderstatus, count(*) AS n,
+           round(sum(o_totalprice), 2) AS total,
+           grouping(yr, o_orderstatus) AS gid
+         FROM orders
+         GROUP BY GROUPING SETS ((yr, o_orderstatus), (o_orderstatus), ())""",
     "q20_except_all" ->
       """SELECT o_orderpriority AS p FROM orders
          EXCEPT ALL

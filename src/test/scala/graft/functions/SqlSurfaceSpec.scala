@@ -65,6 +65,13 @@ class SqlSurfaceSpec extends SparkSpec {
     assert(r.getDouble(2) == 0.0) // empty
     assert(r.isNullAt(3))
     assert(r.getDouble(4) == 1.0) // non-ASCII path, two code points
+    // supplementary-plane code points (surrogate pairs in UTF-16) count
+    // as single symbols, matching DuckDB's character split
+    val astral = spark.sql(
+      "SELECT char_entropy('𝄞𝄞') AS a, " +
+        "char_entropy('𝄞x') AS b").head()
+    assert(astral.getDouble(0) == 0.0)
+    assert(astral.getDouble(1) == 1.0)
   }
 
   test("year_in_range predicate from SQL") {
