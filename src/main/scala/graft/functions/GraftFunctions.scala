@@ -49,7 +49,8 @@ object GraftFunctions {
     "year_in_range" -> (exprs => YearInRangeExpr(exprs(0),
       intArg(exprs(1), "year_in_range", 2),
       intArg(exprs(2), "year_in_range", 3))),
-    "char_entropy" -> (exprs => CharEntropyExpr(exprs(0))))
+    "char_entropy" -> (exprs => CharEntropyExpr(exprs(0))),
+    "morton" -> (exprs => MortonExpr(exprs(0), exprs(1))))
 
   /** Session-local registration (idempotent). */
   def register(spark: SparkSession): Unit =

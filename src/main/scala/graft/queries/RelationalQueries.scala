@@ -217,6 +217,15 @@ object RelationalQueries {
           grouping_id().as("gid"))
     }),
 
+    // Morton z-order codes over (year, custkey) — the clustering key
+    // behind Compaction.writeZOrdered; the oracle replays the exact
+    // 62-term bit interleave.
+    "q23_zorder" -> ((s, d) => {
+      orders(s, d).select(col("o_orderkey"),
+        graft.functions.Morton.morton(
+          year(col("o_orderdate")), col("o_custkey").cast("int")).as("z"))
+    }),
+
     // Bag semantics: EXCEPT ALL keeps duplicate multiplicity (the
     // distinct variant is q11).
     "q20_except_all" -> ((s, d) => {
@@ -345,6 +354,10 @@ object RelationalQueries {
     "q19_cube" ->
       """SELECT year(o_orderdate) AS yr, o_orderstatus, count(*) AS n
          FROM orders GROUP BY CUBE (yr, o_orderstatus)""",
+    "q23_zorder" ->
+      s"""SELECT o_orderkey,
+         ${graft.functions.Morton.sqlFor("year(o_orderdate)", "o_custkey::INT")}
+           AS z FROM orders""",
     "q22_grouping_sets" ->
       """SELECT year(o_orderdate) AS yr, o_orderstatus, count(*) AS n,
            round(sum(o_totalprice), 2) AS total,

@@ -46,4 +46,25 @@ object Compaction {
               clusterBy: Seq[String] = Nil,
               maxRecordsPerFile: Long = 1000000L): Unit =
     writePartitioned(df, path, partCols, clusterBy, maxRecordsPerFile)
+
+  /** Z-order-clustered write: range-partition and sort by the Morton
+    * interleave of two int key columns, so rows close in EITHER
+    * dimension land in the same files and parquet row-group min/max
+    * stats prune range predicates on both — multi-dimensional data
+    * skipping for the two-filter-column case `writePartitioned`'s
+    * single-column `clusterBy` cannot serve. The z column is dropped
+    * before writing; the layout IS the index.
+    */
+  def writeZOrdered(df: DataFrame, path: String,
+                    zCols: (String, String),
+                    maxRecordsPerFile: Long = 1000000L): Unit =
+    df.withColumn("_z", graft.functions.Morton.morton(
+        col(zCols._1), col(zCols._2)))
+      .repartitionByRange(col("_z"))
+      .sortWithinPartitions("_z")
+      .drop("_z")
+      .write
+      .mode(SaveMode.Overwrite)
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .parquet(path)
 }

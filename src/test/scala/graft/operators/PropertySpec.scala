@@ -142,6 +142,27 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("morton interleave equals the naive bit model; order-preserving on quadrants") {
+    def model(a: Int, b: Int): Long = {
+      var z = 0L
+      for (i <- 0 until 31) {
+        z |= ((a.toLong >> i) & 1L) << (2 * i)
+        z |= ((b.toLong >> i) & 1L) << (2 * i + 1)
+      }
+      z
+    }
+    val samples = Seq((0, 0), (1, 0), (0, 1), (Int.MaxValue, Int.MaxValue),
+      (-1, 7), (123456789, 987654321)) ++
+      Seq.fill(200)((rnd.nextInt(), rnd.nextInt()))
+    samples.foreach { case (a, b) =>
+      assert(graft.functions.Morton.interleave(a, b) == model(a, b),
+        s"($a,$b)")
+    }
+    // both coordinates small → code small (locality of the curve)
+    assert(graft.functions.Morton.interleave(3, 3) <
+      graft.functions.Morton.interleave(4, 0))
+  }
+
   test("mintId: null exactly when a component is missing/zero/empty") {
     val rows = (0 until 80).map { i =>
       val yMin = if (rnd.nextBoolean()) Some(1800 + rnd.nextInt(100)) else

@@ -42,4 +42,28 @@ class CompactionSpec extends SparkSpec {
     val b = back.select("doc_id", "lang").as[(Long, String)].collect().toSet
     assert(a == b)
   }
+
+  test("writeZOrdered: lossless, files internally z-sorted, z column dropped") {
+    import graft.functions.Morton
+    val rows = (0 until 400).map { i =>
+      (i.toLong, i % 20, (i * 7) % 20) // a 20x20 grid
+    }
+    val df = rows.toDF("id", "x", "y")
+    val out = Files.createTempDirectory("graft-zorder").toString
+    Compaction.writeZOrdered(df, out, ("x", "y"), maxRecordsPerFile = 64L)
+
+    val back = spark.read.parquet(out)
+    assert(back.columns.toSet == Set("id", "x", "y")) // no _z leaked
+    assert(back.as[(Long, Int, Int)].collect().toSet == rows.toSet)
+
+    val files = Files.list(Paths.get(out)).iterator().asScala
+      .filter(_.toString.endsWith(".parquet")).toSeq
+    assert(files.nonEmpty)
+    files.foreach { f =>
+      val zs = spark.read.parquet(f.toString)
+        .select("x", "y").as[(Int, Int)].collect()
+        .map { case (x, y) => Morton.interleave(x, y) }.toSeq
+      assert(zs == zs.sorted, s"$f not z-sorted")
+    }
+  }
 }
