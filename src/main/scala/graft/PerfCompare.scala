@@ -64,6 +64,57 @@ object PerfCompare {
     val (tg, ng) = time(viaGx)
     require(nd == ng, s"CC row count mismatch: $nd vs $ng")
     println(s"""{"cc_edges":$nEdges,"cc_df_sec":$td,"cc_graphx_sec":$tg,"cc_members":$nd}""")
+
+    // release the earlier sections' caches first — an evicted probe
+    // cache would re-derive md5 payloads inside the timed join and
+    // swamp the comparison
+    df.unpersist(blocking = true)
+    pairs.unpersist(blocking = true)
+
+    // Bloom semi-join reduction vs plain shuffle semi join, in the
+    // no-broadcast regime (at scale the build side exceeds the
+    // broadcast threshold, which is the case the operator exists for).
+    // Probe rows carry a payload so exchange volume, not row count,
+    // is what the bloom filter saves.
+    val probeN = if (args.length > 3) args(3).toLong else 20000000L
+    val matchOneIn = 100L
+    val probe = spark.range(probeN)
+      .select(col("id").as("k"),
+        md5(col("id").cast("string")).as("payload"))
+      .cache()
+    val build = spark.range(probeN / matchOneIn)
+      .select((col("id") * matchOneIn).as("k")).cache()
+    probe.count(); build.count()
+    val bcThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", -1)
+    // wall time at local[4] measures the page cache, not the exchange;
+    // the scale-relevant cost is BYTES THROUGH THE SHUFFLE, which is
+    // deterministic — read it off the exchange operators' dataSize
+    // metric (AQE off so the exchanges sit unwrapped in the plan)
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      def exchangedBytes(df: org.apache.spark.sql.DataFrame): (Long, Long) = {
+        // run THIS QueryExecution (a count() would plan its own copy
+        // and leave these operators' metrics untouched)
+        val n = df.queryExecution.toRdd.count()
+        val bytes = df.queryExecution.executedPlan.collect {
+          case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec =>
+            e.metrics("dataSize").value
+        }.sum
+        (n, bytes)
+      }
+      val (np, bp) = exchangedBytes(probe.join(build, Seq("k"), "left_semi"))
+      val bloomed = probe.filter(operators.BloomJoin.mightContain(
+        operators.BloomJoin.buildBloom(build, col("k"), probeN / matchOneIn),
+        col("k")))
+      val (nb, bb) = exchangedBytes(bloomed.join(build, Seq("k"), "left_semi"))
+      require(np == nb, s"semi-join row count mismatch: $np vs $nb")
+      println(s"""{"bloom_probe_rows":$probeN,"matches":$np,""" +
+        s""""plain_exchanged_bytes":$bp,"bloom_exchanged_bytes":$bb}""")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", bcThreshold)
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+    }
     spark.stop()
   }
 }
