@@ -139,6 +139,25 @@ class StreamingSpec extends SparkSpec {
     assert(!out.contains(2L) || out(2L) == 0)
   }
 
+  test("bloom-prefiltered streaming near-dup matches the plain variant") {
+    implicit val sqlCtx = spark.sqlContext
+    val staticCorpus = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog tonight"),
+      (101L, "an entirely different static document about geology"))
+      .toDF("doc_id", "text")
+    val mem = MemoryStream[(Long, String)]
+    mem.addData(
+      (1L, "the quick brown fox jumps over the lazy dog tonight"),
+      (2L, "nothing like anything in the static corpus at all"))
+    val out = StreamingOps.drainToTable(
+      StreamingOps.nearDupAgainstStatic(
+        mem.toDF().toDF("doc_id", "text"), staticCorpus,
+        bloomExpectedBands = Some(1000L)),
+      "t_neardup_bloom").as[(Long, Int)].collect().toMap
+    assert(out(1L) >= 1)
+    assert(!out.contains(2L) || out(2L) == 0)
+  }
+
   test("stream-stream interval join pairs purchases with preceding clicks") {
     implicit val sqlCtx = spark.sqlContext
     val t = (s: Int) => java.sql.Timestamp.valueOf(
