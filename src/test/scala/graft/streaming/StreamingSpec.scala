@@ -158,6 +158,24 @@ class StreamingSpec extends SparkSpec {
     assert(!out.contains(2L) || out(2L) == 0)
   }
 
+  test("streaming self near-dup: similar docs within the horizon pair up") {
+    implicit val sqlCtx = spark.sqlContext
+    val t = (s: Int) => java.sql.Timestamp.valueOf(
+      java.time.LocalDateTime.of(2024, 1, 1, 0, 0, 0).plusSeconds(s))
+    val mem = MemoryStream[(Long, java.sql.Timestamp, String)]
+    mem.addData(
+      (1L, t(0), "the quick brown fox jumps over the lazy dog tonight"),
+      (2L, t(60), "the quick brown fox jumps over the lazy dog tonight"),
+      (3L, t(120), "completely unrelated text about volcanic geology"))
+    val out = StreamingOps.drainToTable(
+      StreamingOps.nearDupWithinStream(
+        mem.toDF().toDF("doc_id", "ts", "text"), horizonSec = 3600),
+      "t_neardup_self", org.apache.spark.sql.streaming.OutputMode.Append())
+      .as[(Long, Long, Int)].collect()
+    assert(out.nonEmpty)
+    assert(out.map(r => (r._1, r._2)).toSet == Set((1L, 2L)))
+  }
+
   test("stream-stream interval join pairs purchases with preceding clicks") {
     implicit val sqlCtx = spark.sqlContext
     val t = (s: Int) => java.sql.Timestamp.valueOf(
