@@ -86,6 +86,7 @@ object PerfCompare {
       .select((col("id") * matchOneIn).as("k")).cache()
     probe.count(); build.count()
     val bcThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val aqeWas = spark.conf.get("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", -1)
     // wall time at local[4] measures the page cache, not the exchange;
     // the scale-relevant cost is BYTES THROUGH THE SHUFFLE, which is
@@ -104,16 +105,15 @@ object PerfCompare {
         (n, bytes)
       }
       val (np, bp) = exchangedBytes(probe.join(build, Seq("k"), "left_semi"))
-      val bloomed = probe.filter(operators.BloomJoin.mightContain(
-        operators.BloomJoin.buildBloom(build, col("k"), probeN / matchOneIn),
-        col("k")))
-      val (nb, bb) = exchangedBytes(bloomed.join(build, Seq("k"), "left_semi"))
+      // measure the SHIPPED operator, not a hand-rolled copy of it
+      val (nb, bb) = exchangedBytes(operators.BloomJoin.bloomSemiJoin(
+        probe, build, "k", probeN / matchOneIn))
       require(np == nb, s"semi-join row count mismatch: $np vs $nb")
       println(s"""{"bloom_probe_rows":$probeN,"matches":$np,""" +
         s""""plain_exchanged_bytes":$bp,"bloom_exchanged_bytes":$bb}""")
     } finally {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", bcThreshold)
-      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      spark.conf.set("spark.sql.adaptive.enabled", aqeWas)
     }
     spark.stop()
   }

@@ -306,7 +306,10 @@ object TextQueries {
                FROM ch GROUP BY doc_id, c),
          t AS (SELECT doc_id, sum(cnt) AS n FROM f GROUP BY doc_id)
          SELECT f.doc_id,
-           round(-sum((cnt / n) * ln(cnt / n) / ln(2)), 4) AS char_entropy
+           -- + 0 normalizes IEEE -0.0 (a single-symbol doc gives
+           -- -sum(0.0) = -0.0 here; the Spark kernel returns +0.0)
+           round(-sum((cnt / n) * ln(cnt / n) / ln(2)) + 0, 4)
+             AS char_entropy
          FROM f JOIN t USING (doc_id) GROUP BY f.doc_id""",
     "tx17_mix_budget" ->
       """WITH w AS (SELECT doc_id, source,
