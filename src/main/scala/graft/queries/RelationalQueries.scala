@@ -217,6 +217,19 @@ object RelationalQueries {
           grouping_id().as("gid"))
     }),
 
+    // Approximate percentiles (GK sketch — the mergeable scale path
+    // next to q17's exact counts-map): at maximum accuracy the sketch
+    // degenerates to exact discrete percentiles, which DuckDB's
+    // quantile_disc replays — so the approximate OPERATOR gets an
+    // EXACT oracle.
+    "q24_approx_percentile" -> ((s, d) => {
+      orders(s, d)
+        .groupBy("o_orderpriority")
+        .agg(percentile_approx(col("o_totalprice"),
+          array(lit(0.5), lit(0.9), lit(0.99)), lit(Int.MaxValue))
+          .as("pcts"))
+    }),
+
     // Morton z-order codes over (year, custkey) — the clustering key
     // behind Compaction.writeZOrdered; the oracle replays the exact
     // 62-term bit interleave.
@@ -354,6 +367,10 @@ object RelationalQueries {
     "q19_cube" ->
       """SELECT year(o_orderdate) AS yr, o_orderstatus, count(*) AS n
          FROM orders GROUP BY CUBE (yr, o_orderstatus)""",
+    "q24_approx_percentile" ->
+      """SELECT o_orderpriority,
+           quantile_disc(o_totalprice, [0.5, 0.9, 0.99]) AS pcts
+         FROM orders GROUP BY o_orderpriority""",
     "q23_zorder" ->
       s"""SELECT o_orderkey,
          ${graft.functions.Morton.sqlFor("year(o_orderdate)", "o_custkey::INT")}
