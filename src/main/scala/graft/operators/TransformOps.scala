@@ -120,4 +120,32 @@ object TransformOps {
       .unionByName(missLogs, allowMissingColumns = true)
       .unionByName(idLogs, allowMissingColumns = true)
   }
+
+  /** One-pass long-form column profile: per column, row/null/exact-
+    * distinct counts and min/max (cast to string for a uniform output
+    * schema) — the stats sweep a pipeline runs before trusting a new
+    * drop of data. ONE scan: all columns' aggregates ride a single
+    * `agg` (the multi-distinct rewrites to one Expand), then the wide
+    * row unpivots client-side via stack. Profile string/integer
+    * columns; float formatting differs across engines, so cast those
+    * upstream if cross-engine comparison matters.
+    */
+  def columnProfile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val aggs = cols.flatMap { c => Seq(
+      count(col(c)).as(s"${c}__cnt"),
+      countDistinct(col(c)).as(s"${c}__dist"),
+      min(col(c)).cast("string").as(s"${c}__min"),
+      max(col(c)).cast("string").as(s"${c}__max"))
+    }
+    val wide = df.agg(count(lit(1)).as("__rows"), aggs: _*)
+    val stackArgs = cols.map(c =>
+      s"'$c', `${c}__cnt`, `${c}__dist`, `${c}__min`, `${c}__max`")
+      .mkString(", ")
+    wide.select(col("__rows"), expr(
+        s"stack(${cols.size}, $stackArgs) AS " +
+          "(column, __cnt, n_distinct, min_value, max_value)"))
+      .select(col("column"), col("__rows").as("n_rows"),
+        (col("__rows") - col("__cnt")).as("n_nulls"),
+        col("n_distinct"), col("min_value"), col("max_value"))
+  }
 }

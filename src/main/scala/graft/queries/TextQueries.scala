@@ -76,6 +76,13 @@ object TextQueries {
         "doc_id", "text", k = 3, expectedShingles = 1L << 16)
     }),
 
+    // One-scan column profile (row/null/exact-distinct counts, min/max)
+    // over the documents table — the trust-a-new-data-drop sweep.
+    "tx19_column_profile" -> ((s, d) => {
+      graft.operators.TransformOps.columnProfile(
+        documents(s, d), Seq("doc_id", "source", "lang"))
+    }),
+
     // Per-doc code-point entropy via the native single-pass expression
     // (the declarative form explodes rows × chars and shuffles the
     // corpus' character count through two keyed aggs).
@@ -299,6 +306,21 @@ object TextQueries {
                  count(*), 4) AS contamination_ratio
          FROM tsh LEFT JOIN ev ON tsh.s = ev.s
          GROUP BY doc_id""",
+    "tx19_column_profile" ->
+      """SELECT 'doc_id' AS "column", count(*) AS n_rows,
+           count(*) - count(doc_id) AS n_nulls,
+           count(DISTINCT doc_id) AS n_distinct,
+           min(doc_id)::VARCHAR AS min_value,
+           max(doc_id)::VARCHAR AS max_value
+         FROM documents
+         UNION ALL
+         SELECT 'source', count(*), count(*) - count(source),
+           count(DISTINCT source), min(source), max(source)
+         FROM documents
+         UNION ALL
+         SELECT 'lang', count(*), count(*) - count(lang),
+           count(DISTINCT lang), min(lang), max(lang)
+         FROM documents""",
     "tx18_char_entropy" ->
       """WITH ch AS (SELECT doc_id, unnest(string_split_regex(text, '')) AS c
                      FROM documents WHERE length(text) > 0),

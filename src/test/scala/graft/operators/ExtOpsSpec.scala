@@ -284,6 +284,17 @@ class ExtOpsSpec extends SparkSpec {
     assert(none.map(r => (r._1, r._3)) == Set((1L, 0L), (2L, 0L), (3L, 0L)))
   }
 
+  test("columnProfile: one-pass nulls/distinct/min/max in long form") {
+    val df = Seq(
+      (Some(1L), "a"), (Some(2L), "b"), (None, "b"), (Some(2L), "c"))
+      .toDF("k", "s")
+    val out = TransformOps.columnProfile(df, Seq("k", "s"))
+      .as[(String, Long, Long, Long, String, String)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(out("k") == (("k", 4L, 1L, 2L, "1", "2")))
+    assert(out("s") == (("s", 4L, 0L, 3L, "a", "c")))
+  }
+
   test("quantizeInt8: codes bounded, round-trip error <= qscale/2; zero/empty vectors safe") {
     val vecs = Seq(
       (1L, Array(0.5f, -1.0f, 0.25f)),
