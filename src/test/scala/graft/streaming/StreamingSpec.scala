@@ -196,6 +196,41 @@ class StreamingSpec extends SparkSpec {
     assert(out == Set((100L, 10L, 1L), (100L, 10L, 2L)))
   }
 
+  test("stateful query resumes from its checkpoint across a restart") {
+    implicit val sqlCtx = spark.sqlContext
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    val mem = MemoryStream[Ev]
+    val totals = StreamingOps.runningTotals(spark, mem.toDF())
+    // the memory sink refuses checkpoint recovery; foreachBatch is the
+    // recoverable sink shape, collecting into a driver-side buffer
+    val seen = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+    val collectBatch: (org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+        Long) => Unit = (batch, _) =>
+      seen.synchronized {
+        seen ++= batch.collect().map(r =>
+          (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      }
+    def run(): Unit = {
+      val q = totals.writeStream
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .foreachBatch(collectBatch)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    mem.addData(Ev(1, t0, 10, "click", 1.5), Ev(2, t0, 10, "click", 2.0))
+    run()
+    assert(seen.synchronized(seen.lastOption).contains((10L, 2L, 3.5)))
+    // second query INSTANCE, same checkpoint: offsets and
+    // mapGroupsWithState state must both resume — only the new event is
+    // processed, but the emitted total includes the pre-restart ones
+    mem.addData(Ev(3, t0, 10, "click", 3.0))
+    run()
+    assert(seen.synchronized(seen.lastOption).contains((10L, 3L, 6.5)))
+  }
+
   test("mapGroupsWithState running totals accumulate across batches") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Ev]
