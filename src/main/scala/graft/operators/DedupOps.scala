@@ -107,11 +107,7 @@ object DedupOps {
     // InferFiltersFromGenerate + pushdown, re-evaluating the pipeline
     // 2× more inside an interpreted Filter. Texts with fewer than k
     // words emit no rows (the non-outer explode semantics).
-    val banded = df
-      .select(col(idCol).as("_id"),
-        graft.functions.MinhashSig.minhashTextBandsGen(col(textCol),
-          shingleK, numPerm, bands))
-      .toDF("_id", "_band", "_bh")
+    val banded = bandRows(df, idCol, textCol, shingleK, numPerm, bands)
     // Self-join with the rename AFTER the join, hinted to shuffle: both
     // sides are then the IDENTICAL plan exchanged on the same key, so
     // ReuseExchange computes the signature pipeline once and reads the
@@ -124,6 +120,66 @@ object DedupOps {
     l.join(r, col("l._band") === col("r._band") &&
         col("l._bh") === col("r._bh") && col("l._id") < col("r._id"))
       .select(col("l._id").as("a"), col("r._id").as("b"))
+      .distinct()
+  }
+
+  /** The banded (id, band, bandHash) projection every LSH consumer
+    * shares.
+    */
+  private def bandRows(df: DataFrame, idCol: String, textCol: String,
+                       shingleK: Int, numPerm: Int, bands: Int): DataFrame =
+    df.select(col(idCol).as("_id"),
+        graft.functions.MinhashSig.minhashTextBandsGen(col(textCol),
+          shingleK, numPerm, bands))
+      .toDF("_id", "_band", "_bh")
+
+  /** Persist the corpus' LSH band index for INCREMENTAL near-dup
+    * detection: the expensive part of every ingest — re-shingling and
+    * re-hashing the EXISTING corpus — is paid once and written down
+    * (hive-partitioned by band, files clustered by band hash so parquet
+    * min/max stats prune hash ranges). New batches append theirs via
+    * [[bandIndexAppend]]; periodic `Compaction.compact` keeps file
+    * counts bounded.
+    */
+  def bandIndexBuild(corpus: DataFrame, dir: String, idCol: String,
+                     textCol: String, shingleK: Int = 1, numPerm: Int = 16,
+                     bands: Int = 4): Unit =
+    graft.sources.Compaction.writePartitioned(
+      bandRows(corpus, idCol, textCol, shingleK, numPerm, bands),
+      dir, Seq("_band"), clusterBy = Seq("_bh"))
+
+  /** Append a new batch's band rows to an existing index. */
+  def bandIndexAppend(batch: DataFrame, dir: String, idCol: String,
+                      textCol: String, shingleK: Int = 1, numPerm: Int = 16,
+                      bands: Int = 4): Unit =
+    bandRows(batch, idCol, textCol, shingleK, numPerm, bands)
+      .write.mode(org.apache.spark.sql.SaveMode.Append)
+      .partitionBy("_band").parquet(dir)
+
+  /** Near-dup candidates of a NEW batch against the persisted index:
+    * (new_id, corpus_id) pairs sharing ≥1 band. Only the batch is
+    * banded (the index already is), and the INDEX side is bloom-reduced
+    * by the batch's key set before the join — the big side's scan rows
+    * drop to ~matching + fpp, the usual inversion when the new batch is
+    * tiny next to the corpus.
+    */
+  def dedupIncremental(batch: DataFrame, dir: String, idCol: String,
+                       textCol: String, shingleK: Int = 1, numPerm: Int = 16,
+                       bands: Int = 4): DataFrame = {
+    val spark = batch.sparkSession
+    val newBanded = bandRows(batch, idCol, textCol, shingleK, numPerm,
+      bands).persist()
+    val key = concat_ws(" ", col("_band"), col("_bh"))
+    // sized by the batch's actual band-row count — one cheap job over
+    // the cached projection
+    val bloom = BloomJoin.buildBloom(newBanded, key,
+      math.max(newBanded.count(), 1L))
+    val index = spark.read.parquet(dir)
+      .filter(BloomJoin.mightContain(bloom, key))
+      .select(col("_id").as("_old"), col("_band"), col("_bh"))
+    newBanded.join(index, Seq("_band", "_bh"))
+      .filter(col("_id") =!= col("_old"))
+      .select(col("_id").as("a"), col("_old").as("b"))
       .distinct()
   }
 

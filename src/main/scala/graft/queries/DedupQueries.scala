@@ -28,6 +28,20 @@ object DedupQueries {
         shingleK = 3, numPerm = 16, bands = 4)
     }),
 
+    // Incremental near-dup: band index persisted from the standing
+    // corpus (source != src0), then ONLY the new batch (src0) is banded
+    // and joined — with the index side bloom-reduced by the batch's
+    // keys. The oracle replays both sides' banding and the cross join.
+    "dd10_incremental" -> ((s, d) => {
+      val docs = documents(s, d)
+      val dir = java.nio.file.Paths.get(
+        sys.props("java.io.tmpdir"), "graft-band-index").toString
+      DedupOps.bandIndexBuild(docs.filter(col("source") =!= "src0"),
+        dir, "doc_id", "text", shingleK = 3, numPerm = 16, bands = 4)
+      DedupOps.dedupIncremental(docs.filter(col("source") === "src0"),
+        dir, "doc_id", "text", shingleK = 3, numPerm = 16, bands = 4)
+    }),
+
     // 16-bit SimHash per document from md5 hex-digit signs.
     "dd3_simhash" -> ((s, d) => {
       DedupOps.simhash16(documents(s, d), "doc_id", "text")
@@ -140,6 +154,27 @@ object DedupQueries {
          SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
          FROM bands l JOIN bands r
            ON l.band = r.band AND l.bh = r.bh AND l.doc_id < r.doc_id""",
+    "dd10_incremental" ->
+      """WITH s AS (SELECT doc_id, source, string_split(text, ' ') w
+                    FROM documents),
+         sh AS (SELECT doc_id, source,
+                  unnest(list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                                        for i in range(1, len(w)-1)])) AS s
+                FROM s WHERE len(w) >= 3),
+         xh AS (SELECT doc_id, source,
+                  (('0x' || substr(md5(s), 1, 15))::UBIGINT % 2147483647)::BIGINT AS x
+                FROM sh),
+         sig AS (SELECT doc_id, source, i,
+                   min(((i*1000003 + 12345) * x + i*999983 + 54321) % 2147483647) AS mh
+                 FROM xh CROSS JOIN (SELECT unnest(range(0,16)) AS i) perms
+                 GROUP BY doc_id, source, i),
+         bands AS (SELECT doc_id, source, i // 4 AS band,
+                     md5(string_agg(mh::VARCHAR, '|' ORDER BY i)) AS bh
+                   FROM sig GROUP BY doc_id, source, i // 4)
+         SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+         FROM bands l JOIN bands r ON l.band = r.band AND l.bh = r.bh
+           AND l.doc_id <> r.doc_id
+         WHERE l.source = 'src0' AND r.source <> 'src0'""",
     "dd3_simhash" ->
       s"""WITH toks AS (SELECT doc_id, unnest(list_distinct(string_split(text,' '))) AS t
             FROM documents),

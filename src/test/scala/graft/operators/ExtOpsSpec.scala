@@ -284,6 +284,26 @@ class ExtOpsSpec extends SparkSpec {
     assert(none.map(r => (r._1, r._3)) == Set((1L, 0L), (2L, 0L), (3L, 0L)))
   }
 
+  test("dedupIncremental: new batch vs persisted band index, append grows the index") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-bandidx").toString
+    val corpus = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog"),
+      (101L, "an entirely different corpus document here")).toDF("doc_id", "text")
+    DedupOps.bandIndexBuild(corpus, dir, "doc_id", "text")
+    val batch = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"), // dup of 100
+      (2L, "nothing similar at all in this one")).toDF("doc_id", "text")
+    val out = DedupOps.dedupIncremental(batch, dir, "doc_id", "text")
+      .as[(Long, Long)].collect().toSet
+    assert(out == Set((1L, 100L)))
+    // append the batch; a later dup of doc 2 is then caught too
+    DedupOps.bandIndexAppend(batch, dir, "doc_id", "text")
+    val out2 = DedupOps.dedupIncremental(
+      Seq((5L, "nothing similar at all in this one")).toDF("doc_id", "text"),
+      dir, "doc_id", "text").as[(Long, Long)].collect().toSet
+    assert(out2 == Set((5L, 2L)))
+  }
+
   test("columnProfile: one-pass nulls/distinct/min/max in long form") {
     val df = Seq(
       (Some(1L), "a"), (Some(2L), "b"), (None, "b"), (Some(2L), "c"))
