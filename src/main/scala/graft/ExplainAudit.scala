@@ -17,7 +17,10 @@ object ExplainAudit {
         "dd7_embedding_dedup", "tx8_contamination", "tx12_top_terms",
         "tx13_packing", "tx14_kmv_distinct", "ev8_transitions",
         "ev9_variant", "q18_pivot", "q21_unpivot",
-        "tx15_contamination_bloom", "tx16_weighted_sample")
+        "tx15_contamination_bloom", "tx16_weighted_sample",
+        "tx17_mix_budget", "tx18_char_entropy", "tx19_column_profile",
+        "q22_grouping_sets", "q23_zorder", "q24_approx_percentile",
+        "dd10_incremental")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
