@@ -148,12 +148,22 @@ object DedupOps {
       bandRows(corpus, idCol, textCol, shingleK, numPerm, bands),
       dir, Seq("_band"), clusterBy = Seq("_bh"))
 
-  /** Append a new batch's band rows to an existing index. */
+  /** Append a new batch's band rows to an existing index, preserving
+    * the build's layout invariant (rows shaped exactly like
+    * `Compaction.writePartitioned`: repartitioned on the partition key,
+    * files clustered by band hash) — an unshaped append would write
+    * tasks × bands sliver files with useless min/max stats until the
+    * next compaction.
+    */
   def bandIndexAppend(batch: DataFrame, dir: String, idCol: String,
                       textCol: String, shingleK: Int = 1, numPerm: Int = 16,
-                      bands: Int = 4): Unit =
+                      bands: Int = 4,
+                      maxRecordsPerFile: Long = 1000000L): Unit =
     bandRows(batch, idCol, textCol, shingleK, numPerm, bands)
+      .repartition(col("_band"))
+      .sortWithinPartitions(col("_band"), col("_bh"))
       .write.mode(org.apache.spark.sql.SaveMode.Append)
+      .option("maxRecordsPerFile", maxRecordsPerFile)
       .partitionBy("_band").parquet(dir)
 
   /** Near-dup candidates of a NEW batch against the persisted index:
@@ -168,12 +178,15 @@ object DedupOps {
                        bands: Int = 4): DataFrame = {
     val spark = batch.sparkSession
     val newBanded = bandRows(batch, idCol, textCol, shingleK, numPerm,
-      bands).persist()
-    val key = concat_ws(" ", col("_band"), col("_bh"))
-    // sized by the batch's actual band-row count — one cheap job over
-    // the cached projection
+      bands)
+    val key = concat_ws("\u0000", col("_band"), col("_bh"))
+    // sized from the raw batch count × bands (an upper bound on band
+    // rows) — no persist: a cached plan here would leak a CacheManager
+    // entry per ingest in the steady-state loop, and the batch side is
+    // small by premise, so evaluating the banding twice (bloom build +
+    // join) is the cheaper trade
     val bloom = BloomJoin.buildBloom(newBanded, key,
-      math.max(newBanded.count(), 1L))
+      math.max(batch.count() * bands, 1L))
     val index = spark.read.parquet(dir)
       .filter(BloomJoin.mightContain(bloom, key))
       .select(col("_id").as("_old"), col("_band"), col("_bh"))

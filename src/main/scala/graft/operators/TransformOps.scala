@@ -131,6 +131,7 @@ object TransformOps {
     * upstream if cross-engine comparison matters.
     */
   def columnProfile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "columnProfile needs at least one column")
     val aggs = cols.flatMap { c => Seq(
       count(col(c)).as(s"${c}__cnt"),
       countDistinct(col(c)).as(s"${c}__dist"),
@@ -138,8 +139,14 @@ object TransformOps {
       max(col(c)).cast("string").as(s"${c}__max"))
     }
     val wide = df.agg(count(lit(1)).as("__rows"), aggs: _*)
+    // the stack() call is assembled as SQL text, so escape what the
+    // parser would see: quotes in the label literal, backticks in the
+    // quoted identifiers
+    def lbl(c: String) = c.replace("\\", "\\\\").replace("'", "\\'")
+    def id(c: String) = c.replace("`", "``")
     val stackArgs = cols.map(c =>
-      s"'$c', `${c}__cnt`, `${c}__dist`, `${c}__min`, `${c}__max`")
+      s"'${lbl(c)}', `${id(c)}__cnt`, `${id(c)}__dist`, " +
+        s"`${id(c)}__min`, `${id(c)}__max`")
       .mkString(", ")
     wide.select(col("__rows"), expr(
         s"stack(${cols.size}, $stackArgs) AS " +

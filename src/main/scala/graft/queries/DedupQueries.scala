@@ -34,8 +34,11 @@ object DedupQueries {
     // keys. The oracle replays both sides' banding and the cross join.
     "dd10_incremental" -> ((s, d) => {
       val docs = documents(s, d)
-      val dir = java.nio.file.Paths.get(
-        sys.props("java.io.tmpdir"), "graft-band-index").toString
+      // scratch path keyed by the sf dir: a bench at one scale factor
+      // must not overwrite the index under a concurrent run at another
+      // (single-run-per-sf assumption, same as ss7)
+      val dir = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+        s"graft-band-index-${math.abs(d.hashCode)}").toString
       DedupOps.bandIndexBuild(docs.filter(col("source") =!= "src0"),
         dir, "doc_id", "text", shingleK = 3, numPerm = 16, bands = 4)
       DedupOps.dedupIncremental(docs.filter(col("source") === "src0"),

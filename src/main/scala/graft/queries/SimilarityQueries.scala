@@ -84,10 +84,12 @@ object SimilarityQueries {
     // partition-pruned scan shape are asserted in AsOfIvfSpec).
     "ss7_ivf_index" -> ((s, d) => {
       val emb = embeddings(s, d)
-      // fixed scratch path, overwritten per run — repeated bench/verify
-      // invocations must not accumulate corpus-sized index copies
-      val dir = java.nio.file.Paths.get(
-        sys.props("java.io.tmpdir"), "graft-ivf-q-index").toString
+      // fixed scratch path (keyed by sf dir), overwritten per run —
+      // repeated bench/verify invocations must not accumulate
+      // corpus-sized index copies, and concurrent runs at different
+      // scale factors must not clobber each other's index
+      val dir = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+        s"graft-ivf-q-index-${math.abs(d.hashCode)}").toString
       val kernel = graft.functions.CosineF32.cosineF32Native(_, _)
       graft.operators.IvfIndex.build(emb, dir, nList = 8, kernel = kernel)
       graft.operators.IvfIndex.search(s, dir, emb.filter(col("vec_id") < 10),
