@@ -74,6 +74,15 @@ class SqlSurfaceSpec extends SparkSpec {
     assert(astral.getDouble(1) == 1.0)
   }
 
+  test("morton from SQL matches the JVM kernel") {
+    val r = spark.sql(
+      "SELECT morton(3, 3) AS a, morton(4, 0) AS b, " +
+        "morton(CAST(NULL AS INT), 1) AS c").head()
+    assert(r.getLong(0) == graft.functions.Morton.interleave(3, 3))
+    assert(r.getLong(1) == graft.functions.Morton.interleave(4, 0))
+    assert(r.isNullAt(2))
+  }
+
   test("year_in_range predicate from SQL") {
     val kept = spark.sql(
       """SELECT y FROM VALUES ('1850'), ('1850/51'), ('1901'), ('junk'),
