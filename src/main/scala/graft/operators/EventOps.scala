@@ -131,4 +131,29 @@ object EventOps {
       .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
       .groupBy((col("k") % 10).as("k_bucket"))
       .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total"))
+
+  /** Funnel progression per user: how far through the ordered `steps`
+    * each user's event sequence gets (a later step must occur strictly
+    * AFTER the matched earlier one in (ts, event_id) order). One keyed
+    * shuffle: collect + sort each user's (ts, event_id, type) triples,
+    * then a row-local greedy fold walks the sequence against the steps
+    * — greedy earliest-match is optimal for subsequence reach, so this
+    * equals the per-step min-after formulation without its per-step
+    * join passes.
+    */
+  def funnel(events: DataFrame, steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    val seq = sort_array(collect_list(
+      struct(col("ts"), col("event_id"), col("event_type"))))
+    events
+      .groupBy("user_id")
+      .agg(seq.as("_seq"))
+      .select(col("user_id"),
+        aggregate(col("_seq"), lit(0), (acc, x) =>
+          when(acc < lit(steps.size) &&
+              x.getField("event_type") ===
+                element_at(typedLit(steps), acc + 1),
+            acc + 1).otherwise(acc)).as("steps_reached"))
+      .withColumn("completed", col("steps_reached") === lit(steps.size))
+  }
 }

@@ -37,6 +37,11 @@ object EventQueries {
     // Event-transition matrix: consecutive (prev → next) event-type
     // pairs per user with mean gap (lag window exercise).
     "ev8_transitions" -> ((s, d) => EventOps.transitions(events(s, d))),
+
+    // Funnel: view → click → purchase, strictly ordered per user. The
+    // greedy fold equals the oracle's unrolled per-step min-after chain.
+    "ev10_funnel" -> ((s, d) =>
+      EventOps.funnel(events(s, d), Seq("view", "click", "purchase"))),
     // As-of join: each purchase matched to the user's latest click at or
     // before it (point-in-time lookup; EventOps.asOfJoin composition).
     "ev6_asof" -> ((s, d) => {
@@ -113,6 +118,29 @@ object EventQueries {
       """SELECT (json_extract_string(props, '$.k')::INTEGER % 5) AS k_mod,
            count(*) AS n, round(max(value), 2) AS max_v
          FROM events GROUP BY k_mod""",
+    "ev10_funnel" ->
+      """WITH s1 AS (SELECT user_id, min(row(ts, event_id)) AS p
+                     FROM events WHERE event_type = 'view'
+                     GROUP BY user_id),
+         s2 AS (SELECT e.user_id, min(row(e.ts, e.event_id)) AS p
+                FROM events e JOIN s1 ON e.user_id = s1.user_id
+                WHERE e.event_type = 'click' AND row(e.ts, e.event_id) > s1.p
+                GROUP BY e.user_id),
+         s3 AS (SELECT e.user_id, min(row(e.ts, e.event_id)) AS p
+                FROM events e JOIN s2 ON e.user_id = s2.user_id
+                WHERE e.event_type = 'purchase'
+                  AND row(e.ts, e.event_id) > s2.p
+                GROUP BY e.user_id)
+         SELECT u.user_id,
+           CASE WHEN s3.user_id IS NOT NULL THEN 3
+                WHEN s2.user_id IS NOT NULL THEN 2
+                WHEN s1.user_id IS NOT NULL THEN 1
+                ELSE 0 END AS steps_reached,
+           s3.user_id IS NOT NULL AS completed
+         FROM (SELECT DISTINCT user_id FROM events) u
+         LEFT JOIN s1 ON u.user_id = s1.user_id
+         LEFT JOIN s2 ON u.user_id = s2.user_id
+         LEFT JOIN s3 ON u.user_id = s3.user_id""",
     "ev8_transitions" ->
       """WITH o AS (
            SELECT user_id, event_type, ts, event_id,

@@ -520,6 +520,24 @@ class ExtOpsSpec extends SparkSpec {
     assert(out(4L) == ((1, 1L, 0)))
   }
 
+  test("funnel: greedy ordered-step reach per user") {
+    val t = (s: Int) => java.sql.Timestamp.valueOf(
+      java.time.LocalDateTime.of(2024, 1, 1, 0, 0, 0).plusSeconds(s))
+    val ev = Seq(
+      // user 1 completes in order
+      (1L, t(0), 10L, "view"), (2L, t(1), 10L, "click"),
+      (3L, t(2), 10L, "purchase"),
+      // user 2: purchase BEFORE click → only 2 steps reached
+      (4L, t(0), 20L, "view"), (5L, t(1), 20L, "purchase"),
+      (6L, t(2), 20L, "click"),
+      // user 3: never views
+      (7L, t(0), 30L, "click"), (8L, t(1), 30L, "purchase"))
+      .toDF("event_id", "ts", "user_id", "event_type")
+    val out = EventOps.funnel(ev, Seq("view", "click", "purchase"))
+      .as[(Long, Int, Boolean)].collect().toSet
+    assert(out == Set((10L, 3, true), (20L, 2, false), (30L, 0, false)))
+  }
+
   test("transitions counts consecutive event-type pairs with mean gap") {
     val ts = (s: Int) => java.sql.Timestamp.from(
       java.time.Instant.parse("2024-01-01T00:00:00Z").plusSeconds(s))
