@@ -132,6 +132,26 @@ object EventOps {
       .groupBy((col("k") % 10).as("k_bucket"))
       .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total"))
 
+  /** Cohort retention: users bucketed by the week of their FIRST event
+    * (integer weeks since `epochDate` — integer math, not calendar
+    * truncation, so any engine replays it exactly), counted distinct in
+    * each later week offset. Two keyed shuffles (per-user min, the
+    * cohort×offset distinct); the per-user cohort rides a broadcast-able
+    * frame at any realistic user cardinality — and when it isn't, the
+    * join is an equi-join on user_id that AQE can split.
+    */
+  def retention(events: DataFrame,
+                epochDate: String = "2024-01-01"): DataFrame = {
+    val wk = floor(datediff(col("ts").cast("date"),
+      lit(epochDate).cast("date")) / 7).cast("int")
+    val weeks = events.select(col("user_id"), wk.as("_wk"))
+    val cohorts = weeks.groupBy("user_id").agg(min("_wk").as("_cohort"))
+    weeks.join(cohorts, Seq("user_id"))
+      .groupBy(col("_cohort").as("cohort_week"),
+        (col("_wk") - col("_cohort")).as("week_offset"))
+      .agg(countDistinct("user_id").as("n_users"))
+  }
+
   /** Funnel progression per user: how far through the ordered `steps`
     * each user's event sequence gets (a later step must occur strictly
     * AFTER the matched earlier one in (ts, event_id) order). One keyed

@@ -42,6 +42,9 @@ object EventQueries {
     // greedy fold equals the oracle's unrolled per-step min-after chain.
     "ev10_funnel" -> ((s, d) =>
       EventOps.funnel(events(s, d), Seq("view", "click", "purchase"))),
+
+    // Cohort retention by integer week since the corpus epoch.
+    "ev11_retention" -> ((s, d) => EventOps.retention(events(s, d))),
     // As-of join: each purchase matched to the user's latest click at or
     // before it (point-in-time lookup; EventOps.asOfJoin composition).
     "ev6_asof" -> ((s, d) => {
@@ -118,6 +121,16 @@ object EventQueries {
       """SELECT (json_extract_string(props, '$.k')::INTEGER % 5) AS k_mod,
            count(*) AS n, round(max(value), 2) AS max_v
          FROM events GROUP BY k_mod""",
+    "ev11_retention" ->
+      """WITH w AS (SELECT user_id,
+                      (date_diff('day', DATE '2024-01-01', ts::DATE) // 7)
+                        AS wk
+                    FROM events),
+         c AS (SELECT user_id, min(wk) AS cohort FROM w GROUP BY user_id)
+         SELECT c.cohort AS cohort_week, w.wk - c.cohort AS week_offset,
+           count(DISTINCT w.user_id) AS n_users
+         FROM w JOIN c ON w.user_id = c.user_id
+         GROUP BY 1, 2""",
     "ev10_funnel" ->
       """WITH s1 AS (SELECT user_id, min(row(ts, event_id)) AS p
                      FROM events WHERE event_type = 'view'

@@ -538,6 +538,21 @@ class ExtOpsSpec extends SparkSpec {
     assert(out == Set((10L, 3, true), (20L, 2, false), (30L, 0, false)))
   }
 
+  test("retention: cohort by first-event week, distinct users per offset") {
+    val t = (d: Int) => java.sql.Timestamp.valueOf(
+      java.time.LocalDateTime.of(2024, 1, 1, 0, 0, 0).plusDays(d))
+    val ev = Seq(
+      (1L, t(0), 10L),  // u10 cohort week 0
+      (2L, t(8), 10L),  // returns week 1
+      (3L, t(8), 20L),  // u20 cohort week 1
+      (4L, t(9), 20L),  // same week → one distinct
+      (5L, t(22), 10L)) // u10 returns week 3
+      .toDF("event_id", "ts", "user_id")
+    val out = EventOps.retention(ev)
+      .as[(Int, Int, Long)].collect().toSet
+    assert(out == Set((0, 0, 1L), (0, 1, 1L), (0, 3, 1L), (1, 0, 1L)))
+  }
+
   test("transitions counts consecutive event-type pairs with mean gap") {
     val ts = (s: Int) => java.sql.Timestamp.from(
       java.time.Instant.parse("2024-01-01T00:00:00Z").plusSeconds(s))
