@@ -217,6 +217,29 @@ object RelationalQueries {
           grouping_id().as("gid"))
     }),
 
+    // Blocked fuzzy join on edit distance, DICTIONARY-FIRST: distinct
+    // names are extracted (with their row multiplicity), the quadratic
+    // comparison runs on the small dictionary inside last-token blocks,
+    // and pair weights multiply back the multiplicities — comparing raw
+    // rows would square every duplicated name (the classic fuzzy-join
+    // mistake at scale). levenshtein is an exact integer metric both
+    // engines compute identically.
+    "q25_fuzzy_join" -> ((s, d) => {
+      val names = part(s, d).groupBy(col("p_name"))
+        .agg(count(lit(1)).as("_m"))
+        .withColumn("_blk", element_at(split(col("p_name"), " "), -1))
+      val l = names.select(col("p_name").as("na"), col("_m").as("ma"),
+        col("_blk"))
+      val r = names.select(col("p_name").as("nb"), col("_m").as("mb"),
+        col("_blk"))
+      l.join(r, Seq("_blk")).filter(col("na") < col("nb"))
+        .withColumn("dist", levenshtein(col("na"), col("nb")))
+        .filter(col("dist") <= 4)
+        .groupBy("dist")
+        .agg(count(lit(1)).as("n_name_pairs"),
+          sum(col("ma") * col("mb")).as("n_row_pairs"))
+    }),
+
     // Approximate percentiles (GK sketch — the mergeable scale path
     // next to q17's exact counts-map): at maximum accuracy the sketch
     // degenerates to exact discrete percentiles, which DuckDB's
@@ -367,6 +390,16 @@ object RelationalQueries {
     "q19_cube" ->
       """SELECT year(o_orderdate) AS yr, o_orderstatus, count(*) AS n
          FROM orders GROUP BY CUBE (yr, o_orderstatus)""",
+    "q25_fuzzy_join" ->
+      """WITH n AS (SELECT p_name, count(*) AS m,
+                      string_split(p_name, ' ')[-1] AS blk
+                    FROM part GROUP BY p_name)
+         SELECT levenshtein(l.p_name, r.p_name) AS dist,
+           count(*) AS n_name_pairs,
+           sum(l.m * r.m)::BIGINT AS n_row_pairs
+         FROM n l JOIN n r ON l.blk = r.blk AND l.p_name < r.p_name
+         WHERE levenshtein(l.p_name, r.p_name) <= 4
+         GROUP BY dist""",
     "q24_approx_percentile" ->
       """SELECT o_orderpriority,
            quantile_disc(o_totalprice, [0.5, 0.9, 0.99]) AS pcts
