@@ -132,6 +132,23 @@ object EventOps {
       .groupBy((col("k") % 10).as("k_bucket"))
       .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total"))
 
+  /** Time-decayed aggregate: recency-weighted value per key,
+    * `sum(value * exp(-lambda * age_days))` against a fixed `asOf`
+    * anchor. Age is INTEGER day arithmetic (engine-exact); the decay
+    * factor is one exp per distinct age, computed identically from
+    * identical doubles on any engine. Map-side partial agg; one keyed
+    * shuffle.
+    */
+  def decayedSum(events: DataFrame, keyCol: String, valueCol: String,
+                 asOf: String, lambda: Double): DataFrame = {
+    val age = datediff(lit(asOf).cast("date"), col("ts").cast("date"))
+    events
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col(valueCol) * exp(lit(-lambda) * age)), 4)
+          .as("decayed_total"))
+  }
+
   /** Cohort retention: users bucketed by the week of their FIRST event
     * (integer weeks since `epochDate` — integer math, not calendar
     * truncation, so any engine replays it exactly), counted distinct in

@@ -45,6 +45,11 @@ object EventQueries {
 
     // Cohort retention by integer week since the corpus epoch.
     "ev11_retention" -> ((s, d) => EventOps.retention(events(s, d))),
+
+    // Recency-weighted event value per type (half-life ≈ 7 days).
+    "ev12_decayed" -> ((s, d) =>
+      EventOps.decayedSum(events(s, d), "event_type", "value",
+        asOf = "2024-03-01", lambda = 0.1)),
     // As-of join: each purchase matched to the user's latest click at or
     // before it (point-in-time lookup; EventOps.asOfJoin composition).
     "ev6_asof" -> ((s, d) => {
@@ -121,6 +126,12 @@ object EventQueries {
       """SELECT (json_extract_string(props, '$.k')::INTEGER % 5) AS k_mod,
            count(*) AS n, round(max(value), 2) AS max_v
          FROM events GROUP BY k_mod""",
+    "ev12_decayed" ->
+      """SELECT event_type, count(*) AS n,
+           round(sum(value *
+             exp(-0.1 * date_diff('day', ts::DATE, DATE '2024-03-01'))), 4)
+             AS decayed_total
+         FROM events GROUP BY event_type""",
     "ev11_retention" ->
       """WITH w AS (SELECT user_id,
                       (date_diff('day', DATE '2024-01-01', ts::DATE) // 7)
