@@ -134,10 +134,11 @@ object EventOps {
 
   /** Time-decayed aggregate: recency-weighted value per key,
     * `sum(value * exp(-lambda * age_days))` against a fixed `asOf`
-    * anchor. Age is INTEGER day arithmetic (engine-exact); the decay
-    * factor is one exp per distinct age, computed identically from
-    * identical doubles on any engine. Map-side partial agg; one keyed
-    * shuffle.
+    * anchor. Age is INTEGER day arithmetic (engine-exact); exp() and
+    * the summation order are NOT bit-guaranteed across engines — the
+    * output rounding is what makes the cross-engine compare stable
+    * (the repo-wide convention for aggregated doubles). Map-side
+    * partial agg; one keyed shuffle.
     */
   def decayedSum(events: DataFrame, keyCol: String, valueCol: String,
                  asOf: String, lambda: Double): DataFrame = {
@@ -180,8 +181,13 @@ object EventOps {
     */
   def funnel(events: DataFrame, steps: Seq[String]): DataFrame = {
     require(steps.nonEmpty, "funnel needs at least one step")
+    // non-step types can never advance the fold: the when() makes them
+    // null and collect_list SKIPS nulls, so only matchable rows enter
+    // the agg buffers (and the sort) while every user — including
+    // zero-step users the funnel must still report — keeps a group
     val seq = sort_array(collect_list(
-      struct(col("ts"), col("event_id"), col("event_type"))))
+      when(col("event_type").isin(steps: _*),
+        struct(col("ts"), col("event_id"), col("event_type")))))
     events
       .groupBy("user_id")
       .agg(seq.as("_seq"))

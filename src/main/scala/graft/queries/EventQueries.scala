@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, conv, md5, substring}
 import graft.Tables._
 import graft.operators.EventOps
 
@@ -38,10 +39,16 @@ object EventQueries {
     // pairs per user with mean gap (lag window exercise).
     "ev8_transitions" -> ((s, d) => EventOps.transitions(events(s, d))),
 
-    // Funnel: view → click → purchase, strictly ordered per user. The
-    // greedy fold equals the oracle's unrolled per-step min-after chain.
-    "ev10_funnel" -> ((s, d) =>
-      EventOps.funnel(events(s, d), Seq("view", "click", "purchase"))),
+    // Funnel: view → click → purchase, strictly ordered per user, over
+    // a SPARSE md5-sampled event slice — on the full dense corpus every
+    // user completes and the oracle compare would have zero
+    // discrimination (a constant column catches no ordering bugs).
+    "ev10_funnel" -> ((s, d) => {
+      val sparse = events(s, d).filter(
+        conv(substring(md5(col("event_id").cast("string")), 1, 8), 16, 10)
+          .cast("long") % 20 === 0)
+      EventOps.funnel(sparse, Seq("view", "click", "purchase"))
+    }),
 
     // Cohort retention by integer week since the corpus epoch.
     "ev11_retention" -> ((s, d) => EventOps.retention(events(s, d))),
@@ -134,8 +141,11 @@ object EventQueries {
          FROM events GROUP BY event_type""",
     "ev11_retention" ->
       """WITH w AS (SELECT user_id,
-                      (date_diff('day', DATE '2024-01-01', ts::DATE) // 7)
-                        AS wk
+                      -- floor, not //: DuckDB's // truncates toward
+                      -- zero, Spark's floor() rounds toward -inf, and
+                      -- they disagree on pre-epoch events
+                      floor(date_diff('day', DATE '2024-01-01', ts::DATE)
+                        / 7.0)::INT AS wk
                     FROM events),
          c AS (SELECT user_id, min(wk) AS cohort FROM w GROUP BY user_id)
          SELECT c.cohort AS cohort_week, w.wk - c.cohort AS week_offset,
@@ -143,15 +153,18 @@ object EventQueries {
          FROM w JOIN c ON w.user_id = c.user_id
          GROUP BY 1, 2""",
     "ev10_funnel" ->
-      """WITH s1 AS (SELECT user_id, min(row(ts, event_id)) AS p
-                     FROM events WHERE event_type = 'view'
+      """WITH ev AS (SELECT * FROM events
+                     WHERE ('0x' || substr(md5(event_id::VARCHAR), 1, 8))
+                       ::UBIGINT % 20 = 0),
+         s1 AS (SELECT user_id, min(row(ts, event_id)) AS p
+                     FROM ev WHERE event_type = 'view'
                      GROUP BY user_id),
          s2 AS (SELECT e.user_id, min(row(e.ts, e.event_id)) AS p
-                FROM events e JOIN s1 ON e.user_id = s1.user_id
+                FROM ev e JOIN s1 ON e.user_id = s1.user_id
                 WHERE e.event_type = 'click' AND row(e.ts, e.event_id) > s1.p
                 GROUP BY e.user_id),
          s3 AS (SELECT e.user_id, min(row(e.ts, e.event_id)) AS p
-                FROM events e JOIN s2 ON e.user_id = s2.user_id
+                FROM ev e JOIN s2 ON e.user_id = s2.user_id
                 WHERE e.event_type = 'purchase'
                   AND row(e.ts, e.event_id) > s2.p
                 GROUP BY e.user_id)
@@ -161,7 +174,7 @@ object EventQueries {
                 WHEN s1.user_id IS NOT NULL THEN 1
                 ELSE 0 END AS steps_reached,
            s3.user_id IS NOT NULL AS completed
-         FROM (SELECT DISTINCT user_id FROM events) u
+         FROM (SELECT DISTINCT user_id FROM ev) u
          LEFT JOIN s1 ON u.user_id = s1.user_id
          LEFT JOIN s2 ON u.user_id = s2.user_id
          LEFT JOIN s3 ON u.user_id = s3.user_id""",

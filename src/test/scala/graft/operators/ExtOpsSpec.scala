@@ -539,8 +539,12 @@ class ExtOpsSpec extends SparkSpec {
   }
 
   test("retention: cohort by first-event week, distinct users per offset") {
-    val t = (d: Int) => java.sql.Timestamp.valueOf(
-      java.time.LocalDateTime.of(2024, 1, 1, 0, 0, 0).plusDays(d))
+    // Instant-based, not LocalDateTime: the session timezone is pinned
+    // UTC, and a JVM-default-zone timestamp east of UTC would shift
+    // midnight onto the previous UTC date (and the cohort to week -1)
+    val t = (d: Int) => java.sql.Timestamp.from(
+      java.time.Instant.parse("2024-01-01T12:00:00Z")
+        .plus(java.time.Duration.ofDays(d)))
     val ev = Seq(
       (1L, t(0), 10L),  // u10 cohort week 0
       (2L, t(8), 10L),  // returns week 1
