@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+
+/** Physical-plan contracts for the scale-critical queries: the plan
+  * SHAPES (broadcasts, exchange reuse, native operators, pushed
+  * filters) are what carry to a 1000-executor cluster, so they are
+  * pinned here against optimizer-visible regressions — a silent fall
+  * back to a sort-merge join or a re-computed exchange would pass every
+  * value-level oracle while costing an order of magnitude at scale.
+  */
+class PlanShapeSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def planOf(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, sf)
+    df.collect() // executes, so AQE final plans are materialized
+    df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan.toString
+      case p => p.toString
+    }
+  }
+
+  test("q2 star join broadcasts the dimension side") {
+    assert(planOf("q2_region_revenue").contains("BroadcastHashJoin"))
+  }
+
+  test("q15 top-k runs on the native heap operator, not a window sort") {
+    val p = planOf("q15_topk_native")
+    assert(p.contains("TopKPerKey") || p.contains("LocalTopK"))
+    assert(!p.contains("row_number"))
+  }
+
+  test("dd2 LSH self-join reuses one exchange for both sides") {
+    assert(planOf("dd2_minhash_lsh").contains("ReusedExchange"))
+  }
+
+  test("cd2 year filter is the fused native predicate, not regex machinery") {
+    val p = planOf("cd2_interval_filter")
+    assert(p.contains("year_in_range"))
+    assert(!p.contains("regexp_extract"))
+  }
+
+  test("tx15 contamination probes the bloom filter before the exact join") {
+    assert(planOf("tx15_contamination_bloom").contains("might_contain"))
+  }
+
+  test("q1 scan prunes to the referenced columns") {
+    val p = planOf("q1_agg")
+    // lineitem is 16 columns wide; the agg touches a handful
+    assert(p.contains("ReadSchema"))
+    assert(!p.contains("l_comment"), "scan reads unreferenced columns")
+  }
+}
