@@ -121,6 +121,20 @@ object TransformOps {
       .unionByName(idLogs, allowMissingColumns = true)
   }
 
+  /** Upsert (merge) without a table format: the updated rows win on
+    * key collision, unmatched current rows survive — `updates ∪
+    * (current ⟕̸ updates)` as one anti join. This is the
+    * overwrite-partition merge a parquet-only pipeline runs for
+    * dimension refreshes; the anti join is an equi-join on the key
+    * (broadcast-able when updates are small — the common case), and no
+    * row is compared more than once.
+    */
+  def upsert(current: DataFrame, updates: DataFrame,
+             keyCols: Seq[String]): DataFrame =
+    updates.unionByName(
+      current.join(updates.select(keyCols.map(col): _*),
+        keyCols, "left_anti"))
+
   /** One-pass long-form column profile: per column, row/null/exact-
     * distinct counts and min/max (cast to string for a uniform output
     * schema) — the stats sweep a pipeline runs before trusting a new

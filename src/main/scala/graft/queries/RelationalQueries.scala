@@ -217,6 +217,19 @@ object RelationalQueries {
           grouping_id().as("gid"))
     }),
 
+    // Upsert/merge without a table format: synthetic updates (every
+    // 10th customer re-segmented, balance bumped) win on key collision,
+    // the rest of the dimension survives via one anti join.
+    "q26_upsert" -> ((s, d) => {
+      val cust = customer(s, d)
+      val updates = cust.filter(col("c_custkey") % 10 === 0)
+        .withColumn("c_acctbal", round(col("c_acctbal") + 100.0, 2))
+        .withColumn("c_mktsegment", lit("UPSERTED"))
+      graft.operators.TransformOps.upsert(cust, updates, Seq("c_custkey"))
+        .select(col("c_custkey"), round(col("c_acctbal"), 2).as("bal"),
+          col("c_mktsegment"))
+    }),
+
     // Blocked fuzzy join on edit distance, DICTIONARY-FIRST: distinct
     // names are extracted (with their row multiplicity), the quadratic
     // comparison runs on the small dictionary inside last-token blocks,
@@ -390,6 +403,15 @@ object RelationalQueries {
     "q19_cube" ->
       """SELECT year(o_orderdate) AS yr, o_orderstatus, count(*) AS n
          FROM orders GROUP BY CUBE (yr, o_orderstatus)""",
+    "q26_upsert" ->
+      """WITH u AS (SELECT c_custkey, round(c_acctbal + 100.0, 2) AS bal,
+                      'UPSERTED' AS c_mktsegment
+                    FROM customer WHERE c_custkey % 10 = 0)
+         SELECT c_custkey, bal, c_mktsegment FROM u
+         UNION ALL
+         SELECT c_custkey, round(c_acctbal, 2), c_mktsegment
+         FROM customer
+         WHERE c_custkey NOT IN (SELECT c_custkey FROM u)""",
     "q25_fuzzy_join" ->
       """WITH n AS (SELECT p_name, count(*) AS m,
                       string_split(p_name, ' ')[-1] AS blk

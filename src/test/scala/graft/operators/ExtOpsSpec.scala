@@ -304,6 +304,14 @@ class ExtOpsSpec extends SparkSpec {
     assert(out2 == Set((5L, 2L)))
   }
 
+  test("upsert: updates win on key, unmatched current rows survive") {
+    val current = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v")
+    val updates = Seq((2L, "B"), (4L, "D")).toDF("k", "v")
+    val out = TransformOps.upsert(current, updates, Seq("k"))
+      .as[(Long, String)].collect().toSet
+    assert(out == Set((1L, "a"), (2L, "B"), (3L, "c"), (4L, "D")))
+  }
+
   test("columnProfile: one-pass nulls/distinct/min/max in long form") {
     val df = Seq(
       (Some(1L), "a"), (Some(2L), "b"), (None, "b"), (Some(2L), "c"))
