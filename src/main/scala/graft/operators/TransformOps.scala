@@ -128,6 +128,13 @@ object TransformOps {
     * dimension refreshes; the anti join is an equi-join on the key
     * (broadcast-able when updates are small — the common case), and no
     * row is compared more than once.
+    *
+    * PRECONDITION (as for SQL MERGE): `updates` must be unique and
+    * non-null on `keyCols` — duplicate update keys all pass through the
+    * union (emitting a dimension with duplicated keys), and null-keyed
+    * updates accumulate on every refresh since an anti join never
+    * matches null. Dedupe upstream (e.g. `DedupOps.dedupExact`) when
+    * the source can't guarantee it.
     */
   def upsert(current: DataFrame, updates: DataFrame,
              keyCols: Seq[String]): DataFrame =

@@ -13,14 +13,17 @@ class PlanShapeSpec extends SparkSpec {
 
   private val sf = "/root/testdata/sf0.001"
 
-  private def planOf(name: String): String = {
+  private def finalPlan(name: String)
+      : org.apache.spark.sql.execution.SparkPlan = {
     val df = SparkEntry.queries(name)(spark, sf)
     df.collect() // executes, so AQE final plans are materialized
     df.queryExecution.executedPlan match {
-      case a: AdaptiveSparkPlanExec => a.executedPlan.toString
-      case p => p.toString
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
     }
   }
+
+  private def planOf(name: String): String = finalPlan(name).toString
 
   test("q2 star join broadcasts the dimension side") {
     assert(planOf("q2_region_revenue").contains("BroadcastHashJoin"))
@@ -47,9 +50,27 @@ class PlanShapeSpec extends SparkSpec {
   }
 
   test("q1 scan prunes to the referenced columns") {
-    val p = planOf("q1_agg")
-    // lineitem is 16 columns wide; the agg touches a handful
-    assert(p.contains("ReadSchema"))
-    assert(!p.contains("l_comment"), "scan reads unreferenced columns")
+    // inspect the scan's actual output schema (explain strings truncate
+    // ReadSchema at spark.sql.maxMetadataStringLength, and asserting on
+    // a column the fixture doesn't even have would be vacuous)
+    // AQE's final plan bottoms out in QueryStageExec nodes; the scans
+    // live inside the stages' plans, so recurse through them
+    def scansIn(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.FileSourceScanExec] = {
+      val here = p match {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => Seq(f)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          scansIn(q.plan)
+        case _ => Nil
+      }
+      here ++ p.children.flatMap(scansIn)
+    }
+    val scans = scansIn(finalPlan("q1_agg"))
+    assert(scans.nonEmpty)
+    val read = scans.flatMap(_.schema.fieldNames).toSet
+    // q1 touches exactly these five of lineitem's 11 columns
+    assert(read == Set("l_returnflag", "l_linestatus", "l_quantity",
+      "l_extendedprice", "l_discount"),
+      s"scan reads $read")
   }
 }
