@@ -132,6 +132,23 @@ object EventOps {
       .groupBy((col("k") % 10).as("k_bucket"))
       .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total"))
 
+  /** State timeline (SCD2-style interval versioning): each event opens
+    * a validity interval for its key that the key's NEXT event closes —
+    * one lead() window per key, no self-join. The open (current)
+    * interval has a null `valid_to`. Timestamps are emitted as epoch
+    * microseconds (the repo-wide event-time convention).
+    */
+  def stateTimeline(events: DataFrame, keyCol: String,
+                    stateCol: String): DataFrame = {
+    val w = Window.partitionBy(keyCol).orderBy(col("ts"), col("event_id"))
+    events
+      .select(col(keyCol), col(stateCol), col("ts"), col("event_id"),
+        unix_micros(col("ts")).as("valid_from"))
+      .withColumn("valid_to", lead(col("valid_from"), 1).over(w))
+      .select(col(keyCol), col(stateCol), col("valid_from"),
+        col("valid_to"))
+  }
+
   /** Time-decayed aggregate: recency-weighted value per key,
     * `sum(value * exp(-lambda * age_days))` against a fixed `asOf`
     * anchor. Age is INTEGER day arithmetic (engine-exact); exp() and

@@ -53,6 +53,11 @@ object EventQueries {
     // Cohort retention by integer week since the corpus epoch.
     "ev11_retention" -> ((s, d) => EventOps.retention(events(s, d))),
 
+    // SCD2-style state timeline: each user's event-type history as
+    // validity intervals (next event closes the previous interval).
+    "ev13_state_timeline" -> ((s, d) =>
+      EventOps.stateTimeline(events(s, d), "user_id", "event_type")),
+
     // Recency-weighted event value per type (half-life ≈ 7 days).
     "ev12_decayed" -> ((s, d) =>
       EventOps.decayedSum(events(s, d), "event_type", "value",
@@ -133,6 +138,12 @@ object EventQueries {
       """SELECT (json_extract_string(props, '$.k')::INTEGER % 5) AS k_mod,
            count(*) AS n, round(max(value), 2) AS max_v
          FROM events GROUP BY k_mod""",
+    "ev13_state_timeline" ->
+      """SELECT user_id, event_type,
+           epoch_us(ts) AS valid_from,
+           lead(epoch_us(ts)) OVER (PARTITION BY user_id
+             ORDER BY ts, event_id) AS valid_to
+         FROM events""",
     "ev12_decayed" ->
       """SELECT event_type, count(*) AS n,
            round(sum(value *
