@@ -68,6 +68,24 @@ object MultimodalOps {
       .withColumn("frame_id",
         md5(concat(col("asset_id"), lit(":"), col("frame_off"))))
 
+  /** Byte-range chunk manifest: split each asset's payload into
+    * fixed-size ranges — the unit of PARALLEL decode (each chunk is an
+    * independent task reading `length` bytes at `offset`; the payload
+    * itself is never touched here, only `n_bytes`). The tail chunk
+    * carries the remainder; empty payloads emit no chunks.
+    */
+  def byteChunks(assets: DataFrame, chunkBytes: Long): DataFrame =
+    assets.select(col("asset_id"), col("meta.n_bytes").as("n_bytes"))
+      .withColumn("offset",
+        explode(when(col("n_bytes") > 0,
+          sequence(lit(0L), col("n_bytes") - 1, lit(chunkBytes)))
+          .otherwise(array().cast("array<bigint>"))))
+      .select(col("asset_id"),
+        (col("offset") / chunkBytes).cast("int").as("chunk_id"),
+        col("offset"),
+        least(lit(chunkBytes), col("n_bytes") - col("offset"))
+          .as("length"))
+
   /** The single stub "decode" kernel: 8 doubles from the md5 of the
     * payload — the shape a real `decode(bytes) -> features` kernel would
     * return. Shared by the UDF and the batched path so the two cannot

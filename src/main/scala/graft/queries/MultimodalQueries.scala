@@ -45,6 +45,13 @@ object MultimodalQueries {
         .select("asset_id", "sim")
         .orderBy(col("sim").desc, col("asset_id").asc)
         .limit(10)
+    }),
+
+    // Byte-range chunk manifest at 256-byte chunks: the parallel-decode
+    // work list (offset/length per chunk, tail carries the remainder).
+    "mm4_byte_chunks" -> ((s, d) => {
+      MultimodalOps.byteChunks(
+        MultimodalOps.toAssets(documents(s, d), "doc_id", "text"), 256L)
     })
   )
 
@@ -80,6 +87,15 @@ object MultimodalQueries {
                   (sqrt(${dotSql("features", "features")}) *
                    sqrt(${dotSql("qf", "qf")})), 4) AS sim
           FROM f, q WHERE asset_id <> 0
-          ORDER BY sim DESC, asset_id ASC LIMIT 10"""
+          ORDER BY sim DESC, asset_id ASC LIMIT 10""",
+    // `//` (not `/`): DuckDB float-divides with `/` and the ::INTEGER cast
+    // would round where Spark's cast truncates; offsets are non-negative
+    // so trunc == floor on both sides.
+    "mm4_byte_chunks" ->
+      """SELECT asset_id, (off // 256)::INTEGER AS chunk_id,
+           off AS "offset", least(256::BIGINT, n_bytes - off) AS length
+         FROM (SELECT doc_id AS asset_id, octet_length(text::BLOB) AS n_bytes,
+                      unnest(range(0, octet_length(text::BLOB), 256)) AS off
+               FROM documents) t"""
   )
 }

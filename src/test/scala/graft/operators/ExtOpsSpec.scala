@@ -636,6 +636,20 @@ class ExtOpsSpec extends SparkSpec {
     assert(frames == Seq(0L)) // "tiny" = 4 bytes → single frame at 0
   }
 
+  test("multimodal: byte-range chunk manifest with tail remainder") {
+    val assets = MultimodalOps.toAssets(df, "doc_id", "text")
+    // doc 1 = 43 bytes at 16-byte chunks → 16, 16, 11
+    val chunks = MultimodalOps.byteChunks(assets, 16)
+      .filter(col("asset_id") === 1)
+      .select("chunk_id", "offset", "length")
+      .as[(Int, Long, Long)].collect().toSeq.sortBy(_._1)
+    assert(chunks == Seq((0, 0L, 16L), (1, 16L, 16L), (2, 32L, 11L)))
+    // empty payload → no chunks (and no sequence(0,-1) throw)
+    val empty = Seq((9L, "")).toDF("doc_id", "text")
+    assert(MultimodalOps.byteChunks(
+      MultimodalOps.toAssets(empty, "doc_id", "text"), 16).count() == 0)
+  }
+
   test("event ops: tumbling/session/latest on a tiny frame") {
     val ev = Seq(
       (1L, "2024-01-01 00:05:00", 10L, "click", 1.0),
