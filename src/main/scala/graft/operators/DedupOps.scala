@@ -362,6 +362,54 @@ object DedupOps {
     df.join(drops, Seq(idCol), "left_anti")
   }
 
+  /** Cross-document SPAN dedup (the C4/RefinedWeb "remove any text span
+    * seen elsewhere in the corpus" primitive, at fixed word-window
+    * granularity): segment every document into consecutive `segWords`
+    * windows, keep each distinct span only at its globally-first
+    * occurrence (ordered by id, then position), and reassemble the
+    * surviving spans per document. Repeats WITHIN a document collapse
+    * too (occurrence 2+ of a span is a duplicate wherever it appears).
+    *
+    * Returns one row per input document:
+    * `(id, n_segs, n_kept, text_fp = md5 of the reassembled text)` —
+    * the fingerprint keeps result compare compact while pinning the
+    * exact reassembly.
+    *
+    * Scale shape: two shuffles, both at segment granularity — one on
+    * the span content for the first-occurrence window (partitions are
+    * per-span groups, tiny unless the corpus is one giant repeat; a
+    * skewed boilerplate span lands on one reducer but its group is
+    * processed streaming by the window), one on the id for reassembly.
+    * The corpus text crosses the wire once per shuffle with NO
+    * amplification (segments partition the text; the within-group sort
+    * key is `(id, seg_idx)`, not the text). No O(n²) pair formation
+    * anywhere.
+    */
+  def spanDedup(df: DataFrame, idCol: String, textCol: String,
+                segWords: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = split(col(textCol), " ")
+    val nSeg = ceil(size(w).cast("double") / segWords).cast("int")
+    val segs = df
+      .select(col(idCol), w.as("_w"), nSeg.as("_n"))
+      .select(col(idCol),
+        posexplode(transform(sequence(lit(0), col("_n") - 1),
+          i => array_join(slice(col("_w"), i * segWords + 1, lit(segWords)),
+            " "))).as(Seq("seg_idx", "seg")))
+    val firstSeen = Window.partitionBy(col("seg"))
+      .orderBy(col(idCol).asc, col("seg_idx").asc)
+    segs
+      .withColumn("_rn", row_number().over(firstSeen))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_segs"),
+        sum(when(col("_rn") === 1, 1).otherwise(0)).cast("long")
+          .as("n_kept"),
+        md5(array_join(transform(
+          array_sort(collect_list(
+            when(col("_rn") === 1, struct(col("seg_idx"), col("seg"))))),
+          s => s.getField("seg")), " ")).as("text_fp"))
+  }
+
   /** Blocked n-gram Jaccard similarity pairs: self-join restricted to a
     * caller-supplied blocking key (e.g. a text prefix, an LSH band, a
     * length bucket), Jaccard over distinct word sets, threshold filter.

@@ -45,6 +45,17 @@ object DedupQueries {
         dir, "doc_id", "text", shingleK = 3, numPerm = 16, bands = 4)
     }),
 
+    // Cross-document span dedup (C4/RefinedWeb-style): 8-word windows,
+    // globally-first occurrence survives, documents reassembled from
+    // surviving spans. Corpus = documents plus an exact copy of each at
+    // doc_id+10000 — every copy's spans dedup away (n_kept = 0).
+    "dd11_span_dedup" -> ((s, d) => {
+      val docs = documents(s, d).select("doc_id", "text")
+      val dup = docs.select((col("doc_id") + 10000).as("doc_id"), col("text"))
+      DedupOps.spanDedup(docs.unionByName(dup), "doc_id", "text",
+        segWords = 8)
+    }),
+
     // 16-bit SimHash per document from md5 hex-digit signs.
     "dd3_simhash" -> ((s, d) => {
       DedupOps.simhash16(documents(s, d), "doc_id", "text")
@@ -178,6 +189,25 @@ object DedupQueries {
          FROM bands l JOIN bands r ON l.band = r.band AND l.bh = r.bh
            AND l.doc_id <> r.doc_id
          WHERE l.source = 'src0' AND r.source <> 'src0'""",
+    "dd11_span_dedup" ->
+      """WITH c AS (SELECT doc_id, text FROM documents
+                    UNION ALL SELECT doc_id + 10000, text FROM documents),
+         w AS (SELECT doc_id, string_split(text, ' ') AS w FROM c),
+         seg AS (SELECT doc_id, u.i AS seg_idx, u.s AS seg
+                 FROM (SELECT doc_id,
+                         unnest([{'i': i,
+                                  's': array_to_string(w[i*8+1:(i+1)*8], ' ')}
+                                 for i in range(0, ((len(w)+7)//8)::INT)]) AS u
+                       FROM w)),
+         r AS (SELECT doc_id, seg_idx, seg,
+                 row_number() OVER (PARTITION BY seg
+                                    ORDER BY doc_id, seg_idx) AS rn
+               FROM seg)
+         SELECT doc_id, count(*) AS n_segs,
+           sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+           md5(coalesce(string_agg(CASE WHEN rn = 1 THEN seg END, ' '
+                                   ORDER BY seg_idx), '')) AS text_fp
+         FROM r GROUP BY doc_id""",
     "dd3_simhash" ->
       s"""WITH toks AS (SELECT doc_id, unnest(list_distinct(string_split(text,' '))) AS t
             FROM documents),

@@ -31,6 +31,27 @@ class ExtOpsSpec extends SparkSpec {
     assert(sh(5L).isEmpty)
   }
 
+  test("spanDedup: first occurrence survives, repeats collapse, reassembly exact") {
+    // 2-word spans: doc 1 = [a b][c d][a b] (internal repeat), doc 2
+    // copies doc 1's first span then adds new material, doc 3 is clean.
+    val docs = Seq(
+      (1L, "a b c d a b"),
+      (2L, "a b x y"),
+      (3L, "p q r")).toDF("doc_id", "text")
+    val out = DedupOps.spanDedup(docs, "doc_id", "text", segWords = 2)
+      .as[(Long, Long, Long, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    def fp(s: String) =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes)
+        .map("%02x".format(_)).mkString
+    // doc 1: 3 spans, third repeats the first → 2 kept, text "a b c d"
+    assert(out(1L) == ((3L, 2L, fp("a b c d"))))
+    // doc 2: "a b" already owned by doc 1 → only "x y" survives
+    assert(out(2L) == ((2L, 1L, fp("x y"))))
+    // doc 3: ragged tail span "r" kept whole
+    assert(out(3L) == ((2L, 2L, fp("p q r"))))
+  }
+
   test("minhash LSH: exact dups always pair; near-dups pair; distinct texts don't") {
     val pairs = DedupOps.minhashCandidates(df, "doc_id", "text",
       shingleK = 3, numPerm = 16, bands = 4)
