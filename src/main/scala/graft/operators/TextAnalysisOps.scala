@@ -298,6 +298,96 @@ object TextAnalysisOps {
       .drop("_run")
   }
 
+  /** TF-IDF term weighting: per-(doc, term) frequency × log inverse
+    * document frequency, the classic relevance/keyword-extraction
+    * score. `minTf` keeps the output to terms that matter in a doc.
+    *
+    * Scale shape: one (doc, term) partial agg (tokens combine map-side,
+    * so the exchange carries counts, not token streams), one tiny term
+    * agg derived FROM the first (no second pass over the text), a join
+    * back on the term key (vocabulary-sized build side — broadcast-able
+    * until the vocab outgrows memory, then a plain shuffle join on a
+    * Zipf-skewed key that AQE splits), and the corpus doc count crossed
+    * in as a broadcast scalar — no driver-side collect.
+    */
+  def tfidf(df: DataFrame, idCol: String, textCol: String,
+            minTf: Int): DataFrame = {
+    val toks = df.select(col(idCol),
+      graft.functions.ShingleGen.shingleGen(col(textCol), 1,
+        distinct = false)).toDF(idCol, "term")
+    val tf = toks.groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfT = tf.groupBy(col("term")).agg(count(lit(1)).as("df_t"))
+    val n = df.agg(count(lit(1)).cast("double").as("_n"))
+    tf.join(dfT, Seq("term"))
+      .crossJoin(broadcast(n))
+      .filter(col("tf") >= minTf)
+      .select(col(idCol), col("term"), col("tf"), col("df_t"),
+        round(col("tf") * log(col("_n") / col("df_t")), 4).as("tfidf"))
+  }
+
+  /** Unigram language-model scoring (the CCNet-style perplexity quality
+    * filter, with the LM trained on the corpus itself): per-doc
+    * cross-entropy -mean log2 p(token) under the corpus unigram
+    * distribution. High = surprising/rare vocabulary, low = boilerplate.
+    *
+    * Scale shape: the model IS a DataFrame (term → count), built by one
+    * partial agg; scoring joins tokens to the model on the term key
+    * (broadcast while the vocab fits, shuffle join beyond) and partial-
+    * aggregates the per-doc mean — the corpus text crosses the wire
+    * once, as tokens. Every corpus token has count ≥ 1 by construction,
+    * so no smoothing branch is needed.
+    */
+  def lmScore(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = df.select(col(idCol),
+      graft.functions.ShingleGen.shingleGen(col(textCol), 1,
+        distinct = false)).toDF(idCol, "term")
+    val model = toks.groupBy(col("term"))
+      .agg(count(lit(1)).cast("double").as("_cnt"))
+    val total = model.agg(sum(col("_cnt")).as("_tt"))
+    toks.join(model, Seq("term"))
+      .crossJoin(broadcast(total))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        round(-avg(log(col("_cnt") / col("_tt")) / log(lit(2.0))), 4)
+          .as("cross_entropy"))
+  }
+
+  /** Bigram PMI collocations: pointwise mutual information
+    * ln(p(ab) / (p(a)·p(b))) over adjacent word pairs, the standard
+    * phrase-mining signal ("new york" scores high, "of the" near zero).
+    * `minCount` drops unstable rare pairs.
+    *
+    * Scale shape: two corpus-wide partial aggs (bigrams, unigrams —
+    * both combine map-side so exchanges carry counts), then the
+    * surviving frequent bigrams join the unigram table twice on its
+    * key; after the `minCount` cut the bigram side is tiny, so both
+    * joins broadcast the far smaller filtered side at scale. Totals are
+    * broadcast scalars derived from the aggregates, not extra passes.
+    */
+  def pmiBigrams(df: DataFrame, textCol: String, minCount: Int): DataFrame = {
+    val uni = df.select(graft.functions.ShingleGen
+        .shingleGen(col(textCol), 1, distinct = false)).toDF("w")
+      .groupBy(col("w")).agg(count(lit(1)).as("n_w"))
+    val biAll = df.select(graft.functions.ShingleGen
+        .shingleGen(col(textCol), 2, distinct = false)).toDF("bigram")
+      .groupBy(col("bigram")).agg(count(lit(1)).as("n_ab"))
+    val totU = uni.agg(sum(col("n_w")).cast("double").as("_tu"))
+    val totB = biAll.agg(sum(col("n_ab")).cast("double").as("_tb"))
+    val parts = biAll.filter(col("n_ab") >= minCount)
+      .withColumn("a", split(col("bigram"), " ").getItem(0))
+      .withColumn("b", split(col("bigram"), " ").getItem(1))
+    parts
+      .join(uni.select(col("w").as("a"), col("n_w").as("n_a")), Seq("a"))
+      .join(uni.select(col("w").as("b"), col("n_w").as("n_b")), Seq("b"))
+      .crossJoin(broadcast(totU))
+      .crossJoin(broadcast(totB))
+      .select(col("bigram"), col("n_ab"), col("n_a"), col("n_b"),
+        round(log((col("n_ab") / col("_tb")) /
+          ((col("n_a") / col("_tu")) * (col("n_b") / col("_tu")))), 4)
+          .as("pmi"))
+  }
+
   /** Efraimidis–Spirakis weighted sampling WITHOUT replacement: the
     * top-k rows per stratum by priority u^(1/w) are a weighted sample —
     * heavier rows draw larger priorities in expectation, and unlike

@@ -125,6 +125,24 @@ object TextQueries {
         .select("doc_id", "source")
     }),
 
+    // TF-IDF term weighting: tf × ln(N/df) for every (doc, term) with
+    // tf >= 3 — keyword extraction / relevance scoring over the corpus.
+    "tx20_tfidf" -> ((s, d) => {
+      TextAnalysisOps.tfidf(documents(s, d), "doc_id", "text", minTf = 3)
+    }),
+
+    // Unigram LM cross-entropy (CCNet-style quality filter): per-doc
+    // -mean log2 p(token) under the corpus' own unigram distribution.
+    "tx21_lm_score" -> ((s, d) => {
+      TextAnalysisOps.lmScore(documents(s, d), "doc_id", "text")
+    }),
+
+    // Bigram PMI collocations over the corpus (phrase mining): adjacent
+    // pairs with count >= 20, scored ln(p(ab)/(p(a)p(b))).
+    "tx22_pmi" -> ((s, d) => {
+      TextAnalysisOps.pmiBigrams(documents(s, d), "text", minCount = 20)
+    }),
+
     // Repetition quality signals: duplicate-word ratio + top-bigram
     // dominance (the Gopher-style repetition filters).
     "tx10_repetition" -> ((s, d) => {
@@ -364,6 +382,46 @@ object TextQueries {
                 WHEN source = 'src1' THEN 50
                 WHEN source = 'src2' THEN 10
                 ELSE 25 END""",
+    "tx20_tfidf" ->
+      """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+                    FROM documents),
+         tf AS (SELECT doc_id, term, count(*) AS tf
+                FROM t GROUP BY doc_id, term),
+         dfq AS (SELECT term, count(*) AS df_t FROM tf GROUP BY term),
+         n AS (SELECT count(*)::DOUBLE AS n FROM documents)
+         SELECT doc_id, term, tf, df_t,
+           round(tf * ln(n / df_t), 4) AS tfidf
+         FROM tf JOIN dfq USING (term) CROSS JOIN n
+         WHERE tf >= 3""",
+    "tx21_lm_score" ->
+      """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+                    FROM documents),
+         m AS (SELECT term, count(*)::DOUBLE AS cnt FROM t GROUP BY term),
+         tot AS (SELECT sum(cnt) AS tt FROM m)
+         SELECT doc_id, count(*) AS n_tokens,
+           round(-avg(ln(cnt / tt) / ln(2)), 4) AS cross_entropy
+         FROM t JOIN m USING (term) CROSS JOIN tot
+         GROUP BY doc_id""",
+    "tx22_pmi" ->
+      """WITH w AS (SELECT string_split(text, ' ') AS w FROM documents),
+         u AS (SELECT unnest(w) AS t FROM w),
+         uni AS (SELECT t, count(*) AS n_w FROM u GROUP BY t),
+         bg AS (SELECT unnest([w[i] || ' ' || w[i+1]
+                               for i in range(1, len(w))]) AS bigram
+                FROM w WHERE len(w) >= 2),
+         bi AS (SELECT bigram, count(*) AS n_ab FROM bg GROUP BY bigram),
+         tu AS (SELECT sum(n_w)::DOUBLE AS tu FROM uni),
+         tb AS (SELECT sum(n_ab)::DOUBLE AS tb FROM bi)
+         SELECT bigram, n_ab, a.n_w AS n_a, b.n_w AS n_b,
+           -- + 0 normalizes IEEE -0.0 (Spark's BigDecimal round never
+           -- emits a negative zero)
+           round(ln((n_ab / tb) /
+                    ((a.n_w / tu) * (b.n_w / tu))), 4) + 0 AS pmi
+         FROM bi
+         JOIN uni a ON a.t = string_split(bigram, ' ')[1]
+         JOIN uni b ON b.t = string_split(bigram, ' ')[2]
+         CROSS JOIN tu CROSS JOIN tb
+         WHERE n_ab >= 20""",
     "tx10_repetition" ->
       """WITH s AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
          base AS (SELECT doc_id, len(w)::INT AS n_words,

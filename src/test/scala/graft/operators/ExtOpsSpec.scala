@@ -52,6 +52,43 @@ class ExtOpsSpec extends SparkSpec {
     assert(out(3L) == ((2L, 2L, fp("p q r"))))
   }
 
+  test("tfidf: corpus-wide term appears with zero idf; rare term scores high") {
+    val docs = Seq(
+      (1L, "x x x common"),
+      (2L, "y y y common"),
+      (3L, "z z z common")).toDF("doc_id", "text")
+    val out = TextAnalysisOps.tfidf(docs, "doc_id", "text", minTf = 3)
+      .as[(Long, String, Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4, r._5))).toMap
+    // "common" never reaches tf=3; x/y/z each: tf=3, df=1, 3*ln(3)
+    assert(out.keySet == Set((1L, "x"), (2L, "y"), (3L, "z")))
+    assert(out((1L, "x")) ==
+      ((3L, 1L, math.rint(3 * math.log(3.0) * 1e4) / 1e4)))
+  }
+
+  test("lmScore: uniform corpus gives log2(vocab) cross-entropy") {
+    // 4 equally-frequent tokens → p = 1/4 each → cross-entropy = 2 bits
+    val docs = Seq((1L, "a b"), (2L, "c d")).toDF("doc_id", "text")
+    val out = TextAnalysisOps.lmScore(docs, "doc_id", "text")
+      .as[(Long, Long, Double)].collect().toSet
+    assert(out == Set((1L, 2L, 2.0), (2L, 2L, 2.0)))
+  }
+
+  test("pmiBigrams: perfectly-bound pair scores ln(tb*tu²/(n_ab*n_a*n_b)) > 0") {
+    // "new york" always adjacent; "of the" independent-ish filler
+    val docs = Seq(
+      (1L, "new york new york"),
+      (2L, "new york of the of the")).toDF("doc_id", "text")
+    val out = TextAnalysisOps.pmiBigrams(docs, "text", minCount = 2)
+      .as[(String, Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> r._5).toMap
+    assert(out.contains("new york") && out("new york") > 0)
+    // cross-check one value against the closed form
+    val (tb, tu) = (8.0, 10.0) // 8 bigrams, 10 unigrams total
+    val expected = math.log((3 / tb) / ((3 / tu) * (3 / tu)))
+    assert(out("new york") == math.rint(expected * 1e4) / 1e4)
+  }
+
   test("minhash LSH: exact dups always pair; near-dups pair; distinct texts don't") {
     val pairs = DedupOps.minhashCandidates(df, "doc_id", "text",
       shingleK = 3, numPerm = 16, bands = 4)
