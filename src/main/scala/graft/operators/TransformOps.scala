@@ -151,6 +151,37 @@ object TransformOps {
     * columns; float formatting differs across engines, so cast those
     * upstream if cross-engine comparison matters.
     */
+  /** Equi-width histogram of a numeric column: `nBins` equal-width
+    * buckets between the column's observed min and max (closed on the
+    * right edge — the max lands in the last bin). Companion to
+    * [[columnProfile]] for the distribution-shape half of profiling.
+    *
+    * Scale shape: one scalar min/max aggregate broadcast-crossed into a
+    * second single-pass binning aggregate — two scans, zero driver
+    * logic, output is `nBins` rows. The bin expression is plain double
+    * arithmetic `(x-mn)*nBins/(mx-mn)` evaluated identically by any
+    * IEEE engine, so the oracle replays bit-exactly. A degenerate
+    * column (min = max) collapses to bin 0 rather than dividing by
+    * zero.
+    */
+  def histogram(df: DataFrame, valueCol: String, nBins: Int): DataFrame = {
+    val mm = df.agg(min(col(valueCol)).cast("double").as("_mn"),
+      max(col(valueCol)).cast("double").as("_mx"))
+    df.select(col(valueCol).cast("double").as("_x"))
+      .filter(col("_x").isNotNull)
+      .crossJoin(broadcast(mm))
+      .select(
+        when(col("_mx") === col("_mn"), lit(0))
+          .otherwise(least(
+            floor((col("_x") - col("_mn")) * nBins / (col("_mx") - col("_mn"))),
+            lit(nBins - 1))).cast("int").as("bin"),
+        col("_x"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"),
+        round(min(col("_x")), 4).as("lo"),
+        round(max(col("_x")), 4).as("hi"))
+  }
+
   def columnProfile(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.nonEmpty, "columnProfile needs at least one column")
     val aggs = cols.flatMap { c => Seq(

@@ -230,6 +230,39 @@ object RelationalQueries {
           col("c_mktsegment"))
     }),
 
+    // Equi-width histogram of l_extendedprice (10 bins, bounds from the
+    // data): scalar min/max broadcast into a one-pass binning agg.
+    "q27_histogram" -> ((s, d) => {
+      graft.operators.TransformOps.histogram(lineitem(s, d),
+        "l_extendedprice", nBins = 10)
+    }),
+
+    // File-level zonemap skipping: lineitem range-laid-out on
+    // l_shipdate into bounded files, a min/max manifest built per file,
+    // and a year's slice answered by reading ONLY overlapping files
+    // (predicate re-applied after the read — skipping prunes files, the
+    // filter trims survivors). Oracle = the plain full-scan SQL: data
+    // skipping must be invisible in results.
+    "q28_zonemap" -> ((s, d) => {
+      val dir = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+        s"graft-zonemap-${math.abs(d.hashCode)}").toString
+      val li = lineitem(s, d)
+        .select("l_orderkey", "l_quantity", "l_extendedprice", "l_shipdate")
+      li.repartitionByRange(8, col("l_shipdate"))
+        .sortWithinPartitions("l_shipdate")
+        .write.mode("overwrite").option("maxRecordsPerFile", 4000L)
+        .parquet(dir)
+      val manifest = graft.sources.Compaction.zonemapBuild(s, dir,
+        Seq("l_shipdate"))
+      val lo = lit("1997-01-01").cast("timestamp")
+      val hi = lit("1997-12-31").cast("timestamp")
+      graft.sources.Compaction.zonemapPrunedRead(s, manifest,
+          "l_shipdate", lo, hi)
+        .filter(col("l_shipdate").between(lo, hi))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("l_extendedprice")), 2).as("total"))
+    }),
+
     // Blocked fuzzy join on edit distance, DICTIONARY-FIRST: distinct
     // names are extracted (with their row multiplicity), the quadratic
     // comparison runs on the small dictionary inside last-token blocks,
@@ -412,6 +445,24 @@ object RelationalQueries {
          SELECT c_custkey, round(c_acctbal, 2), c_mktsegment
          FROM customer
          WHERE c_custkey NOT IN (SELECT c_custkey FROM u)""",
+    "q27_histogram" ->
+      """WITH mm AS (SELECT min(l_extendedprice)::DOUBLE AS mn,
+                       max(l_extendedprice)::DOUBLE AS mx
+                     FROM lineitem)
+         SELECT (CASE WHEN mx = mn THEN 0
+                 ELSE least(floor((l_extendedprice::DOUBLE - mn) * 10 /
+                                  (mx - mn)), 9) END)::INT AS bin,
+           count(*) AS n,
+           round(min(l_extendedprice::DOUBLE), 4) AS lo,
+           round(max(l_extendedprice::DOUBLE), 4) AS hi
+         FROM lineitem CROSS JOIN mm
+         WHERE l_extendedprice IS NOT NULL
+         GROUP BY 1""",
+    "q28_zonemap" ->
+      """SELECT count(*) AS n, round(sum(l_extendedprice), 2) AS total
+         FROM lineitem
+         WHERE l_shipdate BETWEEN TIMESTAMP '1997-01-01'
+                              AND TIMESTAMP '1997-12-31'""",
     "q25_fuzzy_join" ->
       """WITH n AS (SELECT p_name, count(*) AS m,
                       string_split(p_name, ' ')[-1] AS blk

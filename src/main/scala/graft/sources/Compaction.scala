@@ -55,6 +55,44 @@ object Compaction {
     * single-column `clusterBy` cannot serve. The z column is dropped
     * before writing; the layout IS the index.
     */
+  /** Build a file-level zonemap manifest for an existing parquet
+    * directory: one row per data file with min/max per tracked column.
+    * This is the data-skipping index table-format metadata layers keep
+    * (Delta/Iceberg file stats) expressed as a plain DataFrame a
+    * pipeline can persist next to the data.
+    *
+    * Scale shape: one scan grouped by `input_file_name()` — partial
+    * min/max aggs combine map-side, and the exchange carries one row
+    * per (file × column), i.e. manifest-sized, not data-sized. Rebuild
+    * is embarrassingly parallel and incremental (group only new files).
+    */
+  def zonemapBuild(spark: org.apache.spark.sql.SparkSession, path: String,
+                   cols: Seq[String]): DataFrame = {
+    val aggs = cols.flatMap(c => Seq(
+      min(col(c)).as(s"${c}_min"), max(col(c)).as(s"${c}_max")))
+    spark.read.parquet(path)
+      .groupBy(input_file_name().as("file"))
+      .agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Read only the files whose zonemap interval overlaps `[lo, hi]` on
+    * `zCol` — file-level data skipping driven by the manifest instead
+    * of footer reads. The file list is manifest-sized planning state
+    * (the same thing a table format's scan planner materializes), NOT
+    * a data collect. Callers re-apply the exact predicate after the
+    * read: skipping prunes whole files; surviving files still hold
+    * out-of-range rows.
+    */
+  def zonemapPrunedRead(spark: org.apache.spark.sql.SparkSession,
+                        manifest: DataFrame, zCol: String,
+                        lo: org.apache.spark.sql.Column,
+                        hi: org.apache.spark.sql.Column): DataFrame = {
+    val files = manifest
+      .filter(col(s"${zCol}_max") >= lo && col(s"${zCol}_min") <= hi)
+      .select("file").collect().map(_.getString(0))
+    spark.read.parquet(files: _*)
+  }
+
   def writeZOrdered(df: DataFrame, path: String,
                     zCols: (String, String),
                     maxRecordsPerFile: Long = 1000000L): Unit =

@@ -43,6 +43,29 @@ class CompactionSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("zonemap: manifest covers every file; pruned read skips files, same rows") {
+    val rows = (0 until 1000).map(i => (i.toLong, i / 10)) // key 0..99
+    val df = rows.toDF("id", "key")
+    val out = Files.createTempDirectory("graft-zonemap").toString
+    df.repartitionByRange(8, col("key")).sortWithinPartitions("key")
+      .write.mode("overwrite").option("maxRecordsPerFile", 100L).parquet(out)
+
+    val nFiles = Files.list(Paths.get(out)).iterator().asScala
+      .count(_.toString.endsWith(".parquet"))
+    val manifest = Compaction.zonemapBuild(spark, out, Seq("key"))
+    assert(manifest.count() == nFiles) // one stats row per data file
+
+    val pruned = Compaction.zonemapPrunedRead(spark, manifest, "key",
+      lit(10), lit(19))
+    // skipping is real: the pruned scan touches strictly fewer files
+    assert(pruned.inputFiles.length < nFiles)
+    // and invisible in results: re-filtered rows equal the full scan's
+    val got = pruned.filter(col("key").between(10, 19))
+      .as[(Long, Int)].collect().toSet
+    val want = rows.filter(r => r._2 >= 10 && r._2 <= 19).toSet
+    assert(got == want)
+  }
+
   test("writeZOrdered: lossless, files internally z-sorted, z column dropped") {
     import graft.functions.Morton
     val rows = (0 until 400).map { i =>
