@@ -230,6 +230,48 @@ object SimilarityOps {
     ivfScore(probes, cells, k, kernel)
   }
 
+  /** Deterministic spherical k-means (Lloyd's) over an embedding
+    * column — the clustering primitive behind SemDeDup-style semantic
+    * dedup and IVF codebook training. Initial clusters are md5-seeded
+    * (a pure function of the id — no RNG state, identical on any
+    * engine); each iteration is one per-cluster element-wise mean
+    * ([[VectorMeanAgg]] — only group buffers cross the shuffle) and one
+    * nearest-centroid re-assignment by cosine (broadcast cross join
+    * against the k-row centroid table + the top-1 heap, `cluster asc`
+    * tiebreak). Centroids are ROUNDED to 4 decimals and cast to float32
+    * each round, so the whole trajectory — means, similarities,
+    * argmaxes — replays exactly in an external engine (the ss6/ss1
+    * portability recipe applied iteratively). A cluster that loses all
+    * members simply drops out of the centroid table.
+    *
+    * Scale shape per iteration: one partial agg (k × dim doubles per
+    * partition) + one broadcast join (k × dim floats) — the corpus
+    * streams twice per iteration and never shuffles by content; `iters`
+    * is small and fixed (codebook training, not convergence-chasing).
+    */
+  def kmeans(df: DataFrame, k: Int, iters: Int,
+             idCol: String = "vec_id",
+             vecCol: String = "embedding"): DataFrame = {
+    val init = (conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10)
+      .cast("long") % k).cast("int").as("cluster")
+    var assign = df.select(col(idCol), col(vecCol), init)
+    for (_ <- 1 to iters) {
+      val centroids = assign.groupBy(col("cluster"))
+        .agg(VectorMeanAgg.vecMean(col(vecCol)).as("_m"))
+        .filter(col("_m").isNotNull)
+        .select(col("cluster").as("_c"),
+          transform(col("_m"), x => round(x, 4).cast("float")).as("_cv"))
+      assign = graft.plans.TopK.perKey(
+        assign.drop("cluster").crossJoin(broadcast(centroids))
+          .withColumn("_sim", noNaN(
+            graft.functions.CosineF32.cosineF32Native(col(vecCol),
+              col("_cv")))),
+        Seq(idCol), Seq(col("_sim").desc, col("_c").asc), 1)
+        .select(col(idCol), col(vecCol), col("_c").as("cluster"))
+    }
+    assign.select(col(idCol), col("cluster"))
+  }
+
   /** Bucketed approximate similarity pairs: equi-join on the sign bucket,
     * cosine + threshold within the bucket. `kernel` selects the
     * similarity implementation (default: double-precision HOF cosine;

@@ -112,6 +112,15 @@ object SimilarityQueries {
           transform(col("_c"), x => round(x, 4)).as("centroid"))
     }),
 
+    // Deterministic spherical k-means (k=8, 2 Lloyd iterations):
+    // md5-seeded init, per-round centroids rounded to 4 decimals and
+    // cast float32 so the full trajectory (means → cosines → argmax)
+    // replays exactly in DuckDB — an ITERATIVE algorithm under the
+    // exact-oracle gate, not just one pass.
+    "ss9_kmeans" -> ((s, d) => {
+      SimilarityOps.kmeans(embeddings(s, d), k = 8, iters = 2)
+    }),
+
     // Per-label centroid-free stats: dot-product norms per label bucket —
     // exercises the vector kernel inside an aggregation.
     "ss4_norm_stats" -> ((s, d) => {
@@ -168,6 +177,38 @@ object SimilarityQueries {
                        x -> round(x::DOUBLE / qscale)::TINYINT)
            END AS q8
          FROM s""",
+    "ss9_kmeans" ->
+      """WITH a0 AS (SELECT vec_id, embedding,
+                (('0x' || substr(md5(vec_id::VARCHAR), 1, 8))::UBIGINT
+                 % 8)::INT AS cluster
+              FROM embeddings),
+         u1 AS (SELECT cluster, unnest(embedding) AS x,
+                  generate_subscripts(embedding, 1) AS pos FROM a0),
+         m1 AS (SELECT cluster, pos,
+                  (round(sum(x::DOUBLE) / count(*), 4) + 0)::FLOAT AS mx
+                FROM u1 GROUP BY cluster, pos),
+         c1 AS (SELECT cluster AS c, list(mx ORDER BY pos) AS cv
+                FROM m1 GROUP BY cluster),
+         a1 AS (SELECT vec_id, embedding, c AS cluster FROM (
+                  SELECT a0.vec_id, a0.embedding, c1.c,
+                    row_number() OVER (PARTITION BY a0.vec_id
+                      ORDER BY list_cosine_similarity(a0.embedding, c1.cv)
+                                 DESC, c1.c ASC) AS rn
+                  FROM a0 CROSS JOIN c1) WHERE rn = 1),
+         u2 AS (SELECT cluster, unnest(embedding) AS x,
+                  generate_subscripts(embedding, 1) AS pos FROM a1),
+         m2 AS (SELECT cluster, pos,
+                  (round(sum(x::DOUBLE) / count(*), 4) + 0)::FLOAT AS mx
+                FROM u2 GROUP BY cluster, pos),
+         c2 AS (SELECT cluster AS c, list(mx ORDER BY pos) AS cv
+                FROM m2 GROUP BY cluster),
+         a2 AS (SELECT vec_id, c AS cluster FROM (
+                  SELECT a1.vec_id, c2.c,
+                    row_number() OVER (PARTITION BY a1.vec_id
+                      ORDER BY list_cosine_similarity(a1.embedding, c2.cv)
+                                 DESC, c2.c ASC) AS rn
+                  FROM a1 CROSS JOIN c2) WHERE rn = 1)
+         SELECT vec_id, cluster FROM a2""",
     "ss6_label_centroids" ->
       """WITH u AS (
            SELECT label, unnest(embedding) AS x,

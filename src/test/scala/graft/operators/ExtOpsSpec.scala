@@ -52,6 +52,27 @@ class ExtOpsSpec extends SparkSpec {
     assert(out(3L) == ((2L, 2L, fp("p q r"))))
   }
 
+  test("kmeans: well-separated groups converge to distinct clusters, deterministically") {
+    // two orthogonal bundles (9 + 11 — unbalanced so the md5 init is
+    // not degenerate-symmetric) with off-axis per-vector jitter
+    val rows = (0 until 20).map { i =>
+      val v = Array.fill(4)(0f)
+      if (i < 9) v(0) = 1f else v(1) = 1f
+      v(2) = 0.01f * (i % 5)
+      (i.toLong, v.toSeq)
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val out = SimilarityOps.kmeans(df, k = 2, iters = 3)
+      .as[(Long, Int)].collect().toMap
+    val g1 = (0 until 9).map(i => out(i.toLong)).toSet
+    val g2 = (9 until 20).map(i => out(i.toLong)).toSet
+    assert(g1.size == 1 && g2.size == 1 && g1 != g2)
+    // deterministic: a second run yields the identical assignment
+    val again = SimilarityOps.kmeans(df, k = 2, iters = 3)
+      .as[(Long, Int)].collect().toMap
+    assert(again == out)
+  }
+
   test("tfidf: corpus-wide term appears with zero idf; rare term scores high") {
     val docs = Seq(
       (1L, "x x x common"),
