@@ -251,7 +251,17 @@ object SimilarityOps {
     */
   def kmeans(df: DataFrame, k: Int, iters: Int,
              idCol: String = "vec_id",
-             vecCol: String = "embedding"): DataFrame = {
+             vecCol: String = "embedding"): DataFrame =
+    kmeansAssign(df, k, iters, idCol, vecCol)
+      .select(col(idCol), col("cluster"))
+
+  /** [[kmeans]] keeping the vector column on the assignment rows —
+    * the form downstream cluster-blocked work ([[semanticDedup]])
+    * consumes without a join back to the corpus.
+    */
+  def kmeansAssign(df: DataFrame, k: Int, iters: Int,
+                   idCol: String = "vec_id",
+                   vecCol: String = "embedding"): DataFrame = {
     val init = (conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10)
       .cast("long") % k).cast("int").as("cluster")
     var assign = df.select(col(idCol), col(vecCol), init)
@@ -269,7 +279,37 @@ object SimilarityOps {
         Seq(idCol), Seq(col("_sim").desc, col("_c").asc), 1)
         .select(col(idCol), col(vecCol), col("_c").as("cluster"))
     }
-    assign.select(col(idCol), col("cluster"))
+    assign
+  }
+
+  /** SemDeDup-style semantic dedup: cluster the corpus with
+    * [[kmeansAssign]], form near-duplicate pairs ONLY within a cluster
+    * (the cluster id is the blocking key that keeps the self-join from
+    * going quadratic — the SemDeDup observation that semantic
+    * duplicates share a k-means cell), and greedily drop every vector
+    * with a smaller-id near-duplicate (cosine ≥ threshold) in its
+    * cell. Returns the surviving rows of `df`.
+    *
+    * Scale shape: k-means cost (see [[kmeans]]) + one equi-join on the
+    * cluster id + one broadcast-able anti join on the (small) drop
+    * list. Cell sizes bound the pair count; raise k to cap them.
+    */
+  def semanticDedup(df: DataFrame, k: Int, iters: Int, threshold: Double,
+                    idCol: String = "vec_id",
+                    vecCol: String = "embedding"): DataFrame = {
+    val assigned = kmeansAssign(df, k, iters, idCol, vecCol)
+    val l = assigned.select(col("cluster"), col(idCol).as("_a"),
+      col(vecCol).as("_va"))
+    val r = assigned.select(col("cluster"), col(idCol).as("_b"),
+      col(vecCol).as("_vb"))
+    val drops = l.join(r, Seq("cluster"))
+      .filter(col("_a") < col("_b"))
+      .withColumn("_sim", round(noNaN(
+        graft.functions.CosineF32.cosineF32Native(col("_va"),
+          col("_vb"))), 4))
+      .filter(col("_sim") >= threshold)
+      .select(col("_b").as(idCol)).distinct()
+    df.join(drops, Seq(idCol), "left_anti")
   }
 
   /** Bucketed approximate similarity pairs: equi-join on the sign bucket,

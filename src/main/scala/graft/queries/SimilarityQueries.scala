@@ -121,6 +121,19 @@ object SimilarityQueries {
       SimilarityOps.kmeans(embeddings(s, d), k = 8, iters = 2)
     }),
 
+    // SemDeDup-style semantic dedup: corpus + exact copies at
+    // vec_id+10000, k-means cluster blocking, near-dup pairs only
+    // within a cell, greedy keep-smallest-id. Copies share their
+    // original's cell (identical vectors → identical assignment), so
+    // every copy drops; originals survive.
+    "ss10_semantic_dedup" -> ((s, d) => {
+      val emb = embeddings(s, d).select("vec_id", "embedding")
+      val dup = emb.select((col("vec_id") + 10000).as("vec_id"),
+        col("embedding"))
+      SimilarityOps.semanticDedup(emb.unionByName(dup), k = 8, iters = 2,
+        threshold = 0.95).select("vec_id")
+    }),
+
     // Per-label centroid-free stats: dot-product norms per label bucket —
     // exercises the vector kernel inside an aggregation.
     "ss4_norm_stats" -> ((s, d) => {
@@ -209,6 +222,47 @@ object SimilarityQueries {
                                  DESC, c2.c ASC) AS rn
                   FROM a1 CROSS JOIN c2) WHERE rn = 1)
          SELECT vec_id, cluster FROM a2""",
+    "ss10_semantic_dedup" ->
+      """WITH c AS (SELECT vec_id, embedding FROM embeddings
+                    UNION ALL
+                    SELECT vec_id + 10000, embedding FROM embeddings),
+         a0 AS (SELECT vec_id, embedding,
+                  (('0x' || substr(md5(vec_id::VARCHAR), 1, 8))::UBIGINT
+                   % 8)::INT AS cluster
+                FROM c),
+         u1 AS (SELECT cluster, unnest(embedding) AS x,
+                  generate_subscripts(embedding, 1) AS pos FROM a0),
+         m1 AS (SELECT cluster, pos,
+                  (round(sum(x::DOUBLE) / count(*), 4) + 0)::FLOAT AS mx
+                FROM u1 GROUP BY cluster, pos),
+         c1 AS (SELECT cluster AS cc, list(mx ORDER BY pos) AS cv
+                FROM m1 GROUP BY cluster),
+         a1 AS (SELECT vec_id, embedding, cc AS cluster FROM (
+                  SELECT a0.vec_id, a0.embedding, c1.cc,
+                    row_number() OVER (PARTITION BY a0.vec_id
+                      ORDER BY list_cosine_similarity(a0.embedding, c1.cv)
+                                 DESC, c1.cc ASC) AS rn
+                  FROM a0 CROSS JOIN c1) WHERE rn = 1),
+         u2 AS (SELECT cluster, unnest(embedding) AS x,
+                  generate_subscripts(embedding, 1) AS pos FROM a1),
+         m2 AS (SELECT cluster, pos,
+                  (round(sum(x::DOUBLE) / count(*), 4) + 0)::FLOAT AS mx
+                FROM u2 GROUP BY cluster, pos),
+         c2 AS (SELECT cluster AS cc, list(mx ORDER BY pos) AS cv
+                FROM m2 GROUP BY cluster),
+         a2 AS (SELECT vec_id, embedding, cc AS cluster FROM (
+                  SELECT a1.vec_id, a1.embedding, c2.cc,
+                    row_number() OVER (PARTITION BY a1.vec_id
+                      ORDER BY list_cosine_similarity(a1.embedding, c2.cv)
+                                 DESC, c2.cc ASC) AS rn
+                  FROM a1 CROSS JOIN c2) WHERE rn = 1),
+         drops AS (SELECT DISTINCT r.vec_id
+                   FROM a2 l JOIN a2 r
+                     ON l.cluster = r.cluster AND l.vec_id < r.vec_id
+                   WHERE round(list_cosine_similarity(l.embedding,
+                           r.embedding)::DOUBLE, 4) >= 0.95)
+         SELECT vec_id FROM c
+         WHERE vec_id NOT IN (SELECT vec_id FROM drops)""",
     "ss6_label_centroids" ->
       """WITH u AS (
            SELECT label, unnest(embedding) AS x,

@@ -73,6 +73,25 @@ class ExtOpsSpec extends SparkSpec {
     assert(again == out)
   }
 
+  test("semanticDedup: exact copies drop within their cluster, originals survive") {
+    val rows = (0 until 12).map { i =>
+      val v = Array.fill(4)(0f)
+      if (i < 5) v(0) = 1f else v(1) = 1f
+      v(2) = 0.01f * i
+      (i.toLong, v.toSeq)
+    }
+    val base = rows.toDF("vec_id", "embedding")
+    val copies = base.select((col("vec_id") + 100).as("vec_id"),
+      col("embedding"))
+    val out = SimilarityOps.semanticDedup(base.unionByName(copies),
+        k = 2, iters = 2, threshold = 0.95)
+      .select("vec_id").as[Long].collect().toSet
+    // each bundle (plus its copies) is a near-dup clique inside one
+    // k-means cell at this threshold — greedy keep-first collapses it
+    // to its minimum id; no copy (id >= 100) ever survives
+    assert(out == Set(0L, 5L))
+  }
+
   test("tfidf: corpus-wide term appears with zero idf; rare term scores high") {
     val docs = Seq(
       (1L, "x x x common"),
