@@ -20,7 +20,8 @@ object ExplainAudit {
         "tx15_contamination_bloom", "tx16_weighted_sample",
         "tx17_mix_budget", "tx18_char_entropy", "tx19_column_profile",
         "q22_grouping_sets", "q23_zorder", "q24_approx_percentile",
-        "dd10_incremental")
+        "dd10_incremental", "dd11_span_dedup", "tx20_tfidf",
+        "tx21_lm_score", "tx22_pmi", "q27_histogram", "ss9_kmeans")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

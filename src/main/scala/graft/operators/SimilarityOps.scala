@@ -297,7 +297,11 @@ object SimilarityOps {
   def semanticDedup(df: DataFrame, k: Int, iters: Int, threshold: Double,
                     idCol: String = "vec_id",
                     vecCol: String = "embedding"): DataFrame = {
+    // the assignment feeds BOTH sides of the pair self-join — cut the
+    // iterative lineage once instead of replaying every Lloyd round
+    // twice (same recipe as DedupOps.clusters)
     val assigned = kmeansAssign(df, k, iters, idCol, vecCol)
+      .localCheckpoint()
     val l = assigned.select(col("cluster"), col(idCol).as("_a"),
       col(vecCol).as("_va"))
     val r = assigned.select(col("cluster"), col(idCol).as("_b"),
