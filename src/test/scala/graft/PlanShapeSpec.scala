@@ -49,6 +49,38 @@ class PlanShapeSpec extends SparkSpec {
     assert(planOf("tx15_contamination_bloom").contains("might_contain"))
   }
 
+  test("tx20 tfidf joins the term dimension by broadcast, scalar by BNLJ") {
+    val p = planOf("tx20_tfidf")
+    assert(p.contains("BroadcastHashJoin"))
+    // the 1-row doc count crosses as a broadcast nested-loop, never a
+    // shuffled join
+    assert(p.contains("BroadcastNestedLoopJoin"))
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("ss9 kmeans re-assignment broadcasts the centroid table each round") {
+    val p = planOf("ss9_kmeans")
+    // two Lloyd rounds → two broadcast joins against k-row centroid
+    // tables; the corpus itself must never shuffle by content
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("dd11 span dedup shuffles at most twice (window + reassembly)") {
+    val plan = finalPlan("dd11_span_dedup")
+    def exchangesIn(p: org.apache.spark.sql.execution.SparkPlan): Int = {
+      val here = p match {
+        case _: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => 1
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          exchangesIn(q.plan)
+        case _ => 0
+      }
+      here + p.children.map(exchangesIn).sum
+    }
+    assert(exchangesIn(plan) <= 2, plan.toString)
+  }
+
   test("q1 scan prunes to the referenced columns") {
     // inspect the scan's actual output schema (explain strings truncate
     // ReadSchema at spark.sql.maxMetadataStringLength, and asserting on
