@@ -189,6 +189,63 @@ object StreamingOps {
       }.toDF()
   }
 
+  /** Latest snapshot version in a [[upsertSink]] state dir: the highest
+    * `v=N` subdirectory whose parquet commit marker (`_SUCCESS`) exists
+    * — a half-written snapshot from a crashed batch is never visible.
+    */
+  def latestVersion(stateDir: String): Option[Long] = {
+    val root = new java.io.File(stateDir)
+    val versions = Option(root.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith("v="))
+      .filter(f => new java.io.File(f, "_SUCCESS").exists())
+      .map(_.getName.stripPrefix("v=").toLong)
+    if (versions.isEmpty) None else Some(versions.max)
+  }
+
+  /** Read the current [[upsertSink]] snapshot (None before the first
+    * commit). */
+  def currentSnapshot(spark: SparkSession, stateDir: String)
+      : Option[DataFrame] =
+    latestVersion(stateDir).map(v => spark.read.parquet(s"$stateDir/v=$v"))
+
+  /** Streaming upsert sink — CDC apply onto plain parquet, no table
+    * format: each micro-batch is reduced to its LAST row per key (by
+    * `orderCol`, then by key for determinism), merged into the current
+    * snapshot via `TransformOps.upsert` (one anti join), and written as
+    * a NEW `v=N+1` snapshot directory. Read-modify-overwrite of the
+    * files being read would corrupt on mid-write failure; immutable
+    * versioned snapshots give atomic publish (the `_SUCCESS` marker),
+    * crash safety (a torn snapshot is simply not the max committed
+    * version), and history — the mechanism table formats formalize.
+    * Combined with the streaming checkpoint, a replayed batch rewrites
+    * the same logical content rather than double-applying.
+    *
+    * Scale shape per batch: one heap top-1 per key over the (small)
+    * batch, one broadcast-able anti join against the snapshot, one
+    * partition-parallel write. Snapshot compaction/GC of old versions
+    * is `sources.Compaction`'s job, scheduled separately.
+    */
+  def upsertSink(stream: DataFrame, stateDir: String, checkpoint: String,
+                 keyCols: Seq[String], orderCol: String): StreamingQuery =
+    stream.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val spark = batch.sparkSession
+        val latest = graft.plans.TopK.perKey(batch.toDF(), keyCols,
+          Seq(col(orderCol).desc) ++ keyCols.map(col(_).asc), 1)
+          .drop("rk")
+        val merged = currentSnapshot(spark, stateDir) match {
+          case Some(cur) =>
+            graft.operators.TransformOps.upsert(cur, latest, keyCols)
+          case None => latest
+        }
+        val next = latestVersion(stateDir).getOrElse(-1L) + 1
+        merged.write.mode("overwrite").parquet(s"$stateDir/v=$next")
+        ()
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+
   /** Drain a streaming aggregation into an in-memory table and return the
     * result — the batch-equivalence harness used by the tests.
     */

@@ -231,6 +231,42 @@ class StreamingSpec extends SparkSpec {
     assert(seen.synchronized(seen.lastOption).contains((10L, 3L, 6.5)))
   }
 
+  test("upsertSink: versioned snapshots apply CDC batches, survive restart") {
+    val src = java.nio.file.Files.createTempDirectory("graft-cdc-src")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-cdc-ckpt")
+    val state = java.nio.file.Files.createTempDirectory("graft-cdc-state")
+    val rows1 = Seq((1L, 1L, "a0"), (1L, 2L, "a1"), (2L, 1L, "b0"))
+    val rows2 = Seq((2L, 2L, "b1"), (3L, 1L, "c0"))
+    val schema = rows1.toDF("key_id", "seq", "payload").schema
+
+    def runOnce(): Unit = {
+      val q = StreamingOps.upsertSink(
+        spark.readStream.schema(schema).parquet(src.toString),
+        state.toString, ckpt.toString, Seq("key_id"), "seq")
+      q.awaitTermination()
+    }
+    rows1.toDF("key_id", "seq", "payload")
+      .write.mode("append").parquet(s"$src/")
+    runOnce()
+    val snap0 = StreamingOps.currentSnapshot(spark, state.toString).get
+      .as[(Long, Long, String)].collect().toSet
+    // within-batch: only the latest row per key reaches the snapshot
+    assert(snap0 == Set((1L, 2L, "a1"), (2L, 1L, "b0")))
+
+    rows2.toDF("key_id", "seq", "payload")
+      .write.mode("append").parquet(s"$src/")
+    runOnce() // new query instance, same checkpoint: only new files apply
+    val snap1 = StreamingOps.currentSnapshot(spark, state.toString).get
+      .as[(Long, Long, String)].collect().toSet
+    assert(snap1 == Set((1L, 2L, "a1"), (2L, 2L, "b1"), (3L, 1L, "c0")))
+
+    // history: the superseded snapshot is still readable (time travel)
+    assert(StreamingOps.latestVersion(state.toString).contains(1L))
+    val v0 = spark.read.parquet(s"$state/v=0")
+      .as[(Long, Long, String)].collect().toSet
+    assert(v0 == snap0)
+  }
+
   test("mapGroupsWithState running totals accumulate across batches") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Ev]
