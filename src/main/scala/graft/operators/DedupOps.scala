@@ -410,6 +410,45 @@ object DedupOps {
           s => s.getField("seg")), " ")).as("text_fp"))
   }
 
+  /** Directional containment pairs: containment(a→b) =
+    * |shingles(a) ∩ shingles(b)| / |shingles(a)| — the asymmetric
+    * metric that finds SUBSUMED documents (quotes, excerpts, page
+    * fragments re-crawled inside larger pages) which symmetric Jaccard
+    * misses: a 20-word excerpt of a 500-word page has Jaccard ≈ 0.04
+    * but containment 1.0.
+    *
+    * Candidate pairs come from an inverted shingle index (self-join on
+    * the shingle), NOT pairwise comparison. The `maxDf` cap drops
+    * shingles appearing in more than `maxDf` docs before the join —
+    * posting-list self-joins are quadratic in list length, and
+    * boilerplate shingles are precisely the ones that explode; the
+    * denominator counts only capped shingles too, so the metric stays
+    * internally consistent (the classic DF-cap recall trade, applied
+    * identically in the oracle). Scale shape: two keyed aggs + one
+    * equi-join on the shingle + one pair agg — bounded by true overlap,
+    * never O(n²) in docs.
+    */
+  def containmentPairs(df: DataFrame, idCol: String, textCol: String,
+                       k: Int, threshold: Double, maxDf: Int): DataFrame = {
+    val sh = df.select(col(idCol),
+      graft.functions.ShingleGen.shingleGen(col(textCol), k,
+        distinct = true)).toDF(idCol, "_s")
+    val kept = sh.groupBy(col("_s")).agg(count(lit(1)).as("_df"))
+      .filter(col("_df") <= maxDf).select(col("_s"))
+    val shF = sh.join(kept, Seq("_s"), "left_semi")
+    val nA = shF.groupBy(col(idCol)).agg(count(lit(1)).as("n_a"))
+    val pairs = shF.select(col("_s"), col(idCol).as("a"))
+      .join(shF.select(col("_s"), col(idCol).as("b")), Seq("_s"))
+      .filter(col("a") =!= col("b"))
+      .groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("n_shared"))
+    pairs.join(nA.select(col(idCol).as("a"), col("n_a")), Seq("a"))
+      .withColumn("containment",
+        round(col("n_shared").cast("double") / col("n_a"), 4))
+      .filter(col("containment") >= threshold)
+      .select(col("a"), col("b"), col("n_shared"), col("containment"))
+  }
+
   /** Blocked n-gram Jaccard similarity pairs: self-join restricted to a
     * caller-supplied blocking key (e.g. a text prefix, an LSH band, a
     * length bucket), Jaccard over distinct word sets, threshold filter.

@@ -187,6 +187,31 @@ object EventOps {
       .agg(countDistinct("user_id").as("n_users"))
   }
 
+  /** Partial-aggregate STATE of a keyed count/sum — the persistable
+    * half of incremental view maintenance: an aggregate-sized table
+    * (key, n, total) that [[mergeAggState]] can advance with new data
+    * without ever rescanning history. count+sum are the canonical
+    * mergeable pair (avg = total/n at read time; min/max merge the
+    * same way).
+    */
+  def aggState(events: DataFrame, keyCols: Seq[String],
+               valueCol: String): DataFrame =
+    events.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("n"), sum(col(valueCol)).as("total"))
+
+  /** Advance an aggregate state by a delta: aggregate ONLY the delta,
+    * union its partials with the state, and combine with one keyed agg
+    * over aggregate-sized inputs. This is incremental view maintenance
+    * for distributive aggregates — at 100 TB the nightly refresh scans
+    * the new partition, not the corpus; the merge cost is proportional
+    * to the KEY cardinality, not history size.
+    */
+  def mergeAggState(state: DataFrame, delta: DataFrame,
+                    keyCols: Seq[String], valueCol: String): DataFrame =
+    state.unionByName(aggState(delta, keyCols, valueCol))
+      .groupBy(keyCols.map(col): _*)
+      .agg(sum(col("n")).as("n"), sum(col("total")).as("total"))
+
   /** Funnel progression per user: how far through the ordered `steps`
     * each user's event sequence gets (a later step must occur strictly
     * AFTER the matched earlier one in (ts, event_id) order). One keyed

@@ -56,6 +56,19 @@ object DedupQueries {
         segWords = 8)
     }),
 
+    // Directional containment: corpus + 20-word excerpts of the first
+    // 50 docs at doc_id+20000 — every excerpt is fully contained in its
+    // source (containment 1.0) while symmetric Jaccard would miss it.
+    // Shingle inverted index with a df<=20 posting-list cap.
+    "dd12_containment" -> ((s, d) => {
+      val docs = documents(s, d).select("doc_id", "text")
+      val excerpts = docs.filter(col("doc_id") < 50)
+        .select((col("doc_id") + 20000).as("doc_id"),
+          array_join(slice(split(col("text"), " "), 1, 20), " ").as("text"))
+      DedupOps.containmentPairs(docs.unionByName(excerpts), "doc_id",
+        "text", k = 3, threshold = 0.8, maxDf = 20)
+    }),
+
     // 16-bit SimHash per document from md5 hex-digit signs.
     "dd3_simhash" -> ((s, d) => {
       DedupOps.simhash16(documents(s, d), "doc_id", "text")
@@ -208,6 +221,29 @@ object DedupQueries {
            md5(coalesce(string_agg(CASE WHEN rn = 1 THEN seg END, ' '
                                    ORDER BY seg_idx), '')) AS text_fp
          FROM r GROUP BY doc_id""",
+    "dd12_containment" ->
+      """WITH c AS (SELECT doc_id, text FROM documents
+                    UNION ALL
+                    SELECT doc_id + 20000,
+                      array_to_string(string_split(text, ' ')[1:20], ' ')
+                    FROM documents WHERE doc_id < 50),
+         w AS (SELECT doc_id, string_split(text, ' ') AS w FROM c),
+         sh AS (SELECT doc_id,
+                  unnest(list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                                        for i in range(1, len(w)-1)])) AS s
+                FROM w WHERE len(w) >= 3),
+         kept AS (SELECT s FROM (SELECT s, count(*) AS df FROM sh GROUP BY s)
+                  WHERE df <= 20),
+         shf AS (SELECT doc_id, s FROM sh
+                 WHERE s IN (SELECT s FROM kept)),
+         na AS (SELECT doc_id, count(*) AS n_a FROM shf GROUP BY doc_id),
+         p AS (SELECT l.doc_id AS a, r.doc_id AS b, count(*) AS n_shared
+               FROM shf l JOIN shf r ON l.s = r.s AND l.doc_id <> r.doc_id
+               GROUP BY 1, 2)
+         SELECT a, b, n_shared,
+           round(n_shared::DOUBLE / n_a, 4) AS containment
+         FROM p JOIN na ON na.doc_id = p.a
+         WHERE round(n_shared::DOUBLE / n_a, 4) >= 0.8""",
     "dd3_simhash" ->
       s"""WITH toks AS (SELECT doc_id, unnest(list_distinct(string_split(text,' '))) AS t
             FROM documents),

@@ -35,6 +35,22 @@ object EventQueries {
         .agg(count(lit(1)).as("n"), round(max(col("value")), 2).as("max_v"))
     }),
 
+    // Incremental view maintenance: per-user count/sum state built from
+    // history (< Jan 20), advanced by the delta partition (>= Jan 20)
+    // WITHOUT rescanning history — the merged result must equal the
+    // full-corpus aggregate, which is exactly what the oracle computes.
+    "ev14_incremental_agg" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val ev = events(s, d)
+      val cutoff = lit("2024-01-20 00:00:00").cast("timestamp")
+      val state = EventOps.aggState(ev.filter(col("ts") < cutoff),
+        Seq("user_id"), "value")
+      EventOps.mergeAggState(state, ev.filter(col("ts") >= cutoff),
+          Seq("user_id"), "value")
+        .select(col("user_id"), col("n"),
+          round(col("total"), 2).as("total"))
+    }),
+
     // Event-transition matrix: consecutive (prev → next) event-type
     // pairs per user with mean gap (lag window exercise).
     "ev8_transitions" -> ((s, d) => EventOps.transitions(events(s, d))),
@@ -82,6 +98,11 @@ object EventQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // the incremental state merge must be indistinguishable from the
+    // full-corpus aggregate
+    "ev14_incremental_agg" ->
+      """SELECT user_id, count(*) AS n, round(sum(value), 2) AS total
+         FROM events GROUP BY user_id""",
     "ev1_tumbling" ->
       """SELECT (floor(epoch(ts))::BIGINT // 3600) * 3600 AS win_start,
            event_type, count(*) AS n, round(sum(value), 2) AS total

@@ -31,6 +31,43 @@ class ExtOpsSpec extends SparkSpec {
     assert(sh(5L).isEmpty)
   }
 
+  test("containmentPairs: excerpt scores 1.0 toward its source, not vice versa; df cap bites") {
+    val docs = Seq(
+      (1L, "a b c d e f g h"),          // source
+      (2L, "a b c d"),                  // prefix excerpt of 1
+      (3L, "p q r s t u"),              // unrelated
+      (4L, "a b c x y z")).toDF("doc_id", "text") // shares one shingle with 1,2
+    val out = DedupOps.containmentPairs(docs, "doc_id", "text",
+        k = 3, threshold = 0.99, maxDf = 10)
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r._4).toMap
+    // excerpt → source fully contained; reverse direction is 2/6
+    assert(out((2L, 1L)) == 1.0)
+    assert(!out.contains((1L, 2L)))
+    assert(!out.keys.exists { case (a, b) => a == 3L || b == 3L })
+    // "a b c" appears in docs 1, 2, 4: with maxDf = 2 it is dropped, so
+    // doc 2's denominator shrinks to its remaining shingle "b c d" —
+    // still fully contained in doc 1; doc 4 pairs with nobody
+    val capped = DedupOps.containmentPairs(docs, "doc_id", "text",
+        k = 3, threshold = 0.99, maxDf = 2)
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(capped((2L, 1L)) == 1L) // one shared shingle after the cap
+    assert(!capped.keys.exists { case (a, b) => a == 4L || b == 4L })
+  }
+
+  test("aggState/mergeAggState: delta merge equals the full aggregate") {
+    val hist = Seq((1L, 10.0), (1L, 20.0), (2L, 5.0)).toDF("k", "v")
+    val delta = Seq((1L, 1.0), (3L, 7.0)).toDF("k", "v")
+    val merged = EventOps.mergeAggState(
+        EventOps.aggState(hist, Seq("k"), "v"), delta, Seq("k"), "v")
+      .as[(Long, Long, Double)].collect().toSet
+    val full = EventOps.aggState(hist.unionByName(delta), Seq("k"), "v")
+      .as[(Long, Long, Double)].collect().toSet
+    assert(merged == full)
+    assert(merged == Set((1L, 3L, 31.0), (2L, 1L, 5.0), (3L, 1L, 7.0)))
+  }
+
   test("spanDedup: first occurrence survives, repeats collapse, reassembly exact") {
     // 2-word spans: doc 1 = [a b][c d][a b] (internal repeat), doc 2
     // copies doc 1's first span then adds new material, doc 3 is clean.
