@@ -253,6 +253,36 @@ object TextAnalysisOps {
         floor((col("cum") - col("n_tokens")) / budgetTokens).cast("int"))
   }
 
+  /** Materialize [[packBins]] assignments into actual training
+    * sequences: concatenate each bin's documents in id order with an
+    * end-of-document separator — the final "make training examples"
+    * step after bin assignment. One keyed agg on (stratum, bin); the
+    * sort is per-group inside `array_sort`, not a global order. The
+    * sequence text is fingerprinted (md5) in the oracle-facing queries;
+    * here the full text is returned for downstream writers.
+    */
+  def packSequences(df: DataFrame, idCol: String, textCol: String,
+                    strataCol: String, budgetTokens: Int,
+                    eos: String = "<|eod|>"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // inline the packBins window with the text column carried through:
+    // the window shuffle moves the corpus once anyway, so threading the
+    // text costs nothing, where a join back to re-attach it would
+    // shuffle the corpus a second time
+    val w = Window.partitionBy(strataCol).orderBy(idCol)
+    df.select(col(strataCol), col(idCol), col(textCol),
+        tokenCount(col(textCol)).cast("int").as("n_tokens"))
+      .withColumn("cum", sum("n_tokens").over(w))
+      .withColumn("bin",
+        floor((col("cum") - col("n_tokens")) / budgetTokens).cast("int"))
+      .groupBy(col(strataCol), col("bin"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).cast("long").as("seq_tokens"),
+        array_join(transform(
+          array_sort(collect_list(struct(col(idCol), col(textCol)))),
+          s => s.getField(textCol)), s" $eos ").as("seq_text"))
+  }
+
   /** Deterministic stratified hash sampling: keep a row iff the first 8
     * hex digits of md5(id) land below the stratum's percentage. No RNG,
     * no seed state — the sample is a pure function of the id, so it is

@@ -177,6 +177,16 @@ object TextQueries {
         "source", budgetTokens = 512)
     }),
 
+    // Materialized training sequences: packBins assignments concatenated
+    // in id order with an EOS separator — the final "make training
+    // examples" step; sequence text pinned by fingerprint.
+    "tx23_pack_sequences" -> ((s, d) => {
+      TextAnalysisOps.packSequences(documents(s, d), "doc_id", "text",
+          "source", budgetTokens = 512)
+        .select(col("source"), col("bin"), col("n_docs"),
+          col("seq_tokens"), md5(col("seq_text")).as("seq_fp"))
+    }),
+
     // KMV (k-minimum-values) distinct-count sketch, k=16: because the
     // hash is deterministic md5, this APPROXIMATE algorithm verifies
     // EXACTLY against the oracle — unlike HLL (tx5, rows-only). The
@@ -473,6 +483,23 @@ object TextQueries {
          SELECT source, doc_id, n_tokens, cum,
            ((cum - n_tokens) // 512)::INT AS bin
          FROM c""",
+    "tx23_pack_sequences" ->
+      """WITH t AS (
+           SELECT source, doc_id, text,
+             CASE WHEN length(trim(text)) = 0 THEN 0
+                  ELSE len(string_split_regex(trim(text), '\s+')) END::INT
+               AS n_tokens
+           FROM documents),
+         c AS (SELECT source, doc_id, text, n_tokens,
+                 sum(n_tokens) OVER (PARTITION BY source
+                                     ORDER BY doc_id)::BIGINT AS cum
+               FROM t),
+         b AS (SELECT source, doc_id, text, n_tokens,
+                 ((cum - n_tokens) // 512)::INT AS bin FROM c)
+         SELECT source, bin, count(*) AS n_docs,
+           sum(n_tokens)::BIGINT AS seq_tokens,
+           md5(string_agg(text, ' <|eod|> ' ORDER BY doc_id)) AS seq_fp
+         FROM b GROUP BY source, bin""",
     "tx14_kmv_distinct" ->
       """WITH h AS (
            SELECT DISTINCT source,

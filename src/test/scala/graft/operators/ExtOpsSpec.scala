@@ -56,6 +56,20 @@ class ExtOpsSpec extends SparkSpec {
     assert(!capped.keys.exists { case (a, b) => a == 4L || b == 4L })
   }
 
+  test("packSequences: bins concatenate in id order with the EOS separator") {
+    val docs = Seq(
+      (1L, "a b c", "s"), (2L, "d e", "s"), (3L, "f g h i", "s"))
+      .toDF("doc_id", "text", "src")
+    // budget 5: doc1(3)+doc2(2) fill bin 0; doc3 starts bin 1
+    val out = TextAnalysisOps.packSequences(docs, "doc_id", "text",
+        "src", budgetTokens = 5)
+      .orderBy("bin")
+      .as[(String, Int, Long, Long, String)].collect()
+    assert(out.toSeq == Seq(
+      ("s", 0, 2L, 5L, "a b c <|eod|> d e"),
+      ("s", 1, 1L, 4L, "f g h i")))
+  }
+
   test("aggState/mergeAggState: delta merge equals the full aggregate") {
     val hist = Seq((1L, 10.0), (1L, 20.0), (2L, 5.0)).toDF("k", "v")
     val delta = Seq((1L, 1.0), (3L, 7.0)).toDF("k", "v")
