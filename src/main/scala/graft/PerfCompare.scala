@@ -115,6 +115,42 @@ object PerfCompare {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", bcThreshold)
       spark.conf.set("spark.sql.adaptive.enabled", aqeWas)
     }
+    probe.unpersist(blocking = true)
+    build.unpersist(blocking = true)
+
+    // Span dedup at data scale: 24-word docs in duplication groups of 4
+    // (three 8-word spans each, 75% of spans are repeats) — the shape a
+    // boilerplate-heavy web crawl gives the first-occurrence window.
+    val spanDocs = if (args.length > 4) args(4).toLong else 1000000L
+    val corpus = spark.range(spanDocs).select(col("id"),
+      concat_ws(" ", (0 until 24).map(j =>
+        pmod(hash((col("id") - col("id") % 4)).cast("long") * 31 + j,
+          lit(50000L)).cast("string")): _*).as("text"))
+      .cache()
+    corpus.count()
+    def spanRun: Long =
+      operators.DedupOps.spanDedup(corpus, "id", "text", 8).count()
+    spanRun
+    val (ts, ns) = time(spanRun)
+    println(s"""{"span_docs":$spanDocs,"span_dedup_sec":$ts,"span_rows":$ns}""")
+    corpus.unpersist(blocking = true)
+
+    // k-means at data scale: 16-dim float vectors, k=16, 2 Lloyd
+    // rounds — per-iteration cost is one VectorMeanAgg partial agg plus
+    // one broadcast re-assignment; the corpus never shuffles by content.
+    val kmN = if (args.length > 5) args(5).toLong else 500000L
+    val vecs = spark.range(kmN).select(col("id"),
+      array((0 until 16).map(j =>
+        (pmod(hash(col("id") * 17 + j), lit(1000)) / lit(1000.0))
+          .cast("float")): _*).as("embedding"))
+      .cache()
+    vecs.count()
+    def kmRun: Long =
+      operators.SimilarityOps.kmeans(vecs, 16, 2, "id", "embedding").count()
+    kmRun
+    val (tk, nk) = time(kmRun)
+    require(nk == kmN, s"kmeans lost rows: $nk of $kmN")
+    println(s"""{"kmeans_vecs":$kmN,"kmeans_k16_iter2_sec":$tk}""")
     spark.stop()
   }
 }
