@@ -282,6 +282,34 @@ object SimilarityOps {
     assign
   }
 
+  /** Product quantization: split each vector into `m` contiguous
+    * `subDim`-wide subvectors, train a deterministic k-means codebook
+    * ([[kmeans]]) independently in each subspace, and encode every
+    * vector as its `m` cell ids — the classic PQ code (`m` bytes at
+    * k ≤ 256 instead of `dim × 4`), the compression layer under
+    * IVF-PQ ANN indexes. Same portability recipe as [[kmeans]], so
+    * codes replay exactly in an external engine.
+    *
+    * Scale shape: the `m` subspace trainings are independent k-means
+    * runs over `subDim`-wide slices (each = partial agg + broadcast
+    * re-assignment per round); the final assembly is `m-1` id-keyed
+    * joins of (id, cell) pairs — code-sized rows, co-partitioned on
+    * the id after the first shuffle.
+    */
+  def productQuantize(df: DataFrame, m: Int, subDim: Int, k: Int,
+                      iters: Int, idCol: String = "vec_id",
+                      vecCol: String = "embedding"): DataFrame = {
+    val codes = (0 until m).map { j =>
+      kmeans(df.select(col(idCol),
+          slice(col(vecCol), j * subDim + 1, subDim).as(vecCol)),
+        k, iters, idCol, vecCol)
+        .select(col(idCol), col("cluster").as(s"_c$j"))
+    }
+    codes.reduce((a, b) => a.join(b, Seq(idCol)))
+      .select(col(idCol),
+        array((0 until m).map(j => col(s"_c$j")): _*).as("pq_code"))
+  }
+
   /** SemDeDup-style semantic dedup: cluster the corpus with
     * [[kmeansAssign]], form near-duplicate pairs ONLY within a cluster
     * (the cluster id is the blocking key that keeps the self-join from

@@ -134,6 +134,15 @@ object SimilarityQueries {
         threshold = 0.95).select("vec_id")
     }),
 
+    // Product quantization: 64-dim vectors → 2 subspaces × 4-cell
+    // codebooks (1 training round each), every vector encoded as its
+    // two cell ids. Codes replay exactly (the kmeans recipe per
+    // subspace), so the oracle hash-matches the full code table.
+    "ss11_pq" -> ((s, d) => {
+      SimilarityOps.productQuantize(embeddings(s, d), m = 2, subDim = 32,
+        k = 4, iters = 1)
+    }),
+
     // Per-label centroid-free stats: dot-product norms per label bucket —
     // exercises the vector kernel inside an aggregation.
     "ss4_norm_stats" -> ((s, d) => {
@@ -263,6 +272,45 @@ object SimilarityQueries {
                            r.embedding)::DOUBLE, 4) >= 0.95)
          SELECT vec_id FROM c
          WHERE vec_id NOT IN (SELECT vec_id FROM drops)""",
+    "ss11_pq" ->
+      """WITH s0 AS (SELECT vec_id, embedding[1:32] AS v FROM embeddings),
+         s1 AS (SELECT vec_id, embedding[33:64] AS v FROM embeddings),
+         a00 AS (SELECT vec_id, v,
+                   (('0x' || substr(md5(vec_id::VARCHAR), 1, 8))::UBIGINT
+                    % 4)::INT AS cluster
+                 FROM s0),
+         u01 AS (SELECT cluster, unnest(v) AS x,
+                   generate_subscripts(v, 1) AS pos FROM a00),
+         m01 AS (SELECT cluster, pos,
+                   (round(sum(x::DOUBLE) / count(*), 4) + 0)::FLOAT AS mx
+                 FROM u01 GROUP BY cluster, pos),
+         c01 AS (SELECT cluster AS cc, list(mx ORDER BY pos) AS cv
+                 FROM m01 GROUP BY cluster),
+         a01 AS (SELECT vec_id, cc AS c0 FROM (
+                   SELECT a00.vec_id, c01.cc,
+                     row_number() OVER (PARTITION BY a00.vec_id
+                       ORDER BY list_cosine_similarity(a00.v, c01.cv)
+                                  DESC, c01.cc ASC) AS rn
+                   FROM a00 CROSS JOIN c01) WHERE rn = 1),
+         a10 AS (SELECT vec_id, v,
+                   (('0x' || substr(md5(vec_id::VARCHAR), 1, 8))::UBIGINT
+                    % 4)::INT AS cluster
+                 FROM s1),
+         u11 AS (SELECT cluster, unnest(v) AS x,
+                   generate_subscripts(v, 1) AS pos FROM a10),
+         m11 AS (SELECT cluster, pos,
+                   (round(sum(x::DOUBLE) / count(*), 4) + 0)::FLOAT AS mx
+                 FROM u11 GROUP BY cluster, pos),
+         c11 AS (SELECT cluster AS cc, list(mx ORDER BY pos) AS cv
+                 FROM m11 GROUP BY cluster),
+         a11 AS (SELECT vec_id, cc AS c1 FROM (
+                   SELECT a10.vec_id, c11.cc,
+                     row_number() OVER (PARTITION BY a10.vec_id
+                       ORDER BY list_cosine_similarity(a10.v, c11.cv)
+                                  DESC, c11.cc ASC) AS rn
+                   FROM a10 CROSS JOIN c11) WHERE rn = 1)
+         SELECT a01.vec_id, [c0, c1] AS pq_code
+         FROM a01 JOIN a11 USING (vec_id)""",
     "ss6_label_centroids" ->
       """WITH u AS (
            SELECT label, unnest(embedding) AS x,

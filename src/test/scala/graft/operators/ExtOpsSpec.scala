@@ -124,6 +124,27 @@ class ExtOpsSpec extends SparkSpec {
     assert(again == out)
   }
 
+  test("productQuantize: valid deterministic codes; identical vectors share codes") {
+    val rows = (0 until 20).map { i =>
+      // id 19 duplicates id 0's vector exactly
+      val src = if (i == 19) 0 else i
+      (i.toLong, (0 until 8).map(j =>
+        ((src * 17 + j) % 10) / 10f).toSeq)
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val out = SimilarityOps.productQuantize(df, m = 2, subDim = 4,
+        k = 3, iters = 2)
+      .as[(Long, Seq[Int])].collect().toMap
+    assert(out.size == 20)
+    assert(out.values.forall(c => c.length == 2 &&
+      c.forall(x => x >= 0 && x < 3)))
+    assert(out(19L) == out(0L)) // same vector → same code
+    val again = SimilarityOps.productQuantize(df, m = 2, subDim = 4,
+        k = 3, iters = 2)
+      .as[(Long, Seq[Int])].collect().toMap
+    assert(again == out)
+  }
+
   test("semanticDedup: exact copies drop within their cluster, originals survive") {
     val rows = (0 until 12).map { i =>
       val v = Array.fill(4)(0f)
