@@ -19,14 +19,94 @@ object TopKStrategy extends SparkStrategy {
   }
 }
 
+/** Optimizer rule: rewrite the plain-SQL top-k idiom
+  *
+  *   SELECT ... FROM (SELECT *, row_number() OVER
+  *     (PARTITION BY k ORDER BY s) rk FROM t) WHERE rk <= N
+  *
+  * into the [[TopKPerKey]] heap operator, so SQL users get the
+  * map-side-pruned plan (at most k rows per key per partition reach
+  * the exchange, nothing fully sorts) without knowing the operator
+  * exists. Fires only on the exact-equivalence shape: a Filter whose
+  * condition bounds the rank from above, over a Window computing a
+  * single row_number with non-empty partition AND order specs (an
+  * empty order makes row_number nondeterministic — left alone). Other
+  * conjuncts in the filter (including the optimizer's inferred
+  * `isnotnull(rk)`) are preserved in a Filter above the rewrite; the
+  * rank attribute keeps its exprId, so parent plans resolve unchanged.
+  */
+object RowNumberToTopK
+    extends org.apache.spark.sql.catalyst.rules.Rule[LogicalPlan] {
+  import org.apache.spark.sql.catalyst.expressions._
+  import org.apache.spark.sql.catalyst.plans.logical.{Filter, Window}
+  import org.apache.spark.sql.types.IntegerType
+
+  private def bound(c: Expression, rk: Attribute): Option[Int] = c match {
+    case LessThanOrEqual(a: Attribute, Literal(k: Int, IntegerType))
+      if a.semanticEquals(rk) => Some(k)
+    case LessThan(a: Attribute, Literal(k: Int, IntegerType))
+      if a.semanticEquals(rk) => Some(k - 1)
+    case GreaterThanOrEqual(Literal(k: Int, IntegerType), a: Attribute)
+      if a.semanticEquals(rk) => Some(k)
+    case GreaterThan(Literal(k: Int, IntegerType), a: Attribute)
+      if a.semanticEquals(rk) => Some(k - 1)
+    case EqualTo(a: Attribute, Literal(k: Int, IntegerType))
+      if a.semanticEquals(rk) && k == 1 => Some(1)
+    case _ => None
+  }
+
+  private def frameOk(spec: WindowSpecDefinition): Boolean =
+    spec.frameSpecification match {
+      case SpecifiedWindowFrame(RowFrame, UnboundedPreceding, CurrentRow) =>
+        true
+      case UnspecifiedFrame => true
+      case _ => false
+    }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
+    case f @ Filter(cond,
+        Window(Seq(alias @ Alias(we: WindowExpression, _)), _, _, child, _))
+        if we.windowFunction.isInstanceOf[RowNumber] &&
+          we.windowSpec.partitionSpec.nonEmpty &&
+          we.windowSpec.orderSpec.nonEmpty && frameOk(we.windowSpec) =>
+      val rk = alias.toAttribute.asInstanceOf[AttributeReference]
+      val conjuncts = splitConjunctivePredicates(cond)
+      conjuncts.flatMap(c => bound(c, rk).map(c -> _)) match {
+        case (boundConj, k) :: _ if k > 0 =>
+          val topk = TopKPerKey(we.windowSpec.partitionSpec,
+            we.windowSpec.orderSpec, k, rk, child)
+          // drop the consumed bound and the redundant isnotnull(rk)
+          // (rank is never null); keep everything else above
+          val rest = conjuncts.filterNot { c =>
+            (c eq boundConj) ||
+              (c match {
+                case IsNotNull(a: Attribute) => a.semanticEquals(rk)
+                case _ => false
+              })
+          }
+          if (rest.isEmpty) topk else Filter(rest.reduce(And), topk)
+        case _ => f
+      }
+  }
+
+  private def splitConjunctivePredicates(c: Expression): Seq[Expression] =
+    c match {
+      case And(l, r) =>
+        splitConjunctivePredicates(l) ++ splitConjunctivePredicates(r)
+      case other => Seq(other)
+    }
+}
+
 /** SparkSessionExtensions entry point
   * (`spark.sql.extensions=graft.plans.GraftExtensions`): the TopKPerKey
-  * planner strategy plus every graft native function/generator under
-  * its SQL name (see functions.GraftFunctions).
+  * planner strategy, the [[RowNumberToTopK]] rewrite, plus every graft
+  * native function/generator under its SQL name (see
+  * functions.GraftFunctions).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectPlannerStrategy(_ => TopKStrategy)
+    e.injectOptimizerRule(_ => RowNumberToTopK)
     graft.functions.GraftFunctions.builders.foreach { case (name, builder) =>
       e.injectFunction((
         org.apache.spark.sql.catalyst.FunctionIdentifier(name),

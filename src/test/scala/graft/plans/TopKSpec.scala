@@ -49,6 +49,55 @@ class TopKSpec extends SparkSpec {
     assert(out == Set(("a", 1, 2L), ("a", 2, 1L), ("b", 1, 3L)))
   }
 
+  test("RowNumberToTopK rewrites the SQL row_number idiom to the heap operator") {
+    df.createOrReplaceTempView("t_rewrite")
+    val sql = """SELECT grp, rk, id, score FROM (
+                   SELECT *, row_number() OVER
+                     (PARTITION BY grp ORDER BY score DESC, id ASC) AS rk
+                   FROM t_rewrite)
+                 WHERE rk <= 3 AND id % 2 = 0"""
+    val plain = spark.sql(sql)
+      .as[(String, Int, Long, Double)].collect().toSet
+    assert(!plain.isEmpty)
+    val prev = spark.experimental.extraOptimizations
+    spark.experimental.extraOptimizations = prev :+ RowNumberToTopK
+    try {
+      val rewritten = spark.sql(sql)
+      val plan = rewritten.queryExecution.executedPlan.toString
+      assert(plan.contains("TopKPerKey "), plan)
+      assert(!plan.contains("Window "), plan)
+      // identical results, including the preserved non-rank conjunct
+      assert(rewritten.as[(String, Int, Long, Double)].collect().toSet
+        == plain)
+    } finally {
+      spark.experimental.extraOptimizations = prev
+    }
+  }
+
+  test("RowNumberToTopK leaves non-rewritable windows alone") {
+    df.createOrReplaceTempView("t_norewrite")
+    val prev = spark.experimental.extraOptimizations
+    spark.experimental.extraOptimizations = prev :+ RowNumberToTopK
+    try {
+      // rank() is not row_number; an unordered row_number is skipped too
+      val p1 = spark.sql("""SELECT * FROM (
+          SELECT *, rank() OVER
+            (PARTITION BY grp ORDER BY score DESC) AS rk
+          FROM t_norewrite) WHERE rk <= 3""")
+        .queryExecution.executedPlan.toString
+      assert(p1.contains("Window ") && !p1.contains("TopKPerKey "), p1)
+      // lower bound only — no top-k semantics, must not fire
+      val p2 = spark.sql("""SELECT * FROM (
+          SELECT *, row_number() OVER
+            (PARTITION BY grp ORDER BY score DESC) AS rk
+          FROM t_norewrite) WHERE rk >= 3""")
+        .queryExecution.executedPlan.toString
+      assert(p2.contains("Window ") && !p2.contains("TopKPerKey "), p2)
+    } finally {
+      spark.experimental.extraOptimizations = prev
+    }
+  }
+
   test("multi-column keys and ascending order work") {
     val out = TopK.perKey(df.withColumn("g2", col("grp").substr(2, 1)),
       Seq("grp", "g2"), Seq(col("score").asc, col("id").asc), 1)
