@@ -150,6 +150,23 @@ object RelationalQueries {
         round(sum(col("o_totalprice")).over(w), 2).as("running"))
     }),
 
+    // Window-function breadth in ONE pass: ntile / percent_rank /
+    // cume_dist / lag / lead share a single window spec, so Catalyst
+    // plans ONE exchange + ONE sort for all five (check WindowExec in
+    // the plan) — the rank ratios are exact small-integer quotients,
+    // replayable bit-for-bit.
+    "q29_window_suite" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("o_custkey")
+        .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+      orders(s, d).select(col("o_custkey"), col("o_orderkey"),
+        ntile(4).over(w).as("quartile"),
+        round(percent_rank().over(w), 6).as("pct_rank"),
+        round(cume_dist().over(w), 6).as("cdist"),
+        lag(col("o_orderkey"), 1).over(w).as("prev_key"),
+        lead(col("o_orderkey"), 1).over(w).as("next_key"))
+    }),
+
     // The SAME top-3-per-segment as q4, through the custom TopKPerKey
     // physical operator (graft.plans) instead of a window sort — the
     // identical oracle proves rank equivalence, map-side heaps replace
@@ -445,6 +462,16 @@ object RelationalQueries {
          SELECT c_custkey, round(c_acctbal, 2), c_mktsegment
          FROM customer
          WHERE c_custkey NOT IN (SELECT c_custkey FROM u)""",
+    "q29_window_suite" ->
+      """SELECT o_custkey, o_orderkey,
+           ntile(4) OVER w AS quartile,
+           round(percent_rank() OVER w, 6) AS pct_rank,
+           round(cume_dist() OVER w, 6) AS cdist,
+           lag(o_orderkey, 1) OVER w AS prev_key,
+           lead(o_orderkey, 1) OVER w AS next_key
+         FROM orders
+         WINDOW w AS (PARTITION BY o_custkey
+                      ORDER BY o_orderdate ASC, o_orderkey ASC)""",
     "q27_histogram" ->
       """WITH mm AS (SELECT min(l_extendedprice)::DOUBLE AS mn,
                        max(l_extendedprice)::DOUBLE AS mx
