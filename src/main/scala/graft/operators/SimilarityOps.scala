@@ -261,16 +261,29 @@ object SimilarityOps {
     */
   def kmeansAssign(df: DataFrame, k: Int, iters: Int,
                    idCol: String = "vec_id",
-                   vecCol: String = "embedding"): DataFrame = {
+                   vecCol: String = "embedding"): DataFrame =
+    kmeansFit(df, k, iters, idCol, vecCol)._1
+
+  /** [[kmeansAssign]] returning the trained model too: the centroid
+    * table `(cluster, _cv: array<float>)` the FINAL assignment was
+    * scored against — what ADC search and any later out-of-sample
+    * assignment must use (a refit from the final assignment would be
+    * the NEXT iteration's centroids, not the ones the codes mean).
+    */
+  def kmeansFit(df: DataFrame, k: Int, iters: Int,
+                idCol: String = "vec_id",
+                vecCol: String = "embedding"): (DataFrame, DataFrame) = {
     val init = (conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10)
       .cast("long") % k).cast("int").as("cluster")
     var assign = df.select(col(idCol), col(vecCol), init)
+    var lastCentroids: DataFrame = null
     for (_ <- 1 to iters) {
       val centroids = assign.groupBy(col("cluster"))
         .agg(VectorMeanAgg.vecMean(col(vecCol)).as("_m"))
         .filter(col("_m").isNotNull)
         .select(col("cluster").as("_c"),
           transform(col("_m"), x => round(x, 4).cast("float")).as("_cv"))
+      lastCentroids = centroids
       assign = graft.plans.TopK.perKey(
         assign.drop("cluster").crossJoin(broadcast(centroids))
           .withColumn("_sim", noNaN(
@@ -279,7 +292,8 @@ object SimilarityOps {
         Seq(idCol), Seq(col("_sim").desc, col("_c").asc), 1)
         .select(col(idCol), col(vecCol), col("_c").as("cluster"))
     }
-    assign
+    require(lastCentroids != null, "iters must be >= 1")
+    (assign, lastCentroids.select(col("_c").as("cluster"), col("_cv")))
   }
 
   /** Product quantization: split each vector into `m` contiguous
@@ -298,16 +312,74 @@ object SimilarityOps {
     */
   def productQuantize(df: DataFrame, m: Int, subDim: Int, k: Int,
                       iters: Int, idCol: String = "vec_id",
-                      vecCol: String = "embedding"): DataFrame = {
-    val codes = (0 until m).map { j =>
-      kmeans(df.select(col(idCol),
-          slice(col(vecCol), j * subDim + 1, subDim).as(vecCol)),
-        k, iters, idCol, vecCol)
-        .select(col(idCol), col("cluster").as(s"_c$j"))
+                      vecCol: String = "embedding"): DataFrame =
+    pqTrain(df, m, subDim, k, iters, idCol, vecCol)._1
+
+  /** [[productQuantize]] returning BOTH halves of the index: the code
+    * table and the per-subspace codebooks
+    * `(subspace, cluster, _cv: array<float>)` — what [[pqAdcTopK]]
+    * scores against.
+    */
+  def pqTrain(df: DataFrame, m: Int, subDim: Int, k: Int, iters: Int,
+              idCol: String = "vec_id", vecCol: String = "embedding")
+      : (DataFrame, DataFrame) = {
+    val perSub = (0 until m).map { j =>
+      val sub = df.select(col(idCol),
+        slice(col(vecCol), j * subDim + 1, subDim).as(vecCol))
+      val (assigned, centroids) = kmeansFit(sub, k, iters, idCol, vecCol)
+      // the codebook is the centroid table the codes were assigned TO
+      // (a refit from the final assignment would be iteration N+1)
+      val codebook = centroids
+        .select(lit(j).as("subspace"), col("cluster"), col("_cv"))
+      (assigned.select(col(idCol), col("cluster").as(s"_c$j")), codebook)
     }
-    codes.reduce((a, b) => a.join(b, Seq(idCol)))
+    val codes = perSub.map(_._1).reduce((a, b) => a.join(b, Seq(idCol)))
       .select(col(idCol),
         array((0 until m).map(j => col(s"_c$j")): _*).as("pq_code"))
+    (codes, perSub.map(_._2).reduce(_ unionByName _))
+  }
+
+  /** Asymmetric-distance (ADC) top-k over PQ codes: queries stay
+    * full-precision, the corpus is represented ONLY by its codes, and
+    * each candidate's score is the sum over subspaces of
+    * cosine(query subvector, centroid[code_j]) — the PQ search half of
+    * an IVF-PQ index. Per-kernel results are widened to double before
+    * summing so the score replays bit-exactly in an external engine.
+    *
+    * Scale shape: the codebooks (m × k rows) broadcast twice — once
+    * crossed with the queries to build each query's m × k lookup table
+    * (tiny), once more nothing: the big join is codes ⋈ lookup rows on
+    * the (subspace, cluster) pair after exploding each code row into
+    * its m (subspace, cluster) entries — an equi-join whose build side
+    * is queries × m × k rows, broadcast-able for any sane query batch.
+    * The corpus vectors are never read at search time; that is the
+    * point of PQ.
+    */
+  def pqAdcTopK(queries: DataFrame, codes: DataFrame, codebooks: DataFrame,
+                topK: Int, m: Int, subDim: Int,
+                idCol: String = "vec_id", vecCol: String = "embedding")
+      : DataFrame = {
+    val lut = queries
+      .select(col(idCol).as("query_id"), col(vecCol).as("_qv"))
+      .crossJoin(broadcast(codebooks))
+      .select(col("query_id"), col("subspace"), col("cluster"),
+        (0 until m).map(j =>
+          when(col("subspace") === j, noNaN(
+            graft.functions.CosineF32.cosineF32Native(
+              slice(col("_qv"), j * subDim + 1, subDim), col("_cv")))
+            .cast("double")))
+          .reduce((a, b) => coalesce(a, b)).as("_part"))
+    val exploded = codes.select(col(idCol).as("neighbor_id"),
+      posexplode(col("pq_code")).as(Seq("subspace", "cluster")))
+    graft.plans.TopK.perKey(
+      exploded.join(broadcast(lut), Seq("subspace", "cluster"))
+        .filter(col("query_id") =!= col("neighbor_id"))
+        .groupBy(col("query_id"), col("neighbor_id"))
+        // every code row contributes exactly m parts (codes only ever
+        // reference centroids that exist), so the sum is total
+        .agg(round(sum(col("_part")), 4).as("adc_score")),
+      Seq("query_id"), Seq(col("adc_score").desc, col("neighbor_id").asc),
+      topK, rankCol = "rk")
   }
 
   /** SemDeDup-style semantic dedup: cluster the corpus with

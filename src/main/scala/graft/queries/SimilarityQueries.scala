@@ -143,6 +143,19 @@ object SimilarityQueries {
         k = 4, iters = 1)
     }),
 
+    // ADC search over PQ codes: queries stay full-precision, the
+    // corpus is ONLY its 2-subspace codes; score = sum of per-subspace
+    // cosines against the coded centroid (widened to double before the
+    // m=2 sum — commutative, so bit-exact in any engine). The corpus
+    // vectors are never read at search time.
+    "ss12_pq_adc" -> ((s, d) => {
+      val emb = embeddings(s, d)
+      val (codes, books) = SimilarityOps.pqTrain(emb, m = 2, subDim = 32,
+        k = 4, iters = 1)
+      SimilarityOps.pqAdcTopK(emb.filter(col("vec_id") < 10), codes,
+        books, topK = 5, m = 2, subDim = 32)
+    }),
+
     // Per-label centroid-free stats: dot-product norms per label bucket —
     // exercises the vector kernel inside an aggregation.
     "ss4_norm_stats" -> ((s, d) => {
@@ -311,6 +324,61 @@ object SimilarityQueries {
                    FROM a10 CROSS JOIN c11) WHERE rn = 1)
          SELECT a01.vec_id, [c0, c1] AS pq_code
          FROM a01 JOIN a11 USING (vec_id)""",
+    "ss12_pq_adc" ->
+      """WITH s0 AS (SELECT vec_id, embedding[1:32] AS v FROM embeddings),
+         s1 AS (SELECT vec_id, embedding[33:64] AS v FROM embeddings),
+         a00 AS (SELECT vec_id, v,
+                   (('0x' || substr(md5(vec_id::VARCHAR), 1, 8))::UBIGINT
+                    % 4)::INT AS cluster
+                 FROM s0),
+         u01 AS (SELECT cluster, unnest(v) AS x,
+                   generate_subscripts(v, 1) AS pos FROM a00),
+         m01 AS (SELECT cluster, pos,
+                   (round(sum(x::DOUBLE) / count(*), 4) + 0)::FLOAT AS mx
+                 FROM u01 GROUP BY cluster, pos),
+         c01 AS (SELECT cluster AS cc, list(mx ORDER BY pos) AS cv
+                 FROM m01 GROUP BY cluster),
+         a01 AS (SELECT vec_id, cc AS c0 FROM (
+                   SELECT a00.vec_id, c01.cc,
+                     row_number() OVER (PARTITION BY a00.vec_id
+                       ORDER BY list_cosine_similarity(a00.v, c01.cv)
+                                  DESC, c01.cc ASC) AS rn
+                   FROM a00 CROSS JOIN c01) WHERE rn = 1),
+         a10 AS (SELECT vec_id, v,
+                   (('0x' || substr(md5(vec_id::VARCHAR), 1, 8))::UBIGINT
+                    % 4)::INT AS cluster
+                 FROM s1),
+         u11 AS (SELECT cluster, unnest(v) AS x,
+                   generate_subscripts(v, 1) AS pos FROM a10),
+         m11 AS (SELECT cluster, pos,
+                   (round(sum(x::DOUBLE) / count(*), 4) + 0)::FLOAT AS mx
+                 FROM u11 GROUP BY cluster, pos),
+         c11 AS (SELECT cluster AS cc, list(mx ORDER BY pos) AS cv
+                 FROM m11 GROUP BY cluster),
+         a11 AS (SELECT vec_id, cc AS c1 FROM (
+                   SELECT a10.vec_id, c11.cc,
+                     row_number() OVER (PARTITION BY a10.vec_id
+                       ORDER BY list_cosine_similarity(a10.v, c11.cv)
+                                  DESC, c11.cc ASC) AS rn
+                   FROM a10 CROSS JOIN c11) WHERE rn = 1),
+         codes AS (SELECT a01.vec_id, c0, c1
+                   FROM a01 JOIN a11 USING (vec_id)),
+         q AS (SELECT vec_id AS query_id, embedding
+               FROM embeddings WHERE vec_id < 10),
+         sc AS (SELECT q.query_id, codes.vec_id AS neighbor_id,
+                  round(list_cosine_similarity(q.embedding[1:32],
+                          k0.cv)::DOUBLE +
+                        list_cosine_similarity(q.embedding[33:64],
+                          k1.cv)::DOUBLE, 4) AS adc_score
+                FROM q CROSS JOIN codes
+                JOIN c01 k0 ON k0.cc = codes.c0
+                JOIN c11 k1 ON k1.cc = codes.c1
+                WHERE q.query_id <> codes.vec_id)
+         SELECT query_id, neighbor_id, adc_score, rk FROM (
+           SELECT *, row_number() OVER (PARTITION BY query_id
+             ORDER BY adc_score DESC, neighbor_id ASC)::INT AS rk
+           FROM sc)
+         WHERE rk <= 5""",
     "ss6_label_centroids" ->
       """WITH u AS (
            SELECT label, unnest(embedding) AS x,

@@ -145,6 +145,24 @@ class ExtOpsSpec extends SparkSpec {
     assert(again == out)
   }
 
+  test("pqAdcTopK: coded search ranks same-bundle neighbors first") {
+    val rows = (0 until 12).map { i =>
+      val j = 0.01f * (i % 3)
+      val v = if (i < 6) Seq(1f, j, 1f, j) else Seq(j, 1f, j, 1f)
+      (i.toLong, v)
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val (codes, books) = SimilarityOps.pqTrain(df, m = 2, subDim = 2,
+      k = 2, iters = 2)
+    assert(codes.count() == 12)
+    assert(books.count() <= 4) // m x k codebook rows at most
+    val out = SimilarityOps.pqAdcTopK(df.filter(col("vec_id") === 0),
+        codes, books, topK = 3, m = 2, subDim = 2)
+      .select("neighbor_id").as[Long].collect().toSet
+    // every top hit for a bundle-A query is a bundle-A member
+    assert(out.nonEmpty && out.forall(_ < 6), out.toString)
+  }
+
   test("semanticDedup: exact copies drop within their cluster, originals survive") {
     val rows = (0 until 12).map { i =>
       val v = Array.fill(4)(0f)
