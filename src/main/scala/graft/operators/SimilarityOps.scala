@@ -138,18 +138,25 @@ object SimilarityOps {
 
   /** Hash-seeded IVF centroids — the shared step 1 of [[ivfTopK]] and
     * [[IvfIndex.build]]: one keyed partial agg, dead (all-null/empty)
-    * cells dropped.
+    * cells dropped. The seed cell is md5-derived and the means are
+    * rounded to 4 decimals before the float32 cast (the [[kmeans]]
+    * portability recipe), so the whole IVF pipeline — centroids,
+    * assignments, probes, scores — replays exactly in an external
+    * engine; seeding quality is equivalent (both are uniform hashes).
     */
   private[operators] def ivfCentroids(corpus: DataFrame, nList: Int,
                                       idCol: String, vecCol: String)
       : DataFrame =
     corpus
-      .select((abs(hash(col(idCol))) % nList).as("_cell"), col(vecCol))
+      .select(((conv(substring(md5(col(idCol).cast("string")), 1, 8),
+          16, 10).cast("long")) % nList).cast("int").as("_cell"),
+        col(vecCol))
       .groupBy("_cell")
       .agg(VectorMeanAgg.vecMean(col(vecCol)).as("_cmean"))
       .filter(col("_cmean").isNotNull)
       .select(col("_cell"),
-        transform(col("_cmean"), x => x.cast("float")).as("_cvec"))
+        transform(col("_cmean"), x => round(x, 4).cast("float"))
+          .as("_cvec"))
 
   /** Nearest-centroid assignment (shared step 2): top-1 per corpus row
     * via the heap operator; `_cell asc` tiebreak pins the winner when

@@ -67,9 +67,10 @@ object SimilarityQueries {
         .select("a", "b", "sim")
     }),
 
-    // IVF approximate top-k (rows-only check: the centroid means are not
-    // reasonably SQL-expressible — recall vs brute force is asserted in
-    // ExtOpsSpec instead).
+    // IVF approximate top-k, fully oracle-checked: md5-seeded cells +
+    // rounded float32 centroids (the kmeans portability recipe) make
+    // the whole pipeline — centroids, assignments, probes, in-cell
+    // scores — replay exactly in DuckDB.
     "ss5_ivf_topk" -> ((s, d) => {
       val emb = embeddings(s, d)
       // native float32 kernel: ANN selection only needs the ordering,
@@ -324,6 +325,41 @@ object SimilarityQueries {
                    FROM a10 CROSS JOIN c11) WHERE rn = 1)
          SELECT a01.vec_id, [c0, c1] AS pq_code
          FROM a01 JOIN a11 USING (vec_id)""",
+    "ss5_ivf_topk" ->
+      """WITH cen AS (
+           SELECT cell, list(mx ORDER BY pos) AS cv FROM (
+             SELECT cell, pos,
+               (round(sum(x::DOUBLE) / count(*), 4) + 0)::FLOAT AS mx
+             FROM (SELECT (('0x' || substr(md5(vec_id::VARCHAR), 1, 8))
+                       ::UBIGINT % 8)::INT AS cell,
+                     unnest(embedding) AS x,
+                     generate_subscripts(embedding, 1) AS pos
+                   FROM embeddings)
+             GROUP BY cell, pos) GROUP BY cell),
+         cells AS (SELECT vec_id AS cid, cvec, cell FROM (
+                     SELECT e.vec_id, e.embedding AS cvec, cen.cell,
+                       row_number() OVER (PARTITION BY e.vec_id
+                         ORDER BY list_cosine_similarity(e.embedding,
+                                    cen.cv) DESC, cen.cell ASC) AS rn
+                     FROM embeddings e CROSS JOIN cen) WHERE rn = 1),
+         probes AS (SELECT query_id, qv, cell FROM (
+                      SELECT e.vec_id AS query_id, e.embedding AS qv,
+                        cen.cell,
+                        row_number() OVER (PARTITION BY e.vec_id
+                          ORDER BY list_cosine_similarity(e.embedding,
+                                     cen.cv) DESC, cen.cell ASC) AS rn
+                      FROM embeddings e CROSS JOIN cen
+                      WHERE e.vec_id < 10) WHERE rn <= 3),
+         sc AS (SELECT p.query_id, c.cid AS neighbor_id,
+                  round(list_cosine_similarity(p.qv, c.cvec)::DOUBLE, 4)
+                    AS sim
+                FROM probes p JOIN cells c ON p.cell = c.cell
+                WHERE p.query_id <> c.cid)
+         SELECT query_id, neighbor_id, sim, rk FROM (
+           SELECT *, row_number() OVER (PARTITION BY query_id
+             ORDER BY sim DESC, neighbor_id ASC)::INT AS rk
+           FROM sc)
+         WHERE rk <= 5""",
     "ss12_pq_adc" ->
       """WITH s0 AS (SELECT vec_id, embedding[1:32] AS v FROM embeddings),
          s1 AS (SELECT vec_id, embedding[33:64] AS v FROM embeddings),
