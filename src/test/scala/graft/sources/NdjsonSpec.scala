@@ -1,0 +1,32 @@
+package graft.sources
+
+import graft.SparkSpec
+import org.apache.spark.sql.types._
+
+class NdjsonSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("readWithQuarantine: good rows parse, corrupt lines stay in-band") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ndjson")
+    val lines = Seq(
+      """{"id": 1, "name": "ok-one"}""",
+      """{"id": 2, "name": "ok-two"}""",
+      """{"id": 3, "name": "truncated""", // malformed JSON
+      """not json at all""")
+    java.nio.file.Files.write(dir.resolve("part-0.ndjson"),
+      lines.mkString("\n").getBytes)
+
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("name", StringType)))
+    val (good, quarantine) =
+      Ndjson.readWithQuarantine(spark, dir.toString, schema)
+
+    assert(good.as[(Long, String)].collect().toSet ==
+      Set((1L, "ok-one"), (2L, "ok-two")))
+    val bad = quarantine.as[String].collect().toSet
+    assert(bad == Set("""{"id": 3, "name": "truncated""",
+      "not json at all"))
+    // neither FAILFAST (job survives) nor DROPMALFORMED (nothing lost):
+    assert(good.count() + quarantine.count() == lines.size)
+  }
+}
