@@ -187,6 +187,58 @@ object EventOps {
       .agg(countDistinct("user_id").as("n_users"))
   }
 
+  /** Time-series gap filling with last-observation-carried-forward:
+    * per key, generate the full `stepSec` grid between the key's first
+    * and last event (row-local `sequence` + explode — no driver-side
+    * spine, no cross join), attach each slot's own aggregate where one
+    * exists, and fill empty slots with the most recent earlier value
+    * (`last(ignoreNulls)` over an unbounded-preceding window). The
+    * resampling primitive for regularizing irregular event streams.
+    *
+    * Scale shape: one keyed agg for the per-key span, one explode
+    * (grid-sized, bounded by span/step), one keyed agg for slot
+    * values, one join on (key, slot), one window per key — every wide
+    * op keyed by the entity, so parallelism is the key cardinality.
+    */
+  def gapFillLocf(events: DataFrame, stepSec: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val slotted = events.select(col("user_id"),
+      (floor(unix_timestamp(col("ts")) / stepSec) * stepSec).as("slot"),
+      col("value"))
+    val slotAgg = slotted.groupBy(col("user_id"), col("slot"))
+      .agg(round(sum(col("value")), 2).as("slot_value"))
+    val spine = slotted.groupBy(col("user_id"))
+      .agg(min(col("slot")).as("_lo"), max(col("slot")).as("_hi"))
+      .select(col("user_id"),
+        explode(sequence(col("_lo"), col("_hi"), lit(stepSec)))
+          .as("slot"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("slot"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spine.join(slotAgg, Seq("user_id", "slot"), "left")
+      .select(col("user_id"), col("slot"),
+        col("slot_value").isNotNull.as("observed"),
+        last(col("slot_value"), ignoreNulls = true).over(w).as("filled"))
+  }
+
+  /** Trailing RANGE-frame aggregate: per key, the sum of `value` over
+    * the `windowSec`-second interval ending at each event — a range
+    * frame over event time (peers by time distance, not row count),
+    * the semantics a rows-frame cannot express on irregular streams.
+    * One window shuffle on the key.
+    */
+  def trailingRangeSum(events: DataFrame, windowSec: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("_es"))
+      .rangeBetween(-windowSec, 0)
+    events
+      .select(col("event_id"), col("user_id"),
+        unix_timestamp(col("ts")).as("_es"), col("value"))
+      .withColumn("trailing_sum", round(sum(col("value")).over(w), 2))
+      .select(col("event_id"), col("user_id"), col("_es").as("epoch_s"),
+        col("trailing_sum"))
+  }
+
   /** Partial-aggregate STATE of a keyed count/sum — the persistable
     * half of incremental view maintenance: an aggregate-sized table
     * (key, n, total) that [[mergeAggState]] can advance with new data

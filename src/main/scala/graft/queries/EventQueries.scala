@@ -51,6 +51,17 @@ object EventQueries {
           round(col("total"), 2).as("total"))
     }),
 
+    // Time-series resampling: per-user daily grid between first and
+    // last event, empty days filled by last-observation-carried-forward.
+    "ev15_gap_fill" -> ((s, d) =>
+      EventOps.gapFillLocf(events(s, d), stepSec = 86400L)),
+
+    // RANGE-frame trailing aggregate: 30-minute time-distance window
+    // per user — peers by seconds, not row count (what rowsBetween
+    // cannot express on irregular streams).
+    "ev16_range_window" -> ((s, d) =>
+      EventOps.trailingRangeSum(events(s, d), windowSec = 1800L)),
+
     // Event-transition matrix: consecutive (prev → next) event-type
     // pairs per user with mean gap (lag window exercise).
     "ev8_transitions" -> ((s, d) => EventOps.transitions(events(s, d))),
@@ -98,6 +109,32 @@ object EventQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "ev15_gap_fill" ->
+      """WITH s AS (SELECT user_id,
+                      (floor(epoch(ts))::BIGINT // 86400) * 86400 AS slot,
+                      value
+                    FROM events),
+         sa AS (SELECT user_id, slot, round(sum(value), 2) AS slot_value
+                FROM s GROUP BY user_id, slot),
+         sp AS (SELECT user_id,
+                  unnest(range(lo, hi + 86400, 86400)) AS slot
+                FROM (SELECT user_id, min(slot) AS lo, max(slot) AS hi
+                      FROM s GROUP BY user_id)),
+         j AS (SELECT sp.user_id, sp.slot, sa.slot_value
+               FROM sp LEFT JOIN sa USING (user_id, slot))
+         SELECT user_id, slot, slot_value IS NOT NULL AS observed,
+           last_value(slot_value IGNORE NULLS) OVER (
+             PARTITION BY user_id ORDER BY slot
+             ROWS UNBOUNDED PRECEDING) AS filled
+         FROM j""",
+    "ev16_range_window" ->
+      """SELECT event_id, user_id,
+           floor(epoch(ts))::BIGINT AS epoch_s,
+           round(sum(value) OVER (PARTITION BY user_id
+             ORDER BY floor(epoch(ts))::BIGINT
+             RANGE BETWEEN 1800 PRECEDING AND CURRENT ROW), 2)
+             AS trailing_sum
+         FROM events""",
     // the incremental state merge must be indistinguishable from the
     // full-corpus aggregate
     "ev14_incremental_agg" ->

@@ -70,6 +70,39 @@ class ExtOpsSpec extends SparkSpec {
       ("s", 1, 1L, 4L, "f g h i")))
   }
 
+  test("gapFillLocf: missing slots appear and carry the last value forward") {
+    val ts = (s: String) => java.sql.Timestamp.valueOf(s)
+    val ev = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 10L, "click", 5.0),
+      (2L, ts("2024-01-01 11:00:00"), 10L, "click", 2.0),
+      // day 2 empty for user 10; day 3 observed again
+      (3L, ts("2024-01-03 09:00:00"), 10L, "view", 4.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val out = EventOps.gapFillLocf(ev, 86400L)
+      .orderBy("slot")
+      .as[(Long, Long, Boolean, Double)].collect().toSeq
+    val day = 86400L
+    val d1 = ts("2024-01-01 00:00:00").getTime / 1000
+    assert(out == Seq(
+      (10L, d1, true, 7.0),           // both day-1 events summed
+      (10L, d1 + day, false, 7.0),    // gap day: carried forward
+      (10L, d1 + 2 * day, true, 4.0)))
+  }
+
+  test("trailingRangeSum: time-distance frame includes only in-window events") {
+    val ts = (s: String) => java.sql.Timestamp.valueOf(s)
+    val ev = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 10L, "click", 1.0),
+      (2L, ts("2024-01-01 10:20:00"), 10L, "click", 2.0),
+      (3L, ts("2024-01-01 10:45:00"), 10L, "click", 4.0), // ev1 out of 30m
+      (4L, ts("2024-01-01 12:00:00"), 10L, "click", 8.0)) // alone
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val out = EventOps.trailingRangeSum(ev, 1800L)
+      .select("event_id", "trailing_sum")
+      .as[(Long, Double)].collect().toMap
+    assert(out == Map(1L -> 1.0, 2L -> 3.0, 3L -> 6.0, 4L -> 8.0))
+  }
+
   test("aggState/mergeAggState: delta merge equals the full aggregate") {
     val hist = Seq((1L, 10.0), (1L, 20.0), (2L, 5.0)).toDF("k", "v")
     val delta = Seq((1L, 1.0), (3L, 7.0)).toDF("k", "v")
