@@ -187,6 +187,23 @@ object TextQueries {
           col("seq_tokens"), md5(col("seq_text")).as("seq_fp"))
     }),
 
+    // Quantile-gated curation: keep the top 30% of docs per language
+    // by stopword ratio (the "train on the best fraction per language"
+    // cut). percent_rank is an exact small-integer quotient; ties
+    // broken by doc_id so the kept set is deterministic.
+    "tx24_quantile_filter" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = documents(s, d)
+      val q = TextAnalysisOps.qualityMetrics(docs, "doc_id", "text")
+        .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+      val w = Window.partitionBy(col("lang"))
+        .orderBy(col("stopword_ratio").desc, col("doc_id").asc)
+      q.withColumn("pr", round(percent_rank().over(w), 6))
+        .filter(col("pr") <= 0.3)
+        .select(col("lang"), col("doc_id"), col("stopword_ratio"),
+          col("pr"))
+    }),
+
     // KMV (k-minimum-values) distinct-count sketch, k=16: because the
     // hash is deterministic md5, this APPROXIMATE algorithm verifies
     // EXACTLY against the oracle — unlike HLL (tx5, rows-only). The
@@ -500,6 +517,20 @@ object TextQueries {
            sum(n_tokens)::BIGINT AS seq_tokens,
            md5(string_agg(text, ' <|eod|> ' ORDER BY doc_id)) AS seq_fp
          FROM b GROUP BY source, bin""",
+    "tx24_quantile_filter" ->
+      s"""WITH q AS (
+            SELECT d.lang, d.doc_id,
+              round(len(list_filter(string_split(d.text, ' '),
+                                    w -> w IN ($stop)))::DOUBLE /
+                    greatest(len(string_split(d.text, ' ')), 1), 4)
+                AS stopword_ratio
+            FROM documents d),
+          r AS (SELECT lang, doc_id, stopword_ratio,
+                  round(percent_rank() OVER (PARTITION BY lang
+                    ORDER BY stopword_ratio DESC, doc_id ASC), 6) AS pr
+                FROM q)
+          SELECT lang, doc_id, stopword_ratio, pr FROM r
+          WHERE pr <= 0.3""",
     "tx14_kmv_distinct" ->
       """WITH h AS (
            SELECT DISTINCT source,
