@@ -189,6 +189,54 @@ object StreamingOps {
       }.toDF()
   }
 
+  final case class LastSeen(user_id: Long, last_us: Long, n: Long)
+  final case class InactivityAlert(user_id: Long, n_events: Long,
+                                   last_seen_us: Long)
+
+  /** Inactivity detection via EVENT-TIME STATE TIMEOUT
+    * (`flatMapGroupsWithState` + `EventTimeTimeout`): a user's state
+    * carries their last-seen event time; when the watermark passes
+    * `last_seen + gap` with no new events, the timeout fires, an alert
+    * row is emitted, and the state is dropped (re-appearing users
+    * start a fresh session). This is the heartbeat/churn primitive —
+    * the state-timeout half of the arbitrary-stateful API that
+    * windowed aggregations cannot express (nothing arrives to trigger
+    * the "nothing arrived" output; the TIMER does).
+    *
+    * State size is one (long, long, long) per live user, evicted on
+    * alert — bounded by active-user cardinality, not stream length.
+    */
+  def inactivityAlerts(spark: SparkSession, events: DataFrame,
+                       gapSec: Long, watermark: String = "10 minutes")
+      : DataFrame = {
+    import spark.implicits._
+    // keep the watermark-tagged `ts` attribute itself through the
+    // projection — deriving a new column (unix_micros) strips the
+    // event-time metadata the timeout machinery requires
+    events.withWatermark("ts", watermark)
+      .select(col("user_id"), col("ts"))
+      .as[(Long, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.EventTimeTimeout()) {
+        (uid: Long, it: Iterator[(Long, java.sql.Timestamp)],
+         st: GroupState[LastSeen]) =>
+          if (st.hasTimedOut) {
+            val s = st.get
+            st.remove()
+            Iterator(InactivityAlert(uid, s.n, s.last_us))
+          } else {
+            val prev = st.getOption.getOrElse(LastSeen(uid, Long.MinValue, 0L))
+            val (last, n) = it.foldLeft((prev.last_us, prev.n)) {
+              case ((l, c), (_, t)) => (math.max(l, t.getTime * 1000L), c + 1)
+            }
+            st.update(LastSeen(uid, last, n))
+            st.setTimeoutTimestamp(last / 1000 + gapSec * 1000)
+            Iterator.empty
+          }
+      }.toDF()
+  }
+
   /** Latest snapshot version in a [[upsertSink]] state dir: the highest
     * `v=N` subdirectory whose parquet commit marker (`_SUCCESS`) exists
     * — a half-written snapshot from a crashed batch is never visible.

@@ -267,6 +267,27 @@ class StreamingSpec extends SparkSpec {
     assert(v0 == snap0)
   }
 
+  test("inactivityAlerts: event-time timeout fires for silent users only") {
+    implicit val sqlCtx = spark.sqlContext
+    val ts = (s: String) => java.sql.Timestamp.valueOf(s)
+    val mem = MemoryStream[Ev]
+    val q = StreamingOps.inactivityAlerts(spark, mem.toDF(), gapSec = 1800)
+      .writeStream.format("memory").queryName("t_inactive")
+      .outputMode("append").start()
+    // user 10 goes silent after 00:00; user 20 keeps talking
+    mem.addData(Ev(1, ts("2024-01-01 00:00:00"), 10, "click", 1.0),
+      Ev(2, ts("2024-01-01 00:05:00"), 20, "click", 1.0))
+    q.processAllAvailable()
+    mem.addData(Ev(3, ts("2024-01-01 02:00:00"), 20, "view", 1.0))
+    q.processAllAvailable() // watermark advances past 10's timer AFTER this batch
+    mem.addData(Ev(4, ts("2024-01-01 02:10:00"), 30, "view", 1.0))
+    q.processAllAvailable() // timer evaluated here → alert for user 10
+    q.stop()
+    val alerts = spark.table("t_inactive")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(alerts == Set((10L, 1L, ts("2024-01-01 00:00:00").getTime * 1000)))
+  }
+
   test("mapGroupsWithState running totals accumulate across batches") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Ev]
