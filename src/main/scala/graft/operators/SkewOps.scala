@@ -32,4 +32,23 @@ object SkewOps {
       .groupBy(keys: _*)
       .agg(sum(col("_psum")).as("total"), sum(col("_pcnt")).as("n"))
   }
+
+  /** Salted equi-join for a skewed BIG side when the small side is too
+    * large to broadcast: each big row takes a deterministic salt, the
+    * small side is replicated once per salt (`explode(sequence)`), and
+    * the join key becomes (key, salt) — a heavy-hitter key now spreads
+    * over `salts` reducers instead of melting one. Results are EXACTLY
+    * the plain inner join's (each big row meets exactly the one small
+    * replica bearing its salt). Cost: small side × salts exchange
+    * volume — the explicit form of what AQE skew-split does at
+    * runtime, for when the skew is known ahead of plan time.
+    */
+  def saltedJoin(big: DataFrame, small: DataFrame, keyCols: Seq[String],
+                 salts: Int = 16): DataFrame = {
+    val b = big.withColumn("_salt",
+      pmod(hash(struct(big.columns.map(col): _*)), lit(salts)))
+    val sm = small.withColumn("_salt",
+      explode(sequence(lit(0), lit(salts - 1))))
+    b.join(sm, keyCols :+ "_salt").drop("_salt")
+  }
 }

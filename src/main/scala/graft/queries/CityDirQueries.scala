@@ -139,6 +139,27 @@ object CityDirQueries {
       objects.unionByName(relations).unionByName(logs)
     }),
 
+    // Property-graph traversal over the reference's output model: the
+    // transform step EMITS nodes + edges (SURVEY §1.1.4); this query
+    // CONSUMES them — person nodes joined through their st:in-shaped
+    // edges, grouped per target: distinct persons, edge count, first
+    // name alphabetically. Nodes/edges derived like cd9.
+    "cd12_graph_traverse" -> ((s, d) => {
+      val docs = documents(s, d)
+      val objects = docs.select(
+        concat(lit("doc."), col("doc_id")).as("id"),
+        element_at(split(col("text"), " "), 1).as("name"))
+      val relations = docs.select(
+        concat(lit("doc."), col("doc_id")).as("from"),
+        col("source").as("to"))
+      relations.join(objects,
+          relations("from") === objects("id"))
+        .groupBy(col("to"))
+        .agg(countDistinct(col("from")).as("n_persons"),
+          count(lit(1)).as("n_edges"),
+          min(col("name")).as("first_name"))
+    }),
+
     // O-5/O-8: JSON codec both directions — from_json with an explicit
     // schema, transform, re-encode with to_json (NDJSON line framing is
     // the built-in json sink, exercised in PipelineSpec).
@@ -228,6 +249,17 @@ object CityDirQueries {
          UNION ALL
          SELECT 'log', 'doc.' || doc_id, NULL, NULL, NULL, 'short document'
          FROM documents WHERE n_chars < 100""",
+    "cd12_graph_traverse" ->
+      """WITH objects AS (
+           SELECT 'doc.' || doc_id AS id,
+             string_split(text, ' ')[1] AS name
+           FROM documents),
+         relations AS (
+           SELECT 'doc.' || doc_id AS f, source AS t FROM documents)
+         SELECT t AS "to", count(DISTINCT f) AS n_persons,
+           count(*) AS n_edges, min(name) AS first_name
+         FROM relations JOIN objects ON f = id
+         GROUP BY t""",
     "cd11_json_codec" ->
       """SELECT event_id,
            to_json(struct_pack(

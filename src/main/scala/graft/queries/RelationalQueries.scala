@@ -280,6 +280,21 @@ object RelationalQueries {
           round(sum(col("l_extendedprice")), 2).as("total"))
     }),
 
+    // Salted skew join: lineitem ⋈ orders on the order key with the
+    // big side salted and the small side replicated ×8 — the explicit
+    // skew-spread for heavy keys known before plan time. The oracle is
+    // the PLAIN join: salting must be invisible in results.
+    "q30_salted_join" -> ((s, d) => {
+      val joined = graft.operators.SkewOps.saltedJoin(
+        lineitem(s, d).select(col("l_orderkey"), col("l_extendedprice")),
+        orders(s, d).select(col("o_orderkey").as("l_orderkey"),
+          col("o_orderstatus")),
+        Seq("l_orderkey"), salts = 8)
+      joined.groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("l_extendedprice")), 2).as("total"))
+    }),
+
     // Blocked fuzzy join on edit distance, DICTIONARY-FIRST: distinct
     // names are extracted (with their row multiplicity), the quadratic
     // comparison runs on the small dictionary inside last-token blocks,
@@ -462,6 +477,11 @@ object RelationalQueries {
          SELECT c_custkey, round(c_acctbal, 2), c_mktsegment
          FROM customer
          WHERE c_custkey NOT IN (SELECT c_custkey FROM u)""",
+    "q30_salted_join" ->
+      """SELECT o_orderstatus, count(*) AS n,
+           round(sum(l_extendedprice), 2) AS total
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         GROUP BY o_orderstatus""",
     "q29_window_suite" ->
       """SELECT o_custkey, o_orderkey,
            ntile(4) OVER w AS quartile,

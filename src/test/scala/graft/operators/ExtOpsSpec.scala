@@ -103,6 +103,18 @@ class ExtOpsSpec extends SparkSpec {
     assert(out == Map(1L -> 1.0, 2L -> 3.0, 3L -> 6.0, 4L -> 8.0))
   }
 
+  test("saltedJoin: equals the plain inner join, including duplicate keys") {
+    val big = Seq((1L, "a"), (1L, "b"), (2L, "c"), (3L, "d"))
+      .toDF("k", "v")
+    val small = Seq((1L, "X"), (1L, "Y"), (2L, "Z")).toDF("k", "w")
+    val salted = graft.operators.SkewOps.saltedJoin(big, small,
+        Seq("k"), salts = 4)
+      .as[(Long, String, String)].collect().sorted.toSeq
+    val plain = big.join(small, Seq("k"))
+      .as[(Long, String, String)].collect().sorted.toSeq
+    assert(salted == plain && plain.size == 5)
+  }
+
   test("aggState/mergeAggState: delta merge equals the full aggregate") {
     val hist = Seq((1L, 10.0), (1L, 20.0), (2L, 5.0)).toDF("k", "v")
     val delta = Seq((1L, 1.0), (3L, 7.0)).toDF("k", "v")
