@@ -430,9 +430,14 @@ object DedupOps {
     */
   def containmentPairs(df: DataFrame, idCol: String, textCol: String,
                        k: Int, threshold: Double, maxDf: Int): DataFrame = {
+    // the shingle explode feeds FOUR consumers (df counts, the semi
+    // join probe, the denominator agg, both pair-join sides) — cut the
+    // lineage once so tokenization runs one pass, not six (measured in
+    // the dd12 plan audit)
     val sh = df.select(col(idCol),
       graft.functions.ShingleGen.shingleGen(col(textCol), k,
         distinct = true)).toDF(idCol, "_s")
+      .localCheckpoint()
     val kept = sh.groupBy(col("_s")).agg(count(lit(1)).as("_df"))
       .filter(col("_df") <= maxDf).select(col("_s"))
     val shF = sh.join(kept, Seq("_s"), "left_semi")
