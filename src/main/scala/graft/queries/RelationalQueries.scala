@@ -280,6 +280,23 @@ object RelationalQueries {
           round(sum(col("l_extendedprice")), 2).as("total"))
     }),
 
+    // Correlated scalar subquery through the SQL front end: customers
+    // above their own nation's average balance. Catalyst DECORRELATES
+    // this into an aggregate + join (RewriteCorrelatedScalarSubquery)
+    // — the classic optimizer transform, exercised as SQL, not
+    // hand-lowered.
+    "q31_correlated_subquery" -> ((s, d) => {
+      customer(s, d).createOrReplaceTempView("customer_v")
+      s.sql("""
+        SELECT c_nationkey, count(*) AS n_above,
+               round(min(c_acctbal), 2) AS min_above
+        FROM customer_v c
+        WHERE c_acctbal > (SELECT round(avg(c2.c_acctbal), 2)
+                           FROM customer_v c2
+                           WHERE c2.c_nationkey = c.c_nationkey)
+        GROUP BY c_nationkey""")
+    }),
+
     // Salted skew join: lineitem ⋈ orders on the order key with the
     // big side salted and the small side replicated ×8 — the explicit
     // skew-spread for heavy keys known before plan time. The oracle is
@@ -477,6 +494,14 @@ object RelationalQueries {
          SELECT c_custkey, round(c_acctbal, 2), c_mktsegment
          FROM customer
          WHERE c_custkey NOT IN (SELECT c_custkey FROM u)""",
+    "q31_correlated_subquery" ->
+      """SELECT c_nationkey, count(*) AS n_above,
+           round(min(c_acctbal), 2) AS min_above
+         FROM customer c
+         WHERE c_acctbal > (SELECT round(avg(c2.c_acctbal), 2)
+                            FROM customer c2
+                            WHERE c2.c_nationkey = c.c_nationkey)
+         GROUP BY c_nationkey""",
     "q30_salted_join" ->
       """SELECT o_orderstatus, count(*) AS n,
            round(sum(l_extendedprice), 2) AS total
