@@ -142,15 +142,6 @@ object TransformOps {
       current.join(updates.select(keyCols.map(col): _*),
         keyCols, "left_anti"))
 
-  /** One-pass long-form column profile: per column, row/null/exact-
-    * distinct counts and min/max (cast to string for a uniform output
-    * schema) — the stats sweep a pipeline runs before trusting a new
-    * drop of data. ONE scan: all columns' aggregates ride a single
-    * `agg` (the multi-distinct rewrites to one Expand), then the wide
-    * row unpivots client-side via stack. Profile string/integer
-    * columns; float formatting differs across engines, so cast those
-    * upstream if cross-engine comparison matters.
-    */
   /** Equi-width histogram of a numeric column: `nBins` equal-width
     * buckets between the column's observed min and max (closed on the
     * right edge — the max lands in the last bin). Companion to
@@ -165,6 +156,7 @@ object TransformOps {
     * zero.
     */
   def histogram(df: DataFrame, valueCol: String, nBins: Int): DataFrame = {
+    require(nBins >= 1, s"nBins must be positive, got $nBins")
     val mm = df.agg(min(col(valueCol)).cast("double").as("_mn"),
       max(col(valueCol)).cast("double").as("_mx"))
     df.select(col(valueCol).cast("double").as("_x"))
@@ -182,6 +174,15 @@ object TransformOps {
         round(max(col("_x")), 4).as("hi"))
   }
 
+  /** One-pass long-form column profile: per column, row/null/exact-
+    * distinct counts and min/max (cast to string for a uniform output
+    * schema) — the stats sweep a pipeline runs before trusting a new
+    * drop of data. ONE scan: all columns' aggregates ride a single
+    * `agg` (the multi-distinct rewrites to one Expand), then the wide
+    * row unpivots client-side via stack. Profile string/integer
+    * columns; float formatting differs across engines, so cast those
+    * upstream if cross-engine comparison matters.
+    */
   def columnProfile(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.nonEmpty, "columnProfile needs at least one column")
     val aggs = cols.flatMap { c => Seq(

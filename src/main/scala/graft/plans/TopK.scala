@@ -36,7 +36,8 @@ object TopKStrategy extends SparkStrategy {
   * rank attribute keeps its exprId, so parent plans resolve unchanged.
   */
 object RowNumberToTopK
-    extends org.apache.spark.sql.catalyst.rules.Rule[LogicalPlan] {
+    extends org.apache.spark.sql.catalyst.rules.Rule[LogicalPlan]
+    with org.apache.spark.sql.catalyst.expressions.PredicateHelper {
   import org.apache.spark.sql.catalyst.expressions._
   import org.apache.spark.sql.catalyst.plans.logical.{Filter, Window}
   import org.apache.spark.sql.types.IntegerType
@@ -88,13 +89,6 @@ object RowNumberToTopK
         case _ => f
       }
   }
-
-  private def splitConjunctivePredicates(c: Expression): Seq[Expression] =
-    c match {
-      case And(l, r) =>
-        splitConjunctivePredicates(l) ++ splitConjunctivePredicates(r)
-      case other => Seq(other)
-    }
 }
 
 /** SparkSessionExtensions entry point

@@ -90,7 +90,15 @@ object Compaction {
     val files = manifest
       .filter(col(s"${zCol}_max") >= lo && col(s"${zCol}_min") <= hi)
       .select("file").collect().map(_.getString(0))
-    spark.read.parquet(files: _*)
+    if (files.nonEmpty) spark.read.parquet(files: _*)
+    else {
+      // every file pruned: an empty result must still carry the data
+      // schema (spark.read.parquet() with zero paths throws) — read
+      // any manifest file footer-only under an always-false predicate
+      val any = manifest.select("file").limit(1).collect()
+      if (any.isEmpty) spark.emptyDataFrame
+      else spark.read.parquet(any(0).getString(0)).filter(lit(false))
+    }
   }
 
   def writeZOrdered(df: DataFrame, path: String,

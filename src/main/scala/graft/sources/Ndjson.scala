@@ -13,15 +13,24 @@ import org.apache.spark.sql.types.{StringType, StructType}
   */
 object Ndjson {
 
-  /** One PERMISSIVE scan split two ways: `(good, quarantine)`. Good
-    * rows carry the caller's schema; quarantine rows carry the raw
-    * offending line. The scan is cached because Spark refuses to
-    * filter on the internal corrupt-record column straight off a file
-    * scan (the documented `_corrupt_record` limitation) — and because
-    * both halves are consumed anyway, one materialization serves both.
+  /** A quarantined scan: the two halves plus `release()`, which
+    * unpersists the shared cached scan once both halves have been
+    * consumed — without it, each drop processed in a long session
+    * would pin its full parsed dataset in executor storage.
+    */
+  final case class QuarantinedScan(good: DataFrame, quarantine: DataFrame,
+                                   release: () => Unit)
+
+  /** One PERMISSIVE scan split two ways. Good rows carry the caller's
+    * schema; quarantine rows carry the raw offending line. The scan is
+    * cached because Spark refuses to filter on the internal
+    * corrupt-record column straight off a file scan (the documented
+    * `_corrupt_record` limitation) — and because both halves are
+    * consumed anyway, one materialization serves both. Call
+    * `release()` when done.
     */
   def readWithQuarantine(spark: SparkSession, path: String,
-                         schema: StructType): (DataFrame, DataFrame) = {
+                         schema: StructType): QuarantinedScan = {
     val raw = spark.read
       .schema(schema.add("_corrupt_record", StringType))
       .option("mode", "PERMISSIVE")
@@ -32,6 +41,6 @@ object Ndjson {
       .drop("_corrupt_record")
     val quarantine = raw.filter(col("_corrupt_record").isNotNull)
       .select(col("_corrupt_record").as("raw_line"))
-    (good, quarantine)
+    QuarantinedScan(good, quarantine, () => { raw.unpersist(); () })
   }
 }

@@ -227,8 +227,12 @@ object StreamingOps {
             Iterator(InactivityAlert(uid, s.n, s.last_us))
           } else {
             val prev = st.getOption.getOrElse(LastSeen(uid, Long.MinValue, 0L))
+            // getTime is millis; the sub-millisecond part lives in
+            // getNanos — both contribute to the true microsecond stamp
+            def micros(t: java.sql.Timestamp): Long =
+              t.getTime * 1000L + (t.getNanos / 1000L) % 1000L
             val (last, n) = it.foldLeft((prev.last_us, prev.n)) {
-              case ((l, c), (_, t)) => (math.max(l, t.getTime * 1000L), c + 1)
+              case ((l, c), (_, t)) => (math.max(l, micros(t)), c + 1)
             }
             st.update(LastSeen(uid, last, n))
             st.setTimeoutTimestamp(last / 1000 + gapSec * 1000)
@@ -274,13 +278,26 @@ object StreamingOps {
     * is `sources.Compaction`'s job, scheduled separately.
     */
   def upsertSink(stream: DataFrame, stateDir: String, checkpoint: String,
-                 keyCols: Seq[String], orderCol: String): StreamingQuery =
+                 keyCols: Seq[String], orderCol: String,
+                 trigger: Trigger = Trigger.AvailableNow())
+      : StreamingQuery =
     stream.writeStream
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
         val spark = batch.sparkSession
-        val latest = graft.plans.TopK.perKey(batch.toDF(), keyCols,
-          Seq(col(orderCol).desc) ++ keyCols.map(col(_).asc), 1)
-          .drop("rk")
+        // null-keyed CDC rows are malformed (the anti-join merge can
+        // never retire them — null keys don't equi-match, so one would
+        // accumulate per batch forever): drop them here
+        val keyed = batch.toDF()
+          .filter(keyCols.map(col(_).isNotNull).reduce(_ && _))
+        // tiebreak on a digest of the WHOLE row, not the key (constant
+        // within the window partition): two rows with the same key and
+        // orderCol — a producer retry — must pick the same winner on
+        // every replay of the batch
+        val rowFp = md5(to_json(struct(keyed.columns.map(col): _*)))
+        val latest = graft.plans.TopK.perKey(
+          keyed.withColumn("_fp", rowFp), keyCols,
+          Seq(col(orderCol).desc, col("_fp").asc), 1)
+          .drop("rk", "_fp")
         val merged = currentSnapshot(spark, stateDir) match {
           case Some(cur) =>
             graft.operators.TransformOps.upsert(cur, latest, keyCols)
@@ -291,7 +308,7 @@ object StreamingOps {
         ()
       }
       .option("checkpointLocation", checkpoint)
-      .trigger(Trigger.AvailableNow())
+      .trigger(trigger)
       .start()
 
   /** Drain a streaming aggregation into an in-memory table and return the

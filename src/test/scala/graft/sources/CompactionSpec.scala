@@ -64,6 +64,13 @@ class CompactionSpec extends SparkSpec {
       .as[(Long, Int)].collect().toSet
     val want = rows.filter(r => r._2 >= 10 && r._2 <= 19).toSet
     assert(got == want)
+
+    // a range outside the data prunes EVERY file: still an empty
+    // frame with the data schema, not a zero-path read crash
+    val none = Compaction.zonemapPrunedRead(spark, manifest, "key",
+      lit(1000), lit(2000))
+    assert(none.columns.toSet == Set("id", "key"))
+    assert(none.count() == 0)
   }
 
   test("writeZOrdered: lossless, files internally z-sorted, z column dropped") {

@@ -18,15 +18,15 @@ class NdjsonSpec extends SparkSpec {
 
     val schema = StructType(Seq(
       StructField("id", LongType), StructField("name", StringType)))
-    val (good, quarantine) =
-      Ndjson.readWithQuarantine(spark, dir.toString, schema)
+    val scan = Ndjson.readWithQuarantine(spark, dir.toString, schema)
 
-    assert(good.as[(Long, String)].collect().toSet ==
+    assert(scan.good.as[(Long, String)].collect().toSet ==
       Set((1L, "ok-one"), (2L, "ok-two")))
-    val bad = quarantine.as[String].collect().toSet
+    val bad = scan.quarantine.as[String].collect().toSet
     assert(bad == Set("""{"id": 3, "name": "truncated""",
       "not json at all"))
     // neither FAILFAST (job survives) nor DROPMALFORMED (nothing lost):
-    assert(good.count() + quarantine.count() == lines.size)
+    assert(scan.good.count() + scan.quarantine.count() == lines.size)
+    scan.release() // drop the shared cached scan
   }
 }

@@ -267,6 +267,31 @@ class StreamingSpec extends SparkSpec {
     assert(v0 == snap0)
   }
 
+  test("upsertSink: (key, seq) ties resolve deterministically across replays") {
+    // two rows with the same key AND the same seq (producer retry with
+    // divergent payloads) — the winner must be a pure function of the
+    // rows, so a from-scratch replay of the same input picks the same one
+    val rows = Seq((1L, 1L, "first"), (1L, 1L, "second"), (2L, 1L, "z"))
+    def runFresh(): Set[(Long, Long, String)] = {
+      val src = java.nio.file.Files.createTempDirectory("graft-tie-src")
+      val ckpt = java.nio.file.Files.createTempDirectory("graft-tie-ckpt")
+      val state = java.nio.file.Files.createTempDirectory("graft-tie-st")
+      rows.toDF("key_id", "seq", "payload")
+        .write.mode("append").parquet(s"$src/")
+      val q = StreamingOps.upsertSink(
+        spark.readStream.schema(rows.toDF("key_id", "seq", "payload").schema)
+          .parquet(src.toString),
+        state.toString, ckpt.toString, Seq("key_id"), "seq")
+      q.awaitTermination()
+      StreamingOps.currentSnapshot(spark, state.toString).get
+        .as[(Long, Long, String)].collect().toSet
+    }
+    val a = runFresh()
+    val b = runFresh()
+    assert(a == b)
+    assert(a.count(_._1 == 1L) == 1) // exactly one winner for the tied key
+  }
+
   test("inactivityAlerts: event-time timeout fires for silent users only") {
     implicit val sqlCtx = spark.sqlContext
     val ts = (s: String) => java.sql.Timestamp.valueOf(s)
