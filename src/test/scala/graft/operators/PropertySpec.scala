@@ -186,4 +186,66 @@ class PropertySpec extends SparkSpec {
         s"id=$id y=$yMin p=$page b=$bbox → ${out(id)}")
     }
   }
+
+  test("spanDedup: conservation + first-owner invariants on random corpora") {
+    // random word-soup docs over a tiny vocab so span collisions are common
+    val docs = (0 until 40).map { i =>
+      val n = 1 + rnd.nextInt(20)
+      (i.toLong, Seq.fill(n)(s"w${rnd.nextInt(6)}").mkString(" "))
+    }
+    val segWords = 3
+    val out = DedupOps.spanDedup(docs.toDF("doc_id", "text"),
+        "doc_id", "text", segWords)
+      .as[(Long, Long, Long, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    // reference model: walk docs in id order, first occurrence owns a span
+    val seen = scala.collection.mutable.Set[String]()
+    docs.foreach { case (id, text) =>
+      val words = text.split(" ").toSeq
+      val segs = words.grouped(segWords).map(_.mkString(" ")).toSeq
+      var kept = 0L
+      segs.foreach { s => if (seen.add(s)) kept += 1 }
+      val (nSegs, nKept) = out(id)
+      assert(nSegs == segs.size, s"doc $id seg count")
+      assert(nKept == kept, s"doc $id kept count")
+    }
+    // conservation: every distinct span in the corpus is kept exactly once
+    val totalKept = out.values.map(_._2).sum
+    assert(totalKept == seen.size)
+  }
+
+  test("saltedJoin equals the plain join on random skewed frames, any salt count") {
+    val big = (0 until 300).map { _ =>
+      // zipf-ish: key 0 dominates
+      val k = if (rnd.nextInt(10) < 6) 0L else rnd.nextInt(20).toLong
+      (k, rnd.nextInt(1000))
+    }
+    val small = (0 until 25).map(i => (i.toLong % 20, s"p$i"))
+    val b = big.toDF("k", "v"); val sm = small.toDF("k", "w")
+    val plain = b.join(sm, Seq("k"))
+      .as[(Long, Int, String)].collect().sorted.toSeq
+    for (salts <- Seq(1, 2, 7, 16)) {
+      val salted = SkewOps.saltedJoin(b, sm, Seq("k"), salts)
+        .as[(Long, Int, String)].collect().sorted.toSeq
+      assert(salted == plain, s"salts=$salts")
+    }
+  }
+
+  test("histogram: counts conserved, bins contiguous, bounds honored") {
+    val vals = Seq.fill(200)(rnd.nextDouble() * 100 - 50)
+    val df = vals.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      .toDF("id", "x")
+    for (nBins <- Seq(1, 4, 10)) {
+      val out = TransformOps.histogram(df, "x", nBins)
+        .as[(Int, Long, Double, Double)].collect().sortBy(_._1)
+      assert(out.map(_._2).sum == vals.size, s"nBins=$nBins conservation")
+      assert(out.forall(b => b._1 >= 0 && b._1 < nBins), s"nBins=$nBins range")
+      // per-bin lo/hi nest inside the global range, and bins don't overlap
+      out.sliding(2).foreach {
+        case Array(a, b) => assert(a._4 <= b._3 + 1e-9,
+          s"nBins=$nBins bins overlap: $a vs $b")
+        case _ =>
+      }
+    }
+  }
 }
