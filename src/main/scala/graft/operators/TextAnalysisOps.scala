@@ -383,6 +383,45 @@ object TextAnalysisOps {
           .as("cross_entropy"))
   }
 
+  /** Interpolated bigram LM scoring — [[lmScore]]'s 2-gram upgrade
+    * (much closer to the CCNet perplexity filter): per-doc
+    * cross-entropy under p(b|a) = λ·n(ab)/n(a) + (1−λ)·n(b)/T, the
+    * Jelinek-Mercer mix of the corpus bigram model with its unigram
+    * backoff. Both weights are explicit parameters so their DOUBLE
+    * literals match an external replay exactly (computing 1−λ at
+    * runtime would yield a different double than the SQL literal).
+    *
+    * Scale shape: two corpus-wide partial aggs (bigram + unigram
+    * models), then the bigram stream joins the models on their keys
+    * (vocabulary-sized build sides — broadcast-able until the vocab
+    * outgrows memory) and partial-aggregates the per-doc mean; the
+    * corpus crosses the wire once, at bigram granularity.
+    */
+  def lmScoreBigram(df: DataFrame, idCol: String, textCol: String,
+                    lambdaBi: Double = 0.9,
+                    lambdaUni: Double = 0.1): DataFrame = {
+    val bg = df.select(col(idCol),
+      graft.functions.ShingleGen.shingleGen(col(textCol), 2,
+        distinct = false)).toDF(idCol, "bigram")
+    val bi = bg.groupBy(col("bigram")).agg(count(lit(1)).as("n_ab"))
+    val uni = df.select(graft.functions.ShingleGen
+        .shingleGen(col(textCol), 1, distinct = false)).toDF("t")
+      .groupBy(col("t")).agg(count(lit(1)).as("n_w"))
+    val tu = uni.agg(sum(col("n_w")).cast("double").as("_tu"))
+    bg.join(bi, Seq("bigram"))
+      .withColumn("_a", split(col("bigram"), " ").getItem(0))
+      .withColumn("_b", split(col("bigram"), " ").getItem(1))
+      .join(uni.select(col("t").as("_a"), col("n_w").as("n_a")), Seq("_a"))
+      .join(uni.select(col("t").as("_b"), col("n_w").as("n_b")), Seq("_b"))
+      .crossJoin(broadcast(tu))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(-avg(log(
+          lit(lambdaBi) * (col("n_ab").cast("double") / col("n_a")) +
+            lit(lambdaUni) * (col("n_b") / col("_tu"))) / log(lit(2.0))), 4)
+          .as("cross_entropy"))
+  }
+
   /** Bigram PMI collocations: pointwise mutual information
     * ln(p(ab) / (p(a)·p(b))) over adjacent word pairs, the standard
     * phrase-mining signal ("new york" scores high, "of the" near zero).

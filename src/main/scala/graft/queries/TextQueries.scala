@@ -137,6 +137,12 @@ object TextQueries {
       TextAnalysisOps.lmScore(documents(s, d), "doc_id", "text")
     }),
 
+    // Interpolated bigram LM cross-entropy (Jelinek-Mercer 0.9/0.1 mix
+    // with unigram backoff) — the 2-gram quality filter.
+    "tx26_lm_bigram" -> ((s, d) => {
+      TextAnalysisOps.lmScoreBigram(documents(s, d), "doc_id", "text")
+    }),
+
     // Bigram PMI collocations over the corpus (phrase mining): adjacent
     // pairs with count >= 20, scored ln(p(ab)/(p(a)p(b))).
     "tx22_pmi" -> ((s, d) => {
@@ -428,6 +434,27 @@ object TextQueries {
          SELECT doc_id, count(*) AS n_tokens,
            round(-avg(ln(cnt / tt) / ln(2)), 4) AS cross_entropy
          FROM t JOIN m USING (term) CROSS JOIN tot
+         GROUP BY doc_id""",
+    "tx26_lm_bigram" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w
+                    FROM documents),
+         bg AS (SELECT doc_id,
+                  unnest([w[i] || ' ' || w[i+1]
+                          for i in range(1, len(w))]) AS bigram
+                FROM w WHERE len(w) >= 2),
+         bi AS (SELECT bigram, count(*) AS n_ab FROM bg GROUP BY bigram),
+         u AS (SELECT unnest(w) AS t FROM w),
+         uni AS (SELECT t, count(*) AS n_w FROM u GROUP BY t),
+         tot AS (SELECT sum(n_w)::DOUBLE AS tu FROM uni)
+         SELECT doc_id, count(*) AS n_bigrams,
+           round(-avg(ln(0.9 * (bi.n_ab::DOUBLE / ua.n_w) +
+                         0.1 * (ub.n_w / tu)) / ln(2)), 4)
+             AS cross_entropy
+         FROM bg
+         JOIN bi USING (bigram)
+         JOIN uni ua ON ua.t = string_split(bigram, ' ')[1]
+         JOIN uni ub ON ub.t = string_split(bigram, ' ')[2]
+         CROSS JOIN tot
          GROUP BY doc_id""",
     "tx22_pmi" ->
       """WITH w AS (SELECT string_split(text, ' ') AS w FROM documents),

@@ -249,6 +249,19 @@ class ExtOpsSpec extends SparkSpec {
     assert(out == Set((1L, 2L, 2.0), (2L, 2L, 2.0)))
   }
 
+  test("lmScoreBigram: deterministic sequence scores lower than novel one") {
+    // "a b" always follows in docs 1-3 → p(b|a) ≈ 1 there; doc 4 pairs
+    // the same vocabulary in never-seen orders → higher cross-entropy
+    val docs = Seq(
+      (1L, "a b a b"), (2L, "a b a b"), (3L, "a b a b"),
+      (4L, "b a b a")).toDF("doc_id", "text")
+    val out = TextAnalysisOps.lmScoreBigram(docs, "doc_id", "text")
+      .as[(Long, Long, Double)].collect()
+      .map(r => r._1 -> r._3).toMap
+    assert(out(1L) == out(2L)) // same text → same score
+    assert(out(4L) > out(1L))  // novel transitions are more surprising
+  }
+
   test("pmiBigrams: perfectly-bound pair scores ln(tb*tu²/(n_ab*n_a*n_b)) > 0") {
     // "new york" always adjacent; "of the" independent-ish filler
     val docs = Seq(
