@@ -21,7 +21,10 @@ object ExplainAudit {
         "tx17_mix_budget", "tx18_char_entropy", "tx19_column_profile",
         "q22_grouping_sets", "q23_zorder", "q24_approx_percentile",
         "dd10_incremental", "dd11_span_dedup", "tx20_tfidf",
-        "tx21_lm_score", "tx22_pmi", "q27_histogram", "ss9_kmeans")
+        "tx21_lm_score", "tx22_pmi", "q27_histogram", "ss9_kmeans",
+        "dd12_containment", "ss12_pq_adc", "ev15_gap_fill",
+        "ev16_range_window", "q30_salted_join", "q31_correlated_subquery",
+        "tx26_lm_bigram")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

@@ -441,9 +441,18 @@ object DedupOps {
     val kept = sh.groupBy(col("_s")).agg(count(lit(1)).as("_df"))
       .filter(col("_df") <= maxDf).select(col("_s"))
     val shF = sh.join(kept, Seq("_s"), "left_semi")
+      // the pair self-join only needs shingle EQUALITY, not the text:
+      // exchange an 8-byte md5-derived key instead of the ~k-word
+      // string (60-bit keyspace — collisions are ~n²/2⁶⁰, and a
+      // collision only merges two shingles' postings, a recall-side
+      // wobble the same order as the df cap's; the oracle replays the
+      // identical keying)
+      .select(col(idCol),
+        conv(substring(md5(col("_s")), 1, 15), 16, 10).cast("long")
+          .as("_sk"))
     val nA = shF.groupBy(col(idCol)).agg(count(lit(1)).as("n_a"))
-    val pairs = shF.select(col("_s"), col(idCol).as("a"))
-      .join(shF.select(col("_s"), col(idCol).as("b")), Seq("_s"))
+    val pairs = shF.select(col("_sk"), col(idCol).as("a"))
+      .join(shF.select(col("_sk"), col(idCol).as("b")), Seq("_sk"))
       .filter(col("a") =!= col("b"))
       .groupBy(col("a"), col("b"))
       .agg(count(lit(1)).as("n_shared"))
