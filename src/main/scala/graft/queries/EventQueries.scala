@@ -51,6 +51,19 @@ object EventQueries {
           round(col("total"), 2).as("total"))
     }),
 
+    // Windowed ranking composition: the dominant event type per
+    // tumbling hour — tumbling-window agg feeding the TopKPerKey heap
+    // (top-1 per window, type-asc tiebreak).
+    "ev17_top_per_window" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val hourly = events(s, d)
+        .groupBy(((floor(unix_timestamp(col("ts")) / 3600) * 3600)
+            .cast("long")).as("win_start"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+      graft.plans.TopK.perKey(hourly, Seq("win_start"),
+        Seq(col("n").desc, col("event_type").asc), 1)
+    }),
+
     // Time-series resampling: per-user daily grid between first and
     // last event, empty days filled by last-observation-carried-forward.
     "ev15_gap_fill" -> ((s, d) =>
@@ -109,6 +122,17 @@ object EventQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "ev17_top_per_window" ->
+      """WITH h AS (SELECT (floor(epoch(ts))::BIGINT // 3600) * 3600
+                      AS win_start,
+                    event_type, count(*) AS n
+                    FROM events GROUP BY win_start, event_type)
+         SELECT win_start, event_type, n, rk FROM (
+           SELECT win_start, event_type, n,
+             row_number() OVER (PARTITION BY win_start
+               ORDER BY n DESC, event_type ASC)::INT AS rk
+           FROM h)
+         WHERE rk <= 1""",
     "ev15_gap_fill" ->
       """WITH s AS (SELECT user_id,
                       (floor(epoch(ts))::BIGINT // 86400) * 86400 AS slot,
