@@ -47,6 +47,31 @@ object MultimodalOps {
         concat(lit("application/x-"), kind).as("mime")).as("meta"))
   }
 
+  /** Modality-routed storage: assets written hive-partitioned by
+    * `meta.kind`, so downstream per-modality jobs (image decode, audio
+    * resample, frame sampling) open ONLY their modality's directory —
+    * partition pruning at the coarsest, cheapest level. Payload bytes
+    * are clustered by asset_id inside bounded files via
+    * [[graft.sources.Compaction.writePartitioned]].
+    */
+  def writeByModality(assets: DataFrame, path: String,
+                      maxRecordsPerFile: Long = 100000L): Unit =
+    graft.sources.Compaction.writePartitioned(
+      assets.select(col("asset_id"), col("content"),
+        col("meta.kind").as("kind"),
+        col("meta.n_bytes").as("n_bytes"), col("meta.mime").as("mime")),
+      path, Seq("kind"), clusterBy = Seq("asset_id"),
+      maxRecordsPerFile = maxRecordsPerFile)
+
+  /** Read ONE modality back from a [[writeByModality]] layout — the
+    * `kind = …` predicate prunes to that partition directory (verify
+    * `PartitionFilters` in the scan; other modalities' bytes are never
+    * listed, opened, or read).
+    */
+  def readModality(spark: org.apache.spark.sql.SparkSession, path: String,
+                   kind: String): DataFrame =
+    spark.read.parquet(path).filter(col("kind") === kind)
+
   /** Metadata projection — never touches `content` (column pruning keeps
     * the binary out of the scan when only metadata is asked for).
     */

@@ -115,6 +115,24 @@ class ExtOpsSpec extends SparkSpec {
     assert(salted == plain && plain.size == 5)
   }
 
+  test("writeByModality: hive layout per kind, pruned modality read") {
+    val docs = Seq((0L, "img-bytes"), (1L, "aud-bytes"), (2L, "vid-bytes"),
+      (3L, "img2"), (4L, "aud2"), (5L, "vid2")).toDF("id", "payload")
+    val assets = MultimodalOps.toAssets(docs, "id", "payload")
+    val out = java.nio.file.Files.createTempDirectory("graft-modality")
+    MultimodalOps.writeByModality(assets, out.toString)
+    // one directory per modality
+    import scala.jdk.CollectionConverters._
+    val dirs = java.nio.file.Files.list(out).iterator().asScala
+      .map(_.getFileName.toString).filter(_.startsWith("kind=")).toSet
+    assert(dirs == Set("kind=image", "kind=audio", "kind=video"))
+    // a single-modality read sees only its own assets, schema intact
+    val img = MultimodalOps.readModality(spark, out.toString, "image")
+    // toAssets routes id % 3 == 0 to "image" (1-based element_at)
+    assert(img.select("asset_id").as[Long].collect().toSet == Set(0L, 3L))
+    assert(img.columns.contains("content"))
+  }
+
   test("aggState/mergeAggState: delta merge equals the full aggregate") {
     val hist = Seq((1L, 10.0), (1L, 20.0), (2L, 5.0)).toDF("k", "v")
     val delta = Seq((1L, 1.0), (3L, 7.0)).toDF("k", "v")
