@@ -137,6 +137,23 @@ object TextQueries {
       TextAnalysisOps.lmScore(documents(s, d), "doc_id", "text")
     }),
 
+    // The SQL surface end-to-end in the driver path: native functions
+    // injected into the session and driven from spark.sql — the
+    // char_entropy codegen kernel plus a LATERAL VIEW over the shingle
+    // generator in one statement (tx18's oracle family, via SQL).
+    "tx25_sql_surface" -> ((s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      documents(s, d).createOrReplaceTempView("documents_v")
+      s.sql("""
+        SELECT doc_id,
+               round(char_entropy(text), 4) AS char_entropy,
+               count(*) AS n_shingles
+        FROM documents_v
+        LATERAL VIEW shingle_gen(text, 3, true) sh AS shingle
+        WHERE length(text) > 0
+        GROUP BY doc_id, round(char_entropy(text), 4)""")
+    }),
+
     // Interpolated bigram LM cross-entropy (Jelinek-Mercer 0.9/0.1 mix
     // with unigram backoff) — the 2-gram quality filter.
     "tx26_lm_bigram" -> ((s, d) => {
@@ -435,6 +452,27 @@ object TextQueries {
            round(-avg(ln(cnt / tt) / ln(2)), 4) AS cross_entropy
          FROM t JOIN m USING (term) CROSS JOIN tot
          GROUP BY doc_id""",
+    "tx25_sql_surface" ->
+      """WITH ch AS (SELECT doc_id, unnest(string_split_regex(text, '')) AS c
+                     FROM documents WHERE length(text) > 0),
+         f AS (SELECT doc_id, c, count(*)::DOUBLE AS cnt
+               FROM ch GROUP BY doc_id, c),
+         t AS (SELECT doc_id, sum(cnt) AS n FROM f GROUP BY doc_id),
+         ent AS (SELECT f.doc_id,
+                   round(-sum((cnt / n) * ln(cnt / n) / ln(2)) + 0, 4)
+                     AS char_entropy
+                 FROM f JOIN t USING (doc_id) GROUP BY f.doc_id),
+         sh AS (SELECT doc_id,
+                  count(DISTINCT s) AS n_shingles FROM (
+                    SELECT doc_id,
+                      unnest([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                              for i in range(1, len(w)-1)]) AS s
+                    FROM (SELECT doc_id, string_split(text, ' ') AS w
+                          FROM documents WHERE length(text) > 0)
+                    WHERE len(w) >= 3)
+                GROUP BY doc_id)
+         SELECT ent.doc_id, char_entropy, n_shingles
+         FROM ent JOIN sh USING (doc_id)""",
     "tx26_lm_bigram" ->
       """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w
                     FROM documents),
