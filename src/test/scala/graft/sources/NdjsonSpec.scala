@@ -29,4 +29,26 @@ class NdjsonSpec extends SparkSpec {
     assert(scan.good.count() + scan.quarantine.count() == lines.size)
     scan.release() // drop the shared cached scan
   }
+
+  test("schema evolution: mergeSchema unifies appended columns, old rows null") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft-evolve")
+    // v1 drop: (id, name); later drop adds a lang column
+    Seq((1L, "a"), (2L, "b")).toDF("id", "name")
+      .write.mode("append").parquet(dir.toString)
+    Seq((3L, "c", "en")).toDF("id", "name", "lang")
+      .write.mode("append").parquet(dir.toString)
+
+    val merged = spark.read.option("mergeSchema", "true")
+      .parquet(dir.toString)
+    assert(merged.columns.toSet == Set("id", "name", "lang"))
+    val rows = merged.select("id", "name", "lang")
+      .as[(Long, String, Option[String])].collect().toSet
+    assert(rows == Set((1L, "a", None), (2L, "b", None),
+      (3L, "c", Some("en"))))
+    // the non-merged read keeps ONE footer's schema — evolution must be
+    // an explicit opt-in, not silent column appearance/disappearance
+    val plain = spark.read.parquet(dir.toString)
+    assert(plain.columns.toSet.subsetOf(Set("id", "name", "lang")))
+  }
 }
