@@ -362,6 +362,42 @@ object DedupOps {
     df.join(drops, Seq(idCol), "left_anti")
   }
 
+  /** MinHash Jaccard ESTIMATES next to ground truth, per LSH candidate
+    * pair: est = matching signature positions / numPerm (the classic
+    * unbiased resemblance estimator), joined with the exact word-
+    * shingle Jaccard — the estimator-quality readout a dedup pipeline
+    * tunes (numPerm, bands) against. Because the signatures are
+    * md5-derived, the ESTIMATES themselves verify exactly cross-engine
+    * — the approximation error is deterministic, not a tolerance band.
+    *
+    * Scale shape: candidate pairs from the banded self-join (never all
+    * pairs); signatures and distinct-shingle arrays ride one projection
+    * per doc and meet the pairs through two id-keyed joins.
+    */
+  def minhashEstimatePairs(df: DataFrame, idCol: String, textCol: String,
+                           shingleK: Int, numPerm: Int,
+                           bands: Int): DataFrame = {
+    val pairs = minhashCandidates(df, idCol, textCol, shingleK, numPerm,
+      bands)
+    val side = df.select(col(idCol).as("_sid"),
+      graft.functions.MinhashSig.minhashSigNative(
+        shingles(col(textCol), shingleK), numPerm).as("_sig"),
+      shingles(col(textCol), shingleK).as("_sh"))
+    pairs
+      .join(side.select(col("_sid").as("a"), col("_sig").as("_siga"),
+        col("_sh").as("_sha")), Seq("a"))
+      .join(side.select(col("_sid").as("b"), col("_sig").as("_sigb"),
+        col("_sh").as("_shb")), Seq("b"))
+      .select(col("a"), col("b"),
+        round(size(filter(zip_with(col("_siga"), col("_sigb"),
+            (x, y) => x === y), m => m))
+          .cast("double") / numPerm, 4).as("est_jaccard"),
+        round(size(array_intersect(col("_sha"), col("_shb")))
+          .cast("double") /
+          size(array_union(col("_sha"), col("_shb"))), 4)
+          .as("exact_jaccard"))
+  }
+
   /** Cross-document SPAN dedup (the C4/RefinedWeb "remove any text span
     * seen elsewhere in the corpus" primitive, at fixed word-window
     * granularity): segment every document into consecutive `segWords`

@@ -69,6 +69,14 @@ object DedupQueries {
         "text", k = 3, threshold = 0.8, maxDf = 20)
     }),
 
+    // MinHash estimate vs ground truth per LSH candidate pair: the
+    // md5-derived signatures make the ESTIMATES exactly replayable —
+    // approximation error as deterministic data, not a tolerance band.
+    "dd13_minhash_estimate" -> ((s, d) => {
+      DedupOps.minhashEstimatePairs(documents(s, d), "doc_id", "text",
+        shingleK = 3, numPerm = 16, bands = 4)
+    }),
+
     // 16-bit SimHash per document from md5 hex-digit signs.
     "dd3_simhash" -> ((s, d) => {
       DedupOps.simhash16(documents(s, d), "doc_id", "text")
@@ -221,6 +229,45 @@ object DedupQueries {
            md5(coalesce(string_agg(CASE WHEN rn = 1 THEN seg END, ' '
                                    ORDER BY seg_idx), '')) AS text_fp
          FROM r GROUP BY doc_id""",
+    "dd13_minhash_estimate" ->
+      """WITH s AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
+         shl AS (SELECT doc_id,
+                   list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                                  for i in range(1, len(w)-1)]) AS sh
+                 FROM s WHERE len(w) >= 3),
+         sh AS (SELECT doc_id, unnest(sh) AS s FROM shl),
+         xh AS (SELECT doc_id,
+                  (('0x' || substr(md5(s), 1, 15))::UBIGINT
+                   % 2147483647)::BIGINT AS x
+                FROM sh),
+         sig AS (SELECT doc_id, i,
+                   min(((i*1000003 + 12345) * x + i*999983 + 54321)
+                       % 2147483647) AS mh
+                 FROM xh CROSS JOIN (SELECT unnest(range(0,16)) AS i) perms
+                 GROUP BY doc_id, i),
+         bands AS (SELECT doc_id, i // 4 AS band,
+                     md5(string_agg(mh::VARCHAR, '|' ORDER BY i)) AS bh
+                   FROM sig GROUP BY doc_id, i // 4),
+         p AS (SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+               FROM bands l JOIN bands r
+                 ON l.band = r.band AND l.bh = r.bh
+                AND l.doc_id < r.doc_id),
+         m AS (SELECT p.a, p.b,
+                 sum(CASE WHEN sa.mh = sb.mh THEN 1 ELSE 0 END) AS nm
+               FROM p
+               JOIN sig sa ON sa.doc_id = p.a
+               JOIN sig sb ON sb.doc_id = p.b AND sb.i = sa.i
+               GROUP BY p.a, p.b),
+         j AS (SELECT p.a, p.b,
+                 len(list_filter(la.sh, x -> list_contains(lb.sh, x)))
+                   ::DOUBLE /
+                 len(list_distinct(list_concat(la.sh, lb.sh))) AS ex
+               FROM p
+               JOIN shl la ON la.doc_id = p.a
+               JOIN shl lb ON lb.doc_id = p.b)
+         SELECT m.a, m.b, round(nm::DOUBLE / 16, 4) AS est_jaccard,
+           round(ex, 4) AS exact_jaccard
+         FROM m JOIN j ON m.a = j.a AND m.b = j.b""",
     "dd12_containment" ->
       """WITH c AS (SELECT doc_id, text FROM documents
                     UNION ALL

@@ -303,6 +303,18 @@ class ExtOpsSpec extends SparkSpec {
     assert(!pairs.exists { case (a, b) => a == 3L || b == 3L })
   }
 
+  test("minhashEstimatePairs: identical docs estimate 1.0 exactly; near-dups in range") {
+    val out = DedupOps.minhashEstimatePairs(df, "doc_id", "text",
+        shingleK = 3, numPerm = 16, bands = 4)
+      .as[(Long, Long, Double, Double)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+    // docs 1 and 4 are byte-identical → identical signatures AND sets
+    assert(out((1L, 4L)) == ((1.0, 1.0)))
+    out.values.foreach { case (est, ex) =>
+      assert(est >= 0 && est <= 1 && ex >= 0 && ex <= 1)
+    }
+  }
+
   test("native minhash signature is bit-identical to the staged HOF pipeline") {
     val sh = DedupOps.shingles(col("text"), 3)
     val staged = df.filter(size(sh) > 0)
