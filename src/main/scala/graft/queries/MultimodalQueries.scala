@@ -47,6 +47,21 @@ object MultimodalQueries {
         .limit(10)
     }),
 
+    // Decode → PQ-encode composite: stub-decoded 8-dim features cast to
+    // float32 and product-quantized (2 subspaces × 2-cell codebooks,
+    // one training round) — the multimodal-ingest-to-ANN-index pipeline
+    // end-to-end under the exact oracle.
+    "mm5_decode_pq" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val feats = MultimodalOps.decodeFeatures(
+        MultimodalOps.toAssets(documents(s, d), "doc_id", "text"))
+        .select(col("asset_id"),
+          transform(col("features"), x => x.cast("float"))
+            .as("embedding"))
+      graft.operators.SimilarityOps.productQuantize(feats, m = 2,
+        subDim = 4, k = 2, iters = 1, idCol = "asset_id")
+    }),
+
     // Byte-range chunk manifest at 256-byte chunks: the parallel-decode
     // work list (offset/length per chunk, tail carries the remainder).
     "mm4_byte_chunks" -> ((s, d) => {
@@ -63,6 +78,13 @@ object MultimodalQueries {
 
   private def dotSql(a: String, b: String): String =
     (1 to 8).map(i => s"$a[$i] * $b[$i]").mkString(" + ")
+
+  /** [[featSql]] with each element cast to float32 — the mm5 lane. */
+  private def featSqlF(src: String): String =
+    (0 until 8).map(i =>
+      s"(('0x' || substr(md5($src), ${4 * i + 1}, 4))::UBIGINT::DOUBLE" +
+        " / 65535.0)::FLOAT")
+      .mkString("[", ", ", "]")
 
   val oracles: Map[String, String] = Map(
     "mm1_asset_meta" ->
@@ -88,6 +110,48 @@ object MultimodalQueries {
                    sqrt(${dotSql("qf", "qf")})), 4) AS sim
           FROM f, q WHERE asset_id <> 0
           ORDER BY sim DESC, asset_id ASC LIMIT 10""",
+    "mm5_decode_pq" ->
+      s"""WITH f AS (
+            SELECT doc_id AS asset_id, ${featSqlF("text")} AS fv
+            FROM documents),
+          s0 AS (SELECT asset_id, fv[1:4] AS v FROM f),
+          s1 AS (SELECT asset_id, fv[5:8] AS v FROM f),
+          a00 AS (SELECT asset_id, v,
+                    (('0x' || substr(md5(asset_id::VARCHAR), 1, 8))
+                       ::UBIGINT % 2)::INT AS cluster
+                  FROM s0),
+          u01 AS (SELECT cluster, unnest(v) AS x,
+                    generate_subscripts(v, 1) AS pos FROM a00),
+          m01 AS (SELECT cluster, pos,
+                    (round(sum(x::DOUBLE) / count(*), 4) + 0)::FLOAT AS mx
+                  FROM u01 GROUP BY cluster, pos),
+          c01 AS (SELECT cluster AS cc, list(mx ORDER BY pos) AS cv
+                  FROM m01 GROUP BY cluster),
+          a01 AS (SELECT asset_id, cc AS c0 FROM (
+                    SELECT a00.asset_id, c01.cc,
+                      row_number() OVER (PARTITION BY a00.asset_id
+                        ORDER BY list_cosine_similarity(a00.v, c01.cv)
+                                   DESC, c01.cc ASC) AS rn
+                    FROM a00 CROSS JOIN c01) WHERE rn = 1),
+          a10 AS (SELECT asset_id, v,
+                    (('0x' || substr(md5(asset_id::VARCHAR), 1, 8))
+                       ::UBIGINT % 2)::INT AS cluster
+                  FROM s1),
+          u11 AS (SELECT cluster, unnest(v) AS x,
+                    generate_subscripts(v, 1) AS pos FROM a10),
+          m11 AS (SELECT cluster, pos,
+                    (round(sum(x::DOUBLE) / count(*), 4) + 0)::FLOAT AS mx
+                  FROM u11 GROUP BY cluster, pos),
+          c11 AS (SELECT cluster AS cc, list(mx ORDER BY pos) AS cv
+                  FROM m11 GROUP BY cluster),
+          a11 AS (SELECT asset_id, cc AS c1 FROM (
+                    SELECT a10.asset_id, c11.cc,
+                      row_number() OVER (PARTITION BY a10.asset_id
+                        ORDER BY list_cosine_similarity(a10.v, c11.cv)
+                                   DESC, c11.cc ASC) AS rn
+                    FROM a10 CROSS JOIN c11) WHERE rn = 1)
+          SELECT a01.asset_id, [c0, c1] AS pq_code
+          FROM a01 JOIN a11 USING (asset_id)""",
     // `//` (not `/`): DuckDB float-divides with `/` and the ::INTEGER cast
     // would round where Spark's cast truncates; offsets are non-negative
     // so trunc == floor on both sides.
