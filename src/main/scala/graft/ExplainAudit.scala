@@ -24,7 +24,8 @@ object ExplainAudit {
         "tx21_lm_score", "tx22_pmi", "q27_histogram", "ss9_kmeans",
         "dd12_containment", "ss12_pq_adc", "ev15_gap_fill",
         "ev16_range_window", "q30_salted_join", "q31_correlated_subquery",
-        "tx26_lm_bigram")
+        "tx26_lm_bigram", "dd13_minhash_estimate", "tx25_sql_surface",
+        "mm5_decode_pq")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
