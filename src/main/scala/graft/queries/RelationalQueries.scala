@@ -280,6 +280,26 @@ object RelationalQueries {
           round(sum(col("l_extendedprice")), 2).as("total"))
     }),
 
+    // Null-semantics surface: null-safe equality (<=>) join plus the
+    // coalesce/nullif family — null keys MATCH under <=> (one group)
+    // where plain equality drops them, the classic silent-row-loss
+    // trap. Both sides derive nullable keys via nullif.
+    "q32_null_safe_join" -> ((s, d) => {
+      val c = customer(s, d).select(col("c_custkey"),
+        nullif(col("c_mktsegment"), lit("BUILDING")).as("seg"))
+      val o = orders(s, d)
+        .join(customer(s, d), col("o_custkey") === col("c_custkey"))
+        .select(nullif(col("c_mktsegment"), lit("BUILDING")).as("seg2"),
+          col("o_totalprice"))
+        .groupBy(col("seg2"))
+        .agg(round(sum(col("o_totalprice")), 2).as("seg_total"))
+      c.join(o, col("seg") <=> col("seg2"))
+        .groupBy(col("seg"))
+        .agg(count(lit(1)).as("n_customers"),
+          round(max(col("seg_total")), 2).as("seg_total"),
+          sum(col("seg").isNull.cast("int")).as("n_null_rows"))
+    }),
+
     // Correlated scalar subquery through the SQL front end: customers
     // above their own nation's average balance. Catalyst DECORRELATES
     // this into an aggregate + join (RewriteCorrelatedScalarSubquery)
@@ -494,6 +514,18 @@ object RelationalQueries {
          SELECT c_custkey, round(c_acctbal, 2), c_mktsegment
          FROM customer
          WHERE c_custkey NOT IN (SELECT c_custkey FROM u)""",
+    "q32_null_safe_join" ->
+      """WITH c AS (SELECT c_custkey, nullif(c_mktsegment, 'BUILDING') AS seg
+                    FROM customer),
+         o AS (SELECT nullif(c_mktsegment, 'BUILDING') AS seg2,
+                 round(sum(o_totalprice), 2) AS seg_total
+               FROM orders JOIN customer ON o_custkey = c_custkey
+               GROUP BY 1)
+         SELECT seg, count(*) AS n_customers,
+           round(max(seg_total), 2) AS seg_total,
+           sum((seg IS NULL)::INT) AS n_null_rows
+         FROM c JOIN o ON seg IS NOT DISTINCT FROM seg2
+         GROUP BY seg""",
     "q31_correlated_subquery" ->
       """SELECT c_nationkey, count(*) AS n_above,
            round(min(c_acctbal), 2) AS min_above
