@@ -135,6 +135,56 @@ object PerfCompare {
     println(s"""{"span_docs":$spanDocs,"span_dedup_sec":$ts,"span_rows":$ns}""")
     corpus.unpersist(blocking = true)
 
+    // Containment join keying: string shingles vs the md5-derived long
+    // key the shipped operator uses — same rows, same matches, the
+    // exchange carries fixed 8-byte keys instead of variable strings.
+    // Like the bloom probe, wall time hides in the page cache locally;
+    // bytes through the exchange are the scale-relevant quantity.
+    {
+      val n = 2000000L
+      val postings = spark.range(n).select(col("id").as("doc"),
+        // pairs of docs share a shingle (seed = id - id%2), so the two
+        // keyings must produce the SAME non-empty pair set
+        concat_ws(" ",
+          pmod(hash(col("id") - col("id") % 2), lit(200000)).cast("string"),
+          pmod(hash(col("id") - col("id") % 2 + 1), lit(200000)).cast("string"),
+          pmod(hash(col("id") - col("id") % 2 + 2), lit(200000)).cast("string"))
+          .as("s"))
+        .cache()
+      postings.count()
+      val aqeWas2 = spark.conf.get("spark.sql.adaptive.enabled")
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      try {
+        def bytesOf(df: org.apache.spark.sql.DataFrame): (Long, Long) = {
+          val cnt = df.queryExecution.toRdd.count()
+          val b = df.queryExecution.executedPlan.collect {
+            case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec =>
+              e.metrics("dataSize").value
+          }.sum
+          (cnt, b)
+        }
+        val str = postings.select(col("s"), col("doc").as("a"))
+          .join(postings.select(col("s"), col("doc").as("b")), Seq("s"))
+          .filter(col("a") =!= col("b"))
+        val keyed = postings.select(
+          conv(substring(md5(col("s")), 1, 15), 16, 10).cast("long")
+            .as("sk"), col("doc"))
+          .cache()
+        keyed.count()
+        val lng = keyed.select(col("sk"), col("doc").as("a"))
+          .join(keyed.select(col("sk"), col("doc").as("b")), Seq("sk"))
+          .filter(col("a") =!= col("b"))
+        val (ns2, bs) = bytesOf(str)
+        val (nl, bl) = bytesOf(lng)
+        require(ns2 == nl, s"containment probe row mismatch: $ns2 vs $nl")
+        println(s"""{"containment_rows":$n,"pairs":$ns2,""" +
+          s""""string_key_exchanged_bytes":$bs,"long_key_exchanged_bytes":$bl}""")
+      } finally {
+        spark.conf.set("spark.sql.adaptive.enabled", aqeWas2)
+      }
+      postings.unpersist(blocking = true)
+    }
+
     // k-means at data scale: 16-dim float vectors, k=16, 2 Lloyd
     // rounds — per-iteration cost is one VectorMeanAgg partial agg plus
     // one broadcast re-assignment; the corpus never shuffles by content.
