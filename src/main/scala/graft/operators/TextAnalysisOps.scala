@@ -356,6 +356,45 @@ object TextAnalysisOps {
         round(col("tf") * log(col("_n") / col("df_t")), 4).as("tfidf"))
   }
 
+  /** BM25 term scoring (the Lucene/Okapi ranking function): per
+    * (doc, term), `idf · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl))` with
+    * the Robertson–Spärck-Jones smoothed idf
+    * `ln((N−df+0.5)/(df+0.5)+1)`. Every input is an integer corpus
+    * statistic (tf, df, dl, N, Σdl), so the score is a deterministic
+    * double on any engine — no summation-order fuzz anywhere.
+    *
+    * Scale shape: same as [[tfidf]] — one (doc, term) partial agg, the
+    * df table derived FROM it, doc lengths from a map-side projection,
+    * corpus scalars broadcast; one term-keyed join back.
+    */
+  def bm25(df: DataFrame, idCol: String, textCol: String,
+           k1: Double = 1.2, b: Double = 0.75, minTf: Int = 1): DataFrame = {
+    val toks = df.select(col(idCol),
+      graft.functions.ShingleGen.shingleGen(col(textCol), 1,
+        distinct = false)).toDF(idCol, "term")
+    val tf = toks.groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfT = tf.groupBy(col("term")).agg(count(lit(1)).as("df_t"))
+    val dl = df.select(col(idCol),
+      size(split(col(textCol), " ")).cast("long").as("dl"))
+    val scalars = dl.agg(count(lit(1)).cast("double").as("_n"),
+      sum(col("dl")).cast("double").as("_sumdl"))
+    tf.join(dfT, Seq("term"))
+      .join(dl, Seq(idCol))
+      .crossJoin(broadcast(scalars))
+      .filter(col("tf") >= minTf)
+      .select(col(idCol), col("term"), col("tf"), col("df_t"),
+        // constants combined as COLUMN arithmetic (lit(k1) + lit(1)),
+        // not Scala arithmetic: both engines then round the same
+        // intermediate doubles the same way
+        round(
+          log((col("_n") - col("df_t") + 0.5) / (col("df_t") + 0.5) + 1.0) *
+            (col("tf") * (lit(k1) + lit(1.0))) /
+            (col("tf") + lit(k1) * (lit(1.0) - lit(b) +
+              lit(b) * col("dl") / (col("_sumdl") / col("_n")))), 4)
+          .as("bm25"))
+  }
+
   /** Unigram language-model scoring (the CCNet-style perplexity quality
     * filter, with the LM trained on the corpus itself): per-doc
     * cross-entropy -mean log2 p(token) under the corpus unigram

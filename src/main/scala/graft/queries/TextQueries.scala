@@ -125,6 +125,13 @@ object TextQueries {
         .select("doc_id", "source")
     }),
 
+    // BM25 term scoring (Lucene/Okapi, k1=1.2 b=0.75): every input is
+    // an integer corpus statistic, so scores are deterministic doubles
+    // on any engine — no summation-order fuzz.
+    "tx27_bm25" -> ((s, d) => {
+      TextAnalysisOps.bm25(documents(s, d), "doc_id", "text", minTf = 3)
+    }),
+
     // TF-IDF term weighting: tf × ln(N/df) for every (doc, term) with
     // tf >= 3 — keyword extraction / relevance scoring over the corpus.
     "tx20_tfidf" -> ((s, d) => {
@@ -432,6 +439,26 @@ object TextQueries {
                 WHEN source = 'src1' THEN 50
                 WHEN source = 'src2' THEN 10
                 ELSE 25 END""",
+    "tx27_bm25" ->
+      """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+                    FROM documents),
+         tf AS (SELECT doc_id, term, count(*) AS tf
+                FROM t GROUP BY doc_id, term),
+         dfq AS (SELECT term, count(*) AS df_t FROM tf GROUP BY term),
+         dl AS (SELECT doc_id, len(string_split(text, ' '))::BIGINT AS dl
+                FROM documents),
+         sc AS (SELECT count(*)::DOUBLE AS n, sum(dl)::DOUBLE AS sumdl
+                FROM dl)
+         SELECT doc_id, term, tf, df_t,
+           round(ln((n - df_t + 0.5) / (df_t + 0.5) + 1.0) *
+                 (tf * (1.2 + 1.0)) /
+                 (tf + 1.2 * (1.0 - 0.75 +
+                              0.75 * dl / (sumdl / n))), 4) AS bm25
+         FROM tf
+         JOIN dfq USING (term)
+         JOIN dl USING (doc_id)
+         CROSS JOIN sc
+         WHERE tf >= 3""",
     "tx20_tfidf" ->
       """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
                     FROM documents),
