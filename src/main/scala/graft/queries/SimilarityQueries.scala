@@ -80,9 +80,11 @@ object SimilarityQueries {
         kernel = graft.functions.CosineF32.cosineF32Native)
     }),
 
-    // Persisted IVF index: build to a scratch dir, search against it
-    // (rows-only check; equality with the transient ivfTopK and the
-    // partition-pruned scan shape are asserted in AsOfIvfSpec).
+    // Persisted IVF index: build to a scratch dir, search against it.
+    // Same parameters and (portable) centroid recipe as ss5, so it
+    // shares ss5's exact oracle — the persisted path must be
+    // indistinguishable from the transient one (the pruned scan shape
+    // is asserted in AsOfIvfSpec).
     "ss7_ivf_index" -> ((s, d) => {
       val emb = embeddings(s, d)
       // fixed scratch path (keyed by sf dir), overwritten per run —
@@ -167,6 +169,44 @@ object SimilarityQueries {
           round(sum(col("_n")), 2).as("sum_self_sim"))
     })
   )
+
+  /** Shared by ss5 (transient) and ss7 (persisted index): identical
+    * parameters, identical portable centroids — identical results. */
+  private val ivfPipelineOracle: String =
+    """WITH cen AS (
+           SELECT cell, list(mx ORDER BY pos) AS cv FROM (
+             SELECT cell, pos,
+               (round(sum(x::DOUBLE) / count(*), 4) + 0)::FLOAT AS mx
+             FROM (SELECT (('0x' || substr(md5(vec_id::VARCHAR), 1, 8))
+                       ::UBIGINT % 8)::INT AS cell,
+                     unnest(embedding) AS x,
+                     generate_subscripts(embedding, 1) AS pos
+                   FROM embeddings)
+             GROUP BY cell, pos) GROUP BY cell),
+         cells AS (SELECT vec_id AS cid, cvec, cell FROM (
+                     SELECT e.vec_id, e.embedding AS cvec, cen.cell,
+                       row_number() OVER (PARTITION BY e.vec_id
+                         ORDER BY list_cosine_similarity(e.embedding,
+                                    cen.cv) DESC, cen.cell ASC) AS rn
+                     FROM embeddings e CROSS JOIN cen) WHERE rn = 1),
+         probes AS (SELECT query_id, qv, cell FROM (
+                      SELECT e.vec_id AS query_id, e.embedding AS qv,
+                        cen.cell,
+                        row_number() OVER (PARTITION BY e.vec_id
+                          ORDER BY list_cosine_similarity(e.embedding,
+                                     cen.cv) DESC, cen.cell ASC) AS rn
+                      FROM embeddings e CROSS JOIN cen
+                      WHERE e.vec_id < 10) WHERE rn <= 3),
+         sc AS (SELECT p.query_id, c.cid AS neighbor_id,
+                  round(list_cosine_similarity(p.qv, c.cvec)::DOUBLE, 4)
+                    AS sim
+                FROM probes p JOIN cells c ON p.cell = c.cell
+                WHERE p.query_id <> c.cid)
+         SELECT query_id, neighbor_id, sim, rk FROM (
+           SELECT *, row_number() OVER (PARTITION BY query_id
+             ORDER BY sim DESC, neighbor_id ASC)::INT AS rk
+           FROM sc)
+         WHERE rk <= 5"""
 
   val oracles: Map[String, String] = Map(
     "ss1_topk_bruteforce" ->
@@ -325,41 +365,8 @@ object SimilarityQueries {
                    FROM a10 CROSS JOIN c11) WHERE rn = 1)
          SELECT a01.vec_id, [c0, c1] AS pq_code
          FROM a01 JOIN a11 USING (vec_id)""",
-    "ss5_ivf_topk" ->
-      """WITH cen AS (
-           SELECT cell, list(mx ORDER BY pos) AS cv FROM (
-             SELECT cell, pos,
-               (round(sum(x::DOUBLE) / count(*), 4) + 0)::FLOAT AS mx
-             FROM (SELECT (('0x' || substr(md5(vec_id::VARCHAR), 1, 8))
-                       ::UBIGINT % 8)::INT AS cell,
-                     unnest(embedding) AS x,
-                     generate_subscripts(embedding, 1) AS pos
-                   FROM embeddings)
-             GROUP BY cell, pos) GROUP BY cell),
-         cells AS (SELECT vec_id AS cid, cvec, cell FROM (
-                     SELECT e.vec_id, e.embedding AS cvec, cen.cell,
-                       row_number() OVER (PARTITION BY e.vec_id
-                         ORDER BY list_cosine_similarity(e.embedding,
-                                    cen.cv) DESC, cen.cell ASC) AS rn
-                     FROM embeddings e CROSS JOIN cen) WHERE rn = 1),
-         probes AS (SELECT query_id, qv, cell FROM (
-                      SELECT e.vec_id AS query_id, e.embedding AS qv,
-                        cen.cell,
-                        row_number() OVER (PARTITION BY e.vec_id
-                          ORDER BY list_cosine_similarity(e.embedding,
-                                     cen.cv) DESC, cen.cell ASC) AS rn
-                      FROM embeddings e CROSS JOIN cen
-                      WHERE e.vec_id < 10) WHERE rn <= 3),
-         sc AS (SELECT p.query_id, c.cid AS neighbor_id,
-                  round(list_cosine_similarity(p.qv, c.cvec)::DOUBLE, 4)
-                    AS sim
-                FROM probes p JOIN cells c ON p.cell = c.cell
-                WHERE p.query_id <> c.cid)
-         SELECT query_id, neighbor_id, sim, rk FROM (
-           SELECT *, row_number() OVER (PARTITION BY query_id
-             ORDER BY sim DESC, neighbor_id ASC)::INT AS rk
-           FROM sc)
-         WHERE rk <= 5""",
+    "ss5_ivf_topk" -> ivfPipelineOracle,
+    "ss7_ivf_index" -> ivfPipelineOracle,
     "ss12_pq_adc" ->
       """WITH s0 AS (SELECT vec_id, embedding[1:32] AS v FROM embeddings),
          s1 AS (SELECT vec_id, embedding[33:64] AS v FROM embeddings),
