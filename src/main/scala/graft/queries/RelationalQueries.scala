@@ -283,7 +283,10 @@ object RelationalQueries {
     // Null-semantics surface: null-safe equality (<=>) join plus the
     // coalesce/nullif family — null keys MATCH under <=> (one group)
     // where plain equality drops them, the classic silent-row-loss
-    // trap. Both sides derive nullable keys via nullif.
+    // trap. Both sides derive nullable keys via nullif. seg_total sums
+    // as decimal(18,2) — exact, order-independent — so the value is
+    // identical under any partial-aggregation order (a double sum
+    // rounds differently per summation order and hash-diverges).
     "q32_null_safe_join" -> ((s, d) => {
       val c = customer(s, d).select(col("c_custkey"),
         nullif(col("c_mktsegment"), lit("BUILDING")).as("seg"))
@@ -292,11 +295,12 @@ object RelationalQueries {
         .select(nullif(col("c_mktsegment"), lit("BUILDING")).as("seg2"),
           col("o_totalprice"))
         .groupBy(col("seg2"))
-        .agg(round(sum(col("o_totalprice")), 2).as("seg_total"))
+        .agg(sum(col("o_totalprice").cast("decimal(18,2)"))
+          .cast("double").as("seg_total"))
       c.join(o, col("seg") <=> col("seg2"))
         .groupBy(col("seg"))
         .agg(count(lit(1)).as("n_customers"),
-          round(max(col("seg_total")), 2).as("seg_total"),
+          max(col("seg_total")).as("seg_total"),
           sum(col("seg").isNull.cast("int")).as("n_null_rows"))
     }),
 
@@ -360,12 +364,19 @@ object RelationalQueries {
     // degenerates to exact discrete percentiles, which DuckDB's
     // quantile_disc replays — so the approximate OPERATOR gets an
     // EXACT oracle.
+    // Output is one scalar column per requested percentile (not a
+    // top-level array — the driver's oracle checker can only sort/hash
+    // scalar cells).
     "q24_approx_percentile" -> ((s, d) => {
       orders(s, d)
         .groupBy("o_orderpriority")
         .agg(percentile_approx(col("o_totalprice"),
           array(lit(0.5), lit(0.9), lit(0.99)), lit(Int.MaxValue))
-          .as("pcts"))
+          .as("_p"))
+        .select(col("o_orderpriority"),
+          element_at(col("_p"), 1).as("p50"),
+          element_at(col("_p"), 2).as("p90"),
+          element_at(col("_p"), 3).as("p99"))
     }),
 
     // Morton z-order codes over (year, custkey) — the clustering key
@@ -518,11 +529,11 @@ object RelationalQueries {
       """WITH c AS (SELECT c_custkey, nullif(c_mktsegment, 'BUILDING') AS seg
                     FROM customer),
          o AS (SELECT nullif(c_mktsegment, 'BUILDING') AS seg2,
-                 round(sum(o_totalprice), 2) AS seg_total
+                 sum(o_totalprice::DECIMAL(18,2))::DOUBLE AS seg_total
                FROM orders JOIN customer ON o_custkey = c_custkey
                GROUP BY 1)
          SELECT seg, count(*) AS n_customers,
-           round(max(seg_total), 2) AS seg_total,
+           max(seg_total) AS seg_total,
            sum((seg IS NULL)::INT) AS n_null_rows
          FROM c JOIN o ON seg IS NOT DISTINCT FROM seg2
          GROUP BY seg""",
@@ -579,7 +590,9 @@ object RelationalQueries {
          GROUP BY dist""",
     "q24_approx_percentile" ->
       """SELECT o_orderpriority,
-           quantile_disc(o_totalprice, [0.5, 0.9, 0.99]) AS pcts
+           quantile_disc(o_totalprice, 0.5) AS p50,
+           quantile_disc(o_totalprice, 0.9) AS p90,
+           quantile_disc(o_totalprice, 0.99) AS p99
          FROM orders GROUP BY o_orderpriority""",
     "q23_zorder" ->
       s"""SELECT o_orderkey,
