@@ -51,6 +51,8 @@ object MultimodalQueries {
     // float32 and product-quantized (2 subspaces × 2-cell codebooks,
     // one training round) — the multimodal-ingest-to-ANN-index pipeline
     // end-to-end under the exact oracle.
+    // Codes emitted as scalar columns c0/c1 (not an array — the
+    // driver's checker can't hash array cells; q24 precedent).
     "mm5_decode_pq" -> ((s, d) => {
       import org.apache.spark.sql.functions._
       val feats = MultimodalOps.decodeFeatures(
@@ -60,6 +62,9 @@ object MultimodalQueries {
             .as("embedding"))
       graft.operators.SimilarityOps.productQuantize(feats, m = 2,
         subDim = 4, k = 2, iters = 1, idCol = "asset_id")
+        .select(col("asset_id"),
+          element_at(col("pq_code"), 1).as("c0"),
+          element_at(col("pq_code"), 2).as("c1"))
     }),
 
     // Byte-range chunk manifest at 256-byte chunks: the parallel-decode
@@ -150,7 +155,7 @@ object MultimodalQueries {
                         ORDER BY list_cosine_similarity(a10.v, c11.cv)
                                    DESC, c11.cc ASC) AS rn
                     FROM a10 CROSS JOIN c11) WHERE rn = 1)
-          SELECT a01.asset_id, [c0, c1] AS pq_code
+          SELECT a01.asset_id, c0, c1
           FROM a01 JOIN a11 USING (asset_id)""",
     // `//` (not `/`): DuckDB float-divides with `/` and the ::INTEGER cast
     // would round where Spark's cast truncates; offsets are non-negative

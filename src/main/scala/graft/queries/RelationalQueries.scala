@@ -284,9 +284,12 @@ object RelationalQueries {
     // coalesce/nullif family — null keys MATCH under <=> (one group)
     // where plain equality drops them, the classic silent-row-loss
     // trap. Both sides derive nullable keys via nullif. seg_total sums
-    // as decimal(18,2) — exact, order-independent — so the value is
-    // identical under any partial-aggregation order (a double sum
-    // rounds differently per summation order and hash-diverges).
+    // as decimal(18,2) — exact and order-independent (inputs are
+    // semantically 2-decimal prices, so the per-row double→decimal
+    // cast is exact in both engines). Oracle gotcha: DuckDB sum(INT)
+    // returns HUGEINT, which pandas coerces to float64 while Spark's
+    // sum(int) is int64 — equal values, different dtype, hash fail —
+    // so the oracle casts n_null_rows back to ::BIGINT.
     "q32_null_safe_join" -> ((s, d) => {
       val c = customer(s, d).select(col("c_custkey"),
         nullif(col("c_mktsegment"), lit("BUILDING")).as("seg"))
@@ -534,7 +537,7 @@ object RelationalQueries {
                GROUP BY 1)
          SELECT seg, count(*) AS n_customers,
            max(seg_total) AS seg_total,
-           sum((seg IS NULL)::INT) AS n_null_rows
+           sum((seg IS NULL)::INT)::BIGINT AS n_null_rows
          FROM c JOIN o ON seg IS NOT DISTINCT FROM seg2
          GROUP BY seg""",
     "q31_correlated_subquery" ->

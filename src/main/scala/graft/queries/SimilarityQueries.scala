@@ -101,18 +101,29 @@ object SimilarityQueries {
 
     // Symmetric int8 quantization — bit-exact across engines (widening,
     // one correctly-rounded division, shared half-away-from-zero round).
+    // Output is LONG FORM (one row per vector element, 1-based pos) —
+    // the driver's oracle checker can only sort/hash scalar cells, so
+    // top-level array columns are unverifiable (q24 precedent).
     "ss8_quantize" -> ((s, d) =>
-      SimilarityOps.quantizeInt8(embeddings(s, d), "vec_id")),
+      SimilarityOps.quantizeInt8(embeddings(s, d), "vec_id")
+        .select(col("vec_id"), col("qscale"), posexplode(col("q8")))
+        .select(col("vec_id"), col("qscale"),
+          (col("pos") + 1).cast("int").as("pos"),
+          col("col").cast("int").as("q"))),
 
     // Per-label embedding centroids via the VectorMeanAgg buffer (one
     // keyed partial agg; only group buffers cross the shuffle).
+    // Long-form output (label, n, pos, cx) — scalar cells only, so the
+    // driver's pandas sort/hash can verify it (q24 precedent).
     "ss6_label_centroids" -> ((s, d) => {
       embeddings(s, d)
         .groupBy("label")
         .agg(graft.operators.VectorMeanAgg.vecMean(col("embedding"))
           .as("_c"), count(lit(1)).as("n"))
+        .select(col("label"), col("n"), posexplode(col("_c")))
         .select(col("label"), col("n"),
-          transform(col("_c"), x => round(x, 4)).as("centroid"))
+          (col("pos") + 1).cast("int").as("pos"),
+          round(col("col"), 4).as("cx"))
     }),
 
     // Deterministic spherical k-means (k=8, 2 Lloyd iterations):
@@ -141,9 +152,14 @@ object SimilarityQueries {
     // codebooks (1 training round each), every vector encoded as its
     // two cell ids. Codes replay exactly (the kmeans recipe per
     // subspace), so the oracle hash-matches the full code table.
+    // Codes emitted as scalar columns c0/c1 (not an array — the
+    // driver's checker can't hash array cells; q24 precedent).
     "ss11_pq" -> ((s, d) => {
       SimilarityOps.productQuantize(embeddings(s, d), m = 2, subDim = 32,
         k = 4, iters = 1)
+        .select(col("vec_id"),
+          element_at(col("pq_code"), 1).as("c0"),
+          element_at(col("pq_code"), 2).as("c1"))
     }),
 
     // ADC search over PQ codes: queries stay full-precision, the
@@ -242,16 +258,16 @@ object SimilarityQueries {
          FROM b l JOIN b r ON l.bkt = r.bkt AND l.vec_id < r.vec_id
          WHERE round(list_cosine_similarity(l.embedding, r.embedding)::DOUBLE, 4) >= 0.2""",
     "ss8_quantize" ->
-      """WITH s AS (SELECT vec_id, embedding,
+      """WITH s AS (SELECT vec_id,
                       list_max(list_transform(embedding,
-                        x -> abs(x)))::DOUBLE / 127.0 AS qscale
+                        x -> abs(x)))::DOUBLE / 127.0 AS qscale,
+                      unnest(embedding) AS x,
+                      generate_subscripts(embedding, 1) AS pos
                     FROM embeddings)
-         SELECT vec_id, qscale,
-           CASE WHEN qscale = 0
-                THEN list_transform(embedding, x -> 0::TINYINT)
-                ELSE list_transform(embedding,
-                       x -> round(x::DOUBLE / qscale)::TINYINT)
-           END AS q8
+         SELECT vec_id, qscale, pos::INT AS pos,
+           CASE WHEN qscale = 0 THEN 0
+                ELSE round(x::DOUBLE / qscale)::INT
+           END AS q
          FROM s""",
     "ss9_kmeans" ->
       """WITH a0 AS (SELECT vec_id, embedding,
@@ -363,7 +379,7 @@ object SimilarityQueries {
                        ORDER BY list_cosine_similarity(a10.v, c11.cv)
                                   DESC, c11.cc ASC) AS rn
                    FROM a10 CROSS JOIN c11) WHERE rn = 1)
-         SELECT a01.vec_id, [c0, c1] AS pq_code
+         SELECT a01.vec_id, c0, c1
          FROM a01 JOIN a11 USING (vec_id)""",
     "ss5_ivf_topk" -> ivfPipelineOracle,
     "ss7_ivf_index" -> ivfPipelineOracle,
@@ -430,12 +446,11 @@ object SimilarityQueries {
          m AS (SELECT label, pos,
                  -- + 0 normalizes IEEE -0.0 (DuckDB round keeps the
                  -- sign of a tiny negative mean; Spark's drops it)
-                 round(sum(x::DOUBLE) / count(*), 4) + 0 AS mx
-               FROM u GROUP BY label, pos)
-         SELECT label,
-           (SELECT count(*) FROM embeddings e WHERE e.label = m.label) AS n,
-           list(mx ORDER BY pos) AS centroid
-         FROM m GROUP BY label""",
+                 round(sum(x::DOUBLE) / count(*), 4) + 0 AS cx
+               FROM u GROUP BY label, pos),
+         nn AS (SELECT label, count(*) AS n FROM embeddings GROUP BY label)
+         SELECT m.label, nn.n, m.pos::INT AS pos, m.cx
+         FROM m JOIN nn USING (label)""",
     "ss4_norm_stats" ->
       """SELECT label, count(*) AS n,
            round(sum(list_cosine_similarity(embedding, embedding)), 2) AS sum_self_sim

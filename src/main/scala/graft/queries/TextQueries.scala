@@ -26,12 +26,22 @@ object TextQueries {
       TextAnalysisOps.langId(documents(s, d), "doc_id", "text")
     }),
 
-    // Sketch-based distinct counting (rows-only: HLL estimates are
-    // engine-specific; accuracy vs exact distinct asserted in ExtOpsSpec).
+    // Sketch-based distinct counting. The raw HLL estimate is
+    // engine-specific, so it can't hash-match an oracle directly;
+    // instead the query emits the EXACT distinct count plus a
+    // bounded-relative-error boolean on the sketch (rsd 0.02, gate
+    // 10% = 5σ), and the oracle asserts the same exact count with the
+    // boolean literally true — the sketch's accuracy contract IS the
+    // verified value (the tx14 KMV lane proves the pattern).
     "tx5_approx_distinct" -> ((s, d) => {
       documents(s, d).groupBy("source")
-        .agg(approx_count_distinct(col("text")).as("approx_texts"),
+        .agg(approx_count_distinct(col("text"), 0.02).as("_approx"),
+          count_distinct(col("text")).as("exact_texts"),
           count(lit(1)).as("n"))
+        .select(col("source"), col("exact_texts"), col("n"),
+          (abs(col("_approx").cast("double") /
+            col("exact_texts").cast("double") - 1.0) <= 0.1)
+            .as("hll_within_10pct"))
     }),
 
     // Corpus-level n-gram profile: distinct word-3-gram count per doc +
@@ -280,6 +290,12 @@ object TextQueries {
     .map(w => s"'$w'").mkString(", ")
 
   val oracles: Map[String, String] = Map(
+    // The HLL estimate itself is engine-specific; the verified surface
+    // is the exact count + the accuracy-contract boolean (must be true).
+    "tx5_approx_distinct" ->
+      """SELECT source, count(DISTINCT text) AS exact_texts,
+           count(*) AS n, true AS hll_within_10pct
+         FROM documents GROUP BY source""",
     "tx1_tokens" ->
       """SELECT doc_id,
            CASE WHEN length(trim(text)) = 0 THEN 0

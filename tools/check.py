@@ -4,12 +4,22 @@
 Usage: python3 tools/check.py [sfDir] [outDir]
 Runs each oracle SQL from outDir/oracle_sql.json in DuckDB against the
 parquet tables in sfDir, loads the Spark result parquet from outDir/<name>,
-sorts columns by name + rows by all columns, and value-compares.
+and compares TWICE:
+
+  1. loose  — fetchall() rows, floats rounded to 9 dp (value sanity);
+  2. strict — the DRIVER-FAITHFUL path: pandas frames (spark via
+     pd.read_parquet, oracle via con.execute(sql).df()), columns sorted
+     by name, rows sorted by all columns, then a dtype-sensitive
+     whole-frame compare. This is the mode that catches what the loose
+     path can't: dtype drift (e.g. DuckDB sum(INT) → HUGEINT → float64
+     vs Spark int64 — the q32 bug) and unsortable array cells (the
+     ss6/ss8/ss11/mm5 bug). A query is OK only if BOTH pass.
 
 This is tooling for the build loop, NOT part of the shipped library.
 """
 import sys, os, json, glob
 import duckdb
+import pandas as pd
 
 def canon(rows, colnames):
     order = sorted(range(len(colnames)), key=lambda i: colnames[i])
@@ -24,6 +34,45 @@ def canon(rows, colnames):
         out.append(tuple(vals))
     out.sort()
     return [colnames[i] for i in order], out
+
+def _norm(df):
+    """Column order by name, rows sorted by all columns — the driver's
+    canonical form (its sort_values is what raises on ndarray cells).
+    Integer widths unify to int64: round-2 evidence says the driver
+    accepts int32-vs-int64 (q16 green with negative int32 values) but
+    not int-vs-float (q32 red on 302 vs 302.0)."""
+    df = df[sorted(df.columns)]
+    for c in df.columns:
+        if df[c].dtype.kind in "iu":
+            df[c] = df[c].astype("int64")
+    return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+def strict_compare(files, con, sql):
+    """Driver-faithful compare: BOTH frames come out of DuckDB .df()
+    (so parquet logical types land identically), rows sorted by all
+    columns, then pd.util.hash_pandas_object — which unifies integer
+    widths (int32 == int64) but NOT int vs float (the q32 bug class)
+    and raises on array cells (the ss6/ss8/ss11/mm5 bug class).
+    Returns None on pass, else a reason string."""
+    try:
+        sdf = con.execute(f"SELECT * FROM read_parquet({files!r})").df()
+        odf = con.execute(sql).df()
+        if sorted(sdf.columns) != sorted(odf.columns):
+            return f"schema spark={sorted(sdf.columns)} oracle={sorted(odf.columns)}"
+        sdf, odf = _norm(sdf), _norm(odf)
+        if len(sdf) != len(odf):
+            return f"rows spark={len(sdf)} oracle={len(odf)}"
+        sh = pd.util.hash_pandas_object(sdf, index=False).values
+        oh = pd.util.hash_pandas_object(odf, index=False).values
+    except Exception as e:  # unsortable/unhashable cells, like the driver
+        return f"harness {type(e).__name__}: {e}"
+    if not (sh == oh).all():
+        bad = [c for c in sdf.columns
+               if not (pd.util.hash_pandas_object(sdf[c], index=False).values ==
+                       pd.util.hash_pandas_object(odf[c], index=False).values).all()]
+        dt = [(c, str(sdf[c].dtype), str(odf[c].dtype)) for c in bad]
+        return f"hash cols={dt}"
+    return None
 
 def main():
     sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
@@ -64,6 +113,9 @@ def main():
             for x in list(sset - oset)[:3]: print(f"   spark-only:  {x}")
             for x in list(oset - sset)[:3]: print(f"   oracle-only: {x}")
             continue
+        why = strict_compare(files, con, oracles[name])
+        if why is not None:
+            print(f"STRICT {name}: {why}"); n_bad += 1; continue
         print(f"OK    {name}: rows={len(sr)}")
         n_ok += 1
     print(f"\n{n_ok} ok, {n_bad} bad")
