@@ -172,6 +172,33 @@ object CityDirQueries {
           .as("out_json"))
     }),
 
+    // flattenPaths output contract (city-directories.dataset.json:31-46):
+    // a reference-shaped nested record (data struct with arrays of
+    // structs) flattened by the dataset's own JSONPath hint grammar —
+    // name segments, [i] segments (absent index → null), nested
+    // terminal → JSON — into the tabular/CSV projection downstream
+    // consumers read. The nested synthesis is reproduced verbatim in
+    // the oracle, so the flattener is the only thing under test.
+    "cd13_flatten" -> ((s, d) => {
+      val words = split(col("text"), " ")
+      val nested = documents(s, d).select(col("doc_id"), struct(
+        concat(lit("vol-"), col("source")).as("volumeUuid"),
+        (col("doc_id") % 100).cast("int").as("pageNum"),
+        array((col("n_chars") % 50).cast("int"),
+          (col("doc_id") % 7).cast("int")).as("bbox"),
+        transform(slice(words, 1, 2), w => struct(w.as("value")))
+          .as("locations"),
+        transform(slice(words, 1, 2), w => struct(
+          concat(lit("addr."), w).as("id"),
+          concat(lit("st."), substring(w, 1, 3)).as("streetId")))
+          .as("geocoded")).as("data"))
+      graft.operators.FlattenPaths.flatten(nested, Seq(
+        "$.data.volumeUuid", "$.data.pageNum", "$.data.bbox",
+        "$.data.locations[0].value", "$.data.locations[1].value",
+        "$.data.geocoded[0].id", "$.data.geocoded[0].streetId",
+        "$.data.geocoded[1].id"), keep = Seq("doc_id"))
+    }),
+
     // O-35: per-group geometry collect — Point vs MultiPoint by
     // cardinality, coordinates canonically ordered.
     "cd10_multipoint" -> ((s, d) => {
@@ -266,6 +293,19 @@ object CityDirQueries {
              k2 := json_extract_string(props, '$.k')::INTEGER * 2,
              t := event_type)) AS out_json
          FROM events""",
+    "cd13_flatten" ->
+      """SELECT doc_id,
+           'vol-' || source AS data_volumeUuid,
+           (doc_id % 100)::INT AS data_pageNum,
+           to_json([(n_chars % 50)::INT, (doc_id % 7)::INT])::VARCHAR
+             AS data_bbox,
+           string_split(text, ' ')[1] AS data_locations_0_value,
+           string_split(text, ' ')[2] AS data_locations_1_value,
+           'addr.' || string_split(text, ' ')[1] AS data_geocoded_0_id,
+           'st.' || substr(string_split(text, ' ')[1], 1, 3)
+             AS data_geocoded_0_streetId,
+           'addr.' || string_split(text, ' ')[2] AS data_geocoded_1_id
+         FROM documents""",
     "cd10_multipoint" ->
       """SELECT source, count(*) AS n_points,
            string_agg(doc_id::VARCHAR, '-' ORDER BY doc_id) AS coords,
