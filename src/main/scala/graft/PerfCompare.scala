@@ -135,54 +135,71 @@ object PerfCompare {
     println(s"""{"span_docs":$spanDocs,"span_dedup_sec":$ts,"span_rows":$ns}""")
     corpus.unpersist(blocking = true)
 
-    // Containment join keying: string shingles vs the md5-derived long
-    // key the shipped operator uses — same rows, same matches, the
-    // exchange carries fixed 8-byte keys instead of variable strings.
-    // Like the bloom probe, wall time hides in the page cache locally;
-    // bytes through the exchange are the scale-relevant quantity.
+    // Containment shapes head-to-head: the round-2 pipeline (df-count
+    // agg → semi-join back → md5-keyed pair SELF-JOIN) vs the shipped
+    // fused shape (ONE bounded-collect posting build → map-side pair
+    // fan-out). Both run multi-job (localCheckpoint), so exchange
+    // volume is accumulated with a stage listener over ALL jobs — the
+    // per-plan dataSize metric would miss the checkpointed shuffle.
     {
-      val n = 2000000L
-      val postings = spark.range(n).select(col("id").as("doc"),
-        // pairs of docs share a shingle (seed = id - id%2), so the two
-        // keyings must produce the SAME non-empty pair set
-        concat_ws(" ",
-          pmod(hash(col("id") - col("id") % 2), lit(200000)).cast("string"),
-          pmod(hash(col("id") - col("id") % 2 + 1), lit(200000)).cast("string"),
-          pmod(hash(col("id") - col("id") % 2 + 2), lit(200000)).cast("string"))
-          .as("s"))
+      val n = if (args.length > 6) args(6).toLong else 500000L
+      // 20-word docs in duplication groups of 4 → heavy true overlap,
+      // plus every doc carries one GLOBAL boilerplate word so the
+      // df cap has something to bite on
+      val docs = spark.range(n).select(col("id"),
+        concat_ws(" ", (lit("thecorpusboilerplate") +:
+          (0 until 20).map(j =>
+            pmod(hash((col("id") - col("id") % 4)).cast("long") * 31 + j,
+              lit(400000L)).cast("string"))): _*).as("text"))
         .cache()
-      postings.count()
-      val aqeWas2 = spark.conf.get("spark.sql.adaptive.enabled")
-      spark.conf.set("spark.sql.adaptive.enabled", "false")
-      try {
-        def bytesOf(df: org.apache.spark.sql.DataFrame): (Long, Long) = {
-          val cnt = df.queryExecution.toRdd.count()
-          val b = df.queryExecution.executedPlan.collect {
-            case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec =>
-              e.metrics("dataSize").value
-          }.sum
-          (cnt, b)
-        }
-        val str = postings.select(col("s"), col("doc").as("a"))
-          .join(postings.select(col("s"), col("doc").as("b")), Seq("s"))
-          .filter(col("a") =!= col("b"))
-        val keyed = postings.select(
-          conv(substring(md5(col("s")), 1, 15), 16, 10).cast("long")
-            .as("sk"), col("doc"))
-          .cache()
-        keyed.count()
-        val lng = keyed.select(col("sk"), col("doc").as("a"))
-          .join(keyed.select(col("sk"), col("doc").as("b")), Seq("sk"))
-          .filter(col("a") =!= col("b"))
-        val (ns2, bs) = bytesOf(str)
-        val (nl, bl) = bytesOf(lng)
-        require(ns2 == nl, s"containment probe row mismatch: $ns2 vs $nl")
-        println(s"""{"containment_rows":$n,"pairs":$ns2,""" +
-          s""""string_key_exchanged_bytes":$bs,"long_key_exchanged_bytes":$bl}""")
-      } finally {
-        spark.conf.set("spark.sql.adaptive.enabled", aqeWas2)
+      docs.count()
+      val shuffled = new java.util.concurrent.atomic.AtomicLong
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        override def onStageCompleted(
+            sc: org.apache.spark.scheduler.SparkListenerStageCompleted)
+            : Unit =
+          shuffled.addAndGet(
+            sc.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
       }
-      postings.unpersist(blocking = true)
+      def shuffleBytesOf(f: => Long): (Long, Long) = {
+        spark.sparkContext.addSparkListener(listener)
+        shuffled.set(0L)
+        val cnt = f
+        Thread.sleep(2000) // drain the listener bus (dev tool)
+        spark.sparkContext.removeSparkListener(listener)
+        (cnt, shuffled.get)
+      }
+      val maxDf = 16
+      // the round-2 shape, inlined for comparison only
+      def oldShape: Long = {
+        val sh = docs.select(col("id"),
+          graft.functions.ShingleGen.shingleGen(col("text"), 3,
+            distinct = true)).toDF("id", "_s").localCheckpoint()
+        val kept = sh.groupBy(col("_s")).agg(count(lit(1)).as("_df"))
+          .filter(col("_df") <= maxDf).select(col("_s"))
+        val shF = sh.join(kept, Seq("_s"), "left_semi")
+          .select(col("id"),
+            conv(substring(md5(col("_s")), 1, 15), 16, 10).cast("long")
+              .as("_sk"))
+        val nA = shF.groupBy(col("id")).agg(count(lit(1)).as("n_a"))
+        shF.select(col("_sk"), col("id").as("a"))
+          .join(shF.select(col("_sk"), col("id").as("b")), Seq("_sk"))
+          .filter(col("a") =!= col("b"))
+          .groupBy(col("a"), col("b")).agg(count(lit(1)).as("n_shared"))
+          .join(nA.select(col("id").as("a"), col("n_a")), Seq("a"))
+          .filter(round(col("n_shared").cast("double") / col("n_a"), 4)
+            >= 0.8)
+          .count()
+      }
+      def newShape: Long = operators.DedupOps.containmentPairs(
+        docs, "id", "text", k = 3, threshold = 0.8, maxDf = maxDf).count()
+      oldShape; newShape // warmup
+      val (no, bo) = shuffleBytesOf(oldShape)
+      val (nn2, bn) = shuffleBytesOf(newShape)
+      require(no == nn2, s"containment pair mismatch: $no vs $nn2")
+      println(s"""{"containment_docs":$n,"pairs":$no,""" +
+        s""""old_shape_shuffle_bytes":$bo,"fused_shape_shuffle_bytes":$bn}""")
+      docs.unpersist(blocking = true)
     }
 
     // k-means at data scale: 16-dim float vectors, k=16, 2 Lloyd

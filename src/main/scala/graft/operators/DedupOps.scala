@@ -453,42 +453,48 @@ object DedupOps {
     * misses: a 20-word excerpt of a 500-word page has Jaccard ≈ 0.04
     * but containment 1.0.
     *
-    * Candidate pairs come from an inverted shingle index (self-join on
-    * the shingle), NOT pairwise comparison. The `maxDf` cap drops
-    * shingles appearing in more than `maxDf` docs before the join —
-    * posting-list self-joins are quadratic in list length, and
-    * boilerplate shingles are precisely the ones that explode; the
-    * denominator counts only capped shingles too, so the metric stays
-    * internally consistent (the classic DF-cap recall trade, applied
-    * identically in the oracle). Scale shape: two keyed aggs + one
-    * equi-join on the shingle + one pair agg — bounded by true overlap,
-    * never O(n²) in docs.
+    * Candidate pairs come from an inverted shingle index, NOT pairwise
+    * comparison. The `maxDf` cap drops shingles appearing in more than
+    * `maxDf` docs — posting lists are quadratic in length when pairs
+    * form, and boilerplate shingles are precisely the ones that
+    * explode; the denominator counts only capped shingles too, so the
+    * metric stays internally consistent (the classic DF-cap recall
+    * trade, applied identically in the oracle).
+    *
+    * Scale shape — ONE exchange builds the whole index: group by the
+    * shingle into a size-capped posting list
+    * ([[graft.functions.BoundedCollect]] — buffer memory O(maxDf) per
+    * group even for a shingle in 10M docs), filter `size <= maxDf`
+    * (a truncated list is by construction maxDf+1 long, so exactly the
+    * over-frequent shingles drop, independent of which ids survived
+    * truncation). The earlier shape spent separate keyed shuffles on
+    * the df count, the semi-join back, and both sides of a pair
+    * self-join on a hashed key; here pairs form MAP-SIDE by exploding
+    * within each posting list (≤ maxDf² pairs per shingle — the same
+    * bound the self-join had, without re-exchanging postings), and the
+    * denominator explodes the same cached index. Total: one wide
+    * shuffle of the shingle text, two id-keyed agg shuffles of
+    * code-sized rows, one doc-count join. Never O(n²) in docs.
     */
   def containmentPairs(df: DataFrame, idCol: String, textCol: String,
                        k: Int, threshold: Double, maxDf: Int): DataFrame = {
-    // the shingle explode feeds FOUR consumers (df counts, the semi
-    // join probe, the denominator agg, both pair-join sides) — cut the
-    // lineage once so tokenization runs one pass, not six (measured in
-    // the dd12 plan audit)
     val sh = df.select(col(idCol),
       graft.functions.ShingleGen.shingleGen(col(textCol), k,
         distinct = true)).toDF(idCol, "_s")
+    // the fused df-cap + posting build; cut lineage so the tokenize +
+    // index shuffle runs once for its two consumers (denominator,
+    // pair fan-out) — the index is the small side (capped lists)
+    val postings = sh.groupBy(col("_s"))
+      .agg(graft.functions.BoundedCollect
+        .boundedCollectList(col(idCol), maxDf + 1).as("_ids"))
+      .filter(size(col("_ids")) <= maxDf)
+      .select(col("_ids"))
       .localCheckpoint()
-    val kept = sh.groupBy(col("_s")).agg(count(lit(1)).as("_df"))
-      .filter(col("_df") <= maxDf).select(col("_s"))
-    val shF = sh.join(kept, Seq("_s"), "left_semi")
-      // the pair self-join only needs shingle EQUALITY, not the text:
-      // exchange an 8-byte md5-derived key instead of the ~k-word
-      // string (60-bit keyspace — collisions are ~n²/2⁶⁰, and a
-      // collision only merges two shingles' postings, a recall-side
-      // wobble the same order as the df cap's; the oracle replays the
-      // identical keying)
-      .select(col(idCol),
-        conv(substring(md5(col("_s")), 1, 15), 16, 10).cast("long")
-          .as("_sk"))
-    val nA = shF.groupBy(col(idCol)).agg(count(lit(1)).as("n_a"))
-    val pairs = shF.select(col("_sk"), col(idCol).as("a"))
-      .join(shF.select(col("_sk"), col(idCol).as("b")), Seq("_sk"))
+    val nA = postings.select(explode(col("_ids")).as(idCol))
+      .groupBy(col(idCol)).agg(count(lit(1)).as("n_a"))
+    val pairs = postings
+      .select(explode(col("_ids")).as("a"), col("_ids"))
+      .select(col("a"), explode(col("_ids")).as("b"))
       .filter(col("a") =!= col("b"))
       .groupBy(col("a"), col("b"))
       .agg(count(lit(1)).as("n_shared"))

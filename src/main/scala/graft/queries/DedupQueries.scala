@@ -279,15 +279,14 @@ object DedupQueries {
                   unnest(list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
                                         for i in range(1, len(w)-1)])) AS s
                 FROM w WHERE len(w) >= 3),
-         kept AS (SELECT s FROM (SELECT s, count(*) AS df FROM sh GROUP BY s)
-                  WHERE df <= 20),
-         shf AS (SELECT doc_id,
-                   (('0x' || substr(md5(s), 1, 15))::UBIGINT)::BIGINT AS sk
-                 FROM sh WHERE s IN (SELECT s FROM kept)),
+         shf AS (SELECT doc_id, s FROM sh
+                 WHERE s IN (SELECT s FROM
+                               (SELECT s, count(*) AS df FROM sh GROUP BY s)
+                             WHERE df <= 20)),
          na AS (SELECT doc_id, count(*) AS n_a FROM shf GROUP BY doc_id),
          p AS (SELECT l.doc_id AS a, r.doc_id AS b, count(*) AS n_shared
                FROM shf l JOIN shf r
-                 ON l.sk = r.sk AND l.doc_id <> r.doc_id
+                 ON l.s = r.s AND l.doc_id <> r.doc_id
                GROUP BY 1, 2)
          SELECT a, b, n_shared,
            round(n_shared::DOUBLE / n_a, 4) AS containment
