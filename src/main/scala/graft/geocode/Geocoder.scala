@@ -195,6 +195,31 @@ object Geocoder {
       lookup(expr(s"transform($locationsCol, l -> l.value)")))
   }
 
+  /** Driver-safety guardrail for [[geocodeAuto]]: the largest dimension
+    * the broadcast-map path may collect. ~2M addresses ≈ low hundreds
+    * of MB as JVM objects — comfortably inside a default driver heap;
+    * a full historical-city dimension (~10^6) stays on the fast path.
+    */
+  val MaxIndexRows: Long = 2000000L
+
+  /** Auto-guardrailed geocode: picks the broadcast-map path
+    * ([[buildIndex]] + [[geocode]]) when the dimension is small enough
+    * to collect safely, and falls back to [[geocodeViaJoin]] above the
+    * threshold — so an unexpectedly large dimension degrades to one
+    * extra shuffle instead of OOMing the driver. The size probe is one
+    * dimension-sized count; both paths produce identical results
+    * (duplicate keys resolve to min addressId in both — asserted in
+    * GeocoderSpec), so the switch is invisible in output.
+    */
+  def geocodeAuto(spark: SparkSession, df: DataFrame,
+                  dim: Dataset[GeoAddress], rowId: String,
+                  locationsCol: String = "parsed.locations",
+                  maxIndexRows: Long = MaxIndexRows): DataFrame =
+    if (dim.count() <= maxIndexRows)
+      geocode(df, buildIndex(spark, dim), locationsCol)
+    else
+      geocodeViaJoin(df, dim.toDF(), rowId, locationsCol)
+
   /** Join-based variant for very large dimensions: posexplode the
     * addresses, broadcast-equi-join on the normalized key, re-collect in
     * position order. One shuffle (the groupBy re-collect) on the fact's

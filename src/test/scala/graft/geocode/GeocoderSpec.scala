@@ -77,4 +77,50 @@ class GeocoderSpec extends SparkSpec {
       .orderBy("id").collect().toSeq
     assert(viaUdf.map(_.toString) == viaJoin.map(_.toString))
   }
+
+  test("geocodeAuto: dimension size picks the path; results agree across it") {
+    val dim = spark.createDataset(CityDirFixture.dimension)
+    val lines = Seq(
+      (1L, Seq("123 Broadway", "nowhere special")),
+      (2L, Seq("h 19 Pearl st")))
+      .toDF("id", "vals")
+      .withColumn("parsed", struct(expr(
+        "transform(vals, v -> struct(v as value))").as("locations")))
+      .drop("vals")
+    // count shuffles through AQE wrappers AND materialized query stages
+    // (QueryStageExec is a leaf — plain collect() can't see inside it)
+    def countShuffles(p: org.apache.spark.sql.execution.SparkPlan): Int = {
+      import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+      val self = p match {
+        case _: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => 1
+        case _ => 0
+      }
+      val kids = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case q: QueryStageExec => Seq(q.plan)
+        case other => other.children
+      }
+      self + kids.map(countShuffles).sum
+    }
+    def exchanges(df: org.apache.spark.sql.DataFrame): Int = {
+      df.collect() // materialize so AQE's final plan exists
+      countShuffles(df.queryExecution.executedPlan)
+    }
+    // under the threshold: broadcast-map path — the fact side NEVER
+    // shuffles (the guardrail's fast path is also the zero-exchange one)
+    val small = Geocoder.geocodeAuto(spark, lines, dim, "id",
+      maxIndexRows = 1000000L)
+    assert(exchanges(small) == 0, small.queryExecution.executedPlan.toString)
+    // over the threshold: join fallback — shuffles appear (the
+    // re-collect), but the driver never collects the dimension
+    val big = Geocoder.geocodeAuto(spark, lines, dim, "id",
+      maxIndexRows = 1L)
+    assert(exchanges(big) > 0)
+    val shape = "transform(geocoded, g -> struct(g.found, " +
+      "g.result.properties.address.id, g.error))"
+    assert(small.select(col("id"), expr(shape).as("g")).orderBy("id")
+        .collect().toSeq.map(_.toString) ==
+      big.select(col("id"), expr(shape).as("g")).orderBy("id")
+        .collect().toSeq.map(_.toString))
+  }
 }
