@@ -81,6 +81,27 @@ class PlanShapeSpec extends SparkSpec {
     assert(exchangesIn(plan) <= 2, plan.toString)
   }
 
+  test("dd12 containment: pairs form map-side — no join on the shingle key") {
+    // the fused shape's contract: after the single posting-build
+    // exchange (behind the localCheckpoint), the only join left in the
+    // pair path is the final broadcast of the per-doc denominator —
+    // a reappearing posting self-join would re-exchange the index
+    val plan = finalPlan("dd12_containment")
+    def joinsIn(p: org.apache.spark.sql.execution.SparkPlan): Seq[String] = {
+      val here = p match {
+        case j: org.apache.spark.sql.execution.joins.BaseJoinExec =>
+          Seq(j.getClass.getSimpleName)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          joinsIn(q.plan)
+        case _ => Nil
+      }
+      here ++ p.children.flatMap(joinsIn)
+    }
+    val joins = joinsIn(plan)
+    assert(joins.size == 1, s"expected only the denominator join: $joins")
+    assert(joins.head.startsWith("Broadcast"), joins.toString)
+  }
+
   test("q1 scan prunes to the referenced columns") {
     // inspect the scan's actual output schema (explain strings truncate
     // ReadSchema at spark.sql.maxMetadataStringLength, and asserting on
