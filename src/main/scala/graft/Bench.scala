@@ -27,6 +27,10 @@ object Bench {
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    // optional args = query names to bench (dev loop); default all
+    val selected =
+      if (args.isEmpty) SparkEntry.queries
+      else SparkEntry.queries.view.filterKeys(args.toSet.contains).toMap
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
       "/root/repo/BENCH.json")
@@ -39,10 +43,10 @@ object Bench {
     // Warmup pass: run every query once untimed so the timed numbers
     // measure steady-state query cost, not session/JIT/codegen/scan
     // warmup (first-query overhead was ~8s of pure startup).
-    SparkEntry.queries.foreach { case (_, fn) =>
+    selected.foreach { case (_, fn) =>
       try force(fn(spark, sfDir)) catch { case _: Throwable => }
     }
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
       val ok =
         try { force(fn(spark, sfDir)); true }

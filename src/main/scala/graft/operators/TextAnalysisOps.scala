@@ -186,33 +186,33 @@ object TextAnalysisOps {
   }
 
   /** Repetition quality signals (the Gopher-style filters): per-doc
-    * duplicate-word ratio (1 - distinct/total, row-local) and the
-    * fraction of all bigrams taken by the single most frequent bigram
-    * (explode → two keyed partial aggs on doc_id — full text never
-    * shuffles, only (doc_id, bigram) pairs). Docs with < 2 words are
-    * excluded (no bigram exists).
+    * duplicate-word ratio (1 - distinct/total) and the fraction of all
+    * bigrams taken by the single most frequent bigram. Docs with < 2
+    * words are excluded (no bigram exists).
+    *
+    * Entirely ROW-LOCAL — zero shuffles: a document's bigram histogram
+    * is bounded by the document, so the top-bigram count is computed in
+    * place as the longest equal-run of the doc's SORTED bigram array
+    * (one `aggregate` fold), never exploded. The previous shape
+    * (bigram generator → groupBy(doc, bigram) → groupBy(doc)) shuffled
+    * ~2× corpus bytes twice; measured at sf0.1 under the hash-all
+    * bench action it was the single most expensive query in the
+    * catalog (4.1 s), and at 100 TB those two exchanges ARE the job.
     */
   def repetitionMetrics(df: DataFrame, idCol: String,
                         textCol: String): DataFrame = {
-    val w = split(col(textCol), " ")
-    // native bigram generator (duplicates kept — they ARE the signal);
-    // docs with < 2 words emit no rows, which is the wanted exclusion
-    val base = df.select(col(idCol),
-      size(w).as("n_words"),
-      round(lit(1) - size(array_distinct(w)).cast("double") / size(w), 4)
-        .as("dup_word_ratio"),
-      graft.functions.ShingleGen.shingleGen(col(textCol), 2,
-        distinct = false))
-      .toDF(idCol, "n_words", "dup_word_ratio", "_b")
-    base.groupBy(col(idCol), col("_b"))
-      .agg(first(col("n_words")).as("n_words"),
-        first(col("dup_word_ratio")).as("dup_word_ratio"),
-        count(lit(1)).as("_n"))
-      .groupBy(col(idCol))
-      .agg(first(col("n_words")).as("n_words"),
-        first(col("dup_word_ratio")).as("dup_word_ratio"),
-        max(col("_n")).as("top_bigram_n"),
-        sum(col("_n")).as("n_bigrams"))
+    // one kernel eval per row (projection first, filter on the struct
+    // field), all four statistics from a single tokenization
+    df.select(col(idCol),
+        graft.functions.RepetitionStats.repetitionStats(col(textCol))
+          .as("_r"))
+      .filter(col("_r.n_words") >= 2)
+      .select(col(idCol),
+        col("_r.n_words").as("n_words"),
+        round(lit(1) - col("_r.n_distinct_words").cast("double") /
+          col("_r.n_words"), 4).as("dup_word_ratio"),
+        col("_r.top_bigram_n").as("top_bigram_n"),
+        col("_r.n_bigrams").as("n_bigrams"))
       .withColumn("top_bigram_frac",
         round(col("top_bigram_n").cast("double") / col("n_bigrams"), 4))
   }

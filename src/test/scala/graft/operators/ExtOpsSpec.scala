@@ -710,6 +710,36 @@ class ExtOpsSpec extends SparkSpec {
     assert(out == Set((1L, 4, 0.5, 2L, 3L, 0.6667)))
   }
 
+  test("repetition_stats kernel matches the declarative formulation on tricky inputs") {
+    val texts = Seq("", " ", "  ", "a", "a a a b", "a  b", "a b ",
+      " a b", "x y x y x y", "über ü über ü", "a a", "tab\tkept one-token")
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "text")
+    val kernel = df.select(col("id"),
+        graft.functions.RepetitionStats.repetitionStats(col("text")).as("r"))
+      .select(col("id"), col("r.n_words"), col("r.n_distinct_words"),
+        col("r.top_bigram_n"), col("r.n_bigrams"))
+      .as[(Long, Int, Int, Long, Long)].collect().sortBy(_._1).toSeq
+    val w = split(col("text"), " ")
+    val declarative = df.select(col("id"), size(w).as("nw"),
+        size(array_distinct(w)).as("nd"),
+        when(size(w) >= 2, aggregate(
+          array_sort(transform(sequence(lit(1), size(w) - 1),
+            i => concat(element_at(w, i), lit(" "), element_at(w, i + 1)))),
+          struct(lit("").as("p"), lit(0L).as("r"), lit(0L).as("b")),
+          (acc, x) => {
+            val run = when(x === acc.getField("p"), acc.getField("r") + 1)
+              .otherwise(lit(1L))
+            struct(x.as("p"), run.as("r"),
+              greatest(acc.getField("b"), run).as("b"))
+          },
+          acc => acc.getField("b"))).otherwise(lit(0L)).as("top"),
+        when(size(w) >= 2, (size(w) - 1).cast("long")).otherwise(lit(0L))
+          .as("nb"))
+      .as[(Long, Int, Int, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(kernel == declarative)
+  }
+
   test("redact replaces emails and long digit runs, counts matches") {
     val docs = Seq((1L, "mail bob@x.com or call 12345 ext 12"))
       .toDF("doc_id", "text")
