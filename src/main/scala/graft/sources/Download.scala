@@ -24,11 +24,35 @@ import scala.concurrent.duration.Duration
 object Download {
 
   final case class FetchResult(uuid: String, path: String, ok: Boolean,
-                               error: Option[String])
+                               error: Option[String], attempts: Int = 1)
+
+  /** Bounded exponential backoff for transient fetch failures — the
+    * production-HTTP seam's policy half, testable without a network: a
+    * volume dead-letters only after `maxAttempts` tries, with
+    * `baseDelayMs * multiplier^(attempt-1)` between tries (capped at
+    * `maxDelayMs`). Deterministic by design (no jitter) so tests can
+    * assert the exact schedule; a production fetcher wanting jitter
+    * composes it into `fetch` itself.
+    */
+  final case class RetryPolicy(maxAttempts: Int = 3,
+                               baseDelayMs: Long = 100L,
+                               multiplier: Double = 2.0,
+                               maxDelayMs: Long = 5000L) {
+    require(maxAttempts >= 1 && baseDelayMs >= 0 && multiplier >= 1.0)
+    def delayBeforeAttempt(attempt: Int): Long =
+      if (attempt <= 1) 0L
+      else math.min(maxDelayMs,
+        (baseDelayMs * math.pow(multiplier, (attempt - 2).toDouble)).toLong)
+  }
+
+  /** No retries — the original fire-once behavior. */
+  val NoRetry: RetryPolicy = RetryPolicy(maxAttempts = 1)
 
   def downloadAll(targetDir: String, manifest: Seq[DirectoryMeta],
                   fetch: String => Array[Byte],
-                  parallelism: Int = 8): Seq[FetchResult] = {
+                  parallelism: Int = 8,
+                  retry: RetryPolicy = NoRetry,
+                  sleep: Long => Unit = Thread.sleep): Seq[FetchResult] = {
     Files.createDirectories(Paths.get(targetDir))
     val pool = Executors.newFixedThreadPool(math.max(1, parallelism))
     implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
@@ -36,23 +60,31 @@ object Download {
       val futures = manifest.map { m =>
         Future {
           val okPath = Paths.get(targetDir, s"${m.uuid}.tar.gz")
-          try {
-            val bytes = fetch(m.uuid)
-            Files.write(okPath, bytes)
-            FetchResult(m.uuid, okPath.toString, ok = true, None)
-          } catch {
-            case e: Exception =>
-              // dead-letter marker: the quarantine file records the error
-              // (reference renames the partial download; same observable
-              // contract — `<uuid>.xml` exists, `<uuid>.tar.gz` does not)
-              Files.deleteIfExists(okPath)
-              val dead = Paths.get(targetDir, s"${m.uuid}.xml")
-              Files.write(dead,
-                Option(e.getMessage).getOrElse("fetch failed")
-                  .getBytes(StandardCharsets.UTF_8))
-              FetchResult(m.uuid, dead.toString, ok = false,
-                Some(Option(e.getMessage).getOrElse("fetch failed")))
-          }
+          def attemptFrom(attempt: Int): FetchResult =
+            try {
+              val d = retry.delayBeforeAttempt(attempt)
+              if (d > 0) sleep(d)
+              val bytes = fetch(m.uuid)
+              Files.write(okPath, bytes)
+              FetchResult(m.uuid, okPath.toString, ok = true, None, attempt)
+            } catch {
+              case e: Exception if attempt < retry.maxAttempts =>
+                attemptFrom(attempt + 1)
+              case e: Exception =>
+                // dead-letter marker AFTER the policy is exhausted: the
+                // quarantine file records the error (reference renames the
+                // partial download; same observable contract — `<uuid>.xml`
+                // exists, `<uuid>.tar.gz` does not)
+                Files.deleteIfExists(okPath)
+                val dead = Paths.get(targetDir, s"${m.uuid}.xml")
+                Files.write(dead,
+                  Option(e.getMessage).getOrElse("fetch failed")
+                    .getBytes(StandardCharsets.UTF_8))
+                FetchResult(m.uuid, dead.toString, ok = false,
+                  Some(Option(e.getMessage).getOrElse("fetch failed")),
+                  attempt)
+            }
+          attemptFrom(1)
         }
       }
       Await.result(Future.sequence(futures), Duration.Inf)

@@ -118,4 +118,31 @@ class AsOfIvfSpec extends SparkSpec {
     assert(!java.nio.file.Files.exists(
       java.nio.file.Paths.get(dir, "bad-2.tar.gz")))
   }
+
+  test("Download: retry policy recovers transients, dead-letters only after exhaustion") {
+    import graft.model.DirectoryMeta
+    import graft.sources.Download
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-download-retry").toString
+    val manifest = Seq(
+      DirectoryMeta("flaky-1", 1850, 1850, 1, 2, 2),
+      DirectoryMeta("dead-2", 1851, 1851, 1, 2, 2))
+    val calls = new java.util.concurrent.ConcurrentHashMap[String, Integer]()
+    val slept = java.util.concurrent.ConcurrentHashMap.newKeySet[Long]()
+    val results = Download.downloadAll(dir, manifest, { u =>
+      val n = calls.merge(u, 1, (a, b) => a + b)
+      // flaky-1 succeeds on its 3rd try; dead-2 never does
+      if (u == "flaky-1" && n >= 3) Array[Byte](7)
+      else throw new RuntimeException(s"503 for $u")
+    }, retry = Download.RetryPolicy(maxAttempts = 3, baseDelayMs = 100L),
+      sleep = d => { slept.add(d); () }).sortBy(_.uuid)
+    assert(results.map(r => (r.uuid, r.ok, r.attempts)) ==
+      Seq(("dead-2", false, 3), ("flaky-1", true, 3)))
+    // deterministic schedule: 100ms then 200ms before attempts 2 and 3
+    assert(slept.contains(100L) && slept.contains(200L))
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(dir, "flaky-1.tar.gz")))
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(dir, "dead-2.xml")))
+  }
 }
