@@ -111,6 +111,46 @@ object MultimodalOps {
         least(lit(chunkBytes), col("n_bytes") - col("offset"))
           .as("length"))
 
+  /** Deterministic fake source dimensions — the stand-in for a header
+    * probe (a real pipeline reads width/height from the container
+    * metadata, not the payload): md5-derived uint16s mapped into
+    * [256, 3840) × [256, 2416). Same derivation idiom as the decode
+    * stub, replayable in an external engine.
+    */
+  def withStubDims(assets: DataFrame): DataFrame = {
+    def dim(salt: String, span: Int): Column =
+      (lit(256) + conv(substring(
+        md5(concat(col("asset_id"), lit(salt))), 1, 4), 16, 10)
+        .cast("long") % span).cast("int")
+    assets.select(col("asset_id"), col("meta.kind").as("kind"),
+      dim(":w", 3584).as("src_w"), dim(":h", 2160).as("src_h"))
+  }
+
+  /** Resize work plan: per-asset target dimensions at `maxDim` on the
+    * long side, aspect preserved, never upscaled — the work list a
+    * distributed resize executes (metadata-only; payload bytes are not
+    * touched here, exactly like [[byteChunks]]). All arithmetic is
+    * integer-exact (`floor(src * maxDim / longSide)`, products ≪ 2^53)
+    * so the plan replays bit-identically in any engine. `est_bytes` is
+    * the decoded RGB estimate `dst_w * dst_h * 3` — the number a
+    * scheduler bin-packs decode batches by.
+    */
+  def resizePlan(dims: DataFrame, maxDim: Int): DataFrame = {
+    require(maxDim >= 1, s"maxDim must be positive, got $maxDim")
+    def scaled(side: Column, longSide: Column): Column =
+      when(longSide <= maxDim, side)
+        .otherwise(floor(side.cast("double") * maxDim / longSide)
+          .cast("int"))
+    val mx = greatest(col("src_w"), col("src_h"))
+    dims.select(col("asset_id"), col("kind"),
+        col("src_w"), col("src_h"),
+        scaled(col("src_w"), mx).as("dst_w"),
+        scaled(col("src_h"), mx).as("dst_h"),
+        (mx > maxDim).as("downscaled"))
+      .withColumn("est_bytes",
+        col("dst_w").cast("long") * col("dst_h") * 3L)
+  }
+
   /** The single stub "decode" kernel: 8 doubles from the md5 of the
     * payload — the shape a real `decode(bytes) -> features` kernel would
     * return. Shared by the UDF and the batched path so the two cannot

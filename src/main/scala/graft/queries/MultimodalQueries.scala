@@ -72,6 +72,16 @@ object MultimodalQueries {
     "mm4_byte_chunks" -> ((s, d) => {
       MultimodalOps.byteChunks(
         MultimodalOps.toAssets(documents(s, d), "doc_id", "text"), 256L)
+    }),
+
+    // Resize work plan at 512px long side: aspect-preserving integer
+    // target dims + decoded-RGB byte estimate, metadata-only (stub
+    // header dims, md5-derived — the real pipeline probes the
+    // container header instead).
+    "mm6_resize_plan" -> ((s, d) => {
+      MultimodalOps.resizePlan(
+        MultimodalOps.withStubDims(
+          MultimodalOps.toAssets(documents(s, d), "doc_id", "text")), 512)
     })
   )
 
@@ -157,6 +167,31 @@ object MultimodalQueries {
                     FROM a10 CROSS JOIN c11) WHERE rn = 1)
           SELECT a01.asset_id, c0, c1
           FROM a01 JOIN a11 USING (asset_id)""",
+    // `//` replays Spark's floor(double-div) exactly: operands are
+    // non-negative and ≪ 2^53, so integer floor-div == floored IEEE
+    // division.
+    "mm6_resize_plan" ->
+      """WITH d AS (
+           SELECT doc_id AS asset_id,
+             (['image','audio','video'])[(doc_id % 3 + 1)::INTEGER] AS kind,
+             (256 + ('0x' || substr(md5(doc_id::VARCHAR || ':w'), 1, 4))
+                ::UBIGINT % 3584)::INT AS src_w,
+             (256 + ('0x' || substr(md5(doc_id::VARCHAR || ':h'), 1, 4))
+                ::UBIGINT % 2160)::INT AS src_h
+           FROM documents),
+         p AS (
+           SELECT asset_id, kind, src_w, src_h,
+             CASE WHEN greatest(src_w, src_h) <= 512 THEN src_w
+                  ELSE ((src_w::BIGINT * 512) //
+                        greatest(src_w, src_h))::INT END AS dst_w,
+             CASE WHEN greatest(src_w, src_h) <= 512 THEN src_h
+                  ELSE ((src_h::BIGINT * 512) //
+                        greatest(src_w, src_h))::INT END AS dst_h,
+             greatest(src_w, src_h) > 512 AS downscaled
+           FROM d)
+         SELECT asset_id, kind, src_w, src_h, dst_w, dst_h, downscaled,
+           dst_w::BIGINT * dst_h * 3 AS est_bytes
+         FROM p""",
     // `//` (not `/`): DuckDB float-divides with `/` and the ::INTEGER cast
     // would round where Spark's cast truncates; offsets are non-negative
     // so trunc == floor on both sides.

@@ -956,6 +956,24 @@ class ExtOpsSpec extends SparkSpec {
       MultimodalOps.toAssets(empty, "doc_id", "text"), 16).count() == 0)
   }
 
+  test("multimodal: resize plan preserves aspect, never upscales, integer-exact") {
+    val dims = Seq(
+      (1L, "image", 3840, 2160),  // downscale: long side 3840 → 512
+      (2L, "image", 400, 300),    // under maxDim: untouched
+      (3L, "video", 512, 512),    // exactly maxDim: untouched
+      (4L, "image", 100, 2000)    // portrait: height is the long side
+    ).toDF("asset_id", "kind", "src_w", "src_h")
+    val out = MultimodalOps.resizePlan(dims, 512)
+      .select("asset_id", "dst_w", "dst_h", "downscaled", "est_bytes")
+      .as[(Long, Int, Int, Boolean, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(out(1L) == ((512, 288, true, 512L * 288 * 3)))
+    assert(out(2L) == ((400, 300, false, 400L * 300 * 3)))
+    assert(out(3L) == ((512, 512, false, 512L * 512 * 3)))
+    // floor(100 * 512 / 2000) = 25; aspect ratio preserved to the floor
+    assert(out(4L) == ((25, 512, true, 25L * 512 * 3)))
+  }
+
   test("event ops: tumbling/session/latest on a tiny frame") {
     val ev = Seq(
       (1L, "2024-01-01 00:05:00", 10L, "click", 1.0),
