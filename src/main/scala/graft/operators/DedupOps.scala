@@ -481,15 +481,17 @@ object DedupOps {
     val sh = df.select(col(idCol),
       graft.functions.ShingleGen.shingleGen(col(textCol), k,
         distinct = true)).toDF(idCol, "_s")
-    // the fused df-cap + posting build; cut lineage so the tokenize +
-    // index shuffle runs once for its two consumers (denominator,
-    // pair fan-out) — the index is the small side (capped lists)
+    // the fused df-cap + posting build. Its two consumers (denominator,
+    // pair fan-out) have identical subplans up through the aggregation,
+    // so Catalyst plans ONE posting-build exchange and reuses it
+    // (ReusedExchange — asserted in PlanShapeSpec); only the cheap
+    // post-shuffle list assembly runs per consumer, which measured
+    // faster than materializing a localCheckpoint between them
     val postings = sh.groupBy(col("_s"))
       .agg(graft.functions.BoundedCollect
         .boundedCollectList(col(idCol), maxDf + 1).as("_ids"))
       .filter(size(col("_ids")) <= maxDf)
       .select(col("_ids"))
-      .localCheckpoint()
     val nA = postings.select(explode(col("_ids")).as(idCol))
       .groupBy(col(idCol)).agg(count(lit(1)).as("n_a"))
     val pairs = postings

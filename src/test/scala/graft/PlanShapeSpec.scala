@@ -100,6 +100,12 @@ class PlanShapeSpec extends SparkSpec {
     val joins = joinsIn(plan)
     assert(joins.size == 1, s"expected only the denominator join: $joins")
     assert(joins.head.startsWith("Broadcast"), joins.toString)
+    // the posting-build exchange (tokenize + partial bounded-collect)
+    // is computed ONCE and reused by the denominator branch — the
+    // corpus is tokenized exactly one time
+    val s = plan.toString
+    assert(s.contains("ReusedExchange"), s)
+    assert("shingle_generate".r.findAllIn(s).size == 1, s)
   }
 
   test("q1 scan prunes to the referenced columns") {
