@@ -3,7 +3,10 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Expression, Generator, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode, FalseLiteral}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -42,18 +45,10 @@ case class ShingleGenerate(child: Expression, k: Int, distinct: Boolean)
     val t = child.eval(input)
     if (t == null) return Nil
     val bytes = t.asInstanceOf[UTF8String].getBytes
-    val len = bytes.length
-    var nWords = 1
-    var p = 0
-    while (p < len) { if (bytes(p) == ' ') nWords += 1; p += 1 }
+    val starts = ShingleGen.wordStarts(bytes)
+    val nWords = starts.length
     if (nWords < k) return Nil
-    val starts = new Array[Int](nWords)
-    var w = 1
-    p = 0
-    while (p < len) {
-      if (bytes(p) == ' ') { starts(w) = p + 1; w += 1 }
-      p += 1
-    }
+    val len = bytes.length
     val out = new scala.collection.mutable.ArrayBuffer[InternalRow](nWords - k + 1)
     val seen = if (distinct) new java.util.HashSet[UTF8String]() else null
     var i = 0
@@ -73,11 +68,203 @@ case class ShingleGenerate(child: Expression, k: Int, distinct: Boolean)
   override def prettyName: String = "shingle_generate"
 }
 
+/** Scalar twin of [[ShingleGenerate]]: the shingle ARRAY of a text
+  * column in one JVM pass — drop-in for `DedupOps.shingles(text, k)`
+  * (distinct = true) where a consumer needs the array per row rather
+  * than exploded rows (signature inputs, set intersections, counts).
+  * Matches the declarative form on every edge: null text and texts
+  * with fewer than k words yield an EMPTY array (never null), empty
+  * tokens are kept, first-occurrence order is preserved under
+  * `distinct`. Codegen is one static call, so the surrounding
+  * projection stays inside whole-stage codegen.
+  */
+case class ShingleArrayExpr(child: Expression, k: Int, distinct: Boolean)
+    extends UnaryExpression {
+  require(k >= 1, "shingle size must be >= 1")
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"shingle_array expects string, got ${other.simpleString}")
+    }
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = false
+
+  override def eval(input: InternalRow): Any =
+    ShingleGen.compute(child.eval(input).asInstanceOf[UTF8String], k, distinct)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val c = child.genCode(ctx)
+    ev.copy(code = code"""
+      ${c.code}
+      org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} =
+        graft.functions.ShingleGen.compute(
+          ${c.isNull} ? null : ${c.value}, $k, $distinct);""",
+      isNull = FalseLiteral)
+  }
+
+  override protected def withNewChildInternal(c: Expression): ShingleArrayExpr =
+    copy(child = c)
+
+  override def prettyName: String = "shingle_array"
+}
+
+/** Winnowing-style robust fingerprint, fused: the MINIMUM md5 (as hex)
+  * over a document's word k-shingles, one digest per shingle computed
+  * over byte ranges of the original text, compared as raw digest bytes
+  * (fixed-length lowercase hex is order-isomorphic to unsigned byte
+  * order) and hexified once at the end. Drop-in for
+  * `array_min(transform(DedupOps.shingles(text, k), md5))` — null for
+  * null text or fewer than k words (an empty array has no minimum);
+  * duplicate shingles can't change a min, so dedup is skipped.
+  */
+case class MinShingleMd5Expr(child: Expression, k: Int)
+    extends UnaryExpression {
+  require(k >= 1, "shingle size must be >= 1")
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"min_shingle_md5 expects string, got ${other.simpleString}")
+    }
+
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(t: Any): Any =
+    ShingleGen.minMd5(t.asInstanceOf[UTF8String], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.functions.ShingleGen.minMd5($c, $k);
+      ${ev.isNull} = (${ev.value} == null);
+    """)
+
+  override protected def withNewChildInternal(c: Expression): MinShingleMd5Expr =
+    copy(child = c)
+
+  override def prettyName: String = "min_shingle_md5"
+}
+
 object ShingleGen {
+  private val mdLocal = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  private val hexDigits = "0123456789abcdef".toCharArray
+
+  /** Word-start byte offsets under `split(text, " ", -1)` semantics
+    * (empty tokens kept; a word runs to the byte before the next start,
+    * the last to end-of-bytes). Result length = word count.
+    */
+  private[functions] def wordStarts(bytes: Array[Byte]): Array[Int] = {
+    val len = bytes.length
+    var nWords = 1
+    var p = 0
+    while (p < len) { if (bytes(p) == ' ') nWords += 1; p += 1 }
+    val starts = new Array[Int](nWords)
+    var w = 1
+    p = 0
+    while (p < len) {
+      if (bytes(p) == ' ') { starts(w) = p + 1; w += 1 }
+      p += 1
+    }
+    starts
+  }
+
+  /** Kernel for [[ShingleArrayExpr]]; also the JVM-side shingle builder
+    * for any caller holding a raw UTF8String. Null-safe: null input →
+    * empty array (the declarative form's CASE semantics).
+    */
+  def compute(t: UTF8String, k: Int, distinct: Boolean): ArrayData = {
+    if (t == null) return new GenericArrayData(Array.empty[Any])
+    val bytes = t.getBytes
+    val starts = wordStarts(bytes)
+    val nWords = starts.length
+    if (nWords < k) return new GenericArrayData(Array.empty[Any])
+    val len = bytes.length
+    val out = new scala.collection.mutable.ArrayBuffer[Any](nWords - k + 1)
+    val seen = if (distinct) new java.util.HashSet[UTF8String]() else null
+    var i = 0
+    while (i <= nWords - k) {
+      val from = starts(i)
+      val to = if (i + k - 1 == nWords - 1) len else starts(i + k) - 1
+      val s = UTF8String.fromBytes(bytes, from, to - from)
+      if (seen == null || seen.add(s)) out += s
+      i += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  /** Kernel for [[MinShingleMd5Expr]]: min md5 digest over the k-shingle
+    * byte ranges, hexified once. Null for fewer than k words.
+    */
+  def minMd5(t: UTF8String, k: Int): UTF8String = {
+    val bytes = t.getBytes
+    val starts = wordStarts(bytes)
+    val nWords = starts.length
+    if (nWords < k) return null
+    val len = bytes.length
+    val md = mdLocal.get()
+    var best: Array[Byte] = null
+    var i = 0
+    while (i <= nWords - k) {
+      val from = starts(i)
+      val to = if (i + k - 1 == nWords - 1) len else starts(i + k) - 1
+      md.reset()
+      md.update(bytes, from, to - from)
+      val digest = md.digest()
+      if (best == null || unsignedLess(digest, best)) best = digest
+      i += 1
+    }
+    val hex = new Array[Byte](32)
+    var b = 0
+    while (b < 16) {
+      hex(2 * b) = hexDigits((best(b) >> 4) & 0xf).toByte
+      hex(2 * b + 1) = hexDigits(best(b) & 0xf).toByte
+      b += 1
+    }
+    UTF8String.fromBytes(hex)
+  }
+
+  private def unsignedLess(a: Array[Byte], b: Array[Byte]): Boolean = {
+    var i = 0
+    while (i < 16) {
+      val d = (a(i) & 0xff) - (b(i) & 0xff)
+      if (d != 0) return d < 0
+      i += 1
+    }
+    false
+  }
+
   /** Column-API form; yields a `shingle` output column. */
   def shingleGen(text: Column, k: Int, distinct: Boolean): Column = {
     import org.apache.spark.sql.graft.ColumnBridge
     ColumnBridge.column(ShingleGenerate(
       ColumnBridge.expression(text), k, distinct))
+  }
+
+  /** Column-API form of the scalar shingle array (distinct by default —
+    * the `DedupOps.shingles` contract).
+    */
+  def shingleArray(text: Column, k: Int, distinct: Boolean = true): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(ShingleArrayExpr(
+      ColumnBridge.expression(text), k, distinct))
+  }
+
+  /** Column-API form of the fused min-shingle-md5 fingerprint. */
+  def minShingleMd5(text: Column, k: Int): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(MinShingleMd5Expr(
+      ColumnBridge.expression(text), k))
   }
 }

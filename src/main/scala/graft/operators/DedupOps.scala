@@ -379,10 +379,13 @@ object DedupOps {
                            bands: Int): DataFrame = {
     val pairs = minhashCandidates(df, idCol, textCol, shingleK, numPerm,
       bands)
+    // native shingle array (one JVM pass; codegen subexpression
+    // elimination shares it between the two projections) — the HOF
+    // formulation re-ran interpreted transform lambdas per row
+    val sh = graft.functions.ShingleGen.shingleArray(col(textCol), shingleK)
     val side = df.select(col(idCol).as("_sid"),
-      graft.functions.MinhashSig.minhashSigNative(
-        shingles(col(textCol), shingleK), numPerm).as("_sig"),
-      shingles(col(textCol), shingleK).as("_sh"))
+      graft.functions.MinhashSig.minhashSigNative(sh, numPerm).as("_sig"),
+      sh.as("_sh"))
     pairs
       .join(side.select(col("_sid").as("a"), col("_sig").as("_siga"),
         col("_sh").as("_sha")), Seq("a"))

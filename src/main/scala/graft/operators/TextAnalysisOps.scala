@@ -84,10 +84,12 @@ object TextAnalysisOps {
 
   /** Winnowing-style robust fingerprint: minimum md5 over the document's
     * word k-shingles — stable under local edits anywhere outside the
-    * minimal shingle. Row-local.
+    * minimal shingle. Row-local; fused native kernel (one digest per
+    * shingle over byte ranges of the text, no shingle array, no
+    * interpreted lambdas — `functions.MinShingleMd5Expr`).
     */
   def minShingleFingerprint(text: Column, k: Int = 3): Column =
-    array_min(transform(DedupOps.shingles(text, k), s => md5(s)))
+    graft.functions.ShingleGen.minShingleMd5(text, k)
 
   /** Sliding-window token chunking (LLM training prep): split each
     * document into chunks of `chunkSize` tokens every `stride` tokens

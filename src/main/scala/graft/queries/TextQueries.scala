@@ -47,7 +47,7 @@ object TextQueries {
     // Corpus-level n-gram profile: distinct word-3-gram count per doc +
     // corpus distinct total per source.
     "tx4_ngram_profile" -> ((s, d) => {
-      val sh = graft.operators.DedupOps.shingles(col("text"), 3)
+      val sh = graft.functions.ShingleGen.shingleArray(col("text"), 3)
       documents(s, d)
         .select(col("source"), col("doc_id"), size(sh).as("n_shingles"))
         .groupBy("source")

@@ -361,6 +361,35 @@ class ExtOpsSpec extends SparkSpec {
     assert(dups == Seq("dup dup", "dup dup"))
   }
 
+  test("scalar shingle array and min-shingle-md5 match the declarative forms") {
+    val tricky = Seq(
+      (1L, "a  double  space keeps empty tokens"),
+      (2L, "dup dup dup dup"), (3L, "héllo wörld ünïcode bytes"),
+      (4L, "one"), (5L, ""), (6L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    for (k <- Seq(1, 2, 3)) {
+      val decl = tricky.select(col("doc_id"),
+          (if (k == 1) DedupOps.words(col("text"))
+           else DedupOps.shingles(col("text"), k)).as("sh"))
+        .as[(Long, Seq[String])].collect().toMap
+        // declarative words(null) is null, shingles(null) is []; the
+        // native form unifies on [] (the k>=2 CASE semantics)
+        .map { case (id, v) => id -> Option(v).getOrElse(Seq.empty) }
+      val native = tricky.select(col("doc_id"),
+          graft.functions.ShingleGen.shingleArray(col("text"), k).as("sh"))
+        .as[(Long, Seq[String])].collect().toMap
+      assert(native == decl, s"k=$k")
+
+      val declFp = tricky.select(col("doc_id"),
+          array_min(transform(DedupOps.shingles(col("text"), k), s => md5(s)))
+            .as("fp")).as[(Long, Option[String])].collect().toMap
+      val nativeFp = tricky.select(col("doc_id"),
+          graft.functions.ShingleGen.minShingleMd5(col("text"), k).as("fp"))
+        .as[(Long, Option[String])].collect().toMap
+      assert(nativeFp == declFp, s"k=$k fp")
+    }
+  }
+
   test("whole-pipeline text generator matches staged HOF bands on tricky inputs") {
     val tricky = Seq(
       (1L, "the quick brown fox jumps over the lazy dog"),
