@@ -83,9 +83,9 @@ class PlanShapeSpec extends SparkSpec {
 
   test("dd12 containment: pairs form map-side — no join on the shingle key") {
     // the fused shape's contract: after the single posting-build
-    // exchange (behind the localCheckpoint), the only join left in the
-    // pair path is the final broadcast of the per-doc denominator —
-    // a reappearing posting self-join would re-exchange the index
+    // exchange, the only join left in the pair path is the final
+    // broadcast of the per-doc denominator — a reappearing posting
+    // self-join would re-exchange the index
     val plan = finalPlan("dd12_containment")
     def joinsIn(p: org.apache.spark.sql.execution.SparkPlan): Seq[String] = {
       val here = p match {
@@ -106,6 +106,21 @@ class PlanShapeSpec extends SparkSpec {
     val s = plan.toString
     assert(s.contains("ReusedExchange"), s)
     assert("shingle_generate".r.findAllIn(s).size == 1, s)
+  }
+
+  test("dd13 estimate path is fully native — no interpreted lambdas, reused sides") {
+    // the corpus pipeline runs exactly twice: the fused band generator
+    // (candidate pairs) and the shingle_array+minhash_sig side
+    // projection, which is broadcast ONCE and reused by both id joins.
+    // No interpreted lambda ever touches the corpus — the only HOF left
+    // is the per-PAIR zip_with over 16-element signatures (candidate
+    // pairs, not documents)
+    val plan = finalPlan("dd13_minhash_estimate")
+    val s = plan.toString
+    assert(s.contains("minhash_sig(shingle_array("), s)
+    assert(!s.contains("array_join(slice("), s) // the HOF shingle build
+    assert("minhash_text_bands".r.findAllIn(s).size == 1, s)
+    assert("ReusedExchange".r.findAllIn(s).size == 2, s)
   }
 
   test("q1 scan prunes to the referenced columns") {
