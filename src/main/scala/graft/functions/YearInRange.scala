@@ -52,12 +52,53 @@ case class YearInRangeExpr(child: Expression, lo: Int, hi: Int)
   override def prettyName: String = "year_in_range"
 }
 
+/** Fused year-union NORMALIZATION: one parse per row producing the
+  * whole `struct(yearMin, yearMax)` — the struct-producing sibling of
+  * [[YearInRangeExpr]], for consumers that keep both bounds rather than
+  * filter on them. The declarative `CityDirOps.yearNormDeclarative`
+  * substitutes its regex tree into the projection once per referenced
+  * struct field, so reading both bounds runs the regex machinery twice;
+  * this runs the byte-level parse once. Null/unparseable → null struct
+  * (spec-asserted equal to the declarative form on random inputs).
+  */
+case class YearNormExpr(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"year_norm expects string, got ${other.simpleString}")
+    }
+
+  override def dataType: DataType = new StructType()
+    .add("yearMin", IntegerType, nullable = true)
+    .add("yearMax", IntegerType, nullable = true)
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(a: Any): Any =
+    YearInRange.norm(a.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.functions.YearInRange.norm($c);
+      ${ev.isNull} = (${ev.value} == null);
+    """)
+
+  override protected def withNewChildInternal(c: Expression): YearNormExpr =
+    copy(child = c)
+
+  override def prettyName: String = "year_norm"
+}
+
 object YearInRange {
 
-  /** One-pass parse + containment; JS parseInt semantics on the part
-    * before any '/', `+1` max rule for split volumes.
+  /** One-pass parse: JS parseInt semantics on the part before any '/',
+    * split-volume flag. Returns -1 for no-parse (junk, overflow), else
+    * `(year << 1) | splitFlag`.
     */
-  def contains(s: UTF8String, lo: Int, hi: Int): Boolean = {
+  def parse(s: UTF8String): Long = {
     val bytes = s.getBytes
     val len = bytes.length
     var i = 0
@@ -78,18 +119,34 @@ object YearInRange {
       digits += 1
       // > 10 significant digits can't fit an int; the declarative form
       // would raise under ANSI — out-of-range is the usable semantics
-      if (digits > 10) return false
+      if (digits > 10) return -1L
       i += 1
     }
-    if (!sawDigit && digits == 0) return false // no leading digits → parseInt NaN
-    if (y > Int.MaxValue) return false // int overflow, as above
+    if (!sawDigit && digits == 0) return -1L // no leading digits → parseInt NaN
+    if (y > Int.MaxValue) return -1L // int overflow, as above
     // split-volume marker anywhere after the digits
     var split = false
     var j = i
     while (j < len && !split) { if (bytes(j) == '/') split = true; j += 1 }
-    val yMin = y
-    val yMax = if (split) y + 1 else y
+    (y << 1) | (if (split) 1L else 0L)
+  }
+
+  /** One-pass parse + containment. */
+  def contains(s: UTF8String, lo: Int, hi: Int): Boolean = {
+    val p = parse(s)
+    if (p < 0) return false
+    val yMin = p >> 1
+    val yMax = yMin + (p & 1L)
     yMin >= lo && yMax <= hi
+  }
+
+  /** Struct kernel for [[YearNormExpr]]; null for no-parse. */
+  def norm(s: UTF8String): org.apache.spark.sql.catalyst.InternalRow = {
+    val p = parse(s)
+    if (p < 0) return null
+    val yMin = (p >> 1).toInt
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](yMin, yMin + (p & 1L).toInt))
   }
 
   /** Column-API form; bounds are optional like
@@ -99,5 +156,11 @@ object YearInRange {
     import org.apache.spark.sql.graft.ColumnBridge
     ColumnBridge.column(YearInRangeExpr(ColumnBridge.expression(year),
       lo.getOrElse(Int.MinValue), hi.getOrElse(Int.MaxValue)))
+  }
+
+  /** Column-API form of the fused struct normalization. */
+  def yearNorm(year: Column): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(YearNormExpr(ColumnBridge.expression(year)))
   }
 }

@@ -14,8 +14,21 @@ object CityDirOps {
     * reference computes `years[0] + 1`, NOT the printed suffix
     * (city-directories.js:121,127); `"1850"` → (1850, 1850).
     * Returns struct(yearMin, yearMax); null/empty input → null.
+    *
+    * Fused native kernel (`functions.YearNormExpr`): ONE byte-level
+    * parse per row. The declarative formulation below stays as the
+    * executable spec — Catalyst substitutes its regex tree into the
+    * projection once per referenced struct field, so reading both
+    * bounds runs the regex machinery twice (PropertySpec pins
+    * native == declarative on random year strings).
     */
-  def yearNorm(year: Column): Column = {
+  def yearNorm(year: Column): Column =
+    graft.functions.YearInRange.yearNorm(year)
+
+  /** The declarative O-15 formulation (reference semantics spelled in
+    * `functions._`); kept as the property-test oracle for [[yearNorm]].
+    */
+  def yearNormDeclarative(year: Column): Column = {
     // JS parseInt semantics (leading digits, junk → NaN→null) — also keeps
     // Spark 4's ANSI cast from throwing on malformed input
     val y0str = regexp_extract(split(year, "/").getItem(0), "^\\s*(\\d+)", 1)

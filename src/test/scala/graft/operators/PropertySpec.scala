@@ -38,6 +38,19 @@ class PropertySpec extends SparkSpec {
         assert(mn.get <= mx.get, y)
       }
     }
+
+    // the native struct kernel equals the declarative regex formulation
+    // cell-for-cell (null text included)
+    val withNull = samples :+ null.asInstanceOf[String]
+    val decl = withNull.toDF("y")
+      .select(CityDirOps.yearNormDeclarative(col("y")).as("yn"))
+      .select(col("yn.yearMin"), col("yn.yearMax"))
+      .as[(Option[Int], Option[Int])].collect().toSeq
+    val native = withNull.toDF("y")
+      .select(CityDirOps.yearNorm(col("y")).as("yn"))
+      .select(col("yn.yearMin"), col("yn.yearMax"))
+      .as[(Option[Int], Option[Int])].collect().toSeq
+    assert(native == decl)
   }
 
   test("chunk: every token covered exactly per the stride formula, texts are substrings") {
