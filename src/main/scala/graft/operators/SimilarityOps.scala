@@ -111,6 +111,21 @@ object SimilarityOps {
     */
   def quantizeInt8(df: DataFrame, idCol: String,
                    vecCol: String = "embedding"): DataFrame = {
+    // native one-pass kernel — the declarative form (kept below as the
+    // executable spec, parity-pinned in ExtOpsSpec) evaluates its HOF
+    // lambdas interpreted, and a downstream posexplode's inferred
+    // Generate filter re-runs the whole tree ~2x more per row
+    val q = graft.functions.QuantizeInt8.quantizeInt8(col(vecCol))
+    df.select(col(idCol), q.getField("qscale").as("qscale"),
+      q.getField("q8").as("q8"))
+  }
+
+  /** Declarative twin of [[quantizeInt8]] — the executable spec the
+    * native kernel is parity-tested against (ExtOpsSpec), never the
+    * production path.
+    */
+  private[graft] def quantizeInt8Declarative(df: DataFrame, idCol: String,
+      vecCol: String = "embedding"): DataFrame = {
     val s = array_max(transform(col(vecCol), x => abs(x)))
       .cast("double") / lit(127.0)
     df.select(col(idCol), s.as("qscale"),

@@ -657,6 +657,37 @@ class ExtOpsSpec extends SparkSpec {
     assert(err.isEmpty)
   }
 
+  test("quantizeInt8: native kernel matches the declarative spec bit-for-bit") {
+    // adversarial floats: half-way rounding points both signs, values
+    // BigDecimal.valueOf and float→double widening could disagree on,
+    // null slots, zero/empty/null vectors, subnormals, huge magnitudes
+    val rnd = new scala.util.Random(7)
+    val tricky: Seq[(Long, Array[java.lang.Float])] = Seq(
+      1L -> Array[java.lang.Float](0.5f, -1.0f, 0.25f),
+      2L -> Array[java.lang.Float](0f, -0f),
+      3L -> Array.empty[java.lang.Float],
+      4L -> null,
+      5L -> Array[java.lang.Float](63.5f, -63.5f, 64.5f, -64.5f, 127f),
+      6L -> Array[java.lang.Float](null, 1f, null),
+      7L -> Array[java.lang.Float](null, null),
+      8L -> Array[java.lang.Float](1e-38f, Float.MinPositiveValue, 3.4e38f),
+      9L -> Array[java.lang.Float](0.1f, 0.2f, 0.3f, 0.7f, -0.049999997f)
+    ) ++ (10L to 40L).map { id =>
+      id -> Array.fill(16)(java.lang.Float.valueOf(
+        (rnd.nextFloat() - 0.5f) * math.pow(10, rnd.nextInt(8) - 4).toFloat))
+    }
+    val df = tricky.toDF("vec_id", "embedding")
+    val native = SimilarityOps.quantizeInt8(df, "vec_id")
+      .as[(Long, Option[Double], Seq[Option[Byte]])].collect().sortBy(_._1)
+    val spec = SimilarityOps.quantizeInt8Declarative(df, "vec_id")
+      .as[(Long, Option[Double], Seq[Option[Byte]])].collect().sortBy(_._1)
+    assert(native.toSeq == spec.toSeq)
+    // and on real data, the whole frame agrees
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    assert(SimilarityOps.quantizeInt8(emb, "vec_id")
+      .except(SimilarityOps.quantizeInt8Declarative(emb, "vec_id")).isEmpty)
+  }
+
   test("mixToBudget: md5-order prefix per stratum, cut at the budget line") {
     val rows = Seq((1L, "a", 10), (2L, "a", 10), (3L, "a", 10),
       (4L, "b", 5), (5L, "b", 100), (6L, "b", 1))
