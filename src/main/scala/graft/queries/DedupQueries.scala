@@ -13,11 +13,17 @@ object DedupQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Exact dedup over a corpus with synthetic duplicates (the corpus
-    // itself has none): keep the min doc_id per distinct text.
+    // itself has none): keep the min doc_id per distinct text. The
+    // group key is md5(text), not text — at corpus scale the exchange
+    // then carries 16-byte digests instead of documents (the partial
+    // agg dedups map-side either way, but every distinct document
+    // would still cross the wire whole). Both engines hash the same
+    // bytes, so the digest key is result-identical, deterministically.
     "dd1_exact" -> ((s, d) => {
       val docs = documents(s, d).select("doc_id", "text")
       val dup = docs.select((col("doc_id") + 10000).as("doc_id"), col("text"))
-      DedupOps.dedupExact(docs.unionByName(dup), Seq("text"), "doc_id")
+      DedupOps.dedupExact(docs.unionByName(dup)
+          .withColumn("_k", md5(col("text"))), Seq("_k"), "doc_id")
         .select("doc_id")
     }),
 
@@ -169,7 +175,7 @@ object DedupQueries {
            SELECT doc_id, text FROM documents
            UNION ALL
            SELECT doc_id + 10000, text FROM documents)
-         GROUP BY text""",
+         GROUP BY md5(text)""",
     "dd2_minhash_lsh" ->
       """WITH s AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
          sh AS (SELECT doc_id,

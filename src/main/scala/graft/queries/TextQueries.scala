@@ -33,10 +33,14 @@ object TextQueries {
     // 10% = 5σ), and the oracle asserts the same exact count with the
     // boolean literally true — the sketch's accuracy contract IS the
     // verified value (the tx14 KMV lane proves the pattern).
+    // The exact side counts DISTINCT md5(text), not text: a distinct
+    // over raw text ships every unique document through the exchange;
+    // the digest is 16 bytes and both engines hash identical bytes, so
+    // the count is the same, deterministically.
     "tx5_approx_distinct" -> ((s, d) => {
       documents(s, d).groupBy("source")
         .agg(approx_count_distinct(col("text"), 0.02).as("_approx"),
-          count_distinct(col("text")).as("exact_texts"),
+          count_distinct(md5(col("text"))).as("exact_texts"),
           count(lit(1)).as("n"))
         .select(col("source"), col("exact_texts"), col("n"),
           (abs(col("_approx").cast("double") /
@@ -293,7 +297,7 @@ object TextQueries {
     // The HLL estimate itself is engine-specific; the verified surface
     // is the exact count + the accuracy-contract boolean (must be true).
     "tx5_approx_distinct" ->
-      """SELECT source, count(DISTINCT text) AS exact_texts,
+      """SELECT source, count(DISTINCT md5(text)) AS exact_texts,
            count(*) AS n, true AS hll_within_10pct
          FROM documents GROUP BY source""",
     "tx1_tokens" ->
