@@ -68,6 +68,66 @@ case class ShingleGenerate(child: Expression, k: Int, distinct: Boolean)
   override def prettyName: String = "shingle_generate"
 }
 
+/** The NON-OVERLAPPING `segWords`-word segments of a text column as an
+  * array — the segmentation step of
+  * [[graft.operators.DedupOps.spanDedup]], consumed through a builtin
+  * `posexplode` (`seg_idx` = the 0-based position). The last segment
+  * keeps the remainder words (ceil division), a text with fewer than
+  * `segWords` words is one short segment — `split(" ", -1)` semantics
+  * throughout, so an empty string is ONE empty segment — and null text
+  * yields an EMPTY array (the explode then drops the row, like the
+  * declarative form it replaces; parity-pinned in ExtOpsSpec).
+  *
+  * Why a scalar array kernel + builtin posexplode, and not the
+  * declarative `transform(sequence, array_join(slice))` or a custom
+  * Generator: the declarative lambdas evaluate interpreted, and
+  * `InferFiltersFromGenerate`'s pre-Generate Filter re-evaluates the
+  * whole tree twice more per row; a custom Generator dodges the
+  * inferred filter but is `CodegenFallback`, and losing whole-stage
+  * codegen around the Generate measured SLOWER than the declarative
+  * form on short documents (1 M × 24-word probe). This shape keeps the
+  * builtin posexplode's codegen Generate AND makes the inferred
+  * filter's re-evaluations cheap one-pass static calls — fastest on
+  * both probe shapes. Each segment is a zero-copy byte-range view:
+  * consecutive words rejoined with " " are byte-identical to the
+  * original text span.
+  */
+case class SegmentArrayExpr(child: Expression, segWords: Int)
+    extends UnaryExpression {
+  require(segWords >= 1, "segment size must be >= 1")
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"segment_array expects string, got ${other.simpleString}")
+    }
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = false
+
+  override def eval(input: InternalRow): Any =
+    ShingleGen.segments(
+      child.eval(input).asInstanceOf[UTF8String], segWords)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val c = child.genCode(ctx)
+    ev.copy(code = code"""
+      ${c.code}
+      org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} =
+        graft.functions.ShingleGen.segments(
+          ${c.isNull} ? null : ${c.value}, $segWords);""",
+      isNull = FalseLiteral)
+  }
+
+  override protected def withNewChildInternal(c: Expression): SegmentArrayExpr =
+    copy(child = c)
+
+  override def prettyName: String = "segment_array"
+}
+
 /** Scalar twin of [[ShingleGenerate]]: the shingle ARRAY of a text
   * column in one JVM pass — drop-in for `DedupOps.shingles(text, k)`
   * (distinct = true) where a consumer needs the array per row rather
@@ -259,6 +319,33 @@ object ShingleGen {
     import org.apache.spark.sql.graft.ColumnBridge
     ColumnBridge.column(ShingleArrayExpr(
       ColumnBridge.expression(text), k, distinct))
+  }
+
+  /** Kernel for [[SegmentArrayExpr]]. Null → empty array. */
+  def segments(t: UTF8String, segWords: Int): ArrayData = {
+    if (t == null) return new GenericArrayData(Array.empty[Any])
+    val bytes = t.getBytes
+    val starts = wordStarts(bytes)
+    val nWords = starts.length
+    val len = bytes.length
+    val nSeg = (nWords + segWords - 1) / segWords
+    val out = new Array[Any](nSeg)
+    var i = 0
+    while (i < nSeg) {
+      val from = starts(i * segWords)
+      val lastWord = math.min((i + 1) * segWords, nWords) - 1
+      val to = if (lastWord == nWords - 1) len else starts(lastWord + 1) - 1
+      out(i) = UTF8String.fromBytes(bytes, from, to - from)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Column-API form of the non-overlapping segment array. */
+  def segmentArray(text: Column, segWords: Int): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(SegmentArrayExpr(
+      ColumnBridge.expression(text), segWords))
   }
 
   /** Column-API form of the fused min-shingle-md5 fingerprint. */

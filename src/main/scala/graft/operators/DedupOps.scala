@@ -427,14 +427,13 @@ object DedupOps {
   def spanDedup(df: DataFrame, idCol: String, textCol: String,
                 segWords: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val w = split(col(textCol), " ")
-    val nSeg = ceil(size(w).cast("double") / segWords).cast("int")
-    val segs = df
-      .select(col(idCol), w.as("_w"), nSeg.as("_n"))
-      .select(col(idCol),
-        posexplode(transform(sequence(lit(0), col("_n") - 1),
-          i => array_join(slice(col("_w"), i * segWords + 1, lit(segWords)),
-            " "))).as(Seq("seg_idx", "seg")))
+    // native segment-array kernel under a BUILTIN posexplode — the
+    // declarative twin below is the executable spec (ExtOpsSpec
+    // parity); see SegmentArrayExpr for why this shape beats both the
+    // interpreted HOF and a custom Generator
+    val segs = df.select(col(idCol),
+      posexplode(graft.functions.ShingleGen.segmentArray(
+        col(textCol), segWords)).as(Seq("seg_idx", "seg")))
     val firstSeen = Window.partitionBy(col("seg"))
       .orderBy(col(idCol).asc, col("seg_idx").asc)
     segs
@@ -447,6 +446,21 @@ object DedupOps {
           array_sort(collect_list(
             when(col("_rn") === 1, struct(col("seg_idx"), col("seg"))))),
           s => s.getField("seg")), " ")).as("text_fp"))
+  }
+
+  /** Declarative twin of [[spanDedup]]'s segmentation — the executable
+    * spec [[graft.functions.SegmentArrayExpr]] is parity-tested
+    * against (ExtOpsSpec), never the production path.
+    */
+  private[graft] def segmentsDeclarative(df: DataFrame, idCol: String,
+      textCol: String, segWords: Int): DataFrame = {
+    val w = split(col(textCol), " ")
+    val nSeg = ceil(size(w).cast("double") / segWords).cast("int")
+    df.select(col(idCol), w.as("_w"), nSeg.as("_n"))
+      .select(col(idCol),
+        posexplode(transform(sequence(lit(0), col("_n") - 1),
+          i => array_join(slice(col("_w"), i * segWords + 1, lit(segWords)),
+            " "))).as(Seq("seg_idx", "seg")))
   }
 
   /** Directional containment pairs: containment(a→b) =

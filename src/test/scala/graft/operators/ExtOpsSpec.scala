@@ -166,6 +166,28 @@ class ExtOpsSpec extends SparkSpec {
     assert(out(3L) == ((2L, 2L, fp("p q r"))))
   }
 
+  test("segmentGen: native segmenter matches the declarative spec row-for-row") {
+    val docs = Seq(
+      (1L, "a b c d a b"),          // even split
+      (2L, "p q r"),                // ragged tail
+      (3L, "solo"),                 // fewer words than a segment
+      (4L, ""),                     // empty string → one empty segment
+      (5L, "a  b"),                 // empty token kept (double space)
+      (6L, "héllo wörld ünïcode x"),// multi-byte UTF-8 boundaries
+      (7L, null.asInstanceOf[String]), // null → no rows
+      (8L, " lead trail ")          // leading/trailing empties
+    ).toDF("doc_id", "text")
+    for (segWords <- Seq(1, 2, 3)) {
+      val native = docs.select(col("doc_id"),
+        posexplode(graft.functions.ShingleGen.segmentArray(
+          col("text"), segWords)).as(Seq("seg_idx", "seg")))
+        .as[(Long, Int, String)].collect().sortBy(r => (r._1, r._2))
+      val spec = DedupOps.segmentsDeclarative(docs, "doc_id", "text", segWords)
+        .as[(Long, Int, String)].collect().sortBy(r => (r._1, r._2))
+      assert(native.toSeq == spec.toSeq, s"segWords=$segWords")
+    }
+  }
+
   test("kmeans: well-separated groups converge to distinct clusters, deterministically") {
     // two orthogonal bundles (9 + 11 — unbalanced so the md5 init is
     // not degenerate-symmetric) with off-axis per-vector jitter
