@@ -123,6 +123,21 @@ class PlanShapeSpec extends SparkSpec {
     assert("ReusedExchange".r.findAllIn(s).size == 2, s)
   }
 
+  test("ss8 quantization is the native kernel — no interpreted transform") {
+    // the posexplode's inferred filter re-evaluates the generator
+    // child; with the native struct kernel those re-evaluations are
+    // static calls, and no HOF lambda may reappear anywhere in the plan
+    val s = planOf("ss8_quantize")
+    assert(s.contains("quantize_int8"), s)
+    assert(!s.contains("lambdafunction"), s)
+  }
+
+  test("dd11 segmentation is the scalar array kernel under builtin posexplode") {
+    val s = planOf("dd11_span_dedup")
+    assert(s.contains("segment_array"), s)
+    assert(!s.contains("lambdafunction"), s)
+  }
+
   test("q1 scan prunes to the referenced columns") {
     // inspect the scan's actual output schema (explain strings truncate
     // ReadSchema at spark.sql.maxMetadataStringLength, and asserting on
