@@ -202,6 +202,67 @@ object PerfCompare {
       docs.unpersist(blocking = true)
     }
 
+    // Segment-kernel shapes head-to-head (the spanDedup segmentation
+    // stage, hash-all action so nothing prunes): declarative HOF vs the
+    // shipped scalar segment_array kernel under the builtin posexplode.
+    // The custom-Generator variant measured SLOWER than the declarative
+    // form on this short-doc shape (CodegenFallback breaks whole-stage
+    // codegen around the Generate) and was deleted — see PERF.md.
+    {
+      val n = if (args.length > 7) args(7).toLong else 1000000L
+      val corpus = spark.range(n).select(col("id"),
+        concat_ws(" ", (0 until 24).map(j =>
+          pmod(hash((col("id") - col("id") % 4)).cast("long") * 31 + j,
+            lit(50000L)).cast("string")): _*).as("text"))
+        .cache()
+      corpus.count()
+      def hashAll(df: org.apache.spark.sql.DataFrame): Long = {
+        df.select(xxhash64(df.columns.map(col): _*).as("_h"))
+          .agg(bit_xor(col("_h"))).collect(); df.count()
+      }
+      def declarative: Long = {
+        val w = split(col("text"), " ")
+        val nSeg = ceil(size(w).cast("double") / 8).cast("int")
+        hashAll(corpus.select(col("id"), w.as("_w"), nSeg.as("_n"))
+          .select(col("id"),
+            posexplode(transform(sequence(lit(0), col("_n") - 1),
+              i => array_join(slice(col("_w"), i * 8 + 1, lit(8)), " ")))
+              .as(Seq("seg_idx", "seg"))))
+      }
+      def native: Long = hashAll(corpus.select(col("id"),
+        posexplode(functions.ShingleGen.segmentArray(col("text"), 8))
+          .as(Seq("seg_idx", "seg"))))
+      declarative; native
+      val (td, nd) = time(declarative)
+      val (tn, nn3) = time(native)
+      require(nd == nn3, s"segment row mismatch: $nd vs $nn3")
+      println(s"""{"segment_docs":$n,"segment_rows":$nd,""" +
+        s""""declarative_sec":$td,"native_array_sec":$tn}""")
+      // int8 quantization: declarative HOF quantize under posexplode
+      // (the inferred Generate filter re-evaluates the whole tree) vs
+      // the one-pass native struct kernel
+      val vq = spark.range(100000L).select(col("id"),
+        array((0 until 64).map(j =>
+          ((pmod(hash(col("id") * 13 + j), lit(2000)) - 1000) / lit(500.0))
+            .cast("float")): _*).as("embedding"))
+        .cache()
+      vq.count()
+      def qDecl: Long = hashAll(
+        operators.SimilarityOps.quantizeInt8Declarative(vq, "id")
+          .select(col("id"), col("qscale"), posexplode(col("q8"))))
+      def qNative: Long = hashAll(
+        operators.SimilarityOps.quantizeInt8(vq, "id")
+          .select(col("id"), col("qscale"), posexplode(col("q8"))))
+      qDecl; qNative
+      val (tqd, nqd) = time(qDecl)
+      val (tqn, nqn) = time(qNative)
+      require(nqd == nqn, s"quantize row mismatch: $nqd vs $nqn")
+      println(s"""{"quantize_vecs":100000,"quantize_rows":$nqd,""" +
+        s""""declarative_sec":$tqd,"native_kernel_sec":$tqn}""")
+      corpus.unpersist(blocking = true)
+      vq.unpersist(blocking = true)
+    }
+
     // k-means at data scale: 16-dim float vectors, k=16, 2 Lloyd
     // rounds — per-iteration cost is one VectorMeanAgg partial agg plus
     // one broadcast re-assignment; the corpus never shuffles by content.
