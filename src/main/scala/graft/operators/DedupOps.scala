@@ -108,15 +108,22 @@ object DedupOps {
     // 2× more inside an interpreted Filter. Texts with fewer than k
     // words emit no rows (the non-outer explode semantics).
     val banded = bandRows(df, idCol, textCol, shingleK, numPerm, bands)
-    // Self-join with the rename AFTER the join, hinted to shuffle: both
-    // sides are then the IDENTICAL plan exchanged on the same key, so
-    // ReuseExchange computes the signature pipeline once and reads the
-    // shuffle twice. A broadcast build here would recompute the whole
-    // md5 pipeline for the build side — worse at every scale for a
-    // self-join. (At 100 TB, persist/checkpoint the banded projection
-    // instead if the optimizer cannot prove reuse.)
-    val l = banded.hint("shuffle_hash").as("l")
-    val r = banded.hint("shuffle_hash").as("r")
+    // Self-join with the rename AFTER the join, hinted to sort-merge:
+    // both sides are then the IDENTICAL plan exchanged on the same key,
+    // so ReuseExchange computes the signature pipeline once and reads
+    // the shuffle twice. A broadcast build here would recompute the
+    // whole md5 pipeline for the build side — worse at every scale for
+    // a self-join. Sort-merge over shuffled-hash is a measured,
+    // deliberate choice (graft.JoinAB, 5M docs / 119.8M pairs,
+    // local[32]): SHJ wins with headroom (75 s vs 98 s at 48 g heap)
+    // but its per-partition build map CANNOT SPILL and OOMs outright at
+    // an 8 g heap (256 MB/slot) — a duplicate-heavy band bucket kills
+    // the stage. SMJ spills and completes at both heaps (35 s at 8 g).
+    // At 100 TB a skewed band bucket is a certainty, so the spill-safe
+    // shape ships. (If the optimizer cannot prove exchange reuse,
+    // persist/checkpoint the banded projection instead.)
+    val l = banded.hint("merge").as("l")
+    val r = banded.hint("merge").as("r")
     l.join(r, col("l._band") === col("r._band") &&
         col("l._bh") === col("r._bh") && col("l._id") < col("r._id"))
       .select(col("l._id").as("a"), col("r._id").as("b"))
