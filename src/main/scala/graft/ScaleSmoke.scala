@@ -2,19 +2,24 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-/** Scale-up smoke for the heavy dedup pipelines: runs each at 5–20×
-  * the PerfCompare probe sizes (tens of millions of segments, millions
-  * of documents) and prints one JSON line per stage. The POINT is not
-  * the wall time — it is that every shape completes with bounded
+/** Scale-up smoke for the heavy pipelines: runs each at 5–20× the
+  * PerfCompare probe sizes (tens of millions of segments, millions of
+  * documents/vectors) and prints one JSON line per stage. The POINT is
+  * not the wall time — it is that every shape completes with bounded
   * memory: no OOM from an unbounded collect/buffer, no pair explosion
-  * from a skewed key, no driver-sized state. Sizes are CLI-overridable:
-  * `runMain graft.ScaleSmoke [spanDocs] [containDocs] [lshDocs]`.
+  * from a skewed key, no driver-sized state. Run it at the TIGHT heap
+  * (the 8g default = 256 MB/slot at local[32]) — that is the
+  * configuration that exposed the unspillable shuffled-hash build
+  * (PERF.md). Sizes are CLI-overridable: `runMain graft.ScaleSmoke
+  * [spanDocs] [containDocs] [lshDocs] [tfidfDocs] [embVecs]`.
   */
 object ScaleSmoke {
   def main(args: Array[String]): Unit = {
     val spanDocs = if (args.length > 0) args(0).toLong else 10000000L
     val containDocs = if (args.length > 1) args(1).toLong else 2000000L
     val lshDocs = if (args.length > 2) args(2).toLong else 5000000L
+    val tfidfDocs = if (args.length > 3) args(3).toLong else 10000000L
+    val embVecs = if (args.length > 4) args(4).toLong else 2000000L
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = org.apache.spark.sql.SparkSession.builder()
       .master(s"local[$cpus]")
@@ -68,6 +73,41 @@ object ScaleSmoke {
       lshCorpus, "doc_id", "text", shingleK = 3, numPerm = 16, bands = 4)
     val (t4, n4) = t(operators.DedupOps.clusters(pairs, "a", "b").count())
     println(s"""{"cluster_edges_from_docs":$lshDocs,"sec":${round1(t4)},"members":$n4}""")
+    lshCorpus.unpersist(blocking = true)
+
+    // text lane: tf-idf at crawl scale — the (doc, term) partial agg
+    // carries ~24 tokens/doc (240M rows), the df table derives from it,
+    // and the term join back is UNHINTED so Catalyst may shuffle when
+    // the vocabulary (500k terms here) outgrows a broadcast. All stages
+    // sort-based and spillable.
+    val tfidfCorpus = spark.range(tfidfDocs).select(col("id"),
+      concat_ws(" ", (0 until 24).map(j =>
+        pmod(hash((col("id") - col("id") % 4)).cast("long") * 31 + j,
+          lit(500000L)).cast("string")): _*).as("text"))
+      .localCheckpoint()
+    val (t5, n5) = t(operators.TextAnalysisOps
+      .tfidf(tfidfCorpus, "id", "text", minTf = 1).count())
+    println(s"""{"tfidf_docs":$tfidfDocs,"sec":${round1(t5)},"doc_terms":$n5}""")
+    tfidfCorpus.unpersist(blocking = true)
+
+    // similarity lane: embedding near-dup pairs — 24-dim float vectors
+    // in duplicate groups of 4 (shared base pattern, per-member noise an
+    // order of magnitude below the base scale, so groups land in one
+    // sign bucket and cosine ≈ 1). bits=16 → 65k buckets keeps the
+    // within-bucket pair formation bounded (~30 vectors/bucket);
+    // the bucket equi-join is unhinted → spillable.
+    val base = col("vid") - col("vid") % 4
+    val embCorpus = spark.range(embVecs)
+      .select(col("id").as("vid"))
+      .select(col("vid"), array((0 until 24).map(j =>
+        ((pmod(hash(base * 31 + j), lit(2001)) - 1000).cast("float") / 1000.0f +
+          (pmod(hash(col("vid") * 7 + j), lit(21)) - 10).cast("float") / 10000.0f)
+          .cast("float")): _*).as("embedding"))
+      .localCheckpoint()
+    val (t6, n6) = t(operators.DedupOps.embeddingPairs(
+      embCorpus, threshold = 0.99, bits = 16,
+      idCol = "vid", vecCol = "embedding").count())
+    println(s"""{"emb_vecs":$embVecs,"sec":${round1(t6)},"near_dup_pairs":$n6}""")
     spark.stop()
   }
 }

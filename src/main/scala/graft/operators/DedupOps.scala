@@ -324,6 +324,14 @@ object DedupOps {
   /** GraphX twin of [[clusters]] (RDD Pregel `connectedComponents`).
     * Kept as the cross-check implementation: same output contract,
     * higher fixed per-iteration cost (RDD shuffles outside codegen).
+    *
+    * Storage levels are pinned to MEMORY_AND_DISK — GraphX's default is
+    * MEMORY_ONLY, under which a heap too small for the cached
+    * edge/vertex partitions EVICTS them and Pregel's next iteration
+    * silently recomputes the lineage, turning memory pressure into a
+    * recompute storm instead of a disk spill (observed in the tight-heap
+    * ScaleSmoke run; same hazard family as the unspillable
+    * shuffled-hash build, PERF.md).
     */
   def clustersGraphx(pairs: DataFrame, aCol: String = "a",
                      bCol: String = "b"): DataFrame = {
@@ -333,7 +341,9 @@ object DedupOps {
       .select(col(aCol).cast("long"), col(bCol).cast("long"))
       .as[(Long, Long)].rdd
       .map { case (a, b) => org.apache.spark.graphx.Edge(a, b, ()) }
-    org.apache.spark.graphx.Graph.fromEdges(edges, ())
+    org.apache.spark.graphx.Graph.fromEdges(edges, (),
+        edgeStorageLevel = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK,
+        vertexStorageLevel = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       .connectedComponents().vertices // component id = min vertex id
       .toDF("member", "cluster_rep")
   }
