@@ -11,7 +11,7 @@ import org.apache.spark.sql.functions._
   * (the 8g default = 256 MB/slot at local[32]) — that is the
   * configuration that exposed the unspillable shuffled-hash build
   * (PERF.md). Sizes are CLI-overridable: `runMain graft.ScaleSmoke
-  * [spanDocs] [containDocs] [lshDocs] [tfidfDocs] [embVecs]`.
+  * [spanDocs] [containDocs] [lshDocs] [tfidfDocs] [embVecs] [evEvents]`.
   */
 object ScaleSmoke {
   def main(args: Array[String]): Unit = {
@@ -20,6 +20,7 @@ object ScaleSmoke {
     val lshDocs = if (args.length > 2) args(2).toLong else 5000000L
     val tfidfDocs = if (args.length > 3) args(3).toLong else 10000000L
     val embVecs = if (args.length > 4) args(4).toLong else 2000000L
+    val evEvents = if (args.length > 5) args(5).toLong else 20000000L
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = org.apache.spark.sql.SparkSession.builder()
       .master(s"local[$cpus]")
@@ -108,6 +109,36 @@ object ScaleSmoke {
       embCorpus, threshold = 0.99, bits = 16,
       idCol = "vid", vecCol = "embedding").count())
     println(s"""{"emb_vecs":$embVecs,"sec":${round1(t6)},"near_dup_pairs":$n6}""")
+    embCorpus.unpersist(blocking = true)
+
+    // events lane: session windows and the as-of join, with a PLANTED
+    // HOT KEY — user 0 owns 5% of all events, so one task receives a
+    // million-row partition that forms ONE giant session (worst case
+    // for session merging) and one million-row window partition in the
+    // as-of. Both shapes must sort-spill, not buffer.
+    val events = spark.range(evEvents).select(
+        col("id").as("event_id"),
+        when(col("id") % 20 === 0, 0L)
+          .otherwise(pmod(hash(col("id")), lit(200000L))).as("user_id"),
+        timestamp_seconds(lit(1600000000L) +
+          pmod(hash(col("id") * 13), lit(10000000L))).as("ts"),
+        when(col("id") % 5 === 0, "purchase").otherwise("click")
+          .as("event_type"),
+        (pmod(hash(col("id") * 7), lit(10000L)) / 100.0).as("value"))
+      .localCheckpoint()
+    val (t7, n7) = t(operators.EventOps
+      .sessions(events, "30 minutes").count())
+    println(s"""{"ev_events":$evEvents,"sec":${round1(t7)},"sessions":$n7}""")
+    val right = events.filter(col("event_id") % 10 === 0)
+      .select(col("user_id"), col("ts"), col("value"))
+    // count(_match), not count(): a bare count() lets ColumnPruning
+    // delete the unused window projection and the stage measures only
+    // the union — the same prune trap Bench's hash-all action closes.
+    val (t8, n8) = t(operators.EventOps.asOfJoin(
+      events.filter(col("event_type") === "purchase"), right,
+      key = "user_id", time = "ts", rightCols = Seq("value"))
+      .agg(count(col("_match"))).first.getLong(0))
+    println(s"""{"asof_left":${evEvents / 5},"sec":${round1(t8)},"matched":$n8}""")
     spark.stop()
   }
 }
