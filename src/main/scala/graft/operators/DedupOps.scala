@@ -348,6 +348,46 @@ object DedupOps {
       .toDF("member", "cluster_rep")
   }
 
+  /** Leakage-free train/val/test split: the split key is the near-dup
+    * CLUSTER representative, not the document id — every member of a
+    * connected near-duplicate cluster lands in the same split, so a
+    * held-out set can never be contaminated by a near-copy of a training
+    * document (hash-splitting on raw doc ids gives exactly that leak).
+    * Composition: [[minhashCandidates]] → [[clusters]] for the
+    * representative; docs in no candidate pair are their own
+    * representative (left join + coalesce). Assignment is the md5-bucket
+    * idiom of `TextAnalysisOps.stratifiedHashSample` on the REP id — a
+    * pure function of the data, reproducible across engines, retries and
+    * cluster topologies, and trivially cluster-coherent (same rep ⇒ same
+    * bucket by construction, no cross-member coordination needed).
+    *
+    * Scale: the members table holds only docs that appeared in a
+    * candidate pair (≪ corpus at realistic dup rates), so the rep join
+    * is an equi-join on the doc key against a much smaller right side —
+    * broadcast when small, shuffled keyed join otherwise (left to AQE);
+    * the bucket/split projection is map-side.
+    */
+  def leakageFreeSplit(docs: DataFrame, idCol: String, textCol: String,
+                       trainPct: Int = 80, valPct: Int = 10,
+                       shingleK: Int = 3, numPerm: Int = 16,
+                       bands: Int = 4): DataFrame = {
+    require(trainPct > 0 && valPct >= 0 && trainPct + valPct <= 100,
+      s"invalid split percentages: train=$trainPct val=$valPct")
+    val members = clusters(
+        minhashCandidates(docs, idCol, textCol, shingleK, numPerm, bands))
+      .withColumnRenamed("member", idCol)
+    val withRep = docs.select(col(idCol))
+      .join(members, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("cluster_rep"), col(idCol)).as("rep"))
+    val bucket = conv(substring(md5(col("rep").cast("string")), 1, 8), 16, 10)
+      .cast("long") % 100
+    withRep.withColumn("split",
+      when(bucket < trainPct, lit("train"))
+        .when(bucket < trainPct + valPct, lit("val"))
+        .otherwise(lit("test")))
+  }
+
   /** Embedding-cosine near-duplicate pairs: sign-bit LSH bucket on the
     * first `bits` dimensions (SimilarityOps.signBucket), cosine within
     * the bucket only — an equi-join on the bucket key, never a cross

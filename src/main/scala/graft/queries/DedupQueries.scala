@@ -103,6 +103,15 @@ object DedupQueries {
           shingleK = 3, numPerm = 16, bands = 4))
     }),
 
+    // Leakage-free split: train/val/test assignment keyed on the
+    // near-dup CLUSTER representative (minhash+LSH pairs → CC), so
+    // near-copies never straddle a split boundary; docs in no pair are
+    // their own representative.
+    "dd14_leakage_split" -> ((s, d) => {
+      DedupOps.leakageFreeSplit(documents(s, d), "doc_id", "text",
+        trainPct = 80, valPct = 10, shingleK = 3, numPerm = 16, bands = 4)
+    }),
+
     // Embedding-cosine near-dup dedup: sign-bucket LSH pairs (4 bits,
     // cosine >= 0.4), greedy keep-smallest-id survivors.
     "dd7_embedding_dedup" -> ((s, d) => {
@@ -341,6 +350,45 @@ object DedupQueries {
            SELECT e.b, r.rep FROM reach r JOIN edges e ON e.a = r.node)
          SELECT node AS member, min(rep) AS cluster_rep
          FROM reach GROUP BY node""",
+    // dd6's pipeline + a left join back to the full corpus: singleton
+    // docs are their own rep; split = md5-bucket of the REP id.
+    "dd14_leakage_split" ->
+      """WITH RECURSIVE s AS (SELECT doc_id, string_split(text,' ') w FROM documents),
+         sh AS (SELECT doc_id,
+                  unnest(list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                                        for i in range(1, len(w)-1)])) AS s
+                FROM s WHERE len(w) >= 3),
+         xh AS (SELECT doc_id,
+                  (('0x' || substr(md5(s), 1, 15))::UBIGINT % 2147483647)::BIGINT AS x
+                FROM sh),
+         sig AS (SELECT doc_id, i,
+                   min(((i*1000003 + 12345) * x + i*999983 + 54321) % 2147483647) AS mh
+                 FROM xh CROSS JOIN (SELECT unnest(range(0,16)) AS i) perms
+                 GROUP BY doc_id, i),
+         bands AS (SELECT doc_id, i // 4 AS band,
+                     md5(string_agg(mh::VARCHAR, '|' ORDER BY i)) AS bh
+                   FROM sig GROUP BY doc_id, i // 4),
+         pairs AS (SELECT DISTINCT l.doc_id a, r.doc_id b
+                   FROM bands l JOIN bands r
+                     ON l.band = r.band AND l.bh = r.bh AND l.doc_id < r.doc_id),
+         edges AS (SELECT a, b FROM pairs UNION SELECT b, a FROM pairs),
+         nodes AS (SELECT DISTINCT a AS n FROM edges),
+         reach(node, rep) AS (
+           SELECT n, n FROM nodes
+           UNION
+           SELECT e.b, r.rep FROM reach r JOIN edges e ON e.a = r.node),
+         cl AS (SELECT node AS member, min(rep) AS cluster_rep
+                FROM reach GROUP BY node),
+         withrep AS (SELECT d.doc_id,
+                       coalesce(cl.cluster_rep, d.doc_id) AS rep
+                     FROM documents d LEFT JOIN cl ON cl.member = d.doc_id)
+         SELECT doc_id, rep,
+           CASE WHEN ('0x' || substr(md5(rep::VARCHAR), 1, 8))::UBIGINT % 100 < 80
+                  THEN 'train'
+                WHEN ('0x' || substr(md5(rep::VARCHAR), 1, 8))::UBIGINT % 100 < 90
+                  THEN 'val'
+                ELSE 'test' END AS split
+         FROM withrep""",
     "dd7_embedding_dedup" ->
       """WITH b AS (
            SELECT vec_id, embedding,

@@ -478,6 +478,27 @@ class ExtOpsSpec extends SparkSpec {
     assert(df1.filter(_._2 == 3L).map(_._1) == Set(3L, 4L, 5L, 6L, 7L, 8L, 9L))
   }
 
+  test("leakageFreeSplit: cluster members share one split; singletons covered; deterministic") {
+    val out = DedupOps.leakageFreeSplit(df, "doc_id", "text",
+      trainPct = 80, valPct = 10, shingleK = 3, numPerm = 16, bands = 4)
+      .as[(Long, Long, String)].collect()
+    // total function over the corpus — every doc gets exactly one split
+    assert(out.map(_._1).sorted.toSeq == Seq(1L, 2L, 3L, 4L, 5L))
+    val byId = out.map { case (id, rep, split) => id -> ((rep, split)) }.toMap
+    // docs 1/2/4 are near/exact dups → one cluster, rep = min id = 1,
+    // and (the leakage property) one shared split
+    assert(byId(1L)._1 == 1L && byId(2L)._1 == 1L && byId(4L)._1 == 1L)
+    assert(Set(byId(1L)._2, byId(2L)._2, byId(4L)._2).size == 1)
+    // singletons are their own rep
+    assert(byId(3L)._1 == 3L && byId(5L)._1 == 5L)
+    assert(out.forall(r => Set("train", "val", "test").contains(r._3)))
+    // pure function of the data — identical on re-run
+    val again = DedupOps.leakageFreeSplit(df, "doc_id", "text",
+      trainPct = 80, valPct = 10, shingleK = 3, numPerm = 16, bands = 4)
+      .as[(Long, Long, String)].collect()
+    assert(out.sortBy(_._1).toSeq == again.sortBy(_._1).toSeq)
+  }
+
   test("clusters: empty pair set yields empty result") {
     val empty = Seq.empty[(Long, Long)].toDF("a", "b")
     assert(DedupOps.clusters(empty).count() == 0)
