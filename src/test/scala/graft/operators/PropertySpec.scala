@@ -227,6 +227,45 @@ class PropertySpec extends SparkSpec {
     assert(totalKept == seen.size)
   }
 
+  test("leakageFreeSplit: total, rep-min, and no candidate pair straddles a split") {
+    // random docs over a small vocab, salted with near-dup families:
+    // each family shares a base text with at most one word perturbed,
+    // so minhash+LSH finds plenty of candidate pairs
+    val vocab = (0 until 30).map(i => s"v$i")
+    val base = (0 until 25).map { i =>
+      (i.toLong, Seq.fill(8 + rnd.nextInt(8))(
+        vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }
+    val dups = base.flatMap { case (id, text) =>
+      if (rnd.nextBoolean()) {
+        val w = text.split(" ")
+        w(rnd.nextInt(w.length)) = vocab(rnd.nextInt(vocab.size))
+        Seq((id + 1000L, w.mkString(" ")), (id + 2000L, text))
+      } else Nil
+    }
+    val corpus = (base ++ dups).toDF("doc_id", "text")
+    val out = DedupOps.leakageFreeSplit(corpus, "doc_id", "text",
+        trainPct = 80, valPct = 10, shingleK = 3, numPerm = 16, bands = 4)
+      .as[(Long, Long, String)].collect()
+    // total function: exactly one split row per input doc
+    assert(out.map(_._1).sorted.toSeq ==
+      (base ++ dups).map(_._1).sorted)
+    val split = out.map(r => r._1 -> r._3).toMap
+    val rep = out.map(r => r._1 -> r._2).toMap
+    // rep is the cluster MIN, so never exceeds the member id
+    out.foreach { case (id, r, _) => assert(r <= id, s"rep $r > id $id") }
+    // THE leakage property: both endpoints of every candidate pair
+    // (same pipeline parameters) land in the same split
+    val pairs = DedupOps.minhashCandidates(corpus, "doc_id", "text",
+        shingleK = 3, numPerm = 16, bands = 4)
+      .select("a", "b").as[(Long, Long)].collect()
+    assert(pairs.nonEmpty, "fixture must produce candidate pairs")
+    pairs.foreach { case (a, b) =>
+      assert(rep(a) == rep(b), s"pair ($a,$b) rep mismatch")
+      assert(split(a) == split(b), s"pair ($a,$b) straddles splits")
+    }
+  }
+
   test("saltedJoin equals the plain join on random skewed frames, any salt count") {
     val big = (0 until 300).map { _ =>
       // zipf-ish: key 0 dominates
