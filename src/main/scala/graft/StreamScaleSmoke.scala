@@ -10,16 +10,36 @@ import org.apache.spark.sql.functions._
   * numRowsTotal ≪ cumulative input), while a plain `dropDuplicates`
   * stream would grow state forever. Wall-clock run, so watermarks are
   * real time: short watermark/gap make eviction observable in a ~45 s
-  * window. Run: `runMain graft.StreamScaleSmoke [rowsPerSec] [runSec]`.
+  * window. Run: `runMain graft.StreamScaleSmoke [rowsPerSec] [runSec]
+  * [lane]` — prefer one lane per invocation (`dedup`, `session`,
+  * `lsh_self_join`): a fresh JVM per lane is the honest measurement,
+  * and the numbers in PERF.md come from single-lane runs.
+  * `GRAFT_SSMOKE_VERBOSE=1` prints per-batch watermark/state rows;
+  * `GRAFT_STATE_STORE=hdfs` flips the state store back to the
+  * heap-resident default (reproduces the 8 g OOM — see PERF.md).
   */
 object StreamScaleSmoke {
   def main(args: Array[String]): Unit = {
     val rowsPerSec = if (args.length > 0) args(0).toLong else 200000L
     val runSec = if (args.length > 1) args(1).toInt else 45
+    val only = if (args.length > 2) Some(args(2)) else None
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // State-store provider A/B (GRAFT_STATE_STORE=hdfs to flip back):
+    // the default HDFSBackedStateStoreProvider keeps EVERY loaded state
+    // partition as JVM-heap maps — large join state OOMs a tight heap
+    // even though the watermark bounds it in rows. RocksDB keeps state
+    // in native memory + local disk, so "state doesn't fit the heap"
+    // degrades to I/O instead of death; it is the production default
+    // here and the probe's point on the LSH lane.
+    val provider =
+      if (sys.env.get("GRAFT_STATE_STORE").contains("hdfs"))
+        "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider"
+      else
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
     val spark = org.apache.spark.sql.SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.streaming.stateStore.providerClass", provider)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -41,14 +61,22 @@ object StreamScaleSmoke {
         (pmod(hash(col("value")), lit(10000)) / 100.0).as("value"))
 
     def drain(name: String, out: org.apache.spark.sql.DataFrame,
-              mode: String): Unit = {
+              mode: String, seconds: Int = runSec): Unit = {
+      if (only.exists(_ != name)) return
       val q = out.writeStream.format("noop").outputMode(mode)
         .option("checkpointLocation",
           java.nio.file.Files.createTempDirectory(s"graft-ssmoke-$name")
             .toString)
         .start()
-      Thread.sleep(runSec * 1000L)
+      Thread.sleep(seconds * 1000L)
       val progs = q.recentProgress
+      if (sys.env.contains("GRAFT_SSMOKE_VERBOSE")) progs.foreach { p =>
+        val so = p.stateOperators.map(s =>
+          s"${s.operatorName}: total=${s.numRowsTotal} removed=${s.numRowsRemoved}")
+          .mkString("; ")
+        println(s"[batch ${p.batchId}] rows=${p.numInputRows} " +
+          s"wm=${p.eventTime.get("watermark")} $so")
+      }
       val input = progs.map(_.numInputRows).sum
       val st = progs.flatMap(_.stateOperators)
       val stateNow = if (st.nonEmpty) st.last.numRowsTotal else -1L
@@ -69,6 +97,30 @@ object StreamScaleSmoke {
       streaming.StreamingOps.sessionStream(events, gap = "10 seconds",
         watermark = "5 seconds"),
       "append")
+
+    // The heaviest streaming shape: watermarked LSH band SELF-join.
+    // Docs are ~12-word texts derived from the row value; every run of
+    // 5 consecutive ids shares one text (a planted duplicate family),
+    // so band matches land inside the 10 s horizon. Join state holds
+    // BOTH sides' band rows only within horizon+watermark — the
+    // boundedness claim under test. Rate is lower than the stateless
+    // lanes: each doc fans out to 4 band rows per join side.
+    val docRate = math.max(rowsPerSec / 4, 1L)
+    val wordCols = (0 until 12).map(i =>
+      concat(lit("w"), pmod(hash((col("value") / 5) * 31 + lit(i)),
+        lit(50))))
+    val docs = spark.readStream.format("rate")
+      .option("rowsPerSecond", docRate).load()
+      .select(col("value").as("doc_id"), col("timestamp").as("ts"),
+        concat_ws(" ", wordCols: _*).as("text"))
+    // Join-state eviction needs watermark + horizon + a batch boundary
+    // to pass before the first removal, and this lane's batches run
+    // tens of seconds — give it a window long enough to SHOW the
+    // plateau, not just the ramp.
+    drain("lsh_self_join",
+      streaming.StreamingOps.nearDupWithinStream(docs, horizonSec = 10,
+        watermark = "5 seconds"),
+      "append", seconds = math.max(runSec, 90))
     spark.stop()
   }
 }
