@@ -12,6 +12,16 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * engine-native extension: watermarked tumbling/sliding/session windows
   * and an arbitrary-stateful running aggregate via
   * `mapGroupsWithState`.
+  *
+  * Deployment note (measured — PERF.md "state boundedness"): every
+  * watermark here bounds state in ROWS, but the default
+  * `HDFSBackedStateStoreProvider` holds those rows as JVM-heap maps and
+  * OOMs a tight executor even with the bound holding (observed at 8 g
+  * on the LSH self-join lane). Run large-state streams — the joins and
+  * `nearDupWithinStream` especially — with
+  * `spark.sql.streaming.stateStore.providerClass` set to
+  * `RocksDBStateStoreProvider`, which degrades to native memory + disk
+  * instead of dying.
   */
 object StreamingOps {
 
