@@ -499,6 +499,20 @@ class ExtOpsSpec extends SparkSpec {
     assert(out.sortBy(_._1).toSeq == again.sortBy(_._1).toSeq)
   }
 
+  test("leakageFreeSplit: corpus with no near-dups — every doc its own rep, still total") {
+    val distinct = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "one two three four five six seven"),
+      (3L, "red orange yellow green blue indigo"))
+      .toDF("doc_id", "text")
+    val out = DedupOps.leakageFreeSplit(distinct, "doc_id", "text",
+      trainPct = 80, valPct = 10, shingleK = 3, numPerm = 16, bands = 4)
+      .as[(Long, Long, String)].collect().sortBy(_._1)
+    assert(out.map(r => (r._1, r._2)).toSeq ==
+      Seq((1L, 1L), (2L, 2L), (3L, 3L)))
+    assert(out.forall(r => Set("train", "val", "test").contains(r._3)))
+  }
+
   test("clusters: empty pair set yields empty result") {
     val empty = Seq.empty[(Long, Long)].toDF("a", "b")
     assert(DedupOps.clusters(empty).count() == 0)
