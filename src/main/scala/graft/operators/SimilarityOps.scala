@@ -438,6 +438,54 @@ object SimilarityOps {
     df.join(drops, Seq(idCol), "left_anti")
   }
 
+  /** Johnson–Lindenstrauss random projection: `dIn`-dim float vectors →
+    * `kOut`-dim sketches against a fixed ±1 sign matrix (Achlioptas'
+    * database-friendly variant — signs, not Gaussians, preserve the JL
+    * distance bound with the same `O(log n / eps^2)` target dimension).
+    * This is the standard pre-ANN shrink: project once, index/search the
+    * short vectors, re-rank survivors on the originals.
+    *
+    * Determinism: the sign matrix is derived from md5 of `"seed_i_j"`
+    * (first hex nibble parity), computed DRIVER-SIDE into a literal —
+    * per-row work is just the fused multiply/round/sum, no hashing. Each
+    * addend is quantized to an integer micro-unit (`round(x*s*1e6)`)
+    * BEFORE summation, so the sum is an exact integer — order-free and
+    * bit-replayable on any engine, unlike a float fold whose value
+    * depends on addend order. `proj_micro` (long) is the canonical
+    * surface; `proj = proj_micro / 1e6 / sqrt(kOut)` is the scaled
+    * convenience view.
+    *
+    * Scale shape: narrow map-side projection — no shuffle, no UDF; the
+    * literal sign matrix ships inside the plan (kOut*dIn ints), not as a
+    * broadcast. Vectors must have exactly `dIn` elements (zip_with
+    * null-pads short inputs, poisoning the sum to null — surfaced, not
+    * silently wrong).
+    */
+  def randomProject(df: DataFrame, dIn: Int, kOut: Int,
+                    idCol: String = "vec_id",
+                    vecCol: String = "embedding",
+                    seed: String = "rp"): DataFrame = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val signs: Array[Array[Int]] = Array.tabulate(kOut, dIn) { (j, i) =>
+      val h = md.digest(s"${seed}_${i}_${j}".getBytes("UTF-8"))
+      if (((h(0) >> 4) & 0xF) % 2 == 0) 1 else -1
+    }
+    val micro = (0 until kOut).map { j =>
+      aggregate(
+        zip_with(col(vecCol), typedLit(signs(j).toSeq),
+          (x, sgn) => round(x.cast("double") * sgn * lit(1e6)).cast("long")),
+        lit(0L), (acc, v) => acc + v)
+    }
+    // two-stage select: the transform must reference the ATTRIBUTE, not
+    // the aggregate expressions — CollapseProject would otherwise inline
+    // the kOut folds into both outputs (the round-1 lesson)
+    df.select(col(idCol), array(micro: _*).as("proj_micro"))
+      .select(col(idCol), col("proj_micro"),
+        transform(col("proj_micro"),
+          m => m.cast("double") / lit(1e6) / lit(math.sqrt(kOut.toDouble)))
+          .as("proj"))
+  }
+
   /** Bucketed approximate similarity pairs: equi-join on the sign bucket,
     * cosine + threshold within the bucket. `kernel` selects the
     * similarity implementation (default: double-precision HOF cosine;

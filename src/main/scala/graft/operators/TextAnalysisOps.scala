@@ -519,4 +519,81 @@ object TextAnalysisOps {
       Seq(col("_pri").desc, col(idCol).asc), k)
       .drop("_pri", "rk")
   }
+
+  /** Hashed-linear classifier inference — the fasttext/CCNet-shaped
+    * quality-filter pass every large text pipeline runs: tokens →
+    * hashing-trick bucket (md5 mod `dim`, no vocabulary to ship) →
+    * per-bucket weight → document score as the MEAN token weight.
+    * Weights here are a deterministic md5 function of the bucket — the
+    * stand-in for a trained model's weight vector; a real model drops
+    * in as a `dim`-element literal/broadcast array without changing the
+    * plan shape.
+    *
+    * Weights are integer MILLI-units and the document logit is their
+    * exact integer sum (`logit_milli`) — order-free, so the surface
+    * replays bit-exactly cross-engine; `mean_w = logit_milli / n_tokens
+    * / 1000` adds only IEEE-identical divisions. The sigmoid is left to
+    * the consumer: it is monotone in `mean_w`, so `keep = logit > 0`
+    * (score > 0.5) needs no transcendental whose last ULP is libm's.
+    *
+    * Scale shape: pure map-side — no shuffle, no UDF, no vocabulary
+    * broadcast; cost is two md5 per token.
+    */
+  def hashedClassifierScore(df: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", dim: Int = 256,
+      seed: String = "qc"): DataFrame = {
+    val toks = when(length(trim(col(textCol))) === 0,
+        array().cast("array<string>"))
+      .otherwise(split(lower(trim(col(textCol))), "\\s+"))
+    def bucket(t: Column): Column =
+      conv(substring(md5(concat(lit(seed + "_"), t)), 1, 8), 16, 10)
+        .cast("long") % dim
+    def weight(t: Column): Column =
+      conv(substring(md5(concat(lit("w_"), bucket(t).cast("string"))),
+        1, 8), 16, 10).cast("long") % 2001 - 1000
+    df.select(col(idCol), size(toks).as("n_tokens"),
+        aggregate(transform(toks, t => weight(t)), lit(0L),
+          (acc, v) => acc + v).as("logit_milli"))
+      .withColumn("mean_w", round(
+        try_divide(col("logit_milli").cast("double"),
+          col("n_tokens").cast("double")) / lit(1000.0), 6))
+      .withColumn("keep", col("logit_milli") > 0)
+  }
+
+  /** Gopher quality rules (Rae et al. 2021, §A1.1): the standard
+    * heuristic document filter — word count in [50, 100k], mean word
+    * length in [3, 10], symbol-to-word ratio (# and "...") < 0.1, ≥ 80%
+    * of words contain a letter, ≥ 2 stopwords. Every rule is an INTEGER
+    * comparison (ratios cross-multiplied), so the verdicts replay
+    * exactly on any engine — no float thresholds. Map-side, per-doc.
+    */
+  def gopherRules(df: DataFrame, idCol: String = "doc_id",
+                  textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    val words = when(length(trim(t)) === 0, array().cast("array<string>"))
+      .otherwise(split(trim(t), "\\s+"))
+    val stopArr = array(stopwords.map(lit): _*)
+    val staged = df.select(col(idCol),
+      size(words).as("n_words"),
+      aggregate(transform(words, w => length(w).cast("long")), lit(0L),
+        (acc, v) => acc + v).as("_word_chars"),
+      (length(t) - length(replace(t, lit("#"), lit("")))).cast("long")
+        .as("_n_hash"),
+      ((length(t) - length(replace(t, lit("..."), lit(""))))
+        .cast("double") / lit(3)).cast("long").as("_n_ellipsis"),
+      size(filter(words, w => w.rlike("[A-Za-z]"))).as("_n_alpha"),
+      size(filter(words, w => array_contains(stopArr, lower(w))))
+        .as("_n_stop"))
+    staged.select(col(idCol), col("n_words"),
+      (col("n_words") >= 50 && col("n_words") <= 100000).as("rule_wc"),
+      (col("_word_chars") >= lit(3L) * col("n_words") &&
+        col("_word_chars") <= lit(10L) * col("n_words")).as("rule_mwl"),
+      (lit(10L) * (col("_n_hash") + col("_n_ellipsis")) < col("n_words"))
+        .as("rule_symbol"),
+      (lit(10L) * col("_n_alpha") >= lit(8L) * col("n_words"))
+        .as("rule_alpha"),
+      (col("_n_stop") >= 2).as("rule_stop"))
+      .withColumn("keep", col("rule_wc") && col("rule_mwl") &&
+        col("rule_symbol") && col("rule_alpha") && col("rule_stop"))
+  }
 }

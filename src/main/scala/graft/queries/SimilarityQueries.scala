@@ -175,6 +175,25 @@ object SimilarityQueries {
         books, topK = 5, m = 2, subDim = 32)
     }),
 
+    // Johnson–Lindenstrauss random projection, 64 → 16 dims: the
+    // pre-ANN shrink. Addends are quantized to integer micro-units
+    // before the fold, so `proj_micro` is an exact integer on any
+    // engine; `proj` is ONE long→double division by 4e6 (kOut = 16
+    // keeps 1e6*sqrt(kOut) exact) — a single correctly-rounded IEEE
+    // op, bit-identical cross-engine, deliberately NOT round()ed:
+    // micro/4e6 terminates at the 7th decimal, so rounding at 6 lands
+    // exactly on the half boundary for 25% of values, where Spark
+    // (shortest-decimal-string HALF_UP) and DuckDB (true binary value)
+    // disagree. Long form (vec_id, pos, proj_micro, proj): scalar
+    // cells only, q24 precedent.
+    "ss13_random_projection" -> ((s, d) => {
+      SimilarityOps.randomProject(embeddings(s, d), dIn = 64, kOut = 16)
+        .select(col("vec_id"), posexplode(col("proj_micro")))
+        .select(col("vec_id"), (col("pos") + 1).cast("int").as("pos"),
+          col("col").as("proj_micro"))
+        .withColumn("proj", col("proj_micro").cast("double") / lit(4.0e6))
+    }),
+
     // Per-label centroid-free stats: dot-product norms per label bucket —
     // exercises the vector kernel inside an aggregation.
     "ss4_norm_stats" -> ((s, d) => {
@@ -225,6 +244,26 @@ object SimilarityQueries {
          WHERE rk <= 5"""
 
   val oracles: Map[String, String] = Map(
+    // sign matrix replayed from the same md5 nibble parity; addends are
+    // integer-quantized before the sum, so proj_micro is exact (the
+    // ::BIGINT on the sum matters — DuckDB sum(BIGINT) is HUGEINT,
+    // which pandas would coerce to float64: the q32 dtype lesson).
+    // proj = one IEEE division, NO round() — see the query comment.
+    "ss13_random_projection" ->
+      """WITH signs AS (
+           SELECT i, j,
+             CASE WHEN ('0x' || substr(md5('rp_' || i || '_' || j), 1, 1))
+                    ::UBIGINT % 2 = 0 THEN 1 ELSE -1 END AS s
+           FROM generate_series(0, 63) t1(i),
+                generate_series(0, 15) t2(j))
+         SELECT vec_id, pos, proj_micro,
+           proj_micro / 4000000.0 AS proj
+         FROM (
+           SELECT e.vec_id, (sg.j + 1)::INT AS pos,
+             sum(round(e.embedding[sg.i + 1]::DOUBLE * sg.s * 1000000.0)
+                 ::BIGINT)::BIGINT AS proj_micro
+           FROM embeddings e CROSS JOIN signs sg
+           GROUP BY e.vec_id, sg.j)""",
     "ss1_topk_bruteforce" ->
       """SELECT query_id, rk, neighbor_id, sim FROM (
            SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,

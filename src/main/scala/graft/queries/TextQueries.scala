@@ -21,6 +21,19 @@ object TextQueries {
       TextAnalysisOps.qualityMetrics(documents(s, d), "doc_id", "text")
     }),
 
+    // Hashed-linear classifier inference (fasttext/CCNet shape): md5
+    // hashing-trick buckets, integer milli-weights, mean-weight logit.
+    // The exact-integer logit is the verified surface; keep = logit>0.
+    "tx28_classifier" -> ((s, d) => {
+      TextAnalysisOps.hashedClassifierScore(documents(s, d))
+    }),
+
+    // Gopher quality rules — every verdict an integer comparison
+    // (ratios cross-multiplied), so booleans replay exactly.
+    "tx29_gopher_rules" -> ((s, d) => {
+      TextAnalysisOps.gopherRules(documents(s, d))
+    }),
+
     // Language-ID heuristic with deterministic tie precedence.
     "tx3_langid" -> ((s, d) => {
       TextAnalysisOps.langId(documents(s, d), "doc_id", "text")
@@ -318,6 +331,69 @@ object TextQueries {
             round((length(text) - len(string_split(text, ' ')) + 1)::DOUBLE /
                   greatest(len(string_split(text, ' ')), 1), 4) AS avg_word_len
           FROM documents""",
+    // Hashing-trick classifier replay: bucket and weight are both md5
+    // functions, the logit is an exact integer sum. UBIGINT % is cast
+    // to BIGINT BEFORE the -1000 shift (UBIGINT subtraction would
+    // underflow), and the outer sum gets the ::BIGINT of the q32
+    // dtype lesson (DuckDB sum(BIGINT) -> HUGEINT -> pandas float64).
+    // `+ 0` normalizes IEEE -0.0 (ss6 precedent).
+    "tx28_classifier" ->
+      """WITH base AS (
+           SELECT doc_id,
+             CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+                  ELSE string_split_regex(lower(trim(text)), '\s+')
+             END AS toks
+           FROM documents),
+         agg AS (
+           SELECT doc_id, len(toks)::INT AS n_tokens,
+             coalesce(list_sum(list_transform(toks, t ->
+               (('0x' || substr(md5('w_' ||
+                    (('0x' || substr(md5('qc_' || t), 1, 8))
+                      ::UBIGINT % 256)), 1, 8))
+                 ::UBIGINT % 2001)::BIGINT - 1000)), 0)::BIGINT
+               AS logit_milli
+           FROM base)
+         SELECT doc_id, n_tokens, logit_milli,
+           round(logit_milli::DOUBLE / nullif(n_tokens, 0) / 1000.0, 6)
+             + 0 AS mean_w,
+           logit_milli > 0 AS keep
+         FROM agg""",
+    // Gopher rules: every verdict an integer comparison, so the
+    // booleans are dtype- and value-exact. The /3 ellipsis division is
+    // exact (replace removes whole '...' occurrences).
+    "tx29_gopher_rules" ->
+      s"""WITH w AS (
+           SELECT doc_id, text,
+             CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+                  ELSE string_split_regex(trim(text), '\\s+')
+             END AS words
+           FROM documents),
+         c AS (
+           SELECT doc_id,
+             len(words)::INT AS n_words,
+             coalesce(list_sum(list_transform(words,
+               x -> length(x)::BIGINT)), 0)::BIGINT AS wc,
+             (length(text) - length(replace(text, '#', '')))::BIGINT
+               AS nh,
+             ((length(text) - length(replace(text, '...', ''))) / 3)
+               ::BIGINT AS ne,
+             len(list_filter(words,
+               x -> regexp_matches(x, '[A-Za-z]')))::BIGINT AS na,
+             len(list_filter(words,
+               x -> lower(x) IN ($stop)))::BIGINT AS ns
+           FROM w)
+         SELECT doc_id, n_words,
+           n_words >= 50 AND n_words <= 100000 AS rule_wc,
+           wc >= 3 * n_words AND wc <= 10 * n_words AS rule_mwl,
+           10 * (nh + ne) < n_words AS rule_symbol,
+           10 * na >= 8 * n_words AS rule_alpha,
+           ns >= 2 AS rule_stop,
+           (n_words >= 50 AND n_words <= 100000)
+             AND (wc >= 3 * n_words AND wc <= 10 * n_words)
+             AND (10 * (nh + ne) < n_words)
+             AND (10 * na >= 8 * n_words)
+             AND ns >= 2 AS keep
+         FROM c""",
     "tx3_langid" ->
       """WITH scored AS (
            SELECT doc_id,

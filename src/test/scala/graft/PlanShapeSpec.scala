@@ -138,6 +138,26 @@ class PlanShapeSpec extends SparkSpec {
     assert(!s.contains("lambdafunction"), s)
   }
 
+  test("ss13 / tx28 / tx29 run map-side — zero exchanges in the final plan") {
+    // projection, classifier inference, and rule filtering are pure
+    // per-row passes; an exchange appearing here would mean a 100-TB
+    // shuffle smuggled into what must be a single scan
+    def exchangesIn(p: org.apache.spark.sql.execution.SparkPlan): Int = {
+      val here = p match {
+        case _: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => 1
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          exchangesIn(q.plan)
+        case _ => 0
+      }
+      here + p.children.map(exchangesIn).sum
+    }
+    for (q <- Seq("ss13_random_projection", "tx28_classifier",
+        "tx29_gopher_rules")) {
+      val plan = finalPlan(q)
+      assert(exchangesIn(plan) == 0, s"$q shuffles: $plan")
+    }
+  }
+
   test("q1 scan prunes to the referenced columns") {
     // inspect the scan's actual output schema (explain strings truncate
     // ReadSchema at spark.sql.maxMetadataStringLength, and asserting on

@@ -1149,4 +1149,79 @@ class ExtOpsSpec extends SparkSpec {
     assert(jk(3) == ((2L, 3.0))) // k=3 and k=13 share bucket 3
     assert(jk(7) == ((1L, 4.0)))
   }
+
+  test("randomProject: integer-exact micro sums against a reference fold") {
+    val vecs = Seq(
+      (1L, Array(0.5f, -1.25f, 2.0f, 0.75f)),
+      (2L, Array(0.0f, 0.0f, 0.0f, 0.0f)))
+    val df = vecs.toDF("vec_id", "embedding")
+    val out = SimilarityOps.randomProject(df, dIn = 4, kOut = 4)
+      .select("vec_id", "proj_micro", "proj")
+      .as[(Long, Seq[Long], Seq[Double])].collect()
+      .map(t => t._1 -> ((t._2, t._3))).toMap
+    // reference: same md5-nibble sign matrix, same quantized fold
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def sign(i: Int, j: Int): Int = {
+      val h = md.digest(s"rp_${i}_${j}".getBytes("UTF-8"))
+      if (((h(0) >> 4) & 0xF) % 2 == 0) 1 else -1
+    }
+    val expected = (0 until 4).map { j =>
+      vecs.head._2.zipWithIndex.map { case (x, i) =>
+        math.round(x.toDouble * sign(i, j) * 1e6)
+      }.sum
+    }
+    assert(out(1L)._1 == expected)
+    // scaled view derives from the micro ints: micro / 1e6 / sqrt(k)
+    assert(out(1L)._2 == expected.map(_ / 1e6 / 2.0))
+    // zero vector projects to exact zeros
+    assert(out(2L)._1 == Seq(0L, 0L, 0L, 0L))
+    // determinism: a second invocation is bit-identical
+    val again = SimilarityOps.randomProject(df, dIn = 4, kOut = 4)
+      .select("vec_id", "proj_micro")
+      .as[(Long, Seq[Long])].collect().map(t => t._1 -> t._2).toMap
+    assert(again(1L) == expected)
+  }
+
+  test("hashedClassifierScore: exact integer logits, empty-text edge") {
+    val docs = Seq(
+      (1L, "alpha alpha alpha"),   // 3x one token: logit = 3*w(alpha)
+      (2L, ""),                     // empty: 0 tokens, null mean
+      (3L, "   "),                  // whitespace-only: same as empty
+      (4L, "Alpha ALPHA alpha"))    // lowercased: same logit as doc 1
+    val out = TextAnalysisOps.hashedClassifierScore(
+        docs.toDF("doc_id", "text"))
+      .as[(Long, Int, Long, Option[Double], Boolean)].collect()
+      .map(t => t._1 -> t).toMap
+    val (_, n1, logit1, mean1, keep1) = out(1L)
+    assert(n1 == 3 && logit1 % 3 == 0)
+    assert(mean1.contains(math.round(
+      logit1.toDouble / 3 / 1000.0 * 1e6) / 1e6))
+    assert(keep1 == (logit1 > 0))
+    assert(out(2L)._2 == 0 && out(2L)._3 == 0L && out(2L)._4.isEmpty
+      && !out(2L)._5)
+    assert(out(3L)._2 == 0 && out(3L)._3 == 0L)
+    // case-folding: identical tokens after lower() → identical logit
+    assert(out(4L)._3 == logit1)
+  }
+
+  test("gopherRules: each rule trips on its crafted document") {
+    val fifty = (1 to 50).map(i => s"word${i % 7} the and").mkString(" ")
+    val docs = Seq(
+      (1L, fifty),                                    // passes all
+      (2L, "too short the and"),                      // rule_wc fails
+      (3L, (1 to 60).map(_ => "extraordinarily-long-hyphenated-token")
+        .mkString(" ") + " the and"),                 // rule_mwl fails
+      (4L, (1 to 60).map(_ => "# ok the and").mkString(" ")), // symbol fails
+      (5L, (1 to 60).map(i => s"$i 9 the and").mkString(" ")), // alpha fails
+      (6L, (1 to 60).map(_ => "lorem ipsum dolor").mkString(" "))) // stop fails
+    val out = TextAnalysisOps.gopherRules(docs.toDF("doc_id", "text"))
+      .as[(Long, Int, Boolean, Boolean, Boolean, Boolean, Boolean, Boolean)]
+      .collect().map(t => t._1 -> t).toMap
+    assert(out(1L)._8, "doc 1 should pass all rules")
+    assert(!out(2L)._3 && !out(2L)._8)          // wc
+    assert(!out(3L)._4 && !out(3L)._8)          // mean word length
+    assert(!out(4L)._5 && !out(4L)._8)          // symbol ratio
+    assert(!out(5L)._6 && !out(5L)._8)          // alpha fraction
+    assert(!out(6L)._7 && !out(6L)._8)          // stopwords
+  }
 }
