@@ -259,6 +259,21 @@ object PerfCompare {
       require(nqd == nqn, s"quantize row mismatch: $nqd vs $nqn")
       println(s"""{"quantize_vecs":100000,"quantize_rows":$nqd,""" +
         s""""declarative_sec":$tqd,"native_kernel_sec":$tqn}""")
+      // JL projection (ss13 shape): 16 interpreted aggregate(zip_with)
+      // folds per row vs the one-pass jl_project kernel, consumed
+      // through the same posexplode the catalog query uses
+      def jlDecl: Long = hashAll(
+        operators.SimilarityOps.randomProjectDeclarative(vq, 64, 16, "id")
+          .select(col("id"), posexplode(col("proj_micro"))))
+      def jlNative: Long = hashAll(
+        operators.SimilarityOps.randomProject(vq, 64, 16, "id")
+          .select(col("id"), posexplode(col("proj_micro"))))
+      jlDecl; jlNative
+      val (tjd, njd) = time(jlDecl)
+      val (tjn, njn) = time(jlNative)
+      require(njd == njn, s"jl row mismatch: $njd vs $njn")
+      println(s"""{"jl_vecs":100000,"jl_rows":$njd,""" +
+        s""""declarative_sec":$tjd,"native_kernel_sec":$tjn}""")
       corpus.unpersist(blocking = true)
       vq.unpersist(blocking = true)
     }

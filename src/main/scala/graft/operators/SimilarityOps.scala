@@ -465,14 +465,32 @@ object SimilarityOps {
                     idCol: String = "vec_id",
                     vecCol: String = "embedding",
                     seed: String = "rp"): DataFrame = {
-    val md = java.security.MessageDigest.getInstance("MD5")
-    val signs: Array[Array[Int]] = Array.tabulate(kOut, dIn) { (j, i) =>
-      val h = md.digest(s"${seed}_${i}_${j}".getBytes("UTF-8"))
-      if (((h(0) >> 4) & 0xF) % 2 == 0) 1 else -1
-    }
+    // native one-pass kernel — the declarative form (kept below as the
+    // executable spec, parity-pinned in ExtOpsSpec) runs kOut
+    // interpreted zip_with/aggregate folds per row, measured as the
+    // second-heaviest query in the catalog (ss13)
+    val flat = signMatrix(dIn, kOut, seed)
+    df.select(col(idCol),
+      graft.functions.JlProject.jlProject(col(vecCol), flat, kOut)
+        .as("proj_micro"))
+      .select(col(idCol), col("proj_micro"),
+        transform(col("proj_micro"),
+          m => m.cast("double") / lit(1e6) / lit(math.sqrt(kOut.toDouble)))
+          .as("proj"))
+  }
+
+  /** Declarative twin of [[randomProject]] — the executable spec the
+    * native kernel is parity-tested against (ExtOpsSpec), never the
+    * production path.
+    */
+  private[graft] def randomProjectDeclarative(df: DataFrame, dIn: Int,
+      kOut: Int, idCol: String = "vec_id", vecCol: String = "embedding",
+      seed: String = "rp"): DataFrame = {
+    val flat = signMatrix(dIn, kOut, seed)
     val micro = (0 until kOut).map { j =>
+      val row = (0 until dIn).map(i => flat(j * dIn + i).toInt)
       aggregate(
-        zip_with(col(vecCol), typedLit(signs(j).toSeq),
+        zip_with(col(vecCol), typedLit(row),
           (x, sgn) => round(x.cast("double") * sgn * lit(1e6)).cast("long")),
         lit(0L), (acc, v) => acc + v)
     }
@@ -484,6 +502,26 @@ object SimilarityOps {
         transform(col("proj_micro"),
           m => m.cast("double") / lit(1e6) / lit(math.sqrt(kOut.toDouble)))
           .as("proj"))
+  }
+
+  /** The shared deterministic ±1 sign matrix (flat row-major
+    * `kOut x dIn`): md5 of `"seed_i_j"`, first hex nibble parity —
+    * computed driver-side into a plan literal, never per row.
+    */
+  private def signMatrix(dIn: Int, kOut: Int, seed: String): Array[Byte] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val flat = new Array[Byte](kOut * dIn)
+    var j = 0
+    while (j < kOut) {
+      var i = 0
+      while (i < dIn) {
+        val h = md.digest(s"${seed}_${i}_${j}".getBytes("UTF-8"))
+        flat(j * dIn + i) = if (((h(0) >> 4) & 0xF) % 2 == 0) 1 else -1
+        i += 1
+      }
+      j += 1
+    }
+    flat
   }
 
   /** Bucketed approximate similarity pairs: equi-join on the sign bucket,

@@ -132,6 +132,18 @@ class PlanShapeSpec extends SparkSpec {
     assert(!s.contains("lambdafunction"), s)
   }
 
+  test("ss13 projection is the native JL kernel — one fold, no zip_with") {
+    // the declarative form is kOut interpreted aggregate(zip_with(...))
+    // folds per row (the catalog's second-heaviest query); the kernel
+    // must appear exactly once and no HOF lambda may survive upstream
+    // of the posexplode (the tiny 16-element `proj` transform is
+    // pruned out of ss13's plan entirely)
+    val s = planOf("ss13_random_projection")
+    assert(s.contains("jl_project"), s)
+    assert(!s.contains("zip_with"), s)
+    assert(!s.contains("aggregate(") || !s.contains("lambdafunction"), s)
+  }
+
   test("dd11 segmentation is the scalar array kernel under builtin posexplode") {
     val s = planOf("dd11_span_dedup")
     assert(s.contains("segment_array"), s)

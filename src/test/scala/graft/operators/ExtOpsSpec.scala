@@ -1182,6 +1182,62 @@ class ExtOpsSpec extends SparkSpec {
     assert(again(1L) == expected)
   }
 
+  test("randomProject: native kernel matches the declarative spec bit-for-bit") {
+    // adversarial floats: exact half-micro rounding points both signs
+    // (0.0000005f is NOT exactly half in binary — the declarative round
+    // and the kernel must agree on whichever side it lands), null
+    // slots, wrong-length and empty and null vectors, NaN/Inf
+    // passthrough, subnormals, magnitudes that overflow long microunits
+    val rnd = new scala.util.Random(13)
+    val tricky: Seq[(Long, Array[java.lang.Float])] = Seq(
+      1L -> Array[java.lang.Float](0.0000005f, -0.0000005f, 0.0000015f,
+        -0.0000015f, 0.5f, -0.5f, 1.0f, -1.0f),
+      2L -> Array.fill(8)(java.lang.Float.valueOf(0f)),
+      3L -> Array.empty[java.lang.Float],            // wrong length
+      4L -> null,                                    // null vector
+      5L -> Array[java.lang.Float](1f, 2f, 3f),      // wrong length
+      6L -> Array[java.lang.Float](null, 1f, 2f, 3f, 4f, 5f, 6f, 7f),
+      9L -> Array[java.lang.Float](1e-38f, Float.MinPositiveValue,
+        3.4e11f, -3.4e11f, 1e12f, -1e12f, 0.1f, 0.7f)
+    ) ++ (10L to 50L).map { id =>
+      id -> Array.fill(8)(java.lang.Float.valueOf(
+        (rnd.nextFloat() - 0.5f) * math.pow(10, rnd.nextInt(10) - 5).toFloat))
+    }
+    val df = tricky.toDF("vec_id", "embedding")
+    val native = SimilarityOps.randomProject(df, dIn = 8, kOut = 4)
+      .as[(Long, Seq[Option[Long]], Seq[Option[Double]])]
+      .collect().sortBy(_._1)
+    val spec = SimilarityOps.randomProjectDeclarative(df, dIn = 8, kOut = 4)
+      .as[(Long, Seq[Option[Long]], Seq[Option[Double]])]
+      .collect().sortBy(_._1)
+    assert(native.toSeq == spec.toSeq)
+    // malformed inputs surface as a non-null array of kOut nulls
+    assert(native.find(_._1 == 4L).get._2 == Seq(None, None, None, None))
+    assert(native.find(_._1 == 6L).get._2 == Seq(None, None, None, None))
+    // the declared ANSI divergence: NaN/Inf elements and micro
+    // magnitudes >= 2^63 abort the declarative form under ANSI cast;
+    // the kernel degrades them to the same all-null contract
+    val ansi: Seq[(Long, Array[java.lang.Float])] = Seq(
+      7L -> Array[java.lang.Float](Float.NaN, 1f, 2f, 3f, 4f, 5f, 6f, 7f),
+      8L -> Array[java.lang.Float](Float.PositiveInfinity,
+        Float.NegativeInfinity, 1f, 2f, 3f, 4f, 5f, 6f),
+      9L -> Array[java.lang.Float](1e13f, -1e13f, 3.4e38f, -3.4e38f,
+        1f, 2f, 3f, 4f))
+    val adf = ansi.toDF("vec_id", "embedding")
+    val nn = SimilarityOps.randomProject(adf, dIn = 8, kOut = 4)
+      .as[(Long, Seq[Option[Long]], Seq[Option[Double]])].collect()
+    assert(nn.forall(_._2 == Seq(None, None, None, None)))
+    intercept[ArithmeticException] { // SparkArithmeticException: CAST_OVERFLOW
+      SimilarityOps.randomProjectDeclarative(adf, dIn = 8, kOut = 4)
+        .collect()
+    }
+    // and on real data at the production dimensions, the frames agree
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    assert(SimilarityOps.randomProject(emb, dIn = 64, kOut = 16)
+      .except(SimilarityOps.randomProjectDeclarative(emb, dIn = 64, kOut = 16))
+      .isEmpty)
+  }
+
   test("hashedClassifierScore: exact integer logits, empty-text edge") {
     val docs = Seq(
       (1L, "alpha alpha alpha"),   // 3x one token: logit = 3*w(alpha)
