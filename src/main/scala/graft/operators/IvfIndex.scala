@@ -50,6 +50,74 @@ object IvfIndex {
     spark.read.parquet(s"$dir/cells")
       .filter(col("_cell").isin(cells.map(c => c: Any): _*))
 
+  /** IVF-PQ index: [[build]] plus per-subspace PQ codebooks and the
+    * corpus' codes, the codes hive-partitioned by IVF cell — the
+    * standard two-level ANN artifact (coarse cell quantizer × fine
+    * product quantizer). [[searchPq]] then touches nProbe/nList of the
+    * CODES (a few bytes per vector), and the full-precision corpus is
+    * never read at search time at all.
+    *
+    * Codes quantize the raw vectors, not the cell residuals (classic
+    * IVF-PQ quantizes `x − centroid(cell)`): cosine selection over
+    * md5-seeded deterministic codebooks replays exactly cross-engine,
+    * residuals would not.
+    *
+    * Layout adds to [[build]]'s:
+    *   `codebooks/` — m × kPq rows `(subspace, cluster, _cv)`;
+    *   `codes/`     — `(id, pq_code)` hive-partitioned by `_cell`.
+    */
+  def buildPq(corpus: DataFrame, dir: String, nList: Int, m: Int,
+              subDim: Int, kPq: Int, iters: Int,
+              idCol: String = "vec_id", vecCol: String = "embedding",
+              kernel: (Column, Column) => Column = SimilarityOps.cosine)
+      : Unit = {
+    build(corpus, dir, nList, idCol, vecCol, kernel)
+    val spark = corpus.sparkSession
+    val (codes, codebooks) = SimilarityOps.pqTrain(corpus, m, subDim,
+      kPq, iters, idCol, vecCol)
+    codebooks.write.mode(SaveMode.Overwrite).parquet(s"$dir/codebooks")
+    // persist codes under the IVF cell layout, so a probed search
+    // partition-prunes the code scan exactly like the cell scan
+    val assign = spark.read.parquet(s"$dir/cells")
+      .select(col(idCol), col("_cell"))
+    graft.sources.Compaction.writePartitioned(
+      codes.join(assign, Seq(idCol)), s"$dir/codes", Seq("_cell"),
+      clusterBy = Seq(idCol))
+  }
+
+  /** The probed-codes scan — [[probedCellScan]]'s twin over `codes/`,
+    * isolated so the partition-level pruning is assertable.
+    */
+  def probedCodeScan(spark: SparkSession, dir: String,
+                     cells: Seq[Int]): DataFrame =
+    spark.read.parquet(s"$dir/codes")
+      .filter(col("_cell").isin(cells.map(c => c: Any): _*))
+
+  /** Top-k ADC search against a persisted IVF-PQ index: probe the
+    * centroid table for each query's nProbe cells, partition-prune the
+    * CODE scan to the probed cells, and rank candidates by the summed
+    * per-subspace lookup-table score
+    * ([[SimilarityOps.adcScoreCells]]). IO per query batch is
+    * nProbe/nList of the code table — m small ints per corpus vector —
+    * plus the centroid and codebook tables; the raw vectors stay on
+    * disk, unread.
+    */
+  def searchPq(spark: SparkSession, dir: String, queries: DataFrame,
+               k: Int, nProbe: Int, m: Int, subDim: Int,
+               idCol: String = "vec_id", vecCol: String = "embedding",
+               kernel: (Column, Column) => Column = SimilarityOps.cosine)
+      : DataFrame = {
+    val centroids = spark.read.parquet(s"$dir/centroids")
+    val codebooks = spark.read.parquet(s"$dir/codebooks")
+    val probes = SimilarityOps.ivfProbe(queries, centroids, nProbe,
+      idCol, vecCol, kernel).persist()
+    val probedCells = probes.select("_cell").distinct()
+      .collect().map(_.getInt(0)).toSeq
+    val codes = probedCodeScan(spark, dir, probedCells)
+    SimilarityOps.adcScoreCells(queries, probes, codes, codebooks,
+      k, m, subDim, idCol, vecCol)
+  }
+
   /** Top-k ANN against a persisted index. The probe result is cached:
     * it is both collected (for the partition filter) and joined (for
     * scoring); the collect fills the cache, so the join reads the SAME

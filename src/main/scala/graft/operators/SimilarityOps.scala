@@ -65,7 +65,10 @@ object SimilarityOps {
 
   /** Exact top-k neighbors for each query vector.
     * `queries` must be small (it is broadcast); the corpus side is a
-    * single streaming pass + one shuffle for the per-query rank window.
+    * single streaming pass into the bounded-heap `TopKPerKey` operator —
+    * each task keeps at most k rows per query, so the rank exchange
+    * carries queries × k × partitions rows, never the corpus × queries
+    * scored fan-out a `row_number` window would sort and shuffle.
     */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int,
                      idCol: String = "vec_id",
@@ -77,10 +80,8 @@ object SimilarityOps {
     val scored = c.crossJoin(broadcast(q))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("sim", round(cosine(col("_qv"), col("_cv")), 4))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("sim").desc, col("neighbor_id").asc)
-    scored.withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= k)
+    graft.plans.TopK.perKey(scored, Seq("query_id"),
+      Seq(col("sim").desc, col("neighbor_id").asc), k)
       .select("query_id", "neighbor_id", "sim", "rk")
   }
 
@@ -377,6 +378,42 @@ object SimilarityOps {
     * The corpus vectors are never read at search time; that is the
     * point of PQ.
     */
+  /** ADC score-and-rank restricted to cell-met candidates — the scoring
+    * half of the IVF-PQ composition ([[IvfIndex.searchPq]]): `probes`
+    * carries `(query_id, _qv, _cell)`, `codes` carries
+    * `(idCol, pq_code, _cell)`; candidates meet on the cell id (each
+    * query scores ONLY codes in its own probed cells), then rank by the
+    * summed per-subspace lookup-table parts exactly as [[pqAdcTopK]].
+    * The LUT is queries × m × kPq rows — broadcast; corpus vectors are
+    * never touched.
+    */
+  private[operators] def adcScoreCells(queries: DataFrame,
+      probes: DataFrame, codes: DataFrame, codebooks: DataFrame,
+      k: Int, m: Int, subDim: Int, idCol: String, vecCol: String)
+      : DataFrame = {
+    val lut = queries
+      .select(col(idCol).as("query_id"), col(vecCol).as("_qv"))
+      .crossJoin(broadcast(codebooks))
+      .select(col("query_id"), col("subspace"), col("cluster"),
+        (0 until m).map(j =>
+          when(col("subspace") === j, noNaN(
+            graft.functions.CosineF32.cosineF32Native(
+              slice(col("_qv"), j * subDim + 1, subDim), col("_cv")))
+            .cast("double")))
+          .reduce((a, b) => coalesce(a, b)).as("_part"))
+    val cand = probes.select(col("query_id"), col("_cell"))
+      .join(codes, Seq("_cell"))
+      .filter(col("query_id") =!= col(idCol))
+      .select(col("query_id"), col(idCol).as("neighbor_id"),
+        posexplode(col("pq_code")).as(Seq("subspace", "cluster")))
+    graft.plans.TopK.perKey(
+      cand.join(broadcast(lut), Seq("query_id", "subspace", "cluster"))
+        .groupBy(col("query_id"), col("neighbor_id"))
+        .agg(round(sum(col("_part")), 4).as("adc_score")),
+      Seq("query_id"), Seq(col("adc_score").desc, col("neighbor_id").asc),
+      k, rankCol = "rk")
+  }
+
   def pqAdcTopK(queries: DataFrame, codes: DataFrame, codebooks: DataFrame,
                 topK: Int, m: Int, subDim: Int,
                 idCol: String = "vec_id", vecCol: String = "embedding")

@@ -596,4 +596,101 @@ object TextAnalysisOps {
       .withColumn("keep", col("rule_wc") && col("rule_mwl") &&
         col("rule_symbol") && col("rule_alpha") && col("rule_stop"))
   }
+
+  /** Top-`vocabSize` whitespace-token vocabulary with the cumulative
+    * corpus-coverage curve — the pre-tokenizer sizing sweep ("how many
+    * corpus tokens does an N-entry vocab cover?"). Ties broken by term
+    * text, so the table is deterministic on any engine.
+    *
+    * Scale shape: ONE (term, count) keyed agg (tokens combine map-side —
+    * the exchange carries the vocabulary, not the token stream), then a
+    * bounded global top-N (`TakeOrderedAndProject`: each task keeps N
+    * rows, the driver merges heaps — the full vocabulary is never
+    * sorted). The rank/cumulative window that follows runs on ≤ N rows,
+    * so its single-partition sort is a constant, not a corpus scan.
+    */
+  def vocabCoverage(df: DataFrame, textCol: String,
+                    vocabSize: Int): DataFrame = {
+    val toks = df.select(graft.functions.ShingleGen
+      .shingleGen(col(textCol), 1, distinct = false)).toDF("term")
+    val counts = toks.groupBy(col("term"))
+      .agg(count(lit(1)).as("term_count"))
+    // total token count derived FROM the counts agg — no second pass
+    val total = counts.agg(sum(col("term_count")).cast("double").as("_total"))
+    val top = counts
+      .orderBy(col("term_count").desc, col("term").asc).limit(vocabSize)
+    val ord = org.apache.spark.sql.expressions.Window
+      .orderBy(col("term_count").desc, col("term").asc)
+    top.crossJoin(broadcast(total))
+      .withColumn("rank", row_number().over(ord))
+      .withColumn("cum_coverage", round(
+        sum(col("term_count")).over(
+          ord.rowsBetween(Long.MinValue, 0)) / col("_total"), 4))
+      .select(col("rank"), col("term"), col("term_count"),
+        col("cum_coverage"))
+  }
+
+  /** Per-document out-of-vocabulary rate against the corpus' own
+    * top-`vocabSize` vocabulary (see [[vocabCoverage]]) — the "how much
+    * of each doc would an N-entry tokenizer UNK out" gate. Documents
+    * with no tokens drop out (no rate exists).
+    *
+    * Scale shape: the vocabulary is ≤ `vocabSize` rows and broadcast;
+    * the doc side is one token explode feeding a doc-keyed agg with
+    * map-side partials. No shuffle touches token text except the
+    * vocabulary-sized (term, count) agg inside vocabCoverage.
+    */
+  def oovRate(df: DataFrame, idCol: String, textCol: String,
+              vocabSize: Int): DataFrame = {
+    val vocab = vocabCoverage(df, textCol, vocabSize)
+      .select(col("term"), lit(1).as("_in"))
+    val toks = df.select(col(idCol), graft.functions.ShingleGen
+      .shingleGen(col(textCol), 1, distinct = false)).toDF(idCol, "term")
+    toks.join(broadcast(vocab), Seq("term"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("_in").isNull, 1).otherwise(0)).cast("long")
+          .as("n_oov"))
+      .withColumn("oov_rate",
+        round(col("n_oov").cast("double") / col("n_tokens"), 4))
+  }
+
+  /** Deterministic shard assignment for training-data export:
+    * `md5(id)` first 8 hex digits mod `nShards` — a pure function of
+    * the id, identical on any engine, any retry, any partitioning.
+    */
+  def shardAssign(id: Column, nShards: Int): Column =
+    conv(substring(md5(id.cast("string")), 1, 8), 16, 10)
+      .cast("long") % nShards
+
+  /** Per-shard export manifest for the deterministic global shuffle:
+    * every doc lands in `shard = md5(id) % nShards`, ordered within the
+    * shard by its md5 (the reproducible shuffle order — no RNG state),
+    * and each shard reports docs, total weight, and an order-sensitive
+    * fingerprint (XOR of position-salted id hashes: commutative across
+    * tasks, yet any reorder, drop, or duplicate changes it). The
+    * manifest is what a training job checks before trusting a shard set
+    * — and what [[graft.sources.Compaction.writeHashSharded]] lays down.
+    *
+    * Scale shape: one shuffle on the shard key + a per-shard sort (the
+    * rank window) — exactly the work the physical export does — then a
+    * map-side-combined agg to `nShards` rows. Fingerprint terms are
+    * < 2^32, so the XOR stays in long range by construction.
+    */
+  def shardManifest(df: DataFrame, idCol: String, weightCol: String,
+                    nShards: Int): DataFrame = {
+    val h = md5(col(idCol).cast("string"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard")).orderBy(h.asc, col(idCol).asc)
+    df.select(col(idCol), col(weightCol))
+      .withColumn("shard", shardAssign(col(idCol), nShards))
+      .withColumn("_rk", row_number().over(w))
+      .withColumn("_fpt", conv(substring(md5(concat(
+        col(idCol).cast("string"), lit(":"), col("_rk").cast("string"))),
+        1, 8), 16, 10).cast("long"))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col(weightCol).cast("long")).as("n_weight"),
+        expr("bit_xor(_fpt)").as("fp"))
+  }
 }

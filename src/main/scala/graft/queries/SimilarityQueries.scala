@@ -17,7 +17,10 @@ object SimilarityQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Exact brute-force top-5 neighbors for 10 query vectors: corpus
-    // streams once against the broadcast queries; rank on the exact sim.
+    // streams once against the broadcast queries; rank on the exact sim
+    // through the bounded-heap TopKPerKey operator (each task retains
+    // ≤ k rows per query — the scored corpus × queries fan-out never
+    // reaches an exchange or a sort).
     "ss1_topk_bruteforce" -> ((s, d) => {
       val emb = embeddings(s, d)
       val q = emb.filter(col("vec_id") < 10)
@@ -27,11 +30,8 @@ object SimilarityQueries {
       val scored = c.crossJoin(broadcast(q))
         .filter(col("query_id") =!= col("neighbor_id"))
         .withColumn("_sim", cosineF32Native(col("_qv"), col("_cv")))
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("query_id")
-        .orderBy(col("_sim").desc, col("neighbor_id").asc)
-      scored.withColumn("rk", row_number().over(w))
-        .filter(col("rk") <= 5)
+      graft.plans.TopK.perKey(scored, Seq("query_id"),
+          Seq(col("_sim").desc, col("neighbor_id").asc), 5)
         .select(col("query_id"), col("rk"), col("neighbor_id"),
           round(col("_sim"), 4).as("sim"))
     }),
@@ -97,6 +97,23 @@ object SimilarityQueries {
       graft.operators.IvfIndex.build(emb, dir, nList = 8, kernel = kernel)
       graft.operators.IvfIndex.search(s, dir, emb.filter(col("vec_id") < 10),
         5, nProbe = 3, kernel = kernel)
+    }),
+
+    // IVF-PQ composed search: the persisted two-level ANN artifact
+    // (8 IVF cells × 2-subspace/4-centroid PQ codes, codes
+    // hive-partitioned by cell). Search probes 3 cells per query,
+    // partition-prunes the CODE scan, and ranks by the ADC
+    // lookup-table sum — the corpus vectors are never read.
+    "ss14_ivfpq" -> ((s, d) => {
+      val emb = embeddings(s, d)
+      val dir = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+        s"graft-ivfpq-q-index-${math.abs(d.hashCode)}").toString
+      val kernel = graft.functions.CosineF32.cosineF32Native(_, _)
+      graft.operators.IvfIndex.buildPq(emb, dir, nList = 8, m = 2,
+        subDim = 32, kPq = 4, iters = 1, kernel = kernel)
+      graft.operators.IvfIndex.searchPq(s, dir,
+        emb.filter(col("vec_id") < 10), k = 5, nProbe = 3, m = 2,
+        subDim = 32, kernel = kernel)
     }),
 
     // Symmetric int8 quantization — bit-exact across engines (widening,
@@ -422,6 +439,89 @@ object SimilarityQueries {
          FROM a01 JOIN a11 USING (vec_id)""",
     "ss5_ivf_topk" -> ivfPipelineOracle,
     "ss7_ivf_index" -> ivfPipelineOracle,
+    // ss14 = the ivfPipelineOracle's cen/cells/probes CTEs spliced with
+    // ss12's PQ-train CTEs; candidates meet on the probed cell, score
+    // is the same ADC sum. A query scores ONLY codes in its own probed
+    // cells — the pruning must be visible in the result set.
+    "ss14_ivfpq" ->
+      """WITH cen AS (
+           SELECT cell, list(mx ORDER BY pos) AS cv FROM (
+             SELECT cell, pos,
+               (round(sum(x::DOUBLE) / count(*), 4) + 0)::FLOAT AS mx
+             FROM (SELECT (('0x' || substr(md5(vec_id::VARCHAR), 1, 8))
+                       ::UBIGINT % 8)::INT AS cell,
+                     unnest(embedding) AS x,
+                     generate_subscripts(embedding, 1) AS pos
+                   FROM embeddings)
+             GROUP BY cell, pos) GROUP BY cell),
+         cells AS (SELECT vec_id AS cid, cell FROM (
+                     SELECT e.vec_id, cen.cell,
+                       row_number() OVER (PARTITION BY e.vec_id
+                         ORDER BY list_cosine_similarity(e.embedding,
+                                    cen.cv) DESC, cen.cell ASC) AS rn
+                     FROM embeddings e CROSS JOIN cen) WHERE rn = 1),
+         probes AS (SELECT query_id, qv, cell FROM (
+                      SELECT e.vec_id AS query_id, e.embedding AS qv,
+                        cen.cell,
+                        row_number() OVER (PARTITION BY e.vec_id
+                          ORDER BY list_cosine_similarity(e.embedding,
+                                     cen.cv) DESC, cen.cell ASC) AS rn
+                      FROM embeddings e CROSS JOIN cen
+                      WHERE e.vec_id < 10) WHERE rn <= 3),
+         s0 AS (SELECT vec_id, embedding[1:32] AS v FROM embeddings),
+         s1 AS (SELECT vec_id, embedding[33:64] AS v FROM embeddings),
+         a00 AS (SELECT vec_id, v,
+                   (('0x' || substr(md5(vec_id::VARCHAR), 1, 8))::UBIGINT
+                    % 4)::INT AS cluster
+                 FROM s0),
+         u01 AS (SELECT cluster, unnest(v) AS x,
+                   generate_subscripts(v, 1) AS pos FROM a00),
+         m01 AS (SELECT cluster, pos,
+                   (round(sum(x::DOUBLE) / count(*), 4) + 0)::FLOAT AS mx
+                 FROM u01 GROUP BY cluster, pos),
+         c01 AS (SELECT cluster AS cc, list(mx ORDER BY pos) AS cv
+                 FROM m01 GROUP BY cluster),
+         a01 AS (SELECT vec_id, cc AS c0 FROM (
+                   SELECT a00.vec_id, c01.cc,
+                     row_number() OVER (PARTITION BY a00.vec_id
+                       ORDER BY list_cosine_similarity(a00.v, c01.cv)
+                                  DESC, c01.cc ASC) AS rn
+                   FROM a00 CROSS JOIN c01) WHERE rn = 1),
+         a10 AS (SELECT vec_id, v,
+                   (('0x' || substr(md5(vec_id::VARCHAR), 1, 8))::UBIGINT
+                    % 4)::INT AS cluster
+                 FROM s1),
+         u11 AS (SELECT cluster, unnest(v) AS x,
+                   generate_subscripts(v, 1) AS pos FROM a10),
+         m11 AS (SELECT cluster, pos,
+                   (round(sum(x::DOUBLE) / count(*), 4) + 0)::FLOAT AS mx
+                 FROM u11 GROUP BY cluster, pos),
+         c11 AS (SELECT cluster AS cc, list(mx ORDER BY pos) AS cv
+                 FROM m11 GROUP BY cluster),
+         a11 AS (SELECT vec_id, cc AS c1 FROM (
+                   SELECT a10.vec_id, c11.cc,
+                     row_number() OVER (PARTITION BY a10.vec_id
+                       ORDER BY list_cosine_similarity(a10.v, c11.cv)
+                                  DESC, c11.cc ASC) AS rn
+                   FROM a10 CROSS JOIN c11) WHERE rn = 1),
+         codes AS (SELECT a01.vec_id, c0, c1
+                   FROM a01 JOIN a11 USING (vec_id)),
+         sc AS (SELECT p.query_id, codes.vec_id AS neighbor_id,
+                  round(list_cosine_similarity(p.qv[1:32],
+                          k0.cv)::DOUBLE +
+                        list_cosine_similarity(p.qv[33:64],
+                          k1.cv)::DOUBLE, 4) AS adc_score
+                FROM probes p
+                JOIN cells c ON p.cell = c.cell
+                JOIN codes ON codes.vec_id = c.cid
+                JOIN c01 k0 ON k0.cc = codes.c0
+                JOIN c11 k1 ON k1.cc = codes.c1
+                WHERE p.query_id <> codes.vec_id)
+         SELECT query_id, neighbor_id, adc_score, rk FROM (
+           SELECT *, row_number() OVER (PARTITION BY query_id
+             ORDER BY adc_score DESC, neighbor_id ASC)::INT AS rk
+           FROM sc)
+         WHERE rk <= 5""",
     "ss12_pq_adc" ->
       """WITH s0 AS (SELECT vec_id, embedding[1:32] AS v FROM embeddings),
          s1 AS (SELECT vec_id, embedding[33:64] AS v FROM embeddings),

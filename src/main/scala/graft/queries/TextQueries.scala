@@ -39,6 +39,26 @@ object TextQueries {
       TextAnalysisOps.langId(documents(s, d), "doc_id", "text")
     }),
 
+    // Top-100 token vocabulary + cumulative corpus-coverage curve: the
+    // pre-tokenizer sizing sweep. Bounded global top-N
+    // (TakeOrderedAndProject), rank window over ≤ 100 rows.
+    "tx30_vocab_coverage" -> ((s, d) =>
+      TextAnalysisOps.vocabCoverage(documents(s, d), "text", 100)),
+
+    // Per-doc out-of-vocabulary rate against that top-100 vocabulary —
+    // the UNK-rate gate; vocab is broadcast, docs aggregate map-side.
+    "tx31_oov_rate" -> ((s, d) =>
+      TextAnalysisOps.oovRate(documents(s, d), "doc_id", "text", 100)),
+
+    // Deterministic 16-shard export manifest: md5 shard assignment,
+    // md5-ordered within shard, order-sensitive XOR fingerprint —
+    // what a training job verifies before trusting a shard set.
+    "tx32_shard_manifest" -> ((s, d) => {
+      val docs = documents(s, d)
+        .withColumn("n_tokens", size(split(col("text"), " ")))
+      TextAnalysisOps.shardManifest(docs, "doc_id", "n_tokens", 16)
+    }),
+
     // Sketch-based distinct counting. The raw HLL estimate is
     // engine-specific, so it can't hash-match an oracle directly;
     // instead the query emits the EXACT distinct count plus a
@@ -555,6 +575,48 @@ object TextQueries {
          JOIN dl USING (doc_id)
          CROSS JOIN sc
          WHERE tf >= 3""",
+    "tx30_vocab_coverage" ->
+      """WITH t AS (SELECT unnest(string_split(text, ' ')) AS term
+                    FROM documents),
+         c AS (SELECT term, count(*) AS term_count FROM t GROUP BY term),
+         tot AS (SELECT sum(term_count)::DOUBLE AS total FROM c),
+         top AS (SELECT term, term_count FROM c
+                 ORDER BY term_count DESC, term ASC LIMIT 100)
+         SELECT row_number() OVER (ORDER BY term_count DESC, term ASC)
+                  AS rank,
+           term, term_count,
+           round(sum(term_count) OVER (ORDER BY term_count DESC, term ASC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 / total, 4) AS cum_coverage
+         FROM top CROSS JOIN tot""",
+    "tx31_oov_rate" ->
+      """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+                    FROM documents),
+         c AS (SELECT term, count(*) AS term_count FROM t GROUP BY term),
+         v AS (SELECT term FROM c
+               ORDER BY term_count DESC, term ASC LIMIT 100)
+         SELECT doc_id, count(*) AS n_tokens,
+           sum(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END)::BIGINT
+             AS n_oov,
+           round(sum(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END)::DOUBLE
+                 / count(*), 4) AS oov_rate
+         FROM t LEFT JOIN v ON t.term = v.term
+         GROUP BY doc_id""",
+    "tx32_shard_manifest" ->
+      """WITH s AS (SELECT doc_id,
+             len(string_split(text, ' '))::BIGINT AS n_tokens,
+             ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::UBIGINT % 16
+               AS shard,
+             md5(doc_id::VARCHAR) AS h
+           FROM documents),
+         r AS (SELECT *, row_number() OVER
+                 (PARTITION BY shard ORDER BY h ASC, doc_id ASC) AS rk
+               FROM s)
+         SELECT shard::BIGINT AS shard, count(*) AS n_docs,
+           sum(n_tokens)::BIGINT AS n_weight,
+           bit_xor(('0x' || substr(md5(doc_id::VARCHAR || ':' ||
+                      rk::VARCHAR), 1, 8))::UBIGINT)::BIGINT AS fp
+         FROM r GROUP BY shard""",
     "tx20_tfidf" ->
       """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
                     FROM documents),

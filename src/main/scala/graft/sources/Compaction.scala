@@ -38,6 +38,33 @@ object Compaction {
       .parquet(path)
   }
 
+  /** Hash-sharded training-data export: the deterministic global
+    * shuffle. Every row lands in `shard = md5(id) % nShards`
+    * ([[graft.operators.TextAnalysisOps.shardAssign]]) and shards are
+    * written hive-partitioned, each internally ordered by the id's md5 —
+    * so the byte layout is a pure function of the row set: any engine,
+    * any retry, any cluster size reproduces it, and
+    * `TextAnalysisOps.shardManifest` over the same frame predicts
+    * exactly what lands on disk (count / weight / order fingerprint
+    * per shard). One shuffle + per-task sort; `maxRecordsPerFile`
+    * bounds file sizes inside each shard directory.
+    */
+  def writeHashSharded(df: DataFrame, path: String, idCol: String,
+                       nShards: Int,
+                       maxRecordsPerFile: Long = 1000000L): Unit = {
+    val sharded = df.withColumn("shard",
+      graft.operators.TextAnalysisOps.shardAssign(col(idCol), nShards))
+    sharded
+      .repartition(nShards, col("shard"))
+      .sortWithinPartitions(col("shard"),
+        md5(col(idCol).cast("string")).asc, col(idCol).asc)
+      .write
+      .mode(SaveMode.Overwrite)
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .partitionBy("shard")
+      .parquet(path)
+  }
+
   /** Rewrite an existing (possibly fragmented) parquet directory into the
     * managed layout — the standalone compaction job a pipeline schedules
     * after many incremental appends.

@@ -35,6 +35,26 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("row_number"))
   }
 
+  test("ss1 brute-force ANN ranks on the bounded heap, not a window sort") {
+    // the scored corpus × queries fan-out must be consumed map-side by
+    // TopKPerKey (≤ k rows per query survive per task) — a row_number
+    // window would sort and shuffle every scored row
+    val p = planOf("ss1_topk_bruteforce")
+    assert(p.contains("TopKPerKey") || p.contains("LocalTopK"))
+    assert(!p.contains("row_number"))
+  }
+
+  test("tx30 vocab top-N is a bounded TakeOrderedAndProject, not a full sort") {
+    // each task keeps N rows and the driver merges — the vocabulary is
+    // never globally sorted; the rank window that follows runs on ≤ N
+    // rows so its sort is a constant
+    assert(planOf("tx30_vocab_coverage").contains("TakeOrderedAndProject"))
+  }
+
+  test("tx31 OOV join broadcasts the vocabulary side") {
+    assert(planOf("tx31_oov_rate").contains("BroadcastHashJoin"))
+  }
+
   test("dd2 LSH self-join reuses one exchange for both sides") {
     assert(planOf("dd2_minhash_lsh").contains("ReusedExchange"))
   }

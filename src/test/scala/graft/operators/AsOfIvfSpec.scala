@@ -86,6 +86,52 @@ class AsOfIvfSpec extends SparkSpec {
       .subsetOf(Set(1, 3)))
   }
 
+  test("IvfIndex.buildPq/searchPq: candidates stay in probed cells, code scan prunes, replay exact") {
+    val emb = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val queries = emb.filter(col("vec_id") < 10)
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivfpq").toString
+    IvfIndex.buildPq(emb, dir, nList = 8, m = 2, subDim = 32, kPq = 4,
+      iters = 1)
+    val out = IvfIndex.searchPq(spark, dir, queries, k = 5, nProbe = 3,
+      m = 2, subDim = 32)
+      .as[(Long, Long, Double, Int)].collect().sortBy(r => (r._1, r._4))
+    assert(out.nonEmpty && out.groupBy(_._1).forall(_._2.length <= 5))
+    // deterministic replay — byte-identical second run
+    val again = IvfIndex.searchPq(spark, dir, queries, k = 5, nProbe = 3,
+      m = 2, subDim = 32)
+      .as[(Long, Long, Double, Int)].collect().sortBy(r => (r._1, r._4))
+    assert(out.toSeq == again.toSeq)
+    // every neighbor sits in one of its query's probed cells — the
+    // pruning is semantic, not just an IO optimization
+    val cellOf = spark.read.parquet(s"$dir/cells")
+      .select(col("vec_id").as("_id"), col("_cell"))
+      .as[(Long, Int)].collect().toMap
+    val centroids = spark.read.parquet(s"$dir/centroids")
+    val probed = SimilarityOps.ivfProbe(queries, centroids, 3,
+      "vec_id", "embedding", SimilarityOps.cosine)
+      .select("query_id", "_cell").as[(Long, Int)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    out.foreach { case (q, n, _, _) =>
+      assert(probed(q).contains(cellOf(n)),
+        s"neighbor $n of query $q outside its probed cells")
+    }
+    // the code scan partition-prunes exactly like the cell scan
+    val scan = IvfIndex.probedCodeScan(spark, dir, Seq(0, 2))
+    val fs = scan.queryExecution.executedPlan.collectLeaves().collectFirst {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    assert(fs.isDefined, "expected a FileSourceScanExec leaf")
+    assert(fs.get.partitionFilters.exists(_.references.exists(
+      _.name == "_cell")), "expected a _cell partition filter")
+    // ADC ranking degrades gracefully: overlap with the exact in-cell
+    // ranking (ss7's search) is nonzero — codes carry real signal
+    val exact = IvfIndex.search(spark, dir, queries, 5, nProbe = 3)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val adc = out.map(r => (r._1, r._2)).toSet
+    assert((exact intersect adc).nonEmpty)
+  }
+
   test("approx_count_distinct within 5% of exact on documents") {
     val docs = spark.read
       .parquet("/root/testdata/sf0.001/documents.parquet")

@@ -1238,6 +1238,47 @@ class ExtOpsSpec extends SparkSpec {
       .isEmpty)
   }
 
+  test("vocabCoverage: deterministic ranked vocab with exact coverage curve") {
+    // corpus: 34 tokens total; 'the' appears 2x in docs 1/2/4 = 6;
+    // quick/brown/fox/jumps/over/lazy = 3 each; ties broken by term asc
+    val out = TextAnalysisOps.vocabCoverage(df, "text", 3)
+      .as[(Int, String, Long, Double)].collect().sortBy(_._1).toSeq
+    assert(out == Seq(
+      (1, "the", 6L, 0.1765),     // 6/34
+      (2, "brown", 3L, 0.2647),   // 9/34
+      (3, "fox", 3L, 0.3529)))    // 12/34
+  }
+
+  test("oovRate: per-doc UNK rate against the corpus' own top-N vocab") {
+    // vocab(3) = {the, brown, fox}; docs 1/2/4 have 4 in-vocab tokens
+    // of 9 (the x2 + brown + fox); docs 3/5 are fully OOV
+    val out = TextAnalysisOps.oovRate(df, "doc_id", "text", 3)
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._1).toSeq
+    assert(out == Seq(
+      (1L, 9L, 5L, 0.5556), (2L, 9L, 5L, 0.5556),
+      (3L, 6L, 6L, 1.0), (4L, 9L, 5L, 0.5556), (5L, 1L, 1L, 1.0)))
+  }
+
+  test("shardManifest: totals conserved, deterministic, membership-sensitive fp") {
+    val docs = df.withColumn("n_tokens", size(split(col("text"), " ")))
+    val m = TextAnalysisOps.shardManifest(docs, "doc_id", "n_tokens", 4)
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    // every doc lands in exactly one shard; weights conserved
+    assert(m.map(_._2).sum == 5L)
+    assert(m.map(_._3).sum == 34L)
+    assert(m.forall { case (s, _, _, _) => s >= 0 && s < 4 })
+    // replay is identical (no RNG state anywhere)
+    val again = TextAnalysisOps.shardManifest(docs, "doc_id", "n_tokens", 4)
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(m == again)
+    // dropping a doc changes its shard's row (count + fingerprint)
+    val dropped = TextAnalysisOps.shardManifest(
+      docs.filter(col("doc_id") =!= 1L), "doc_id", "n_tokens", 4)
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(dropped.map(_._2).sum == 4L)
+    assert(dropped != m)
+  }
+
   test("hashedClassifierScore: exact integer logits, empty-text edge") {
     val docs = Seq(
       (1L, "alpha alpha alpha"),   // 3x one token: logit = 3*w(alpha)

@@ -96,4 +96,45 @@ class CompactionSpec extends SparkSpec {
       assert(zs == zs.sorted, s"$f not z-sorted")
     }
   }
+
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  test("writeHashSharded: on-disk layout matches the shardManifest exactly") {
+    import graft.operators.TextAnalysisOps
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+      .withColumn("n_tokens", size(split(col("text"), " ")))
+    val out = Files.createTempDirectory("graft-shards").toString
+    Compaction.writeHashSharded(docs, out, "doc_id", 8)
+
+    val manifest = TextAnalysisOps
+      .shardManifest(docs, "doc_id", "n_tokens", 8)
+      .as[(Long, Long, Long, Long)].collect()
+      .map { case (s, n, w, fp) => s -> ((n, fp)) }.toMap
+
+    val shardDirs = Files.list(Paths.get(out)).iterator().asScala
+      .filter(_.getFileName.toString.startsWith("shard=")).toSeq
+    assert(shardDirs.map(_.getFileName.toString.stripPrefix("shard=").toLong)
+      .toSet == manifest.keySet)
+
+    shardDirs.foreach { dir =>
+      val shard = dir.getFileName.toString.stripPrefix("shard=").toLong
+      val fs = Files.list(dir).iterator().asScala
+        .filter(_.toString.endsWith(".parquet")).toSeq
+      assert(fs.size == 1, s"$dir: expected one file per shard")
+      // the file's physical row order IS the manifest's md5 order
+      val ids = spark.read.parquet(fs.head.toString)
+        .select("doc_id").as[Long].collect().toSeq
+      assert(ids == ids.sortBy(id => (md5hex(id.toString), id)),
+        s"shard $shard not md5-ordered")
+      // count and order-sensitive fingerprint both replay from disk
+      val (nDocs, fp) = manifest(shard)
+      assert(ids.size.toLong == nDocs)
+      val fileFp = ids.zipWithIndex.map { case (id, i) =>
+        java.lang.Long.parseLong(md5hex(s"$id:${i + 1}").take(8), 16)
+      }.reduce(_ ^ _)
+      assert(fileFp == fp, s"shard $shard fingerprint mismatch")
+    }
+  }
 }
