@@ -274,6 +274,36 @@ object PerfCompare {
       require(njd == njn, s"jl row mismatch: $njd vs $njn")
       println(s"""{"jl_vecs":100000,"jl_rows":$njd,""" +
         s""""declarative_sec":$tjd,"native_kernel_sec":$tjn}""")
+      // brute-force ANN ranking (ss1 shape): row_number window — which
+      // exchanges AND fully sorts every scored (query, neighbor) row —
+      // vs the bounded TopKPerKey heap (≤ k rows per query survive
+      // each task) over the same 6.4M-row scored fan-out
+      val qs = vq.filter(col("id") < 64)
+        .select(col("id").as("query_id"), col("embedding").as("_qv"))
+      def scored = vq
+        .select(col("id").as("neighbor_id"), col("embedding").as("_cv"))
+        .crossJoin(broadcast(qs))
+        .filter(col("query_id") =!= col("neighbor_id"))
+        .withColumn("_sim", functions.CosineF32.cosineF32Native(
+          col("_qv"), col("_cv")))
+      def topkWindow: Long = {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("query_id")
+          .orderBy(col("_sim").desc, col("neighbor_id").asc)
+        hashAll(scored.withColumn("rk", row_number().over(w))
+          .filter(col("rk") <= 10)
+          .select(col("query_id"), col("neighbor_id"), col("rk")))
+      }
+      def topkHeap: Long = hashAll(
+        graft.plans.TopK.perKey(scored, Seq("query_id"),
+          Seq(col("_sim").desc, col("neighbor_id").asc), 10)
+          .select(col("query_id"), col("neighbor_id"), col("rk")))
+      topkWindow; topkHeap
+      val (tkw, nkw) = time(topkWindow)
+      val (tkh, nkh) = time(topkHeap)
+      require(nkw == nkh, s"topk row mismatch: $nkw vs $nkh")
+      println(s"""{"topk_corpus":100000,"topk_queries":64,"topk_rows":$nkw,""" +
+        s""""window_sec":$tkw,"heap_sec":$tkh}""")
       corpus.unpersist(blocking = true)
       vq.unpersist(blocking = true)
     }

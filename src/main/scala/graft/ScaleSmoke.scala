@@ -11,7 +11,8 @@ import org.apache.spark.sql.functions._
   * (the 8g default = 256 MB/slot at local[32]) — that is the
   * configuration that exposed the unspillable shuffled-hash build
   * (PERF.md). Sizes are CLI-overridable: `runMain graft.ScaleSmoke
-  * [spanDocs] [containDocs] [lshDocs] [tfidfDocs] [embVecs] [evEvents]`.
+  * [spanDocs] [containDocs] [lshDocs] [tfidfDocs] [embVecs] [evEvents]
+  * [shardDocs] [vocabDocs] [pqVecs]`.
   */
 object ScaleSmoke {
   def main(args: Array[String]): Unit = {
@@ -21,6 +22,9 @@ object ScaleSmoke {
     val tfidfDocs = if (args.length > 3) args(3).toLong else 10000000L
     val embVecs = if (args.length > 4) args(4).toLong else 2000000L
     val evEvents = if (args.length > 5) args(5).toLong else 20000000L
+    val shardDocs = if (args.length > 6) args(6).toLong else 10000000L
+    val vocabDocs = if (args.length > 7) args(7).toLong else 10000000L
+    val pqVecs = if (args.length > 8) args(8).toLong else 2000000L
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = org.apache.spark.sql.SparkSession.builder()
       .master(s"local[$cpus]")
@@ -139,6 +143,66 @@ object ScaleSmoke {
       key = "user_id", time = "ts", rightCols = Seq("value"))
       .agg(count(col("_match"))).first.getLong(0))
     println(s"""{"asof_left":${evEvents / 5},"sec":${round1(t8)},"matched":$n8}""")
+
+    // export lane: the deterministic global shuffle at crawl scale —
+    // 1024 shards, per-shard sort + order-sensitive XOR fingerprint.
+    // The shuffle carries (id, weight) pairs only, never documents;
+    // state per task is the sort spill, not a buffer.
+    val exportDocs = spark.range(shardDocs).select(col("id"),
+      (pmod(hash(col("id") * 3), lit(2000L)) + 24).as("n_tokens"))
+      .localCheckpoint()
+    val (t9, n9) = t(operators.TextAnalysisOps
+      .shardManifest(exportDocs, "id", "n_tokens", 1024).count())
+    println(s"""{"shard_docs":$shardDocs,"sec":${round1(t9)},"shards":$n9}""")
+    exportDocs.unpersist(blocking = true)
+
+    // vocab lane: 50k-entry vocabulary over a 500k-term space. The
+    // term agg combines map-side; the top-N is TakeOrderedAndProject,
+    // whose driver merge is k × shuffle-partitions rows (50k × 64
+    // here) — the documented ceiling of this shape. OOV then joins
+    // the vocab back BROADCAST against the full token stream.
+    val vocabCorpus = spark.range(vocabDocs).select(col("id"),
+      concat_ws(" ", (0 until 24).map(j =>
+        pmod(hash((col("id") - col("id") % 4)).cast("long") * 31 + j,
+          lit(500000L)).cast("string")): _*).as("text"))
+      .localCheckpoint()
+    val (t10, n10) = t(operators.TextAnalysisOps
+      .vocabCoverage(vocabCorpus, "text", 50000).count())
+    println(s"""{"vocab_docs":$vocabDocs,"sec":${round1(t10)},"vocab_rows":$n10}""")
+    val (t11, n11) = t(operators.TextAnalysisOps
+      .oovRate(vocabCorpus, "id", "text", 50000).count())
+    println(s"""{"oov_docs":$vocabDocs,"sec":${round1(t11)},"docs_scored":$n11}""")
+    vocabCorpus.unpersist(blocking = true)
+
+    // ann-index lane: persisted IVF-PQ at 2M × 24-dim — build (256
+    // cells, 2×12-dim subspaces, 16-centroid codebooks, coded write)
+    // then a 100-query batched ADC search whose code scan partition-
+    // prunes to the probed cells. The raw vectors are written once and
+    // never read by the search.
+    val pqBase = col("vid") - col("vid") % 4
+    val pqCorpus = spark.range(pqVecs)
+      .select(col("id").as("vid"))
+      .select(col("vid"), array((0 until 24).map(j =>
+        ((pmod(hash(pqBase * 31 + j), lit(2001)) - 1000).cast("float") / 1000.0f +
+          (pmod(hash(col("vid") * 7 + j), lit(21)) - 10).cast("float") / 10000.0f)
+          .cast("float")): _*).as("embedding"))
+      .localCheckpoint()
+    val pqDir = java.nio.file.Files
+      .createTempDirectory("graft-scale-ivfpq").toString
+    val f32 = graft.functions.CosineF32.cosineF32Native(_, _)
+    val (t12, _) = t({
+      operators.IvfIndex.buildPq(pqCorpus, pqDir, nList = 256, m = 2,
+        subDim = 12, kPq = 16, iters = 1, idCol = "vid",
+        vecCol = "embedding", kernel = f32)
+      1L
+    })
+    println(s"""{"ivfpq_build_vecs":$pqVecs,"sec":${round1(t12)}}""")
+    val (t13, n13) = t(operators.IvfIndex.searchPq(spark, pqDir,
+      pqCorpus.filter(col("vid") < 100), k = 10, nProbe = 8, m = 2,
+      subDim = 12, idCol = "vid", vecCol = "embedding",
+      kernel = f32).count())
+    println(s"""{"ivfpq_search_queries":100,"sec":${round1(t13)},"results":$n13}""")
+    pqCorpus.unpersist(blocking = true)
     spark.stop()
   }
 }
