@@ -283,6 +283,75 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  test("shardManifest equals the Scala model on random corpora, any shard count") {
+    val n = 200 + rnd.nextInt(300)
+    val ids = rnd.shuffle((0L until 5000L).toList).take(n)
+    val rows = ids.map(id => (id, 1L + rnd.nextInt(50)))
+    val docs = rows.toDF("id", "w")
+    for (nShards <- Seq(1, 3, 16)) {
+      val out = TextAnalysisOps.shardManifest(docs, "id", "w", nShards)
+        .as[(Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+      // model: shard + md5 order + position-salted xor, all in Scala
+      val model = rows
+        .groupBy { case (id, _) =>
+          java.lang.Long.parseLong(md5hex(id.toString).take(8), 16) % nShards }
+        .map { case (shard, members) =>
+          val ordered = members.sortBy { case (id, _) =>
+            (md5hex(id.toString), id) }
+          val fp = ordered.zipWithIndex.map { case ((id, _), i) =>
+            java.lang.Long.parseLong(md5hex(s"$id:${i + 1}").take(8), 16)
+          }.reduce(_ ^ _)
+          (shard, members.size.toLong, members.map(_._2.toLong).sum, fp)
+        }.toSeq.sortBy(_._1)
+      assert(out == model, s"nShards=$nShards")
+    }
+  }
+
+  test("vocabCoverage/oovRate equal the Scala model on random corpora") {
+    val alphabet = (0 until 40).map(i => s"w$i")
+    val docs = (0 until 150).map { i =>
+      (i.toLong, Seq.fill(1 + rnd.nextInt(30))(
+        alphabet(rnd.nextInt(alphabet.size))).mkString(" "))
+    }
+    val df = docs.toDF("doc_id", "text")
+    val counts = docs.flatMap(_._2.split(" ")).groupBy(identity)
+      .map { case (t, xs) => (t, xs.size.toLong) }
+    val total = counts.values.sum.toDouble
+    for (vocabSize <- Seq(5, 40, 100)) {
+      val ranked = counts.toSeq.sortBy { case (t, c) => (-c, t) }
+        .take(vocabSize)
+      val out = TextAnalysisOps.vocabCoverage(df, "text", vocabSize)
+        .as[(Int, String, Long, Double)].collect().sortBy(_._1).toSeq
+      // Spark round = BigDecimal.valueOf(double).setScale(4, HALF_UP) —
+      // mirror it exactly; math.rint is HALF_EVEN and can diverge on
+      // exact ten-thousandth-half ratios
+      def r4(d: Double): Double = java.math.BigDecimal.valueOf(d)
+        .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()
+      val modelVocab = ranked.zipWithIndex.map { case ((t, c), i) =>
+        (i + 1, t, c, r4(ranked.take(i + 1).map(_._2).sum / total))
+      }
+      assert(out == modelVocab, s"vocabSize=$vocabSize")
+      // full vocab → the curve ends at exactly 1.0
+      if (vocabSize >= counts.size) assert(out.last._4 == 1.0)
+      val vocabSet = ranked.map(_._1).toSet
+      val oov = TextAnalysisOps.oovRate(df, "doc_id", "text", vocabSize)
+        .as[(Long, Long, Long, Double)].collect().sortBy(_._1).toSeq
+      def r4b(d: Double): Double = java.math.BigDecimal.valueOf(d)
+        .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()
+      val modelOov = docs.map { case (id, text) =>
+        val toks = text.split(" ").toSeq
+        val nOov = toks.count(!vocabSet.contains(_))
+        (id, toks.size.toLong, nOov.toLong,
+          r4b(nOov.toDouble / toks.size))
+      }
+      assert(oov == modelOov, s"vocabSize=$vocabSize")
+    }
+  }
+
   test("histogram: counts conserved, bins contiguous, bounds honored") {
     val vals = Seq.fill(200)(rnd.nextDouble() * 100 - 50)
     val df = vals.zipWithIndex.map { case (v, i) => (i.toLong, v) }
