@@ -597,6 +597,66 @@ object TextAnalysisOps {
         col("rule_symbol") && col("rule_alpha") && col("rule_stop"))
   }
 
+  /** DSIR-style importance weights (Xie et al. 2023, "Data Selection
+    * for Language Models via Importance Resampling"): score each RAW
+    * document by how much more likely its hashed n-gram features are
+    * under the TARGET corpus' bucket distribution than under the raw
+    * corpus' own —
+    * `log w(doc) = Σ_b c_doc[b]·(ln p̂_tgt[b] − ln p̂_raw[b])`, with
+    * add-α smoothed bucket probabilities over md5-hashed unigrams +
+    * bigrams. High `log_w` = looks like the target; feed the weights to
+    * [[weightedSample]] for the resampling step.
+    *
+    * Scale shape: two generator passes over each corpus (unigrams,
+    * bigrams — row-local, no shuffle), bucket histograms keyed on ≤
+    * `buckets` values (map-side combined, exchanges carry counts), the
+    * per-bucket log-ratio table broadcast (≤ `buckets` rows), and one
+    * doc-keyed agg whose exchange carries (doc, bucket) counts — never
+    * text. Totals derive FROM the histograms as broadcast scalars.
+    *
+    * Determinism: buckets and counts are md5-exact integers; `ln` of
+    * rational doubles is correctly rounded in any engine; the per-doc
+    * weighted sum is rounded to 4 decimals (the tx21/tx26/tx27
+    * precision contract for order-free replay).
+    */
+  def dsirLogWeights(raw: DataFrame, target: DataFrame, idCol: String,
+                     textCol: String, buckets: Int = 1024,
+                     alpha: Double = 0.5,
+                     seed: String = "dsir"): DataFrame = {
+    def grams(df: DataFrame): DataFrame = {
+      val uni = df.select(col(idCol), graft.functions.ShingleGen
+        .shingleGen(col(textCol), 1, distinct = false)).toDF(idCol, "_g")
+      val bi = df.select(col(idCol), graft.functions.ShingleGen
+        .shingleGen(col(textCol), 2, distinct = false)).toDF(idCol, "_g")
+      uni.unionByName(bi)
+        .withColumn("_b", conv(substring(
+          md5(concat(lit(seed + "_"), col("_g"))), 1, 8), 16, 10)
+          .cast("long") % buckets)
+        .drop("_g")
+    }
+    val rawGrams = grams(raw)
+    val rawDist = rawGrams.groupBy(col("_b"))
+      .agg(count(lit(1)).as("n_raw"))
+    val tgtDist = grams(target).groupBy(col("_b"))
+      .agg(count(lit(1)).as("n_tgt"))
+    val rawTot = rawDist.agg(sum(col("n_raw")).cast("double").as("_tr"))
+    val tgtTot = tgtDist.agg(sum(col("n_tgt")).cast("double").as("_tt"))
+    val ratio = rawDist.join(tgtDist, Seq("_b"), "full")
+      .na.fill(0L, Seq("n_raw", "n_tgt"))
+      .crossJoin(broadcast(rawTot)).crossJoin(broadcast(tgtTot))
+      .select(col("_b"),
+        (log((col("n_tgt") + lit(alpha)) /
+             (col("_tt") + lit(alpha * buckets))) -
+         log((col("n_raw") + lit(alpha)) /
+             (col("_tr") + lit(alpha * buckets)))).as("_lr"))
+    rawGrams.groupBy(col(idCol), col("_b"))
+      .agg(count(lit(1)).as("_c"))
+      .join(broadcast(ratio), Seq("_b"))
+      .groupBy(col(idCol))
+      .agg(sum(col("_c")).as("n_grams"),
+        round(sum(col("_c").cast("double") * col("_lr")), 4).as("log_w"))
+  }
+
   /** Top-`vocabSize` whitespace-token vocabulary with the cumulative
     * corpus-coverage curve — the pre-tokenizer sizing sweep ("how many
     * corpus tokens does an N-entry vocab cover?"). Ties broken by term

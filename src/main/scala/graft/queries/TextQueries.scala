@@ -50,6 +50,18 @@ object TextQueries {
     "tx31_oov_rate" -> ((s, d) =>
       TextAnalysisOps.oovRate(documents(s, d), "doc_id", "text", 100)),
 
+    // DSIR importance weights: every non-src0 doc scored by how much
+    // its hashed unigram+bigram buckets look like src0 (the target)
+    // vs the raw pool itself — the data-selection-for-LM primitive;
+    // feed log_w to the weighted sampler for the resampling step.
+    "tx33_dsir" -> ((s, d) => {
+      val docs = documents(s, d)
+      TextAnalysisOps.dsirLogWeights(
+        docs.filter(col("source") =!= "src0"),
+        docs.filter(col("source") === "src0"),
+        "doc_id", "text", buckets = 1024)
+    }),
+
     // Deterministic 16-shard export manifest: md5 shard assignment,
     // md5-ordered within shard, order-sensitive XOR fingerprint —
     // what a training job verifies before trusting a shard set.
@@ -601,6 +613,36 @@ object TextQueries {
            round(sum(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END)::DOUBLE
                  / count(*), 4) AS oov_rate
          FROM t LEFT JOIN v ON t.term = v.term
+         GROUP BY doc_id""",
+    "tx33_dsir" ->
+      """WITH w AS (SELECT doc_id, source, string_split(text, ' ') AS w
+                    FROM documents),
+         g AS (SELECT doc_id, source, unnest(w) AS g FROM w
+               UNION ALL
+               SELECT doc_id, source,
+                 unnest([w[i] || ' ' || w[i+1]
+                         for i in range(1, len(w))]) AS g
+               FROM w WHERE len(w) >= 2),
+         bk AS (SELECT doc_id, source,
+                  ('0x' || substr(md5('dsir_' || g), 1, 8))::UBIGINT
+                    % 1024 AS b
+                FROM g),
+         rawd AS (SELECT b, count(*) AS n_raw FROM bk
+                  WHERE source <> 'src0' GROUP BY b),
+         tgtd AS (SELECT b, count(*) AS n_tgt FROM bk
+                  WHERE source = 'src0' GROUP BY b),
+         tr AS (SELECT sum(n_raw)::DOUBLE AS tr FROM rawd),
+         tt AS (SELECT sum(n_tgt)::DOUBLE AS tt FROM tgtd),
+         ratio AS (SELECT coalesce(rawd.b, tgtd.b) AS b,
+             ln((coalesce(n_tgt, 0) + 0.5) / (tt + 0.5 * 1024)) -
+             ln((coalesce(n_raw, 0) + 0.5) / (tr + 0.5 * 1024)) AS lr
+           FROM rawd FULL JOIN tgtd ON rawd.b = tgtd.b
+           CROSS JOIN tr CROSS JOIN tt),
+         db AS (SELECT doc_id, b, count(*) AS c FROM bk
+                WHERE source <> 'src0' GROUP BY doc_id, b)
+         SELECT doc_id, sum(c)::BIGINT AS n_grams,
+           round(sum(c * lr), 4) AS log_w
+         FROM db JOIN ratio USING (b)
          GROUP BY doc_id""",
     "tx32_shard_manifest" ->
       """WITH s AS (SELECT doc_id,

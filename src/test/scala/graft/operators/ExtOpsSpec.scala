@@ -1238,6 +1238,51 @@ class ExtOpsSpec extends SparkSpec {
       .isEmpty)
   }
 
+  test("dsirLogWeights: Scala-model equality + target-likeness ordering") {
+    val target = Seq((100L, "alpha beta alpha beta"),
+      (101L, "alpha beta gamma")).toDF("doc_id", "text")
+    val rawRows = Seq((1L, "alpha beta alpha"),      // target-speak
+      (2L, "delta epsilon zeta"),                    // disjoint
+      (3L, "alpha delta"))                           // mixed
+    val raw = rawRows.toDF("doc_id", "text")
+    val out = TextAnalysisOps
+      .dsirLogWeights(raw, target, "doc_id", "text", buckets = 64)
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> ((r._2, r._3)))
+      .toMap
+
+    // plain-Scala model: same md5 buckets, same add-0.5 smoothing
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def bucket(g: String) =
+      java.lang.Long.parseLong(md5hex(s"dsir_$g").take(8), 16) % 64
+    def grams(text: String): Seq[Long] = {
+      val w = text.split(" ").toSeq
+      (w ++ w.sliding(2).filter(_.size == 2).map(_.mkString(" ")))
+        .map(bucket)
+    }
+    val rawB = rawRows.flatMap(r => grams(r._2))
+    val tgtB = Seq("alpha beta alpha beta", "alpha beta gamma")
+      .flatMap(grams)
+    def dist(bs: Seq[Long]) = bs.groupBy(identity).map {
+      case (b, xs) => b -> xs.size.toLong }
+    val (rd, td) = (dist(rawB), dist(tgtB))
+    val (tr, tt) = (rawB.size.toDouble, tgtB.size.toDouble)
+    def lr(b: Long) =
+      math.log((td.getOrElse(b, 0L) + 0.5) / (tt + 0.5 * 64)) -
+      math.log((rd.getOrElse(b, 0L) + 0.5) / (tr + 0.5 * 64))
+    def r4(d: Double) = java.math.BigDecimal.valueOf(d)
+      .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()
+    rawRows.foreach { case (id, text) =>
+      val gs = grams(text)
+      val expected = (gs.size.toLong,
+        r4(gs.groupBy(identity).map { case (b, xs) =>
+          xs.size * lr(b) }.sum))
+      assert(out(id) == expected, s"doc $id")
+    }
+    // semantic sanity: the target-speak doc outranks the disjoint one
+    assert(out(1L)._2 > out(3L)._2 && out(3L)._2 > out(2L)._2)
+  }
+
   test("vocabCoverage: deterministic ranked vocab with exact coverage curve") {
     // corpus: 34 tokens total; 'the' appears 2x in docs 1/2/4 = 6;
     // quick/brown/fox/jumps/over/lazy = 3 each; ties broken by term asc
