@@ -71,7 +71,16 @@ object Bench {
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get(outFile), json + "\n")
     catch { case _: Throwable => }
-    println(json)
     spark.stop()
+    // The driver captures a bounded stdout TAIL: the ~6KB per-query JSON
+    // line gets front-truncated there (r1-r3 all "parsed": null). Print the
+    // full line first for humans/logs, then a compact (<200B) summary as
+    // the VERY LAST line so any plausible tail window holds one complete
+    // parseable JSON object; per-query detail stays in the file.
+    println(json)
+    val totalR = math.round(total * 1000).toDouble / 1000 // locale-free 3dp
+    val compact =
+      s"""{"metric":"total","value":$totalR,"unit":"sec","n_queries":${results.size},"sf":"$sfDir","detail":"$outFile"}"""
+    println(compact)
   }
 }

@@ -324,6 +324,48 @@ object PerfCompare {
     val (tk, nk) = time(kmRun)
     require(nk == kmN, s"kmeans lost rows: $nk of $kmN")
     println(s"""{"kmeans_vecs":$kmN,"kmeans_k16_iter2_sec":$tk}""")
+
+    // IVF / IVF-PQ build-vs-search split (the ss7/ss14 lanes time search
+    // only — the build is a once-per-index artifact cost; this probe is
+    // where that cost is recorded). 100k×64-dim corpus, 64 queries.
+    {
+      val ivfN = 100000L
+      val corpus = spark.range(ivfN).select(col("id").as("vec_id"),
+        array((0 until 64).map(j =>
+          ((pmod(hash(col("vec_id") * 13 + j), lit(2000)) - 1000)
+            / lit(500.0)).cast("float")): _*).as("embedding"))
+        .cache()
+      corpus.count()
+      val qs = corpus.filter(col("vec_id") < 64)
+      val kern = functions.CosineF32.cosineF32Native(_, _)
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft-perf-ivf").toString
+      def buildIvf: Long = {
+        operators.IvfIndex.build(corpus, s"$dir/ivf", nList = 64,
+          idCol = "vec_id", kernel = kern); 1L
+      }
+      def searchIvf: Long = operators.IvfIndex.search(spark, s"$dir/ivf",
+        qs, 10, nProbe = 4, idCol = "vec_id", kernel = kern).count()
+      def buildPq: Long = {
+        operators.IvfIndex.buildPq(corpus, s"$dir/ivfpq", nList = 64,
+          m = 4, subDim = 16, kPq = 16, iters = 1, idCol = "vec_id",
+          kernel = kern); 1L
+      }
+      def searchPq: Long = operators.IvfIndex.searchPq(spark, s"$dir/ivfpq",
+        qs, k = 10, nProbe = 4, m = 4, subDim = 16, idCol = "vec_id",
+        kernel = kern).count()
+      val (tbi, _) = time(buildIvf)
+      searchIvf // warmup against the freshly built index
+      val (tsi, nsi) = time(searchIvf)
+      val (tbp, _) = time(buildPq)
+      searchPq
+      val (tsp, nsp) = time(searchPq)
+      println(s"""{"ivf_corpus":$ivfN,"ivf_build_sec":$tbi,""" +
+        s""""ivf_search_sec":$tsi,"ivf_search_rows":$nsi,""" +
+        s""""ivfpq_build_sec":$tbp,"ivfpq_search_sec":$tsp,""" +
+        s""""ivfpq_search_rows":$nsp}""")
+      corpus.unpersist(blocking = true)
+    }
     spark.stop()
   }
 }

@@ -679,7 +679,12 @@ object TextAnalysisOps {
     val total = counts.agg(sum(col("term_count")).cast("double").as("_total"))
     val top = counts
       .orderBy(col("term_count").desc, col("term").asc).limit(vocabSize)
+    // partitionBy(lit) is semantically the unpartitioned window (every
+    // row shares the constant key) but keeps WindowExec from logging
+    // "No Partition Defined" — which would read as a scale bug when the
+    // input here is ≤ vocabSize rows by construction (post-limit).
     val ord = org.apache.spark.sql.expressions.Window
+      .partitionBy(lit(1))
       .orderBy(col("term_count").desc, col("term").asc)
     top.crossJoin(broadcast(total))
       .withColumn("rank", row_number().over(ord))
