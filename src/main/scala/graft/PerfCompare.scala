@@ -366,6 +366,31 @@ object PerfCompare {
         s""""ivfpq_search_rows":$nsp}""")
       corpus.unpersist(blocking = true)
     }
+
+    // Entry parser: Scala UDF (Encoder round-trip per row) vs the
+    // ParseEntryExpr codegen kernel (one static call, InternalRow out) —
+    // the flagship pipeline's hottest projection (round-3 verdict item 3).
+    // Synthetic city-directory lines at realistic length/shape.
+    {
+      val n = 2000000L
+      val lines = spark.range(n).select(concat(
+        lit("Smith J"), pmod(hash(col("id")), lit(1000)),
+        lit(", carpenter, "), pmod(hash(col("id") * 7), lit(400)),
+        lit(" Broadway, h "), pmod(hash(col("id") * 13), lit(900)),
+        lit(" Pearl st")).as("text")).cache()
+      lines.count()
+      def forceParsed(c: org.apache.spark.sql.Column): Long =
+        lines.select(xxhash64(to_json(c)).as("h"))
+          .agg(bit_xor(col("h"))).collect().head.getLong(0)
+      def viaUdf: Long = forceParsed(parse.EntryParser.parseUdf(col("text")))
+      def viaKernel: Long = forceParsed(parse.EntryParser.parseEntry(col("text")))
+      val hu = viaUdf; val hk = viaKernel // warmup + equality check
+      require(hu == hk, s"parser A/B hash mismatch: $hu vs $hk")
+      val (tu, _) = time { viaUdf; n }
+      val (tp, _) = time { viaKernel; n }
+      println(s"""{"parse_lines":$n,"parse_udf_sec":$tu,"parse_kernel_sec":$tp}""")
+      lines.unpersist(blocking = true)
+    }
     spark.stop()
   }
 }

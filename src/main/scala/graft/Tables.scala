@@ -24,12 +24,33 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame = table(s, d, "part")
   def nation(s: SparkSession, d: String): DataFrame = table(s, d, "nation")
   def region(s: SparkSession, d: String): DataFrame = table(s, d, "region")
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark 4 refuses by
-    * default: read it as a raw ns long (legacy conf) and convert to a µs
-    * timestamp at the source boundary (integer `div` — a double division
-    * would lose precision above 2^53 ns).
+  /** Normalize the `ts` column to an instant-typed TIMESTAMP regardless
+    * of how the parquet writer encoded it. The driver has shipped two
+    * generations of `events.parquet`:
     *
-    * KNOWN SIDE EFFECT: the legacy conf is session-wide, so any later
+    *  - TIMESTAMP(NANOS): Spark 4 refuses it by default; with the
+    *    legacy `nanosAsLong` conf it surfaces as a raw ns long —
+    *    convert via integer `div` (a double division would lose
+    *    precision above 2^53 ns);
+    *  - TIMESTAMP(MICROS, isAdjustedToUTC=false): surfaces as
+    *    TIMESTAMP_NTZ — cast to TIMESTAMP, which under the UTC session
+    *    timezone this project pins is the identical instant DuckDB's
+    *    `epoch(ts)` computes on the same file.
+    *
+    * Dispatch on the OBSERVED dtype, not the generation, so both shapes
+    * (and an already-instant ts) read correctly.
+    */
+  def normalizeEventTs(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    df.schema("ts").dataType match {
+      case LongType => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => df
+    }
+  }
+
+  /** KNOWN SIDE EFFECT: the legacy conf is session-wide, so any later
     * TIMESTAMP(NANOS) parquet read in the same session also gets raw
     * longs. Acceptable here (the ns-typed events table is the only such
     * input and every consumer goes through this loader, converting at
@@ -38,9 +59,7 @@ object Tables {
     */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(s, d, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
+    normalizeEventTs(table(s, d, "events"))
   }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")

@@ -2,7 +2,15 @@ package graft.parse
 
 import graft.model.{Location, ParsedEntry}
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode, FalseLiteral}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.functions.udf
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
 
 /** Native replacement for the reference's external CRF entry parser
   * (entry-parser.js:7-91 spawns `python3 parse.py --training ...` and
@@ -67,12 +75,91 @@ object EntryParser {
     ParsedEntry(subject.toList, occupations.result(), locations.result())
   }
 
+  /** Catalyst output shape — identical to what the `udf` form derives by
+    * reflection from [[ParsedEntry]], so the kernel and UDF paths are
+    * interchangeable at every call site.
+    */
+  val parsedSchema: StructType = StructType(Seq(
+    StructField("subjects", ArrayType(StringType)),
+    StructField("occupations", ArrayType(StringType)),
+    StructField("locations",
+      ArrayType(StructType(Seq(StructField("value", StringType)))))))
+
+  /** Kernel for [[ParseEntryExpr]]: parse straight from Spark's internal
+    * string into an InternalRow, skipping the UDF boundary's
+    * catalyst→scala→catalyst conversion (and its per-row Encoder
+    * round-trip of three nested collections). Same rules as [[parse]];
+    * null input yields the empty struct, never a null.
+    */
+  def parseRow(text: UTF8String): InternalRow = {
+    val p = parse(if (text == null) null else text.toString)
+    new GenericInternalRow(Array[Any](
+      new GenericArrayData(
+        p.subjects.iterator.map(UTF8String.fromString).toArray[Any]),
+      new GenericArrayData(
+        p.occupations.iterator.map(UTF8String.fromString).toArray[Any]),
+      new GenericArrayData(p.locations.iterator.map { l =>
+        new GenericInternalRow(Array[Any](UTF8String.fromString(l.value)))
+      }.toArray[Any])))
+  }
+
   /** Column form returning
     * struct(subjects array<string>, occupations array<string>,
     *        locations array<struct<value string>>).
+    *
+    * Kept for the PerfCompare A/B against the codegen kernel; production
+    * call sites go through [[parseEntry]].
     */
   val parseUdf: org.apache.spark.sql.expressions.UserDefinedFunction =
     udf((text: String) => parse(text))
 
-  def parseEntry(text: Column): Column = parseUdf(text)
+  /** Codegen form — ONE static call inside whole-stage codegen, closing
+    * the last UDF boundary in the flagship `parse` pipeline (round-3
+    * verdict item 3).
+    */
+  def parseEntry(text: Column): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(ParseEntryExpr(ColumnBridge.expression(text)))
+  }
+}
+
+/** Whole-stage-codegen form of the entry parser (the ShingleGen /
+  * QuantizeInt8 / JlProject kernel pattern): the parse is one static
+  * call returning the contract struct, so the flagship pipeline's
+  * hottest projection stays inside a single codegen stage instead of
+  * breaking at a Scala UDF's serialization boundary.
+  *
+  * Value semantics are exactly [[EntryParser.parse]] (shared kernel);
+  * like the UDF form, a null line degrades to the empty struct rather
+  * than a null — errors stay in-band (SURVEY.md §4), so `nullable` is
+  * honestly false and downstream null-handling plans stay tight.
+  */
+case class ParseEntryExpr(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"parse_entry expects string, got ${other.simpleString}")
+  }
+
+  override def dataType: DataType = EntryParser.parsedSchema
+
+  override def nullable: Boolean = false
+
+  override def eval(input: InternalRow): Any =
+    EntryParser.parseRow(child.eval(input).asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val c = child.genCode(ctx)
+    ev.copy(code = code"""
+      ${c.code}
+      org.apache.spark.sql.catalyst.InternalRow ${ev.value} =
+        graft.parse.EntryParser.parseRow(${c.isNull} ? null : ${c.value});""",
+      isNull = FalseLiteral)
+  }
+
+  override protected def withNewChildInternal(c: Expression): ParseEntryExpr =
+    copy(child = c)
+
+  override def prettyName: String = "parse_entry"
 }

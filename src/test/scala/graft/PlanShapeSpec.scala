@@ -214,4 +214,31 @@ class PlanShapeSpec extends SparkSpec {
       "l_extendedprice", "l_discount"),
       s"scan reads $read")
   }
+
+  test("entry parse is the codegen kernel, not a Scala UDF boundary") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // RDD-backed, NOT a LocalRelation: Seq.toDF would let
+    // ConvertToLocalRelation fold the whole projection at plan time
+    // (executed plan = LocalTableScan), hiding the shape under test.
+    val lines = spark.createDataset(spark.sparkContext.parallelize(Seq(
+      "Smith John, carpenter, 123 Broadway",
+      "Brown Wm., grocer, 7 Bowery, h 19 Pearl st",
+      "45 Broadway, Smith John", ",,,", "", null,
+      "O'Brien Patk, lab, r 99 Mott",
+      "Delmonico & Sons, restaurant, 2 William st"), 2))
+      .toDF("text")
+    val viaKernel = lines.select(
+      graft.parse.EntryParser.parseEntry(col("text")).as("p"))
+    val viaUdf = lines.select(
+      graft.parse.EntryParser.parseUdf(col("text")).as("p"))
+    // value parity with the reflective UDF path, struct-deep
+    assert(viaKernel.select(to_json(col("p"))).collect().toSeq ==
+      viaUdf.select(to_json(col("p"))).collect().toSeq)
+    // the flagship projection must stay inside whole-stage codegen:
+    // parse_entry present, no ScalaUDF / BatchEvalPython boundary
+    val plan = viaKernel.queryExecution.executedPlan.toString
+    assert(plan.contains("parse_entry"), plan)
+    assert(!plan.contains("UDF"), plan)
+  }
 }

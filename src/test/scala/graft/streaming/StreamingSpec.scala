@@ -63,8 +63,11 @@ class StreamingSpec extends SparkSpec {
       dir.resolve("events.parquet"))
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = spark.read.parquet(dir.toString).schema
-    val raw = spark.readStream.schema(schema).parquet(dir.toString)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    // same ts normalization as the batch loader — works on a streaming
+    // DataFrame too (dispatches on the observed dtype, so the test
+    // tracks whichever generation of events.parquet the driver shipped)
+    val raw = graft.Tables.normalizeEventTs(
+      spark.readStream.schema(schema).parquet(dir.toString))
     val streamed = StreamingOps.drainToTable(
       StreamingOps.tumblingStream(raw, "1 hour"), "t_file_stream")
       .as[(Long, String, Long, Double)].collect().toSet
