@@ -11,6 +11,15 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver parses the LAST stdout line of `sbt "runMain graft.Bench"`
+// as JSON. Two sbt behaviors defeat that: forked-run output is logged
+// through sbt with an `[info] ` prefix, and sbt appends its own
+// `[success] Total time: ...` trailer after the run. StdoutOutput makes
+// the forked JVM's stdout pass through verbatim (no prefix);
+// showSuccess := false drops the trailer — so Bench's compact JSON line
+// genuinely is the final stdout line.
+run / outputStrategy := Some(StdoutOutput)
+showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -38,6 +38,11 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
+      // events.parquet ships TIMESTAMP_NTZ micros in its current
+      // generation; Tables.normalizeEventTs casts NTZ->TIMESTAMP, which
+      // is only instant-preserving under a UTC session zone. Pin it in
+      // every entrypoint, not just Verify/Smoke (advisor r4).
+      .config("spark.sql.session.timeZone", "UTC")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Warmup pass: run every query once untimed so the timed numbers
@@ -46,10 +51,12 @@ object Bench {
     selected.foreach { case (_, fn) =>
       try force(fn(spark, sfDir)) catch { case _: Throwable => }
     }
-    // min of N timed runs (default 2): single-shot numbers on a shared
-    // box produced phantom 5-10x "regressions" in earlier rounds; the
-    // minimum is the least-noisy estimator of steady-state cost
-    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt.max(1)
+    // min of N timed runs (default 3): single-shot numbers on a shared
+    // box produced phantom 5-10x "regressions" in earlier rounds, and
+    // min-of-2 still let ~1s transient stalls through (r4 showed 2-12x
+    // phantom deltas that a replay did not reproduce); the minimum of 3
+    // is the least-noisy estimator of steady-state cost
+    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt.max(1)
     val results = selected.map { case (name, fn) =>
       val times = (1 to runs).map { _ =>
         val t0 = System.nanoTime()

@@ -17,6 +17,7 @@ object PerfCompare {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC") // NTZ ts cast precondition (Tables.normalizeEventTs)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
@@ -379,13 +380,28 @@ object PerfCompare {
         lit(" Broadway, h "), pmod(hash(col("id") * 13), lit(900)),
         lit(" Pearl st")).as("text")).cache()
       lines.count()
-      def forceParsed(c: org.apache.spark.sql.Column): Long =
+      // Value parity check (untimed, once per side): struct-deep via
+      // to_json — correctness, not measurement.
+      def jsonHash(c: org.apache.spark.sql.Column): Long =
         lines.select(xxhash64(to_json(c)).as("h"))
+          .agg(bit_xor(col("h"))).collect().head.getLong(0)
+      val hu = jsonHash(parse.EntryParser.parseUdf(col("text")))
+      val hk = jsonHash(parse.EntryParser.parseEntry(col("text")))
+      require(hu == hk, s"parser A/B hash mismatch: $hu vs $hk")
+      // The TIMED consumer is deliberately cheap: array sizes plus one
+      // sampled field still force the full parse (the struct is one
+      // expression), but skip the heavy JSON serialization that would
+      // otherwise run identically on both sides and dilute the
+      // UDF-vs-kernel delta being measured (advisor r4).
+      def forceParsed(c: org.apache.spark.sql.Column): Long =
+        lines.select(xxhash64(
+            size(c.getField("subjects")), size(c.getField("occupations")),
+            size(c.getField("locations")),
+            element_at(c.getField("subjects"), 1)).as("h"))
           .agg(bit_xor(col("h"))).collect().head.getLong(0)
       def viaUdf: Long = forceParsed(parse.EntryParser.parseUdf(col("text")))
       def viaKernel: Long = forceParsed(parse.EntryParser.parseEntry(col("text")))
-      val hu = viaUdf; val hk = viaKernel // warmup + equality check
-      require(hu == hk, s"parser A/B hash mismatch: $hu vs $hk")
+      viaUdf; viaKernel // warm the cheap-consumer plans
       val (tu, _) = time { viaUdf; n }
       val (tp, _) = time { viaKernel; n }
       println(s"""{"parse_lines":$n,"parse_udf_sec":$tu,"parse_kernel_sec":$tp}""")

@@ -59,6 +59,11 @@ object Tables {
     */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // normalizeEventTs's NTZ->TIMESTAMP cast is instant-preserving only
+    // under a UTC session zone. Every entrypoint builder pins it, but
+    // enforce the precondition here too so a future entrypoint (or a
+    // non-UTC host) can't silently shift instants.
+    s.conf.set("spark.sql.session.timeZone", "UTC")
     normalizeEventTs(table(s, d, "events"))
   }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")

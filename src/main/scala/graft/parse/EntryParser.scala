@@ -137,7 +137,10 @@ object EntryParser {
 case class ParseEntryExpr(child: Expression) extends UnaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case StringType => TypeCheckResult.TypeCheckSuccess
+    // `_: StringType`, not the singleton: a collated string column is
+    // still a string to parseRow (UTF8String in, same kernel), and the
+    // singleton pattern only matches the default collation.
+    case _: StringType => TypeCheckResult.TypeCheckSuccess
     case other => TypeCheckResult.TypeCheckFailure(
       s"parse_entry expects string, got ${other.simpleString}")
   }

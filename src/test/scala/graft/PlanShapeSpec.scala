@@ -239,6 +239,9 @@ class PlanShapeSpec extends SparkSpec {
     // parse_entry present, no ScalaUDF / BatchEvalPython boundary
     val plan = viaKernel.queryExecution.executedPlan.toString
     assert(plan.contains("parse_entry"), plan)
-    assert(!plan.contains("UDF"), plan)
+    // match the concrete operator names, not the bare substring "UDF",
+    // so an unrelated operator name containing it can't spuriously fail
+    assert(!plan.contains("ScalaUDF") && !plan.contains("BatchEvalPython"),
+      plan)
   }
 }
