@@ -20,6 +20,9 @@ run / fork := true
 // genuinely is the final stdout line.
 run / outputStrategy := Some(StdoutOutput)
 showSuccess := false
+// showSuccess is read by sbt's command layer, not by another setting —
+// exclude it from the unused-key lint so batch output stays clean.
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -12,7 +12,7 @@ import org.apache.spark.sql.functions._
   * configuration that exposed the unspillable shuffled-hash build
   * (PERF.md). Sizes are CLI-overridable: `runMain graft.ScaleSmoke
   * [spanDocs] [containDocs] [lshDocs] [tfidfDocs] [embVecs] [evEvents]
-  * [shardDocs] [vocabDocs] [pqVecs]`.
+  * [shardDocs] [vocabDocs] [pqVecs] [dsirDocs]`.
   */
 object ScaleSmoke {
   def main(args: Array[String]): Unit = {
@@ -25,6 +25,7 @@ object ScaleSmoke {
     val shardDocs = if (args.length > 6) args(6).toLong else 10000000L
     val vocabDocs = if (args.length > 7) args(7).toLong else 10000000L
     val pqVecs = if (args.length > 8) args(8).toLong else 2000000L
+    val dsirDocs = if (args.length > 9) args(9).toLong else 5000000L
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = org.apache.spark.sql.SparkSession.builder()
       .master(s"local[$cpus]")
@@ -204,6 +205,36 @@ object ScaleSmoke {
       kernel = f32).count())
     println(s"""{"ivfpq_search_queries":100,"sec":${round1(t13)},"results":$n13}""")
     pqCorpus.unpersist(blocking = true)
+
+    // dsir lane: importance weights at crawl scale (the catalog's most
+    // expensive text query without a scale datapoint until now). The
+    // claims under test: the only broadcasts are the ≤`buckets`-row
+    // log-ratio table and the two 1-row totals; every shuffle carries
+    // (id, bucket, count) rows — never raw text or gram strings (the
+    // bucket hash is computed map-side before any exchange); and both
+    // histogram aggs combine map-side. Target = corpus/20 drawn from a
+    // 100× NARROWER term space so the bucket ratio is non-degenerate.
+    val dsirRaw = spark.range(dsirDocs).select(col("id"),
+      concat_ws(" ", (0 until 24).map(j =>
+        pmod(hash(col("id") * 31 + j), lit(500000L)).cast("string")): _*)
+        .as("text"))
+      .localCheckpoint()
+    val dsirTgt = spark.range(dsirDocs / 20).select(col("id"),
+      concat_ws(" ", (0 until 24).map(j =>
+        pmod(hash(col("id") * 17 + j), lit(5000L)).cast("string")): _*)
+        .as("text"))
+      .localCheckpoint()
+    val (t14, n14) = t {
+      val w = operators.TextAnalysisOps.dsirLogWeights(
+        dsirRaw, dsirTgt, "id", "text")
+      // agg over log_w, not a bare count(): ColumnPruning would
+      // otherwise delete the weighted sum (and the ratio table's log
+      // math with it) and the lane would time only the gram counting
+      w.agg(count(lit(1)).as("n"), sum(col("log_w"))).first.getLong(0)
+    }
+    println(s"""{"dsir_raw_docs":$dsirDocs,"dsir_target_docs":${dsirDocs / 20},"sec":${round1(t14)},"docs_weighted":$n14}""")
+    dsirRaw.unpersist(blocking = true)
+    dsirTgt.unpersist(blocking = true)
     spark.stop()
   }
 }

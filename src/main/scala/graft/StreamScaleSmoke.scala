@@ -12,8 +12,9 @@ import org.apache.spark.sql.functions._
   * real time: short watermark/gap make eviction observable in a ~45 s
   * window. Run: `runMain graft.StreamScaleSmoke [rowsPerSec] [runSec]
   * [lane]` — prefer one lane per invocation (`dedup`, `session`,
-  * `lsh_self_join`): a fresh JVM per lane is the honest measurement,
-  * and the numbers in PERF.md come from single-lane runs.
+  * `cdc_totals`, `timers`, `click_attribution`, `lsh_self_join`): a
+  * fresh JVM per lane is the honest measurement, and the numbers in
+  * PERF.md come from single-lane runs.
   * `GRAFT_SSMOKE_VERBOSE=1` prints per-batch watermark/state rows;
   * `GRAFT_STATE_STORE=hdfs` flips the state store back to the
   * heap-resident default (reproduces the 8 g OOM — see PERF.md).
@@ -98,6 +99,57 @@ object StreamScaleSmoke {
       streaming.StreamingOps.sessionStream(events, gap = "10 seconds",
         watermark = "5 seconds"),
       "append")
+
+    // CDC running totals (mapGroupsWithState, NoTimeout): state is ONE
+    // row per user, so the bound under test is key cardinality, not a
+    // watermark — the rotating cohort adds 100k fresh users every 20 s
+    // and state_rows_final must track distinct-users-seen (≈ run/20 ×
+    // 100k), never cumulative input rows. No eviction by design (the
+    // operator is the feature-accumulator shape; a production deploy
+    // that needs eviction uses the timer lane's EventTimeTimeout).
+    drain("cdc_totals",
+      streaming.StreamingOps.runningTotals(spark, events),
+      "update")
+
+    // Event-time timers (flatMapGroupsWithState + EventTimeTimeout):
+    // per-user last-seen state with a 10 s inactivity timer. The cohort
+    // rotation silences 100k users at a time; once the watermark passes
+    // last_seen + gap their timers FIRE, alert rows flow, and the state
+    // is removed — the probe's claim is that state plateaus at the
+    // active cohort (~one rotation of users) instead of accumulating
+    // every user ever seen.
+    drain("timers",
+      streaming.StreamingOps.inactivityAlerts(spark, events, gapSec = 10,
+        watermark = "5 seconds"),
+      "append")
+
+    // Stream-stream INTERVAL join (click attribution): purchases at a
+    // twentieth of the click rate join the same user's clicks in the
+    // preceding 10 s. Both sides buffer rows only within
+    // watermark + window, so click-side state must plateau near
+    // rate × (window + watermark) rows and show removals once the
+    // watermark clears the first interval — the range condition is
+    // what makes stream-stream join state finite. Click rate is HALF
+    // the offered rate: each input row becomes join state (a RocksDB
+    // write on ingest + a delete on eviction), so the lane's cost per
+    // row is ~2× the stateless lanes'; the window is long because
+    // join-state eviction only starts once the watermark clears
+    // window + watermark of the FIRST batch.
+    val clickRate = math.max(rowsPerSec / 2, 2L)
+    val clicks = spark.readStream.format("rate")
+      .option("rowsPerSecond", clickRate).load()
+      .select(col("value").as("event_id"),
+        pmod(col("value"), lit(100000L)).as("user_id"),
+        col("timestamp").as("ts"))
+    val purchases = spark.readStream.format("rate")
+      .option("rowsPerSecond", math.max(clickRate / 10, 1L)).load()
+      .select((col("value") + 1000000000L).as("event_id"),
+        pmod(col("value") * 7, lit(100000L)).as("user_id"),
+        col("timestamp").as("ts"))
+    drain("click_attribution",
+      streaming.StreamingOps.clickAttributionStream(clicks, purchases,
+        window = "10 seconds", watermark = "5 seconds"),
+      "append", seconds = math.max(runSec, 120))
 
     // The heaviest streaming shape: watermarked LSH band SELF-join.
     // Docs are ~12-word texts derived from the row value; every run of

@@ -45,14 +45,30 @@ object EntryParser {
   private val houseNumRe = "^\\d+([\\s,].*)?$".r
   private val homeMarkerRe = "^(h|r|h\\.|r\\.)\\s+\\d.*".r
 
+  /** Street designators that are ALSO real one-word street names in the
+    * corpus ("Bowery", "Broadway"): a bare segment of one of these is a
+    * plausible address on its own. Every other designator standing
+    * alone ("dr", "mkt", "st") carries no street name and is
+    * overwhelmingly an occupation abbreviation (doctor, marketman) or
+    * OCR debris — those now prefer NON-address. Multi-word segments
+    * ending in a designator ("cooper dr") stay addresses: with a
+    * potential street name present the collision is genuinely
+    * ambiguous, and a trained CRF is the only thing that could do
+    * better (documented divergence, EntryParserSpec).
+    */
+  private val standaloneStreets: Set[String] =
+    Set("broadway", "bway", "bowery")
+
   def isAddress(segment: String): Boolean = {
     val s = segment.trim.toLowerCase
     if (s.isEmpty) false
     else if (houseNumRe.pattern.matcher(s).matches) true
     else if (homeMarkerRe.pattern.matcher(s).matches) true
     else {
-      val lastWord = s.split("[\\s.]+").lastOption.getOrElse("")
-      streetWords.contains(lastWord)
+      val words = s.split("[\\s.]+").filter(_.nonEmpty)
+      val lastWord = words.lastOption.getOrElse("")
+      if (!streetWords.contains(lastWord)) false
+      else words.length > 1 || standaloneStreets.contains(lastWord)
     }
   }
 

@@ -101,6 +101,31 @@ class PlanShapeSpec extends SparkSpec {
     assert(exchangesIn(plan) <= 2, plan.toString)
   }
 
+  test("tx33 dsir: shuffles carry buckets and counts, never text or grams") {
+    // the scale contract of dsirLogWeights: the bucket hash is computed
+    // map-side, so every exchange carries (id, bucket, count)-shaped
+    // rows; raw text / gram strings crossing an exchange would make the
+    // shuffle corpus-sized at 100 TB. The ratio table reaches the
+    // per-doc agg as a broadcast, never a shuffled join.
+    val plan = finalPlan("tx33_dsir")
+    def shuffleOutputs(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[Seq[String]] = {
+      val here = p match {
+        case s: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike =>
+          Seq(s.output.map(_.name))
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          shuffleOutputs(q.plan)
+        case _ => Nil
+      }
+      here ++ p.children.flatMap(shuffleOutputs)
+    }
+    val outs = shuffleOutputs(plan)
+    assert(outs.nonEmpty, plan.toString)
+    val bad = outs.filter(_.exists(n => n == "text" || n.startsWith("_g")))
+    assert(bad.isEmpty, s"text-carrying exchange outputs: $bad")
+    assert(plan.toString.contains("BroadcastHashJoin"), plan.toString)
+  }
+
   test("dd12 containment: pairs form map-side — no join on the shingle key") {
     // the fused shape's contract: after the single posting-build
     // exchange, the only join left in the pair path is the final

@@ -79,16 +79,29 @@ class EntryParserSpec extends AnyFunSuite {
     assert(p.locations == Seq(Location("123 BROADWAY")))
   }
 
-  // KNOWN DIVERGENCE from a trained CRF, documented not hidden: the
-  // designator heuristic has no context, so an occupation ABBREVIATION
-  // that collides with a street word ("dr" doctor/drive, "mkt"
-  // marketman/market) classifies as an address. A CRF disambiguates
-  // from token position; the rule parser trades that for determinism.
-  test("abbreviation collision: bare 'dr' segment reads as address") {
+  // KNOWN DIVERGENCE from a trained CRF, documented not hidden — and
+  // deliberately narrowed in round 5: a BARE designator segment with no
+  // street name attached ("dr", "mkt") now prefers occupation (the
+  // doctor/marketman reading), while a multi-word segment ending in a
+  // designator ("cooper dr") still reads as an address — with a
+  // potential street name present only a trained CRF could decide, and
+  // the rule parser trades that for determinism.
+  test("abbreviation collision: bare 'dr' prefers occupation, 'cooper dr' stays address") {
     val p = EntryParser.parse("Jones Wm, dr")
     assert(p.subjects == Seq("Jones Wm"))
-    assert(p.locations == Seq(Location("dr")))
-    assert(p.occupations.isEmpty)
+    assert(p.occupations == Seq("dr"))
+    assert(p.locations.isEmpty)
+    val q = EntryParser.parse("Jones Wm, cooper dr")
+    assert(q.subjects == Seq("Jones Wm"))
+    assert(q.occupations.isEmpty)
+    assert(q.locations == Seq(Location("cooper dr")))
+  }
+
+  test("standalone street names stay addresses when bare") {
+    val p = EntryParser.parse("Lee Ann, milliner, Bowery")
+    assert(p.subjects == Seq("Lee Ann"))
+    assert(p.occupations == Seq("milliner"))
+    assert(p.locations == Seq(Location("Bowery")))
   }
 
   test("whitespace-only and empty segments are dropped everywhere") {
