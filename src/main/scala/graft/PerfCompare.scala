@@ -368,6 +368,43 @@ object PerfCompare {
       corpus.unpersist(blocking = true)
     }
 
+    // DSIR gram→bucket pipeline: the pre-r5 shape (two shingle
+    // Generates unioned, every gram STRING materialized and pushed
+    // through the md5/conv/substring projection) vs the fused
+    // gram_buckets Generator (one pass, both gram sizes, md5 over byte
+    // ranges, bucket long out). Same downstream consumer (bucket
+    // histogram) both sides; values are bit-identical (ExtOpsSpec pin),
+    // so the rows must match exactly.
+    {
+      val n = 1000000L
+      val docs = spark.range(n).select(col("id"),
+        concat_ws(" ", (0 until 24).map(j =>
+          pmod(hash(col("id") * 31 + j), lit(500000L)).cast("string")): _*)
+          .as("text")).cache()
+      docs.count()
+      val buckets = 1024
+      def oldShape: Long = {
+        val uni = docs.select(col("id"), functions.ShingleGen
+          .shingleGen(col("text"), 1, distinct = false)).toDF("id", "_g")
+        val bi = docs.select(col("id"), functions.ShingleGen
+          .shingleGen(col("text"), 2, distinct = false)).toDF("id", "_g")
+        uni.unionByName(bi)
+          .select((conv(substring(md5(concat(lit("dsir_"), col("_g"))),
+            1, 8), 16, 10).cast("long") % buckets).as("_b"))
+          .groupBy(col("_b")).count().count()
+      }
+      def fused: Long = docs
+        .select(functions.ShingleGen.gramBuckets(
+          col("text"), Seq(1, 2), buckets, "dsir_"))
+        .groupBy(col("_b")).count().count()
+      val ro = oldShape; val rf = fused // warmup
+      require(ro == rf, s"dsir gram A/B bucket mismatch: $ro vs $rf")
+      val (tOld, _) = time(oldShape)
+      val (tNew, _) = time(fused)
+      println(s"""{"dsir_gram_docs":$n,"union_md5_sec":$tOld,"fused_generator_sec":$tNew}""")
+      docs.unpersist(blocking = true)
+    }
+
     // Entry parser: Scala UDF (Encoder round-trip per row) vs the
     // ParseEntryExpr codegen kernel (one static call, InternalRow out) —
     // the flagship pipeline's hottest projection (round-3 verdict item 3).

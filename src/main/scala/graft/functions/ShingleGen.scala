@@ -213,11 +213,86 @@ case class MinShingleMd5Expr(child: Expression, k: Int)
   override def prettyName: String = "min_shingle_md5"
 }
 
+/** Generator emitting the DSIR feature-bucket id of every word k-gram
+  * of a text column for ALL gram sizes in `ks`, in ONE pass over the
+  * text. Fuses what was `shingle_generate(k=1) UNION
+  * shingle_generate(k=2)` followed by a per-row
+  * `conv(substring(md5(concat(seed, gram)), 1, 8), 16, 10) % buckets`
+  * projection: the md5 runs incrementally over the seed prefix plus the
+  * gram's BYTE RANGE of the original text (zero gram-string
+  * allocation), and the bucket is the digest's first 4 bytes read as an
+  * unsigned int mod `buckets` — bit-identical to the declarative chain
+  * (hex-substring/conv parity pinned in ExtOpsSpec), so the DuckDB
+  * oracle replays unchanged. Halves the corpus scans of the two-pass
+  * union shape and keeps raw text out of everything downstream of the
+  * Generate. Per the standing Generator lesson (PERF.md): the per-row
+  * kernel here is one md5 per gram — expensive enough that losing
+  * whole-stage codegen at the Generate boundary is a clear win.
+  */
+case class GramBucketsGenerate(child: Expression, ks: Seq[Int],
+    buckets: Int, seedPrefix: String)
+    extends UnaryExpression with Generator with CodegenFallback {
+  require(ks.nonEmpty && ks.forall(_ >= 1), "gram sizes must be >= 1")
+  require(buckets >= 1, "buckets must be >= 1")
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case _: StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"gram_buckets expects string, got ${other.simpleString}")
+    }
+
+  @transient private lazy val seedBytes =
+    seedPrefix.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+
+  override def elementSchema: StructType = new StructType()
+    .add("_b", LongType, nullable = false)
+
+  override def eval(input: InternalRow): IterableOnce[InternalRow] = {
+    val t = child.eval(input)
+    if (t == null) return Nil
+    val bytes = t.asInstanceOf[UTF8String].getBytes
+    val starts = ShingleGen.wordStarts(bytes)
+    val nWords = starts.length
+    val len = bytes.length
+    val md = ShingleGen.digest()
+    val out = new scala.collection.mutable.ArrayBuffer[InternalRow]()
+    ks.foreach { k =>
+      var i = 0
+      while (i <= nWords - k) {
+        val from = starts(i)
+        val to = if (i + k - 1 == nWords - 1) len else starts(i + k) - 1
+        md.reset()
+        md.update(seedBytes)
+        md.update(bytes, from, to - from)
+        val d = md.digest()
+        // first 8 hex chars of the digest = first 4 bytes, read as an
+        // UNSIGNED int (conv(..., 16, 10) semantics), then mod
+        val v = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+          ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+        out += InternalRow(v % buckets)
+        i += 1
+      }
+    }
+    out
+  }
+
+  override protected def withNewChildInternal(c: Expression): GramBucketsGenerate =
+    copy(child = c)
+
+  override def prettyName: String = "gram_buckets"
+}
+
 object ShingleGen {
   private val mdLocal = new ThreadLocal[java.security.MessageDigest] {
     override def initialValue(): java.security.MessageDigest =
       java.security.MessageDigest.getInstance("MD5")
   }
+
+  /** Thread-local MD5 instance for gram-granularity kernels. */
+  private[functions] def digest(): java.security.MessageDigest = mdLocal.get()
 
   private val hexDigits = "0123456789abcdef".toCharArray
 
@@ -339,6 +414,16 @@ object ShingleGen {
       i += 1
     }
     new GenericArrayData(out)
+  }
+
+  /** Column-API form of the fused gram→bucket generator; yields a `_b`
+    * long output column, one row per gram per size in `ks`.
+    */
+  def gramBuckets(text: Column, ks: Seq[Int], buckets: Int,
+                  seedPrefix: String): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(GramBucketsGenerate(
+      ColumnBridge.expression(text), ks, buckets, seedPrefix))
   }
 
   /** Column-API form of the non-overlapping segment array. */

@@ -623,17 +623,16 @@ object TextAnalysisOps {
                      textCol: String, buckets: Int = 1024,
                      alpha: Double = 0.5,
                      seed: String = "dsir"): DataFrame = {
-    def grams(df: DataFrame): DataFrame = {
-      val uni = df.select(col(idCol), graft.functions.ShingleGen
-        .shingleGen(col(textCol), 1, distinct = false)).toDF(idCol, "_g")
-      val bi = df.select(col(idCol), graft.functions.ShingleGen
-        .shingleGen(col(textCol), 2, distinct = false)).toDF(idCol, "_g")
-      uni.unionByName(bi)
-        .withColumn("_b", conv(substring(
-          md5(concat(lit(seed + "_"), col("_g"))), 1, 8), 16, 10)
-          .cast("long") % buckets)
-        .drop("_g")
-    }
+    // ONE fused generator pass per corpus scan: unigrams and bigrams
+    // emitted together, each already reduced to its md5 bucket over a
+    // byte range of the text — the two-pass union shape scanned the
+    // corpus twice and materialized every gram string only to hash it
+    // (declarative-parity of the bucket values pinned in ExtOpsSpec;
+    // the DuckDB oracle replays the same md5 chain unchanged).
+    def grams(df: DataFrame): DataFrame =
+      df.select(col(idCol), graft.functions.ShingleGen
+        .gramBuckets(col(textCol), Seq(1, 2), buckets, seed + "_"))
+        .toDF(idCol, "_b")
     val rawGrams = grams(raw)
     val rawDist = rawGrams.groupBy(col("_b"))
       .agg(count(lit(1)).as("n_raw"))

@@ -188,6 +188,39 @@ class ExtOpsSpec extends SparkSpec {
     }
   }
 
+  test("gramBuckets: fused generator matches the declarative md5 bucket chain") {
+    // the tx33 kernel contract: one pass emitting unigram+bigram bucket
+    // ids must equal the two-generator union followed by the
+    // conv(substring(md5(seed||gram),1,8),16,10) % buckets projection
+    // on every edge the word splitter has (empty string → one empty
+    // unigram and no bigram; empty tokens kept; multi-byte UTF-8
+    // boundaries; null → no rows)
+    val docs = Seq(
+      (1L, "a b c d"),
+      (2L, "solo"),
+      (3L, ""),
+      (4L, "a  b"),
+      (5L, "héllo wörld ünïcode"),
+      (6L, null.asInstanceOf[String]),
+      (7L, "x y x y x")
+    ).toDF("id", "text")
+    val buckets = 64
+    val seedPrefix = "dsir_"
+    val uni = docs.select(col("id"), graft.functions.ShingleGen
+      .shingleGen(col("text"), 1, distinct = false)).toDF("id", "_g")
+    val bi = docs.select(col("id"), graft.functions.ShingleGen
+      .shingleGen(col("text"), 2, distinct = false)).toDF("id", "_g")
+    val declarative = uni.unionByName(bi)
+      .select(col("id"), (conv(substring(
+        md5(concat(lit(seedPrefix), col("_g"))), 1, 8), 16, 10)
+        .cast("long") % buckets).as("_b"))
+      .as[(Long, Long)].collect().toSeq.sorted
+    val native = docs.select(col("id"), graft.functions.ShingleGen
+      .gramBuckets(col("text"), Seq(1, 2), buckets, seedPrefix))
+      .as[(Long, Long)].collect().toSeq.sorted
+    assert(native == declarative)
+  }
+
   test("kmeans: well-separated groups converge to distinct clusters, deterministically") {
     // two orthogonal bundles (9 + 11 — unbalanced so the md5 init is
     // not degenerate-symmetric) with off-axis per-vector jitter
