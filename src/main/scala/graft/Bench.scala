@@ -55,19 +55,30 @@ object Bench {
     // box produced phantom 5-10x "regressions" in earlier rounds, and
     // min-of-2 still let ~1s transient stalls through (r4 showed 2-12x
     // phantom deltas that a replay did not reproduce); the minimum of 3
-    // is the least-noisy estimator of steady-state cost
+    // is the least-noisy estimator of steady-state cost.
+    // Pass-major, not query-major: the N runs of a query are spread
+    // across N full catalog passes. Query-major (N consecutive runs)
+    // let one multi-second box stall span ALL N runs of whichever query
+    // it landed on (r5 driver artifact: three 2-10x phantom lanes, all
+    // disproven by replay); with ~interleaved passes a stall window
+    // covers different queries in different passes, so the per-query
+    // min decorrelates from any single stall. Same total work.
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt.max(1)
-    val results = selected.map { case (name, fn) =>
-      val times = (1 to runs).map { _ =>
+    val ordered = selected.toVector
+    val passes: Seq[Map[String, Double]] = (1 to runs).map { _ =>
+      ordered.map { case (name, fn) =>
         val t0 = System.nanoTime()
-        try { force(fn(spark, sfDir)); (System.nanoTime() - t0) / 1e9 }
+        name -> (try { force(fn(spark, sfDir)); (System.nanoTime() - t0) / 1e9 }
         catch { case e: Throwable =>
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
           -1.0 // a failed run reports -1, not a fake elapsed time
-        }
-      }
-      name -> (if (times.contains(-1.0)) -1.0 else times.min)
+        })
+      }.toMap
     }
+    val results = ordered.map { case (name, _) =>
+      val times = passes.map(_(name))
+      name -> (if (times.contains(-1.0)) -1.0 else times.min)
+    }.toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0

@@ -28,7 +28,9 @@ object CityDirectories {
     */
   def parse(spark: SparkSession, manifest: Dataset[DirectoryMeta],
             archiveDir: String, minYear: Option[Int] = None,
-            maxYear: Option[Int] = None): DataFrame = {
+            maxYear: Option[Int] = None,
+            standaloneStreets: Set[String] =
+              EntryParser.defaultStandaloneStreets): DataFrame = {
     import spark.implicits._
     // year-interval CONTAINMENT filter before any archive is opened —
     // the reference's manual pushdown (city-directories.js:191-196)
@@ -45,7 +47,8 @@ object CityDirectories {
     }
     lines.toDF()
       .withColumn("text", CityDirOps.collapseDots(col("text"))) // O-17
-      .withColumn("parsed", EntryParser.parseEntry(col("text"))) // O-32(b)
+      .withColumn("parsed",
+        EntryParser.parseEntry(col("text"), standaloneStreets)) // O-32(b)
   }
 
   /** `geocode` step (city-directories.js:272-323): broadcast-lookup every

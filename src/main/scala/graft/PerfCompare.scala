@@ -201,6 +201,42 @@ object PerfCompare {
       println(s"""{"containment_docs":$n,"pairs":$no,""" +
         s""""old_shape_shuffle_bytes":$bo,"fused_shape_shuffle_bytes":$bn}""")
       docs.unpersist(blocking = true)
+
+      // Bloom singleton pre-filter A/B (r5 verdict item 4) on a corpus
+      // whose shingle mass is singleton-DOMINATED, the natural-corpus
+      // regime the experiment targets: 70% of docs unique (their
+      // shingles appear once), 30% in duplication groups of 4. The
+      // harness corpus above (all docs in groups of 4, df≈4 everywhere)
+      // has nothing for a singleton filter to drop and would only
+      // measure the pre-filter's overhead.
+      {
+        val grp = when(pmod(col("id"), lit(10)) < 3,
+          col("id") - col("id") % 4).otherwise(col("id") + n)
+        val natDocs = spark.range(n).select(col("id"),
+          concat_ws(" ", (lit("thecorpusboilerplate") +:
+            (0 until 20).map(j =>
+              pmod(hash(grp).cast("long") * 31 + j, lit(400000L))
+                .cast("string"))): _*).as("text"))
+          .cache()
+        natDocs.count()
+        def fusedNat: Long = operators.DedupOps.containmentPairs(
+          natDocs, "id", "text", k = 3, threshold = 0.8,
+          maxDf = maxDf).count()
+        def prefilteredNat: Long =
+          operators.DedupOps.containmentPairsPrefiltered(
+            natDocs, "id", "text", k = 3, threshold = 0.8, maxDf = maxDf,
+            expectedMultiShingles = n * 6).count()
+        fusedNat; prefilteredNat // warmup
+        val (nf, bf) = shuffleBytesOf(fusedNat)
+        val (np, bp) = shuffleBytesOf(prefilteredNat)
+        require(nf == np, s"prefilter pair mismatch: $nf vs $np")
+        val (tf, _) = time(fusedNat)
+        val (tp, _) = time(prefilteredNat)
+        println(s"""{"containment_nat_docs":$n,"nat_pairs":$nf,""" +
+          s""""fused_shuffle_bytes":$bf,"prefiltered_shuffle_bytes":$bp,""" +
+          s""""fused_sec":$tf,"prefiltered_sec":$tp}""")
+        natDocs.unpersist(blocking = true)
+      }
     }
 
     // Segment-kernel shapes head-to-head (the spanDedup segmentation
@@ -374,7 +410,7 @@ object PerfCompare {
     // gram_buckets Generator (one pass, both gram sizes, md5 over byte
     // ranges, bucket long out). Same downstream consumer (bucket
     // histogram) both sides; values are bit-identical (ExtOpsSpec pin),
-    // so the rows must match exactly.
+    // so the histogram digests must match exactly.
     {
       val n = 1000000L
       val docs = spark.range(n).select(col("id"),
@@ -383,22 +419,31 @@ object PerfCompare {
           .as("text")).cache()
       docs.count()
       val buckets = 1024
+      // Parity gate digests the full (bucket, count) HISTOGRAM, not the
+      // distinct-bucket count: with 1024 buckets over 1M docs both
+      // shapes saturate every bucket, so a count-of-buckets comparison
+      // would pass even if per-bucket values diverged (advisor r5). The
+      // order-insensitive bit_xor(xxhash64(bucket, count)) digest makes
+      // the warmup double as an end-to-end parity check at probe scale
+      // (ExtOpsSpec still pins exact small-input parity).
+      def histDigest(h: org.apache.spark.sql.DataFrame): Long = h
+        .agg(bit_xor(xxhash64(col("_b"), col("count")))).collect()(0).getLong(0)
       def oldShape: Long = {
         val uni = docs.select(col("id"), functions.ShingleGen
           .shingleGen(col("text"), 1, distinct = false)).toDF("id", "_g")
         val bi = docs.select(col("id"), functions.ShingleGen
           .shingleGen(col("text"), 2, distinct = false)).toDF("id", "_g")
-        uni.unionByName(bi)
+        histDigest(uni.unionByName(bi)
           .select((conv(substring(md5(concat(lit("dsir_"), col("_g"))),
             1, 8), 16, 10).cast("long") % buckets).as("_b"))
-          .groupBy(col("_b")).count().count()
+          .groupBy(col("_b")).count())
       }
-      def fused: Long = docs
+      def fused: Long = histDigest(docs
         .select(functions.ShingleGen.gramBuckets(
           col("text"), Seq(1, 2), buckets, "dsir_"))
-        .groupBy(col("_b")).count().count()
+        .groupBy(col("_b")).count())
       val ro = oldShape; val rf = fused // warmup
-      require(ro == rf, s"dsir gram A/B bucket mismatch: $ro vs $rf")
+      require(ro == rf, s"dsir gram A/B histogram digest mismatch: $ro vs $rf")
       val (tOld, _) = time(oldShape)
       val (tNew, _) = time(fused)
       println(s"""{"dsir_gram_docs":$n,"union_md5_sec":$tOld,"fused_generator_sec":$tNew}""")

@@ -233,6 +233,32 @@ object ScaleSmoke {
       w.agg(count(lit(1)).as("n"), sum(col("log_w"))).first.getLong(0)
     }
     println(s"""{"dsir_raw_docs":$dsirDocs,"dsir_target_docs":${dsirDocs / 20},"sec":${round1(t14)},"docs_weighted":$n14}""")
+    // Same-session gram-stage A/B (r5 verdict item 6): the PERF.md
+    // 197.7 → 34.6 s claim at 5 M docs spanned sessions on a box with
+    // 2-3× wall variance; this pair runs the pre-r5 chain (two shingle
+    // Generates unioned → md5/conv/substring bucket projection) and the
+    // fused gram_buckets Generator back-to-back on the SAME checkpointed
+    // corpus, same consumer (order-insensitive histogram digest, which
+    // also re-proves parity at full scale).
+    locally {
+      val buckets = 1024
+      def hist(g: org.apache.spark.sql.DataFrame): Long = g
+        .groupBy(col("_b")).count()
+        .agg(bit_xor(xxhash64(col("_b"), col("count")))).first.getLong(0)
+      def oldChain: Long = hist(
+        dsirRaw.select(col("id"), graft.functions.ShingleGen
+            .shingleGen(col("text"), 1, distinct = false)).toDF("id", "_g")
+          .unionByName(dsirRaw.select(col("id"), graft.functions.ShingleGen
+            .shingleGen(col("text"), 2, distinct = false)).toDF("id", "_g"))
+          .select((conv(substring(md5(concat(lit("dsir_"), col("_g"))),
+            1, 8), 16, 10).cast("long") % buckets).as("_b")))
+      def fused: Long = hist(dsirRaw.select(graft.functions.ShingleGen
+        .gramBuckets(col("text"), Seq(1, 2), buckets, "dsir_")))
+      val (tOld, hOld) = t(oldChain)
+      val (tNew, hNew) = t(fused)
+      require(hOld == hNew, s"gram A/B digest mismatch: $hOld vs $hNew")
+      println(s"""{"dsir_gram_ab_docs":$dsirDocs,"union_md5_sec":${round1(tOld)},"fused_generator_sec":${round1(tNew)}}""")
+    }
     dsirRaw.unpersist(blocking = true)
     dsirTgt.unpersist(blocking = true)
     spark.stop()

@@ -12,7 +12,8 @@ import org.apache.spark.sql.functions._
   * real time: short watermark/gap make eviction observable in a ~45 s
   * window. Run: `runMain graft.StreamScaleSmoke [rowsPerSec] [runSec]
   * [lane]` — prefer one lane per invocation (`dedup`, `session`,
-  * `cdc_totals`, `timers`, `click_attribution`, `lsh_self_join`): a
+  * `cdc_totals`, `timers`, `click_attribution`,
+  * `click_attribution_capped`, `lsh_self_join`): a
   * fresh JVM per lane is the honest measurement, and the numbers in
   * PERF.md come from single-lane runs.
   * `GRAFT_SSMOKE_VERBOSE=1` prints per-batch watermark/state rows;
@@ -42,6 +43,12 @@ object StreamScaleSmoke {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.streaming.stateStore.providerClass", provider)
       .config("spark.sql.session.timeZone", "UTC") // NTZ ts cast precondition (Tables.normalizeEventTs)
+      // recentProgress is a RING BUFFER (default 100 batches); the
+      // 120-180 s join/LSH lanes with sub-second triggers overflow it,
+      // silently undercounting cumulative input/evictions (advisor r5).
+      // 4096 covers the longest lane at ~10 batches/s with margin, so
+      // drain()'s sums are cumulative, not window-limited.
+      .config("spark.sql.streaming.numRecentProgressUpdates", "4096")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -79,6 +86,9 @@ object StreamScaleSmoke {
         println(s"[batch ${p.batchId}] rows=${p.numInputRows} " +
           s"wm=${p.eventTime.get("watermark")} $so")
       }
+      if (progs.length >= 4096)
+        System.err.println(s"[ssmoke] $name: progress buffer FULL " +
+          "(4096 batches) — cumulative sums below may undercount")
       val input = progs.map(_.numInputRows).sum
       val st = progs.flatMap(_.stateOperators)
       val stateNow = if (st.nonEmpty) st.last.numRowsTotal else -1L
@@ -86,10 +96,19 @@ object StreamScaleSmoke {
       val rate = progs.flatMap(p => Option(p.processedRowsPerSecond))
         .filterNot(_.isNaN)
       val mean = if (rate.nonEmpty) math.rint(rate.sum / rate.size) else 0
+      // trigger durations: the admission-control claim is that batch
+      // wall time stays bounded (under the watermark delay) so the
+      // watermark keeps advancing — report mean/max so capped-vs-
+      // uncapped overload is adjudicable from the JSON line alone
+      val durs = progs.flatMap(p =>
+        Option(p.durationMs.get("triggerExecution")).map(_.toLong))
+      val durMax = if (durs.nonEmpty) durs.max else -1L
+      val durMean = if (durs.nonEmpty) durs.sum / durs.length else -1L
       q.stop()
       println(s"""{"stream":"$name","input_rows":$input,""" +
         s""""state_rows_final":$stateNow,"state_rows_removed":$removed,""" +
-        s""""mean_rows_per_sec":$mean}""")
+        s""""mean_rows_per_sec":$mean,"n_batches":${progs.length},""" +
+        s""""trigger_ms_mean":$durMean,"trigger_ms_max":$durMax}""")
     }
 
     drain("dedup",
@@ -148,6 +167,36 @@ object StreamScaleSmoke {
         col("timestamp").as("ts"))
     drain("click_attribution",
       streaming.StreamingOps.clickAttributionStream(clicks, purchases,
+        window = "10 seconds", watermark = "5 seconds"),
+      "append", seconds = math.max(runSec, 120))
+
+    // The SAME interval join under OVERLOAD, with bounded admission: r5
+    // measured that offering this lane 2× its sustainable rate via the
+    // wall-clock `rate` source stalls the watermark (0 evictions, state
+    // growth). Here the offered rate is deliberately overload-grade
+    // (the lane's `rowsPerSec` arg, uncut) but admission is capped per
+    // trigger (`boundedBacklogSource`), so the claim under test is:
+    // batch duration stays bounded, the watermark advances through the
+    // backlog, and evictions FLOW where the uncapped run showed none.
+    // Cap default ≈ 2 s of sustainable throughput (56 k rows/s measured
+    // r5) — well under the 5 s watermark delay per batch.
+    val capPerTrigger =
+      sys.env.get("GRAFT_SSMOKE_CAP").map(_.toLong).getOrElse(100000L)
+    val capAdvanceMs = math.max(1L, capPerTrigger * 1000L / clickRate)
+    val cClicks = streaming.StreamingOps.boundedBacklogSource(
+      spark, clickRate, capPerTrigger, numPartitions = Some(cpus.toInt))
+      .select(col("value").as("event_id"),
+        pmod(col("value"), lit(100000L)).as("user_id"),
+        col("timestamp").as("ts"))
+    val cPurchases = streaming.StreamingOps.boundedBacklogSource(
+      spark, math.max(clickRate / 10, 1L), capPerTrigger,
+      alignMillisPerBatch = Some(capAdvanceMs),
+      numPartitions = Some(cpus.toInt))
+      .select((col("value") + 1000000000L).as("event_id"),
+        pmod(col("value") * 7, lit(100000L)).as("user_id"),
+        col("timestamp").as("ts"))
+    drain("click_attribution_capped",
+      streaming.StreamingOps.clickAttributionStream(cClicks, cPurchases,
         window = "10 seconds", watermark = "5 seconds"),
       "append", seconds = math.max(runSec, 120))
 

@@ -62,8 +62,18 @@ object Tables {
     // normalizeEventTs's NTZ->TIMESTAMP cast is instant-preserving only
     // under a UTC session zone. Every entrypoint builder pins it, but
     // enforce the precondition here too so a future entrypoint (or a
-    // non-UTC host) can't silently shift instants.
-    s.conf.set("spark.sql.session.timeZone", "UTC")
+    // non-UTC host) can't silently shift instants. The takeover is
+    // session-wide (it changes timestamp formatting for ALL subsequent
+    // queries, not just this read), so a caller that deliberately set a
+    // non-UTC zone gets a loud warning rather than a silent flip.
+    val zone = s.conf.get("spark.sql.session.timeZone")
+    if (zone != "UTC") {
+      System.err.println(
+        s"[graft] Tables.events: overriding session timeZone '$zone' -> " +
+          "'UTC' (required for instant-preserving NTZ->TIMESTAMP cast; " +
+          "this affects the whole session)")
+      s.conf.set("spark.sql.session.timeZone", "UTC")
+    }
     normalizeEventTs(table(s, d, "events"))
   }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")

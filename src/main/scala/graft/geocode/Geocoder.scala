@@ -44,7 +44,7 @@ object Geocoder {
     */
   private val punctRe = "[.,;:']"
   private val homeMarkerRe = "^[hr] +"
-  private val abbreviations: Seq[(String, String)] = Seq(
+  private[graft] val abbreviations: Seq[(String, String)] = Seq(
     "av" -> "avenue", "ave" -> "avenue", "st" -> "street",
     "bway" -> "broadway", "pl" -> "place", "rd" -> "road",
     "la" -> "lane", "ct" -> "court", "sq" -> "square",

@@ -55,11 +55,44 @@ object EntryParser {
     * potential street name present the collision is genuinely
     * ambiguous, and a trained CRF is the only thing that could do
     * better (documented divergence, EntryParserSpec).
+    *
+    * This DEFAULT set is the hand-curated fallback for call sites with
+    * no geocoder dimension in hand; [[standaloneStreetsFrom]] derives
+    * the same knowledge from the dimension itself — the corpus's actual
+    * street names are the closest a rule parser gets to the CRF's
+    * lexical training data — and the flagship pipeline sources it there.
     */
-  private val standaloneStreets: Set[String] =
+  val defaultStandaloneStreets: Set[String] =
     Set("broadway", "bway", "bowery")
 
-  def isAddress(segment: String): Boolean = {
+  /** Derive the standalone-street whitelist from the geocoder dimension:
+    * street names that normalize to a SINGLE word, plus the classic
+    * abbreviations that expand to one of them (corpus text writes
+    * "bway"; the dimension spells "Broadway"). Only words that are
+    * street designators can ever consult the whitelist (it is checked
+    * after a `streetWords` hit), so the filter keeps the collect bounded
+    * by |streetWords| regardless of dimension size — safe at any scale
+    * the geocoder guardrail admits.
+    */
+  def standaloneStreetsFrom(
+      dim: org.apache.spark.sql.Dataset[graft.model.GeoAddress])
+      : Set[String] = {
+    import org.apache.spark.sql.functions.{col, lower, trim}
+    val oneWord = dim.select(lower(trim(col("streetName"))).as("n"))
+      .filter(!col("n").contains(" "))
+      .filter(col("n").isin(streetWords.toSeq: _*))
+      .distinct().collect().map(_.getString(0)).toSet
+    val reverseAbbrev = graft.geocode.Geocoder.abbreviations.collect {
+      case (ab, full) if oneWord.contains(full) && streetWords.contains(ab)
+        => ab
+    }.toSet
+    oneWord ++ reverseAbbrev
+  }
+
+  def isAddress(segment: String): Boolean =
+    isAddress(segment, defaultStandaloneStreets)
+
+  def isAddress(segment: String, standalone: Set[String]): Boolean = {
     val s = segment.trim.toLowerCase
     if (s.isEmpty) false
     else if (houseNumRe.pattern.matcher(s).matches) true
@@ -68,7 +101,7 @@ object EntryParser {
       val words = s.split("[\\s.]+").filter(_.nonEmpty)
       val lastWord = words.lastOption.getOrElse("")
       if (!streetWords.contains(lastWord)) false
-      else words.length > 1 || standaloneStreets.contains(lastWord)
+      else words.length > 1 || standalone.contains(lastWord)
     }
   }
 
@@ -76,7 +109,10 @@ object EntryParser {
     * degenerate input yields empty arrays (the reference's CRF likewise
     * always answers — errors stay in-band, SURVEY.md §4).
     */
-  def parse(text: String): ParsedEntry = {
+  def parse(text: String): ParsedEntry =
+    parse(text, defaultStandaloneStreets)
+
+  def parse(text: String, standalone: Set[String]): ParsedEntry = {
     if (text == null) return ParsedEntry(Nil, Nil, Nil)
     val segments = text.split(',').iterator
       .map(_.trim).filter(_.nonEmpty).toList
@@ -84,7 +120,7 @@ object EntryParser {
     val occupations = List.newBuilder[String]
     val locations = List.newBuilder[Location]
     segments.foreach { seg =>
-      if (isAddress(seg)) locations += Location(seg)
+      if (isAddress(seg, standalone)) locations += Location(seg)
       else if (subject.isEmpty) subject = Some(seg)
       else occupations += seg
     }
@@ -107,8 +143,11 @@ object EntryParser {
     * round-trip of three nested collections). Same rules as [[parse]];
     * null input yields the empty struct, never a null.
     */
-  def parseRow(text: UTF8String): InternalRow = {
-    val p = parse(if (text == null) null else text.toString)
+  def parseRow(text: UTF8String): InternalRow =
+    parseRow(text, defaultStandaloneStreets)
+
+  def parseRow(text: UTF8String, standalone: Set[String]): InternalRow = {
+    val p = parse(if (text == null) null else text.toString, standalone)
     new GenericInternalRow(Array[Any](
       new GenericArrayData(
         p.subjects.iterator.map(UTF8String.fromString).toArray[Any]),
@@ -133,9 +172,12 @@ object EntryParser {
     * the last UDF boundary in the flagship `parse` pipeline (round-3
     * verdict item 3).
     */
-  def parseEntry(text: Column): Column = {
+  def parseEntry(text: Column,
+                 standalone: Set[String] = defaultStandaloneStreets)
+      : Column = {
     import org.apache.spark.sql.graft.ColumnBridge
-    ColumnBridge.column(ParseEntryExpr(ColumnBridge.expression(text)))
+    ColumnBridge.column(
+      ParseEntryExpr(ColumnBridge.expression(text), standalone))
   }
 }
 
@@ -150,7 +192,10 @@ object EntryParser {
   * than a null — errors stay in-band (SURVEY.md §4), so `nullable` is
   * honestly false and downstream null-handling plans stay tight.
   */
-case class ParseEntryExpr(child: Expression) extends UnaryExpression {
+case class ParseEntryExpr(
+    child: Expression,
+    standalone: Set[String] = EntryParser.defaultStandaloneStreets)
+  extends UnaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     // `_: StringType`, not the singleton: a collated string column is
@@ -166,14 +211,21 @@ case class ParseEntryExpr(child: Expression) extends UnaryExpression {
   override def nullable: Boolean = false
 
   override def eval(input: InternalRow): Any =
-    EntryParser.parseRow(child.eval(input).asInstanceOf[UTF8String])
+    EntryParser.parseRow(child.eval(input).asInstanceOf[UTF8String],
+      standalone)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val c = child.genCode(ctx)
+    // the whitelist rides the serialized expression to every executor
+    // (NOT a JVM-global, which would silently diverge on a cluster) and
+    // enters the generated code as a reference object
+    val setRef = ctx.addReferenceObj("standaloneStreets", standalone,
+      "scala.collection.immutable.Set")
     ev.copy(code = code"""
       ${c.code}
       org.apache.spark.sql.catalyst.InternalRow ${ev.value} =
-        graft.parse.EntryParser.parseRow(${c.isNull} ? null : ${c.value});""",
+        graft.parse.EntryParser.parseRow(${c.isNull} ? null : ${c.value},
+          $setRef);""",
       isNull = FalseLiteral)
   }
 

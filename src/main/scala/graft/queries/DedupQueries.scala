@@ -40,6 +40,11 @@ object DedupQueries {
     // build), then ONLY the new batch (src0) is banded and joined —
     // with the index side bloom-reduced by the batch's keys. The oracle
     // replays both sides' banding and the cross join.
+    // BENCH-SEMANTICS NOTE (r5): the timed lane covers ingest only since
+    // the fixture split; pre-r5 BENCH values for dd10 were
+    // build-inclusive and are not comparable. The operative driver
+    // baseline (BENCH_r05, 51.918 s) was recorded under the fixture
+    // semantics — see BASELINE.md "dd10 semantics note".
     "dd10_incremental" -> ((s, d) => {
       val dir = BandIndexFixture.dir(s, d)
       DedupOps.dedupIncremental(

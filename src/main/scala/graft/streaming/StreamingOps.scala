@@ -151,6 +151,49 @@ object StreamingOps {
         col("a_band").as("band"))
   }
 
+  /** Bounded-admission backlog source — the production answer to the
+    * measured overload failure mode (PERF.md r5: offering the interval
+    * join 2× its sustainable rate stalls the watermark, evictions stop,
+    * and state grows without bound; at sustainable rate the same lane
+    * plateaus with 90% of state evicted). A watermark can only bound
+    * state if the query keeps DRAINING: admission control caps what each
+    * micro-batch ingests so batch duration stays bounded and the
+    * watermark keeps advancing through the backlog — the semantics
+    * Kafka's `maxOffsetsPerTrigger` / files' `maxFilesPerTrigger` give a
+    * real deployment, re-expressed here on Spark's `rate-micro-batch`
+    * source so the probe harness can drive it without external infra.
+    *
+    * Models an upstream that produced (or is producing) rows at
+    * `offeredRowsPerSec` — event timestamps embedded at that rate — while
+    * the query ADMITS at most `maxRowsPerTrigger` rows per micro-batch,
+    * regardless of how deep the backlog is. Same (timestamp, value)
+    * schema as the `rate` source, so every shaping projection in the
+    * probes applies unchanged.
+    *
+    * `alignMillisPerBatch` keeps MULTI-source queries (e.g. a
+    * stream-stream join) consistent: all sides of a join must advance
+    * event time by the SAME wall per batch or their watermarks diverge —
+    * pass the value computed from the highest-rate side to the others.
+    */
+  def boundedBacklogSource(spark: SparkSession, offeredRowsPerSec: Long,
+                           maxRowsPerTrigger: Long,
+                           alignMillisPerBatch: Option[Long] = None,
+                           numPartitions: Option[Int] = None): DataFrame = {
+    val advanceMs = alignMillisPerBatch.getOrElse(
+      math.max(1L, maxRowsPerTrigger * 1000L / math.max(offeredRowsPerSec, 1L)))
+    // rows per batch honors the offered rate when an alignment stretches
+    // the batch's event-time span: rows = rate × span
+    val rows = alignMillisPerBatch match {
+      case Some(ms) => math.max(1L, offeredRowsPerSec * ms / 1000L)
+      case None     => math.max(1L, maxRowsPerTrigger)
+    }
+    val base = spark.readStream.format("rate-micro-batch")
+      .option("rowsPerBatch", rows)
+      .option("advanceMillisPerBatch", advanceMs)
+      .option("startTimestamp", 0L)
+    numPartitions.fold(base)(n => base.option("numPartitions", n)).load()
+  }
+
   /** Stream-stream interval join (the batch twin is EventOps.bandJoin):
     * purchases joined to the same user's clicks in the preceding
     * `window`. Both sides are watermarked and the join carries a range

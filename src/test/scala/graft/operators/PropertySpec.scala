@@ -120,6 +120,41 @@ class PropertySpec extends SparkSpec {
     assert(gen == staged)
   }
 
+  test("gramBuckets equals the declarative md5 chain on random unicode corpora, any k-set/buckets") {
+    // r5 verdict item 7: the example-based parity pin (ExtOpsSpec)
+    // locks the known edges; this clause sweeps random unicode word
+    // soup (multi-byte chars, empty tokens, runs of spaces, nulls) ×
+    // random gram-size sets × bucket counts against the executable
+    // spec — the two-generator union + conv(substring(md5(...)))
+    // projection the kernel fused away
+    val words = Vector("alpha", "b", "", "δφγ", "héllo", "wörld",
+      "日本語", "x1", "é́", "zzz")
+    for ((ks, buckets) <- Seq(
+        (Seq(1), 7), (Seq(2), 64), (Seq(1, 2), 1024), (Seq(1, 2, 3), 13))) {
+      val docs = (0 until 30).map { i =>
+        val sep = if (rnd.nextBoolean()) " " else "  "
+        val t =
+          if (i % 10 == 9) null.asInstanceOf[String]
+          else Seq.fill(rnd.nextInt(8))(
+            words(rnd.nextInt(words.length))).mkString(sep)
+        (i.toLong, t)
+      }
+      val df = docs.toDF("id", "text")
+      val declarative = ks.map(k =>
+          df.select(col("id"), graft.functions.ShingleGen
+            .shingleGen(col("text"), k, distinct = false)).toDF("id", "_g"))
+        .reduce(_ unionByName _)
+        .select(col("id"), (conv(substring(
+          md5(concat(lit("seed_"), col("_g"))), 1, 8), 16, 10)
+          .cast("long") % buckets).as("_b"))
+        .as[(Long, Long)].collect().toSeq.sorted
+      val native = df.select(col("id"), graft.functions.ShingleGen
+        .gramBuckets(col("text"), ks, buckets, "seed_"))
+        .as[(Long, Long)].collect().toSeq.sorted
+      assert(native == declarative, s"ks=$ks buckets=$buckets")
+    }
+  }
+
   test("native year_in_range equals the declarative yearNorm+yearInterval filter") {
     val samples: Seq[String] = Seq.fill(210) {
       rnd.nextInt(7) match {

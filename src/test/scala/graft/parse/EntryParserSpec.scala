@@ -118,3 +118,35 @@ class EntryParserSpec extends AnyFunSuite {
     assert(p.locations == Seq(Location("3 Cedar st")))
   }
 }
+
+/** The dimension-derived whitelist (r5 verdict item 5): on the fixture
+  * dimension the derivation must land exactly on the hand-curated
+  * default — "Broadway"/"Bowery" are its one-word streets and "bway" is
+  * the abbreviation that expands to one of them — so parser goldens are
+  * unchanged by sourcing the set from the dimension.
+  */
+class StandaloneStreetsSpec extends graft.SparkSpec {
+  test("whitelist derived from fixture dimension equals curated default") {
+    import spark.implicits._
+    val dim = spark.createDataset(graft.fixtures.CityDirFixture.dimension)
+    assert(EntryParser.standaloneStreetsFrom(dim) ==
+      EntryParser.defaultStandaloneStreets)
+  }
+
+  test("multi-word streets never enter the whitelist") {
+    import spark.implicits._
+    val dim = spark.createDataset(graft.fixtures.CityDirFixture.dimension
+      .filter(_.streetName.contains(" ")))
+    assert(EntryParser.standaloneStreetsFrom(dim).isEmpty)
+  }
+
+  test("parse honors a custom whitelist end-to-end") {
+    // with an empty whitelist a bare "Bowery" is an occupation...
+    val none = EntryParser.parse("Lee Ann, Bowery", Set.empty)
+    assert(none.occupations == Seq("Bowery") && none.locations.isEmpty)
+    // ...and with the default it is an address (the golden above)
+    val some = EntryParser.parse("Lee Ann, Bowery")
+    assert(some.occupations.isEmpty &&
+      some.locations == Seq(Location("Bowery")))
+  }
+}
