@@ -222,10 +222,48 @@ object PerfCompare {
         def fusedNat: Long = operators.DedupOps.containmentPairs(
           natDocs, "id", "text", k = 3, threshold = 0.8,
           maxDf = maxDf).count()
-        def prefilteredNat: Long =
-          operators.DedupOps.containmentPairsPrefiltered(
-            natDocs, "id", "text", k = 3, threshold = 0.8, maxDf = maxDf,
-            expectedMultiShingles = n * 6).count()
+        // the rejected variant, inlined for comparison only (measured a
+        // LOSS — see containmentPairs scaladoc / PERF.md; same precedent
+        // as the round-2 shape above): pass 1 counts df on
+        // xxhash64(shingle) longs and blooms the df>=2 hashes; pass 2
+        // short-circuits definite singletons into the denominator and
+        // sends only in-bloom shingles through the posting exchange.
+        // Result-identical: a false positive / hash collision rides the
+        // slow path, counts df=1 <= maxDf, pairs with nothing.
+        def prefilteredNat: Long = {
+          val sh = natDocs.select(col("id"), functions.ShingleGen
+            .shingleGen(col("text"), 3, distinct = true)).toDF("id", "_s")
+          val multi = sh.groupBy(xxhash64(col("_s")).as("_h"))
+            .agg(count(lit(1)).as("_c")).filter(col("_c") >= 2)
+            .select(col("_h"))
+          val bloom = operators.BloomJoin.buildBloom(multi, col("_h"),
+            n * 6)
+          val tagged = sh.withColumn("_in",
+            operators.BloomJoin.mightContain(bloom, xxhash64(col("_s"))))
+          val nSingle = tagged.filter(!col("_in")).groupBy(col("id"))
+            .agg(count(lit(1)).as("n_single"))
+          val postings = tagged.filter(col("_in")).groupBy(col("_s"))
+            .agg(functions.BoundedCollect
+              .boundedCollectList(col("id"), maxDf + 1).as("_ids"))
+            .filter(size(col("_ids")) <= maxDf)
+            .select(col("_ids"))
+          val nMulti = postings.select(explode(col("_ids")).as("id"))
+            .groupBy(col("id")).agg(count(lit(1)).as("n_multi"))
+          val nA = nMulti.join(nSingle, Seq("id"), "left_outer")
+            .select(col("id"),
+              (col("n_multi") + coalesce(col("n_single"), lit(0L)))
+                .as("n_a"))
+          postings
+            .select(explode(col("_ids")).as("a"), col("_ids"))
+            .select(col("a"), explode(col("_ids")).as("b"))
+            .filter(col("a") =!= col("b"))
+            .groupBy(col("a"), col("b"))
+            .agg(count(lit(1)).as("n_shared"))
+            .join(nA.select(col("id").as("a"), col("n_a")), Seq("a"))
+            .filter(round(col("n_shared").cast("double") / col("n_a"), 4)
+              >= 0.8)
+            .count()
+        }
         fusedNat; prefilteredNat // warmup
         val (nf, bf) = shuffleBytesOf(fusedNat)
         val (np, bp) = shuffleBytesOf(prefilteredNat)

@@ -549,6 +549,17 @@ object DedupOps {
     * denominator explodes the same cached index. Total: one wide
     * shuffle of the shingle text, two id-keyed agg shuffles of
     * code-sized rows, one doc-count join. Never O(n²) in docs.
+    *
+    * Measured-and-rejected variants (PerfCompare, PERF.md): md5-keying
+    * the posting exchange (hash longer than these shingles); and a
+    * bloom singleton pre-filter dropping df==1 shingles before the
+    * posting exchange — result-identical by construction (definite
+    * singletons short-circuit into the denominator), but even on a
+    * 70%-singleton corpus the pass-1 hash-count shuffle of every
+    * distinct shingle plus the second corpus scan cost MORE than the
+    * posting strings it saved (+11% shuffle bytes, +9% wall at 500 k
+    * docs). Short shingles make the hash pass nearly as wide as the
+    * strings; the shape stays re-runnable in PerfCompare.
     */
   def containmentPairs(df: DataFrame, idCol: String, textCol: String,
                        k: Int, threshold: Double, maxDf: Int): DataFrame = {
@@ -568,75 +579,6 @@ object DedupOps {
       .select(col("_ids"))
     val nA = postings.select(explode(col("_ids")).as(idCol))
       .groupBy(col(idCol)).agg(count(lit(1)).as("n_a"))
-    val pairs = postings
-      .select(explode(col("_ids")).as("a"), col("_ids"))
-      .select(col("a"), explode(col("_ids")).as("b"))
-      .filter(col("a") =!= col("b"))
-      .groupBy(col("a"), col("b"))
-      .agg(count(lit(1)).as("n_shared"))
-    pairs.join(nA.select(col(idCol).as("a"), col("n_a")), Seq("a"))
-      .withColumn("containment",
-        round(col("n_shared").cast("double") / col("n_a"), 4))
-      .filter(col("containment") >= threshold)
-      .select(col("a"), col("b"), col("n_shared"), col("containment"))
-  }
-
-  /** [[containmentPairs]] with a BLOOM SINGLETON PRE-FILTER in front of
-    * the posting exchange — the "drop what can never pair" experiment
-    * (r5 verdict item 4). A shingle with df == 1 cannot contribute to
-    * any pair, and on natural corpora singletons dominate the shingle
-    * mass; the posting exchange is the operator's one wide shuffle of
-    * STRING payloads, so keeping singletons out of it is the only
-    * remaining volume lever.
-    *
-    * Pass 1 counts df on `xxhash64(shingle)` LONGS (8-byte keys,
-    * map-side combined — far cheaper than exchanging the strings) and
-    * builds a distributed bloom of the df ≥ 2 hashes. Pass 2 tags each
-    * (id, shingle) row: not-in-bloom rows are DEFINITE singletons (no
-    * false negatives) and short-circuit into a per-doc count that joins
-    * back into the denominator; in-bloom rows (df ≥ 2 plus fpp false
-    * positives plus hash collisions) proceed through the unchanged
-    * posting build, where exact df decides as before. Results are
-    * therefore IDENTICAL to [[containmentPairs]] by construction: a
-    * false positive or collided singleton just rides the slow path and
-    * still counts df = 1 ≤ maxDf toward its doc's denominator, pairing
-    * with nothing.
-    *
-    * Cost shape vs the fused single-exchange form: +1 corpus scan (the
-    * shingle generator runs in both passes — recomputation measured
-    * cheaper than checkpointing the gram rows, same finding as the
-    * postings-reuse experiment), +1 hash-keyed long shuffle, +1 id-keyed
-    * count shuffle; −(singleton share) of the string posting exchange.
-    * Wins exactly when singletons dominate — measured in PerfCompare on
-    * a 70%-unique corpus, shipped only where it won (see PERF.md).
-    */
-  def containmentPairsPrefiltered(df: DataFrame, idCol: String,
-                                  textCol: String, k: Int,
-                                  threshold: Double, maxDf: Int,
-                                  expectedMultiShingles: Long): DataFrame = {
-    val sh = df.select(col(idCol),
-      graft.functions.ShingleGen.shingleGen(col(textCol), k,
-        distinct = true)).toDF(idCol, "_s")
-    val multi = sh.groupBy(xxhash64(col("_s")).as("_h"))
-      .agg(count(lit(1)).as("_c")).filter(col("_c") >= 2).select(col("_h"))
-    val bloom = BloomJoin.buildBloom(multi, col("_h"),
-      math.max(expectedMultiShingles, 1L))
-    val tagged = sh.withColumn("_in",
-      BloomJoin.mightContain(bloom, xxhash64(col("_s"))))
-    val nSingle = tagged.filter(!col("_in")).groupBy(col(idCol))
-      .agg(count(lit(1)).as("n_single"))
-    val postings = tagged.filter(col("_in")).groupBy(col("_s"))
-      .agg(graft.functions.BoundedCollect
-        .boundedCollectList(col(idCol), maxDf + 1).as("_ids"))
-      .filter(size(col("_ids")) <= maxDf)
-      .select(col("_ids"))
-    val nMulti = postings.select(explode(col("_ids")).as(idCol))
-      .groupBy(col(idCol)).agg(count(lit(1)).as("n_multi"))
-    // every doc appearing in a pair has >= 1 multi shingle, so nMulti is
-    // the spine; singles only top up the denominator
-    val nA = nMulti.join(nSingle, Seq(idCol), "left_outer")
-      .select(col(idCol),
-        (col("n_multi") + coalesce(col("n_single"), lit(0L))).as("n_a"))
     val pairs = postings
       .select(explode(col("_ids")).as("a"), col("_ids"))
       .select(col("a"), explode(col("_ids")).as("b"))
