@@ -522,8 +522,15 @@ object PerfCompare {
       def viaUdf: Long = forceParsed(parse.EntryParser.parseUdf(col("text")))
       def viaKernel: Long = forceParsed(parse.EntryParser.parseEntry(col("text")))
       viaUdf; viaKernel // warm the cheap-consumer plans
-      val (tu, _) = time { viaUdf; n }
-      val (tp, _) = time { viaKernel; n }
+      // interleaved min-of-3 (the Bench discipline): single-shot pairs
+      // on this box read up to 1.5x apart on unchanged code — below the
+      // session noise floor, a one-shot delta is not a finding
+      val us = new Array[Double](3); val ks = new Array[Double](3)
+      for (i <- 0 until 3) {
+        us(i) = time { viaUdf; n }._1
+        ks(i) = time { viaKernel; n }._1
+      }
+      val (tu, tp) = (us.min, ks.min)
       println(s"""{"parse_lines":$n,"parse_udf_sec":$tu,"parse_kernel_sec":$tp}""")
       lines.unpersist(blocking = true)
     }
