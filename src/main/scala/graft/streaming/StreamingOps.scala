@@ -175,10 +175,17 @@ object StreamingOps {
     * event time by the SAME wall per batch or their watermarks diverge —
     * pass the value computed from the highest-rate side to the others.
     */
-  def boundedBacklogSource(spark: SparkSession, offeredRowsPerSec: Long,
-                           maxRowsPerTrigger: Long,
-                           alignMillisPerBatch: Option[Long] = None,
-                           numPartitions: Option[Int] = None): DataFrame = {
+  /** The admission plan behind [[boundedBacklogSource]]: rows admitted
+    * per micro-batch and the event-time advance per batch. Pure so the
+    * alignment contract is testable: every side of a multi-source query
+    * must produce the same `advanceMs` (or their watermarks diverge),
+    * and each side's rows-per-batch must preserve ITS OWN offered rate
+    * over that shared span.
+    */
+  private[graft] def admissionPlan(offeredRowsPerSec: Long,
+                                   maxRowsPerTrigger: Long,
+                                   alignMillisPerBatch: Option[Long])
+      : (Long, Long) = {
     val advanceMs = alignMillisPerBatch.getOrElse(
       math.max(1L, maxRowsPerTrigger * 1000L / math.max(offeredRowsPerSec, 1L)))
     // rows per batch honors the offered rate when an alignment stretches
@@ -187,6 +194,15 @@ object StreamingOps {
       case Some(ms) => math.max(1L, offeredRowsPerSec * ms / 1000L)
       case None     => math.max(1L, maxRowsPerTrigger)
     }
+    (rows, advanceMs)
+  }
+
+  def boundedBacklogSource(spark: SparkSession, offeredRowsPerSec: Long,
+                           maxRowsPerTrigger: Long,
+                           alignMillisPerBatch: Option[Long] = None,
+                           numPartitions: Option[Int] = None): DataFrame = {
+    val (rows, advanceMs) = admissionPlan(offeredRowsPerSec,
+      maxRowsPerTrigger, alignMillisPerBatch)
     val base = spark.readStream.format("rate-micro-batch")
       .option("rowsPerBatch", rows)
       .option("advanceMillisPerBatch", advanceMs)

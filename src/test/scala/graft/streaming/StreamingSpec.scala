@@ -335,3 +335,46 @@ class StreamingSpec extends SparkSpec {
     assert(latest(20L) == ((1L, 8.0)))
   }
 }
+
+/** Admission-plan arithmetic for the bounded-backlog source (probe
+  * evidence in PERF.md): the per-trigger cap bounds batch size, the
+  * event-time advance preserves the offered rate, and — the bug class
+  * worth pinning — every side of a multi-source query aligned to the
+  * same advance keeps its own rate over the shared span, so the sides'
+  * watermarks move in lockstep.
+  */
+class AdmissionPlanSpec extends org.scalatest.funsuite.AnyFunSuite {
+  private val rnd = new scala.util.Random(20260814)
+
+  test("unaligned: rows == cap, advance preserves the offered rate") {
+    for (_ <- 1 to 200) {
+      val rate = 1L + rnd.nextInt(500000)
+      val cap = 1L + rnd.nextInt(1000000)
+      val (rows, adv) = StreamingOps.admissionPlan(rate, cap, None)
+      assert(rows == math.max(1L, cap))
+      assert(adv == math.max(1L, cap * 1000L / rate))
+      // implied event-time rate == offered rate within integer
+      // truncation: adv = floor(cap*1000/rate) under-counts by < 1 ms,
+      // so the relative error is bounded by 1/adv (clamped advs of 1 ms
+      // — cap*1000 < rate — can only OVERestimate the span, never the
+      // rate)
+      val implied = rows * 1000.0 / adv
+      assert(math.abs(implied - rate) <= rate.toDouble / adv + 1,
+        s"rate=$rate cap=$cap rows=$rows adv=$adv implied=$implied")
+    }
+  }
+
+  test("aligned sides share the advance and keep their own rates") {
+    for (_ <- 1 to 200) {
+      val fastRate = 10000L + rnd.nextInt(500000)
+      val slowRate = 1L + rnd.nextInt(10000)
+      val cap = 1000L + rnd.nextInt(1000000)
+      val (_, adv) = StreamingOps.admissionPlan(fastRate, cap, None)
+      val (slowRows, slowAdv) =
+        StreamingOps.admissionPlan(slowRate, cap, Some(adv))
+      assert(slowAdv == adv) // lockstep watermark advance
+      assert(slowRows == math.max(1L, slowRate * adv / 1000L))
+      assert(slowRows <= math.max(1L, fastRate * adv / 1000L))
+    }
+  }
+}
