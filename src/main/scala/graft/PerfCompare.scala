@@ -7,7 +7,12 @@ import org.apache.spark.sql.expressions.Window
 /** Dev tool: head-to-head of the custom TopKPerKey operator vs the
   * window row_number formulation on a synthetic frame large enough for
   * the shuffle/sort difference to dominate (the driver tables are too
-  * small to show it). Prints one JSON line.
+  * small to show it). Prints one JSON line per lane.
+  *
+  * A full run is ~10 min; `GRAFT_PC_ONLY=<lane,...>` replays a subset
+  * (lanes: topk, cc, bloom, span, containment, kernels, kmeans, ivf,
+  * dsir, parse) — the targeted-replay affordance Bench gets from its
+  * query-name args.
   */
 object PerfCompare {
   def main(args: Array[String]): Unit = {
@@ -22,61 +27,75 @@ object PerfCompare {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
-    val df = spark.range(rows)
-      .select(col("id"),
-        pmod(hash(col("id")), lit(keys)).as("grp"),
-        pmod(hash(col("id") + 1), lit(1000000)).cast("double").as("score"))
-      .cache()
-    df.count() // materialize
+    // Lane filter for cheap replays (a full run is ~10 min): e.g.
+    // GRAFT_PC_ONLY=parse,dsir runs only those blocks. Lane names:
+    // topk, cc, bloom, span, containment, kernels, kmeans, ivf, dsir,
+    // parse. Default (unset) = all. Each lane builds and releases its
+    // own caches, so skipping any subset is safe.
+    val only = sys.env.get("GRAFT_PC_ONLY")
+      .map(_.split(",").map(_.trim.toLowerCase).filter(_.nonEmpty).toSet)
+      .getOrElse(Set.empty[String])
+    def lane(name: String)(body: => Unit): Unit =
+      if (only.isEmpty || only.contains(name)) body
 
     def time(f: => Long): (Double, Long) = {
       val t0 = System.nanoTime()
       val n = f
       ((System.nanoTime() - t0) / 1e9, n)
     }
-    // warmup both paths
-    val w = Window.partitionBy("grp")
-      .orderBy(col("score").desc, col("id").asc)
-    def viaWindow: Long = df.withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= 5).count()
-    def viaNative: Long = plans.TopK.perKey(df, Seq("grp"),
-      Seq(col("score").desc, col("id").asc), 5).count()
-    viaWindow; viaNative
-    val (tw, nw) = time(viaWindow)
-    val (tn, nn) = time(viaNative)
-    require(nw == nn, s"row count mismatch: $nw vs $nn")
-    println(s"""{"rows":$rows,"keys":$keys,"window_sec":$tw,"topk_native_sec":$tn,"result_rows":$nw}""")
+
+    lane("topk") {
+      val df = spark.range(rows)
+        .select(col("id"),
+          pmod(hash(col("id")), lit(keys)).as("grp"),
+          pmod(hash(col("id") + 1), lit(1000000)).cast("double").as("score"))
+        .cache()
+      df.count() // materialize
+      // warmup both paths
+      val w = Window.partitionBy("grp")
+        .orderBy(col("score").desc, col("id").asc)
+      def viaWindow: Long = df.withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 5).count()
+      def viaNative: Long = plans.TopK.perKey(df, Seq("grp"),
+        Seq(col("score").desc, col("id").asc), 5).count()
+      viaWindow; viaNative
+      val (tw, nw) = time(viaWindow)
+      val (tn, nn) = time(viaNative)
+      require(nw == nn, s"row count mismatch: $nw vs $nn")
+      println(s"""{"rows":$rows,"keys":$keys,"window_sec":$tw,"topk_native_sec":$tn,"result_rows":$nw}""")
+      // release before the next lane — an evicted probe cache would
+      // re-derive payloads inside a later timed region
+      df.unpersist(blocking = true)
+    }
 
     // Connected components: DataFrame large-star/small-star vs GraphX on
     // a synthetic candidate-pair graph shaped like LSH output — many
     // small clusters (chains of length 2-6) plus a few larger hubs.
-    val nEdges = if (args.length > 2) args(2).toLong else 1000000L
-    val pairs = spark.range(nEdges).select(
-      // chain edges inside clusters of size ~5, cluster id = id/5
-      (col("id") - (col("id") % 5)).as("a"),
-      col("id").as("b"))
-      .filter(col("a") =!= col("b"))
-      .cache()
-    pairs.count()
-    def viaDf: Long = operators.DedupOps.clustersDataFrame(pairs).count()
-    def viaGx: Long = operators.DedupOps.clusters(pairs).count()
-    viaDf; viaGx
-    val (td, nd) = time(viaDf)
-    val (tg, ng) = time(viaGx)
-    require(nd == ng, s"CC row count mismatch: $nd vs $ng")
-    println(s"""{"cc_edges":$nEdges,"cc_df_sec":$td,"cc_graphx_sec":$tg,"cc_members":$nd}""")
-
-    // release the earlier sections' caches first — an evicted probe
-    // cache would re-derive md5 payloads inside the timed join and
-    // swamp the comparison
-    df.unpersist(blocking = true)
-    pairs.unpersist(blocking = true)
+    lane("cc") {
+      val nEdges = if (args.length > 2) args(2).toLong else 1000000L
+      val pairs = spark.range(nEdges).select(
+        // chain edges inside clusters of size ~5, cluster id = id/5
+        (col("id") - (col("id") % 5)).as("a"),
+        col("id").as("b"))
+        .filter(col("a") =!= col("b"))
+        .cache()
+      pairs.count()
+      def viaDf: Long = operators.DedupOps.clustersDataFrame(pairs).count()
+      def viaGx: Long = operators.DedupOps.clusters(pairs).count()
+      viaDf; viaGx
+      val (td, nd) = time(viaDf)
+      val (tg, ng) = time(viaGx)
+      require(nd == ng, s"CC row count mismatch: $nd vs $ng")
+      println(s"""{"cc_edges":$nEdges,"cc_df_sec":$td,"cc_graphx_sec":$tg,"cc_members":$nd}""")
+      pairs.unpersist(blocking = true)
+    }
 
     // Bloom semi-join reduction vs plain shuffle semi join, in the
     // no-broadcast regime (at scale the build side exceeds the
     // broadcast threshold, which is the case the operator exists for).
     // Probe rows carry a payload so exchange volume, not row count,
     // is what the bloom filter saves.
+    lane("bloom") {
     val probeN = if (args.length > 3) args(3).toLong else 20000000L
     val matchOneIn = 100L
     val probe = spark.range(probeN)
@@ -118,23 +137,26 @@ object PerfCompare {
     }
     probe.unpersist(blocking = true)
     build.unpersist(blocking = true)
+    }
 
     // Span dedup at data scale: 24-word docs in duplication groups of 4
     // (three 8-word spans each, 75% of spans are repeats) — the shape a
     // boilerplate-heavy web crawl gives the first-occurrence window.
-    val spanDocs = if (args.length > 4) args(4).toLong else 1000000L
-    val corpus = spark.range(spanDocs).select(col("id"),
-      concat_ws(" ", (0 until 24).map(j =>
-        pmod(hash((col("id") - col("id") % 4)).cast("long") * 31 + j,
-          lit(50000L)).cast("string")): _*).as("text"))
-      .cache()
-    corpus.count()
-    def spanRun: Long =
-      operators.DedupOps.spanDedup(corpus, "id", "text", 8).count()
-    spanRun
-    val (ts, ns) = time(spanRun)
-    println(s"""{"span_docs":$spanDocs,"span_dedup_sec":$ts,"span_rows":$ns}""")
-    corpus.unpersist(blocking = true)
+    lane("span") {
+      val spanDocs = if (args.length > 4) args(4).toLong else 1000000L
+      val corpus = spark.range(spanDocs).select(col("id"),
+        concat_ws(" ", (0 until 24).map(j =>
+          pmod(hash((col("id") - col("id") % 4)).cast("long") * 31 + j,
+            lit(50000L)).cast("string")): _*).as("text"))
+        .cache()
+      corpus.count()
+      def spanRun: Long =
+        operators.DedupOps.spanDedup(corpus, "id", "text", 8).count()
+      spanRun
+      val (ts, ns) = time(spanRun)
+      println(s"""{"span_docs":$spanDocs,"span_dedup_sec":$ts,"span_rows":$ns}""")
+      corpus.unpersist(blocking = true)
+    }
 
     // Containment shapes head-to-head: the round-2 pipeline (df-count
     // agg → semi-join back → md5-keyed pair SELF-JOIN) vs the shipped
@@ -142,7 +164,7 @@ object PerfCompare {
     // fan-out). Both run multi-job (localCheckpoint), so exchange
     // volume is accumulated with a stage listener over ALL jobs — the
     // per-plan dataSize metric would miss the checkpointed shuffle.
-    {
+    lane("containment") {
       val n = if (args.length > 6) args(6).toLong else 500000L
       // 20-word docs in duplication groups of 4 → heavy true overlap,
       // plus every doc carries one GLOBAL boilerplate word so the
@@ -283,7 +305,7 @@ object PerfCompare {
     // The custom-Generator variant measured SLOWER than the declarative
     // form on this short-doc shape (CodegenFallback breaks whole-stage
     // codegen around the Generate) and was deleted — see PERF.md.
-    {
+    lane("kernels") {
       val n = if (args.length > 7) args(7).toLong else 1000000L
       val corpus = spark.range(n).select(col("id"),
         concat_ws(" ", (0 until 24).map(j =>
@@ -386,24 +408,27 @@ object PerfCompare {
     // k-means at data scale: 16-dim float vectors, k=16, 2 Lloyd
     // rounds — per-iteration cost is one VectorMeanAgg partial agg plus
     // one broadcast re-assignment; the corpus never shuffles by content.
-    val kmN = if (args.length > 5) args(5).toLong else 500000L
-    val vecs = spark.range(kmN).select(col("id"),
-      array((0 until 16).map(j =>
-        (pmod(hash(col("id") * 17 + j), lit(1000)) / lit(1000.0))
-          .cast("float")): _*).as("embedding"))
-      .cache()
-    vecs.count()
-    def kmRun: Long =
-      operators.SimilarityOps.kmeans(vecs, 16, 2, "id", "embedding").count()
-    kmRun
-    val (tk, nk) = time(kmRun)
-    require(nk == kmN, s"kmeans lost rows: $nk of $kmN")
-    println(s"""{"kmeans_vecs":$kmN,"kmeans_k16_iter2_sec":$tk}""")
+    lane("kmeans") {
+      val kmN = if (args.length > 5) args(5).toLong else 500000L
+      val vecs = spark.range(kmN).select(col("id"),
+        array((0 until 16).map(j =>
+          (pmod(hash(col("id") * 17 + j), lit(1000)) / lit(1000.0))
+            .cast("float")): _*).as("embedding"))
+        .cache()
+      vecs.count()
+      def kmRun: Long =
+        operators.SimilarityOps.kmeans(vecs, 16, 2, "id", "embedding").count()
+      kmRun
+      val (tk, nk) = time(kmRun)
+      require(nk == kmN, s"kmeans lost rows: $nk of $kmN")
+      println(s"""{"kmeans_vecs":$kmN,"kmeans_k16_iter2_sec":$tk}""")
+      vecs.unpersist(blocking = true)
+    }
 
     // IVF / IVF-PQ build-vs-search split (the ss7/ss14 lanes time search
     // only — the build is a once-per-index artifact cost; this probe is
     // where that cost is recorded). 100k×64-dim corpus, 64 queries.
-    {
+    lane("ivf") {
       val ivfN = 100000L
       val corpus = spark.range(ivfN).select(col("id").as("vec_id"),
         array((0 until 64).map(j =>
@@ -449,7 +474,7 @@ object PerfCompare {
     // ranges, bucket long out). Same downstream consumer (bucket
     // histogram) both sides; values are bit-identical (ExtOpsSpec pin),
     // so the histogram digests must match exactly.
-    {
+    lane("dsir") {
       val n = 1000000L
       val docs = spark.range(n).select(col("id"),
         concat_ws(" ", (0 until 24).map(j =>
@@ -492,7 +517,7 @@ object PerfCompare {
     // ParseEntryExpr codegen kernel (one static call, InternalRow out) —
     // the flagship pipeline's hottest projection (round-3 verdict item 3).
     // Synthetic city-directory lines at realistic length/shape.
-    {
+    lane("parse") {
       val n = 2000000L
       val lines = spark.range(n).select(concat(
         lit("Smith J"), pmod(hash(col("id")), lit(1000)),
