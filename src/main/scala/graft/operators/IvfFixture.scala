@@ -30,6 +30,35 @@ object IvfFixture {
     java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
       s"$prefix-${math.abs(sfDir.hashCode)}").toString
 
+  /** Torn-build guard shared by every persisted-index fixture. The
+    * scratch path outlives the JVM, and each new JVM rebuilds with
+    * overwrite semantics, so staleness self-heals — but a build killed
+    * between its table writes (or a concurrent process mid-rebuild)
+    * leaves a dir that READS fine and answers from partial data. The
+    * builder deletes the marker before writing and re-creates it after
+    * the last table lands; every access checks it, so a torn index
+    * fails loudly instead of silently serving partial results.
+    */
+  private[operators] val MarkerName = "_GRAFT_INDEX_OK"
+
+  private[operators] def buildWithMarker(dir: String)(build: => Unit): String = {
+    import java.nio.file.{Files, Paths}
+    val marker = Paths.get(dir, MarkerName)
+    Files.deleteIfExists(marker)
+    build
+    Files.write(marker, Array.emptyByteArray)
+    dir
+  }
+
+  private[operators] def checkMarker(dir: String): String = {
+    val marker = java.nio.file.Paths.get(dir, MarkerName)
+    require(java.nio.file.Files.exists(marker),
+      s"persisted index at $dir has no $MarkerName marker — " +
+        "torn build (killed mid-write or concurrent rebuild); " +
+        "delete the directory and rebuild")
+    dir
+  }
+
   private def kernel: (Column, Column) => Column =
     graft.functions.CosineF32.cosineF32Native(_, _)
 
@@ -37,24 +66,26 @@ object IvfFixture {
     * builds on first call per sf dir, returns the index dir.
     */
   def ivfDir(spark: SparkSession, sfDir: String): String =
-    built.computeIfAbsent(s"ivf:$sfDir", _ => {
+    checkMarker(built.computeIfAbsent(s"ivf:$sfDir", _ => {
       val dir = scratch("graft-ivf-q-index", sfDir)
-      IvfIndex.build(graft.Tables.embeddings(spark, sfDir), dir,
-        nList = 8, kernel = kernel)
-      dir
-    })
+      buildWithMarker(dir) {
+        IvfIndex.build(graft.Tables.embeddings(spark, sfDir), dir,
+          nList = 8, kernel = kernel)
+      }
+    }))
 
   /** IVF-PQ index (ss14 parameters: nList=8, m=2, subDim=32, kPq=4,
     * iters=1) over `embeddings`; builds on first call per sf dir.
     */
   def ivfPqDir(spark: SparkSession, sfDir: String): String =
-    built.computeIfAbsent(s"ivfpq:$sfDir", _ => {
+    checkMarker(built.computeIfAbsent(s"ivfpq:$sfDir", _ => {
       val dir = scratch("graft-ivfpq-q-index", sfDir)
-      IvfIndex.buildPq(graft.Tables.embeddings(spark, sfDir), dir,
-        nList = 8, m = 2, subDim = 32, kPq = 4, iters = 1,
-        kernel = kernel)
-      dir
-    })
+      buildWithMarker(dir) {
+        IvfIndex.buildPq(graft.Tables.embeddings(spark, sfDir), dir,
+          nList = 8, m = 2, subDim = 32, kPq = 4, iters = 1,
+          kernel = kernel)
+      }
+    }))
 
   /** ss7's search half against the memoized index. */
   def searchIvf(spark: SparkSession, sfDir: String) = {
@@ -88,13 +119,14 @@ object BandIndexFixture {
   private val built = new ConcurrentHashMap[String, String]()
 
   def dir(spark: SparkSession, sfDir: String): String =
-    built.computeIfAbsent(s"band:$sfDir", _ => {
+    IvfFixture.checkMarker(built.computeIfAbsent(s"band:$sfDir", _ => {
       val d = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
         s"graft-band-index-${math.abs(sfDir.hashCode)}").toString
-      DedupOps.bandIndexBuild(
-        graft.Tables.documents(spark, sfDir)
-          .filter(col("source") =!= "src0"),
-        d, "doc_id", "text", shingleK = 3, numPerm = 16, bands = 4)
-      d
-    })
+      IvfFixture.buildWithMarker(d) {
+        DedupOps.bandIndexBuild(
+          graft.Tables.documents(spark, sfDir)
+            .filter(col("source") =!= "src0"),
+          d, "doc_id", "text", shingleK = 3, numPerm = 16, bands = 4)
+      }
+    }))
 }
