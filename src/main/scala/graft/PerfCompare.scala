@@ -11,8 +11,8 @@ import org.apache.spark.sql.expressions.Window
   *
   * A full run is ~10 min; `GRAFT_PC_ONLY=<lane,...>` replays a subset
   * (lanes: topk, cc, bloom, span, containment, kernels, kmeans, ivf,
-  * dsir, parse) — the targeted-replay affordance Bench gets from its
-  * query-name args.
+  * dsir, parse, skew) — the targeted-replay affordance Bench gets from
+  * its query-name args.
   */
 object PerfCompare {
   def main(args: Array[String]): Unit = {
@@ -30,8 +30,8 @@ object PerfCompare {
     // Lane filter for cheap replays (a full run is ~10 min): e.g.
     // GRAFT_PC_ONLY=parse,dsir runs only those blocks. Lane names:
     // topk, cc, bloom, span, containment, kernels, kmeans, ivf, dsir,
-    // parse. Default (unset) = all. Each lane builds and releases its
-    // own caches, so skipping any subset is safe.
+    // parse, skew. Default (unset) = all. Each lane builds and releases
+    // its own caches, so skipping any subset is safe.
     val only = sys.env.get("GRAFT_PC_ONLY")
       .map(_.split(",").map(_.trim.toLowerCase).filter(_.nonEmpty).toSet)
       .getOrElse(Set.empty[String])
@@ -558,6 +558,118 @@ object PerfCompare {
       val (tu, tp) = (us.min, ks.min)
       println(s"""{"parse_lines":$n,"parse_udf_sec":$tu,"parse_kernel_sec":$tp}""")
       lines.unpersist(blocking = true)
+    }
+
+    // Skewed join, three ways: plain sort-merge (one reducer owns the
+    // hot key), AQE skew-split (runtime re-plan), and the explicit
+    // salted join (SkewOps — plan-time mitigation for when the skew is
+    // known). The hot key owns 50% of the big side; broadcast is
+    // disabled to model the small-side-too-big regime the mitigation
+    // exists for (same rationale as the bloom lane). The signal is the
+    // STRAGGLER, not just wall time: max task duration in the timed
+    // region shows whether the hot partition was actually split.
+    lane("skew") {
+      val n = 10000000L
+      val kUniform = 1000
+      val big = spark.range(n).select(
+        when(pmod(col("id"), lit(2)) === 0, lit(0L))
+          .otherwise(pmod(hash(col("id")), lit(kUniform)).cast("long") + 1L)
+          .as("k"),
+        md5(col("id").cast("string")).as("payload")).cache()
+      val small = spark.range(kUniform + 1).select(col("id").as("k"),
+        md5(concat(lit("dim"), col("id").cast("string"))).as("dim_payload"))
+        .cache()
+      big.count(); small.count()
+      val maxTaskMs = new java.util.concurrent.atomic.AtomicLong
+      val maxReadRows = new java.util.concurrent.atomic.AtomicLong
+      val taskListener = new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(
+            te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+          maxTaskMs.updateAndGet(m => math.max(m, te.taskInfo.duration))
+          // the direct reducer-skew signal: rows into the widest task
+          // (durations also cover map/digest tasks and box noise)
+          val r = te.taskMetrics.shuffleReadMetrics.recordsRead
+          maxReadRows.updateAndGet(m => math.max(m, r))
+        }
+      }
+      // hash-all action (count alone would prune the payloads and
+      // shrink the very exchange whose skew is being measured)
+      def digestOf(df: org.apache.spark.sql.DataFrame): Long = {
+        val cols = df.columns.sorted.map(col)
+        df.select(xxhash64(cols: _*).as("h"))
+          .agg(bit_xor(col("h"))).collect().head.getLong(0)
+      }
+      val bcWas = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      val aqeWas = spark.conf.get("spark.sql.adaptive.enabled")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", -1)
+      try {
+        def withAqe[A](on: Boolean)(f: => A): A = {
+          spark.conf.set("spark.sql.adaptive.enabled", on)
+          if (on) {
+            spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+            // local-scale tuning: the defaults (factor 5, threshold
+            // 256m) are sized for cluster partitions; at this probe's
+            // ~50m median the same RELATIVE skew needs proportionally
+            // smaller cutoffs for the optimizer to see it
+            spark.conf.set(
+              "spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2.0")
+            spark.conf.set(
+              "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+              "32m")
+            spark.conf.set(
+              "spark.sql.adaptive.advisoryPartitionSizeInBytes", "32m")
+            spark.conf.set("spark.sql.adaptive.forceOptimizeSkewedJoin",
+              "true")
+          }
+          f
+        }
+        def plain: Long = withAqe(false) {
+          digestOf(big.join(small.hint("merge"), Seq("k")))
+        }
+        def aqeSplit: Long = withAqe(true) {
+          digestOf(big.join(small.hint("merge"), Seq("k")))
+        }
+        val salts = sys.env.getOrElse("GRAFT_SKEW_SALTS", "32").toInt
+        def salted: Long = withAqe(false) {
+          digestOf(operators.SkewOps.saltedJoin(big, small, Seq("k"),
+            salts = salts))
+        }
+        val dPlain = plain; val dAqe = aqeSplit; val dSalt = salted // warm
+        require(dPlain == dAqe && dPlain == dSalt,
+          s"skew A/B digest mismatch: $dPlain / $dAqe / $dSalt")
+        // interleaved min-of-3 wall; max-task from each shape's
+        // fastest pass would race the listener bus, so track the max
+        // PER RUN and keep the one paired with the min wall
+        spark.sparkContext.addSparkListener(taskListener)
+        val wall = Array.fill(3)(new Array[Double](3))
+        val straggler = Array.fill(3)(new Array[Long](3))
+        val widest = Array.fill(3)(new Array[Long](3))
+        val shapes: Array[() => Long] =
+          Array(() => plain, () => aqeSplit, () => salted)
+        for (pass <- 0 until 3; s <- 0 until 3) {
+          maxTaskMs.set(0); maxReadRows.set(0)
+          wall(s)(pass) = time { shapes(s)(); n }._1
+          Thread.sleep(1500) // drain the listener bus (dev tool)
+          straggler(s)(pass) = maxTaskMs.get
+          widest(s)(pass) = maxReadRows.get
+        }
+        spark.sparkContext.removeSparkListener(taskListener)
+        def best(s: Int): (Double, Long, Long) = {
+          val p = wall(s).indexOf(wall(s).min)
+          (wall(s)(p), straggler(s)(p), widest(s)(p))
+        }
+        val (tp2, mp, rp) = best(0); val (ta, ma, ra) = best(1)
+        val (ts2, ms, rs) = best(2)
+        println(s"""{"skew_rows":$n,"hot_share":0.5,""" +
+          s""""plain_sec":$tp2,"plain_max_task_ms":$mp,"plain_max_task_read_rows":$rp,""" +
+          s""""aqe_sec":$ta,"aqe_max_task_ms":$ma,"aqe_max_task_read_rows":$ra,""" +
+          s""""salted_sec":$ts2,"salted_max_task_ms":$ms,"salted_max_task_read_rows":$rs}""")
+      } finally {
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", bcWas)
+        spark.conf.set("spark.sql.adaptive.enabled", aqeWas)
+      }
+      big.unpersist(blocking = true)
+      small.unpersist(blocking = true)
     }
     spark.stop()
   }
