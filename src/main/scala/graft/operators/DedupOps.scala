@@ -248,6 +248,84 @@ object DedupOps {
       .select("a", "b", "hamming")
   }
 
+  /** 60-bit SimHash over k-gram shingle features, packed into one
+    * BIGINT (positions 0..59 = bits 0..59, always non-negative). The
+    * Manku et al. 2007 web-dedup formulation: feature set = the
+    * document's distinct word k-shingles (unigram features
+    * under-discriminate a narrow vocabulary — measured 512 k vs 5.5 k
+    * pairs on the sf0.1 corpus), feature hash = md5, per-bit sign = the
+    * corresponding md5 nibble bit. 60 bits (15 hex chars × 4) rather
+    * than 64 keeps the packed value positive in engines whose BIGINT
+    * overflow throws rather than wraps.
+    *
+    * Scale shape: one Generator explode (shingles) + one map-side
+    * projection, one partial-agg shuffle keyed on the doc id carrying
+    * 60 small ints per doc; the signature assembly is a post-agg
+    * projection. Everything replays exactly in external SQL (md5 +
+    * integer bit ops only).
+    */
+  def simhash60(df: DataFrame, idCol: String, textCol: String,
+                k: Int = 3): DataFrame = {
+    val tok = df.select(col(idCol),
+      graft.functions.ShingleGen.shingleGen(col(textCol), k,
+        distinct = true)).toDF(idCol, "_t")
+      .withColumn("_h", md5(col("_t")))
+    val sums = (0 until 60).map { p =>
+      val nibble = conv(substring(col("_h"), p / 4 + 1, 1), 16, 10)
+        .cast("int")
+      sum(shiftright(nibble, p % 4).bitwiseAND(lit(1)) * 2 - 1).as(s"_s$p")
+    }
+    tok.groupBy(col(idCol))
+      .agg(sums.head, sums.tail: _*)
+      .select(col(idCol),
+        (0 until 60).map(p =>
+          when(col(s"_s$p") > 0, lit(1L << p)).otherwise(lit(0L)))
+          .reduce(_ + _).as("simhash"))
+  }
+
+  /** SimHash near-dup pairs with GUARANTEED recall: split the 60-bit
+    * [[simhash60]] into `bands` equal bit ranges and join on (band,
+    * band value) — by pigeonhole, any pair within Hamming distance
+    * `bands - 1` agrees on at least one full band, so with the default
+    * 4 bands every pair at `maxHamming <= 3` is found (the multi-table
+    * Hamming LSH of Manku et al. 2007, vs [[simhashPairs]]'s
+    * single-prefix approximation). The Hamming distance itself is
+    * `bit_count(sa ^ sb)` — two integer ops, codegen'd.
+    *
+    * Scale shape: the exchange carries (band, 15-bit value, id, 8-byte
+    * signature) — never text; band-value keys have up to 2^(60/bands)
+    * distinct values (32 k at 4 bands), so posting lists stay bounded
+    * by the corpus' true near-dup density, not by a tiny key space.
+    * Both join sides derive from one signature scan (reused exchange).
+    * At 100 TB the same shape holds with a wider signature and
+    * proportionally wider bands.
+    */
+  def simhashHammingPairs(df: DataFrame, idCol: String, textCol: String,
+                          k: Int = 3, maxHamming: Int = 3,
+                          bands: Int = 4): DataFrame = {
+    require(60 % bands == 0, s"bands must divide 60, got $bands")
+    require(maxHamming < bands,
+      s"recall guarantee needs maxHamming < bands ($maxHamming >= $bands)")
+    val w = 60 / bands
+    val mask = (1L << w) - 1
+    val banded = simhash60(df, idCol, textCol, k)
+      .select(col(idCol), col("simhash"),
+        posexplode(array((0 until bands).map(b =>
+          shiftright(col("simhash"), b * w).bitwiseAND(lit(mask))): _*)))
+      .toDF(idCol, "simhash", "_band", "_bv")
+    val l = banded.select(col("_band"), col("_bv"), col(idCol).as("a"),
+      col("simhash").as("_sa"))
+    val r = banded.select(col("_band"), col("_bv"), col(idCol).as("b"),
+      col("simhash").as("_sb"))
+    l.join(r, Seq("_band", "_bv"))
+      .filter(col("a") < col("b"))
+      .select("a", "b", "_sa", "_sb").distinct()
+      .select(col("a"), col("b"),
+        bit_count(col("_sa").bitwiseXOR(col("_sb"))).cast("int")
+          .as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+  }
+
   /** Duplicate-cluster resolution: candidate pairs → connected
     * components → (member, cluster_rep = min member id). The step after
     * LSH in every dedup pipeline: near-dup PAIRS must become GROUPS

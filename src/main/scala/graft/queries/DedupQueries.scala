@@ -89,6 +89,19 @@ object DedupQueries {
       DedupOps.simhash16(documents(s, d), "doc_id", "text")
     }),
 
+    // SimHash Hamming near-dup pairs with guaranteed recall: 60-bit
+    // shingle-feature simhash, 4 x 15-bit bands (pigeonhole: any pair
+    // within Hamming distance 3 shares a full band), hamming =
+    // bit_count(xor). Corpus salted with exact copies at +10000 —
+    // every copy pairs with its source at hamming 0; natural near-dups
+    // surface at 1..3.
+    "dd15_simhash_pairs" -> ((s, d) => {
+      val docs = documents(s, d).select("doc_id", "text")
+      val dup = docs.select((col("doc_id") + 10000).as("doc_id"), col("text"))
+      DedupOps.simhashHammingPairs(docs.unionByName(dup), "doc_id", "text",
+        k = 3, maxHamming = 3, bands = 4)
+    }),
+
     // Blocked n-gram Jaccard: pairs within a 40-char-prefix block with
     // word-set Jaccard >= 0.5.
     "dd4_jaccard" -> ((s, d) => {
@@ -313,6 +326,37 @@ object DedupQueries {
             FROM documents),
           h AS (SELECT doc_id, md5(t) AS h FROM toks)
           SELECT doc_id, $simhashConcat AS simhash FROM h GROUP BY doc_id""",
+    // the shingle comprehension matches ShingleGen k=3; nibble bit p
+    // of md5 via integer ops only; sum CASE -> BIGINT cast (HUGEINT
+    // lesson); bands/hamming are pure bit arithmetic, so the whole
+    // pipeline replays exactly
+    "dd15_simhash_pairs" ->
+      """WITH corpus AS (
+           SELECT doc_id, text FROM documents
+           UNION ALL SELECT doc_id + 10000, text FROM documents),
+         sw AS (SELECT doc_id, string_split(text,' ') w FROM corpus),
+         toks AS (SELECT doc_id,
+                    unnest(list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                                          for i in range(1, len(w)-1)])) AS t
+                  FROM sw WHERE len(w) >= 3),
+         h AS (SELECT doc_id, md5(t) AS h FROM toks),
+         bt AS (SELECT doc_id, p,
+                  sum(CASE WHEN ((((('0x' || substr(h, p//4 + 1, 1))::INT)
+                                   >> (p%4)) & 1) = 1)
+                      THEN 1 ELSE -1 END) AS s
+                FROM h CROSS JOIN (SELECT unnest(range(0,60)) AS p) ps
+                GROUP BY doc_id, p),
+         sig AS (SELECT doc_id,
+                   sum(CASE WHEN s > 0 THEN (1::BIGINT << p)
+                       ELSE 0::BIGINT END)::BIGINT AS sig
+                 FROM bt GROUP BY doc_id),
+         bands AS (SELECT doc_id, sig, b, ((sig >> (b*15)) & 32767) AS bv
+                   FROM sig CROSS JOIN (SELECT unnest(range(0,4)) AS b) bs),
+         pairs AS (SELECT DISTINCT l.doc_id a, r.doc_id b, l.sig sa, r.sig sb
+                   FROM bands l JOIN bands r
+                     ON l.b = r.b AND l.bv = r.bv AND l.doc_id < r.doc_id)
+         SELECT a, b, bit_count(xor(sa, sb))::INT AS hamming
+         FROM pairs WHERE bit_count(xor(sa, sb)) <= 3""",
     "dd4_jaccard" ->
       """WITH blocked AS (SELECT doc_id, text, substr(text,1,40) blk FROM documents)
          SELECT a, b, jaccard FROM (

@@ -59,6 +59,15 @@ class PlanShapeSpec extends SparkSpec {
     assert(planOf("dd2_minhash_lsh").contains("ReusedExchange"))
   }
 
+  test("dd15 simhash band self-join reuses the signature exchange") {
+    // both band-join sides derive from one simhash60 scan — the banded
+    // exchange must be computed once and read twice, and nothing after
+    // the signature agg may carry text or shingles (8-byte signatures
+    // and 15-bit band values only)
+    val p = planOf("dd15_simhash_pairs")
+    assert(p.contains("ReusedExchange"), p.take(2000))
+  }
+
   test("cd2 year filter is the fused native predicate, not regex machinery") {
     val p = planOf("cd2_interval_filter")
     assert(p.contains("year_in_range"))

@@ -488,6 +488,47 @@ class ExtOpsSpec extends SparkSpec {
     assert(!out.contains((1L, 3L)) && !out.contains((3L, 4L)))
   }
 
+  test("simhash60 matches the pure-Scala model bit for bit") {
+    // executable spec of the md5-nibble sign recipe: same shingling,
+    // same bit packing, computed with MessageDigest instead of Spark
+    def model(text: String, k: Int): Option[Long] = {
+      val w = text.split(" ").toSeq
+      if (w.length < k) None
+      else {
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val sums = new Array[Int](60)
+        for (s <- w.sliding(k).map(_.mkString(" ")).toSeq.distinct) {
+          val hex = md.digest(s.getBytes("UTF-8"))
+            .map("%02x".format(_)).mkString
+          for (p <- 0 until 60) {
+            val v = Character.digit(hex.charAt(p / 4), 16)
+            sums(p) += (((v >> (p % 4)) & 1) * 2 - 1)
+          }
+        }
+        Some((0 until 60).map(p => if (sums(p) > 0) 1L << p else 0L).sum)
+      }
+    }
+    val out = DedupOps.simhash60(df, "doc_id", "text", k = 3)
+      .as[(Long, Long)].collect().toMap
+    val expected = corpus.flatMap { case (id, t) =>
+      model(t, 3).map(id -> _)
+    }.toMap
+    assert(out == expected) // doc 5 ("tiny") has no 3-shingles → absent
+    assert(out.values.forall(s => s >= 0L && s < (1L << 60)))
+  }
+
+  test("simhashHammingPairs: exact dups at hamming 0, disjoint docs unpaired") {
+    val out = DedupOps.simhashHammingPairs(df, "doc_id", "text",
+      k = 3, maxHamming = 3, bands = 4)
+      .as[(Long, Long, Int)].collect()
+      .map { case (a, b, h) => (a, b) -> h }.toMap
+    assert(out((1L, 4L)) == 0) // identical text → identical signature
+    // disjoint shingle vocab → independent signs; no shared band
+    assert(!out.contains((1L, 3L)) && !out.contains((3L, 4L)))
+    // every reported pair respects the threshold and ordering contract
+    assert(out.forall { case ((a, b), h) => a < b && h >= 0 && h <= 3 })
+  }
+
   test("clusters: transitive pairs merge; rep is min member") {
     val pairs = Seq((1L, 4L), (4L, 9L), (20L, 30L)).toDF("a", "b")
     val out = DedupOps.clusters(pairs)
