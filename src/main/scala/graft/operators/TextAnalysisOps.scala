@@ -397,6 +397,41 @@ object TextAnalysisOps {
           .as("bm25"))
   }
 
+  /** BM25 top-k retrieval: rank the corpus for a fixed set of
+    * multi-term queries — the eval-retrieval / hard-negative-mining
+    * primitive over [[bm25]]. Per (query, doc) the score is the sum of
+    * the doc's BM25 weights over the query's terms; ranking keeps the
+    * top `k` docs per query on the bounded-heap TopKPerKey operator.
+    *
+    * Per-term scores are integer-quantized (× 10⁴, half-up) BEFORE the
+    * sum so the aggregate is an exact integer — a double sum's value
+    * would depend on task-level addition order and never replay
+    * bit-identically (`score_x1e4`; consumers divide by 10⁴).
+    *
+    * Scale shape: the query set is a literal broadcast (queries ≪
+    * corpus always); the (doc, term) score table joins it map-side,
+    * one partial agg keyed (query, doc), and the heap keeps ≤ k rows
+    * per query per task — the scored fan-out never reaches an exchange
+    * unranked.
+    */
+  def bm25Retrieve(df: DataFrame, idCol: String, textCol: String,
+                   queryTerms: Seq[(Int, Seq[String])], k: Int,
+                   k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val q = queryTerms
+      .flatMap { case (qid, ts) => ts.distinct.map(t => (qid, t)) }
+      .toDF("query_id", "term")
+    val scored = bm25(df, idCol, textCol, k1, b, minTf = 1)
+      .select(col(idCol), col("term"),
+        round(col("bm25") * 10000).cast("long").as("_sx"))
+    val perDoc = scored.join(broadcast(q), Seq("term"))
+      .groupBy(col("query_id"), col(idCol))
+      .agg(sum(col("_sx")).as("score_x1e4"))
+    graft.plans.TopK.perKey(perDoc, Seq("query_id"),
+      Seq(col("score_x1e4").desc, col(idCol).asc), k)
+  }
+
   /** Unigram language-model scoring (the CCNet-style perplexity quality
     * filter, with the LM trained on the corpus itself): per-doc
     * cross-entropy -mean log2 p(token) under the corpus unigram

@@ -191,6 +191,14 @@ object TextQueries {
       TextAnalysisOps.bm25(documents(s, d), "doc_id", "text", minTf = 3)
     }),
 
+    // BM25 top-10 retrieval for a fixed 4-query set (terms chosen from
+    // the corpus vocabulary, stable across SFs): per-term milli-scores
+    // summed as exact integers, ranked on the TopKPerKey heap.
+    "tx34_bm25_retrieval" -> ((s, d) => {
+      TextAnalysisOps.bm25Retrieve(documents(s, d), "doc_id", "text",
+        retrievalQuerySet, k = 10)
+    }),
+
     // TF-IDF term weighting: tf × ln(N/df) for every (doc, term) with
     // tf >= 3 — keyword extraction / relevance scoring over the corpus.
     "tx20_tfidf" -> ((s, d) => {
@@ -337,6 +345,20 @@ object TextQueries {
 
   private val stop = TextAnalysisOps.stopwords
     .map(w => s"'$w'").mkString(", ")
+
+  /** tx34's fixed query set — terms from the synthetic corpus
+    * vocabulary, present at every SF. Shared between the Spark query
+    * and the oracle's VALUES list so the two can never drift.
+    */
+  private val retrievalQuerySet: Seq[(Int, Seq[String])] = Seq(
+    1 -> Seq("join", "merge", "hash"),
+    2 -> Seq("scan", "filter"),
+    3 -> Seq("window", "sort", "order"),
+    4 -> Seq("vector", "batch"))
+
+  private val retrievalValuesSql: String = retrievalQuerySet
+    .flatMap { case (q, ts) => ts.map(t => s"($q, '$t')") }
+    .mkString(", ")
 
   val oracles: Map[String, String] = Map(
     // The HLL estimate itself is engine-specific; the verified surface
@@ -587,6 +609,35 @@ object TextQueries {
          JOIN dl USING (doc_id)
          CROSS JOIN sc
          WHERE tf >= 3""",
+    // tx27's exact arithmetic (no tf floor), per-term score quantized
+    // to an integer BEFORE the per-query sum — the aggregate is an
+    // exact BIGINT, immune to double addition order; ranking replays
+    // the heap operator's (score desc, doc_id asc) contract
+    "tx34_bm25_retrieval" ->
+      s"""WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+                    FROM documents),
+         tf AS (SELECT doc_id, term, count(*) AS tf
+                FROM t GROUP BY doc_id, term),
+         dfq AS (SELECT term, count(*) AS df_t FROM tf GROUP BY term),
+         dl AS (SELECT doc_id, len(string_split(text, ' '))::BIGINT AS dl
+                FROM documents),
+         sc AS (SELECT count(*)::DOUBLE AS n, sum(dl)::DOUBLE AS sumdl
+                FROM dl),
+         bm AS (SELECT doc_id, term,
+                  round(round(ln((n - df_t + 0.5) / (df_t + 0.5) + 1.0) *
+                              (tf * (1.2 + 1.0)) /
+                              (tf + 1.2 * (1.0 - 0.75 +
+                                           0.75 * dl / (sumdl / n))), 4)
+                        * 10000)::BIGINT AS sx
+                FROM tf JOIN dfq USING (term) JOIN dl USING (doc_id)
+                CROSS JOIN sc),
+         q(query_id, term) AS (VALUES $retrievalValuesSql),
+         pd AS (SELECT query_id, doc_id, sum(sx)::BIGINT AS score_x1e4
+                FROM bm JOIN q USING (term) GROUP BY query_id, doc_id)
+         SELECT query_id, doc_id, score_x1e4, rk FROM (
+           SELECT *, row_number() OVER (PARTITION BY query_id
+             ORDER BY score_x1e4 DESC, doc_id ASC)::INT AS rk FROM pd)
+         WHERE rk <= 10""",
     "tx30_vocab_coverage" ->
       """WITH t AS (SELECT unnest(string_split(text, ' ')) AS term
                     FROM documents),

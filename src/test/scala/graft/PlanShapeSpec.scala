@@ -59,6 +59,15 @@ class PlanShapeSpec extends SparkSpec {
     assert(planOf("dd2_minhash_lsh").contains("ReusedExchange"))
   }
 
+  test("tx34 retrieval ranks on the heap operator with a broadcast query set") {
+    // the query-term join must broadcast (queries ≪ corpus always) and
+    // the per-query ranking must be the bounded heap, not a window sort
+    val p = planOf("tx34_bm25_retrieval")
+    assert(p.contains("TopKPerKey") || p.contains("LocalTopK"), p.take(2000))
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(!p.contains("row_number"))
+  }
+
   test("dd15 simhash band self-join reuses the signature exchange") {
     // both band-join sides derive from one simhash60 scan — the banded
     // exchange must be computed once and read twice, and nothing after

@@ -314,6 +314,34 @@ class ExtOpsSpec extends SparkSpec {
       ((3L, 1L, math.rint(3 * math.log(3.0) * 1e4) / 1e4)))
   }
 
+  test("bm25Retrieve: heap ranking matches the window formulation; no-hit docs absent") {
+    val docs = Seq(
+      (1L, "join merge hash table"),
+      (2L, "join join join scan"),
+      (3L, "alpha beta gamma"),
+      (4L, "merge join")).toDF("doc_id", "text")
+    val qs = Seq(1 -> Seq("join", "merge"), 2 -> Seq("scan"))
+    val out = TextAnalysisOps.bm25Retrieve(docs, "doc_id", "text", qs, k = 2)
+      .as[(Int, Long, Long, Int)].collect().toSet
+    // reference: identical integer milli-score sum, ranked by an
+    // explicit row_number window instead of the heap operator
+    val scored = TextAnalysisOps.bm25(docs, "doc_id", "text", minTf = 1)
+      .select(col("doc_id"), col("term"),
+        round(col("bm25") * 10000).cast("long").as("sx"))
+    val qdf = qs.flatMap { case (q, ts) => ts.map(t => (q, t)) }
+      .toDF("query_id", "term")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("query_id")
+      .orderBy(col("score_x1e4").desc, col("doc_id").asc)
+    val ref = scored.join(qdf, Seq("term"))
+      .groupBy("query_id", "doc_id").agg(sum(col("sx")).as("score_x1e4"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 2)
+      .as[(Int, Long, Long, Int)].collect().toSet
+    assert(out == ref)
+    assert(!out.exists(_._2 == 3L)) // no query term → never retrieved
+    assert(out.count(_._1 == 2) == 1) // query 2 matches one doc
+  }
+
   test("lmScore: uniform corpus gives log2(vocab) cross-entropy") {
     // 4 equally-frequent tokens → p = 1/4 each → cross-entropy = 2 bits
     val docs = Seq((1L, "a b"), (2L, "c d")).toDF("doc_id", "text")
