@@ -36,6 +36,39 @@ object SimilarityQueries {
           round(col("_sim"), 4).as("sim"))
     }),
 
+    // ANN quality evaluation: recall@5 of the IVF(nProbe 3/8) search
+    // against the exact brute-force ground truth, per query — the
+    // accuracy side of the speed/recall trade every ANN deployment
+    // must measure. Ground truth uses ss1's exact formulation (rank on
+    // the unrounded f32 sim); the approximate side is ss5's pipeline.
+    // At corpus scale ground truth is computed for a query SAMPLE —
+    // here the same 10-query set both lanes already use.
+    "ss15_recall" -> ((s, d) => {
+      val emb = embeddings(s, d)
+      val q = emb.filter(col("vec_id") < 10)
+      val approx = SimilarityOps.ivfTopK(emb, q, 5, nList = 8, nProbe = 3,
+        kernel = cosineF32Native)
+      val qb = q.select(col("vec_id").as("query_id"),
+        col("embedding").as("_qv"))
+      val c = emb.select(col("vec_id").as("neighbor_id"),
+        col("embedding").as("_cv"))
+      val scored = c.crossJoin(broadcast(qb))
+        .filter(col("query_id") =!= col("neighbor_id"))
+        .withColumn("_sim", cosineF32Native(col("_qv"), col("_cv")))
+      val exact = graft.plans.TopK.perKey(scored, Seq("query_id"),
+        Seq(col("_sim").desc, col("neighbor_id").asc), 5)
+      val hits = exact.select(col("query_id"), col("neighbor_id"))
+        .join(approx.select(col("query_id"), col("neighbor_id")),
+          Seq("query_id", "neighbor_id"))
+        .groupBy("query_id")
+        .agg(count(lit(1)).cast("int").as("n_hit"))
+      q.select(col("vec_id").as("query_id"))
+        .join(hits, Seq("query_id"), "left")
+        .select(col("query_id"),
+          coalesce(col("n_hit"), lit(0)).as("n_hit"),
+          round(coalesce(col("n_hit"), lit(0)) / 5.0, 4).as("recall"))
+    }),
+
     // Rank-free threshold pairs (queries x corpus, sim >= 0.3).
     "ss2_threshold" -> ((s, d) => {
       val emb = embeddings(s, d)
@@ -278,6 +311,31 @@ object SimilarityQueries {
            FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
            WHERE q.vec_id < 10)
          WHERE rk <= 5""",
+    // the IVF side is the shared pipeline replay as a CTE; ground
+    // truth is ss1's exact ranking; recall = |approx ∩ exact| / 5 with
+    // zero-hit queries preserved by the left join
+    "ss15_recall" ->
+      s"""WITH ivf AS ($ivfPipelineOracle),
+         bf AS (SELECT query_id, neighbor_id FROM (
+                  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                    row_number() OVER (PARTITION BY q.vec_id
+                      ORDER BY list_cosine_similarity(q.embedding,
+                                 c.embedding) DESC,
+                               c.vec_id ASC) AS rk
+                  FROM embeddings q JOIN embeddings c
+                    ON q.vec_id <> c.vec_id
+                  WHERE q.vec_id < 10)
+                WHERE rk <= 5),
+         hits AS (SELECT b.query_id, count(*)::INT AS n_hit
+                  FROM bf b JOIN ivf i
+                    ON i.query_id = b.query_id
+                   AND i.neighbor_id = b.neighbor_id
+                  GROUP BY b.query_id)
+         SELECT e.vec_id AS query_id,
+           coalesce(h.n_hit, 0)::INT AS n_hit,
+           round(coalesce(h.n_hit, 0) / 5.0, 4) AS recall
+         FROM embeddings e LEFT JOIN hits h ON h.query_id = e.vec_id
+         WHERE e.vec_id < 10""",
     "ss2_threshold" ->
       """SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
            round(list_cosine_similarity(q.embedding, c.embedding)::DOUBLE, 4) AS sim

@@ -68,6 +68,12 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("row_number"))
   }
 
+  test("ss15 recall eval ranks both sides on heaps, never a window sort") {
+    val p = planOf("ss15_recall")
+    assert(p.contains("TopKPerKey") || p.contains("LocalTopK"), p.take(2000))
+    assert(!p.contains("row_number"))
+  }
+
   test("dd15 simhash band self-join reuses the signature exchange") {
     // both band-join sides derive from one simhash60 scan — the banded
     // exchange must be computed once and read twice, and nothing after
