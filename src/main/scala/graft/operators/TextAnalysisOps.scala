@@ -144,6 +144,53 @@ object TextAnalysisOps {
         round(col("n_contaminated").cast("double") / col("n_shingles"), 4))
   }
 
+  /** Contamination REMOVAL (the action [[contamination]] only
+    * measures): excise from every training document each word covered
+    * by any k-gram that also occurs in the eval corpus, and reassemble
+    * the survivors in order — the standard eval-decontamination surgery
+    * applied before training, at span granularity (dropping whole docs
+    * over one boilerplate overlap wastes data; keeping flagged docs
+    * leaks the eval set).
+    *
+    * Overlapping hit windows union naturally: covered = the distinct
+    * (doc, word-index) set under any hit gram's [i, i+k-1] range.
+    *
+    * Scale shape: eval grams are one distinct set (bloom/broadcast-able
+    * like [[contaminationBloom]]'s); the hit join carries (id, gram
+    * start) only, coverage expansion is a narrow k-row explode, and the
+    * anti join + reassembly key on (id, index) ints — the corpus text
+    * crosses the wire once, as words, with no pair formation anywhere.
+    */
+  def decontaminateSpans(train: DataFrame, eval_ : DataFrame,
+                         idCol: String, textCol: String,
+                         k: Int = 3): DataFrame = {
+    val words = train.select(col(idCol),
+      posexplode(split(col(textCol), " "))).toDF(idCol, "_i", "_w")
+    val grams = train.select(col(idCol),
+      posexplode(graft.functions.ShingleGen.shingleArray(
+        col(textCol), k, distinct = false))).toDF(idCol, "_i", "_g")
+    val evalG = eval_.select(
+      graft.functions.ShingleGen.shingleGen(col(textCol), k,
+        distinct = true)).toDF("_g").distinct()
+    val hits = grams.join(evalG, Seq("_g"), "left_semi")
+    val covered = hits.select(col(idCol),
+      explode(sequence(col("_i"), col("_i") + lit(k - 1)))).toDF(idCol, "_i")
+      .distinct()
+    val kept = words.join(covered, Seq(idCol, "_i"), "left_anti")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("_n_kept"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("_i"), col("_w")))),
+          s => s.getField("_w")), " ").as("clean_text"))
+    train.select(col(idCol),
+        size(split(col(textCol), " ")).cast("long").as("n_words"))
+      .join(kept, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        col("n_words"),
+        (col("n_words") - coalesce(col("_n_kept"), lit(0L))).as("n_removed"))
+  }
+
   /** [[contamination]] with a Bloom pre-filter on the training shingles
     * — IDENTICAL results (no false negatives; false positives die in the
     * exact join), different shuffle economics: the plain form exchanges

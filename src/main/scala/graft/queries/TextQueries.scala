@@ -199,6 +199,21 @@ object TextQueries {
         retrievalQuerySet, k = 10)
     }),
 
+    // Contamination removal (tx8 measures, this excises): every train
+    // word covered by a 3-gram that also occurs in the src0 eval set
+    // is dropped, survivors reassembled in order. Output carries the
+    // cleaned text as an md5 fingerprint (dd11 precedent) plus the
+    // removal accounting.
+    "tx35_decontaminate" -> ((s, d) => {
+      val docs = documents(s, d)
+      TextAnalysisOps.decontaminateSpans(
+          docs.filter(col("source") =!= "src0"),
+          docs.filter(col("source") === "src0"),
+          "doc_id", "text", k = 3)
+        .select(col("doc_id"), col("n_words"), col("n_removed"),
+          md5(col("clean_text")).as("clean_fp"))
+    }),
+
     // TF-IDF term weighting: tf × ln(N/df) for every (doc, term) with
     // tf >= 3 — keyword extraction / relevance scoring over the corpus.
     "tx20_tfidf" -> ((s, d) => {
@@ -609,6 +624,46 @@ object TextQueries {
          JOIN dl USING (doc_id)
          CROSS JOIN sc
          WHERE tf >= 3""",
+    // word/gram positions via generate_subscripts (0-based to match
+    // posexplode); overlapping hit windows union through the DISTINCT
+    // coverage set; docs with every word removed keep a row via the
+    // outer join (md5('') fingerprint)
+    "tx35_decontaminate" ->
+      """WITH train AS (SELECT doc_id, text FROM documents
+                        WHERE source <> 'src0'),
+         ev AS (SELECT DISTINCT
+                  unnest([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                          for i in range(1, len(w)-1)]) AS g
+                FROM (SELECT string_split(text,' ') AS w FROM documents
+                      WHERE source = 'src0')
+                WHERE len(w) >= 3),
+         tww AS (SELECT doc_id, string_split(text,' ') AS w FROM train),
+         tw AS (SELECT doc_id, generate_subscripts(w,1) - 1 AS i,
+                  unnest(w) AS word FROM tww),
+         tg AS (SELECT doc_id, generate_subscripts(g,1) - 1 AS i,
+                  unnest(g) AS gram
+                FROM (SELECT doc_id,
+                        [w[j] || ' ' || w[j+1] || ' ' || w[j+2]
+                         for j in range(1, len(w)-1)] AS g
+                      FROM tww WHERE len(w) >= 3)),
+         hits AS (SELECT DISTINCT tg.doc_id, tg.i
+                  FROM tg JOIN ev ON tg.gram = ev.g),
+         cov AS (SELECT DISTINCT doc_id, i + o AS i
+                 FROM hits CROSS JOIN (SELECT unnest(range(0,3)) AS o) os),
+         kept AS (SELECT tw.doc_id, tw.i, tw.word
+                  FROM tw LEFT JOIN cov
+                    ON cov.doc_id = tw.doc_id AND cov.i = tw.i
+                  WHERE cov.doc_id IS NULL),
+         ka AS (SELECT doc_id,
+                  string_agg(word, ' ' ORDER BY i) AS clean_text,
+                  count(*) AS n_kept
+                FROM kept GROUP BY doc_id)
+         SELECT t.doc_id,
+           len(string_split(t.text,' '))::BIGINT AS n_words,
+           (len(string_split(t.text,' ')) - coalesce(ka.n_kept, 0))::BIGINT
+             AS n_removed,
+           md5(coalesce(ka.clean_text, '')) AS clean_fp
+         FROM train t LEFT JOIN ka ON ka.doc_id = t.doc_id""",
     // tx27's exact arithmetic (no tf floor), per-term score quantized
     // to an integer BEFORE the per-query sum — the aggregate is an
     // exact BIGINT, immune to double addition order; ranking replays

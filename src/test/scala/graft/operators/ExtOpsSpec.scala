@@ -314,6 +314,23 @@ class ExtOpsSpec extends SparkSpec {
       ((3L, 1L, math.rint(3 * math.log(3.0) * 1e4) / 1e4)))
   }
 
+  test("decontaminateSpans: hit windows excised, overlaps union, full wipe keeps a row") {
+    val train = Seq(
+      (1L, "a b c d e f"),   // eval grams "b c d" + "c d e" → covers b..e
+      (2L, "x y z w q r"),   // untouched
+      (3L, "b c d"),         // fully covered → clean_text ""
+      (4L, "p b c d e p")).toDF("doc_id", "text")
+    val eval_ = Seq((100L, "b c d e")).toDF("doc_id", "text") // grams: "b c d","c d e"
+    val out = TextAnalysisOps.decontaminateSpans(train, eval_,
+        "doc_id", "text", k = 3)
+      .as[(Long, String, Long, Long)].collect()
+      .map { case (id, t, n, r) => id -> ((t, n, r)) }.toMap
+    assert(out(1L) == (("a f", 6L, 4L)))
+    assert(out(2L) == (("x y z w q r", 6L, 0L)))
+    assert(out(3L) == (("", 3L, 3L)))
+    assert(out(4L) == (("p p", 6L, 4L)))
+  }
+
   test("bm25Retrieve: heap ranking matches the window formulation; no-hit docs absent") {
     val docs = Seq(
       (1L, "join merge hash table"),
