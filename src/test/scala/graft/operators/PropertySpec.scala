@@ -155,6 +155,76 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("simhash60 equals the MessageDigest model on random unicode corpora") {
+    // same executable spec as the ExtOpsSpec example pin, swept over
+    // random multi-byte word soup, short docs, empty and null texts
+    def model(text: String, k: Int): Option[Long] = {
+      val w = text.split(" ").toSeq
+      if (w.length < k) None
+      else {
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val sums = new Array[Int](60)
+        for (s <- w.sliding(k).map(_.mkString(" ")).toSeq.distinct) {
+          val hex = md.digest(s.getBytes("UTF-8"))
+            .map("%02x".format(_)).mkString
+          for (p <- 0 until 60) {
+            val v = Character.digit(hex.charAt(p / 4), 16)
+            sums(p) += (((v >> (p % 4)) & 1) * 2 - 1)
+          }
+        }
+        Some((0 until 60).map(p => if (sums(p) > 0) 1L << p else 0L).sum)
+      }
+    }
+    val words = Vector("alpha", "b", "δφγ", "héllo", "wörld", "日本語",
+      "x1", "zzz", "qq", "ngram")
+    for (k <- Seq(2, 3)) {
+      val docs = (0 until 40).map { i =>
+        val t =
+          if (i % 13 == 12) null.asInstanceOf[String]
+          else if (i % 11 == 10) ""
+          else Seq.fill(rnd.nextInt(9))(
+            words(rnd.nextInt(words.length))).mkString(" ")
+        (i.toLong, t)
+      }
+      val out = DedupOps.simhash60(docs.toDF("doc_id", "text"),
+          "doc_id", "text", k)
+        .as[(Long, Long)].collect().toMap
+      val expected = docs.flatMap { case (id, t) =>
+        Option(t).flatMap(model(_, k)).map(id -> _)
+      }.toMap
+      assert(out == expected, s"k=$k")
+    }
+  }
+
+  test("decontaminateSpans invariants: identity vs no-op eval, total self-wipe, bounds") {
+    val words = Vector("aa", "bb", "cc", "dd", "ee", "ff", "gg", "hh")
+    val docs = (0 until 40).map { i =>
+      (i.toLong, Seq.fill(1 + rnd.nextInt(10))(
+        words(rnd.nextInt(words.length))).mkString(" "))
+    }
+    val train = docs.toDF("doc_id", "text")
+    // eval sharing no vocabulary → nothing removed, text reassembles
+    // to the original (single-space corpus)
+    val inert = Seq((999L, "zz yy xx ww")).toDF("doc_id", "text")
+    val untouched = TextAnalysisOps.decontaminateSpans(train, inert,
+        "doc_id", "text", k = 3)
+      .as[(Long, String, Long, Long)].collect()
+    val byId = docs.toMap
+    untouched.foreach { case (id, t, n, r) =>
+      assert(r == 0L && t == byId(id) && n == byId(id).split(" ").length.toLong)
+    }
+    // eval = train → every doc with >= k words is wiped; shorter docs
+    // carry no grams and survive intact
+    val wiped = TextAnalysisOps.decontaminateSpans(train, train,
+        "doc_id", "text", k = 3)
+      .as[(Long, String, Long, Long)].collect()
+    wiped.foreach { case (id, t, n, r) =>
+      if (byId(id).split(" ").length >= 3) assert(t == "" && r == n)
+      else assert(t == byId(id) && r == 0L)
+      assert(r >= 0L && r <= n)
+    }
+  }
+
   test("native year_in_range equals the declarative yearNorm+yearInterval filter") {
     val samples: Seq[String] = Seq.fill(210) {
       rnd.nextInt(7) match {
