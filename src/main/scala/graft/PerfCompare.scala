@@ -11,7 +11,7 @@ import org.apache.spark.sql.expressions.Window
   *
   * A full run is ~10 min; `GRAFT_PC_ONLY=<lane,...>` replays a subset
   * (lanes: topk, cc, bloom, span, containment, kernels, kmeans, ivf,
-  * dsir, parse, skew) — the targeted-replay affordance Bench gets from
+  * dsir, parse, skew, simhash) — the targeted-replay affordance Bench gets from
   * its query-name args.
   */
 object PerfCompare {
@@ -30,7 +30,8 @@ object PerfCompare {
     // Lane filter for cheap replays (a full run is ~10 min): e.g.
     // GRAFT_PC_ONLY=parse,dsir runs only those blocks. Lane names:
     // topk, cc, bloom, span, containment, kernels, kmeans, ivf, dsir,
-    // parse, skew. Default (unset) = all. Each lane builds and releases
+    // parse, skew, simhash. Default (unset) = all. Each lane builds and
+    // releases
     // its own caches, so skipping any subset is safe.
     val only = sys.env.get("GRAFT_PC_ONLY")
       .map(_.split(",").map(_.trim.toLowerCase).filter(_.nonEmpty).toSet)
@@ -670,6 +671,67 @@ object PerfCompare {
       }
       big.unpersist(blocking = true)
       small.unpersist(blocking = true)
+    }
+
+    // SimHash Hamming LSH (dd15): the 4-band guaranteed-recall union
+    // vs a single 15-bit prefix table, both over one cached signature
+    // set — candidate-generation cost vs recall, the trade the
+    // multi-band design pays for. Corpus: 30-word docs over a 50 k
+    // vocab; every 10th doc an EXACT copy of its predecessor-9 (pairs
+    // at hamming 0 both variants must find) and every 10th-plus-5 a
+    // one-word-perturbed near copy (signature a few flips away — found
+    // only when no flip lands in the single prefix, i.e. where the
+    // band union earns its keep). End-to-end wall from raw text is
+    // reported separately (the production path re-deriving signatures).
+    lane("simhash") {
+      val n = 200000L
+      val base = when(pmod(col("id"), lit(10)) === 9, col("id") - 9)
+        .when(pmod(col("id"), lit(10)) === 5, col("id") - 5)
+        .otherwise(col("id"))
+      val words = (0 until 30).map { j =>
+        val w = pmod(hash(base * 31 + j), lit(50000L)).cast("string")
+        if (j == 29)
+          when(pmod(col("id"), lit(10)) === 5,
+            pmod(hash(col("id") * 131 + j), lit(50000L)).cast("string"))
+            .otherwise(w)
+        else w
+      }
+      val docs = spark.range(n)
+        .select(col("id"), concat_ws(" ", words: _*).as("text")).cache()
+      docs.count()
+      val sh = operators.DedupOps.simhash60(docs, "id", "text", 3).cache()
+      sh.count()
+      def pairsFrom(banded: org.apache.spark.sql.DataFrame): Long = {
+        val l = banded.select(col("_band"), col("_bv"),
+          col("id").as("a"), col("simhash").as("_sa"))
+        val r = banded.select(col("_band"), col("_bv"),
+          col("id").as("b"), col("simhash").as("_sb"))
+        l.join(r, Seq("_band", "_bv"))
+          .filter(col("a") < col("b"))
+          .select("a", "b", "_sa", "_sb").distinct()
+          .filter(bit_count(col("_sa").bitwiseXOR(col("_sb"))) <= 3)
+          .count()
+      }
+      def banded4: Long = pairsFrom(sh.select(col("id"), col("simhash"),
+        posexplode(array((0 until 4).map(b =>
+          shiftright(col("simhash"), b * 15).bitwiseAND(lit(32767L))): _*)))
+        .toDF("id", "simhash", "_band", "_bv"))
+      def prefix1: Long = pairsFrom(sh.select(col("id"), col("simhash"),
+        lit(0).as("_band"),
+        col("simhash").bitwiseAND(lit(32767L)).as("_bv")))
+      def e2e: Long = operators.DedupOps.simhashHammingPairs(
+        docs, "id", "text", k = 3, maxHamming = 3, bands = 4).count()
+      val pb = banded4; val pp = prefix1 // warmup
+      require(pb >= pp,
+        s"band union must dominate the single prefix: $pb < $pp")
+      val (tb, nb) = time(banded4)
+      val (tp, np) = time(prefix1)
+      val (te, ne) = time(e2e)
+      require(ne == nb, s"e2e pair count drifted: $ne vs $nb")
+      println(s"""{"simhash_docs":$n,"banded4_sec":$tb,"banded4_pairs":$nb,""" +
+        s""""prefix1_sec":$tp,"prefix1_pairs":$np,"e2e_sec":$te}""")
+      sh.unpersist(blocking = true)
+      docs.unpersist(blocking = true)
     }
     spark.stop()
   }
