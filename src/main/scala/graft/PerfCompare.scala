@@ -724,9 +724,15 @@ object PerfCompare {
       val pb = banded4; val pp = prefix1 // warmup
       require(pb >= pp,
         s"band union must dominate the single prefix: $pb < $pp")
-      val (tb, nb) = time(banded4)
-      val (tp, np) = time(prefix1)
-      val (te, ne) = time(e2e)
+      // interleaved min-of-3 (the skew-lane convention): single-shot
+      // walls on a shared box flip the A/B verdict run to run
+      val runs = (0 until 3).map { _ =>
+        (time(banded4)._1, time(prefix1)._1, time(e2e)._1)
+      }
+      val tb = runs.map(_._1).min
+      val tp = runs.map(_._2).min
+      val te = runs.map(_._3).min
+      val nb = banded4; val np = prefix1; val ne = e2e
       require(ne == nb, s"e2e pair count drifted: $ne vs $nb")
       println(s"""{"simhash_docs":$n,"banded4_sec":$tb,"banded4_pairs":$nb,""" +
         s""""prefix1_sec":$tp,"prefix1_pairs":$np,"e2e_sec":$te}""")

@@ -81,6 +81,9 @@ class PlanShapeSpec extends SparkSpec {
     // and 15-bit band values only)
     val p = planOf("dd15_simhash_pairs")
     assert(p.contains("ReusedExchange"), p.take(2000))
+    // a broadcast build would re-execute the signature pipeline (the
+    // minhash self-join lesson, measured 2x on this lane)
+    assert(!p.contains("BroadcastHashJoin"), p.take(2000))
   }
 
   test("cd2 year filter is the fused native predicate, not regex machinery") {
