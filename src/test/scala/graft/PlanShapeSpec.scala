@@ -68,6 +68,14 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("row_number"))
   }
 
+  test("tx35 decontamination joins eval grams by broadcast, coverage by ints") {
+    // eval-benchmark gram sets are dimension-shaped (≪ corpus) — the
+    // hit semi-join and the coverage anti-join must both broadcast;
+    // a shuffled train-gram join would move the corpus text per probe
+    val p = planOf("tx35_decontaminate")
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+  }
+
   test("ss15 recall eval ranks both sides on heaps, never a window sort") {
     val p = planOf("ss15_recall")
     assert(p.contains("TopKPerKey") || p.contains("LocalTopK"), p.take(2000))
