@@ -636,9 +636,14 @@ object TextAnalysisOps {
     df.select(col(idCol), size(toks).as("n_tokens"),
         aggregate(transform(toks, t => weight(t)), lit(0L),
           (acc, v) => acc + v).as("logit_milli"))
-      .withColumn("mean_w", round(
+      // NO round() on the mean: two IEEE divisions on exact integer
+      // inputs replay bit-identically on any engine, while round-to-6
+      // hits decimal ties (e.g. 4060/64/1000 = .0634375) that Spark's
+      // BigDecimal half-up and a binary-double round resolve in
+      // OPPOSITE directions — surfaced at sf0.1, the ss13 lesson
+      .withColumn("mean_w",
         try_divide(col("logit_milli").cast("double"),
-          col("n_tokens").cast("double")) / lit(1000.0), 6))
+          col("n_tokens").cast("double")) / lit(1000.0))
       .withColumn("keep", col("logit_milli") > 0)
   }
 

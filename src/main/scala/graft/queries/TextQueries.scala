@@ -423,8 +423,7 @@ object TextQueries {
                AS logit_milli
            FROM base)
          SELECT doc_id, n_tokens, logit_milli,
-           round(logit_milli::DOUBLE / nullif(n_tokens, 0) / 1000.0, 6)
-             + 0 AS mean_w,
+           logit_milli::DOUBLE / nullif(n_tokens, 0) / 1000.0 AS mean_w,
            logit_milli > 0 AS keep
          FROM agg""",
     // Gopher rules: every verdict an integer comparison, so the

@@ -1455,8 +1455,7 @@ class ExtOpsSpec extends SparkSpec {
       .map(t => t._1 -> t).toMap
     val (_, n1, logit1, mean1, keep1) = out(1L)
     assert(n1 == 3 && logit1 % 3 == 0)
-    assert(mean1.contains(math.round(
-      logit1.toDouble / 3 / 1000.0 * 1e6) / 1e6))
+    assert(mean1.contains(logit1.toDouble / 3 / 1000.0))
     assert(keep1 == (logit1 > 0))
     assert(out(2L)._2 == 0 && out(2L)._3 == 0L && out(2L)._4.isEmpty
       && !out(2L)._5)
