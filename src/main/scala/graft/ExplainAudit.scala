@@ -25,7 +25,9 @@ object ExplainAudit {
         "dd12_containment", "ss12_pq_adc", "ev15_gap_fill",
         "ev16_range_window", "q30_salted_join", "q31_correlated_subquery",
         "tx26_lm_bigram", "dd13_minhash_estimate", "tx25_sql_surface",
-        "mm5_decode_pq")
+        "mm5_decode_pq",
+        "dd15_simhash_pairs", "ss15_recall", "tx34_bm25_retrieval",
+        "tx35_decontaminate")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
