@@ -12,7 +12,8 @@ import org.apache.spark.sql.functions._
   * configuration that exposed the unspillable shuffled-hash build
   * (PERF.md). Sizes are CLI-overridable: `runMain graft.ScaleSmoke
   * [spanDocs] [containDocs] [lshDocs] [tfidfDocs] [embVecs] [evEvents]
-  * [shardDocs] [vocabDocs] [pqVecs] [dsirDocs]`.
+  * [shardDocs] [vocabDocs] [pqVecs] [dsirDocs]`. `GRAFT_SS_ONLY=
+  * simhash,decon` replays just the named round-6 lanes.
   */
 object ScaleSmoke {
   def main(args: Array[String]): Unit = {
@@ -41,6 +42,16 @@ object ScaleSmoke {
     }
     def round1(d: Double): Double = math.rint(d * 10) / 10
 
+    // Targeted replays (the PerfCompare affordance): GRAFT_SS_ONLY
+    // names a subset of the round-6 lanes (simhash, decon); unset runs
+    // everything including the legacy block below.
+    val only = sys.env.get("GRAFT_SS_ONLY")
+      .map(_.split(",").map(_.trim.toLowerCase).filter(_.nonEmpty).toSet)
+      .getOrElse(Set.empty[String])
+    def lane(name: String)(body: => Unit): Unit =
+      if (only.isEmpty || only.contains(name)) body
+
+    if (only.isEmpty) locally {
     // 24-word docs in duplication groups of 4 — 75% of spans repeat,
     // the boilerplate-heavy crawl shape
     val spanCorpus = spark.range(spanDocs).select(col("id"),
@@ -261,6 +272,77 @@ object ScaleSmoke {
     }
     dsirRaw.unpersist(blocking = true)
     dsirTgt.unpersist(blocking = true)
+    } // legacy block
+
+    // simhash lane (round 6): the dd15 family at 2M docs — 60-bit
+    // shingle-feature signatures, 4×15-bit guaranteed-recall band join,
+    // duplication groups of 4 (C(4,2)=6 hamming-0 pairs per group).
+    // Claims under test: the signature agg carries 60 small ints per
+    // doc through one exchange; the band self-join reuses one exchange
+    // (no broadcast rebuild); emit-once needs no dedup exchange; and
+    // the 15-bit band key space (~32k values/band) keeps bucket
+    // enumeration bounded at this N — the documented ceiling: buckets
+    // grow ~N/32k, so beyond ~100M docs a wider signature with
+    // proportionally wider bands is the production setting.
+    lane("simhash") {
+      val n = 2000000L
+      val shCorpus = spark.range(n).select(col("id"),
+        concat_ws(" ", (0 until 24).map(j =>
+          pmod(hash((col("id") - col("id") % 4)).cast("long") * 31 + j,
+            lit(500000L)).cast("string")): _*).as("text"))
+        .localCheckpoint()
+      val (ts1, ns1) = t(operators.DedupOps.simhashHammingPairs(
+        shCorpus, "id", "text", k = 3, maxHamming = 3, bands = 4).count())
+      println(s"""{"simhash_docs":$n,"sec":${round1(ts1)},"pairs":$ns1}""")
+      shCorpus.unpersist(blocking = true)
+    }
+
+    // decontamination lane (round 6): tx35's span excision at 5M train
+    // docs against a 10k-doc eval set, with PLANTED overlaps — every
+    // 100th train doc embeds one eval 3-gram mid-document. Claims under
+    // test: eval grams broadcast to the train gram stream (the corpus
+    // text never shuffles for the hit probe), coverage expansion is a
+    // narrow int explode, and the reassembly agg is the only
+    // text-carrying exchange.
+    lane("decon") {
+      val n = 5000000L
+      val evalN = 10000L
+      val evalDocs = spark.range(evalN).select(col("id"),
+        concat_ws(" ", (0 until 12).map(j =>
+          pmod(hash(col("id") * 13 + j), lit(30000L)).cast("string")): _*)
+          .as("text"))
+        .localCheckpoint()
+      // train doc: 24 words; every 100th doc splices eval doc (id/100 %
+      // evalN)'s words 4..6 at positions 10..12 → one shared 3-gram
+      val trainWords = (0 until 24).map { j =>
+        val plain = pmod(hash(col("id") * 31 + j), lit(500000L))
+          .cast("string")
+        if (j >= 10 && j <= 12)
+          // SQL `/` is fractional — floor+cast keeps the eval-doc id
+          // and the hash input LongType, matching the eval side exactly
+          when(col("id") % 100 === 0,
+            pmod(hash(floor(col("id") / 100).cast("long") % evalN * 13
+              + (j - 6)), lit(30000L)).cast("string"))
+            .otherwise(plain)
+        else plain
+      }
+      val trainDocs = spark.range(n)
+        .select(col("id"), concat_ws(" ", trainWords: _*).as("text"))
+        .localCheckpoint()
+      val (td1, nd1) = t {
+        val out = operators.TextAnalysisOps.decontaminateSpans(
+          trainDocs, evalDocs, "id", "text", k = 3)
+        // agg over n_removed so ColumnPruning can't delete the excision
+        out.agg(count(lit(1)).as("n"), sum(col("n_removed")))
+          .first.getLong(0)
+      }
+      val removed = operators.TextAnalysisOps.decontaminateSpans(
+        trainDocs, evalDocs, "id", "text", k = 3)
+        .agg(sum(col("n_removed"))).first.getLong(0)
+      println(s"""{"decon_train_docs":$n,"decon_eval_docs":$evalN,"sec":${round1(td1)},"docs":$nd1,"words_removed":$removed}""")
+      trainDocs.unpersist(blocking = true)
+      evalDocs.unpersist(blocking = true)
+    }
     spark.stop()
   }
 }
