@@ -371,8 +371,10 @@ object TextQueries {
     3 -> Seq("window", "sort", "order"),
     4 -> Seq("vector", "batch"))
 
+  // ts.distinct mirrors bm25Retrieve's per-query term dedup — a
+  // repeated term must not double-count on either side
   private val retrievalValuesSql: String = retrievalQuerySet
-    .flatMap { case (q, ts) => ts.map(t => s"($q, '$t')") }
+    .flatMap { case (q, ts) => ts.distinct.map(t => s"($q, '$t')") }
     .mkString(", ")
 
   val oracles: Map[String, String] = Map(
