@@ -380,16 +380,23 @@ object DedupOps {
     * cross-check implementation; the spec asserts it matches
     * [[clustersGraphx]] exactly. Loses to GraphX-on-materialized-edges
     * on every size tested: its per-round cost is ~8 exchanges of the
-    * full edge set plus an exact set-equality convergence check.
+    * full edge set plus an exact set-equality convergence check — but
+    * it is the MEMORY-BOUNDARY fallback: per-round state is one
+    * serialized-spillable checkpoint of the current edge set
+    * (MEMORY_AND_DISK_SER, superseded rounds unpersisted), so it
+    * completes on graphs whose cached edge partitions exceed the
+    * executor heap budget that OOMs GraphX CC (measured at the 8 g /
+    * 119.8 M-edge boundary, PERF.md).
     */
   def clustersDataFrame(pairs: DataFrame, aCol: String = "a",
                         bCol: String = "b"): DataFrame = {
+    val ckptLevel = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER
     // Canonical directed edges hi→lo (hi > lo), self-loops dropped.
     var e = pairs.select(
         greatest(col(aCol).cast("long"), col(bCol).cast("long")).as("hi"),
         least(col(aCol).cast("long"), col(bCol).cast("long")).as("lo"))
       .filter(col("hi") =!= col("lo")).distinct()
-      .localCheckpoint()
+      .localCheckpoint(true, ckptLevel)
     var converged = e.isEmpty
     while (!converged) {
       // large-star: for every node u, connect each LARGER neighbor v to
@@ -409,12 +416,15 @@ object DedupOps {
         .select(col("lo").as("hi"), col("m").as("lo"))
         .unionAll(minLo.select(col("hi"), col("m").as("lo")))
         .filter(col("hi") =!= col("lo")).distinct()
-        .localCheckpoint()
+        .localCheckpoint(true, ckptLevel)
       // Both sides are distinct sets, so |next| == |e| plus next ⊆ e
       // implies equality; the cheap count-equality test short-circuits
       // the except in the early rounds where the edge set is still
       // shrinking.
       converged = next.count() == e.count() && next.except(e).isEmpty
+      // `next` is fully materialized; drop the superseded round's blocks
+      // so live checkpoint state stays O(1) edge sets, not O(rounds).
+      e.unpersist(blocking = false)
       e = next
     }
     // Fixed point is a star forest hi→componentMin; add the roots.
