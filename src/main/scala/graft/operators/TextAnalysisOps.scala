@@ -844,4 +844,37 @@ object TextAnalysisOps {
         sum(col(weightCol).cast("long")).as("n_weight"),
         expr("bit_xor(_fpt)").as("fp"))
   }
+
+  /** BPE merge-candidate counting — the inner loop of byte-pair-encoding
+    * tokenizer training (Sennrich et al. 2016): count adjacent
+    * character pairs across the corpus, weighted by word frequency; the
+    * top pair is the next merge. One iteration is enough to gate
+    * (later iterations only rewrite the vocabulary table and re-run the
+    * same shape).
+    *
+    * Scale shape — the decision that makes tokenizer training feasible
+    * on a 100-TB corpus: the corpus is touched EXACTLY ONCE, by the
+    * word-frequency aggregation (map-side-combined, keys are single
+    * lowercase words). Everything downstream — character splitting,
+    * pair expansion, pair aggregation — runs on the DISTINCT-WORD table,
+    * which is vocabulary-sized (Heaps' law: sublinear in corpus size),
+    * not corpus-sized. The result is bounded to `topN` rows via the
+    * sort-limit (TakeOrderedAndProject — no global sort materializes),
+    * totally ordered by (count desc, pair asc) so the merge list is
+    * deterministic across engines and topologies.
+    */
+  def bpePairCounts(df: DataFrame, textCol: String,
+                    topN: Int): DataFrame = {
+    val words = df.select(
+        explode(regexp_extract_all(lower(col(textCol)),
+          lit("[a-z]+"), lit(0))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("wf"))
+    words.filter(length(col("w")) >= 2)
+      .select(explode(transform(sequence(lit(1), length(col("w")) - 1),
+          i => col("w").substr(i, lit(2)))).as("pair"),
+        col("wf"))
+      .groupBy("pair").agg(sum("wf").as("n"))
+      .orderBy(col("n").desc, col("pair").asc)
+      .limit(topN)
+  }
 }

@@ -214,6 +214,13 @@ object TextQueries {
           md5(col("clean_text")).as("clean_fp"))
     }),
 
+    // BPE merge-candidate counts (tokenizer training, one merge
+    // iteration): adjacent char pairs weighted by word frequency, top
+    // 50 — corpus touched once, expansion runs on the vocab table.
+    "tx36_bpe_pairs" -> ((s, d) => {
+      TextAnalysisOps.bpePairCounts(documents(s, d), "text", topN = 50)
+    }),
+
     // TF-IDF term weighting: tf × ln(N/df) for every (doc, term) with
     // tf >= 3 — keyword extraction / relevance scoring over the corpus.
     "tx20_tfidf" -> ((s, d) => {
@@ -665,6 +672,18 @@ object TextQueries {
              AS n_removed,
            md5(coalesce(ka.clean_text, '')) AS clean_fp
          FROM train t LEFT JOIN ka ON ka.doc_id = t.doc_id""",
+    // pair expansion on the distinct-word table (vocab-sized), corpus
+    // read once by the word agg; (n desc, pair asc) is a total order so
+    // the LIMIT boundary is deterministic cross-engine
+    "tx36_bpe_pairs" ->
+      """WITH u AS (SELECT unnest(regexp_extract_all(lower(text),
+                      '[a-z]+')) AS w FROM documents),
+         words AS (SELECT w, count(*) AS wf FROM u GROUP BY w),
+         p AS (SELECT unnest(list_transform(range(1, length(w)),
+                        i -> substr(w, i, 2))) AS pair, wf
+               FROM words WHERE length(w) >= 2)
+         SELECT pair, sum(wf)::BIGINT AS n FROM p GROUP BY pair
+         ORDER BY n DESC, pair LIMIT 50""",
     // tx27's exact arithmetic (no tf floor), per-term score quantized
     // to an integer BEFORE the per-query sum — the aggregate is an
     // exact BIGINT, immune to double addition order; ranking replays

@@ -136,6 +136,28 @@ class PlanShapeSpec extends SparkSpec {
     assert(exchangesIn(plan) <= 2, plan.toString)
   }
 
+  test("tx36 bpe: bounded top-N, and no shuffle carries document text") {
+    // the scale contract of bpePairCounts: the corpus crosses one
+    // word-keyed aggregation; the pair expansion and its agg run on the
+    // vocabulary-sized word table, and the merge list never globally
+    // sorts (TakeOrderedAndProject, not Sort+Limit over an exchange).
+    val plan = finalPlan("tx36_bpe_pairs")
+    assert(plan.toString.contains("TakeOrderedAndProject"), plan.toString)
+    def shuffleOutputs(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[Seq[String]] = {
+      val here = p match {
+        case s: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike =>
+          Seq(s.output.map(_.name))
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          shuffleOutputs(q.plan)
+        case _ => Nil
+      }
+      here ++ p.children.flatMap(shuffleOutputs)
+    }
+    val bad = shuffleOutputs(plan).filter(_.contains("text"))
+    assert(bad.isEmpty, s"text-carrying exchange outputs: $bad")
+  }
+
   test("tx33 dsir: shuffles carry buckets and counts, never text or grams") {
     // the scale contract of dsirLogWeights: the bucket hash is computed
     // map-side, so every exchange carries (id, bucket, count)-shaped

@@ -1484,4 +1484,20 @@ class ExtOpsSpec extends SparkSpec {
     assert(!out(5L)._6 && !out(5L)._8)          // alpha fraction
     assert(!out(6L)._7 && !out(6L)._8)          // stopwords
   }
+
+  test("bpePairCounts: freq-weighted adjacent pairs, case-folded, 1-char words out") {
+    val docs = Seq(
+      (1L, "Aba ab, AB!"),   // words: aba×1, ab×2
+      (2L, "ab x Y9z"),      // ab×1; "x" 1-char dropped; y/z split by digit
+      (3L, "")).toDF("doc_id", "text")
+    val out = TextAnalysisOps.bpePairCounts(docs, "text", topN = 10)
+      .as[(String, Long)].collect().toList
+    // word freqs: aba=1, ab=3, (x,y,z single-char → no pairs)
+    // pairs: aba → ab,ba; ab → ab. totals: ab=4, ba=1
+    assert(out == List(("ab", 4L), ("ba", 1L)))
+    // topN bounds the result and keeps the (n desc, pair asc) order
+    val top1 = TextAnalysisOps.bpePairCounts(docs, "text", topN = 1)
+      .as[(String, Long)].collect().toList
+    assert(top1 == List(("ab", 4L)))
+  }
 }
