@@ -343,6 +343,30 @@ object ScaleSmoke {
       trainDocs.unpersist(blocking = true)
       evalDocs.unpersist(blocking = true)
     }
+
+    // BPE pair-count lane (round 6): tx36 at 10M docs. Claim under
+    // test: the corpus crosses ONE word agg; the pair expansion runs on
+    // the distinct-word table (~500k rows here), so the lane's wall is
+    // the corpus tokenize+agg, not the vocab-side work. Token ids map
+    // to pure a-z words (base-36, digits translated) so the extraction
+    // regex sees letter words, like real text.
+    lane("bpe") {
+      val n = 10000000L
+      val word = (j: Int) => translate(lower(conv(
+        pmod(hash(col("id") * 31 + j), lit(500000L)).cast("string"),
+        10, 36)), "0123456789", "qrstuvwxyz")
+      val bpeCorpus = spark.range(n).select(col("id"),
+        concat_ws(" ", (0 until 24).map(word): _*).as("text"))
+        .localCheckpoint()
+      val (tb1, nb1) = t {
+        // agg over the counts so the merge list's content is forced
+        // (a bare count over the limit could shortcut the top-N)
+        operators.TextAnalysisOps.bpePairCounts(bpeCorpus, "text", 50)
+          .agg(sum(col("n"))).first.getLong(0)
+      }
+      println(s"""{"bpe_docs":$n,"sec":${round1(tb1)},"top50_mass":$nb1}""")
+      bpeCorpus.unpersist(blocking = true)
+    }
     spark.stop()
   }
 }

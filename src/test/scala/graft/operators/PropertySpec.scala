@@ -474,4 +474,32 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("bpePairCounts equals the Scala model on random mixed corpora") {
+    // executable spec: case-fold, extract [a-z]+ runs, weight each
+    // word's adjacent char pairs by corpus frequency, (n desc, pair
+    // asc) top-N. Pairs are always two ASCII letters, so the model's
+    // string order and Spark's binary sort agree.
+    val alphabet = "abcdefgzQRZ019 ,.!-é"
+    for (topN <- Seq(3, 25)) {
+      val docs = (0 until 25).map { i =>
+        val t =
+          if (i % 9 == 8) null.asInstanceOf[String]
+          else Seq.fill(rnd.nextInt(60))(
+            alphabet(rnd.nextInt(alphabet.length))).mkString
+        (i.toLong, t)
+      }
+      val wf = docs.flatMap { case (_, t) => Option(t).toSeq.flatMap(s =>
+          "[a-z]+".r.findAllIn(s.toLowerCase).toSeq) }
+        .groupBy(identity).map { case (w, ws) => w -> ws.size.toLong }
+      val model = wf.toSeq.filter(_._1.length >= 2)
+        .flatMap { case (w, f) => w.sliding(2).map(_ -> f) }
+        .groupBy(_._1).map { case (p, ps) => p -> ps.map(_._2).sum }
+        .toSeq.sortBy { case (p, n) => (-n, p) }.take(topN).toList
+      val got = TextAnalysisOps
+        .bpePairCounts(docs.toDF("doc_id", "text"), "text", topN)
+        .as[(String, Long)].collect().toList
+      assert(got == model, s"topN=$topN")
+    }
+  }
 }
