@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
 /** Scale-up smoke for the heavy pipelines: runs each at 5–20× the
@@ -366,6 +367,86 @@ object ScaleSmoke {
       }
       println(s"""{"bpe_docs":$n,"sec":${round1(tb1)},"top50_mass":$nb1}""")
       bpeCorpus.unpersist(blocking = true)
+    }
+
+    // End-to-end curation composite (round 6): the full training-data
+    // pipeline in ONE invocation at the tight heap — gopher quality
+    // gate → exact dedup → minhash LSH → CC clusters → keep-first
+    // survivors → leakage-coherent split on the cluster rep → shard
+    // manifest. The per-lane probes above validate each stage alone;
+    // this lane validates the COMPOSITION: checkpoint/unpersist
+    // discipline between stages, the members table reused for both the
+    // survivor anti-join and the split key, and peak memory with two
+    // adjacent stages live. 4M raw docs in dup-groups of 4 (two exact
+    // copies + two near variants differing in one word), every 10th
+    // doc truncated to fail the word-count rule. Analytic expectations:
+    // gate = 3.6M exactly; exact-dedup survivors = 2.8M exactly
+    // (600k full groups x3 variants + 200k j0-truncated x3 + 200k
+    // j2-truncated x2); near-dup survivors ~1M + LSH misses (~2%/pair
+    // at J~0.89, 16 perms / 4 bands); split ~80/10/10 of survivors;
+    // manifest mass = train count exactly.
+    lane("curation") {
+      val n = 4000000L
+      val gg = col("id") - col("id") % 4
+      val jj = col("id") % 4
+      def cw(k: Int): Column = {
+        val base = pmod(hash(gg * 53 + k), lit(500000L))
+        val v =
+          if (k == 30)
+            when(jj === 2, pmod(hash(gg * 53 + k + 7919), lit(500000L)))
+              .when(jj === 3, pmod(hash(gg * 53 + k + 15838), lit(500000L)))
+              .otherwise(base)
+          else base
+        translate(lower(conv(v.cast("string"), 10, 36)),
+          "0123456789", "qrstuvwxyz")
+      }
+      val fullText = concat_ws(" ",
+        ((0 until 52).map(cw) ++ Seq(lit("the"), lit("and"))): _*)
+      val shortText = concat_ws(" ", (0 until 8).map(cw): _*)
+      val corpus = spark.range(n).select(col("id"),
+        when(col("id") % 10 === 0, shortText).otherwise(fullText)
+          .as("text"))
+        .localCheckpoint()
+      val tAll0 = System.nanoTime()
+      val gated = operators.TextAnalysisOps
+        .gopherFilter(corpus, "id", "text").localCheckpoint()
+      val nGate = gated.count()
+      corpus.unpersist(blocking = false)
+      val exactIds = operators.DedupOps.dedupExact(
+        gated.withColumn("k", md5(col("text"))), Seq("k"), "id")
+        .select("id")
+      val exact = gated.join(exactIds, Seq("id"), "left_semi")
+        .localCheckpoint()
+      val nExact = exact.count()
+      gated.unpersist(blocking = false)
+      val members = operators.DedupOps.clusters(
+        operators.DedupOps.minhashCandidates(exact, "id", "text",
+          shingleK = 3, numPerm = 16, bands = 4)).localCheckpoint()
+      val drops = members.filter(col("member") =!= col("cluster_rep"))
+        .select(col("member").as("id"))
+      val survivors = exact.join(drops, Seq("id"), "left_anti")
+        .join(members.select(col("member").as("id"), col("cluster_rep")),
+          Seq("id"), "left")
+        .select(col("id"),
+          coalesce(col("cluster_rep"), col("id")).as("rep"))
+        .localCheckpoint()
+      val nSurv = survivors.count()
+      exact.unpersist(blocking = false)
+      val bucket = conv(substring(md5(col("rep").cast("string")), 1, 8),
+        16, 10).cast("long") % 100
+      val split = survivors.withColumn("split",
+        when(bucket < 80, "train").when(bucket < 90, "val")
+          .otherwise("test"))
+      val sc = split.groupBy("split").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      val mass = operators.TextAnalysisOps.shardManifest(
+          split.filter(col("split") === "train")
+            .withColumn("n_tokens", lit(54L)), "id", "n_tokens", 256)
+        .agg(sum("n_docs")).first.getLong(0)
+      val secAll = (System.nanoTime() - tAll0) / 1e9
+      println(s"""{"curation_docs":$n,"sec":${round1(secAll)},"gate":$nGate,"exact":$nExact,"survivors":$nSurv,"train":${sc.getOrElse("train", 0L)},"val":${sc.getOrElse("val", 0L)},"test":${sc.getOrElse("test", 0L)},"manifest_docs":$mass}""")
+      members.unpersist(blocking = true)
+      survivors.unpersist(blocking = true)
     }
     spark.stop()
   }

@@ -655,12 +655,33 @@ object TextAnalysisOps {
     * exactly on any engine — no float thresholds. Map-side, per-doc.
     */
   def gopherRules(df: DataFrame, idCol: String = "doc_id",
-                  textCol: String = "text"): DataFrame = {
+                  textCol: String = "text"): DataFrame =
+    gopherAnnotated(df, idCol, textCol, keepInput = false)
+
+  /** Pipeline form of [[gopherRules]]: the rows of `df` that pass all
+    * five rules, original columns intact. The verdict is computed
+    * IN-ROW next to the data — no id join back to the corpus — so the
+    * gate adds zero exchanges; at corpus scale the quality filter
+    * belongs before the first shuffle, not in a metric join after it.
+    * (Input columns must not collide with the metric names `n_words`,
+    * `rule_*`, `keep`, or the staged `_`-prefixed intermediates.)
+    */
+  def gopherFilter(df: DataFrame, idCol: String = "doc_id",
+                   textCol: String = "text"): DataFrame =
+    gopherAnnotated(df, idCol, textCol, keepInput = true)
+      .filter(col("keep"))
+      .select(df.columns.map(col).toIndexedSeq: _*)
+
+  private def gopherAnnotated(df: DataFrame, idCol: String,
+                              textCol: String,
+                              keepInput: Boolean): DataFrame = {
     val t = col(textCol)
+    val passCols =
+      if (keepInput) df.columns.toSeq.map(col) else Seq(col(idCol))
     val words = when(length(trim(t)) === 0, array().cast("array<string>"))
       .otherwise(split(trim(t), "\\s+"))
     val stopArr = array(stopwords.map(lit): _*)
-    val staged = df.select(col(idCol),
+    val staged = df.select(passCols ++ Seq(
       size(words).as("n_words"),
       aggregate(transform(words, w => length(w).cast("long")), lit(0L),
         (acc, v) => acc + v).as("_word_chars"),
@@ -670,8 +691,8 @@ object TextAnalysisOps {
         .cast("double") / lit(3)).cast("long").as("_n_ellipsis"),
       size(filter(words, w => w.rlike("[A-Za-z]"))).as("_n_alpha"),
       size(filter(words, w => array_contains(stopArr, lower(w))))
-        .as("_n_stop"))
-    staged.select(col(idCol), col("n_words"),
+        .as("_n_stop")): _*)
+    staged.select(passCols ++ Seq(col("n_words"),
       (col("n_words") >= 50 && col("n_words") <= 100000).as("rule_wc"),
       (col("_word_chars") >= lit(3L) * col("n_words") &&
         col("_word_chars") <= lit(10L) * col("n_words")).as("rule_mwl"),
@@ -679,7 +700,7 @@ object TextAnalysisOps {
         .as("rule_symbol"),
       (lit(10L) * col("_n_alpha") >= lit(8L) * col("n_words"))
         .as("rule_alpha"),
-      (col("_n_stop") >= 2).as("rule_stop"))
+      (col("_n_stop") >= 2).as("rule_stop")): _*)
       .withColumn("keep", col("rule_wc") && col("rule_mwl") &&
         col("rule_symbol") && col("rule_alpha") && col("rule_stop"))
   }

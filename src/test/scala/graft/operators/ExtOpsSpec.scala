@@ -1485,6 +1485,21 @@ class ExtOpsSpec extends SparkSpec {
     assert(!out(6L)._7 && !out(6L)._8)          // stopwords
   }
 
+  test("gopherFilter: keeps exactly gopherRules' keep=true rows, columns intact") {
+    val docs = Seq(
+      (1L, (1 to 60).map(i => s"word$i with the and more").mkString(" "), "a"),
+      (2L, "too short the and", "b"),
+      (3L, (1 to 60).map(_ => "### ...").mkString(" "), "c"))
+      .toDF("doc_id", "text", "tag")
+    val kept = TextAnalysisOps.gopherFilter(docs, "doc_id", "text")
+    assert(kept.columns.toSeq == Seq("doc_id", "text", "tag"))
+    val expected = TextAnalysisOps.gopherRules(docs, "doc_id", "text")
+      .filter(col("keep")).select("doc_id")
+      .as[Long].collect().toSet
+    assert(kept.select("doc_id").as[Long].collect().toSet == expected)
+    assert(expected == Set(1L))
+  }
+
   test("bpePairCounts: freq-weighted adjacent pairs, case-folded, 1-char words out") {
     val docs = Seq(
       (1L, "Aba ab, AB!"),   // words: aba×1, ab×2
