@@ -898,4 +898,59 @@ object TextAnalysisOps {
       .orderBy(col("n").desc, col("pair").asc)
       .limit(topN)
   }
+
+  /** Iterative BPE merge learning (Sennrich et al. 2016): `nMerges`
+    * rounds of count-adjacent-symbol-pairs → adopt the most frequent
+    * pair as a merge → rewrite the vocabulary. Returns the learned
+    * merge table (rank, pair, n) — the actual tokenizer-training
+    * artifact ([[bpePairCounts]] is one round of the counting step).
+    *
+    * Scale shape — why this trains a tokenizer on a 100-TB corpus:
+    * the corpus is scanned EXACTLY ONCE (the word-frequency agg);
+    * every merge iteration runs on the symbolized vocabulary table
+    * alone (vocabulary-sized, checkpointed serialized-spillable, the
+    * superseded round unpersisted — the clustersDataFrame discipline).
+    * The only driver traffic is ONE row per iteration (the adopted
+    * merge — metadata-scale, the k-means-centroid idiom).
+    *
+    * Determinism: the merge choice is totally ordered (n desc, pair
+    * asc), and the rewrite is literal non-overlapping left-to-right
+    * space-bounded `replace` on the " s1 s2 ... " representation —
+    * sentinel spaces make greedy non-overlap coincide with BPE's
+    * leftmost-first rule, and the identical literal-replace semantics
+    * in any engine make the whole trajectory replay exactly.
+    */
+  def bpeLearn(df: DataFrame, textCol: String, nMerges: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val ser = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER
+    var vocab = df.select(
+        explode(regexp_extract_all(lower(col(textCol)),
+          lit("[a-z]+"), lit(0))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("wf"))
+      .select(concat(lit(" "), concat_ws(" ",
+          regexp_extract_all(col("w"), lit("[a-z]"), lit(0))), lit(" "))
+        .as("sym"), col("wf"))
+      .localCheckpoint(true, ser)
+    val merges = (1 to nMerges).map { rank =>
+      val s = split(trim(col("sym")), " ")
+      val top = vocab.filter(size(s) >= 2)
+        .select(explode(transform(sequence(lit(1), size(s) - 1),
+            i => concat(element_at(s, i), lit(" "), element_at(s, i + 1))))
+          .as("pair"), col("wf"))
+        .groupBy("pair").agg(sum("wf").as("n"))
+        .orderBy(col("n").desc, col("pair").asc)
+        .limit(1).collect()(0)
+      val pair = top.getString(0)
+      val next = vocab.select(replace(col("sym"), lit(s" $pair "),
+          lit(s" ${pair.replace(" ", "")} ")).as("sym"), col("wf"))
+        .localCheckpoint(true, ser)
+      vocab.unpersist(blocking = false)
+      vocab = next
+      (rank, pair, top.getLong(1))
+    }
+    val out = merges.toDF("rank", "pair", "n")
+    vocab.unpersist(blocking = false)
+    out
+  }
 }

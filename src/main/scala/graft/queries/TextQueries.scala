@@ -221,6 +221,13 @@ object TextQueries {
       TextAnalysisOps.bpePairCounts(documents(s, d), "text", topN = 50)
     }),
 
+    // Iterative BPE merge learning: 3 rounds of count → adopt top
+    // pair → rewrite the vocabulary; the merge table is the tokenizer
+    // artifact. Corpus scanned once; iterations are vocab-only.
+    "tx37_bpe_learn" -> ((s, d) => {
+      TextAnalysisOps.bpeLearn(documents(s, d), "text", nMerges = 3)
+    }),
+
     // TF-IDF term weighting: tf × ln(N/df) for every (doc, term) with
     // tf >= 3 — keyword extraction / relevance scoring over the corpus.
     "tx20_tfidf" -> ((s, d) => {
@@ -684,6 +691,47 @@ object TextQueries {
                FROM words WHERE length(w) >= 2)
          SELECT pair, sum(wf)::BIGINT AS n FROM p GROUP BY pair
          ORDER BY n DESC, pair LIMIT 50""",
+    // three unrolled merge iterations: per round, pair counts over the
+    // space-separated symbol strings, scalar-subquery top merge
+    // ((n desc, pair asc) total order), literal space-bounded replace
+    // rewrite — sentinel spaces make non-overlapping left-to-right
+    // replace coincide with BPE's leftmost-first merge in both engines
+    "tx37_bpe_learn" ->
+      """WITH u AS (SELECT unnest(regexp_extract_all(lower(text),
+                      '[a-z]+')) AS w FROM documents),
+         words AS (SELECT w, count(*) AS wf FROM u GROUP BY w),
+         v0 AS (SELECT ' ' || array_to_string(
+                  regexp_extract_all(w, '[a-z]'), ' ') || ' ' AS sym, wf
+                FROM words),
+         p1 AS (SELECT unnest(list_transform(range(1, len(s)),
+                  i -> s[i] || ' ' || s[i+1])) AS pair, wf
+                FROM (SELECT string_split(trim(sym), ' ') AS s, wf
+                      FROM v0) WHERE len(s) >= 2),
+         c1 AS (SELECT pair, sum(wf)::BIGINT AS n FROM p1 GROUP BY pair),
+         m1 AS (SELECT pair, n, 1 AS rank FROM c1
+                ORDER BY n DESC, pair LIMIT 1),
+         v1 AS (SELECT replace(sym, ' ' || (SELECT pair FROM m1) || ' ',
+                  ' ' || replace((SELECT pair FROM m1), ' ', '') || ' ')
+                  AS sym, wf FROM v0),
+         p2 AS (SELECT unnest(list_transform(range(1, len(s)),
+                  i -> s[i] || ' ' || s[i+1])) AS pair, wf
+                FROM (SELECT string_split(trim(sym), ' ') AS s, wf
+                      FROM v1) WHERE len(s) >= 2),
+         c2 AS (SELECT pair, sum(wf)::BIGINT AS n FROM p2 GROUP BY pair),
+         m2 AS (SELECT pair, n, 2 AS rank FROM c2
+                ORDER BY n DESC, pair LIMIT 1),
+         v2 AS (SELECT replace(sym, ' ' || (SELECT pair FROM m2) || ' ',
+                  ' ' || replace((SELECT pair FROM m2), ' ', '') || ' ')
+                  AS sym, wf FROM v1),
+         p3 AS (SELECT unnest(list_transform(range(1, len(s)),
+                  i -> s[i] || ' ' || s[i+1])) AS pair, wf
+                FROM (SELECT string_split(trim(sym), ' ') AS s, wf
+                      FROM v2) WHERE len(s) >= 2),
+         c3 AS (SELECT pair, sum(wf)::BIGINT AS n FROM p3 GROUP BY pair),
+         m3 AS (SELECT pair, n, 3 AS rank FROM c3
+                ORDER BY n DESC, pair LIMIT 1)
+         SELECT rank, pair, n FROM (SELECT * FROM m1 UNION ALL
+           SELECT * FROM m2 UNION ALL SELECT * FROM m3) ORDER BY rank""",
     // tx27's exact arithmetic (no tf floor), per-term score quantized
     // to an integer BEFORE the per-query sum — the aggregate is an
     // exact BIGINT, immune to double addition order; ranking replays

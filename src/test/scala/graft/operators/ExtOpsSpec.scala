@@ -1515,4 +1515,17 @@ class ExtOpsSpec extends SparkSpec {
       .as[(String, Long)].collect().toList
     assert(top1 == List(("ab", 4L)))
   }
+
+  test("bpeLearn: merges cascade — later rounds count merged symbols") {
+    // wf: aaab=3, ab=2
+    // round 1: "a a" = 2x3 = 6 beats "a b" = 3+2 = 5 -> merge "a a"
+    //   (leftmost-first: " a a a b " -> " aa a b ", NOT " a aa b ")
+    // round 2: "a b" = 3+2 = 5 beats "aa a" = 3 -> merge "a b"
+    // round 3: only " aa ab " has pairs left -> merge "aa ab" = 3
+    val docs = Seq((1L, "aaab aaab ab"), (2L, "aaab ab"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysisOps.bpeLearn(docs, "text", nMerges = 3)
+      .as[(Int, String, Long)].collect().toList.sortBy(_._1)
+    assert(out == List((1, "a a", 6L), (2, "a b", 5L), (3, "aa ab", 3L)))
+  }
 }
