@@ -899,6 +899,40 @@ object TextAnalysisOps {
       .limit(topN)
   }
 
+  /** Cross-source n-gram resemblance matrix: for every pair of values
+    * of `groupCol` (corpus slices, crawl snapshots, dataset versions),
+    * the exact Jaccard of their distinct word-k-gram sets — the corpus
+    * diagnostic behind mixing and dedup decisions ("how much of slice A
+    * already lives in slice B"). Pairs sharing no gram are absent
+    * (inner-join semantics).
+    *
+    * Scale shape: the distinct (source, gram) table is
+    * vocabulary-scaled, not corpus-scaled; the self-join keys on the
+    * gram, so per-gram fan-out is bounded by S² for S sources (a
+    * diagnostic runs at S in the tens, not thousands), and both join
+    * sides reuse one exchange of the same distinct table. The quotient
+    * is a raw IEEE division of exact integers — replays bit-identically
+    * in any engine, no rounding step to disagree on.
+    */
+  def sourceOverlap(df: DataFrame, groupCol: String, textCol: String,
+                    k: Int): DataFrame = {
+    val grams = df.select(col(groupCol).as("src"),
+        explode(graft.operators.DedupOps.shingles(col(textCol), k))
+          .as("g"))
+      .distinct()
+    val sizes = grams.groupBy("src").agg(count(lit(1)).as("nv"))
+    val inter = grams.as("a").join(grams.as("b"),
+        col("a.g") === col("b.g") && col("a.src") < col("b.src"))
+      .groupBy(col("a.src").as("sa"), col("b.src").as("sb"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col("src").as("sa"), col("nv").as("na")), "sa")
+      .join(sizes.select(col("src").as("sb"), col("nv").as("nb")), "sb")
+      .select(col("sa"), col("sb"), col("inter"), col("na"), col("nb"),
+        (col("inter").cast("double") /
+          (col("na") + col("nb") - col("inter"))).as("jaccard"))
+  }
+
   /** Iterative BPE merge learning (Sennrich et al. 2016): `nMerges`
     * rounds of count-adjacent-symbol-pairs → adopt the most frequent
     * pair as a merge → rewrite the vocabulary. Returns the learned

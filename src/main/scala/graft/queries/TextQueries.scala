@@ -228,6 +228,14 @@ object TextQueries {
       TextAnalysisOps.bpeLearn(documents(s, d), "text", nMerges = 3)
     }),
 
+    // Cross-source 3-gram resemblance matrix: exact pairwise Jaccard
+    // of per-source distinct gram sets — the overlap diagnostic behind
+    // mixing/dedup decisions. Raw IEEE quotient, no rounding.
+    "tx38_source_overlap" -> ((s, d) => {
+      TextAnalysisOps.sourceOverlap(documents(s, d), "source", "text",
+        k = 3)
+    }),
+
     // TF-IDF term weighting: tf × ln(N/df) for every (doc, term) with
     // tf >= 3 — keyword extraction / relevance scoring over the corpus.
     "tx20_tfidf" -> ((s, d) => {
@@ -732,6 +740,23 @@ object TextQueries {
                 ORDER BY n DESC, pair LIMIT 1)
          SELECT rank, pair, n FROM (SELECT * FROM m1 UNION ALL
            SELECT * FROM m2 UNION ALL SELECT * FROM m3) ORDER BY rank""",
+    // distinct (source, gram) built once; jaccard is a raw IEEE
+    // division of exact integers — no round() to hit a decimal tie
+    "tx38_source_overlap" ->
+      """WITH g AS (SELECT DISTINCT source,
+                      unnest([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                              for i in range(1, len(w)-1)]) AS g
+                    FROM (SELECT source, string_split(text, ' ') AS w
+                          FROM documents)
+                    WHERE len(w) >= 3),
+         s AS (SELECT source, count(*) AS nv FROM g GROUP BY source),
+         i AS (SELECT a.source AS sa, b.source AS sb, count(*) AS inter
+               FROM g a JOIN g b ON a.g = b.g AND a.source < b.source
+               GROUP BY 1, 2)
+         SELECT sa, sb, inter, x.nv AS na, y.nv AS nb,
+           inter::DOUBLE / (x.nv + y.nv - inter) AS jaccard
+         FROM i JOIN s x ON x.source = i.sa
+           JOIN s y ON y.source = i.sb""",
     // tx27's exact arithmetic (no tf floor), per-term score quantized
     // to an integer BEFORE the per-query sum — the aggregate is an
     // exact BIGINT, immune to double addition order; ranking replays

@@ -158,6 +158,14 @@ class PlanShapeSpec extends SparkSpec {
     assert(bad.isEmpty, s"text-carrying exchange outputs: $bad")
   }
 
+  test("tx38 overlap: the gram self-join reuses the distinct table's exchange") {
+    // the (source, gram) distinct is computed once; sizes and both
+    // self-join sides must come off reused exchanges, not three
+    // separate corpus scans
+    val plan = finalPlan("tx38_source_overlap")
+    assert(plan.toString.contains("ReusedExchange"), plan.toString)
+  }
+
   test("tx33 dsir: shuffles carry buckets and counts, never text or grams") {
     // the scale contract of dsirLogWeights: the bucket hash is computed
     // map-side, so every exchange carries (id, bucket, count)-shaped

@@ -1516,6 +1516,17 @@ class ExtOpsSpec extends SparkSpec {
     assert(top1 == List(("ab", 4L)))
   }
 
+  test("sourceOverlap: exact pairwise gram Jaccard; disjoint pairs absent") {
+    val docs = Seq(
+      (1L, "A", "a b c d"),   // grams {a b c, b c d}
+      (2L, "B", "b c d e"),   // grams {b c d, c d e}
+      (3L, "B", "b c d e"),   // duplicate doc — distinct grams unchanged
+      (4L, "C", "x y z")).toDF("doc_id", "source", "text")
+    val out = TextAnalysisOps.sourceOverlap(docs, "source", "text", k = 3)
+      .as[(String, String, Long, Long, Long, Double)].collect().toList
+    assert(out == List(("A", "B", 1L, 2L, 2L, 1.0 / 3)))
+  }
+
   test("bpeLearn: merges cascade — later rounds count merged symbols") {
     // wf: aaab=3, ab=2
     // round 1: "a a" = 2x3 = 6 beats "a b" = 3+2 = 5 -> merge "a a"
