@@ -158,12 +158,16 @@ class PlanShapeSpec extends SparkSpec {
     assert(bad.isEmpty, s"text-carrying exchange outputs: $bad")
   }
 
-  test("tx38 overlap: the gram self-join reuses the distinct table's exchange") {
-    // the (source, gram) distinct is computed once; sizes and both
-    // self-join sides must come off reused exchanges, not three
-    // separate corpus scans
+  test("tx38 overlap: pairs form map-side off one reused distinct — no gram join") {
+    // the (source, gram) distinct is computed once (sizes and the
+    // posting-list pair chain both come off a reused exchange), pairs
+    // expand in-row from per-gram source sets, and the only joins are
+    // the broadcast size lookups — a vocab×vocab shuffle join on the
+    // gram key would regress the dd12-style map-side pair formation
     val plan = finalPlan("tx38_source_overlap")
-    assert(plan.toString.contains("ReusedExchange"), plan.toString)
+    val s = plan.toString
+    assert(s.contains("ReusedExchange"), s)
+    assert(!s.contains("SortMergeJoin") && !s.contains("ShuffledHashJoin"), s)
   }
 
   test("tx33 dsir: shuffles carry buckets and counts, never text or grams") {
