@@ -366,7 +366,45 @@ object ScaleSmoke {
           .agg(sum(col("n"))).first.getLong(0)
       }
       println(s"""{"bpe_docs":$n,"sec":${round1(tb1)},"top50_mass":$nb1}""")
+      // full merge learning on the same corpus: the delta over the
+      // count lane above is the cost of the 3 vocab-only iterations —
+      // if the corpus-scan-once claim holds, it stays near-constant in
+      // corpus size (the vocab is ~500k regardless of doc count)
+      val (tb2, nb2) = t {
+        operators.TextAnalysisOps.bpeLearn(bpeCorpus, "text", 3)
+          .agg(sum(col("n"))).first.getLong(0)
+      }
+      println(s"""{"bpe_learn_docs":$n,"merges":3,"sec":${round1(tb2)},"merge_mass":$nb2}""")
       bpeCorpus.unpersist(blocking = true)
+    }
+
+    // Cross-source overlap lane (round 6): tx38 at 5M docs across 20
+    // sources with a REALISTIC (non-saturated) gram space — unlike the
+    // sf0.1 test table's 31-word vocabulary, grams here are mostly
+    // unique, so the distinct (source, gram) table is the volume term
+    // and pair volume tracks ACTUAL overlaps: every 10th doc draws its
+    // text from a 1000-doc shared pool that recurs across sources, so
+    // ~14k grams are cross-source and everything else is singleton.
+    lane("overlap") {
+      val n = 5000000L
+      val srcCol = concat(lit("s"), (col("id") % 20).cast("string"))
+      def pw(j: Int, seed: Column): Column = translate(lower(conv(
+        pmod(hash(seed * 31 + j), lit(500000L)).cast("string"),
+        10, 36)), "0123456789", "qrstuvwxyz")
+      // block b = id/20 holds one doc per source; every 10th block is
+      // shared: all 20 docs in it draw the SAME pool text (key b%1000),
+      // so each of the ~1000 pool texts recurs in all 20 sources
+      val block = floor(col("id") / 20).cast("long")
+      val uniq = (0 until 16).map(j => pw(j, col("id") * 7 + 3))
+      val shared = (0 until 16).map(j => pw(j, (block % 1000) * 13 + 1))
+      val ovCorpus = spark.range(n).select(srcCol.as("source"),
+          when(block % 10 === 0, concat_ws(" ", shared: _*))
+            .otherwise(concat_ws(" ", uniq: _*)).as("text"))
+        .localCheckpoint()
+      val (to1, no1) = t(operators.TextAnalysisOps
+        .sourceOverlap(ovCorpus, "source", "text", 3).count())
+      println(s"""{"overlap_docs":$n,"sources":20,"sec":${round1(to1)},"pairs":$no1}""")
+      ovCorpus.unpersist(blocking = true)
     }
 
     // End-to-end curation composite (round 6): the full training-data
