@@ -359,9 +359,11 @@ object DedupOps {
     * iterative algorithm. GraphX's Pregel walks its input RDD several
     * times; fed directly by the (expensive) LSH candidate pipeline it
     * re-executes that pipeline per pass — that, not Pregel itself, was
-    * the observed cost. On materialized edges GraphX wins at every
-    * graph size tested (1k → 1M edges, 3–6× vs the DataFrame rounds of
-    * [[clustersDataFrame]]), so: checkpoint, then GraphX.
+    * the observed cost. On materialized edges GraphX wins 3–6× at
+    * 1k → 1M edges vs the DataFrame rounds of [[clustersDataFrame]],
+    * so: checkpoint, then GraphX. At ~10⁸ edges the ranking inverts
+    * (same-box A/B, PERF.md) — prefer [[clustersDataFrame]] for the
+    * largest graphs or whenever memory is the binding constraint.
     */
   def clusters(pairs: DataFrame, aCol: String = "a",
                bCol: String = "b"): DataFrame = {
@@ -379,14 +381,19 @@ object DedupOps {
     * catalog-only alternative (no RDD/GraphX dependency) and as the
     * cross-check implementation; the spec asserts it matches
     * [[clustersGraphx]] exactly. Loses to GraphX-on-materialized-edges
-    * on every size tested: its per-round cost is ~8 exchanges of the
-    * full edge set plus an exact set-equality convergence check — but
-    * it is the MEMORY-BOUNDARY fallback: per-round state is one
-    * serialized-spillable checkpoint of the current edge set
-    * (MEMORY_AND_DISK_SER, superseded rounds unpersisted), so it
-    * completes on graphs whose cached edge partitions exceed the
-    * executor heap budget that OOMs GraphX CC (measured at the 8 g /
-    * 119.8 M-edge boundary, PERF.md).
+    * at small-to-medium sizes (3–6× at 1 k–1 M edges: per-round cost is
+    * ~8 exchanges of the full edge set plus an exact set-equality
+    * convergence check) — but it is the LARGE-GRAPH / MEMORY-BOUNDARY
+    * choice: per-round state is one serialized-spillable checkpoint of
+    * the current edge set (MEMORY_AND_DISK_SER, superseded rounds
+    * unpersisted), so it completes on graphs whose cached edge
+    * partitions exceed the executor heap that OOMs GraphX CC, and at
+    * 10⁸ edges it beats even WELL-FED GraphX outright (same-box A/B on
+    * 119.8 M edges: 202 s here at 8 g vs GraphX 262 s at 48 g — the
+    * volume term dominates and codegen exchanges beat Pregel's RDD
+    * shuffles; PERF.md). At the tight heap run with reduced
+    * cores-per-executor and smaller `spark.buffer.pageSize` so
+    * aggregation state spills instead of dying.
     */
   def clustersDataFrame(pairs: DataFrame, aCol: String = "a",
                         bCol: String = "b"): DataFrame = {
