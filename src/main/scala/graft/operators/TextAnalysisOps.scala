@@ -962,10 +962,16 @@ object TextAnalysisOps {
     *
     * Determinism: the merge choice is totally ordered (n desc, pair
     * asc), and the rewrite is literal non-overlapping left-to-right
-    * space-bounded `replace` on the " s1 s2 ... " representation —
-    * sentinel spaces make greedy non-overlap coincide with BPE's
-    * leftmost-first rule, and the identical literal-replace semantics
-    * in any engine make the whole trajectory replay exactly.
+    * `replace` on a DOUBLE-space-separated symbol string
+    * ("␣␣s1␣␣s2␣␣…"): the pattern "␣a␣␣b␣" consumes one space of each
+    * two-space boundary and the replacement "␣ab␣" restores it, so the
+    * leftover half-boundary stays available to the adjacent match —
+    * consecutive runs merge exactly like BPE's zero-width-boundary
+    * leftmost-first scan ("aaaa" → [aa][aa], not [aa][a][a], the bug a
+    * single-space sentinel has: its shared separator is consumed by the
+    * previous match; caught by the PropertySpec model sweep). Literal
+    * replace needs no regex lookbehind, so the identical semantics hold
+    * in any engine and the whole trajectory replays exactly.
     */
   def bpeLearn(df: DataFrame, textCol: String, nMerges: Int): DataFrame = {
     val spark = df.sparkSession
@@ -975,12 +981,12 @@ object TextAnalysisOps {
         explode(regexp_extract_all(lower(col(textCol)),
           lit("[a-z]+"), lit(0))).as("w"))
       .groupBy("w").agg(count(lit(1)).as("wf"))
-      .select(concat(lit(" "), concat_ws(" ",
-          regexp_extract_all(col("w"), lit("[a-z]"), lit(0))), lit(" "))
+      .select(concat(lit("  "), concat_ws("  ",
+          regexp_extract_all(col("w"), lit("[a-z]"), lit(0))), lit("  "))
         .as("sym"), col("wf"))
       .localCheckpoint(true, ser)
     val merges = (1 to nMerges).map { rank =>
-      val s = split(trim(col("sym")), " ")
+      val s = split(trim(col("sym")), " +")
       val top = vocab.filter(size(s) >= 2)
         .select(explode(transform(sequence(lit(1), size(s) - 1),
             i => concat(element_at(s, i), lit(" "), element_at(s, i + 1))))
@@ -989,8 +995,10 @@ object TextAnalysisOps {
         .orderBy(col("n").desc, col("pair").asc)
         .limit(1).collect()(0)
       val pair = top.getString(0)
-      val next = vocab.select(replace(col("sym"), lit(s" $pair "),
-          lit(s" ${pair.replace(" ", "")} ")).as("sym"), col("wf"))
+      val next = vocab.select(
+          replace(col("sym"), lit(" " + pair.replace(" ", "  ") + " "),
+            lit(" " + pair.replace(" ", "") + " ")).as("sym"),
+          col("wf"))
         .localCheckpoint(true, ser)
       vocab.unpersist(blocking = false)
       vocab = next

@@ -708,32 +708,34 @@ object TextQueries {
       """WITH u AS (SELECT unnest(regexp_extract_all(lower(text),
                       '[a-z]+')) AS w FROM documents),
          words AS (SELECT w, count(*) AS wf FROM u GROUP BY w),
-         v0 AS (SELECT ' ' || array_to_string(
-                  regexp_extract_all(w, '[a-z]'), ' ') || ' ' AS sym, wf
+         v0 AS (SELECT '  ' || array_to_string(
+                  regexp_extract_all(w, '[a-z]'), '  ') || '  ' AS sym, wf
                 FROM words),
          p1 AS (SELECT unnest(list_transform(range(1, len(s)),
                   i -> s[i] || ' ' || s[i+1])) AS pair, wf
-                FROM (SELECT string_split(trim(sym), ' ') AS s, wf
+                FROM (SELECT string_split(trim(sym), '  ') AS s, wf
                       FROM v0) WHERE len(s) >= 2),
          c1 AS (SELECT pair, sum(wf)::BIGINT AS n FROM p1 GROUP BY pair),
          m1 AS (SELECT pair, n, 1 AS rank FROM c1
                 ORDER BY n DESC, pair LIMIT 1),
-         v1 AS (SELECT replace(sym, ' ' || (SELECT pair FROM m1) || ' ',
+         v1 AS (SELECT replace(sym,
+                  ' ' || replace((SELECT pair FROM m1), ' ', '  ') || ' ',
                   ' ' || replace((SELECT pair FROM m1), ' ', '') || ' ')
                   AS sym, wf FROM v0),
          p2 AS (SELECT unnest(list_transform(range(1, len(s)),
                   i -> s[i] || ' ' || s[i+1])) AS pair, wf
-                FROM (SELECT string_split(trim(sym), ' ') AS s, wf
+                FROM (SELECT string_split(trim(sym), '  ') AS s, wf
                       FROM v1) WHERE len(s) >= 2),
          c2 AS (SELECT pair, sum(wf)::BIGINT AS n FROM p2 GROUP BY pair),
          m2 AS (SELECT pair, n, 2 AS rank FROM c2
                 ORDER BY n DESC, pair LIMIT 1),
-         v2 AS (SELECT replace(sym, ' ' || (SELECT pair FROM m2) || ' ',
+         v2 AS (SELECT replace(sym,
+                  ' ' || replace((SELECT pair FROM m2), ' ', '  ') || ' ',
                   ' ' || replace((SELECT pair FROM m2), ' ', '') || ' ')
                   AS sym, wf FROM v1),
          p3 AS (SELECT unnest(list_transform(range(1, len(s)),
                   i -> s[i] || ' ' || s[i+1])) AS pair, wf
-                FROM (SELECT string_split(trim(sym), ' ') AS s, wf
+                FROM (SELECT string_split(trim(sym), '  ') AS s, wf
                       FROM v2) WHERE len(s) >= 2),
          c3 AS (SELECT pair, sum(wf)::BIGINT AS n FROM p3 GROUP BY pair),
          m3 AS (SELECT pair, n, 3 AS rank FROM c3

@@ -475,6 +475,46 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("bpeLearn equals the list-rewrite Scala model on random small-alphabet corpora") {
+    // executable spec: symbol-LIST rewrite (the ground truth BPE step),
+    // vs the operator's sentinel-space string replace — ties in pair
+    // counts (frequent on a 3-letter alphabet) and multi-char-symbol
+    // boundary cases are exactly where a string formulation could
+    // silently diverge. Pair tie-break is (count desc, pair asc); ASCII
+    // symbols keep Scala string order and Spark's binary sort aligned.
+    def modelBpe(texts: Seq[String], nMerges: Int): List[(Int, String, Long)] = {
+      val wf = texts.flatMap(t => "[a-z]+".r.findAllIn(t.toLowerCase))
+        .groupBy(identity).map { case (w, l) => w -> l.size.toLong }
+      var v = wf.map { case (w, f) => (w.map(_.toString).toList, f) }.toList
+      (1 to nMerges).toList.map { r =>
+        val counts = scala.collection.mutable.Map[(String, String), Long]()
+        for ((syms, f) <- v; Seq(a, b) <- syms.sliding(2))
+          counts((a, b)) = counts.getOrElse((a, b), 0L) + f
+        val ((a, b), n) = counts.toSeq
+          .minBy { case ((x, y), c) => (-c, s"$x $y") }
+        def rewrite(s: List[String]): List[String] = s match {
+          case x :: y :: rest if x == a && y == b => (a + b) :: rewrite(rest)
+          case x :: rest => x :: rewrite(rest)
+          case Nil => Nil
+        }
+        v = v.map { case (s, f) => (rewrite(s), f) }
+        (r, s"$a $b", n)
+      }
+    }
+    for (trial <- 1 to 3) {
+      val texts = (0 until 12).map { _ =>
+        Seq.fill(3 + rnd.nextInt(6))(
+          Seq.fill(4 + rnd.nextInt(5))("abc" (rnd.nextInt(3))).mkString)
+          .mkString(" ")
+      }
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val got = TextAnalysisOps.bpeLearn(docs, "text", nMerges = 4)
+        .as[(Int, String, Long)].collect().toList.sortBy(_._1)
+      assert(got == modelBpe(texts, 4), s"trial=$trial texts=$texts")
+    }
+  }
+
   test("bpePairCounts equals the Scala model on random mixed corpora") {
     // executable spec: case-fold, extract [a-z]+ runs, weight each
     // word's adjacent char pairs by corpus frequency, (n desc, pair
