@@ -475,6 +475,37 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("sourceOverlap equals the Set-model Jaccard on random multi-source corpora") {
+    // executable spec: per-source distinct 3-gram Sets, pairwise
+    // intersection/union over source pairs in string order — catches
+    // any dedup slip (per-doc vs per-source distinct) or pair-order
+    // drift in the posting-list formulation
+    val words = Vector("aa", "bb", "cc", "dd", "ee")
+    for (trial <- 1 to 3) {
+      val docs = (0 until 30).map { i =>
+        (i.toLong, s"s${rnd.nextInt(4)}",
+          Seq.fill(3 + rnd.nextInt(6))(words(rnd.nextInt(words.length)))
+            .mkString(" "))
+      }
+      val bySrc = docs.groupBy(_._2).map { case (s, ds) =>
+        s -> ds.flatMap { case (_, _, t) =>
+          val w = t.split(" ")
+          (0 to w.length - 3).map(i => w.slice(i, i + 3).mkString(" "))
+        }.toSet
+      }
+      val model = (for {
+        a <- bySrc.keys; b <- bySrc.keys if a < b
+        inter = (bySrc(a) & bySrc(b)).size if inter > 0
+      } yield (a, b, inter.toLong, bySrc(a).size.toLong,
+        bySrc(b).size.toLong,
+        inter.toDouble / (bySrc(a).size + bySrc(b).size - inter))).toSet
+      val got = TextAnalysisOps.sourceOverlap(
+          docs.toDF("doc_id", "source", "text"), "source", "text", k = 3)
+        .as[(String, String, Long, Long, Long, Double)].collect().toSet
+      assert(got == model, s"trial=$trial")
+    }
+  }
+
   test("bpeLearn equals the list-rewrite Scala model on random small-alphabet corpora") {
     // executable spec: symbol-LIST rewrite (the ground truth BPE step),
     // vs the operator's sentinel-space string replace — ties in pair
