@@ -976,12 +976,25 @@ object TextAnalysisOps {
   def bpeLearn(df: DataFrame, textCol: String, nMerges: Int): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
+    val (vocab, merges) = bpeTrain(df, textCol, nMerges)
+    val out = merges.toDF("rank", "pair", "n")
+    vocab.unpersist(blocking = false)
+    out
+  }
+
+  /** The shared BPE training loop: returns the FINAL symbolized
+    * vocabulary (w, sym, wf — checkpointed; caller unpersists) and the
+    * adopted merge list. [[bpeLearn]] publishes the merges;
+    * [[bpeTokenCount]] joins the vocabulary back to the corpus.
+    */
+  private def bpeTrain(df: DataFrame, textCol: String, nMerges: Int)
+      : (DataFrame, Seq[(Int, String, Long)]) = {
     val ser = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER
     var vocab = df.select(
         explode(regexp_extract_all(lower(col(textCol)),
           lit("[a-z]+"), lit(0))).as("w"))
       .groupBy("w").agg(count(lit(1)).as("wf"))
-      .select(concat(lit("  "), concat_ws("  ",
+      .select(col("w"), concat(lit("  "), concat_ws("  ",
           regexp_extract_all(col("w"), lit("[a-z]"), lit(0))), lit("  "))
         .as("sym"), col("wf"))
       .localCheckpoint(true, ser)
@@ -995,7 +1008,7 @@ object TextAnalysisOps {
         .orderBy(col("n").desc, col("pair").asc)
         .limit(1).collect()(0)
       val pair = top.getString(0)
-      val next = vocab.select(
+      val next = vocab.select(col("w"),
           replace(col("sym"), lit(" " + pair.replace(" ", "  ") + " "),
             lit(" " + pair.replace(" ", "") + " ")).as("sym"),
           col("wf"))
@@ -1004,8 +1017,38 @@ object TextAnalysisOps {
       vocab = next
       (rank, pair, top.getLong(1))
     }
-    val out = merges.toDF("rank", "pair", "n")
-    vocab.unpersist(blocking = false)
-    out
+    (vocab, merges)
+  }
+
+  /** BPE tokenization — the APPLY side of [[bpeLearn]] (count → learn →
+    * apply completes the tokenizer loop): per-doc BPE token counts
+    * under the first `nMerges` learned merges. Docs with no extractable
+    * word are absent (inner-join semantics).
+    *
+    * Scale shape: merges are learned and applied entirely on the
+    * vocabulary table (the [[bpeLearn]] economics); tokenizing the
+    * corpus is then ONE scan joined to the vocabulary-sized
+    * (word → symbol-count) table on the word key — broadcast when the
+    * vocab fits, shuffled keyed join otherwise (left to AQE) — and a
+    * doc-keyed map-side-combined agg. The corpus never re-tokenizes
+    * per merge.
+    */
+  def bpeTokenCount(df: DataFrame, idCol: String, textCol: String,
+                    nMerges: Int): DataFrame = {
+    // the returned plan reads the checkpointed vocabulary lazily, so it
+    // must stay cached — it IS the tokenizer model, held for the
+    // tokenization pass's lifetime (localCheckpoint blocks are
+    // unrecoverable once dropped; an early unpersist here would race
+    // the caller's execution)
+    val (vocab, _) = bpeTrain(df, textCol, nMerges)
+    val symCount = vocab.select(col("w"),
+      size(split(trim(col("sym")), "  ")).cast("long").as("n_sym"))
+    df.select(col(idCol),
+        explode(regexp_extract_all(lower(col(textCol)),
+          lit("[a-z]+"), lit(0))).as("w"))
+      .join(symCount, Seq("w"))
+      .groupBy(col(idCol))
+      .agg(sum("n_sym").as("n_bpe_tokens"),
+        count(lit(1)).as("n_words"))
   }
 }

@@ -236,6 +236,14 @@ object TextQueries {
         k = 3)
     }),
 
+    // BPE tokenization (the APPLY side of tx37): per-doc token counts
+    // under the first 3 learned merges — merges applied on the vocab
+    // table, corpus tokenized via one word-keyed join.
+    "tx39_bpe_tokenize" -> ((s, d) => {
+      TextAnalysisOps.bpeTokenCount(documents(s, d), "doc_id", "text",
+        nMerges = 3)
+    }),
+
     // TF-IDF term weighting: tf × ln(N/df) for every (doc, term) with
     // tf >= 3 — keyword extraction / relevance scoring over the corpus.
     "tx20_tfidf" -> ((s, d) => {
@@ -742,6 +750,51 @@ object TextQueries {
                 ORDER BY n DESC, pair LIMIT 1)
          SELECT rank, pair, n FROM (SELECT * FROM m1 UNION ALL
            SELECT * FROM m2 UNION ALL SELECT * FROM m3) ORDER BY rank""",
+    // the tx37 merge chain carried per-word (w kept through v0..v3),
+    // then one word join back to the doc stream; inner-join semantics
+    // (docs with no extractable word absent) mirror the operator
+    "tx39_bpe_tokenize" ->
+      """WITH u AS (SELECT doc_id, unnest(regexp_extract_all(lower(text),
+                      '[a-z]+')) AS w FROM documents),
+         words AS (SELECT w, count(*) AS wf FROM u GROUP BY w),
+         v0 AS (SELECT w, '  ' || array_to_string(
+                  regexp_extract_all(w, '[a-z]'), '  ') || '  ' AS sym, wf
+                FROM words),
+         p1 AS (SELECT unnest(list_transform(range(1, len(s)),
+                  i -> s[i] || ' ' || s[i+1])) AS pair, wf
+                FROM (SELECT string_split(trim(sym), '  ') AS s, wf
+                      FROM v0) WHERE len(s) >= 2),
+         c1 AS (SELECT pair, sum(wf)::BIGINT AS n FROM p1 GROUP BY pair),
+         m1 AS (SELECT pair FROM c1 ORDER BY n DESC, pair LIMIT 1),
+         v1 AS (SELECT w, replace(sym,
+                  ' ' || replace((SELECT pair FROM m1), ' ', '  ') || ' ',
+                  ' ' || replace((SELECT pair FROM m1), ' ', '') || ' ')
+                  AS sym, wf FROM v0),
+         p2 AS (SELECT unnest(list_transform(range(1, len(s)),
+                  i -> s[i] || ' ' || s[i+1])) AS pair, wf
+                FROM (SELECT string_split(trim(sym), '  ') AS s, wf
+                      FROM v1) WHERE len(s) >= 2),
+         c2 AS (SELECT pair, sum(wf)::BIGINT AS n FROM p2 GROUP BY pair),
+         m2 AS (SELECT pair FROM c2 ORDER BY n DESC, pair LIMIT 1),
+         v2 AS (SELECT w, replace(sym,
+                  ' ' || replace((SELECT pair FROM m2), ' ', '  ') || ' ',
+                  ' ' || replace((SELECT pair FROM m2), ' ', '') || ' ')
+                  AS sym, wf FROM v1),
+         p3 AS (SELECT unnest(list_transform(range(1, len(s)),
+                  i -> s[i] || ' ' || s[i+1])) AS pair, wf
+                FROM (SELECT string_split(trim(sym), '  ') AS s, wf
+                      FROM v2) WHERE len(s) >= 2),
+         c3 AS (SELECT pair, sum(wf)::BIGINT AS n FROM p3 GROUP BY pair),
+         m3 AS (SELECT pair FROM c3 ORDER BY n DESC, pair LIMIT 1),
+         v3 AS (SELECT w, replace(sym,
+                  ' ' || replace((SELECT pair FROM m3), ' ', '  ') || ' ',
+                  ' ' || replace((SELECT pair FROM m3), ' ', '') || ' ')
+                  AS sym, wf FROM v2),
+         sc AS (SELECT w, len(string_split(trim(sym), '  '))::BIGINT
+                  AS n_sym FROM v3)
+         SELECT doc_id, sum(n_sym)::BIGINT AS n_bpe_tokens,
+           count(*)::BIGINT AS n_words
+         FROM u JOIN sc USING (w) GROUP BY doc_id""",
     // distinct (source, gram) built once; jaccard is a raw IEEE
     // division of exact integers — no round() to hit a decimal tie
     "tx38_source_overlap" ->

@@ -1539,4 +1539,19 @@ class ExtOpsSpec extends SparkSpec {
       .as[(Int, String, Long)].collect().toList.sortBy(_._1)
     assert(out == List((1, "a a", 6L), (2, "a b", 5L), (3, "aa ab", 3L)))
   }
+
+  test("bpeTokenCount: per-doc counts under the learned merges; runs merge fully") {
+    // wf: aaab=3, ab=2 → merges "a a", "a b", "aa ab" (cascade above):
+    // aaab → [aa,a,b] → [aa,ab] → [aaab] = 1 token; ab → [ab] = 1
+    // plus "aaaa" (wf 1, doesn't change the merge choices): [a,a,a,a]
+    // → merge1 run-merges BOTH pairs → [aa,aa] = 2 tokens
+    val docs = Seq((1L, "aaab aaab ab"), (2L, "aaab ab aaaa"), (3L, "!!"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysisOps.bpeTokenCount(docs, "doc_id", "text", 3)
+      .as[(Long, Long, Long)].collect()
+      .map(t => t._1 -> ((t._2, t._3))).toMap
+    assert(out(1L) == ((3L, 3L)))       // aaab+aaab+ab → 1+1+1 tokens
+    assert(out(2L) == ((4L, 3L)))       // aaab+ab+aaaa → 1+1+2
+    assert(!out.contains(3L))           // no extractable word → absent
+  }
 }
