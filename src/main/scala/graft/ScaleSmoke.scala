@@ -375,6 +375,14 @@ object ScaleSmoke {
           .agg(sum(col("n"))).first.getLong(0)
       }
       println(s"""{"bpe_learn_docs":$n,"merges":3,"sec":${round1(tb2)},"merge_mass":$nb2}""")
+      // apply side: tokenize the corpus under the learned merges — one
+      // more corpus scan joined to the vocab-sized symbol-count table
+      val (tb3, nb3) = t {
+        operators.TextAnalysisOps
+          .bpeTokenCount(bpeCorpus, "id", "text", 3)
+          .agg(sum(col("n_bpe_tokens"))).first.getLong(0)
+      }
+      println(s"""{"bpe_tokenize_docs":$n,"merges":3,"sec":${round1(tb3)},"total_bpe_tokens":$nb3}""")
       bpeCorpus.unpersist(blocking = true)
     }
 
