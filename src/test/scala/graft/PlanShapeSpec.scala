@@ -170,6 +170,15 @@ class PlanShapeSpec extends SparkSpec {
     assert(!s.contains("SortMergeJoin") && !s.contains("ShuffledHashJoin"), s)
   }
 
+  test("tx39 tokenize: the vocabulary joins the word stream by broadcast") {
+    // the tokenizer model is executor-resident by definition; a
+    // shuffled join here would exchange the corpus-sized word stream
+    val plan = finalPlan("tx39_bpe_tokenize")
+    val s = plan.toString
+    assert(s.contains("BroadcastHashJoin"), s)
+    assert(!s.contains("SortMergeJoin") && !s.contains("ShuffledHashJoin"), s)
+  }
+
   test("tx33 dsir: shuffles carry buckets and counts, never text or grams") {
     // the scale contract of dsirLogWeights: the bucket hash is computed
     // map-side, so every exchange carries (id, bucket, count)-shaped
