@@ -27,7 +27,8 @@ object ExplainAudit {
         "tx26_lm_bigram", "dd13_minhash_estimate", "tx25_sql_surface",
         "mm5_decode_pq",
         "dd15_simhash_pairs", "ss15_recall", "tx34_bm25_retrieval",
-        "tx35_decontaminate", "tx36_bpe_pairs", "tx38_source_overlap")
+        "tx35_decontaminate", "tx36_bpe_pairs", "tx38_source_overlap",
+        "tx39_bpe_tokenize")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
