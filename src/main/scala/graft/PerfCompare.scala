@@ -66,7 +66,7 @@ object PerfCompare {
       println(s"""{"rows":$rows,"keys":$keys,"window_sec":$tw,"topk_native_sec":$tn,"result_rows":$nw}""")
       // release before the next lane — an evicted probe cache would
       // re-derive payloads inside a later timed region
-      df.unpersist(blocking = true)
+      Release(df, blocking = true)
     }
 
     // Connected components: DataFrame large-star/small-star vs GraphX on
@@ -88,7 +88,7 @@ object PerfCompare {
       val (tg, ng) = time(viaGx)
       require(nd == ng, s"CC row count mismatch: $nd vs $ng")
       println(s"""{"cc_edges":$nEdges,"cc_df_sec":$td,"cc_graphx_sec":$tg,"cc_members":$nd}""")
-      pairs.unpersist(blocking = true)
+      Release(pairs, blocking = true)
     }
 
     // Bloom semi-join reduction vs plain shuffle semi join, in the
@@ -136,8 +136,8 @@ object PerfCompare {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", bcThreshold)
       spark.conf.set("spark.sql.adaptive.enabled", aqeWas)
     }
-    probe.unpersist(blocking = true)
-    build.unpersist(blocking = true)
+    Release(probe, blocking = true)
+    Release(build, blocking = true)
     }
 
     // Span dedup at data scale: 24-word docs in duplication groups of 4
@@ -156,7 +156,7 @@ object PerfCompare {
       spanRun
       val (ts, ns) = time(spanRun)
       println(s"""{"span_docs":$spanDocs,"span_dedup_sec":$ts,"span_rows":$ns}""")
-      corpus.unpersist(blocking = true)
+      Release(corpus, blocking = true)
     }
 
     // Containment shapes head-to-head: the round-2 pipeline (df-count
@@ -223,7 +223,7 @@ object PerfCompare {
       require(no == nn2, s"containment pair mismatch: $no vs $nn2")
       println(s"""{"containment_docs":$n,"pairs":$no,""" +
         s""""old_shape_shuffle_bytes":$bo,"fused_shape_shuffle_bytes":$bn}""")
-      docs.unpersist(blocking = true)
+      Release(docs, blocking = true)
 
       // Bloom singleton pre-filter A/B (r5 verdict item 4) on a corpus
       // whose shingle mass is singleton-DOMINATED, the natural-corpus
@@ -296,7 +296,7 @@ object PerfCompare {
         println(s"""{"containment_nat_docs":$n,"nat_pairs":$nf,""" +
           s""""fused_shuffle_bytes":$bf,"prefiltered_shuffle_bytes":$bp,""" +
           s""""fused_sec":$tf,"prefiltered_sec":$tp}""")
-        natDocs.unpersist(blocking = true)
+        Release(natDocs, blocking = true)
       }
     }
 
@@ -402,8 +402,8 @@ object PerfCompare {
       require(nkw == nkh, s"topk row mismatch: $nkw vs $nkh")
       println(s"""{"topk_corpus":100000,"topk_queries":64,"topk_rows":$nkw,""" +
         s""""window_sec":$tkw,"heap_sec":$tkh}""")
-      corpus.unpersist(blocking = true)
-      vq.unpersist(blocking = true)
+      Release(corpus, blocking = true)
+      Release(vq, blocking = true)
     }
 
     // k-means at data scale: 16-dim float vectors, k=16, 2 Lloyd
@@ -423,7 +423,7 @@ object PerfCompare {
       val (tk, nk) = time(kmRun)
       require(nk == kmN, s"kmeans lost rows: $nk of $kmN")
       println(s"""{"kmeans_vecs":$kmN,"kmeans_k16_iter2_sec":$tk}""")
-      vecs.unpersist(blocking = true)
+      Release(vecs, blocking = true)
     }
 
     // IVF / IVF-PQ build-vs-search split (the ss7/ss14 lanes time search
@@ -465,7 +465,7 @@ object PerfCompare {
         s""""ivf_search_sec":$tsi,"ivf_search_rows":$nsi,""" +
         s""""ivfpq_build_sec":$tbp,"ivfpq_search_sec":$tsp,""" +
         s""""ivfpq_search_rows":$nsp}""")
-      corpus.unpersist(blocking = true)
+      Release(corpus, blocking = true)
     }
 
     // DSIR gram→bucket pipeline: the pre-r5 shape (two shingle
@@ -511,7 +511,7 @@ object PerfCompare {
       val (tOld, _) = time(oldShape)
       val (tNew, _) = time(fused)
       println(s"""{"dsir_gram_docs":$n,"union_md5_sec":$tOld,"fused_generator_sec":$tNew}""")
-      docs.unpersist(blocking = true)
+      Release(docs, blocking = true)
     }
 
     // Entry parser: Scala UDF (Encoder round-trip per row) vs the
@@ -558,7 +558,7 @@ object PerfCompare {
       }
       val (tu, tp) = (us.min, ks.min)
       println(s"""{"parse_lines":$n,"parse_udf_sec":$tu,"parse_kernel_sec":$tp}""")
-      lines.unpersist(blocking = true)
+      Release(lines, blocking = true)
     }
 
     // Skewed join, three ways: plain sort-merge (one reducer owns the
@@ -669,8 +669,8 @@ object PerfCompare {
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", bcWas)
         spark.conf.set("spark.sql.adaptive.enabled", aqeWas)
       }
-      big.unpersist(blocking = true)
-      small.unpersist(blocking = true)
+      Release(big, blocking = true)
+      Release(small, blocking = true)
     }
 
     // SimHash Hamming LSH (dd15): the 4-band guaranteed-recall union
@@ -736,8 +736,8 @@ object PerfCompare {
       require(ne == nb, s"e2e pair count drifted: $ne vs $nb")
       println(s"""{"simhash_docs":$n,"banded4_sec":$tb,"banded4_pairs":$nb,""" +
         s""""prefix1_sec":$tp,"prefix1_pairs":$np,"e2e_sec":$te}""")
-      sh.unpersist(blocking = true)
-      docs.unpersist(blocking = true)
+      Release(sh, blocking = true)
+      Release(docs, blocking = true)
     }
     spark.stop()
   }

@@ -14,7 +14,8 @@ import org.apache.spark.sql.functions._
   * (PERF.md). Sizes are CLI-overridable: `runMain graft.ScaleSmoke
   * [spanDocs] [containDocs] [lshDocs] [tfidfDocs] [embVecs] [evEvents]
   * [shardDocs] [vocabDocs] [pqVecs] [dsirDocs]`. `GRAFT_SS_ONLY=
-  * simhash,decon` replays just the named round-6 lanes.
+  * <lanes>` replays just the named lanes — any comma-separated subset
+  * of simhash, decon, bpe, overlap, curation.
   */
 object ScaleSmoke {
   def main(args: Array[String]): Unit = {
@@ -44,8 +45,8 @@ object ScaleSmoke {
     def round1(d: Double): Double = math.rint(d * 10) / 10
 
     // Targeted replays (the PerfCompare affordance): GRAFT_SS_ONLY
-    // names a subset of the round-6 lanes (simhash, decon); unset runs
-    // everything including the legacy block below.
+    // names a subset of the named lanes (simhash, decon, bpe, overlap,
+    // curation); unset runs everything including the legacy block below.
     val only = sys.env.get("GRAFT_SS_ONLY")
       .map(_.split(",").map(_.trim.toLowerCase).filter(_.nonEmpty).toSet)
       .getOrElse(Set.empty[String])
@@ -63,7 +64,7 @@ object ScaleSmoke {
     val (t1, n1) = t(operators.DedupOps
       .spanDedup(spanCorpus, "id", "text", 8).count())
     println(s"""{"span_docs":$spanDocs,"sec":${round1(t1)},"rows":$n1}""")
-    spanCorpus.unpersist(blocking = true)
+    Release(spanCorpus, blocking = true)
 
     // every doc carries one GLOBAL boilerplate token: the df cap must
     // absorb a posting list spanning the whole corpus
@@ -77,7 +78,7 @@ object ScaleSmoke {
       containCorpus, "id", "text", k = 3, threshold = 0.8,
       maxDf = 16).count())
     println(s"""{"contain_docs":$containDocs,"sec":${round1(t2)},"pairs":$n2}""")
-    containCorpus.unpersist(blocking = true)
+    Release(containCorpus, blocking = true)
 
     val lshCorpus = spark.range(lshDocs).select(col("id").as("doc_id"),
       concat_ws(" ", (0 until 20).map(j =>
@@ -92,7 +93,7 @@ object ScaleSmoke {
       lshCorpus, "doc_id", "text", shingleK = 3, numPerm = 16, bands = 4)
     val (t4, n4) = t(operators.DedupOps.clusters(pairs, "a", "b").count())
     println(s"""{"cluster_edges_from_docs":$lshDocs,"sec":${round1(t4)},"members":$n4}""")
-    lshCorpus.unpersist(blocking = true)
+    Release(lshCorpus, blocking = true)
 
     // text lane: tf-idf at crawl scale — the (doc, term) partial agg
     // carries ~24 tokens/doc (240M rows), the df table derives from it,
@@ -107,7 +108,7 @@ object ScaleSmoke {
     val (t5, n5) = t(operators.TextAnalysisOps
       .tfidf(tfidfCorpus, "id", "text", minTf = 1).count())
     println(s"""{"tfidf_docs":$tfidfDocs,"sec":${round1(t5)},"doc_terms":$n5}""")
-    tfidfCorpus.unpersist(blocking = true)
+    Release(tfidfCorpus, blocking = true)
 
     // similarity lane: embedding near-dup pairs — 24-dim float vectors
     // in duplicate groups of 4 (shared base pattern, per-member noise an
@@ -127,7 +128,7 @@ object ScaleSmoke {
       embCorpus, threshold = 0.99, bits = 16,
       idCol = "vid", vecCol = "embedding").count())
     println(s"""{"emb_vecs":$embVecs,"sec":${round1(t6)},"near_dup_pairs":$n6}""")
-    embCorpus.unpersist(blocking = true)
+    Release(embCorpus, blocking = true)
 
     // events lane: session windows and the as-of join, with a PLANTED
     // HOT KEY — user 0 owns 5% of all events, so one task receives a
@@ -168,7 +169,7 @@ object ScaleSmoke {
     val (t9, n9) = t(operators.TextAnalysisOps
       .shardManifest(exportDocs, "id", "n_tokens", 1024).count())
     println(s"""{"shard_docs":$shardDocs,"sec":${round1(t9)},"shards":$n9}""")
-    exportDocs.unpersist(blocking = true)
+    Release(exportDocs, blocking = true)
 
     // vocab lane: 50k-entry vocabulary over a 500k-term space. The
     // term agg combines map-side; the top-N is TakeOrderedAndProject,
@@ -186,7 +187,7 @@ object ScaleSmoke {
     val (t11, n11) = t(operators.TextAnalysisOps
       .oovRate(vocabCorpus, "id", "text", 50000).count())
     println(s"""{"oov_docs":$vocabDocs,"sec":${round1(t11)},"docs_scored":$n11}""")
-    vocabCorpus.unpersist(blocking = true)
+    Release(vocabCorpus, blocking = true)
 
     // ann-index lane: persisted IVF-PQ at 2M × 24-dim — build (256
     // cells, 2×12-dim subspaces, 16-centroid codebooks, coded write)
@@ -216,7 +217,7 @@ object ScaleSmoke {
       subDim = 12, idCol = "vid", vecCol = "embedding",
       kernel = f32).count())
     println(s"""{"ivfpq_search_queries":100,"sec":${round1(t13)},"results":$n13}""")
-    pqCorpus.unpersist(blocking = true)
+    Release(pqCorpus, blocking = true)
 
     // dsir lane: importance weights at crawl scale (the catalog's most
     // expensive text query without a scale datapoint until now). The
@@ -271,8 +272,8 @@ object ScaleSmoke {
       require(hOld == hNew, s"gram A/B digest mismatch: $hOld vs $hNew")
       println(s"""{"dsir_gram_ab_docs":$dsirDocs,"union_md5_sec":${round1(tOld)},"fused_generator_sec":${round1(tNew)}}""")
     }
-    dsirRaw.unpersist(blocking = true)
-    dsirTgt.unpersist(blocking = true)
+    Release(dsirRaw, blocking = true)
+    Release(dsirTgt, blocking = true)
     } // legacy block
 
     // simhash lane (round 6): the dd15 family at 2M docs — 60-bit
@@ -295,7 +296,7 @@ object ScaleSmoke {
       val (ts1, ns1) = t(operators.DedupOps.simhashHammingPairs(
         shCorpus, "id", "text", k = 3, maxHamming = 3, bands = 4).count())
       println(s"""{"simhash_docs":$n,"sec":${round1(ts1)},"pairs":$ns1}""")
-      shCorpus.unpersist(blocking = true)
+      Release(shCorpus, blocking = true)
     }
 
     // decontamination lane (round 6): tx35's span excision at 5M train
@@ -341,8 +342,8 @@ object ScaleSmoke {
         trainDocs, evalDocs, "id", "text", k = 3)
         .agg(sum(col("n_removed"))).first.getLong(0)
       println(s"""{"decon_train_docs":$n,"decon_eval_docs":$evalN,"sec":${round1(td1)},"docs":$nd1,"words_removed":$removed}""")
-      trainDocs.unpersist(blocking = true)
-      evalDocs.unpersist(blocking = true)
+      Release(trainDocs, blocking = true)
+      Release(evalDocs, blocking = true)
     }
 
     // BPE pair-count lane (round 6): tx36 at 10M docs. Claim under
@@ -383,7 +384,17 @@ object ScaleSmoke {
           .agg(sum(col("n_bpe_tokens"))).first.getLong(0)
       }
       println(s"""{"bpe_tokenize_docs":$n,"merges":3,"sec":${round1(tb3)},"total_bpe_tokens":$nb3}""")
-      bpeCorpus.unpersist(blocking = true)
+      // 1000-merge training run — the hybrid's reason to exist:
+      // under the per-merge-job fallback this is ~1000 × ~0.23 s of
+      // pure scheduling (≈4 min before any work); the driver-local
+      // loop makes iteration count a non-term after the one corpus
+      // scan. Reports merges actually adopted (the vocab can exhaust
+      // first — then the loop stops early by contract).
+      val (tb4, nb4) = t {
+        operators.TextAnalysisOps.bpeLearn(bpeCorpus, "text", 1000).count()
+      }
+      println(s"""{"bpe_learn_docs":$n,"merges_requested":1000,"adopted":$nb4,"sec":${round1(tb4)}}""")
+      Release(bpeCorpus, blocking = true)
     }
 
     // Cross-source overlap lane (round 6): tx38 at 5M docs across 20
@@ -412,7 +423,7 @@ object ScaleSmoke {
       val (to1, no1) = t(operators.TextAnalysisOps
         .sourceOverlap(ovCorpus, "source", "text", 3).count())
       println(s"""{"overlap_docs":$n,"sources":20,"sec":${round1(to1)},"pairs":$no1}""")
-      ovCorpus.unpersist(blocking = true)
+      Release(ovCorpus, blocking = true)
     }
 
     // End-to-end curation composite (round 6): the full training-data
@@ -457,14 +468,14 @@ object ScaleSmoke {
       val gated = operators.TextAnalysisOps
         .gopherFilter(corpus, "id", "text").localCheckpoint()
       val nGate = gated.count()
-      corpus.unpersist(blocking = false)
+      Release(corpus, blocking = false)
       val exactIds = operators.DedupOps.dedupExact(
         gated.withColumn("k", md5(col("text"))), Seq("k"), "id")
         .select("id")
       val exact = gated.join(exactIds, Seq("id"), "left_semi")
         .localCheckpoint()
       val nExact = exact.count()
-      gated.unpersist(blocking = false)
+      Release(gated, blocking = false)
       val members = operators.DedupOps.clusters(
         operators.DedupOps.minhashCandidates(exact, "id", "text",
           shingleK = 3, numPerm = 16, bands = 4)).localCheckpoint()
@@ -477,7 +488,7 @@ object ScaleSmoke {
           coalesce(col("cluster_rep"), col("id")).as("rep"))
         .localCheckpoint()
       val nSurv = survivors.count()
-      exact.unpersist(blocking = false)
+      Release(exact, blocking = false)
       val bucket = conv(substring(md5(col("rep").cast("string")), 1, 8),
         16, 10).cast("long") % 100
       val split = survivors.withColumn("split",
@@ -491,8 +502,8 @@ object ScaleSmoke {
         .agg(sum("n_docs")).first.getLong(0)
       val secAll = (System.nanoTime() - tAll0) / 1e9
       println(s"""{"curation_docs":$n,"sec":${round1(secAll)},"gate":$nGate,"exact":$nExact,"survivors":$nSurv,"train":${sc.getOrElse("train", 0L)},"val":${sc.getOrElse("val", 0L)},"test":${sc.getOrElse("test", 0L)},"manifest_docs":$mass}""")
-      members.unpersist(blocking = true)
-      survivors.unpersist(blocking = true)
+      Release(members, blocking = true)
+      Release(survivors, blocking = true)
     }
     spark.stop()
   }

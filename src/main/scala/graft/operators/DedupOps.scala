@@ -431,7 +431,9 @@ object DedupOps {
       converged = next.count() == e.count() && next.except(e).isEmpty
       // `next` is fully materialized; drop the superseded round's blocks
       // so live checkpoint state stays O(1) edge sets, not O(rounds).
-      e.unpersist(blocking = false)
+      // Release, not Dataset.unpersist: the latter no-ops on a
+      // checkpointed frame (CacheManager never saw the RDD persist).
+      graft.Release(e)
       e = next
     }
     // Fixed point is a star forest hi→componentMin; add the roots.

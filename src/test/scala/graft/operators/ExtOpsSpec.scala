@@ -1554,4 +1554,72 @@ class ExtOpsSpec extends SparkSpec {
     assert(out(2L) == ((4L, 3L)))       // aaab+ab+aaaa → 1+1+2
     assert(!out.contains(3L))           // no extractable word → absent
   }
+
+  test("bpeLearn: driver-local and distributed loops agree merge-for-merge") {
+    // maxLocalVocab=0 forces the distributed fallback; the default
+    // takes the driver-local path — identical semantics is the hybrid's
+    // contract. Corpus chosen with count ties ("a b" vs "b a") so the
+    // pair-asc tie-break is exercised on both paths.
+    val docs = Seq((1L, "abab baba abba"), (2L, "baab abab cc"),
+      (3L, "ccc abc cab")).toDF("doc_id", "text")
+    val local = TextAnalysisOps.bpeLearn(docs, "text", nMerges = 5)
+      .as[(Int, String, Long)].collect().toList.sortBy(_._1)
+    val dist = TextAnalysisOps
+      .bpeLearn(docs, "text", nMerges = 5, maxLocalVocab = 0L)
+      .as[(Int, String, Long)].collect().toList.sortBy(_._1)
+    assert(local == dist)
+    assert(local.size == 5)
+    val tcLocal = TextAnalysisOps.bpeTokenCount(docs, "doc_id", "text", 5)
+      .as[(Long, Long, Long)].collect().toSet
+    val tcDist = TextAnalysisOps
+      .bpeTokenCount(docs, "doc_id", "text", 5, maxLocalVocab = 0L)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(tcLocal == tcDist)
+  }
+
+  test("bpeLearn: merge-space exhaustion stops early on both paths") {
+    // wf: aaab, ab → exactly 3 merges exist ("a a", "a b", "aa ab");
+    // asking for 10 must return 3 rows, not throw (the empty-top edge)
+    val docs = Seq((1L, "aaab aaab ab"), (2L, "aaab ab"))
+      .toDF("doc_id", "text")
+    for (maxLocal <- Seq(TextAnalysisOps.bpeMaxLocalVocab, 0L)) {
+      val out = TextAnalysisOps
+        .bpeLearn(docs, "text", nMerges = 10, maxLocalVocab = maxLocal)
+        .as[(Int, String, Long)].collect().toList.sortBy(_._1)
+      assert(out == List((1, "a a", 6L), (2, "a b", 5L), (3, "aa ab", 3L)),
+        s"maxLocalVocab=$maxLocal")
+      // tokenization under an exhausted merge budget: every word is one
+      // symbol
+      val tc = TextAnalysisOps
+        .bpeTokenCount(docs, "doc_id", "text", 10, maxLocalVocab = maxLocal)
+        .as[(Long, Long, Long)].collect()
+        .map(t => t._1 -> ((t._2, t._3))).toMap
+      assert(tc(1L) == ((3L, 3L)) && tc(2L) == ((2L, 2L)),
+        s"maxLocalVocab=$maxLocal")
+    }
+  }
+
+  test("bpeTokenizer: release handle frees the fallback's cached vocab") {
+    val docs = Seq((1L, "aaab aaab ab"), (2L, "aaab ab"))
+      .toDF("doc_id", "text")
+    // start from a clean slate: earlier tests' GC-pending blocks would
+    // otherwise make the count assertions racy
+    spark.sparkContext.getPersistentRDDs.values
+      .foreach(_.unpersist(blocking = true))
+    def cachedRdds(): Int =
+      spark.sparkContext.getPersistentRDDs.size
+    val before = cachedRdds()
+    val (counts, release) = TextAnalysisOps
+      .bpeTokenizer(docs, "doc_id", "text", 3, maxLocalVocab = 0L)
+    assert(counts.count() == 2L)
+    assert(cachedRdds() > before) // the checkpointed tokenizer model
+    release()
+    assert(cachedRdds() == before)
+    // the local path caches nothing and its release is a no-op
+    val (counts2, release2) = TextAnalysisOps
+      .bpeTokenizer(docs, "doc_id", "text", 3)
+    assert(counts2.count() == 2L)
+    assert(cachedRdds() == before)
+    release2()
+  }
 }
