@@ -156,10 +156,14 @@ object TextAnalysisOps {
     * (doc, word-index) set under any hit gram's [i, i+k-1] range.
     *
     * Scale shape: eval grams are one distinct set (bloom/broadcast-able
-    * like [[contaminationBloom]]'s); the hit join carries (id, gram
-    * start) only, coverage expansion is a narrow k-row explode, and the
-    * anti join + reassembly key on (id, index) ints — the corpus text
-    * crosses the wire once, as words, with no pair formation anywhere.
+    * like [[contaminationBloom]]'s), digested to fixed 16-byte md5 keys
+    * before the distinct so the semi-join build side and its exchange
+    * carry digests, never gram text (the oracle computes the identical
+    * md5 — collision behavior replays exactly); the hit join carries
+    * (id, gram start) only, coverage expansion is a narrow k-row
+    * explode, and the anti join + reassembly key on (id, index) ints —
+    * the corpus text crosses the wire once, as words, with no pair
+    * formation anywhere.
     */
   def decontaminateSpans(train: DataFrame, eval_ : DataFrame,
                          idCol: String, textCol: String,
@@ -167,11 +171,13 @@ object TextAnalysisOps {
     val words = train.select(col(idCol),
       posexplode(split(col(textCol), " "))).toDF(idCol, "_i", "_w")
     val grams = train.select(col(idCol),
-      posexplode(graft.functions.ShingleGen.shingleArray(
-        col(textCol), k, distinct = false))).toDF(idCol, "_i", "_g")
+        posexplode(graft.functions.ShingleGen.shingleArray(
+          col(textCol), k, distinct = false))).toDF(idCol, "_i", "_gt")
+      .select(col(idCol), col("_i"), unhex(md5(col("_gt"))).as("_g"))
     val evalG = eval_.select(
-      graft.functions.ShingleGen.shingleGen(col(textCol), k,
-        distinct = true)).toDF("_g").distinct()
+        graft.functions.ShingleGen.shingleGen(col(textCol), k,
+          distinct = true)).toDF("_gt")
+      .select(unhex(md5(col("_gt"))).as("_g")).distinct()
     val hits = grams.join(evalG, Seq("_g"), "left_semi")
     val covered = hits.select(col(idCol),
       explode(sequence(col("_i"), col("_i") + lit(k - 1)))).toDF(idCol, "_i")
@@ -911,9 +917,16 @@ object TextAnalysisOps {
     * per-gram posting lists (the dd12 containment pattern), never via a
     * vocab×vocab join: one grouped collect builds each gram's sorted
     * source set (bounded by S, the source cardinality — a diagnostic
-    * runs at S in the tens, not thousands), and the S²-bounded pair
-    * expansion is an in-row slice explode. The gram stream comes off
-    * the native zero-copy Generator, not the HOF array chain. Measured
+    * runs at S in the tens, not thousands; `maxSources` makes the
+    * bound ENFORCED — a gram shared by more sources fails the job with
+    * a raise_error inside the plan rather than silently exploding S²
+    * megarows per gram), and the S²-bounded pair expansion is an
+    * in-row slice explode. The gram stream comes off the native
+    * zero-copy Generator, not the HOF array chain, and is digested to
+    * a fixed 16-byte md5 BEFORE the distinct — the gram-key exchanges
+    * carry digests, never gram text (the tx33/dd15 no-text-in-shuffles
+    * discipline; the oracle computes the identical md5, so even a
+    * collision replays bit-identically). Measured
     * at sf0.1 on gram-saturated data (every gram in ~all 20 sources —
     * the worst case): self-join + HOF chain 2.29 s → posting-list
     * pairs + native generator 0.91 s. The
@@ -921,18 +934,34 @@ object TextAnalysisOps {
     * bit-identically in any engine, no rounding step to disagree on.
     */
   def sourceOverlap(df: DataFrame, groupCol: String, textCol: String,
-                    k: Int): DataFrame = {
+                    k: Int, maxSources: Int = 128): DataFrame = {
     // native zero-copy shingle Generator, not the HOF array chain —
-    // the gram stream is the lane's volume term (PERF.md ~7× lesson)
+    // the gram stream is the lane's volume term (PERF.md ~7× lesson);
+    // the digest is projected before the distinct so its exchange
+    // carries fixed 16-BYTE BINARY keys, not unbounded gram strings
+    // (unhex, not the 32-char hex form — hex doubled the key bytes and
+    // measurably lost to raw short grams on the 5 M-doc probe; the
+    // oracle groups on the hex digest, a bijection of these bytes, so
+    // collision behavior still replays exactly)
     val grams = df.select(col(groupCol).as("src"),
         graft.functions.ShingleGen.shingleGen(col(textCol), k,
-          distinct = true).as("g"))
+          distinct = true).as("_gt"))
+      .select(col("src"), unhex(md5(col("_gt"))).as("g"))
       .distinct()
     val sizes = grams.groupBy("src").agg(count(lit(1)).as("nv"))
     // sorted source set per gram → (i, j>i) pairs in-row: sa < sb by
-    // construction (sort_array and the string `<` are both binary)
+    // construction (sort_array and the string `<` are both binary).
+    // The guard lives INSIDE the consumed column (a bare assert_true
+    // projection would be pruned away unevaluated).
+    val ss = sort_array(collect_set(col("src")))
+    val guarded = when(size(ss) <= maxSources, ss).otherwise(raise_error(
+      concat(lit("sourceOverlap: a gram is shared by "),
+        size(ss).cast("string"),
+        lit(s" sources, over maxSources=$maxSources — the in-row pair" +
+          " expansion is S^2 per gram; raise maxSources deliberately" +
+          " or pre-filter boilerplate grams"))))
     val inter = grams.groupBy("g")
-      .agg(sort_array(collect_set(col("src"))).as("ss"))
+      .agg(guarded.as("ss"))
       .select(posexplode(col("ss")).as(Seq("i", "sa")), col("ss"))
       .select(col("sa"), explode(
         slice(col("ss"), col("i") + 2, size(col("ss")))).as("sb"))

@@ -662,12 +662,13 @@ object TextQueries {
     "tx35_decontaminate" ->
       """WITH train AS (SELECT doc_id, text FROM documents
                         WHERE source <> 'src0'),
-         ev AS (SELECT DISTINCT
+         ev0 AS (SELECT
                   unnest([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
                           for i in range(1, len(w)-1)]) AS g
                 FROM (SELECT string_split(text,' ') AS w FROM documents
                       WHERE source = 'src0')
                 WHERE len(w) >= 3),
+         ev AS (SELECT DISTINCT md5(g) AS g FROM ev0),
          tww AS (SELECT doc_id, string_split(text,' ') AS w FROM train),
          tw AS (SELECT doc_id, generate_subscripts(w,1) - 1 AS i,
                   unnest(w) AS word FROM tww),
@@ -678,7 +679,7 @@ object TextQueries {
                          for j in range(1, len(w)-1)] AS g
                       FROM tww WHERE len(w) >= 3)),
          hits AS (SELECT DISTINCT tg.doc_id, tg.i
-                  FROM tg JOIN ev ON tg.gram = ev.g),
+                  FROM tg JOIN ev ON md5(tg.gram) = ev.g),
          cov AS (SELECT DISTINCT doc_id, i + o AS i
                  FROM hits CROSS JOIN (SELECT unnest(range(0,3)) AS o) os),
          kept AS (SELECT tw.doc_id, tw.i, tw.word
@@ -795,15 +796,18 @@ object TextQueries {
          SELECT doc_id, sum(n_sym)::BIGINT AS n_bpe_tokens,
            count(*)::BIGINT AS n_words
          FROM u JOIN sc USING (w) GROUP BY doc_id""",
-    // distinct (source, gram) built once; jaccard is a raw IEEE
-    // division of exact integers — no round() to hit a decimal tie
+    // distinct (source, gram-digest) built once — md5 mirrors the
+    // operator's no-text-in-shuffles keying, so even a digest collision
+    // replays identically; jaccard is a raw IEEE division of exact
+    // integers — no round() to hit a decimal tie
     "tx38_source_overlap" ->
-      """WITH g AS (SELECT DISTINCT source,
+      """WITH g0 AS (SELECT source,
                       unnest([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
                               for i in range(1, len(w)-1)]) AS g
                     FROM (SELECT source, string_split(text, ' ') AS w
                           FROM documents)
                     WHERE len(w) >= 3),
+         g AS (SELECT DISTINCT source, md5(g) AS g FROM g0),
          s AS (SELECT source, count(*) AS nv FROM g GROUP BY source),
          i AS (SELECT a.source AS sa, b.source AS sb, count(*) AS inter
                FROM g a JOIN g b ON a.g = b.g AND a.source < b.source

@@ -170,6 +170,32 @@ class PlanShapeSpec extends SparkSpec {
     assert(!s.contains("SortMergeJoin") && !s.contains("ShuffledHashJoin"), s)
   }
 
+  test("tx38/tx35: gram-key exchanges carry md5 digests, never gram text") {
+    // the no-text-in-shuffles discipline extended to the overlap and
+    // decontamination lanes: the raw shingle column (_gt) must be
+    // digested to md5 BEFORE any exchange, so shuffles carry fixed
+    // 32-byte keys instead of unbounded gram strings (the 5 M-doc
+    // probe put ~70 M gram strings through tx38's distinct pre-fix).
+    // tx35's words/clean-text pass is the one place text legitimately
+    // crosses — the gram columns are the pinned surface.
+    def shuffleOutputs(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[Seq[String]] = {
+      val here = p match {
+        case s: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike =>
+          Seq(s.output.map(_.name))
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          shuffleOutputs(q.plan)
+        case _ => Nil
+      }
+      here ++ p.children.flatMap(shuffleOutputs)
+    }
+    for (lane <- Seq("tx38_source_overlap", "tx35_decontaminate")) {
+      val bad = shuffleOutputs(finalPlan(lane))
+        .filter(cols => cols.contains("_gt") || cols.contains("text"))
+      assert(bad.isEmpty, s"$lane gram-text exchange outputs: $bad")
+    }
+  }
+
   test("tx39 tokenize: the vocabulary joins the word stream by broadcast") {
     // the tokenizer model is executor-resident by definition; a
     // shuffled join here would exchange the corpus-sized word stream

@@ -1527,6 +1527,27 @@ class ExtOpsSpec extends SparkSpec {
     assert(out == List(("A", "B", 1L, 2L, 2L, 1.0 / 3)))
   }
 
+  test("sourceOverlap: over-limit gram sharing fails loudly, not S^2 silently") {
+    // one gram shared by 3 sources; maxSources=2 must raise in-plan
+    // (the documented S^2 bound is enforced, not advisory), and the
+    // default bound leaves the result unchanged
+    val docs = Seq(
+      (1L, "A", "a b c d"), (2L, "B", "a b c e"), (3L, "C", "a b c f"))
+      .toDF("doc_id", "source", "text")
+    val ok = TextAnalysisOps.sourceOverlap(docs, "source", "text", k = 3)
+      .as[(String, String, Long, Long, Long, Double)].collect().toSet
+    assert(ok.map(t => (t._1, t._2, t._3)) ==
+      Set(("A", "B", 1L), ("A", "C", 1L), ("B", "C", 1L)))
+    val e = intercept[Exception] {
+      TextAnalysisOps.sourceOverlap(docs, "source", "text", k = 3,
+        maxSources = 2).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil
+      else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("maxSources=2")), e.toString)
+  }
+
   test("bpeLearn: merges cascade — later rounds count merged symbols") {
     // wf: aaab=3, ab=2
     // round 1: "a a" = 2x3 = 6 beats "a b" = 3+2 = 5 -> merge "a a"
