@@ -296,6 +296,15 @@ object ScaleSmoke {
       val (ts1, ns1) = t(operators.DedupOps.simhashHammingPairs(
         shCorpus, "id", "text", k = 3, maxHamming = 3, bands = 4).count())
       println(s"""{"simhash_docs":$n,"sec":${round1(ts1)},"pairs":$ns1}""")
+      // width A/B (round 7): the 120-bit/8-band geometry — the
+      // documented production setting past ~100M docs. Same recall
+      // guarantee at maxHamming=3 (3 < 8); expected effects: higher
+      // precision (noise pairs spread out in a 120-bit space) and a
+      // 2^15-per-band key space × 8 bands, at ~2× signature-agg work.
+      val (ts2, ns2) = t(operators.DedupOps.simhashHammingPairsW(
+        shCorpus, "id", "text", k = 3, maxHamming = 3,
+        bands = 8, bits = 120).count())
+      println(s"""{"simhash_docs":$n,"bits":120,"bands":8,"sec":${round1(ts2)},"pairs":$ns2}""")
       Release(shCorpus, blocking = true)
     }
 

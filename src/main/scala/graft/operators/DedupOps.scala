@@ -303,7 +303,8 @@ object DedupOps {
     * by the corpus' true near-dup density, not by a tiny key space.
     * Both join sides derive from one signature scan (reused exchange).
     * At 100 TB the same shape holds with a wider signature and
-    * proportionally wider bands.
+    * proportionally wider bands — [[simhashHammingPairsW]] is that
+    * configuration (any width up to the full 128-bit digest).
     */
   def simhashHammingPairs(df: DataFrame, idCol: String, textCol: String,
                           k: Int = 3, maxHamming: Int = 3,
@@ -346,6 +347,88 @@ object DedupOps {
       .select(col(s"l.$idCol").as("a"), col(s"r.$idCol").as("b"),
         bit_count(col("l.simhash").bitwiseXOR(col("r.simhash")))
           .cast("int").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Width-parameterized SimHash — [[simhash60]]'s md5-nibble
+    * construction generalized to any `bits <= 128` (the full md5
+    * digest), realizing the "wider signature, proportionally wider
+    * bands" scale path the 60-bit operator documents. The signature
+    * comes back as `array<bigint>` of `bands` equal-width band values
+    * (band b holds bits [b·w, (b+1)·w), bit j of a band at weight 2^j)
+    * — the representation the band join and the per-band XOR popcount
+    * both want, with every element non-negative (w <= 60) for engines
+    * whose BIGINT overflow throws. Bit p's sign comes from md5 nibble
+    * p/4 bit p%4, exactly as [[simhash60]] — at bits=60 the
+    * concatenated band values ARE the 60-bit signature (asserted in
+    * ExtOpsSpec).
+    */
+  def simhashW(df: DataFrame, idCol: String, textCol: String,
+               k: Int = 3, bits: Int = 60, bands: Int = 4): DataFrame = {
+    require(bits >= 1 && bits <= 128, s"bits must be in [1,128], got $bits")
+    require(bits % bands == 0, s"bands must divide bits, got $bits/$bands")
+    val w = bits / bands
+    require(w <= 60, s"band width must be <= 60 bits, got $w")
+    val tok = df.select(col(idCol),
+      graft.functions.ShingleGen.shingleGen(col(textCol), k,
+        distinct = true)).toDF(idCol, "_t")
+      .withColumn("_h", md5(col("_t")))
+    val sums = (0 until bits).map { p =>
+      val nibble = conv(substring(col("_h"), p / 4 + 1, 1), 16, 10)
+        .cast("int")
+      sum(shiftright(nibble, p % 4).bitwiseAND(lit(1)) * 2 - 1).as(s"_s$p")
+    }
+    tok.groupBy(col(idCol))
+      .agg(sums.head, sums.tail: _*)
+      .select(col(idCol),
+        array((0 until bands).map { b =>
+          (0 until w).map(j =>
+            when(col(s"_s${b * w + j}") > 0, lit(1L << j)).otherwise(lit(0L)))
+            .reduce(_ + _)
+        }: _*).as("simhash"))
+  }
+
+  /** [[simhashHammingPairs]] at an arbitrary signature width — the
+    * 100-TB configuration the 60-bit operator's scaladoc promises: a
+    * wider signature raises precision (random pairs spread out in
+    * Hamming space) while the pigeonhole guarantee is unchanged (any
+    * pair at Hamming <= bands-1 still agrees on a full band). Same
+    * plan shape: one signature scan, merge-hinted self-join on (band,
+    * band value) reusing ONE exchange, emit-once lowest-band predicate
+    * instead of a candidate-dedup exchange; the Hamming distance is a
+    * per-band XOR popcount summed as a STATICALLY UNROLLED expression
+    * (`bands` is a plan-time constant — a `zip_with`+`aggregate` fold
+    * would put an interpreted higher-order lambda on every candidate
+    * pair, the hottest row stream in the plan). The exchange carries
+    * (band, band value, id, bits/8-byte signature array) — never text.
+    */
+  def simhashHammingPairsW(df: DataFrame, idCol: String, textCol: String,
+                           k: Int = 3, maxHamming: Int = 3,
+                           bands: Int = 4, bits: Int = 60): DataFrame = {
+    require(maxHamming < bands,
+      s"recall guarantee needs maxHamming < bands ($maxHamming >= $bands)")
+    val banded = simhashW(df, idCol, textCol, k, bits, bands)
+      .select(col(idCol), col("simhash"), posexplode(col("simhash")))
+      .toDF(idCol, "simhash", "_band", "_bv")
+    // identical self-join recipe to the 60-bit operator: merge hint →
+    // one reused exchange; lowest-colliding-band emit-once predicate
+    val l = banded.hint("merge").as("l")
+    val r = banded.hint("merge").as("r")
+    val earlierCollision = (0 until bands).map { b =>
+      (lit(b) < col("l._band")) &&
+        (element_at(col("l.simhash"), b + 1) ===
+         element_at(col("r.simhash"), b + 1))
+    }.reduce(_ || _)
+    val hamming = (0 until bands).map { b =>
+      bit_count(element_at(col("l.simhash"), b + 1)
+        .bitwiseXOR(element_at(col("r.simhash"), b + 1)))
+    }.reduce(_ + _).cast("int")
+    l.join(r, col("l._band") === col("r._band") &&
+        col("l._bv") === col("r._bv") &&
+        col(s"l.$idCol") < col(s"r.$idCol"))
+      .filter(!earlierCollision)
+      .select(col(s"l.$idCol").as("a"), col(s"r.$idCol").as("b"),
+        hamming.as("hamming"))
       .filter(col("hamming") <= maxHamming)
   }
 

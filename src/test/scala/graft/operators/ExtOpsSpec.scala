@@ -574,6 +574,29 @@ class ExtOpsSpec extends SparkSpec {
     assert(out.forall { case ((a, b), h) => a < b && h >= 0 && h <= 3 })
   }
 
+  test("simhashW: 60-bit bands concatenate to simhash60; W pairs equal the 60-bit operator") {
+    // the width-parameterized form at the default geometry must BE the
+    // 60-bit operator: band values are its contiguous 15-bit ranges,
+    // and the Hamming-pair output is identical set-for-set
+    val sig = DedupOps.simhashW(df, "doc_id", "text", k = 3)
+      .as[(Long, Seq[Long])].collect().toMap
+    val packed = DedupOps.simhash60(df, "doc_id", "text", k = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(sig.keySet == packed.keySet)
+    for ((id, bands) <- sig) {
+      assert(bands.length == 4 && bands.forall(v => v >= 0 && v < (1L << 15)))
+      assert(bands.zipWithIndex.map { case (v, b) => v << (b * 15) }.sum
+        == packed(id), s"doc $id")
+    }
+    val w = DedupOps.simhashHammingPairsW(df, "doc_id", "text",
+        k = 3, maxHamming = 3, bands = 4, bits = 60)
+      .as[(Long, Long, Int)].collect().toSet
+    val base = DedupOps.simhashHammingPairs(df, "doc_id", "text",
+        k = 3, maxHamming = 3, bands = 4)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(w == base)
+  }
+
   test("clusters: transitive pairs merge; rep is min member") {
     val pairs = Seq((1L, 4L), (4L, 9L), (20L, 30L)).toDF("a", "b")
     val out = DedupOps.clusters(pairs)

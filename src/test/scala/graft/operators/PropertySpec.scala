@@ -196,6 +196,53 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("simhashHammingPairsW: pigeonhole recall holds at 60- and 120-bit widths") {
+    // executable spec: signatures from the MessageDigest model at the
+    // requested width; EVERY pair within maxHamming = bands-1 must
+    // surface (the Manku pigeonhole guarantee), exactly once (the
+    // emit-once lowest-band contract), with the exact Hamming distance.
+    // Swept at the default 60/4 and the wide 120/8 geometry — the
+    // 100-TB configuration the dd15 scaladoc promises.
+    def sig(text: String, k: Int, bits: Int): Option[Array[Boolean]] = {
+      val w = text.split(" ").toSeq
+      if (w.length < k) None
+      else {
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val sums = new Array[Int](bits)
+        for (s <- w.sliding(k).map(_.mkString(" ")).toSeq.distinct) {
+          val hex = md.digest(s.getBytes("UTF-8"))
+            .map("%02x".format(_)).mkString
+          for (p <- 0 until bits) {
+            val v = Character.digit(hex.charAt(p / 4), 16)
+            sums(p) += (((v >> (p % 4)) & 1) * 2 - 1)
+          }
+        }
+        Some(sums.map(_ > 0))
+      }
+    }
+    // tiny vocabulary + short docs → dense near-dup space, so the
+    // threshold actually bites
+    val words = Vector("aa", "bb", "cc", "dd", "ee")
+    for ((bits, bands, maxH) <- Seq((60, 4, 3), (120, 8, 7))) {
+      val docs = (0 until 30).map { i =>
+        (i.toLong, Seq.fill(4 + rnd.nextInt(5))(
+          words(rnd.nextInt(words.length))).mkString(" "))
+      }
+      val sigs = docs.flatMap { case (id, t) =>
+        sig(t, 2, bits).map(id -> _) }.toMap
+      val expected = (for {
+        (a, sa) <- sigs.toSeq; (b, sb) <- sigs.toSeq if a < b
+        h = sa.zip(sb).count { case (x, y) => x != y } if h <= maxH
+      } yield (a, b, h)).toSet
+      val got = DedupOps.simhashHammingPairsW(docs.toDF("doc_id", "text"),
+          "doc_id", "text", k = 2, maxHamming = maxH,
+          bands = bands, bits = bits)
+        .as[(Long, Long, Int)].collect()
+      assert(got.length == got.toSet.size, s"bits=$bits: duplicate pairs")
+      assert(got.toSet == expected, s"bits=$bits")
+    }
+  }
+
   test("decontaminateSpans invariants: identity vs no-op eval, total self-wipe, bounds") {
     val words = Vector("aa", "bb", "cc", "dd", "ee", "ff", "gg", "hh")
     val docs = (0 until 40).map { i =>
