@@ -11,8 +11,8 @@ import org.apache.spark.sql.expressions.Window
   *
   * A full run is ~10 min; `GRAFT_PC_ONLY=<lane,...>` replays a subset
   * (lanes: topk, cc, bloom, span, containment, kernels, kmeans, ivf,
-  * dsir, parse, skew, simhash) — the targeted-replay affordance Bench gets from
-  * its query-name args.
+  * ivfcurve, dsir, parse, skew, simhash) — the targeted-replay
+  * affordance Bench gets from its query-name args.
   */
 object PerfCompare {
   def main(args: Array[String]): Unit = {
@@ -29,10 +29,10 @@ object PerfCompare {
 
     // Lane filter for cheap replays (a full run is ~10 min): e.g.
     // GRAFT_PC_ONLY=parse,dsir runs only those blocks. Lane names:
-    // topk, cc, bloom, span, containment, kernels, kmeans, ivf, dsir,
-    // parse, skew, simhash. Default (unset) = all. Each lane builds and
-    // releases
-    // its own caches, so skipping any subset is safe.
+    // topk, cc, bloom, span, containment, kernels, kmeans, ivf,
+    // ivfcurve, dsir, parse, skew, simhash. Default (unset) = all.
+    // Each lane builds and releases its own caches, so skipping any
+    // subset is safe.
     val only = sys.env.get("GRAFT_PC_ONLY")
       .map(_.split(",").map(_.trim.toLowerCase).filter(_.nonEmpty).toSet)
       .getOrElse(Set.empty[String])
@@ -465,6 +465,75 @@ object PerfCompare {
         s""""ivf_search_sec":$tsi,"ivf_search_rows":$nsi,""" +
         s""""ivfpq_build_sec":$tbp,"ivfpq_search_sec":$tsp,""" +
         s""""ivfpq_search_rows":$nsp}""")
+      Release(corpus, blocking = true)
+    }
+
+    // ANN speed/recall CURVE (round 7): nProbe is the knob a real IVF
+    // deployment tunes, and ss15 measures only one point of it. This
+    // sweeps nProbe over a persisted index against exact brute-force
+    // ground truth on a query sample — one JSON line per setting, the
+    // curve PERF.md tabulates. Recall@10 is corpus-level:
+    // |approx ∩ exact| / |exact| over all sample queries.
+    lane("ivfcurve") {
+      // CLUSTERED synthetic embeddings (256 hash-derived centers ±2
+      // per dim, ±0.2 noise) — uniform-random vectors have no
+      // neighborhood structure, which makes IVF recall artificially
+      // terrible (measured 9% at nProbe=1) and unlike any real
+      // embedding space; clustered data reproduces the regime the
+      // operator exists for
+      val n = 500000L
+      val cidx = pmod(hash(col("id")), lit(256))
+      val corpus = spark.range(n).select(col("id").as("vec_id"),
+        array((0 until 64).map(j =>
+          (((pmod(hash(cidx * 31 + j), lit(2000)) - 1000) / lit(500.0)) +
+           ((pmod(hash(col("id") * 13 + j), lit(400)) - 200)
+             / lit(1000.0))).cast("float")): _*).as("embedding"))
+        .cache()
+      corpus.count()
+      val qs = corpus.filter(col("vec_id") < 64)
+      val kern = functions.CosineF32.cosineF32Native(_, _)
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft-perf-ivfcurve").toString
+      operators.IvfIndex.build(corpus, s"$dir/ivf", nList = 64,
+        idCol = "vec_id", kernel = kern)
+      // exact ground truth: ONE brute-force pass for the 64-query
+      // sample (the production recipe — truth for a sample, never the
+      // corpus)
+      val qb = qs.select(col("vec_id").as("query_id"),
+        col("embedding").as("_qv"))
+      // ranked under the SAME 4-decimal sim rounding the IVF scorer
+      // applies — measured with unrounded truth, the curve bottoms out
+      // at 0.9609 even for nProbe=64 (exhaustive): a constant ~4%
+      // tie-reorder artifact at the k boundary that would mask the
+      // knob under tune. Same-discipline truth isolates actual cell
+      // misses (exhaustive = 1.0 by construction).
+      val scored = corpus
+        .select(col("vec_id").as("neighbor_id"), col("embedding").as("_cv"))
+        .crossJoin(broadcast(qb))
+        .filter(col("query_id") =!= col("neighbor_id"))
+        .withColumn("_sim", round(kern(col("_qv"), col("_cv")), 4))
+      val exact = graft.plans.TopK.perKey(scored, Seq("query_id"),
+          Seq(col("_sim").desc, col("neighbor_id").asc), 10)
+        .select(col("query_id"), col("neighbor_id")).cache()
+      val nExact = exact.count()
+      // nProbe=64 probes every cell — exhaustive search, so its recall
+      // is the measurement ceiling: any gap from 1.0 there is the
+      // approx side's 4-decimal sim rounding reordering ties at the
+      // k boundary, not IVF misses
+      for (nProbe <- Seq(1, 2, 4, 8, 16, 64)) {
+        def searchRun: Long = operators.IvfIndex.search(spark, s"$dir/ivf",
+          qs, 10, nProbe = nProbe, idCol = "vec_id", kernel = kern).count()
+        searchRun // warm the probed-cell scan
+        val (ts, _) = time(searchRun)
+        val hits = operators.IvfIndex.search(spark, s"$dir/ivf", qs, 10,
+            nProbe = nProbe, idCol = "vec_id", kernel = kern)
+          .select(col("query_id"), col("neighbor_id"))
+          .join(exact, Seq("query_id", "neighbor_id")).count()
+        val rec = math.rint(hits.toDouble / nExact * 10000) / 10000
+        println(s"""{"ivfcurve_corpus":$n,"n_probe":$nProbe,""" +
+          s""""search_sec":$ts,"recall_at_10":$rec}""")
+      }
+      exact.unpersist(blocking = true)
       Release(corpus, blocking = true)
     }
 
