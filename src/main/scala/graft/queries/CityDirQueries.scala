@@ -199,6 +199,54 @@ object CityDirQueries {
         "$.data.geocoded[1].id"), keep = Seq("doc_id"))
     }),
 
+    // O-33 fuzzy variant: the geocodeFuzzy operator itself under the
+    // DuckDB oracle — exact broadcast lookup first, then the
+    // house-number-blocked bounded-edit-distance rescue (<= 2 edits,
+    // ties to the lexicographically smallest key), misses in-band.
+    // Inputs are derived pre-normalized (lowercase alpha first words,
+    // the abbreviation lexicon excluded on BOTH sides) so the oracle
+    // replays the match semantics with levenshtein alone, no
+    // normalization regex chain; corruption is planted
+    // deterministically — every 3rd doc +1 edit (fuzzy rescue), every
+    // 11th +3 edits (past maxEdit → in-band miss).
+    "cd14_geocode_fuzzy" -> ((s, d) => {
+      import s.implicits._
+      val abbrev = graft.geocode.Geocoder.abbreviations.map(_._1)
+      val docs = documents(s, d)
+      val fw = docs.select(col("doc_id"),
+          element_at(split(col("text"), " "), 1).as("w"))
+        .filter(col("w").rlike("^[a-z]+$") &&
+          !col("w").isInCollection(abbrev))
+      val dimw = fw.groupBy("w").agg(count(lit(1)).as("cnt"))
+        .filter(col("cnt") >= 10)
+      val houses = s.range(0, 4)
+        .select((col("id") + 10).cast("string").as("h"))
+      val dim = dimw.crossJoin(houses)
+        .select(concat(col("h"), lit(" "), col("w")).as("key"))
+        .select(
+          concat(lit("a."), col("key")).as("addressId"),
+          col("key").as("addressName"),
+          concat(lit("s."), col("key")).as("streetId"),
+          col("key").as("streetName"),
+          col("key").as("normalizedKey"),
+          struct(lit("Point").as("type"),
+            array(array(lit(0.0), lit(0.0))).as("coordinates"))
+            .as("geometry"))
+        .as[graft.model.GeoAddress]
+      val idx = graft.geocode.Geocoder.buildFuzzyIndex(s, dim)
+      val suffix = when(col("doc_id") % 11 === 0, lit("qqq"))
+        .when(col("doc_id") % 3 === 0, lit("q")).otherwise(lit(""))
+      val fact = fw.select(col("doc_id"),
+        array(struct(concat((col("doc_id") % 4 + 10).cast("string"),
+          lit(" "), col("w"), suffix).as("value"))).as("locs"))
+      val g = element_at(col("geocoded"), 1)
+      graft.geocode.Geocoder.geocodeFuzzy(fact, idx, "locs")
+        .select(col("doc_id"), g.getField("found").as("found"),
+          g.getField("result").getField("properties").getField("address")
+            .getField("id").as("address_id"),
+          g.getField("error").as("error"))
+    }),
+
     // O-35: per-group geometry collect — Point vs MultiPoint by
     // cardinality, coordinates canonically ordered.
     "cd10_multipoint" -> ((s, d) => {
@@ -310,6 +358,47 @@ object CityDirQueries {
       """SELECT source, count(*) AS n_points,
            string_agg(doc_id::VARCHAR, '-' ORDER BY doc_id) AS coords,
            CASE WHEN count(*) = 1 THEN 'Point' ELSE 'MultiPoint' END AS geom_type
-         FROM documents GROUP BY source"""
+         FROM documents GROUP BY source""",
+    // exact-first / fuzzy-rescue replay: the house-number block is the
+    // leading digit run; candidate ranking is (levenshtein, key) with
+    // the <= 2 bound — DuckDB's levenshtein is the same unit-cost edit
+    // distance the operator's bounded implementation computes
+    "cd14_geocode_fuzzy" ->
+      """WITH fw AS (SELECT doc_id, string_split(text,' ')[1] AS w
+                     FROM documents
+                     WHERE regexp_matches(string_split(text,' ')[1],
+                             '^[a-z]+$')
+                       AND string_split(text,' ')[1] NOT IN
+                         ('av','ave','st','bway','pl','rd','la','ct',
+                          'sq','w','e','n','s')),
+         dimw AS (SELECT w FROM fw GROUP BY w HAVING count(*) >= 10),
+         dim AS (SELECT (10 + h)::VARCHAR || ' ' || w AS key
+                 FROM dimw CROSS JOIN (SELECT unnest(range(0,4)) AS h)),
+         fact AS (SELECT doc_id,
+                    (10 + doc_id % 4)::VARCHAR || ' ' || w ||
+                      CASE WHEN doc_id % 11 = 0 THEN 'qqq'
+                           WHEN doc_id % 3 = 0 THEN 'q'
+                           ELSE '' END AS key
+                  FROM fw),
+         ex AS (SELECT f.doc_id, f.key, d.key AS ekey
+                FROM fact f LEFT JOIN dim d ON d.key = f.key),
+         fz AS (SELECT e.doc_id, d.key AS fkey,
+                  row_number() OVER (PARTITION BY e.doc_id
+                    ORDER BY levenshtein(e.key, d.key), d.key) AS rn
+                FROM ex e JOIN dim d
+                  ON e.ekey IS NULL
+                 AND regexp_extract(d.key, '^[0-9]+') =
+                     regexp_extract(e.key, '^[0-9]+')
+                 AND levenshtein(e.key, d.key) <= 2),
+         fz1 AS (SELECT doc_id, fkey FROM fz WHERE rn = 1)
+         SELECT e.doc_id,
+           (e.ekey IS NOT NULL OR fz1.fkey IS NOT NULL) AS found,
+           CASE WHEN e.ekey IS NOT NULL THEN 'a.' || e.ekey
+                WHEN fz1.fkey IS NOT NULL THEN 'a.' || fz1.fkey
+           END AS address_id,
+           CASE WHEN e.ekey IS NULL AND fz1.fkey IS NULL
+                THEN 'Address not found: ' || e.key
+           END AS error
+         FROM ex e LEFT JOIN fz1 ON fz1.doc_id = e.doc_id"""
   )
 }
