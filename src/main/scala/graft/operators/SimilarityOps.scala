@@ -455,7 +455,21 @@ object SimilarityOps {
     */
   def semanticDedup(df: DataFrame, k: Int, iters: Int, threshold: Double,
                     idCol: String = "vec_id",
-                    vecCol: String = "embedding"): DataFrame = {
+                    vecCol: String = "embedding"): DataFrame =
+    semanticDedupReleasable(df, k, iters, threshold, idCol, vecCol)._1
+
+  /** [[semanticDedup]] plus the release handle for the checkpointed
+    * cluster assignment the returned plan reads lazily (the
+    * [[graft.operators.TextAnalysisOps.bpeTokenizer]] pattern: without
+    * it every invocation parks one corpus-sized checkpoint until the
+    * ContextCleaner happens to GC it — min-of-N bench loops accumulate
+    * N copies). Call the handle after the consuming action completes.
+    */
+  def semanticDedupReleasable(df: DataFrame, k: Int, iters: Int,
+                              threshold: Double,
+                              idCol: String = "vec_id",
+                              vecCol: String = "embedding")
+      : (DataFrame, () => Unit) = {
     // the assignment feeds BOTH sides of the pair self-join — cut the
     // iterative lineage once instead of replaying every Lloyd round
     // twice (same recipe as DedupOps.clusters)
@@ -472,7 +486,8 @@ object SimilarityOps {
           col("_vb"))), 4))
       .filter(col("_sim") >= threshold)
       .select(col("_b").as(idCol)).distinct()
-    df.join(drops, Seq(idCol), "left_anti")
+    (df.join(drops, Seq(idCol), "left_anti"),
+      () => graft.Release(assigned))
   }
 
   /** Johnson–Lindenstrauss random projection: `dIn`-dim float vectors →

@@ -119,10 +119,12 @@ object TextAnalysisOps {
 
   /** Train/eval contamination check: for each training document, how
     * many of its distinct word k-shingles appear anywhere in the eval
-    * corpus. The join key is the shingle string (could be its md5 to
-    * shrink the exchange at scale); the eval side is reduced to its
-    * DISTINCT shingle set first, so the join's build side is the eval
-    * vocabulary, not the eval corpus. Two keyed shuffles total
+    * corpus. The join key is the shingle's fixed 16-byte md5 digest —
+    * neither the join exchange nor the eval-distinct carries shingle
+    * text (the tx33/dd15 discipline; the oracle digests identically,
+    * so collision behavior replays exactly); the eval side is reduced
+    * to its DISTINCT digest set first, so the join's build side is the
+    * eval vocabulary, not the eval corpus. Two keyed shuffles total
     * (eval-distinct, join+regroup) — never a cross product.
     */
   def contamination(train: DataFrame, eval_ : DataFrame, idCol: String,
@@ -130,11 +132,13 @@ object TextAnalysisOps {
     // native shingle generator: no HOF lambdas, no inferred pre-Generate
     // filter re-evaluating the shingle array (see ShingleGenerate)
     val trainSh = train.select(col(idCol),
-      graft.functions.ShingleGen.shingleGen(col(textCol), k,
-        distinct = true)).toDF(idCol, "_s")
+        graft.functions.ShingleGen.shingleGen(col(textCol), k,
+          distinct = true)).toDF(idCol, "_st")
+      .select(col(idCol), unhex(md5(col("_st"))).as("_s"))
     val evalSh = eval_.select(
-      graft.functions.ShingleGen.shingleGen(col(textCol), k,
-        distinct = true)).toDF("_s")
+        graft.functions.ShingleGen.shingleGen(col(textCol), k,
+          distinct = true)).toDF("_st")
+      .select(unhex(md5(col("_st"))).as("_s"))
       .distinct().withColumn("_hit", lit(1))
     trainSh.join(evalSh, Seq("_s"), "left")
       .groupBy(idCol)
@@ -212,16 +216,21 @@ object TextAnalysisOps {
                          idCol: String, textCol: String, k: Int = 3,
                          expectedShingles: Long = 1L << 22,
                          fpp: Double = 0.03): DataFrame = {
+    // digest keys like [[contamination]]: the bloom is built and probed
+    // over 16-byte digests, and the bloom-survivor exchange into the
+    // exact join carries digests, never shingle text
     val trainSh = train.select(col(idCol),
-      graft.functions.ShingleGen.shingleGen(col(textCol), k,
-        distinct = true)).toDF(idCol, "_s")
+        graft.functions.ShingleGen.shingleGen(col(textCol), k,
+          distinct = true)).toDF(idCol, "_st")
+      .select(col(idCol), unhex(md5(col("_st"))).as("_s"))
     // cache the eval vocabulary: it is consumed twice (bloom build,
     // then exact-join build side) and the shingling + distinct shuffle
     // should not run twice. persist (not checkpoint): the bloom build's
     // eager collect fills the cache as a side effect — no extra job.
     val evalSh = eval_.select(
-      graft.functions.ShingleGen.shingleGen(col(textCol), k,
-        distinct = true)).toDF("_s").distinct().persist()
+        graft.functions.ShingleGen.shingleGen(col(textCol), k,
+          distinct = true)).toDF("_st")
+      .select(unhex(md5(col("_st"))).as("_s")).distinct().persist()
     val bloom = BloomJoin.buildBloom(evalSh, col("_s"), expectedShingles, fpp)
     // pass 1: per-doc totals — partial-agg'd map side, only (id, count)
     // partials shuffle

@@ -549,13 +549,14 @@ object TextQueries {
                                         for i in range(1, len(w)-1)])) AS s
                 FROM (SELECT string_split(text, ' ') w
                       FROM documents WHERE source = 'src0')
-                WHERE len(w) >= 3)
+                WHERE len(w) >= 3),
+         evh AS (SELECT DISTINCT md5(s) AS h FROM ev)
          SELECT doc_id, count(*) AS n_shingles,
-           sum(CASE WHEN ev.s IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+           sum(CASE WHEN evh.h IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
              AS n_contaminated,
-           round(sum(CASE WHEN ev.s IS NOT NULL THEN 1 ELSE 0 END)::DOUBLE /
+           round(sum(CASE WHEN evh.h IS NOT NULL THEN 1 ELSE 0 END)::DOUBLE /
                  count(*), 4) AS contamination_ratio
-         FROM tsh LEFT JOIN ev ON tsh.s = ev.s
+         FROM tsh LEFT JOIN evh ON md5(tsh.s) = evh.h
          GROUP BY doc_id""",
     "tx15_contamination_bloom" ->
       """WITH tr AS (SELECT doc_id, string_split(text, ' ') w
@@ -569,13 +570,14 @@ object TextQueries {
                                         for i in range(1, len(w)-1)])) AS s
                 FROM (SELECT string_split(text, ' ') w
                       FROM documents WHERE source = 'src1')
-                WHERE len(w) >= 3)
+                WHERE len(w) >= 3),
+         evh AS (SELECT DISTINCT md5(s) AS h FROM ev)
          SELECT doc_id, count(*) AS n_shingles,
-           sum(CASE WHEN ev.s IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+           sum(CASE WHEN evh.h IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
              AS n_contaminated,
-           round(sum(CASE WHEN ev.s IS NOT NULL THEN 1 ELSE 0 END)::DOUBLE /
+           round(sum(CASE WHEN evh.h IS NOT NULL THEN 1 ELSE 0 END)::DOUBLE /
                  count(*), 4) AS contamination_ratio
-         FROM tsh LEFT JOIN ev ON tsh.s = ev.s
+         FROM tsh LEFT JOIN evh ON md5(tsh.s) = evh.h
          GROUP BY doc_id""",
     "tx19_column_profile" ->
       """SELECT 'doc_id' AS "column", count(*) AS n_rows,

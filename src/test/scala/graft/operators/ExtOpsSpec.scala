@@ -298,6 +298,17 @@ class ExtOpsSpec extends SparkSpec {
     // k-means cell at this threshold — greedy keep-first collapses it
     // to its minimum id; no copy (id >= 100) ever survives
     assert(out == Set(0L, 5L))
+    // the releasable variant returns the same result and actually
+    // frees the checkpointed assignment (Dataset.unpersist would no-op
+    // on it — the graft.Release lesson)
+    spark.sparkContext.getPersistentRDDs.values
+      .foreach(_.unpersist(blocking = true))
+    val (ded, release) = SimilarityOps.semanticDedupReleasable(
+      base.unionByName(copies), k = 2, iters = 2, threshold = 0.95)
+    assert(ded.select("vec_id").as[Long].collect().toSet == Set(0L, 5L))
+    assert(spark.sparkContext.getPersistentRDDs.nonEmpty)
+    release()
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty)
   }
 
   test("tfidf: corpus-wide term appears with zero idf; rare term scores high") {
