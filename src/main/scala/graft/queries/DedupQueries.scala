@@ -102,6 +102,19 @@ object DedupQueries {
         k = 3, maxHamming = 3, bands = 4)
     }),
 
+    // dd15 at the WIDE geometry (120-bit signature, 8 x 15-bit bands —
+    // the production setting past ~100M docs): same pigeonhole
+    // guarantee at maxHamming 3, higher precision (noise pairs spread
+    // out in the wider Hamming space), oracle-gated like the 60-bit
+    // lane so the width parameterization is externally verified, not
+    // just property-swept.
+    "dd16_simhash_wide" -> ((s, d) => {
+      val docs = documents(s, d).select("doc_id", "text")
+      val dup = docs.select((col("doc_id") + 10000).as("doc_id"), col("text"))
+      DedupOps.simhashHammingPairsW(docs.unionByName(dup), "doc_id", "text",
+        k = 3, maxHamming = 3, bands = 8, bits = 120)
+    }),
+
     // Blocked n-gram Jaccard: pairs within a 40-char-prefix block with
     // word-set Jaccard >= 0.5.
     "dd4_jaccard" -> ((s, d) => {
@@ -357,6 +370,40 @@ object DedupQueries {
                      ON l.b = r.b AND l.bv = r.bv AND l.doc_id < r.doc_id)
          SELECT a, b, bit_count(xor(sa, sb))::INT AS hamming
          FROM pairs WHERE bit_count(xor(sa, sb)) <= 3""",
+    // the wide dd15: 120 sign sums per doc, the signature held as 8
+    // per-band 15-bit values (no single BIGINT packs 120 bits), pair
+    // hamming = the sum of per-band XOR popcounts — exactly the
+    // operator's statically-unrolled fold
+    "dd16_simhash_wide" ->
+      """WITH corpus AS (
+           SELECT doc_id, text FROM documents
+           UNION ALL SELECT doc_id + 10000, text FROM documents),
+         sw AS (SELECT doc_id, string_split(text,' ') w FROM corpus),
+         toks AS (SELECT doc_id,
+                    unnest(list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                                          for i in range(1, len(w)-1)])) AS t
+                  FROM sw WHERE len(w) >= 3),
+         h AS (SELECT doc_id, md5(t) AS h FROM toks),
+         bt AS (SELECT doc_id, p,
+                  sum(CASE WHEN ((((('0x' || substr(h, p//4 + 1, 1))::INT)
+                                   >> (p%4)) & 1) = 1)
+                      THEN 1 ELSE -1 END) AS s
+                FROM h CROSS JOIN (SELECT unnest(range(0,120)) AS p) ps
+                GROUP BY doc_id, p),
+         bsig AS (SELECT doc_id, p // 15 AS b,
+                    sum(CASE WHEN s > 0 THEN (1::BIGINT << (p % 15))
+                        ELSE 0::BIGINT END)::BIGINT AS bv
+                  FROM bt GROUP BY doc_id, p // 15),
+         pairs AS (SELECT DISTINCT l.doc_id a, r.doc_id b
+                   FROM bsig l JOIN bsig r
+                     ON l.b = r.b AND l.bv = r.bv AND l.doc_id < r.doc_id),
+         ham AS (SELECT p.a, p.b,
+                   sum(bit_count(xor(x.bv, y.bv)))::INT AS hamming
+                 FROM pairs p
+                 JOIN bsig x ON x.doc_id = p.a
+                 JOIN bsig y ON y.doc_id = p.b AND y.b = x.b
+                 GROUP BY p.a, p.b)
+         SELECT a, b, hamming FROM ham WHERE hamming <= 3""",
     "dd4_jaccard" ->
       """WITH blocked AS (SELECT doc_id, text, substr(text,1,40) blk FROM documents)
          SELECT a, b, jaccard FROM (
