@@ -28,7 +28,7 @@ object ExplainAudit {
         "mm5_decode_pq",
         "dd15_simhash_pairs", "ss15_recall", "tx34_bm25_retrieval",
         "tx35_decontaminate", "tx36_bpe_pairs", "tx38_source_overlap",
-        "tx39_bpe_tokenize")
+        "tx39_bpe_tokenize", "dd16_simhash_wide", "cd14_geocode_fuzzy")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
