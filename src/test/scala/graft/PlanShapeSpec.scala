@@ -92,6 +92,11 @@ class PlanShapeSpec extends SparkSpec {
     // a broadcast build would re-execute the signature pipeline (the
     // minhash self-join lesson, measured 2x on this lane)
     assert(!p.contains("BroadcastHashJoin"), p.take(2000))
+    // the width-parameterized geometry (dd16) must keep the identical
+    // shape: one reused banded exchange, no broadcast rebuild
+    val w = planOf("dd16_simhash_wide")
+    assert(w.contains("ReusedExchange"), w.take(2000))
+    assert(!w.contains("BroadcastHashJoin"), w.take(2000))
   }
 
   test("cd2 year filter is the fused native predicate, not regex machinery") {
