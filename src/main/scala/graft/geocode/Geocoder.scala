@@ -139,10 +139,22 @@ object Geocoder {
     * (the leading digit run — OCR rarely corrupts it, street names
     * often). Both structures ride one broadcast.
     */
-  def buildFuzzyIndex(spark: SparkSession, dim: Dataset[GeoAddress])
+  def buildFuzzyIndex(spark: SparkSession, dim: Dataset[GeoAddress],
+                      maxIndexRows: Long = MaxIndexRows)
       : Broadcast[(Map[String, GeoResult], Map[String, Seq[(String, GeoResult)]])] = {
+    // ENFORCED driver-safety bound (unlike the exact path, no
+    // join-based fuzzy fallback exists to degrade to, so an oversized
+    // dimension must fail loudly instead of OOMing the driver). The
+    // probe is the collect itself capped one past the limit — no
+    // separate count job.
+    val capped = dim.limit(math.min(maxIndexRows + 1,
+      Int.MaxValue.toLong).toInt).collect()
+    require(capped.length <= maxIndexRows,
+      s"geocoder fuzzy dimension exceeds maxIndexRows=$maxIndexRows — " +
+        "the fuzzy index is a driver-built broadcast with no join " +
+        "fallback; shrink the dimension or raise the bound deliberately")
     // duplicate keys → min addressId, same rule as buildIndex
-    val entries = dim.collect()
+    val entries = capped
       .groupBy(_.normalizedKey)
       .map { case (key, as) =>
         val a = as.minBy(_.addressId)

@@ -57,6 +57,18 @@ class GeocoderSpec extends SparkSpec {
     assert(!out(3L)._1)
   }
 
+  test("buildFuzzyIndex: oversized dimension fails loudly, not OOM") {
+    // no join-based fuzzy fallback exists, so the driver-broadcast
+    // bound is enforced (limit-probe collect, one job, no count)
+    val dim = spark.createDataset(CityDirFixture.dimension)
+    val e = intercept[IllegalArgumentException] {
+      Geocoder.buildFuzzyIndex(spark, dim, maxIndexRows = 1)
+    }
+    assert(e.getMessage.contains("maxIndexRows=1"))
+    // at the default bound the same dimension builds fine
+    assert(Geocoder.buildFuzzyIndex(spark, dim).value._1.nonEmpty)
+  }
+
   test("geocodeViaJoin agrees with broadcast-lookup geocode") {
     val dim = spark.createDataset(CityDirFixture.dimension)
     val lines = Seq(
