@@ -11,8 +11,8 @@ import org.apache.spark.sql.expressions.Window
   *
   * A full run is ~10 min; `GRAFT_PC_ONLY=<lane,...>` replays a subset
   * (lanes: topk, cc, bloom, span, containment, kernels, kmeans, ivf,
-  * ivfcurve, dsir, parse, skew, simhash) — the targeted-replay
-  * affordance Bench gets from its query-name args.
+  * ivfcurve, bpehybrid, dsir, parse, skew, simhash) — the
+  * targeted-replay affordance Bench gets from its query-name args.
   */
 object PerfCompare {
   def main(args: Array[String]): Unit = {
@@ -30,9 +30,9 @@ object PerfCompare {
     // Lane filter for cheap replays (a full run is ~10 min): e.g.
     // GRAFT_PC_ONLY=parse,dsir runs only those blocks. Lane names:
     // topk, cc, bloom, span, containment, kernels, kmeans, ivf,
-    // ivfcurve, dsir, parse, skew, simhash. Default (unset) = all.
-    // Each lane builds and releases its own caches, so skipping any
-    // subset is safe.
+    // ivfcurve, bpehybrid, dsir, parse, skew, simhash. Default (unset)
+    // = all. Each lane builds and releases its own caches, so skipping
+    // any subset is safe.
     val only = sys.env.get("GRAFT_PC_ONLY")
       .map(_.split(",").map(_.trim.toLowerCase).filter(_.nonEmpty).toSet)
       .getOrElse(Set.empty[String])
@@ -465,6 +465,38 @@ object PerfCompare {
         s""""ivf_search_sec":$tsi,"ivf_search_rows":$nsi,""" +
         s""""ivfpq_build_sec":$tbp,"ivfpq_search_sec":$tsp,""" +
         s""""ivfpq_search_rows":$nsp}""")
+      Release(corpus, blocking = true)
+    }
+
+    // Hybrid BPE A/B (round 7): the SAME corpus and merge count through
+    // the driver-local merge loop vs the distributed vocab-table
+    // fallback (maxLocalVocab=0) — pins the per-iteration coordination
+    // cost the hybrid exists to remove, as a measurement instead of an
+    // extrapolation. Merge lists must be identical (asserted).
+    lane("bpehybrid") {
+      val n = 1000000L
+      val nMerges = 20
+      val word = (j: Int) => translate(lower(conv(
+        pmod(hash(col("id") * 31 + j), lit(200000L)).cast("string"),
+        10, 36)), "0123456789", "qrstuvwxyz")
+      val corpus = spark.range(n).select(col("id"),
+        concat_ws(" ", (0 until 24).map(word): _*).as("text"))
+        .localCheckpoint()
+      def digest(df: org.apache.spark.sql.DataFrame): Long =
+        df.select(xxhash64(concat_ws("|", col("rank"), col("pair"),
+            col("n"))).as("h"))
+          .agg(expr("bit_xor(h)")).first.getLong(0)
+      def localRun: Long = digest(operators.TextAnalysisOps
+        .bpeLearn(corpus, "text", nMerges))
+      def distRun: Long = digest(operators.TextAnalysisOps
+        .bpeLearn(corpus, "text", nMerges, maxLocalVocab = 0L))
+      localRun // warm the word-frequency agg path
+      val (tl, dl) = time(localRun)
+      val (td, dd) = time(distRun)
+      require(dl == dd, s"merge lists diverged: $dl vs $dd")
+      println(s"""{"bpehybrid_docs":$n,"merges":$nMerges,""" +
+        s""""local_sec":$tl,"distributed_sec":$td,""" +
+        s""""per_merge_overhead_sec":${(td - tl) / nMerges}}""")
       Release(corpus, blocking = true)
     }
 
