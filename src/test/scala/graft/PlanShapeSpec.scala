@@ -194,9 +194,11 @@ class PlanShapeSpec extends SparkSpec {
       }
       here ++ p.children.flatMap(shuffleOutputs)
     }
-    for (lane <- Seq("tx38_source_overlap", "tx35_decontaminate")) {
+    for (lane <- Seq("tx38_source_overlap", "tx35_decontaminate",
+        "tx8_contamination", "tx15_contamination_bloom")) {
       val bad = shuffleOutputs(finalPlan(lane))
-        .filter(cols => cols.contains("_gt") || cols.contains("text"))
+        .filter(cols => cols.contains("_gt") || cols.contains("_st") ||
+          cols.contains("text"))
       assert(bad.isEmpty, s"$lane gram-text exchange outputs: $bad")
     }
   }
