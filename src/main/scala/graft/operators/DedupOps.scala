@@ -263,30 +263,23 @@ object DedupOps {
     * than 64 keeps the packed value positive in engines whose BIGINT
     * overflow throws rather than wraps.
     *
-    * Scale shape: one Generator explode (shingles) + one map-side
-    * projection, one partial-agg shuffle keyed on the doc id carrying
-    * 60 small ints per doc; the signature assembly is a post-agg
-    * projection. Everything replays exactly in external SQL (md5 +
-    * integer bit ops only).
+    * Scale shape (round 7): ZERO exchanges — a document's shingle set
+    * is row-local, so the whole signature is one fused native
+    * expression pass where the text already sits
+    * ([[graft.functions.SimhashSigExpr]]; the earlier declarative form
+    * exploded shingles and shipped 60 per-bit partial sums per doc
+    * through a doc-keyed aggregation). Everything still replays
+    * exactly in external SQL (md5 + integer bit ops only) — the
+    * oracles are unchanged, and the MessageDigest model sweeps pin
+    * bit-identity implementation-independently.
     */
   def simhash60(df: DataFrame, idCol: String, textCol: String,
-                k: Int = 3): DataFrame = {
-    val tok = df.select(col(idCol),
-      graft.functions.ShingleGen.shingleGen(col(textCol), k,
-        distinct = true)).toDF(idCol, "_t")
-      .withColumn("_h", md5(col("_t")))
-    val sums = (0 until 60).map { p =>
-      val nibble = conv(substring(col("_h"), p / 4 + 1, 1), 16, 10)
-        .cast("int")
-      sum(shiftright(nibble, p % 4).bitwiseAND(lit(1)) * 2 - 1).as(s"_s$p")
-    }
-    tok.groupBy(col(idCol))
-      .agg(sums.head, sums.tail: _*)
+                k: Int = 3): DataFrame =
+    simhashW(df, idCol, textCol, k, bits = 60, bands = 4)
       .select(col(idCol),
-        (0 until 60).map(p =>
-          when(col(s"_s$p") > 0, lit(1L << p)).otherwise(lit(0L)))
+        (0 until 4).map(b =>
+          shiftleft(element_at(col("simhash"), b + 1), b * 15))
           .reduce(_ + _).as("simhash"))
-  }
 
   /** SimHash near-dup pairs with GUARANTEED recall: split the 60-bit
     * [[simhash60]] into `bands` equal bit ranges and join on (band,
@@ -364,29 +357,14 @@ object DedupOps {
     * ExtOpsSpec).
     */
   def simhashW(df: DataFrame, idCol: String, textCol: String,
-               k: Int = 3, bits: Int = 60, bands: Int = 4): DataFrame = {
-    require(bits >= 1 && bits <= 128, s"bits must be in [1,128], got $bits")
-    require(bits % bands == 0, s"bands must divide bits, got $bits/$bands")
-    val w = bits / bands
-    require(w <= 60, s"band width must be <= 60 bits, got $w")
-    val tok = df.select(col(idCol),
-      graft.functions.ShingleGen.shingleGen(col(textCol), k,
-        distinct = true)).toDF(idCol, "_t")
-      .withColumn("_h", md5(col("_t")))
-    val sums = (0 until bits).map { p =>
-      val nibble = conv(substring(col("_h"), p / 4 + 1, 1), 16, 10)
-        .cast("int")
-      sum(shiftright(nibble, p % 4).bitwiseAND(lit(1)) * 2 - 1).as(s"_s$p")
-    }
-    tok.groupBy(col(idCol))
-      .agg(sums.head, sums.tail: _*)
-      .select(col(idCol),
-        array((0 until bands).map { b =>
-          (0 until w).map(j =>
-            when(col(s"_s${b * w + j}") > 0, lit(1L << j)).otherwise(lit(0L)))
-            .reduce(_ + _)
-        }: _*).as("simhash"))
-  }
+               k: Int = 3, bits: Int = 60, bands: Int = 4): DataFrame =
+    // one fused native pass per row, no exchange (see [[simhash60]]'s
+    // scale note); docs with < k words come back null and are dropped,
+    // reproducing the non-outer shingle-explode absence semantics
+    df.select(col(idCol),
+        graft.functions.SimhashSig.simhashSigNative(col(textCol), k,
+          bits, bands).as("simhash"))
+      .filter(col("simhash").isNotNull)
 
   /** [[simhashHammingPairs]] at an arbitrary signature width — the
     * 100-TB configuration the 60-bit operator's scaladoc promises: a
