@@ -435,6 +435,39 @@ object DedupOps {
     clustersGraphx(e)
   }
 
+  /** Measured GraphX ↔ DataFrame-CC crossover (same-box A/B, PERF.md):
+    * GraphX-on-materialized-edges wins 3–6× up to ~10⁷ edges; at
+    * ~1.2×10⁸ the serialized-spillable DataFrame rounds beat even
+    * well-fed GraphX outright (202 s at 8 g vs 262 s at 48 g) and are
+    * the only variant that survives the memory boundary. The auto
+    * threshold sits below the measured inversion so the selector errs
+    * toward the spill-safe side.
+    */
+  val ClustersGraphxMaxEdges: Long = 50000000L
+
+  /** Auto-selected connected components — the `geocodeAuto` pattern
+    * applied to the CC crossover: materialize the candidate edges once
+    * (both algorithms want that anyway — GraphX re-walks its input,
+    * the DF rounds re-derive it), count them on the materialized
+    * blocks (cheap — no recompute), and pick [[clustersGraphx]] below
+    * [[ClustersGraphxMaxEdges]] or the spill-safe
+    * [[clustersDataFrame]] at and beyond it. Both variants are
+    * asserted equal in ExtOpsSpec, so the switch is invisible in
+    * output; what changes is surviving the regime where GraphX's
+    * deserialized caching evicts itself to death.
+    */
+  def clustersAuto(pairs: DataFrame, aCol: String = "a",
+                   bCol: String = "b",
+                   maxGraphxEdges: Long = ClustersGraphxMaxEdges)
+      : DataFrame = {
+    val e = pairs.select(col(aCol).cast("long").as("a"),
+        col(bCol).cast("long").as("b"))
+      .filter(col("a") =!= col("b"))
+      .localCheckpoint()
+    if (e.count() <= maxGraphxEdges) clustersGraphx(e)
+    else clustersDataFrame(e)
+  }
+
   /** Pure-DataFrame connected components: alternating large-star /
     * small-star (Kiveris et al., "Connected Components in MapReduce and
     * Beyond", 2014) — each round two keyed groupBy-min + join stages,

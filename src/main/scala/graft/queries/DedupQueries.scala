@@ -125,7 +125,10 @@ object DedupQueries {
     // MinHash-LSH pairs resolved to duplicate clusters via connected
     // components (GraphX); rep = min doc_id of the component.
     "dd6_clusters" -> ((s, d) => {
-      DedupOps.clusters(
+      // clustersAuto: the measured-crossover selector is the exercised
+      // path (GraphX here — the edge set is far below the threshold);
+      // output is variant-invariant, asserted in ExtOpsSpec
+      DedupOps.clustersAuto(
         DedupOps.minhashCandidates(documents(s, d), "doc_id", "text",
           shingleK = 3, numPerm = 16, bands = 4))
     }),

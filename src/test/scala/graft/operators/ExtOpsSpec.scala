@@ -629,6 +629,12 @@ class ExtOpsSpec extends SparkSpec {
     assert(df1 == df2)
     assert(df1 == df3)
     assert(df1.filter(_._2 == 3L).map(_._1) == Set(3L, 4L, 5L, 6L, 7L, 8L, 9L))
+    // the crossover selector is invisible in output on BOTH sides of
+    // the threshold (GraphX below, spill-safe DF rounds above)
+    val auto = DedupOps.clustersAuto(pairs).as[(Long, Long)].collect().toSet
+    val autoDf = DedupOps.clustersAuto(pairs, maxGraphxEdges = 0L)
+      .as[(Long, Long)].collect().toSet
+    assert(auto == df1 && autoDf == df1)
   }
 
   test("leakageFreeSplit: cluster members share one split; singletons covered; deterministic") {
