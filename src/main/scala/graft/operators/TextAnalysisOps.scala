@@ -1266,6 +1266,28 @@ object TextAnalysisOps {
     * tokenization pass completes to release it, rather than leaking
     * one cached vocab table per invocation for the session.
     */
+  /** The frozen tokenizer model as a driver-side map: word → BPE
+    * symbol count under the first `nMerges` learned merges.
+    * Vocabulary-sized by definition (every real tokenizer worker
+    * holds the merge table), so collecting it is the deployment
+    * artifact, not a scale hazard; the training checkpoint (taken on
+    * the distributed fallback path only) is released before
+    * returning. This is the model hand-off
+    * [[graft.streaming.StreamingOps.bpeTokenizeStream]] serves from.
+    */
+  def bpeSymCountMap(corpus: DataFrame, textCol: String, nMerges: Int,
+                     maxLocalVocab: Long = bpeMaxLocalVocab)
+      : Map[String, Long] = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val (vocab, _) = bpeTrain(corpus, textCol, nMerges, maxLocalVocab)
+    val m = vocab.select(col("w"),
+        size(split(trim(col("sym")), "  ")).cast("long"))
+      .as[(String, Long)].collect().toMap
+    graft.Release(vocab)
+    m
+  }
+
   def bpeTokenizer(df: DataFrame, idCol: String, textCol: String,
                    nMerges: Int,
                    maxLocalVocab: Long = bpeMaxLocalVocab)

@@ -119,6 +119,45 @@ object StreamingOps {
       .agg(size(collect_set(col("_static_id"))).as("n_dup_candidates"))
   }
 
+  /** Streaming BPE tokenization — the tokenizer loop's APPLY side as a
+    * serving path (the streaming twin of
+    * `TextAnalysisOps.bpeTokenCount`): the model is trained ONCE on
+    * the static corpus at stream setup (a deployed tokenizer is frozen
+    * by definition — see `bpeSymCountMap`), broadcast as a plain map,
+    * and every streamed doc folds to its token counts ROW-LOCALLY — no
+    * join, no aggregation, ZERO state, so any output mode works and a
+    * microbatch costs exactly its own rows. Out-of-vocabulary words
+    * are skipped and docs with no known word emit nothing, mirroring
+    * the batch operator's inner-join semantics (there the vocabulary
+    * derives from the same corpus, so every extracted word matches; on
+    * a stream the static corpus is the training set).
+    */
+  def bpeTokenizeStream(stream: DataFrame, corpus: DataFrame,
+                        idCol: String = "doc_id",
+                        textCol: String = "text",
+                        nMerges: Int = 3): DataFrame = {
+    val model = stream.sparkSession.sparkContext.broadcast(
+      graft.operators.TextAnalysisOps.bpeSymCountMap(
+        corpus, textCol, nMerges))
+    val tok = udf { (text: String) =>
+      val m = model.value
+      var nb = 0L
+      var nw = 0L
+      if (text != null)
+        "[a-z]+".r.findAllIn(text.toLowerCase).foreach { w =>
+          m.get(w) match {
+            case Some(c) => nb += c; nw += 1
+            case None => ()
+          }
+        }
+      (nb, nw)
+    }
+    stream.select(col(idCol), tok(col(textCol)).as("_t"))
+      .select(col(idCol), col("_t._1").as("n_bpe_tokens"),
+        col("_t._2").as("n_words"))
+      .filter(col("n_words") > 0)
+  }
+
   /** Near-dup candidate pairs WITHIN the stream (the streaming twin of
     * `DedupOps.minhashCandidates`): a watermarked stream-stream SELF
     * join on the LSH band key, bounded to pairs whose event times lie

@@ -161,6 +161,31 @@ class StreamingSpec extends SparkSpec {
     assert(!out.contains(2L) || out(2L) == 0)
   }
 
+  test("streaming BPE tokenization serves the corpus-trained model row-locally") {
+    implicit val sqlCtx = spark.sqlContext
+    // training corpus: wf aaab=3, ab=2 → 3 merges collapse both words
+    // to single symbols (the ExtOpsSpec cascade)
+    val corpus = Seq((1L, "aaab aaab ab"), (2L, "aaab ab"))
+      .toDF("doc_id", "text")
+    val mem = MemoryStream[(Long, String)]
+    mem.addData(
+      (10L, "aaab ab"),      // both in-vocab, 1 symbol each
+      (11L, "AB! zzz qq"),   // case-folded ab counts; zzz/qq are OOV
+      (12L, "zzz"))          // no known word → absent
+    val out = StreamingOps.drainToTable(
+      StreamingOps.bpeTokenizeStream(
+        mem.toDF().toDF("doc_id", "text"), corpus, nMerges = 3),
+      "t_bpe_stream",
+      // stateless map → append (the zero-state claim, enforced by the
+      // engine: complete mode is rejected without an aggregation)
+      org.apache.spark.sql.streaming.OutputMode.Append())
+      .as[(Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out(10L) == ((2L, 2L)))
+    assert(out(11L) == ((1L, 1L)))
+    assert(!out.contains(12L))
+  }
+
   test("streaming self near-dup: similar docs within the horizon pair up") {
     implicit val sqlCtx = spark.sqlContext
     val t = (s: Int) => java.sql.Timestamp.valueOf(
