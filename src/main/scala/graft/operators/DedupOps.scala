@@ -301,47 +301,12 @@ object DedupOps {
     */
   def simhashHammingPairs(df: DataFrame, idCol: String, textCol: String,
                           k: Int = 3, maxHamming: Int = 3,
-                          bands: Int = 4): DataFrame = {
-    require(60 % bands == 0, s"bands must divide 60, got $bands")
-    require(maxHamming < bands,
-      s"recall guarantee needs maxHamming < bands ($maxHamming >= $bands)")
-    val w = 60 / bands
-    val mask = (1L << w) - 1
-    val banded = simhash60(df, idCol, textCol, k)
-      .select(col(idCol), col("simhash"),
-        posexplode(array((0 until bands).map(b =>
-          shiftright(col("simhash"), b * w).bitwiseAND(lit(mask))): _*)))
-      .toDF(idCol, "simhash", "_band", "_bv")
-    // rename AFTER the join + sort-merge hint (the minhashCandidates
-    // self-join recipe): both sides are the identical plan exchanged on
-    // the same key, so ReuseExchange computes the signature pipeline
-    // once and reads the shuffle twice. Left unhinted, the optimizer
-    // broadcasts one side and RE-EXECUTES the whole shingle→md5→60-agg
-    // pipeline as the build — measured 2.9 s vs 2.4 s on the sf0.1
-    // lane, where the scan's two input splits bound the signature
-    // stage; at production split counts the avoided recompute is the
-    // entire signature pipeline, strictly worse for any self-join.
-    val l = banded.hint("merge").as("l")
-    val r = banded.hint("merge").as("r")
-    // emit-once instead of distinct: a pair colliding in several bands
-    // surfaces only from its LOWEST colliding band (both full
-    // signatures ride the join, so "no earlier band collides" is a
-    // map-side predicate) — the dedup exchange that would otherwise
-    // carry every candidate pair disappears from the plan entirely
-    val earlierCollision = (0 until bands).map { b =>
-      (lit(b) < col("l._band")) &&
-        (shiftright(col("l.simhash"), b * w).bitwiseAND(lit(mask)) ===
-         shiftright(col("r.simhash"), b * w).bitwiseAND(lit(mask)))
-    }.reduce(_ || _)
-    l.join(r, col("l._band") === col("r._band") &&
-        col("l._bv") === col("r._bv") &&
-        col(s"l.$idCol") < col(s"r.$idCol"))
-      .filter(!earlierCollision)
-      .select(col(s"l.$idCol").as("a"), col(s"r.$idCol").as("b"),
-        bit_count(col("l.simhash").bitwiseXOR(col("r.simhash")))
-          .cast("int").as("hamming"))
-      .filter(col("hamming") <= maxHamming)
-  }
+                          bands: Int = 4): DataFrame =
+    // the 60-bit geometry of [[simhashHammingPairsW]] (one
+    // implementation of the banded self-join; the ExtOpsSpec equality
+    // test pinned the two forms pair-for-pair before the merge)
+    simhashHammingPairsW(df, idCol, textCol, k, maxHamming, bands,
+      bits = 60)
 
   /** Width-parameterized SimHash — [[simhash60]]'s md5-nibble
     * construction generalized to any `bits <= 128` (the full md5
@@ -388,8 +353,15 @@ object DedupOps {
     val banded = simhashW(df, idCol, textCol, k, bits, bands)
       .select(col(idCol), col("simhash"), posexplode(col("simhash")))
       .toDF(idCol, "simhash", "_band", "_bv")
-    // identical self-join recipe to the 60-bit operator: merge hint →
-    // one reused exchange; lowest-colliding-band emit-once predicate
+    // the minhashCandidates self-join recipe: rename AFTER the join +
+    // sort-merge hint, so both sides are the identical plan exchanged
+    // on the same key and ReuseExchange computes the signature
+    // pipeline once. Left unhinted, the optimizer broadcasts one side
+    // and RE-EXECUTES the signature pipeline as the build — measured
+    // 2.9 s vs 2.4 s on the sf0.1 lane; at production split counts the
+    // avoided recompute is the entire pipeline. The emit-once
+    // lowest-colliding-band predicate below replaces the candidate
+    // distinct() — the dedup exchange disappears from the plan.
     val l = banded.hint("merge").as("l")
     val r = banded.hint("merge").as("r")
     val earlierCollision = (0 until bands).map { b =>
