@@ -279,9 +279,11 @@ object ScaleSmoke {
     // simhash lane (round 6): the dd15 family at 2M docs — 60-bit
     // shingle-feature signatures, 4×15-bit guaranteed-recall band join,
     // duplication groups of 4 (C(4,2)=6 hamming-0 pairs per group).
-    // Claims under test: the signature agg carries 60 small ints per
-    // doc through one exchange; the band self-join reuses one exchange
-    // (no broadcast rebuild); emit-once needs no dedup exchange; and
+    // Claims under test: the signature is ONE fused map pass with no
+    // exchange of its own (SimhashSigExpr, r7 — previously 60 per-bit
+    // partial sums aggregated per doc); the band self-join reuses one
+    // exchange (no broadcast rebuild); emit-once needs no dedup
+    // exchange; and
     // the 15-bit band key space (~32k values/band) keeps bucket
     // enumeration bounded at this N — the documented ceiling: buckets
     // grow ~N/32k, so beyond ~100M docs a wider signature with

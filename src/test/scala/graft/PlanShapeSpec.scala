@@ -83,10 +83,11 @@ class PlanShapeSpec extends SparkSpec {
   }
 
   test("dd15 simhash band self-join reuses the signature exchange") {
-    // both band-join sides derive from one simhash60 scan — the banded
-    // exchange must be computed once and read twice, and nothing after
-    // the signature agg may carry text or shingles (8-byte signatures
-    // and 15-bit band values only)
+    // both band-join sides derive from one fused-signature scan (the
+    // SimhashSigExpr map — no aggregation since r7) — the banded
+    // exchange must be computed once and read twice, and nothing past
+    // the signature projection may carry text or shingles (band-value
+    // longs and ids only)
     val p = planOf("dd15_simhash_pairs")
     assert(p.contains("ReusedExchange"), p.take(2000))
     // a broadcast build would re-execute the signature pipeline (the
