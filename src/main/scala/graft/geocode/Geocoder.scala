@@ -147,8 +147,11 @@ object Geocoder {
     // dimension must fail loudly instead of OOMing the driver). The
     // probe is the collect itself capped one past the limit — no
     // separate count job.
-    val capped = dim.limit(math.min(maxIndexRows + 1,
-      Int.MaxValue.toLong).toInt).collect()
+    // Clamp BEFORE the +1: `maxIndexRows + 1` overflows for a caller
+    // passing Long.MaxValue to mean "unbounded", turning the probe into
+    // a negative limit() instead of a build.
+    val capped = dim.limit(
+      math.min(maxIndexRows, Int.MaxValue.toLong - 1).toInt + 1).collect()
     require(capped.length <= maxIndexRows,
       s"geocoder fuzzy dimension exceeds maxIndexRows=$maxIndexRows — " +
         "the fuzzy index is a driver-built broadcast with no join " +

@@ -399,12 +399,26 @@ object DedupOps {
     * largest graphs or whenever memory is the binding constraint.
     */
   def clusters(pairs: DataFrame, aCol: String = "a",
-               bCol: String = "b"): DataFrame = {
+               bCol: String = "b"): DataFrame =
+    clustersReleasable(pairs, aCol, bCol)._1
+
+  /** [[clusters]] plus a release handle for the materialized edge
+    * checkpoint. The returned plan reads the checkpoint LAZILY (GraphX's
+    * persisted CC vertices recompute through it on eviction, and a
+    * released localCheckpoint cannot recompute), so the edges cannot be
+    * freed inline — the caller invokes the handle after consuming the
+    * result, the `semanticDedupReleasable` contract. The plain
+    * [[clusters]]/[[clustersAuto]] forms retain the checkpoint for the
+    * session (ContextCleaner GC at best) — fine for one-shot jobs,
+    * wrong inside a lane loop.
+    */
+  def clustersReleasable(pairs: DataFrame, aCol: String = "a",
+                         bCol: String = "b"): (DataFrame, () => Unit) = {
     val e = pairs.select(col(aCol).cast("long").as("a"),
         col(bCol).cast("long").as("b"))
       .filter(col("a") =!= col("b"))
       .localCheckpoint()
-    clustersGraphx(e)
+    (clustersGraphx(e), () => graft.Release(e))
   }
 
   /** Measured GraphX ↔ DataFrame-CC crossover (same-box A/B, PERF.md):
@@ -431,13 +445,24 @@ object DedupOps {
   def clustersAuto(pairs: DataFrame, aCol: String = "a",
                    bCol: String = "b",
                    maxGraphxEdges: Long = ClustersGraphxMaxEdges)
-      : DataFrame = {
+      : DataFrame =
+    clustersAutoReleasable(pairs, aCol, bCol, maxGraphxEdges)._1
+
+  /** [[clustersAuto]] plus a release handle for the edge checkpoint —
+    * see [[clustersReleasable]] for why the release must be deferred to
+    * the caller rather than performed inline.
+    */
+  def clustersAutoReleasable(pairs: DataFrame, aCol: String = "a",
+                             bCol: String = "b",
+                             maxGraphxEdges: Long = ClustersGraphxMaxEdges)
+      : (DataFrame, () => Unit) = {
     val e = pairs.select(col(aCol).cast("long").as("a"),
         col(bCol).cast("long").as("b"))
       .filter(col("a") =!= col("b"))
       .localCheckpoint()
-    if (e.count() <= maxGraphxEdges) clustersGraphx(e)
-    else clustersDataFrame(e)
+    val out = if (e.count() <= maxGraphxEdges) clustersGraphx(e)
+              else clustersDataFrame(e)
+    (out, () => graft.Release(e))
   }
 
   /** Pure-DataFrame connected components: alternating large-star /

@@ -1069,19 +1069,36 @@ object TextAnalysisOps {
       : (DataFrame, Seq[(Int, String, Long)]) = {
     val spark = df.sparkSession
     import spark.implicits._
-    val words = df.select(
+    val wordsAgg = df.select(
         explode(regexp_extract_all(lower(col(textCol)),
           lit("[a-z]+"), lit(0))).as("w"))
       .groupBy("w").agg(count(lit(1)).as("wf"))
-    val probeCap = math.min(maxLocalVocab, Int.MaxValue - 2L).toInt
-    val probe: Array[(String, Long)] =
-      if (maxLocalVocab <= 0) Array.empty
-      else words.limit(probeCap + 1).as[(String, Long)].collect()
-    if (maxLocalVocab > 0 && probe.length <= probeCap) {
-      val (vocab, merges) = bpeTrainLocal(probe, nMerges)
-      (vocab.toSeq.toDF("w", "sym", "wf"), merges)
-    } else {
-      bpeTrainDistributed(words, nMerges)
+    if (maxLocalVocab <= 0) bpeTrainDistributed(wordsAgg, nMerges)
+    else {
+      // "Corpus scanned EXACTLY ONCE" holds on BOTH branches: the
+      // word-frequency table is checkpointed (vocabulary-sized,
+      // serialized-spillable) BEFORE the limit-probe, so a fallback to
+      // the distributed loop re-reads the checkpoint — not the corpus,
+      // which is precisely the large-vocab case where a second scan
+      // would hurt most. The checkpoint is released as soon as it is
+      // superseded: by the probe's collected array on the local path,
+      // by the distributed loop's own first vocab checkpoint otherwise.
+      val ser = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER
+      val words = wordsAgg.localCheckpoint(true, ser)
+      val probeCap = math.min(maxLocalVocab, Int.MaxValue - 2L).toInt
+      val probe = words.limit(probeCap + 1).as[(String, Long)].collect()
+      if (probe.length <= probeCap) {
+        graft.Release(words)
+        val (vocab, merges) = bpeTrainLocal(probe, nMerges)
+        (vocab.toSeq.toDF("w", "sym", "wf"), merges)
+      } else {
+        // bpeTrainDistributed runs eagerly to the fixed point and its
+        // returned vocab is its OWN materialized checkpoint, so the
+        // input checkpoint is dead weight once it returns.
+        val out = bpeTrainDistributed(words, nMerges)
+        graft.Release(words)
+        out
+      }
     }
   }
 

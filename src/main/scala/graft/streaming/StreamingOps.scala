@@ -139,17 +139,24 @@ object StreamingOps {
     val model = stream.sparkSession.sparkContext.broadcast(
       graft.operators.TextAnalysisOps.bpeSymCountMap(
         corpus, textCol, nMerges))
+    // Compiled ONCE and captured by the closure (java.util.regex.Pattern
+    // is Serializable and thread-safe) — compiling inside the lambda
+    // would re-build the Pattern for every streamed row on the serving
+    // hot path.
+    val wordPat = java.util.regex.Pattern.compile("[a-z]+")
     val tok = udf { (text: String) =>
       val m = model.value
       var nb = 0L
       var nw = 0L
-      if (text != null)
-        "[a-z]+".r.findAllIn(text.toLowerCase).foreach { w =>
-          m.get(w) match {
+      if (text != null) {
+        val mt = wordPat.matcher(text.toLowerCase)
+        while (mt.find()) {
+          m.get(mt.group) match {
             case Some(c) => nb += c; nw += 1
             case None => ()
           }
         }
+      }
       (nb, nw)
     }
     stream.select(col(idCol), tok(col(textCol)).as("_t"))

@@ -67,6 +67,10 @@ class GeocoderSpec extends SparkSpec {
     assert(e.getMessage.contains("maxIndexRows=1"))
     // at the default bound the same dimension builds fine
     assert(Geocoder.buildFuzzyIndex(spark, dim).value._1.nonEmpty)
+    // Long.MaxValue as "unbounded" must clamp, not overflow into a
+    // negative limit()
+    assert(Geocoder.buildFuzzyIndex(spark, dim,
+      maxIndexRows = Long.MaxValue).value._1.nonEmpty)
   }
 
   test("geocodeViaJoin agrees with broadcast-lookup geocode") {

@@ -635,6 +635,25 @@ class ExtOpsSpec extends SparkSpec {
     val autoDf = DedupOps.clustersAuto(pairs, maxGraphxEdges = 0L)
       .as[(Long, Long)].collect().toSet
     assert(auto == df1 && autoDf == df1)
+    // the releasable variants: same output, and the handle actually
+    // frees blocks (the edge checkpoint leaves getPersistentRDDs —
+    // Dataset.unpersist would silently no-op on it, the Release gotcha)
+    for (mx <- Seq(DedupOps.ClustersGraphxMaxEdges, 0L)) {
+      val (rel, release) = DedupOps.clustersAutoReleasable(pairs,
+        maxGraphxEdges = mx)
+      assert(rel.as[(Long, Long)].collect().toSet == df1)
+      val beforeRelease = spark.sparkContext.getPersistentRDDs.keySet
+      release()
+      val afterRelease = spark.sparkContext.getPersistentRDDs.keySet
+      assert(afterRelease.size < beforeRelease.size,
+        s"release() freed nothing (maxGraphxEdges=$mx): " +
+          s"$beforeRelease -> $afterRelease")
+    }
+    val (rel2, release2) = DedupOps.clustersReleasable(pairs)
+    assert(rel2.as[(Long, Long)].collect().toSet == df1)
+    val beforeRel2 = spark.sparkContext.getPersistentRDDs.keySet
+    release2()
+    assert(spark.sparkContext.getPersistentRDDs.keySet.size < beforeRel2.size)
   }
 
   test("leakageFreeSplit: cluster members share one split; singletons covered; deterministic") {
