@@ -599,6 +599,61 @@ object DedupOps {
         .otherwise(lit("test")))
   }
 
+  /** Quality-aware duplicate-cluster resolution — the KEEP-POLICY half
+    * of the near-dup pipeline. [[leakageFreeSplit]]/dd9 keep the
+    * min-id member per cluster; real curation pipelines keep the BEST
+    * member (C4 and MassiveText keep the longest copy; RefinedWeb keeps
+    * the highest-quality one), because near-duplicates differ exactly
+    * where one copy is truncated, boilerplate-padded, or OCR-mangled.
+    * Representative = argmax over cluster members by
+    * (`quality` desc, id asc) — a TOTAL order, so selection is
+    * deterministic across retries and partitionings.
+    *
+    * Scale shape: candidates → connected components as in [[clusters]];
+    * the rep join is doc-keyed against the (≪ corpus) member table; the
+    * argmax is `max_by` over a struct — a declarative aggregate with a
+    * map-side partial, so the per-cluster reduction never sorts and the
+    * exchange carries (rep, id, quality) scalars, not text. A window
+    * `row_number` formulation would sort every cluster's members
+    * instead; with dup clusters being the skew case by definition
+    * (a viral page has millions of near-copies), the heap-free
+    * commutative aggregate is the form that survives skew.
+    */
+  def dedupKeepBest(docs: DataFrame, idCol: String, textCol: String,
+                    quality: Column, shingleK: Int = 3, numPerm: Int = 16,
+                    bands: Int = 4): DataFrame =
+    dedupKeepBestReleasable(docs, idCol, textCol, quality, shingleK,
+      numPerm, bands)._1
+
+  /** [[dedupKeepBest]] plus the edge-checkpoint release handle
+    * ([[clustersReleasable]] contract — invoke after consuming the
+    * result).
+    */
+  def dedupKeepBestReleasable(docs: DataFrame, idCol: String,
+                              textCol: String, quality: Column,
+                              shingleK: Int = 3, numPerm: Int = 16,
+                              bands: Int = 4): (DataFrame, () => Unit) = {
+    val (members, release) = clustersAutoReleasable(
+      minhashCandidates(docs, idCol, textCol, shingleK, numPerm, bands))
+    val withRep = docs.select(col(idCol), quality.as("_q"))
+      .join(members.withColumnRenamed("member", idCol), Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("cluster_rep"), col(idCol)).as("cluster_rep"),
+        col("_q"))
+    // argmax by (quality desc, id asc): max over struct(q, -id) —
+    // lexicographic struct comparison gives highest quality, then
+    // smallest id among quality ties (ids are minted non-negative, so
+    // the negation cannot overflow)
+    val out = withRep.groupBy("cluster_rep")
+      .agg(
+        max_by(struct(col(idCol).as("id"), col("_q").as("q")),
+          struct(col("_q"), (-col(idCol)).as("_nid"))).as("_best"),
+        count(lit(1)).as("n_members"))
+      .select(col("_best.id").as(idCol), col("cluster_rep"),
+        col("_best.q").as("quality"), col("n_members"))
+    (out, release)
+  }
+
   /** Embedding-cosine near-duplicate pairs: sign-bit LSH bucket on the
     * first `bits` dimensions (SimilarityOps.signBucket), cosine within
     * the bucket only — an equi-join on the bucket key, never a cross

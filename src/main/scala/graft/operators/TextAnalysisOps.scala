@@ -347,6 +347,88 @@ object TextAnalysisOps {
           s => s.getField(textCol)), s" $eos ").as("seq_text"))
   }
 
+  /** Per-source document cap — the dominant-domain down-sampler
+    * (C4/RefinedWeb keep at most N pages per registered domain so a
+    * handful of mega-sites cannot swamp the mixture). Selection is a
+    * deterministic pseudo-random rank — md5 of the id, then the id as
+    * tie-break — so the kept subset is a pure function of the data:
+    * reproducible across runs, engines, and partitionings, and unbiased
+    * w.r.t. document order in the source.
+    *
+    * Scale shape: the cap is a bounded per-key heap
+    * ([[graft.plans.TopKPerKey]]), NOT a `row_number` window — the
+    * window form sorts every source's full document set, and the
+    * dominant source is by definition the skew case (one domain with
+    * 10⁸ pages would sort 10⁸ rows in one task to keep N). The heap is
+    * map-side pruned: each task retains at most `cap` rows per source
+    * before the exchange, so the shuffle carries ≤ cap·tasks rows per
+    * source regardless of the source's true size.
+    */
+  def sourceCap(docs: DataFrame, idCol: String, srcCol: String,
+                cap: Int): DataFrame = {
+    require(cap > 0, s"cap must be positive: $cap")
+    val keyed = docs.select(col(srcCol), col(idCol),
+      md5(col(idCol).cast("string")).as("_r"))
+    graft.plans.TopK.perKey(keyed, Seq(srcCol),
+        Seq(col("_r").asc, col(idCol).asc), cap)
+      .select(col(srcCol), col(idCol))
+  }
+
+  /** Token-budget corpus selection: order the corpus by
+    * (quality desc, id asc) and keep documents while the INCLUSIVE
+    * running token total stays within `budget` — "the best N tokens",
+    * the curation primitive behind fixed-budget pretraining mixes.
+    * Quality = [[qualityMetrics]]' stopword_ratio (4-dp rounded, so the
+    * grouping key below is a small finite set).
+    *
+    * Scale shape: the textbook formulation is one global window cumsum —
+    * which moves the ENTIRE corpus into a single sort partition.
+    * Instead, the classic two-phase distributed prefix-sum
+    * (histogram-and-cutoff): (1) one map-side scan aggregates token
+    * totals PER DISTINCT QUALITY VALUE (≤ 10⁴ groups for a 4-dp ratio —
+    * driver-sized by construction); (2) the driver prefix-sums the
+    * sorted histogram to find the boundary quality r*: every doc with
+    * quality > r* is kept by a map-side filter (no shuffle, no sort),
+    * docs below r* are dropped the same way, and only the r* TIE GROUP
+    * — one quality value's worth of rows — pays an ordered cumsum for
+    * the exact cut. The corpus is scanned twice (histogram + filter),
+    * both scans map-side; nothing corpus-sized is ever sorted, cached,
+    * or shuffled. Deterministic: the order is total, the histogram
+    * exact.
+    */
+  def tokenBudgetSelect(docs: DataFrame, idCol: String, textCol: String,
+                        budget: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = qualityMetrics(docs, idCol, textCol)
+      .select(col(idCol), col("n_tokens").cast("long").as("n_tokens"),
+        col("stopword_ratio"))
+    val hist = scored.groupBy("stopword_ratio")
+      .agg(sum("n_tokens").as("s")).collect()
+      .map(r => (r.getDouble(0), r.getLong(1)))
+      .sortBy(-_._1)
+    var cum = 0L
+    var i = 0
+    while (i < hist.length && cum + hist(i)._2 <= budget) {
+      cum += hist(i)._2; i += 1
+    }
+    if (i >= hist.length) scored // whole corpus fits the budget
+    else {
+      val rStar = hist(i)._1
+      val above = scored.filter(col("stopword_ratio") > rStar)
+      val remaining = budget - cum
+      // only the boundary tie group is sorted — one quality value's
+      // rows, not the corpus (the no-partition window is deliberate
+      // and bounded)
+      val w = Window.orderBy(col(idCol).asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val boundary = scored.filter(col("stopword_ratio") === rStar)
+        .withColumn("_cum", sum("n_tokens").over(w))
+        .filter(col("_cum") <= remaining)
+        .drop("_cum")
+      above.unionByName(boundary)
+    }
+  }
+
   /** Deterministic stratified hash sampling: keep a row iff the first 8
     * hex digits of md5(id) land below the stratum's percentage. No RNG,
     * no seed state — the sample is a pure function of the id, so it is

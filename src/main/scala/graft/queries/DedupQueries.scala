@@ -170,6 +170,17 @@ object DedupQueries {
           round(avg("n_chars"), 2).as("avg_chars"))
     }),
 
+    // Quality-aware keep policy: one representative per near-dup
+    // cluster by (quality desc, id asc) — keep-longest (the
+    // C4/MassiveText rule), via a map-side-combinable max_by aggregate
+    // rather than a per-cluster window sort. Singletons keep
+    // themselves; quality = character length.
+    "dd17_keep_best" -> ((s, d) => {
+      DedupOps.dedupKeepBest(documents(s, d), "doc_id", "text",
+        length(col("text")).cast("long"),
+        shingleK = 3, numPerm = 16, bands = 4)
+    }),
+
     // Rolling-hash winnowing fingerprint: min Rabin hash over all 8-byte
     // windows (native one-pass O(1)-update expression; the
     // content-defined-chunking primitive).
@@ -447,6 +458,46 @@ object DedupQueries {
          FROM reach GROUP BY node""",
     // dd6's pipeline + a left join back to the full corpus: singleton
     // docs are their own rep; split = md5-bucket of the REP id.
+    // dd6's cluster pipeline + quality-argmax keep policy: one row per
+    // cluster, the (length desc, id asc)-best member survives.
+    "dd17_keep_best" ->
+      """WITH RECURSIVE s AS (SELECT doc_id, string_split(text,' ') w FROM documents),
+         sh AS (SELECT doc_id,
+                  unnest(list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                                        for i in range(1, len(w)-1)])) AS s
+                FROM s WHERE len(w) >= 3),
+         xh AS (SELECT doc_id,
+                  (('0x' || substr(md5(s), 1, 15))::UBIGINT % 2147483647)::BIGINT AS x
+                FROM sh),
+         sig AS (SELECT doc_id, i,
+                   min(((i*1000003 + 12345) * x + i*999983 + 54321) % 2147483647) AS mh
+                 FROM xh CROSS JOIN (SELECT unnest(range(0,16)) AS i) perms
+                 GROUP BY doc_id, i),
+         bands AS (SELECT doc_id, i // 4 AS band,
+                     md5(string_agg(mh::VARCHAR, '|' ORDER BY i)) AS bh
+                   FROM sig GROUP BY doc_id, i // 4),
+         pairs AS (SELECT DISTINCT l.doc_id a, r.doc_id b
+                   FROM bands l JOIN bands r
+                     ON l.band = r.band AND l.bh = r.bh AND l.doc_id < r.doc_id),
+         edges AS (SELECT a, b FROM pairs UNION SELECT b, a FROM pairs),
+         nodes AS (SELECT DISTINCT a AS n FROM edges),
+         reach(node, rep) AS (
+           SELECT n, n FROM nodes
+           UNION
+           SELECT e.b, r.rep FROM reach r JOIN edges e ON e.a = r.node),
+         cl AS (SELECT node AS member, min(rep) AS cluster_rep
+                FROM reach GROUP BY node),
+         withrep AS (SELECT d.doc_id,
+                       coalesce(cl.cluster_rep, d.doc_id) AS cluster_rep,
+                       length(d.text)::BIGINT AS quality
+                     FROM documents d LEFT JOIN cl ON cl.member = d.doc_id),
+         ranked AS (SELECT doc_id, cluster_rep, quality,
+                      count(*) OVER (PARTITION BY cluster_rep) AS n_members,
+                      row_number() OVER (PARTITION BY cluster_rep
+                        ORDER BY quality DESC, doc_id ASC) AS rn
+                    FROM withrep)
+         SELECT doc_id, cluster_rep, quality, n_members
+         FROM ranked WHERE rn = 1""",
     "dd14_leakage_split" ->
       """WITH RECURSIVE s AS (SELECT doc_id, string_split(text,' ') w FROM documents),
          sh AS (SELECT doc_id,

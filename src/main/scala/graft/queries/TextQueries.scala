@@ -21,6 +21,21 @@ object TextQueries {
       TextAnalysisOps.qualityMetrics(documents(s, d), "doc_id", "text")
     }),
 
+    // Per-source cap (dominant-domain down-sampling): keep at most 15
+    // docs per source by deterministic md5 rank — bounded per-key heap,
+    // not a window sort (the dominant source IS the skew case).
+    "tx40_source_cap" -> ((s, d) => {
+      TextAnalysisOps.sourceCap(documents(s, d), "doc_id", "source", 15)
+    }),
+
+    // Token-budget selection: best-quality docs until the running token
+    // total hits the budget — two-phase histogram-and-cutoff, only the
+    // boundary quality-tie group ever sorts.
+    "tx41_token_budget" -> ((s, d) => {
+      TextAnalysisOps.tokenBudgetSelect(documents(s, d), "doc_id",
+        "text", budget = 12000L)
+    }),
+
     // Hashed-linear classifier inference (fasttext/CCNet shape): md5
     // hashing-trick buckets, integer milli-weights, mean-weight logit.
     // The exact-integer logit is the verified surface; keep = logit>0.
@@ -408,6 +423,29 @@ object TextQueries {
     .mkString(", ")
 
   val oracles: Map[String, String] = Map(
+    "tx40_source_cap" ->
+      """SELECT source, doc_id FROM (
+           SELECT source, doc_id,
+             row_number() OVER (PARTITION BY source
+               ORDER BY md5(doc_id::VARCHAR) ASC, doc_id ASC) AS rn
+           FROM documents) WHERE rn <= 15""",
+    // the oracle is the NAIVE global-window formulation the two-phase
+    // implementation is provably equivalent to
+    "tx41_token_budget" ->
+      s"""WITH q AS (
+            SELECT doc_id,
+              len(string_split(text, ' '))::BIGINT AS n_tokens,
+              round(len(list_filter(string_split(text, ' '),
+                                    w -> w IN ($stop)))::DOUBLE /
+                    greatest(len(string_split(text, ' ')), 1), 4)
+                AS stopword_ratio
+            FROM documents),
+          r AS (SELECT doc_id, n_tokens, stopword_ratio,
+                  sum(n_tokens) OVER (ORDER BY stopword_ratio DESC,
+                    doc_id ASC ROWS UNBOUNDED PRECEDING) AS cum
+                FROM q)
+          SELECT doc_id, n_tokens, stopword_ratio
+          FROM r WHERE cum <= 12000""",
     // The HLL estimate itself is engine-specific; the verified surface
     // is the exact count + the accuracy-contract boolean (must be true).
     "tx5_approx_distinct" ->

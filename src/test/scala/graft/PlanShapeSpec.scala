@@ -381,4 +381,29 @@ class PlanShapeSpec extends SparkSpec {
     assert(!plan.contains("ScalaUDF") && !plan.contains("BatchEvalPython"),
       plan)
   }
+
+  test("tx40 per-source cap runs on the bounded heap, not a window sort") {
+    // the dominant source is the skew case by definition — a row_number
+    // window would sort the largest source's full row set in one task;
+    // the heap keeps ≤ cap rows per source per task before the exchange
+    val p = planOf("tx40_source_cap")
+    assert(p.contains("TopKPerKey"), p)
+    assert(!p.contains("row_number") && !p.contains("Window ["), p)
+  }
+
+  test("dd17 keep-best reduces clusters with a combinable aggregate, not a window") {
+    // max_by over (quality, -id) has a map-side partial; dup clusters
+    // are the skew case, so per-cluster sorting is the shape to forbid
+    val p = planOf("dd17_keep_best")
+    assert(!p.contains("Window ["), p)
+    assert(!p.contains("row_number"), p)
+  }
+
+  test("tx41 token-budget sorts only the boundary tie group") {
+    // exactly one Window node, and it consumes the ratio == r* filter —
+    // the corpus-sized keep/drop branches are map-side filters
+    val p = planOf("tx41_token_budget")
+    assert("Window \\[".r.findAllIn(p).length == 1, p)
+    assert(p.contains("Union"), p)
+  }
 }

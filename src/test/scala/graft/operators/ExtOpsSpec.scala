@@ -656,6 +656,79 @@ class ExtOpsSpec extends SparkSpec {
     assert(spark.sparkContext.getPersistentRDDs.keySet.size < beforeRel2.size)
   }
 
+  test("dedupKeepBest: per-cluster argmax by (quality desc, id asc); singletons survive") {
+    // quality = id*10 so the HIGHEST id in a cluster must win (the
+    // min-id default of dd9 would keep the lowest — this pins the
+    // policy actually being quality-driven, not id-driven)
+    val out = DedupOps.dedupKeepBest(df, "doc_id", "text",
+        col("doc_id").cast("long") * 10)
+      .as[(Long, Long, Long, Long)].collect()
+    // model: derive the expected keep set from the cluster assignment
+    val members = DedupOps.clusters(
+        DedupOps.minhashCandidates(df, "doc_id", "text",
+          shingleK = 3, numPerm = 16, bands = 4))
+      .as[(Long, Long)].collect().toMap // member -> rep
+    val byRep = corpus.map(_._1).groupBy(id => members.getOrElse(id, id))
+    val expected = byRep.map { case (rep, ms) =>
+      val best = ms.max // quality is monotone in id here
+      (best, rep, best * 10, ms.size.toLong)
+    }.toSet
+    assert(out.toSet == expected)
+    // the exact-dup pair (1,4) resolves to the higher-quality member 4
+    assert(out.exists(r => r._1 == 4L && r._2 == 1L))
+    assert(!out.exists(r => r._1 == 1L))
+    // ties on quality fall back to the SMALLEST id: rerun with a
+    // constant quality — every cluster keeps its min member
+    val tied = DedupOps.dedupKeepBest(df, "doc_id", "text", lit(7L))
+      .as[(Long, Long, Long, Long)].collect()
+    assert(tied.forall(r => r._1 == r._2)) // rep IS the min member
+  }
+
+  test("sourceCap: bounded deterministic per-source keep; oversize cap keeps all") {
+    val docs = (1L to 30L).map(i => (i, if (i <= 20) "s1" else "s2"))
+      .toDF("doc_id", "source")
+    val out = TextAnalysisOps.sourceCap(docs, "doc_id", "source", 5)
+      .as[(String, Long)].collect()
+    assert(out.count(_._1 == "s1") == 5 && out.count(_._1 == "s2") == 5)
+    // the kept set is exactly the 5 smallest (md5(id), id) per source —
+    // a pure function of the data, independent of partitioning
+    def h(i: Long) = java.security.MessageDigest.getInstance("MD5")
+      .digest(i.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val expected = (1L to 30L).groupBy(i => if (i <= 20) "s1" else "s2")
+      .toSeq // NOT flatMap on the Map — pairs would collapse by key
+      .flatMap { case (s, is) =>
+        is.toSeq.sortBy(i => (h(i), i)).take(5).map(s -> _)
+      }.toSet
+    assert(out.toSet == expected)
+    assert(TextAnalysisOps.sourceCap(docs, "doc_id", "source", 100)
+      .count() == 30)
+  }
+
+  test("tokenBudgetSelect: equals the naive global cumsum, cutting mid-tie-group") {
+    // 4 quality tie groups of 10 docs each (identical stopword ratios),
+    // 8 tokens per doc — budgets chosen to cut inside a tie group, at a
+    // group boundary, at zero, and beyond the corpus
+    val docs = (1L to 40L).map { i =>
+      val nStop = (i % 4).toInt
+      (i, (Seq.fill(nStop)("the") ++ Seq.fill(8 - nStop)("zebra"))
+        .mkString(" "))
+    }.toDF("doc_id", "text")
+    val scored = TextAnalysisOps.qualityMetrics(docs, "doc_id", "text")
+      .select(col("doc_id"), col("n_tokens").cast("long"),
+        col("stopword_ratio"))
+      .as[(Long, Long, Double)].collect()
+      .sortBy { case (id, _, r) => (-r, id) }
+    for (budget <- Seq(0L, 37L, 80L, 163L, 320L, 1000L)) {
+      val out = TextAnalysisOps.tokenBudgetSelect(docs, "doc_id", "text",
+          budget).as[(Long, Long, Double)].collect().toSet
+      var cum = 0L
+      val expected = scored.takeWhile { case (_, n, _) =>
+        cum += n; cum <= budget
+      }.toSet
+      assert(out == expected, s"budget=$budget")
+    }
+  }
+
   test("leakageFreeSplit: cluster members share one split; singletons covered; deterministic") {
     val out = DedupOps.leakageFreeSplit(df, "doc_id", "text",
       trainPct = 80, valPct = 10, shingleK = 3, numPerm = 16, bands = 4)
