@@ -30,9 +30,9 @@ object PerfCompare {
     // Lane filter for cheap replays (a full run is ~10 min): e.g.
     // GRAFT_PC_ONLY=parse,dsir runs only those blocks. Lane names:
     // topk, cc, bloom, span, containment, kernels, kmeans, ivf,
-    // ivfcurve, bpehybrid, dsir, parse, skew, simhash. Default (unset)
-    // = all. Each lane builds and releases its own caches, so skipping
-    // any subset is safe.
+    // ivfcurve, bpehybrid, dsir, parse, skew, simhash, srccap, budget.
+    // Default (unset) = all. Each lane builds and releases its own
+    // caches, so skipping any subset is safe.
     val only = sys.env.get("GRAFT_PC_ONLY")
       .map(_.split(",").map(_.trim.toLowerCase).filter(_.nonEmpty).toSet)
       .getOrElse(Set.empty[String])
@@ -838,6 +838,85 @@ object PerfCompare {
       println(s"""{"simhash_docs":$n,"banded4_sec":$tb,"banded4_pairs":$nb,""" +
         s""""prefix1_sec":$tp,"prefix1_pairs":$np,"e2e_sec":$te}""")
       Release(sh, blocking = true)
+      Release(docs, blocking = true)
+    }
+
+    // tx40 economics: per-source cap under DOMAIN SKEW — one source owns
+    // half the corpus (the case the cap exists for). Heap (TopKPerKey,
+    // map-side pruned to ≤cap rows/source/task) vs the row_number window
+    // (sorts the dominant source's full row set in one task).
+    lane("srccap") {
+      val n = 10000000L
+      val nSrc = 1000
+      val cap = 100
+      val docs = spark.range(n).select(
+          col("id"),
+          when(pmod(col("id"), lit(2)) === 0, lit("megasite"))
+            .otherwise(concat(lit("s"),
+              pmod(hash(col("id")), lit(nSrc)).cast("string"))).as("source"))
+        .cache()
+      docs.count()
+      def viaHeap: Long = operators.TextAnalysisOps
+        .sourceCap(docs, "id", "source", cap).count()
+      def viaWindow: Long = {
+        val w = Window.partitionBy("source")
+          .orderBy(md5(col("id").cast("string")).asc, col("id").asc)
+        docs.withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= cap).select("source", "id").count()
+      }
+      viaHeap; viaWindow // warmup
+      val runs = (0 until 3).map(_ => (time(viaHeap)._1, time(viaWindow)._1))
+      val th = runs.map(_._1).min
+      val tw = runs.map(_._2).min
+      val nh = viaHeap; val nw = viaWindow
+      require(nh == nw, s"cap row count mismatch: $nh vs $nw")
+      println(s"""{"srccap_docs":$n,"srccap_sources":${nSrc + 1},"cap":$cap,""" +
+        s""""heap_sec":$th,"window_sec":$tw,"kept":$nh}""")
+      Release(docs, blocking = true)
+    }
+
+    // tx41 economics: token-budget selection — two-phase
+    // histogram-and-cutoff vs the naive single-partition global window
+    // cumsum. ~90 distinct quality values so the boundary tie group is
+    // corpus/90; the naive twin sorts the WHOLE corpus in one task.
+    lane("budget") {
+      val n = 5000000L
+      val nStop = pmod(col("id"), lit(7))
+      val nFill = lit(8) + pmod(col("id"), lit(13))
+      val docs = spark.range(n).select(col("id"),
+          array_join(concat(
+            array_repeat(lit("the"), nStop.cast("int")),
+            array_repeat(lit("zebra"), (nFill - nStop).cast("int"))),
+            " ").as("text"))
+        .cache()
+      docs.count()
+      val budget = n * 5 // ≈ half the corpus's tokens → mid-corpus cut
+      def viaTwoPhase: Long = {
+        val (sel, release) = operators.TextAnalysisOps
+          .tokenBudgetSelectReleasable(docs, "id", "text", budget)
+        val c = sel.count()
+        release()
+        c
+      }
+      def viaNaive: Long = {
+        val scored = operators.TextAnalysisOps
+          .qualityMetrics(docs, "id", "text")
+          .select(col("id"), col("n_tokens").cast("long").as("n_tokens"),
+            col("stopword_ratio"))
+        val w = Window.orderBy(col("stopword_ratio").desc, col("id").asc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        scored.withColumn("_cum", sum("n_tokens").over(w))
+          .filter(col("_cum") <= budget).count()
+      }
+      viaTwoPhase; viaNaive // warmup
+      val runs = (0 until 3).map(_ =>
+        (time(viaTwoPhase)._1, time(viaNaive)._1))
+      val tt = runs.map(_._1).min
+      val tn = runs.map(_._2).min
+      val nt = viaTwoPhase; val nn = viaNaive
+      require(nt == nn, s"budget keep count mismatch: $nt vs $nn")
+      println(s"""{"budget_docs":$n,"budget_tokens":$budget,""" +
+        s""""twophase_sec":$tt,"naive_window_sec":$tn,"kept":$nt}""")
       Release(docs, blocking = true)
     }
     spark.stop()
