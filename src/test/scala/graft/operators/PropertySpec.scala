@@ -620,4 +620,77 @@ class PropertySpec extends SparkSpec {
       assert(got == model, s"topN=$topN")
     }
   }
+
+  test("tokenBudgetSelect equals the cumsum model on random corpora, any budget") {
+    val words = Seq("the", "a", "of", "zebra", "spark", "quick", "data")
+    for (trial <- 0 until 4) {
+      val docs = (1L to (20 + rnd.nextInt(30)).toLong).map { i =>
+        val n = 1 + rnd.nextInt(12)
+        (i, Seq.fill(n)(words(rnd.nextInt(words.length))).mkString(" "))
+      }
+      val df = docs.toDF("doc_id", "text")
+      val scored = TextAnalysisOps.qualityMetrics(df, "doc_id", "text")
+        .select(col("doc_id"), col("n_tokens").cast("long"),
+          col("stopword_ratio"))
+        .as[(Long, Long, Double)].collect()
+        .sortBy { case (id, _, r) => (-r, id) }
+      val total = scored.map(_._2).sum
+      // budgets probing: empty cut, mid-corpus, one-token-short,
+      // exact-fit (whole-corpus branch), beyond
+      for (budget <- Seq(0L, total / 3, total - 1, total, total + 100)) {
+        val (sel, release) = TextAnalysisOps
+          .tokenBudgetSelectReleasable(df, "doc_id", "text", budget)
+        val out = sel.as[(Long, Long, Double)].collect().toSet
+        release()
+        var cum = 0L
+        val expected = scored.takeWhile { case (_, n, _) =>
+          cum += n; cum <= budget
+        }.toSet
+        assert(out == expected, s"trial=$trial budget=$budget")
+      }
+    }
+  }
+
+  test("sourceCap equals the md5-rank model on random groupings, any cap") {
+    def h(i: Long) = java.security.MessageDigest.getInstance("MD5")
+      .digest(i.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    for (trial <- 0 until 4) {
+      val nSrc = 1 + rnd.nextInt(6)
+      val docs = (1L to (30 + rnd.nextInt(40)).toLong)
+        .map(i => (i, s"s${rnd.nextInt(nSrc)}"))
+      val cap = 1 + rnd.nextInt(8)
+      val out = TextAnalysisOps.sourceCap(docs.toDF("doc_id", "source"),
+          "doc_id", "source", cap)
+        .as[(String, Long)].collect()
+      val expected = docs.groupBy(_._2).toSeq.flatMap { case (s, ds) =>
+        ds.map(_._1).sortBy(i => (h(i), i)).take(cap).map(s -> _)
+      }.toSet
+      assert(out.toSet == expected, s"trial=$trial cap=$cap")
+      assert(out.groupBy(_._1).values.forall(_.size <= cap))
+    }
+  }
+
+  test("dedupKeepBest keeps exactly one max-quality member per cluster on random dup corpora") {
+    for (trial <- 0 until 2) {
+      val base = (1L to 12L).map(i =>
+        (i, (1 to 6).map(_ => s"w${rnd.nextInt(30)}").mkString(" ")))
+      // exact dups under fresh ids — quality (= id) makes the COPY the
+      // keeper, pinning the policy against the min-id default
+      val dups = base.filter(_ => rnd.nextBoolean())
+        .map { case (i, t) => (i + 100L, t) }
+      val all = base ++ dups
+      val df = all.toDF("doc_id", "text")
+      val out = DedupOps.dedupKeepBest(df, "doc_id", "text",
+          col("doc_id").cast("long"))
+        .as[(Long, Long, Long, Long)].collect()
+      val members = DedupOps.clusters(DedupOps.minhashCandidates(df,
+          "doc_id", "text", shingleK = 3, numPerm = 16, bands = 4))
+        .as[(Long, Long)].collect().toMap
+      val byRep = all.map(_._1).groupBy(id => members.getOrElse(id, id))
+      val expected = byRep.map { case (rep, ms) =>
+        (ms.max, rep, ms.max, ms.size.toLong)
+      }.toSet
+      assert(out.toSet == expected, s"trial=$trial")
+    }
+  }
 }
