@@ -872,6 +872,28 @@ object PerfCompare {
       require(nh == nw, s"cap row count mismatch: $nh vs $nw")
       println(s"""{"srccap_docs":$n,"srccap_sources":${nSrc + 1},"cap":$cap,""" +
         s""""heap_sec":$th,"window_sec":$tw,"kept":$nh}""")
+      // LARGE-cap regime (cap ≥ per-task per-key volume): the heap path
+      // is the one that DIED here — min(task rows, cap) deserialized
+      // copies per key, unspillable, OOM at tight heap — so the A/B is
+      // histogram-cutoff vs the spillable window, not vs the heap.
+      val capL = 100000
+      def viaHistL: Long = operators.TextAnalysisOps
+        .sourceCap(docs, "id", "source", capL).count()
+      def viaWindowL: Long = {
+        val w = Window.partitionBy("source")
+          .orderBy(md5(col("id").cast("string")).asc, col("id").asc)
+        docs.withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= capL).select("source", "id").count()
+      }
+      viaHistL; viaWindowL // warmup
+      val runsL = (0 until 3).map(_ =>
+        (time(viaHistL)._1, time(viaWindowL)._1))
+      val thL = runsL.map(_._1).min
+      val twL = runsL.map(_._2).min
+      val nhL = viaHistL; val nwL = viaWindowL
+      require(nhL == nwL, s"large-cap row count mismatch: $nhL vs $nwL")
+      println(s"""{"srccap_docs":$n,"cap":$capL,"hist_sec":$thL,""" +
+        s""""window_sec":$twL,"kept":$nhL}""")
       Release(docs, blocking = true)
     }
 

@@ -15,7 +15,7 @@ import org.apache.spark.sql.functions._
   * [spanDocs] [containDocs] [lshDocs] [tfidfDocs] [embVecs] [evEvents]
   * [shardDocs] [vocabDocs] [pqVecs] [dsirDocs]`. `GRAFT_SS_ONLY=
   * <lanes>` replays just the named lanes — any comma-separated subset
-  * of simhash, decon, bpe, overlap, curation.
+  * of simhash, decon, bpe, overlap, curation, capbudget.
   */
 object ScaleSmoke {
   def main(args: Array[String]): Unit = {
@@ -45,7 +45,7 @@ object ScaleSmoke {
     def round1(d: Double): Double = math.rint(d * 10) / 10
 
     // Targeted replays (the PerfCompare affordance): GRAFT_SS_ONLY
-    // names a subset of the named lanes (simhash, decon, bpe, overlap,
+    // names a subset of the named lanes (simhash, decon, bpe, overlap, capbudget,
     // curation); unset runs everything including the legacy block below.
     val only = sys.env.get("GRAFT_SS_ONLY")
       .map(_.split(",").map(_.trim.toLowerCase).filter(_.nonEmpty).toSet)
@@ -515,6 +515,55 @@ object ScaleSmoke {
       println(s"""{"curation_docs":$n,"sec":${round1(secAll)},"gate":$nGate,"exact":$nExact,"survivors":$nSurv,"train":${sc.getOrElse("train", 0L)},"val":${sc.getOrElse("val", 0L)},"test":${sc.getOrElse("test", 0L)},"manifest_docs":$mass}""")
       Release(members, blocking = true)
       Release(survivors, blocking = true)
+    }
+
+    // The r8 curation additions composed end-to-end: domain cap
+    // (bounded heap under a half-corpus megasite) → near-dup keep-best
+    // (max_by, no per-cluster window) → token-budget selection
+    // (histogram cutoff; 13 distinct quality values so the boundary
+    // tie group is corpus/13). The point: the full
+    // "cap → dedup → budget" selection chain completes with bounded
+    // memory and no corpus-sized sort anywhere.
+    lane("capbudget") {
+      val n = 3000000L
+      // dup groups of 3; ~13 distinct stopword ratios across groups
+      val gg = col("id") - col("id") % 3
+      def cw(k: Int): Column =
+        translate(lower(conv(pmod(hash(gg * 101 + k), lit(400000L))
+          .cast("string"), 10, 36)), "0123456789", "qrstuvwxyz")
+      val content = concat_ws(" ", (0 until 20).map(cw): _*)
+      val text = array_join(concat(split(content, " "),
+        array_repeat(lit("the"), (gg % 13).cast("int"))), " ")
+      val corpus = spark.range(n).select(col("id"),
+          when(pmod(col("id"), lit(2)) === 0, lit("megasite"))
+            .otherwise(concat(lit("s"),
+              pmod(hash(col("id")), lit(997)).cast("string"))).as("source"),
+          text.as("text"))
+        .localCheckpoint()
+      val t0 = System.nanoTime()
+      val capped = operators.TextAnalysisOps
+        .sourceCap(corpus, "id", "source", 100000)
+      val kept = corpus.join(capped.select("id"), Seq("id"), "left_semi")
+        .localCheckpoint()
+      val nCap = kept.count()
+      Release(corpus, blocking = false)
+      val (bestDf, relBest) = operators.DedupOps.dedupKeepBestReleasable(
+        kept, "id", "text", length(col("text")).cast("long"))
+      val best = bestDf.select(col("id")).localCheckpoint()
+      relBest()
+      val nBest = best.count()
+      val deduped = kept.join(best, Seq("id"), "left_semi")
+        .localCheckpoint()
+      Release(kept, blocking = false)
+      Release(best, blocking = false)
+      val (sel, relSel) = operators.TextAnalysisOps
+        .tokenBudgetSelectReleasable(deduped, "id", "text",
+          nBest * 13L) // ≈ half the surviving tokens
+      val nSel = sel.count()
+      relSel()
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(s"""{"capbudget_docs":$n,"sec":${round1(sec)},"capped":$nCap,"kept_best":$nBest,"budget_selected":$nSel}""")
+      Release(deduped, blocking = true)
     }
     spark.stop()
   }

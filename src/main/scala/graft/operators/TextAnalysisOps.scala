@@ -355,7 +355,9 @@ object TextAnalysisOps {
     * reproducible across runs, engines, and partitionings, and unbiased
     * w.r.t. document order in the source.
     *
-    * Scale shape: the cap is a bounded per-key heap
+    * Scale shape — TWO regimes, auto-dispatched on `cap`:
+    *
+    * Small caps (≤ `maxHeapCap`): a bounded per-key heap
     * ([[graft.plans.TopKPerKey]]), NOT a `row_number` window — the
     * window form sorts every source's full document set, and the
     * dominant source is by definition the skew case (one domain with
@@ -363,15 +365,75 @@ object TextAnalysisOps {
     * map-side pruned: each task retains at most `cap` rows per source
     * before the exchange, so the shuffle carries ≤ cap·tasks rows per
     * source regardless of the source's true size.
+    *
+    * Large caps: the heap's per-task state is min(task rows, cap)
+    * DESERIALIZED row copies per key — unspillable, and with cap at or
+    * above per-task per-key volume it silently retains ~the whole task
+    * input (measured: cap=100 k at local[32]/8 g OOMed the 3 M-doc
+    * smoke that local[8] survived — heap state scales with
+    * concurrency). So beyond `maxHeapCap` the cap switches to a
+    * PER-KEY HISTOGRAM CUTOFF (the [[tokenBudgetSelect]] two-phase
+    * pattern generalized per key): bucket the md5 rank by its first
+    * byte, aggregate (source, bucket) counts — a map-side-combined agg
+    * whose output is 256 rows per source, no ids, no payloads — find
+    * each source's boundary bucket with a ≤256-row window, then keep
+    * low buckets with a MAP-SIDE filter (zero shuffle for them, and
+    * for every under-cap source) and rank only the boundary bucket —
+    * 1/256 of an overflowing source — in a spillable sort. Same total
+    * order (md5 asc, id asc), bit-identical keep set, asserted equal
+    * across the dispatch in the property suite.
     */
+  val SourceCapHeapMax: Int = 1024
+
   def sourceCap(docs: DataFrame, idCol: String, srcCol: String,
-                cap: Int): DataFrame = {
+                cap: Int, maxHeapCap: Int = SourceCapHeapMax): DataFrame = {
     require(cap > 0, s"cap must be positive: $cap")
-    val keyed = docs.select(col(srcCol), col(idCol),
+    if (cap <= maxHeapCap) {
+      val keyed = docs.select(col(srcCol), col(idCol),
+        md5(col(idCol).cast("string")).as("_r"))
+      graft.plans.TopK.perKey(keyed, Seq(srcCol),
+          Seq(col("_r").asc, col(idCol).asc), cap)
+        .select(col(srcCol), col(idCol))
+    } else sourceCapHistogram(docs, idCol, srcCol, cap)
+  }
+
+  /** Large-cap path of [[sourceCap]]: per-key histogram cutoff. */
+  private[operators] def sourceCapHistogram(docs: DataFrame, idCol: String,
+                                            srcCol: String, cap: Int)
+      : DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ranked = docs.select(col(srcCol), col(idCol),
       md5(col(idCol).cast("string")).as("_r"))
-    graft.plans.TopK.perKey(keyed, Seq(srcCol),
-        Seq(col("_r").asc, col(idCol).asc), cap)
+      .withColumn("_b", conv(substring(col("_r"), 1, 2), 16, 10).cast("int"))
+    // (source, bucket) counts: map-side combined, 256 rows/source out
+    val hist = ranked.groupBy(srcCol, "_b").agg(count(lit(1)).as("_c"))
+    // per-source boundary: first bucket whose cumulative count crosses
+    // the cap (≤256-row window per source), and the quota left for it
+    val wb = Window.partitionBy(srcCol).orderBy(col("_b").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val bounds = hist.withColumn("_cum", sum("_c").over(wb))
+      .filter(col("_cum") > cap)
+      .groupBy(srcCol).agg(
+        min_by(struct(col("_b"), col("_cum"), col("_c")), col("_b"))
+          .as("_bd"))
+      .select(col(srcCol), col("_bd._b").as("_bstar"),
+        (lit(cap) - (col("_bd._cum") - col("_bd._c"))).as("_quota"))
+    // null-safe join: a null source is a key like any other to the heap
+    // path, so the boundary lookup must match it too
+    val joined = ranked.join(bounds.withColumnRenamed(srcCol, "_src2"),
+      col(srcCol) <=> col("_src2"), "left").drop("_src2")
+    // under-cap sources (no boundary row) and low buckets: map-side keep
+    val low = joined.filter(col("_bstar").isNull || col("_b") < col("_bstar"))
       .select(col(srcCol), col(idCol))
+    // boundary bucket only — 1/256 of an overflowing source — pays the
+    // exact per-source rank, in a spillable sort
+    val wr = Window.partitionBy(srcCol)
+      .orderBy(col("_r").asc, col(idCol).asc)
+    val boundary = joined.filter(col("_b") === col("_bstar"))
+      .withColumn("_rn", row_number().over(wr))
+      .filter(col("_rn") <= col("_quota"))
+      .select(col(srcCol), col(idCol))
+    low.unionByName(boundary)
   }
 
   /** Token-budget corpus selection: order the corpus by

@@ -659,14 +659,20 @@ class PropertySpec extends SparkSpec {
       val docs = (1L to (30 + rnd.nextInt(40)).toLong)
         .map(i => (i, s"s${rnd.nextInt(nSrc)}"))
       val cap = 1 + rnd.nextInt(8)
-      val out = TextAnalysisOps.sourceCap(docs.toDF("doc_id", "source"),
-          "doc_id", "source", cap)
+      val df = docs.toDF("doc_id", "source")
+      val out = TextAnalysisOps.sourceCap(df, "doc_id", "source", cap)
         .as[(String, Long)].collect()
       val expected = docs.groupBy(_._2).toSeq.flatMap { case (s, ds) =>
         ds.map(_._1).sortBy(i => (h(i), i)).take(cap).map(s -> _)
       }.toSet
       assert(out.toSet == expected, s"trial=$trial cap=$cap")
       assert(out.groupBy(_._1).values.forall(_.size <= cap))
+      // the large-cap histogram-cutoff path keeps the BIT-IDENTICAL
+      // set (maxHeapCap = 0 forces it onto the same small data)
+      val viaHist = TextAnalysisOps.sourceCap(df, "doc_id", "source",
+          cap, maxHeapCap = 0)
+        .as[(String, Long)].collect().toSet
+      assert(viaHist == expected, s"trial=$trial cap=$cap (histogram)")
     }
   }
 
