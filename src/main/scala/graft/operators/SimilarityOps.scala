@@ -597,4 +597,42 @@ object SimilarityOps {
       .filter(col("sim") >= threshold)
       .select("a", "b", "sim")
   }
+
+  /** Approximate k-NN graph over the corpus: for every vector, its `k`
+    * most-similar SAME-BUCKET neighbors as directed edges
+    * (a, b, sim, rank) — the backbone structure of graph-based semantic
+    * dedup and diversity-aware curation (SemDeDup clusters, NN-descent
+    * seeds, coverage scoring all start from this graph).
+    *
+    * Scale shape: the pair space is blocked by the sign-bucket LSH key
+    * — an equi-join on the bucket, never a cross product — and the
+    * directed edges need a ≠ b (both directions), not the a < b
+    * dedup-pair convention. The per-node ranking is the bounded-heap
+    * `TopKPerKey`: ≤ k edges per node survive each task map-side, so
+    * the bucket fan-out (|bucket|² pairs) is consumed BEFORE any
+    * exchange — a `row_number` window would shuffle and sort every
+    * scored pair. Both join sides derive from one bucketed projection;
+    * Catalyst reuses that exchange (the dd2 self-join discipline).
+    * Recall is bucket-bounded like [[lshBucketed]]: nodes get neighbors
+    * from their own bucket only — raise recall by lowering `bits`
+    * (bigger buckets) or unioning rotated sign-buckets, trading pair
+    * volume for coverage.
+    */
+  def knnGraph(corpus: DataFrame, k: Int, bits: Int = 4,
+               idCol: String = "vec_id", vecCol: String = "embedding",
+               kernel: (Column, Column) => Column = cosine): DataFrame = {
+    require(k > 0, s"k must be positive: $k")
+    val b = corpus.select(col(idCol).as("_id"), col(vecCol).as("_v"),
+      signBucket(col(vecCol), bits).as("_bkt"))
+    val l = b.select(col("_bkt"), col("_id").as("a"), col("_v").as("va"))
+    val r = b.select(col("_bkt"), col("_id").as("b"), col("_v").as("vb"))
+    val scored = l.join(r, Seq("_bkt"))
+      .filter(col("a") =!= col("b"))
+      // NaN guard (zero-norm vectors): catalyst ranks NaN above every
+      // real double — map to null so degenerate pairs sort LAST
+      .withColumn("sim", noNaN(round(kernel(col("va"), col("vb")), 4)))
+      .select("a", "b", "sim")
+    graft.plans.TopK.perKey(scored, Seq("a"),
+      Seq(col("sim").desc, col("b").asc), k, rankCol = "rank")
+  }
 }

@@ -100,6 +100,14 @@ object SimilarityQueries {
         .select("a", "b", "sim")
     }),
 
+    // k-NN graph: per-vector top-5 same-bucket neighbors as directed
+    // edges — the structure SemDeDup-style pipelines build on. Bucket
+    // fan-out consumed map-side by the bounded heap, never a window.
+    "ss16_knn_graph" -> ((s, d) => {
+      SimilarityOps.knnGraph(embeddings(s, d), k = 5, bits = 4,
+        kernel = cosineF32Native(_, _))
+    }),
+
     // IVF approximate top-k, fully oracle-checked: md5-seeded cells +
     // rounded float32 centroids (the kmeans portability recipe) make
     // the whole pipeline — centroids, assignments, probes, in-cell
@@ -281,6 +289,25 @@ object SimilarityQueries {
          WHERE rk <= 5"""
 
   val oracles: Map[String, String] = Map(
+    "ss16_knn_graph" ->
+      """WITH b AS (
+           SELECT vec_id, embedding,
+             (CASE WHEN embedding[1] > 0 THEN '1' ELSE '0' END) ||
+             (CASE WHEN embedding[2] > 0 THEN '1' ELSE '0' END) ||
+             (CASE WHEN embedding[3] > 0 THEN '1' ELSE '0' END) ||
+             (CASE WHEN embedding[4] > 0 THEN '1' ELSE '0' END) AS bkt
+           FROM embeddings),
+         p AS (SELECT l.vec_id AS a, r.vec_id AS b,
+                 round(list_cosine_similarity(l.embedding,
+                   r.embedding)::DOUBLE, 4) AS sim
+               FROM b l JOIN b r
+                 ON l.bkt = r.bkt AND l.vec_id <> r.vec_id)
+         SELECT a, b, sim, rn::INT AS rank FROM (
+           SELECT a, b, sim,
+             row_number() OVER (PARTITION BY a
+               ORDER BY sim DESC NULLS LAST, b ASC) AS rn
+           FROM p)
+         WHERE rn <= 5""",
     // sign matrix replayed from the same md5 nibble parity; addends are
     // integer-quantized before the sum, so proj_micro is exact (the
     // ::BIGINT on the sum matters — DuckDB sum(BIGINT) is HUGEINT,

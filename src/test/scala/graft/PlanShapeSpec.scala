@@ -399,6 +399,19 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("row_number"), p)
   }
 
+  test("ss16 knn graph ranks bucket fan-out on the heap off one reused bucketing") {
+    // |bucket|² scored pairs must be consumed map-side (LocalTopK)
+    // BEFORE the key exchange — a row_number window would shuffle and
+    // sort every scored pair. The self-join may legitimately be a
+    // broadcast at this SF (the build side is a cheap projection over
+    // the base scan, unlike dd15's expensive derived pipeline); in the
+    // shuffle regime the two sides share one exchange.
+    val p = planOf("ss16_knn_graph")
+    assert(p.contains("LocalTopK") && p.contains("TopKPerKey"), p)
+    assert(!p.contains("row_number"), p)
+    assert(p.contains("ReusedExchange") || p.contains("BroadcastHashJoin"), p)
+  }
+
   test("tx41 token-budget sorts only the boundary tie group") {
     // exactly one Window node, and it consumes the ratio == r* filter —
     // the corpus-sized keep/drop branches are map-side filters

@@ -729,6 +729,40 @@ class ExtOpsSpec extends SparkSpec {
     }
   }
 
+  test("knnGraph: per-node top-k same-bucket directed edges; singleton buckets edge-free") {
+    // buckets by sign of dims 1–2: {2,3,6} (exercises k=2 truncation),
+    // {4,5} (mutual rank-1), {1} (singleton — no edges)
+    val vs = Seq(
+      (1L, Array(1.0f, -0.5f, 0.2f)),
+      (2L, Array(0.9f, 0.1f, 0.3f)),
+      (3L, Array(0.8f, 0.2f, -0.1f)),
+      (4L, Array(-1.0f, 0.5f, 0.0f)),
+      (5L, Array(-0.9f, 0.4f, 0.1f)),
+      (6L, Array(0.7f, 0.3f, 0.2f)))
+    def cosM(x: Array[Float], y: Array[Float]): Double = {
+      val dot = x.zip(y).map { case (a, b) => a.toDouble * b }.sum
+      val n = math.sqrt(x.map(a => a.toDouble * a).sum) *
+        math.sqrt(y.map(a => a.toDouble * a).sum)
+      BigDecimal(dot / n).setScale(4, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble
+    }
+    val expected = vs.groupBy { case (_, v) => (v(0) > 0, v(1) > 0) }
+      .values.toSeq.flatMap { grp =>
+        grp.flatMap { case (a, va) =>
+          grp.filter(_._1 != a)
+            .map { case (b, vb) => (b, cosM(va, vb)) }
+            .sortBy { case (b, s) => (-s, b) }
+            .take(2).zipWithIndex
+            .map { case ((b, s), i) => (a, b, s, i + 1) }
+        }
+      }.toSet
+    val out = SimilarityOps.knnGraph(vs.toDF("vec_id", "embedding"),
+        k = 2, bits = 2)
+      .as[(Long, Long, Double, Int)].collect().toSet
+    assert(out == expected)
+    assert(!out.exists(_._1 == 1L) && !out.exists(_._2 == 1L))
+  }
+
   test("leakageFreeSplit: cluster members share one split; singletons covered; deterministic") {
     val out = DedupOps.leakageFreeSplit(df, "doc_id", "text",
       trainPct = 80, valPct = 10, shingleK = 3, numPerm = 16, bands = 4)
