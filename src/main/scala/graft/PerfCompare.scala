@@ -30,7 +30,7 @@ object PerfCompare {
     // Lane filter for cheap replays (a full run is ~10 min): e.g.
     // GRAFT_PC_ONLY=parse,dsir runs only those blocks. Lane names:
     // topk, cc, bloom, span, containment, kernels, kmeans, ivf,
-    // ivfcurve, bpehybrid, dsir, parse, skew, simhash, srccap, budget.
+    // ivfcurve, bpehybrid, dsir, parse, skew, simhash, srccap, budget, knn.
     // Default (unset) = all. Each lane builds and releases its own
     // caches, so skipping any subset is safe.
     val only = sys.env.get("GRAFT_PC_ONLY")
@@ -895,6 +895,49 @@ object PerfCompare {
       println(s"""{"srccap_docs":$n,"cap":$capL,"hist_sec":$thL,""" +
         s""""window_sec":$twL,"kept":$nhL}""")
       Release(docs, blocking = true)
+    }
+
+    // ss16 economics: knnGraph's bits knob traded explicitly — fewer
+    // sign bits = bigger buckets = more pair volume AND higher neighbor
+    // recall. Ground truth = brute-force top-k for a 1-in-500 query
+    // sample (the ivfcurve recipe: measure the curve, not a point).
+    lane("knn") {
+      val n = 50000L
+      val dim = 16
+      val k = 5
+      val vecs = spark.range(n).select(col("id"),
+          array((0 until dim).map(j =>
+            ((pmod(hash(col("id") * 31 + j), lit(1000)) - 500) / 500.0)
+              .cast("float")): _*).as("embedding"))
+        .cache()
+      vecs.count()
+      val sample = vecs.filter(pmod(col("id"), lit(500)) === 0)
+        .select(col("id").as("qid"), col("embedding").as("qv"))
+      val exact = operators.SimilarityOps.bruteForceTopK(
+          vecs, sample.select(col("qid").as("id"),
+            col("qv").as("embedding")),
+          k, "id", "embedding")
+        .select(col("query_id"), col("neighbor_id")).cache()
+      val nExact = exact.count()
+      for (bits <- Seq(2, 4, 6)) {
+        def run: Long = operators.SimilarityOps
+          .knnGraph(vecs, k, bits, idCol = "id",
+            kernel = graft.functions.CosineF32.cosineF32Native(_, _))
+          .count()
+        val (sec, edges) = time(run)
+        val hits = operators.SimilarityOps
+          .knnGraph(vecs, k, bits, idCol = "id",
+            kernel = graft.functions.CosineF32.cosineF32Native(_, _))
+          .join(sample.select(col("qid").as("a")), Seq("a"), "left_semi")
+          .join(exact.select(col("query_id").as("a"),
+            col("neighbor_id").as("b")), Seq("a", "b"), "left_semi")
+          .count()
+        val recall = hits.toDouble / nExact
+        println(s"""{"knn_vecs":$n,"bits":$bits,"sec":$sec,""" +
+          s""""edges":$edges,"recall_at_$k":${math.rint(recall * 1000) / 1000}}""")
+      }
+      Release(exact, blocking = true)
+      Release(vecs, blocking = true)
     }
 
     // tx41 economics: token-budget selection — two-phase

@@ -508,6 +508,32 @@ object TextAnalysisOps {
     }
   }
 
+  /** Corpus snapshot diff — the dataset-versioning primitive: classify
+    * every document id across two snapshots as added / removed /
+    * changed / unchanged by content digest. What a training-data
+    * pipeline runs before re-tokenizing: the changed+added set is the
+    * incremental work list, the removed set the tombstones.
+    *
+    * Scale shape: both sides are reduced to (id, 16-byte md5) BEFORE
+    * the full-outer join, so the exchange carries digests, never text
+    * (the tx33/dd15 discipline); the join is id-keyed — AQE picks
+    * broadcast for a small snapshot, shuffled keyed join otherwise.
+    * Comparing digests instead of text also makes "changed" a pure
+    * equality test, robust to any text width.
+    */
+  def snapshotDiff(oldDf: DataFrame, newDf: DataFrame, idCol: String,
+                   textCol: String): DataFrame = {
+    val o = oldDf.select(col(idCol), unhex(md5(col(textCol))).as("_ho"))
+    val n = newDf.select(col(idCol), unhex(md5(col(textCol))).as("_hn"))
+    o.join(n, Seq(idCol), "full_outer")
+      .withColumn("status",
+        when(col("_ho").isNull, lit("added"))
+          .when(col("_hn").isNull, lit("removed"))
+          .when(col("_ho") === col("_hn"), lit("unchanged"))
+          .otherwise(lit("changed")))
+      .select(col(idCol), col("status"))
+  }
+
   /** Deterministic stratified hash sampling: keep a row iff the first 8
     * hex digits of md5(id) land below the stratum's percentage. No RNG,
     * no seed state — the sample is a pure function of the id, so it is

@@ -36,6 +36,18 @@ object TextQueries {
         "text", budget = 12000L)
     }),
 
+    // Snapshot diff (dataset versioning): old = ids not divisible by 7,
+    // new = ids not divisible by 5 with every 11th text modified —
+    // exercises all four statuses; the join carries digests, not text.
+    "tx42_snapshot_diff" -> ((s, d) => {
+      val docs = documents(s, d)
+      val oldSnap = docs.filter(col("doc_id") % 7 =!= 0)
+      val newSnap = docs.filter(col("doc_id") % 5 =!= 0)
+        .withColumn("text", when(col("doc_id") % 11 === 0,
+          concat(col("text"), lit(" mod"))).otherwise(col("text")))
+      TextAnalysisOps.snapshotDiff(oldSnap, newSnap, "doc_id", "text")
+    }),
+
     // Hashed-linear classifier inference (fasttext/CCNet shape): md5
     // hashing-trick buckets, integer milli-weights, mean-weight logit.
     // The exact-integer logit is the verified surface; keep = logit>0.
@@ -429,6 +441,19 @@ object TextQueries {
              row_number() OVER (PARTITION BY source
                ORDER BY md5(doc_id::VARCHAR) ASC, doc_id ASC) AS rn
            FROM documents) WHERE rn <= 15""",
+    "tx42_snapshot_diff" ->
+      """WITH o AS (SELECT doc_id, md5(text) AS h FROM documents
+                    WHERE doc_id % 7 <> 0),
+          n AS (SELECT doc_id,
+                  md5(CASE WHEN doc_id % 11 = 0 THEN text || ' mod'
+                           ELSE text END) AS h
+                FROM documents WHERE doc_id % 5 <> 0)
+         SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+           CASE WHEN o.doc_id IS NULL THEN 'added'
+                WHEN n.doc_id IS NULL THEN 'removed'
+                WHEN o.h = n.h THEN 'unchanged'
+                ELSE 'changed' END AS status
+         FROM o FULL JOIN n ON o.doc_id = n.doc_id""",
     // the oracle is the NAIVE global-window formulation the two-phase
     // implementation is provably equivalent to
     "tx41_token_budget" ->

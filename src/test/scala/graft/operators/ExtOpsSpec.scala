@@ -763,6 +763,17 @@ class ExtOpsSpec extends SparkSpec {
     assert(!out.exists(_._1 == 1L) && !out.exists(_._2 == 1L))
   }
 
+  test("snapshotDiff: all four statuses classified; ids total") {
+    val o = Seq((1L, "alpha"), (2L, "beta"), (3L, "gamma"))
+      .toDF("doc_id", "text")
+    val n = Seq((2L, "beta"), (3L, "gamma CHANGED"), (4L, "delta"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysisOps.snapshotDiff(o, n, "doc_id", "text")
+      .as[(Long, String)].collect().toMap
+    assert(out == Map(1L -> "removed", 2L -> "unchanged",
+      3L -> "changed", 4L -> "added"))
+  }
+
   test("leakageFreeSplit: cluster members share one split; singletons covered; deterministic") {
     val out = DedupOps.leakageFreeSplit(df, "doc_id", "text",
       trainPct = 80, valPct = 10, shingleK = 3, numPerm = 16, bands = 4)
