@@ -919,22 +919,23 @@ object PerfCompare {
           k, "id", "embedding")
         .select(col("query_id"), col("neighbor_id")).cache()
       val nExact = exact.count()
-      for (bits <- Seq(2, 4, 6)) {
-        def run: Long = operators.SimilarityOps
-          .knnGraph(vecs, k, bits, idCol = "id",
-            kernel = graft.functions.CosineF32.cosineF32Native(_, _))
-          .count()
-        val (sec, edges) = time(run)
-        val hits = operators.SimilarityOps
-          .knnGraph(vecs, k, bits, idCol = "id",
-            kernel = graft.functions.CosineF32.cosineF32Native(_, _))
+      // probes·bits ≤ dim(16): the multi-probe sweep holds bits at 4
+      // and adds probes — recall climbs at constant bucket size
+      for ((bits, probes) <- Seq((2, 1), (4, 1), (6, 1),
+                                 (4, 2), (4, 3), (4, 4), (6, 2))) {
+        def graph = operators.SimilarityOps.knnGraphMultiProbe(
+          vecs, k, bits, probes, idCol = "id",
+          kernel = graft.functions.CosineF32.cosineF32Native(_, _))
+        val (sec, edges) = time(graph.count())
+        val hits = graph
           .join(sample.select(col("qid").as("a")), Seq("a"), "left_semi")
           .join(exact.select(col("query_id").as("a"),
             col("neighbor_id").as("b")), Seq("a", "b"), "left_semi")
           .count()
         val recall = hits.toDouble / nExact
-        println(s"""{"knn_vecs":$n,"bits":$bits,"sec":$sec,""" +
-          s""""edges":$edges,"recall_at_$k":${math.rint(recall * 1000) / 1000}}""")
+        println(s"""{"knn_vecs":$n,"bits":$bits,"probes":$probes,""" +
+          s""""sec":$sec,"edges":$edges,""" +
+          s""""recall_at_$k":${math.rint(recall * 1000) / 1000}}""")
       }
       Release(exact, blocking = true)
       Release(vecs, blocking = true)

@@ -108,6 +108,15 @@ object SimilarityQueries {
         kernel = cosineF32Native(_, _))
     }),
 
+    // Multi-probe k-NN graph: two independent 4-bit sign-buckets
+    // (dims 1–4, 5–8), candidates unioned with the dd15 emit-once
+    // predicate instead of a distinct — recall climbs at constant
+    // bucket size.
+    "ss17_knn_multiprobe" -> ((s, d) => {
+      SimilarityOps.knnGraphMultiProbe(embeddings(s, d), k = 5,
+        bits = 4, probes = 2, kernel = cosineF32Native(_, _))
+    }),
+
     // IVF approximate top-k, fully oracle-checked: md5-seeded cells +
     // rounded float32 centroids (the kmeans portability recipe) make
     // the whole pipeline — centroids, assignments, probes, in-cell
@@ -289,6 +298,36 @@ object SimilarityQueries {
          WHERE rk <= 5"""
 
   val oracles: Map[String, String] = Map(
+    "ss17_knn_multiprobe" ->
+      """WITH b AS (
+           SELECT vec_id, embedding,
+             (CASE WHEN embedding[1] > 0 THEN '1' ELSE '0' END) ||
+             (CASE WHEN embedding[2] > 0 THEN '1' ELSE '0' END) ||
+             (CASE WHEN embedding[3] > 0 THEN '1' ELSE '0' END) ||
+             (CASE WHEN embedding[4] > 0 THEN '1' ELSE '0' END) AS b0,
+             (CASE WHEN embedding[5] > 0 THEN '1' ELSE '0' END) ||
+             (CASE WHEN embedding[6] > 0 THEN '1' ELSE '0' END) ||
+             (CASE WHEN embedding[7] > 0 THEN '1' ELSE '0' END) ||
+             (CASE WHEN embedding[8] > 0 THEN '1' ELSE '0' END) AS b1
+           FROM embeddings),
+         p AS (SELECT l.vec_id AS a, r.vec_id AS b,
+                 round(list_cosine_similarity(l.embedding,
+                   r.embedding)::DOUBLE, 4) AS sim
+               FROM b l JOIN b r
+                 ON l.b0 = r.b0 AND l.vec_id <> r.vec_id
+               UNION ALL
+               SELECT l.vec_id AS a, r.vec_id AS b,
+                 round(list_cosine_similarity(l.embedding,
+                   r.embedding)::DOUBLE, 4) AS sim
+               FROM b l JOIN b r
+                 ON l.b1 = r.b1 AND l.vec_id <> r.vec_id
+                    AND l.b0 <> r.b0)
+         SELECT a, b, sim, rn::INT AS rank FROM (
+           SELECT a, b, sim,
+             row_number() OVER (PARTITION BY a
+               ORDER BY sim DESC NULLS LAST, b ASC) AS rn
+           FROM p)
+         WHERE rn <= 5""",
     "ss16_knn_graph" ->
       """WITH b AS (
            SELECT vec_id, embedding,

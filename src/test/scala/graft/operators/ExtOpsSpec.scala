@@ -763,6 +763,56 @@ class ExtOpsSpec extends SparkSpec {
     assert(!out.exists(_._1 == 1L) && !out.exists(_._2 == 1L))
   }
 
+  test("knnGraphMultiProbe: union of probe buckets, emit-once dedup, superset recall") {
+    // dim 4, bits 2, probes 2: probe 0 buckets dims 1–2, probe 1 dims
+    // 3–4. Vectors arranged so some pairs meet ONLY via probe 1 and one
+    // pair meets via BOTH (must not double-count).
+    val vs = Seq(
+      (1L, Array(1.0f, 0.5f, 1.0f, 0.5f)),   // p0="11" p1="11"
+      (2L, Array(0.9f, 0.4f, 0.8f, 0.6f)),   // p0="11" p1="11" both-probe dup with 1
+      (3L, Array(-1.0f, 0.5f, 0.9f, 0.4f)),  // p0="01" p1="11" probe-1-only vs 1,2
+      (4L, Array(-0.9f, 0.6f, -1.0f, 0.5f)), // p0="01" p1="01" probe-0 with 3
+      (5L, Array(1.0f, -1.0f, -1.0f, -1.0f))) // p0="10" p1="00" isolated
+    def cosM(x: Array[Float], y: Array[Float]): Double = {
+      val dot = x.zip(y).map { case (a, b) => a.toDouble * b }.sum
+      val n = math.sqrt(x.map(a => a.toDouble * a).sum) *
+        math.sqrt(y.map(a => a.toDouble * a).sum)
+      BigDecimal(dot / n).setScale(4, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble
+    }
+    def bkt(v: Array[Float], off: Int) =
+      (v(off) > 0, v(off + 1) > 0)
+    val expected = vs.flatMap { case (a, va) =>
+      vs.filter { case (b, vb) =>
+        b != a && (bkt(va, 0) == bkt(vb, 0) || bkt(va, 2) == bkt(vb, 2))
+      }.map { case (b, vb) => (b, cosM(va, vb)) }
+        .sortBy { case (b, s) => (-s, b) }
+        .take(2).zipWithIndex
+        .map { case ((b, s), i) => (a, b, s, i + 1) }
+    }.toSet
+    val out = SimilarityOps.knnGraphMultiProbe(
+        vs.toDF("vec_id", "embedding"), k = 2, bits = 2, probes = 2)
+      .as[(Long, Long, Double, Int)].collect()
+    // emit-once: no (a, b) appears twice even when both probes match
+    assert(out.map(e => (e._1, e._2)).distinct.length == out.length)
+    assert(out.toSet == expected)
+    // probe-1-only neighbors present (1,3) — single-probe would miss
+    assert(out.exists(e => e._1 == 1L && e._2 == 3L))
+    assert(!out.exists(e => e._1 == 5L || e._2 == 5L))
+    // probes=1 stays bit-identical to the single-probe formulation
+    val single = SimilarityOps.knnGraph(vs.toDF("vec_id", "embedding"),
+        k = 2, bits = 2)
+      .as[(Long, Long, Double, Int)].collect().toSet
+    val manual = vs.flatMap { case (a, va) =>
+      vs.filter { case (b, vb) => b != a && bkt(va, 0) == bkt(vb, 0) }
+        .map { case (b, vb) => (b, cosM(va, vb)) }
+        .sortBy { case (b, s) => (-s, b) }
+        .take(2).zipWithIndex
+        .map { case ((b, s), i) => (a, b, s, i + 1) }
+    }.toSet
+    assert(single == manual)
+  }
+
   test("snapshotDiff: all four statuses classified; ids total") {
     val o = Seq((1L, "alpha"), (2L, "beta"), (3L, "gamma"))
       .toDF("doc_id", "text")
