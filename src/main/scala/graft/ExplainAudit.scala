@@ -28,7 +28,9 @@ object ExplainAudit {
         "mm5_decode_pq",
         "dd15_simhash_pairs", "ss15_recall", "tx34_bm25_retrieval",
         "tx35_decontaminate", "tx36_bpe_pairs", "tx38_source_overlap",
-        "tx39_bpe_tokenize", "dd16_simhash_wide", "cd14_geocode_fuzzy")
+        "tx39_bpe_tokenize", "dd16_simhash_wide", "cd14_geocode_fuzzy",
+        "dd17_keep_best", "tx40_source_cap", "tx41_token_budget",
+        "tx42_snapshot_diff", "ss16_knn_graph", "ss17_knn_multiprobe")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

@@ -1,0 +1,88 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+
+/** Misra–Gries heavy-hitters sketch as a typed `Aggregator` — the
+  * frequent-item primitive for streams too wide to aggregate exactly
+  * (hot n-grams, hot keys, hot domains at 100 TB: a full
+  * `groupBy(item)` shuffles every distinct item; the sketch crosses
+  * the exchange as ONE ≤ k-entry map per partition).
+  *
+  * Guarantees (Misra–Gries 1982; merge rule per Agarwal et al.,
+  * "Mergeable Summaries", PODS 2012): after summarizing n items with
+  * capacity k, (1) every item with true frequency > n/(k+1) is present
+  * in the sketch — no false negatives above the threshold; (2) each
+  * reported estimate undercounts by at most n/(k+1) and never
+  * overcounts. Both survive arbitrary merge trees, so map-side partial
+  * aggregation is safe — which partition saw which rows changes WHICH
+  * sub-threshold items appear, but never violates (1) or (2). The
+  * verified surface is therefore the CONTRACT, not the sketch content
+  * (the tx5 HLL precedent): oracles check presence + bound booleans
+  * for provably-frequent items, not map equality.
+  *
+  * The decrement-all step is the textbook O(k) form — k is tens-to-
+  * thousands by design (a sketch the size of the answer); for
+  * adversarial mostly-unique streams with large k, the offset +
+  * lazy-eviction representation trades it to amortized O(1), noted
+  * here as the optimization seam.
+  */
+final case class MGBuf(counts: Map[String, Long])
+
+class MisraGries(k: Int)
+    extends Aggregator[String, MGBuf, Map[String, Long]] {
+  require(k > 0, s"sketch capacity must be positive: $k")
+
+  override def zero: MGBuf = MGBuf(Map.empty)
+
+  override def reduce(b: MGBuf, item: String): MGBuf = {
+    if (item == null) b
+    else {
+      val c = b.counts
+      c.get(item) match {
+        case Some(n) => MGBuf(c.updated(item, n + 1))
+        case None if c.size < k => MGBuf(c.updated(item, 1L))
+        case None =>
+          // full and unseen: decrement every counter, drop zeros (the
+          // arriving item's own +1 cancels against the decrement)
+          MGBuf(c.collect { case (w, n) if n > 1 => w -> (n - 1) })
+      }
+    }
+  }
+
+  override def merge(a: MGBuf, b: MGBuf): MGBuf = {
+    val sum = b.counts.foldLeft(a.counts) { case (acc, (w, n)) =>
+      acc.updated(w, acc.getOrElse(w, 0L) + n)
+    }
+    if (sum.size <= k) MGBuf(sum)
+    else {
+      // subtract the (k+1)-th largest count from all, keep positives —
+      // the mergeable-summaries rule that preserves both guarantees
+      val m = sum.values.toSeq.sorted(Ordering[Long].reverse)(k)
+      MGBuf(sum.collect { case (w, n) if n > m => w -> (n - m) })
+    }
+  }
+
+  override def finish(buf: MGBuf): Map[String, Long] = buf.counts
+
+  override def bufferEncoder: Encoder[MGBuf] = Encoders.product[MGBuf]
+  override def outputEncoder: Encoder[Map[String, Long]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+}
+
+object HeavyHitters {
+
+  /** Sketch the item column into (item, est) rows — one global
+    * aggregation whose partials are ≤ k-entry maps (ObjectHashAggregate
+    * keeps the buffer as an object; only the map crosses the shuffle).
+    */
+  def heavyHitters(df: DataFrame, itemCol: String, k: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(itemCol).cast("string")).as[String]
+      .select(new MisraGries(k).toColumn.name("sketch"))
+      .select(explode(col("sketch")))
+      .toDF("item", "est")
+  }
+}

@@ -36,6 +36,31 @@ object TextQueries {
         "text", budget = 12000L)
     }),
 
+    // Misra–Gries heavy hitters over the word stream with an injected
+    // hot item (docs divisible by 5 contribute 'hotword' per position
+    // — the corpus's own distribution is deliberately flat). Verified
+    // surface = the sketch CONTRACT (presence + bound for provably-
+    // frequent items), the tx5 HLL precedent; sketch content is
+    // merge-order-dependent by design.
+    "tx43_heavy_hitters" -> ((s, d) => {
+      val words = documents(s, d).select(col("doc_id"),
+        explode(split(col("text"), " ")).as("w"))
+      val items = words.select(
+        when(col("doc_id") % 5 === 0, lit("hotword"))
+          .otherwise(col("w")).as("item"))
+      val sk = graft.operators.HeavyHitters.heavyHitters(items, "item", 16)
+      val exact = items.groupBy("item").agg(count(lit(1)).as("exact_count"))
+      val tot = items.agg(count(lit(1)).cast("double").as("n"))
+      exact.crossJoin(tot)
+        .filter(col("exact_count") > col("n") / 17.0)
+        .join(sk, Seq("item"), "left")
+        .select(col("item"), col("exact_count"),
+          col("est").isNotNull.as("guaranteed_present"),
+          (col("est").isNotNull && col("est") <= col("exact_count") &&
+            col("est") >= col("exact_count") - col("n") / 17.0)
+            .as("est_within_bound"))
+    }),
+
     // Snapshot diff (dataset versioning): old = ids not divisible by 7,
     // new = ids not divisible by 5 with every 11th text modified —
     // exercises all four statuses; the join carries digests, not text.
@@ -441,6 +466,21 @@ object TextQueries {
              row_number() OVER (PARTITION BY source
                ORDER BY md5(doc_id::VARCHAR) ASC, doc_id ASC) AS rn
            FROM documents) WHERE rn <= 15""",
+    // the MG contract is deterministic even though sketch content is
+    // not: every item with freq > n/(k+1) MUST be present with an
+    // estimate in [exact - n/(k+1), exact] — so the oracle emits the
+    // provably-frequent items with both booleans true
+    "tx43_heavy_hitters" ->
+      """WITH w AS (SELECT CASE WHEN doc_id % 5 = 0 THEN 'hotword'
+                            ELSE x END AS item
+                    FROM (SELECT doc_id,
+                            unnest(string_split(text, ' ')) AS x
+                          FROM documents)),
+          e AS (SELECT item, count(*) AS exact_count FROM w GROUP BY item),
+          t AS (SELECT count(*)::DOUBLE AS n FROM w)
+         SELECT item, exact_count, true AS guaranteed_present,
+           true AS est_within_bound
+         FROM e, t WHERE exact_count > n / 17.0""",
     "tx42_snapshot_diff" ->
       """WITH o AS (SELECT doc_id, md5(text) AS h FROM documents
                     WHERE doc_id % 7 <> 0),

@@ -412,6 +412,19 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("ReusedExchange") || p.contains("BroadcastHashJoin"), p)
   }
 
+  test("ss17 multi-probe dedups by emit-once predicate, not a distinct exchange") {
+    // the union's second branch carries the no-earlier-probe-match
+    // conjunction instead of a candidate distinct: no HashAggregate-
+    // based dedup between the joins and the heap, no row_number
+    val p = planOf("ss17_knn_multiprobe")
+    assert(p.contains("Union"), p)
+    assert(p.contains("LocalTopK") && p.contains("TopKPerKey"), p)
+    assert(!p.contains("row_number"), p)
+    // the branch predicate is visible as a join condition / filter on
+    // the probe-0 bucket inequality
+    assert(p.contains("NOT (_la0"), p)
+  }
+
   test("tx41 token-budget sorts only the boundary tie group") {
     // exactly one Window node, and it consumes the ratio == r* filter —
     // the corpus-sized keep/drop branches are map-side filters

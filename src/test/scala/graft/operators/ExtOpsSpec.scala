@@ -813,6 +813,34 @@ class ExtOpsSpec extends SparkSpec {
     assert(single == manual)
   }
 
+  test("MisraGries: presence and bound contracts hold under any partitioning") {
+    val rnd2 = new scala.util.Random(7)
+    val items = Seq.fill(400)("hot") ++
+      (1 to 600).map(_ => s"w${rnd2.nextInt(200)}")
+    val n = items.length
+    val k = 10 // threshold n/(k+1) ≈ 90.9 — only "hot" is guaranteed
+    val exact = items.groupBy(identity)
+      .map { case (w, l) => w -> l.size.toLong }
+    for (parts <- Seq(1, 3, 8)) {
+      val out = HeavyHitters.heavyHitters(
+          spark.sparkContext.parallelize(items, parts).toDF("item"),
+          "item", k)
+        .as[(String, Long)].collect().toMap
+      assert(out.size <= k, s"parts=$parts capacity violated")
+      // no false negatives above the threshold
+      exact.foreach { case (w, c) =>
+        if (c > n / (k + 1.0))
+          assert(out.contains(w), s"parts=$parts missing frequent $w")
+      }
+      // never overcounts; undercounts by at most n/(k+1)
+      out.foreach { case (w, est) =>
+        val c = exact(w)
+        assert(est <= c && est >= c - n / (k + 1.0) - 1e-9,
+          s"parts=$parts item=$w est=$est exact=$c")
+      }
+    }
+  }
+
   test("snapshotDiff: all four statuses classified; ids total") {
     val o = Seq((1L, "alpha"), (2L, "beta"), (3L, "gamma"))
       .toDF("doc_id", "text")
