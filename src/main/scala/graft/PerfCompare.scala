@@ -30,7 +30,7 @@ object PerfCompare {
     // Lane filter for cheap replays (a full run is ~10 min): e.g.
     // GRAFT_PC_ONLY=parse,dsir runs only those blocks. Lane names:
     // topk, cc, bloom, span, containment, kernels, kmeans, ivf,
-    // ivfcurve, bpehybrid, dsir, parse, skew, simhash, srccap, budget, knn.
+    // ivfcurve, bpehybrid, dsir, parse, skew, simhash, srccap, budget, knn, hh.
     // Default (unset) = all. Each lane builds and releases its own
     // caches, so skipping any subset is safe.
     val only = sys.env.get("GRAFT_PC_ONLY")
@@ -939,6 +939,45 @@ object PerfCompare {
       }
       Release(exact, blocking = true)
       Release(vecs, blocking = true)
+    }
+
+    // tx43 economics: heavy hitters via the MG sketch vs the exact
+    // groupBy. 50 M items over ~5 M distinct keys with 16 hot keys
+    // holding half the stream: the exact path shuffles every distinct
+    // key's partial count; the sketch ships one ≤64-entry map per
+    // partition (partial_misragries, verified in the plan).
+    lane("hh") {
+      val n = 50000000L
+      val distinctKeys = 5000000L
+      val kSketch = 64 // threshold n/65 ≈ 769k < hot-key freq 1.56M
+      val items = spark.range(n).select(
+          // id/2 mod 16, NOT id mod 16 — even ids alone hit only the
+          // 8 even residues
+          when(pmod(col("id"), lit(2)) === 0,
+            concat(lit("hot"), pmod(col("id") / 2, lit(16)).cast("string")))
+            .otherwise(concat(lit("k"),
+              pmod(hash(col("id")), lit(distinctKeys)).cast("string")))
+            .as("item"))
+        .cache()
+      items.count()
+      def viaExact: Long = items.groupBy("item")
+        .agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc, col("item").asc).limit(kSketch).count()
+      def viaSketch: Long = operators.HeavyHitters
+        .heavyHitters(items, "item", kSketch).count()
+      viaExact; viaSketch // warmup
+      val runs = (0 until 3).map(_ =>
+        (time(viaExact)._1, time(viaSketch)._1))
+      val te = runs.map(_._1).min
+      val ts = runs.map(_._2).min
+      // contract bite: all 16 hot keys must be in the sketch
+      val kept = operators.HeavyHitters
+        .heavyHitters(items, "item", kSketch)
+        .filter(col("item").startsWith("hot")).count()
+      require(kept == 16, s"sketch lost hot keys: $kept/16")
+      println(s"""{"hh_items":$n,"hh_distinct":$distinctKeys,""" +
+        s""""k":$kSketch,"exact_sec":$te,"sketch_sec":$ts,"hot_kept":$kept}""")
+      Release(items, blocking = true)
     }
 
     // tx41 economics: token-budget selection — two-phase
