@@ -429,6 +429,31 @@ object StreamingOps {
   /** Drain a streaming aggregation into an in-memory table and return the
     * result — the batch-equivalence harness used by the tests.
     */
+  /** Streaming heavy hitters: a per-event-time-window Misra–Gries
+    * sketch — hot-key monitoring at line rate. The decisive state
+    * economics vs a streaming `groupBy(item)`: that keeps state PER
+    * DISTINCT ITEM (unbounded for n-gram/URL streams); here the sketch
+    * buffer IS the streaming state — one ≤ k-entry map per open
+    * window, merged incrementally across micro-batches by the
+    * mergeable-summaries rule, which is exactly why the MG guarantees
+    * survive arbitrary batch boundaries. Contract (not content) is the
+    * verified surface, as in the batch lane (tx43): any item above
+    * n_window/(k+1) is present, estimates undercount by at most that
+    * and never overcount.
+    */
+  def heavyHittersStream(stream: DataFrame, itemCol: String,
+                         tsCol: String, windowDur: String, k: Int,
+                         watermark: String = "1 hour"): DataFrame = {
+    val mg = udaf(new graft.operators.MisraGries(k),
+      org.apache.spark.sql.Encoders.STRING)
+    stream.withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), windowDur).as("w"))
+      .agg(mg(col(itemCol).cast("string")).as("sketch"))
+      .select(unix_timestamp(col("w.start")).as("win_start"),
+        explode(col("sketch")))
+      .toDF("win_start", "item", "est")
+  }
+
   def drainToTable(df: DataFrame, name: String,
                    mode: OutputMode = OutputMode.Complete()): DataFrame = {
     val q: StreamingQuery = df.writeStream

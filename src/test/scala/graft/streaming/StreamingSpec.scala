@@ -30,6 +30,34 @@ class StreamingSpec extends SparkSpec {
     assert(batch.nonEmpty)
   }
 
+  test("streaming heavy hitters: per-window MG contract, k-bounded state") {
+    implicit val sqlCtx = spark.sqlContext
+    def ev(i: Int, hhmm: String, item: String) =
+      Ev(i, java.sql.Timestamp.valueOf(s"2024-01-01 $hhmm:00"), 1, item, 0.0)
+    // window 0 (00:xx): "hot" ×40 + 30 unique → n=70, thr 70/5=14
+    // window 1 (01:xx): "warm" ×20 + 10 unique → n=30, thr 30/5=6
+    val w0 = (1 to 40).map(i => ev(i, "00:05", "hot")) ++
+      (41 to 70).map(i => ev(i, "00:30", s"u$i"))
+    val w1 = (71 to 90).map(i => ev(i, "01:05", "warm")) ++
+      (91 to 100).map(i => ev(i, "01:30", s"v$i"))
+    val mem = MemoryStream[Ev]
+    mem.addData((w0 ++ w1): _*)
+    val out = StreamingOps.drainToTable(
+      StreamingOps.heavyHittersStream(mem.toDF(), "event_type", "ts",
+        "1 hour", k = 4), "t_hh")
+      .as[(Long, String, Long)].collect()
+    val byWin = out.groupBy(_._1).map { case (w, rows) =>
+      w -> rows.map(r => r._2 -> r._3).toMap
+    }
+    assert(byWin.size == 2)
+    val Seq(s0, s1) = byWin.toSeq.sortBy(_._1).map(_._2)
+    // capacity bound per window; guaranteed items present with
+    // estimates in [exact - n/(k+1), exact]
+    assert(s0.size <= 4 && s1.size <= 4)
+    assert(s0.contains("hot") && s0("hot") <= 40 && s0("hot") >= 40 - 14)
+    assert(s1.contains("warm") && s1("warm") <= 20 && s1("warm") >= 20 - 6)
+  }
+
   test("streaming sliding windows match the batch twin") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Ev]
