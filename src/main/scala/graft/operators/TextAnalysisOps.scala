@@ -1492,6 +1492,40 @@ object TextAnalysisOps {
     m
   }
 
+  /** Per-document BPE token SEQUENCES — the emit side of the apply
+    * (bpeTokenCount verifies the arithmetic; this produces the actual
+    * token stream a trainer consumes). Output: (id, bpe_tokens
+    * space-joined in word order, n_tokens).
+    *
+    * Scale shape: merges are applied on the VOCABULARY table as in
+    * [[bpeTokenizer]]; the corpus pays one positional word explode, a
+    * broadcast join to the vocab-sized (word → token-string) table,
+    * and ONE doc-keyed reassembly agg — the dd11/tx35 in-order
+    * reassembly idiom (collect (pos, toks), sort in-row, join) — so
+    * the only corpus-sized exchange carries (id, pos, word tokens),
+    * and the corpus is never re-scanned per merge.
+    */
+  def bpeTokenSequences(df: DataFrame, idCol: String, textCol: String,
+                        nMerges: Int,
+                        maxLocalVocab: Long = bpeMaxLocalVocab)
+      : (DataFrame, () => Unit) = {
+    val (vocab, _) = bpeTrain(df, textCol, nMerges, maxLocalVocab)
+    val wordToks = vocab.select(col("w"),
+      replace(trim(col("sym")), lit("  "), lit(" ")).as("toks"),
+      size(split(trim(col("sym")), "  ")).cast("long").as("n_sym"))
+    val seqs = df.select(col(idCol),
+        posexplode(regexp_extract_all(lower(col(textCol)),
+          lit("[a-z]+"), lit(0))).as(Seq("pos", "w")))
+      .join(broadcast(wordToks), Seq("w"))
+      .groupBy(col(idCol))
+      .agg(
+        array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("toks")))),
+          x => x.getField("toks")), " ").as("bpe_tokens"),
+        sum("n_sym").as("n_tokens"))
+    (seqs, () => graft.Release(vocab))
+  }
+
   def bpeTokenizer(df: DataFrame, idCol: String, textCol: String,
                    nMerges: Int,
                    maxLocalVocab: Long = bpeMaxLocalVocab)

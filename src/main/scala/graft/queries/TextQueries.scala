@@ -296,6 +296,14 @@ object TextQueries {
         nMerges = 3)
     }),
 
+    // BPE token sequences: the emit side of the apply — the actual
+    // in-order token stream under the learned merges, reassembled per
+    // doc from a positional word explode + broadcast vocab join.
+    "tx44_bpe_sequences" -> ((s, d) => {
+      TextAnalysisOps.bpeTokenSequences(documents(s, d), "doc_id",
+        "text", nMerges = 3)._1
+    }),
+
     // TF-IDF term weighting: tf × ln(N/df) for every (doc, term) with
     // tf >= 3 — keyword extraction / relevance scoring over the corpus.
     "tx20_tfidf" -> ((s, d) => {
@@ -900,6 +908,56 @@ object TextQueries {
                   AS n_sym FROM v3)
          SELECT doc_id, sum(n_sym)::BIGINT AS n_bpe_tokens,
            count(*)::BIGINT AS n_words
+         FROM u JOIN sc USING (w) GROUP BY doc_id""",
+    // tx39's merge chain, but emitting the ordered token stream:
+    // positional unnest (generate_subscripts zips with unnest, the ss8
+    // idiom) + per-word token string + ordered string_agg
+    "tx44_bpe_sequences" ->
+      """WITH u AS (SELECT doc_id, unnest(regexp_extract_all(lower(text),
+                      '[a-z]+')) AS w,
+                      generate_subscripts(regexp_extract_all(lower(text),
+                        '[a-z]+'), 1) AS pos
+                    FROM documents),
+         words AS (SELECT w, count(*) AS wf FROM u GROUP BY w),
+         v0 AS (SELECT w, '  ' || array_to_string(
+                  regexp_extract_all(w, '[a-z]'), '  ') || '  ' AS sym, wf
+                FROM words),
+         p1 AS (SELECT unnest(list_transform(range(1, len(s)),
+                  i -> s[i] || ' ' || s[i+1])) AS pair, wf
+                FROM (SELECT string_split(trim(sym), '  ') AS s, wf
+                      FROM v0) WHERE len(s) >= 2),
+         c1 AS (SELECT pair, sum(wf)::BIGINT AS n FROM p1 GROUP BY pair),
+         m1 AS (SELECT pair FROM c1 ORDER BY n DESC, pair LIMIT 1),
+         v1 AS (SELECT w, replace(sym,
+                  ' ' || replace((SELECT pair FROM m1), ' ', '  ') || ' ',
+                  ' ' || replace((SELECT pair FROM m1), ' ', '') || ' ')
+                  AS sym, wf FROM v0),
+         p2 AS (SELECT unnest(list_transform(range(1, len(s)),
+                  i -> s[i] || ' ' || s[i+1])) AS pair, wf
+                FROM (SELECT string_split(trim(sym), '  ') AS s, wf
+                      FROM v1) WHERE len(s) >= 2),
+         c2 AS (SELECT pair, sum(wf)::BIGINT AS n FROM p2 GROUP BY pair),
+         m2 AS (SELECT pair FROM c2 ORDER BY n DESC, pair LIMIT 1),
+         v2 AS (SELECT w, replace(sym,
+                  ' ' || replace((SELECT pair FROM m2), ' ', '  ') || ' ',
+                  ' ' || replace((SELECT pair FROM m2), ' ', '') || ' ')
+                  AS sym, wf FROM v1),
+         p3 AS (SELECT unnest(list_transform(range(1, len(s)),
+                  i -> s[i] || ' ' || s[i+1])) AS pair, wf
+                FROM (SELECT string_split(trim(sym), '  ') AS s, wf
+                      FROM v2) WHERE len(s) >= 2),
+         c3 AS (SELECT pair, sum(wf)::BIGINT AS n FROM p3 GROUP BY pair),
+         m3 AS (SELECT pair FROM c3 ORDER BY n DESC, pair LIMIT 1),
+         v3 AS (SELECT w, replace(sym,
+                  ' ' || replace((SELECT pair FROM m3), ' ', '  ') || ' ',
+                  ' ' || replace((SELECT pair FROM m3), ' ', '') || ' ')
+                  AS sym, wf FROM v2),
+         sc AS (SELECT w, replace(trim(sym), '  ', ' ') AS toks,
+                  len(string_split(trim(sym), '  '))::BIGINT AS n_sym
+                FROM v3)
+         SELECT doc_id,
+           string_agg(toks, ' ' ORDER BY pos) AS bpe_tokens,
+           sum(n_sym)::BIGINT AS n_tokens
          FROM u JOIN sc USING (w) GROUP BY doc_id""",
     // distinct (source, gram-digest) built once — md5 mirrors the
     // operator's no-text-in-shuffles keying, so even a digest collision

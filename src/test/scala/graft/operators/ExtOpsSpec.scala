@@ -841,6 +841,36 @@ class ExtOpsSpec extends SparkSpec {
     }
   }
 
+  test("bpeTokenSequences: in-order token stream; conservation; count parity") {
+    // corpus wf: aa=3, b=2 → merge 1 adopts (a a); "aa" → one token
+    val docs = Seq((1L, "aa aa b"), (2L, "aa b")).toDF("doc_id", "text")
+    val (seqs, release) = TextAnalysisOps.bpeTokenSequences(
+      docs, "doc_id", "text", nMerges = 1)
+    val out = seqs.as[(Long, String, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    release()
+    assert(out(1L) == (("aa aa b", 3L)))
+    assert(out(2L) == (("aa b", 2L)))
+    // parity with the count-only apply on the corpus fixture
+    val (counts, rel2) = TextAnalysisOps.bpeTokenizer(df, "doc_id",
+      "text", nMerges = 3)
+    val nByDoc = counts.select(col("doc_id"), col("n_bpe_tokens"))
+      .as[(Long, Long)].collect().toMap
+    rel2()
+    val (seqs2, rel3) = TextAnalysisOps.bpeTokenSequences(df, "doc_id",
+      "text", nMerges = 3)
+    val out2 = seqs2.as[(Long, String, Long)].collect()
+    rel3()
+    out2.foreach { case (id, toks, n) =>
+      assert(n == nByDoc(id), s"doc $id count mismatch")
+      // conservation: dropping spaces reconstructs the letters of the
+      // extracted words, in order
+      val letters = corpus.toMap.apply(id).toLowerCase
+        .replaceAll("[^a-z]+", "")
+      assert(toks.replace(" ", "") == letters, s"doc $id letters")
+    }
+  }
+
   test("snapshotDiff: all four statuses classified; ids total") {
     val o = Seq((1L, "alpha"), (2L, "beta"), (3L, "gamma"))
       .toDF("doc_id", "text")
