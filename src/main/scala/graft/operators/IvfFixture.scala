@@ -87,6 +87,34 @@ object IvfFixture {
       }
     }))
 
+  /** Incrementally-maintained IVF index (ss18): built from the
+    * STANDING corpus (vec_id % 10 != 0 — so the centroids derive from
+    * it), then the batch (vec_id % 10 == 0) is APPENDED against the
+    * frozen centroids. Marker-guarded like every persisted fixture;
+    * the append happens inside the guarded build, so a torn
+    * build+append fails loudly rather than serving the standing rows
+    * only.
+    */
+  def ivfAppendDir(spark: SparkSession, sfDir: String): String =
+    checkMarker(built.computeIfAbsent(s"ivfapp:$sfDir", _ => {
+      val dir = scratch("graft-ivf-append-index", sfDir)
+      buildWithMarker(dir) {
+        val emb = graft.Tables.embeddings(spark, sfDir)
+        IvfIndex.build(emb.filter(col("vec_id") % 10 =!= 0), dir,
+          nList = 8, kernel = kernel)
+        IvfIndex.append(emb.filter(col("vec_id") % 10 === 0), dir,
+          kernel = kernel)
+      }
+    }))
+
+  /** ss18's search half: ss7's query set against the appended index. */
+  def searchIvfAppend(spark: SparkSession, sfDir: String) = {
+    val dir = ivfAppendDir(spark, sfDir)
+    val emb = graft.Tables.embeddings(spark, sfDir)
+    IvfIndex.search(spark, dir, emb.filter(col("vec_id") < 10),
+      5, nProbe = 3, kernel = kernel)
+  }
+
   /** ss7's search half against the memoized index. */
   def searchIvf(spark: SparkSession, sfDir: String) = {
     val dir = ivfDir(spark, sfDir)

@@ -41,6 +41,34 @@ object IvfIndex {
       cells, s"$dir/cells", Seq("_cell"), clusterBy = Seq(idCol))
   }
 
+  /** Incremental maintenance: assign a NEW batch against the PERSISTED
+    * centroids and append its rows into the existing cell layout — the
+    * dd10 band-index discipline applied to the vector index
+    * (production ANN banks the index once and ingests batches; a
+    * rebuild per batch re-scans the corpus). Centroids are FROZEN:
+    * re-training the coarse quantizer is by definition a rebuild, and
+    * freezing it is what makes the append pure — the standing rows'
+    * assignments stay valid, the appended rows land in the same hive
+    * `_cell` layout, and the probed-cell partition pruning keeps
+    * working unchanged. Only the batch is scanned; the standing corpus
+    * is never touched.
+    */
+  def append(batch: DataFrame, dir: String,
+             idCol: String = "vec_id", vecCol: String = "embedding",
+             kernel: (Column, Column) => Column = SimilarityOps.cosine)
+      : Unit = {
+    val spark = batch.sparkSession
+    val persisted = spark.read.parquet(s"$dir/centroids")
+    val cells = SimilarityOps.ivfAssign(batch, persisted, idCol, vecCol,
+      kernel)
+    cells.repartition(col("_cell"))
+      .sortWithinPartitions(col("_cell"), col(idCol))
+      .write.mode(SaveMode.Append)
+      .option("maxRecordsPerFile", 1000000L)
+      .partitionBy("_cell")
+      .parquet(s"$dir/cells")
+  }
+
   /** The probed-cells scan, isolated so its plan shape is assertable:
     * a parquet scan whose PartitionFilters contain the `IN` over the
     * probed cell ids — pruning happens at file listing, before IO.

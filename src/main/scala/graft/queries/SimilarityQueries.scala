@@ -142,6 +142,13 @@ object SimilarityQueries {
     "ss7_ivf_index" -> ((s, d) =>
       graft.operators.IvfFixture.searchIvf(s, d)),
 
+    // Incremental index maintenance (the dd10 discipline on the vector
+    // index): standing corpus built once, the batch APPENDED against
+    // the frozen centroids into the same partition-pruned layout; the
+    // timed lane measures search against the maintained index.
+    "ss18_ivf_append" -> ((s, d) =>
+      graft.operators.IvfFixture.searchIvfAppend(s, d)),
+
     // IVF-PQ composed search: the persisted two-level ANN artifact
     // (8 IVF cells × 2-subspace/4-centroid PQ codes, codes
     // hive-partitioned by cell). Search probes 3 cells per query,
@@ -261,8 +268,14 @@ object SimilarityQueries {
 
   /** Shared by ss5 (transient) and ss7 (persisted index): identical
     * parameters, identical portable centroids — identical results. */
-  private val ivfPipelineOracle: String =
-    """WITH cen AS (
+  /** The IVF replay, with the centroid-source relation as a parameter:
+    * ss5/ss7 derive centroids from the full corpus; ss18's append
+    * fixture derives them from the STANDING corpus only (vec_id % 10
+    * != 0) and then assigns everything against those frozen centroids
+    * — exactly what `IvfIndex.append` does.
+    */
+  private def ivfOracle(centroidSrc: String): String =
+    s"""WITH cen AS (
            SELECT cell, list(mx ORDER BY pos) AS cv FROM (
              SELECT cell, pos,
                (round(sum(x::DOUBLE) / count(*), 4) + 0)::FLOAT AS mx
@@ -270,7 +283,7 @@ object SimilarityQueries {
                        ::UBIGINT % 8)::INT AS cell,
                      unnest(embedding) AS x,
                      generate_subscripts(embedding, 1) AS pos
-                   FROM embeddings)
+                   FROM $centroidSrc)
              GROUP BY cell, pos) GROUP BY cell),
          cells AS (SELECT vec_id AS cid, cvec, cell FROM (
                      SELECT e.vec_id, e.embedding AS cvec, cen.cell,
@@ -297,7 +310,14 @@ object SimilarityQueries {
            FROM sc)
          WHERE rk <= 5"""
 
+  private val ivfPipelineOracle: String = ivfOracle("embeddings")
+
   val oracles: Map[String, String] = Map(
+    // same replay, centroids frozen at the standing corpus — the
+    // appended rows are assigned against them, exactly what
+    // IvfIndex.append persists
+    "ss18_ivf_append" -> ivfOracle(
+      "(SELECT * FROM embeddings WHERE vec_id % 10 <> 0)"),
     "ss17_knn_multiprobe" ->
       """WITH b AS (
            SELECT vec_id, embedding,

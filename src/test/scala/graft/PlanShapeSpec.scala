@@ -425,6 +425,12 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("NOT (_la0"), p)
   }
 
+  test("tx44 sequences: vocab joins the word stream by broadcast, no window") {
+    val p = planOf("tx44_bpe_sequences")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("row_number") && !p.contains("Window ["), p)
+  }
+
   test("tx41 token-budget sorts only the boundary tie group") {
     // exactly one Window node, and it consumes the ratio == r* filter —
     // the corpus-sized keep/drop branches are map-side filters

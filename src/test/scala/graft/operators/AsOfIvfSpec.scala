@@ -86,6 +86,38 @@ class AsOfIvfSpec extends SparkSpec {
       .subsetOf(Set(1, 3)))
   }
 
+  test("IvfIndex.append: batch joins the cell layout under frozen centroids; equals build-with-frozen-centroids") {
+    val emb = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val standing = emb.filter(col("vec_id") % 10 =!= 0)
+    val batch = emb.filter(col("vec_id") % 10 === 0)
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf-app").toString
+    IvfIndex.build(standing, dir, nList = 8)
+    IvfIndex.append(batch, dir)
+    // every row landed in the cell layout exactly once
+    val cells = spark.read.parquet(s"$dir/cells")
+    assert(cells.count() == emb.count())
+    assert(cells.select("vec_id").distinct().count() == emb.count())
+    // appended rows are assigned to the SAME cells a from-scratch
+    // assignment against the persisted (standing-derived) centroids
+    // gives — the frozen-centroid contract
+    val cen = spark.read.parquet(s"$dir/centroids")
+    val expected = SimilarityOps.ivfAssign(batch, cen, "vec_id",
+        "embedding", SimilarityOps.cosine)
+      .select(col("vec_id"), col("_cell"))
+      .as[(Long, Int)].collect().toMap
+    val appended = cells.join(batch.select("vec_id"), Seq("vec_id"),
+        "left_semi")
+      .select(col("vec_id"), col("_cell"))
+      .as[(Long, Int)].collect().toMap
+    assert(appended == expected)
+    // search over the maintained index can return appended neighbors
+    val out = IvfIndex.search(spark, dir, emb.filter(col("vec_id") < 10),
+      5, nProbe = 3)
+      .select("neighbor_id").as[Long].collect()
+    assert(out.exists(_ % 10 == 0), "no appended row ever surfaced")
+  }
+
   test("IvfIndex.buildPq/searchPq: candidates stay in probed cells, code scan prunes, replay exact") {
     val emb = spark.read
       .parquet("/root/testdata/sf0.001/embeddings.parquet")
