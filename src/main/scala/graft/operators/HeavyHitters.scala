@@ -85,4 +85,32 @@ object HeavyHitters {
       .select(explode(col("sketch")))
       .toDF("item", "est")
   }
+
+  /** EXACT heavy hitters by sketch-then-verify — the production
+    * two-pass pattern: pass 1 sketches candidates (≤ k items), pass 2
+    * exact-counts ONLY rows matching a candidate (broadcast ≤ k-row
+    * dimension — the post-filter agg shuffles at most k·tasks tiny
+    * rows, never the full distinct-item space) and keeps items whose
+    * exact count clears the n/(k+1) threshold.
+    *
+    * The output is DETERMINISTIC even though the sketch is not: the MG
+    * guarantee makes any valid sketch's candidate set a superset of
+    * the truly-frequent items, and the exact filter removes whatever
+    * sub-threshold noise that particular merge order let in — so every
+    * run returns exactly the items with true frequency > n/(k+1), with
+    * EXACT counts. Cost: two scans of `items` instead of one
+    * full-distinct aggregation; cache upstream if the input is an
+    * expensive derivation.
+    */
+  def exactHeavyHitters(df: DataFrame, itemCol: String, k: Int)
+      : DataFrame = {
+    val items = df.select(col(itemCol).cast("string").as("item"))
+    val cands = heavyHitters(items, "item", k).select("item")
+    val tot = items.agg(count(lit(1)).cast("double").as("n"))
+    items.join(broadcast(cands), Seq("item"))
+      .groupBy("item").agg(count(lit(1)).as("exact_count"))
+      .crossJoin(tot)
+      .filter(col("exact_count") > col("n") / (k + 1))
+      .select("item", "exact_count")
+  }
 }

@@ -61,6 +61,19 @@ object TextQueries {
             .as("est_within_bound"))
     }),
 
+    // Exact heavy hitters by sketch-then-verify: MG candidates →
+    // broadcast semi-join → exact counts → threshold. Deterministic
+    // output with EXACT counts (any valid sketch's candidates are a
+    // superset of the frequent items; the exact filter removes noise).
+    "tx45_exact_heavy" -> ((s, d) => {
+      val words = documents(s, d).select(col("doc_id"),
+        explode(split(col("text"), " ")).as("w"))
+      val items = words.select(
+        when(col("doc_id") % 5 === 0, lit("hotword"))
+          .otherwise(col("w")).as("item"))
+      graft.operators.HeavyHitters.exactHeavyHitters(items, "item", 16)
+    }),
+
     // Snapshot diff (dataset versioning): old = ids not divisible by 7,
     // new = ids not divisible by 5 with every 11th text modified —
     // exercises all four statuses; the join carries digests, not text.
@@ -488,6 +501,16 @@ object TextQueries {
           t AS (SELECT count(*)::DOUBLE AS n FROM w)
          SELECT item, exact_count, true AS guaranteed_present,
            true AS est_within_bound
+         FROM e, t WHERE exact_count > n / 17.0""",
+    "tx45_exact_heavy" ->
+      """WITH w AS (SELECT CASE WHEN doc_id % 5 = 0 THEN 'hotword'
+                            ELSE x END AS item
+                    FROM (SELECT doc_id,
+                            unnest(string_split(text, ' ')) AS x
+                          FROM documents)),
+          e AS (SELECT item, count(*) AS exact_count FROM w GROUP BY item),
+          t AS (SELECT count(*)::DOUBLE AS n FROM w)
+         SELECT item, exact_count
          FROM e, t WHERE exact_count > n / 17.0""",
     "tx42_snapshot_diff" ->
       """WITH o AS (SELECT doc_id, md5(text) AS h FROM documents

@@ -871,6 +871,24 @@ class ExtOpsSpec extends SparkSpec {
     }
   }
 
+  test("exactHeavyHitters: deterministic exact counts above threshold, any partitioning") {
+    val rnd3 = new scala.util.Random(11)
+    val items = Seq.fill(300)("hot") ++ Seq.fill(150)("warm") ++
+      (1 to 550).map(_ => s"w${rnd3.nextInt(400)}")
+    val n = items.length // 1000; k=10 → threshold 90.9
+    val expected = items.groupBy(identity)
+      .map { case (w, l) => w -> l.size.toLong }
+      .filter(_._2 > n / 11.0)
+    assert(expected.keySet == Set("hot", "warm")) // fixture sanity
+    for (parts <- Seq(1, 4, 8)) {
+      val out = HeavyHitters.exactHeavyHitters(
+          spark.sparkContext.parallelize(items, parts).toDF("item"),
+          "item", 10)
+        .as[(String, Long)].collect().toMap
+      assert(out == expected, s"parts=$parts")
+    }
+  }
+
   test("snapshotDiff: all four statuses classified; ids total") {
     val o = Seq((1L, "alpha"), (2L, "beta"), (3L, "gamma"))
       .toDF("doc_id", "text")
