@@ -567,16 +567,51 @@ object TextAnalysisOps {
   def mixToBudget(df: DataFrame, idCol: String, strataCol: String,
                   weightCol: String, budgets: Map[String, Long],
                   defaultBudget: Long): DataFrame = {
-    val h = md5(col(idCol).cast("string"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col(strataCol)).orderBy(h.asc, col(idCol).asc)
-      .rowsBetween(Long.MinValue, 0)
+    // Per-key histogram cutoff (the sourceCap large-cap machinery with
+    // weights): the original per-stratum window cumsum sorted every
+    // stratum's FULL doc set — the dominant stratum is the skew case,
+    // exactly the regime per-stratum token budgets exist for. Here the
+    // (stratum, rank-first-byte) weight histogram — ≤ 256 rows per
+    // stratum, no ids — finds each stratum's boundary bucket; docs in
+    // low buckets and every under-budget stratum keep MAP-SIDE, and
+    // only the boundary bucket (1/256 of an over-budget stratum) pays
+    // the ordered cumsum. The keep set is bit-identical to the window
+    // form (the hex rank's leading byte is its lexicographic major
+    // order), which remains the oracle's formulation.
+    import org.apache.spark.sql.expressions.Window
     val budget = budgets.foldLeft(lit(defaultBudget): Column) {
       case (acc, (s, b)) => when(col(strataCol) === s, lit(b)).otherwise(acc)
     }
-    df.withColumn("_run", sum(col(weightCol).cast("long")).over(w))
-      .filter(col("_run") <= budget)
+    val withB = df
+      .withColumn("_h", md5(col(idCol).cast("string")))
+      .withColumn("_b", conv(substring(col("_h"), 1, 2), 16, 10)
+        .cast("int"))
+    val hist = withB.groupBy(col(strataCol), col("_b"))
+      .agg(sum(col(weightCol).cast("long")).as("_s"))
+    val wb = Window.partitionBy(col(strataCol)).orderBy(col("_b").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val bounds = hist.withColumn("_cum", sum("_s").over(wb))
+      .withColumn("_budget", budget)
+      .filter(col("_cum") > col("_budget"))
+      .groupBy(col(strataCol)).agg(
+        min_by(struct(col("_b"), col("_cum"), col("_s")), col("_b"))
+          .as("_bd"),
+        min(col("_budget")).as("_budget"))
+      .select(col(strataCol).as("_k2"), col("_bd._b").as("_bstar"),
+        (col("_budget") - (col("_bd._cum") - col("_bd._s")))
+          .as("_quota"))
+    val joined = withB.join(bounds, col(strataCol) <=> col("_k2"),
+      "left").drop("_k2")
+    val low = joined
+      .filter(col("_bstar").isNull || col("_b") < col("_bstar"))
+    val wr = Window.partitionBy(col(strataCol))
+      .orderBy(col("_h").asc, col(idCol).asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val boundary = joined.filter(col("_b") === col("_bstar"))
+      .withColumn("_run", sum(col(weightCol).cast("long")).over(wr))
+      .filter(col("_run") <= col("_quota"))
       .drop("_run")
+    low.unionByName(boundary).drop("_h", "_b", "_bstar", "_quota")
   }
 
   /** TF-IDF term weighting: per-(doc, term) frequency × log inverse

@@ -676,6 +676,30 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("mixToBudget equals the per-stratum window model on random corpora and budgets") {
+    def h(i: Long) = java.security.MessageDigest.getInstance("MD5")
+      .digest(i.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    for (trial <- 0 until 3) {
+      val docs = (1L to (40 + rnd.nextInt(60)).toLong).map(i =>
+        (i, s"s${rnd.nextInt(4)}", 1 + rnd.nextInt(9)))
+      val budgets = Map("s0" -> (5 + rnd.nextInt(40)).toLong,
+        "s1" -> (5 + rnd.nextInt(40)).toLong)
+      val dflt = (5 + rnd.nextInt(40)).toLong
+      val model = docs.groupBy(_._2).toSeq.flatMap { case (s, ds) =>
+        val bud = budgets.getOrElse(s, dflt)
+        var run = 0L
+        ds.sortBy(d => (h(d._1), d._1)).takeWhile { d =>
+          run += d._3; run <= bud
+        }
+      }.toSet
+      val out = TextAnalysisOps.mixToBudget(
+          docs.toDF("doc_id", "source", "w"),
+          "doc_id", "source", "w", budgets, dflt)
+        .as[(Long, String, Int)].collect().toSet
+      assert(out == model, s"trial=$trial budgets=$budgets dflt=$dflt")
+    }
+  }
+
   test("dedupKeepBest keeps exactly one max-quality member per cluster on random dup corpora") {
     for (trial <- 0 until 2) {
       val base = (1L to 12L).map(i =>
