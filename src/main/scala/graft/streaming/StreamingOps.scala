@@ -188,6 +188,15 @@ object StreamingOps {
         minhashTextBandsGen(col(textCol), shingleK, 16, 4))
       .toDF(s"${side}_id", s"${side}_ts", s"${side}_band", s"${side}_bh")
       .withWatermark(s"${side}_ts", watermark)
+    // Known benign noise: StreamingJoinHelper probes every </>
+    // predicate in the condition for a state-watermark constraint and
+    // WARN-logs an internal-error stack for the non-time a_id < b_id
+    // pair-dedup predicate (once per side per micro-batch). Writing the
+    // predicate as a post-join filter does NOT avoid it — the optimizer
+    // pushes a both-sides filter straight back into the condition. The
+    // time-range predicates still extract their state watermark, so
+    // state eviction is unaffected; the logger is quieted in the test
+    // harness (SparkSpec) rather than contorting the plan.
     banded("a").join(banded("b"),
       col("a_band") === col("b_band") && col("a_bh") === col("b_bh") &&
         col("a_id") < col("b_id") &&

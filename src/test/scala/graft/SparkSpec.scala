@@ -18,6 +18,17 @@ trait SparkSpec extends AnyFunSuite {
   lazy val spark: SparkSession = {
     val s = TestSpark.spark
     s.sparkContext.setLogLevel("WARN")
+    // StreamingJoinHelper WARN-logs an internal-error stack for every
+    // non-time </> predicate in a stream-stream join condition (our
+    // a_id < b_id pair-dedup in the near-dup self-join) once per side
+    // per micro-batch — benign by construction (the time-range
+    // predicates still yield the state watermark; see
+    // StreamingOps.nearDupPairsStream), and the optimizer pushes a
+    // post-join filter back into the condition, so the plan cannot
+    // dodge it. Quiet exactly that logger.
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.sql.catalyst.analysis.StreamingJoinHelper",
+      org.apache.logging.log4j.Level.ERROR)
     s
   }
 }
