@@ -107,6 +107,31 @@ object IvfFixture {
       }
     }))
 
+  /** Incrementally-maintained IVF-PQ index (ss19): built from the
+    * standing corpus (centroids AND codebooks frozen there), batch
+    * appended — cells and codes both.
+    */
+  def ivfPqAppendDir(spark: SparkSession, sfDir: String): String =
+    checkMarker(built.computeIfAbsent(s"ivfpqapp:$sfDir", _ => {
+      val dir = scratch("graft-ivfpq-append-index", sfDir)
+      buildWithMarker(dir) {
+        val emb = graft.Tables.embeddings(spark, sfDir)
+        IvfIndex.buildPq(emb.filter(col("vec_id") % 10 =!= 0), dir,
+          nList = 8, m = 2, subDim = 32, kPq = 4, iters = 1,
+          kernel = kernel)
+        IvfIndex.appendPq(emb.filter(col("vec_id") % 10 === 0), dir,
+          m = 2, subDim = 32, kernel = kernel)
+      }
+    }))
+
+  /** ss19's search half: ss14's query set against the appended index. */
+  def searchIvfPqAppend(spark: SparkSession, sfDir: String) = {
+    val dir = ivfPqAppendDir(spark, sfDir)
+    val emb = graft.Tables.embeddings(spark, sfDir)
+    IvfIndex.searchPq(spark, dir, emb.filter(col("vec_id") < 10),
+      k = 5, nProbe = 3, m = 2, subDim = 32, kernel = kernel)
+  }
+
   /** ss18's search half: ss7's query set against the appended index. */
   def searchIvfAppend(spark: SparkSession, sfDir: String) = {
     val dir = ivfAppendDir(spark, sfDir)

@@ -69,6 +69,47 @@ object IvfIndex {
       .parquet(s"$dir/cells")
   }
 
+  /** [[append]] for the two-level IVF-PQ artifact: the batch joins the
+    * cell layout under the frozen IVF centroids AND gets PQ-encoded
+    * against the FROZEN per-subspace codebooks (re-training either
+    * quantizer is a rebuild). The encode is the same
+    * assign-to-centroid rule `pqTrain` used (kernel desc, cluster-asc
+    * tie-break), so an appended vector's code is exactly what a
+    * from-scratch encode against the persisted codebooks gives; codes
+    * append into the same `_cell`-partitioned layout, so
+    * [[searchPq]]'s partition pruning is unchanged. Only the batch is
+    * scanned.
+    */
+  def appendPq(batch: DataFrame, dir: String, m: Int, subDim: Int,
+               idCol: String = "vec_id", vecCol: String = "embedding",
+               kernel: (Column, Column) => Column = SimilarityOps.cosine)
+      : Unit = {
+    val spark = batch.sparkSession
+    append(batch, dir, idCol, vecCol, kernel)
+    val codebooks = spark.read.parquet(s"$dir/codebooks")
+    val perSub = (0 until m).map { j =>
+      val sub = batch.select(col(idCol),
+        slice(col(vecCol), j * subDim + 1, subDim).as(vecCol))
+      val cb = codebooks.filter(col("subspace") === j)
+        .select(col("cluster").as("_cell"), col("_cv").as("_cvec"))
+      SimilarityOps.ivfAssign(sub, cb, idCol, vecCol, kernel)
+        .select(col(idCol), col("_cell").as(s"_c$j"))
+    }
+    val codes = perSub.reduce((a, b) => a.join(b, Seq(idCol)))
+      .select(col(idCol),
+        array((0 until m).map(j => col(s"_c$j")): _*).as("pq_code"))
+    val assign = spark.read.parquet(s"$dir/cells")
+      .join(batch.select(col(idCol)), Seq(idCol), "left_semi")
+      .select(col(idCol), col("_cell"))
+    codes.join(assign, Seq(idCol))
+      .repartition(col("_cell"))
+      .sortWithinPartitions(col("_cell"), col(idCol))
+      .write.mode(SaveMode.Append)
+      .option("maxRecordsPerFile", 1000000L)
+      .partitionBy("_cell")
+      .parquet(s"$dir/codes")
+  }
+
   /** The probed-cells scan, isolated so its plan shape is assertable:
     * a parquet scan whose PartitionFilters contain the `IN` over the
     * probed cell ids — pruning happens at file listing, before IO.

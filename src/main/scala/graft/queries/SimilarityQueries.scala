@@ -160,6 +160,13 @@ object SimilarityQueries {
     "ss14_ivfpq" -> ((s, d) =>
       graft.operators.IvfFixture.searchIvfPq(s, d)),
 
+    // ss18's maintenance discipline on the TWO-LEVEL artifact: coarse
+    // centroids AND per-subspace codebooks frozen at the standing
+    // corpus, the batch's cells and codes appended; the timed lane
+    // measures ADC search against the maintained index.
+    "ss19_ivfpq_append" -> ((s, d) =>
+      graft.operators.IvfFixture.searchIvfPqAppend(s, d)),
+
     // Symmetric int8 quantization — bit-exact across engines (widening,
     // one correctly-rounded division, shared half-away-from-zero round).
     // Output is LONG FORM (one row per vector element, 1-based pos) —
@@ -311,6 +318,92 @@ object SimilarityQueries {
          WHERE rk <= 5"""
 
   private val ivfPipelineOracle: String = ivfOracle("embeddings")
+
+  /** ss14's IVF-PQ replay with the TRAINING sources (coarse-centroid
+    * means and per-subspace codebook means) parameterized: empty for
+    * the full-corpus build, a standing-corpus predicate for the ss19
+    * append fixture, whose quantizers are frozen there while the
+    * assignment/search CTEs always cover the full corpus.
+    */
+  private def ivfPqOracle(trainWhere: String): String =
+    s"""WITH cen AS (
+           SELECT cell, list(mx ORDER BY pos) AS cv FROM (
+             SELECT cell, pos,
+               (round(sum(x::DOUBLE) / count(*), 4) + 0)::FLOAT AS mx
+             FROM (SELECT (('0x' || substr(md5(vec_id::VARCHAR), 1, 8))
+                       ::UBIGINT % 8)::INT AS cell,
+                     unnest(embedding) AS x,
+                     generate_subscripts(embedding, 1) AS pos
+                   FROM embeddings $trainWhere)
+             GROUP BY cell, pos) GROUP BY cell),
+         cells AS (SELECT vec_id AS cid, cell FROM (
+                     SELECT e.vec_id, cen.cell,
+                       row_number() OVER (PARTITION BY e.vec_id
+                         ORDER BY list_cosine_similarity(e.embedding,
+                                    cen.cv) DESC, cen.cell ASC) AS rn
+                     FROM embeddings e CROSS JOIN cen) WHERE rn = 1),
+         probes AS (SELECT query_id, qv, cell FROM (
+                      SELECT e.vec_id AS query_id, e.embedding AS qv,
+                        cen.cell,
+                        row_number() OVER (PARTITION BY e.vec_id
+                          ORDER BY list_cosine_similarity(e.embedding,
+                                     cen.cv) DESC, cen.cell ASC) AS rn
+                      FROM embeddings e CROSS JOIN cen
+                      WHERE e.vec_id < 10) WHERE rn <= 3),
+         s0 AS (SELECT vec_id, embedding[1:32] AS v FROM embeddings),
+         s1 AS (SELECT vec_id, embedding[33:64] AS v FROM embeddings),
+         a00 AS (SELECT vec_id, v,
+                   (('0x' || substr(md5(vec_id::VARCHAR), 1, 8))::UBIGINT
+                    % 4)::INT AS cluster
+                 FROM s0),
+         u01 AS (SELECT cluster, unnest(v) AS x,
+                   generate_subscripts(v, 1) AS pos FROM a00 $trainWhere),
+         m01 AS (SELECT cluster, pos,
+                   (round(sum(x::DOUBLE) / count(*), 4) + 0)::FLOAT AS mx
+                 FROM u01 GROUP BY cluster, pos),
+         c01 AS (SELECT cluster AS cc, list(mx ORDER BY pos) AS cv
+                 FROM m01 GROUP BY cluster),
+         a01 AS (SELECT vec_id, cc AS c0 FROM (
+                   SELECT a00.vec_id, c01.cc,
+                     row_number() OVER (PARTITION BY a00.vec_id
+                       ORDER BY list_cosine_similarity(a00.v, c01.cv)
+                                  DESC, c01.cc ASC) AS rn
+                   FROM a00 CROSS JOIN c01) WHERE rn = 1),
+         a10 AS (SELECT vec_id, v,
+                   (('0x' || substr(md5(vec_id::VARCHAR), 1, 8))::UBIGINT
+                    % 4)::INT AS cluster
+                 FROM s1),
+         u11 AS (SELECT cluster, unnest(v) AS x,
+                   generate_subscripts(v, 1) AS pos FROM a10 $trainWhere),
+         m11 AS (SELECT cluster, pos,
+                   (round(sum(x::DOUBLE) / count(*), 4) + 0)::FLOAT AS mx
+                 FROM u11 GROUP BY cluster, pos),
+         c11 AS (SELECT cluster AS cc, list(mx ORDER BY pos) AS cv
+                 FROM m11 GROUP BY cluster),
+         a11 AS (SELECT vec_id, cc AS c1 FROM (
+                   SELECT a10.vec_id, c11.cc,
+                     row_number() OVER (PARTITION BY a10.vec_id
+                       ORDER BY list_cosine_similarity(a10.v, c11.cv)
+                                  DESC, c11.cc ASC) AS rn
+                   FROM a10 CROSS JOIN c11) WHERE rn = 1),
+         codes AS (SELECT a01.vec_id, c0, c1
+                   FROM a01 JOIN a11 USING (vec_id)),
+         sc AS (SELECT p.query_id, codes.vec_id AS neighbor_id,
+                  round(list_cosine_similarity(p.qv[1:32],
+                          k0.cv)::DOUBLE +
+                        list_cosine_similarity(p.qv[33:64],
+                          k1.cv)::DOUBLE, 4) AS adc_score
+                FROM probes p
+                JOIN cells c ON p.cell = c.cell
+                JOIN codes ON codes.vec_id = c.cid
+                JOIN c01 k0 ON k0.cc = codes.c0
+                JOIN c11 k1 ON k1.cc = codes.c1
+                WHERE p.query_id <> codes.vec_id)
+         SELECT query_id, neighbor_id, adc_score, rk FROM (
+           SELECT *, row_number() OVER (PARTITION BY query_id
+             ORDER BY adc_score DESC, neighbor_id ASC)::INT AS rk
+           FROM sc)
+         WHERE rk <= 5"""
 
   val oracles: Map[String, String] = Map(
     // same replay, centroids frozen at the standing corpus — the
@@ -574,85 +667,8 @@ object SimilarityQueries {
     // ss12's PQ-train CTEs; candidates meet on the probed cell, score
     // is the same ADC sum. A query scores ONLY codes in its own probed
     // cells — the pruning must be visible in the result set.
-    "ss14_ivfpq" ->
-      """WITH cen AS (
-           SELECT cell, list(mx ORDER BY pos) AS cv FROM (
-             SELECT cell, pos,
-               (round(sum(x::DOUBLE) / count(*), 4) + 0)::FLOAT AS mx
-             FROM (SELECT (('0x' || substr(md5(vec_id::VARCHAR), 1, 8))
-                       ::UBIGINT % 8)::INT AS cell,
-                     unnest(embedding) AS x,
-                     generate_subscripts(embedding, 1) AS pos
-                   FROM embeddings)
-             GROUP BY cell, pos) GROUP BY cell),
-         cells AS (SELECT vec_id AS cid, cell FROM (
-                     SELECT e.vec_id, cen.cell,
-                       row_number() OVER (PARTITION BY e.vec_id
-                         ORDER BY list_cosine_similarity(e.embedding,
-                                    cen.cv) DESC, cen.cell ASC) AS rn
-                     FROM embeddings e CROSS JOIN cen) WHERE rn = 1),
-         probes AS (SELECT query_id, qv, cell FROM (
-                      SELECT e.vec_id AS query_id, e.embedding AS qv,
-                        cen.cell,
-                        row_number() OVER (PARTITION BY e.vec_id
-                          ORDER BY list_cosine_similarity(e.embedding,
-                                     cen.cv) DESC, cen.cell ASC) AS rn
-                      FROM embeddings e CROSS JOIN cen
-                      WHERE e.vec_id < 10) WHERE rn <= 3),
-         s0 AS (SELECT vec_id, embedding[1:32] AS v FROM embeddings),
-         s1 AS (SELECT vec_id, embedding[33:64] AS v FROM embeddings),
-         a00 AS (SELECT vec_id, v,
-                   (('0x' || substr(md5(vec_id::VARCHAR), 1, 8))::UBIGINT
-                    % 4)::INT AS cluster
-                 FROM s0),
-         u01 AS (SELECT cluster, unnest(v) AS x,
-                   generate_subscripts(v, 1) AS pos FROM a00),
-         m01 AS (SELECT cluster, pos,
-                   (round(sum(x::DOUBLE) / count(*), 4) + 0)::FLOAT AS mx
-                 FROM u01 GROUP BY cluster, pos),
-         c01 AS (SELECT cluster AS cc, list(mx ORDER BY pos) AS cv
-                 FROM m01 GROUP BY cluster),
-         a01 AS (SELECT vec_id, cc AS c0 FROM (
-                   SELECT a00.vec_id, c01.cc,
-                     row_number() OVER (PARTITION BY a00.vec_id
-                       ORDER BY list_cosine_similarity(a00.v, c01.cv)
-                                  DESC, c01.cc ASC) AS rn
-                   FROM a00 CROSS JOIN c01) WHERE rn = 1),
-         a10 AS (SELECT vec_id, v,
-                   (('0x' || substr(md5(vec_id::VARCHAR), 1, 8))::UBIGINT
-                    % 4)::INT AS cluster
-                 FROM s1),
-         u11 AS (SELECT cluster, unnest(v) AS x,
-                   generate_subscripts(v, 1) AS pos FROM a10),
-         m11 AS (SELECT cluster, pos,
-                   (round(sum(x::DOUBLE) / count(*), 4) + 0)::FLOAT AS mx
-                 FROM u11 GROUP BY cluster, pos),
-         c11 AS (SELECT cluster AS cc, list(mx ORDER BY pos) AS cv
-                 FROM m11 GROUP BY cluster),
-         a11 AS (SELECT vec_id, cc AS c1 FROM (
-                   SELECT a10.vec_id, c11.cc,
-                     row_number() OVER (PARTITION BY a10.vec_id
-                       ORDER BY list_cosine_similarity(a10.v, c11.cv)
-                                  DESC, c11.cc ASC) AS rn
-                   FROM a10 CROSS JOIN c11) WHERE rn = 1),
-         codes AS (SELECT a01.vec_id, c0, c1
-                   FROM a01 JOIN a11 USING (vec_id)),
-         sc AS (SELECT p.query_id, codes.vec_id AS neighbor_id,
-                  round(list_cosine_similarity(p.qv[1:32],
-                          k0.cv)::DOUBLE +
-                        list_cosine_similarity(p.qv[33:64],
-                          k1.cv)::DOUBLE, 4) AS adc_score
-                FROM probes p
-                JOIN cells c ON p.cell = c.cell
-                JOIN codes ON codes.vec_id = c.cid
-                JOIN c01 k0 ON k0.cc = codes.c0
-                JOIN c11 k1 ON k1.cc = codes.c1
-                WHERE p.query_id <> codes.vec_id)
-         SELECT query_id, neighbor_id, adc_score, rk FROM (
-           SELECT *, row_number() OVER (PARTITION BY query_id
-             ORDER BY adc_score DESC, neighbor_id ASC)::INT AS rk
-           FROM sc)
-         WHERE rk <= 5""",
+    "ss14_ivfpq" -> ivfPqOracle(""),
+    "ss19_ivfpq_append" -> ivfPqOracle("WHERE vec_id % 10 <> 0"),
     "ss12_pq_adc" ->
       """WITH s0 AS (SELECT vec_id, embedding[1:32] AS v FROM embeddings),
          s1 AS (SELECT vec_id, embedding[33:64] AS v FROM embeddings),

@@ -118,6 +118,41 @@ class AsOfIvfSpec extends SparkSpec {
     assert(out.exists(_ % 10 == 0), "no appended row ever surfaced")
   }
 
+  test("IvfIndex.appendPq: codes layout total; batch encoded by the frozen codebooks") {
+    val emb = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val standing = emb.filter(col("vec_id") % 10 =!= 0)
+    val batch = emb.filter(col("vec_id") % 10 === 0)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-ivfpq-app").toString
+    IvfIndex.buildPq(standing, dir, nList = 8, m = 2, subDim = 32,
+      kPq = 4, iters = 1)
+    IvfIndex.appendPq(batch, dir, m = 2, subDim = 32)
+    val codes = spark.read.parquet(s"$dir/codes")
+    assert(codes.count() == emb.count())
+    assert(codes.select("vec_id").distinct().count() == emb.count())
+    // the appended codes equal a fresh encode of the batch against the
+    // persisted (standing-trained) codebooks — the frozen-quantizer
+    // contract
+    val cb = spark.read.parquet(s"$dir/codebooks")
+    val expected = (0 until 2).map { j =>
+      val sub = batch.select(col("vec_id"),
+        slice(col("embedding"), j * 32 + 1, 32).as("embedding"))
+      val cbj = cb.filter(col("subspace") === j)
+        .select(col("cluster").as("_cell"), col("_cv").as("_cvec"))
+      SimilarityOps.ivfAssign(sub, cbj, "vec_id", "embedding",
+          SimilarityOps.cosine)
+        .select(col("vec_id"), col("_cell").as(s"c$j"))
+    }.reduce((a, b) => a.join(b, Seq("vec_id")))
+      .as[(Long, Int, Int)].collect()
+      .map(r => r._1 -> Seq(r._2, r._3)).toMap
+    val got = codes.join(batch.select("vec_id"), Seq("vec_id"),
+        "left_semi")
+      .select(col("vec_id"), col("pq_code"))
+      .as[(Long, Seq[Int])].collect().toMap
+    assert(got == expected)
+  }
+
   test("IvfIndex.buildPq/searchPq: candidates stay in probed cells, code scan prunes, replay exact") {
     val emb = spark.read
       .parquet("/root/testdata/sf0.001/embeddings.parquet")
