@@ -30,7 +30,7 @@ object PerfCompare {
     // Lane filter for cheap replays (a full run is ~10 min): e.g.
     // GRAFT_PC_ONLY=parse,dsir runs only those blocks. Lane names:
     // topk, cc, bloom, span, containment, kernels, kmeans, ivf,
-    // ivfcurve, bpehybrid, dsir, parse, skew, simhash, srccap, budget, knn, hh.
+    // ivfcurve, bpehybrid, dsir, parse, skew, simhash, srccap, budget, knn, hh, mix.
     // Default (unset) = all. Each lane builds and releases its own
     // caches, so skipping any subset is safe.
     val only = sys.env.get("GRAFT_PC_ONLY")
@@ -939,6 +939,48 @@ object PerfCompare {
       }
       Release(exact, blocking = true)
       Release(vecs, blocking = true)
+    }
+
+    // tx17 economics: mixToBudget under a dominant stratum — the
+    // histogram-cutoff rewrite vs the per-stratum window cumsum it
+    // replaced. The bench charged the rewrite +0.4 s of fixed overhead
+    // at sf0.1's toy strata; this is the regime the operator exists
+    // for.
+    lane("mix") {
+      val n = 10000000L
+      val docs = spark.range(n).select(
+          col("id"),
+          when(pmod(col("id"), lit(2)) === 0, lit("megacorpus"))
+            .otherwise(concat(lit("s"),
+              pmod(hash(col("id")), lit(200)).cast("string"))).as("source"),
+          (lit(5) + pmod(col("id"), lit(20))).as("w"))
+        .cache()
+      docs.count()
+      val budgets = Map("megacorpus" -> 10000000L) // ~1/7 of its tokens
+      val dflt = 200000L // ~½ of a small stratum's tokens
+      def viaShipped: Long = operators.TextAnalysisOps
+        .mixToBudget(docs, "id", "source", "w", budgets, dflt).count()
+      def viaWindow: Long = {
+        val h = md5(col("id").cast("string"))
+        val w = Window.partitionBy(col("source"))
+          .orderBy(h.asc, col("id").asc)
+          .rowsBetween(Long.MinValue, 0)
+        val budget = budgets.foldLeft(lit(dflt): org.apache.spark.sql.Column) {
+          case (acc, (s, b)) =>
+            when(col("source") === s, lit(b)).otherwise(acc)
+        }
+        docs.withColumn("_run", sum(col("w").cast("long")).over(w))
+          .filter(col("_run") <= budget).count()
+      }
+      viaShipped; viaWindow // warmup
+      val runs = (0 until 3).map(_ =>
+        (time(viaShipped)._1, time(viaWindow)._1))
+      val ts = runs.map(_._1).min
+      val tw = runs.map(_._2).min
+      val ns = viaShipped; val nw = viaWindow
+      require(ns == nw, s"mix keep count mismatch: $ns vs $nw")
+      println(s"""{"mix_docs":$n,"hist_sec":$ts,"window_sec":$tw,"kept":$ns}""")
+      Release(docs, blocking = true)
     }
 
     // tx43 economics: heavy hitters via the MG sketch vs the exact
