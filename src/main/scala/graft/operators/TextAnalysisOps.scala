@@ -523,13 +523,19 @@ object TextAnalysisOps {
     */
   def snapshotDiff(oldDf: DataFrame, newDf: DataFrame, idCol: String,
                    textCol: String): DataFrame = {
-    val o = oldDf.select(col(idCol), unhex(md5(col(textCol))).as("_ho"))
-    val n = newDf.select(col(idCol), unhex(md5(col(textCol))).as("_hn"))
+    // presence is carried EXPLICITLY, not inferred from the digest:
+    // md5(null) is null, so a null-text document would otherwise read
+    // as absent and misclassify as added/removed; the digest compare is
+    // null-safe for the same reason (two null texts = unchanged)
+    val o = oldDf.select(col(idCol), unhex(md5(col(textCol))).as("_ho"),
+      lit(true).as("_po"))
+    val n = newDf.select(col(idCol), unhex(md5(col(textCol))).as("_hn"),
+      lit(true).as("_pn"))
     o.join(n, Seq(idCol), "full_outer")
       .withColumn("status",
-        when(col("_ho").isNull, lit("added"))
-          .when(col("_hn").isNull, lit("removed"))
-          .when(col("_ho") === col("_hn"), lit("unchanged"))
+        when(col("_po").isNull, lit("added"))
+          .when(col("_pn").isNull, lit("removed"))
+          .when(col("_ho") <=> col("_hn"), lit("unchanged"))
           .otherwise(lit("changed")))
       .select(col(idCol), col("status"))
   }

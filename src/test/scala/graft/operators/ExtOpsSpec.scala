@@ -898,6 +898,17 @@ class ExtOpsSpec extends SparkSpec {
       .as[(Long, String)].collect().toMap
     assert(out == Map(1L -> "removed", 2L -> "unchanged",
       3L -> "changed", 4L -> "added"))
+    // null text is PRESENCE, not absence: a null-text doc in both
+    // snapshots is unchanged; null→text and text→null are changed
+    val o2 = Seq((1L, null.asInstanceOf[String]),
+      (2L, null.asInstanceOf[String]), (3L, "x"))
+      .toDF("doc_id", "text")
+    val n2 = Seq((1L, null.asInstanceOf[String]), (2L, "y"),
+      (3L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val out2 = TextAnalysisOps.snapshotDiff(o2, n2, "doc_id", "text")
+      .as[(Long, String)].collect().toMap
+    assert(out2 == Map(1L -> "unchanged", 2L -> "changed",
+      3L -> "changed"))
   }
 
   test("leakageFreeSplit: cluster members share one split; singletons covered; deterministic") {
