@@ -425,6 +425,30 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("NOT (_la0"), p)
   }
 
+  test("tx42 snapshot diff: the full-outer join consumes digests, not text") {
+    // both sides project to (id, 16-byte md5) BEFORE the join — the
+    // exchange output schema must not contain the text column
+    // asserted on the optimized logical plan (robust to AQE stage
+    // wrapping): both join inputs carry (id, digest), never the text
+    val df = SparkEntry.queries("tx42_snapshot_diff")(spark, sf)
+    val joins = df.queryExecution.optimizedPlan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+    }
+    assert(joins.nonEmpty)
+    joins.foreach { j =>
+      j.children.foreach { c =>
+        assert(!c.output.exists(_.name == "text"),
+          s"text reached a join input: ${c.output.map(_.name)}")
+      }
+    }
+  }
+
+  test("tx45 exact heavy hitters: candidates join back by broadcast") {
+    val p = planOf("tx45_exact_heavy")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("Window ["), p)
+  }
+
   test("tx44 sequences: vocab joins the word stream by broadcast, no window") {
     val p = planOf("tx44_bpe_sequences")
     assert(p.contains("BroadcastHashJoin"), p)
