@@ -313,6 +313,68 @@ object StreamingOps {
       }.toDF()
   }
 
+  final case class QuotaState(counts: Map[Long, Long])
+
+  /** Per-key admission quota — the PER-TENANT half of admission
+    * control. [[boundedBacklogSource]] caps GLOBAL per-trigger ingest,
+    * but one hot tenant can still monopolize that budget; this admits
+    * at most `quota` events per (user, event-time window) and drops
+    * the rest at the state boundary, before they reach any downstream
+    * join or aggregation. State = one small (window-start →
+    * admitted-count) map per live user — bounded by active users ×
+    * (watermark horizon / window) entries, NOT by stream length:
+    * expired windows are pruned against the watermark on every
+    * invocation and the whole user entry times out once its newest
+    * window closes.
+    *
+    * Admission is inherently arrival-order-dependent (that is what
+    * admission means), so the verified surface is the CONTRACT: per
+    * (user, window), admitted = min(offered, quota) and the admitted
+    * ids are a subset of the offered ids — asserted in StreamingSpec.
+    * Late rows beyond the watermark are the caller's filter, as for
+    * every flatMapGroupsWithState op.
+    */
+  def perKeyQuotaStream(spark: SparkSession, events: DataFrame,
+                        windowSec: Long, quota: Long,
+                        watermark: String = "10 minutes"): DataFrame = {
+    import spark.implicits._
+    require(quota > 0 && windowSec > 0)
+    events.withWatermark("ts", watermark)
+      .select(col("user_id"), col("ts"), col("event_id"))
+      .as[(Long, java.sql.Timestamp, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.EventTimeTimeout()) {
+        (uid: Long, it: Iterator[(Long, java.sql.Timestamp, Long)],
+         st: GroupState[QuotaState]) =>
+          if (st.hasTimedOut) { st.remove(); Iterator.empty }
+          else {
+            val wmMs = st.getCurrentWatermarkMs()
+            var counts = st.getOption.map(_.counts)
+              .getOrElse(Map.empty[Long, Long])
+              .filter { case (wStart, _) =>
+                wStart + windowSec * 1000 > wmMs }
+            // force the admission fold BEFORE the state update — the
+            // iterator is lazy and single-shot
+            val admitted = it.flatMap { case (_, t, eid) =>
+              val wStart =
+                t.getTime - math.floorMod(t.getTime, windowSec * 1000)
+              val c = counts.getOrElse(wStart, 0L)
+              if (c < quota) {
+                counts = counts.updated(wStart, c + 1)
+                Iterator.single((uid, eid, wStart / 1000))
+              } else Iterator.empty
+            }.toVector
+            if (counts.isEmpty) st.remove()
+            else {
+              st.update(QuotaState(counts))
+              st.setTimeoutTimestamp(counts.keys.max + windowSec * 1000)
+            }
+            admitted.iterator
+          }
+      }.toDF("user_id", "event_id", "win_start")
+  }
+
   final case class LastSeen(user_id: Long, last_us: Long, n: Long)
   final case class InactivityAlert(user_id: Long, n_events: Long,
                                    last_seen_us: Long)

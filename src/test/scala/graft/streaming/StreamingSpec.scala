@@ -30,6 +30,37 @@ class StreamingSpec extends SparkSpec {
     assert(batch.nonEmpty)
   }
 
+  test("perKeyQuotaStream: per-(user, window) admission contract") {
+    implicit val sqlCtx = spark.sqlContext
+    def ev(i: Int, uid: Long, hhmm: String) =
+      Ev(i, java.sql.Timestamp.valueOf(s"2024-01-01 $hhmm:00"), uid,
+        "e", 0.0)
+    // user 10: 7 events in window 0, 2 in window 1; user 20: 2 in
+    // window 0 — quota 3 per (user, hour-window)
+    val evs = (1 to 7).map(i => ev(i, 10, "00:10")) ++
+      (8 to 9).map(i => ev(i, 10, "01:10")) ++
+      (10 to 11).map(i => ev(i, 20, "00:20"))
+    val mem = MemoryStream[Ev]
+    mem.addData(evs: _*)
+    val out = StreamingOps.drainToTable(
+      StreamingOps.perKeyQuotaStream(spark, mem.toDF(),
+        windowSec = 3600, quota = 3), "t_quota",
+      org.apache.spark.sql.streaming.OutputMode.Append())
+      .as[(Long, Long, Long)].collect()
+    val byKey = out.groupBy(r => (r._1, r._3))
+      .map { case (k, rs) => k -> rs.map(_._2).toSet }
+    // admitted = min(offered, quota), and admitted ⊆ offered
+    val w0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+      .getTime / 1000
+    val w1 = java.sql.Timestamp.valueOf("2024-01-01 01:00:00")
+      .getTime / 1000
+    assert(byKey((10L, w0)).size == 3 &&
+      byKey((10L, w0)).subsetOf((1 to 7).map(_.toLong).toSet))
+    assert(byKey((10L, w1)) == Set(8L, 9L))
+    assert(byKey((20L, w0)) == Set(10L, 11L))
+    assert(out.length == 7)
+  }
+
   test("streaming heavy hitters: per-window MG contract, k-bounded state") {
     implicit val sqlCtx = spark.sqlContext
     def ev(i: Int, hhmm: String, item: String) =
