@@ -79,6 +79,13 @@ object IvfIndex {
     * append into the same `_cell`-partitioned layout, so
     * [[searchPq]]'s partition pruning is unchanged. Only the batch is
     * scanned.
+    *
+    * Atomicity: cells and codes are two writes — a failure between
+    * them leaves an index whose cell rows lack codes. Run appends
+    * under a validity-marker protocol (delete marker → append →
+    * re-create marker; `IvfFixture.buildWithMarker` is the reference
+    * implementation) so a torn append fails loudly at read time
+    * instead of silently under-scoring the batch.
     */
   def appendPq(batch: DataFrame, dir: String, m: Int, subDim: Int,
                idCol: String = "vec_id", vecCol: String = "embedding",
