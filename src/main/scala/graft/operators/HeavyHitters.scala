@@ -102,6 +102,58 @@ object HeavyHitters {
     * full-distinct aggregation; cache upstream if the input is an
     * expensive derivation.
     */
+  /** Count-Min sketch build: a (depth × width) counter grid where item
+    * occurrences add 1 at (r, md5(r ‖ item) mod width) for every row r
+    * — the frequency-estimation complement to Misra–Gries (MG answers
+    * "which items are frequent", CMS answers "about how often is THIS
+    * item" for any item, including ones MG evicted). Unlike the MG
+    * sketch, the grid content is a pure function of the data — md5
+    * buckets, order-free integer sums — so the whole sketch replays
+    * bit-exactly cross-engine and the oracle hash-matches the GRID,
+    * not just a contract.
+    *
+    * Scale shape: one map-side-combined aggregation whose exchange
+    * carries at most depth × width counter rows per task — corpus
+    * size and distinct-item count never reach the wire. Estimates
+    * ([[cmsEstimate]]) never undercount; overcount is bounded by
+    * collisions (≤ 2n/width with probability 1 − 2^−depth, the
+    * classic bound).
+    */
+  def countMinSketch(df: DataFrame, itemCol: String, width: Int,
+                     depth: Int): DataFrame = {
+    require(width > 0 && depth > 0, s"bad CMS shape: $width x $depth")
+    val item = col(itemCol).cast("string")
+    val cells = array((0 until depth).map { r =>
+      struct(lit(r).as("r"),
+        (conv(substring(md5(concat(lit(s"cms$r|"), item)), 1, 15), 16, 10)
+          .cast("long") % width).cast("int").as("b"))
+    }: _*)
+    df.filter(item.isNotNull)
+      .select(explode(cells).as("_c"))
+      .groupBy(col("_c.r").as("r"), col("_c.b").as("b"))
+      .agg(count(lit(1)).as("n"))
+  }
+
+  /** Point estimates off a [[countMinSketch]]: per queried item, the
+    * MIN over rows of its bucket's counter. The probe join is
+    * (depth × width)-bounded on the sketch side — broadcast-able by
+    * construction.
+    */
+  def cmsEstimate(sketch: DataFrame, queries: DataFrame,
+                  itemCol: String, width: Int, depth: Int): DataFrame = {
+    val item = col(itemCol).cast("string")
+    val probes = queries.select(item.as("item")).distinct()
+      .select(col("item"), explode(array((0 until depth).map { r =>
+        struct(lit(r).as("r"),
+          (conv(substring(md5(concat(lit(s"cms$r|"), col("item"))), 1, 15),
+            16, 10).cast("long") % width).cast("int").as("b"))
+      }: _*)).as("_c"))
+      .select(col("item"), col("_c.r").as("r"), col("_c.b").as("b"))
+    probes.join(broadcast(sketch), Seq("r", "b"), "left")
+      .groupBy("item")
+      .agg(min(coalesce(col("n"), lit(0L))).as("est"))
+  }
+
   def exactHeavyHitters(df: DataFrame, itemCol: String, k: Int)
       : DataFrame = {
     val items = df.select(col(itemCol).cast("string").as("item"))

@@ -74,6 +74,29 @@ object TextQueries {
       graft.operators.HeavyHitters.exactHeavyHitters(items, "item", 16)
     }),
 
+    // Count-Min sketch: the frequency-estimation complement to tx43's
+    // MG (any item's approximate count, not just the heavy ones). The
+    // grid is a pure function of the data — md5 buckets, order-free
+    // sums — so unlike MG the whole surface hash-matches the oracle,
+    // including a never-seen probe item.
+    "tx46_count_min" -> ((s, d) => {
+      import s.implicits._
+      val words = documents(s, d).select(
+        explode(split(col("text"), " ")).as("item"))
+      val sk = graft.operators.HeavyHitters
+        .countMinSketch(words, "item", 8, 2)
+      val queries = words.select(col("item")).distinct()
+        .unionByName(Seq("never_seen_item").toDF("item"))
+      val est = graft.operators.HeavyHitters
+        .cmsEstimate(sk, queries, "item", 8, 2)
+      val exact = words.groupBy("item").agg(count(lit(1)).as("exact_count"))
+      est.join(exact, Seq("item"), "left")
+        .select(col("item"), col("est"),
+          coalesce(col("exact_count"), lit(0L)).as("exact_count"),
+          (col("est") >= coalesce(col("exact_count"), lit(0L)))
+            .as("never_undercounts"))
+    }),
+
     // Snapshot diff (dataset versioning): old = ids not divisible by 7,
     // new = ids not divisible by 5 with every 11th text modified —
     // exercises all four statuses; the join carries digests, not text.
@@ -512,6 +535,31 @@ object TextQueries {
           t AS (SELECT count(*)::DOUBLE AS n FROM w)
          SELECT item, exact_count
          FROM e, t WHERE exact_count > n / 17.0""",
+    "tx46_count_min" ->
+      """WITH w AS (SELECT unnest(string_split(text, ' ')) AS item
+                    FROM documents),
+          rr AS (SELECT unnest(range(0, 2)) AS r),
+          cells AS (SELECT r,
+                      (('0x' || substr(md5('cms' || r || '|' || item),
+                        1, 15))::UBIGINT % 8)::INT AS b,
+                      count(*) AS n
+                    FROM w CROSS JOIN rr GROUP BY 1, 2),
+          q AS (SELECT DISTINCT item FROM w
+                UNION SELECT 'never_seen_item'),
+          pr AS (SELECT q.item, rr.r,
+                   (('0x' || substr(md5('cms' || rr.r || '|' || q.item),
+                     1, 15))::UBIGINT % 8)::INT AS b
+                 FROM q CROSS JOIN rr),
+          s2 AS (SELECT pr.item, min(coalesce(cells.n, 0)) AS est
+                 FROM pr LEFT JOIN cells
+                   ON pr.r = cells.r AND pr.b = cells.b
+                 GROUP BY pr.item),
+          e AS (SELECT item, count(*) AS exact_count FROM w
+                GROUP BY item)
+         SELECT s2.item, s2.est,
+           coalesce(e.exact_count, 0) AS exact_count,
+           s2.est >= coalesce(e.exact_count, 0) AS never_undercounts
+         FROM s2 LEFT JOIN e ON s2.item = e.item""",
     "tx42_snapshot_diff" ->
       """WITH o AS (SELECT doc_id, md5(text) AS h FROM documents
                     WHERE doc_id % 7 <> 0),

@@ -889,6 +889,41 @@ class ExtOpsSpec extends SparkSpec {
     }
   }
 
+  test("countMinSketch: grid equals the md5 model; estimates never undercount") {
+    val items = Seq("a", "b", "a", "c", "a", "b", "dd", "a")
+    val (width, depth) = (8, 3)
+    def bucket(r: Int, item: String): Int = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"cms$r|$item".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(15)
+      (java.lang.Long.parseLong(hex, 16) % width).toInt
+    }
+    val model = items.flatMap(i => (0 until depth).map(r => (r, bucket(r, i))))
+      .groupBy(identity).map { case ((r, b), l) => (r, b, l.size.toLong) }
+      .toSet
+    val grid = HeavyHitters.countMinSketch(items.toDF("item"), "item",
+        width, depth)
+      .as[(Int, Int, Long)].collect().toSet
+    assert(grid == model)
+    // estimates: exact lower bound holds for seen AND unseen items
+    val exact = items.groupBy(identity)
+      .map { case (i, l) => i -> l.size.toLong }
+    val est = HeavyHitters.cmsEstimate(
+        HeavyHitters.countMinSketch(items.toDF("item"), "item", width,
+          depth),
+        (items.distinct :+ "zz").toDF("item"), "item", width, depth)
+      .as[(String, Long)].collect().toMap
+    exact.foreach { case (i, c) => assert(est(i) >= c, i) }
+    assert(est("zz") >= 0L)
+    // model estimate equality (deterministic sketch, deterministic min)
+    val gridMap = model.map { case (r, b, n) => (r, b) -> n }.toMap
+    (items.distinct :+ "zz").foreach { i =>
+      val m = (0 until depth)
+        .map(r => gridMap.getOrElse((r, bucket(r, i)), 0L)).min
+      assert(est(i) == m, i)
+    }
+  }
+
   test("snapshotDiff: all four statuses classified; ids total") {
     val o = Seq((1L, "alpha"), (2L, "beta"), (3L, "gamma"))
       .toDF("doc_id", "text")
