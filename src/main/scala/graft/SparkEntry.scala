@@ -27,7 +27,9 @@ object SparkEntry {
     (_root_.graft.queries.EventQueries.queries,
      _root_.graft.queries.EventQueries.oracles),
     (_root_.graft.queries.MultimodalQueries.queries,
-     _root_.graft.queries.MultimodalQueries.oracles)
+     _root_.graft.queries.MultimodalQueries.oracles),
+    (_root_.graft.queries.StreamParityQueries.queries,
+     _root_.graft.queries.StreamParityQueries.oracles)
   )
 
   /** Flagship: the full city-directory pipeline end-to-end on the

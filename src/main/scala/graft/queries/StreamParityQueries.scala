@@ -1,0 +1,164 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
+import graft.streaming.{StreamParity, StreamingOps}
+
+/** Oracle-gated drains of the Structured Streaming surface (st*).
+  *
+  * Each lane runs a REAL [[StreamingOps]] operator as a stream — file
+  * source over the driver's events table, watermarked stateful
+  * processing, `Trigger.AvailableNow` — drains it to completion, and
+  * returns the final batch frame for the standard DuckDB
+  * rows/schema/hash gate. The emission semantics the oracles encode
+  * (ms-floored final watermark, append emits window/session END ≤
+  * watermark, single-file source ⇒ one data batch + finalize batch)
+  * are pinned in [[graft.streaming.StreamParity]]'s scaladoc and
+  * StreamParitySpec.
+  *
+  * Watermark delay is 2 hours everywhere here, so every lane's output
+  * genuinely exercises the emission cutoff: the trailing ~2h of
+  * windows/sessions exist in state but are NOT emitted, and the oracle
+  * must reproduce exactly that boundary (a delay longer than the
+  * corpus would emit nothing; zero delay would emit everything and
+  * verify no watermark behavior at all).
+  */
+object StreamParityQueries {
+
+  private val WM = "2 hours"
+  /** DuckDB fragment: the final watermark in µs — max event time
+    * floored to ms (Spark tracks event-time stats in ms) minus the 2h
+    * delay. */
+  private val WmCte =
+    "wm AS (SELECT (epoch_us(max(ts))//1000)*1000 - 7200000000 AS wm_us FROM events)"
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Watermarked tumbling-window agg drained in append mode: emitted
+    // windows are exactly those finalized by the last watermark.
+    "st1_stream_tumbling" -> ((s, d) =>
+      StreamParity.drainAppend(
+        StreamingOps.tumblingStream(
+          StreamParity.eventsStream(s, d), "1 hour", WM))),
+
+    // Sliding windows (1h width / 30m slide): two open windows per
+    // event, same append-mode emission rule per window.
+    "st2_stream_sliding" -> ((s, d) =>
+      StreamParity.drainAppend(
+        StreamingOps.slidingStream(
+          StreamParity.eventsStream(s, d), "1 hour", "30 minutes", WM))),
+
+    // Session windows per user (30m gap): a session ends gap after its
+    // last event; emitted once the watermark passes that end.
+    "st3_stream_session" -> ((s, d) =>
+      StreamParity.drainAppend(
+        StreamingOps.sessionStream(
+          StreamParity.eventsStream(s, d), "30 minutes", WM))),
+
+    // Within-watermark dedup on a COARSE key, projected to the key:
+    // which physical row survives is arrival-order-dependent, the set
+    // of keys is not — so the key set is the verifiable surface.
+    "st4_stream_distinct" -> ((s, d) =>
+      StreamParity.drainAppend(
+        StreamParity.eventsStream(s, d)
+          .withWatermark("ts", WM)
+          .dropDuplicatesWithinWatermark("user_id", "event_type")
+          .select(col("user_id"), col("event_type")))),
+
+    // Stream-stream interval join (clicks within 30m before each
+    // purchase): with the fixed input set fully drained, the emitted
+    // pair set equals the batch interval join.
+    "st5_stream_attribution" -> ((s, d) => {
+      val ev = StreamParity.eventsStream(s, d)
+      StreamParity.drainAppend(
+        StreamingOps.clickAttributionStream(
+          ev.filter(col("event_type") === "click"),
+          ev.filter(col("event_type") === "purchase"),
+          "30 minutes", WM))
+    }),
+
+    // mapGroupsWithState running totals with the EXACT integer-cents
+    // accumulator (bit-identical under any batch split / replay —
+    // which is precisely what makes it oracle-gatable; the double twin
+    // stays golden). Update-mode drain over one data batch = final
+    // state per user.
+    "st6_stream_running" -> ((s, d) =>
+      StreamParity.drainUpdate(
+        StreamingOps.runningTotalsCents(s,
+          StreamParity.eventsStream(s, d)))),
+
+    // Misra-Gries heavy hitters per 6h window. k=32 exceeds the
+    // event-type cardinality so the sketch is provably exact here —
+    // this lane verifies the streaming WINDOW/emission path end-to-end
+    // (the sketch's approximation contract under k < distinct is
+    // tx43's probe, not this gate).
+    "st7_stream_heavy" -> ((s, d) =>
+      StreamParity.drainAppend(
+        StreamingOps.heavyHittersStream(
+          StreamParity.eventsStream(s, d),
+          "event_type", "ts", "6 hours", 32, WM)))
+  )
+
+  val oracles: Map[String, String] = Map(
+    "st1_stream_tumbling" ->
+      s"""WITH $WmCte
+         SELECT (floor(epoch(ts))::BIGINT // 3600) * 3600 AS win_start,
+           event_type, count(*) AS n, round(sum(value), 2) AS total
+         FROM events, wm
+         WHERE ((floor(epoch(ts))::BIGINT // 3600) * 3600 + 3600) * 1000000
+               <= wm_us
+         GROUP BY win_start, event_type""",
+    "st2_stream_sliding" ->
+      s"""WITH $WmCte,
+         e AS (SELECT event_type, value,
+                 (floor(epoch(ts))::BIGINT // 1800) * 1800 AS es30
+               FROM events),
+         w AS (SELECT event_type, value,
+                 unnest([es30, es30 - 1800]) AS win_start FROM e)
+         SELECT win_start, event_type, count(*) AS n,
+           round(sum(value), 2) AS total
+         FROM w, wm
+         WHERE (win_start + 3600) * 1000000 <= wm_us
+         GROUP BY win_start, event_type""",
+    // ev3's sessionization plus the emission cutoff: session end =
+    // last event + gap, emitted iff end <= final watermark.
+    "st3_stream_session" ->
+      s"""WITH $WmCte,
+         e AS (SELECT user_id, value, epoch_us(ts) AS us FROM events),
+         f AS (SELECT user_id, value, us,
+                 CASE WHEN us - lag(us) OVER (PARTITION BY user_id ORDER BY us)
+                        >= 1800000000
+                      OR lag(us) OVER (PARTITION BY user_id ORDER BY us) IS NULL
+                      THEN 1 ELSE 0 END AS brk
+               FROM e),
+         g AS (SELECT user_id, value, us,
+                 sum(brk) OVER (PARTITION BY user_id ORDER BY us
+                                ROWS UNBOUNDED PRECEDING) AS sid
+               FROM f)
+         SELECT user_id, (min(us) // 1000000)::BIGINT AS session_start,
+           count(*) AS n_events, round(sum(value), 2) AS total
+         FROM g, wm GROUP BY user_id, sid, wm_us
+         HAVING max(us) + 1800000000 <= wm_us""",
+    "st4_stream_distinct" ->
+      "SELECT DISTINCT user_id, event_type FROM events",
+    "st5_stream_attribution" ->
+      """SELECT p.event_id AS purchase_id, p.user_id,
+           c.event_id AS click_id
+         FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+         JOIN (SELECT * FROM events WHERE event_type = 'click') c
+           ON p.user_id = c.user_id
+          AND epoch_us(c.ts) >= epoch_us(p.ts) - 1800000000
+          AND epoch_us(c.ts) < epoch_us(p.ts)""",
+    "st6_stream_running" ->
+      """SELECT user_id, count(*) AS n,
+           sum(round(value * 100)::BIGINT)::BIGINT AS total_cents
+         FROM events GROUP BY user_id""",
+    "st7_stream_heavy" ->
+      s"""WITH $WmCte
+         SELECT (floor(epoch(ts))::BIGINT // 21600) * 21600 AS win_start,
+           event_type AS item, count(*) AS est
+         FROM events, wm
+         WHERE ((floor(epoch(ts))::BIGINT // 21600) * 21600 + 21600) * 1000000
+               <= wm_us
+         GROUP BY win_start, item"""
+  )
+}

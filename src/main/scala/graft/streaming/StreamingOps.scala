@@ -313,6 +313,39 @@ object StreamingOps {
       }.toDF()
   }
 
+  final case class UserCents(user_id: Long, cents: Long)
+  final case class UserTotalCents(user_id: Long, n: Long, total_cents: Long)
+
+  /** [[runningTotals]] with an EXACT integer accumulator: per-event
+    * money values are quantized to cents at ingest and summed as
+    * longs. The double-accumulator form is the general shape, but a
+    * float sum is association-order-dependent — across micro-batch
+    * boundaries, task merge order, or a replay after failover, the
+    * low-order bits (and occasionally a rounded cent) can differ. For
+    * anything reconciled downstream (billing, quotas, exactly-once
+    * sinks) the integer form is the production choice: bit-identical
+    * under any partitioning, batch split, or replay — which is also
+    * what makes it the oracle-gated parity lane (st5) while the double
+    * twin stays golden-gated.
+    */
+  def runningTotalsCents(spark: SparkSession, events: DataFrame): DataFrame = {
+    import spark.implicits._
+    events.select(col("user_id"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .as[UserCents]
+      .groupByKey(_.user_id)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (uid: Long, it: Iterator[UserCents], st: GroupState[UserTotalCents]) =>
+          val prev = st.getOption.getOrElse(UserTotalCents(uid, 0L, 0L))
+          val (n, tot) = it.foldLeft((prev.n, prev.total_cents)) {
+            case ((c, t), e) => (c + 1, t + e.cents)
+          }
+          val next = UserTotalCents(uid, n, tot)
+          st.update(next)
+          next
+      }.toDF()
+  }
+
   final case class QuotaState(counts: Map[Long, Long])
 
   /** Per-key admission quota — the PER-TENANT half of admission
