@@ -29,7 +29,9 @@ object SparkEntry {
     (_root_.graft.queries.MultimodalQueries.queries,
      _root_.graft.queries.MultimodalQueries.oracles),
     (_root_.graft.queries.StreamParityQueries.queries,
-     _root_.graft.queries.StreamParityQueries.oracles)
+     _root_.graft.queries.StreamParityQueries.oracles),
+    (_root_.graft.queries.GraphQueries.queries,
+     _root_.graft.queries.GraphQueries.oracles)
   )
 
   /** Flagship: the full city-directory pipeline end-to-end on the

@@ -1,0 +1,242 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Iterative graph analytics over an edge DataFrame — the round-9
+  * extension family (gr*). The reference has no graph surface; a
+  * training-data pipeline does: centrality to weight sources, label
+  * propagation to find communities of near-duplicate provenance,
+  * cores/triangles to characterize link-farm-like density in a crawl
+  * graph.
+  *
+  * Design choices, all scale-driven:
+  *
+  *  - DataFrame loops with `localCheckpoint` per superseded iteration
+  *    (released via [[graft.Release]]), not GraphX: these lanes run a
+  *    FIXED small iteration count where the per-iteration plan is two
+  *    shuffles (join on src, aggregate on dst) — the dd6 A/B measured
+  *    the DF form ahead of GraphX until ~1e8 edges, and unlike GraphX
+  *    it spills instead of dying (PERF.md). Deep-iteration jobs
+  *    (convergence PageRank at web scale) would flip to Pregel per
+  *    that crossover; the loop body here is deliberately the same
+  *    shape so the flip is mechanical.
+  *
+  *  - PageRank runs in FIXED-POINT integer arithmetic (`SCALE` units
+  *    of 1e-12): a floating-point rank sum is association-order-
+  *    dependent, so two runs of the same job on the same data can
+  *    disagree in the low bits depending on partitioning and merge
+  *    order — unacceptable for a reproducibility-gated pipeline (and
+  *    for this repo's hash oracle). Integer sums are associative:
+  *    ranks are bit-identical under ANY partitioning, AQE decision, or
+  *    replay, and DuckDB replays the exact longs. The cost is a
+  *    deliberate, deterministic truncation: each node's contribution
+  *    is `pr div outdeg` and the damped sum is `(85 * s) div 100`, so
+  *    up to outdeg + 1 units (≈1e-12 each) of mass leak per node per
+  *    iteration — observability floor, not a correctness concern.
+  *
+  *  - Dangling nodes (no out-edges) leak their mass rather than
+  *    redistribute it: redistribution needs a global scalar per
+  *    iteration (a driver round-trip or a cross-join); the leaked
+  *    variant is the same ranking in practice and keeps every
+  *    iteration a pure two-shuffle plan. Callers who need the
+  *    stochastic-matrix form can add the correction as a post-step.
+  */
+object GraphOps {
+
+  val PrScale: Long = 1000000000000L // 1e12 fixed-point units
+
+  /** Symmetrize + dedup a directed edge list: both orientations of
+    * every edge, self-loops dropped. One exchange (the distinct).
+    */
+  def undirected(edges: DataFrame, a: String = "a", b: String = "b")
+      : DataFrame = {
+    val e = edges.select(col(a).as("a"), col(b).as("b"))
+    e.unionByName(e.select(col("b").as("a"), col("a").as("b")))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+  }
+
+  /** Mutual-kNN edge set: keep (a → b) only when (b → a) is also
+    * present. Unlike a fixed similarity threshold — whose graph
+    * density grows with corpus size, degenerating any fixed k-core
+    * parameterization — mutuality bounds degree by the kNN k at ANY
+    * scale, which is what makes core decomposition over it
+    * scale-stable. The result is symmetric by construction.
+    */
+  def mutualEdges(knn: DataFrame, a: String = "a", b: String = "b")
+      : DataFrame = {
+    val p = knn.select(col(a).as("a"), col(b).as("b"))
+    p.intersect(p.select(col("b").as("a"), col("a").as("b")))
+  }
+
+  /** Fixed-point damped PageRank, `iters` synchronous iterations over
+    * DIRECTED edges (a → b). Returns (id, pr_fixed, pr) where
+    * `pr_fixed` is the exact integer rank in 1e-12 units and `pr` its
+    * single-division double view (one IEEE op, no round — the ss13
+    * recipe).
+    *
+    * Per iteration: two shuffles (join contributions on src, aggregate
+    * on dst) over an edge table carrying only (a, b) longs — no
+    * payload ever rides the exchange. The rank frame is checkpointed
+    * each round and the superseded checkpoint released immediately
+    * (the clustersDataFrame pattern), so lineage and storage stay
+    * O(current iteration).
+    */
+  def pagerank(edges: DataFrame, iters: Int = 3,
+               dampingPct: Int = 85): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1: $iters")
+    require(dampingPct >= 0 && dampingPct <= 100,
+      s"dampingPct must be in [0,100]: $dampingPct")
+    val ser = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER
+    val e = edges.select(col("a").cast("long").as("a"),
+      col("b").cast("long").as("b"))
+      .localCheckpoint(true, ser)
+    val nodes = e.select(col("a").as("id"))
+      .unionByName(e.select(col("b").as("id"))).distinct()
+      .localCheckpoint(true, ser)
+    val n = nodes.count()
+    val outdeg = e.groupBy(col("a").as("id"))
+      .agg(count(lit(1)).as("outdeg"))
+      .localCheckpoint(true, ser)
+    val init = PrScale / n
+    val base = (100L - dampingPct) * init / 100L
+    var pr = nodes.withColumn("pr_fixed", lit(init))
+      .localCheckpoint(true, ser)
+    for (_ <- 1 to iters) {
+      // `div`, not `/`: Spark's `/` on longs is a DOUBLE division, and
+      // the whole point of the fixed-point encoding is that no IEEE op
+      // ever touches a rank until the final display column
+      val contrib = pr.join(outdeg, "id")
+        .select(col("id"), expr("pr_fixed div outdeg").as("c"))
+        .join(e, col("id") === col("a"))
+        .groupBy(col("b").as("id"))
+        .agg(sum(col("c")).as("s"))
+      val next = nodes
+        .join(contrib, Seq("id"), "left")
+        .withColumn("s", coalesce(col("s"), lit(0L)))
+        .select(col("id"),
+          (lit(base) + expr(s"(${dampingPct.toLong} * s) div 100"))
+            .as("pr_fixed"))
+        .localCheckpoint(true, ser)
+      graft.Release(pr)
+      pr = next
+    }
+    val out = pr.select(col("id"), col("pr_fixed"),
+      (col("pr_fixed").cast("double") / lit(PrScale.toDouble)).as("pr"))
+    out
+  }
+
+  /** Synchronous label propagation, `iters` rounds over UNDIRECTED
+    * edges: every node adopts its neighbors' most frequent label,
+    * ties to the smallest label (fully deterministic — asynchronous
+    * LPA's arrival-order sensitivity is exactly what a reproducible
+    * pipeline can't have). Labels start as node ids. Isolated nodes
+    * don't appear (the node set is the edge endpoints). Known
+    * trade-off of the synchronous schedule: near-bipartite structures
+    * can oscillate between two labelings instead of converging
+    * (GraphSpec demonstrates it) — the fixed iteration count keeps
+    * even that case deterministic, and dense communities still
+    * collapse in a round or two.
+    *
+    * The per-round top-1 runs on the (node, label) COUNT table —
+    * vocabulary-sized, never the raw neighbor stream — via the same
+    * (count desc, label asc) window the ev17 lane pins.
+    */
+  def labelPropagation(edges: DataFrame, iters: Int = 3): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1: $iters")
+    val ser = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER
+    val e = undirected(edges).localCheckpoint(true, ser)
+    var lbl = e.select(col("a").as("id")).distinct()
+      .withColumn("lbl", col("id"))
+      .localCheckpoint(true, ser)
+    for (_ <- 1 to iters) {
+      val counts = e.join(lbl.withColumnRenamed("id", "b"), "b")
+        .groupBy(col("a").as("id"), col("lbl"))
+        .agg(count(lit(1)).as("cnt"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("id"))
+        .orderBy(col("cnt").desc, col("lbl").asc)
+      val next = counts
+        .withColumn("_rn", row_number().over(w))
+        .filter(col("_rn") === 1)
+        .select(col("id"), col("lbl"))
+        .localCheckpoint(true, ser)
+      graft.Release(lbl)
+      lbl = next
+    }
+    lbl
+  }
+
+  /** k-core: peel nodes of degree < k from the UNDIRECTED graph for up
+    * to `maxRounds` rounds (early-stop when a round removes nothing —
+    * output-invariant, since further peels would also be no-ops).
+    * Returns the surviving node set. The paired oracle unrolls exactly
+    * `maxRounds` peels, which equals this whenever the peel converges
+    * within the bound AND when it doesn't (both sides have then done
+    * exactly `maxRounds` rounds) — GraphSpec asserts convergence at
+    * test scale so the cap isn't silently load-bearing.
+    *
+    * Each round is one aggregate + one semi-join per side over (a, b)
+    * longs; survivors are checkpointed and the superseded frame
+    * released.
+    */
+  def kcore(edges: DataFrame, k: Int, maxRounds: Int = 8): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    val ser = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER
+    val e = undirected(edges).localCheckpoint(true, ser)
+    var alive = e.select(col("a").as("id")).distinct()
+      .localCheckpoint(true, ser)
+    var aliveN = alive.count()
+    var round = 0
+    var stable = false
+    while (round < maxRounds && !stable) {
+      val next = e
+        .join(alive.withColumnRenamed("id", "b"), "b")
+        .join(alive.withColumnRenamed("id", "a"), "a")
+        .groupBy(col("a").as("id"))
+        .agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= k)
+        .select("id")
+        .localCheckpoint(true, ser)
+      val nextN = next.count()
+      stable = nextN == aliveN
+      graft.Release(alive)
+      alive = next
+      aliveN = nextN
+      round += 1
+    }
+    alive
+  }
+
+  /** Per-node triangle counts over the UNDIRECTED graph. Edges are
+    * canonically oriented low → high id so each triangle is enumerated
+    * exactly once ((a,b),(b,c),(a,c) with a<b<c), then each corner
+    * credited via a three-way unpivot. At web scale the orientation
+    * key becomes (degree, id) — same triangle set, but the join
+    * fan-out is bounded by the LOWER-degree endpoint, which tames
+    * hub-heavy skew; id order is kept here so the oracle is a literal
+    * replay.
+    */
+  def triangleCounts(edges: DataFrame): DataFrame = {
+    val ser = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER
+    val ce = undirected(edges).filter(col("a") < col("b"))
+      .localCheckpoint(true, ser)
+    val tri = ce.as("e1")
+      .join(ce.as("e2"), col("e2.a") === col("e1.b"))
+      .join(ce.as("e3"),
+        col("e3.a") === col("e1.a") && col("e3.b") === col("e2.b"))
+      .select(col("e1.a").as("x"), col("e1.b").as("y"), col("e2.b").as("z"))
+    tri.select(explode(array(col("x"), col("y"), col("z"))).as("id"))
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_tri"))
+  }
+
+  /** Degree histogram of the UNDIRECTED graph: (degree, n_nodes). */
+  def degreeHistogram(edges: DataFrame): DataFrame =
+    undirected(edges)
+      .groupBy(col("a").as("id"))
+      .agg(count(lit(1)).as("deg"))
+      .groupBy("deg")
+      .agg(count(lit(1)).as("n_nodes"))
+}

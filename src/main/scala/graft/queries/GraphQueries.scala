@@ -1,0 +1,180 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables._
+import graft.functions.CosineF32.cosineF32Native
+import graft.operators.{GraphOps, SimilarityOps}
+
+/** Graph-analytics lanes (gr*) over the semantic kNN graph the ss16
+  * lane already oracle-pins: centrality, communities, dense cores, and
+  * triangle structure of "which documents are each other's nearest
+  * neighbors" — the graph a curation pipeline mines for source
+  * weighting (centrality), duplicate provenance (communities), and
+  * link-farm-like density (cores/triangles).
+  *
+  * Every oracle COMPOSES the ss16 edge-set SQL as a CTE prefix and
+  * replays the iterations exactly: PageRank is fixed-point integer
+  * arithmetic (bit-identical in any engine — see GraphOps scaladoc on
+  * why float ranks can't be reproducibility-gated), label propagation
+  * and peeling are integer-only throughout. CTEs are MATERIALIZED:
+  * DuckDB otherwise re-inlines the kNN build into every unrolled
+  * iteration reference.
+  */
+object GraphQueries {
+
+  private def knnEdges(s: SparkSession, d: String, k: Int): DataFrame =
+    SimilarityOps.knnGraph(embeddings(s, d), k = k, bits = 4,
+      kernel = cosineF32Native(_, _)).select(col("a"), col("b"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Fixed-point PageRank, 3 synchronous iterations over the DIRECTED
+    // 5-NN graph: in-degree (how many documents claim you as a near
+    // neighbor) is the organic popularity signal.
+    "gr1_pagerank" -> ((s, d) =>
+      GraphOps.pagerank(knnEdges(s, d, 5), iters = 3)),
+
+    // Deterministic synchronous label propagation (most-frequent
+    // neighbor label, ties to smallest), 3 rounds, undirected 5-NN.
+    "gr2_label_prop" -> ((s, d) =>
+      GraphOps.labelPropagation(knnEdges(s, d, 5), iters = 3)),
+
+    // 4-core of the MUTUAL 8-NN graph: mutuality bounds degree by 8 at
+    // any corpus size (a fixed similarity threshold densifies with
+    // scale and degenerates the peel — probed), so the same (k, cap)
+    // works at every sf. Peel converges well under the 8-round cap at
+    // both gated scales (GraphSpec asserts it).
+    "gr3_kcore" -> ((s, d) =>
+      GraphOps.kcore(GraphOps.mutualEdges(knnEdges(s, d, 8)),
+        k = 4, maxRounds = 8)),
+
+    // Per-node triangle counts, undirected 5-NN graph.
+    "gr4_triangles" -> ((s, d) =>
+      GraphOps.triangleCounts(knnEdges(s, d, 5))),
+
+    // Degree histogram of the undirected 5-NN graph.
+    "gr5_degree_hist" -> ((s, d) =>
+      GraphOps.degreeHistogram(knnEdges(s, d, 5)))
+  )
+
+  /** ss16's sign-bucket kNN edge SQL as a reusable CTE chain ending in
+    * `knn(a, b)` (directed, top-`k` per `a`). */
+  private def knnCte(k: Int): String =
+    s"""b AS MATERIALIZED (
+           SELECT vec_id, embedding,
+             (CASE WHEN embedding[1] > 0 THEN '1' ELSE '0' END) ||
+             (CASE WHEN embedding[2] > 0 THEN '1' ELSE '0' END) ||
+             (CASE WHEN embedding[3] > 0 THEN '1' ELSE '0' END) ||
+             (CASE WHEN embedding[4] > 0 THEN '1' ELSE '0' END) AS bkt
+           FROM embeddings),
+         p AS (SELECT l.vec_id AS a, r.vec_id AS b,
+                 round(list_cosine_similarity(l.embedding,
+                   r.embedding)::DOUBLE, 4) AS sim
+               FROM b l JOIN b r
+                 ON l.bkt = r.bkt AND l.vec_id <> r.vec_id),
+         knn AS MATERIALIZED (SELECT a, b FROM (
+             SELECT a, b,
+               row_number() OVER (PARTITION BY a
+                 ORDER BY sim DESC NULLS LAST, b ASC) AS rn
+             FROM p)
+           WHERE rn <= $k)"""
+
+  /** Symmetrized distinct edges from `knn`. */
+  private val undirCte: String =
+    """edges AS MATERIALIZED (SELECT DISTINCT a, b FROM (
+         SELECT a, b FROM knn UNION ALL SELECT b, a FROM knn))"""
+
+  /** One fixed-point PageRank iteration: `prev(id, pr)` → `out(id, pr)`.
+    * Integer ops only — `//` everywhere, damped sum scaled by 85/100.
+    */
+  private def prIter(out: String, prev: String): String =
+    s"""$out AS MATERIALIZED (
+         SELECT nodes.id,
+           (SELECT base FROM c) + (85 * coalesce(s.s, 0)) // 100 AS pr
+         FROM nodes LEFT JOIN (
+           SELECT e.b AS id, sum(p.pr // od.outdeg)::BIGINT AS s
+           FROM e JOIN $prev p ON e.a = p.id JOIN od ON e.a = od.id
+           GROUP BY e.b) s ON nodes.id = s.id)"""
+
+  /** One LPA round: `prev(id, lbl)` → `out(id, lbl)` — most frequent
+    * neighbor label, ties to the smallest label. */
+  private def lpaIter(out: String, prev: String): String =
+    s"""$out AS MATERIALIZED (SELECT id, lbl FROM (
+         SELECT e.a AS id, l.lbl, count(*) AS c,
+           row_number() OVER (PARTITION BY e.a
+             ORDER BY count(*) DESC, l.lbl ASC) AS rn
+         FROM edges e JOIN $prev l ON e.b = l.id
+         GROUP BY e.a, l.lbl) WHERE rn = 1)"""
+
+  /** One k-core peel: survivors of `prev` with induced degree >= k. */
+  private def peelIter(out: String, prev: String, k: Int): String =
+    s"""$out AS MATERIALIZED (
+         SELECT e.a AS id FROM edges e
+         JOIN $prev x ON e.b = x.id
+         JOIN $prev y ON e.a = y.id
+         GROUP BY e.a HAVING count(*) >= $k)"""
+
+  val oracles: Map[String, String] = Map(
+    "gr1_pagerank" -> {
+      val iters = (1 to 3).map(i =>
+        prIter(s"it$i", if (i == 1) "pr0" else s"it${i - 1}"))
+      s"""WITH ${knnCte(5)},
+         e AS MATERIALIZED (SELECT a, b FROM knn),
+         nodes AS MATERIALIZED (SELECT DISTINCT id FROM (
+           SELECT a AS id FROM e UNION ALL SELECT b FROM e)),
+         od AS MATERIALIZED (SELECT a AS id, count(*) AS outdeg
+                             FROM e GROUP BY a),
+         c AS MATERIALIZED (SELECT
+           1000000000000 // count(*) AS init,
+           (15 * (1000000000000 // count(*))) // 100 AS base
+           FROM nodes),
+         pr0 AS MATERIALIZED (
+           SELECT id, (SELECT init FROM c) AS pr FROM nodes),
+         ${iters.mkString(",\n")}
+         SELECT id, pr::BIGINT AS pr_fixed,
+           pr / 1000000000000.0 AS pr
+         FROM it3"""
+    },
+    "gr2_label_prop" -> {
+      val iters = (1 to 3).map(i =>
+        lpaIter(s"l$i", if (i == 1) "l0" else s"l${i - 1}"))
+      s"""WITH ${knnCte(5)},
+         $undirCte,
+         l0 AS MATERIALIZED (
+           SELECT DISTINCT a AS id, a AS lbl FROM edges),
+         ${iters.mkString(",\n")}
+         SELECT id, lbl FROM l3"""
+    },
+    "gr3_kcore" -> {
+      val peels = (1 to 8).map(i =>
+        peelIter(s"s$i", if (i == 1) "n0" else s"s${i - 1}", 4))
+      s"""WITH ${knnCte(8)},
+         edges AS MATERIALIZED (
+           SELECT k1.a, k1.b FROM knn k1
+           JOIN knn k2 ON k1.a = k2.b AND k1.b = k2.a),
+         n0 AS MATERIALIZED (SELECT DISTINCT a AS id FROM edges),
+         ${peels.mkString(",\n")}
+         SELECT id FROM s8"""
+    },
+    "gr4_triangles" ->
+      s"""WITH ${knnCte(5)},
+         $undirCte,
+         ce AS MATERIALIZED (SELECT a, b FROM edges WHERE a < b),
+         tri AS MATERIALIZED (
+           SELECT e1.a AS x, e1.b AS y, e2.b AS z
+           FROM ce e1
+           JOIN ce e2 ON e2.a = e1.b
+           JOIN ce e3 ON e3.a = e1.a AND e3.b = e2.b)
+         SELECT id, count(*) AS n_tri FROM (
+           SELECT x AS id FROM tri
+           UNION ALL SELECT y FROM tri
+           UNION ALL SELECT z FROM tri)
+         GROUP BY id""",
+    "gr5_degree_hist" ->
+      s"""WITH ${knnCte(5)},
+         $undirCte
+         SELECT deg, count(*) AS n_nodes FROM (
+           SELECT a, count(*) AS deg FROM edges GROUP BY a)
+         GROUP BY deg"""
+  )
+}
