@@ -31,7 +31,9 @@ object SparkEntry {
     (_root_.graft.queries.StreamParityQueries.queries,
      _root_.graft.queries.StreamParityQueries.oracles),
     (_root_.graft.queries.GraphQueries.queries,
-     _root_.graft.queries.GraphQueries.oracles)
+     _root_.graft.queries.GraphQueries.oracles),
+    (_root_.graft.queries.DataQualityQueries.queries,
+     _root_.graft.queries.DataQualityQueries.oracles)
   )
 
   /** Flagship: the full city-directory pipeline end-to-end on the

@@ -1,0 +1,108 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Declarative data-quality verification (Deequ-style), compiled to ONE
+  * aggregate pass — the round-9 dq* family.
+  *
+  * A 100-TB ingest can't afford a scan per constraint: every check here
+  * is an aggregate EXPRESSION, so an arbitrary suite costs exactly one
+  * job — map-side partials, one scalar row to the driver, then a
+  * driver-side explode into the (name, metric, passed) report. That
+  * single-pass compilation is the entire design: adding a constraint
+  * adds a column to the agg, never a scan. (The one caveat: exact
+  * `uniqueness` uses a distinct aggregate; several of them in one
+  * suite multiply the scan via Expand — keep one exact uniqueness per
+  * suite and use approx_count_distinct beyond, same discipline as the
+  * tx5/tx14 sketch lanes.)
+  *
+  * Determinism discipline: every ratio metric is an exact integer
+  * count divided ONCE as doubles (the ss13 "one IEEE division, no
+  * round" recipe), and bound metrics are casts of integer min/max —
+  * no float sums anywhere, so the report is bit-identical across
+  * partitionings and engines, which is what lets the oracle gate it.
+  */
+object DataQualityOps {
+
+  /** One constraint: an aggregate `metric` expression (must evaluate
+    * to double) asserted to lie in [lo, hi]. */
+  final case class Check(name: String, metric: Column,
+                         lo: Double, hi: Double)
+
+  private def ratio(num: Column): Column =
+    num.cast("double") / count(lit(1))
+
+  /** Fraction of non-null values in `c` must be >= `lo`. */
+  def completeness(c: String, lo: Double): Check =
+    Check(s"completeness($c)", ratio(count(col(c))), lo, 1.0)
+
+  /** Fraction of DISTINCT values must be >= `lo` (1.0 = unique key). */
+  def uniqueness(c: String, lo: Double): Check =
+    Check(s"uniqueness($c)", ratio(countDistinct(col(c))), lo, 1.0)
+
+  /** Fraction of rows whose `c` matches `regex` must be >= `lo`. */
+  def matchRatio(c: String, regex: String, lo: Double): Check =
+    Check(s"pattern($c)",
+      ratio(count(when(col(c).rlike(regex), lit(1)))), lo, 1.0)
+
+  /** Fraction of rows with `c` in `values` must be >= `lo`. */
+  def inSetRatio(c: String, values: Seq[String], lo: Double): Check =
+    Check(s"in_set($c)",
+      ratio(count(when(col(c).isin(values: _*), lit(1)))), lo, 1.0)
+
+  /** Fraction of rows satisfying an arbitrary row predicate, in
+    * [lo, hi] — the generic consistency check. */
+  def predicateRatio(name: String, pred: Column,
+                     lo: Double, hi: Double = 1.0): Check =
+    Check(name, ratio(count(when(pred, lit(1)))), lo, hi)
+
+  def minOf(c: String, lo: Double): Check =
+    Check(s"min($c)", min(col(c)).cast("double"),
+      lo, Double.PositiveInfinity)
+
+  def maxOf(c: String, hi: Double): Check =
+    Check(s"max($c)", max(col(c)).cast("double"),
+      Double.NegativeInfinity, hi)
+
+  def rowCountMin(n: Long): Check =
+    Check("size", count(lit(1)).cast("double"),
+      n.toDouble, Double.PositiveInfinity)
+
+  /** Evaluate the suite in a single aggregate pass. Returns one row
+    * per constraint: (name, metric, passed).
+    */
+  def suite(df: DataFrame, checks: Seq[Check]): DataFrame = {
+    require(checks.nonEmpty, "empty constraint suite")
+    val agg = df.agg(checks.head.metric.as("m0"),
+      checks.tail.zipWithIndex.map { case (c, i) =>
+        c.metric.as(s"m${i + 1}") }: _*)
+    // metrics are attributes of the agg output here, so the struct
+    // refs below are cheap attribute reads, not re-computed
+    // expressions duplicated per branch (the CollapseProject lesson)
+    val rows = checks.zipWithIndex.map { case (c, i) =>
+      struct(lit(c.name).as("name"), col(s"m$i").as("metric"),
+        (col(s"m$i") >= c.lo && col(s"m$i") <= c.hi).as("passed"))
+    }
+    agg.select(inline(array(rows: _*)))
+  }
+
+  /** Per-slice quality report: the same exact-integer metrics grouped
+    * by a slice key (source, shard, date...) — how a bad shard
+    * surfaces before it poisons a training mix. One shuffle on the
+    * slice key, partial-aggregated map-side.
+    */
+  def sliceReport(df: DataFrame, sliceCol: String,
+                  textCol: String, lenCol: String,
+                  minRows: Long, minLen: Long): DataFrame =
+    df.groupBy(col(sliceCol))
+      .agg(count(lit(1)).as("n"),
+        (count(col(textCol)).cast("double") / count(lit(1)))
+          .as("completeness"),
+        min(col(lenCol)).as("min_len"),
+        max(col(lenCol)).as("max_len"),
+        (sum(col(lenCol)).cast("double") / count(lit(1)))
+          .as("avg_len"))
+      .withColumn("passed",
+        col("n") >= minRows && col("min_len") >= minLen)
+}

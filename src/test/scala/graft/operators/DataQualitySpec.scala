@@ -1,0 +1,65 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+import graft.operators.DataQualityOps._
+
+class DataQualitySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def dirty = Seq(
+    (1L, Some("aa"), 10L),
+    (2L, None, 20L),
+    (3L, Some("bb"), 30L),
+    (3L, Some("zz"), 40L) // duplicate id, pattern-violating value
+  ).toDF("id", "tag", "len")
+
+  test("suite computes exact metrics and both passed branches") {
+    val out = suite(dirty, Seq(
+      rowCountMin(1),
+      completeness("tag", 0.9),           // 0.75 -> fail
+      uniqueness("id", 1.0),              // 0.75 -> fail
+      matchRatio("tag", "^[a-b]+$", 0.5), // 2/4 matches -> pass at 0.5
+      minOf("len", 5.0),                  // pass
+      maxOf("len", 35.0),                 // 40 -> fail
+      predicateRatio("len_mod10", col("len") % 10 === 0, 1.0)
+    )).as[(String, Double, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out("size") == ((4.0, true)))
+    assert(out("completeness(tag)") == ((0.75, false)))
+    assert(out("uniqueness(id)") == ((0.75, false)))
+    assert(out("pattern(tag)") == ((0.5, true)))
+    assert(out("min(len)") == ((10.0, true)))
+    assert(out("max(len)") == ((40.0, false)))
+    assert(out("len_mod10") == ((1.0, true)))
+  }
+
+  test("the whole suite is one pass: a single leaf scan in the plan") {
+    val plan = suite(dirty, Seq(
+      rowCountMin(1), completeness("tag", 0.9), uniqueness("id", 1.0),
+      matchRatio("tag", "^[a-b]+$", 0.5), minOf("len", 5.0)
+    )).queryExecution.executedPlan
+    val leaves = plan.collectLeaves()
+    assert(leaves.length == 1,
+      s"constraint suite must not multiply scans, got:\n$plan")
+  }
+
+  test("sliceReport flags the bad slice only") {
+    val df = Seq(
+      ("s1", Some("x"), 100L), ("s1", Some("y"), 120L),
+      ("s2", Some("x"), 10L), ("s2", None, 200L)
+    ).toDF("src", "text", "len")
+    val rep = sliceReport(df, "src", "text", "len",
+        minRows = 2L, minLen = 50L)
+      .as[(String, Long, Double, Long, Long, Double, Boolean)]
+      .collect().map(r => r._1 -> r).toMap
+    assert(rep("s1") == (("s1", 2L, 1.0, 100L, 120L, 110.0, true)))
+    assert(rep("s2") == (("s2", 2L, 0.5, 10L, 200L, 105.0, false)))
+  }
+
+  test("empty suite is rejected loudly") {
+    intercept[IllegalArgumentException] {
+      suite(dirty, Seq.empty)
+    }
+  }
+}
