@@ -46,7 +46,7 @@ object ScaleSmoke {
 
     // Targeted replays (the PerfCompare affordance): GRAFT_SS_ONLY
     // names a subset of the named lanes (simhash, decon, bpe, overlap, capbudget,
-    // curation); unset runs everything including the legacy block below.
+    // curation, graph); unset runs everything including the legacy block below.
     val only = sys.env.get("GRAFT_SS_ONLY")
       .map(_.split(",").map(_.trim.toLowerCase).filter(_.nonEmpty).toSet)
       .getOrElse(Set.empty[String])
@@ -564,6 +564,59 @@ object ScaleSmoke {
       val sec = (System.nanoTime() - t0) / 1e9
       println(s"""{"capbudget_docs":$n,"sec":${round1(sec)},"capped":$nCap,"kept_best":$nBest,"budget_selected":$nSel}""")
       Release(deduped, blocking = true)
+    }
+
+    lane("graph") {
+      // 2M nodes, out-degree 5 with SKEWED in-degree (dst hash-mod
+      // n/100 for half the edges → 1% of nodes absorb 50% of the
+      // contribution traffic — the hub shape a real link graph has).
+      // Every node has out-edges, so the fixed-point mass invariant
+      // from GraphSpec must hold at this scale too: sum(pr_fixed)
+      // within truncation units of SCALE.
+      val gn = 2000000L
+      val prEdges = spark.range(gn).select(col("id").as("a"),
+          explode(array((0 until 5).map { j =>
+            (if (j % 2 == 0) pmod(hash(col("id") * 13 + j), lit(gn / 100))
+             else pmod(hash(col("id") * 31 + j), lit(gn))).cast("long")
+          }: _*)).as("b"))
+        .filter(col("a") =!= col("b"))
+        .localCheckpoint()
+      val t0 = System.nanoTime()
+      val pr = operators.GraphOps.pagerank(prEdges, iters = 3)
+        .localCheckpoint()
+      val prSec = (System.nanoTime() - t0) / 1e9
+      val nNodes = pr.count()
+      val mass = pr.agg(sum(col("pr_fixed"))).first().getLong(0)
+      val massOk = mass <= operators.GraphOps.PrScale &&
+        mass > operators.GraphOps.PrScale - 1000L * nNodes
+      println(s"""{"pagerank_nodes":$nNodes,"edges_from":$gn,"sec":${round1(prSec)},"mass_ok":$massOk}""")
+      require(massOk, s"pagerank mass invariant broke at scale: $mass")
+      Release(prEdges, blocking = false)
+      Release(pr, blocking = false)
+
+      // planted k-core: 100k blocks of 10 (complete digraph inside
+      // each block, induced degree 9) chained by degree-2 links;
+      // peeling at k=6 must keep EXACTLY the block members — an
+      // output-exact invariant, not a smoke count
+      val blocks = 100000L
+      val members = spark.range(blocks * 10)
+      val blockEdges = members.select(col("id").as("a"),
+          explode(array((1 until 10).map(j =>
+            (col("id") - pmod(col("id"), lit(10)) +
+              pmod(col("id") + j, lit(10))).cast("long")): _*)).as("b"))
+      val chain = spark.range(blocks * 10, blocks * 10 + 200000L)
+        .select(col("id").as("a"), (col("id") + 1).as("b"))
+      val kcEdges = blockEdges.unionByName(chain)
+        .unionByName(chain.select(col("b").as("a"), col("a").as("b")))
+        .localCheckpoint()
+      val t1 = System.nanoTime()
+      val core = operators.GraphOps.kcore(kcEdges, k = 6, maxRounds = 8)
+      val nCore = core.count()
+      val kcSec = (System.nanoTime() - t1) / 1e9
+      println(s"""{"kcore_nodes":${blocks * 10 + 200001L},"sec":${round1(kcSec)},"core":$nCore}""")
+      require(nCore == blocks * 10,
+        s"planted 6-core must be exactly the block members: $nCore")
+      Release(kcEdges, blocking = true)
     }
     spark.stop()
   }

@@ -462,4 +462,31 @@ class PlanShapeSpec extends SparkSpec {
     assert("Window \\[".r.findAllIn(p).length == 1, p)
     assert(p.contains("Union"), p)
   }
+
+  test("gr4 triangles: equi-joins only — no cartesian, no BNLJ") {
+    // the two-hop enumeration must stay a pair of hash/sort-merge
+    // equi-joins on (b) and (a, b); a nested-loop fallback would be
+    // |E|^2 at any real edge count
+    val p = planOf("gr4_triangles")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("gr5 degree histogram aggregates partially map-side (two-level)") {
+    // both groupBys must partial-aggregate: the exchange carries one
+    // (node, count) row per node, then one (degree, count) per degree
+    val p = planOf("gr5_degree_hist")
+    assert("partial_count".r.findAllIn(p).length >= 2, p)
+  }
+
+  test("gr1 pagerank final frame reads the iteration checkpoint, not lineage") {
+    // each iteration localCheckpoints; the returned frame must be a
+    // checkpoint read plus projection — re-deriving iterations through
+    // lineage would re-run every join on every downstream action
+    val df = SparkEntry.queries("gr1_pagerank")(spark, sf)
+    val leaves = df.queryExecution.optimizedPlan.collectLeaves()
+    assert(leaves.nonEmpty && leaves.forall(
+      _.isInstanceOf[org.apache.spark.sql.execution.LogicalRDD]),
+      df.queryExecution.optimizedPlan.toString)
+  }
 }
