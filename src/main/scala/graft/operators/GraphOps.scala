@@ -84,7 +84,20 @@ object GraphOps {
     * O(current iteration).
     */
   def pagerank(edges: DataFrame, iters: Int = 3,
-               dampingPct: Int = 85): DataFrame = {
+               dampingPct: Int = 85): DataFrame =
+    pagerankReleasable(edges, iters, dampingPct)._1
+
+  /** [[pagerank]] plus a release handle for the FINAL rank checkpoint
+    * (the returned frame reads it lazily, so it cannot be freed
+    * inline — the clustersAutoReleasable pattern). All INTERNAL
+    * checkpoints (edges, node/out-degree staging, superseded
+    * iterations) are released before returning: once the last
+    * iteration materializes, the output depends only on its own
+    * checkpoint.
+    */
+  def pagerankReleasable(edges: DataFrame, iters: Int = 3,
+                         dampingPct: Int = 85)
+      : (DataFrame, () => Unit) = {
     require(iters >= 1, s"iters must be >= 1: $iters")
     require(dampingPct >= 0 && dampingPct <= 100,
       s"dampingPct must be in [0,100]: $dampingPct")
@@ -113,6 +126,10 @@ object GraphOps {
       .select(col("id"), coalesce(col("outdeg"), lit(0L)).as("outdeg"),
         lit(init).as("pr_fixed"))
       .localCheckpoint(true, ser)
+    // nodes/outdeg staging is folded into the init checkpoint above —
+    // free it now, not at session end
+    graft.Release(nodes)
+    graft.Release(outdeg)
     for (_ <- 1 to iters) {
       // `div`, not `/`: Spark's `/` on longs is a DOUBLE division, and
       // the whole point of the fixed-point encoding is that no IEEE op
@@ -132,10 +149,78 @@ object GraphOps {
       graft.Release(pr)
       pr = next
     }
-    val out = pr.select(col("id"), col("pr_fixed"),
+    graft.Release(e)
+    val last = pr
+    val out = last.select(col("id"), col("pr_fixed"),
       (col("pr_fixed").cast("double") / lit(PrScale.toDouble)).as("pr"))
-    out
+    (out, () => graft.Release(last))
   }
+
+  /** Personalized PageRank: rank mass teleports back to a SEED set
+    * instead of uniformly — the seed-relevance expansion a curation
+    * pipeline uses to grow a small trusted/curated document set into a
+    * ranked neighborhood ("what else does the graph consider close to
+    * what we already vetted"). Same fixed-point integer discipline as
+    * [[pagerank]]: init and teleport mass are `SCALE div |seeds|` on
+    * seed nodes and ZERO elsewhere, so ranks are bit-identical under
+    * any partitioning and replay exactly in the oracle. Seeds outside
+    * the graph's node set are ignored (they can neither receive nor
+    * forward mass).
+    */
+  def personalizedPagerankReleasable(edges: DataFrame, seeds: DataFrame,
+                                     iters: Int = 3, dampingPct: Int = 85)
+      : (DataFrame, () => Unit) = {
+    require(iters >= 1, s"iters must be >= 1: $iters")
+    val ser = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER
+    val e = edges.select(col("a").cast("long").as("a"),
+      col("b").cast("long").as("b"))
+      .localCheckpoint(true, ser)
+    val nodes = e.select(col("a").as("id"))
+      .unionByName(e.select(col("b").as("id"))).distinct()
+    val outdeg = e.groupBy(col("a").as("id"))
+      .agg(count(lit(1)).as("outdeg"))
+    val seedIds = seeds.select(col(seeds.columns.head).cast("long")
+      .as("id")).distinct()
+    val seedNodes = nodes.join(seedIds, Seq("id"), "left_semi")
+      .localCheckpoint(true, ser)
+    val nSeeds = seedNodes.count()
+    require(nSeeds > 0, "no seed intersects the graph's node set")
+    val init = PrScale / nSeeds
+    val base = (100L - dampingPct) * init / 100L
+    var pr = nodes.join(outdeg, Seq("id"), "left")
+      .join(seedNodes.withColumn("_seed", lit(true)), Seq("id"), "left")
+      .select(col("id"), coalesce(col("outdeg"), lit(0L)).as("outdeg"),
+        coalesce(col("_seed"), lit(false)).as("is_seed"),
+        when(col("_seed"), lit(init)).otherwise(lit(0L)).as("pr_fixed"))
+      .localCheckpoint(true, ser)
+    graft.Release(seedNodes)
+    for (_ <- 1 to iters) {
+      val contrib = pr.filter(col("outdeg") > 0L && col("pr_fixed") > 0L)
+        .select(col("id"), expr("pr_fixed div outdeg").as("c"))
+        .join(e, col("id") === col("a"))
+        .groupBy(col("b").as("id"))
+        .agg(sum(col("c")).as("s"))
+      val next = pr.select(col("id"), col("outdeg"), col("is_seed"))
+        .join(contrib, Seq("id"), "left")
+        .withColumn("s", coalesce(col("s"), lit(0L)))
+        .select(col("id"), col("outdeg"), col("is_seed"),
+          (when(col("is_seed"), lit(base)).otherwise(lit(0L)) +
+            expr(s"(${dampingPct.toLong} * s) div 100")).as("pr_fixed"))
+        .localCheckpoint(true, ser)
+      graft.Release(pr)
+      pr = next
+    }
+    graft.Release(e)
+    val last = pr
+    val out = last.select(col("id"), col("pr_fixed"),
+      (col("pr_fixed").cast("double") / lit(PrScale.toDouble)).as("pr"))
+    (out, () => graft.Release(last))
+  }
+
+  def personalizedPagerank(edges: DataFrame, seeds: DataFrame,
+                           iters: Int = 3,
+                           dampingPct: Int = 85): DataFrame =
+    personalizedPagerankReleasable(edges, seeds, iters, dampingPct)._1
 
   /** Synchronous label propagation, `iters` rounds over UNDIRECTED
     * edges: every node adopts its neighbors' most frequent label,
@@ -153,7 +238,13 @@ object GraphOps {
     * vocabulary-sized, never the raw neighbor stream — via the same
     * (count desc, label asc) window the ev17 lane pins.
     */
-  def labelPropagation(edges: DataFrame, iters: Int = 3): DataFrame = {
+  def labelPropagation(edges: DataFrame, iters: Int = 3): DataFrame =
+    labelPropagationReleasable(edges, iters)._1
+
+  /** [[labelPropagation]] plus a release handle for the final label
+    * checkpoint; internal checkpoints are released before return. */
+  def labelPropagationReleasable(edges: DataFrame, iters: Int = 3)
+      : (DataFrame, () => Unit) = {
     require(iters >= 1, s"iters must be >= 1: $iters")
     val ser = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER
     val e = undirected(edges).localCheckpoint(true, ser)
@@ -175,7 +266,9 @@ object GraphOps {
       graft.Release(lbl)
       lbl = next
     }
-    lbl
+    graft.Release(e)
+    val last = lbl
+    (last, () => graft.Release(last))
   }
 
   /** k-core: peel nodes of degree < k from the UNDIRECTED graph for up
@@ -191,7 +284,13 @@ object GraphOps {
     * longs; survivors are checkpointed and the superseded frame
     * released.
     */
-  def kcore(edges: DataFrame, k: Int, maxRounds: Int = 8): DataFrame = {
+  def kcore(edges: DataFrame, k: Int, maxRounds: Int = 8): DataFrame =
+    kcoreReleasable(edges, k, maxRounds)._1
+
+  /** [[kcore]] plus a release handle for the final survivor
+    * checkpoint; internal checkpoints are released before return. */
+  def kcoreReleasable(edges: DataFrame, k: Int, maxRounds: Int = 8)
+      : (DataFrame, () => Unit) = {
     require(k >= 1, s"k must be >= 1: $k")
     val ser = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER
     val e = undirected(edges).localCheckpoint(true, ser)
@@ -216,7 +315,9 @@ object GraphOps {
       aliveN = nextN
       round += 1
     }
-    alive
+    graft.Release(e)
+    val last = alive
+    (last, () => graft.Release(last))
   }
 
   /** Per-node triangle counts over the UNDIRECTED graph. Edges are
@@ -228,7 +329,14 @@ object GraphOps {
     * hub-heavy skew; id order is kept here so the oracle is a literal
     * replay.
     */
-  def triangleCounts(edges: DataFrame): DataFrame = {
+  def triangleCounts(edges: DataFrame): DataFrame =
+    triangleCountsReleasable(edges)._1
+
+  /** [[triangleCounts]] plus a release handle for the canonical-edge
+    * checkpoint, which the returned plan reads three times lazily and
+    * therefore cannot be freed inline. */
+  def triangleCountsReleasable(edges: DataFrame)
+      : (DataFrame, () => Unit) = {
     val ser = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER
     val ce = undirected(edges).filter(col("a") < col("b"))
       .localCheckpoint(true, ser)
@@ -237,9 +345,11 @@ object GraphOps {
       .join(ce.as("e3"),
         col("e3.a") === col("e1.a") && col("e3.b") === col("e2.b"))
       .select(col("e1.a").as("x"), col("e1.b").as("y"), col("e2.b").as("z"))
-    tri.select(explode(array(col("x"), col("y"), col("z"))).as("id"))
+    val out = tri
+      .select(explode(array(col("x"), col("y"), col("z"))).as("id"))
       .groupBy("id")
       .agg(count(lit(1)).as("n_tri"))
+    (out, () => graft.Release(ce))
   }
 
   /** Degree histogram of the UNDIRECTED graph: (degree, n_nodes). */

@@ -54,7 +54,16 @@ object GraphQueries {
 
     // Degree histogram of the undirected 5-NN graph.
     "gr5_degree_hist" -> ((s, d) =>
-      GraphOps.degreeHistogram(knnEdges(s, d, 5)))
+      GraphOps.degreeHistogram(knnEdges(s, d, 5))),
+
+    // Personalized PageRank from the label-0 documents as the seed
+    // set: seed-relevance expansion — mass teleports back to the
+    // vetted set, ranking the rest of the corpus by graph-closeness
+    // to it.
+    "gr6_ppr" -> ((s, d) =>
+      GraphOps.personalizedPagerank(knnEdges(s, d, 5),
+        embeddings(s, d).filter(col("label") === 0).select("vec_id"),
+        iters = 3))
   )
 
   /** ss16's sign-bucket kNN edge SQL as a reusable CTE chain ending in
@@ -96,6 +105,21 @@ object GraphQueries {
            FROM e JOIN $prev p ON e.a = p.id JOIN od ON e.a = od.id
            GROUP BY e.b) s ON nodes.id = s.id)"""
 
+  /** One personalized-PageRank iteration: teleport mass lands ONLY on
+    * seed nodes (`sd`). */
+  private def pprIter(out: String, prev: String): String =
+    s"""$out AS MATERIALIZED (
+         SELECT n.id,
+           (CASE WHEN sd.id IS NOT NULL THEN (SELECT base FROM c)
+                 ELSE 0 END) + (85 * coalesce(s.s, 0)) // 100 AS pr
+         FROM nodes n
+         LEFT JOIN sd ON n.id = sd.id
+         LEFT JOIN (
+           SELECT e.b AS id, sum(p.pr // od.outdeg)::BIGINT AS s
+           FROM e JOIN $prev p ON e.a = p.id JOIN od ON e.a = od.id
+           WHERE p.pr > 0
+           GROUP BY e.b) s ON n.id = s.id)"""
+
   /** One LPA round: `prev(id, lbl)` → `out(id, lbl)` — most frequent
     * neighbor label, ties to the smallest label. */
   private def lpaIter(out: String, prev: String): String =
@@ -130,6 +154,32 @@ object GraphQueries {
            FROM nodes),
          pr0 AS MATERIALIZED (
            SELECT id, (SELECT init FROM c) AS pr FROM nodes),
+         ${iters.mkString(",\n")}
+         SELECT id, pr::BIGINT AS pr_fixed,
+           pr / 1000000000000.0 AS pr
+         FROM it3"""
+    },
+    "gr6_ppr" -> {
+      val iters = (1 to 3).map(i =>
+        pprIter(s"it$i", if (i == 1) "pr0" else s"it${i - 1}"))
+      s"""WITH ${knnCte(5)},
+         e AS MATERIALIZED (SELECT a, b FROM knn),
+         nodes AS MATERIALIZED (SELECT DISTINCT id FROM (
+           SELECT a AS id FROM e UNION ALL SELECT b FROM e)),
+         od AS MATERIALIZED (SELECT a AS id, count(*) AS outdeg
+                             FROM e GROUP BY a),
+         sd AS MATERIALIZED (
+           SELECT DISTINCT n.id FROM nodes n
+           JOIN embeddings s ON n.id = s.vec_id AND s.label = 0),
+         c AS MATERIALIZED (SELECT
+           1000000000000 // count(*) AS init,
+           (15 * (1000000000000 // count(*))) // 100 AS base
+           FROM sd),
+         pr0 AS MATERIALIZED (
+           SELECT n.id,
+             CASE WHEN sd.id IS NOT NULL THEN (SELECT init FROM c)
+                  ELSE 0 END AS pr
+           FROM nodes n LEFT JOIN sd ON n.id = sd.id),
          ${iters.mkString(",\n")}
          SELECT id, pr::BIGINT AS pr_fixed,
            pr / 1000000000000.0 AS pr

@@ -121,6 +121,59 @@ class GraphSpec extends SparkSpec {
     assert(lt.values.toSet == Set(10L))
   }
 
+  test("personalized pagerank: mass stays in the seed neighborhood") {
+    // path 1 -> 2 -> 3 plus far component 10 <-> 11; seed = {1}
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (10L, 11L), (11L, 10L))
+      .toDF("a", "b")
+    val seeds = Seq(1L).toDF("id")
+    val pr = GraphOps.personalizedPagerank(edges, seeds, iters = 3)
+      .select("id", "pr_fixed").as[(Long, Long)].collect().toMap
+    val init = GraphOps.PrScale // one seed -> all mass on it
+    val base = 15L * init / 100L
+    // seed holds the teleport base plus its returning cycle mass
+    assert(pr(1L) >= base)
+    // downstream of the seed receives damped mass
+    assert(pr(2L) > 0 && pr(3L) > 0)
+    // the disconnected component receives EXACTLY zero
+    assert(pr(10L) == 0L && pr(11L) == 0L)
+    // a seed that is not a graph node is rejected only if NO seed
+    // intersects; here the intersection is {1}, so adding a phantom
+    // seed must not change anything
+    val pr2 = GraphOps.personalizedPagerank(edges,
+      Seq(1L, 999L).toDF("id"), iters = 3)
+      .select("id", "pr_fixed").as[(Long, Long)].collect().toMap
+    assert(pr2 == pr)
+    intercept[IllegalArgumentException] {
+      GraphOps.personalizedPagerank(edges, Seq(999L).toDF("id"))
+    }
+  }
+
+  test("iterative ops release every internal checkpoint; handles free the final one") {
+    // ContextCleaner may GC OTHER tests' dead checkpoints at any
+    // moment, so absolute counts are racy — assert on the set of NEW
+    // rdd ids this op introduces (strongly referenced, so the cleaner
+    // can't touch them)
+    val sc = spark.sparkContext
+    def ids: Set[Int] = sc.getPersistentRDDs.keySet.toSet
+    def checkOne(mk: => (org.apache.spark.sql.DataFrame, () => Unit))
+        : Unit = {
+      val before = ids
+      val (df, release) = mk
+      df.collect()
+      val added = ids -- before
+      assert(added.size == 1,
+        s"expected exactly the final checkpoint to remain, got $added")
+      release()
+      assert((ids -- before).isEmpty, "release handle left storage behind")
+    }
+    checkOne(GraphOps.pagerankReleasable(handEdges, iters = 3))
+    checkOne(GraphOps.kcoreReleasable(handEdges, 2, 8))
+    checkOne(GraphOps.triangleCountsReleasable(handEdges))
+    checkOne(GraphOps.labelPropagationReleasable(handEdges, iters = 3))
+    checkOne(GraphOps.personalizedPagerankReleasable(
+      handEdges, Seq(1L).toDF("id"), iters = 3))
+  }
+
   test("mutualEdges keeps exactly the reciprocated pairs") {
     val knn = Seq((1L, 2L), (2L, 1L), (1L, 3L), (3L, 2L), (2L, 3L))
       .toDF("a", "b")
