@@ -30,7 +30,8 @@ object PerfCompare {
     // Lane filter for cheap replays (a full run is ~10 min): e.g.
     // GRAFT_PC_ONLY=parse,dsir runs only those blocks. Lane names:
     // topk, cc, bloom, span, containment, kernels, kmeans, ivf,
-    // ivfcurve, bpehybrid, dsir, parse, skew, simhash, srccap, budget, knn, hh, mix.
+    // ivfcurve, bpehybrid, dsir, parse, skew, simhash, srccap, budget,
+    // knn, hh, mix, pagerank.
     // Default (unset) = all. Each lane builds and releases its own
     // caches, so skipping any subset is safe.
     val only = sys.env.get("GRAFT_PC_ONLY")
@@ -1065,6 +1066,44 @@ object PerfCompare {
       println(s"""{"budget_docs":$n,"budget_tokens":$budget,""" +
         s""""twophase_sec":$tt,"naive_window_sec":$tn,"kept":$nt}""")
       Release(docs, blocking = true)
+    }
+
+    // DataFrame fixed-point PageRank vs GraphX's Pregel staticPageRank
+    // at the same iteration count — the gr-family side of the dd6
+    // DF-vs-GraphX story. NOT a result-equality A/B: GraphX ranks are
+    // float (association-order-dependent) with different
+    // dangling/teleport scaling; the comparison is wall + the
+    // determinism property itself (the DF form's ranks are
+    // bit-identical across partitionings, GraphX's are not
+    // guaranteed), so only the vertex COUNT is cross-checked.
+    lane("pagerank") {
+      val gn = if (args.length > 2) args(2).toLong else 1000000L
+      val edges = spark.range(gn).select(col("id").as("a"),
+          explode(array((0 until 5).map { j =>
+            (if (j % 2 == 0) pmod(hash(col("id") * 13 + j), lit(gn / 100))
+             else pmod(hash(col("id") * 31 + j), lit(gn))).cast("long")
+          }: _*)).as("b"))
+        .filter(col("a") =!= col("b"))
+        .localCheckpoint()
+      def viaDf: Long = {
+        val (pr, rel) = operators.GraphOps.pagerankReleasable(edges, 3)
+        val n = pr.count(); rel(); n
+      }
+      def viaGx: Long = {
+        val tuples = edges.rdd.map(r => (r.getLong(0), r.getLong(1)))
+        val g = org.apache.spark.graphx.Graph.fromEdgeTuples(tuples, 1)
+        val n = g.staticPageRank(3, 0.15).vertices.count()
+        g.unpersist(false)
+        n
+      }
+      viaDf; viaGx // warmup
+      val runs = (0 until 3).map(_ => (time(viaDf)._1, time(viaGx)._1))
+      val td = runs.map(_._1).min
+      val tg = runs.map(_._2).min
+      val nd = viaDf; val ng = viaGx
+      println(s"""{"pagerank_edges_from":$gn,"pr_df_sec":$td,""" +
+        s""""pr_graphx_sec":$tg,"df_nodes":$nd,"gx_nodes":$ng}""")
+      Release(edges, blocking = true)
     }
     spark.stop()
   }

@@ -84,8 +84,9 @@ object GraphOps {
     * O(current iteration).
     */
   def pagerank(edges: DataFrame, iters: Int = 3,
-               dampingPct: Int = 85): DataFrame =
-    pagerankReleasable(edges, iters, dampingPct)._1
+               dampingPct: Int = 85,
+               checkpointEvery: Int = 1): DataFrame =
+    pagerankReleasable(edges, iters, dampingPct, checkpointEvery)._1
 
   /** [[pagerank]] plus a release handle for the FINAL rank checkpoint
     * (the returned frame reads it lazily, so it cannot be freed
@@ -96,9 +97,12 @@ object GraphOps {
     * checkpoint.
     */
   def pagerankReleasable(edges: DataFrame, iters: Int = 3,
-                         dampingPct: Int = 85)
+                         dampingPct: Int = 85,
+                         checkpointEvery: Int = 1)
       : (DataFrame, () => Unit) = {
     require(iters >= 1, s"iters must be >= 1: $iters")
+    require(checkpointEvery >= 1,
+      s"checkpointEvery must be >= 1: $checkpointEvery")
     require(dampingPct >= 0 && dampingPct <= 100,
       s"dampingPct must be in [0,100]: $dampingPct")
     val ser = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER
@@ -130,7 +134,17 @@ object GraphOps {
     // free it now, not at session end
     graft.Release(nodes)
     graft.Release(outdeg)
-    for (_ <- 1 to iters) {
+    // `checkpointEvery` trades lineage depth for job count: every=1
+    // (the default) materializes each iteration — the long-chain
+    // shape, O(1) lineage, superseded rounds released as you go;
+    // every=iters folds a SHORT chain into one lazy multi-shuffle job
+    // (measured on the PerfCompare pagerank lane: 3 iterations at 5M
+    // edges run 17.6 s materialized vs 8.6 s chained — the
+    // intermediate materializations were half the wall). Ranks are
+    // identical either way: integer arithmetic doesn't care how many
+    // jobs compute it.
+    var lastCkpt = pr
+    for (i <- 1 to iters) {
       // `div`, not `/`: Spark's `/` on longs is a DOUBLE division, and
       // the whole point of the fixed-point encoding is that no IEEE op
       // ever touches a rank until the final display column
@@ -145,12 +159,19 @@ object GraphOps {
         .select(col("id"), col("outdeg"),
           (lit(base) + expr(s"(${dampingPct.toLong} * s) div 100"))
             .as("pr_fixed"))
-        .localCheckpoint(true, ser)
-      graft.Release(pr)
-      pr = next
+      if (i % checkpointEvery == 0 || i == iters) {
+        val ck = next.localCheckpoint(true, ser)
+        // only now is the previous checkpoint safe to free: a LAZY
+        // intermediate still reads it until this materialization
+        graft.Release(lastCkpt)
+        lastCkpt = ck
+        pr = ck
+      } else {
+        pr = next
+      }
     }
     graft.Release(e)
-    val last = pr
+    val last = lastCkpt
     val out = last.select(col("id"), col("pr_fixed"),
       (col("pr_fixed").cast("double") / lit(PrScale.toDouble)).as("pr"))
     (out, () => graft.Release(last))
