@@ -89,6 +89,7 @@ object Bench {
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get(outFile), json + "\n")
     catch { case _: Throwable => }
+    Leases.releaseAll()
     spark.stop()
     // The driver captures a bounded stdout TAIL: the ~6KB per-query JSON
     // line gets front-truncated there (r1-r3 all "parsed": null). Print the

@@ -37,9 +37,16 @@ object DataQualityOps {
   def completeness(c: String, lo: Double): Check =
     Check(s"completeness($c)", ratio(count(col(c))), lo, 1.0)
 
-  /** Fraction of DISTINCT values must be >= `lo` (1.0 = unique key). */
-  def uniqueness(c: String, lo: Double): Check =
-    Check(s"uniqueness($c)", ratio(countDistinct(col(c))), lo, 1.0)
+  /** Fraction of DISTINCT values must be >= `lo` (1.0 = unique key).
+    * This is Deequ's DISTINCTNESS (count-distinct / row-count), not its
+    * "uniqueness" (fraction of values occurring exactly once) — named
+    * accordingly. Null handling: `countDistinct` ignores nulls while
+    * the denominator counts every row, so a column with nulls can never
+    * reach 1.0 — compose with [[completeness]] when nulls are possible
+    * and the intent is "non-null unique key".
+    */
+  def distinctness(c: String, lo: Double): Check =
+    Check(s"distinctness($c)", ratio(countDistinct(col(c))), lo, 1.0)
 
   /** Fraction of rows whose `c` matches `regex` must be >= `lo`. */
   def matchRatio(c: String, regex: String, lo: Double): Check =

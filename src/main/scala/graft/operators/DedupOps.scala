@@ -581,22 +581,35 @@ object DedupOps {
   def leakageFreeSplit(docs: DataFrame, idCol: String, textCol: String,
                        trainPct: Int = 80, valPct: Int = 10,
                        shingleK: Int = 3, numPerm: Int = 16,
-                       bands: Int = 4): DataFrame = {
+                       bands: Int = 4): DataFrame =
+    leakageFreeSplitReleasable(docs, idCol, textCol, trainPct, valPct,
+      shingleK, numPerm, bands)._1
+
+  /** [[leakageFreeSplit]] plus the release handle for the cluster
+    * checkpoint the split plan reads lazily ([[clustersReleasable]]
+    * contract — invoke after consuming the result). */
+  def leakageFreeSplitReleasable(docs: DataFrame, idCol: String,
+                                 textCol: String,
+                                 trainPct: Int = 80, valPct: Int = 10,
+                                 shingleK: Int = 3, numPerm: Int = 16,
+                                 bands: Int = 4)
+      : (DataFrame, () => Unit) = {
     require(trainPct > 0 && valPct >= 0 && trainPct + valPct <= 100,
       s"invalid split percentages: train=$trainPct val=$valPct")
-    val members = clusters(
-        minhashCandidates(docs, idCol, textCol, shingleK, numPerm, bands))
-      .withColumnRenamed("member", idCol)
+    val (rawMembers, release) = clustersReleasable(
+      minhashCandidates(docs, idCol, textCol, shingleK, numPerm, bands))
+    val members = rawMembers.withColumnRenamed("member", idCol)
     val withRep = docs.select(col(idCol))
       .join(members, Seq(idCol), "left")
       .select(col(idCol),
         coalesce(col("cluster_rep"), col(idCol)).as("rep"))
     val bucket = conv(substring(md5(col("rep").cast("string")), 1, 8), 16, 10)
       .cast("long") % 100
-    withRep.withColumn("split",
+    val out = withRep.withColumn("split",
       when(bucket < trainPct, lit("train"))
         .when(bucket < trainPct + valPct, lit("val"))
         .otherwise(lit("test")))
+    (out, release)
   }
 
   /** Quality-aware duplicate-cluster resolution — the KEEP-POLICY half

@@ -113,6 +113,7 @@ object GraphOps {
       .unionByName(e.select(col("b").as("id"))).distinct()
       .localCheckpoint(true, ser)
     val n = nodes.count()
+    require(n > 0, "pagerank needs a non-empty edge set")
     val outdeg = e.groupBy(col("a").as("id"))
       .agg(count(lit(1)).as("outdeg"))
       .localCheckpoint(true, ser)

@@ -161,7 +161,10 @@ object HeavyHitters {
     val tot = items.agg(count(lit(1)).cast("double").as("n"))
     items.join(broadcast(cands), Seq("item"))
       .groupBy("item").agg(count(lit(1)).as("exact_count"))
-      .crossJoin(tot)
+      // one-row scalar side: hint it so the plan is pinned to BNLJ-
+      // broadcast regardless of stats, like every other scalar cross
+      // join in the repo
+      .crossJoin(broadcast(tot))
       .filter(col("exact_count") > col("n") / (k + 1))
       .select("item", "exact_count")
   }

@@ -19,7 +19,7 @@ object DataQualityQueries {
       DataQualityOps.suite(documents(s, d), Seq(
         rowCountMin(1),
         completeness("text", 1.0),
-        uniqueness("doc_id", 1.0),
+        distinctness("doc_id", 1.0),
         matchRatio("lang", "^[a-z]{2}$", 1.0),
         inSetRatio("lang", Seq("en", "de", "fr"), 0.9), // fails: ~0.70
         minOf("n_chars", 50.0),                         // fails: 48/44
@@ -55,7 +55,7 @@ object DataQualityQueries {
            size >= 1.0 AS passed FROM m
          UNION ALL SELECT 'completeness(text)', comp_text,
            comp_text >= 1.0 AND comp_text <= 1.0 FROM m
-         UNION ALL SELECT 'uniqueness(doc_id)', uniq_id,
+         UNION ALL SELECT 'distinctness(doc_id)', uniq_id,
            uniq_id >= 1.0 AND uniq_id <= 1.0 FROM m
          UNION ALL SELECT 'pattern(lang)', pat_lang,
            pat_lang >= 1.0 AND pat_lang <= 1.0 FROM m

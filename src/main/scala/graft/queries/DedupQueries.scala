@@ -127,10 +127,13 @@ object DedupQueries {
     "dd6_clusters" -> ((s, d) => {
       // clustersAuto: the measured-crossover selector is the exercised
       // path (GraphX here — the edge set is far below the threshold);
-      // output is variant-invariant, asserted in ExtOpsSpec
-      DedupOps.clustersAuto(
+      // output is variant-invariant, asserted in ExtOpsSpec.
+      // Releasable + Leases: park the final-checkpoint handle, free the
+      // previous invocation's (GraphQueries.leased rationale).
+      val (out, rel) = DedupOps.clustersAutoReleasable(
         DedupOps.minhashCandidates(documents(s, d), "doc_id", "text",
           shingleK = 3, numPerm = 16, bands = 4))
+      graft.Leases.swap("dd6_clusters", rel)(out)
     }),
 
     // Leakage-free split: train/val/test assignment keyed on the
@@ -138,8 +141,10 @@ object DedupQueries {
     // near-copies never straddle a split boundary; docs in no pair are
     // their own representative.
     "dd14_leakage_split" -> ((s, d) => {
-      DedupOps.leakageFreeSplit(documents(s, d), "doc_id", "text",
+      val (out, rel) = DedupOps.leakageFreeSplitReleasable(
+        documents(s, d), "doc_id", "text",
         trainPct = 80, valPct = 10, shingleK = 3, numPerm = 16, bands = 4)
+      graft.Leases.swap("dd14_leakage_split", rel)(out)
     }),
 
     // Embedding-cosine near-dup dedup: sign-bucket LSH pairs (4 bits,
@@ -159,9 +164,10 @@ object DedupQueries {
       val salted = docs.unionByName(
         docs.select((col("doc_id") + 10000).as("doc_id"), col("source"),
           col("text"), col("n_chars")))
-      val members = DedupOps.clusters(
+      val (members, rel) = DedupOps.clustersReleasable(
         DedupOps.minhashCandidates(salted, "doc_id", "text",
           shingleK = 3, numPerm = 16, bands = 4))
+      graft.Leases.swap("dd9_dedup_e2e", rel)(())
       val drops = members.filter(col("member") =!= col("cluster_rep"))
         .select(col("member").as("doc_id"))
       salted.join(drops, Seq("doc_id"), "left_anti")
@@ -176,9 +182,11 @@ object DedupQueries {
     // rather than a per-cluster window sort. Singletons keep
     // themselves; quality = character length.
     "dd17_keep_best" -> ((s, d) => {
-      DedupOps.dedupKeepBest(documents(s, d), "doc_id", "text",
+      val (out, rel) = DedupOps.dedupKeepBestReleasable(
+        documents(s, d), "doc_id", "text",
         length(col("text")).cast("long"),
         shingleK = 3, numPerm = 16, bands = 4)
+      graft.Leases.swap("dd17_keep_best", rel)(out)
     }),
 
     // Rolling-hash winnowing fingerprint: min Rabin hash over all 8-byte

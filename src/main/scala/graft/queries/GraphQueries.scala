@@ -27,30 +27,41 @@ object GraphQueries {
     SimilarityOps.knnGraph(embeddings(s, d), k = k, bits = 4,
       kernel = cosineF32Native(_, _)).select(col("a"), col("b"))
 
+  /** Every iterative lane goes through the `*Releasable` variant +
+    * [[graft.Leases]]: the lane cannot free its own FINAL checkpoint
+    * (the driver consumes the frame after the lambda returns), so each
+    * invocation parks the handle and frees the PREVIOUS invocation's —
+    * storage stays O(1 checkpoint per lane) across bench warmup +
+    * min-of-N passes instead of accumulating (the round-9 verdict's
+    * measured co-run tax). GraphSpec's storage-flat test pins this.
+    */
+  private def leased(key: String)(r: (DataFrame, () => Unit)): DataFrame =
+    graft.Leases.swap(key, r._2)(r._1)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Fixed-point PageRank, 3 synchronous iterations over the DIRECTED
     // 5-NN graph: in-degree (how many documents claim you as a near
     // neighbor) is the organic popularity signal.
-    "gr1_pagerank" -> ((s, d) =>
-      GraphOps.pagerank(knnEdges(s, d, 5), iters = 3)),
+    "gr1_pagerank" -> ((s, d) => leased("gr1_pagerank")(
+      GraphOps.pagerankReleasable(knnEdges(s, d, 5), iters = 3))),
 
     // Deterministic synchronous label propagation (most-frequent
     // neighbor label, ties to smallest), 3 rounds, undirected 5-NN.
-    "gr2_label_prop" -> ((s, d) =>
-      GraphOps.labelPropagation(knnEdges(s, d, 5), iters = 3)),
+    "gr2_label_prop" -> ((s, d) => leased("gr2_label_prop")(
+      GraphOps.labelPropagationReleasable(knnEdges(s, d, 5), iters = 3))),
 
     // 4-core of the MUTUAL 8-NN graph: mutuality bounds degree by 8 at
     // any corpus size (a fixed similarity threshold densifies with
     // scale and degenerates the peel — probed), so the same (k, cap)
     // works at every sf. Peel converges well under the 8-round cap at
     // both gated scales (GraphSpec asserts it).
-    "gr3_kcore" -> ((s, d) =>
-      GraphOps.kcore(GraphOps.mutualEdges(knnEdges(s, d, 8)),
-        k = 4, maxRounds = 8)),
+    "gr3_kcore" -> ((s, d) => leased("gr3_kcore")(
+      GraphOps.kcoreReleasable(GraphOps.mutualEdges(knnEdges(s, d, 8)),
+        k = 4, maxRounds = 8))),
 
     // Per-node triangle counts, undirected 5-NN graph.
-    "gr4_triangles" -> ((s, d) =>
-      GraphOps.triangleCounts(knnEdges(s, d, 5))),
+    "gr4_triangles" -> ((s, d) => leased("gr4_triangles")(
+      GraphOps.triangleCountsReleasable(knnEdges(s, d, 5)))),
 
     // Degree histogram of the undirected 5-NN graph.
     "gr5_degree_hist" -> ((s, d) =>
@@ -60,10 +71,10 @@ object GraphQueries {
     // set: seed-relevance expansion — mass teleports back to the
     // vetted set, ranking the rest of the corpus by graph-closeness
     // to it.
-    "gr6_ppr" -> ((s, d) =>
-      GraphOps.personalizedPagerank(knnEdges(s, d, 5),
+    "gr6_ppr" -> ((s, d) => leased("gr6_ppr")(
+      GraphOps.personalizedPagerankReleasable(knnEdges(s, d, 5),
         embeddings(s, d).filter(col("label") === 0).select("vec_id"),
-        iters = 3))
+        iters = 3)))
   )
 
   /** ss16's sign-bucket kNN edge SQL as a reusable CTE chain ending in

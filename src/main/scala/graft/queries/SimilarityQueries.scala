@@ -212,8 +212,9 @@ object SimilarityQueries {
       val emb = embeddings(s, d).select("vec_id", "embedding")
       val dup = emb.select((col("vec_id") + 10000).as("vec_id"),
         col("embedding"))
-      SimilarityOps.semanticDedup(emb.unionByName(dup), k = 8, iters = 2,
-        threshold = 0.95).select("vec_id")
+      val (out, rel) = SimilarityOps.semanticDedupReleasable(
+        emb.unionByName(dup), k = 8, iters = 2, threshold = 0.95)
+      graft.Leases.swap("ss10_semantic_dedup", rel)(out.select("vec_id"))
     }),
 
     // Product quantization: 64-dim vectors → 2 subspaces × 4-cell

@@ -32,8 +32,9 @@ object TextQueries {
     // total hits the budget — two-phase histogram-and-cutoff, only the
     // boundary quality-tie group ever sorts.
     "tx41_token_budget" -> ((s, d) => {
-      TextAnalysisOps.tokenBudgetSelect(documents(s, d), "doc_id",
-        "text", budget = 12000L)
+      val (out, rel) = TextAnalysisOps.tokenBudgetSelectReleasable(
+        documents(s, d), "doc_id", "text", budget = 12000L)
+      graft.Leases.swap("tx41_token_budget", rel)(out)
     }),
 
     // Misra–Gries heavy hitters over the word stream with an injected
@@ -51,7 +52,7 @@ object TextQueries {
       val sk = graft.operators.HeavyHitters.heavyHitters(items, "item", 16)
       val exact = items.groupBy("item").agg(count(lit(1)).as("exact_count"))
       val tot = items.agg(count(lit(1)).cast("double").as("n"))
-      exact.crossJoin(tot)
+      exact.crossJoin(broadcast(tot))
         .filter(col("exact_count") > col("n") / 17.0)
         .join(sk, Seq("item"), "left")
         .select(col("item"), col("exact_count"),

@@ -325,7 +325,7 @@ object StreamingOps {
     * anything reconciled downstream (billing, quotas, exactly-once
     * sinks) the integer form is the production choice: bit-identical
     * under any partitioning, batch split, or replay — which is also
-    * what makes it the oracle-gated parity lane (st5) while the double
+    * what makes it the oracle-gated parity lane (st6) while the double
     * twin stays golden-gated.
     */
   def runningTotalsCents(spark: SparkSession, events: DataFrame): DataFrame = {

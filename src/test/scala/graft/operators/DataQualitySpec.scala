@@ -18,7 +18,7 @@ class DataQualitySpec extends SparkSpec {
     val out = suite(dirty, Seq(
       rowCountMin(1),
       completeness("tag", 0.9),           // 0.75 -> fail
-      uniqueness("id", 1.0),              // 0.75 -> fail
+      distinctness("id", 1.0),              // 0.75 -> fail
       matchRatio("tag", "^[a-b]+$", 0.5), // 2/4 matches -> pass at 0.5
       minOf("len", 5.0),                  // pass
       maxOf("len", 35.0),                 // 40 -> fail
@@ -27,7 +27,7 @@ class DataQualitySpec extends SparkSpec {
       .map(r => r._1 -> ((r._2, r._3))).toMap
     assert(out("size") == ((4.0, true)))
     assert(out("completeness(tag)") == ((0.75, false)))
-    assert(out("uniqueness(id)") == ((0.75, false)))
+    assert(out("distinctness(id)") == ((0.75, false)))
     assert(out("pattern(tag)") == ((0.5, true)))
     assert(out("min(len)") == ((10.0, true)))
     assert(out("max(len)") == ((40.0, false)))
@@ -36,7 +36,7 @@ class DataQualitySpec extends SparkSpec {
 
   test("the whole suite is one pass: a single leaf scan in the plan") {
     val plan = suite(dirty, Seq(
-      rowCountMin(1), completeness("tag", 0.9), uniqueness("id", 1.0),
+      rowCountMin(1), completeness("tag", 0.9), distinctness("id", 1.0),
       matchRatio("tag", "^[a-b]+$", 0.5), minOf("len", 5.0)
     )).queryExecution.executedPlan
     val leaves = plan.collectLeaves()

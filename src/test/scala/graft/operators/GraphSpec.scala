@@ -174,6 +174,32 @@ class GraphSpec extends SparkSpec {
       handEdges, Seq(1L).toDF("id"), iters = 3))
   }
 
+  test("gated lanes keep storage flat across invocations (Leases swap)") {
+    // the round-9 leak: each bench/verify invocation of a *Releasable-
+    // backed lane parked nothing, so the final checkpoint accumulated
+    // per invocation (warmup + 3 passes ≈ 4 dead checkpoint sets per
+    // lane). With Leases.swap, invocation N frees invocation N-1's
+    // handle — storage after the 2nd and 3rd run must equal the 1st.
+    // ContextCleaner may GC other tests' dead checkpoints mid-test, so
+    // absolute counts are racy (it removes, never adds): diff against a
+    // base snapshot and count only the ids THIS lane introduced.
+    val sc = spark.sparkContext
+    val sf = "/root/testdata/sf0.001"
+    def ids: Set[Int] = sc.getPersistentRDDs.keySet.toSet
+    for (lane <- Seq("gr1_pagerank", "gr3_kcore", "gr4_triangles")) {
+      val base = ids
+      def run(): Int = {
+        graft.queries.GraphQueries.queries(lane)(spark, sf).collect()
+        (ids -- base).size
+      }
+      val s1 = run(); val s2 = run(); val s3 = run()
+      assert(s1 == 1 && s2 == 1 && s3 == 1,
+        s"$lane accumulates checkpoints across invocations: $s1 -> $s2 -> $s3")
+      graft.Leases.release(lane)
+      assert((ids -- base).isEmpty, s"$lane: Leases.release left storage")
+    }
+  }
+
   test("mutualEdges keeps exactly the reciprocated pairs") {
     val knn = Seq((1L, 2L), (2L, 1L), (1L, 3L), (3L, 2L), (2L, 3L))
       .toDF("a", "b")
