@@ -31,7 +31,7 @@ object PerfCompare {
     // GRAFT_PC_ONLY=parse,dsir runs only those blocks. Lane names:
     // topk, cc, bloom, span, containment, kernels, kmeans, ivf,
     // ivfcurve, bpehybrid, dsir, parse, skew, simhash, srccap, budget,
-    // knn, hh, mix, pagerank.
+    // knn, hh, mix, pagerank, stdrain.
     // Default (unset) = all. Each lane builds and releases its own
     // caches, so skipping any subset is safe.
     val only = sys.env.get("GRAFT_PC_ONLY")
@@ -1104,6 +1104,35 @@ object PerfCompare {
       println(s"""{"pagerank_edges_from":$gn,"pr_df_sec":$td,""" +
         s""""pr_graphx_sec":$tg,"df_nodes":$nd,"gx_nodes":$ng}""")
       Release(edges, blocking = true)
+    }
+
+    // Micro-batch machinery cost attribution (round-9 verdict #3): what
+    // part of an st*-style drain is FIXED (checkpoint dir, state-store
+    // commit, no-data finalize batch) vs actual join/agg work. Runs the
+    // st5 stream-stream interval-join PLAN twice — once over an
+    // EMPTY-filtered stream (machinery only: the source lists files,
+    // every batch commits, the watermark machinery runs, but zero rows
+    // reach the join state) and once over the real sf0.1 events — so
+    // PERF.md can state st5's cost split instead of guessing. At scale
+    // the fixed part amortizes per micro-batch; the row-dependent part
+    // is what grows.
+    lane("stdrain") {
+      val sf = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+      def attribution(empty: Boolean): Long = {
+        val ev0 = graft.streaming.StreamParity.eventsStream(spark, sf)
+        val ev = if (empty) ev0.filter(lit(false)) else ev0
+        graft.streaming.StreamParity.drainAppend(
+          graft.streaming.StreamingOps.clickAttributionStream(
+            ev.filter(col("event_type") === "click"),
+            ev.filter(col("event_type") === "purchase"),
+            "30 minutes", "2 hours")).count()
+      }
+      attribution(empty = true); attribution(empty = false) // warmup
+      val te = (0 until 3).map(_ => time(attribution(empty = true))._1).min
+      val tf = (0 until 3).map(_ => time(attribution(empty = false))._1).min
+      val nf = attribution(empty = false)
+      println(s"""{"stdrain_empty_sec":$te,"stdrain_full_sec":$tf,""" +
+        s""""join_work_sec":${tf - te},"full_rows":$nf}""")
     }
     spark.stop()
   }

@@ -49,22 +49,30 @@ object StreamParity {
 
   /** Stage a single-file batch table into a file-source drop directory
     * (file-stream sources read directories — a real deployment's ingest
-    * dir). Idempotent per (sfDir, table): the copy is skipped when the
-    * staged file already matches by size, and written via temp-file +
-    * atomic rename so a concurrent reader never sees a torn file.
+    * dir). Idempotent per (sfDir, table): the copy is skipped only when
+    * the staged file matches the source by SIZE AND LAST-MODIFIED TIME
+    * (the copy preserves the source mtime), so a regenerated fixture of
+    * identical byte size is re-staged rather than silently reused
+    * (advisor r9). The stage directory is keyed by the full sanitized
+    * sfDir path — not a 32-bit hash of it — so two sf dirs can never
+    * collide onto one staged copy. Writes go via temp-file + atomic
+    * rename so a concurrent reader never sees a torn file.
     */
   def stageDropDir(sfDir: String, table: String): String = {
     val src = Paths.get(s"$sfDir/$table.parquet")
+    val key = Paths.get(sfDir).toAbsolutePath.normalize.toString
+      .replaceAll("[^A-Za-z0-9._-]", "_")
     val dir = Paths.get(System.getProperty("java.io.tmpdir"),
-      "graft-stream-stage",
-      java.lang.Long.toHexString(
-        java.util.Objects.hash(sfDir, table).toLong & 0xffffffffL),
-      table)
+      "graft-stream-stage", key, table)
     Files.createDirectories(dir)
     val dst = dir.resolve("part-0.parquet")
-    if (!Files.exists(dst) || Files.size(dst) != Files.size(src)) {
+    val fresh = Files.exists(dst) &&
+      Files.size(dst) == Files.size(src) &&
+      Files.getLastModifiedTime(dst) == Files.getLastModifiedTime(src)
+    if (!fresh) {
       val tmp = dir.resolve("part-0.parquet.tmp")
-      Files.copy(src, tmp, StandardCopyOption.REPLACE_EXISTING)
+      Files.copy(src, tmp, StandardCopyOption.REPLACE_EXISTING,
+        StandardCopyOption.COPY_ATTRIBUTES)
       Files.move(tmp, dst, StandardCopyOption.REPLACE_EXISTING,
         StandardCopyOption.ATOMIC_MOVE)
     }
@@ -89,22 +97,46 @@ object StreamParity {
     * repeated drains (bench warm-up + min-of-N passes) never accumulate
     * sink state across runs. Query names are uniquified for the same
     * reason.
+    *
+    * Session hygiene (round-9 verdict #2): the checkpoint dir is
+    * EXPLICIT and deleted here after the drain — the implicit
+    * `/tmp/temporary-*` dirs Spark creates are only best-effort-deleted
+    * at JVM exit, which compounds over a long session (7 st* lanes × 4
+    * bench passes per run) — and the state-store providers the drained
+    * query loaded are unloaded from the executor map (local mode: this
+    * JVM) instead of lingering until the next maintenance sweep.
     */
   def drain(df: DataFrame, mode: OutputMode): DataFrame = {
     val spark = df.sparkSession
     val name = "st_drain_" + drainCounter.incrementAndGet()
-    val q = df.writeStream
-      .format("memory").queryName(name)
-      .outputMode(mode)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    val sunk = spark.table(name)
-    val schema = sunk.schema
-    val rows: java.util.List[Row] = java.util.Arrays.asList(
-      sunk.collect(): _*)
-    spark.catalog.dropTempView(name)
-    spark.createDataFrame(rows, schema)
+    val ckpt = Files.createTempDirectory("graft-st-ckpt-")
+    try {
+      val q = df.writeStream
+        .format("memory").queryName(name)
+        .outputMode(mode)
+        .option("checkpointLocation", ckpt.toString)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val sunk = spark.table(name)
+      val schema = sunk.schema
+      val rows: java.util.List[Row] = java.util.Arrays.asList(
+        sunk.collect(): _*)
+      spark.catalog.dropTempView(name)
+      spark.createDataFrame(rows, schema)
+    } finally {
+      org.apache.spark.sql.graftshim.StateStoreHygiene.unloadAllProviders()
+      deleteRecursively(ckpt)
+    }
+  }
+
+  private def deleteRecursively(root: java.nio.file.Path): Unit = {
+    if (Files.exists(root)) {
+      val it = Files.walk(root)
+      try it.sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => { Files.deleteIfExists(p); () })
+      finally it.close()
+    }
   }
 
   def drainAppend(df: DataFrame): DataFrame = drain(df, OutputMode.Append())
