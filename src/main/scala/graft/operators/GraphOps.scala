@@ -99,6 +99,46 @@ object GraphOps {
   def pagerankReleasable(edges: DataFrame, iters: Int = 3,
                          dampingPct: Int = 85,
                          checkpointEvery: Int = 1)
+      : (DataFrame, () => Unit) =
+    // unweighted = every edge at weight 1: sumw degenerates to outdeg
+    // and (pr * 1) div outdeg is bit-identical to pr div outdeg, so
+    // the shared weighted core replays gr1's oracle exactly
+    weightedCore(edges.select(col("a"), col("b"), lit(1L).as("w")),
+      iters, dampingPct, checkpointEvery)
+
+  /** Weight-proportional fixed-point PageRank over (a, b, w) edges:
+    * node a forwards `pr * w_ab div sumw_a` to b — the similarity-
+    * weighted centrality a curation pipeline wants over a kNN graph
+    * where edges CARRY a similarity score (a 0.95-cosine neighbor
+    * should pull more rank than a 0.2 one). Weights must be POSITIVE
+    * integers (quantize a float similarity to units first — e.g.
+    * `round(sim * 10000)` — the same fixed-point discipline as the
+    * ranks themselves: integer products and truncating divisions are
+    * associative and bit-identical under any partitioning, so the
+    * oracle replays the exact longs; float weights would reintroduce
+    * the merge-order sensitivity the integer encoding exists to kill).
+    * Non-positive-weight edges are dropped (they carry no mass — a
+    * node with only such out-edges becomes dangling and leaks, the
+    * documented convention). Same two-shuffle iteration plan as
+    * [[pagerank]], with `w` riding the (long, long, long) edge table
+    * and `sumw` carried on the rank frame instead of a third join.
+    */
+  def weightedPagerank(edges: DataFrame, iters: Int = 3,
+                       dampingPct: Int = 85,
+                       checkpointEvery: Int = 1): DataFrame =
+    weightedPagerankReleasable(edges, iters, dampingPct, checkpointEvery)._1
+
+  /** [[weightedPagerank]] plus the final-checkpoint release handle
+    * ([[pagerankReleasable]] contract). */
+  def weightedPagerankReleasable(edges: DataFrame, iters: Int = 3,
+                                 dampingPct: Int = 85,
+                                 checkpointEvery: Int = 1)
+      : (DataFrame, () => Unit) =
+    weightedCore(edges.select(col("a"), col("b"),
+      col("w").cast("long").as("w")), iters, dampingPct, checkpointEvery)
+
+  private def weightedCore(edges: DataFrame, iters: Int,
+                           dampingPct: Int, checkpointEvery: Int)
       : (DataFrame, () => Unit) = {
     require(iters >= 1, s"iters must be >= 1: $iters")
     require(checkpointEvery >= 1,
@@ -107,34 +147,37 @@ object GraphOps {
       s"dampingPct must be in [0,100]: $dampingPct")
     val ser = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER
     val e = edges.select(col("a").cast("long").as("a"),
-      col("b").cast("long").as("b"))
+      col("b").cast("long").as("b"), col("w").cast("long").as("w"))
+      .filter(col("w") > 0L)
       .localCheckpoint(true, ser)
     val nodes = e.select(col("a").as("id"))
       .unionByName(e.select(col("b").as("id"))).distinct()
       .localCheckpoint(true, ser)
     val n = nodes.count()
     require(n > 0, "pagerank needs a non-empty edge set")
-    val outdeg = e.groupBy(col("a").as("id"))
-      .agg(count(lit(1)).as("outdeg"))
+    val sumw = e.groupBy(col("a").as("id"))
+      .agg(sum(col("w")).as("sumw"))
       .localCheckpoint(true, ser)
     val init = PrScale / n
     val base = (100L - dampingPct) * init / 100L
-    // the rank frame CARRIES the static outdeg through every
+    // the rank frame CARRIES the static out-weight through every
     // checkpoint: one long column per node instead of a third shuffle
     // join per iteration. Locally the edge join + checkpoint
     // materialization dominate and the smoke wall is unchanged
     // (20.1 vs 20.4 s at 2M nodes / 10M edges); the join it removes
     // is nodes-sized, which is exactly the side that grows into a
-    // real exchange on a cluster. outdeg 0 marks dangling nodes,
+    // real exchange on a cluster. sumw 0 marks dangling nodes,
     // which contribute nothing (their mass leaks — see scaladoc).
-    var pr = nodes.join(outdeg, Seq("id"), "left")
-      .select(col("id"), coalesce(col("outdeg"), lit(0L)).as("outdeg"),
+    // Overflow headroom: pr ≤ total mass = PrScale (1e12) and a
+    // quantized similarity weight ≤ 1e4, so pr * w ≤ 1e16 ≪ 2^63.
+    var pr = nodes.join(sumw, Seq("id"), "left")
+      .select(col("id"), coalesce(col("sumw"), lit(0L)).as("sumw"),
         lit(init).as("pr_fixed"))
       .localCheckpoint(true, ser)
-    // nodes/outdeg staging is folded into the init checkpoint above —
+    // nodes/sumw staging is folded into the init checkpoint above —
     // free it now, not at session end
     graft.Release(nodes)
-    graft.Release(outdeg)
+    graft.Release(sumw)
     // `checkpointEvery` trades lineage depth for job count: every=1
     // (the default) materializes each iteration — the long-chain
     // shape, O(1) lineage, superseded rounds released as you go;
@@ -149,15 +192,16 @@ object GraphOps {
       // `div`, not `/`: Spark's `/` on longs is a DOUBLE division, and
       // the whole point of the fixed-point encoding is that no IEEE op
       // ever touches a rank until the final display column
-      val contrib = pr.filter(col("outdeg") > 0L)
-        .select(col("id"), expr("pr_fixed div outdeg").as("c"))
+      val contrib = pr.filter(col("sumw") > 0L)
+        .select(col("id"), col("pr_fixed"), col("sumw"))
         .join(e, col("id") === col("a"))
+        .select(col("b"), expr("(pr_fixed * w) div sumw").as("c"))
         .groupBy(col("b").as("id"))
         .agg(sum(col("c")).as("s"))
-      val next = pr.select(col("id"), col("outdeg"))
+      val next = pr.select(col("id"), col("sumw"))
         .join(contrib, Seq("id"), "left")
         .withColumn("s", coalesce(col("s"), lit(0L)))
-        .select(col("id"), col("outdeg"),
+        .select(col("id"), col("sumw"),
           (lit(base) + expr(s"(${dampingPct.toLong} * s) div 100"))
             .as("pr_fixed"))
       if (i % checkpointEvery == 0 || i == iters) {

@@ -74,11 +74,28 @@ object GraphQueries {
     "gr6_ppr" -> ((s, d) => leased("gr6_ppr")(
       GraphOps.personalizedPagerankReleasable(knnEdges(s, d, 5),
         embeddings(s, d).filter(col("label") === 0).select("vec_id"),
+        iters = 3))),
+
+    // Similarity-WEIGHTED PageRank over the same directed 5-NN graph:
+    // ss16 already carries `sim` per edge, so rank flows in proportion
+    // to it — a 0.5-cosine neighbor pulls ~10x the rank mass of a
+    // 0.05 one (gated corpus weight range 396–5128 in 1e-4 units, so
+    // the weighting genuinely reorders vs gr1). Weights are the
+    // quantized-integer form (round(sim·1e4), non-positive dropped)
+    // that keeps the whole computation fixed-point and the replay
+    // bit-exact.
+    "gr7_weighted_pagerank" -> ((s, d) => leased("gr7_weighted_pagerank")(
+      GraphOps.weightedPagerankReleasable(
+        SimilarityOps.knnGraph(embeddings(s, d), k = 5, bits = 4,
+            kernel = cosineF32Native(_, _))
+          .select(col("a"), col("b"),
+            round(col("sim") * 10000).cast("long").as("w")),
         iters = 3)))
   )
 
   /** ss16's sign-bucket kNN edge SQL as a reusable CTE chain ending in
-    * `knn(a, b)` (directed, top-`k` per `a`). */
+    * `knn(a, b, sim)` (directed, top-`k` per `a`; gr7 consumes `sim`,
+    * the other lanes project it away). */
   private def knnCte(k: Int): String =
     s"""b AS MATERIALIZED (
            SELECT vec_id, embedding,
@@ -92,8 +109,8 @@ object GraphQueries {
                    r.embedding)::DOUBLE, 4) AS sim
                FROM b l JOIN b r
                  ON l.bkt = r.bkt AND l.vec_id <> r.vec_id),
-         knn AS MATERIALIZED (SELECT a, b FROM (
-             SELECT a, b,
+         knn AS MATERIALIZED (SELECT a, b, sim FROM (
+             SELECT a, b, sim,
                row_number() OVER (PARTITION BY a
                  ORDER BY sim DESC NULLS LAST, b ASC) AS rn
              FROM p)
@@ -114,6 +131,17 @@ object GraphQueries {
          FROM nodes LEFT JOIN (
            SELECT e.b AS id, sum(p.pr // od.outdeg)::BIGINT AS s
            FROM e JOIN $prev p ON e.a = p.id JOIN od ON e.a = od.id
+           GROUP BY e.b) s ON nodes.id = s.id)"""
+
+  /** One weighted-PageRank iteration: per-edge contribution is
+    * `(pr * w) // sumw` — integer ops throughout, like [[prIter]]. */
+  private def wprIter(out: String, prev: String): String =
+    s"""$out AS MATERIALIZED (
+         SELECT nodes.id,
+           (SELECT base FROM c) + (85 * coalesce(s.s, 0)) // 100 AS pr
+         FROM nodes LEFT JOIN (
+           SELECT e.b AS id, sum((p.pr * e.w) // sw.sumw)::BIGINT AS s
+           FROM e JOIN $prev p ON e.a = p.id JOIN sw ON e.a = sw.id
            GROUP BY e.b) s ON nodes.id = s.id)"""
 
   /** One personalized-PageRank iteration: teleport mass lands ONLY on
@@ -158,6 +186,28 @@ object GraphQueries {
          nodes AS MATERIALIZED (SELECT DISTINCT id FROM (
            SELECT a AS id FROM e UNION ALL SELECT b FROM e)),
          od AS MATERIALIZED (SELECT a AS id, count(*) AS outdeg
+                             FROM e GROUP BY a),
+         c AS MATERIALIZED (SELECT
+           1000000000000 // count(*) AS init,
+           (15 * (1000000000000 // count(*))) // 100 AS base
+           FROM nodes),
+         pr0 AS MATERIALIZED (
+           SELECT id, (SELECT init FROM c) AS pr FROM nodes),
+         ${iters.mkString(",\n")}
+         SELECT id, pr::BIGINT AS pr_fixed,
+           pr / 1000000000000.0 AS pr
+         FROM it3"""
+    },
+    "gr7_weighted_pagerank" -> {
+      val iters = (1 to 3).map(i =>
+        wprIter(s"it$i", if (i == 1) "pr0" else s"it${i - 1}"))
+      s"""WITH ${knnCte(5)},
+         e AS MATERIALIZED (
+           SELECT a, b, round(sim * 10000)::BIGINT AS w FROM knn
+           WHERE round(sim * 10000)::BIGINT > 0),
+         nodes AS MATERIALIZED (SELECT DISTINCT id FROM (
+           SELECT a AS id FROM e UNION ALL SELECT b FROM e)),
+         sw AS MATERIALIZED (SELECT a AS id, sum(w)::BIGINT AS sumw
                              FROM e GROUP BY a),
          c AS MATERIALIZED (SELECT
            1000000000000 // count(*) AS init,

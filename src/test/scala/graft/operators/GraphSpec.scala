@@ -167,11 +167,46 @@ class GraphSpec extends SparkSpec {
       assert((ids -- before).isEmpty, "release handle left storage behind")
     }
     checkOne(GraphOps.pagerankReleasable(handEdges, iters = 3))
+    checkOne(GraphOps.weightedPagerankReleasable(
+      handEdges.withColumn("w", lit(2L)), iters = 3))
     checkOne(GraphOps.kcoreReleasable(handEdges, 2, 8))
     checkOne(GraphOps.triangleCountsReleasable(handEdges))
     checkOne(GraphOps.labelPropagationReleasable(handEdges, iters = 3))
     checkOne(GraphOps.personalizedPagerankReleasable(
       handEdges, Seq(1L).toDF("id"), iters = 3))
+  }
+
+  test("weightedPagerank matches the integer model; w=1 equals unweighted bit-for-bit") {
+    // small weighted digraph with real weight skew
+    val wEdges = Seq(
+      (1L, 2L, 3L), (1L, 3L, 1L), (2L, 3L, 2L), (3L, 1L, 1L),
+      (4L, 1L, 5L), (4L, 2L, 0L) // zero-weight edge must be dropped
+    ).toDF("a", "b", "w")
+    // driver-side integer model: same fixed-point rules, plain Scala
+    val edges = Seq((1L, 2L, 3L), (1L, 3L, 1L), (2L, 3L, 2L),
+      (3L, 1L, 1L), (4L, 1L, 5L)) // w>0 only
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+    val sumw = edges.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    val init = GraphOps.PrScale / nodes.size
+    val base = 15L * init / 100L
+    var pr = nodes.map(_ -> init).toMap
+    for (_ <- 1 to 3) {
+      val in = edges.groupBy(_._2).view.mapValues(
+        _.map(e => pr(e._1) * e._3 / sumw(e._1)).sum).toMap
+      pr = nodes.map(n => n -> (base + 85L * in.getOrElse(n, 0L) / 100L)).toMap
+    }
+    val got = GraphOps.weightedPagerank(wEdges, iters = 3)
+      .select("id", "pr_fixed").as[(Long, Long)].collect().toMap
+    assert(got == pr)
+    // node 4 is a pure source: after iter 1 it holds only teleport mass
+    assert(got(4L) == base)
+    // w=1 degenerates to the unweighted operator exactly
+    val unw = GraphOps.pagerank(handEdges, iters = 3)
+      .select("id", "pr_fixed").as[(Long, Long)].collect().toMap
+    val w1 = GraphOps.weightedPagerank(
+        handEdges.withColumn("w", lit(1L)), iters = 3)
+      .select("id", "pr_fixed").as[(Long, Long)].collect().toMap
+    assert(unw == w1)
   }
 
   test("gated lanes keep storage flat across invocations (Leases swap)") {
