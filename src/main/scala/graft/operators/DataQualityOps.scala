@@ -94,6 +94,68 @@ object DataQualityOps {
     agg.select(inline(array(rows: _*)))
   }
 
+  /** One ROW-LEVEL constraint: a named boolean predicate, `true` = the
+    * row passes. A NULL predicate result (e.g. `col >= 5` on a null)
+    * counts as a VIOLATION — a quality gate must fail closed.
+    */
+  final case class RowCheck(name: String, pred: Column)
+
+  def rowNotNull(c: String): RowCheck =
+    RowCheck(s"not_null($c)", col(c).isNotNull)
+
+  def rowMatches(c: String, regex: String): RowCheck =
+    RowCheck(s"pattern($c)", col(c).rlike(regex))
+
+  def rowInSet(c: String, values: Seq[String]): RowCheck =
+    RowCheck(s"in_set($c)", col(c).isin(values: _*))
+
+  def rowMin(c: String, lo: Long): RowCheck =
+    RowCheck(s"min($c)", col(c) >= lo)
+
+  def rowMax(c: String, hi: Long): RowCheck =
+    RowCheck(s"max($c)", col(c) <= hi)
+
+  def rowPredicate(name: String, pred: Column): RowCheck =
+    RowCheck(name, pred)
+
+  /** Tag every row with the names of the checks it violates
+    * (`violations: array<string>`, empty = clean) plus the
+    * `_quarantined` boolean. ONE narrow projection over the scan — no
+    * shuffle, no second pass, codegen-friendly (a literal-name `when`
+    * per check inside one `array_compact`). This is the 100-TB ingest
+    * shape: write THIS frame `partitionBy("_quarantined")` and the
+    * keep/quarantine split is a single job with the violation names
+    * attached in-band — the [[graft.sources.Ndjson.readWithQuarantine]]
+    * contract generalized from parse errors to arbitrary semantic
+    * checks (bad rows are data, not logs).
+    */
+  def tagViolations(df: DataFrame, checks: Seq[RowCheck]): DataFrame = {
+    require(checks.nonEmpty, "empty row-check suite")
+    require(checks.map(_.name).distinct.size == checks.size,
+      "row-check names must be unique")
+    df.withColumn("violations", array_compact(array(checks.map(c =>
+        when(!coalesce(c.pred, lit(false)), lit(c.name))): _*)))
+      .withColumn("_quarantined", size(col("violations")) > 0)
+  }
+
+  /** The two halves of [[tagViolations]] as separate frames, for
+    * callers that route them to different sinks. Each half is a filter
+    * over the (cheap) tagged projection; when both are consumed and
+    * the source scan is expensive, prefer writing the tagged frame
+    * partitioned by `_quarantined` instead (one pass, see
+    * [[tagViolations]]).
+    */
+  final case class QuarantineSplit(keep: DataFrame, quarantine: DataFrame)
+
+  def quarantineSplit(df: DataFrame, checks: Seq[RowCheck])
+      : QuarantineSplit = {
+    val t = tagViolations(df, checks)
+    QuarantineSplit(
+      keep = t.filter(!col("_quarantined"))
+        .drop("violations", "_quarantined"),
+      quarantine = t.filter(col("_quarantined")).drop("_quarantined"))
+  }
+
   /** Per-slice quality report: the same exact-integer metrics grouped
     * by a slice key (source, shard, date...) — how a bad shard
     * surfaces before it poisons a training mix. One shuffle on the

@@ -31,7 +31,29 @@ object DataQualityQueries {
 
     "dq2_slice_quality" -> ((s, d) =>
       DataQualityOps.sliceReport(documents(s, d), "source",
-        "text", "n_chars", minRows = 20L, minLen = 55L))
+        "text", "n_chars", minRows = 20L, minLen = 55L)),
+
+    // Row-level quarantine: dq1 reports SUITE metrics; a real ingest
+    // also needs the failing ROWS routed in-band with their violation
+    // names. The gated surface is the quarantine frame's per-check
+    // counts plus the partition totals (keep + quarantine = input,
+    // asserted in DataQualitySpec). All three checks fire at both
+    // gated scales (148/2/20 rows at sf0.01) and most rows pass —
+    // both branches of the split are exercised.
+    "dq3_quarantine" -> ((s, d) => {
+      val split = DataQualityOps.quarantineSplit(documents(s, d), Seq(
+        rowInSet("lang", Seq("en", "de", "fr")),
+        rowMin("n_chars", 50L),
+        rowMax("n_chars", 520L)))
+      val perCheck = split.quarantine
+        .select(explode(col("violations")).as("check_name"))
+        .groupBy("check_name").agg(count(lit(1)).as("n_rows"))
+      perCheck
+        .unionByName(split.quarantine.agg(count(lit(1)).as("n_rows"))
+          .select(lit("_rows_quarantined").as("check_name"), col("n_rows")))
+        .unionByName(split.keep.agg(count(lit(1)).as("n_rows"))
+          .select(lit("_rows_kept").as("check_name"), col("n_rows")))
+    })
   )
 
   val oracles: Map[String, String] = Map(
@@ -75,6 +97,22 @@ object DataQualityQueries {
            min(n_chars) AS min_len, max(n_chars) AS max_len,
            sum(n_chars)::DOUBLE / count(*) AS avg_len,
            count(*) >= 20 AND min(n_chars) >= 55 AS passed
-         FROM documents GROUP BY source"""
+         FROM documents GROUP BY source""",
+    // NULL predicate = violation (fail closed), hence the coalesce on
+    // every check — matches tagViolations' semantics exactly.
+    "dq3_quarantine" ->
+      """WITH v AS (SELECT
+           NOT coalesce(lang IN ('en','de','fr'), FALSE) AS v_set,
+           NOT coalesce(n_chars >= 50, FALSE) AS v_min,
+           NOT coalesce(n_chars <= 520, FALSE) AS v_max
+         FROM documents)
+         SELECT 'in_set(lang)' AS check_name, count(*) AS n_rows
+           FROM v WHERE v_set
+         UNION ALL SELECT 'min(n_chars)', count(*) FROM v WHERE v_min
+         UNION ALL SELECT 'max(n_chars)', count(*) FROM v WHERE v_max
+         UNION ALL SELECT '_rows_quarantined', count(*)
+           FROM v WHERE v_set OR v_min OR v_max
+         UNION ALL SELECT '_rows_kept', count(*)
+           FROM v WHERE NOT (v_set OR v_min OR v_max)"""
   )
 }

@@ -62,4 +62,43 @@ class DataQualitySpec extends SparkSpec {
       suite(dirty, Seq.empty)
     }
   }
+
+  test("quarantineSplit partitions the input; violation names attach; nulls fail closed") {
+    val checks = Seq(
+      rowNotNull("tag"),                  // row 2 (null tag)
+      rowMatches("tag", "^[a-b]+$"),      // rows 2 (null -> closed) and 4
+      rowMax("len", 35L),                 // row 4
+      rowMin("len", 5L))                  // nobody — zero-violation path
+    val split = quarantineSplit(dirty, checks)
+    val keep = split.keep.as[(Long, Option[String], Long)].collect().toSet
+    assert(keep == Set((1L, Some("aa"), 10L), (3L, Some("bb"), 30L)))
+    // keep schema carries no tagging residue
+    assert(split.keep.columns.toSeq == Seq("id", "tag", "len"))
+    val q = split.quarantine
+      .select(col("id"), col("violations"))
+      .as[(Long, Seq[String])].collect().toMap
+    assert(q == Map(
+      2L -> Seq("not_null(tag)", "pattern(tag)"), // null pred = violation
+      3L -> Seq("pattern(tag)", "max(len)")))     // the duplicate id 3 row
+    // zero-violation check appears nowhere
+    assert(!q.values.flatten.toSet.contains("min(len)"))
+    // partition: keep + quarantine = input, disjoint by construction
+    assert(split.keep.count() + split.quarantine.count() == dirty.count())
+  }
+
+  test("tagViolations is one narrow projection (single leaf, no shuffle)") {
+    val plan = tagViolations(dirty,
+      Seq(rowNotNull("tag"), rowMax("len", 35L))).queryExecution.executedPlan
+    assert(plan.collectLeaves().length == 1)
+    val shuffles = plan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    assert(shuffles.isEmpty, s"tagging must not shuffle:\n$plan")
+  }
+
+  test("duplicate row-check names are rejected") {
+    intercept[IllegalArgumentException] {
+      tagViolations(dirty, Seq(rowMin("len", 1L), rowMin("len", 2L)))
+    }
+  }
 }
