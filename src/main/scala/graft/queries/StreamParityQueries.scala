@@ -1,7 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, count, lit}
 import graft.streaming.{StreamParity, StreamingOps}
 
 /** Oracle-gated drains of the Structured Streaming surface (st*).
@@ -95,7 +95,23 @@ object StreamParityQueries {
       StreamParity.drainAppend(
         StreamingOps.heavyHittersStream(
           StreamParity.eventsStream(s, d),
-          "event_type", "ts", "6 hours", 32, WM)))
+          "event_type", "ts", "6 hours", 32, WM))),
+
+    // Per-key admission quota (flatMapGroupsWithState): WHICH rows are
+    // admitted is arrival-order-dependent — that is what admission
+    // means — but the admitted COUNT per (user, 6h window) is the
+    // CONTRACT: min(offered, quota), order-independent and plain SQL.
+    // That contract is the gated surface; the admitted-ids-are-a-
+    // subset-of-offered half stays in StreamingSpec. quota=3 caps 46
+    // (user, window) groups at sf0.01 and leaves 7631 under it, so
+    // both admission branches fire.
+    "st8_stream_quota" -> ((s, d) =>
+      StreamParity.drainAppend(
+        StreamingOps.perKeyQuotaStream(s,
+          StreamParity.eventsStream(s, d),
+          windowSec = 21600L, quota = 3L, watermark = WM))
+        .groupBy(col("user_id"), col("win_start"))
+        .agg(count(lit(1)).as("n_admitted")))
   )
 
   val oracles: Map[String, String] = Map(
@@ -159,6 +175,14 @@ object StreamParityQueries {
          FROM events, wm
          WHERE ((floor(epoch(ts))::BIGINT // 21600) * 21600 + 21600) * 1000000
                <= wm_us
-         GROUP BY win_start, item"""
+         GROUP BY win_start, item""",
+    // admitted = min(offered, quota) per (user, 6h window); the
+    // operator's window start is ms-floored to the window boundary,
+    // which equals the epoch-seconds floor for positive timestamps.
+    "st8_stream_quota" ->
+      """SELECT user_id,
+           (floor(epoch(ts))::BIGINT // 21600) * 21600 AS win_start,
+           least(count(*), 3) AS n_admitted
+         FROM events GROUP BY user_id, win_start"""
   )
 }
