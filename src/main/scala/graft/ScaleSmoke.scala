@@ -15,7 +15,7 @@ import org.apache.spark.sql.functions._
   * [spanDocs] [containDocs] [lshDocs] [tfidfDocs] [embVecs] [evEvents]
   * [shardDocs] [vocabDocs] [pqVecs] [dsirDocs]`. `GRAFT_SS_ONLY=
   * <lanes>` replays just the named lanes — any comma-separated subset
-  * of simhash, decon, bpe, overlap, curation, capbudget.
+  * of simhash, decon, bpe, overlap, curation, capbudget, graph, tri.
   */
 object ScaleSmoke {
   def main(args: Array[String]): Unit = {
@@ -46,7 +46,7 @@ object ScaleSmoke {
 
     // Targeted replays (the PerfCompare affordance): GRAFT_SS_ONLY
     // names a subset of the named lanes (simhash, decon, bpe, overlap, capbudget,
-    // curation, graph); unset runs everything including the legacy block below.
+    // curation, graph, tri); unset runs everything including the legacy block below.
     val only = sys.env.get("GRAFT_SS_ONLY")
       .map(_.split(",").map(_.trim.toLowerCase).filter(_.nonEmpty).toSet)
       .getOrElse(Set.empty[String])
@@ -617,6 +617,46 @@ object ScaleSmoke {
       require(nCore == blocks * 10,
         s"planted 6-core must be exactly the block members: $nCore")
       Release(kcEdges, blocking = true)
+    }
+
+    // Triangle orientation under hub skew. The id-ordered failure mode
+    // is a hub whose id sits in the MIDDLE of its neighbors' id range:
+    // lower-id neighbors orient INTO it, higher-id ones OUT, so the
+    // wedge join routes in×out ≈ d²/4 candidate wedges THROUGH the hub
+    // (an extreme-id hub dodges this by luck — one side is empty;
+    // production ids grant no such luck). Here: 200k-node ring, hub id
+    // 100000 spoked to 25k nodes spread across the full id range
+    // (≈12.5k below × 12.5k above → ~156M id-ordered wedges through the
+    // hub), consecutive spoke targets chorded so real hub triangles
+    // exist. Degree order makes the hub the maximum key — every hub
+    // edge points INTO it, its oriented out-degree is 0, and the wedge
+    // work collapses to the degree-3 spoke targets. Both variants must
+    // agree exactly; the wall gap is the measured skew win.
+    lane("tri") {
+      val ringN = 200000L
+      val hubId = 100000L
+      val ring = spark.range(ringN)
+        .select(col("id").as("a"), ((col("id") + 1) % ringN).as("b"))
+      val spokes = spark.range(25000L)
+        .select(lit(hubId).as("a"), (col("id") * 8 + 1).as("b"))
+        .filter(col("b") =!= hubId)
+      // chord consecutive spoke targets: triangle (hub, 8i+1, 8i+9)
+      val chords = spark.range(24999L)
+        .select((col("id") * 8 + 1).as("a"), (col("id") * 8 + 9).as("b"))
+      val triEdges = ring.unionByName(spokes).unionByName(chords)
+        .localCheckpoint()
+      def run(f: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame)
+          : (Double, Long, Long) = {
+        val t0 = System.nanoTime()
+        val m = f(triEdges).agg(sum(col("n_tri")), count(lit(1))).first()
+        ((System.nanoTime() - t0) / 1e9, m.getLong(0), m.getLong(1))
+      }
+      val (tDeg, sumDeg, nDeg) = run(operators.GraphOps.triangleCountsDegreeOrdered)
+      val (tId, sumId, nId) = run(operators.GraphOps.triangleCounts)
+      require(sumDeg == sumId && nDeg == nId,
+        s"orientation variants disagree: ($sumDeg,$nDeg) vs ($sumId,$nId)")
+      println(s"""{"tri_nodes":$ringN,"hub_degree":25000,"id_ordered_sec":${round1(tId)},"degree_ordered_sec":${round1(tDeg)},"triangle_corners":$sumDeg}""")
+      Release(triEdges, blocking = true)
     }
     spark.stop()
   }

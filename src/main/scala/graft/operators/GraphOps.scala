@@ -389,11 +389,12 @@ object GraphOps {
   /** Per-node triangle counts over the UNDIRECTED graph. Edges are
     * canonically oriented low → high id so each triangle is enumerated
     * exactly once ((a,b),(b,c),(a,c) with a<b<c), then each corner
-    * credited via a three-way unpivot. At web scale the orientation
-    * key becomes (degree, id) — same triangle set, but the join
-    * fan-out is bounded by the LOWER-degree endpoint, which tames
-    * hub-heavy skew; id order is kept here so the oracle is a literal
-    * replay.
+    * credited via a three-way unpivot. Id order is kept HERE so the
+    * gr4 oracle is a literal replay; on hub-heavy graphs use
+    * [[triangleCountsDegreeOrdered]] — same triangle set (GraphSpec
+    * property-tests the equality), but the enumeration join's fan-out
+    * is bounded by the lower-DEGREE endpoint instead of whichever
+    * endpoint got the low id.
     */
   def triangleCounts(edges: DataFrame): DataFrame =
     triangleCountsReleasable(edges)._1
@@ -411,6 +412,52 @@ object GraphOps {
       .join(ce.as("e3"),
         col("e3.a") === col("e1.a") && col("e3.b") === col("e2.b"))
       .select(col("e1.a").as("x"), col("e1.b").as("y"), col("e2.b").as("z"))
+    val out = tri
+      .select(explode(array(col("x"), col("y"), col("z"))).as("id"))
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_tri"))
+    (out, () => graft.Release(ce))
+  }
+
+  /** [[triangleCounts]] with DEGREE-ORDERED canonical orientation —
+    * the scale-safe form. Orienting u → v iff (deg(u), u) < (deg(v),
+    * v) is a total order over nodes, so each triangle is still
+    * enumerated exactly once (its corners sort x < y < z and the three
+    * edges all point up); the wedge join `e1.b = e2.a` now fans out
+    * only through a node's HIGHER-degree neighbors, so any node's
+    * oriented out-degree is O(√E) regardless of its raw degree (the
+    * classic arboricity bound) — a 10M-degree hub contributes ~nothing
+    * instead of 10M² wedges. Under id order the same hub keeps its
+    * full fan-out whenever it happens to hold a low id, which is the
+    * measured blowup (ScaleSmoke `tri`: hub-heavy graph, id-ordered
+    * wedge count ~d²/2 vs degree-ordered ~0). Costs two extra
+    * node-keyed joins to attach degrees — noise next to the wedge join
+    * it bounds.
+    */
+  def triangleCountsDegreeOrdered(edges: DataFrame): DataFrame =
+    triangleCountsDegreeOrderedReleasable(edges)._1
+
+  /** [[triangleCountsDegreeOrdered]] plus the canonical-edge release
+    * handle ([[triangleCountsReleasable]] contract). */
+  def triangleCountsDegreeOrderedReleasable(edges: DataFrame)
+      : (DataFrame, () => Unit) = {
+    val ser = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER
+    val und = undirected(edges).localCheckpoint(true, ser)
+    val deg = und.groupBy(col("a").as("_n")).agg(count(lit(1)).as("_d"))
+    val ce = und
+      .join(deg.select(col("_n").as("a"), col("_d").as("_da")), Seq("a"))
+      .join(deg.select(col("_n").as("b"), col("_d").as("_db")), Seq("b"))
+      .filter(col("_da") < col("_db") ||
+        (col("_da") === col("_db") && col("a") < col("b")))
+      .select("a", "b")
+      .localCheckpoint(true, ser)
+    graft.Release(und)
+    val tri = ce.as("e1")
+      .join(ce.as("e2"), col("e2.a") === col("e1.b"))
+      .join(ce.as("e3"),
+        col("e3.a") === col("e1.a") && col("e3.b") === col("e2.b"))
+      .select(col("e1.a").as("x"), col("e1.b").as("y"),
+        col("e2.b").as("z"))
     val out = tri
       .select(explode(array(col("x"), col("y"), col("z"))).as("id"))
       .groupBy("id")

@@ -176,6 +176,31 @@ class GraphSpec extends SparkSpec {
       handEdges, Seq(1L).toDF("id"), iters = 3))
   }
 
+  test("degree-ordered triangle orientation: identical count map on random and adversarial graphs") {
+    val rnd = new scala.util.Random(42)
+    def assertEqualCounts(edges: org.apache.spark.sql.DataFrame): Unit = {
+      val idOrd = GraphOps.triangleCounts(edges)
+        .as[(Long, Long)].collect().toMap
+      val degOrd = GraphOps.triangleCountsDegreeOrdered(edges)
+        .as[(Long, Long)].collect().toMap
+      assert(degOrd == idOrd)
+    }
+    // seeded random multigraph-ish inputs (undirected() dedups)
+    for (_ <- 1 to 3) {
+      val pairs = Seq.fill(120)((rnd.nextInt(30).toLong, rnd.nextInt(30).toLong))
+        .filter(p => p._1 != p._2)
+      assertEqualCounts(pairs.toDF("a", "b"))
+    }
+    assertEqualCounts(handEdges)
+    // adversarial: MIDDLE-ID hub fanned to every ring node — under id
+    // order its lower-id neighbors point in and higher-id ones out, so
+    // all in×out wedges route through it (the blowup shape the
+    // degree-ordered variant exists for; ScaleSmoke `tri` measures it)
+    val ring = (1 to 40).map(i => (i.toLong, (i % 40 + 1).toLong))
+    val hub = (1 to 40).filter(_ != 20).map(i => (20L, i.toLong))
+    assertEqualCounts((ring ++ hub).toDF("a", "b"))
+  }
+
   test("weightedPagerank matches the integer model; w=1 equals unweighted bit-for-bit") {
     // small weighted digraph with real weight skew
     val wEdges = Seq(
