@@ -111,7 +111,30 @@ object StreamParityQueries {
           StreamParity.eventsStream(s, d),
           windowSec = 21600L, quota = 3L, watermark = WM))
         .groupBy(col("user_id"), col("win_start"))
-        .agg(count(lit(1)).as("n_admitted")))
+        .agg(count(lit(1)).as("n_admitted"))),
+
+    // Inactivity alerts (EventTimeTimeout): with a fixed drained input
+    // the TIMER path is deterministic too — batch 0 builds per-user
+    // state (watermark still 0, nothing fires), the finalize batch
+    // advances the watermark to max(ts)-2h and fires exactly the
+    // users whose (ms-floored last_seen + gap) timeout lies below it.
+    // gap=6h alerts 72/150 users at sf0.01 (710/1500 at sf0.1), so
+    // both the fired and still-live branches are exercised. This gates
+    // the state-TIMEOUT half of flatMapGroupsWithState that st8's
+    // admission lane doesn't touch.
+    "st9_stream_inactivity" -> ((s, d) =>
+      StreamParity.drainAppend(
+        StreamingOps.inactivityAlerts(s,
+          StreamParity.eventsStream(s, d),
+          gapSec = 21600L, watermark = WM))),
+
+    // upsertSink end-to-end: two drains through the versioned-snapshot
+    // CDC sink — initial publish, then an idempotent anti-join
+    // re-apply onto v=1 — gated on the final snapshot (= last event
+    // row per user; (user_id, ts) is unique on the corpus so the
+    // producer-retry fingerprint tiebreak never decides). See
+    // StreamParity.upsertParity.
+    "st10_stream_upsert" -> ((s, d) => StreamParity.upsertParity(s, d))
   )
 
   val oracles: Map[String, String] = Map(
@@ -183,6 +206,23 @@ object StreamParityQueries {
       """SELECT user_id,
            (floor(epoch(ts))::BIGINT // 21600) * 21600 AS win_start,
            least(count(*), 3) AS n_admitted
-         FROM events GROUP BY user_id, win_start"""
+         FROM events GROUP BY user_id, win_start""",
+    // timeout timestamp = ms-floored last-seen + gap (the operator sets
+    // it in ms); fires when STRICTLY below the final watermark.
+    "st9_stream_inactivity" ->
+      s"""WITH $WmCte,
+         u AS (SELECT user_id, count(*) AS n_events,
+                 max(epoch_us(ts)) AS last_us
+               FROM events GROUP BY user_id)
+         SELECT user_id, n_events, last_us AS last_seen_us
+         FROM u, wm
+         WHERE (last_us // 1000) * 1000 + 21600000000 < wm_us""",
+    "st10_stream_upsert" ->
+      """SELECT user_id, ts_us, event_id, value FROM (
+           SELECT user_id, epoch_us(ts) AS ts_us, event_id, value,
+             row_number() OVER (PARTITION BY user_id
+               ORDER BY ts DESC) AS rn
+           FROM events)
+         WHERE rn = 1"""
   )
 }

@@ -141,4 +141,40 @@ object StreamParity {
 
   def drainAppend(df: DataFrame): DataFrame = drain(df, OutputMode.Append())
   def drainUpdate(df: DataFrame): DataFrame = drain(df, OutputMode.Update())
+
+  /** Drain [[StreamingOps.upsertSink]] TWICE over the events stream and
+    * return the final snapshot as a local batch frame — the CDC-apply
+    * parity harness. Drain 1 exercises the initial-snapshot branch
+    * (v=0); drain 2 (fresh checkpoint, same state dir) re-applies the
+    * same batch through the ANTI-JOIN MERGE branch and must publish a
+    * v=1 snapshot with identical logical content — idempotent re-apply,
+    * the property that makes the sink safe under replay. The snapshot
+    * content is deterministic SQL: last row per key by the `orderCol`
+    * total order (the row-fingerprint tiebreak exists for producer
+    * retries; on the gated corpus (user_id, ts) is unique, verified, so
+    * it never decides). All state/checkpoint dirs are deleted before
+    * returning.
+    */
+  def upsertParity(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, unix_micros}
+    val root = Files.createTempDirectory("graft-st-upsert-")
+    val stateDir = root.resolve("state").toString
+    try {
+      for (i <- 1 to 2) {
+        val ev = eventsStream(spark, sfDir)
+          .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+        StreamingOps.upsertSink(ev, stateDir,
+          root.resolve(s"ck$i").toString, Seq("user_id"), "ts")
+          .awaitTermination()
+      }
+      val v = StreamingOps.latestVersion(stateDir)
+      require(v.contains(1L), s"expected snapshot v=1 after two drains: $v")
+      val snap = StreamingOps.currentSnapshot(spark, stateDir).get
+        .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+          col("event_id"), col("value"))
+      val rows: java.util.List[Row] = java.util.Arrays.asList(
+        snap.collect(): _*)
+      spark.createDataFrame(rows, snap.schema)
+    } finally deleteRecursively(root)
+  }
 }
