@@ -30,7 +30,8 @@ object ExplainAudit {
         "tx35_decontaminate", "tx36_bpe_pairs", "tx38_source_overlap",
         "tx39_bpe_tokenize", "dd16_simhash_wide", "cd14_geocode_fuzzy",
         "dd17_keep_best", "tx40_source_cap", "tx41_token_budget",
-        "tx42_snapshot_diff", "ss16_knn_graph", "ss17_knn_multiprobe")
+        "tx42_snapshot_diff", "ss16_knn_graph", "ss17_knn_multiprobe",
+        "dq3_quarantine", "gr8_modularity")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

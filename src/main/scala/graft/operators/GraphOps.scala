@@ -465,6 +465,45 @@ object GraphOps {
     (out, () => graft.Release(ce))
   }
 
+  /** Newman modularity of a community assignment over the UNDIRECTED
+    * graph — the quality score for [[labelPropagation]]'s output (did
+    * LPA find real structure, or noise?). Q = Σ_c [e_c/m −
+    * (d_c/2m)²]; everything here stays in the directed-double-count
+    * convention so it is INTEGER until the final display column:
+    * per community, `dsum` = Σ degrees (= directed rows whose source
+    * is in c), `inside2` = 2·e_c (directed rows with both ends in c),
+    * and the exact numerator `contrib` = 2m·inside2 − dsum² — Q equals
+    * Σ contrib / (2m)², and `q_share` is each community's term as ONE
+    * IEEE division of exact longs (the ss13 recipe: bit-identical in
+    * any engine). Integer sums are associative, so the whole report is
+    * partition-invariant and oracle-replayable — a float-accumulated
+    * modularity would not be.
+    *
+    * Unlabeled endpoints drop their edges (inner join) — with labels
+    * derived from the same edge set, coverage is total. Two shuffles:
+    * the label attach (node-keyed) and the per-community aggregate.
+    * Overflow bound: dsum² needs dsum < 3·10⁹ per community — beyond
+    * that (a single community holding 3B+ edge-endpoints), rescale
+    * first. The one-row total rides a broadcast cross join, not a
+    * driver action.
+    */
+  def modularity(edges: DataFrame, labels: DataFrame): DataFrame = {
+    val e = undirected(edges)
+    val la = labels.select(col("id").as("a"), col("lbl").as("la"))
+    val lb = labels.select(col("id").as("b"), col("lbl").as("lb"))
+    val tagged = e.join(la, Seq("a")).join(lb, Seq("b"))
+    val tot = tagged.agg(count(lit(1)).as("two_m"))
+    val contrib = col("two_m") * col("inside2") - col("dsum") * col("dsum")
+    tagged.groupBy(col("la").as("lbl"))
+      .agg(count(lit(1)).as("dsum"),
+        count(when(col("la") === col("lb"), lit(1))).as("inside2"))
+      .crossJoin(broadcast(tot))
+      .select(col("lbl"), col("dsum"), col("inside2"),
+        contrib.as("contrib"),
+        (contrib.cast("double") /
+          (col("two_m") * col("two_m")).cast("double")).as("q_share"))
+  }
+
   /** Degree histogram of the UNDIRECTED graph: (degree, n_nodes). */
   def degreeHistogram(edges: DataFrame): DataFrame =
     undirected(edges)

@@ -90,7 +90,19 @@ object GraphQueries {
             kernel = cosineF32Native(_, _))
           .select(col("a"), col("b"),
             round(col("sim") * 10000).cast("long").as("w")),
-        iters = 3)))
+        iters = 3))),
+
+    // Modularity of gr2's LPA communities: the quality score that says
+    // whether label propagation found real structure — per community,
+    // exact integer (dsum, inside2, contrib) plus the single-division
+    // q_share. Composes the gr2 assignment end-to-end (kNN graph →
+    // 3 LPA rounds → label attach → per-community aggregate).
+    "gr8_modularity" -> ((s, d) => {
+      val edges = knnEdges(s, d, 5)
+      val (lbl, rel) = GraphOps.labelPropagationReleasable(edges, iters = 3)
+      graft.Leases.swap("gr8_modularity", rel)(
+        GraphOps.modularity(edges, lbl))
+    })
   )
 
   /** ss16's sign-bucket kNN edge SQL as a reusable CTE chain ending in
@@ -255,6 +267,29 @@ object GraphQueries {
            SELECT DISTINCT a AS id, a AS lbl FROM edges),
          ${iters.mkString(",\n")}
          SELECT id, lbl FROM l3"""
+    },
+    "gr8_modularity" -> {
+      val iters = (1 to 3).map(i =>
+        lpaIter(s"l$i", if (i == 1) "l0" else s"l${i - 1}"))
+      s"""WITH ${knnCte(5)},
+         $undirCte,
+         l0 AS MATERIALIZED (
+           SELECT DISTINCT a AS id, a AS lbl FROM edges),
+         ${iters.mkString(",\n")},
+         lab AS MATERIALIZED (SELECT id, lbl FROM l3),
+         te AS MATERIALIZED (
+           SELECT x.lbl AS la, y.lbl AS lb
+           FROM edges e JOIN lab x ON e.a = x.id
+                        JOIN lab y ON e.b = y.id),
+         tot AS (SELECT count(*) AS two_m FROM te),
+         per AS (SELECT la AS lbl, count(*) AS dsum,
+                   count(CASE WHEN la = lb THEN 1 END) AS inside2
+                 FROM te GROUP BY la)
+         SELECT lbl, dsum, inside2,
+           (two_m * inside2 - dsum * dsum)::BIGINT AS contrib,
+           ((two_m * inside2 - dsum * dsum)::BIGINT)::DOUBLE /
+             ((two_m * two_m)::BIGINT)::DOUBLE AS q_share
+         FROM per, tot"""
     },
     "gr3_kcore" -> {
       val peels = (1 to 8).map(i =>

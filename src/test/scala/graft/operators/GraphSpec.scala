@@ -234,6 +234,38 @@ class GraphSpec extends SparkSpec {
     assert(unw == w1)
   }
 
+  test("modularity matches the rational-arithmetic model on the hand graph") {
+    // communities = the two blocks; bridge/pendant assignments chosen
+    // by hand. Model: directed double-count convention, exact ints.
+    val labels = Seq(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      5L -> 2L, 6L -> 2L, 7L -> 2L, 8L -> 2L, 9L -> 2L)
+      .toDF("id", "lbl")
+    val und = GraphOps.undirected(handEdges).as[(Long, Long)].collect()
+    val lm = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      5L -> 2L, 6L -> 2L, 7L -> 2L, 8L -> 2L, 9L -> 2L)
+    val twoM = und.length.toLong
+    val expected = und.groupBy(e => lm(e._1)).map { case (c, es) =>
+      val dsum = es.length.toLong
+      val inside2 = es.count(e => lm(e._2) == c).toLong
+      val contrib = twoM * inside2 - dsum * dsum
+      c -> ((dsum, inside2, contrib,
+        contrib.toDouble / (twoM * twoM).toDouble))
+    }
+    val got = GraphOps.modularity(handEdges, labels)
+      .as[(Long, Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(got == expected)
+    // sanity: this near-perfect 2-community split scores well positive
+    val q = got.values.map(_._3).sum.toDouble / (twoM * twoM)
+    assert(q > 0.3, s"expected strongly positive modularity, got $q")
+    // degenerate single community scores ZERO exactly (inside2 = dsum
+    // = 2m for the one row, contrib = 2m·2m − (2m)² = 0)
+    val one = GraphOps.modularity(handEdges,
+        labels.select(col("id"), lit(0L).as("lbl")))
+      .as[(Long, Long, Long, Long, Double)].collect()
+    assert(one.length == 1 && one.head._4 == 0L && one.head._5 == 0.0)
+  }
+
   test("gated lanes keep storage flat across invocations (Leases swap)") {
     // the round-9 leak: each bench/verify invocation of a *Releasable-
     // backed lane parked nothing, so the final checkpoint accumulated
