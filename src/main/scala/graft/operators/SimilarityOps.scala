@@ -414,6 +414,16 @@ object SimilarityOps {
       k, rankCol = "rk")
   }
 
+  /** Determinism boundary: the ADC score is a float SUM of `m`
+    * per-subspace parts. At m = 2 (every gated lane) IEEE addition is
+    * commutative, so the aggregate is order-invariant and the hash
+    * oracle replays it exactly. At m > 2 the merge order of the
+    * partial sums becomes partition-dependent in the low bits — a
+    * reproducibility-gated deployment should quantize each part to
+    * integer 1e-4 units before the sum (`round(round(part,4)*1e4)` as
+    * long — the ss13/gr7 recipe) and divide once at the end; ranks
+    * shift by <1e-4, determinism becomes unconditional.
+    */
   def pqAdcTopK(queries: DataFrame, codes: DataFrame, codebooks: DataFrame,
                 topK: Int, m: Int, subDim: Int,
                 idCol: String = "vec_id", vecCol: String = "embedding")
@@ -439,6 +449,46 @@ object SimilarityOps {
         .agg(round(sum(col("_part")), 4).as("adc_score")),
       Seq("query_id"), Seq(col("adc_score").desc, col("neighbor_id").asc),
       topK, rankCol = "rk")
+  }
+
+  /** Two-stage ANN retrieval — the production serving shape: an ADC
+    * SHORTLIST of `shortlist` candidates per query over the PQ codes
+    * (cheap: the corpus's raw vectors are never read, only m-byte
+    * codes + a broadcast LUT), then an EXACT re-rank of just those
+    * candidates on the raw vectors. At corpus size N with Q queries,
+    * the exact kernel runs Q·shortlist times instead of Q·N — the
+    * entire reason PQ indexes exist — while the final ordering is the
+    * exact kernel's, repairing ADC's quantization-induced rank
+    * inversions inside the shortlist. Determinism end-to-end: portable
+    * PQ codes (md5-seeded k-means), rounded kernels, (score desc, id
+    * asc) total order — the composition replays exactly in SQL.
+    *
+    * The query side rides a broadcast by contract (a serving batch);
+    * the shortlist⋈corpus vector fetch is left unhinted — Q·shortlist
+    * rows against N vectors is broadcast-able for small batches and a
+    * plain equi-shuffle otherwise, exactly the call AQE should make.
+    */
+  def pqAdcRerank(queries: DataFrame, corpus: DataFrame,
+                  codes: DataFrame, codebooks: DataFrame,
+                  shortlist: Int, topK: Int, m: Int, subDim: Int,
+                  idCol: String = "vec_id", vecCol: String = "embedding",
+                  kernel: (Column, Column) => Column = cosine)
+      : DataFrame = {
+    require(topK <= shortlist,
+      s"topK ($topK) must not exceed the shortlist ($shortlist)")
+    val cand = pqAdcTopK(queries, codes, codebooks, shortlist, m,
+        subDim, idCol, vecCol)
+      .select(col("query_id"), col("neighbor_id"))
+    val qv = queries.select(col(idCol).as("query_id"), col(vecCol).as("_qv"))
+    val nv = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("_nv"))
+    val scored = cand
+      .join(nv, Seq("neighbor_id"))
+      .join(broadcast(qv), Seq("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        noNaN(round(kernel(col("_qv"), col("_nv")), 4)).as("score"))
+    graft.plans.TopK.perKey(scored, Seq("query_id"),
+      Seq(col("score").desc, col("neighbor_id").asc), topK,
+      rankCol = "rank")
   }
 
   /** SemDeDup-style semantic dedup: cluster the corpus with

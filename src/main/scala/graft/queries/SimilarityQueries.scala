@@ -244,6 +244,21 @@ object SimilarityQueries {
         books, topK = 5, m = 2, subDim = 32)
     }),
 
+    // Two-stage serving: ADC shortlist of 20 over the PQ codes, exact
+    // float32-cosine re-rank of only those 20 per query — the raw
+    // vectors are read for Q·20 rows, not the corpus. Final order is
+    // the exact kernel's (ADC's quantization inversions inside the
+    // shortlist are repaired; the composition is still deterministic
+    // end-to-end, so the full two-stage pipeline replays in SQL).
+    "ss20_adc_rerank" -> ((s, d) => {
+      val emb = embeddings(s, d)
+      val (codes, books) = SimilarityOps.pqTrain(emb, m = 2, subDim = 32,
+        k = 4, iters = 1)
+      SimilarityOps.pqAdcRerank(emb.filter(col("vec_id") < 10), emb,
+        codes, books, shortlist = 20, topK = 5, m = 2, subDim = 32,
+        kernel = cosineF32Native(_, _))
+    }),
+
     // Johnson–Lindenstrauss random projection, 64 → 16 dims: the
     // pre-ANN shrink. Addends are quantized to integer micro-units
     // before the fold, so `proj_micro` is an exact integer on any
@@ -405,6 +420,61 @@ object SimilarityQueries {
              ORDER BY adc_score DESC, neighbor_id ASC)::INT AS rk
            FROM sc)
          WHERE rk <= 5"""
+
+  /** The ss12 PQ-train + ADC-score CTE chain ending in
+    * `sc(query_id, neighbor_id, adc_score)` — shared by the plain
+    * top-k gate (ss12) and the shortlist-then-exact-rerank composition
+    * (ss20). */
+  private val pqAdcCtes: String =
+    """s0 AS (SELECT vec_id, embedding[1:32] AS v FROM embeddings),
+         s1 AS (SELECT vec_id, embedding[33:64] AS v FROM embeddings),
+         a00 AS (SELECT vec_id, v,
+                   (('0x' || substr(md5(vec_id::VARCHAR), 1, 8))::UBIGINT
+                    % 4)::INT AS cluster
+                 FROM s0),
+         u01 AS (SELECT cluster, unnest(v) AS x,
+                   generate_subscripts(v, 1) AS pos FROM a00),
+         m01 AS (SELECT cluster, pos,
+                   (round(sum(x::DOUBLE) / count(*), 4) + 0)::FLOAT AS mx
+                 FROM u01 GROUP BY cluster, pos),
+         c01 AS (SELECT cluster AS cc, list(mx ORDER BY pos) AS cv
+                 FROM m01 GROUP BY cluster),
+         a01 AS (SELECT vec_id, cc AS c0 FROM (
+                   SELECT a00.vec_id, c01.cc,
+                     row_number() OVER (PARTITION BY a00.vec_id
+                       ORDER BY list_cosine_similarity(a00.v, c01.cv)
+                                  DESC, c01.cc ASC) AS rn
+                   FROM a00 CROSS JOIN c01) WHERE rn = 1),
+         a10 AS (SELECT vec_id, v,
+                   (('0x' || substr(md5(vec_id::VARCHAR), 1, 8))::UBIGINT
+                    % 4)::INT AS cluster
+                 FROM s1),
+         u11 AS (SELECT cluster, unnest(v) AS x,
+                   generate_subscripts(v, 1) AS pos FROM a10),
+         m11 AS (SELECT cluster, pos,
+                   (round(sum(x::DOUBLE) / count(*), 4) + 0)::FLOAT AS mx
+                 FROM u11 GROUP BY cluster, pos),
+         c11 AS (SELECT cluster AS cc, list(mx ORDER BY pos) AS cv
+                 FROM m11 GROUP BY cluster),
+         a11 AS (SELECT vec_id, cc AS c1 FROM (
+                   SELECT a10.vec_id, c11.cc,
+                     row_number() OVER (PARTITION BY a10.vec_id
+                       ORDER BY list_cosine_similarity(a10.v, c11.cv)
+                                  DESC, c11.cc ASC) AS rn
+                   FROM a10 CROSS JOIN c11) WHERE rn = 1),
+         codes AS (SELECT a01.vec_id, c0, c1
+                   FROM a01 JOIN a11 USING (vec_id)),
+         q AS (SELECT vec_id AS query_id, embedding
+               FROM embeddings WHERE vec_id < 10),
+         sc AS (SELECT q.query_id, codes.vec_id AS neighbor_id,
+                  round(list_cosine_similarity(q.embedding[1:32],
+                          k0.cv)::DOUBLE +
+                        list_cosine_similarity(q.embedding[33:64],
+                          k1.cv)::DOUBLE, 4) AS adc_score
+                FROM q CROSS JOIN codes
+                JOIN c01 k0 ON k0.cc = codes.c0
+                JOIN c11 k1 ON k1.cc = codes.c1
+                WHERE q.query_id <> codes.vec_id)"""
 
   val oracles: Map[String, String] = Map(
     // same replay, centroids frozen at the standing corpus — the
@@ -671,60 +741,29 @@ object SimilarityQueries {
     "ss14_ivfpq" -> ivfPqOracle(""),
     "ss19_ivfpq_append" -> ivfPqOracle("WHERE vec_id % 10 <> 0"),
     "ss12_pq_adc" ->
-      """WITH s0 AS (SELECT vec_id, embedding[1:32] AS v FROM embeddings),
-         s1 AS (SELECT vec_id, embedding[33:64] AS v FROM embeddings),
-         a00 AS (SELECT vec_id, v,
-                   (('0x' || substr(md5(vec_id::VARCHAR), 1, 8))::UBIGINT
-                    % 4)::INT AS cluster
-                 FROM s0),
-         u01 AS (SELECT cluster, unnest(v) AS x,
-                   generate_subscripts(v, 1) AS pos FROM a00),
-         m01 AS (SELECT cluster, pos,
-                   (round(sum(x::DOUBLE) / count(*), 4) + 0)::FLOAT AS mx
-                 FROM u01 GROUP BY cluster, pos),
-         c01 AS (SELECT cluster AS cc, list(mx ORDER BY pos) AS cv
-                 FROM m01 GROUP BY cluster),
-         a01 AS (SELECT vec_id, cc AS c0 FROM (
-                   SELECT a00.vec_id, c01.cc,
-                     row_number() OVER (PARTITION BY a00.vec_id
-                       ORDER BY list_cosine_similarity(a00.v, c01.cv)
-                                  DESC, c01.cc ASC) AS rn
-                   FROM a00 CROSS JOIN c01) WHERE rn = 1),
-         a10 AS (SELECT vec_id, v,
-                   (('0x' || substr(md5(vec_id::VARCHAR), 1, 8))::UBIGINT
-                    % 4)::INT AS cluster
-                 FROM s1),
-         u11 AS (SELECT cluster, unnest(v) AS x,
-                   generate_subscripts(v, 1) AS pos FROM a10),
-         m11 AS (SELECT cluster, pos,
-                   (round(sum(x::DOUBLE) / count(*), 4) + 0)::FLOAT AS mx
-                 FROM u11 GROUP BY cluster, pos),
-         c11 AS (SELECT cluster AS cc, list(mx ORDER BY pos) AS cv
-                 FROM m11 GROUP BY cluster),
-         a11 AS (SELECT vec_id, cc AS c1 FROM (
-                   SELECT a10.vec_id, c11.cc,
-                     row_number() OVER (PARTITION BY a10.vec_id
-                       ORDER BY list_cosine_similarity(a10.v, c11.cv)
-                                  DESC, c11.cc ASC) AS rn
-                   FROM a10 CROSS JOIN c11) WHERE rn = 1),
-         codes AS (SELECT a01.vec_id, c0, c1
-                   FROM a01 JOIN a11 USING (vec_id)),
-         q AS (SELECT vec_id AS query_id, embedding
-               FROM embeddings WHERE vec_id < 10),
-         sc AS (SELECT q.query_id, codes.vec_id AS neighbor_id,
-                  round(list_cosine_similarity(q.embedding[1:32],
-                          k0.cv)::DOUBLE +
-                        list_cosine_similarity(q.embedding[33:64],
-                          k1.cv)::DOUBLE, 4) AS adc_score
-                FROM q CROSS JOIN codes
-                JOIN c01 k0 ON k0.cc = codes.c0
-                JOIN c11 k1 ON k1.cc = codes.c1
-                WHERE q.query_id <> codes.vec_id)
+      s"""WITH $pqAdcCtes
          SELECT query_id, neighbor_id, adc_score, rk FROM (
            SELECT *, row_number() OVER (PARTITION BY query_id
              ORDER BY adc_score DESC, neighbor_id ASC)::INT AS rk
            FROM sc)
          WHERE rk <= 5""",
+    "ss20_adc_rerank" ->
+      s"""WITH $pqAdcCtes,
+         short AS (SELECT query_id, neighbor_id FROM (
+             SELECT *, row_number() OVER (PARTITION BY query_id
+               ORDER BY adc_score DESC, neighbor_id ASC) AS rk
+           FROM sc) WHERE rk <= 20),
+         rr AS (SELECT s.query_id, s.neighbor_id,
+                  round(list_cosine_similarity(q.embedding,
+                    e.embedding)::DOUBLE, 4) AS score
+                FROM short s
+                JOIN embeddings e ON e.vec_id = s.neighbor_id
+                JOIN embeddings q ON q.vec_id = s.query_id)
+         SELECT query_id, neighbor_id, score, rank FROM (
+           SELECT *, row_number() OVER (PARTITION BY query_id
+             ORDER BY score DESC, neighbor_id ASC)::INT AS rank
+           FROM rr)
+         WHERE rank <= 5""",
     "ss6_label_centroids" ->
       """WITH u AS (
            SELECT label, unnest(embedding) AS x,

@@ -281,6 +281,39 @@ class ExtOpsSpec extends SparkSpec {
     assert(out.nonEmpty && out.forall(_ < 6), out.toString)
   }
 
+  test("pqAdcRerank: equals brute force when the shortlist covers the corpus; subset of shortlist otherwise") {
+    val rows = (0 until 12).map { i =>
+      val j = 0.01f * (i % 3)
+      val v = if (i < 6) Seq(1f, j, 1f, j) else Seq(j, 1f, j, 1f)
+      (i.toLong, v)
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val q = df.filter(col("vec_id") === 0)
+    val (codes, books) = SimilarityOps.pqTrain(df, m = 2, subDim = 2,
+      k = 2, iters = 2)
+    // shortlist >= corpus: the ADC stage filters nothing, so the exact
+    // re-rank must reproduce brute force (same kernel, same tiebreak)
+    val full = SimilarityOps.pqAdcRerank(q, df, codes, books,
+        shortlist = 12, topK = 3, m = 2, subDim = 2)
+      .select("neighbor_id", "rank").as[(Long, Int)].collect().toSet
+    val bf = SimilarityOps.bruteForceTopK(df, q, 3)
+      .select(col("neighbor_id"), col("rk").cast("int"))
+      .as[(Long, Int)].collect().toSet
+    assert(full == bf)
+    // narrow shortlist: final picks must come from the ADC shortlist
+    val short = SimilarityOps.pqAdcTopK(q, codes, books, topK = 4,
+        m = 2, subDim = 2)
+      .select("neighbor_id").as[Long].collect().toSet
+    val rr = SimilarityOps.pqAdcRerank(q, df, codes, books,
+        shortlist = 4, topK = 2, m = 2, subDim = 2)
+      .select("neighbor_id").as[Long].collect().toSet
+    assert(rr.subsetOf(short) && rr.size == 2)
+    intercept[IllegalArgumentException] {
+      SimilarityOps.pqAdcRerank(q, df, codes, books,
+        shortlist = 2, topK = 5, m = 2, subDim = 2)
+    }
+  }
+
   test("semanticDedup: exact copies drop within their cluster, originals survive") {
     val rows = (0 until 12).map { i =>
       val v = Array.fill(4)(0f)
