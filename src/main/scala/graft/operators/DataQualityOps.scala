@@ -156,6 +156,47 @@ object DataQualityOps {
       quarantine = t.filter(col("_quarantined")).drop("_quarantined"))
   }
 
+  /** Per-slice ROBUST outlier flags on an integer column: the k-MAD
+    * rule, |x − median| > k·MAD, with median and MAD as exact DISCRETE
+    * percentiles (members of the data, the q24 max-accuracy recipe) —
+    * so on an integer column the entire report is INTEGER arithmetic:
+    * no mean, no variance, no IEEE op at all. That buys two things a
+    * z-score can't give: 50% breakdown (the outliers themselves cannot
+    * drag the fence, where mean/σ fences chase their own tail — the
+    * reason robust statistics exist for dirty corpora) and bit-exact
+    * replay under any partitioning.
+    *
+    * Two aggregate passes by construction (a median of deviations
+    * needs the median first); each is one shuffle on the slice key
+    * with sketch partials map-side, and both stat frames are
+    * slice-cardinality-sized — broadcast back to the row stream, so
+    * the corpus itself shuffles ZERO times (it is scanned three times;
+    * at the scale where a re-scan outweighs the stat pass, persist the
+    * (slice, value) projection first). Max-accuracy percentile_approx
+    * buffers every distinct (value, count) per slice on the reducer —
+    * exactness is affordable precisely because values are INTEGER
+    * (bounded distinct set); for an unbounded-cardinality column,
+    * lower the accuracy and accept an approximate fence (the same
+    * sketch, the q24 knob). A zero-MAD slice (over
+    * half the values identical) flags any deviation from the median —
+    * the deterministic reading of k·MAD = 0, same convention as
+    * [[graft.operators.EventOps.anomalyFlags]]'s zero-variance case.
+    */
+  def robustOutliers(df: DataFrame, sliceCol: String, valueCol: String,
+                     k: Long = 5L): DataFrame = {
+    require(k > 0, s"k must be positive: $k")
+    val exact = lit(Int.MaxValue)
+    val med = df.groupBy(col(sliceCol))
+      .agg(percentile_approx(col(valueCol), lit(0.5), exact).as("med"))
+    val dev = df.join(broadcast(med), sliceCol)
+      .withColumn("adev", abs(col(valueCol) - col("med")))
+    val mad = dev.groupBy(col(sliceCol))
+      .agg(percentile_approx(col("adev"), lit(0.5), exact).as("mad"))
+    dev.join(broadcast(mad), sliceCol)
+      .withColumn("is_outlier", col("adev") > lit(k) * col("mad"))
+      .drop("adev")
+  }
+
   /** Per-slice quality report: the same exact-integer metrics grouped
     * by a slice key (source, shard, date...) — how a bad shard
     * surfaces before it poisons a training mix. One shuffle on the

@@ -239,6 +239,57 @@ object EventOps {
         col("trailing_sum"))
   }
 
+  /** Trailing-baseline anomaly flags: each event compared against the
+    * `windowSec`-second RANGE frame of the SAME key's PRIOR events
+    * (frame upper bound −1 s, so the event never baselines itself and
+    * same-second peers are excluded identically in any engine — the
+    * frame is defined by time distance, not row peers, so ties in the
+    * timestamp cannot reorder it). The test is the classic k-sigma
+    * rule |x − mean| > k·σ, but cross-multiplied to EXACT integers on
+    * cent-quantized values: with n = baseline count, s = Σcents,
+    * q = Σcents², flag iff (n·x − s)² > k²·(n·q − s²) — algebraically
+    * n²·(x−mean)² > k²·n·(n·Var), i.e. the same predicate with no
+    * division, no sqrt, and no float accumulation anywhere, so the
+    * report is bit-identical under any partitioning and replays
+    * exactly in the oracle (the gopherRules cross-multiplication
+    * discipline applied to streaming-shaped analytics). Events with
+    * fewer than `minBase` baseline points are never flagged
+    * (`enough_history` carries the reason in-band). A zero-variance
+    * baseline flags ANY deviation — the deterministic reading of
+    * k·σ = 0.
+    *
+    * One window shuffle on the key; count/sum/sum-of-squares share the
+    * single frame. Overflow headroom: every term is bounded by
+    * (n·max|cents|)², which must stay under 2⁶³ — i.e. keep
+    * n·max|cents| below 3·10⁹ (e.g. 10⁴ baseline events of ≤ $3000
+    * each); beyond that rescale the quantization first. ANSI mode
+    * faults loudly on the boundary rather than wrapping.
+    */
+  def anomalyFlags(events: DataFrame, windowSec: Long, k: Long = 3L,
+                   minBase: Long = 5L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(windowSec > 0 && k > 0 && minBase >= 1,
+      s"bad anomalyFlags params: windowSec=$windowSec k=$k minBase=$minBase")
+    val w = Window.partitionBy(col("user_id")).orderBy(col("_es"))
+      .rangeBetween(-windowSec, -1)
+    val lhsRoot = col("n_base") * col("cents") - col("_s")
+    val rhs = lit(k * k) *
+      (col("n_base") * col("_q") - col("_s") * col("_s"))
+    events
+      .select(col("event_id"), col("user_id"),
+        unix_timestamp(col("ts")).as("_es"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .withColumn("n_base", count(lit(1)).over(w))
+      .withColumn("_s", coalesce(sum(col("cents")).over(w), lit(0L)))
+      .withColumn("_q",
+        coalesce(sum(col("cents") * col("cents")).over(w), lit(0L)))
+      .select(col("event_id"), col("user_id"), col("_es").as("epoch_s"),
+        col("cents"), col("n_base"),
+        (col("n_base") >= minBase).as("enough_history"),
+        (col("n_base") >= minBase &&
+          lhsRoot * lhsRoot > rhs).as("flagged"))
+  }
+
   /** Partial-aggregate STATE of a keyed count/sum — the persistable
     * half of incremental view maintenance: an aggregate-sized table
     * (key, n, total) that [[mergeAggState]] can advance with new data

@@ -511,4 +511,60 @@ object GraphOps {
       .agg(count(lit(1)).as("deg"))
       .groupBy("deg")
       .agg(count(lit(1)).as("n_nodes"))
+
+  /** Link prediction over the UNDIRECTED graph: for every NON-adjacent
+    * pair (u < v) sharing at least `minCommon` common neighbors, the
+    * three classic structural scores — `cn` (common-neighbor count),
+    * `pa` (preferential attachment, du·dv) and `jaccard`
+    * (cn / (du + dv − cn)) — the "which near-duplicate/provenance link
+    * did the kNN build miss" query over a document graph. Scores
+    * needing a float SUM (Adamic–Adar's Σ 1/log deg) are deliberately
+    * absent: a merge-order-dependent accumulation can't be
+    * reproducibility-gated (the PageRank rationale); cn and pa are
+    * exact integers and jaccard is ONE IEEE division of exact longs
+    * (the ss13 recipe), so the whole report replays bit-identically.
+    *
+    * Scale shape — the dd12/tx38 posting-list pattern, not a
+    * neighborhood self-join: candidate pairs form MAP-SIDE from each
+    * wedge center's sorted neighbor list (posexplode + slice → u < v
+    * by construction), so the only exchanges are the degree attach,
+    * the per-center list aggregate, and the (u, v) count — wedge
+    * fan-out is d²/2 per center, bounded by `maxDegree` with the
+    * in-column raise_error guard (a bare assertion projection would be
+    * pruned unevaluated). Both endpoint degrees RIDE the neighbor
+    * structs from the edge-side join, so no post-count degree join
+    * exists — (u → du) is functionally dependent, grouping on it is
+    * free. On a degree-bounded graph (mutual-kNN: deg ≤ k) every term
+    * is O(k²·nodes). The final anti join against the edge set keeps
+    * only MISSING links — one orientation suffices since u < v and
+    * the edge set is symmetric.
+    */
+  def linkPrediction(edges: DataFrame, minCommon: Long = 1L,
+                     maxDegree: Int = 256): DataFrame = {
+    val e = undirected(edges)
+    val deg = e.groupBy(col("a").as("b")).agg(count(lit(1)).as("db"))
+    val ed = e.join(deg, Seq("b"))
+    val ns = sort_array(collect_list(struct(col("b"), col("db"))))
+    val guarded = when(size(ns) <= maxDegree, ns).otherwise(raise_error(
+      concat(lit("linkPrediction: a node has degree "),
+        size(ns).cast("string"),
+        lit(s", over maxDegree=$maxDegree — wedge expansion is d^2 per" +
+          " center; bound the graph (mutual-kNN) or raise maxDegree" +
+          " deliberately"))))
+    val pairs = ed.groupBy(col("a"))
+      .agg(guarded.as("ns"))
+      .select(posexplode(col("ns")).as(Seq("i", "x")), col("ns"))
+      .select(col("x"), explode(
+        slice(col("ns"), col("i") + 2, size(col("ns")))).as("y"))
+      .groupBy(col("x.b").as("u"), col("y.b").as("v"),
+        col("x.db").as("du"), col("y.db").as("dv"))
+      .agg(count(lit(1)).as("cn"))
+    pairs.filter(col("cn") >= minCommon)
+      .join(e.select(col("a").as("u"), col("b").as("v")),
+        Seq("u", "v"), "left_anti")
+      .select(col("u"), col("v"), col("cn"), col("du"), col("dv"),
+        (col("du") * col("dv")).as("pa"),
+        (col("cn").cast("double") /
+          (col("du") + col("dv") - col("cn")).cast("double")).as("jaccard"))
+  }
 }

@@ -53,7 +53,17 @@ object DataQualityQueries {
           .select(lit("_rows_quarantined").as("check_name"), col("n_rows")))
         .unionByName(split.keep.agg(count(lit(1)).as("n_rows"))
           .select(lit("_rows_kept").as("check_name"), col("n_rows")))
-    })
+    }),
+
+    // Robust per-slice outlier fences: |n_chars − median| > k·MAD per
+    // language, exact discrete percentiles so the whole report is
+    // integer arithmetic (no mean/σ for the outliers to drag). k=2 on
+    // the gated corpus flags the length tails in every language slice
+    // (~2–4% of rows) — both branches of is_outlier are exercised.
+    "dq4_robust_outliers" -> ((s, d) =>
+      DataQualityOps.robustOutliers(documents(s, d), "lang", "n_chars",
+          k = 2L)
+        .select("doc_id", "lang", "n_chars", "med", "mad", "is_outlier"))
   )
 
   val oracles: Map[String, String] = Map(
@@ -113,6 +123,20 @@ object DataQualityQueries {
          UNION ALL SELECT '_rows_quarantined', count(*)
            FROM v WHERE v_set OR v_min OR v_max
          UNION ALL SELECT '_rows_kept', count(*)
-           FROM v WHERE NOT (v_set OR v_min OR v_max)"""
+           FROM v WHERE NOT (v_set OR v_min OR v_max)""",
+    "dq4_robust_outliers" ->
+      """WITH med AS (
+           SELECT lang, quantile_disc(n_chars, 0.5)::BIGINT AS med
+           FROM documents GROUP BY lang),
+         dev AS (
+           SELECT d.doc_id, d.lang, d.n_chars, m.med,
+             abs(d.n_chars - m.med) AS adev
+           FROM documents d JOIN med m USING (lang)),
+         mad AS (
+           SELECT lang, quantile_disc(adev, 0.5)::BIGINT AS mad
+           FROM dev GROUP BY lang)
+         SELECT dev.doc_id, dev.lang, dev.n_chars, dev.med, mad.mad,
+           dev.adev > 2 * mad.mad AS is_outlier
+         FROM dev JOIN mad USING (lang)"""
   )
 }

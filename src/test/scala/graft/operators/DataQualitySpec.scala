@@ -96,6 +96,31 @@ class DataQualitySpec extends SparkSpec {
     assert(shuffles.isEmpty, s"tagging must not shuffle:\n$plan")
   }
 
+  test("robustOutliers: discrete median/MAD fences per slice, integer-exact") {
+    // slice a (odd count): med=3, adevs {2,1,0,1,97} -> mad=1; k=2
+    // fence = 2, so ONLY the 100 flags (adev 97 > 2; the 1s tie at 2)
+    // slice b (even count): {1,2,3,1000} -> discrete med = lower-mid 2
+    // (pins the even-n convention against DuckDB's quantile_disc);
+    // adevs {1,0,1,998} -> mad = 1 (sorted {0,1,1,998}, lower-mid)
+    val df = Seq(("a", 1L), ("a", 2L), ("a", 3L), ("a", 4L), ("a", 100L),
+      ("b", 1L), ("b", 2L), ("b", 3L), ("b", 1000L))
+      .toDF("slice", "v")
+    val out = robustOutliers(df, "slice", "v", k = 2L)
+      .select("slice", "v", "med", "mad", "is_outlier")
+      .as[(String, Long, Long, Long, Boolean)].collect().toSet
+    assert(out == Set(
+      ("a", 1L, 3L, 1L, false), ("a", 2L, 3L, 1L, false),
+      ("a", 3L, 3L, 1L, false), ("a", 4L, 3L, 1L, false),
+      ("a", 100L, 3L, 1L, true),
+      ("b", 1L, 2L, 1L, false), ("b", 2L, 2L, 1L, false),
+      ("b", 3L, 2L, 1L, false), ("b", 1000L, 2L, 1L, true)))
+    // zero-MAD slice: majority value identical — any deviation flags
+    val z = Seq(("c", 5L), ("c", 5L), ("c", 5L), ("c", 6L)).toDF("slice", "v")
+    val zo = robustOutliers(z, "slice", "v", k = 2L)
+      .filter(col("is_outlier")).select("v").as[Long].collect().toSeq
+    assert(zo == Seq(6L))
+  }
+
   test("duplicate row-check names are rejected") {
     intercept[IllegalArgumentException] {
       tagViolations(dirty, Seq(rowMin("len", 1L), rowMin("len", 2L)))

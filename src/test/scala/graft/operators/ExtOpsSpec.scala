@@ -103,6 +103,36 @@ class ExtOpsSpec extends SparkSpec {
     assert(out == Map(1L -> 1.0, 2L -> 3.0, 3L -> 6.0, 4L -> 8.0))
   }
 
+  test("anomalyFlags: integer k-sigma on the trailing frame, self excluded") {
+    val ts = (s: String) => java.sql.Timestamp.valueOf(s)
+    // user 10: steady 1.00s then a spike; user 20: thin history
+    val ev = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 10L, "c", 1.0),
+      (2L, ts("2024-01-01 10:05:00"), 10L, "c", 1.0),
+      (3L, ts("2024-01-01 10:10:00"), 10L, "c", 1.0),
+      (4L, ts("2024-01-01 10:15:00"), 10L, "c", 50.0), // spike, zero-var base
+      (5L, ts("2024-01-01 10:20:00"), 10L, "c", 1.0),  // base now has the spike
+      (6L, ts("2024-01-01 10:00:00"), 20L, "c", 9.9))  // no history
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val out = EventOps.anomalyFlags(ev, windowSec = 1800L, k = 2L,
+        minBase = 3L)
+      .select("event_id", "cents", "n_base", "enough_history", "flagged")
+      .as[(Long, Long, Long, Boolean, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(out(1L) == ((100L, 0L, false, false)))
+    assert(out(2L) == ((100L, 1L, false, false)))
+    assert(out(3L) == ((100L, 2L, false, false)))
+    // event 4: base {100,100,100}, zero variance, any deviation flags
+    assert(out(4L) == ((5000L, 3L, true, true)))
+    // event 5: base {100,100,100,5000} — n=4 s=5300 q=25030000;
+    // lhs=(4*100-5300)²=24010000; rhs=4*(4*25030000-5300²)=288040000
+    assert(out(5L) == ((100L, 4L, true, false)))
+    assert(out(6L) == ((990L, 0L, false, false)))
+    // model cross-check of the cross-multiplied predicate on event 5
+    val (n, x, s, q) = (4L, 100L, 5300L, 25030000L)
+    assert(((n * x - s) * (n * x - s) > 4 * (n * q - s * s)) == false)
+  }
+
   test("saltedJoin: equals the plain inner join, including duplicate keys") {
     val big = Seq((1L, "a"), (1L, "b"), (2L, "c"), (3L, "d"))
       .toDF("k", "v")

@@ -266,6 +266,50 @@ class GraphSpec extends SparkSpec {
     assert(one.length == 1 && one.head._4 == 0L && one.head._5 == 0.0)
   }
 
+  test("linkPrediction matches the neighbor-set model; adjacency and guard enforced") {
+    // Scala model: neighbor sets → all non-adjacent u<v pairs with
+    // cn >= minCommon, scored (cn, du, dv, pa, jaccard)
+    def model(edges: Seq[(Long, Long)], minCommon: Long)
+        : Map[(Long, Long), (Long, Long, Long, Long, Double)] = {
+      val und = (edges ++ edges.map(_.swap)).filter(e => e._1 != e._2).distinct
+      val nbr = und.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      val adj = und.toSet
+      val ids = nbr.keys.toSeq.sorted
+      (for {
+        u <- ids; v <- ids if u < v && !adj((u, v))
+        cn = (nbr(u) & nbr(v)).size.toLong if cn >= minCommon
+      } yield {
+        val (du, dv) = (nbr(u).size.toLong, nbr(v).size.toLong)
+        (u, v) -> ((cn, du, dv, du * dv, cn.toDouble / (du + dv - cn).toDouble))
+      }).toMap
+    }
+    val got = GraphOps.linkPrediction(handEdges, minCommon = 1L)
+      .as[(Long, Long, Long, Long, Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4, r._5, r._6, r._7))).toMap
+    assert(got == model(handEdges.as[(Long, Long)].collect().toSeq, 1L))
+    // hand spot-check: 1 and 4 are non-adjacent, share {2, 3} — the
+    // K4-minus-one missing link is the top Jaccard candidate
+    assert(got((1L, 4L))._1 == 2L)
+    assert(got((1L, 4L))._5 == 2.0 / (2 + 3 - 2).toDouble)
+    // deterministic pseudo-random graph: same model equality
+    val rnd = (1 to 400).map { i =>
+      val h = java.util.UUID.nameUUIDFromBytes(s"lp$i".getBytes)
+        .getLeastSignificantBits.abs
+      ((h % 40) + 1, ((h / 40) % 40) + 1)
+    }.filter(e => e._1 != e._2)
+    val gotR = GraphOps.linkPrediction(rnd.toDF("a", "b"), minCommon = 2L)
+      .as[(Long, Long, Long, Long, Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4, r._5, r._6, r._7))).toMap
+    assert(gotR == model(rnd, 2L) && gotR.nonEmpty)
+    // the degree guard fires in-column (star hub over maxDegree)
+    val star = (2L to 40L).map(i => (1L, i)).toDF("a", "b")
+    val ex = intercept[Exception] {
+      GraphOps.linkPrediction(star, maxDegree = 8).collect()
+    }
+    assert(ex.getMessage.contains("over maxDegree") ||
+      ex.getCause != null && ex.getCause.getMessage.contains("over maxDegree"))
+  }
+
   test("gated lanes keep storage flat across invocations (Leases swap)") {
     // the round-9 leak: each bench/verify invocation of a *Releasable-
     // backed lane parked nothing, so the final checkpoint accumulated
