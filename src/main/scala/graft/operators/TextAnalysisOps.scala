@@ -620,6 +620,98 @@ object TextAnalysisOps {
     low.unionByName(boundary).drop("_h", "_b", "_bstar", "_quota")
   }
 
+  /** [[mixToBudget]] with DATA-DERIVED budgets: `budgetDf` is a
+    * (strataCol, _budget) frame instead of a driver-side literal map —
+    * the form a computed mix (e.g. [[temperatureMix]]) needs, where
+    * budgets fall out of an aggregate over the corpus itself and never
+    * touch the driver. Identical keep semantics and histogram-cutoff
+    * plan; the budget attach is a broadcast join onto the ≤ 256-row-
+    * per-stratum histogram (strata-sized — tiny by construction), not
+    * onto the corpus. Strata ABSENT from `budgetDf` are unbudgeted and
+    * keep everything (the under-budget path), matching `mixToBudget`'s
+    * behavior for strata under their line.
+    */
+  def mixToBudgetDf(df: DataFrame, idCol: String, strataCol: String,
+                    weightCol: String, budgetDf: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val withB = df
+      .withColumn("_h", md5(col(idCol).cast("string")))
+      .withColumn("_b", conv(substring(col("_h"), 1, 2), 16, 10)
+        .cast("int"))
+    val hist = withB.groupBy(col(strataCol), col("_b"))
+      .agg(sum(col(weightCol).cast("long")).as("_s"))
+      .join(broadcast(budgetDf.select(col(strataCol),
+        col("_budget").cast("long").as("_budget"))), Seq(strataCol))
+    val wb = Window.partitionBy(col(strataCol)).orderBy(col("_b").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val bounds = hist.withColumn("_cum", sum("_s").over(wb))
+      .filter(col("_cum") > col("_budget"))
+      .groupBy(col(strataCol)).agg(
+        min_by(struct(col("_b"), col("_cum"), col("_s")), col("_b"))
+          .as("_bd"),
+        min(col("_budget")).as("_budget"))
+      .select(col(strataCol).as("_k2"), col("_bd._b").as("_bstar"),
+        (col("_budget") - (col("_bd._cum") - col("_bd._s")))
+          .as("_quota"))
+    val joined = withB.join(bounds, col(strataCol) <=> col("_k2"),
+      "left").drop("_k2")
+    val low = joined
+      .filter(col("_bstar").isNull || col("_b") < col("_bstar"))
+    val wr = Window.partitionBy(col(strataCol))
+      .orderBy(col("_h").asc, col(idCol).asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val boundary = joined.filter(col("_b") === col("_bstar"))
+      .withColumn("_run", sum(col(weightCol).cast("long")).over(wr))
+      .filter(col("_run") <= col("_quota"))
+      .drop("_run")
+    low.unionByName(boundary).drop("_h", "_b", "_bstar", "_quota")
+  }
+
+  /** Temperature-scaled source mixing (the multilingual-pretraining
+    * mix rule): each stratum's TOKEN budget is proportional to
+    * `tokens^α`, α = `alphaPct`/100 — α = 1 reproduces natural
+    * proportions, α = 0 splits the budget uniformly, and the classic
+    * α = 0.5 (the default) up-weights small sources at the expense of
+    * dominant ones. Budgets are derived IN-PLAN from one strata-sized
+    * aggregate (corpus scanned once for totals, once for the mix;
+    * nothing collects to the driver) and applied via
+    * [[mixToBudgetDf]]'s histogram cutoff, so the dominant stratum —
+    * the very thing temperature mixing exists to tame — never pays a
+    * full sort.
+    *
+    * Determinism: weights are quantized to integer 1e-6 units
+    * immediately after the ONE float op (`tokens^α`), so the share
+    * arithmetic `total·w div Σw` is exact-integer and
+    * partition-invariant. At α = 0.5 that float op is `sqrt`,
+    * correctly rounded in IEEE 754 and thus bit-identical across
+    * engines — the oracle-safe setting. Other α go through `pow`,
+    * which libms round differently in the last ulp; same-engine runs
+    * are still deterministic, but cross-engine replay of a
+    * quantization TIE is not guaranteed — gate such lanes at α = 0.5
+    * or verify the tie margin. Overflow bound: totalBudget · wq must
+    * stay under 2⁶³ (wq ≈ 10⁶·tokens^α — at α = 0.5 that allows
+    * budgets past 10¹² tokens against exabyte strata).
+    */
+  def temperatureMix(df: DataFrame, idCol: String, strataCol: String,
+                     weightCol: String, totalBudget: Long,
+                     alphaPct: Int = 50): DataFrame = {
+    require(totalBudget > 0, s"totalBudget must be positive: $totalBudget")
+    require(alphaPct >= 0 && alphaPct <= 100,
+      s"alphaPct must be in [0,100]: $alphaPct")
+    val toks = df.groupBy(col(strataCol))
+      .agg(sum(col(weightCol).cast("long")).as("_tok"))
+    val scaled =
+      if (alphaPct == 50) sqrt(col("_tok").cast("double"))
+      else pow(col("_tok").cast("double"), lit(alphaPct / 100.0))
+    val wq = toks.withColumn("_wq",
+      round(scaled * 1000000d).cast("long"))
+    val tot = wq.agg(sum(col("_wq")).as("_wsum"))
+    val budgets = wq.crossJoin(broadcast(tot))
+      .select(col(strataCol),
+        expr(s"($totalBudget * _wq) div _wsum").as("_budget"))
+    mixToBudgetDf(df, idCol, strataCol, weightCol, budgets)
+  }
+
   /** TF-IDF term weighting: per-(doc, term) frequency × log inverse
     * document frequency, the classic relevance/keyword-extraction
     * score. `minTf` keeps the output to terms that matter in a doc.

@@ -1,7 +1,8 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{col, count, lit}
+import org.apache.spark.sql.functions.{broadcast, col, count, expr, lit,
+  sum, unix_timestamp, when, window}
 import graft.streaming.{StreamParity, StreamingOps}
 
 /** Oracle-gated drains of the Structured Streaming surface (st*).
@@ -134,7 +135,51 @@ object StreamParityQueries {
     // row per user; (user_id, ts) is unique on the corpus so the
     // producer-retry fingerprint tiebreak never decides). See
     // StreamParity.upsertParity.
-    "st10_stream_upsert" -> ((s, d) => StreamParity.upsertParity(s, d))
+    "st10_stream_upsert" -> ((s, d) => StreamParity.upsertParity(s, d)),
+
+    // Streaming heavy hitters: the MG sketch IS the streaming state
+    // (≤ k entries per open window vs per-distinct-item state of a
+    // plain groupBy). Sketch CONTENT is merge-order-sensitive; the
+    // CONTRACT is not — any item above n/(k+1) per finalized window is
+    // present, estimates undercount by ≤ n/(k+1) and never overcount —
+    // so the gated surface is the tx43/tx5 shape: exact counts of the
+    // frequent items (SQL-replayable) plus the contract booleans the
+    // oracle asserts as literal TRUE, all cross-multiplied to exact
+    // integers. Item skew (every 5th user folded to 'hot', ~20% of
+    // events vs the n/9 = 11% threshold) guarantees a frequent item
+    // per window, and ~120 distinct items/window against capacity 8
+    // keeps EVICTION constantly exercised — a sketch that never evicts
+    // verifies nothing (the tx46 8×2 lesson).
+    "st11_stream_heavy" -> ((s, d) => {
+      val k = 8
+      val item = when(col("user_id") % 5 === 0, lit("hot"))
+        .otherwise(col("user_id").cast("string")).as("item")
+      val drained = StreamParity.drainAppend(
+        StreamingOps.heavyHittersStream(
+          StreamParity.eventsStream(s, d).select(item, col("ts")),
+          "item", "ts", "1 day", k = k, watermark = WM))
+      val ev = graft.Tables.events(s, d).select(item, col("ts"))
+      val winStart = unix_timestamp(
+        window(col("ts"), "1 day").getField("start"))
+      val wmF = ev.agg(expr(
+        "unix_micros(max(ts)) div 1000 * 1000 - 7200000000").as("wm_us"))
+      val perItem = ev.groupBy(winStart.as("win_start"), col("item"))
+        .agg(count(lit(1)).as("exact_count"))
+      val perWin = perItem.groupBy("win_start")
+        .agg(sum("exact_count").as("n"))
+      val est = col("est")
+      perItem
+        .join(broadcast(perWin), "win_start")
+        .crossJoin(broadcast(wmF))
+        .filter((col("win_start") + 86400L) * 1000000L <= col("wm_us"))
+        .filter(col("exact_count") * (k + 1) > col("n"))
+        .join(drained, Seq("win_start", "item"), "left")
+        .select(col("win_start"), col("item"), col("exact_count"),
+          est.isNotNull.as("guaranteed_present"),
+          (est.isNotNull && est <= col("exact_count") &&
+            (col("exact_count") - est) * (k + 1) <= col("n"))
+            .as("est_within_bound"))
+    })
   )
 
   val oracles: Map[String, String] = Map(
@@ -223,6 +268,23 @@ object StreamParityQueries {
              row_number() OVER (PARTITION BY user_id
                ORDER BY ts DESC) AS rn
            FROM events)
-         WHERE rn = 1"""
+         WHERE rn = 1""",
+    // the MG contract per finalized window is provable from exact SQL
+    // alone, so both sketch-side booleans are asserted literal TRUE
+    "st11_stream_heavy" ->
+      s"""WITH $WmCte,
+         it AS (SELECT CASE WHEN user_id % 5 = 0 THEN 'hot'
+                       ELSE user_id::VARCHAR END AS item,
+                  (floor(epoch(ts))::BIGINT // 86400) * 86400 AS win_start
+                FROM events),
+         fin AS (SELECT item, win_start FROM it, wm
+                 WHERE (win_start + 86400) * 1000000 <= wm_us),
+         ex AS (SELECT win_start, item, count(*) AS exact_count
+                FROM fin GROUP BY 1, 2),
+         tot AS (SELECT win_start, count(*) AS n FROM fin GROUP BY 1)
+         SELECT e.win_start, e.item, e.exact_count,
+           TRUE AS guaranteed_present, TRUE AS est_within_bound
+         FROM ex e JOIN tot t USING (win_start)
+         WHERE e.exact_count * 9 > t.n"""
   )
 }

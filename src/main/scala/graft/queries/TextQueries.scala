@@ -253,6 +253,21 @@ object TextQueries {
         .select("source", "doc_id", "n_tokens")
     }),
 
+    // Temperature mixing (α = 0.5): per-source token budgets ∝
+    // sqrt(source tokens), derived in-plan and applied through the
+    // histogram cutoff — sqrt is correctly-rounded IEEE so the
+    // quantized integer weights replay bit-exactly (pow would not;
+    // see temperatureMix scaladoc). total=6000 against a ~25k-token
+    // corpus cuts EVERY source at sf0.01 (and deeper at sf0.1), so
+    // the budget arithmetic is load-bearing for each stratum.
+    "tx47_temperature_mix" -> ((s, d) => {
+      val docs = documents(s, d)
+        .withColumn("n_tokens", size(split(col("text"), " ")))
+      TextAnalysisOps.temperatureMix(docs, "doc_id", "source",
+          "n_tokens", totalBudget = 6000L, alphaPct = 50)
+        .select("source", "doc_id", "n_tokens")
+    }),
+
     // Weighted sampling without replacement (Efraimidis–Spirakis):
     // exactly 5 docs per source, drawn proportionally to token count,
     // deterministic via the md5 uniform — replayed exactly in DuckDB.
@@ -802,6 +817,24 @@ object TextQueries {
          WHERE run <= CASE source WHEN 'src0' THEN 3000
                                   WHEN 'src1' THEN 1500
                                   ELSE 2000 END""",
+    "tx47_temperature_mix" ->
+      """WITH w AS (SELECT doc_id, source,
+                      len(string_split(text, ' ')) AS n_tokens,
+                      md5(doc_id::VARCHAR) AS h
+                    FROM documents),
+         tok AS (SELECT source, sum(n_tokens)::BIGINT AS tk
+                 FROM w GROUP BY source),
+         wq AS (SELECT source,
+                  round(sqrt(tk::DOUBLE) * 1000000)::BIGINT AS q
+                FROM tok),
+         tot AS (SELECT sum(q)::BIGINT AS qs FROM wq),
+         bud AS (SELECT source, (6000 * q) // qs AS b FROM wq, tot),
+         r AS (SELECT source, doc_id, n_tokens,
+                 sum(n_tokens) OVER (PARTITION BY source
+                   ORDER BY h, doc_id ROWS UNBOUNDED PRECEDING) AS run
+               FROM w)
+         SELECT r.source, r.doc_id, r.n_tokens
+         FROM r JOIN bud USING (source) WHERE run <= b""",
     "tx16_weighted_sample" ->
       """WITH w AS (SELECT doc_id, source,
                       len(string_split(text, ' ')) AS n_tokens,

@@ -1296,6 +1296,61 @@ class ExtOpsSpec extends SparkSpec {
     assert(out == expected && out.nonEmpty)
   }
 
+  test("temperatureMix: sqrt-share budgets, greedy model equality; alpha edges") {
+    // strata with 9:1 token skew so temperature visibly reweights
+    val rows = (1L to 45L).map(i => (i, "big", 10L)) ++
+      (101L to 105L).map(i => (i, "small", 10L))
+    val df = rows.toDF("doc_id", "src", "wt")
+    def hex(id: Long) = java.security.MessageDigest.getInstance("MD5")
+      .digest(id.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def model(alpha: Double, total: Long): Set[Long] = {
+      val toks = rows.groupBy(_._2).view.mapValues(_.map(_._3).sum).toMap
+      val wq = toks.view.mapValues(t =>
+        math.round(math.pow(t.toDouble, alpha) * 1000000d)).toMap
+      val wsum = wq.values.sum
+      rows.groupBy(_._2).flatMap { case (src, rs) =>
+        val budget = total * wq(src) / wsum
+        var run = 0L
+        rs.sortBy(r => (hex(r._1), r._1)).takeWhile { r =>
+          run += r._3; run <= budget
+        }.map(_._1)
+      }.toSet
+    }
+    val out = TextAnalysisOps.temperatureMix(df, "doc_id", "src", "wt",
+      totalBudget = 200L, alphaPct = 50)
+      .select("doc_id").as[Long].collect().toSet
+    assert(out == model(0.5, 200L) && out.nonEmpty)
+    // alpha = 0.5 gives 'small' a 3x-over-natural share: sqrt(450) vs
+    // sqrt(50) is 3:1, not 9:1 — both strata are cut, and small keeps
+    // proportionally more than its 10% of tokens
+    val kept = TextAnalysisOps.temperatureMix(df, "doc_id", "src", "wt",
+      totalBudget = 200L, alphaPct = 50)
+      .groupBy("src").agg(sum(col("wt")).as("t"))
+      .as[(String, Long)].collect().toMap
+    assert(kept("small") > 200L / 10 && kept("big") < 200L * 9 / 10)
+    // alpha = 100: natural proportions (pow(x,1) = x exactly)
+    assert(TextAnalysisOps.temperatureMix(df, "doc_id", "src", "wt",
+      totalBudget = 200L, alphaPct = 100)
+      .select("doc_id").as[Long].collect().toSet == model(1.0, 200L))
+    // alpha = 0: uniform split (pow(x,0) = 1 exactly)
+    assert(TextAnalysisOps.temperatureMix(df, "doc_id", "src", "wt",
+      totalBudget = 200L, alphaPct = 0)
+      .select("doc_id").as[Long].collect().toSet == model(0.0, 200L))
+    // mixToBudgetDf with explicit budgets == mixToBudget literal map
+    val budgets = Seq(("big", 100L), ("small", 60L)).toDF("src", "_budget")
+    assert(TextAnalysisOps.mixToBudgetDf(df, "doc_id", "src", "wt", budgets)
+        .select("doc_id").as[Long].collect().toSet ==
+      TextAnalysisOps.mixToBudget(df, "doc_id", "src", "wt",
+        Map("big" -> 100L, "small" -> 60L), defaultBudget = 0L)
+        .select("doc_id").as[Long].collect().toSet)
+    // a stratum absent from budgetDf keeps everything
+    val onlyBig = Seq(("big", 100L)).toDF("src", "_budget")
+    val keptSmall = TextAnalysisOps
+      .mixToBudgetDf(df, "doc_id", "src", "wt", onlyBig)
+      .filter(col("src") === "small").count()
+    assert(keptSmall == 5L)
+  }
+
   test("weightedSample: exact-k E-S draw equals the window formulation; w<=0 excluded") {
     val docs = (1L to 100L)
       .map(i => (i, if (i % 2 == 0) "a" else "b", (i % 7).toInt)) // w=0 every 7th
