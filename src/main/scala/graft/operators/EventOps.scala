@@ -105,6 +105,54 @@ object EventOps {
       .agg(count(col("c_user")).as("n_clicks"))
   }
 
+  /** Interval-overlap join with NO equality key — the case [[bandJoin]]
+    * cannot express (there, `user_id` carries the shuffle; here nothing
+    * does, and a naive formulation is a broadcast-nested-loop over the
+    * full cross product). Inputs are half-open integer intervals:
+    * `a(a_start, a_end, …)` × `b(b_start, b_end, …)`, emit every pair
+    * with `a_start < b_end AND b_start < a_end`.
+    *
+    * Scale shape — bin replication, the standard distributed range-join
+    * lowering: each interval is exploded to the `binSec`-sized time
+    * bins it covers (a `sequence` explode — narrow, no shuffle), the
+    * join runs as a plain EQUI join on the bin id, and each surviving
+    * pair is emitted EXACTLY ONCE by keeping it only in the canonical
+    * bin containing `greatest(a_start, b_start)` — a point that lies in
+    * the intersection, hence in exactly one bin both sides replicated
+    * to (the dd15 emit-once discipline, so no distinct exchange
+    * downstream). Shuffle volume is rows × replication where
+    * replication ≈ interval_length/binSec + 1: pick binSec near the
+    * TYPICAL interval length (~2× replication); the in-column
+    * `maxBinsPerInterval` guard fails loudly when an outlier interval
+    * would fan out past it (the sourceOverlap idiom — a degenerate
+    * month-long interval silently exploding to 10⁵ bins is how this
+    * pattern dies at scale; cap it, or split the long-interval stratum
+    * to a broadcast side first). Bin-id skew (rush-hour bins) is AQE's
+    * skew-join case, same as any hot equi key.
+    */
+  def intervalOverlapJoin(a: DataFrame, b: DataFrame, binSec: Long,
+                          maxBinsPerInterval: Int = 64): DataFrame = {
+    require(binSec > 0, s"binSec must be positive: $binSec")
+    def binned(df: DataFrame, s: String, e: String): DataFrame = {
+      val lo = expr(s"$s div $binSec")
+      val hi = expr(s"($e - 1) div $binSec")
+      val guarded = when(hi - lo < maxBinsPerInterval,
+        sequence(lo, hi)).otherwise(raise_error(
+        concat(lit("intervalOverlapJoin: an interval spans "),
+          (hi - lo + 1).cast("string"),
+          lit(s" bins, over maxBinsPerInterval=$maxBinsPerInterval —" +
+            " raise binSec or route long intervals separately"))))
+      df.withColumn("_bin", explode(guarded))
+    }
+    val ab = binned(a, "a_start", "a_end")
+    val bb = binned(b, "b_start", "b_end")
+    ab.join(bb, ab("_bin") === bb("_bin") &&
+        col("a_start") < col("b_end") && col("b_start") < col("a_end") &&
+        ab("_bin") ===
+          expr(s"greatest(a_start, b_start) div $binSec"))
+      .drop("_bin")
+  }
+
   /** JSON property extraction + aggregation (the `props` column is a JSON
     * string; extraction stays codegen'd via get_json_object).
     */

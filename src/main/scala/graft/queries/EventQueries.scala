@@ -23,6 +23,32 @@ object EventQueries {
     // Banded range join: clicks within 30 minutes before each purchase.
     "ev7_band_join" -> ((s, d) =>
       EventOps.bandJoin(events(s, d), "30 minutes")),
+
+    // Interval-overlap join with NO equi key (the case ev7 can't
+    // express): per-(user, day) activity spans × corpus-wide "busy
+    // hour" intervals (hours at >1.15x the mean rate — the threshold is
+    // cross-multiplied integers, so it discriminates at every scale).
+    // Lowered to a bin-replicated EQUI join with emit-once pair
+    // dedup — never a nested-loop product.
+    "ev19_interval_join" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val e = events(s, d).select(col("user_id"),
+        unix_timestamp(col("ts")).as("es"))
+      val spans = e.groupBy(col("user_id"), expr("es div 86400").as("day"))
+        .agg(min(col("es")).as("a_start"),
+          (max(col("es")) + 1L).as("a_end"))
+      val hours = e.groupBy(expr("(es div 3600) * 3600").as("b_start"))
+        .agg(count(lit(1)).as("n_events"))
+      val tot = hours.agg(sum("n_events").as("_tot"),
+        count(lit(1)).as("_h"))
+      val busy = hours.crossJoin(broadcast(tot))
+        .filter(col("n_events") * col("_h") * 20 > col("_tot") * 23)
+        .select(col("b_start"), (col("b_start") + 3600L).as("b_end"),
+          col("n_events"))
+      EventOps.intervalOverlapJoin(spans, busy, binSec = 21600L)
+        .select("user_id", "day", "a_start", "a_end", "b_start",
+          "n_events")
+    }),
     // Spark-4 VARIANT path for semi-structured props: parse_json →
     // typed variant_get, then bucket agg (the engine-native JSON lane;
     // ev5 is the json_extract string lane).
@@ -170,6 +196,24 @@ object EventQueries {
              RANGE BETWEEN 1800 PRECEDING AND CURRENT ROW), 2)
              AS trailing_sum
          FROM events""",
+    "ev19_interval_join" ->
+      """WITH e AS (
+           SELECT user_id, floor(epoch(ts))::BIGINT AS es FROM events),
+         spans AS (
+           SELECT user_id, es // 86400 AS day, min(es) AS a_start,
+             max(es) + 1 AS a_end
+           FROM e GROUP BY 1, 2),
+         hours AS (
+           SELECT (es // 3600) * 3600 AS b_start, count(*) AS n_events
+           FROM e GROUP BY 1),
+         tot AS (SELECT sum(n_events)::BIGINT AS t, count(*) AS h
+                 FROM hours),
+         busy AS (SELECT b_start, b_start + 3600 AS b_end, n_events
+                  FROM hours, tot WHERE n_events * h * 20 > t * 23)
+         SELECT s.user_id, s.day, s.a_start, s.a_end, b.b_start,
+           b.n_events
+         FROM spans s JOIN busy b
+           ON s.a_start < b.b_end AND b.b_start < s.a_end""",
     "ev18_anomaly" ->
       """WITH e AS (
            SELECT event_id, user_id, floor(epoch(ts))::BIGINT AS epoch_s,

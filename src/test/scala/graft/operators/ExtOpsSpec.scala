@@ -103,6 +103,38 @@ class ExtOpsSpec extends SparkSpec {
     assert(out == Map(1L -> 1.0, 2L -> 3.0, 3L -> 6.0, 4L -> 8.0))
   }
 
+  test("intervalOverlapJoin: equals the predicate join, each pair exactly once") {
+    // intervals crafted to cross bin boundaries (bin = 10): containment,
+    // partial overlap both sides, touch-at-endpoint (half-open: NO
+    // match), disjoint, multi-bin span
+    val a = Seq((1L, 0L, 25L), (2L, 12L, 18L), (3L, 30L, 40L),
+      (4L, 5L, 6L)).toDF("a_id", "a_start", "a_end")
+    val b = Seq((10L, 8L, 15L), (20L, 18L, 30L), (30L, 40L, 50L),
+      (40L, 3L, 4L)).toDF("b_id", "b_start", "b_end")
+    val got = EventOps.intervalOverlapJoin(a, b, binSec = 10L)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSeq
+    val expected = a.crossJoin(b)
+      .filter(col("a_start") < col("b_end") && col("b_start") < col("a_end"))
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSeq
+    // same SET and same SIZE: emit-once means no duplicate pairs even
+    // when the overlap spans several shared bins
+    assert(got.sorted == expected.sorted && got.size == got.distinct.size)
+    // (1,40): b40=[3,4) contained in a1; (3,20): a3=[30,40) only
+    // TOUCHES b20=[18,30) at the endpoint — half-open excludes it
+    assert(got.toSet ==
+      Set((1L, 10L), (1L, 20L), (1L, 40L), (2L, 10L)))
+    assert(!got.contains((3L, 30L)) && !got.contains((3L, 20L)))
+    // the bin-fan-out guard fires in-column
+    val long = Seq((9L, 0L, 10000L)).toDF("a_id", "a_start", "a_end")
+    val ex = intercept[Exception] {
+      EventOps.intervalOverlapJoin(long, b, binSec = 10L,
+        maxBinsPerInterval = 16).collect()
+    }
+    assert(ex.getMessage.contains("over maxBinsPerInterval") ||
+      ex.getCause != null &&
+        ex.getCause.getMessage.contains("over maxBinsPerInterval"))
+  }
+
   test("anomalyFlags: integer k-sigma on the trailing frame, self excluded") {
     val ts = (s: String) => java.sql.Timestamp.valueOf(s)
     // user 10: steady 1.00s then a spike; user 20: thin history
