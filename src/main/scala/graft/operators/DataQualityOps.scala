@@ -197,6 +197,53 @@ object DataQualityOps {
       .drop("adev")
   }
 
+  /** Cross-snapshot profile drift: [[graft.operators.TransformOps
+    * .columnProfile]] run on two drops of the same table, joined per
+    * column, with drift verdicts — the "did the new crawl silently
+    * change shape" gate a pipeline runs before retraining on a fresh
+    * snapshot (schema-stable drift: null-rate shifts, cardinality
+    * jumps, range changes — the failures a row-level suite like dq1
+    * can't see because every individual row is valid).
+    *
+    * Each profile is ONE scan of its snapshot (columnProfile's single
+    * multi-distinct agg); the join is cols-sized. Verdicts are
+    * integer-cross-multiplied (the gopherRules discipline): null-rate
+    * drift compares |nulls_new·rows_old − nulls_old·rows_new|·1000
+    * against maxPermille·rows_old·rows_new — no rate is ever divided,
+    * so the report replays bit-exactly. Overflow bound: that triple
+    * product needs rows ≤ ~10⁹ per snapshot; beyond, pre-aggregate
+    * rates to a coarser integer scale first. Distinct drift is
+    * relative to the OLD cardinality; range drift is a null-safe
+    * min/max change (strings compare bytewise in both engines).
+    * Empty-old edge: the cross-multiplied rate test is vacuous at
+    * rows_old = 0 (both sides zero), but dist_old = 0 trips the
+    * distinct test on ANY new value and the null-safe range test trips
+    * on null→value — an appeared-from-nothing column still reads as
+    * drifted.
+    */
+  def profileDrift(oldDf: DataFrame, newDf: DataFrame, cols: Seq[String],
+                   maxPermille: Long = 50L): DataFrame = {
+    require(maxPermille > 0, s"maxPermille must be positive: $maxPermille")
+    def side(df: DataFrame, tag: String): DataFrame =
+      TransformOps.columnProfile(df, cols).select(col("column"),
+        col("n_rows").as(s"rows_$tag"), col("n_nulls").as(s"nulls_$tag"),
+        col("n_distinct").as(s"dist_$tag"),
+        col("min_value").as(s"min_$tag"), col("max_value").as(s"max_$tag"))
+    side(oldDf, "old").join(side(newDf, "new"), "column")
+      .withColumn("null_rate_drift",
+        abs(col("nulls_new") * col("rows_old") -
+          col("nulls_old") * col("rows_new")) * 1000L >
+          lit(maxPermille) * col("rows_old") * col("rows_new"))
+      .withColumn("distinct_drift",
+        abs(col("dist_new") - col("dist_old")) * 1000L >
+          lit(maxPermille) * col("dist_old"))
+      .withColumn("range_drift",
+        !(col("min_new") <=> col("min_old")) ||
+          !(col("max_new") <=> col("max_old")))
+      .withColumn("drifted", col("null_rate_drift") ||
+        col("distinct_drift") || col("range_drift"))
+  }
+
   /** Per-slice quality report: the same exact-integer metrics grouped
     * by a slice key (source, shard, date...) — how a bad shard
     * surfaces before it poisons a training mix. One shuffle on the

@@ -55,6 +55,26 @@ object DataQualityQueries {
           .select(lit("_rows_kept").as("check_name"), col("n_rows")))
     }),
 
+    // Cross-snapshot profile drift, on the tx42 snapshot derivation
+    // (old = ids not divisible by 7; new = ids not divisible by 5,
+    // every 11th text modified) plus nulled lang on every 13th id so
+    // the null-rate test has something to catch. At 5% permille-
+    // threshold the gated corpus drifts on doc_id/text (cardinality +
+    // range), lang (nulls + range) and leaves n_chars/source range-only
+    // or clean — every verdict column fires both ways.
+    "dq5_profile_drift" -> ((s, d) => {
+      val docs = documents(s, d)
+      val oldSnap = docs.filter(col("doc_id") % 7 =!= 0)
+      val newSnap = docs.filter(col("doc_id") % 5 =!= 0)
+        .withColumn("text", when(col("doc_id") % 11 === 0,
+          concat(col("text"), lit(" mod"))).otherwise(col("text")))
+        .withColumn("lang", when(col("doc_id") % 13 === 0,
+          lit(null).cast("string")).otherwise(col("lang")))
+      DataQualityOps.profileDrift(oldSnap, newSnap,
+        Seq("doc_id", "text", "lang", "source", "n_chars"),
+        maxPermille = 50L)
+    }),
+
     // Robust per-slice outlier fences: |n_chars − median| > k·MAD per
     // language, exact discrete percentiles so the whole report is
     // integer arithmetic (no mean/σ for the outliers to drag). k=2 on
@@ -66,7 +86,45 @@ object DataQualityQueries {
         .select("doc_id", "lang", "n_chars", "med", "mad", "is_outlier"))
   )
 
+  /** One profile row per column over snapshot CTE `src`, tagged
+    * old/new — the DuckDB twin of columnProfile's single-agg sweep. */
+  private def profileSql(src: String, tag: String,
+                         cols: Seq[String]): String =
+    cols.map(c =>
+      s"""SELECT '$c' AS "column", count(*) AS rows_$tag,
+            count(*) - count($c) AS nulls_$tag,
+            count(DISTINCT $c) AS dist_$tag,
+            min($c)::VARCHAR AS min_$tag, max($c)::VARCHAR AS max_$tag
+          FROM $src""").mkString(" UNION ALL ")
+
   val oracles: Map[String, String] = Map(
+    "dq5_profile_drift" -> {
+      val cols = Seq("doc_id", "text", "lang", "source", "n_chars")
+      s"""WITH o AS (SELECT * FROM documents WHERE doc_id % 7 <> 0),
+         n AS (SELECT doc_id,
+                 CASE WHEN doc_id % 11 = 0 THEN text || ' mod'
+                      ELSE text END AS text,
+                 CASE WHEN doc_id % 13 = 0 THEN NULL
+                      ELSE lang END AS lang,
+                 source, n_chars
+               FROM documents WHERE doc_id % 5 <> 0),
+         po AS (${profileSql("o", "old", cols)}),
+         pn AS (${profileSql("n", "new", cols)})
+         SELECT po.*, pn.rows_new, pn.nulls_new, pn.dist_new,
+           pn.min_new, pn.max_new,
+           abs(pn.nulls_new * po.rows_old - po.nulls_old * pn.rows_new)
+             * 1000 > 50 * po.rows_old * pn.rows_new AS null_rate_drift,
+           abs(pn.dist_new - po.dist_old) * 1000
+             > 50 * po.dist_old AS distinct_drift,
+           (pn.min_new IS DISTINCT FROM po.min_old) OR
+             (pn.max_new IS DISTINCT FROM po.max_old) AS range_drift,
+           (abs(pn.nulls_new * po.rows_old - po.nulls_old * pn.rows_new)
+              * 1000 > 50 * po.rows_old * pn.rows_new) OR
+             (abs(pn.dist_new - po.dist_old) * 1000 > 50 * po.dist_old) OR
+             (pn.min_new IS DISTINCT FROM po.min_old) OR
+             (pn.max_new IS DISTINCT FROM po.max_old) AS drifted
+         FROM po JOIN pn USING ("column")"""
+    },
     "dq1_constraints" ->
       """WITH m AS (SELECT
            count(*)::DOUBLE AS size,

@@ -121,6 +121,32 @@ class DataQualitySpec extends SparkSpec {
     assert(zo == Seq(6L))
   }
 
+  test("profileDrift: per-column verdicts, identical snapshots are clean") {
+    val oldDf = Seq((1L, Some("a"), 10L), (2L, Some("b"), 20L),
+      (3L, Some("c"), 30L), (4L, Some("d"), 40L)).toDF("id", "tag", "v")
+    // new drop: one row gone, tag nulled on another (25% null rate),
+    // v range shrunk
+    val newDf = Seq((1L, Some("a"), 10L), (2L, None: Option[String], 20L),
+      (3L, Some("c"), 30L)).toDF("id", "tag", "v")
+    val out = DataQualityOps.profileDrift(oldDf, newDf,
+        Seq("id", "tag", "v"), maxPermille = 100L)
+      .select("column", "null_rate_drift", "distinct_drift",
+        "range_drift", "drifted")
+      .as[(String, Boolean, Boolean, Boolean, Boolean)]
+      .collect().map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    // id: dist 4→3 = 25% > 10%; max 4→3
+    assert(out("id") == ((false, true, true)))
+    // tag: null rate 0→1/3 > 10%; dist 4→2 = 50%; max 'd'→'c'
+    assert(out("tag") == ((true, true, true)))
+    // v: no nulls; dist 4→3; max 40→30
+    assert(out("v") == ((false, true, true)))
+    // identical snapshots: every verdict false, including drifted
+    val clean = DataQualityOps.profileDrift(oldDf, oldDf,
+        Seq("id", "tag", "v"), maxPermille = 100L)
+      .filter(col("drifted")).count()
+    assert(clean == 0L)
+  }
+
   test("duplicate row-check names are rejected") {
     intercept[IllegalArgumentException] {
       tagViolations(dirty, Seq(rowMin("len", 1L), rowMin("len", 2L)))
