@@ -15,7 +15,8 @@ import org.apache.spark.sql.functions._
   * [spanDocs] [containDocs] [lshDocs] [tfidfDocs] [embVecs] [evEvents]
   * [shardDocs] [vocabDocs] [pqVecs] [dsirDocs]`. `GRAFT_SS_ONLY=
   * <lanes>` replays just the named lanes — any comma-separated subset
-  * of simhash, decon, bpe, overlap, curation, capbudget, graph, tri.
+  * of simhash, decon, bpe, overlap, curation, capbudget, graph, tri,
+  * linkp, ivj.
   */
 object ScaleSmoke {
   def main(args: Array[String]): Unit = {
@@ -617,6 +618,61 @@ object ScaleSmoke {
       require(nCore == blocks * 10,
         s"planted 6-core must be exactly the block members: $nCore")
       Release(kcEdges, blocking = true)
+    }
+
+    // Link prediction at graph scale with an OUTPUT-EXACT invariant:
+    // 200k blocks of 10 nodes wired as K10 minus a perfect matching —
+    // every node misses exactly its partner (id+5 within the block), so
+    // the only non-adjacent intra-block pairs are the 5 planted missing
+    // links per block, each with cn=8 shared neighbors, du=dv=8,
+    // pa=64, jaccard=8/(8+8-8)=1.0 exactly. 2M nodes / 8M undirected
+    // edges / C(8,2)=28 wedge pairs per node ≈ 56M map-side candidates
+    // through the posting-list expansion — the d²-bounded regime the
+    // operator is shaped for.
+    lane("linkp") {
+      val blocks = 200000L
+      val nodes = spark.range(blocks * 10)
+      val lpEdges = nodes.select(col("id").as("a"),
+          explode(array((1 until 10).filter(_ != 5).map(j =>
+            (col("id") - pmod(col("id"), lit(10)) +
+              pmod(col("id") + j, lit(10))).cast("long")): _*)).as("b"))
+        .localCheckpoint()
+      val t0 = System.nanoTime()
+      val m = operators.GraphOps.linkPrediction(lpEdges, minCommon = 1L)
+        .agg(count(lit(1)), sum(col("cn")), min(col("jaccard")),
+          max(col("jaccard")), sum(col("pa"))).first()
+      val lpSec = (System.nanoTime() - t0) / 1e9
+      val (nPairs, sumCn) = (m.getLong(0), m.getLong(1))
+      println(s"""{"linkp_nodes":${blocks * 10},"sec":${round1(lpSec)},"pairs":$nPairs}""")
+      require(nPairs == blocks * 5 && sumCn == blocks * 5 * 8 &&
+        m.getDouble(2) == 1.0 && m.getDouble(3) == 1.0 &&
+        m.getLong(4) == blocks * 5 * 64,
+        s"planted missing-link invariant broken: $m")
+      Release(lpEdges, blocking = true)
+    }
+
+    // Interval-overlap join at 5M×5k with an exact pair-count
+    // invariant: unit intervals [10i, 10i+10) against block intervals
+    // [1000k, 1000k+1000) laid on the same line — every block overlaps
+    // exactly 100 units (half-open: the touching boundary unit is
+    // excluded), so the join must emit precisely 100·|b| pairs. binSec
+    // 1000 keeps unit replication at ~1.001× (the typical-length rule)
+    // and block replication at 2 bins.
+    lane("ivj") {
+      val aN = 5000000L
+      val bN = 5000L
+      val ivA = spark.range(aN).select(col("id").as("a_id"),
+        (col("id") * 10).as("a_start"), (col("id") * 10 + 10).as("a_end"))
+      val ivB = spark.range(bN).select(col("id").as("b_id"),
+        (col("id") * 10000).as("b_start"),
+        (col("id") * 10000 + 1000).as("b_end"))
+      val t0 = System.nanoTime()
+      val n = operators.EventOps.intervalOverlapJoin(ivA, ivB,
+        binSec = 1000L).count()
+      val ivSec = (System.nanoTime() - t0) / 1e9
+      println(s"""{"ivj_a":$aN,"ivj_b":$bN,"sec":${round1(ivSec)},"pairs":$n}""")
+      require(n == bN * 100,
+        s"exact overlap count broken: $n vs ${bN * 100}")
     }
 
     // Triangle orientation under hub skew. The id-ordered failure mode
