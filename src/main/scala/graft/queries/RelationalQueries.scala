@@ -260,6 +260,19 @@ object RelationalQueries {
     // (predicate re-applied after the read — skipping prunes files, the
     // filter trims survivors). Oracle = the plain full-scan SQL: data
     // skipping must be invisible in results.
+    // Small-file compaction planning: the manifest here is synthesized
+    // from documents (part = source, file = doc_id, bytes = n_chars) so
+    // the oracle can replay the binning exactly; CompactionSpec runs
+    // the same planner over a REAL written parquet directory's
+    // fileManifest. target=520 sits inside the n_chars range at every
+    // sf, so keeps (oversized + singleton-bin) and rewrites both fire.
+    "q33_compaction_plan" -> ((s, d) => {
+      val manifest = documents(s, d).select(
+        col("source").as("part"), col("doc_id").as("file"),
+        col("n_chars").as("bytes"))
+      graft.sources.Compaction.compactionPlan(manifest, 520L)
+    }),
+
     "q28_zonemap" -> ((s, d) => {
       val dir = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
         s"graft-zonemap-${math.abs(d.hashCode)}").toString
@@ -581,6 +594,24 @@ object RelationalQueries {
          FROM lineitem
          WHERE l_shipdate BETWEEN TIMESTAMP '1997-01-01'
                               AND TIMESTAMP '1997-12-31'""",
+    "q33_compaction_plan" ->
+      """WITH m AS (SELECT source AS part, doc_id AS file,
+                      n_chars AS bytes FROM documents),
+         binned AS (
+           SELECT part, file, bytes,
+             ((sum(bytes) OVER (PARTITION BY part ORDER BY file
+                ROWS UNBOUNDED PRECEDING) - bytes)::BIGINT // 520)::BIGINT
+               AS bin
+           FROM m WHERE bytes < 520),
+         sized AS (SELECT part, bin, count(*) AS nf
+                   FROM binned GROUP BY 1, 2)
+         SELECT b.part, b.file, b.bytes,
+           (CASE WHEN s.nf = 1 THEN -1 ELSE b.bin END)::BIGINT AS bin,
+           CASE WHEN s.nf = 1 THEN 'keep' ELSE 'rewrite' END AS action
+         FROM binned b JOIN sized s ON b.part = s.part AND b.bin = s.bin
+         UNION ALL
+         SELECT part, file, bytes, -1::BIGINT AS bin, 'keep' AS action
+         FROM m WHERE bytes >= 520""",
     "q25_fuzzy_join" ->
       """WITH n AS (SELECT p_name, count(*) AS m,
                       string_split(p_name, ' ')[-1] AS blk

@@ -82,6 +82,79 @@ object Compaction {
     * single-column `clusterBy` cannot serve. The z column is dropped
     * before writing; the layout IS the index.
     */
+  /** File listing of a partitioned parquet directory as a
+    * (part, file, bytes) manifest frame — the input [[compactionPlan]]
+    * consumes. `part` is the relative directory ("" at the root),
+    * `file` the filename, `bytes` the on-disk size. Listing runs on
+    * the driver (manifest-scale, like every table format's metadata
+    * layer); a production pipeline persists this next to the data and
+    * maintains it incrementally (the zonemapBuild discipline) instead
+    * of re-listing object storage per plan.
+    */
+  def fileManifest(spark: org.apache.spark.sql.SparkSession,
+                   path: String): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // qualify so relativize sees the same scheme the listing returns
+    val root = fs.makeQualified(new Path(path))
+    val it = fs.listFiles(root, true)
+    val rows = Iterator.continually(it)
+      .takeWhile(_.hasNext).map(_.next())
+      .filter { f => val n = f.getPath.getName
+        f.isFile && !n.startsWith("_") && !n.startsWith(".") }
+      .map { f =>
+        val rel = root.toUri.relativize(f.getPath.toUri).getPath
+        val cut = rel.lastIndexOf('/')
+        (if (cut < 0) "" else rel.substring(0, cut),
+          f.getPath.getName, f.getLen)
+      }.toSeq
+    import spark.implicits._
+    rows.toDF("part", "file", "bytes")
+  }
+
+  /** Small-file compaction PLAN over a (part, file, bytes) manifest:
+    * which files to rewrite together, which to leave — the
+    * metadata-only half of OPTIMIZE that decides before any data
+    * moves. Files at or over `targetBytes` are already compact and
+    * `keep` (bin −1). The rest bin-pack per partition by prefix-sum
+    * binning in file-name order: bin = (running total BEFORE the
+    * file) div target — each rewrite group lands in
+    * [target, target + largest member), name order keeps neighboring
+    * (usually time-adjacent) files merging together, and the
+    * assignment is a pure function of the manifest, so the plan
+    * replays exactly (rerunning a half-applied compaction computes
+    * identical groups). A group of ONE file is a pointless rewrite and
+    * degrades to `keep`.
+    *
+    * Scale shape: one window shuffle over the MANIFEST (rows = files,
+    * not data — millions of rows for a 100-TB table, trivially
+    * partition-parallel on `part`), plus a group-size agg of the same
+    * size. The plan then drives [[compact]] per bin; the data itself
+    * is touched only by the rewrites the plan names.
+    */
+  def compactionPlan(manifest: DataFrame, targetBytes: Long): DataFrame = {
+    require(targetBytes > 0, s"targetBytes must be positive: $targetBytes")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("part")).orderBy(col("file").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val binned = manifest.filter(col("bytes") < targetBytes)
+      .withColumn("_cum", sum(col("bytes")).over(w))
+      .withColumn("bin", expr(s"(_cum - bytes) div $targetBytes"))
+      .drop("_cum")
+    val sizes = binned.groupBy(col("part"), col("bin"))
+      .agg(count(lit(1)).as("_nf"))
+    val small = binned.join(sizes, Seq("part", "bin"))
+      .select(col("part"), col("file"), col("bytes"),
+        when(col("_nf") === 1, lit(-1L)).otherwise(col("bin")).as("bin"),
+        when(col("_nf") === 1, lit("keep")).otherwise(lit("rewrite"))
+          .as("action"))
+    val big = manifest.filter(col("bytes") >= targetBytes)
+      .select(col("part"), col("file"), col("bytes"),
+        lit(-1L).as("bin"), lit("keep").as("action"))
+    small.unionByName(big)
+  }
+
   /** Build a file-level zonemap manifest for an existing parquet
     * directory: one row per data file with min/max per tracked column.
     * This is the data-skipping index table-format metadata layers keep

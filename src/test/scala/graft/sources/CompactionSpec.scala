@@ -43,6 +43,46 @@ class CompactionSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("compactionPlan over a real directory: total cover, bounded bins, sane keeps") {
+    // fragment on purpose: tiny maxRecordsPerFile ⇒ many small files
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val out = Files.createTempDirectory("graft-plan").toString
+    Compaction.writePartitioned(docs, out, Seq("lang"),
+      maxRecordsPerFile = 7L)
+    val manifest = Compaction.fileManifest(spark, out)
+    val mRows = manifest.as[(String, String, Long)].collect()
+    assert(mRows.nonEmpty && mRows.forall(_._3 > 0) &&
+      mRows.forall(_._1.startsWith("lang=")))
+    val target = mRows.map(_._3).max + 1 // every file "small" ⇒ all pack
+    val plan = Compaction.compactionPlan(manifest, target)
+      .as[(String, String, Long, Long, String)].collect()
+    // the plan covers every file exactly once, sizes carried through
+    assert(plan.map(r => (r._1, r._2)).sorted.toSeq ==
+      mRows.map(r => (r._1, r._2)).sorted.toSeq)
+    assert(plan.map(_._3).sum == mRows.map(_._3).sum)
+    // every rewrite bin stays under target + its largest member, and
+    // has >= 2 files (singletons must degrade to keep)
+    val rew = plan.filter(_._5 == "rewrite")
+    rew.groupBy(r => (r._1, r._4)).foreach { case (_, fs) =>
+      assert(fs.length >= 2)
+      assert(fs.map(_._3).sum < target + fs.map(_._3).max)
+    }
+    // keeps are exactly: oversized files or singleton bins — with this
+    // target, only possible singletons
+    plan.filter(_._5 == "keep").foreach { r =>
+      assert(r._4 == -1L && r._3 < target)
+    }
+    // oversized files keep: replan with a sub-minimum target
+    val tiny = Compaction.compactionPlan(manifest,
+        mRows.map(_._3).min).as[(String, String, Long, Long, String)]
+      .collect()
+    assert(tiny.forall(r => r._5 == "keep" && r._4 == -1L))
+    // determinism: the plan is a pure function of the manifest
+    val again = Compaction.compactionPlan(manifest, target)
+      .as[(String, String, Long, Long, String)].collect()
+    assert(plan.sorted.toSeq == again.sorted.toSeq)
+  }
+
   test("zonemap: manifest covers every file; pruned read skips files, same rows") {
     val rows = (0 until 1000).map(i => (i.toLong, i / 10)) // key 0..99
     val df = rows.toDF("id", "key")
