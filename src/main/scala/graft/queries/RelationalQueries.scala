@@ -273,6 +273,24 @@ object RelationalQueries {
       graft.sources.Compaction.compactionPlan(manifest, 520L)
     }),
 
+    // Bloom-pruned semi join: the build side (parts with p_size >= 48,
+    // ~6% of the dimension) is collapsed to ONE bit array via the
+    // distributed BloomFilterAggregate, probe rows are pre-filtered by
+    // the codegen might_contain BEFORE the exact semi join, so at scale
+    // only ~(selectivity + fpp) of the fact exchange survives. Blooms
+    // have no false negatives and the exact join removes false
+    // positives, so the oracle is the PLAIN semi-join SQL — the
+    // reduction must be invisible in results.
+    "q34_bloom_join" -> ((s, d) => {
+      val dim = part(s, d).filter(col("p_size") >= 48)
+        .select(col("p_partkey").as("l_partkey"))
+      val li = lineitem(s, d)
+        .select("l_partkey", "l_returnflag", "l_quantity")
+      graft.operators.BloomJoin.bloomSemiJoin(li, dim, "l_partkey", 256L)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"), sum("l_quantity").as("sum_qty"))
+    }),
+
     "q28_zonemap" -> ((s, d) => {
       val dir = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
         s"graft-zonemap-${math.abs(d.hashCode)}").toString
@@ -612,6 +630,11 @@ object RelationalQueries {
          UNION ALL
          SELECT part, file, bytes, -1::BIGINT AS bin, 'keep' AS action
          FROM m WHERE bytes >= 520""",
+    "q34_bloom_join" ->
+      """SELECT l_returnflag, count(*) AS n, sum(l_quantity) AS sum_qty
+         FROM lineitem
+         WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_size >= 48)
+         GROUP BY 1""",
     "q25_fuzzy_join" ->
       """WITH n AS (SELECT p_name, count(*) AS m,
                       string_split(p_name, ' ')[-1] AS blk

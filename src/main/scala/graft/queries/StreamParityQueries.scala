@@ -179,6 +179,25 @@ object StreamParityQueries {
           (est.isNotNull && est <= col("exact_count") &&
             (col("exact_count") - est) * (k + 1) <= col("n"))
             .as("est_within_bound"))
+    }),
+
+    // Stream-static enrichment join: each event picks up its user's
+    // nation from a STATIC dimension (customer ⋈ nation, broadcast) —
+    // joined statelessly per micro-batch, no dimension row ever enters
+    // a state store — then a watermarked 6h tumbling aggregate per
+    // nation. The emitted windows obey the same append-mode cutoff as
+    // st1, so this gates the one streaming join shape st5's
+    // stream-stream lane doesn't: static-side enrichment.
+    "st12_stream_enrich" -> ((s, d) => {
+      val dim = graft.Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_nationkey"))
+        .join(broadcast(graft.Tables.nation(s, d)
+          .select(col("n_nationkey"), col("n_name"))),
+          col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"), col("n_name"))
+      StreamParity.drainAppend(
+        StreamingOps.enrichedWindowStream(
+          StreamParity.eventsStream(s, d), dim, "6 hours", WM))
     })
   )
 
@@ -285,6 +304,16 @@ object StreamParityQueries {
          SELECT e.win_start, e.item, e.exact_count,
            TRUE AS guaranteed_present, TRUE AS est_within_bound
          FROM ex e JOIN tot t USING (win_start)
-         WHERE e.exact_count * 9 > t.n"""
+         WHERE e.exact_count * 9 > t.n""",
+    "st12_stream_enrich" ->
+      s"""WITH $WmCte
+         SELECT (floor(epoch(ts))::BIGINT // 21600) * 21600 AS win_start,
+           n_name, count(*) AS n, round(sum(value), 2) AS total
+         FROM events e
+         JOIN customer c ON e.user_id = c.c_custkey
+         JOIN nation n ON c.c_nationkey = n.n_nationkey, wm
+         WHERE ((floor(epoch(ts))::BIGINT // 21600) * 21600 + 21600)
+               * 1000000 <= wm_us
+         GROUP BY win_start, n_name"""
   )
 }

@@ -479,6 +479,16 @@ class PlanShapeSpec extends SparkSpec {
     assert("partial_count".r.findAllIn(p).length >= 2, p)
   }
 
+  test("q34 bloom semi join probes might_contain ahead of the exact join") {
+    // the bloom pre-filter must sit on the probe scan side (codegen
+    // might_contain on the serialized filter) and the residual exact
+    // join must be a semi join — at scale the exchange then carries
+    // only ~(selectivity + fpp) of the fact rows
+    val p = planOf("q34_bloom_join")
+    assert(p.contains("might_contain"), p.take(3000))
+    assert(p.contains("LeftSemi"), p.take(3000))
+  }
+
   test("gr1 pagerank final frame reads the iteration checkpoint, not lineage") {
     // each iteration localCheckpoints; the returned frame must be a
     // checkpoint read plus projection — re-deriving iterations through
