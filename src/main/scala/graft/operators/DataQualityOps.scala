@@ -197,6 +197,46 @@ object DataQualityOps {
       .drop("adev")
   }
 
+  /** One foreign-key relation to verify: every non-null `fact(fkCol)`
+    * must resolve in `dim(pkCol)`. Null FKs are a COMPLETENESS
+    * concern, not a referential one — compose with [[completeness]]
+    * when nulls matter. */
+  final case class FkRelation(name: String, fact: DataFrame, fkCol: String,
+                              dim: DataFrame, pkCol: String)
+
+  /** Referential-integrity report: one row per relation —
+    * (relation, n_rows, n_orphans, passed). Each relation costs one
+    * job: the dim is collapsed to its DISTINCT key set (tiny relative
+    * to any fact), broadcast, and LEFT-joined with a presence marker so
+    * row count and orphan count come out of a single aggregate over
+    * one pass of the fact — never two scans, never a fact-side
+    * shuffle. `broadcastDim = false` drops the hint for dimensions
+    * beyond broadcast size (the join then shuffles both sides on the
+    * key — still one pass; at that size prefer a bloom pre-filter via
+    * [[BloomJoin]] to bound the exchange).
+    *
+    * The production pattern this encodes: facts routinely land BEFORE
+    * their dims (late-arriving dimensions), so RI must be a measured
+    * metric with a threshold, not an assumed invariant — `passed`
+    * here is the strict zero-orphans gate.
+    */
+  def referentialIntegrity(relations: Seq[FkRelation],
+                           broadcastDim: Boolean = true): DataFrame = {
+    require(relations.nonEmpty, "empty relation list")
+    relations.map { r =>
+      val keys0 = r.dim.select(col(r.pkCol).as(r.fkCol)).distinct()
+        .withColumn("_present", lit(true))
+      val keys = if (broadcastDim) broadcast(keys0) else keys0
+      r.fact.select(col(r.fkCol))
+        .join(keys, Seq(r.fkCol), "left")
+        .agg(count(lit(1)).as("n_rows"),
+          count(when(col(r.fkCol).isNotNull && col("_present").isNull,
+            lit(1))).as("n_orphans"))
+        .select(lit(r.name).as("relation"), col("n_rows"),
+          col("n_orphans"), (col("n_orphans") === 0L).as("passed"))
+    }.reduce(_ unionAll _)
+  }
+
   /** Cross-snapshot profile drift: [[graft.operators.TransformOps
     * .columnProfile]] run on two drops of the same table, joined per
     * column, with drift verdicts — the "did the new crawl silently

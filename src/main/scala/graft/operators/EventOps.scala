@@ -392,4 +392,43 @@ object EventOps {
             acc + 1).otherwise(acc)).as("steps_reached"))
       .withColumn("completed", col("steps_reached") === lit(steps.size))
   }
+
+  /** Coalesce per-key overlapping-or-touching intervals into maximal
+    * spans (the interval-union operator: activity spans from padded
+    * event instants, copyright windows, lease periods). Input rows
+    * carry `[startCol, endCol]` longs; two intervals merge when the
+    * later one starts at or before the running maximum end seen so far
+    * (`start <= max(prev ends)` — strictly-after starts open a new
+    * span, so touching endpoints DO merge).
+    *
+    * Shape: ONE shuffle on the key (the window sort), then a map-side
+    * span-id scan and a partial-aggregated groupBy that reuses the same
+    * partitioning — Catalyst plans the second shuffle away because the
+    * grouping keys extend the window partition key. The running
+    * `max(end)` (not `lag(end)`) is what makes nested intervals
+    * correct: a long interval swallowing several short ones keeps the
+    * span open however the short ones interleave. All arithmetic is
+    * integer, so the result is bit-identical across partitionings and
+    * engines. Skew note: one key's intervals sort in one task — for a
+    * pathological single-key corpus, pre-split the key by a coarse
+    * time bucket whose width exceeds the max interval length, coalesce
+    * per (key, bucket), then merge ACROSS bucket boundaries with one
+    * more pass over the per-bucket boundary spans (bounded: ≤ 2 rows
+    * per bucket).
+    */
+  def coalesceIntervals(df: DataFrame, keyCol: String,
+                        startCol: String, endCol: String): DataFrame = {
+    val w = Window.partitionBy(keyCol).orderBy(col(startCol), col(endCol))
+    val prevMax = max(col(endCol))
+      .over(w.rowsBetween(Window.unboundedPreceding, -1))
+    df.withColumn("_new_span",
+        when(prevMax.isNull || col(startCol) > prevMax, 1L).otherwise(0L))
+      .withColumn("_span", sum(col("_new_span"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col(keyCol), col("_span"))
+      .agg(min(col(startCol)).as("span_start"),
+        max(col(endCol)).as("span_end"),
+        count(lit(1)).as("n_intervals"))
+      .drop("_span")
+  }
 }

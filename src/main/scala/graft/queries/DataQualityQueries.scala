@@ -83,7 +83,25 @@ object DataQualityQueries {
     "dq4_robust_outliers" -> ((s, d) =>
       DataQualityOps.robustOutliers(documents(s, d), "lang", "n_chars",
           k = 2L)
-        .select("doc_id", "lang", "n_chars", "med", "mad", "is_outlier"))
+        .select("doc_id", "lang", "n_chars", "med", "mad", "is_outlier")),
+
+    // Referential integrity across the star schema: two consistent FK
+    // relations (orders→customer, lineitem→orders — zero orphans,
+    // passed=true) plus events checked against a REDUCED customer
+    // snapshot (c_custkey % 3 <> 0, the late-arriving-dimension
+    // scenario) so the orphan branch genuinely fires (~1/3 of events
+    // at every sf). One broadcast-marker pass per relation; counts are
+    // exact integers.
+    "dq6_referential_integrity" -> ((s, d) =>
+      DataQualityOps.referentialIntegrity(Seq(
+        FkRelation("orders.custkey->customer",
+          orders(s, d), "o_custkey", customer(s, d), "c_custkey"),
+        FkRelation("lineitem.orderkey->orders",
+          lineitem(s, d), "l_orderkey", orders(s, d), "o_orderkey"),
+        FkRelation("events.user->customer_snapshot",
+          events(s, d), "user_id",
+          customer(s, d).filter(col("c_custkey") % 3 =!= 0),
+          "c_custkey"))))
   )
 
   /** One profile row per column over snapshot CTE `src`, tagged
@@ -195,6 +213,33 @@ object DataQualityQueries {
            FROM dev GROUP BY lang)
          SELECT dev.doc_id, dev.lang, dev.n_chars, dev.med, mad.mad,
            dev.adev > 2 * mad.mad AS is_outlier
-         FROM dev JOIN mad USING (lang)"""
+         FROM dev JOIN mad USING (lang)""",
+    "dq6_referential_integrity" ->
+      """SELECT 'orders.custkey->customer' AS relation,
+           count(*) AS n_rows,
+           count(*) FILTER (WHERE o_custkey IS NOT NULL
+             AND o_custkey NOT IN (SELECT c_custkey FROM customer
+                                   WHERE c_custkey IS NOT NULL))
+             AS n_orphans,
+           n_orphans = 0 AS passed
+         FROM orders
+         UNION ALL
+         SELECT 'lineitem.orderkey->orders', count(*),
+           count(*) FILTER (WHERE l_orderkey IS NOT NULL
+             AND l_orderkey NOT IN (SELECT o_orderkey FROM orders
+                                    WHERE o_orderkey IS NOT NULL)),
+           count(*) FILTER (WHERE l_orderkey IS NOT NULL
+             AND l_orderkey NOT IN (SELECT o_orderkey FROM orders
+                                    WHERE o_orderkey IS NOT NULL)) = 0
+         FROM lineitem
+         UNION ALL
+         SELECT 'events.user->customer_snapshot', count(*),
+           count(*) FILTER (WHERE user_id IS NOT NULL
+             AND user_id NOT IN (SELECT c_custkey FROM customer
+                                 WHERE c_custkey % 3 <> 0)),
+           count(*) FILTER (WHERE user_id IS NOT NULL
+             AND user_id NOT IN (SELECT c_custkey FROM customer
+                                 WHERE c_custkey % 3 <> 0)) = 0
+         FROM events"""
   )
 }

@@ -49,6 +49,20 @@ object EventQueries {
         .select("user_id", "day", "a_start", "a_end", "b_start",
           "n_events")
     }),
+    // Interval coalescing (union of overlapping intervals): each event
+    // opens a 30-minute activity interval; overlapping-or-touching
+    // intervals per user merge into maximal spans. One window shuffle
+    // on user_id, running-max(end) span detection (nested intervals
+    // correct), integer µs throughout.
+    "ev20_interval_coalesce" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val iv = events(s, d).select(col("user_id"),
+        unix_micros(col("ts")).as("ivs"),
+        (unix_micros(col("ts")) + 1800000000L).as("ive"))
+      EventOps.coalesceIntervals(iv, "user_id", "ivs", "ive")
+        .select(col("user_id"), col("span_start"), col("span_end"),
+          col("n_intervals"))
+    }),
     // Spark-4 VARIANT path for semi-structured props: parse_json →
     // typed variant_get, then bucket agg (the engine-native JSON lane;
     // ev5 is the json_extract string lane).
@@ -214,6 +228,27 @@ object EventQueries {
            b.n_events
          FROM spans s JOIN busy b
            ON s.a_start < b.b_end AND b.b_start < s.a_end""",
+    "ev20_interval_coalesce" ->
+      """WITH iv AS (
+           SELECT user_id, epoch_us(ts) AS ivs,
+             epoch_us(ts) + 1800000000 AS ive
+           FROM events),
+         f AS (
+           SELECT user_id, ivs, ive,
+             CASE WHEN max(ive) OVER pv IS NULL
+                    OR ivs > max(ive) OVER pv
+                  THEN 1 ELSE 0 END AS brk
+           FROM iv
+           WINDOW pv AS (PARTITION BY user_id ORDER BY ivs, ive
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+         g AS (
+           SELECT user_id, ivs, ive,
+             sum(brk) OVER (PARTITION BY user_id ORDER BY ivs, ive
+               ROWS UNBOUNDED PRECEDING) AS span
+           FROM f)
+         SELECT user_id, min(ivs) AS span_start, max(ive) AS span_end,
+           count(*) AS n_intervals
+         FROM g GROUP BY user_id, span""",
     "ev18_anomaly" ->
       """WITH e AS (
            SELECT event_id, user_id, floor(epoch(ts))::BIGINT AS epoch_s,

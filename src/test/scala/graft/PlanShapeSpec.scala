@@ -489,6 +489,14 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("LeftSemi"), p.take(3000))
   }
 
+  test("ev20 interval coalesce shuffles once: groupBy reuses the window partitioning") {
+    // span detection sorts on (user) in one window exchange; the
+    // span-level groupBy keys extend the partition key so Catalyst
+    // must not plan a second shuffle
+    val p = planOf("ev20_interval_coalesce")
+    assert("Exchange hashpartitioning".r.findAllIn(p).length == 1, p)
+  }
+
   test("gr1 pagerank final frame reads the iteration checkpoint, not lineage") {
     // each iteration localCheckpoints; the returned frame must be a
     // checkpoint read plus projection — re-deriving iterations through

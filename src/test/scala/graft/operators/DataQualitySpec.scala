@@ -152,4 +152,28 @@ class DataQualitySpec extends SparkSpec {
       tagViolations(dirty, Seq(rowMin("len", 1L), rowMin("len", 2L)))
     }
   }
+
+  test("referentialIntegrity: orphan counts per relation, nulls exempt") {
+    val fact = Seq((1L, Option(10L)), (2L, Option(20L)), (3L, Option(99L)),
+      (4L, None)).toDF("id", "fk")
+    val dim = Seq(10L, 20L, 30L).toDF("pk")
+    val out = referentialIntegrity(Seq(
+      FkRelation("ok", dim.select(col("pk").as("fk")), "fk", dim, "pk"),
+      FkRelation("partial", fact, "fk", dim, "pk")))
+      .as[(String, Long, Long, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(out("ok") == ((3L, 0L, true)))
+    // fk=99 is the only orphan; the null fk row counts in n_rows but
+    // never as an orphan
+    assert(out("partial") == ((4L, 1L, false)))
+  }
+
+  test("referentialIntegrity: the dim marker side broadcasts") {
+    val fact = Seq((1L, 10L)).toDF("id", "fk")
+    val dim = Seq(10L).toDF("pk")
+    val df = referentialIntegrity(Seq(FkRelation("r", fact, "fk", dim, "pk")))
+    df.collect()
+    assert(df.queryExecution.executedPlan.toString
+      .contains("BroadcastHashJoin"))
+  }
 }

@@ -1709,6 +1709,20 @@ class ExtOpsSpec extends SparkSpec {
     assert(out(4L) == ((25, 512, true, 25L * 512 * 3)))
   }
 
+  test("coalesceIntervals: nested + touching + disjoint spans merge exactly") {
+    val iv = Seq(
+      (1L, 0L, 100L),   // opens span A
+      (1L, 10L, 20L),   // nested inside A — must not close it
+      (1L, 100L, 150L), // touches A's running max end — merges
+      (1L, 151L, 160L), // strictly after — new span
+      (2L, 5L, 6L)
+    ).toDF("k", "s", "e")
+    val out = EventOps.coalesceIntervals(iv, "k", "s", "e")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(out == Set((1L, 0L, 150L, 3L), (1L, 151L, 160L, 1L),
+      (2L, 5L, 6L, 1L)))
+  }
+
   test("event ops: tumbling/session/latest on a tiny frame") {
     val ev = Seq(
       (1L, "2024-01-01 00:05:00", 10L, "click", 1.0),
