@@ -16,7 +16,7 @@ import org.apache.spark.sql.functions._
   * [shardDocs] [vocabDocs] [pqVecs] [dsirDocs]`. `GRAFT_SS_ONLY=
   * <lanes>` replays just the named lanes — any comma-separated subset
   * of simhash, decon, bpe, overlap, curation, capbudget, graph, tri,
-  * linkp, ivj.
+  * linkp, ivj, ivc.
   */
 object ScaleSmoke {
   def main(args: Array[String]): Unit = {
@@ -673,6 +673,38 @@ object ScaleSmoke {
       println(s"""{"ivj_a":$aN,"ivj_b":$bN,"sec":${round1(ivSec)},"pairs":$n}""")
       require(n == bN * 100,
         s"exact overlap count broken: $n vs ${bN * 100}")
+    }
+
+    // Interval coalescing under single-key skew: ONE key carries all
+    // 5M intervals (the bot-activity shape), in merge-chains of 1000
+    // (each interval overlaps the next by 5; a 1995-unit gap every
+    // 1000th) — so the union is exactly 5000 spans of 1000 intervals.
+    // The single-pass form sorts all 5M rows in ONE window task; the
+    // bucketed twin (width 60k ≈ 1k buckets × ~5k rows) spreads stage 1
+    // across the cores and stage 2 sees only the ~2-per-bucket boundary
+    // spans. Both must produce the identical exact span set.
+    lane("ivc") {
+      val ivcN = 5000000L
+      val hot = spark.range(ivcN).select(lit(0L).as("k"),
+        (col("id") * 10 + floor(col("id") / 1000L) * 2000).as("s"))
+        .withColumn("e", col("s") + 15)
+        .localCheckpoint()
+      def runIvc(f: => org.apache.spark.sql.DataFrame): (Double, Long, Long) = {
+        val t0 = System.nanoTime()
+        val agg = f.agg(count(lit(1)), sum("n_intervals")).head()
+        ((System.nanoTime() - t0) / 1e9, agg.getLong(0), agg.getLong(1))
+      }
+      val (tPlain, spansP, totP) = runIvc(
+        operators.EventOps.coalesceIntervals(hot, "k", "s", "e"))
+      val (tBkt, spansB, totB) = runIvc(
+        operators.EventOps.coalesceIntervalsBucketed(hot, "k", "s", "e",
+          bucketWidth = 60000L))
+      println(s"""{"ivc_intervals":$ivcN,"plain_sec":${round1(tPlain)},""" +
+        s""""bucketed_sec":${round1(tBkt)},"spans":$spansB}""")
+      require(spansP == 5000L && spansB == 5000L && totP == ivcN &&
+        totB == ivcN,
+        s"interval union broken: plain=($spansP,$totP) bkt=($spansB,$totB)")
+      Release(hot, blocking = true)
     }
 
     // Triangle orientation under hub skew. The id-ordered failure mode

@@ -431,4 +431,62 @@ object EventOps {
         count(lit(1)).as("n_intervals"))
       .drop("_span")
   }
+
+  /** Skew-robust twin of [[coalesceIntervals]] (identical result set,
+    * property-tested equal): a key whose intervals all sort in ONE
+    * window task caps [[coalesceIntervals]]'s parallelism at the key
+    * count — fatal when one hot key carries most of the corpus (a
+    * bot's activity log, the `null`-like catch-all key). Two stages:
+    *
+    *  1. per (key, `floor(start / bucketWidth)`) union — a hot key's
+    *     buckets coalesce in PARALLEL tasks; each bucket's output is
+    *     its locally-maximal spans with their interval counts;
+    *  2. per-key union OVER THE BUCKET SPANS (running-max window again,
+    *     counts summed). Correct with no precondition on `bucketWidth`
+    *     vs interval length: the union of per-bucket unions is the
+    *     union, and stage 2 re-links any chain that crosses bucket
+    *     boundaries — including an interval longer than a whole bucket
+    *     swallowing spans several buckets to its right.
+    *
+    * Stage 2 still sorts one hot key in one task, but over per-bucket
+    * SPANS, not raw intervals — on the dense-activity corpus that
+    * makes a key hot in the first place that is ~1 row per bucket
+    * (the ScaleSmoke `ivc` lane measures the collapse). On a corpus of
+    * mostly-disjoint intervals there is no reduction to find — prefer
+    * the single-pass form there; this variant's extra shuffle only
+    * pays for itself under merge-heavy skew. Pick `bucketWidth` so a
+    * hot key yields thousands of buckets (≫ cores), each a few k
+    * intervals.
+    */
+  def coalesceIntervalsBucketed(df: DataFrame, keyCol: String,
+                                startCol: String, endCol: String,
+                                bucketWidth: Long): DataFrame = {
+    require(bucketWidth > 0, s"bucketWidth must be positive: $bucketWidth")
+    val w1 = Window.partitionBy(col(keyCol), col("_bkt"))
+      .orderBy(col(startCol), col(endCol))
+    val prevMax1 = max(col(endCol))
+      .over(w1.rowsBetween(Window.unboundedPreceding, -1))
+    val bucketSpans = df
+      .withColumn("_bkt", floor(col(startCol) / bucketWidth))
+      .withColumn("_new_span",
+        when(prevMax1.isNull || col(startCol) > prevMax1, 1L).otherwise(0L))
+      .withColumn("_span", sum(col("_new_span"))
+        .over(w1.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col(keyCol), col("_bkt"), col("_span"))
+      .agg(min(col(startCol)).as(startCol), max(col(endCol)).as(endCol),
+        count(lit(1)).as("_n"))
+    val w2 = Window.partitionBy(keyCol).orderBy(col(startCol), col(endCol))
+    val prevMax2 = max(col(endCol))
+      .over(w2.rowsBetween(Window.unboundedPreceding, -1))
+    bucketSpans
+      .withColumn("_new_span",
+        when(prevMax2.isNull || col(startCol) > prevMax2, 1L).otherwise(0L))
+      .withColumn("_span", sum(col("_new_span"))
+        .over(w2.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col(keyCol), col("_span"))
+      .agg(min(col(startCol)).as("span_start"),
+        max(col(endCol)).as("span_end"),
+        sum(col("_n")).as("n_intervals"))
+      .drop("_span")
+  }
 }

@@ -1723,6 +1723,25 @@ class ExtOpsSpec extends SparkSpec {
       (2L, 5L, 6L, 1L)))
   }
 
+  test("coalesceIntervalsBucketed equals the single-pass form at every width") {
+    // deterministic pseudo-random intervals: clustered starts so spans
+    // genuinely merge, lengths up to 40 so chains cross bucket
+    // boundaries at the small widths (incl. intervals LONGER than a
+    // whole bucket at width=16)
+    val iv = spark.range(600)
+      .withColumn("k", col("id") % 7)
+      .withColumn("s", pmod(hash(col("id")), lit(500)) * 3)
+      .withColumn("e", col("s") + 1 + pmod(hash(col("id"), lit(1)), lit(40)))
+      .select("k", "s", "e")
+    val expected = EventOps.coalesceIntervals(iv, "k", "s", "e")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    for (width <- Seq(16L, 100L, 1000L, 1000000L)) {
+      val got = EventOps.coalesceIntervalsBucketed(iv, "k", "s", "e", width)
+        .as[(Long, Long, Long, Long)].collect().toSet
+      assert(got == expected, s"width=$width")
+    }
+  }
+
   test("event ops: tumbling/session/latest on a tiny frame") {
     val ev = Seq(
       (1L, "2024-01-01 00:05:00", 10L, "click", 1.0),
