@@ -33,7 +33,9 @@ object SparkEntry {
     (_root_.graft.queries.GraphQueries.queries,
      _root_.graft.queries.GraphQueries.oracles),
     (_root_.graft.queries.DataQualityQueries.queries,
-     _root_.graft.queries.DataQualityQueries.oracles)
+     _root_.graft.queries.DataQualityQueries.oracles),
+    (_root_.graft.queries.SpatialQueries.queries,
+     _root_.graft.queries.SpatialQueries.oracles)
   )
 
   /** Flagship: the full city-directory pipeline end-to-end on the

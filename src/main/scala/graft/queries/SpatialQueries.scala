@@ -1,0 +1,65 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables._
+import graft.operators.SpatialOps
+
+/** Spatial lanes (sp*): the grid-cell radius join over deterministic
+  * integer coordinates. Points are md5-derived microdegree-style
+  * coordinates in a 1e6 × 1e6 space (the tx9 uniform recipe — both
+  * engines compute the identical hex arithmetic), so the lane is a
+  * pure function of the keys and the exact integer distance test
+  * replays bit-for-bit in DuckDB. The oracle is the PREDICATE form
+  * (cross join + filter) — semantics, not the plan — while the Spark
+  * side must pass the PlanShapeSpec no-cartesian pin: same result,
+  * equi-join plan.
+  */
+object SpatialQueries {
+
+  /** 28-bit md5 window → coordinate in [0, 1e6). `off` picks disjoint
+    * hex windows so x and y decorrelate. */
+  private def coord(key: org.apache.spark.sql.Column, off: Int) =
+    conv(substring(md5(key.cast("string")), off, 7), 16, 10)
+      .cast("long") % 1000000L
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Customers within 25k units of a supplier (facility catchment):
+    // supplier side (smaller) takes the ×9 replication, customer side
+    // shuffles once at ×1. ~300 pairs at sf0.01, ~29k at sf0.1 — both
+    // the match and the (overwhelming) no-match path exercised.
+    "sp1_radius_join" -> ((s, d) => {
+      val su = supplier(s, d).select(col("s_suppkey"),
+        coord(col("s_suppkey") + 7000000L, 1).as("sx"),
+        coord(col("s_suppkey") + 7000000L, 9).as("sy"))
+      val cu = customer(s, d).select(col("c_custkey"),
+        coord(col("c_custkey"), 1).as("cx"),
+        coord(col("c_custkey"), 9).as("cy"))
+      SpatialOps.radiusJoin(su, "sx", "sy", cu, "cx", "cy", 25000L)
+        .select("s_suppkey", "c_custkey", "d2")
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "sp1_radius_join" ->
+      """WITH su AS (
+           SELECT s_suppkey,
+             (('0x' || substr(md5((s_suppkey + 7000000)::VARCHAR), 1, 7))::UBIGINT
+               % 1000000)::BIGINT AS sx,
+             (('0x' || substr(md5((s_suppkey + 7000000)::VARCHAR), 9, 7))::UBIGINT
+               % 1000000)::BIGINT AS sy
+           FROM supplier),
+         cu AS (
+           SELECT c_custkey,
+             (('0x' || substr(md5(c_custkey::VARCHAR), 1, 7))::UBIGINT
+               % 1000000)::BIGINT AS cx,
+             (('0x' || substr(md5(c_custkey::VARCHAR), 9, 7))::UBIGINT
+               % 1000000)::BIGINT AS cy
+           FROM customer)
+         SELECT s_suppkey, c_custkey,
+           (sx - cx) * (sx - cx) + (sy - cy) * (sy - cy) AS d2
+         FROM su, cu
+         WHERE (sx - cx) * (sx - cx) + (sy - cy) * (sy - cy)
+               <= 25000 * 25000"""
+  )
+}

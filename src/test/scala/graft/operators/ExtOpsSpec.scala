@@ -1723,6 +1723,41 @@ class ExtOpsSpec extends SparkSpec {
       (2L, 5L, 6L, 1L)))
   }
 
+  test("radiusJoin equals the predicate cross join, exactly once, boundary inclusive") {
+    // random points incl. NEGATIVE coords (floor-div cell assignment,
+    // not truncation) and a coincident pair (d2 = 0)
+    val a = spark.range(40)
+      .withColumn("ai", col("id"))
+      .withColumn("x", pmod(hash(col("id")), lit(400)) - 200)
+      .withColumn("y", pmod(hash(col("id"), lit(1)), lit(400)) - 200)
+      .select("ai", "x", "y")
+    val b = spark.range(60)
+      .withColumn("bi", col("id"))
+      .withColumn("u", pmod(hash(col("id"), lit(2)), lit(400)) - 200)
+      .withColumn("v", pmod(hash(col("id"), lit(3)), lit(400)) - 200)
+      .select("bi", "u", "v")
+    val r = 60L
+    val got = SpatialOps.radiusJoin(a, "x", "y", b, "u", "v", r)
+      .select("ai", "bi", "d2").as[(Long, Long, Long)].collect()
+    // exactly-once: no duplicate pairs from the 3x3 replication
+    assert(got.length == got.toSet.size)
+    val pts = a.as[(Long, Long, Long)].collect()
+    val qts = b.as[(Long, Long, Long)].collect()
+    val expected = (for {
+      (ai, x, y) <- pts; (bi, u, v) <- qts
+      d2 = (x - u) * (x - u) + (y - v) * (y - v) if d2 <= r * r
+    } yield (ai, bi, d2)).toSet
+    assert(got.toSet == expected)
+    assert(expected.nonEmpty && expected.size < pts.length * qts.length)
+    // boundary: d2 == r*r kept, r*r + 1 dropped
+    val pa = Seq((1L, 0L, 0L)).toDF("ai", "x", "y")
+    val pb = Seq((1L, 3L, 4L), (2L, 0L, 5L), (3L, 1L, 5L))
+      .toDF("bi", "u", "v")
+    val edge = SpatialOps.radiusJoin(pa, "x", "y", pb, "u", "v", 5L)
+      .select("bi", "d2").as[(Long, Long)].collect().toSet
+    assert(edge == Set((1L, 25L), (2L, 25L)))
+  }
+
   test("coalesceIntervalsBucketed equals the single-pass form at every width") {
     // deterministic pseudo-random intervals: clustered starts so spans
     // genuinely merge, lengths up to 40 so chains cross bucket
