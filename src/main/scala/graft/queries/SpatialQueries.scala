@@ -37,6 +37,27 @@ object SpatialQueries {
         coord(col("c_custkey"), 9).as("cy"))
       SpatialOps.radiusJoin(su, "sx", "sy", cu, "cx", "cy", 25000L)
         .select("s_suppkey", "c_custkey", "d2")
+    }),
+
+    // Radius-bounded k-nearest: each customer's 3 closest suppliers
+    // within 100k units (the geocode-disambiguation shape — candidates
+    // from the cell join, selection on the bounded TopKPerKey heap, no
+    // global sort; ~3.1 expected candidates/customer so the k=3 cut
+    // genuinely truncates). Deterministic under d2 ties via the
+    // suppkey tiebreak.
+    "sp2_radius_knn" -> ((s, d) => {
+      val su = supplier(s, d).select(col("s_suppkey"),
+        coord(col("s_suppkey") + 7000000L, 1).as("sx"),
+        coord(col("s_suppkey") + 7000000L, 9).as("sy"))
+      val cu = customer(s, d).select(col("c_custkey"),
+        coord(col("c_custkey"), 1).as("cx"),
+        coord(col("c_custkey"), 9).as("cy"))
+      val cand = SpatialOps.radiusJoin(su, "sx", "sy", cu, "cx", "cy",
+          100000L)
+        .select("c_custkey", "s_suppkey", "d2")
+      graft.plans.TopK.perKey(cand, Seq("c_custkey"),
+        Seq(col("d2").asc, col("s_suppkey").asc), 3)
+        .select("c_custkey", "s_suppkey", "d2")
     })
   )
 
@@ -60,6 +81,28 @@ object SpatialQueries {
            (sx - cx) * (sx - cx) + (sy - cy) * (sy - cy) AS d2
          FROM su, cu
          WHERE (sx - cx) * (sx - cx) + (sy - cy) * (sy - cy)
-               <= 25000 * 25000"""
+               <= 25000 * 25000""",
+    "sp2_radius_knn" ->
+      """WITH su AS (
+           SELECT s_suppkey,
+             (('0x' || substr(md5((s_suppkey + 7000000)::VARCHAR), 1, 7))::UBIGINT
+               % 1000000)::BIGINT AS sx,
+             (('0x' || substr(md5((s_suppkey + 7000000)::VARCHAR), 9, 7))::UBIGINT
+               % 1000000)::BIGINT AS sy
+           FROM supplier),
+         cu AS (
+           SELECT c_custkey,
+             (('0x' || substr(md5(c_custkey::VARCHAR), 1, 7))::UBIGINT
+               % 1000000)::BIGINT AS cx,
+             (('0x' || substr(md5(c_custkey::VARCHAR), 9, 7))::UBIGINT
+               % 1000000)::BIGINT AS cy
+           FROM customer)
+         SELECT c_custkey, s_suppkey,
+           (sx - cx) * (sx - cx) + (sy - cy) * (sy - cy) AS d2
+         FROM su, cu
+         WHERE (sx - cx) * (sx - cx) + (sy - cy) * (sy - cy)
+               <= 100000::BIGINT * 100000
+         QUALIFY row_number() OVER (PARTITION BY c_custkey
+           ORDER BY d2, s_suppkey) <= 3"""
   )
 }
