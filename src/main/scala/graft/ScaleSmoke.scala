@@ -16,7 +16,7 @@ import org.apache.spark.sql.functions._
   * [shardDocs] [vocabDocs] [pqVecs] [dsirDocs]`. `GRAFT_SS_ONLY=
   * <lanes>` replays just the named lanes — any comma-separated subset
   * of simhash, decon, bpe, overlap, curation, capbudget, graph, tri,
-  * linkp, ivj, ivc.
+  * linkp, ivj, ivc, spj.
   */
 object ScaleSmoke {
   def main(args: Array[String]): Unit = {
@@ -705,6 +705,32 @@ object ScaleSmoke {
         totB == ivcN,
         s"interval union broken: plain=($spansP,$totP) bkt=($spansB,$totB)")
       Release(hot, blocking = true)
+    }
+
+    // Spatial radius join at 5M × 5M with a CLOSED-FORM exact answer:
+    // a 2236² lattice at spacing 1000, radius 1000 — every point pairs
+    // with itself (d²=0) and its 4 axis neighbors (d²=r², the inclusive
+    // boundary); diagonals (2r²) are excluded. Ordered-pair count is
+    // exactly n² + 4n(n−1). This is the exactly-once and boundary
+    // semantics of the 3×3 replication verified at 45M replicated rows,
+    // not just on the spec's 40-point frame — a duplicate-emitting or
+    // boundary-sloppy lowering misses the constant by whole multiples.
+    lane("spj") {
+      val n = 2236L
+      val pts = spark.range(n * n).select(
+        ((col("id") % n) * 1000).as("x"),
+        (floor(col("id") / n) * 1000).cast("long").as("y"))
+        .localCheckpoint()
+      val t0 = System.nanoTime()
+      val pairs = operators.SpatialOps.radiusJoin(
+        pts.select(col("x").as("ax"), col("y").as("ay")), "ax", "ay",
+        pts.select(col("x").as("bx"), col("y").as("by")), "bx", "by",
+        radius = 1000L).count()
+      val spjSec = (System.nanoTime() - t0) / 1e9
+      val want = n * n + 4 * n * (n - 1)
+      println(s"""{"spj_points":${n * n},"sec":${round1(spjSec)},"pairs":$pairs}""")
+      require(pairs == want, s"radius join broken: $pairs vs $want")
+      Release(pts, blocking = true)
     }
 
     // Triangle orientation under hub skew. The id-ordered failure mode
