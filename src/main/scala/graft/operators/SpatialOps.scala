@@ -74,4 +74,47 @@ object SpatialOps {
       .withColumn("d2", dx * dx + dy * dy)
       .drop("_cx", "_cy")
   }
+
+  /** Point-in-box containment join: every (box, point) pair with
+    * |px − cx| ≤ hw and |py − cy| ≤ hh (boxes given by center +
+    * per-row half-extents, edges inclusive). The 2-D cover join —
+    * geofences, map tiles, bounding-box pre-filters for polygon work.
+    *
+    * Lowering: each box replicates to every grid cell its extent
+    * covers (two nested `sequence` explodes — narrow, no shuffle);
+    * each point maps to its home cell only. A contained point's home
+    * cell is by definition covered by the box, so every qualifying
+    * pair meets exactly once — exactly-once by construction again, no
+    * dedup pass. Replication per box is (⌈2hw/cell⌉+1)·(⌈2hh/cell⌉+1),
+    * guarded in-column by `maxCellsPerBox` (`raise_error`, the
+    * intervalOverlapJoin discipline): a degenerate continent-sized box
+    * should fail loudly, not silently explode the exchange. Pick
+    * `cell` near the TYPICAL box extent — the 1-D binSec rule, squared.
+    */
+  def containsJoin(boxes: DataFrame, cxCol: String, cyCol: String,
+                   hwCol: String, hhCol: String,
+                   points: DataFrame, pxCol: String, pyCol: String,
+                   cell: Long, maxCellsPerBox: Long = 4096L): DataFrame = {
+    require(cell > 0, s"cell must be positive: $cell")
+    val x0 = fdiv(col(cxCol) - col(hwCol), cell)
+    val x1 = fdiv(col(cxCol) + col(hwCol), cell)
+    val y0 = fdiv(col(cyCol) - col(hhCol), cell)
+    val y1 = fdiv(col(cyCol) + col(hhCol), cell)
+    val nCells = (x1 - x0 + 1) * (y1 - y0 + 1)
+    val guarded = boxes.withColumn("_nc",
+      when(nCells <= maxCellsPerBox, nCells).otherwise(raise_error(
+        concat(lit(s"containsJoin: box covers more than $maxCellsPerBox cells ("),
+          nCells, lit(s") at cell=$cell — raise cell or maxCellsPerBox")))))
+    val boxCells = guarded
+      .withColumn("_cx", explode(sequence(x0, x1)))
+      .withColumn("_cy", explode(sequence(y0, y1)))
+      .drop("_nc")
+    val pointCells = points
+      .withColumn("_cx", fdiv(col(pxCol), cell))
+      .withColumn("_cy", fdiv(col(pyCol), cell))
+    boxCells.join(pointCells, Seq("_cx", "_cy"))
+      .filter(abs(col(pxCol) - col(cxCol)) <= col(hwCol) &&
+        abs(col(pyCol) - col(cyCol)) <= col(hhCol))
+      .drop("_cx", "_cy")
+  }
 }

@@ -58,6 +58,24 @@ object SpatialQueries {
       graft.plans.TopK.perKey(cand, Seq("c_custkey"),
         Seq(col("d2").asc, col("s_suppkey").asc), 3)
         .select("c_custkey", "s_suppkey", "d2")
+    }),
+
+    // Point-in-box containment (geofence) join: supplier service boxes
+    // (md5-derived half-extents 5k–25k per axis) × customer points.
+    // Cover-join lowering — box replicated to its covered cells, point
+    // home-cell only, exactly once by construction; inclusive edges.
+    "sp3_contains_join" -> ((s, d) => {
+      val boxes = supplier(s, d).select(col("s_suppkey"),
+        coord(col("s_suppkey") + 7000000L, 1).as("sx"),
+        coord(col("s_suppkey") + 7000000L, 9).as("sy"),
+        (coord(col("s_suppkey") + 9000000L, 1) % 20001L + 5000L).as("hw"),
+        (coord(col("s_suppkey") + 9000000L, 9) % 20001L + 5000L).as("hh"))
+      val pts = customer(s, d).select(col("c_custkey"),
+        coord(col("c_custkey"), 1).as("cx"),
+        coord(col("c_custkey"), 9).as("cy"))
+      SpatialOps.containsJoin(boxes, "sx", "sy", "hw", "hh",
+          pts, "cx", "cy", cell = 50000L)
+        .select("s_suppkey", "c_custkey", "hw", "hh")
     })
   )
 
@@ -103,6 +121,28 @@ object SpatialQueries {
          WHERE (sx - cx) * (sx - cx) + (sy - cy) * (sy - cy)
                <= 100000::BIGINT * 100000
          QUALIFY row_number() OVER (PARTITION BY c_custkey
-           ORDER BY d2, s_suppkey) <= 3"""
+           ORDER BY d2, s_suppkey) <= 3""",
+    "sp3_contains_join" ->
+      """WITH bx AS (
+           SELECT s_suppkey,
+             (('0x' || substr(md5((s_suppkey + 7000000)::VARCHAR), 1, 7))::UBIGINT
+               % 1000000)::BIGINT AS sx,
+             (('0x' || substr(md5((s_suppkey + 7000000)::VARCHAR), 9, 7))::UBIGINT
+               % 1000000)::BIGINT AS sy,
+             ((('0x' || substr(md5((s_suppkey + 9000000)::VARCHAR), 1, 7))::UBIGINT
+               % 1000000) % 20001 + 5000)::BIGINT AS hw,
+             ((('0x' || substr(md5((s_suppkey + 9000000)::VARCHAR), 9, 7))::UBIGINT
+               % 1000000) % 20001 + 5000)::BIGINT AS hh
+           FROM supplier),
+         pt AS (
+           SELECT c_custkey,
+             (('0x' || substr(md5(c_custkey::VARCHAR), 1, 7))::UBIGINT
+               % 1000000)::BIGINT AS cx,
+             (('0x' || substr(md5(c_custkey::VARCHAR), 9, 7))::UBIGINT
+               % 1000000)::BIGINT AS cy
+           FROM customer)
+         SELECT s_suppkey, c_custkey, hw, hh
+         FROM bx, pt
+         WHERE abs(cx - sx) <= hw AND abs(cy - sy) <= hh"""
   )
 }

@@ -496,6 +496,12 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("_cx") && p.contains("_cy"), p.take(3000))
   }
 
+  test("sp3 contains join is an equi join on covered cells, never a cross product") {
+    val p = planOf("sp3_contains_join")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoop"), p.take(3000))
+  }
+
   test("ev20 interval coalesce shuffles once: groupBy reuses the window partitioning") {
     // span detection sorts on (user) in one window exchange; the
     // span-level groupBy keys extend the partition key so Catalyst

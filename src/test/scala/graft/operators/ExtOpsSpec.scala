@@ -1758,6 +1758,50 @@ class ExtOpsSpec extends SparkSpec {
     assert(edge == Set((1L, 25L), (2L, 25L)))
   }
 
+  test("containsJoin equals the predicate join, exactly once, inclusive edges, guard fires") {
+    val boxes = spark.range(25)
+      .withColumn("bid", col("id"))
+      .withColumn("bx", pmod(hash(col("id")), lit(300)) - 150)
+      .withColumn("by", pmod(hash(col("id"), lit(1)), lit(300)) - 150)
+      .withColumn("hw", pmod(hash(col("id"), lit(2)), lit(80)) + 5)
+      .withColumn("hh", pmod(hash(col("id"), lit(3)), lit(80)) + 5)
+      .select("bid", "bx", "by", "hw", "hh")
+    val pts = spark.range(80)
+      .withColumn("pid", col("id"))
+      .withColumn("px", pmod(hash(col("id"), lit(4)), lit(300)) - 150)
+      .withColumn("py", pmod(hash(col("id"), lit(5)), lit(300)) - 150)
+      .select("pid", "px", "py")
+    for (cellSize <- Seq(7L, 40L, 500L)) {
+      val got = SpatialOps.containsJoin(boxes, "bx", "by", "hw", "hh",
+          pts, "px", "py", cell = cellSize)
+        .select("bid", "pid").as[(Long, Long)].collect()
+      assert(got.length == got.toSet.size, s"dup pairs at cell=$cellSize")
+      val bs = boxes.as[(Long, Long, Long, Long, Long)].collect()
+      val ps = pts.as[(Long, Long, Long)].collect()
+      val expected = (for {
+        (bid, bx, by, hw, hh) <- bs; (pid, px, py) <- ps
+        if math.abs(px - bx) <= hw && math.abs(py - by) <= hh
+      } yield (bid, pid)).toSet
+      assert(got.toSet == expected, s"cell=$cellSize")
+      assert(expected.nonEmpty && expected.size < bs.length * ps.length)
+    }
+    // inclusive edge: point exactly on the box boundary is inside
+    val b1 = Seq((1L, 0L, 0L, 10L, 10L)).toDF("bid", "bx", "by", "hw", "hh")
+    val p1 = Seq((1L, 10L, 10L), (2L, 11L, 0L)).toDF("pid", "px", "py")
+    val edge = SpatialOps.containsJoin(b1, "bx", "by", "hw", "hh",
+        p1, "px", "py", cell = 10L)
+      .select("pid").as[Long].collect().toSet
+    assert(edge == Set(1L))
+    // fan-out guard: a box covering more cells than the cap fails loudly
+    val wide = Seq((1L, 0L, 0L, 1000L, 1000L))
+      .toDF("bid", "bx", "by", "hw", "hh")
+    val err = intercept[Exception] {
+      SpatialOps.containsJoin(wide, "bx", "by", "hw", "hh",
+        p1, "px", "py", cell = 10L, maxCellsPerBox = 16L).collect()
+    }
+    assert(err.getMessage.contains("covers more than"), err.getMessage)
+  }
+
   test("coalesceIntervalsBucketed equals the single-pass form at every width") {
     // deterministic pseudo-random intervals: clustered starts so spans
     // genuinely merge, lengths up to 40 so chains cross bucket
