@@ -198,6 +198,25 @@ object StreamParityQueries {
       StreamParity.drainAppend(
         StreamingOps.enrichedWindowStream(
           StreamParity.eventsStream(s, d), dim, "6 hours", WM))
+    }),
+
+    // LEFT OUTER stream-stream interval join: st5's matched pairs PLUS
+    // a click_id-NULL row per provably-unmatched purchase, emitted on
+    // state eviction. The operative watermark is the MIN of the two
+    // sides' own watermarks (each withWatermark sits above its
+    // event_type filter, so clicks and purchases track separate
+    // ms-floored maxima; multipleWatermarkPolicy=min) — the oracle
+    // encodes that, measured/bracketed at both sfs. This gates the
+    // state-EVICTION emission path of stream-stream joins that st5's
+    // inner lane never exercises, plus the min-of-watermarks rule
+    // itself.
+    "st13_stream_outer" -> ((s, d) => {
+      val ev = StreamParity.eventsStream(s, d)
+      StreamParity.drainAppend(
+        StreamingOps.clickAttributionOuterStream(
+          ev.filter(col("event_type") === "click"),
+          ev.filter(col("event_type") === "purchase"),
+          "30 minutes", WM))
     })
   )
 
@@ -305,6 +324,37 @@ object StreamParityQueries {
            TRUE AS guaranteed_present, TRUE AS est_within_bound
          FROM ex e JOIN tot t USING (win_start)
          WHERE e.exact_count * 9 > t.n""",
+    // matched pairs emit unconditionally (inner results are not
+    // watermark-gated in append mode); the outer NULL row for an
+    // unmatched purchase emits iff the JOIN's final watermark passes
+    // its event time. That watermark is NOT the WmCte one: each side's
+    // withWatermark sits above its event_type filter, so each side
+    // tracks its OWN ms-floored max and the engine takes the MIN
+    // (multipleWatermarkPolicy=min) — measured at both sfs, the
+    // emitted/withheld split brackets exactly this min-of-sides value
+    // and rejects both the all-events watermark and any window-width
+    // offset.
+    "st13_stream_outer" ->
+      """WITH wm2 AS (SELECT least(
+           (SELECT (epoch_us(max(ts))//1000)*1000 FROM events
+            WHERE event_type = 'click'),
+           (SELECT (epoch_us(max(ts))//1000)*1000 FROM events
+            WHERE event_type = 'purchase')) - 7200000000 AS wm_us),
+         p AS (SELECT event_id, user_id, ts FROM events
+               WHERE event_type = 'purchase'),
+         c AS (SELECT event_id, user_id, ts FROM events
+               WHERE event_type = 'click'),
+         m AS (SELECT p.event_id AS purchase_id, p.user_id,
+                 c.event_id AS click_id
+               FROM p JOIN c ON p.user_id = c.user_id
+                AND epoch_us(c.ts) >= epoch_us(p.ts) - 1800000000
+                AND epoch_us(c.ts) < epoch_us(p.ts))
+         SELECT purchase_id, user_id, click_id FROM m
+         UNION ALL
+         SELECT p.event_id, p.user_id, NULL::BIGINT
+         FROM p, wm2
+         WHERE p.event_id NOT IN (SELECT purchase_id FROM m)
+           AND epoch_us(p.ts) < wm_us""",
     "st12_stream_enrich" ->
       s"""WITH $WmCte
          SELECT (floor(epoch(ts))::BIGINT // 21600) * 21600 AS win_start,

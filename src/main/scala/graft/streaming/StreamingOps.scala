@@ -311,6 +311,36 @@ object StreamingOps {
       .select("purchase_id", "user_id", "click_id")
   }
 
+  /** LEFT OUTER twin of [[clickAttributionStream]]: purchases with no
+    * qualifying click still emit, click_id null — the "unattributed
+    * conversion" row a funnel report needs in-band rather than as the
+    * absence of a row. Matched pairs emit as they form; the NULL row
+    * for purchase p emits when Spark evicts p's buffered state, i.e.
+    * once the JOIN watermark passes purchase_ts. Because each side's
+    * withWatermark sits above its own event-type filter, the two sides
+    * track SEPARATE ms-floored maxima and the operative watermark is
+    * their MIN (multipleWatermarkPolicy=min, measured and bracketed at
+    * both gated sfs in the st13 oracle) — a quiet side therefore
+    * delays outer emissions for the busy side, the production reason
+    * to feed both sides from one watermarked source when types share a
+    * stream. Cost: nothing beyond the inner join's bounded state.
+    */
+  def clickAttributionOuterStream(clicks: DataFrame, purchases: DataFrame,
+                                  window: String = "30 minutes",
+                                  watermark: String = "1 hour"): DataFrame = {
+    val c = clicks.withWatermark("ts", watermark)
+      .select(col("user_id").as("c_user"), col("ts").as("click_ts"),
+        col("event_id").as("click_id"))
+    val p = purchases.withWatermark("ts", watermark)
+      .select(col("user_id"), col("ts").as("purchase_ts"),
+        col("event_id").as("purchase_id"))
+    p.join(c, expr(
+      s"""user_id = c_user AND
+          click_ts >= purchase_ts - INTERVAL $window AND
+          click_ts < purchase_ts"""), "leftOuter")
+      .select("purchase_id", "user_id", "click_id")
+  }
+
   final case class UserEvent(user_id: Long, value: Double)
   final case class UserTotal(user_id: Long, n: Long, total: Double)
 

@@ -283,6 +283,28 @@ class StreamingSpec extends SparkSpec {
     assert(out == Set((100L, 10L, 1L), (100L, 10L, 2L)))
   }
 
+  test("left-outer interval join emits NULL for evicted unmatched purchases only") {
+    implicit val sqlCtx = spark.sqlContext
+    val t = (s: Int) => java.sql.Timestamp.valueOf(
+      java.time.LocalDateTime.of(2024, 1, 1, 0, 0, 0).plusSeconds(s))
+    val clicks = MemoryStream[Ev]
+    val purchases = MemoryStream[Ev]
+    clicks.addData(
+      Ev(1, t(300), 10, "click", 1.0),     // matches purchase 100
+      Ev(4, t(90000), 10, "click", 1.0))   // advances the click watermark
+    purchases.addData(
+      Ev(100, t(600), 10, "purchase", 5.0),   // matched → real click_id
+      Ev(101, t(1200), 20, "purchase", 5.0),  // unmatched, evicted → NULL
+      Ev(102, t(90000), 20, "purchase", 5.0)) // unmatched, inside the
+                                              // trailing delay → withheld
+    val out = StreamingOps.drainToTable(
+      StreamingOps.clickAttributionOuterStream(clicks.toDF(),
+        purchases.toDF(), "30 minutes", watermark = "1 hour"),
+      "t_attrib_outer", org.apache.spark.sql.streaming.OutputMode.Append())
+      .as[(Long, Long, Option[Long])].collect().toSet
+    assert(out == Set((100L, 10L, Some(1L)), (101L, 20L, None)))
+  }
+
   test("stateful query resumes from its checkpoint across a restart") {
     implicit val sqlCtx = spark.sqlContext
     val ckpt = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
