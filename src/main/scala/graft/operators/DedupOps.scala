@@ -893,4 +893,54 @@ object DedupOps {
       .filter(col("jaccard") >= threshold)
       .select("a", "b", "jaccard")
   }
+
+  /** LSH candidate-recall evaluation — the dd-family twin of ss15's
+    * ANN recall harness: for a deterministic md5-bucket sample of
+    * probe documents, compute the TRUE shingle-Jaccard neighbor set
+    * (exact, same k-grams the MinHash signatures summarize) and flag
+    * which true pairs the banded LSH candidate set caught. Output one
+    * row per true pair: (a = probe, b, jaccard, caught) — the frame a
+    * threshold-tuning sweep aggregates into recall-vs-jaccard curves,
+    * and the gate that keeps an LSH parameter change honest (the
+    * 1−(1−j^r)^b curve is only a claim until measured on the corpus).
+    *
+    * Scale: truth cost is sample × posting-list df — grams ride as
+    * 16-byte digests, intersections count per (a, b) from ONE gram
+    * equi-join, sizes join back from a per-doc aggregate; no all-pairs
+    * stage. No df cap here — truth must be exact; bound the cost with
+    * `samplePct`, not by dropping grams (a capped truth silently
+    * inflates recall, the CMS-8×2 lesson applied to evaluation).
+    */
+  def lshRecallEval(df: DataFrame, idCol: String, textCol: String,
+                    shingleK: Int, numPerm: Int, bands: Int,
+                    theta: Double, samplePct: Int): DataFrame = {
+    val grams = df.select(col(idCol).as("_id"),
+        explode(shingles(col(textCol), shingleK)).as("_s"))
+      .select(col("_id"), unhex(md5(col("_s"))).as("_g"))
+    val sizes = grams.groupBy("_id").agg(count(lit(1)).as("_n"))
+    val bucket = conv(substring(md5(col("_id").cast("string")), 1, 8), 16, 10)
+      .cast("long") % 100
+    val probeGrams = grams.filter(bucket < samplePct)
+      .select(col("_id").as("a"), col("_g"))
+    val inter = probeGrams
+      .join(grams.select(col("_id").as("b"), col("_g")), Seq("_g"))
+      .filter(col("a") =!= col("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("_i"))
+    val truth = inter
+      .join(sizes.select(col("_id").as("a"), col("_n").as("_na")), "a")
+      .join(sizes.select(col("_id").as("b"), col("_n").as("_nb")), "b")
+      .withColumn("jaccard", round(col("_i").cast("double") /
+        (col("_na") + col("_nb") - col("_i")), 4))
+      .filter(col("jaccard") >= theta)
+      .select("a", "b", "jaccard")
+    val cand = minhashCandidates(df, idCol, textCol, shingleK, numPerm,
+        bands)
+      .withColumn("_hit", lit(true))
+    truth
+      .join(cand,
+        least(truth("a"), truth("b")) === cand("a") &&
+          greatest(truth("a"), truth("b")) === cand("b"), "left")
+      .select(truth("a"), truth("b"), col("jaccard"),
+        coalesce(col("_hit"), lit(false)).as("caught"))
+  }
 }

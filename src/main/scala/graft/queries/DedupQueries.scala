@@ -204,6 +204,29 @@ object DedupQueries {
       documents(s, d).select(col("doc_id"),
         TextAnalysisOps.fingerprint(col("text")).as("fp"),
         TextAnalysisOps.minShingleFingerprint(col("text"), 3).as("min_shingle_fp"))
+    }),
+
+    // LSH recall evaluation (ss15's harness for the dedup family):
+    // exact 3-gram-Jaccard truth for a 10% md5-bucket probe sample vs
+    // the candidate set — one row per true pair with its caught flag.
+    // The raw corpus is BIMODAL (pairs sit at j<0.1 or j≈0.96, where
+    // 16-perm/4-band LSH is certain either way — an eval there
+    // verifies nothing, the CMS-8×2 lesson), so the evaluated frame
+    // unions each document's FIRST-HALF twin (doc_id+10000000): those
+    // pairs land at j≈0.42–0.49, where P(candidate)=1−(1−j⁴)⁴≈0.15
+    // and the sketch genuinely misses — measured 20 caught / 75 missed
+    // at sf0.01, with the caught set spanning the full 0.43–1.0 range.
+    // theta=0.3 admits the mid and high regimes only.
+    "dd18_lsh_recall" -> ((s, d) => {
+      val docs = documents(s, d).select("doc_id", "text")
+      val w = split(col("text"), " ")
+      val halves = documents(s, d).select(
+        (col("doc_id") + 10000000L).as("doc_id"),
+        array_join(slice(w, lit(1), (size(w) / 2).cast("int")), " ")
+          .as("text"))
+      DedupOps.lshRecallEval(docs.unionByName(halves), "doc_id", "text",
+        shingleK = 3, numPerm = 16, bands = 4, theta = 0.3,
+        samplePct = 10)
     })
   )
 
@@ -599,6 +622,50 @@ object DedupQueries {
              list_min([md5(w[i] || ' ' || w[i+1] || ' ' || w[i+2])
                        for i in range(1, len(w)-1)])
            ELSE NULL END AS min_shingle_fp
-         FROM s"""
+         FROM s""",
+    // truth = exact 3-gram Jaccard for the md5-bucket probe sample;
+    // cand = dd2's banding replay verbatim; caught = pair present in
+    // cand under (least, greatest) orientation
+    "dd18_lsh_recall" ->
+      """WITH docs2 AS (
+           SELECT doc_id, text FROM documents
+           UNION ALL
+           SELECT doc_id + 10000000,
+             array_to_string((string_split(text, ' '))[1 : len(string_split(text, ' ')) // 2], ' ')
+           FROM documents),
+         s0 AS (SELECT doc_id, string_split(text, ' ') w FROM docs2),
+         sh AS (SELECT doc_id,
+                  unnest(list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                                        for i in range(1, len(w)-1)])) AS g
+                FROM s0 WHERE len(w) >= 3),
+         sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+         pr AS (SELECT doc_id FROM docs2
+                WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::UBIGINT
+                      % 100 < 10),
+         it AS (SELECT p.doc_id AS a, q.doc_id AS b, count(*) AS i
+                FROM sh p JOIN sh q ON p.g = q.g AND p.doc_id <> q.doc_id
+                WHERE p.doc_id IN (SELECT doc_id FROM pr)
+                GROUP BY 1, 2),
+         tr AS (SELECT it.a, it.b,
+                  round(it.i::DOUBLE / (na.n + nb.n - it.i), 4) AS jaccard
+                FROM it JOIN sz na ON na.doc_id = it.a
+                        JOIN sz nb ON nb.doc_id = it.b),
+         xh AS (SELECT doc_id,
+                  (('0x' || substr(md5(g), 1, 15))::UBIGINT % 2147483647)::BIGINT AS x
+                FROM sh),
+         sig AS (SELECT doc_id, i,
+                   min(((i*1000003 + 12345) * x + i*999983 + 54321) % 2147483647) AS mh
+                 FROM xh CROSS JOIN (SELECT unnest(range(0,16)) AS i) perms
+                 GROUP BY doc_id, i),
+         bands AS (SELECT doc_id, i // 4 AS band,
+                     md5(string_agg(mh::VARCHAR, '|' ORDER BY i)) AS bh
+                   FROM sig GROUP BY doc_id, i // 4),
+         cd AS (SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+                FROM bands l JOIN bands r
+                  ON l.band = r.band AND l.bh = r.bh AND l.doc_id < r.doc_id)
+         SELECT t.a, t.b, t.jaccard, (c.a IS NOT NULL) AS caught
+         FROM tr t LEFT JOIN cd c
+           ON least(t.a, t.b) = c.a AND greatest(t.a, t.b) = c.b
+         WHERE t.jaccard >= 0.3"""
   )
 }

@@ -1723,6 +1723,40 @@ class ExtOpsSpec extends SparkSpec {
       (2L, 5L, 6L, 1L)))
   }
 
+  test("lshRecallEval: truth matches brute-force jaccard; caught = candidate membership") {
+    // 6 docs in two near-dup pairs plus noise; samplePct=100 so every
+    // doc is a probe and the truth set is the full >=theta pair set
+    val docs = Seq(
+      (1L, "a b c d e f g h"),
+      (2L, "a b c d e f g x"),   // high-j twin of 1
+      (3L, "p q r s t u v w"),
+      (4L, "p q r s t u v y"),   // high-j twin of 3
+      (5L, "m n o a b c z k"),
+      (6L, "z z z z z z z z")
+    ).toDF("doc_id", "text")
+    val out = DedupOps.lshRecallEval(docs, "doc_id", "text",
+        shingleK = 3, numPerm = 16, bands = 4, theta = 0.2,
+        samplePct = 100)
+      .as[(Long, Long, Double, Boolean)].collect()
+    // brute-force 3-gram jaccard model
+    def grams(t: String) = t.split(" ").sliding(3).map(_.mkString(" ")).toSet
+    val byId = docs.as[(Long, String)].collect().toMap
+    val model = (for {
+      a <- byId.keys; b <- byId.keys if a != b
+      ga = grams(byId(a)); gb = grams(byId(b))
+      j = (ga & gb).size.toDouble / (ga | gb).size if j + 1e-9 >= 0.2
+    } yield (a, b) -> (math.rint(j * 10000) / 10000)).toMap
+    assert(out.map(r => (r._1, r._2) -> r._3).toMap == model)
+    val cand = DedupOps.minhashCandidates(docs, "doc_id", "text", 3, 16, 4)
+      .as[(Long, Long)].collect().toSet
+    out.foreach { case (a, b, _, caught) =>
+      assert(caught == cand.contains((math.min(a, b), math.max(a, b))),
+        s"($a,$b)")
+    }
+    // both branches present on this fixture
+    assert(out.exists(_._4) && out.exists(!_._4))
+  }
+
   test("radiusJoin equals the predicate cross join, exactly once, boundary inclusive") {
     // random points incl. NEGATIVE coords (floor-div cell assignment,
     // not truncation) and a coincident pair (d2 = 0)
