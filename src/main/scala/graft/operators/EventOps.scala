@@ -84,6 +84,50 @@ object EventOps {
       .drop("_r", "_isR")
   }
 
+  /** Nearest-within-tolerance as-of join (merge_asof direction =
+    * 'nearest'): each left row picks the right row minimizing |Δt|
+    * within `toleranceUs`, ties broken toward the PAST row (the
+    * backward-join convention, deterministic because (key, time) is
+    * unique per side). Same union-sort trick as [[asOfJoin]] — no join
+    * at all: ONE shuffle on the key, one in-partition sort, and two
+    * frames over it (running `last` for the nearest past right row,
+    * `(1, following)` `first` for the nearest future one; same-ts right
+    * rows sort before the left row, so a Δ=0 match arrives via the
+    * past side). The candidate pair never materializes — at any scale
+    * the exchange carries exactly |L| + |R| rows, vs the band join's
+    * |L|·(matches) intermediate. Unmatched left rows survive with
+    * nulls (the no-match branch is data, not absence).
+    */
+  def asOfNearest(left: DataFrame, right: DataFrame, key: String,
+                  time: String, toleranceUs: Long,
+                  rightCols: Seq[String]): DataFrame = {
+    val r = right.select(
+      col(key), col(time),
+      struct((col(time) +: rightCols.map(col)): _*).as("_r"),
+      lit(1).as("_isR"))
+    val l = left.withColumn("_isR", lit(0))
+    val u = l.unionByName(r, allowMissingColumns = true)
+    val base = Window.partitionBy(key)
+      .orderBy(col(time).asc, col("_isR").desc)
+    val past = last(col("_r"), ignoreNulls = true)
+      .over(base.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    val future = first(col("_r"), ignoreNulls = true)
+      .over(base.rowsBetween(1L, Window.unboundedFollowing))
+    val t = unix_micros(col(time))
+    val bd = t - unix_micros(col("_past").getField(time))
+    val fd = unix_micros(col("_fut").getField(time)) - t
+    val backOk = col("_past").isNotNull && bd <= toleranceUs
+    val fwdOk = col("_fut").isNotNull && fd <= toleranceUs
+    u.withColumn("_past", past).withColumn("_fut", future)
+      .filter(col("_isR") === 0)
+      .withColumn("_m",
+        when(backOk && (!fwdOk || bd <= fd), col("_past"))
+          .when(fwdOk, col("_fut")))
+      .withColumn("delta_us",
+        abs(unix_micros(col("_m").getField(time)) - t))
+      .drop("_past", "_fut", "_isR")
+  }
+
   /** Banded (range) self-join: for each purchase event, count the same
     * user's click events in the preceding `window` (funnel attribution).
     *

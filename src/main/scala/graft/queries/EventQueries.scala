@@ -63,6 +63,26 @@ object EventQueries {
         .select(col("user_id"), col("span_start"), col("span_end"),
           col("n_intervals"))
     }),
+    // Nearest-within-tolerance as-of (merge_asof direction='nearest'):
+    // each purchase takes the click minimizing |Δt| within 30 min,
+    // EITHER direction, past-preferred on exact ties; unmatched
+    // purchases survive with nulls. One union-sort shuffle, no join —
+    // the exchange carries |purchases|+|clicks| rows, never the
+    // candidate pairs.
+    "ev21_asof_nearest" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val ev = events(s, d)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id"),
+          col("ts"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("event_id").as("click_id"))
+      EventOps.asOfNearest(purchases, clicks, "user_id", "ts",
+          toleranceUs = 1800000000L, rightCols = Seq("click_id"))
+        .select(col("purchase_id"), col("user_id"),
+          col("_m").getField("click_id").as("click_id"), col("delta_us"))
+    }),
+
     // Spark-4 VARIANT path for semi-structured props: parse_json →
     // typed variant_get, then bucket agg (the engine-native JSON lane;
     // ev5 is the json_extract string lane).
@@ -228,6 +248,24 @@ object EventQueries {
            b.n_events
          FROM spans s JOIN busy b
            ON s.a_start < b.b_end AND b.b_start < s.a_end""",
+    "ev21_asof_nearest" ->
+      """WITH p AS (SELECT event_id, user_id, ts FROM events
+                    WHERE event_type = 'purchase'),
+         c AS (SELECT event_id, user_id, ts FROM events
+               WHERE event_type = 'click'),
+         cand AS (SELECT p.event_id AS purchase_id, p.user_id,
+                    c.event_id AS click_id,
+                    abs(epoch_us(c.ts) - epoch_us(p.ts)) AS ad,
+                    CASE WHEN epoch_us(c.ts) <= epoch_us(p.ts)
+                         THEN 0 ELSE 1 END AS dir
+                  FROM p JOIN c ON p.user_id = c.user_id
+                   AND abs(epoch_us(c.ts) - epoch_us(p.ts)) <= 1800000000),
+         best AS (SELECT purchase_id, click_id, ad FROM cand
+                  QUALIFY row_number() OVER (PARTITION BY purchase_id
+                    ORDER BY ad, dir) = 1)
+         SELECT p.event_id AS purchase_id, p.user_id, b.click_id,
+           b.ad AS delta_us
+         FROM p LEFT JOIN best b ON b.purchase_id = p.event_id""",
     "ev20_interval_coalesce" ->
       """WITH iv AS (
            SELECT user_id, epoch_us(ts) AS ivs,

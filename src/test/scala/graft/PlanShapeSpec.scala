@@ -502,6 +502,13 @@ class PlanShapeSpec extends SparkSpec {
       !p.contains("BroadcastNestedLoop"), p.take(3000))
   }
 
+  test("ev21 nearest as-of is joinless: one union-sort exchange, no candidate pairs") {
+    val p = planOf("ev21_asof_nearest")
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin") &&
+      !p.contains("ShuffledHashJoin"), p.take(3000))
+    assert("Exchange hashpartitioning".r.findAllIn(p).length == 1, p)
+  }
+
   test("ev20 interval coalesce shuffles once: groupBy reuses the window partitioning") {
     // span detection sorts on (user) in one window exchange; the
     // span-level groupBy keys extend the partition key so Catalyst

@@ -1709,6 +1709,30 @@ class ExtOpsSpec extends SparkSpec {
     assert(out(4L) == ((25, 512, true, 25L * 512 * 3)))
   }
 
+  test("asOfNearest: direction choice, past tie-break, tolerance, no-match nulls") {
+    val lts = (s: Long) => new java.sql.Timestamp(s * 1000)
+    val left = Seq(
+      (100L, 1L, lts(1000)), // clicks at 990 (past,10) and 1005 (fut,5) → future wins
+      (101L, 1L, lts(2000)), // clicks at 1995 and 2005 → tie |5| → past wins
+      (102L, 1L, lts(5000)), // nearest click 2005 → |2995| > tol 60 → null
+      (103L, 2L, lts(1000))  // keyless → null
+    ).toDF("pid", "k", "t")
+    val right = Seq(
+      (9L, 1L, lts(990)), (10L, 1L, lts(1005)),
+      (11L, 1L, lts(1995)), (12L, 1L, lts(2005))
+    ).toDF("cid", "k", "t")
+    val out = EventOps.asOfNearest(left, right, "k", "t",
+        toleranceUs = 60000000L, rightCols = Seq("cid"))
+      .select(col("pid"), col("_m").getField("cid").as("cid"),
+        col("delta_us"))
+      .as[(Long, Option[Long], Option[Long])].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out(100L) == ((Some(10L), Some(5000000L))))
+    assert(out(101L) == ((Some(11L), Some(5000000L))))
+    assert(out(102L) == ((None, None)))
+    assert(out(103L) == ((None, None)))
+  }
+
   test("coalesceIntervals: nested + touching + disjoint spans merge exactly") {
     val iv = Seq(
       (1L, 0L, 100L),   // opens span A
