@@ -191,4 +191,43 @@ object MultimodalOps {
       }
     }(enc)
   }
+
+  /** Near-duplicate candidate pairs over OPAQUE binary payloads: strided
+    * byte k-grams → MinHash signature → LSH band self-join — the dd2
+    * pipeline with byte-range shingles instead of word shingles, so it
+    * needs no decode, no text assumption, no codec: re-encoded copies,
+    * truncated uploads and watermarked variants of the same asset share
+    * most byte windows and collide in a band. Grams stride every
+    * `strideBytes` (cost ∝ n_bytes/stride per asset; for
+    * insertion-robust chunking use dd8's rolling-hash content-defined
+    * boundaries instead — a fixed stride shifts every downstream gram
+    * on a single inserted byte, the documented trade). Hash arithmetic
+    * is the shared [[DedupOps]] md5-affine family, so any engine
+    * replays signatures over the same bytes; the band join is the
+    * spill-safe merge-hinted shape minhashCandidates documents.
+    */
+  def binaryNearDupPairs(assets: DataFrame, idCol: String = "asset_id",
+                         contentCol: String = "content",
+                         gramBytes: Int = 16, strideBytes: Int = 4,
+                         numPerm: Int = 16, bands: Int = 4): DataFrame = {
+    require(numPerm % bands == 0, s"bands $bands must divide numPerm $numPerm")
+    val n = octet_length(col(contentCol)).cast("long")
+    val hashes = array_distinct(transform(
+      sequence(lit(1L), greatest(n - gramBytes + 1, lit(1L)),
+        lit(strideBytes.toLong)),
+      p => conv(substring(md5(col(contentCol)
+          .substr(p.cast("int"), lit(gramBytes))), 1, 15), 16, 10)
+        .cast("long") % DedupOps.MinhashP))
+    val sig = DedupOps.minhashSignature(hashes, numPerm)
+    val bandArr = DedupOps.lshBandHashes(sig, bands, numPerm / bands)
+    val banded = assets
+      .filter(col(contentCol).isNotNull && n > 0)
+      .select(col(idCol).as("_id"), posexplode(bandArr).as(Seq("_band", "_bh")))
+    val l = banded.hint("merge").as("l")
+    val r = banded.hint("merge").as("r")
+    l.join(r, col("l._band") === col("r._band") &&
+        col("l._bh") === col("r._bh") && col("l._id") < col("r._id"))
+      .select(col("l._id").as("a"), col("r._id").as("b"))
+      .distinct()
+  }
 }

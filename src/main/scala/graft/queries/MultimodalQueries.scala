@@ -82,7 +82,15 @@ object MultimodalQueries {
       MultimodalOps.resizePlan(
         MultimodalOps.withStubDims(
           MultimodalOps.toAssets(documents(s, d), "doc_id", "text")), 512)
-    })
+    }),
+
+    // Byte-level near-dup candidates over the binary payloads — no
+    // decode, no text assumption: strided 16-byte grams → MinHash →
+    // band self-join (dd2's pipeline re-based onto byte ranges; the
+    // corpus' duplicate groups share most byte windows and collide).
+    "mm7_binary_neardup" -> ((s, d) =>
+      MultimodalOps.binaryNearDupPairs(
+        MultimodalOps.toAssets(documents(s, d), "doc_id", "text")))
   )
 
   // the stub feature i = uint16 from md5 hex chars [4i+1, 4i+4] / 65535
@@ -200,6 +208,27 @@ object MultimodalQueries {
            off AS "offset", least(256::BIGINT, n_bytes - off) AS length
          FROM (SELECT doc_id AS asset_id, octet_length(text::BLOB) AS n_bytes,
                       unnest(range(0, octet_length(text::BLOB), 256)) AS off
-               FROM documents) t"""
+               FROM documents) t""",
+    // content bytes == text bytes on the ASCII corpus, so the byte
+    // grams replay as string substrings; hash chain is dd2's md5-affine
+    // family verbatim
+    "mm7_binary_neardup" ->
+      """WITH g AS (
+           SELECT doc_id AS asset_id,
+             unnest(list_distinct([
+               (('0x' || substr(md5(substr(text, p, 16)), 1, 15))::UBIGINT
+                 % 2147483647)::BIGINT
+               for p in range(1, greatest(len(text) - 15, 1) + 1, 4)])) AS x
+           FROM documents WHERE len(text) > 0),
+         sig AS (SELECT asset_id, i,
+                   min(((i*1000003 + 12345) * x + i*999983 + 54321) % 2147483647) AS mh
+                 FROM g CROSS JOIN (SELECT unnest(range(0,16)) AS i) perms
+                 GROUP BY asset_id, i),
+         bands AS (SELECT asset_id, i // 4 AS band,
+                     md5(string_agg(mh::VARCHAR, '|' ORDER BY i)) AS bh
+                   FROM sig GROUP BY asset_id, i // 4)
+         SELECT DISTINCT l.asset_id AS a, r.asset_id AS b
+         FROM bands l JOIN bands r
+           ON l.band = r.band AND l.bh = r.bh AND l.asset_id < r.asset_id"""
   )
 }

@@ -1747,6 +1747,19 @@ class ExtOpsSpec extends SparkSpec {
       (2L, 5L, 6L, 1L)))
   }
 
+  test("binaryNearDupPairs: identical payloads pair, disjoint don't, empties drop") {
+    val assets = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again"),
+      (3L, "completely different bytes with no shared sixteen-byte window"),
+      (4L, "")
+    ).toDF("asset_id", "payload")
+      .select(col("asset_id"), col("payload").cast("binary").as("content"))
+    val pairs = MultimodalOps.binaryNearDupPairs(assets)
+      .as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+
   test("lshRecallEval: truth matches brute-force jaccard; caught = candidate membership") {
     // 6 docs in two near-dup pairs plus noise; samplePct=100 so every
     // doc is a probe and the truth set is the full >=theta pair set
