@@ -419,6 +419,37 @@ object GraphOps {
     (out, () => graft.Release(ce))
   }
 
+  /** Local clustering coefficient per node: c(v) = 2·tri(v) /
+    * (deg(v)·(deg(v)−1)) over the undirected graph — how close each
+    * node's neighborhood is to a clique, the per-node refinement of
+    * gr4's triangle counts. tri and deg are exact integers (rides
+    * [[triangleCountsReleasable]] + one degree aggregate over the same
+    * symmetrized edge frame); the coefficient is the repo-standard ONE
+    * IEEE division (exact-int numerator 2·tri and denominator
+    * deg·(deg−1), so the quotient is bit-identical in any engine).
+    * Degree-0/1 nodes report 0.0 (no wedge exists), not null — absence
+    * of structure is data. Same scale envelope as the triangle count
+    * it composes: use the degree-ordered orientation's guidance for
+    * hub-heavy graphs.
+    */
+  def clusteringCoefficientReleasable(edges: DataFrame)
+      : (DataFrame, () => Unit) = {
+    val (tri, rel) = triangleCountsReleasable(edges)
+    val deg = undirected(edges).groupBy(col("a").as("id"))
+      .agg(count(lit(1)).as("deg"))
+    val out = deg.join(tri, Seq("id"), "left")
+      .select(col("id"), coalesce(col("n_tri"), lit(0L)).as("n_tri"),
+        col("deg"))
+      .withColumn("coeff",
+        when(col("deg") >= 2,
+          (col("n_tri") * 2.0) / (col("deg") * (col("deg") - 1)))
+          .otherwise(lit(0.0)))
+    (out, rel)
+  }
+
+  def clusteringCoefficient(edges: DataFrame): DataFrame =
+    clusteringCoefficientReleasable(edges)._1
+
   /** [[triangleCounts]] with DEGREE-ORDERED canonical orientation —
     * the scale-safe form. Orienting u → v iff (deg(u), u) < (deg(v),
     * v) is a total order over nodes, so each triangle is still

@@ -63,6 +63,11 @@ object GraphQueries {
     "gr4_triangles" -> ((s, d) => leased("gr4_triangles")(
       GraphOps.triangleCountsReleasable(knnEdges(s, d, 5)))),
 
+    // Local clustering coefficient per node over the same 5-NN graph:
+    // exact integer (n_tri, deg) plus the one-IEEE-division coeff.
+    "gr10_clustering_coeff" -> ((s, d) => leased("gr10_clustering_coeff")(
+      GraphOps.clusteringCoefficientReleasable(knnEdges(s, d, 5)))),
+
     // Degree histogram of the undirected 5-NN graph.
     "gr5_degree_hist" -> ((s, d) =>
       GraphOps.degreeHistogram(knnEdges(s, d, 5))),
@@ -331,6 +336,28 @@ object GraphQueries {
          SELECT deg, count(*) AS n_nodes FROM (
            SELECT a, count(*) AS deg FROM edges GROUP BY a)
          GROUP BY deg""",
+    // gr4's triangle chain + a degree aggregate; coeff is exact-int
+    // numerator/denominator through ONE IEEE division, bit-identical
+    "gr10_clustering_coeff" ->
+      s"""WITH ${knnCte(5)},
+         $undirCte,
+         ce AS MATERIALIZED (SELECT a, b FROM edges WHERE a < b),
+         tri AS MATERIALIZED (
+           SELECT e1.a AS x, e1.b AS y, e2.b AS z
+           FROM ce e1
+           JOIN ce e2 ON e2.a = e1.b
+           JOIN ce e3 ON e3.a = e1.a AND e3.b = e2.b),
+         nt AS (SELECT id, count(*) AS n_tri FROM (
+                  SELECT x AS id FROM tri
+                  UNION ALL SELECT y FROM tri
+                  UNION ALL SELECT z FROM tri)
+                GROUP BY id),
+         dg AS (SELECT a AS id, count(*) AS deg FROM edges GROUP BY a)
+         SELECT dg.id, coalesce(nt.n_tri, 0) AS n_tri, dg.deg,
+           CASE WHEN dg.deg >= 2
+                THEN (coalesce(nt.n_tri, 0) * 2.0) / (dg.deg * (dg.deg - 1))
+                ELSE 0.0 END AS coeff
+         FROM dg LEFT JOIN nt ON nt.id = dg.id""",
     "gr9_link_pred" ->
       s"""WITH ${knnCte(5)},
          $undirCte,

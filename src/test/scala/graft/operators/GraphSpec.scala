@@ -28,6 +28,18 @@ class GraphSpec extends SparkSpec {
       5L -> 1L, 6L -> 2L, 7L -> 2L, 8L -> 1L))
   }
 
+  test("clusteringCoefficient: hand values, degree<2 zero, rational exactness") {
+    // triangle (1,2,3) + pendant (3,4): deg 1=2,2=2,3=3,4=1
+    val e = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L)).toDF("a", "b")
+    val got = GraphOps.clusteringCoefficient(e)
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got(1L) == ((1L, 2L, 1.0)))
+    assert(got(2L) == ((1L, 2L, 1.0)))
+    assert(got(3L) == ((1L, 3L, 1.0 / 3)))   // exactly the IEEE quotient
+    assert(got(4L) == ((0L, 1L, 0.0)))
+  }
+
   test("kcore: every survivor keeps induced degree >= k; pendant and bridge peel") {
     val core = GraphOps.kcore(handEdges, k = 2, maxRounds = 8)
       .as[Long].collect().toSet
