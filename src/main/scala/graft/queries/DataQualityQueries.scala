@@ -85,6 +85,13 @@ object DataQualityQueries {
           k = 2L)
         .select("doc_id", "lang", "n_chars", "med", "mad", "is_outlier")),
 
+    // True uniqueness vs distinctness, per column in one melted pass:
+    // doc_id is a perfect key (1.0/1.0), lang/source are categorical
+    // (~0 uniqueness), n_chars sits between — all regimes fire.
+    "dq7_uniqueness" -> ((s, d) =>
+      DataQualityOps.uniquenessReport(documents(s, d),
+        Seq("doc_id", "lang", "source", "n_chars"))),
+
     // Referential integrity across the star schema: two consistent FK
     // relations (orders→customer, lineitem→orders — zero orphans,
     // passed=true) plus events checked against a REDUCED customer
@@ -214,6 +221,24 @@ object DataQualityQueries {
          SELECT dev.doc_id, dev.lang, dev.n_chars, dev.med, mad.mad,
            dev.adev > 2 * mad.mad AS is_outlier
          FROM dev JOIN mad USING (lang)""",
+    "dq7_uniqueness" ->
+      """WITH m AS (
+           SELECT 'doc_id' AS "column", doc_id::VARCHAR AS v FROM documents
+           UNION ALL
+           SELECT 'lang', lang FROM documents
+           UNION ALL
+           SELECT 'source', source FROM documents
+           UNION ALL
+           SELECT 'n_chars', n_chars::VARCHAR FROM documents),
+         pv AS (SELECT "column", v, count(*) AS cnt FROM m
+                WHERE v IS NOT NULL GROUP BY 1, 2)
+         SELECT "column", sum(cnt)::BIGINT AS n_nonnull,
+           count(*)::BIGINT AS n_distinct,
+           sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END)::BIGINT AS n_unique,
+           sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END)::DOUBLE
+             / sum(cnt) AS uniqueness,
+           count(*)::DOUBLE / sum(cnt) AS distinctness
+         FROM pv GROUP BY 1""",
     "dq6_referential_integrity" ->
       """SELECT 'orders.custkey->customer' AS relation,
            count(*) AS n_rows,

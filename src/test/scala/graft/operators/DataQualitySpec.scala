@@ -153,6 +153,21 @@ class DataQualitySpec extends SparkSpec {
     }
   }
 
+  test("uniquenessReport: uniqueness vs distinctness diverge; nulls excluded") {
+    // k: perfect key. c: 3 distinct / 1 unique over 6 non-null values
+    // (distinctness 0.5 while uniqueness is 0.167 — the divergence the
+    // metric exists for). One null drops from every denominator.
+    val df = Seq(
+      (1L, Some("a")), (2L, Some("a")), (3L, Some("b")), (4L, Some("b")),
+      (5L, Some("b")), (6L, Some("c")), (7L, None)
+    ).toDF("k", "c")
+    val out = uniquenessReport(df, Seq("k", "c"))
+      .as[(String, Long, Long, Long, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(out("k") == (("k", 7L, 7L, 7L, 1.0, 1.0)))
+    assert(out("c") == (("c", 6L, 3L, 1L, 1.0 / 6, 3.0 / 6)))
+  }
+
   test("referentialIntegrity: orphan counts per relation, nulls exempt") {
     val fact = Seq((1L, Option(10L)), (2L, Option(20L)), (3L, Option(99L)),
       (4L, None)).toDF("id", "fk")
