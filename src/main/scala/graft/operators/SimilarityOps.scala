@@ -731,4 +731,66 @@ object SimilarityOps {
     graft.plans.TopK.perKey(scored, Seq("a"),
       Seq(col("sim").desc, col("b").asc), k, rankCol = "rank")
   }
+
+  /** Maximal-Marginal-Relevance re-rank: from a per-query candidate
+    * shortlist, greedily pick k items maximizing
+    * `λ·sim(q,d) − (1−λ)·max_{s∈selected} sim(d,s)` — the diversity
+    * objective a dedup-minded retrieval stack wants where ss20's exact
+    * re-rank optimizes pure relevance (near-identical candidates waste
+    * shortlist slots; MMR spends them on coverage).
+    *
+    * Inputs are PREPARED frames — `cand(query_id, cand_id, simq)` and
+    * `pairs(query_id, pa, pb, simab)` — with sims already rounded to
+    * 4 dp. Internally those quantize to INTEGER ten-thousandths and
+    * λ=0.7 becomes the exact 7/3 integer split, so scores are exact
+    * integers in 1e-5 units: every greedy comparison and the emitted
+    * `score_e5` are bit-identical in any engine (a float 0.7·s−0.3·m
+    * lands on decimal .5 ties constantly, where HALF_UP-vs-binary
+    * rounding diverges — measured before this form), and ties break on
+    * cand_id: the whole trajectory is deterministic and SQL-unrollable
+    * (the kcore-oracle discipline).
+    * The k rounds unroll DRIVER-SIDE over shortlist-sized frames: each
+    * round is one per-query bounded-heap argmax (TopKPerKey, k=1) and
+    * one join against the picked item's pair row to fold
+    * `maxsel ← greatest(maxsel, sim(d, picked))`. Candidates never
+    * re-score against the corpus — the candidate and pair frames are
+    * computed once (caller checkpoints them; at shortlist width w the
+    * per-query state is w rows and w² pair rows, independent of corpus
+    * size).
+    */
+  def mmrRerank(cand: DataFrame, pairs: DataFrame, k: Int,
+                lambdaTenths: Int = 7): DataFrame = {
+    require(k >= 1 && lambdaTenths >= 0 && lambdaTenths <= 10,
+      s"bad k=$k lambdaTenths=$lambdaTenths")
+    val q4 = (c: Column) => round(c * 10000).cast("long")
+    val p4 = pairs.select(col("query_id"), col("pa"), col("pb"),
+      q4(col("simab")).as("_simab4"))
+    var remaining = cand.select(col("query_id"), col("cand_id"),
+      q4(col("simq")).as("_simq4"), lit(0L).as("_maxsel4"))
+    var out: Option[DataFrame] = None
+    for (i <- 1 to k) {
+      val scoredR = remaining.withColumn("score_e5",
+        lit(lambdaTenths.toLong) * col("_simq4") -
+          lit((10 - lambdaTenths).toLong) * col("_maxsel4"))
+      val pick = graft.plans.TopK.perKey(scoredR, Seq("query_id"),
+          Seq(col("score_e5").desc, col("cand_id").asc), 1)
+        .select(col("query_id"), col("cand_id").as("_sel"),
+          col("score_e5"), lit(i).as("_mmr_rk"))
+      out = Some(out.fold(pick)(_ unionByName pick))
+      if (i < k) {
+        remaining = remaining
+          .join(pick.select(col("query_id"), col("_sel")), Seq("query_id"))
+          .filter(col("cand_id") =!= col("_sel"))
+          .join(p4,
+            p4("query_id") === remaining("query_id") &&
+              p4("pa") === remaining("cand_id") &&
+              p4("pb") === col("_sel"), "left")
+          .select(remaining("query_id"), col("cand_id"), col("_simq4"),
+            greatest(col("_maxsel4"), coalesce(col("_simab4"), lit(0L)))
+              .as("_maxsel4"))
+      }
+    }
+    out.get.select(col("query_id"), col("_mmr_rk").as("rk"),
+      col("_sel").as("neighbor_id"), col("score_e5"))
+  }
 }

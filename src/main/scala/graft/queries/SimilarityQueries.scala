@@ -21,6 +21,41 @@ object SimilarityQueries {
     // through the bounded-heap TopKPerKey operator (each task retains
     // ≤ k rows per query — the scored corpus × queries fan-out never
     // reaches an exchange or a sort).
+    // MMR diversity re-rank over the brute-force shortlist: top-12
+    // relevance candidates per query, then 5 greedy picks maximizing
+    // 0.7·sim(q,d) − 0.3·max sim(d, selected). All greedy comparisons
+    // on 4-dp-rounded sims with cand_id ties, so the trajectory
+    // replays as a 5-step SQL unroll (kcore-oracle discipline); the
+    // candidate/pair frames are checkpointed once and leased.
+    "ss21_mmr" -> ((s, d) => {
+      val emb = embeddings(s, d)
+      val q = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("embedding").as("_qv"))
+      val c = emb.select(col("vec_id").as("cand_id"),
+        col("embedding").as("_cv"))
+      val scored = c.crossJoin(broadcast(q))
+        .filter(col("query_id") =!= col("cand_id"))
+        .withColumn("_sim", cosineF32Native(col("_qv"), col("_cv")))
+      val cand = graft.plans.TopK.perKey(scored, Seq("query_id"),
+          Seq(col("_sim").desc, col("cand_id").asc), 12)
+        .select(col("query_id"), col("cand_id"),
+          round(col("_sim"), 4).as("simq"), col("_cv"))
+        .localCheckpoint()
+      val pairs = cand.as("x")
+        .join(cand.as("y"),
+          col("x.query_id") === col("y.query_id") &&
+            col("x.cand_id") =!= col("y.cand_id"))
+        .select(col("x.query_id").as("query_id"),
+          col("x.cand_id").as("pa"), col("y.cand_id").as("pb"),
+          round(cosineF32Native(col("x._cv"), col("y._cv")), 4)
+            .as("simab"))
+        .localCheckpoint()
+      val rel = () => { graft.Release(cand); graft.Release(pairs) }
+      graft.Leases.swap("ss21_mmr", rel)(
+        SimilarityOps.mmrRerank(cand.drop("_cv"), pairs, k = 5,
+          lambdaTenths = 7))
+    }),
+
     "ss1_topk_bruteforce" -> ((s, d) => {
       val emb = embeddings(s, d)
       val q = emb.filter(col("vec_id") < 10)
@@ -476,7 +511,54 @@ object SimilarityQueries {
                 JOIN c11 k1 ON k1.cc = codes.c1
                 WHERE q.query_id <> codes.vec_id)"""
 
+  /** One MMR greedy step: pick argmax from `rPrev`, fold the picked
+    * item's pair sims into the survivors' running max. Mirrors
+    * `SimilarityOps.mmrRerank`'s round i exactly. */
+  private def mmrStep(i: Int): String = {
+    val (r, p, rn) = (s"r$i", s"p$i", s"r${i + 1}")
+    s"""$p AS (SELECT query_id, cand_id,
+           7 * simq4 - 3 * maxsel4 AS score_e5 FROM $r
+         QUALIFY row_number() OVER (PARTITION BY query_id
+           ORDER BY 7 * simq4 - 3 * maxsel4 DESC, cand_id ASC) = 1),
+       $rn AS (SELECT r.query_id, r.cand_id, r.simq4,
+           greatest(r.maxsel4, coalesce(pr.simab4, 0)) AS maxsel4
+         FROM $r r JOIN $p ON $p.query_id = r.query_id
+           AND r.cand_id <> $p.cand_id
+         LEFT JOIN pr ON pr.query_id = r.query_id
+           AND pr.pa = r.cand_id AND pr.pb = $p.cand_id)"""
+  }
+
+  private val mmrOracle: String = {
+    val steps = (1 to 5).map(mmrStep).mkString(",\n       ")
+    val out = (1 to 5).map(i =>
+      s"SELECT query_id, $i AS rk, cand_id AS neighbor_id, score_e5 FROM p$i")
+      .mkString("\n         UNION ALL ")
+    s"""WITH cd AS MATERIALIZED (
+           SELECT query_id, cand_id,
+             round(sim * 10000)::BIGINT AS simq4 FROM (
+             SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+               round(list_cosine_similarity(q.embedding, c.embedding)::DOUBLE,
+                 4) AS sim,
+               row_number() OVER (PARTITION BY q.vec_id
+                 ORDER BY list_cosine_similarity(q.embedding, c.embedding)
+                            DESC, c.vec_id ASC) AS rk
+             FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+             WHERE q.vec_id < 10) WHERE rk <= 12),
+         pr AS MATERIALIZED (
+           SELECT a.query_id, a.cand_id AS pa, b.cand_id AS pb,
+             round(round(list_cosine_similarity(ea.embedding, eb.embedding)::DOUBLE,
+               4) * 10000)::BIGINT AS simab4
+           FROM cd a JOIN cd b ON a.query_id = b.query_id
+             AND a.cand_id <> b.cand_id
+           JOIN embeddings ea ON ea.vec_id = a.cand_id
+           JOIN embeddings eb ON eb.vec_id = b.cand_id),
+         r1 AS (SELECT query_id, cand_id, simq4, 0 AS maxsel4 FROM cd),
+         $steps
+         $out"""
+  }
+
   val oracles: Map[String, String] = Map(
+    "ss21_mmr" -> mmrOracle,
     // same replay, centroids frozen at the standing corpus — the
     // appended rows are assigned against them, exactly what
     // IvfIndex.append persists

@@ -1747,6 +1747,23 @@ class ExtOpsSpec extends SparkSpec {
       (2L, 5L, 6L, 1L)))
   }
 
+  test("mmrRerank: diversity term displaces a near-dup of the first pick") {
+    // c2 is more relevant than c3 but nearly identical to the first
+    // pick c1 — MMR must take c3 (pure relevance would take c2):
+    // step2 scores (1e-5): c2 = 7*8500-3*10000 = 29500 < c3 = 7*5000-3*1000 = 32000
+    val cand = Seq(
+      (1L, 1L, 0.90), (1L, 2L, 0.85), (1L, 3L, 0.50)
+    ).toDF("query_id", "cand_id", "simq")
+    val pairs = Seq(
+      (1L, 2L, 1L, 1.0), (1L, 1L, 2L, 1.0),
+      (1L, 3L, 1L, 0.10), (1L, 1L, 3L, 0.10),
+      (1L, 3L, 2L, 0.10), (1L, 2L, 3L, 0.10)
+    ).toDF("query_id", "pa", "pb", "simab")
+    val out = SimilarityOps.mmrRerank(cand, pairs, k = 2, lambdaTenths = 7)
+      .as[(Long, Int, Long, Long)].collect().sortBy(_._2)
+    assert(out.toSeq == Seq((1L, 1, 1L, 63000L), (1L, 2, 3L, 32000L)))
+  }
+
   test("binaryNearDupPairs: identical payloads pair, disjoint don't, empties drop") {
     val assets = Seq(
       (1L, "the quick brown fox jumps over the lazy dog again and again"),
