@@ -31,7 +31,7 @@ object PerfCompare {
     // GRAFT_PC_ONLY=parse,dsir runs only those blocks. Lane names:
     // topk, cc, bloom, span, containment, kernels, kmeans, ivf,
     // ivfcurve, bpehybrid, dsir, parse, skew, simhash, srccap, budget,
-    // knn, hh, mix, pagerank, stdrain.
+    // knn, hh, mix, pagerank, stdrain, asof.
     // Default (unset) = all. Each lane builds and releases its own
     // caches, so skipping any subset is safe.
     val only = sys.env.get("GRAFT_PC_ONLY")
@@ -1133,6 +1133,63 @@ object PerfCompare {
       val nf = attribution(empty = false)
       println(s"""{"stdrain_empty_sec":$te,"stdrain_full_sec":$tf,""" +
         s""""join_work_sec":${tf - te},"full_rows":$nf}""")
+    }
+
+    // Nearest as-of: the joinless union-sort lowering (ev21) vs the
+    // band-join + per-left argmin formulation. Same result by
+    // construction (asserted on count + picked-id checksum); the
+    // difference is what rides the exchange — |L|+|R| rows vs every
+    // candidate pair. 2M purchases / 20M clicks / 100k users, clicks
+    // every 60 s per user, tolerance 120 s (~4 candidates/purchase).
+    lane("asof") {
+      val users = 100000L
+      val clicks = spark.range(20000000L).select(
+          (col("id") % users).as("u"),
+          timestamp_micros((col("id") / users).cast("long") * 60000000L +
+            pmod(hash(col("id")), lit(1000L)) * 1000).as("t"),
+          col("id").as("cid"))
+        .localCheckpoint()
+      val purchases = spark.range(2000000L).select(
+          (col("id") % users).as("u"),
+          timestamp_micros((col("id") / users).cast("long") * 600000000L +
+            pmod(hash(col("id"), lit(7)), lit(50000L)) * 1000).as("t"),
+          col("id").as("pid"))
+        .localCheckpoint()
+      def viaUnionSort(tol: Long): (Long, Long) = {
+        val r = operators.EventOps.asOfNearest(purchases, clicks,
+            "u", "t", tol, Seq("cid"))
+          .agg(count(col("_m")), sum(col("_m").getField("cid"))).head()
+        (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+      }
+      def viaBandJoin(tol: Long): (Long, Long) = {
+        val c = clicks.select(col("u"), col("t").as("ct"), col("cid"))
+        val cand = purchases.join(c, Seq("u"))
+          .withColumn("ad", abs(unix_micros(col("ct")) -
+            unix_micros(col("t"))))
+          .filter(col("ad") <= tol)
+          .withColumn("dir",
+            when(unix_micros(col("ct")) <= unix_micros(col("t")), 0)
+              .otherwise(1))
+        val r = plans.TopK.perKey(cand, Seq("pid"),
+            Seq(col("ad").asc, col("dir").asc, col("cid").asc), 1)
+          .agg(count(lit(1)), sum(col("cid"))).head()
+        (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+      }
+      for (tol <- Seq(120000000L, 3600000000L)) {
+        viaUnionSort(tol); viaBandJoin(tol) // warmup
+        val t0 = System.nanoTime(); val (nu, su) = viaUnionSort(tol)
+        val tu = (System.nanoTime() - t0) / 1e9
+        val t1 = System.nanoTime(); val (nb, sb) = viaBandJoin(tol)
+        val tb = (System.nanoTime() - t1) / 1e9
+        require(nu == nb && su == sb,
+          s"asof formulations disagree at tol=$tol: ($nu,$su) vs ($nb,$sb)")
+        println(s"""{"asof_purchases":2000000,"asof_clicks":20000000,""" +
+          s""""tol_sec":${tol / 1000000},""" +
+          s""""unionsort_sec":${math.rint(tu * 10) / 10},""" +
+          s""""bandjoin_sec":${math.rint(tb * 10) / 10},"matched":$nu}""")
+      }
+      Release(clicks, blocking = true)
+      Release(purchases, blocking = true)
     }
     spark.stop()
   }

@@ -89,14 +89,21 @@ object EventOps {
     * within `toleranceUs`, ties broken toward the PAST row (the
     * backward-join convention, deterministic because (key, time) is
     * unique per side). Same union-sort trick as [[asOfJoin]] — no join
-    * at all: ONE shuffle on the key, one in-partition sort, and two
-    * frames over it (running `last` for the nearest past right row,
-    * `(1, following)` `first` for the nearest future one; same-ts right
-    * rows sort before the left row, so a Δ=0 match arrives via the
-    * past side). The candidate pair never materializes — at any scale
-    * the exchange carries exactly |L| + |R| rows, vs the band join's
-    * |L|·(matches) intermediate. Unmatched left rows survive with
-    * nulls (the no-match branch is data, not absence).
+    * at all: ONE shuffle on the key and two RUNNING `last` frames, one
+    * over the forward sort (nearest past right row) and one over the
+    * reversed sort (nearest future; same-ts rights sort ahead of the
+    * left row in both directions, so a Δ=0 match arrives — once — via
+    * the past side's tie-break). Both frames are
+    * (unboundedPreceding, currentRow), the ONLY frame shape Spark
+    * evaluates incrementally: the obvious one-sort alternative —
+    * `first over (1, unboundedFollowing)` — re-scans to the partition
+    * end for EVERY row (O(n²) per key; measured 117 s vs 3 s on the
+    * PerfCompare asof probe before this form). The candidate pair
+    * never materializes — the exchange carries exactly |L| + |R| rows,
+    * vs the band join's |L|·(candidates) intermediate; the band join
+    * wins only when the tolerance window is sparse (PERF.md measures
+    * both regimes). Unmatched left rows survive with nulls (the
+    * no-match branch is data, not absence).
     */
   def asOfNearest(left: DataFrame, right: DataFrame, key: String,
                   time: String, toleranceUs: Long,
@@ -107,12 +114,14 @@ object EventOps {
       lit(1).as("_isR"))
     val l = left.withColumn("_isR", lit(0))
     val u = l.unionByName(r, allowMissingColumns = true)
-    val base = Window.partitionBy(key)
+    val fwd = Window.partitionBy(key)
       .orderBy(col(time).asc, col("_isR").desc)
-    val past = last(col("_r"), ignoreNulls = true)
-      .over(base.rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    val future = first(col("_r"), ignoreNulls = true)
-      .over(base.rowsBetween(1L, Window.unboundedFollowing))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val rev = Window.partitionBy(key)
+      .orderBy(col(time).desc, col("_isR").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val past = last(col("_r"), ignoreNulls = true).over(fwd)
+    val future = last(col("_r"), ignoreNulls = true).over(rev)
     val t = unix_micros(col(time))
     val bd = t - unix_micros(col("_past").getField(time))
     val fd = unix_micros(col("_fut").getField(time)) - t
