@@ -205,12 +205,22 @@ object MultimodalOps {
     * is the shared [[DedupOps]] md5-affine family, so any engine
     * replays signatures over the same bytes; the band join is the
     * spill-safe merge-hinted shape minhashCandidates documents.
+    *
+    * Plan shape: gram hashes EXPLODE to rows once and the 16 per-perm
+    * minima ride one aggregate — the staged HOF form (array column →
+    * 16 array_mins → 4 band slices) re-inlines the whole gram pipeline
+    * into every consumer (CollapseProject) and measured 36.6 s vs
+    * 1.3 s for this shape at sf0.1; dd2 solves the same blowup with a
+    * fused native Generator, this byte variant solves it relationally
+    * (one extra keyed shuffle, which the text path's Generator avoids
+    * — the documented trade for not writing a second native kernel).
     */
   def binaryNearDupPairs(assets: DataFrame, idCol: String = "asset_id",
                          contentCol: String = "content",
                          gramBytes: Int = 16, strideBytes: Int = 4,
                          numPerm: Int = 16, bands: Int = 4): DataFrame = {
     require(numPerm % bands == 0, s"bands $bands must divide numPerm $numPerm")
+    val rowsPerBand = numPerm / bands
     val n = octet_length(col(contentCol)).cast("long")
     val hashes = array_distinct(transform(
       sequence(lit(1L), greatest(n - gramBytes + 1, lit(1L)),
@@ -218,11 +228,19 @@ object MultimodalOps {
       p => conv(substring(md5(col(contentCol)
           .substr(p.cast("int"), lit(gramBytes))), 1, 15), 16, 10)
         .cast("long") % DedupOps.MinhashP))
-    val sig = DedupOps.minhashSignature(hashes, numPerm)
-    val bandArr = DedupOps.lshBandHashes(sig, bands, numPerm / bands)
-    val banded = assets
+    val grams = assets
       .filter(col(contentCol).isNotNull && n > 0)
-      .select(col(idCol).as("_id"), posexplode(bandArr).as(Seq("_band", "_bh")))
+      .select(col(idCol).as("_id"), explode(hashes).as("_x"))
+    val perms = (0 until numPerm).map(i =>
+      min((lit(DedupOps.minhashA(i)) * col("_x") +
+        lit(DedupOps.minhashB(i))) % DedupOps.MinhashP).as(s"_m$i"))
+    val sig = grams.groupBy("_id").agg(perms.head, perms.tail: _*)
+    val bandArr = array((0 until bands).map { b =>
+      md5(concat_ws("|", (b * rowsPerBand until (b + 1) * rowsPerBand)
+        .map(i => col(s"_m$i").cast("string")): _*))
+    }: _*)
+    val banded = sig
+      .select(col("_id"), posexplode(bandArr).as(Seq("_band", "_bh")))
     val l = banded.hint("merge").as("l")
     val r = banded.hint("merge").as("r")
     l.join(r, col("l._band") === col("r._band") &&
