@@ -76,8 +76,12 @@ object EventOps {
       lit(1).as("_isR"))
     val l = left.withColumn("_isR", lit(0))
     val u = l.unionByName(r, allowMissingColumns = true)
+    // _r joins the sort key so duplicate right-side (key, time) rows
+    // have a TOTAL order (struct comparison is lexicographic over
+    // time + rightCols): last() then picks the max _r deterministically
+    // instead of a partition-order-dependent winner.
     val w = Window.partitionBy(key)
-      .orderBy(col(time).asc, col("_isR").desc)
+      .orderBy(col(time).asc, col("_isR").desc, col("_r").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     u.withColumn("_match", last(col("_r"), ignoreNulls = true).over(w))
       .filter(col("_isR") === 0)
@@ -87,8 +91,10 @@ object EventOps {
   /** Nearest-within-tolerance as-of join (merge_asof direction =
     * 'nearest'): each left row picks the right row minimizing |Δt|
     * within `toleranceUs`, ties broken toward the PAST row (the
-    * backward-join convention, deterministic because (key, time) is
-    * unique per side). Same union-sort trick as [[asOfJoin]] — no join
+    * backward-join convention); duplicate right-side (key, time) rows
+    * resolve to the max payload struct via the window's total order,
+    * so determinism does NOT rest on right-side uniqueness. Same
+    * union-sort trick as [[asOfJoin]] — no join
     * at all: ONE shuffle on the key and two RUNNING `last` frames, one
     * over the forward sort (nearest past right row) and one over the
     * reversed sort (nearest future; same-ts rights sort ahead of the
@@ -114,11 +120,17 @@ object EventOps {
       lit(1).as("_isR"))
     val l = left.withColumn("_isR", lit(0))
     val u = l.unionByName(r, allowMissingColumns = true)
+    // _r in the sort key totalizes the order under duplicate right-side
+    // (key, time) rows — without it, last(_r) over either frame picks a
+    // partition-order-dependent winner (and the oracle's row_number tie
+    // is equally nondeterministic, so the gate could flake). Struct
+    // comparison is lexicographic over (time, rightCols), so both
+    // frames agree on which duplicate wins: the max struct.
     val fwd = Window.partitionBy(key)
-      .orderBy(col(time).asc, col("_isR").desc)
+      .orderBy(col(time).asc, col("_isR").desc, col("_r").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val rev = Window.partitionBy(key)
-      .orderBy(col(time).desc, col("_isR").desc)
+      .orderBy(col(time).desc, col("_isR").desc, col("_r").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val past = last(col("_r"), ignoreNulls = true).over(fwd)
     val future = last(col("_r"), ignoreNulls = true).over(rev)
@@ -189,8 +201,22 @@ object EventOps {
     def binned(df: DataFrame, s: String, e: String): DataFrame = {
       val lo = expr(s"$s div $binSec")
       val hi = expr(s"($e - 1) div $binSec")
-      val guarded = when(hi - lo < maxBinsPerInterval,
-        sequence(lo, hi)).otherwise(raise_error(
+      // Guard BOTH directions before sequencing. An inverted interval
+      // (end < start) makes hi - lo negative, which passes the upper
+      // bound but turns sequence(lo, hi) into a step=-1 generator of
+      // |lo-hi|+1 bins — one corrupt row fans out unbounded, the exact
+      // blowup the cap exists to stop. A zero-length interval
+      // (end == start) is empty under the half-open semantics yet can
+      // still satisfy the emitted predicate (b_start < a_end = a_start
+      // < b_end), so both degenerate shapes fail loudly here rather
+      // than corrupting the output.
+      val guarded = when(col(e) <= col(s), raise_error(
+        concat(lit("intervalOverlapJoin: empty or inverted interval ["),
+          col(s).cast("string"), lit(", "), col(e).cast("string"),
+          lit(") — half-open intervals require start < end; filter or" +
+            " repair degenerate rows before joining"))))
+        .when(hi - lo < maxBinsPerInterval, sequence(lo, hi))
+        .otherwise(raise_error(
         concat(lit("intervalOverlapJoin: an interval spans "),
           (hi - lo + 1).cast("string"),
           lit(s" bins, over maxBinsPerInterval=$maxBinsPerInterval —" +

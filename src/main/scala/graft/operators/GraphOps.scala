@@ -45,6 +45,9 @@ import org.apache.spark.sql.functions._
 object GraphOps {
 
   val PrScale: Long = 1000000000000L // 1e12 fixed-point units
+  /** Max edge weight [[weightedPagerank]] accepts: pr <= PrScale (1e12)
+    * and w <= 1e6 keep pr * w <= 1e18 < 2^63 (ANSI-safe headroom). */
+  val MaxEdgeWeight: Long = 1000000L
 
   /** Symmetrize + dedup a directed edge list: both orientations of
     * every edge, self-loops dropped. One exchange (the distinct).
@@ -119,7 +122,9 @@ object GraphOps {
     * the merge-order sensitivity the integer encoding exists to kill).
     * Non-positive-weight edges are dropped (they carry no mass — a
     * node with only such out-edges becomes dangling and leaks, the
-    * documented convention). Same two-shuffle iteration plan as
+    * documented convention), and weights above [[MaxEdgeWeight]] fail
+    * loudly via an in-column guard so the 2^63 headroom argument is
+    * ENFORCED, not assumed. Same two-shuffle iteration plan as
     * [[pagerank]], with `w` riding the (long, long, long) edge table
     * and `sumw` carried on the rank frame instead of a third join.
     */
@@ -146,8 +151,22 @@ object GraphOps {
     require(dampingPct >= 0 && dampingPct <= 100,
       s"dampingPct must be in [0,100]: $dampingPct")
     val ser = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER
+    // In-column weight-bound guard (the linkPrediction maxDegree
+    // idiom): the overflow argument below needs pr * w < 2^63, and with
+    // pr bounded by the total mass PrScale (1e12) that holds only for
+    // w <= ~9.2e6. Enforce 1e6 (product <= 1e18 < 2^63) so a caller
+    // passing raw un-quantized weights fails with THIS message at scan
+    // time, not an ANSI overflow five shuffles later. Evaluated once
+    // per edge on the already-checkpointed frame — no extra pass.
+    val wRaw = col("w").cast("long")
+    val wChecked = when(wRaw <= MaxEdgeWeight, wRaw).otherwise(
+      raise_error(concat(
+        lit("weightedPagerank: edge weight "), wRaw.cast("string"),
+        lit(s" exceeds $MaxEdgeWeight — quantize similarities to at" +
+          " most 1e6 units (e.g. round(sim * 10000)) so fixed-point" +
+          " products stay under 2^63"))))
     val e = edges.select(col("a").cast("long").as("a"),
-      col("b").cast("long").as("b"), col("w").cast("long").as("w"))
+      col("b").cast("long").as("b"), wChecked.as("w"))
       .filter(col("w") > 0L)
       .localCheckpoint(true, ser)
     val nodes = e.select(col("a").as("id"))
@@ -168,8 +187,9 @@ object GraphOps {
     // is nodes-sized, which is exactly the side that grows into a
     // real exchange on a cluster. sumw 0 marks dangling nodes,
     // which contribute nothing (their mass leaks — see scaladoc).
-    // Overflow headroom: pr ≤ total mass = PrScale (1e12) and a
-    // quantized similarity weight ≤ 1e4, so pr * w ≤ 1e16 ≪ 2^63.
+    // Overflow headroom: pr ≤ total mass = PrScale (1e12) and the
+    // guard above enforces w ≤ MaxEdgeWeight (1e6), so
+    // pr * w ≤ 1e18 < 2^63 — a bound, not an assumption.
     var pr = nodes.join(sumw, Seq("id"), "left")
       .select(col("id"), coalesce(col("sumw"), lit(0L)).as("sumw"),
         lit(init).as("pr_fixed"))

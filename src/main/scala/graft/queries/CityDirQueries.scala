@@ -221,7 +221,7 @@ object CityDirQueries {
         .filter(col("cnt") >= 10)
       val houses = s.range(0, 4)
         .select((col("id") + 10).cast("string").as("h"))
-      val dim = dimw.crossJoin(houses)
+      val dim = dimw.crossJoin(broadcast(houses))
         .select(concat(col("h"), lit(" "), col("w")).as("key"))
         .select(
           concat(lit("a."), col("key")).as("addressId"),

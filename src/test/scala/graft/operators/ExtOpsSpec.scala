@@ -133,6 +133,24 @@ class ExtOpsSpec extends SparkSpec {
     assert(ex.getMessage.contains("over maxBinsPerInterval") ||
       ex.getCause != null &&
         ex.getCause.getMessage.contains("over maxBinsPerInterval"))
+    // degenerate intervals fail LOUDLY, both directions: an inverted
+    // interval (end < start) would otherwise make hi - lo negative —
+    // passing the cap — and sequence(lo, hi) would step -1 into an
+    // unbounded fan-out; a zero-length one (end == start) is empty
+    // under half-open semantics yet satisfies the pair predicate
+    def msgOf(t: Throwable): String = {
+      var c = t; val sb = new StringBuilder
+      while (c != null) { sb.append(c.getMessage).append('\n'); c = c.getCause }
+      sb.toString
+    }
+    for (bad <- Seq((9L, 100L, 3L), (9L, 7L, 7L))) {
+      val df = Seq(bad).toDF("a_id", "a_start", "a_end")
+      val exd = intercept[Exception] {
+        EventOps.intervalOverlapJoin(df, b, binSec = 10L).collect()
+      }
+      assert(msgOf(exd).contains("empty or inverted interval"),
+        s"for $bad got: ${msgOf(exd).take(300)}")
+    }
   }
 
   test("anomalyFlags: integer k-sigma on the trailing frame, self excluded") {
@@ -1731,6 +1749,23 @@ class ExtOpsSpec extends SparkSpec {
     assert(out(101L) == ((Some(11L), Some(5000000L))))
     assert(out(102L) == ((None, None)))
     assert(out(103L) == ((None, None)))
+  }
+
+  test("asOfNearest: duplicate right (key, ts) rows resolve to the max payload, deterministically") {
+    val lts = (s: Long) => new java.sql.Timestamp(s * 1000)
+    val left = Seq((100L, 1L, lts(1000))).toDF("pid", "k", "t")
+    // two right rows at the identical (key, ts) — the window's total
+    // order (…, _r asc) must pick the max struct = max cid, whatever
+    // the partition layout; shuffle the input across partitions both
+    // ways to catch an order-dependent winner
+    val dup = Seq((7L, 1L, lts(995)), (9L, 1L, lts(995)))
+    for (r <- Seq(dup, dup.reverse)) {
+      val right = r.toDF("cid", "k", "t").repartition(8)
+      val got = EventOps.asOfNearest(left, right, "k", "t",
+          toleranceUs = 60000000L, rightCols = Seq("cid"))
+        .select(col("_m").getField("cid")).as[Long].collect().toSeq
+      assert(got == Seq(9L))
+    }
   }
 
   test("coalesceIntervals: nested + touching + disjoint spans merge exactly") {

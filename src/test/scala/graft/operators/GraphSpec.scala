@@ -244,6 +244,19 @@ class GraphSpec extends SparkSpec {
         handEdges.withColumn("w", lit(1L)), iters = 3)
       .select("id", "pr_fixed").as[(Long, Long)].collect().toMap
     assert(unw == w1)
+    // the overflow-headroom bound is ENFORCED: a raw un-quantized
+    // weight past MaxEdgeWeight fails with the guard's message at scan
+    // time, not an ANSI overflow mid-iteration
+    val huge = Seq((1L, 2L, GraphOps.MaxEdgeWeight + 1L)).toDF("a", "b", "w")
+    val ex = intercept[Exception] {
+      GraphOps.weightedPagerank(huge, iters = 1).collect()
+    }
+    def msgs(t: Throwable): String = {
+      var c = t; val sb = new StringBuilder
+      while (c != null) { sb.append(c.getMessage).append('\n'); c = c.getCause }
+      sb.toString
+    }
+    assert(msgs(ex).contains("quantize similarities"))
   }
 
   test("modularity matches the rational-arithmetic model on the hand graph") {
