@@ -772,6 +772,50 @@ object ScaleSmoke {
       println(s"""{"tri_nodes":$ringN,"hub_degree":25000,"id_ordered_sec":${round1(tId)},"degree_ordered_sec":${round1(tDeg)},"triangle_corners":$sumDeg}""")
       Release(triEdges, blocking = true)
     }
+
+    // dd18's truth-side df cap under a SATURATED gram (round 11): every
+    // doc carries one corpus-wide 3-gram (df = n) — the hot key that
+    // made the uncapped truth equi-join carry |sample|×|corpus| pairs
+    // (5·10¹⁰ here; unrunnable). With maxTruthDf = 16 the planted gram
+    // drops from the truth universe and every surviving gram has df = 2
+    // exactly (twin pairs with injective tails), so per-gram pair
+    // fan-out is bounded by construction and the lane completes in
+    // seconds. Analytic expectations: one truth row per SAMPLED doc
+    // (its twin, capped-universe jaccard 1.0, caught — identical texts
+    // share every band), a_capped = b_capped = 1 on every row (each
+    // side lost exactly the planted gram), and the bias ledger is ONE
+    // row carrying df = n, pair_mass = n(n−1)/2.
+    lane("recallcap") {
+      val n = 1000000L
+      val g = col("id") - col("id") % 2
+      val tail = (0 until 10).map(j =>
+        concat(lit("w"), (g * 10 + j).cast("string")))
+      val capCorpus = spark.range(n).select(col("id"),
+          concat_ws(" ",
+            (Seq(lit("zq"), lit("zq"), lit("zq")) ++ tail): _*).as("text"))
+        .localCheckpoint()
+      val t0 = System.nanoTime()
+      val out = operators.DedupOps.lshRecallEval(capCorpus, "id", "text",
+          shingleK = 3, numPerm = 16, bands = 4, theta = 0.5,
+          samplePct = 10, maxTruthDf = 16)
+        .agg(count(lit(1)), sum(when(col("jaccard") === 1.0 &&
+            col("caught") && col("a_capped") === 1L &&
+            col("b_capped") === 1L, 1L).otherwise(0L))).first()
+      val wall = (System.nanoTime() - t0) / 1e9
+      val rows = out.getLong(0); val good = out.getLong(1)
+      val sampled = capCorpus.filter(conv(substring(md5(col("id")
+        .cast("string")), 1, 8), 16, 10).cast("long") % 100 < 10).count()
+      require(rows == sampled && good == rows,
+        s"capped truth broke: rows=$rows sampled=$sampled good=$good")
+      val rep = operators.DedupOps.lshTruthCapReport(capCorpus, "id",
+          "text", shingleK = 3, maxTruthDf = 16)
+        .select(col("df"), col("pair_mass")).collect()
+      require(rep.length == 1 && rep(0).getLong(0) == n &&
+        rep(0).getLong(1) == n * (n - 1) / 2,
+        s"cap ledger broke: ${rep.mkString(",")}")
+      println(s"""{"recallcap_docs":$n,"saturated_df":$n,"sec":${round1(wall)},"truth_rows":$rows}""")
+      Release(capCorpus, blocking = true)
+    }
     spark.stop()
   }
 }

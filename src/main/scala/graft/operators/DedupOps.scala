@@ -904,35 +904,62 @@ object DedupOps {
     * and the gate that keeps an LSH parameter change honest (the
     * 1−(1−j^r)^b curve is only a claim until measured on the corpus).
     *
-    * Scale: truth cost is sample × posting-list df — grams ride as
+    * Scale: truth cost is sample × per-gram df — grams ride as
     * 16-byte digests, intersections count per (a, b) from ONE gram
     * equi-join, sizes join back from a per-doc aggregate; no all-pairs
-    * stage. No df cap here — truth must be exact; bound the cost with
-    * `samplePct`, not by dropping grams (a capped truth silently
-    * inflates recall, the CMS-8×2 lesson applied to evaluation).
+    * stage. The truth side is HOT-GRAM-BOUNDED: a saturated shingle (a
+    * stopword-gram present in ~every doc) would otherwise carry
+    * |sample|×|corpus| pairs through the equi-join — the posting-list
+    * blowup [[containmentPairs]] caps with `maxDf`, reappearing in the
+    * eval. `maxTruthDf` applies the same discipline with the bias kept
+    * IN-BAND instead of silently inflating recall (the CMS-8×2 lesson
+    * applied to evaluation): grams with exact df > maxTruthDf are
+    * excluded from BOTH the intersection and the size denominators —
+    * the internally-consistent capped-universe Jaccard, exactly the
+    * dd12 trade — and every output row carries `a_capped` / `b_capped`
+    * (how many of that side's grams the cap dropped), so a 0/0 row is
+    * certified bit-identical to uncapped truth and any nonzero row is
+    * flagged approximate. Pairs whose overlap lives ENTIRELY in capped
+    * grams can vanish from the truth set; their global mass is
+    * reported by [[lshTruthCapReport]] — run it alongside any capped
+    * eval. df is computed EXACTLY first (digest-keyed count with
+    * map-side partials: the hot gram costs one long per partition,
+    * never a posting list), then re-joined 1:df — linear in the gram
+    * table; after the filter every gram key fans out ≤ maxTruthDf ×
+    * (sampled ≤ maxTruthDf) pairs, the dd12 per-key bound.
     */
   def lshRecallEval(df: DataFrame, idCol: String, textCol: String,
                     shingleK: Int, numPerm: Int, bands: Int,
-                    theta: Double, samplePct: Int): DataFrame = {
+                    theta: Double, samplePct: Int,
+                    maxTruthDf: Int = 100000): DataFrame = {
+    require(maxTruthDf >= 1, s"maxTruthDf must be >= 1: $maxTruthDf")
     val grams = df.select(col(idCol).as("_id"),
         explode(shingles(col(textCol), shingleK)).as("_s"))
       .select(col("_id"), unhex(md5(col("_s"))).as("_g"))
-    val sizes = grams.groupBy("_id").agg(count(lit(1)).as("_n"))
+    val dfreq = grams.groupBy("_g").agg(count(lit(1)).as("_df"))
+    val tagged = grams.join(dfreq, Seq("_g"))
+    val sizes = tagged.groupBy("_id").agg(
+      sum(when(col("_df") <= maxTruthDf, 1L).otherwise(0L)).as("_n"),
+      sum(when(col("_df") > maxTruthDf, 1L).otherwise(0L)).as("_nc"))
+    val kept = tagged.filter(col("_df") <= maxTruthDf)
+      .select("_id", "_g")
     val bucket = conv(substring(md5(col("_id").cast("string")), 1, 8), 16, 10)
       .cast("long") % 100
-    val probeGrams = grams.filter(bucket < samplePct)
+    val probeGrams = kept.filter(bucket < samplePct)
       .select(col("_id").as("a"), col("_g"))
     val inter = probeGrams
-      .join(grams.select(col("_id").as("b"), col("_g")), Seq("_g"))
+      .join(kept.select(col("_id").as("b"), col("_g")), Seq("_g"))
       .filter(col("a") =!= col("b"))
       .groupBy("a", "b").agg(count(lit(1)).as("_i"))
     val truth = inter
-      .join(sizes.select(col("_id").as("a"), col("_n").as("_na")), "a")
-      .join(sizes.select(col("_id").as("b"), col("_n").as("_nb")), "b")
+      .join(sizes.select(col("_id").as("a"), col("_n").as("_na"),
+        col("_nc").as("a_capped")), "a")
+      .join(sizes.select(col("_id").as("b"), col("_n").as("_nb"),
+        col("_nc").as("b_capped")), "b")
       .withColumn("jaccard", round(col("_i").cast("double") /
         (col("_na") + col("_nb") - col("_i")), 4))
       .filter(col("jaccard") >= theta)
-      .select("a", "b", "jaccard")
+      .select("a", "b", "jaccard", "a_capped", "b_capped")
     val cand = minhashCandidates(df, idCol, textCol, shingleK, numPerm,
         bands)
       .withColumn("_hit", lit(true))
@@ -941,6 +968,29 @@ object DedupOps {
         least(truth("a"), truth("b")) === cand("a") &&
           greatest(truth("a"), truth("b")) === cand("b"), "left")
       .select(truth("a"), truth("b"), col("jaccard"),
-        coalesce(col("_hit"), lit(false)).as("caught"))
+        coalesce(col("_hit"), lit(false)).as("caught"),
+        col("a_capped"), col("b_capped"))
   }
+
+  /** The global bias ledger for a capped [[lshRecallEval]]: one row per
+    * gram the `maxTruthDf` cap excluded from the truth universe —
+    * (gram_digest, df, pair_mass) where pair_mass = df·(df−1)/2 is the
+    * candidate-pair count that gram alone would have pushed through an
+    * uncapped truth join. Σ pair_mass bounds the truth pairs the cap
+    * could have hidden entirely (a pair vanishes only when ALL its
+    * over-threshold overlap sits in capped grams), so `capped eval +
+    * this report` carries strictly more information than the uncapped
+    * eval's silent cost cliff. The frame is hot-grams-only — tiny by
+    * construction (df > maxTruthDf is the boilerplate tail).
+    */
+  def lshTruthCapReport(df: DataFrame, idCol: String, textCol: String,
+                        shingleK: Int, maxTruthDf: Int): DataFrame =
+    df.select(col(idCol).as("_id"),
+        explode(shingles(col(textCol), shingleK)).as("_s"))
+      .select(lower(md5(col("_s"))).as("gram_digest"))
+      .groupBy("gram_digest").agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxTruthDf)
+      // integer div — exact at any df (df·(df−1) is always even)
+      .select(col("gram_digest"), col("df"),
+        expr("df * (df - 1) div 2").as("pair_mass"))
 }

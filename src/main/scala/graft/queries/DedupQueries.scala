@@ -224,9 +224,28 @@ object DedupQueries {
         (col("doc_id") + 10000000L).as("doc_id"),
         array_join(slice(w, lit(1), (size(w) / 2).cast("int")), " ")
           .as("text"))
+      // maxTruthDf = 10 BINDS at the gated scale (3 grams over the cap
+      // at sf0.01 → a few rows carry nonzero a_capped/b_capped
+      // certificates; at sf0.1 most grams cap, exercising the heavy
+      // regime) — the capped-universe truth path is what the oracle
+      // replays, not the unbounded join the cap replaced
       DedupOps.lshRecallEval(docs.unionByName(halves), "doc_id", "text",
         shingleK = 3, numPerm = 16, bands = 4, theta = 0.3,
-        samplePct = 10)
+        samplePct = 10, maxTruthDf = 10)
+    }),
+
+    // The capped eval's bias ledger: every gram the dd18 cap dropped
+    // from the truth universe with the pair-mass an uncapped join
+    // would have spent on it — tiny, hot-grams-only.
+    "dd19_truth_cap" -> ((s, d) => {
+      val docs = documents(s, d).select("doc_id", "text")
+      val w = split(col("text"), " ")
+      val halves = documents(s, d).select(
+        (col("doc_id") + 10000000L).as("doc_id"),
+        array_join(slice(w, lit(1), (size(w) / 2).cast("int")), " ")
+          .as("text"))
+      DedupOps.lshTruthCapReport(docs.unionByName(halves), "doc_id",
+        "text", shingleK = 3, maxTruthDf = 10)
     })
   )
 
@@ -623,9 +642,12 @@ object DedupQueries {
                        for i in range(1, len(w)-1)])
            ELSE NULL END AS min_shingle_fp
          FROM s""",
-    // truth = exact 3-gram Jaccard for the md5-bucket probe sample;
-    // cand = dd2's banding replay verbatim; caught = pair present in
-    // cand under (least, greatest) orientation
+    // truth = capped-universe 3-gram Jaccard for the md5-bucket probe
+    // sample (grams with exact df > 10 excluded from intersections AND
+    // size denominators, per-side dropped-gram counts carried as the
+    // a_capped/b_capped certificates); cand = dd2's banding replay
+    // verbatim; caught = pair present in cand under (least, greatest)
+    // orientation
     "dd18_lsh_recall" ->
       """WITH docs2 AS (
            SELECT doc_id, text FROM documents
@@ -638,16 +660,23 @@ object DedupQueries {
                   unnest(list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
                                         for i in range(1, len(w)-1)])) AS g
                 FROM s0 WHERE len(w) >= 3),
-         sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+         dfr AS (SELECT g, count(*) AS df FROM sh GROUP BY 1),
+         shj AS (SELECT sh.doc_id, sh.g, dfr.df FROM sh JOIN dfr USING (g)),
+         sz AS (SELECT doc_id,
+                  sum(CASE WHEN df <= 10 THEN 1 ELSE 0 END)::BIGINT AS n,
+                  sum(CASE WHEN df > 10 THEN 1 ELSE 0 END)::BIGINT AS nc
+                FROM shj GROUP BY 1),
+         kept AS (SELECT doc_id, g FROM shj WHERE df <= 10),
          pr AS (SELECT doc_id FROM docs2
                 WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::UBIGINT
                       % 100 < 10),
          it AS (SELECT p.doc_id AS a, q.doc_id AS b, count(*) AS i
-                FROM sh p JOIN sh q ON p.g = q.g AND p.doc_id <> q.doc_id
+                FROM kept p JOIN kept q ON p.g = q.g AND p.doc_id <> q.doc_id
                 WHERE p.doc_id IN (SELECT doc_id FROM pr)
                 GROUP BY 1, 2),
          tr AS (SELECT it.a, it.b,
-                  round(it.i::DOUBLE / (na.n + nb.n - it.i), 4) AS jaccard
+                  round(it.i::DOUBLE / (na.n + nb.n - it.i), 4) AS jaccard,
+                  na.nc AS a_capped, nb.nc AS b_capped
                 FROM it JOIN sz na ON na.doc_id = it.a
                         JOIN sz nb ON nb.doc_id = it.b),
          xh AS (SELECT doc_id,
@@ -663,9 +692,28 @@ object DedupQueries {
          cd AS (SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
                 FROM bands l JOIN bands r
                   ON l.band = r.band AND l.bh = r.bh AND l.doc_id < r.doc_id)
-         SELECT t.a, t.b, t.jaccard, (c.a IS NOT NULL) AS caught
+         SELECT t.a, t.b, t.jaccard, (c.a IS NOT NULL) AS caught,
+                t.a_capped, t.b_capped
          FROM tr t LEFT JOIN cd c
            ON least(t.a, t.b) = c.a AND greatest(t.a, t.b) = c.b
-         WHERE t.jaccard >= 0.3"""
+         WHERE t.jaccard >= 0.3""",
+
+    // the dd18 cap's bias ledger: per capped gram, its exact df and
+    // the pair-mass an uncapped truth join would have spent on it
+    "dd19_truth_cap" ->
+      """WITH docs2 AS (
+           SELECT doc_id, text FROM documents
+           UNION ALL
+           SELECT doc_id + 10000000,
+             array_to_string((string_split(text, ' '))[1 : len(string_split(text, ' ')) // 2], ' ')
+           FROM documents),
+         s0 AS (SELECT doc_id, string_split(text, ' ') w FROM docs2),
+         sh AS (SELECT doc_id,
+                  unnest(list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                                        for i in range(1, len(w)-1)])) AS g
+                FROM s0 WHERE len(w) >= 3)
+         SELECT md5(g) AS gram_digest, count(*) AS df,
+                count(*) * (count(*) - 1) // 2 AS pair_mass
+         FROM sh GROUP BY 1 HAVING count(*) > 10"""
   )
 }

@@ -1823,9 +1823,13 @@ class ExtOpsSpec extends SparkSpec {
       (5L, "m n o a b c z k"),
       (6L, "z z z z z z z z")
     ).toDF("doc_id", "text")
-    val out = DedupOps.lshRecallEval(docs, "doc_id", "text",
+    val outAll = DedupOps.lshRecallEval(docs, "doc_id", "text",
         shingleK = 3, numPerm = 16, bands = 4, theta = 0.2,
         samplePct = 100)
+    // default cap binds nothing here — every row is certified exact
+    assert(outAll.filter(col("a_capped") =!= 0L ||
+      col("b_capped") =!= 0L).count() == 0)
+    val out = outAll.select("a", "b", "jaccard", "caught")
       .as[(Long, Long, Double, Boolean)].collect()
     // brute-force 3-gram jaccard model
     def grams(t: String) = t.split(" ").sliding(3).map(_.mkString(" ")).toSet
@@ -1844,6 +1848,43 @@ class ExtOpsSpec extends SparkSpec {
     }
     // both branches present on this fixture
     assert(out.exists(_._4) && out.exists(!_._4))
+  }
+
+  test("lshRecallEval: maxTruthDf drops hot grams from the capped universe, certificates in-band") {
+    // "x y z" is the planted saturated gram (df = 4, every doc); docs
+    // 1/2 are twins sharing their whole tail, docs 3/4 share nothing
+    // beyond the hot gram — under cap 3 the hot gram leaves the truth
+    // universe, so 3/4's only overlap vanishes WITH the pair, while
+    // 1/2 keep capped-universe jaccard 1.0 and carry the 1/1
+    // dropped-gram certificates
+    val docs = Seq(
+      (1L, "x y z a b c d e"),
+      (2L, "x y z a b c d e"),
+      (3L, "x y z p q r s t"),
+      (4L, "x y z m n o u v")
+    ).toDF("doc_id", "text")
+    val out = DedupOps.lshRecallEval(docs, "doc_id", "text",
+        shingleK = 3, numPerm = 16, bands = 4, theta = 0.2,
+        samplePct = 100, maxTruthDf = 3)
+      .select("a", "b", "jaccard", "a_capped", "b_capped")
+      .as[(Long, Long, Double, Long, Long)].collect().toSet
+    // grams/doc = 6; hot gram capped -> 5 kept; twins share all 5.
+    // NOTE: "y z a" etc. differ per doc tail, so only the pure-tail
+    // grams + bridge grams within the twin pair coincide.
+    assert(out.map(r => (r._1, r._2)) == Set((1L, 2L), (2L, 1L)))
+    assert(out.forall(r => r._3 == 1.0 && r._4 == 1L && r._5 == 1L))
+    // the bias ledger: exactly the planted gram, df 4, pair-mass 6
+    val rep = DedupOps.lshTruthCapReport(docs, "doc_id", "text",
+        shingleK = 3, maxTruthDf = 3)
+      .as[(String, Long, Long)].collect()
+    assert(rep.length == 1 && rep(0)._2 == 4L && rep(0)._3 == 6L)
+    // cap wide enough to keep everything == uncapped truth: 3/4's
+    // hot-gram-only pair reappears (j = 1/11, needs the low theta)
+    val wide = DedupOps.lshRecallEval(docs, "doc_id", "text",
+        shingleK = 3, numPerm = 16, bands = 4, theta = 0.05,
+        samplePct = 100, maxTruthDf = 4)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(wide.contains((3L, 4L)) && wide.contains((1L, 2L)))
   }
 
   test("radiusJoin equals the predicate cross join, exactly once, boundary inclusive") {
