@@ -1133,6 +1133,30 @@ object PerfCompare {
       val nf = attribution(empty = false)
       println(s"""{"stdrain_empty_sec":$te,"stdrain_full_sec":$tf,""" +
         s""""join_work_sec":${tf - te},"full_rows":$nf}""")
+
+      // Finer attribution (round 11): split the fixed machinery into
+      // its parts so the optimization target is measured, not guessed —
+      // (a) stream-source construction alone (batch-table conf replay +
+      // schema read + staging stat), (b) a STATELESS empty drain (query
+      // start/stop, micro-batch planning, sink, checkpoint log — no
+      // state stores), (c) a one-store windowed agg, all empty-filtered.
+      // (join − agg) ≈ the 4-store join's extra state machinery;
+      // (agg − stateless) ≈ one stateful op's store cost;
+      // (stateless − 0) ≈ the irreducible per-query floor.
+      def emptyEv() = graft.streaming.StreamParity
+        .eventsStream(spark, sf).filter(lit(false))
+      val tSrc = (0 until 3).map(_ => time {
+        graft.streaming.StreamParity.eventsStream(spark, sf); 0L }._1).min
+      def statelessDrain(): Long = graft.streaming.StreamParity
+        .drainAppend(emptyEv().select(col("event_id"))).count()
+      def aggDrain(): Long = graft.streaming.StreamParity.drainAppend(
+        graft.streaming.StreamingOps.tumblingStream(
+          emptyEv(), "1 hour")).count()
+      statelessDrain(); aggDrain() // warmup
+      val tSl = (0 until 3).map(_ => time(statelessDrain())._1).min
+      val tAg = (0 until 3).map(_ => time(aggDrain())._1).min
+      println(s"""{"stdrain_src_sec":$tSrc,"stdrain_stateless_sec":$tSl,""" +
+        s""""stdrain_agg_sec":$tAg,"stdrain_join_sec":$te}""")
     }
 
     // Nearest as-of: the joinless union-sort lowering (ev21) vs the
