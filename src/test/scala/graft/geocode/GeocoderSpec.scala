@@ -139,4 +139,44 @@ class GeocoderSpec extends SparkSpec {
       big.select(col("id"), expr(shape).as("g")).orderBy("id")
         .collect().toSeq.map(_.toString))
   }
+
+  test("geocodeFuzzyAuto: paths agree across the threshold; join side never collects the dim") {
+    val dim = spark.createDataset(CityDirFixture.dimension)
+    val lines = Seq(
+      (1L, Seq("123 Broadway")),   // exact
+      (2L, Seq("123 Brodway")),    // 1 edit → fuzzy rescue
+      (3L, Seq("999 Broadway")),   // unknown house number → miss
+      (4L, Seq("19 Paerl st", "123 Broadway")), // mixed positions
+      (5L, Seq.empty[String])      // empty → empty array
+    ).toDF("id", "vals")
+      .withColumn("parsed", struct(expr(
+        "transform(vals, v -> struct(v as value))").as("locations")))
+      .drop("vals")
+    val shape = "transform(geocoded, g -> struct(g.found, " +
+      "g.result.properties.address.id, g.error))"
+    def render(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.select(col("id"), expr(shape).as("g")).orderBy("id")
+        .collect().toSeq.map(_.toString)
+    // under the threshold: the broadcast-index path (zero fact-side
+    // exchanges beyond the udf lookup — same frame as geocodeFuzzy)
+    val small = Geocoder.geocodeFuzzyAuto(spark, lines, dim, "id",
+      maxIndexRows = 1000000L)
+    // over the threshold: the join lowering — the dimension is NEVER
+    // collected (buildFuzzyIndex's clamp would throw at 1 row)
+    val big = Geocoder.geocodeFuzzyAuto(spark, lines, dim, "id",
+      maxIndexRows = 1L)
+    assert(render(small) == render(big))
+    // semantics spot-checks on the join side alone
+    val vj = Geocoder.geocodeFuzzyViaJoin(lines, dim.toDF(), "id")
+      .select(col("id"), expr("get(geocoded, 0).found").as("f0"),
+        expr("get(geocoded, 0).result.properties.address.name").as("n0"),
+        size(col("geocoded")).as("n"))
+      .as[(Long, Option[Boolean], Option[String], Int)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(vj(1L)._1.contains(true) && vj(2L)._1.contains(true))
+    assert(vj(2L)._2 == vj(1L)._2) // typo resolved to the same address
+    assert(vj(3L)._1.contains(false))
+    assert(vj(4L)._1.contains(true) && vj(4L)._3 == 2)
+    assert(vj(5L)._3 == 0)
+  }
 }
