@@ -9,12 +9,14 @@ import org.apache.spark.sql.types._
   * / frame-sample run as per-partition batch functions over the binary
   * column.
   *
-  * The decode kernels themselves are STUBBED (this container ships no
-  * image/audio codecs — see the builder brief): `decodeStub` produces a
-  * deterministic fake feature vector from the bytes. Everything around
-  * the stub — the asset schema, the mapPartitions batching, the frame
-  * index arithmetic, the metadata projection — is real, tested Spark
-  * plumbing that a real codec drops into.
+  * Decode: [[decodeImageFeatures]] is a REAL pure-JVM image decode
+  * ([[ImageCodec]], 24-bit BMP — header parse, BGR order, row padding,
+  * bottom-up rows) proving the batching plumbing carries an actual
+  * codec. The original md5 stub (`decodeStub`/`decodeFeatures`)
+  * remains as the spec twin for the batch shape and for formats this
+  * container genuinely cannot decode (no JPEG/PNG/audio codecs shipped
+  * — a real deployment drops its codec into the same mapPartitions
+  * slot).
   *
   * Scale: binary payloads stay opaque until the last possible operator
   * (no accidental row-cache of decoded frames); per-partition batching
@@ -188,6 +190,74 @@ object MultimodalOps {
       it.map { r =>
         val feats = stubFeatures(md, r.getAs[Array[Byte]]("content"))
         Row.fromSeq(r.toSeq :+ feats)
+      }
+    }(enc)
+  }
+
+  /** Deterministic BMP fixture assets: one real 24-bit BMP per id with
+    * parametric pixels — dims `w = 4 + id % 5`, `h = 3 + id % 4` (w = 5
+    * hits the 4-byte row-padding path; all dims exercise bottom-up row
+    * order), pixel (x, y) channels `r = (id·7 + 3x + 5y) % 256`,
+    * `g = (id·11 + x + 2y) % 256`, `b = (id·13 + 2x + y) % 256`. Every
+    * 13th id carries a CORRUPT payload (BMP magic, truncated body) so
+    * the decode-miss path fires in-band. The generative parameters are
+    * pure integer functions of the id, so an oracle can compute every
+    * downstream feature analytically WITHOUT parsing bytes — while the
+    * Spark side genuinely decodes the container.
+    */
+  def synthBmpAssets(df: DataFrame, idCol: String): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("asset_id", LongType, nullable = false),
+      StructField("content", BinaryType, nullable = true)))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    df.select(col(idCol).cast("long").as("asset_id"))
+      .mapPartitions { it =>
+        it.map { r =>
+          val id = r.getLong(0)
+          val w = (4 + id % 5).toInt
+          val h = (3 + id % 4).toInt
+          val bmp = ImageCodec.encodeBmp24(w, h, (x, y) => (
+            ((id * 7 + 3 * x + 5 * y) % 256).toInt,
+            ((id * 11 + x + 2 * y) % 256).toInt,
+            ((id * 13 + 2 * x + y) % 256).toInt))
+          val payload =
+            if (id % 13 == 0) bmp.take(20) // truncated: magic ok, body gone
+            else bmp
+          Row(id, payload)
+        }
+      }(enc)
+  }
+
+  /** REAL image decode over the binary column (retires the stub as the
+    * production kernel; [[decodeFeatures]] stays as the batching spec
+    * twin): parse each payload as a 24-bit BMP via [[ImageCodec]] and
+    * append exact-integer features — dims + per-channel sums. Corrupt
+    * or non-BMP payloads yield `decoded = false` with null features
+    * (in-band, never a task failure — the dead-letter discipline).
+    * Iterator-to-iterator `mapPartitions`: no materialization, kernel
+    * is static, zero per-row setup — the same batch shape a Pandas-UDF
+    * decode uses, minus the Python boundary.
+    */
+  def decodeImageFeatures(assets: DataFrame,
+                          contentCol: String = "content"): DataFrame = {
+    val schema = StructType(assets.schema.fields ++ Seq(
+      StructField("img_w", IntegerType, nullable = true),
+      StructField("img_h", IntegerType, nullable = true),
+      StructField("sum_r", LongType, nullable = true),
+      StructField("sum_g", LongType, nullable = true),
+      StructField("sum_b", LongType, nullable = true),
+      StructField("decoded", BooleanType, nullable = false)))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    val idx = assets.schema.fieldIndex(contentCol)
+    assets.mapPartitions { it =>
+      it.map { r =>
+        ImageCodec.decodeBmp24(r.getAs[Array[Byte]](idx)) match {
+          case Some(img) =>
+            val (sr, sg, sb) = ImageCodec.channelSums(img)
+            Row.fromSeq(r.toSeq ++ Seq(img.w, img.h, sr, sg, sb, true))
+          case None =>
+            Row.fromSeq(r.toSeq ++ Seq(null, null, null, null, null, false))
+        }
       }
     }(enc)
   }

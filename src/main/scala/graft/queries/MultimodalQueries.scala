@@ -90,7 +90,23 @@ object MultimodalQueries {
     // corpus' duplicate groups share most byte windows and collide).
     "mm7_binary_neardup" -> ((s, d) =>
       MultimodalOps.binaryNearDupPairs(
-        MultimodalOps.toAssets(documents(s, d), "doc_id", "text")))
+        MultimodalOps.toAssets(documents(s, d), "doc_id", "text"))),
+
+    // REAL container decode under the oracle: synthesize one genuine
+    // 24-bit BMP per doc (parametric pixels, every 13th payload
+    // truncated), decode it back with the hand-rolled codec — header
+    // parse, BGR, 4-byte row padding, bottom-up rows — and emit
+    // exact-integer channel sums. The oracle never parses bytes: it
+    // computes the same sums analytically from the generative
+    // parameters, so a single padding/row-order/channel-order bug in
+    // the decoder shifts a sum and breaks the hash.
+    "mm8_decode_real" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      MultimodalOps.decodeImageFeatures(
+        MultimodalOps.synthBmpAssets(documents(s, d), "doc_id"))
+        .select(col("asset_id"), col("img_w"), col("img_h"),
+          col("sum_r"), col("sum_g"), col("sum_b"), col("decoded"))
+    })
   )
 
   // the stub feature i = uint16 from md5 hex chars [4i+1, 4i+4] / 65535
@@ -229,6 +245,29 @@ object MultimodalQueries {
                    FROM sig GROUP BY asset_id, i // 4)
          SELECT DISTINCT l.asset_id AS a, r.asset_id AS b
          FROM bands l JOIN bands r
-           ON l.band = r.band AND l.bh = r.bh AND l.asset_id < r.asset_id"""
+           ON l.band = r.band AND l.bh = r.bh AND l.asset_id < r.asset_id""",
+
+    // the decode evidence computed WITHOUT parsing bytes: per-channel
+    // sums from the generative pixel formulas (two sequential unnests
+    // cross x × y), truncated payloads (id % 13 = 0) decode to nulls
+    "mm8_decode_real" ->
+      """WITH dims AS (
+           SELECT doc_id AS id, (4 + doc_id % 5) AS w, (3 + doc_id % 4) AS h
+           FROM documents),
+         pxx AS (SELECT id, w, h, unnest(range(w)) AS x FROM dims),
+         pxy AS (SELECT id, w, h, x, unnest(range(h)) AS y FROM pxx),
+         sums AS (SELECT id, w, h,
+             sum((id*7 + 3*x + 5*y) % 256)::BIGINT AS sr,
+             sum((id*11 + x + 2*y) % 256)::BIGINT AS sg,
+             sum((id*13 + 2*x + y) % 256)::BIGINT AS sb
+           FROM pxy GROUP BY 1, 2, 3)
+         SELECT id AS asset_id,
+           CASE WHEN id % 13 = 0 THEN NULL ELSE w::INT END AS img_w,
+           CASE WHEN id % 13 = 0 THEN NULL ELSE h::INT END AS img_h,
+           CASE WHEN id % 13 = 0 THEN NULL ELSE sr END AS sum_r,
+           CASE WHEN id % 13 = 0 THEN NULL ELSE sg END AS sum_g,
+           CASE WHEN id % 13 = 0 THEN NULL ELSE sb END AS sum_b,
+           (id % 13 <> 0) AS decoded
+         FROM sums"""
   )
 }
