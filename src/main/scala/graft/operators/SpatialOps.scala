@@ -75,6 +75,95 @@ object SpatialOps {
       .drop("_cx", "_cy")
   }
 
+  /** Mean Earth radius in meters (IUGG R1, truncated to integer). */
+  val EarthRadiusM: Long = 6371000L
+
+  /** π/180 as one double literal, NOT a builtin `radians` call: engines
+    * disagree on the association order inside their radians ((x·π)/180
+    * vs x·(π/180)), and a last-ulp disagreement upstream of `cos` is
+    * exactly the cross-engine drift the quantized contract exists to
+    * kill. One shared literal multiplies identically everywhere. */
+  val DegToRad: Double = 0.017453292519943295
+
+  /** Great-circle radius join over (lon, lat) MICRODEGREE integer
+    * points: every (a, b) pair within `radiusMeters` along the sphere,
+    * exactly once — sp1's lowering lifted to the reference's actual
+    * domain (GeoJSON lon/lat points, city-directories.js:393), where
+    * flat integer L2 is the wrong geometry.
+    *
+    * Metric contract — the QUANTIZED-CHORD metric: each point maps to
+    * Earth-centered (ECEF) coordinates rounded to integer METERS
+    * (`x = round(R·cosφ·cosλ)` etc.), and a pair qualifies iff the
+    * exact integer chord² between those quantized points is ≤ cb²,
+    * where `cb = round(2R·sin(r/2R))` is the chord length of a
+    * great-circle arc r (computed once, driver-side). This equals true
+    * haversine up to the ±√3 m quantization — and in exchange the
+    * decision predicate is EXACT INTEGER arithmetic: bit-identical
+    * across engines and partitionings (trig runs once per POINT, and a
+    * last-ulp `cos` disagreement flips a rounded meter only when the
+    * true value sits within ~1e-9 of a half-meter — not per PAIR at
+    * the radius boundary, where float haversine comparisons flake).
+    *
+    * Lowering: 3-D grid cells of side cb over the ECEF coords — the a
+    * side replicates to its 3×3×3 neighborhood (×27, the 3-D price of
+    * sp1's ×9; choose the smaller frame as `a`), b keeps its home
+    * cell, every qualifying pair meets exactly once (distinct
+    * replicas). Gridding in ECEF SUPERSEDES latitude-aware 2-D cell
+    * sizing: cells in 3-space are automatically latitude-correct and
+    * have no antimeridian wrap or pole-cap special cases — the two
+    * classic sources of missed pairs in lon/lat-grid implementations.
+    * A cheap axis bounding-box prefilter runs before the multiplies at
+    * the match site. Dense city cells are ordinary equi-join skew
+    * (AQE). Overflow: |coord| ≤ R < 2^23, so chord² sums ≤ 5e14 ≪ 2^63.
+    */
+  def greatCircleRadiusJoin(a: DataFrame, aLon: String, aLat: String,
+                            b: DataFrame, bLon: String, bLat: String,
+                            radiusMeters: Double): DataFrame = {
+    require(radiusMeters > 0, s"radius must be positive: $radiusMeters")
+    val cb = math.round(2.0 * EarthRadiusM *
+      math.sin(radiusMeters / (2.0 * EarthRadiusM)))
+    require(cb > 0, s"radius $radiusMeters quantizes to a zero chord")
+    def ecef(lon: String, lat: String): Seq[Column] = {
+      val phi = col(lat).cast("double") / 1e6 * DegToRad
+      val lam = col(lon).cast("double") / 1e6 * DegToRad
+      // association order (R · cosφ) · cosλ mirrored verbatim in the
+      // oracle SQL — IEEE multiply is order-sensitive in the last ulp
+      Seq(round(lit(EarthRadiusM.toDouble) * cos(phi) * cos(lam))
+          .cast("long"),
+        round(lit(EarthRadiusM.toDouble) * cos(phi) * sin(lam))
+          .cast("long"),
+        round(lit(EarthRadiusM.toDouble) * sin(phi)).cast("long"))
+    }
+    val Seq(axc, ayc, azc) = ecef(aLon, aLat)
+    val Seq(bxc, byc, bzc) = ecef(bLon, bLat)
+    val aE = a.withColumn("_ax", axc).withColumn("_ay", ayc)
+      .withColumn("_az", azc)
+    val bE = b.withColumn("_bx", bxc).withColumn("_by", byc)
+      .withColumn("_bz", bzc)
+    val offsets = for {
+      dx <- Seq(-1L, 0L, 1L); dy <- Seq(-1L, 0L, 1L); dz <- Seq(-1L, 0L, 1L)
+    } yield struct((fdiv(col("_ax"), cb) + dx).as("cx"),
+      (fdiv(col("_ay"), cb) + dy).as("cy"),
+      (fdiv(col("_az"), cb) + dz).as("cz"))
+    val aCells = aE.withColumn("_cell", explode(array(offsets: _*)))
+      .withColumn("_cx", col("_cell.cx"))
+      .withColumn("_cy", col("_cell.cy"))
+      .withColumn("_cz", col("_cell.cz"))
+      .drop("_cell")
+    val bCells = bE
+      .withColumn("_cx", fdiv(col("_bx"), cb))
+      .withColumn("_cy", fdiv(col("_by"), cb))
+      .withColumn("_cz", fdiv(col("_bz"), cb))
+    val dx = col("_ax") - col("_bx")
+    val dy = col("_ay") - col("_by")
+    val dz = col("_az") - col("_bz")
+    aCells.join(bCells, Seq("_cx", "_cy", "_cz"))
+      .filter(abs(dx) <= cb && abs(dy) <= cb && abs(dz) <= cb) // bbox prefilter
+      .filter(dx * dx + dy * dy + dz * dz <= lit(cb) * lit(cb))
+      .withColumn("chord2", dx * dx + dy * dy + dz * dz)
+      .drop("_cx", "_cy", "_cz", "_ax", "_ay", "_az", "_bx", "_by", "_bz")
+  }
+
   /** Point-in-box containment join: every (box, point) pair with
     * |px − cx| ≤ hw and |py − cy| ≤ hh (boxes given by center +
     * per-row half-extents, edges inclusive). The 2-D cover join —

@@ -76,6 +76,30 @@ object SpatialQueries {
       SpatialOps.containsJoin(boxes, "sx", "sy", "hw", "hh",
           pts, "cx", "cy", cell = 50000L)
         .select("s_suppkey", "c_custkey", "hw", "hh")
+    }),
+
+    // Great-circle radius join (sp4): suppliers × customers within
+    // 200 km ALONG THE SPHERE, points in lon/lat microdegrees spanning
+    // the full globe (±180° lon incl. the antimeridian, ±85° lat) —
+    // the geometry sp1's flat integer L2 cannot express. The quantized
+    // ECEF-chord contract makes the decision exact-integer; the oracle
+    // replays the per-point trig + rounding verbatim and the predicate
+    // as a cross join. 53 pairs at sf0.01, 5242 at sf0.1.
+    "sp4_greatcircle" -> ((s, d) => {
+      def lonlat(key: org.apache.spark.sql.Column) = (
+        conv(substring(md5(key.cast("string")), 1, 8), 16, 10)
+          .cast("long") % 360000000L - 180000000L,
+        conv(substring(md5(key.cast("string")), 9, 8), 16, 10)
+          .cast("long") % 170000000L - 85000000L)
+      val (slon, slat) = lonlat(col("s_suppkey") + 7000000L)
+      val su = supplier(s, d).select(col("s_suppkey"),
+        slon.as("slon"), slat.as("slat"))
+      val (clon, clat) = lonlat(col("c_custkey"))
+      val cu = customer(s, d).select(col("c_custkey"),
+        clon.as("clon"), clat.as("clat"))
+      SpatialOps.greatCircleRadiusJoin(su, "slon", "slat",
+          cu, "clon", "clat", radiusMeters = 200000.0)
+        .select("s_suppkey", "c_custkey", "chord2")
     })
   )
 
