@@ -164,6 +164,36 @@ object SpatialOps {
       .drop("_cx", "_cy", "_cz", "_ax", "_ay", "_az", "_bx", "_by", "_bz")
   }
 
+  /** Radius-bounded k-nearest neighbors ON THE SPHERE: for each `b`
+    * row, its `k` closest `a` rows within `radiusMeters` great-circle
+    * distance — the reference's actual geocode-disambiguation shape
+    * (nearest candidate addresses for an OCR'd point,
+    * city-directories.js:341-450) lifted to the geometry it really
+    * lives in. Composition of the two proven lowerings: sp4's
+    * exactly-once ECEF cell join produces the candidate set (already
+    * radius-pruned, never all-pairs), and `TopK.perKey`'s bounded
+    * per-task heap does the selection map-side — no global sort, no
+    * per-key row explosion past k. Distance ordering is the quantized
+    * chord² (monotone in great-circle distance), ties broken by
+    * `tieCol` so the result is deterministic across partitionings.
+    *
+    * Scale: candidates ≤ |qualifying pairs| (the radius bounds the
+    * per-key fan-in); the heap retains ≤ k rows per key per task
+    * (TopKPerKey contract — keep k small, it's a heap not a
+    * histogram). Same ×27 replication economics as the radius join:
+    * pass the smaller frame as `a`.
+    */
+  def greatCircleKnn(a: DataFrame, aLon: String, aLat: String,
+                     b: DataFrame, bLon: String, bLat: String,
+                     radiusMeters: Double, k: Int,
+                     bKey: String, tieCol: String): DataFrame = {
+    require(k > 0, s"k must be positive: $k")
+    val cand = greatCircleRadiusJoin(a, aLon, aLat, b, bLon, bLat,
+      radiusMeters)
+    graft.plans.TopK.perKey(cand, Seq(bKey),
+      Seq(col("chord2").asc, col(tieCol).asc), k)
+  }
+
   /** Point-in-box containment join: every (box, point) pair with
     * |px − cx| ≤ hw and |py − cy| ≤ hh (boxes given by center +
     * per-row half-extents, edges inclusive). The 2-D cover join —

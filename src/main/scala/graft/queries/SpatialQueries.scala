@@ -100,8 +100,64 @@ object SpatialQueries {
       SpatialOps.greatCircleRadiusJoin(su, "slon", "slat",
           cu, "clon", "clat", radiusMeters = 200000.0)
         .select("s_suppkey", "c_custkey", "chord2")
+    }),
+
+    // Spherical k-nearest (sp5): each customer's 3 closest suppliers
+    // within 2000 km along the sphere — sp2's geocode-disambiguation
+    // shape on sp4's geometry. ~2.5 expected in-radius suppliers per
+    // customer at the uniform-globe density, so k=3 genuinely
+    // truncates; selection on the bounded TopKPerKey heap, ordering by
+    // the exact-integer quantized chord² with the suppkey tiebreak.
+    "sp5_greatcircle_knn" -> ((s, d) => {
+      def lonlat(key: org.apache.spark.sql.Column) = (
+        conv(substring(md5(key.cast("string")), 1, 8), 16, 10)
+          .cast("long") % 360000000L - 180000000L,
+        conv(substring(md5(key.cast("string")), 9, 8), 16, 10)
+          .cast("long") % 170000000L - 85000000L)
+      val (slon, slat) = lonlat(col("s_suppkey") + 7000000L)
+      val su = supplier(s, d).select(col("s_suppkey"),
+        slon.as("slon"), slat.as("slat"))
+      val (clon, clat) = lonlat(col("c_custkey"))
+      val cu = customer(s, d).select(col("c_custkey"),
+        clon.as("clon"), clat.as("clat"))
+      SpatialOps.greatCircleKnn(su, "slon", "slat", cu, "clon", "clat",
+          radiusMeters = 2000000.0, k = 3,
+          bKey = "c_custkey", tieCol = "s_suppkey")
+        .select("c_custkey", "s_suppkey", "chord2")
     })
   )
+
+  /** ECEF replay for the oracle SQL: per-point trig + rounding
+    * mirrored VERBATIM from `SpatialOps.greatCircleRadiusJoin` — the
+    * `e0` suffixes force DOUBLE literals (a bare decimal literal is
+    * DECIMAL in DuckDB and would reassociate the arithmetic), the
+    * division by 1e6 precedes the DegToRad multiply, and the multiply
+    * association is (R·cosφ)·cosλ, all exactly as the Spark side. The
+    * 0.017453292519943295 literal IS SpatialOps.DegToRad. */
+  private def ecefSql(tbl: String, idCol: String, keyExpr: String,
+                      px: String, py: String, pz: String): String =
+    s"""SELECT $idCol,
+          CAST(round(6371000e0 * cos(lat_ / 1e6 * 0.017453292519943295)
+                               * cos(lon_ / 1e6 * 0.017453292519943295))
+               AS BIGINT) AS $px,
+          CAST(round(6371000e0 * cos(lat_ / 1e6 * 0.017453292519943295)
+                               * sin(lon_ / 1e6 * 0.017453292519943295))
+               AS BIGINT) AS $py,
+          CAST(round(6371000e0 * sin(lat_ / 1e6 * 0.017453292519943295))
+               AS BIGINT) AS $pz
+        FROM (
+          SELECT $idCol,
+            (('0x' || substr(md5(($keyExpr)::VARCHAR), 1, 8))::UBIGINT
+              % 360000000)::BIGINT - 180000000 AS lon_,
+            (('0x' || substr(md5(($keyExpr)::VARCHAR), 9, 8))::UBIGINT
+              % 170000000)::BIGINT - 85000000 AS lat_
+          FROM $tbl)"""
+
+  /** The quantized chord bound for radius r, replaying the operator's
+    * driver-side computation exactly (same JVM expression). */
+  private def chordBound(radiusMeters: Double): Long =
+    math.round(2.0 * SpatialOps.EarthRadiusM *
+      math.sin(radiusMeters / (2.0 * SpatialOps.EarthRadiusM)))
 
   val oracles: Map[String, String] = Map(
     "sp1_radius_join" ->
@@ -167,6 +223,34 @@ object SpatialQueries {
            FROM customer)
          SELECT s_suppkey, c_custkey, hw, hh
          FROM bx, pt
-         WHERE abs(cx - sx) <= hw AND abs(cy - sy) <= hh"""
+         WHERE abs(cx - sx) <= hw AND abs(cy - sy) <= hh""",
+    "sp4_greatcircle" -> {
+      val cb = chordBound(200000.0)
+      s"""WITH se AS (${ecefSql("supplier", "s_suppkey",
+             "s_suppkey + 7000000", "ax", "ay", "az")}),
+         ce AS (${ecefSql("customer", "c_custkey",
+             "c_custkey", "bx", "by", "bz")})
+         SELECT s_suppkey, c_custkey,
+           (ax - bx) * (ax - bx) + (ay - by) * (ay - by)
+             + (az - bz) * (az - bz) AS chord2
+         FROM se, ce
+         WHERE (ax - bx) * (ax - bx) + (ay - by) * (ay - by)
+             + (az - bz) * (az - bz) <= ${cb}::BIGINT * ${cb}"""
+    },
+    "sp5_greatcircle_knn" -> {
+      val cb = chordBound(2000000.0)
+      s"""WITH se AS (${ecefSql("supplier", "s_suppkey",
+             "s_suppkey + 7000000", "ax", "ay", "az")}),
+         ce AS (${ecefSql("customer", "c_custkey",
+             "c_custkey", "bx", "by", "bz")})
+         SELECT c_custkey, s_suppkey,
+           (ax - bx) * (ax - bx) + (ay - by) * (ay - by)
+             + (az - bz) * (az - bz) AS chord2
+         FROM se, ce
+         WHERE (ax - bx) * (ax - bx) + (ay - by) * (ay - by)
+             + (az - bz) * (az - bz) <= ${cb}::BIGINT * ${cb}
+         QUALIFY row_number() OVER (PARTITION BY c_custkey
+           ORDER BY chord2, s_suppkey) <= 3"""
+    }
   )
 }

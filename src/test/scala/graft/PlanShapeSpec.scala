@@ -502,6 +502,23 @@ class PlanShapeSpec extends SparkSpec {
       !p.contains("BroadcastNestedLoop"), p.take(3000))
   }
 
+  test("sp4 great-circle join is an equi join on 3-D ECEF cells, never a cross product") {
+    val p = planOf("sp4_greatcircle")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoop"), p.take(3000))
+    assert(p.contains("_cx") && p.contains("_cy") && p.contains("_cz"),
+      p.take(3000))
+  }
+
+  test("sp5 spherical knn selects on the bounded heap, no global sort, no cross product") {
+    val p = planOf("sp5_greatcircle_knn")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoop"), p.take(3000))
+    assert(p.contains("TopKPerKey"), p.take(3000))
+    // selection must not plan a global rank window (Sort over all candidates)
+    assert(!p.contains("Window"), p.take(3000))
+  }
+
   test("ev21 nearest as-of is joinless: one union-sort exchange, no candidate pairs") {
     val p = planOf("ev21_asof_nearest")
     assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin") &&

@@ -1966,6 +1966,113 @@ class ExtOpsSpec extends SparkSpec {
     assert(err.getMessage.contains("covers more than"), err.getMessage)
   }
 
+  /** The operator's per-point quantization replayed in plain Scala —
+    * same JVM trig, same (R·cosφ)·cosλ association, and Spark's
+    * HALF_UP rounding (math.round differs at negative .5). */
+  private def ecefQ(lonMicro: Long, latMicro: Long): (Long, Long, Long) = {
+    def rnd(x: Double): Long =
+      BigDecimal(x).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    val phi = latMicro.toDouble / 1e6 * SpatialOps.DegToRad
+    val lam = lonMicro.toDouble / 1e6 * SpatialOps.DegToRad
+    val r = SpatialOps.EarthRadiusM.toDouble
+    (rnd(r * math.cos(phi) * math.cos(lam)),
+     rnd(r * math.cos(phi) * math.sin(lam)),
+     rnd(r * math.sin(phi)))
+  }
+
+  /** Deterministic pseudo-random microdegree cluster around a center,
+    * spread ±3° so the 200 km radius has both match and no-match
+    * pairs. */
+  private def sphereCluster(seed: Long, n: Int, idBase: Long,
+      lon0: Long, lat0: Long): Seq[(Long, Long, Long)] =
+    (0 until n).map { i =>
+      val h = (i * 2654435761L + seed * 40503L) & 0xffffffffL
+      val g = (i * 2246822519L + seed * 65599L) & 0xffffffffL
+      (idBase + i, lon0 + h % 6000001L - 3000000L,
+        lat0 + g % 6000001L - 3000000L)
+    }
+
+  test("greatCircleRadiusJoin equals the quantized-chord cross join: " +
+      "exactly once, antimeridian, near-pole, boundary sweep") {
+    val r = 200000.0
+    val cb = math.round(2.0 * SpatialOps.EarthRadiusM *
+      math.sin(r / (2.0 * SpatialOps.EarthRadiusM)))
+    // a side: planted geometry cases + a cluster near (10°E, 45°N)
+    val aPts = Seq(
+      (1L, 179999900L, 0L),          // antimeridian east rim
+      (2L, 0L, 84999000L),           // near north pole
+      (3L, 0L, 0L),                  // equator origin (boundary sweep anchor)
+      (4L, -170000000L, -84999500L)  // near south pole, far-west lon
+    ) ++ sphereCluster(7, 30, 100L, 10000000L, 45000000L)
+    // b side: the planted partners + the ±radius boundary sweep + cluster
+    val sweep = (0 until 19).map { j =>
+      (300L + j, 1790000L + 1000L * j, 0L) // 1.790°..1.808° east of anchor
+    }
+    val bPts = Seq(
+      (1L, -179999900L, 0L),         // ~22 m across the antimeridian
+      (2L, 4000000L, 84999000L),     // 4° of lon at 85°N ≈ 39 km: inside
+      (3L, 40000000L, 84999000L),    // 40° of lon at 85°N ≈ 388 km: outside
+      (4L, -169000000L, -84999500L)  // 1° of lon at 85°S ≈ 10 km: inside
+    ) ++ sweep ++ sphereCluster(13, 40, 500L, 10000000L, 45000000L)
+    val a = aPts.toDF("ai", "alon", "alat")
+    val b = bPts.toDF("bi", "blon", "blat")
+    val got = SpatialOps.greatCircleRadiusJoin(a, "alon", "alat",
+        b, "blon", "blat", r)
+      .select("ai", "bi", "chord2").as[(Long, Long, Long)].collect()
+    // exactly-once: the ×27 replication never double-counts a pair
+    assert(got.length == got.toSet.size)
+    val expected = (for {
+      (ai, alon, alat) <- aPts; (bi, blon, blat) <- bPts
+      (ax, ay, az) = ecefQ(alon, alat)
+      (bx, by, bz) = ecefQ(blon, blat)
+      c2 = (ax - bx) * (ax - bx) + (ay - by) * (ay - by) +
+        (az - bz) * (az - bz)
+      if c2 <= cb * cb
+    } yield (ai, bi, c2)).toSet
+    assert(got.toSet == expected)
+    val pairs = expected.map(t => (t._1, t._2))
+    // the geometry the lon/lat-grid lowerings miss actually fired:
+    assert(pairs.contains((1L, 1L)), "antimeridian pair missed")
+    assert(pairs.contains((2L, 2L)) && !pairs.contains((2L, 3L)),
+      "near-pole wide-lon geometry wrong")
+    assert(pairs.contains((4L, 4L)), "south-pole pair missed")
+    // boundary sweep: the radius cut falls INSIDE the sweep — both
+    // kept and dropped pairs exist among the ±1-chord probes
+    val sweepHits = pairs.filter(p => p._1 == 3L && p._2 >= 300L)
+    assert(sweepHits.nonEmpty && sweepHits.size < sweep.length,
+      s"sweep not crossed: ${sweepHits.size}/${sweep.length}")
+    // cluster genuinely mixes matches and non-matches
+    val clusterPairs = pairs.filter(p => p._1 >= 100L && p._2 >= 500L)
+    assert(clusterPairs.nonEmpty && clusterPairs.size < 30 * 40)
+  }
+
+  test("greatCircleKnn keeps the k nearest by chord2 with deterministic ties") {
+    val r = 2000000.0
+    val cb = math.round(2.0 * SpatialOps.EarthRadiusM *
+      math.sin(r / (2.0 * SpatialOps.EarthRadiusM)))
+    val aPts = sphereCluster(3, 25, 0L, -60000000L, -20000000L)
+    val bPts = sphereCluster(11, 15, 100L, -60000000L, -20000000L)
+    val a = aPts.toDF("ai", "alon", "alat")
+    val b = bPts.toDF("bi", "blon", "blat")
+    val got = SpatialOps.greatCircleKnn(a, "alon", "alat",
+        b, "blon", "blat", r, k = 2, bKey = "bi", tieCol = "ai")
+      .select("bi", "ai", "chord2").as[(Long, Long, Long)].collect()
+    val cand = (for {
+      (ai, alon, alat) <- aPts; (bi, blon, blat) <- bPts
+      (ax, ay, az) = ecefQ(alon, alat)
+      (bx, by, bz) = ecefQ(blon, blat)
+      c2 = (ax - bx) * (ax - bx) + (ay - by) * (ay - by) +
+        (az - bz) * (az - bz)
+      if c2 <= cb * cb
+    } yield (bi, ai, c2))
+    val expected = cand.groupBy(_._1).flatMap { case (_, rows) =>
+      rows.sortBy(t => (t._3, t._2)).take(2)
+    }.toSet
+    assert(got.toSet == expected)
+    // k genuinely truncates somewhere (wide radius → >2 candidates)
+    assert(cand.groupBy(_._1).exists(_._2.size > 2))
+  }
+
   test("coalesceIntervalsBucketed equals the single-pass form at every width") {
     // deterministic pseudo-random intervals: clustered starts so spans
     // genuinely merge, lengths up to 40 so chains cross bucket
