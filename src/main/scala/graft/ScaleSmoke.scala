@@ -16,7 +16,7 @@ import org.apache.spark.sql.functions._
   * [shardDocs] [vocabDocs] [pqVecs] [dsirDocs]`. `GRAFT_SS_ONLY=
   * <lanes>` replays just the named lanes — any comma-separated subset
   * of simhash, decon, bpe, overlap, curation, capbudget, graph, tri,
-  * linkp, ivj, ivc, spj.
+  * linkp, ivj, ivc, spj, recallcap, fuzzygeo, aqeskew.
   */
 object ScaleSmoke {
   def main(args: Array[String]): Unit = {
@@ -815,6 +815,146 @@ object ScaleSmoke {
         s"cap ledger broke: ${rep.mkString(",")}")
       println(s"""{"recallcap_docs":$n,"saturated_df":$n,"sec":${round1(wall)},"truth_rows":$rows}""")
       Release(capCorpus, blocking = true)
+    }
+
+    // geocodeFuzzyViaJoin under the DEGENERATE EMPTY BLOCK (round 12):
+    // 1M digit-less OCR misses (widows, continuation lines, "h
+    // Broadway" forms) against a dimension whose digit-less block holds
+    // 5000 streets. Uncapped, every digit-less miss joins every
+    // digit-less dimension key — 5·10⁹ levenshtein pairs through one
+    // hot join key, the r11 verdict's scale seam. The MaxFuzzyBlock cap
+    // (2000) drops the oversized block PRE-JOIN, so the lane completes
+    // in seconds with every digit-less miss in-band as found:false —
+    // while 100k NUMBERED typos in the same frame still rescue through
+    // their (tiny) house-number blocks, proving the cap starves only
+    // the degenerate block, not the fuzzy path.
+    lane("fuzzygeo") {
+      val missN = 1000000L
+      val typoN = 100000L
+      val geomSql = "named_struct('type', 'Point', 'coordinates'," +
+        " array(array(0.0d, 0.0d)))"
+      // dimension: 100k numbered "N main street" + 5000 digit-less streets
+      val dimNum = spark.range(typoN).select(
+        concat(lit("a"), col("id").cast("string")).as("addressId"),
+        concat(col("id").cast("string"), lit(" main street")).as("addressName"),
+        lit("s").as("streetId"), lit("main street").as("streetName"),
+        concat(col("id").cast("string"), lit(" main street")).as("normalizedKey"),
+        expr(geomSql).as("geometry"))
+      val dimBare = spark.range(5000L).select(
+        concat(lit("b"), col("id").cast("string")).as("addressId"),
+        concat(lit("bare street "), col("id").cast("string")).as("addressName"),
+        lit("s").as("streetId"), lit("bare").as("streetName"),
+        concat(lit("bare street "), col("id").cast("string")).as("normalizedKey"),
+        expr(geomSql).as("geometry"))
+      val fuzzyDim = dimNum.unionByName(dimBare).localCheckpoint()
+      // facts: 1M digit-less misses + 100k numbered 1-edit typos
+      val bareMiss = spark.range(missN).select(col("id").as("gid"),
+        array(struct(concat(lit("widow line "),
+          col("id").cast("string")).as("value"))).as("locations"))
+      val numTypo = spark.range(typoN).select((col("id") + missN).as("gid"),
+        array(struct(concat(col("id").cast("string"),
+          lit(" main stret")).as("value"))).as("locations"))
+      val facts = bareMiss.unionByName(numTypo)
+        .select(col("gid"), struct(col("locations")).as("parsed"))
+        .localCheckpoint()
+      val t0 = System.nanoTime()
+      val agg = graft.geocode.Geocoder
+        .geocodeFuzzyViaJoin(facts, fuzzyDim, "gid")
+        .agg(
+          sum(when(expr("geocoded[0].found"), 1L).otherwise(0L)),
+          count(lit(1))).first()
+      val fgSec = (System.nanoTime() - t0) / 1e9
+      val found = agg.getLong(0); val rows = agg.getLong(1)
+      println(s"""{"fuzzygeo_misses":$missN,"typos":$typoN,"sec":${round1(fgSec)},"found":$found}""")
+      require(rows == missN + typoN && found == typoN,
+        s"fuzzy cap semantics broke: rows=$rows found=$found want=$typoN")
+      Release(fuzzyDim, blocking = true)
+      Release(facts, blocking = true)
+    }
+
+    // The "a dense cell is ordinary AQE skew" claim, PINNED (rolled
+    // over from r10/r11): ev19/sp1/sp3/sp4 all lower predicate joins to
+    // equi joins on synthetic bin/cell keys and argue a hot bin is
+    // AQE's skew-join case. Here the claim runs through the ACTUAL
+    // radiusJoin lowering: 2M b-points in ONE grid cell (the dense
+    // city) + 4M spread one-per-cell far away, 3 a-points in the hot
+    // cell. Broadcast is disabled (3-row side would broadcast and
+    // dodge the shuffle entirely) and the skew thresholds are scaled
+    // to the local data size the way a 100-TB cluster's 256 MB default
+    // relates to its real partitions. Asserts BOTH the exact pair
+    // count (closed form) AND that AQE actually split the skewed
+    // partition — read back from the executed plan's AQEShuffleRead
+    // metrics, not inferred.
+    lane("aqeskew") {
+      val hotB = 2000000L
+      val coldB = 4000000L
+      val conf = spark.conf
+      val saved = Seq(
+        "spark.sql.autoBroadcastJoinThreshold",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes")
+        .map(k => k -> conf.getOption(k))
+      try {
+        conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "8m")
+        conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "4m")
+        val r = 1000L
+        // hot cell: 2M hash-scattered points inside cell (0,0) — NOT a
+        // constant coordinate: skew detection reads COMPRESSED map
+        // output sizes, and 2M identical rows LZ4 to almost nothing
+        // (measured: skew metric 0 with lit(500) points). Every in-cell
+        // point is within sqrt(500^2+500^2) ~ 707 < r of the cell
+        // center, so the closed form still holds. Cold: a lattice with
+        // spacing 10r starting 100 cells away — never within radius.
+        // The a coords must be NON-FOLDABLE (id % 1 + 500, not lit):
+        // literal a-points let Catalyst constant-fold the distance
+        // predicate into the b scan and prune bx/by off the exchange,
+        // leaving the hot partition all-identical cell keys — which
+        // again compress below any honest skew threshold.
+        val aPts = spark.range(3L).select(
+          (col("id") % 1L + 500L).as("ax"), (col("id") % 1L + 500L).as("ay"))
+        val bHot = spark.range(hotB).select(
+          pmod(hash(col("id")), lit(1000L)).cast("long").as("bx"),
+          pmod(hash(col("id"), lit(7)), lit(1000L)).cast("long").as("by"))
+        val bCold = spark.range(coldB).select(
+          (lit(100000L) + (col("id") % 2000L) * 10000L).as("bx"),
+          (lit(100000L) + floor(col("id") / 2000L).cast("long") * 10000L).as("by"))
+        val joined = operators.SpatialOps.radiusJoin(
+          aPts, "ax", "ay", bHot.unionByName(bCold), "bx", "by", r)
+        val agg = joined.groupBy().count()
+        val t0 = System.nanoTime()
+        // collect(), NOT first(): first() wraps the query in a new
+        // Limit plan with its own QueryExecution, leaving agg's
+        // executedPlan unexecuted (isFinalPlan=false, all metrics 0)
+        val pairs = agg.collect()(0).getLong(0)
+        val skSec = (System.nanoTime() - t0) / 1e9
+        // walk the adaptive plan for skew-split evidence
+        def skewSplits(p: org.apache.spark.sql.execution.SparkPlan): Long = {
+          import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+          val self = p.metrics.collect {
+            case (name, m) if name.toLowerCase.contains("skew") => m.value
+          }.sum
+          val kids = p match {
+            case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+            case q: QueryStageExec => Seq(q.plan)
+            case other => other.children
+          }
+          self + kids.map(skewSplits).sum
+        }
+        val skew = skewSplits(agg.queryExecution.executedPlan)
+        if (skew == 0) { // diagnostic: what DID the adaptive plan do?
+          println(s"adaptive=${conf.get("spark.sql.adaptive.enabled")} " +
+            s"root=${agg.queryExecution.executedPlan.getClass.getSimpleName}")
+          println(agg.queryExecution.executedPlan.toString.take(4000))
+        }
+        println(s"""{"aqeskew_hot":$hotB,"cold":$coldB,"sec":${round1(skSec)},"pairs":$pairs,"skew_metric":$skew}""")
+        require(pairs == 3L * hotB, s"hot-cell join broken: $pairs vs ${3L * hotB}")
+        require(skew > 0, "AQE skew split did not fire — the dense-cell " +
+          "claim in ev19/sp1/sp3/sp4 scaladoc is unpinned at these thresholds")
+      } finally saved.foreach {
+        case (k, Some(v)) => conf.set(k, v)
+        case (k, None) => conf.unset(k)
+      }
     }
     spark.stop()
   }

@@ -135,12 +135,35 @@ object Geocoder {
     prev(b.length)
   }
 
+  /** The house-number block of a normalized key: its leading ASCII
+    * digit run. ASCII-ONLY on purpose, and the single source of truth
+    * for BOTH paths — the join lowering blocks with the regex
+    * `^[0-9]*`, and a Unicode-aware `isDigit` here would send keys with
+    * leading non-ASCII digits to different candidate blocks on the two
+    * paths [[geocodeFuzzyAuto]] promises are identical. */
+  private[geocode] def houseBlock(key: String): String =
+    key.takeWhile(c => c >= '0' && c <= '9')
+
+  /** Per-block candidate bound for the fuzzy paths. A block bigger than
+    * this contributes NO fuzzy candidates — its misses stay in-band as
+    * `found:false` — because a scan of 10^4+ candidates per missed
+    * address is not a lookup any more, and the degenerate EMPTY block
+    * (every digit-less address: widows, continuation lines, "h
+    * Broadway" forms — plentiful in OCR) would otherwise cross-join all
+    * digit-less misses against all digit-less dimension keys. The rule
+    * is applied identically in [[buildFuzzyIndex]] (block dropped from
+    * the broadcast map) and [[geocodeFuzzyViaJoin]] (block filtered
+    * pre-join), so the two paths still agree row-for-row. */
+  val MaxFuzzyBlock: Long = 2000L
+
   /** Fuzzy index: the exact map plus candidates blocked by house number
     * (the leading digit run — OCR rarely corrupts it, street names
-    * often). Both structures ride one broadcast.
+    * often). Blocks larger than `maxBlockSize` are dropped (see
+    * [[MaxFuzzyBlock]]). Both structures ride one broadcast.
     */
   def buildFuzzyIndex(spark: SparkSession, dim: Dataset[GeoAddress],
-                      maxIndexRows: Long = MaxIndexRows)
+                      maxIndexRows: Long = MaxIndexRows,
+                      maxBlockSize: Long = MaxFuzzyBlock)
       : Broadcast[(Map[String, GeoResult], Map[String, Seq[(String, GeoResult)]])] = {
     // ENFORCED driver-safety bound: an oversized dimension must fail
     // loudly here instead of OOMing the driver — callers wanting
@@ -168,9 +191,9 @@ object Geocoder {
           a.geometry)
       }.toSeq
     val exact = entries.toMap
-    val byNumber = entries.groupBy { case (key, _) =>
-      key.takeWhile(_.isDigit)
-    }.map { case (num, es) => num -> es.toSeq.sortBy(_._1) }
+    val byNumber = entries.groupBy { case (key, _) => houseBlock(key) }
+      .filter { case (_, es) => es.size <= maxBlockSize }
+      .map { case (num, es) => num -> es.toSeq.sortBy(_._1) }
     spark.sparkContext.broadcast((exact, byNumber))
   }
 
@@ -193,7 +216,7 @@ object Geocoder {
         exact.get(key) match {
           case Some(r) => Geocoded(found = true, Some(r), None)
           case None =>
-            val block = byNumber.getOrElse(key.takeWhile(_.isDigit), Seq.empty)
+            val block = byNumber.getOrElse(houseBlock(key), Seq.empty)
             val best = block.iterator
               .map { case (k, r) => (editDistance(key, k, maxEdit), k, r) }
               .filter(_._1 <= maxEdit)
@@ -217,20 +240,38 @@ object Geocoder {
     */
   val MaxIndexRows: Long = 2000000L
 
+  /** Size probe shared by both auto dispatchers: does the dimension fit
+    * the driver-built broadcast index? A constant-column `take(cap+1)`
+    * — CollectLimit's incremental execution stops each scan task at
+    * cap + 1 rows, so the probe never pays a full dimension scan the
+    * way a bare `dim.count()` does (the buildFuzzyIndex capped-collect
+    * discipline, without collecting the payload). NOT `limit(n).count()`:
+    * a count fuses the limit into a codegen stage that ENDS in a
+    * blocking aggregate, which disables early-stop — every row of the
+    * partition would still be evaluated and merely discarded (pinned by
+    * the poisoned-dimension GeocoderSpec case). Clamp BEFORE the +1,
+    * mirroring buildFuzzyIndex's overflow note. */
+  private[geocode] def fitsDriver(dim: Dataset[GeoAddress],
+                                  maxIndexRows: Long): Boolean = {
+    val cap = math.min(maxIndexRows, Int.MaxValue.toLong - 1).toInt
+    dim.toDF().select(lit(1).as("_one")).take(cap + 1).length <= cap
+  }
+
   /** Auto-guardrailed geocode: picks the broadcast-map path
     * ([[buildIndex]] + [[geocode]]) when the dimension is small enough
     * to collect safely, and falls back to [[geocodeViaJoin]] above the
     * threshold — so an unexpectedly large dimension degrades to one
-    * extra shuffle instead of OOMing the driver. The size probe is one
-    * dimension-sized count; both paths produce identical results
-    * (duplicate keys resolve to min addressId in both — asserted in
-    * GeocoderSpec), so the switch is invisible in output.
+    * extra shuffle instead of OOMing the driver. The size probe is
+    * [[fitsDriver]]'s capped count — at most maxIndexRows + 1 rows
+    * scanned; both paths produce identical results (duplicate keys
+    * resolve to min addressId in both — asserted in GeocoderSpec), so
+    * the switch is invisible in output.
     */
   def geocodeAuto(spark: SparkSession, df: DataFrame,
                   dim: Dataset[GeoAddress], rowId: String,
                   locationsCol: String = "parsed.locations",
                   maxIndexRows: Long = MaxIndexRows): DataFrame =
-    if (dim.count() <= maxIndexRows)
+    if (fitsDriver(dim, maxIndexRows))
       geocode(df, buildIndex(spark, dim), locationsCol)
     else
       geocodeViaJoin(df, dim.toDF(), rowId, locationsCol)
@@ -316,14 +357,19 @@ object Geocoder {
     * codegen'd bounded `levenshtein(…, threshold)` with ties to the
     * lexicographically smallest key — a struct-min aggregate, bit-equal
     * to the broadcast path's `minByOption((d, k))`. Scale shape: the
-    * block join's fan-out is bounded by house-number block size (a hot
-    * block is ordinary equi-join skew — AQE's case), the edit distance
-    * runs threshold-bounded inside codegen, and nothing dimension-sized
-    * ever reaches the driver.
+    * block join's fan-out is bounded by `maxBlockSize` PRE-JOIN (blocks
+    * past the cap are filtered out of the dimension side before the
+    * exchange, so the degenerate empty block — every digit-less address
+    * on both sides — can never cross-join; its misses stay in-band as
+    * `found:false`, the same [[MaxFuzzyBlock]] rule the broadcast index
+    * applies), a surviving hot block is ordinary equi-join skew (AQE's
+    * case), the edit distance runs threshold-bounded inside codegen,
+    * and nothing dimension-sized ever reaches the driver.
     */
   def geocodeFuzzyViaJoin(df: DataFrame, dim: DataFrame, rowId: String,
                           locationsCol: String = "parsed.locations",
-                          maxEdit: Int = 2): DataFrame = {
+                          maxEdit: Int = 2,
+                          maxBlockSize: Long = MaxFuzzyBlock): DataFrame = {
     val exploded = explodeLocations(df, rowId, locationsCol)
     val dimKeyed = dimResultKeyed(dim)
     val exact = exploded.join(dimKeyed, Seq("_key"), "left")
@@ -335,9 +381,16 @@ object Geocoder {
     val misses = exact.filter(col("_result").isNull)
       .select(col("_gid"), col("_pos"), col("_addr"), col("_key"))
       .withColumn("_blk", blockOf(col("_key")))
+    // the block-size cap: one window count over the (dimension-sized)
+    // keyed frame, blocks past the cap dropped BEFORE the join — their
+    // misses then find no candidates and surface as found:false
+    val blockWindow = org.apache.spark.sql.expressions.Window
+      .partitionBy("_blk")
     val dimBlocked = dimKeyed
       .select(blockOf(col("_key")).as("_blk"), col("_key").as("_ck"),
         col("_result"))
+      .withColumn("_bn", count(lit(1)).over(blockWindow))
+      .filter(col("_bn") <= maxBlockSize).drop("_bn")
     val fuzzy = misses.join(dimBlocked, Seq("_blk"), "left")
       .withColumn("_d", when(col("_ck").isNotNull,
         levenshtein(col("_key"), col("_ck"), maxEdit)))
@@ -367,10 +420,12 @@ object Geocoder {
                        dim: Dataset[GeoAddress], rowId: String,
                        locationsCol: String = "parsed.locations",
                        maxEdit: Int = 2,
-                       maxIndexRows: Long = MaxIndexRows): DataFrame =
-    if (dim.count() <= maxIndexRows)
-      geocodeFuzzy(df, buildFuzzyIndex(spark, dim, maxIndexRows),
-        locationsCol, maxEdit)
+                       maxIndexRows: Long = MaxIndexRows,
+                       maxBlockSize: Long = MaxFuzzyBlock): DataFrame =
+    if (fitsDriver(dim, maxIndexRows))
+      geocodeFuzzy(df, buildFuzzyIndex(spark, dim, maxIndexRows,
+        maxBlockSize), locationsCol, maxEdit)
     else
-      geocodeFuzzyViaJoin(df, dim.toDF(), rowId, locationsCol, maxEdit)
+      geocodeFuzzyViaJoin(df, dim.toDF(), rowId, locationsCol, maxEdit,
+        maxBlockSize)
 }

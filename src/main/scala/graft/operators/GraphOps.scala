@@ -158,8 +158,12 @@ object GraphOps {
     // passing raw un-quantized weights fails with THIS message at scan
     // time, not an ANSI overflow five shuffles later. Evaluated once
     // per edge on the already-checkpointed frame — no extra pass.
+    // null weights pass THROUGH the guard (a null predicate is
+    // not-true, so without the isNull arm they'd hit raise_error with
+    // a null-concat message) — the w > 0 filter below then drops them,
+    // the pre-guard behavior
     val wRaw = col("w").cast("long")
-    val wChecked = when(wRaw <= MaxEdgeWeight, wRaw).otherwise(
+    val wChecked = when(wRaw.isNull || wRaw <= MaxEdgeWeight, wRaw).otherwise(
       raise_error(concat(
         lit("weightedPagerank: edge weight "), wRaw.cast("string"),
         lit(s" exceeds $MaxEdgeWeight — quantize similarities to at" +

@@ -93,13 +93,24 @@ object ImageCodec {
     val w = i32(bytes, 18)
     val rawH = i32(bytes, 22)
     val topDown = rawH < 0
-    val h = math.abs(rawH)
-    if (w <= 0 || h == 0 || u16(bytes, 28) != 24 ||
+    // ALL dimension arithmetic in Long: crafted headers with w near
+    // 2^30 wrap `w * 3` to a negative Int (passing the bounds check on
+    // a negative product), and rawH == Int.MinValue survives a 32-bit
+    // math.abs — both would throw out of the codec instead of
+    // returning the in-band None the contract promises.
+    val hL = math.abs(rawH.toLong)
+    if (w <= 0 || hL == 0 || u16(bytes, 28) != 24 ||
       i32(bytes, 30) != 0) return None
-    val rowBytes = (w * 3 + 3) & ~3
-    if (off < 54 || off.toLong + rowBytes.toLong * h > bytes.length)
+    val rowBytesL = (3L * w + 3) & ~3L
+    // each factor is individually bounded by the payload length before
+    // the product, so rowBytesL * hL cannot overflow (< 2^62)
+    if (off < 54 || rowBytesL > bytes.length || hL > bytes.length ||
+      off.toLong + rowBytesL * hL > bytes.length)
       return None
-    val rgb = new Array[Byte](w * h * 3)
+    // past the bound, 3·w·h <= rowBytes·h <= bytes.length < 2^31
+    val h = hL.toInt
+    val rowBytes = rowBytesL.toInt
+    val rgb = new Array[Byte]((3L * w * h).toInt)
     var y = 0
     while (y < h) {
       val srcRow = if (topDown) y else h - 1 - y

@@ -179,4 +179,91 @@ class GeocoderSpec extends SparkSpec {
     assert(vj(4L)._1.contains(true) && vj(4L)._3 == 2)
     assert(vj(5L)._3 == 0)
   }
+
+  private def mkLines(rows: Seq[(Long, Seq[String])]) =
+    rows.toDF("id", "vals")
+      .withColumn("parsed", struct(expr(
+        "transform(vals, v -> struct(v as value))").as("locations")))
+      .drop("vals")
+
+  private def mkDim(keys: Seq[String]) =
+    spark.createDataset(keys.zipWithIndex.map { case (k, i) =>
+      graft.model.GeoAddress(s"addr-$i", k, s"street-$i", k, k,
+        graft.model.Geometry("Point", Seq(Seq(i.toDouble, i.toDouble))))
+    })
+
+  private val renderShape = "transform(geocoded, g -> struct(g.found, " +
+    "g.result.properties.address.id, g.error))"
+
+  private def render(df: org.apache.spark.sql.DataFrame): Seq[String] =
+    df.select(col("id"), expr(renderShape).as("g")).orderBy("id")
+      .collect().toSeq.map(_.toString)
+
+  test("fuzzy digit-less addresses: both paths agree and still rescue typos") {
+    // neither side has house numbers — every key lands in the EMPTY
+    // block; under the cap the block still serves candidates
+    val dim = mkDim(Seq("pearl street", "bowery", "maiden lane"))
+    val lines = mkLines(Seq(
+      (1L, Seq("Perl street")),     // 1 edit, digit-less
+      (2L, Seq("bowery")),          // exact, digit-less
+      (3L, Seq("completely else"))))
+    val broad = Geocoder.geocodeFuzzy(lines,
+      Geocoder.buildFuzzyIndex(spark, dim))
+    val joined = Geocoder.geocodeFuzzyViaJoin(lines, dim.toDF(), "id")
+    assert(render(broad) == render(joined))
+    val got = broad.select(col("id"), expr("geocoded[0].found"))
+      .as[(Long, Boolean)].collect().toMap
+    assert(got(1L) && got(2L) && !got(3L))
+  }
+
+  test("fuzzy block cap: an oversized block yields in-band misses on BOTH paths") {
+    val dim = mkDim(Seq("pearl street", "bowery", "maiden lane"))
+    val lines = mkLines(Seq(
+      (1L, Seq("Perl street")),   // fuzzy-only → capped away
+      (2L, Seq("bowery"))))       // exact hit survives the cap
+    // cap below the empty block's 3 entries → the block serves nothing
+    val broad = Geocoder.geocodeFuzzy(lines,
+      Geocoder.buildFuzzyIndex(spark, dim, maxBlockSize = 2L))
+    val joined = Geocoder.geocodeFuzzyViaJoin(lines, dim.toDF(), "id",
+      maxBlockSize = 2L)
+    assert(render(broad) == render(joined))
+    val got = broad.select(col("id"), expr("geocoded[0].found"))
+      .as[(Long, Boolean)].collect().toMap
+    assert(!got(1L), "capped block must miss in-band")
+    assert(got(2L), "exact path must ignore the fuzzy cap")
+  }
+
+  test("house block is ASCII-only on both paths: Unicode digits share the empty block") {
+    // '١'/'٢' are Arabic-Indic digits: Character.isDigit == true but
+    // outside [0-9]. Pre-fix the broadcast path blocked these keys
+    // under their Unicode digit runs while the join path lumped them
+    // into the empty block — a 1-edit pair across different leading
+    // digits was found by one path and missed by the other.
+    assert(Geocoder.houseBlock("١ broadway") == "")
+    assert(Geocoder.houseBlock("123 broadway") == "123")
+    val dim = mkDim(Seq("١ broadway"))
+    val lines = mkLines(Seq((1L, Seq("٢ broadway")))) // 1 edit away
+    val broad = Geocoder.geocodeFuzzy(lines,
+      Geocoder.buildFuzzyIndex(spark, dim))
+    val joined = Geocoder.geocodeFuzzyViaJoin(lines, dim.toDF(), "id")
+    assert(render(broad) == render(joined))
+    assert(broad.select(expr("geocoded[0].found")).as[Boolean].head())
+  }
+
+  test("fitsDriver probes with a capped count — never a full dimension scan") {
+    import spark.implicits._
+    // single-partition dimension that THROWS past row 5: a bare
+    // dim.count() would evaluate the poison rows; the limit-capped
+    // probe must stop at maxIndexRows + 1 = 6 rows
+    val poisoned = spark.range(0, 100, 1, 1).as[Long].map { i =>
+      if (i >= 6) sys.error(s"probe scanned past the cap: row $i")
+      graft.model.GeoAddress(s"a$i", s"$i x", "s", "x", s"$i x",
+        graft.model.Geometry("Point", Seq(Seq(0.0, 0.0))))
+    }
+    assert(!Geocoder.fitsDriver(poisoned, maxIndexRows = 5L))
+    // and a genuinely small dimension routes to the driver path
+    val dim = spark.createDataset(CityDirFixture.dimension)
+    assert(Geocoder.fitsDriver(dim, maxIndexRows = 5L))
+    assert(!Geocoder.fitsDriver(dim, maxIndexRows = 4L))
+  }
 }
