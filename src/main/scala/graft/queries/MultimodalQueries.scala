@@ -24,42 +24,55 @@ object MultimodalQueries {
         MultimodalOps.toAssets(documents(s, d), "doc_id", "text"), 100)
     }),
 
-    // Decode → similarity composition: batched (stub) decode produces a
-    // feature vector per asset, then top-10 nearest assets to asset 0 by
-    // cosine. The stub features are deterministic md5 derivations, so
-    // even this "decoded" path hash-matches the oracle; the sim
-    // arithmetic is spelled out identically on both sides (left-assoc
-    // sums, sqrt(na)*sqrt(nb)) for bit-equality.
+    // Decode → similarity composition on the REAL kernel (promoted from
+    // the md5 stub in r12): every asset is a genuine 24-bit BMP
+    // (synthBmpAssets), decodeImageFeatures really parses the container
+    // (header, BGR, row padding, bottom-up rows), and the query asks
+    // for the 10 decoded assets nearest asset 1 by EXACT-INTEGER L2
+    // over the (sum_r, sum_g, sum_b) channel signature — so both the
+    // decode evidence AND the similarity arithmetic are bit-replayable
+    // (no float rounding anywhere; asset 1, not 0, because id % 13 = 0
+    // payloads are truncated and decode to in-band nulls).
     "mm3_decode_topk" -> ((s, d) => {
       import org.apache.spark.sql.functions._
-      import graft.operators.SimilarityOps
-      val feats = MultimodalOps.decodeFeatures(
-        MultimodalOps.toAssets(documents(s, d), "doc_id", "text"))
-        .select(col("asset_id"), col("features"))
-      val q = feats.filter(col("asset_id") === 0)
-        .select(col("features").as("_qf"))
+      val feats = MultimodalOps.decodeImageFeatures(
+        MultimodalOps.synthBmpAssets(documents(s, d), "doc_id"))
+        .filter(col("decoded"))
+        .select(col("asset_id"), col("sum_r"), col("sum_g"), col("sum_b"))
+      val q = feats.filter(col("asset_id") === 1)
+        .select(col("sum_r").as("_qr"), col("sum_g").as("_qg"),
+          col("sum_b").as("_qb"))
+      val d2 = (col("sum_r") - col("_qr")) * (col("sum_r") - col("_qr")) +
+        (col("sum_g") - col("_qg")) * (col("sum_g") - col("_qg")) +
+        (col("sum_b") - col("_qb")) * (col("sum_b") - col("_qb"))
       feats.crossJoin(broadcast(q))
-        .filter(col("asset_id") =!= 0)
-        .withColumn("sim",
-          round(SimilarityOps.cosine(col("features"), col("_qf")), 4))
-        .select("asset_id", "sim")
-        .orderBy(col("sim").desc, col("asset_id").asc)
+        .filter(col("asset_id") =!= 1)
+        .withColumn("d2", d2)
+        .orderBy(col("d2").asc, col("asset_id").asc)
         .limit(10)
+        .select("asset_id", "d2")
     }),
 
-    // Decode → PQ-encode composite: stub-decoded 8-dim features cast to
-    // float32 and product-quantized (2 subspaces × 2-cell codebooks,
-    // one training round) — the multimodal-ingest-to-ANN-index pipeline
-    // end-to-end under the exact oracle.
+    // Decode → PQ-encode composite on the REAL kernel (promoted from
+    // the md5 stub in r12): genuinely decoded per-channel sums and dims
+    // become an 8-dim integer-valued float32 embedding, then
+    // product-quantized (2 subspaces × 2-cell codebooks, one training
+    // round) — the multimodal-ingest-to-ANN-index pipeline end-to-end
+    // under the exact oracle, with real bytes parsed at the front.
     // Codes emitted as scalar columns c0/c1 (not an array — the
     // driver's checker can't hash array cells; q24 precedent).
     "mm5_decode_pq" -> ((s, d) => {
       import org.apache.spark.sql.functions._
-      val feats = MultimodalOps.decodeFeatures(
-        MultimodalOps.toAssets(documents(s, d), "doc_id", "text"))
-        .select(col("asset_id"),
-          transform(col("features"), x => x.cast("float"))
-            .as("embedding"))
+      val feats = MultimodalOps.decodeImageFeatures(
+        MultimodalOps.synthBmpAssets(documents(s, d), "doc_id"))
+        .filter(col("decoded"))
+        .select(col("asset_id"), array(
+          col("sum_r").cast("float"), col("sum_g").cast("float"),
+          col("sum_b").cast("float"), col("img_w").cast("float"),
+          col("img_h").cast("float"),
+          (col("img_w") * col("img_h")).cast("float"),
+          (col("sum_r") - col("sum_g")).cast("float"),
+          (col("sum_g") - col("sum_b")).cast("float")).as("embedding"))
       graft.operators.SimilarityOps.productQuantize(feats, m = 2,
         subDim = 4, k = 2, iters = 1, idCol = "asset_id")
         .select(col("asset_id"),
@@ -109,21 +122,21 @@ object MultimodalQueries {
     })
   )
 
-  // the stub feature i = uint16 from md5 hex chars [4i+1, 4i+4] / 65535
-  private def featSql(src: String): String =
-    (0 until 8).map(i =>
-      s"('0x' || substr(md5($src), ${4 * i + 1}, 4))::UBIGINT::DOUBLE / 65535.0")
-      .mkString("[", ", ", "]")
-
-  private def dotSql(a: String, b: String): String =
-    (1 to 8).map(i => s"$a[$i] * $b[$i]").mkString(" + ")
-
-  /** [[featSql]] with each element cast to float32 — the mm5 lane. */
-  private def featSqlF(src: String): String =
-    (0 until 8).map(i =>
-      s"(('0x' || substr(md5($src), ${4 * i + 1}, 4))::UBIGINT::DOUBLE" +
-        " / 65535.0)::FLOAT")
-      .mkString("[", ", ", "]")
+  /** The mm8 analytic-decode CTE chain: per-doc dims and per-channel
+    * sums computed from the generative pixel formulas WITHOUT parsing
+    * bytes — the cross-engine half of the real-decode contract, shared
+    * by mm3/mm5/mm8. Emits `sums(id, w, h, sr, sg, sb)`. */
+  private val sumsCte: String =
+    """dims AS (
+         SELECT doc_id AS id, (4 + doc_id % 5) AS w, (3 + doc_id % 4) AS h
+         FROM documents),
+       pxx AS (SELECT id, w, h, unnest(range(w)) AS x FROM dims),
+       pxy AS (SELECT id, w, h, x, unnest(range(h)) AS y FROM pxx),
+       sums AS (SELECT id, w, h,
+           sum((id*7 + 3*x + 5*y) % 256)::BIGINT AS sr,
+           sum((id*11 + x + 2*y) % 256)::BIGINT AS sg,
+           sum((id*13 + 2*x + y) % 256)::BIGINT AS sb
+         FROM pxy GROUP BY 1, 2, 3)"""
 
   val oracles: Map[String, String] = Map(
     "mm1_asset_meta" ->
@@ -139,20 +152,23 @@ object MultimodalQueries {
                unnest(range(0, octet_length(text::BLOB), 100))::VARCHAR) AS frame_id
          FROM documents""",
     "mm3_decode_topk" ->
-      s"""WITH f AS (
-            SELECT doc_id AS asset_id, ${featSql("text")} AS features
-            FROM documents),
-          q AS (SELECT features AS qf FROM f WHERE asset_id = 0)
+      s"""WITH $sumsCte,
+          f AS (SELECT id AS asset_id, sr, sg, sb FROM sums
+                WHERE id % 13 <> 0),
+          q AS (SELECT sr AS qr, sg AS qg, sb AS qb FROM f
+                WHERE asset_id = 1)
           SELECT asset_id,
-            round((${dotSql("features", "qf")}) /
-                  (sqrt(${dotSql("features", "features")}) *
-                   sqrt(${dotSql("qf", "qf")})), 4) AS sim
-          FROM f, q WHERE asset_id <> 0
-          ORDER BY sim DESC, asset_id ASC LIMIT 10""",
+            (sr - qr) * (sr - qr) + (sg - qg) * (sg - qg)
+              + (sb - qb) * (sb - qb) AS d2
+          FROM f, q WHERE asset_id <> 1
+          ORDER BY d2 ASC, asset_id ASC LIMIT 10""",
     "mm5_decode_pq" ->
-      s"""WITH f AS (
-            SELECT doc_id AS asset_id, ${featSqlF("text")} AS fv
-            FROM documents),
+      s"""WITH $sumsCte,
+          f AS (
+            SELECT id AS asset_id,
+              [sr::FLOAT, sg::FLOAT, sb::FLOAT, w::FLOAT, h::FLOAT,
+               (w * h)::FLOAT, (sr - sg)::FLOAT, (sg - sb)::FLOAT] AS fv
+            FROM sums WHERE id % 13 <> 0),
           s0 AS (SELECT asset_id, fv[1:4] AS v FROM f),
           s1 AS (SELECT asset_id, fv[5:8] AS v FROM f),
           a00 AS (SELECT asset_id, v,
@@ -251,16 +267,7 @@ object MultimodalQueries {
     // sums from the generative pixel formulas (two sequential unnests
     // cross x × y), truncated payloads (id % 13 = 0) decode to nulls
     "mm8_decode_real" ->
-      """WITH dims AS (
-           SELECT doc_id AS id, (4 + doc_id % 5) AS w, (3 + doc_id % 4) AS h
-           FROM documents),
-         pxx AS (SELECT id, w, h, unnest(range(w)) AS x FROM dims),
-         pxy AS (SELECT id, w, h, x, unnest(range(h)) AS y FROM pxx),
-         sums AS (SELECT id, w, h,
-             sum((id*7 + 3*x + 5*y) % 256)::BIGINT AS sr,
-             sum((id*11 + x + 2*y) % 256)::BIGINT AS sg,
-             sum((id*13 + 2*x + y) % 256)::BIGINT AS sb
-           FROM pxy GROUP BY 1, 2, 3)
+      s"""WITH $sumsCte
          SELECT id AS asset_id,
            CASE WHEN id % 13 = 0 THEN NULL ELSE w::INT END AS img_w,
            CASE WHEN id % 13 = 0 THEN NULL ELSE h::INT END AS img_h,
