@@ -262,6 +262,69 @@ object MultimodalOps {
     }(enc)
   }
 
+  /** Deterministic WAV fixture assets — [[synthBmpAssets]]'s audio
+    * twin: one real mono 16-bit PCM WAV per id with parametric samples
+    * `s_k = (id·31 + k·17) % 65536 − 32768` over `n = 50 + id % 32`
+    * samples at `rate = 8000 + (id % 3)·4000` Hz. Every 11th id
+    * carries a CORRUPT payload (RIFF magic, truncated body) so the
+    * decode-miss path fires in-band. Integer generative parameters →
+    * every downstream feature is oracle-computable analytically while
+    * the Spark side genuinely walks the RIFF chunks.
+    */
+  def synthWavAssets(df: DataFrame, idCol: String): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("asset_id", LongType, nullable = false),
+      StructField("content", BinaryType, nullable = true)))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    df.select(col(idCol).cast("long").as("asset_id"))
+      .mapPartitions { it =>
+        it.map { r =>
+          val id = r.getLong(0)
+          val n = (50 + id % 32).toInt
+          val rate = (8000 + (id % 3) * 4000).toInt
+          val samples = Array.tabulate(n)(k =>
+            ((id * 31 + k * 17) % 65536 - 32768).toShort)
+          val wav = AudioCodec.encodeWavPcm16(rate, samples)
+          val payload =
+            if (id % 11 == 0) wav.take(20) // truncated: magic ok, body gone
+            else wav
+          Row(id, payload)
+        }
+      }(enc)
+  }
+
+  /** REAL audio decode over the binary column — the
+    * [[decodeImageFeatures]] contract on the second modality: parse
+    * each payload as mono 16-bit PCM WAV via [[AudioCodec]] and append
+    * exact-integer features (sample count, rate, Σ|amplitude|, peak).
+    * Corrupt or non-PCM payloads yield `decoded = false` with null
+    * features — in-band, never a task failure. Iterator-to-iterator
+    * `mapPartitions`, static kernel, zero per-row setup.
+    */
+  def decodeAudioFeatures(assets: DataFrame,
+                          contentCol: String = "content"): DataFrame = {
+    val schema = StructType(assets.schema.fields ++ Seq(
+      StructField("n_samples", LongType, nullable = true),
+      StructField("sample_rate", IntegerType, nullable = true),
+      StructField("sum_abs", LongType, nullable = true),
+      StructField("max_abs", LongType, nullable = true),
+      StructField("decoded", BooleanType, nullable = false)))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    val idx = assets.schema.fieldIndex(contentCol)
+    assets.mapPartitions { it =>
+      it.map { r =>
+        AudioCodec.decodeWavPcm16(r.getAs[Array[Byte]](idx)) match {
+          case Some(clip) =>
+            val (n, sumAbs, maxAbs) = AudioCodec.amplitudeStats(clip)
+            Row.fromSeq(r.toSeq ++
+              Seq(n, clip.sampleRate, sumAbs, maxAbs, true))
+          case None =>
+            Row.fromSeq(r.toSeq ++ Seq(null, null, null, null, false))
+        }
+      }
+    }(enc)
+  }
+
   /** Near-duplicate candidate pairs over OPAQUE binary payloads: strided
     * byte k-grams → MinHash signature → LSH band self-join — the dd2
     * pipeline with byte-range shingles instead of word shingles, so it

@@ -119,6 +119,20 @@ object MultimodalQueries {
         MultimodalOps.synthBmpAssets(documents(s, d), "doc_id"))
         .select(col("asset_id"), col("img_w"), col("img_h"),
           col("sum_r"), col("sum_g"), col("sum_b"), col("decoded"))
+    }),
+
+    // REAL audio decode under the oracle — mm8's contract on the second
+    // modality: one genuine mono 16-bit PCM WAV per doc (parametric
+    // samples, every 11th payload truncated), decoded back through the
+    // hand-rolled RIFF chunk walk, exact-integer amplitude features
+    // out. The oracle never parses bytes — it computes the same stats
+    // analytically from the generative sample formula.
+    "mm9_decode_audio" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      MultimodalOps.decodeAudioFeatures(
+        MultimodalOps.synthWavAssets(documents(s, d), "doc_id"))
+        .select(col("asset_id"), col("n_samples"), col("sample_rate"),
+          col("sum_abs"), col("max_abs"), col("decoded"))
     })
   )
 
@@ -275,6 +289,27 @@ object MultimodalQueries {
            CASE WHEN id % 13 = 0 THEN NULL ELSE sg END AS sum_g,
            CASE WHEN id % 13 = 0 THEN NULL ELSE sb END AS sum_b,
            (id % 13 <> 0) AS decoded
-         FROM sums"""
+         FROM sums""",
+
+    // the audio decode evidence computed WITHOUT parsing bytes: the
+    // generative sample formula unnested per (id, k), truncated
+    // payloads (id % 11 = 0) decode to nulls
+    "mm9_decode_audio" ->
+      """WITH pars AS (
+           SELECT doc_id AS id, (50 + doc_id % 32) AS n,
+                  (8000 + (doc_id % 3) * 4000)::INT AS rate
+           FROM documents),
+         smp AS (SELECT id, n, rate, unnest(range(n)) AS k FROM pars),
+         st AS (SELECT id, n, rate,
+                  sum(abs((id*31 + k*17) % 65536 - 32768))::BIGINT AS sa,
+                  max(abs((id*31 + k*17) % 65536 - 32768))::BIGINT AS ma
+                FROM smp GROUP BY 1, 2, 3)
+         SELECT id AS asset_id,
+           CASE WHEN id % 11 = 0 THEN NULL ELSE n::BIGINT END AS n_samples,
+           CASE WHEN id % 11 = 0 THEN NULL ELSE rate END AS sample_rate,
+           CASE WHEN id % 11 = 0 THEN NULL ELSE sa END AS sum_abs,
+           CASE WHEN id % 11 = 0 THEN NULL ELSE ma END AS max_abs,
+           (id % 11 <> 0) AS decoded
+         FROM st"""
   )
 }

@@ -1,0 +1,95 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class AudioCodecSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def samples(id: Long, n: Int): Array[Short] =
+    Array.tabulate(n)(k => ((id * 31 + k * 17) % 65536 - 32768).toShort)
+
+  test("decodeWavPcm16 agrees sample-exactly with javax.sound on the same bytes") {
+    for (id <- 0L to 5L; n <- Seq(1, 7, 50)) {
+      val s = samples(id, n)
+      val bytes = AudioCodec.encodeWavPcm16(8000 + id.toInt * 100, s)
+      val ours = AudioCodec.decodeWavPcm16(bytes).get
+      assert(ours.sampleRate == 8000 + id * 100)
+      assert(ours.samples.toSeq == s.toSeq)
+      // independent JDK decoder on the identical bytes
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      val fmt = ais.getFormat
+      assert(fmt.getSampleRate.toInt == 8000 + id * 100 &&
+        fmt.getChannels == 1 && fmt.getSampleSizeInBits == 16)
+      val raw = ais.readAllBytes()
+      assert(raw.length == 2 * n)
+      val ref = Array.tabulate(n) { k =>
+        (((raw(2 * k) & 0xff) | ((raw(2 * k + 1) & 0xff) << 8)).toShort)
+      }
+      assert(ref.toSeq == s.toSeq, s"javax.sound disagrees at id=$id n=$n")
+    }
+  }
+
+  test("decodeWavPcm16 walks extra RIFF chunks, honoring odd-size padding") {
+    val s = samples(3L, 9)
+    val base = AudioCodec.encodeWavPcm16(11025, s)
+    // splice a 5-byte LIST chunk (odd → 1 pad byte) between fmt and data
+    val extra = new Array[Byte](8 + 5 + 1)
+    extra(0) = 'L'; extra(1) = 'I'; extra(2) = 'S'; extra(3) = 'T'
+    extra(4) = 5 // little-endian size 5
+    val spliced = base.take(36) ++ extra ++ base.drop(36)
+    // RIFF size field is not re-fixed — the walker must not depend on it
+    val got = AudioCodec.decodeWavPcm16(spliced)
+    assert(got.isDefined, "chunk walk failed on an extra LIST chunk")
+    assert(got.get.samples.toSeq == s.toSeq && got.get.sampleRate == 11025)
+  }
+
+  test("decodeWavPcm16 rejects corrupt payloads in-band, never throws") {
+    val good = AudioCodec.encodeWavPcm16(8000, samples(1L, 20))
+    def mut(f: Array[Byte] => Array[Byte]): Option[AudioCodec.DecodedAudio] =
+      AudioCodec.decodeWavPcm16(f(good.clone()))
+    assert(AudioCodec.decodeWavPcm16(null) == None)
+    assert(AudioCodec.decodeWavPcm16(Array[Byte](1, 2, 3)) == None)
+    assert(mut(b => b.take(20)) == None)          // truncated body
+    assert(mut { b => b(0) = 'X'; b } == None)    // wrong magic
+    assert(mut { b => b(22) = 2; b } == None)     // stereo
+    assert(mut { b => b(34) = 8; b } == None)     // 8-bit
+    assert(mut { b => b(20) = 3; b } == None)     // non-PCM format
+    // crafted u32 chunk size 0xFFFFFFFF must fail the Long bounds
+    // check, not wrap into a negative offset
+    assert(mut { b =>
+      b(40) = -1; b(41) = -1; b(42) = -1; b(43) = -1; b
+    } == None)
+    // odd data size is not valid 16-bit PCM
+    assert(mut { b => b(40) = 39; b } == None)
+    // zero samples is a VALID (empty) clip, not corruption
+    assert(AudioCodec.decodeWavPcm16(
+      AudioCodec.encodeWavPcm16(8000, Array.empty[Short]))
+      .exists(_.samples.isEmpty))
+  }
+
+  test("decodeAudioFeatures: real decode end-to-end, corrupt rows in-band") {
+    val assets = MultimodalOps.synthWavAssets(
+      spark.range(40).toDF("doc_id"), "doc_id")
+    val out = MultimodalOps.decodeAudioFeatures(assets)
+      .select(col("asset_id"), col("n_samples"), col("sample_rate"),
+        col("sum_abs"), col("max_abs"), col("decoded"))
+      .as[(Long, Option[Long], Option[Int], Option[Long], Option[Long], Boolean)]
+      .collect().map(r => r._1 -> r).toMap
+    assert(out.size == 40)
+    for (id <- 0L until 40L) {
+      val r = out(id)
+      if (id % 11 == 0) {
+        assert(!r._6 && r._2.isEmpty && r._4.isEmpty, s"id=$id")
+      } else {
+        val n = (50 + id % 32).toInt
+        val s = samples(id, n)
+        assert(r._6 && r._2.contains(n.toLong), s"id=$id")
+        assert(r._3.contains((8000 + (id % 3) * 4000).toInt), s"id=$id")
+        assert(r._4.contains(s.map(v => math.abs(v.toLong)).sum), s"id=$id")
+        assert(r._5.contains(s.map(v => math.abs(v.toLong)).max), s"id=$id")
+      }
+    }
+  }
+}
