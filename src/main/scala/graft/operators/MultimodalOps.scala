@@ -9,14 +9,17 @@ import org.apache.spark.sql.types._
   * / frame-sample run as per-partition batch functions over the binary
   * column.
   *
-  * Decode: [[decodeImageFeatures]] is a REAL pure-JVM image decode
-  * ([[ImageCodec]], 24-bit BMP — header parse, BGR order, row padding,
-  * bottom-up rows) proving the batching plumbing carries an actual
-  * codec. The original md5 stub (`decodeStub`/`decodeFeatures`)
-  * remains as the spec twin for the batch shape and for formats this
-  * container genuinely cannot decode (no JPEG/PNG/audio codecs shipped
-  * — a real deployment drops its codec into the same mapPartitions
-  * slot).
+  * Decode: all three modalities carry REAL pure-JVM kernels —
+  * [[decodeImageFeatures]] ([[ImageCodec]], 24-bit BMP: header parse,
+  * BGR order, row padding, bottom-up rows), [[decodeAudioFeatures]]
+  * ([[AudioCodec]], mono 16-bit PCM WAV: RIFF chunk walk), and
+  * [[sampleVideoFrames]] ([[VideoCodec]], YUV4MPEG2/C444: frame-marker
+  * walk with in-place plane reduction) — proving the batching plumbing
+  * carries actual codecs end-to-end. The original md5 stub
+  * (`decodeStub`/`decodeFeatures`) remains as the spec twin for the
+  * batch shape and for compressed formats this container genuinely
+  * cannot decode (no JPEG/PNG/MP3 codecs shipped — a real deployment
+  * drops its codec into the same mapPartitions slot).
   *
   * Scale: binary payloads stay opaque until the last possible operator
   * (no accidental row-cache of decoded frames); per-partition batching
@@ -320,6 +323,78 @@ object MultimodalOps {
               Seq(n, clip.sampleRate, sumAbs, maxAbs, true))
           case None =>
             Row.fromSeq(r.toSeq ++ Seq(null, null, null, null, false))
+        }
+      }
+    }(enc)
+  }
+
+  /** Deterministic Y4M fixture assets — the video member of the
+    * synth-asset family: one real C444 YUV4MPEG2 clip per id with
+    * parametric pixels — dims `w = 4 + id % 3`, `h = 2 + id % 3`,
+    * `frames = 3 + id % 5`, pixel p of frame f carrying
+    * `y = (id·3 + f·7 + p) % 256`, `u = (id·5 + f·11 + p) % 256`,
+    * `v = (id·7 + f·13 + p) % 256`. Every 9th id is CORRUPT (last 5
+    * bytes cut — a trailing partial frame, the torn-upload shape).
+    */
+  def synthY4mAssets(df: DataFrame, idCol: String): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("asset_id", LongType, nullable = false),
+      StructField("content", BinaryType, nullable = true)))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    df.select(col(idCol).cast("long").as("asset_id"))
+      .mapPartitions { it =>
+        it.map { r =>
+          val id = r.getLong(0)
+          val w = (4 + id % 3).toInt
+          val h = (2 + id % 3).toInt
+          val nf = (3 + id % 5).toInt
+          val clip = VideoCodec.encodeY4m(w, h, nf, (f, p) => (
+            ((id * 3 + f * 7 + p) % 256).toInt,
+            ((id * 5 + f * 11 + p) % 256).toInt,
+            ((id * 7 + f * 13 + p) % 256).toInt))
+          val payload =
+            if (id % 9 == 0) clip.take(clip.length - 5) // torn final frame
+            else clip
+          Row(id, payload)
+        }
+      }(enc)
+  }
+
+  /** REAL frame sampling over video payloads — mm2's frame-sample PLAN
+    * made actual: parse each payload as Y4M via [[VideoCodec]] and emit
+    * one row per `stride`-th frame with exact-integer per-plane sums,
+    * computed in place on the raw buffer (frames are never copied out —
+    * the decode-and-reduce shape a 100-TB video pipeline needs, where
+    * materializing every frame would multiply the scan by the frame
+    * count). Corrupt payloads emit ONE in-band `decoded = false` row so
+    * every asset stays accounted for — the dead-letter discipline.
+    */
+  def sampleVideoFrames(assets: DataFrame, stride: Int,
+                        contentCol: String = "content"): DataFrame = {
+    require(stride > 0, s"stride must be positive: $stride")
+    val schema = StructType(assets.schema.fields ++ Seq(
+      StructField("frame_idx", LongType, nullable = true),
+      StructField("vid_w", IntegerType, nullable = true),
+      StructField("vid_h", IntegerType, nullable = true),
+      StructField("n_frames", IntegerType, nullable = true),
+      StructField("sum_y", LongType, nullable = true),
+      StructField("sum_u", LongType, nullable = true),
+      StructField("sum_v", LongType, nullable = true),
+      StructField("decoded", BooleanType, nullable = false)))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    val idx = assets.schema.fieldIndex(contentCol)
+    assets.mapPartitions { it =>
+      it.flatMap { r =>
+        VideoCodec.decodeY4m(r.getAs[Array[Byte]](idx)) match {
+          case Some(clip) =>
+            (0 until clip.nFrames by stride).iterator.map { f =>
+              val (sy, su, sv) = clip.planeSums(f)
+              Row.fromSeq(r.toSeq ++ Seq(f.toLong, clip.w, clip.h,
+                clip.nFrames, sy, su, sv, true))
+            }
+          case None =>
+            Iterator.single(Row.fromSeq(r.toSeq ++
+              Seq(null, null, null, null, null, null, null, false)))
         }
       }
     }(enc)

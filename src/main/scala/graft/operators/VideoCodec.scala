@@ -1,0 +1,138 @@
+package graft.operators
+
+/** Pure-JVM Y4M (YUV4MPEG2) codec — the VIDEO member of the real-kernel
+  * family ([[ImageCodec]] BMP, [[AudioCodec]] WAV): a genuine,
+  * widely-used uncompressed video container (the interchange format of
+  * codec toolchains), simple enough to parse byte-exactly with no
+  * dependencies, so the same bytes decode identically on any executor
+  * and a hash-gated oracle can verify frame features analytically.
+  *
+  * Scope: C444 planar frames (one full-resolution Y, U, V plane per
+  * frame — the analytic-friendly chroma mode; C420 subsampling is a
+  * plane-geometry variant of the same walk). Anything else — wrong
+  * magic, missing/invalid W/H, non-444 chroma, a frame marker that
+  * isn't `FRAME`, a trailing partial frame — returns None: corrupt
+  * payloads surface as in-band misses, never task failures. All size
+  * arithmetic runs in Long (the decodeBmp24 r12 lesson).
+  *
+  * Scale shape: [[DecodedY4m]] keeps the raw buffer + per-frame offsets
+  * and computes plane sums IN PLACE — no per-frame allocation, so a
+  * frame-sampling operator streams through a clip without materializing
+  * frames (the `mapInPandas` batch discipline, minus the copy).
+  */
+object VideoCodec {
+
+  /** Decoded clip: dims plus the raw buffer and each frame's pixel-data
+    * offset (length 3·w·h per frame, Y then U then V planes). */
+  final case class DecodedY4m(w: Int, h: Int, data: Array[Byte],
+                              frameOffsets: Array[Int]) {
+    def nFrames: Int = frameOffsets.length
+
+    /** Exact-integer per-plane sums of frame `f`, computed in place. */
+    def planeSums(f: Int): (Long, Long, Long) = {
+      val plane = w * h
+      val base = frameOffsets(f)
+      var sy = 0L; var su = 0L; var sv = 0L
+      var i = 0
+      while (i < plane) {
+        sy += data(base + i) & 0xff
+        su += data(base + plane + i) & 0xff
+        sv += data(base + 2 * plane + i) & 0xff
+        i += 1
+      }
+      (sy, su, sv)
+    }
+  }
+
+  /** Encode a C444 clip; `pix(f, p)` returns the (y, u, v) triple for
+    * pixel index p (row-major) of frame f. */
+  def encodeY4m(w: Int, h: Int, frames: Int,
+                pix: (Int, Int) => (Int, Int, Int)): Array[Byte] = {
+    require(w > 0 && h > 0 && frames >= 0, s"bad dims: ${w}x$h x$frames")
+    val header = s"YUV4MPEG2 W$w H$h F25:1 Ip A1:1 C444\n"
+      .getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+    val marker = "FRAME\n".getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+    val plane = w * h
+    val out = new Array[Byte](header.length +
+      frames * (marker.length + 3 * plane))
+    System.arraycopy(header, 0, out, 0, header.length)
+    var off = header.length
+    var f = 0
+    while (f < frames) {
+      System.arraycopy(marker, 0, out, off, marker.length)
+      off += marker.length
+      var p = 0
+      while (p < plane) {
+        val (y, u, v) = pix(f, p)
+        out(off + p) = (y & 0xff).toByte
+        out(off + plane + p) = (u & 0xff).toByte
+        out(off + 2 * plane + p) = (v & 0xff).toByte
+        p += 1
+      }
+      off += 3 * plane
+      f += 1
+    }
+    out
+  }
+
+  private val Magic = "YUV4MPEG2"
+
+  /** Decode a C444 Y4M clip. None for anything malformed — in-band
+    * miss, never a throw. */
+  def decodeY4m(bytes: Array[Byte]): Option[DecodedY4m] = {
+    if (bytes == null || bytes.length < Magic.length + 1) return None
+    var i = 0
+    while (i < Magic.length) {
+      if (bytes(i) != Magic.charAt(i)) return None
+      i += 1
+    }
+    // header line: ASCII up to \n, bounded (spec headers are short)
+    val hEnd = {
+      var j = Magic.length
+      val bound = math.min(bytes.length, 256)
+      while (j < bound && bytes(j) != '\n') j += 1
+      if (j >= bound || bytes(j) != '\n') return None
+      j
+    }
+    val params = new String(bytes, Magic.length, hEnd - Magic.length,
+      java.nio.charset.StandardCharsets.US_ASCII)
+      .split(" ").filter(_.nonEmpty)
+    def intParam(tag: Char): Long = params.collectFirst {
+      case p if p.length > 1 && p.charAt(0) == tag &&
+        p.drop(1).forall(_.isDigit) && p.length <= 10 =>
+        p.drop(1).toLong
+    }.getOrElse(-1L)
+    val w = intParam('W')
+    val h = intParam('H')
+    // chroma defaults to 420 per spec — an absent C tag is NOT 444
+    if (!params.contains("C444")) return None
+    if (w <= 0 || h <= 0 || w > bytes.length || h > bytes.length) return None
+    // Long math: each factor is individually bounded by the payload
+    // length, so the products below cannot wrap; a zero-frame clip is
+    // VALID (header only), so the per-frame bound is checked inside the
+    // walk, not up front
+    val plane = w * h
+    val frameBytes = 3L * plane
+    val offsets = scala.collection.mutable.ArrayBuffer.empty[Int]
+    var off = hEnd + 1L
+    while (off < bytes.length) {
+      // frame marker: "FRAME" + optional params, newline-terminated
+      if (off + 6 > bytes.length) return None
+      val fm = "FRAME"
+      var k = 0
+      while (k < 5) {
+        if (bytes((off + k).toInt) != fm.charAt(k)) return None
+        k += 1
+      }
+      var j = off + 5
+      val bound = math.min(bytes.length.toLong, j + 256)
+      while (j < bound && bytes(j.toInt) != '\n') j += 1
+      if (j >= bound || bytes(j.toInt) != '\n') return None
+      val dataOff = j + 1
+      if (dataOff + frameBytes > bytes.length) return None // partial frame
+      offsets += dataOff.toInt
+      off = dataOff + frameBytes
+    }
+    Some(DecodedY4m(w.toInt, h.toInt, bytes, offsets.toArray))
+  }
+}

@@ -133,6 +133,21 @@ object MultimodalQueries {
         MultimodalOps.synthWavAssets(documents(s, d), "doc_id"))
         .select(col("asset_id"), col("n_samples"), col("sample_rate"),
           col("sum_abs"), col("max_abs"), col("decoded"))
+    }),
+
+    // REAL video frame sampling under the oracle — the third modality:
+    // one genuine C444 Y4M clip per doc (parametric pixels, every 9th
+    // payload torn mid-frame), frames sampled at stride 2 through the
+    // actual container walk with in-place per-plane sums — mm2's
+    // frame-sample plan executed on real bytes. The oracle replays the
+    // generative pixel formulas analytically per (id, frame, pixel).
+    "mm10_decode_video" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      MultimodalOps.sampleVideoFrames(
+        MultimodalOps.synthY4mAssets(documents(s, d), "doc_id"), stride = 2)
+        .select(col("asset_id"), col("frame_idx"), col("vid_w"),
+          col("vid_h"), col("n_frames"), col("sum_y"), col("sum_u"),
+          col("sum_v"), col("decoded"))
     })
   )
 
@@ -310,6 +325,32 @@ object MultimodalQueries {
            CASE WHEN id % 11 = 0 THEN NULL ELSE sa END AS sum_abs,
            CASE WHEN id % 11 = 0 THEN NULL ELSE ma END AS max_abs,
            (id % 11 <> 0) AS decoded
-         FROM st"""
+         FROM st""",
+
+    // the video frame-sample evidence computed WITHOUT parsing bytes:
+    // generative pixel formulas unnested per (id, frame, pixel), only
+    // stride-2 frames materialized; torn payloads (id % 9 = 0) emit one
+    // in-band undecoded row each
+    "mm10_decode_video" ->
+      """WITH pars AS (
+           SELECT doc_id AS id, (4 + doc_id % 3)::INT AS w,
+                  (2 + doc_id % 3)::INT AS h, (3 + doc_id % 5) AS nf
+           FROM documents),
+         fr AS (SELECT id, w, h, nf, unnest(range(nf)) AS f FROM pars
+                WHERE id % 9 <> 0),
+         sf AS (SELECT * FROM fr WHERE f % 2 = 0),
+         px AS (SELECT id, w, h, nf, f, unnest(range(w * h)) AS p FROM sf),
+         st AS (SELECT id, w, h, nf, f,
+                  sum((id*3 + f*7 + p) % 256)::BIGINT AS sy,
+                  sum((id*5 + f*11 + p) % 256)::BIGINT AS su,
+                  sum((id*7 + f*13 + p) % 256)::BIGINT AS sv
+                FROM px GROUP BY 1, 2, 3, 4, 5)
+         SELECT id AS asset_id, f AS frame_idx, w AS vid_w, h AS vid_h,
+                nf::INT AS n_frames, sy AS sum_y, su AS sum_u,
+                sv AS sum_v, true AS decoded
+         FROM st
+         UNION ALL
+         SELECT id, NULL, NULL, NULL, NULL, NULL, NULL, NULL, false
+         FROM pars WHERE id % 9 = 0"""
   )
 }

@@ -1,0 +1,105 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class VideoCodecSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def pix(id: Long)(f: Int, p: Int): (Int, Int, Int) = (
+    ((id * 3 + f * 7 + p) % 256).toInt,
+    ((id * 5 + f * 11 + p) % 256).toInt,
+    ((id * 7 + f * 13 + p) % 256).toInt)
+
+  test("decodeY4m roundtrips encode, frame and plane layout byte-exact") {
+    for (w <- Seq(1, 4, 6); h <- Seq(1, 3); nf <- Seq(0, 1, 4)) {
+      val bytes = VideoCodec.encodeY4m(w, h, nf, pix(w * 10 + h))
+      val clip = VideoCodec.decodeY4m(bytes).get
+      assert(clip.w == w && clip.h == h && clip.nFrames == nf)
+      for (f <- 0 until nf) {
+        val plane = w * h
+        var ey = 0L; var eu = 0L; var ev = 0L
+        for (p <- 0 until plane) {
+          val (y, u, v) = pix(w * 10 + h)(f, p)
+          ey += y; eu += u; ev += v
+        }
+        assert(clip.planeSums(f) == ((ey, eu, ev)), s"${w}x$h f=$f")
+      }
+    }
+  }
+
+  test("decodeY4m walks hand-built bytes with frame parameters and unordered header tags") {
+    // header tags in a different order + an interlace tag; one frame
+    // carries FRAME-level parameters — both legal Y4M
+    val w = 2; val h = 2; val plane = w * h
+    val header = "YUV4MPEG2 C444 F30:1 H2 W2 Ip\n"
+    val f0 = "FRAME\n" + new String(Array.tabulate(3 * plane)(i =>
+      (i + 1).toChar))
+    val f1 = "FRAME Xparam\n" + new String(Array.tabulate(3 * plane)(i =>
+      (i + 101).toChar))
+    val bytes = (header + f0 + f1).getBytes("ISO-8859-1")
+    val clip = VideoCodec.decodeY4m(bytes).get
+    assert(clip.w == 2 && clip.h == 2 && clip.nFrames == 2)
+    // frame 0: Y plane bytes 1..4, U 5..8, V 9..12
+    assert(clip.planeSums(0) == ((1L + 2 + 3 + 4, 5L + 6 + 7 + 8,
+      9L + 10 + 11 + 12)))
+    assert(clip.planeSums(1) == ((101L + 102 + 103 + 104,
+      105L + 106 + 107 + 108, 109L + 110 + 111 + 112)))
+  }
+
+  test("decodeY4m rejects corrupt payloads in-band, never throws") {
+    val good = VideoCodec.encodeY4m(4, 3, 2, pix(5))
+    def mut(f: Array[Byte] => Array[Byte]) =
+      VideoCodec.decodeY4m(f(good.clone()))
+    assert(VideoCodec.decodeY4m(null) == None)
+    assert(VideoCodec.decodeY4m("JUNK".getBytes) == None)
+    assert(mut(b => b.take(b.length - 5)) == None)  // torn final frame
+    assert(mut { b => b(0) = 'X'; b } == None)      // wrong magic
+    // C420 (and absent-C default 420) are out of scope → in-band miss
+    assert(VideoCodec.decodeY4m(
+      new String(good, "ISO-8859-1").replace("C444", "C420")
+        .getBytes("ISO-8859-1")) == None)
+    assert(VideoCodec.decodeY4m(
+      new String(good, "ISO-8859-1").replace(" C444", "")
+        .getBytes("ISO-8859-1")) == None)
+    // frame marker corrupted
+    assert(VideoCodec.decodeY4m(
+      new String(good, "ISO-8859-1").replaceFirst("FRAME", "FRAMX")
+        .getBytes("ISO-8859-1")) == None)
+    // crafted 9-digit dims must fail the Long bounds check, not wrap
+    assert(VideoCodec.decodeY4m(
+      new String(good, "ISO-8859-1").replace("W4", "W999999999")
+        .getBytes("ISO-8859-1")) == None)
+    // header never newline-terminated
+    assert(VideoCodec.decodeY4m("YUV4MPEG2 W4 H3 C444".getBytes) == None)
+  }
+
+  test("sampleVideoFrames: real frame sampling end-to-end, torn rows in-band") {
+    val assets = MultimodalOps.synthY4mAssets(
+      spark.range(30).toDF("doc_id"), "doc_id")
+    val out = MultimodalOps.sampleVideoFrames(assets, stride = 2)
+      .select(col("asset_id"), col("frame_idx"), col("n_frames"),
+        col("sum_y"), col("decoded"))
+      .as[(Long, Option[Long], Option[Int], Option[Long], Boolean)]
+      .collect()
+    val byId = out.groupBy(_._1)
+    assert(byId.size == 30)
+    for (id <- 0L until 30L) {
+      val rows = byId(id)
+      if (id % 9 == 0) {
+        assert(rows.length == 1 && !rows(0)._5 && rows(0)._2.isEmpty,
+          s"id=$id")
+      } else {
+        val w = (4 + id % 3).toInt; val h = (2 + id % 3).toInt
+        val nf = (3 + id % 5).toInt
+        val want = (0 until nf by 2)
+        assert(rows.flatMap(_._2).sorted.toSeq == want.map(_.toLong),
+          s"id=$id sampled frames")
+        for (r <- rows; f <- r._2) {
+          val ey = (0 until w * h).map(p => (id * 3 + f * 7 + p) % 256).sum
+          assert(r._4.contains(ey) && r._3.contains(nf), s"id=$id f=$f")
+        }
+      }
+    }
+  }
+}
