@@ -148,6 +148,40 @@ object MultimodalQueries {
         .select(col("asset_id"), col("frame_idx"), col("vid_w"),
           col("vid_h"), col("n_frames"), col("sum_y"), col("sum_u"),
           col("sum_v"), col("decoded"))
+    }),
+
+    // Cross-modality curation gate — the composition the real kernels
+    // exist for: per asset, decode image + audio + video payloads and
+    // apply exact-integer quality gates (brightness floor on the
+    // decoded channel sums, no audio clipping + minimum duration,
+    // minimum frame count), then the conjunctive keep verdict. Every
+    // gate also fails closed on an undecodable payload (the in-band
+    // decoded=false rows), so torn uploads are curated out, not
+    // crashed on. All arithmetic integer; every gate genuinely splits
+    // the corpus at both scales.
+    "mm11_modality_gate" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val docs = documents(s, d)
+      val img = MultimodalOps.decodeImageFeatures(
+        MultimodalOps.synthBmpAssets(docs, "doc_id"))
+        .select(col("asset_id"),
+          (col("decoded") && (col("sum_r") + col("sum_g") + col("sum_b"))
+            >= lit(3) * col("img_w") * col("img_h") * 96).as("img_ok"))
+      val aud = MultimodalOps.decodeAudioFeatures(
+        MultimodalOps.synthWavAssets(docs, "doc_id"))
+        .select(col("asset_id"),
+          (col("decoded") && col("max_abs") <= 32700 &&
+            col("n_samples") >= 60).as("aud_ok"))
+      val vid = MultimodalOps.sampleVideoFrames(
+        MultimodalOps.synthY4mAssets(docs, "doc_id"), stride = 2)
+        .groupBy("asset_id")
+        .agg(max(col("decoded")).as("_vdec"), max(col("n_frames")).as("_nf"))
+        .select(col("asset_id"),
+          (col("_vdec") && col("_nf") >= 4).as("vid_ok"))
+      img.join(aud, Seq("asset_id")).join(vid, Seq("asset_id"))
+        .withColumn("keep",
+          col("img_ok") && col("aud_ok") && col("vid_ok"))
+        .select("asset_id", "img_ok", "aud_ok", "vid_ok", "keep")
     })
   )
 
@@ -351,6 +385,29 @@ object MultimodalQueries {
          FROM st
          UNION ALL
          SELECT id, NULL, NULL, NULL, NULL, NULL, NULL, NULL, false
-         FROM pars WHERE id % 9 = 0"""
+         FROM pars WHERE id % 9 = 0""",
+
+    // all three modality gates replayed analytically: image brightness
+    // from the shared sums CTE, audio peak/duration from the sample
+    // formula, video frame count from its dim formula; each gate fails
+    // closed on the planted truncation ids
+    "mm11_modality_gate" ->
+      s"""WITH $sumsCte,
+          aud AS (
+            SELECT id, n,
+              max(abs((id*31 + k*17) % 65536 - 32768))::BIGINT AS ma
+            FROM (SELECT doc_id AS id, (50 + doc_id % 32) AS n,
+                    unnest(range(50 + doc_id % 32)) AS k
+                  FROM documents) t
+            GROUP BY 1, 2)
+          SELECT sums.id AS asset_id,
+            (sums.id % 13 <> 0 AND
+             (sr + sg + sb) >= 3 * w * h * 96) AS img_ok,
+            (aud.id % 11 <> 0 AND ma <= 32700 AND n >= 60) AS aud_ok,
+            (sums.id % 9 <> 0 AND (3 + sums.id % 5) >= 4) AS vid_ok,
+            ((sums.id % 13 <> 0 AND (sr + sg + sb) >= 3 * w * h * 96)
+             AND (aud.id % 11 <> 0 AND ma <= 32700 AND n >= 60)
+             AND (sums.id % 9 <> 0 AND (3 + sums.id % 5) >= 4)) AS keep
+          FROM sums JOIN aud ON sums.id = aud.id"""
   )
 }
