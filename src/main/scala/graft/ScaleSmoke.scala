@@ -16,7 +16,7 @@ import org.apache.spark.sql.functions._
   * [shardDocs] [vocabDocs] [pqVecs] [dsirDocs]`. `GRAFT_SS_ONLY=
   * <lanes>` replays just the named lanes — any comma-separated subset
   * of simhash, decon, bpe, overlap, curation, capbudget, graph, tri,
-  * linkp, ivj, ivc, spj, recallcap, fuzzygeo, aqeskew.
+  * linkp, ivj, ivc, spj, recallcap, fuzzygeo, aqeskew, codecs.
   */
 object ScaleSmoke {
   def main(args: Array[String]): Unit = {
@@ -870,6 +870,60 @@ object ScaleSmoke {
         s"fuzzy cap semantics broke: rows=$rows found=$found want=$typoN")
       Release(fuzzyDim, blocking = true)
       Release(facts, blocking = true)
+    }
+
+    // The three real media kernels at volume (round 12): encode +
+    // decode streamed through mapPartitions at sizes the oracle lanes
+    // never reach — ~0.9 GB of 64×48 BMPs, ~0.8 GB of 4000-sample
+    // WAVs, ~2.5 GB of 32×18×24-frame Y4M clips — on the tight heap.
+    // The POINT is the memory shape: payloads are generated and decoded
+    // iterator-to-iterator with per-frame plane sums computed in place,
+    // so nothing asset- or frame-sized accumulates; exact row-count
+    // invariants catch a silently skipped or double-walked payload.
+    // (Encode rides inside the timed pass — generation IS the scan.)
+    lane("codecs") {
+      val nImg = 100000L; val nAud = 100000L; val nVid = 20000L
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("asset_id",
+          org.apache.spark.sql.types.LongType, false),
+        org.apache.spark.sql.types.StructField("content",
+          org.apache.spark.sql.types.BinaryType, true)))
+      val enc = org.apache.spark.sql.Encoders.row(schema)
+      val bmps = spark.range(nImg).mapPartitions { it =>
+        it.map { jid => val id = jid.longValue
+          org.apache.spark.sql.Row(id,
+          operators.ImageCodec.encodeBmp24(64, 48, (x, y) => (
+            ((id + x) % 256).toInt, ((id + y) % 256).toInt,
+            ((x + y) % 256).toInt)))
+        }
+      }(enc)
+      val (ti, ni) = t(operators.MultimodalOps.decodeImageFeatures(bmps)
+        .filter(col("decoded")).count())
+      require(ni == nImg, s"image decode lost rows: $ni vs $nImg")
+      val wavs = spark.range(nAud).mapPartitions { it =>
+        it.map { jid => val id = jid.longValue
+          org.apache.spark.sql.Row(id,
+          operators.AudioCodec.encodeWavPcm16(16000,
+            Array.tabulate(4000)(k =>
+              ((id * 31 + k * 17) % 65536 - 32768).toShort)))
+        }
+      }(enc)
+      val (ta, na) = t(operators.MultimodalOps.decodeAudioFeatures(wavs)
+        .filter(col("decoded") && col("n_samples") === 4000L).count())
+      require(na == nAud, s"audio decode lost rows: $na vs $nAud")
+      val clips = spark.range(nVid).mapPartitions { it =>
+        it.map { jid => val id = jid.longValue
+          org.apache.spark.sql.Row(id,
+          operators.VideoCodec.encodeY4m(32, 18, 24, (f, p) => (
+            ((id + f + p) % 256).toInt, ((id + 2 * f + p) % 256).toInt,
+            ((id + f + 2 * p) % 256).toInt)))
+        }
+      }(enc)
+      val (tv, nv) = t(operators.MultimodalOps
+        .sampleVideoFrames(clips, stride = 4)
+        .filter(col("decoded")).count())
+      require(nv == nVid * 6, s"frame sampling broke: $nv vs ${nVid * 6}")
+      println(s"""{"codec_imgs":$nImg,"img_sec":${round1(ti)},"auds":$nAud,"aud_sec":${round1(ta)},"vids":$nVid,"vid_sec":${round1(tv)},"frames":$nv}""")
     }
 
     // The "a dense cell is ordinary AQE skew" claim, PINNED (rolled
