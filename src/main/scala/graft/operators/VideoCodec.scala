@@ -7,13 +7,15 @@ package graft.operators
   * dependencies, so the same bytes decode identically on any executor
   * and a hash-gated oracle can verify frame features analytically.
   *
-  * Scope: C444 planar frames (one full-resolution Y, U, V plane per
-  * frame — the analytic-friendly chroma mode; C420 subsampling is a
-  * plane-geometry variant of the same walk). Anything else — wrong
-  * magic, missing/invalid W/H, non-444 chroma, a frame marker that
-  * isn't `FRAME`, a trailing partial frame — returns None: corrupt
-  * payloads surface as in-band misses, never task failures. All size
-  * arithmetic runs in Long (the decodeBmp24 r12 lesson).
+  * Scope: C444 planar frames (full-resolution Y, U, V planes) AND the
+  * format's default C420 family (C420 / C420jpeg / C420mpeg2 /
+  * C420paldv — quarter-resolution chroma planes, even dims required;
+  * the chroma-siting suffixes differ only in sample positioning, not
+  * byte layout). Anything else — wrong magic, missing/invalid W/H,
+  * unsupported chroma, odd dims under 420, a frame marker that isn't
+  * `FRAME`, a trailing partial frame — returns None: corrupt payloads
+  * surface as in-band misses, never task failures. All size arithmetic
+  * runs in Long (the decodeBmp24 r12 lesson).
   *
   * Scale shape: [[DecodedY4m]] keeps the raw buffer + per-frame offsets
   * and computes plane sums IN PLACE — no per-frame allocation, so a
@@ -22,22 +24,29 @@ package graft.operators
   */
 object VideoCodec {
 
-  /** Decoded clip: dims plus the raw buffer and each frame's pixel-data
-    * offset (length 3·w·h per frame, Y then U then V planes). */
-  final case class DecodedY4m(w: Int, h: Int, data: Array[Byte],
+  /** Decoded clip: dims, chroma mode, the raw buffer, and each frame's
+    * pixel-data offset (Y plane w·h bytes, then U and V planes — w·h
+    * each for C444, (w/2)·(h/2) each for the C420 family). */
+  final case class DecodedY4m(w: Int, h: Int, c420: Boolean,
+                              data: Array[Byte],
                               frameOffsets: Array[Int]) {
     def nFrames: Int = frameOffsets.length
+
+    private def chromaPlane: Int = if (c420) (w / 2) * (h / 2) else w * h
 
     /** Exact-integer per-plane sums of frame `f`, computed in place. */
     def planeSums(f: Int): (Long, Long, Long) = {
       val plane = w * h
+      val cp = chromaPlane
       val base = frameOffsets(f)
-      var sy = 0L; var su = 0L; var sv = 0L
+      var sy = 0L
       var i = 0
-      while (i < plane) {
-        sy += data(base + i) & 0xff
+      while (i < plane) { sy += data(base + i) & 0xff; i += 1 }
+      var su = 0L; var sv = 0L
+      i = 0
+      while (i < cp) {
         su += data(base + plane + i) & 0xff
-        sv += data(base + 2 * plane + i) & 0xff
+        sv += data(base + plane + cp + i) & 0xff
         i += 1
       }
       (sy, su, sv)
@@ -75,6 +84,41 @@ object VideoCodec {
     out
   }
 
+  /** Encode a C420jpeg clip (even dims): `lum(f, p)` over w·h luma
+    * pixels, `chrU`/`chrV(f, q)` over the (w/2)·(h/2) chroma grid. */
+  def encodeY4m420(w: Int, h: Int, frames: Int,
+                   lum: (Int, Int) => Int,
+                   chrU: (Int, Int) => Int,
+                   chrV: (Int, Int) => Int): Array[Byte] = {
+    require(w > 0 && h > 0 && frames >= 0, s"bad dims: ${w}x$h x$frames")
+    require((w & 1) == 0 && (h & 1) == 0, s"C420 needs even dims: ${w}x$h")
+    val header = s"YUV4MPEG2 W$w H$h F25:1 Ip A1:1 C420jpeg\n"
+      .getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+    val marker = "FRAME\n".getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+    val plane = w * h
+    val cp = (w / 2) * (h / 2)
+    val out = new Array[Byte](header.length +
+      frames * (marker.length + plane + 2 * cp))
+    System.arraycopy(header, 0, out, 0, header.length)
+    var off = header.length
+    var f = 0
+    while (f < frames) {
+      System.arraycopy(marker, 0, out, off, marker.length)
+      off += marker.length
+      var p = 0
+      while (p < plane) { out(off + p) = (lum(f, p) & 0xff).toByte; p += 1 }
+      var q = 0
+      while (q < cp) {
+        out(off + plane + q) = (chrU(f, q) & 0xff).toByte
+        out(off + plane + cp + q) = (chrV(f, q) & 0xff).toByte
+        q += 1
+      }
+      off += plane + 2 * cp
+      f += 1
+    }
+    out
+  }
+
   private val Magic = "YUV4MPEG2"
 
   /** Decode a C444 Y4M clip. None for anything malformed — in-band
@@ -104,15 +148,23 @@ object VideoCodec {
     }.getOrElse(-1L)
     val w = intParam('W')
     val h = intParam('H')
-    // chroma defaults to 420 per spec — an absent C tag is NOT 444
-    if (!params.contains("C444")) return None
+    // chroma defaults to 420 per spec — an ABSENT C tag means C420
+    val c420Tags = Set("C420", "C420jpeg", "C420mpeg2", "C420paldv")
+    val is444 = params.contains("C444")
+    val is420 = params.exists(c420Tags.contains) ||
+      !params.exists(p => p.nonEmpty && p.charAt(0) == 'C')
+    if (!is444 && !is420) return None
     if (w <= 0 || h <= 0 || w > bytes.length || h > bytes.length) return None
+    // 420 halves chroma dims — quarter planes only tile evenly for
+    // even luma dims; odd-dim 420 is out of scope, in-band
+    if (is420 && ((w & 1L) == 1L || (h & 1L) == 1L)) return None
     // Long math: each factor is individually bounded by the payload
     // length, so the products below cannot wrap; a zero-frame clip is
     // VALID (header only), so the per-frame bound is checked inside the
     // walk, not up front
     val plane = w * h
-    val frameBytes = 3L * plane
+    val frameBytes =
+      if (is444) 3L * plane else plane + 2L * ((w / 2) * (h / 2))
     val offsets = scala.collection.mutable.ArrayBuffer.empty[Int]
     var off = hEnd + 1L
     while (off < bytes.length) {
@@ -133,6 +185,6 @@ object VideoCodec {
       offsets += dataOff.toInt
       off = dataOff + frameBytes
     }
-    Some(DecodedY4m(w.toInt, h.toInt, bytes, offsets.toArray))
+    Some(DecodedY4m(w.toInt, h.toInt, !is444, bytes, offsets.toArray))
   }
 }

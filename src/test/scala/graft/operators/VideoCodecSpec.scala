@@ -55,10 +55,17 @@ class VideoCodecSpec extends SparkSpec {
     assert(VideoCodec.decodeY4m("JUNK".getBytes) == None)
     assert(mut(b => b.take(b.length - 5)) == None)  // torn final frame
     assert(mut { b => b(0) = 'X'; b } == None)      // wrong magic
-    // C420 (and absent-C default 420) are out of scope → in-band miss
+    // a C444-sized body relabeled as 420 desyncs the frame walk
+    // (frameBytes halves, the next marker lands mid-pixel-data)
     assert(VideoCodec.decodeY4m(
       new String(good, "ISO-8859-1").replace("C444", "C420")
         .getBytes("ISO-8859-1")) == None)
+    // unsupported chroma tag is an in-band miss
+    assert(VideoCodec.decodeY4m(
+      new String(good, "ISO-8859-1").replace("C444", "C422")
+        .getBytes("ISO-8859-1")) == None)
+    // absent C tag defaults to 420 per spec — and 4x3 is odd-dim 420,
+    // rejected by the even-dims rule before any walk
     assert(VideoCodec.decodeY4m(
       new String(good, "ISO-8859-1").replace(" C444", "")
         .getBytes("ISO-8859-1")) == None)
@@ -72,6 +79,37 @@ class VideoCodecSpec extends SparkSpec {
         .getBytes("ISO-8859-1")) == None)
     // header never newline-terminated
     assert(VideoCodec.decodeY4m("YUV4MPEG2 W4 H3 C444".getBytes) == None)
+  }
+
+  test("decodeY4m handles the C420 family: quarter chroma planes, siting variants, even-dim rule") {
+    def lum(f: Int, p: Int) = (7 * f + p) % 256
+    def cu(f: Int, q: Int) = (11 * f + 2 * q) % 256
+    def cv(f: Int, q: Int) = (13 * f + 3 * q) % 256
+    val bytes = VideoCodec.encodeY4m420(6, 4, 3, lum, cu, cv)
+    val clip = VideoCodec.decodeY4m(bytes).get
+    assert(clip.w == 6 && clip.h == 4 && clip.nFrames == 3 && clip.c420)
+    for (f <- 0 until 3) {
+      val ey = (0 until 24).map(lum(f, _).toLong).sum
+      val eu = (0 until 6).map(cu(f, _).toLong).sum
+      val ev = (0 until 6).map(cv(f, _).toLong).sum
+      assert(clip.planeSums(f) == ((ey, eu, ev)), s"f=$f")
+    }
+    // the siting suffixes share the byte layout — all must decode
+    for (tag <- Seq("C420", "C420mpeg2", "C420paldv")) {
+      val relabeled = VideoCodec.decodeY4m(
+        new String(bytes, "ISO-8859-1").replace("C420jpeg", tag)
+          .getBytes("ISO-8859-1"))
+      assert(relabeled.exists(_.planeSums(0) == clip.planeSums(0)), tag)
+    }
+    // absent C tag = default 420: same body without the tag decodes
+    val untagged = VideoCodec.decodeY4m(
+      new String(bytes, "ISO-8859-1").replace(" C420jpeg", "")
+        .getBytes("ISO-8859-1"))
+    assert(untagged.exists(c => c.c420 && c.nFrames == 3))
+    // odd luma dims under 420 are out of scope, in-band
+    assert(intercept[IllegalArgumentException] {
+      VideoCodec.encodeY4m420(5, 4, 1, lum, cu, cv)
+    }.getMessage.contains("even"))
   }
 
   test("sampleVideoFrames: real frame sampling end-to-end, torn rows in-band") {
