@@ -329,12 +329,16 @@ object MultimodalOps {
   }
 
   /** Deterministic Y4M fixture assets — the video member of the
-    * synth-asset family: one real C444 YUV4MPEG2 clip per id with
-    * parametric pixels — dims `w = 4 + id % 3`, `h = 2 + id % 3`,
-    * `frames = 3 + id % 5`, pixel p of frame f carrying
-    * `y = (id·3 + f·7 + p) % 256`, `u = (id·5 + f·11 + p) % 256`,
-    * `v = (id·7 + f·13 + p) % 256`. Every 9th id is CORRUPT (last 5
-    * bytes cut — a trailing partial frame, the torn-upload shape).
+    * synth-asset family: one real YUV4MPEG2 clip per id with parametric
+    * pixels — dims `w = 4 + id % 3`, `h = 2 + id % 3`,
+    * `frames = 3 + id % 5`; luma pixel p of frame f carries
+    * `y = (id·3 + f·7 + p) % 256`, chroma sample q (full grid for 444,
+    * quarter grid for 420) carries `u = (id·5 + f·11 + q) % 256`,
+    * `v = (id·7 + f·13 + q) % 256`. Ids with even dims (id % 3 ≠ 1)
+    * encode as C420jpeg, the rest as C444 — BOTH chroma walks run
+    * under the oracle, not just the spec. Every 9th id is CORRUPT
+    * (last 5 bytes cut — a trailing partial frame, the torn-upload
+    * shape).
     */
   def synthY4mAssets(df: DataFrame, idCol: String): DataFrame = {
     val schema = StructType(Seq(
@@ -348,10 +352,15 @@ object MultimodalOps {
           val w = (4 + id % 3).toInt
           val h = (2 + id % 3).toInt
           val nf = (3 + id % 5).toInt
-          val clip = VideoCodec.encodeY4m(w, h, nf, (f, p) => (
-            ((id * 3 + f * 7 + p) % 256).toInt,
-            ((id * 5 + f * 11 + p) % 256).toInt,
-            ((id * 7 + f * 13 + p) % 256).toInt))
+          def lum(f: Int, p: Int) = ((id * 3 + f * 7 + p) % 256).toInt
+          def chrU(f: Int, q: Int) = ((id * 5 + f * 11 + q) % 256).toInt
+          def chrV(f: Int, q: Int) = ((id * 7 + f * 13 + q) % 256).toInt
+          val clip =
+            if (id % 3 != 1) // 4x2 or 6x4: even dims, the 420 regime
+              VideoCodec.encodeY4m420(w, h, nf, lum, chrU, chrV)
+            else
+              VideoCodec.encodeY4m(w, h, nf,
+                (f, p) => (lum(f, p), chrU(f, p), chrV(f, p)))
           val payload =
             if (id % 9 == 0) clip.take(clip.length - 5) // torn final frame
             else clip

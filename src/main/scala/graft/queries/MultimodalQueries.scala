@@ -363,22 +363,33 @@ object MultimodalQueries {
 
     // the video frame-sample evidence computed WITHOUT parsing bytes:
     // generative pixel formulas unnested per (id, frame, pixel), only
-    // stride-2 frames materialized; torn payloads (id % 9 = 0) emit one
-    // in-band undecoded row each
+    // stride-2 frames materialized; chroma sums run over the FULL grid
+    // for the C444 ids (id % 3 = 1) and the QUARTER grid for the 420
+    // ids, mirroring the encoder's per-mode plane geometry; torn
+    // payloads (id % 9 = 0) emit one in-band undecoded row each
     "mm10_decode_video" ->
       """WITH pars AS (
            SELECT doc_id AS id, (4 + doc_id % 3)::INT AS w,
-                  (2 + doc_id % 3)::INT AS h, (3 + doc_id % 5) AS nf
+                  (2 + doc_id % 3)::INT AS h, (3 + doc_id % 5) AS nf,
+                  CASE WHEN doc_id % 3 = 1
+                       THEN (4 + doc_id % 3) * (2 + doc_id % 3)
+                       ELSE ((4 + doc_id % 3) // 2) * ((2 + doc_id % 3) // 2)
+                  END AS cp
            FROM documents),
-         fr AS (SELECT id, w, h, nf, unnest(range(nf)) AS f FROM pars
+         fr AS (SELECT id, w, h, nf, cp, unnest(range(nf)) AS f FROM pars
                 WHERE id % 9 <> 0),
          sf AS (SELECT * FROM fr WHERE f % 2 = 0),
          px AS (SELECT id, w, h, nf, f, unnest(range(w * h)) AS p FROM sf),
-         st AS (SELECT id, w, h, nf, f,
-                  sum((id*3 + f*7 + p) % 256)::BIGINT AS sy,
-                  sum((id*5 + f*11 + p) % 256)::BIGINT AS su,
-                  sum((id*7 + f*13 + p) % 256)::BIGINT AS sv
-                FROM px GROUP BY 1, 2, 3, 4, 5)
+         sy AS (SELECT id, w, h, nf, f,
+                  sum((id*3 + f*7 + p) % 256)::BIGINT AS sy
+                FROM px GROUP BY 1, 2, 3, 4, 5),
+         cx AS (SELECT id, f, unnest(range(cp)) AS q FROM sf),
+         sc AS (SELECT id, f,
+                  sum((id*5 + f*11 + q) % 256)::BIGINT AS su,
+                  sum((id*7 + f*13 + q) % 256)::BIGINT AS sv
+                FROM cx GROUP BY 1, 2),
+         st AS (SELECT sy.id, w, h, nf, sy.f, sy.sy, sc.su, sc.sv
+                FROM sy JOIN sc ON sy.id = sc.id AND sy.f = sc.f)
          SELECT id AS asset_id, f AS frame_idx, w AS vid_w, h AS vid_h,
                 nf::INT AS n_frames, sy AS sum_y, su AS sum_u,
                 sv AS sum_v, true AS decoded
