@@ -265,6 +265,101 @@ object MultimodalOps {
     }(enc)
   }
 
+  /** Pixel-duplicate BMP fixture: consecutive id pairs (2k, 2k+1)
+    * share dims and pixels (both derived from gid = id − id % 2), and
+    * the odd member's ROW-PADDING bytes are stamped with junk — same
+    * decoded image, different payload bytes wherever the width has
+    * padding (w ∈ {5, 6, 7}). The shape byte-hash dedup (dd1/mm1
+    * content_hash) structurally misses and pixel-level perceptual
+    * hashing exists to catch: re-encoded / container-noise duplicates.
+    */
+  def synthBmpPairAssets(df: DataFrame, idCol: String): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("asset_id", LongType, nullable = false),
+      StructField("content", BinaryType, nullable = true)))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    df.select(col(idCol).cast("long").as("asset_id"))
+      .mapPartitions { it =>
+        it.map { r =>
+          val id = r.getLong(0)
+          val gid = id - id % 2
+          val w = (4 + gid % 5).toInt
+          val h = (3 + gid % 4).toInt
+          val bmp = ImageCodec.encodeBmp24(w, h, (x, y) => (
+            ((gid * 7 + 3 * x + 5 * y) % 256).toInt,
+            ((gid * 11 + x + 2 * y) % 256).toInt,
+            ((gid * 13 + 2 * x + y) % 256).toInt))
+          if (id % 2 == 1) { // stamp junk into the pad bytes, if any
+            val rowBytes = (w * 3 + 3) & ~3
+            var row = 0
+            while (row < h) {
+              var p = 3 * w
+              while (p < rowBytes) {
+                bmp(54 + row * rowBytes + p) = ((id + row + p) % 256).toByte
+                p += 1
+              }
+              row += 1
+            }
+          }
+          Row(id, bmp)
+        }
+      }(enc)
+  }
+
+  /** Average-hash (aHash) perceptual fingerprint over DECODED pixels:
+    * luminance (r+g+b) pooled onto the 8×8 block grid
+    * (block(x, y) = (y·8/h)·8 + x·8/w), bit b set iff the block's mean
+    * exceeds the global mean — compared EXACTLY as
+    * blockSum·(w·h) > total·blockN, no division, so the 64-char bit
+    * string replays bit-for-bit in any engine (blocks left empty by
+    * images narrower than the grid contribute 0 > 0 = unset, same rule
+    * both sides). Byte-identical containers obviously collide; the
+    * point is that byte-DIFFERENT pixel-identical ones (padding noise,
+    * re-encodes) collide too, where `content_hash` dedup misses them.
+    * Corrupt payloads yield a null fingerprint, in-band.
+    */
+  def aHashBits(assets: DataFrame, contentCol: String = "content"): DataFrame = {
+    val schema = StructType(assets.schema.fields :+
+      StructField("ahash_bits", StringType, nullable = true))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    val idx = assets.schema.fieldIndex(contentCol)
+    assets.mapPartitions { it =>
+      it.map { r =>
+        val bits = ImageCodec.decodeBmp24(r.getAs[Array[Byte]](idx)) match {
+          case Some(img) =>
+            val w = img.w; val h = img.h
+            val blockSum = new Array[Long](64)
+            val blockN = new Array[Long](64)
+            var total = 0L
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                val i = (y * w + x) * 3
+                val lum = (img.rgb(i) & 0xff) + (img.rgb(i + 1) & 0xff) +
+                  (img.rgb(i + 2) & 0xff)
+                val b = (y * 8 / h) * 8 + (x * 8 / w)
+                blockSum(b) += lum; blockN(b) += 1
+                total += lum
+                x += 1
+              }
+              y += 1
+            }
+            val n = w.toLong * h
+            val sb = new java.lang.StringBuilder(64)
+            var b = 0
+            while (b < 64) {
+              sb.append(if (blockSum(b) * n > total * blockN(b)) '1' else '0')
+              b += 1
+            }
+            sb.toString
+          case None => null
+        }
+        Row.fromSeq(r.toSeq :+ bits)
+      }
+    }(enc)
+  }
+
   /** Deterministic WAV fixture assets — [[synthBmpAssets]]'s audio
     * twin: one real mono 16-bit PCM WAV per id with parametric samples
     * `s_k = (id·31 + k·17) % 65536 − 32768` over `n = 50 + id % 32`

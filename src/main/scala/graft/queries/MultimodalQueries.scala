@@ -182,6 +182,36 @@ object MultimodalQueries {
         .withColumn("keep",
           col("img_ok") && col("aud_ok") && col("vid_ok"))
         .select("asset_id", "img_ok", "aud_ok", "vid_ok", "keep")
+    }),
+
+    // Perceptual near-dup pairs over DECODED pixels (aHash): the
+    // fixture plants pixel-identical pairs whose BYTES differ (junk
+    // stamped in the BMP row padding — content_hash dedup structurally
+    // misses them), the operator decodes and fingerprints the 8×8
+    // block-mean bit pattern with exact cross-multiplied comparisons,
+    // and pairs form on an equi join over the fingerprint — never
+    // all-pairs — under the dd12 df-cap discipline: a fingerprint
+    // bucket larger than maxBucket is a DEGENERATE pattern (flat /
+    // low-entropy images all hash alike — production reality for blank
+    // pages and test cards), not a duplicate cluster, and uncapped it
+    // makes the pair join quadratic in bucket size (measured: 7.9k
+    // pairs at sf0.01 ballooning to 806k at sf0.1 pre-cap). The cap
+    // BINDS on this corpus, so the oracle replays the capped universe,
+    // not the trivial one.
+    "mm12_ahash_pairs" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val fp = MultimodalOps.aHashBits(
+        MultimodalOps.synthBmpPairAssets(documents(s, d), "doc_id"))
+        .select(col("asset_id"), col("ahash_bits"))
+      val bucketW = org.apache.spark.sql.expressions.Window
+        .partitionBy("ahash_bits")
+      val capped = fp
+        .withColumn("_n", count(lit(1)).over(bucketW))
+        .filter(col("_n") <= 8).drop("_n")
+      val l = capped.select(col("asset_id").as("a"), col("ahash_bits"))
+      val r = capped.select(col("asset_id").as("b"), col("ahash_bits"))
+      l.join(r, Seq("ahash_bits")).filter(col("a") < col("b"))
+        .select("a", "b", "ahash_bits")
     })
   )
 
@@ -419,6 +449,46 @@ object MultimodalQueries {
             ((sums.id % 13 <> 0 AND (sr + sg + sb) >= 3 * w * h * 96)
              AND (aud.id % 11 <> 0 AND ma <= 32700 AND n >= 60)
              AND (sums.id % 9 <> 0 AND (3 + sums.id % 5) >= 4)) AS keep
-          FROM sums JOIN aud ON sums.id = aud.id"""
+          FROM sums JOIN aud ON sums.id = aud.id""",
+
+    // every aHash fingerprint replayed analytically: luminance from the
+    // generative channel formulas over gid = id - id%2 (pixel-duplicate
+    // pairs), pooled onto the 8x8 block grid with the same floor-div
+    // mapping and the same cross-multiplied mean comparison; empty
+    // blocks (w < 8) contribute '0' on both sides via the LEFT JOIN
+    "mm12_ahash_pairs" ->
+      """WITH pars AS (
+           SELECT doc_id AS id, (doc_id - doc_id % 2) AS gid,
+             (4 + (doc_id - doc_id % 2) % 5)::INT AS w,
+             (3 + (doc_id - doc_id % 2) % 4)::INT AS h
+           FROM documents),
+         pxx AS (SELECT id, gid, w, h, unnest(range(w)) AS x FROM pars),
+         pxy AS (SELECT id, gid, w, h, x, unnest(range(h)) AS y FROM pxx),
+         lum AS (SELECT id, w, h,
+             ((y * 8 // h) * 8 + (x * 8 // w)) AS b,
+             ((gid*7 + 3*x + 5*y) % 256) + ((gid*11 + x + 2*y) % 256)
+               + ((gid*13 + 2*x + y) % 256) AS l
+           FROM pxy),
+         blk AS (SELECT id, b, sum(l)::BIGINT AS bs, count(*)::BIGINT AS bn
+                 FROM lum GROUP BY 1, 2),
+         tot AS (SELECT id, sum(l)::BIGINT AS ts,
+                        (max(w)::BIGINT * max(h)) AS n
+                 FROM lum GROUP BY 1),
+         grid AS (SELECT id, unnest(range(64)) AS b FROM pars),
+         bits AS (
+           SELECT grid.id,
+             string_agg(CASE WHEN coalesce(bs, 0) * n > ts * coalesce(bn, 0)
+                             THEN '1' ELSE '0' END, '' ORDER BY grid.b)
+               AS ahash_bits
+           FROM grid
+           LEFT JOIN blk ON grid.id = blk.id AND grid.b = blk.b
+           JOIN tot ON grid.id = tot.id
+           GROUP BY grid.id),
+         capped AS (
+           SELECT id, ahash_bits FROM bits
+           QUALIFY count(*) OVER (PARTITION BY ahash_bits) <= 8)
+         SELECT l.id AS a, r.id AS b, l.ahash_bits
+         FROM capped l JOIN capped r
+           ON l.ahash_bits = r.ahash_bits AND l.id < r.id"""
   )
 }

@@ -85,4 +85,30 @@ class ImageCodecSpec extends SparkSpec {
       }
     }
   }
+
+  test("aHash: pixel-identical pairs collide even when padding junk splits the byte hash") {
+    val assets = MultimodalOps.synthBmpPairAssets(
+      spark.range(40).toDF("doc_id"), "doc_id")
+    val rows = MultimodalOps.aHashBits(assets)
+      .select(col("asset_id"), md5(col("content")).as("m"),
+        col("ahash_bits"))
+      .as[(Long, String, String)].collect().map(r => r._1 -> r).toMap
+    for (gid <- 0L until 40L by 2) {
+      val (even, odd) = (rows(gid), rows(gid + 1))
+      assert(even._3 == odd._3, s"aHash split a pixel-identical pair gid=$gid")
+      assert(even._3.length == 64 && even._3.forall(c => c == '0' || c == '1'))
+      val w = (4 + gid % 5).toInt
+      if (w * 3 % 4 != 0) // padded widths: same pixels, DIFFERENT bytes
+        assert(even._2 != odd._2, s"junk padding failed to split md5 at w=$w")
+      else               // unpadded widths: encoder output is identical
+        assert(even._2 == odd._2, s"unexpected byte diff at w=$w")
+    }
+    // the perceptual hash genuinely distinguishes different images
+    assert(rows.values.map(_._3).toSet.size > 1)
+    // corrupt payload → null fingerprint, in-band
+    val torn = MultimodalOps.aHashBits(
+      assets.withColumn("content", expr("substring(content, 1, 20)")))
+      .select(col("ahash_bits")).as[Option[String]].collect()
+    assert(torn.forall(_.isEmpty))
+  }
 }
