@@ -423,6 +423,96 @@ object MultimodalOps {
     }(enc)
   }
 
+  /** Container-noise audio pair fixture: consecutive id pairs
+    * (2k, 2k+1) share SAMPLES (from gid = id − id % 2, n = 400 + gid %
+    * 32 of them), and the odd member's WAV carries a junk `LIST` chunk
+    * spliced between `fmt ` and `data` — the decoder's RIFF walk skips
+    * it, so the pair is sample-identical but byte-different: the audio
+    * analog of mm12's padding class, which byte-hash dedup misses.
+    */
+  def synthWavPairAssets(df: DataFrame, idCol: String): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("asset_id", LongType, nullable = false),
+      StructField("content", BinaryType, nullable = true)))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    df.select(col(idCol).cast("long").as("asset_id"))
+      .mapPartitions { it =>
+        it.map { r =>
+          val id = r.getLong(0)
+          val gid = id - id % 2
+          val n = (400 + gid % 32).toInt
+          // step 9973 (co-prime, wraps every ~6.6 samples): window
+          // energies vary per gid, so fingerprints are high-entropy —
+          // a smooth ramp made every clip share one giant over-cap
+          // bucket and the lane verified an EMPTY universe (r12)
+          val samples = Array.tabulate(n)(k =>
+            ((gid * 31 + k * 9973) % 65536 - 32768).toShort)
+          val wav = AudioCodec.encodeWavPcm16(16000, samples)
+          val payload = if (id % 2 == 1) {
+            // splice an 11-byte LIST chunk (odd size → 1 pad byte)
+            val extra = new Array[Byte](8 + 11 + 1)
+            extra(0) = 'L'; extra(1) = 'I'; extra(2) = 'S'; extra(3) = 'T'
+            extra(4) = 11
+            var i = 0
+            while (i < 11) { extra(8 + i) = ((id + i) % 256).toByte; i += 1 }
+            wav.take(36) ++ extra ++ wav.drop(36)
+          } else wav
+          Row(id, payload)
+        }
+      }(enc)
+  }
+
+  /** Energy-contour audio fingerprint over DECODED samples — the
+    * audio-fingerprinting shape (per-window energy differences) in
+    * exact integers: samples group into complete windows of
+    * `windowSize`, window energy is Σ s² (Long), and bit w (w ≥ 1) is
+    * set iff e_w > e_{w−1} — a variable-length '0'/'1' string that
+    * replays bit-for-bit in any engine. Byte-identical clips collide
+    * trivially; the point is that container-noise variants (spliced
+    * chunks, re-muxed files) decode to the same samples and collide
+    * too, where `content_hash` misses them. Corrupt payloads yield a
+    * null fingerprint, in-band.
+    */
+  def audioEnergyFingerprint(assets: DataFrame, windowSize: Int = 8,
+                             contentCol: String = "content"): DataFrame = {
+    require(windowSize > 0, s"windowSize must be positive: $windowSize")
+    val schema = StructType(assets.schema.fields :+
+      StructField("energy_bits", StringType, nullable = true))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    val idx = assets.schema.fieldIndex(contentCol)
+    assets.mapPartitions { it =>
+      it.map { r =>
+        val bits = AudioCodec.decodeWavPcm16(r.getAs[Array[Byte]](idx)) match {
+          case Some(clip) =>
+            val nWin = clip.samples.length / windowSize
+            val e = new Array[Long](nWin)
+            var w = 0
+            while (w < nWin) {
+              var s = 0L
+              var k = w * windowSize
+              val end = k + windowSize
+              while (k < end) {
+                val v = clip.samples(k).toLong
+                s += v * v
+                k += 1
+              }
+              e(w) = s
+              w += 1
+            }
+            val sb = new java.lang.StringBuilder(math.max(0, nWin - 1))
+            w = 1
+            while (w < nWin) {
+              sb.append(if (e(w) > e(w - 1)) '1' else '0')
+              w += 1
+            }
+            sb.toString
+          case None => null
+        }
+        Row.fromSeq(r.toSeq :+ bits)
+      }
+    }(enc)
+  }
+
   /** Deterministic Y4M fixture assets — the video member of the
     * synth-asset family: one real YUV4MPEG2 clip per id with parametric
     * pixels — dims `w = 4 + id % 3`, `h = 2 + id % 3`,

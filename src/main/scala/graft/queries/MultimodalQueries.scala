@@ -212,6 +212,30 @@ object MultimodalQueries {
       val r = capped.select(col("asset_id").as("b"), col("ahash_bits"))
       l.join(r, Seq("ahash_bits")).filter(col("a") < col("b"))
         .select("a", "b", "ahash_bits")
+    }),
+
+    // Audio container-noise near-dup (mm13) — mm12's discipline on the
+    // second modality: pairs share decoded SAMPLES while the odd
+    // member's WAV carries a spliced junk LIST chunk (byte-different,
+    // sample-identical — the RIFF walk really skips it), fingerprints
+    // are exact-integer energy contours, pairs form on an equi join
+    // under the same binding bucket cap (the sawtooth corpus is
+    // low-entropy by construction, so uncapped buckets would go
+    // quadratic exactly like mm12's measured 806k).
+    "mm13_audio_neardup" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val fp = MultimodalOps.audioEnergyFingerprint(
+        MultimodalOps.synthWavPairAssets(documents(s, d), "doc_id"))
+        .select(col("asset_id"), col("energy_bits"))
+      val bucketW = org.apache.spark.sql.expressions.Window
+        .partitionBy("energy_bits")
+      val capped = fp
+        .withColumn("_n", count(lit(1)).over(bucketW))
+        .filter(col("_n") <= 8).drop("_n")
+      val l = capped.select(col("asset_id").as("a"), col("energy_bits"))
+      val r = capped.select(col("asset_id").as("b"), col("energy_bits"))
+      l.join(r, Seq("energy_bits")).filter(col("a") < col("b"))
+        .select("a", "b", "energy_bits")
     })
   )
 
@@ -489,6 +513,37 @@ object MultimodalQueries {
            QUALIFY count(*) OVER (PARTITION BY ahash_bits) <= 8)
          SELECT l.id AS a, r.id AS b, l.ahash_bits
          FROM capped l JOIN capped r
-           ON l.ahash_bits = r.ahash_bits AND l.id < r.id"""
+           ON l.ahash_bits = r.ahash_bits AND l.id < r.id""",
+
+    // the energy-contour fingerprints replayed analytically from the
+    // generative sample formula over gid (sample-identical pairs):
+    // complete windows of 8, energy = sum of squares, bit w set iff
+    // e_w > e_{w-1}; same binding bucket cap
+    "mm13_audio_neardup" ->
+      """WITH pars AS (
+           SELECT doc_id AS id, (doc_id - doc_id % 2) AS gid,
+                  (400 + (doc_id - doc_id % 2) % 32) AS n
+           FROM documents),
+         smp AS (SELECT id, gid, n, unnest(range(n)) AS k FROM pars),
+         en AS (SELECT id, k // 8 AS w,
+                  sum(((gid*31 + k*9973) % 65536 - 32768)
+                      * ((gid*31 + k*9973) % 65536 - 32768))::BIGINT AS e
+                FROM smp WHERE k // 8 < n // 8
+                GROUP BY 1, 2),
+         bits AS (
+           SELECT id, string_agg(
+               CASE WHEN e > prev THEN '1' ELSE '0' END, '' ORDER BY w)
+             AS energy_bits
+           FROM (SELECT id, w, e,
+                   lag(e) OVER (PARTITION BY id ORDER BY w) AS prev
+                 FROM en)
+           WHERE prev IS NOT NULL
+           GROUP BY id),
+         capped AS (
+           SELECT id, energy_bits FROM bits
+           QUALIFY count(*) OVER (PARTITION BY energy_bits) <= 8)
+         SELECT l.id AS a, r.id AS b, l.energy_bits
+         FROM capped l JOIN capped r
+           ON l.energy_bits = r.energy_bits AND l.id < r.id"""
   )
 }

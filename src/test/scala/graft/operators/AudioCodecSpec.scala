@@ -69,6 +69,30 @@ class AudioCodecSpec extends SparkSpec {
       .exists(_.samples.isEmpty))
   }
 
+  test("energy fingerprint: sample-identical pairs collide even when a spliced chunk splits the byte hash") {
+    val assets = MultimodalOps.synthWavPairAssets(
+      spark.range(20).toDF("doc_id"), "doc_id")
+    val rows = MultimodalOps.audioEnergyFingerprint(assets)
+      .select(col("asset_id"), md5(col("content")).as("m"),
+        col("energy_bits"))
+      .as[(Long, String, String)].collect().map(r => r._1 -> r).toMap
+    for (gid <- 0L until 20L by 2) {
+      val (even, odd) = (rows(gid), rows(gid + 1))
+      assert(even._3 == odd._3,
+        s"fingerprint split a sample-identical pair gid=$gid")
+      assert(even._2 != odd._2,
+        s"spliced LIST chunk failed to split md5 at gid=$gid")
+      val n = (400 + gid % 32).toInt
+      assert(even._3.length == n / 8 - 1, s"bits length gid=$gid")
+      assert(even._3.forall(c => c == '0' || c == '1'))
+    }
+    // corrupt payload → null fingerprint, in-band
+    val torn = MultimodalOps.audioEnergyFingerprint(
+      assets.withColumn("content", expr("substring(content, 1, 20)")))
+      .select(col("energy_bits")).as[Option[String]].collect()
+    assert(torn.forall(_.isEmpty))
+  }
+
   test("decodeAudioFeatures: real decode end-to-end, corrupt rows in-band") {
     val assets = MultimodalOps.synthWavAssets(
       spark.range(40).toDF("doc_id"), "doc_id")
