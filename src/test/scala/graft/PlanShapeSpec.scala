@@ -519,6 +519,14 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("Window"), p.take(3000))
   }
 
+  test("mm12/mm13 perceptual pair joins are equi joins on fingerprints, never cross products") {
+    for (lane <- Seq("mm12_ahash_pairs", "mm13_audio_neardup")) {
+      val p = planOf(lane)
+      assert(!p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoop"), s"$lane: ${p.take(3000)}")
+    }
+  }
+
   test("ev21 nearest as-of is joinless: one union-sort exchange, no candidate pairs") {
     val p = planOf("ev21_asof_nearest")
     assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin") &&
