@@ -16,7 +16,7 @@ import org.apache.spark.sql.functions._
   * [shardDocs] [vocabDocs] [pqVecs] [dsirDocs]`. `GRAFT_SS_ONLY=
   * <lanes>` replays just the named lanes — any comma-separated subset
   * of simhash, decon, bpe, overlap, curation, capbudget, graph, tri,
-  * linkp, ivj, ivc, spj, recallcap, fuzzygeo, aqeskew, codecs.
+  * linkp, ivj, ivc, spj, recallcap, fuzzygeo, aqeskew, codecs, gcj.
   */
 object ScaleSmoke {
   def main(args: Array[String]): Unit = {
@@ -924,6 +924,42 @@ object ScaleSmoke {
         .filter(col("decoded")).count())
       require(nv == nVid * 6, s"frame sampling broke: $nv vs ${nVid * 6}")
       println(s"""{"codec_imgs":$nImg,"img_sec":${round1(ti)},"auds":$nAud,"aud_sec":${round1(ta)},"vids":$nVid,"vid_sec":${round1(tv)},"frames":$nv}""")
+    }
+
+    // Great-circle radius join at 2.1M × 2.1M with a CLOSED-FORM exact
+    // answer — spj's lattice invariant lifted to the sphere (round 12):
+    // 21,420 cluster centers on a 1°×2° grid over lat ±59° (grid
+    // spacing ≥ 95 km everywhere after the ±0.05° intra-cluster
+    // scatter), 100 points per cluster, radius 50 km. Every
+    // within-cluster ordered pair qualifies (max separation ~16 km),
+    // no cross-cluster pair can (min separation ~95 km), so the count
+    // is exactly centers·m² — at 214M result rows, a duplicate-emitting
+    // ×27 replication or a cell-boundary bug misses the constant by
+    // whole multiples. Clusters straddle the antimeridian (lon −180°
+    // with negative scatter) and sit at ±59°: the ECEF gridding's
+    // no-wrap/no-pole-case claim is exercised at volume, not just in
+    // the 100-point spec.
+    lane("gcj") {
+      val latN = 119L; val lonN = 180L; val m = 100L
+      val centers = latN * lonN
+      val gpts = spark.range(centers * m).select(
+          (pmod(col("id"), lit(lonN)) * 2000000L - 180000000L +
+            pmod(hash(col("id")), lit(100001L)) - 50000L).as("lon"),
+          (pmod(floor(col("id") / lonN).cast("long"), lit(latN)) * 1000000L -
+            59000000L +
+            pmod(hash(col("id"), lit(3)), lit(100001L)) - 50000L).as("lat"))
+        .localCheckpoint()
+      val t0 = System.nanoTime()
+      val n = operators.SpatialOps.greatCircleRadiusJoin(
+        gpts.select(col("lon").as("alon"), col("lat").as("alat")),
+        "alon", "alat",
+        gpts.select(col("lon").as("blon"), col("lat").as("blat")),
+        "blon", "blat", radiusMeters = 50000.0).count()
+      val gcjSec = (System.nanoTime() - t0) / 1e9
+      val want = centers * m * m
+      println(s"""{"gcj_points":${centers * m},"sec":${round1(gcjSec)},"pairs":$n}""")
+      require(n == want, s"great-circle join broken: $n vs $want")
+      Release(gpts, blocking = true)
     }
 
     // The "a dense cell is ordinary AQE skew" claim, PINNED (rolled
