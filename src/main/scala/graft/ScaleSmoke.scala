@@ -22,7 +22,12 @@ object ScaleSmoke {
   def main(args: Array[String]): Unit = {
     val spanDocs = if (args.length > 0) args(0).toLong else 10000000L
     val containDocs = if (args.length > 1) args(1).toLong else 2000000L
-    val lshDocs = if (args.length > 2) args(2).toLong else 5000000L
+    // 2M is the TIGHT-HEAP (8g) full-suite size — the r6 refresh's
+    // documented invocation. 5M LSH docs yield 119.8M candidate edges
+    // whose CC pass wants the 48 g headroom profile (PERF.md r3 table);
+    // at 8 g it OOMs in the cluster stage (measured again r12). Pass 5M
+    // explicitly when running the big profile.
+    val lshDocs = if (args.length > 2) args(2).toLong else 2000000L
     val tfidfDocs = if (args.length > 3) args(3).toLong else 10000000L
     val embVecs = if (args.length > 4) args(4).toLong else 2000000L
     val evEvents = if (args.length > 5) args(5).toLong else 20000000L

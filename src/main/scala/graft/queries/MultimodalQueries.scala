@@ -4,9 +4,14 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.Tables._
 import graft.operators.MultimodalOps
 
-/** Multimodal-column queries: binary payload + metadata plumbing over the
-  * documents corpus standing in for media assets (MultimodalOps scaladoc —
-  * decode kernels are stubbed, the Spark plumbing is real).
+/** Multimodal-column queries over the documents corpus standing in for
+  * media assets. Since r12 all three modalities decode through REAL
+  * pure-JVM kernels (BMP / PCM-WAV / Y4M — MultimodalOps scaladoc):
+  * the synth fixtures emit genuine container bytes, Spark genuinely
+  * parses them, and the oracles replay every feature analytically from
+  * the generative parameters without touching bytes. The md5 stub
+  * survives only in the metadata-plan lanes (mm1/mm2/mm4/mm6) and as
+  * the batching spec twin.
   */
 object MultimodalQueries {
 
