@@ -141,7 +141,7 @@ object MultimodalQueries {
     }),
 
     // REAL video frame sampling under the oracle — the third modality:
-    // one genuine C444 Y4M clip per doc (parametric pixels, every 9th
+    // one genuine Y4M clip per doc (C444 or C420 by id, parametric pixels, every 9th
     // payload torn mid-frame), frames sampled at stride 2 through the
     // actual container walk with in-place per-plane sums — mm2's
     // frame-sample plan executed on real bytes. The oracle replays the
@@ -248,7 +248,7 @@ object MultimodalQueries {
     * sums computed from the generative pixel formulas WITHOUT parsing
     * bytes — the cross-engine half of the real-decode contract, shared
     * by mm3/mm5/mm8. Emits `sums(id, w, h, sr, sg, sb)`. */
-  private val sumsCte: String =
+  private[queries] val sumsCte: String =
     """dims AS (
          SELECT doc_id AS id, (4 + doc_id % 5) AS w, (3 + doc_id % 4) AS h
          FROM documents),

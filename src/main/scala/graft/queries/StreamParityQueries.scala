@@ -217,6 +217,24 @@ object StreamParityQueries {
           ev.filter(col("event_type") === "click"),
           ev.filter(col("event_type") === "purchase"),
           "30 minutes", WM))
+    }),
+
+    // STREAMING media ingest (st14): the real BMP synth + decode
+    // kernels run UNCHANGED on a readStream — stateless mapPartitions
+    // compose with Structured Streaming by construction, and this lane
+    // gates it end-to-end (schema, encoder, batch shape) rather than
+    // asserting it: the drained rows must hash-equal mm8's batch
+    // semantics. No watermark — stateless append emits every decoded
+    // row exactly once under AvailableNow; corrupt payloads stay
+    // in-band exactly as in batch.
+    "st14_stream_decode" -> ((s, d) => {
+      import graft.operators.MultimodalOps
+      StreamParity.drainAppend(
+        MultimodalOps.decodeImageFeatures(
+          MultimodalOps.synthBmpAssets(
+            StreamParity.documentsStream(s, d), "doc_id"))
+          .select(col("asset_id"), col("img_w"), col("img_h"),
+            col("sum_r"), col("sum_g"), col("sum_b"), col("decoded")))
     })
   )
 
@@ -364,6 +382,19 @@ object StreamParityQueries {
          JOIN nation n ON c.c_nationkey = n.n_nationkey, wm
          WHERE ((floor(epoch(ts))::BIGINT // 21600) * 21600 + 21600)
                * 1000000 <= wm_us
-         GROUP BY win_start, n_name"""
+         GROUP BY win_start, n_name""",
+
+    // st14 is stateless: the drained stream must equal mm8's batch
+    // semantics exactly — same analytic-decode CTE, no watermark cutoff
+    "st14_stream_decode" ->
+      s"""WITH ${MultimodalQueries.sumsCte}
+         SELECT id AS asset_id,
+           CASE WHEN id % 13 = 0 THEN NULL ELSE w::INT END AS img_w,
+           CASE WHEN id % 13 = 0 THEN NULL ELSE h::INT END AS img_h,
+           CASE WHEN id % 13 = 0 THEN NULL ELSE sr END AS sum_r,
+           CASE WHEN id % 13 = 0 THEN NULL ELSE sg END AS sum_g,
+           CASE WHEN id % 13 = 0 THEN NULL ELSE sb END AS sum_b,
+           (id % 13 <> 0) AS decoded
+         FROM sums"""
   )
 }

@@ -132,6 +132,16 @@ object StreamParity {
       spark.readStream.schema(schema).parquet(drop))
   }
 
+  /** The documents table as a file-source STREAM — the ingest shape of
+    * a crawled-media drop directory (st14 builds binary assets on top
+    * of it with the same stateless synth/decode operators batch uses).
+    */
+  def documentsStream(spark: SparkSession, sfDir: String): DataFrame = {
+    val drop = stageDropDir(sfDir, "documents")
+    val schema = spark.read.parquet(s"$sfDir/documents.parquet").schema
+    spark.readStream.schema(schema).parquet(drop)
+  }
+
   /** Run a streaming frame to completion (`AvailableNow`) through a
     * memory sink and return the final result as a LOCAL batch frame.
     * The sink rows are copied out and the backing temp view dropped so
