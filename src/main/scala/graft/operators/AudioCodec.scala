@@ -49,8 +49,12 @@ object AudioCodec {
 
   /** Encode mono 16-bit PCM as a canonical 44-byte-header WAV. */
   def encodeWavPcm16(sampleRate: Int, samples: Array[Short]): Array[Byte] = {
-    require(sampleRate > 0, s"bad sample rate: $sampleRate")
-    val dataSize = samples.length * 2
+    require(sampleRate > 0 && sampleRate <= Int.MaxValue / 2,
+      s"bad sample rate: $sampleRate")
+    val dataSizeL = samples.length.toLong * 2
+    require(44 + dataSizeL <= Int.MaxValue,
+      s"encoded clip exceeds 2 GiB: ${samples.length} samples")
+    val dataSize = dataSizeL.toInt
     val out = new Array[Byte](44 + dataSize)
     putTag(out, 0, "RIFF"); putI32(out, 4, 36 + dataSize)
     putTag(out, 8, "WAVE")

@@ -338,7 +338,8 @@ object MultimodalOps {
                 val i = (y * w + x) * 3
                 val lum = (img.rgb(i) & 0xff) + (img.rgb(i + 1) & 0xff) +
                   (img.rgb(i + 2) & 0xff)
-                val b = (y * 8 / h) * 8 + (x * 8 / w)
+                // Long math: y*8 / x*8 overflow Int past 2^28-pixel dims
+                val b = ((y.toLong * 8 / h) * 8 + x.toLong * 8 / w).toInt
                 blockSum(b) += lum; blockN(b) += 1
                 total += lum
                 x += 1
@@ -455,7 +456,14 @@ object MultimodalOps {
             extra(4) = 11
             var i = 0
             while (i < 11) { extra(8 + i) = ((id + i) % 256).toByte; i += 1 }
-            wav.take(36) ++ extra ++ wav.drop(36)
+            val spliced = wav.take(36) ++ extra ++ wav.drop(36)
+            // keep the RIFF size field spec-valid after the splice
+            val riffSize = spliced.length - 8
+            i = 0
+            while (i < 4) {
+              spliced(4 + i) = ((riffSize >>> (8 * i)) & 0xff).toByte; i += 1
+            }
+            spliced
           } else wav
           Row(id, payload)
         }

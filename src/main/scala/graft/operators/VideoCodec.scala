@@ -61,9 +61,13 @@ object VideoCodec {
     val header = s"YUV4MPEG2 W$w H$h F25:1 Ip A1:1 C444\n"
       .getBytes(java.nio.charset.StandardCharsets.US_ASCII)
     val marker = "FRAME\n".getBytes(java.nio.charset.StandardCharsets.US_ASCII)
-    val plane = w * h
-    val out = new Array[Byte](header.length +
-      frames * (marker.length + 3 * plane))
+    val planeL = w.toLong * h
+    val totalL = header.length +
+      frames.toLong * (marker.length + 3L * planeL)
+    require(totalL <= Int.MaxValue,
+      s"encoded clip exceeds 2 GiB: ${w}x$h x$frames = $totalL bytes")
+    val plane = planeL.toInt
+    val out = new Array[Byte](totalL.toInt)
     System.arraycopy(header, 0, out, 0, header.length)
     var off = header.length
     var f = 0
@@ -95,10 +99,15 @@ object VideoCodec {
     val header = s"YUV4MPEG2 W$w H$h F25:1 Ip A1:1 C420jpeg\n"
       .getBytes(java.nio.charset.StandardCharsets.US_ASCII)
     val marker = "FRAME\n".getBytes(java.nio.charset.StandardCharsets.US_ASCII)
-    val plane = w * h
-    val cp = (w / 2) * (h / 2)
-    val out = new Array[Byte](header.length +
-      frames * (marker.length + plane + 2 * cp))
+    val planeL = w.toLong * h
+    val cpL = (w / 2).toLong * (h / 2)
+    val totalL = header.length +
+      frames.toLong * (marker.length + planeL + 2L * cpL)
+    require(totalL <= Int.MaxValue,
+      s"encoded clip exceeds 2 GiB: ${w}x$h x$frames = $totalL bytes")
+    val plane = planeL.toInt
+    val cp = cpL.toInt
+    val out = new Array[Byte](totalL.toInt)
     System.arraycopy(header, 0, out, 0, header.length)
     var off = header.length
     var f = 0

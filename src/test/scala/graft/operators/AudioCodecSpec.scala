@@ -93,6 +93,19 @@ class AudioCodecSpec extends SparkSpec {
     assert(torn.forall(_.isEmpty))
   }
 
+  test("synthWavPairAssets fixtures declare a spec-valid RIFF size after the splice") {
+    val payloads = MultimodalOps.synthWavPairAssets(
+      spark.range(10).toDF("doc_id"), "doc_id")
+      .select(col("asset_id"), col("content"))
+      .as[(Long, Array[Byte])].collect()
+    for ((id, b) <- payloads) {
+      val declared = (b(4) & 0xff) | ((b(5) & 0xff) << 8) |
+        ((b(6) & 0xff) << 16) | ((b(7) & 0xff) << 24)
+      assert(declared == b.length - 8,
+        s"RIFF size field off by ${b.length - 8 - declared} at id=$id")
+    }
+  }
+
   test("decodeAudioFeatures: real decode end-to-end, corrupt rows in-band") {
     val assets = MultimodalOps.synthWavAssets(
       spark.range(40).toDF("doc_id"), "doc_id")
