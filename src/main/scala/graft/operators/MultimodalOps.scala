@@ -602,6 +602,134 @@ object MultimodalOps {
     }(enc)
   }
 
+  /** Deterministic Y4M PAIR fixture — the video member of the pair-asset
+    * family ([[synthBmpPairAssets]] image, [[synthWavPairAssets]] audio):
+    * ids pair on `gid = id − id % 2` with IDENTICAL samples, and the odd
+    * member's header chroma tag is rewritten `C420jpeg → C420mpeg2` —
+    * the two sitings share the exact byte layout per the Y4M spec
+    * ([[VideoCodec]] header), so the payloads are byte-different (the
+    * header even changes length) while every decoded sample matches:
+    * the re-mux shape `content_hash` dedup structurally misses.
+    *
+    * Three planted regimes (the mm12/mm13 lesson — a near-dup fixture
+    * must make planted pairs, NATURAL cross-gid collisions, and
+    * cap-binding degenerate buckets all fire, at any corpus size):
+    *   - coarse blocks: when `(gid/8) % 3 == 1` the clip key collapses
+    *     to `k = gid − gid % 8`, so 4 consecutive gids (8 ids) share one
+    *     clip — natural collision buckets of exactly 8, cap-surviving;
+    *   - flat clips: `k % 7 == 0` paints constant luma — every flat clip
+    *     fingerprints to the all-zeros string (blank-page reality), one
+    *     degenerate bucket that grows with the corpus and always trips
+    *     the cap;
+    *   - the rest: a per-k gradient whose mod-256 wrap position varies
+    *     by k, giving both singleton-pair buckets (planted pairs
+    *     survive) and a fat no-wrap bucket (capped).
+    * All dims even (C420-compatible) by construction.
+    */
+  def synthY4mPairAssets(df: DataFrame, idCol: String): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("asset_id", LongType, nullable = false),
+      StructField("content", BinaryType, nullable = true)))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    df.select(col(idCol).cast("long").as("asset_id"))
+      .mapPartitions { it =>
+        it.map { r =>
+          val id = r.getLong(0)
+          val gid = id - id % 2
+          val k = if ((gid / 8) % 3 == 1) gid - gid % 8 else gid
+          val flat = k % 7 == 0
+          val w = (4 + 2 * (k % 3)).toInt
+          val h = (2 + 2 * (k % 2)).toInt
+          val nf = if (flat) 2 else (2 + k % 3).toInt
+          // per-clip ODD slope co-prime to 256: an affine p-gradient
+          // with a fixed slope only yields ~w·h distinct bit patterns
+          // (cyclic shifts of one sequence — every bucket grows with
+          // the corpus and the cap starves the lane, measured r13);
+          // varying the slope by k % 97 breaks the shift degeneracy
+          def lum(f: Int, p: Int) =
+            if (flat) (k % 251).toInt
+            else ((k * 9973 + f * 101 + (2 * (k % 97) + 37) * p) % 256).toInt
+          def chrU(f: Int, q: Int) = ((k * 5 + f * 11 + q) % 256).toInt
+          def chrV(f: Int, q: Int) = ((k * 13 + 2 * f + q) % 256).toInt
+          val clip = VideoCodec.encodeY4m420(w, h, nf, lum, chrU, chrV)
+          val payload = if (id % 2 == 1) {
+            // swap the chroma-siting tag: same layout, different bytes
+            val head = new String(clip, 0, 64,
+              java.nio.charset.StandardCharsets.US_ASCII)
+            val at = head.indexOf("C420jpeg")
+            clip.take(at) ++
+              "C420mpeg2".getBytes(
+                java.nio.charset.StandardCharsets.US_ASCII) ++
+              clip.drop(at + 8)
+          } else clip
+          Row(id, payload)
+        }
+      }(enc)
+  }
+
+  /** Per-sampled-frame perceptual video fingerprint — [[aHashBits]]'s
+    * 8×8 block rule applied to each `stride`-th frame's LUMA plane in
+    * place on the decoded buffer (no frame copies — the
+    * [[sampleVideoFrames]] walk), with the same exact cross-multiplied
+    * mean comparison (`blockSum·(w·h) > total·blockN`, no division), so
+    * each frame yields 64 bits and the clip fingerprint is their
+    * concatenation in frame order — a '0'/'1' string any engine replays
+    * bit-for-bit. Byte-different re-muxes of the same samples (chroma
+    * siting tags, rewrapped headers) collide; corrupt payloads yield a
+    * null fingerprint, in-band.
+    */
+  def videoAHashFingerprint(assets: DataFrame, stride: Int = 2,
+                            contentCol: String = "content"): DataFrame = {
+    require(stride > 0, s"stride must be positive: $stride")
+    val schema = StructType(assets.schema.fields :+
+      StructField("vhash_bits", StringType, nullable = true))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    val idx = assets.schema.fieldIndex(contentCol)
+    assets.mapPartitions { it =>
+      it.map { r =>
+        val bits = VideoCodec.decodeY4m(r.getAs[Array[Byte]](idx)) match {
+          case Some(clip) =>
+            val w = clip.w; val h = clip.h
+            val n = w.toLong * h
+            val sampled = (clip.nFrames + stride - 1) / stride
+            val sb = new java.lang.StringBuilder(64 * sampled)
+            var f = 0
+            while (f < clip.nFrames) {
+              val base = clip.frameOffsets(f)
+              val blockSum = new Array[Long](64)
+              val blockN = new Array[Long](64)
+              var total = 0L
+              var y = 0
+              while (y < h) {
+                var x = 0
+                val rowBase = base + y * w
+                // Long math on the block index (the aHashBits r12 rule)
+                val by = (y.toLong * 8 / h) * 8
+                while (x < w) {
+                  val lum = clip.data(rowBase + x) & 0xff
+                  val b = (by + x.toLong * 8 / w).toInt
+                  blockSum(b) += lum; blockN(b) += 1
+                  total += lum
+                  x += 1
+                }
+                y += 1
+              }
+              var b = 0
+              while (b < 64) {
+                sb.append(if (blockSum(b) * n > total * blockN(b)) '1'
+                          else '0')
+                b += 1
+              }
+              f += stride
+            }
+            sb.toString
+          case None => null
+        }
+        Row.fromSeq(r.toSeq :+ bits)
+      }
+    }(enc)
+  }
+
   /** Near-duplicate candidate pairs over OPAQUE binary payloads: strided
     * byte k-grams → MinHash signature → LSH band self-join — the dd2
     * pipeline with byte-range shingles instead of word shingles, so it

@@ -241,6 +241,33 @@ object MultimodalQueries {
       val r = capped.select(col("asset_id").as("b"), col("energy_bits"))
       l.join(r, Seq("energy_bits")).filter(col("a") < col("b"))
         .select("a", "b", "energy_bits")
+    }),
+
+    // Video perceptual near-dup (mm14) — the third modality completes
+    // the fingerprint family (mm12 image, mm13 audio): pairs share
+    // decoded SAMPLES while the odd member's Y4M header carries the
+    // other equal-layout chroma-siting tag (C420jpeg → C420mpeg2 —
+    // byte-different, the header even changes length), the fingerprint
+    // is each sampled frame's 64-bit Y-plane aHash concatenated in
+    // frame order, and pairs form on an equi join under the binding
+    // bucket cap: the fixture's flat clips (blank-video reality) all
+    // land in one all-zeros bucket that grows with the corpus, so the
+    // cap binds at every scale.
+    "mm14_video_neardup" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val fp = MultimodalOps.videoAHashFingerprint(
+        MultimodalOps.synthY4mPairAssets(documents(s, d), "doc_id"),
+        stride = 2)
+        .select(col("asset_id"), col("vhash_bits"))
+      val bucketW = org.apache.spark.sql.expressions.Window
+        .partitionBy("vhash_bits")
+      val capped = fp
+        .withColumn("_n", count(lit(1)).over(bucketW))
+        .filter(col("_n") <= 8).drop("_n")
+      val l = capped.select(col("asset_id").as("a"), col("vhash_bits"))
+      val r = capped.select(col("asset_id").as("b"), col("vhash_bits"))
+      l.join(r, Seq("vhash_bits")).filter(col("a") < col("b"))
+        .select("a", "b", "vhash_bits")
     })
   )
 
@@ -549,6 +576,64 @@ object MultimodalQueries {
            QUALIFY count(*) OVER (PARTITION BY energy_bits) <= 8)
          SELECT l.id AS a, r.id AS b, l.energy_bits
          FROM capped l JOIN capped r
-           ON l.energy_bits = r.energy_bits AND l.id < r.id"""
+           ON l.energy_bits = r.energy_bits AND l.id < r.id""",
+
+    // every per-frame Y-plane aHash replayed analytically from the
+    // generative luma formula over the clip key k (coarse blocks of 4
+    // gids collapse to one k; flat clips paint constant luma), pooled
+    // onto the 8x8 block grid per SAMPLED frame (stride 2) with the
+    // same floor-div mapping and cross-multiplied mean comparison;
+    // frame strings concatenate in (f, b) order; same binding cap
+    "mm14_video_neardup" ->
+      """WITH pars AS (
+           SELECT doc_id AS id,
+             CASE WHEN (((doc_id - doc_id % 2) // 8) % 3 = 1)
+                  THEN (doc_id - doc_id % 2) - (doc_id - doc_id % 2) % 8
+                  ELSE (doc_id - doc_id % 2) END AS k
+           FROM documents),
+         dims AS (
+           SELECT id, k, (k % 7 = 0) AS flat,
+             (4 + 2 * (k % 3))::INT AS w,
+             (2 + 2 * (k % 2))::INT AS h,
+             CASE WHEN k % 7 = 0 THEN 2 ELSE (2 + k % 3) END::INT AS nf
+           FROM pars),
+         frm AS (
+           SELECT * FROM (
+             SELECT id, k, flat, w, h, unnest(range(nf)) AS f FROM dims) t
+           WHERE f % 2 = 0),
+         pxx AS (SELECT id, k, flat, w, h, f, unnest(range(w)) AS x
+                 FROM frm),
+         pxy AS (SELECT id, k, flat, w, h, f, x, unnest(range(h)) AS y
+                 FROM pxx),
+         lum AS (SELECT id, w, h, f,
+             ((y * 8 // h) * 8 + (x * 8 // w)) AS b,
+             CASE WHEN flat THEN k % 251
+                  ELSE (k*9973 + f*101 + (2*(k % 97) + 37)*(y*w + x)) % 256
+             END AS l
+           FROM pxy),
+         blk AS (SELECT id, f, b, sum(l)::BIGINT AS bs,
+                        count(*)::BIGINT AS bn
+                 FROM lum GROUP BY 1, 2, 3),
+         tot AS (SELECT id, f, sum(l)::BIGINT AS ts,
+                        (max(w)::BIGINT * max(h)) AS n
+                 FROM lum GROUP BY 1, 2),
+         grid AS (SELECT id, f, unnest(range(64)) AS b FROM frm),
+         bits AS (
+           SELECT grid.id,
+             string_agg(
+                 CASE WHEN coalesce(bs, 0) * n > ts * coalesce(bn, 0)
+                      THEN '1' ELSE '0' END, '' ORDER BY grid.f, grid.b)
+               AS vhash_bits
+           FROM grid
+           LEFT JOIN blk ON grid.id = blk.id AND grid.f = blk.f
+                        AND grid.b = blk.b
+           JOIN tot ON grid.id = tot.id AND grid.f = tot.f
+           GROUP BY grid.id),
+         capped AS (
+           SELECT id, vhash_bits FROM bits
+           QUALIFY count(*) OVER (PARTITION BY vhash_bits) <= 8)
+         SELECT l.id AS a, r.id AS b, l.vhash_bits
+         FROM capped l JOIN capped r
+           ON l.vhash_bits = r.vhash_bits AND l.id < r.id"""
   )
 }

@@ -1,0 +1,161 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import graft.operators.MultimodalOps
+
+/** Structural non-vacuousness checks for every fingerprint / near-dup
+  * lane, at BOTH oracle-gated scales.
+  *
+  * Why this suite exists: a near-dup lane can hash-match its oracle
+  * while verifying NOTHING — r12 shipped two such lanes in-round (mm13's
+  * first fixture put every clip in one over-cap bucket and the lane
+  * hash-matched an EMPTY pair universe; mm12's first fixture went
+  * quadratic), and r13's first mm14 fixture starved at sf0.1 the same
+  * way (an affine luma gradient yields ~w·h distinct fingerprints, so
+  * every bucket grows with the corpus and the cap removes everything).
+  * Each trap was caught by ad-hoc vigilance; this suite makes the check
+  * structural: for each lane the PLANTED pairs must be present, NATURAL
+  * (non-planted) collisions must be present, and where the lane caps
+  * degenerate buckets the cap must BIND (a non-empty capped-out
+  * universe) — at sf0.01 and sf0.1, the two scales the driver gates.
+  */
+class LaneVitalsSpec extends SparkSpec {
+
+  private val scales = Seq("/root/testdata/sf0.01", "/root/testdata/sf0.1")
+
+  private def run(lane: String, d: String): Array[Row] =
+    SparkEntry.queries(lane)(spark, d).collect()
+
+  private def docs(d: String): DataFrame =
+    spark.read.parquet(s"$d/documents.parquet")
+
+  /** planted + natural both non-empty; total sane. */
+  private def assertVitals(lane: String, d: String, rows: Array[Row],
+                           planted: Row => Boolean): Unit = {
+    assert(rows.nonEmpty, s"$lane@$d: empty pair universe")
+    val p = rows.count(planted)
+    val n = rows.length - p
+    assert(p > 0, s"$lane@$d: no planted pairs survived (${rows.length} rows)")
+    assert(n > 0, s"$lane@$d: no natural collisions (${rows.length} rows)")
+  }
+
+  /** The cap must bind: at least one uncapped fingerprint bucket
+    * exceeds `cap`, so the capped lane really excised a degenerate
+    * universe rather than hash-matching a trivially-uncapped one.
+    */
+  private def assertCapBinds(lane: String, d: String, fp: DataFrame,
+                             fpCol: String, cap: Int): Unit = {
+    val over = fp.filter(col(fpCol).isNotNull)
+      .groupBy(fpCol).count().filter(col("count") > cap)
+      .agg(coalesce(sum("count"), lit(0L))).head.getLong(0)
+    assert(over > 0, s"$lane@$d: bucket cap $cap never binds — " +
+      "the capped universe equals the uncapped one and the cap is untested")
+  }
+
+  // ---- perceptual fingerprint family (image / audio / video) --------
+  // pairs plant on gid = id − id % 2: (even, even+1) is the planted
+  // byte-different sample-identical pair; anything else is a natural
+  // collision the fingerprint found on its own.
+
+  private def plantedGidPair(r: Row): Boolean =
+    r.getLong(0) % 2 == 0 && r.getLong(1) == r.getLong(0) + 1
+
+  test("mm12 image aHash pairs: planted + natural + binding cap, both scales") {
+    for (d <- scales) {
+      assertVitals("mm12_ahash_pairs", d, run("mm12_ahash_pairs", d),
+        plantedGidPair)
+      assertCapBinds("mm12_ahash_pairs", d,
+        MultimodalOps.aHashBits(
+          MultimodalOps.synthBmpPairAssets(docs(d), "doc_id")),
+        "ahash_bits", cap = 8)
+    }
+  }
+
+  test("mm13 audio energy pairs: planted + natural + binding cap, both scales") {
+    for (d <- scales) {
+      assertVitals("mm13_audio_neardup", d, run("mm13_audio_neardup", d),
+        plantedGidPair)
+      assertCapBinds("mm13_audio_neardup", d,
+        MultimodalOps.audioEnergyFingerprint(
+          MultimodalOps.synthWavPairAssets(docs(d), "doc_id")),
+        "energy_bits", cap = 8)
+    }
+  }
+
+  test("mm14 video aHash pairs: planted + natural + binding cap, both scales") {
+    for (d <- scales) {
+      assertVitals("mm14_video_neardup", d, run("mm14_video_neardup", d),
+        plantedGidPair)
+      assertCapBinds("mm14_video_neardup", d,
+        MultimodalOps.videoAHashFingerprint(
+          MultimodalOps.synthY4mPairAssets(docs(d), "doc_id"), stride = 2),
+        "vhash_bits", cap = 8)
+    }
+  }
+
+  // ---- SimHash Hamming family --------------------------------------
+  // the corpus is salted with exact copies at +10000: every doc must
+  // pair with its copy at hamming 0 (recall floor), and hamming 1..3
+  // pairs are the natural near-dups the signature found.
+
+  private def simhashVitals(lane: String): Unit = {
+    for (d <- scales) {
+      val rows = run(lane, d)
+      val nDocs = docs(d).count()
+      val planted = rows.count(r =>
+        r.getLong(1) - r.getLong(0) == 10000L && r.getInt(2) == 0)
+      assert(planted == nDocs,
+        s"$lane@$d: ${planted} of $nDocs planted exact copies recalled")
+      assert(rows.exists(_.getInt(2) >= 1),
+        s"$lane@$d: no natural hamming>=1 near-dups")
+    }
+  }
+
+  test("dd15 simhash pairs: full planted recall + natural near-dups, both scales") {
+    simhashVitals("dd15_simhash_pairs")
+  }
+
+  test("dd16 wide simhash pairs: full planted recall + natural near-dups, both scales") {
+    simhashVitals("dd16_simhash_wide")
+  }
+
+  // ---- byte-MinHash candidates (mm7) -------------------------------
+  // no salted copies here; the vitals are that candidates exist, that
+  // they include byte-DIFFERENT near-dups (not just exact-equal texts —
+  // those a content hash would find), and that the band join stayed
+  // far from quadratic.
+
+  test("mm7 binary near-dup candidates: non-empty, near (not just exact) dups, sub-quadratic, both scales") {
+    for (d <- scales) {
+      val rows = run("mm7_binary_neardup", d)
+      assert(rows.nonEmpty, s"mm7@$d: empty candidate set")
+      val text = docs(d).select(col("doc_id"), md5(col("text")).as("h"))
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      val near = rows.count(r => text(r.getLong(0)) != text(r.getLong(1)))
+      assert(near > 0, s"mm7@$d: only exact-equal texts paired")
+      val n = text.size.toLong
+      assert(rows.length < 20 * n,
+        s"mm7@$d: ${rows.length} candidates for $n docs — quadratic blowup")
+    }
+  }
+
+  // ---- LSH-bucketed cosine pairs (ss3) -----------------------------
+  // vitals: pairs exist, none are degenerate self-similar duplicates
+  // (the fixture has no identical vectors, so sim < 1 throughout), the
+  // threshold really filters (all sims >= 0.2), and the bucket join
+  // stayed sub-quadratic.
+
+  test("ss3 LSH bucket pairs: non-empty, thresholded, sub-quadratic, both scales") {
+    for (d <- scales) {
+      val rows = run("ss3_lsh_bucket", d)
+      assert(rows.nonEmpty, s"ss3@$d: empty pair set")
+      val sims = rows.map(_.getDouble(2))
+      assert(sims.forall(s => s >= 0.2 && s < 0.9999),
+        s"ss3@$d: sim out of the expected (0.2, 1) band")
+      val n = spark.read.parquet(s"$d/embeddings.parquet").count()
+      assert(rows.length < 20 * n,
+        s"ss3@$d: ${rows.length} pairs for $n vectors — quadratic blowup")
+    }
+  }
+}

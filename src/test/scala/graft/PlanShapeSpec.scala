@@ -519,8 +519,9 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("Window"), p.take(3000))
   }
 
-  test("mm12/mm13 perceptual pair joins are equi joins on fingerprints, never cross products") {
-    for (lane <- Seq("mm12_ahash_pairs", "mm13_audio_neardup")) {
+  test("mm12/mm13/mm14 perceptual pair joins are equi joins on fingerprints, never cross products") {
+    for (lane <- Seq("mm12_ahash_pairs", "mm13_audio_neardup",
+        "mm14_video_neardup")) {
       val p = planOf(lane)
       assert(!p.contains("CartesianProduct") &&
         !p.contains("BroadcastNestedLoop"), s"$lane: ${p.take(3000)}")

@@ -112,6 +112,50 @@ class VideoCodecSpec extends SparkSpec {
     }.getMessage.contains("even"))
   }
 
+  test("video aHash: sample-identical pairs collide even when the siting tag splits the byte hash") {
+    val assets = MultimodalOps.synthY4mPairAssets(
+      spark.range(40).toDF("doc_id"), "doc_id")
+    val rows = MultimodalOps.videoAHashFingerprint(assets, stride = 2)
+      .select(col("asset_id"), md5(col("content")).as("m"),
+        col("vhash_bits"))
+      .as[(Long, String, String)].collect().map(r => r._1 -> r).toMap
+    for (gid <- 0L until 40L by 2) {
+      val (even, odd) = (rows(gid), rows(gid + 1))
+      assert(even._3 == odd._3,
+        s"fingerprint split a sample-identical pair gid=$gid")
+      assert(even._2 != odd._2,
+        s"siting-tag swap failed to split md5 at gid=$gid")
+      val k = if ((gid / 8) % 3 == 1) gid - gid % 8 else gid
+      val nf = if (k % 7 == 0) 2 else (2 + k % 3).toInt
+      val sampled = (nf + 1) / 2
+      assert(even._3.length == 64 * sampled, s"bits length gid=$gid")
+      assert(even._3.forall(c => c == '0' || c == '1'))
+      // brute-force replay of frame 0's 64 bits from the luma formula
+      val w = (4 + 2 * (k % 3)).toInt; val h = (2 + 2 * (k % 2)).toInt
+      def lum(p: Int): Long =
+        if (k % 7 == 0) k % 251
+        else (k * 9973 + (2 * (k % 97) + 37) * p) % 256
+      val bs = new Array[Long](64); val bn = new Array[Long](64)
+      var ts = 0L
+      for (y <- 0 until h; x <- 0 until w) {
+        val b = (y * 8 / h) * 8 + x * 8 / w
+        bs(b) += lum(y * w + x); bn(b) += 1; ts += lum(y * w + x)
+      }
+      val want = (0 until 64).map(b =>
+        if (bs(b) * (w.toLong * h) > ts * bn(b)) '1' else '0').mkString
+      assert(even._3.take(64) == want, s"frame-0 bits gid=$gid")
+    }
+    // coarse blocks: 4 consecutive gids share one clip — natural
+    // cross-gid collisions by construction ((gid/8) % 3 == 1 → ids 8..15)
+    assert((8L to 15L).map(rows(_)._3).distinct.size == 1,
+      "coarse block 8..15 fingerprints diverged")
+    // corrupt payload → null fingerprint, in-band
+    val torn = MultimodalOps.videoAHashFingerprint(
+      assets.withColumn("content", expr("substring(content, 1, 12)")))
+      .select(col("vhash_bits")).as[Option[String]].collect()
+    assert(torn.forall(_.isEmpty))
+  }
+
   test("sampleVideoFrames: real frame sampling end-to-end, torn rows in-band") {
     val assets = MultimodalOps.synthY4mAssets(
       spark.range(30).toDF("doc_id"), "doc_id")
