@@ -242,7 +242,9 @@ object MultimodalOps {
     * decode uses, minus the Python boundary.
     */
   def decodeImageFeatures(assets: DataFrame,
-                          contentCol: String = "content"): DataFrame = {
+                          contentCol: String = "content",
+                          kernel: Array[Byte] => Option[ImageCodec.DecodedImage]
+                            = ImageCodec.decodeBmp24): DataFrame = {
     val schema = StructType(assets.schema.fields ++ Seq(
       StructField("img_w", IntegerType, nullable = true),
       StructField("img_h", IntegerType, nullable = true),
@@ -254,7 +256,7 @@ object MultimodalOps {
     val idx = assets.schema.fieldIndex(contentCol)
     assets.mapPartitions { it =>
       it.map { r =>
-        ImageCodec.decodeBmp24(r.getAs[Array[Byte]](idx)) match {
+        kernel(r.getAs[Array[Byte]](idx)) match {
           case Some(img) =>
             val (sr, sg, sb) = ImageCodec.channelSums(img)
             Row.fromSeq(r.toSeq ++ Seq(img.w, img.h, sr, sg, sb, true))
@@ -263,6 +265,42 @@ object MultimodalOps {
         }
       }
     }(enc)
+  }
+
+  /** Mixed wire-format image fixture — [[synthBmpAssets]]'s parametric
+    * pixels carried by the container each id draws: even ids encode as
+    * PNG through the JDK writer ([[PngCodec]]), odd ids as hand-rolled
+    * BMP, so one corpus exercises both decode paths of the
+    * [[PngCodec.decodeAuto]] sniffing kernel under a single analytic
+    * oracle (dims and channel sums are container-invariant — PNG is
+    * lossless). Every 13th id is truncated to 20 bytes: signature
+    * intact, body gone — the decode-miss path fires on BOTH container
+    * branches in-band.
+    */
+  def synthWireImageAssets(df: DataFrame, idCol: String): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("asset_id", LongType, nullable = false),
+      StructField("content", BinaryType, nullable = true)))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    df.select(col(idCol).cast("long").as("asset_id"))
+      .mapPartitions { it =>
+        it.map { r =>
+          val id = r.getLong(0)
+          val w = (4 + id % 5).toInt
+          val h = (3 + id % 4).toInt
+          def px(x: Int, y: Int) = (
+            ((id * 7 + 3 * x + 5 * y) % 256).toInt,
+            ((id * 11 + x + 2 * y) % 256).toInt,
+            ((id * 13 + 2 * x + y) % 256).toInt)
+          val img =
+            if (id % 2 == 0) PngCodec.encodePng24(w, h, px)
+            else ImageCodec.encodeBmp24(w, h, px)
+          val payload =
+            if (id % 13 == 0) img.take(20) // signature ok, body gone
+            else img
+          Row(id, payload)
+        }
+      }(enc)
   }
 
   /** Pixel-duplicate BMP fixture: consecutive id pairs (2k, 2k+1)

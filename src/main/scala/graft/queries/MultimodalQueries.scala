@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.Tables._
-import graft.operators.MultimodalOps
+import graft.operators.{MultimodalOps, PngCodec}
 
 /** Multimodal-column queries over the documents corpus standing in for
   * media assets. Since r12 all three modalities decode through REAL
@@ -268,6 +268,24 @@ object MultimodalQueries {
       val r = capped.select(col("asset_id").as("b"), col("vhash_bits"))
       l.join(r, Seq("vhash_bits")).filter(col("a") < col("b"))
         .select("a", "b", "vhash_bits")
+    }),
+
+    // Real WIRE-FORMAT decode (mm15): mm8's contract on the containers
+    // corpora actually ship — even ids arrive as JDK-written PNG, odd
+    // ids as hand-rolled BMP, and ONE magic-sniffing kernel
+    // (PngCodec.decodeAuto) decodes both to the same top-down RGB,
+    // feature sums hash-gated against the same analytic oracle (PNG is
+    // lossless, so the pixels are bit-identical across containers;
+    // JPEG rides the same seam but is never hash-gated — lossy).
+    // Every 13th payload is torn after the signature: the miss path
+    // fires in-band on both container branches.
+    "mm15_decode_wire" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      MultimodalOps.decodeImageFeatures(
+        MultimodalOps.synthWireImageAssets(documents(s, d), "doc_id"),
+        kernel = PngCodec.decodeAuto)
+        .select(col("asset_id"), col("img_w"), col("img_h"),
+          col("sum_r"), col("sum_g"), col("sum_b"), col("decoded"))
     })
   )
 
@@ -634,6 +652,22 @@ object MultimodalQueries {
            QUALIFY count(*) OVER (PARTITION BY vhash_bits) <= 8)
          SELECT l.id AS a, r.id AS b, l.vhash_bits
          FROM capped l JOIN capped r
-           ON l.vhash_bits = r.vhash_bits AND l.id < r.id"""
+           ON l.vhash_bits = r.vhash_bits AND l.id < r.id""",
+
+    // container-invariant decode evidence: the PNG/BMP split changes
+    // only the bytes on the wire, never the pixels, so mm15 replays
+    // mm8's analytic CTE verbatim — if either container branch (or the
+    // magic sniff) shifted a single pixel, a channel sum would move
+    // and the hash would break
+    "mm15_decode_wire" ->
+      s"""WITH $sumsCte
+         SELECT id AS asset_id,
+           CASE WHEN id % 13 = 0 THEN NULL ELSE w::INT END AS img_w,
+           CASE WHEN id % 13 = 0 THEN NULL ELSE h::INT END AS img_h,
+           CASE WHEN id % 13 = 0 THEN NULL ELSE sr END AS sum_r,
+           CASE WHEN id % 13 = 0 THEN NULL ELSE sg END AS sum_g,
+           CASE WHEN id % 13 = 0 THEN NULL ELSE sb END AS sum_b,
+           (id % 13 <> 0) AS decoded
+         FROM sums"""
   )
 }

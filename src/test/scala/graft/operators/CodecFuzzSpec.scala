@@ -78,4 +78,21 @@ class CodecFuzzSpec extends AnyFunSuite {
       (c: VideoCodec.DecodedY4m) =>
         (0 until c.nFrames).foreach(c.planeSums))
   }
+
+  test("decodePng never throws under mutation, truncation, or splice") {
+    val base = PngCodec.encodePng24(9, 7, (x, y) => (x * 29, y * 53, x + y))
+    exercise("png", base, PngCodec.decodePng,
+      (img: ImageCodec.DecodedImage) => ImageCodec.channelSums(img))
+  }
+
+  test("decodeAuto never throws across sniffed containers under mutation") {
+    // mutations can flip a payload's magic INTO another branch's —
+    // the sniffing kernel must stay in-band on all of them
+    for ((name, base) <- Seq(
+        "auto-bmp" -> ImageCodec.encodeBmp24(9, 7, (x, y) => (x, y, x + y)),
+        "auto-png" -> PngCodec.encodePng24(9, 7, (x, y) => (x, y, x + y)))) {
+      exercise(name, base, PngCodec.decodeAuto,
+        (img: ImageCodec.DecodedImage) => ImageCodec.channelSums(img))
+    }
+  }
 }
