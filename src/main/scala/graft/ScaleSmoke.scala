@@ -822,20 +822,24 @@ object ScaleSmoke {
       Release(capCorpus, blocking = true)
     }
 
-    // geocodeFuzzyViaJoin under the DEGENERATE EMPTY BLOCK (round 12):
-    // 1M digit-less OCR misses (widows, continuation lines, "h
-    // Broadway" forms) against a dimension whose digit-less block holds
-    // 5000 streets. Uncapped, every digit-less miss joins every
-    // digit-less dimension key — 5·10⁹ levenshtein pairs through one
-    // hot join key, the r11 verdict's scale seam. The MaxFuzzyBlock cap
-    // (2000) drops the oversized block PRE-JOIN, so the lane completes
-    // in seconds with every digit-less miss in-band as found:false —
-    // while 100k NUMBERED typos in the same frame still rescue through
-    // their (tiny) house-number blocks, proving the cap starves only
-    // the degenerate block, not the fuzzy path.
+    // geocodeFuzzyViaJoin under the DEGENERATE DIGIT-LESS REGIME
+    // (round 12 boundedness, round 13 rescue): 1M digit-less OCR
+    // misses (widows, continuation lines, "h Broadway" forms) against
+    // a dimension with 5000 digit-less streets. Pre-r13, the one empty
+    // house-number block either cross-joined everything (5·10⁹
+    // levenshtein pairs through one hot key, uncapped) or — capped —
+    // starved every digit-less address. The alphaBlocks secondary
+    // blocking ((first char, band) + (last char, band), capped per
+    // block) bounds the fan-out per miss to a handful of sub-cap
+    // blocks AND rescues digit-less typos: the lane asserts all three
+    // regimes at once — 1M unmatched widows stay in-band found:false
+    // without a quadratic join, 100k numbered typos rescue through
+    // house blocks, and 50k digit-less 1-edit typos rescue through
+    // the secondary blocks.
     lane("fuzzygeo") {
       val missN = 1000000L
       val typoN = 100000L
+      val bareTypoN = 50000L
       val geomSql = "named_struct('type', 'Point', 'coordinates'," +
         " array(array(0.0d, 0.0d)))"
       // dimension: 100k numbered "N main street" + 5000 digit-less streets
@@ -859,7 +863,13 @@ object ScaleSmoke {
       val numTypo = spark.range(typoN).select((col("id") + missN).as("gid"),
         array(struct(concat(col("id").cast("string"),
           lit(" main stret")).as("value"))).as("locations"))
-      val facts = bareMiss.unionByName(numTypo)
+      // digit-less 1-edit typos ("street" → "stret") of real dim keys:
+      // must rescue through the secondary blocks, never the house block
+      val bareTypo = spark.range(bareTypoN)
+        .select((col("id") + missN + typoN).as("gid"),
+          array(struct(concat(lit("bare stret "),
+            (col("id") % 5000L).cast("string")).as("value"))).as("locations"))
+      val facts = bareMiss.unionByName(numTypo).unionByName(bareTypo)
         .select(col("gid"), struct(col("locations")).as("parsed"))
         .localCheckpoint()
       val t0 = System.nanoTime()
@@ -867,12 +877,17 @@ object ScaleSmoke {
         .geocodeFuzzyViaJoin(facts, fuzzyDim, "gid")
         .agg(
           sum(when(expr("geocoded[0].found"), 1L).otherwise(0L)),
+          sum(when(col("gid") >= missN + typoN &&
+            expr("geocoded[0].found"), 1L).otherwise(0L)),
           count(lit(1))).first()
       val fgSec = (System.nanoTime() - t0) / 1e9
-      val found = agg.getLong(0); val rows = agg.getLong(1)
-      println(s"""{"fuzzygeo_misses":$missN,"typos":$typoN,"sec":${round1(fgSec)},"found":$found}""")
-      require(rows == missN + typoN && found == typoN,
-        s"fuzzy cap semantics broke: rows=$rows found=$found want=$typoN")
+      val found = agg.getLong(0); val bareFound = agg.getLong(1)
+      val rows = agg.getLong(2)
+      println(s"""{"fuzzygeo_misses":$missN,"typos":$typoN,"bare_typos":$bareTypoN,"sec":${round1(fgSec)},"found":$found}""")
+      require(rows == missN + typoN + bareTypoN &&
+        found == typoN + bareTypoN && bareFound == bareTypoN,
+        s"fuzzy rescue semantics broke: rows=$rows found=$found " +
+          s"bare=$bareFound want=${typoN + bareTypoN}")
       Release(fuzzyDim, blocking = true)
       Release(facts, blocking = true)
     }

@@ -153,18 +153,57 @@ object Geocoder {
     * digit-less misses against all digit-less dimension keys. The rule
     * is applied identically in [[buildFuzzyIndex]] (block dropped from
     * the broadcast map) and [[geocodeFuzzyViaJoin]] (block filtered
-    * pre-join), so the two paths still agree row-for-row. */
+    * pre-join), so the two paths still agree row-for-row. Digit-less
+    * keys never ride the empty block at all: they sub-block via
+    * [[alphaBlocks]] (r13), and this cap applies per secondary block. */
   val MaxFuzzyBlock: Long = 2000L
 
-  /** Fuzzy index: the exact map plus candidates blocked by house number
+  /** Length-band width for the digit-less secondary blocks. */
+  private[geocode] val AlphaBandWidth = 4
+
+  /** Secondary blocks for a DIGIT-LESS dimension key — the r13 rescue
+    * for the regime the [[MaxFuzzyBlock]] cap used to starve: a real
+    * city-directory corpus is full of digit-less lines (widows,
+    * continuation lines, "h Broadway" forms), and lumping them all into
+    * the one empty house-number block either cross-joins everything
+    * (uncapped) or rescues nothing (capped). Each digit-less key posts
+    * into TWO blocks — (first char, length band) and (last char,
+    * length band) — so a single edit anywhere in the key still leaves
+    * at least one block intact (an edit can corrupt the first char OR
+    * the last, not both; a 2-edit typo hitting both ends is the
+    * documented recall trade every blocking scheme makes). Both paths
+    * apply this rule identically; candidates that arrive through both
+    * blocks collapse in the (distance, key) ranking.
+    */
+  private[geocode] def alphaBlocks(key: String): Seq[String] =
+    if (key.isEmpty) Seq.empty
+    else {
+      val band = key.length / AlphaBandWidth
+      Seq(s"f:${key.head}/$band", s"l:${key.last}/$band")
+    }
+
+  /** The fact-side probe set for a digit-less key: its own two blocks
+    * at every length band an edit within `maxEdit` could shift it to
+    * (bands floor at 0, mirroring the join lowering's `greatest`). */
+  private[geocode] def alphaProbes(key: String, maxEdit: Int): Seq[String] =
+    if (key.isEmpty) Seq.empty
+    else (-maxEdit to maxEdit).flatMap { d =>
+      val band = math.max(key.length + d, 0) / AlphaBandWidth
+      Seq(s"f:${key.head}/$band", s"l:${key.last}/$band")
+    }.distinct
+
+  /** Fuzzy index: the exact map, candidates blocked by house number
     * (the leading digit run — OCR rarely corrupts it, street names
-    * often). Blocks larger than `maxBlockSize` are dropped (see
-    * [[MaxFuzzyBlock]]). Both structures ride one broadcast.
+    * often), and the digit-less secondary blocks ([[alphaBlocks]]).
+    * Blocks larger than `maxBlockSize` are dropped (see
+    * [[MaxFuzzyBlock]]). All three structures ride one broadcast.
     */
   def buildFuzzyIndex(spark: SparkSession, dim: Dataset[GeoAddress],
                       maxIndexRows: Long = MaxIndexRows,
                       maxBlockSize: Long = MaxFuzzyBlock)
-      : Broadcast[(Map[String, GeoResult], Map[String, Seq[(String, GeoResult)]])] = {
+      : Broadcast[(Map[String, GeoResult],
+                   Map[String, Seq[(String, GeoResult)]],
+                   Map[String, Seq[(String, GeoResult)]])] = {
     // ENFORCED driver-safety bound: an oversized dimension must fail
     // loudly here instead of OOMing the driver — callers wanting
     // size-aware dispatch onto the join-lowered fuzzy path use
@@ -191,10 +230,17 @@ object Geocoder {
           a.geometry)
       }.toSeq
     val exact = entries.toMap
-    val byNumber = entries.groupBy { case (key, _) => houseBlock(key) }
+    val (numbered, digitless) =
+      entries.partition { case (key, _) => houseBlock(key).nonEmpty }
+    val byNumber = numbered.groupBy { case (key, _) => houseBlock(key) }
       .filter { case (_, es) => es.size <= maxBlockSize }
       .map { case (num, es) => num -> es.toSeq.sortBy(_._1) }
-    spark.sparkContext.broadcast((exact, byNumber))
+    val byAlpha = digitless
+      .flatMap { case e @ (key, _) => alphaBlocks(key).map(_ -> e) }
+      .groupBy(_._1)
+      .filter { case (_, es) => es.size <= maxBlockSize }
+      .map { case (blk, es) => blk -> es.map(_._2).toSeq.sortBy(_._1) }
+    spark.sparkContext.broadcast((exact, byNumber, byAlpha))
   }
 
   /** Fuzzy variant of [[geocode]] — the semantic twin of the reference's
@@ -205,19 +251,25 @@ object Geocoder {
     * lookup — the fact side never shuffles.
     */
   def geocodeFuzzy(df: DataFrame,
-                   index: Broadcast[(Map[String, GeoResult], Map[String, Seq[(String, GeoResult)]])],
+                   index: Broadcast[(Map[String, GeoResult],
+                                     Map[String, Seq[(String, GeoResult)]],
+                                     Map[String, Seq[(String, GeoResult)]])],
                    locationsCol: String = "parsed.locations",
                    maxEdit: Int = 2): DataFrame = {
     val lookup = udf { (locations: Seq[String]) =>
       if (locations == null) Seq.empty[Geocoded]
       else locations.map { value =>
         val key = normalizeAddress(value)
-        val (exact, byNumber) = index.value
+        val (exact, byNumber, byAlpha) = index.value
         exact.get(key) match {
           case Some(r) => Geocoded(found = true, Some(r), None)
           case None =>
-            val block = byNumber.getOrElse(houseBlock(key), Seq.empty)
-            val best = block.iterator
+            val blk = houseBlock(key)
+            val block: Iterator[(String, GeoResult)] =
+              if (blk.nonEmpty) byNumber.getOrElse(blk, Seq.empty).iterator
+              else alphaProbes(key, maxEdit).iterator
+                .flatMap(b => byAlpha.getOrElse(b, Seq.empty))
+            val best = block
               .map { case (k, r) => (editDistance(key, k, maxEdit), k, r) }
               .filter(_._1 <= maxEdit)
               .minByOption { case (d, k, _) => (d, k) }
@@ -378,6 +430,17 @@ object Geocoder {
         struct(lit(true).as("found"), col("_result").as("result"),
           lit(null).cast("string").as("error")).as("_geocoded"))
     val blockOf = (k: Column) => regexp_extract(k, "^[0-9]*", 0)
+    // digit-less secondary block keys: (first char, length band) and
+    // (last char, length band) — the [[alphaBlocks]] rule, expressed in
+    // Catalyst so both paths stay bit-identical; `band` floors at 0
+    // exactly like alphaProbes' math.max
+    val bandOf = (len: Column) =>
+      floor(greatest(len, lit(0)).cast("long") / AlphaBandWidth)
+    val alphaBlocksOf = (k: Column) => array(
+      concat(lit("f:"), substring(k, 1, 1), lit("/"),
+        bandOf(length(k))),
+      concat(lit("l:"), substring(k, -1, 1), lit("/"),
+        bandOf(length(k))))
     val misses = exact.filter(col("_result").isNull)
       .select(col("_gid"), col("_pos"), col("_addr"), col("_key"))
       .withColumn("_blk", blockOf(col("_key")))
@@ -389,9 +452,32 @@ object Geocoder {
     val dimBlocked = dimKeyed
       .select(blockOf(col("_key")).as("_blk"), col("_key").as("_ck"),
         col("_result"))
+      .filter(col("_blk") =!= "")
       .withColumn("_bn", count(lit(1)).over(blockWindow))
       .filter(col("_bn") <= maxBlockSize).drop("_bn")
-    val fuzzy = misses.join(dimBlocked, Seq("_blk"), "left")
+    // digit-less dimension entries post into BOTH secondary blocks;
+    // the cap applies per secondary block, same window-count shape
+    val dimAlpha = dimKeyed
+      .filter(blockOf(col("_key")) === "" && length(col("_key")) > 0)
+      .select(explode(alphaBlocksOf(col("_key"))).as("_blk"),
+        col("_key").as("_ck"), col("_result"))
+      .withColumn("_bn", count(lit(1)).over(blockWindow))
+      .filter(col("_bn") <= maxBlockSize).drop("_bn")
+    val missesN = misses.filter(col("_blk") =!= "")
+    // digit-less misses probe every band an edit could shift them to;
+    // explode_outer keeps empty-key rows alive as in-band misses
+    val missesA = misses.filter(col("_blk") === "").drop("_blk")
+      .withColumn("_blk", explode_outer(when(length(col("_key")) > 0,
+        array_distinct(flatten(transform(
+          sequence(lit(-maxEdit), lit(maxEdit)),
+          d => array(
+            concat(lit("f:"), substring(col("_key"), 1, 1), lit("/"),
+              bandOf(length(col("_key")) + d)),
+            concat(lit("l:"), substring(col("_key"), -1, 1), lit("/"),
+              bandOf(length(col("_key")) + d)))))))))
+    val candidates = missesN.join(dimBlocked, Seq("_blk"), "left")
+      .unionByName(missesA.join(dimAlpha, Seq("_blk"), "left"))
+    val fuzzy = candidates
       .withColumn("_d", when(col("_ck").isNotNull,
         levenshtein(col("_key"), col("_ck"), maxEdit)))
       // struct-min over (_d, _ck, _result): (_d, _ck) is a total order

@@ -217,11 +217,16 @@ class GeocoderSpec extends SparkSpec {
   }
 
   test("fuzzy block cap: an oversized block yields in-band misses on BOTH paths") {
-    val dim = mkDim(Seq("pearl street", "bowery", "maiden lane"))
+    // digit-less entries sharing BOTH secondary blocks (first char 'p',
+    // last char 't', length band 2) — at cap 2 every candidate block a
+    // digit-less typo could probe is dropped; numbered entries share
+    // house block "11"
+    val dim = mkDim(Seq("pearl street", "peach street", "perry street",
+      "11 bowery", "11 bowery x", "11 bowery y"))
     val lines = mkLines(Seq(
-      (1L, Seq("Perl street")),   // fuzzy-only → capped away
-      (2L, Seq("bowery"))))       // exact hit survives the cap
-    // cap below the empty block's 3 entries → the block serves nothing
+      (1L, Seq("pearls street")), // 1 edit, both target blocks capped
+      (2L, Seq("11 bowerz")),     // 1 edit, house block capped
+      (3L, Seq("11 bowery"))))    // exact hit survives the cap
     val broad = Geocoder.geocodeFuzzy(lines,
       Geocoder.buildFuzzyIndex(spark, dim, maxBlockSize = 2L))
     val joined = Geocoder.geocodeFuzzyViaJoin(lines, dim.toDF(), "id",
@@ -229,8 +234,41 @@ class GeocoderSpec extends SparkSpec {
     assert(render(broad) == render(joined))
     val got = broad.select(col("id"), expr("geocoded[0].found"))
       .as[(Long, Boolean)].collect().toMap
-    assert(!got(1L), "capped block must miss in-band")
-    assert(got(2L), "exact path must ignore the fuzzy cap")
+    assert(!got(1L), "capped secondary blocks must miss in-band")
+    assert(!got(2L), "capped house block must miss in-band")
+    assert(got(3L), "exact path must ignore the fuzzy cap")
+    // at the default cap the same typos rescue on both paths
+    val broadOk = Geocoder.geocodeFuzzy(lines,
+      Geocoder.buildFuzzyIndex(spark, dim))
+    val joinedOk = Geocoder.geocodeFuzzyViaJoin(lines, dim.toDF(), "id")
+    assert(render(broadOk) == render(joinedOk))
+    val gotOk = broadOk.select(col("id"), expr("geocoded[0].found"))
+      .as[(Long, Boolean)].collect().toMap
+    assert(gotOk(1L) && gotOk(2L) && gotOk(3L))
+  }
+
+  test("digit-less rescue: typos at the first char, last char, and across a length band all rescue on BOTH paths") {
+    val dim = mkDim(Seq("pearl street", "bowery", "maiden lane"))
+    val lines = mkLines(Seq(
+      (1L, Seq("searl street")),    // first char corrupted → l: block
+      (2L, Seq("pearl streex")),    // last char corrupted → f: block
+      (3L, Seq("pearl stree")),     // len 11 = band 2 vs dim band 3:
+                                    // probe bands span the edit radius
+      (4L, Seq("bowerr")),          // short key, 1 edit
+      (5L, Seq("xxearl street"))))  // 2 edits INCLUDING the first char:
+                                    // rescued through the l: block
+    val broad = Geocoder.geocodeFuzzy(lines,
+      Geocoder.buildFuzzyIndex(spark, dim))
+    val joined = Geocoder.geocodeFuzzyViaJoin(lines, dim.toDF(), "id")
+    assert(render(broad) == render(joined))
+    val got = broad.select(col("id"), expr("geocoded[0].found"),
+        expr("geocoded[0].result.properties.address.name"))
+      .as[(Long, Boolean, Option[String])].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    for (id <- 1L to 3L)
+      assert(got(id) == ((true, Some("pearl street"))), s"id=$id")
+    assert(got(4L) == ((true, Some("bowery"))))
+    assert(got(5L) == ((true, Some("pearl street"))))
   }
 
   test("house block is ASCII-only on both paths: Unicode digits share the empty block") {
