@@ -50,6 +50,7 @@ object GraftFunctions {
       intArg(exprs(1), "year_in_range", 2),
       intArg(exprs(2), "year_in_range", 3))),
     "char_entropy" -> (exprs => CharEntropyExpr(exprs(0))),
+    "unicode_norm_key" -> (exprs => UnicodeNormKeyExpr(exprs(0))),
     "repetition_stats" -> (exprs => RepetitionStatsExpr(exprs(0))),
     "morton" -> (exprs => MortonExpr(exprs(0), exprs(1))))
 

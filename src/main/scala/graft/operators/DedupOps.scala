@@ -22,6 +22,12 @@ object DedupOps {
 
   /** Exact dedup: one representative (min of `idCol`) per distinct value
     * of `keyCols`. Map-side partial agg + one shuffle on the key hash.
+    *
+    * Unicode composition (tx48): raw-byte keys split NFC/NFD twins,
+    * full-width forms, and homoglyph spoofs — pass
+    * `md5(unicode_norm_key(text))` ([[graft.functions.UnicodeNorm]])
+    * as the key instead of `md5(text)` to dedup on the canonical form;
+    * the same composition applies to shingle grams before MinHash.
     */
   def dedupExact(df: DataFrame, keyCols: Seq[String], idCol: String): DataFrame =
     df.groupBy(keyCols.map(col): _*)

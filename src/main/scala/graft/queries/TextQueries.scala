@@ -497,6 +497,47 @@ object TextQueries {
         .groupBy("lang")
         .agg(count(lit(1)).as("n_docs"),
           round(avg("n_chars"), 2).as("avg_chars"))
+    }),
+
+    // Unicode-canonical dedup keys (tx48): the corpus is salted with
+    // byte-different Unicode twins of each doc's 40-char prefix —
+    // NFC "café", NFD "cafe"+combining-acute, upper-case NFC,
+    // full-width "ｃａｆｅ", and Cyrillic-homoglyph "саfе" — exactly the
+    // variants raw-byte md5 dedup (dd1) structurally splits. The
+    // native `unicode_norm_key` expression (NFKC → casefold →
+    // homoglyph strip) collapses them; the lane emits each row's
+    // canonical key and its twin count (the dd1 composition:
+    // groupBy(md5(unicode_norm_key(text)))), plus the raw-byte group
+    // count to exhibit the miss the normalization repairs. The oracle
+    // never normalizes: it reconstructs the canonical key analytically
+    // from the generative rule (the planted deviations are known), so
+    // a single mis-normalized codepoint shifts a key and breaks the
+    // hash.
+    "tx48_unicode_norm" -> ((s, d) => {
+      val base = lower(substring(col("text"), 1, 40))
+      val suffix = col("doc_id") % 5
+      // escape sequences, NEVER literal glyphs: an editor or tool in
+      // the chain silently NFC-normalizing the source would turn the
+      // NFD case into a no-op and the lane would stop testing it
+      val planted = concat(base,
+        when(suffix === 0, lit(" cafe"))
+          .when(suffix === 1, lit(" CAF\u00c9"))      // NFC, cased
+          .when(suffix === 2, lit(" cafe\u0301"))     // NFD
+          .when(suffix === 3,                         // full-width
+            lit(" \uff43\uff41\uff46\uff45"))
+          .otherwise(lit(" \u0441\u0430f\u0435")))    // Cyrillic homoglyphs
+      val normW = org.apache.spark.sql.expressions.Window
+        .partitionBy("norm_key")
+      val rawW = org.apache.spark.sql.expressions.Window
+        .partitionBy("raw_md5")
+      documents(s, d)
+        .select(col("doc_id"),
+          graft.functions.UnicodeNorm.unicodeNormKey(planted)
+            .as("norm_key"),
+          md5(planted).as("raw_md5"))
+        .withColumn("twins", count(lit(1)).over(normW))
+        .withColumn("raw_twins", count(lit(1)).over(rawW))
+        .select("doc_id", "norm_key", "twins", "raw_twins")
     })
   )
 
@@ -1378,6 +1419,29 @@ object TextQueries {
           SELECT lang, count(*) AS n_docs,
             round(avg(n_chars), 2) AS avg_chars
           FROM kept JOIN ids USING (doc_id)
-          GROUP BY lang"""
+          GROUP BY lang""",
+
+    // the canonical key reconstructed ANALYTICALLY from the planted
+    // rule, never by normalizing: classes {1 NFC-cased, 2 NFD} must
+    // land on base || ' caf' || chr(233) (U+00E9, the NFC composition)
+    // and classes {0 ascii, 3 full-width, 4 homoglyph} on
+    // base || ' cafe' — so a single mis-normalized codepoint on the
+    // Spark side shifts a key and breaks the hash; raw-byte groups are
+    // exactly (base, class) since every class suffix is byte-distinct
+    "tx48_unicode_norm" ->
+      """WITH p AS (
+           SELECT doc_id,
+             lower(substring(text, 1, 40)) AS base,
+             doc_id % 5 AS cls
+           FROM documents),
+         k AS (
+           SELECT doc_id, base, cls,
+             base || CASE WHEN cls IN (1, 2) THEN ' caf' || chr(233)
+                          ELSE ' cafe' END AS norm_key
+           FROM p)
+         SELECT doc_id, norm_key,
+           count(*) OVER (PARTITION BY norm_key) AS twins,
+           count(*) OVER (PARTITION BY base, cls) AS raw_twins
+         FROM k"""
   )
 }
