@@ -289,6 +289,40 @@ object MultimodalQueries {
     })
   )
 
+  /** The mm12 analytic aHash CTE chain over the PAIR fixture
+    * ([[MultimodalOps.synthBmpPairAssets]]): every fingerprint replayed
+    * from the generative channel formulas over gid = id − id % 2 —
+    * shared by mm12's capped pair join and st15's streaming-dedup
+    * oracle. Emits `bits(id, ahash_bits)`. */
+  private[queries] val ahashBitsCte: String =
+    """pars AS (
+           SELECT doc_id AS id, (doc_id - doc_id % 2) AS gid,
+             (4 + (doc_id - doc_id % 2) % 5)::INT AS w,
+             (3 + (doc_id - doc_id % 2) % 4)::INT AS h
+           FROM documents),
+         pxx AS (SELECT id, gid, w, h, unnest(range(w)) AS x FROM pars),
+         pxy AS (SELECT id, gid, w, h, x, unnest(range(h)) AS y FROM pxx),
+         lum AS (SELECT id, w, h,
+             ((y * 8 // h) * 8 + (x * 8 // w)) AS b,
+             ((gid*7 + 3*x + 5*y) % 256) + ((gid*11 + x + 2*y) % 256)
+               + ((gid*13 + 2*x + y) % 256) AS l
+           FROM pxy),
+         blk AS (SELECT id, b, sum(l)::BIGINT AS bs, count(*)::BIGINT AS bn
+                 FROM lum GROUP BY 1, 2),
+         tot AS (SELECT id, sum(l)::BIGINT AS ts,
+                        (max(w)::BIGINT * max(h)) AS n
+                 FROM lum GROUP BY 1),
+         grid AS (SELECT id, unnest(range(64)) AS b FROM pars),
+         bits AS (
+           SELECT grid.id,
+             string_agg(CASE WHEN coalesce(bs, 0) * n > ts * coalesce(bn, 0)
+                             THEN '1' ELSE '0' END, '' ORDER BY grid.b)
+               AS ahash_bits
+           FROM grid
+           LEFT JOIN blk ON grid.id = blk.id AND grid.b = blk.b
+           JOIN tot ON grid.id = tot.id
+           GROUP BY grid.id)"""
+
   /** The mm8 analytic-decode CTE chain: per-doc dims and per-channel
     * sums computed from the generative pixel formulas WITHOUT parsing
     * bytes — the cross-engine half of the real-decode contract, shared
@@ -531,33 +565,7 @@ object MultimodalQueries {
     // mapping and the same cross-multiplied mean comparison; empty
     // blocks (w < 8) contribute '0' on both sides via the LEFT JOIN
     "mm12_ahash_pairs" ->
-      """WITH pars AS (
-           SELECT doc_id AS id, (doc_id - doc_id % 2) AS gid,
-             (4 + (doc_id - doc_id % 2) % 5)::INT AS w,
-             (3 + (doc_id - doc_id % 2) % 4)::INT AS h
-           FROM documents),
-         pxx AS (SELECT id, gid, w, h, unnest(range(w)) AS x FROM pars),
-         pxy AS (SELECT id, gid, w, h, x, unnest(range(h)) AS y FROM pxx),
-         lum AS (SELECT id, w, h,
-             ((y * 8 // h) * 8 + (x * 8 // w)) AS b,
-             ((gid*7 + 3*x + 5*y) % 256) + ((gid*11 + x + 2*y) % 256)
-               + ((gid*13 + 2*x + y) % 256) AS l
-           FROM pxy),
-         blk AS (SELECT id, b, sum(l)::BIGINT AS bs, count(*)::BIGINT AS bn
-                 FROM lum GROUP BY 1, 2),
-         tot AS (SELECT id, sum(l)::BIGINT AS ts,
-                        (max(w)::BIGINT * max(h)) AS n
-                 FROM lum GROUP BY 1),
-         grid AS (SELECT id, unnest(range(64)) AS b FROM pars),
-         bits AS (
-           SELECT grid.id,
-             string_agg(CASE WHEN coalesce(bs, 0) * n > ts * coalesce(bn, 0)
-                             THEN '1' ELSE '0' END, '' ORDER BY grid.b)
-               AS ahash_bits
-           FROM grid
-           LEFT JOIN blk ON grid.id = blk.id AND grid.b = blk.b
-           JOIN tot ON grid.id = tot.id
-           GROUP BY grid.id),
+      s"""WITH $ahashBitsCte,
          capped AS (
            SELECT id, ahash_bits FROM bits
            QUALIFY count(*) OVER (PARTITION BY ahash_bits) <= 8)

@@ -235,6 +235,29 @@ object StreamParityQueries {
             StreamParity.documentsStream(s, d), "doc_id"))
           .select(col("asset_id"), col("img_w"), col("img_h"),
             col("sum_r"), col("sum_g"), col("sum_b"), col("decoded")))
+    }),
+
+    // STATEFUL streaming on real-kernel rows (st15): st14 gates the
+    // stateless decode stream; this lane pushes the decoded
+    // fingerprints through the STATE STORE — aHash over the mm12 pair
+    // fixture, then dropDuplicatesWithinWatermark on the fingerprint
+    // (the st4 pattern on media rows). Every row carries the SAME
+    // event time, so the watermark never passes it, no key ever
+    // expires, and the drained output is exactly the distinct
+    // fingerprint set — which physical row survives per key is
+    // arrival-dependent, the key set is not (st4's verifiable-surface
+    // rule).
+    "st15_stream_neardup" -> ((s, d) => {
+      import graft.operators.MultimodalOps
+      StreamParity.drainAppend(
+        MultimodalOps.aHashBits(
+          MultimodalOps.synthBmpPairAssets(
+            StreamParity.documentsStream(s, d), "doc_id"))
+          .withColumn("ts",
+            lit("2020-01-01 00:00:00").cast("timestamp"))
+          .withWatermark("ts", WM)
+          .dropDuplicatesWithinWatermark("ahash_bits")
+          .select(col("ahash_bits")))
     })
   )
 
@@ -395,6 +418,13 @@ object StreamParityQueries {
            CASE WHEN id % 13 = 0 THEN NULL ELSE sg END AS sum_g,
            CASE WHEN id % 13 = 0 THEN NULL ELSE sb END AS sum_b,
            (id % 13 <> 0) AS decoded
-         FROM sums"""
+         FROM sums""",
+
+    // st15's state-store dedup drained to completion equals batch
+    // DISTINCT over the analytically replayed fingerprints (constant
+    // event time → no key expiry → the full distinct set, exactly once)
+    "st15_stream_neardup" ->
+      s"""WITH ${MultimodalQueries.ahashBitsCte}
+         SELECT DISTINCT ahash_bits FROM bits"""
   )
 }

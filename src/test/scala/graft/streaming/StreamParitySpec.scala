@@ -119,6 +119,22 @@ class StreamParitySpec extends SparkSpec {
     assert(multi == batch)
   }
 
+  test("st15: state-store dedup over real-kernel fingerprints equals batch distinct") {
+    import graft.operators.MultimodalOps
+    val streamed = graft.queries.StreamParityQueries
+      .queries("st15_stream_neardup")(spark, sf)
+      .as[String].collect().toSet
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val batch = MultimodalOps.aHashBits(
+        MultimodalOps.synthBmpPairAssets(docs, "doc_id"))
+      .select("ahash_bits").distinct().as[String].collect().toSet
+    assert(streamed == batch, "stream drain diverged from batch distinct")
+    // the dedup must be REAL state: the fixture plants duplicate
+    // fingerprints (pairs + natural collisions), so distinct < rows
+    assert(batch.nonEmpty && batch.size < docs.count(),
+      s"vacuous dedup: ${batch.size} keys over ${docs.count()} rows")
+  }
+
   test("drain copies the sink out and drops the temp view") {
     val before = spark.catalog.listTables().count()
     val out = StreamParity.drainAppend(
