@@ -31,7 +31,9 @@ object ExplainAudit {
         "tx39_bpe_tokenize", "dd16_simhash_wide", "cd14_geocode_fuzzy",
         "dd17_keep_best", "tx40_source_cap", "tx41_token_budget",
         "tx42_snapshot_diff", "ss16_knn_graph", "ss17_knn_multiprobe",
-        "dq3_quarantine", "gr8_modularity")
+        "dq3_quarantine", "gr8_modularity",
+        "mm14_video_neardup", "mm15_decode_wire", "tx48_unicode_norm",
+        "mm16_frame_containment")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

@@ -768,6 +768,119 @@ object MultimodalOps {
     }(enc)
   }
 
+  /** Triplet Y4M fixture for FRAME-LEVEL containment (mm16): ids group
+    * in threes on `bs = id − id % 3`, all sampling one luma stream
+    * indexed by GLOBAL time t —
+    *   - member 0: frames t = 0..3;
+    *   - member 1: frames t = 2..5 — a TRIMMED/offset re-cut sharing
+    *     exactly two frames with member 0 (the shape a whole-clip
+    *     fingerprint like [[videoAHashFingerprint]] structurally
+    *     misses: different frame sets, different concatenated bits);
+    *   - member 2: member 0's samples under the swapped chroma-siting
+    *     tag (byte-different, frame-identical — shares all four).
+    * Flat triplets (`(bs/3) % 7 == 0`) paint constant luma: every
+    * frame of every flat clip hashes to the all-zeros pattern, one
+    * degenerate bucket that grows with the corpus and always trips the
+    * per-hash cap. The non-flat luma varies its gradient slope per
+    * triplet (the mm14 lesson — a fixed affine slope collapses the
+    * hash space and the cap starves the lane at scale).
+    */
+  def synthY4mTrimAssets(df: DataFrame, idCol: String): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("asset_id", LongType, nullable = false),
+      StructField("content", BinaryType, nullable = true)))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    df.select(col(idCol).cast("long").as("asset_id"))
+      .mapPartitions { it =>
+        it.map { r =>
+          val id = r.getLong(0)
+          val bs = id - id % 3
+          val m = id % 3
+          val q = bs / 3
+          val flat = q % 7 == 0
+          val w = (4 + 2 * (q % 3)).toInt
+          val h = (2 + 2 * (q % 2)).toInt
+          val f0 = if (m == 1) 2 else 0
+          def lum(f: Int, p: Int) = {
+            val t = f + f0
+            if (flat) (q * 31 % 251).toInt
+            else ((bs * 9973 + t * 101 + (2 * (q % 97) + 37) * p) % 256).toInt
+          }
+          def chrU(f: Int, q2: Int) = ((bs * 5 + (f + f0) * 11 + q2) % 256).toInt
+          def chrV(f: Int, q2: Int) = ((bs * 13 + 2 * (f + f0) + q2) % 256).toInt
+          val clip = VideoCodec.encodeY4m420(w, h, 4, lum, chrU, chrV)
+          val payload = if (m == 2) {
+            val head = new String(clip, 0, 64,
+              java.nio.charset.StandardCharsets.US_ASCII)
+            val at = head.indexOf("C420jpeg")
+            clip.take(at) ++
+              "C420mpeg2".getBytes(
+                java.nio.charset.StandardCharsets.US_ASCII) ++
+              clip.drop(at + 8)
+          } else clip
+          Row(id, payload)
+        }
+      }(enc)
+  }
+
+  /** Per-frame Y-plane aHash as ROWS — [[videoAHashFingerprint]]'s
+    * walk, but each sampled frame emits its own (frame_idx, fhash) row
+    * instead of concatenating into a clip string, so frame hashes can
+    * JOIN across clips: trimmed re-cuts, offset clips, and spliced
+    * compilations share individual frames even when the clip-level
+    * fingerprints differ. Corrupt payloads emit ONE in-band null-hash
+    * row (every asset stays accounted for — the dead-letter
+    * discipline).
+    */
+  def videoFrameHashes(assets: DataFrame, stride: Int = 1,
+                       contentCol: String = "content"): DataFrame = {
+    require(stride > 0, s"stride must be positive: $stride")
+    val schema = StructType(assets.schema.fields ++ Seq(
+      StructField("frame_idx", LongType, nullable = true),
+      StructField("fhash", StringType, nullable = true)))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    val idx = assets.schema.fieldIndex(contentCol)
+    assets.mapPartitions { it =>
+      it.flatMap { r =>
+        VideoCodec.decodeY4m(r.getAs[Array[Byte]](idx)) match {
+          case Some(clip) =>
+            val w = clip.w; val h = clip.h
+            val n = w.toLong * h
+            (0 until clip.nFrames by stride).iterator.map { f =>
+              val base = clip.frameOffsets(f)
+              val blockSum = new Array[Long](64)
+              val blockN = new Array[Long](64)
+              var total = 0L
+              var y = 0
+              while (y < h) {
+                var x = 0
+                val rowBase = base + y * w
+                val by = (y.toLong * 8 / h) * 8
+                while (x < w) {
+                  val lum = clip.data(rowBase + x) & 0xff
+                  val b = (by + x.toLong * 8 / w).toInt
+                  blockSum(b) += lum; blockN(b) += 1
+                  total += lum
+                  x += 1
+                }
+                y += 1
+              }
+              val sb = new java.lang.StringBuilder(64)
+              var b = 0
+              while (b < 64) {
+                sb.append(if (blockSum(b) * n > total * blockN(b)) '1'
+                          else '0')
+                b += 1
+              }
+              Row.fromSeq(r.toSeq ++ Seq(f.toLong, sb.toString))
+            }
+          case None =>
+            Iterator.single(Row.fromSeq(r.toSeq ++ Seq(null, null)))
+        }
+      }
+    }(enc)
+  }
+
   /** Near-duplicate candidate pairs over OPAQUE binary payloads: strided
     * byte k-grams → MinHash signature → LSH band self-join — the dd2
     * pipeline with byte-range shingles instead of word shingles, so it

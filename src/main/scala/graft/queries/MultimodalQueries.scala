@@ -286,6 +286,34 @@ object MultimodalQueries {
         kernel = PngCodec.decodeAuto)
         .select(col("asset_id"), col("img_w"), col("img_h"),
           col("sum_r"), col("sum_g"), col("sum_b"), col("decoded"))
+    }),
+
+    // Frame-level video CONTAINMENT (mm16): the trimmed-re-cut shape
+    // mm14's whole-clip fingerprint structurally misses — an offset
+    // clip has a different frame set, so the concatenated bits differ
+    // even though individual frames match. Per-frame hashes become
+    // rows, dedupe within clip, cap degenerate hash buckets (flat
+    // frames — the blank-leader reality — all hash alike and the
+    // bucket grows with the corpus), then an equi self-join on the
+    // frame hash votes per clip pair: shared >= 2 distinct frame
+    // hashes is containment evidence. Never all-pairs; fan-out
+    // bounded by the cap.
+    "mm16_frame_containment" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val fh = MultimodalOps.videoFrameHashes(
+        MultimodalOps.synthY4mTrimAssets(documents(s, d), "doc_id"))
+        .filter(col("fhash").isNotNull)
+        .select(col("asset_id"), col("fhash")).distinct()
+      val bucketW = org.apache.spark.sql.expressions.Window
+        .partitionBy("fhash")
+      val capped = fh
+        .withColumn("_n", count(lit(1)).over(bucketW))
+        .filter(col("_n") <= 8).drop("_n")
+      val l = capped.select(col("asset_id").as("a"), col("fhash"))
+      val r = capped.select(col("asset_id").as("b"), col("fhash"))
+      l.join(r, Seq("fhash")).filter(col("a") < col("b"))
+        .groupBy("a", "b").agg(count(lit(1)).as("shared"))
+        .filter(col("shared") >= 2)
     })
   )
 
@@ -676,6 +704,55 @@ object MultimodalQueries {
            CASE WHEN id % 13 = 0 THEN NULL ELSE sg END AS sum_g,
            CASE WHEN id % 13 = 0 THEN NULL ELSE sb END AS sum_b,
            (id % 13 <> 0) AS decoded
-         FROM sums"""
+         FROM sums""",
+
+    // per-frame hashes replayed analytically over GLOBAL time t
+    // (member offsets shift the sampled t range, so trims share
+    // exactly the overlapping frames); distinct within clip, same
+    // binding cap per frame hash, pair vote with shared >= 2
+    "mm16_frame_containment" ->
+      """WITH pars AS (
+  SELECT doc_id AS id, (doc_id - doc_id % 3) AS bs, doc_id % 3 AS m
+  FROM documents),
+dims AS (
+  SELECT id, bs, (bs // 3) AS q, ((bs // 3) % 7 = 0) AS flat,
+    (4 + 2 * ((bs // 3) % 3))::INT AS w,
+    (2 + 2 * ((bs // 3) % 2))::INT AS h,
+    CASE WHEN m = 1 THEN 2 ELSE 0 END AS f0
+  FROM pars),
+frm AS (SELECT id, bs, q, flat, w, h, f0 + unnest(range(4)) AS t
+        FROM dims),
+pxx AS (SELECT id, bs, q, flat, w, h, t, unnest(range(w)) AS x FROM frm),
+pxy AS (SELECT id, bs, q, flat, w, h, t, x, unnest(range(h)) AS y FROM pxx),
+lum AS (SELECT id, w, h, t,
+    ((y * 8 // h) * 8 + (x * 8 // w)) AS bk,
+    CASE WHEN flat THEN (q * 31) % 251
+         ELSE (bs*9973 + t*101 + (2*(q % 97) + 37)*(y*w + x)) % 256
+    END AS l
+  FROM pxy),
+blk AS (SELECT id, t, bk, sum(l)::BIGINT AS s, count(*)::BIGINT AS n
+        FROM lum GROUP BY 1, 2, 3),
+tot AS (SELECT id, t, sum(l)::BIGINT AS ts,
+               (max(w)::BIGINT * max(h)) AS np
+        FROM lum GROUP BY 1, 2),
+grid AS (SELECT id, t, unnest(range(64)) AS bk FROM frm),
+bits AS (
+  SELECT grid.id, grid.t,
+    string_agg(CASE WHEN coalesce(s, 0) * np > ts * coalesce(n, 0)
+                    THEN '1' ELSE '0' END, '' ORDER BY grid.bk) AS fhash
+  FROM grid
+  LEFT JOIN blk ON grid.id = blk.id AND grid.t = blk.t
+               AND grid.bk = blk.bk
+  JOIN tot ON grid.id = tot.id AND grid.t = tot.t
+  GROUP BY grid.id, grid.t),
+fh AS (SELECT DISTINCT id, fhash FROM bits),
+capped AS (
+  SELECT id, fhash FROM fh
+  QUALIFY count(*) OVER (PARTITION BY fhash) <= 8)
+SELECT l.id AS a, r.id AS b, count(*)::BIGINT AS shared
+FROM capped l JOIN capped r
+  ON l.fhash = r.fhash AND l.id < r.id
+GROUP BY 1, 2
+HAVING count(*) >= 2"""
   )
 }

@@ -94,6 +94,27 @@ class LaneVitalsSpec extends SparkSpec {
     }
   }
 
+  test("mm16 frame containment: all planted regimes + natural + binding cap, both scales") {
+    for (d <- scales) {
+      val rows = run("mm16_frame_containment", d)
+      assert(rows.nonEmpty, s"mm16@$d: empty pair universe")
+      def shape(r: Row) = (r.getLong(0) % 3, r.getLong(1) - r.getLong(0))
+      val full = rows.count(shape(_) == ((0L, 2L)))   // tag-swap re-mux
+      val trim = rows.count(r => r.getLong(1) - r.getLong(0) == 1L &&
+        r.getLong(0) / 3 == r.getLong(1) / 3)         // offset re-cuts
+      val natural = rows.count(r => r.getLong(0) / 3 != r.getLong(1) / 3)
+      assert(full > 0, s"mm16@$d: no full re-mux pairs")
+      assert(trim > 0, s"mm16@$d: no trimmed-overlap pairs — " +
+        "the capability the lane exists for")
+      assert(natural > 0, s"mm16@$d: no cross-triplet natural collisions")
+      val fh = MultimodalOps.videoFrameHashes(
+          MultimodalOps.synthY4mTrimAssets(docs(d), "doc_id"))
+        .filter(col("fhash").isNotNull)
+        .select(col("asset_id"), col("fhash")).distinct()
+      assertCapBinds("mm16_frame_containment", d, fh, "fhash", cap = 8)
+    }
+  }
+
   // ---- SimHash Hamming family --------------------------------------
   // the corpus is salted with exact copies at +10000: every doc must
   // pair with its copy at hamming 0 (recall floor), and hamming 1..3

@@ -156,6 +156,39 @@ class VideoCodecSpec extends SparkSpec {
     assert(torn.forall(_.isEmpty))
   }
 
+  test("frame hashes: trims share exactly the overlap, re-muxes share everything, torn rows in-band") {
+    val assets = MultimodalOps.synthY4mTrimAssets(
+      spark.range(30).toDF("doc_id"), "doc_id")
+    val rows = MultimodalOps.videoFrameHashes(assets)
+      .select(col("asset_id"), col("frame_idx"), col("fhash"))
+      .as[(Long, Option[Long], Option[String])].collect()
+    val byId = rows.groupBy(_._1).map { case (id, rs) =>
+      id -> rs.flatMap(r => r._2.zip(r._3)).sortBy(_._1).map(_._2).toSeq
+    }
+    for (bs <- 0L until 30L by 3) {
+      val (m0, m1, m2) = (byId(bs), byId(bs + 1), byId(bs + 2))
+      assert(m0.length == 4 && m1.length == 4 && m2.length == 4)
+      assert(m0 == m2, s"tag-swap re-mux diverged at bs=$bs")
+      // member 1 samples t=2..5: its first two frames are member 0's
+      // last two (global-time alignment) — the trim/offset overlap
+      assert(m1.take(2) == m0.drop(2), s"trim overlap broke at bs=$bs")
+      val q = bs / 3
+      if (q % 7 == 0) // flat triplet: every frame the all-zeros hash
+        assert((m0 ++ m1).forall(_ == "0" * 64), s"flat bs=$bs")
+    }
+    // bytes differ across the tag swap even though frames match
+    val md5s = assets.select(col("asset_id"), md5(col("content")))
+      .as[(Long, String)].collect().toMap
+    for (bs <- 0L until 30L by 3)
+      assert(md5s(bs) != md5s(bs + 2), s"tag swap not byte-different bs=$bs")
+    // corrupt payload → one in-band null-hash row
+    val torn = MultimodalOps.videoFrameHashes(
+      assets.withColumn("content", expr("substring(content, 1, 12)")))
+      .select(col("asset_id"), col("fhash"))
+      .as[(Long, Option[String])].collect()
+    assert(torn.length == 30 && torn.forall(_._2.isEmpty))
+  }
+
   test("sampleVideoFrames: real frame sampling end-to-end, torn rows in-band") {
     val assets = MultimodalOps.synthY4mAssets(
       spark.range(30).toDF("doc_id"), "doc_id")
