@@ -16,7 +16,8 @@ import org.apache.spark.sql.functions._
   * [shardDocs] [vocabDocs] [pqVecs] [dsirDocs]`. `GRAFT_SS_ONLY=
   * <lanes>` replays just the named lanes — any comma-separated subset
   * of simhash, decon, bpe, overlap, curation, capbudget, graph, tri,
-  * linkp, ivj, ivc, spj, recallcap, fuzzygeo, aqeskew, codecs, gcj.
+  * linkp, ivj, ivc, spj, recallcap, fuzzygeo, aqeskew, codecs, gcj,
+  * framedup.
   */
 object ScaleSmoke {
   def main(args: Array[String]): Unit = {
@@ -943,7 +944,83 @@ object ScaleSmoke {
         .sampleVideoFrames(clips, stride = 4)
         .filter(col("decoded")).count())
       require(nv == nVid * 6, s"frame sampling broke: $nv vs ${nVid * 6}")
-      println(s"""{"codec_imgs":$nImg,"img_sec":${round1(ti)},"auds":$nAud,"aud_sec":${round1(ta)},"vids":$nVid,"vid_sec":${round1(tv)},"frames":$nv}""")
+      // the PNG wire path (r13): JDK ImageIO encode+decode through the
+      // same sniffing kernel — slower per byte than the hand codecs
+      // (inflate + color model), so sized down; the invariant is the
+      // same exact row count
+      val nPng = 50000L
+      val pngs = spark.range(nPng).mapPartitions { it =>
+        it.map { jid => val id = jid.longValue
+          org.apache.spark.sql.Row(id,
+          operators.PngCodec.encodePng24(64, 48, (x, y) => (
+            ((id + x) % 256).toInt, ((id + y) % 256).toInt,
+            ((x + y) % 256).toInt)))
+        }
+      }(enc)
+      val (tp, np) = t(operators.MultimodalOps
+        .decodeImageFeatures(pngs, kernel = operators.PngCodec.decodeAuto)
+        .filter(col("decoded")).count())
+      require(np == nPng, s"png decode lost rows: $np vs $nPng")
+      println(s"""{"codec_imgs":$nImg,"img_sec":${round1(ti)},"auds":$nAud,"aud_sec":${round1(ta)},"vids":$nVid,"vid_sec":${round1(tv)},"frames":$nv,"pngs":$nPng,"png_sec":${round1(tp)}}""")
+    }
+
+    // Frame-level containment at 1M clips (r13, the mm16 shape) with a
+    // CLOSED-FORM invariant: clips triple on bs = id − id%3 — member 0
+    // samples global time 0..3, member 1 (the trim) 2..5, member 2
+    // re-cuts member 0 — and each non-flat frame hash ENCODES (q, t)
+    // as a 22-bit mask over the 32 single-pixel blocks (pixels ∈
+    // {0, 255} → aHash bit = pixel bit exactly), so hashes are unique
+    // by construction: every non-flat triplet contributes exactly 3
+    // pairs with shared (4, 2, 2) and nothing crosses triplets. Flat
+    // triplets (q % 7 = 0) paint constant luma — one all-zeros hash
+    // bucket of 3·F ≈ 143k rows that the cap must excise (the
+    // blank-leader hot key at volume, through the REAL lane shape:
+    // per-frame decode walk, distinct, window cap, equi join, vote).
+    lane("framedup") {
+      val nClips = 999999L
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("asset_id",
+          org.apache.spark.sql.types.LongType, false),
+        org.apache.spark.sql.types.StructField("content",
+          org.apache.spark.sql.types.BinaryType, true)))
+      val enc = org.apache.spark.sql.Encoders.row(schema)
+      val clips = spark.range(nClips).mapPartitions { it =>
+        it.map { jid => val id = jid.longValue
+          val bs = id - id % 3; val m = id % 3; val q = bs / 3
+          val flat = q % 7 == 0
+          val off = if (m == 1) 2 else 0
+          def lum(f: Int, p: Int) =
+            if (flat) 128
+            else if (((q * 8 + f + off) >> p & 1L) == 1L) 255 else 0
+          org.apache.spark.sql.Row(id,
+            operators.VideoCodec.encodeY4m420(8, 4, 4, lum,
+              (_, _) => 64, (_, _) => 192))
+        }
+      }(enc)
+      val t0 = System.nanoTime()
+      val fh = operators.MultimodalOps.videoFrameHashes(clips)
+        .filter(col("fhash").isNotNull)
+        .select(col("asset_id"), col("fhash")).distinct()
+      val bucketW = org.apache.spark.sql.expressions.Window
+        .partitionBy("fhash")
+      val capped = fh
+        .withColumn("_n", count(lit(1)).over(bucketW))
+        .filter(col("_n") <= 8).drop("_n")
+      val l = capped.select(col("asset_id").as("a"), col("fhash"))
+      val r2 = capped.select(col("asset_id").as("b"), col("fhash"))
+      val agg = l.join(r2, Seq("fhash")).filter(col("a") < col("b"))
+        .groupBy("a", "b").agg(count(lit(1)).as("shared"))
+        .filter(col("shared") >= 2)
+        .agg(count(lit(1)), sum("shared")).first()
+      val fdSec = (System.nanoTime() - t0) / 1e9
+      val pairs = agg.getLong(0); val sharedSum = agg.getLong(1)
+      val trips = nClips / 3
+      val flats = (trips + 6) / 7
+      val live = trips - flats
+      println(s"""{"framedup_clips":$nClips,"sec":${round1(fdSec)},"pairs":$pairs}""")
+      require(pairs == 3 * live && sharedSum == 8 * live,
+        s"containment invariant broke: pairs=$pairs want=${3 * live} " +
+          s"sharedSum=$sharedSum want=${8 * live}")
     }
 
     // Great-circle radius join at 2.1M × 2.1M with a CLOSED-FORM exact
