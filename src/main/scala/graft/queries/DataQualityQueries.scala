@@ -108,7 +108,48 @@ object DataQualityQueries {
         FkRelation("events.user->customer_snapshot",
           events(s, d), "user_id",
           customer(s, d).filter(col("c_custkey") % 3 =!= 0),
-          "c_custkey"))))
+          "c_custkey")))),
+
+    // Media ingest health (dq8): the dq1 one-pass constraint suite
+    // pointed at REAL decode outputs — per-modality decode rates, dim
+    // bounds from the decoded headers, and a conjunctive all-modalities
+    // gate whose threshold deliberately FAILS (the corrupt rules
+    // compound to ~0.75, the report must be able to say so). One join
+    // of the three kernel outputs, one aggregate pass; the oracle never
+    // parses bytes — it replays the rates and bounds from the fixtures'
+    // corrupt rules and generative dims.
+    "dq8_media_health" -> ((s, d) => {
+      import graft.operators.MultimodalOps
+      val docs = documents(s, d)
+      val img = MultimodalOps.decodeImageFeatures(
+        MultimodalOps.synthBmpAssets(docs, "doc_id"))
+        .select(col("asset_id"), col("decoded").as("img_ok"),
+          col("img_w"))
+      val aud = MultimodalOps.decodeAudioFeatures(
+        MultimodalOps.synthWavAssets(docs, "doc_id"))
+        .select(col("asset_id"), col("decoded").as("aud_ok"),
+          col("n_samples"))
+      val vid = MultimodalOps.sampleVideoFrames(
+        MultimodalOps.synthY4mAssets(docs, "doc_id"), stride = 2)
+        .groupBy("asset_id")
+        .agg(max(col("decoded")).as("vid_ok"),
+          max(col("n_frames")).as("n_frames"))
+      DataQualityOps.suite(
+        img.join(aud, Seq("asset_id")).join(vid, Seq("asset_id")),
+        Seq(
+          rowCountMin(1),
+          predicateRatio("img_decode_rate", col("img_ok"), 0.9),
+          predicateRatio("aud_decode_rate", col("aud_ok"), 0.9),
+          predicateRatio("vid_decode_rate", col("vid_ok"), 0.85),
+          predicateRatio("all_modalities",
+            col("img_ok") && col("aud_ok") && col("vid_ok"),
+            0.8),                              // fails: ~0.75
+          minOf("img_w", 4.0),
+          maxOf("img_w", 8.0),
+          minOf("n_samples", 50.0),
+          maxOf("n_samples", 81.0),
+          maxOf("n_frames", 7.0)))
+    })
   )
 
   /** One profile row per column over snapshot CTE `src`, tagged
@@ -265,6 +306,48 @@ object DataQualityQueries {
            count(*) FILTER (WHERE user_id IS NOT NULL
              AND user_id NOT IN (SELECT c_custkey FROM customer
                                  WHERE c_custkey % 3 <> 0)) = 0
-         FROM events"""
+         FROM events""",
+
+    // decode rates and dim bounds replayed from the fixtures' corrupt
+    // rules (img torn at id%13=0, aud at id%11=0, vid at id%9=0) and
+    // generative dims — never from bytes; the dq1 UNION ALL shape
+    "dq8_media_health" ->
+      """WITH m AS (SELECT
+           count(*)::DOUBLE AS size,
+           count(CASE WHEN doc_id % 13 <> 0 THEN 1 END)::DOUBLE
+             / count(*) AS img_rate,
+           count(CASE WHEN doc_id % 11 <> 0 THEN 1 END)::DOUBLE
+             / count(*) AS aud_rate,
+           count(CASE WHEN doc_id % 9 <> 0 THEN 1 END)::DOUBLE
+             / count(*) AS vid_rate,
+           count(CASE WHEN doc_id % 13 <> 0 AND doc_id % 11 <> 0
+                       AND doc_id % 9 <> 0 THEN 1 END)::DOUBLE
+             / count(*) AS all_rate,
+           min(CASE WHEN doc_id % 13 <> 0
+                    THEN 4 + doc_id % 5 END)::DOUBLE AS min_w,
+           max(CASE WHEN doc_id % 13 <> 0
+                    THEN 4 + doc_id % 5 END)::DOUBLE AS max_w,
+           min(CASE WHEN doc_id % 11 <> 0
+                    THEN 50 + doc_id % 32 END)::DOUBLE AS min_n,
+           max(CASE WHEN doc_id % 11 <> 0
+                    THEN 50 + doc_id % 32 END)::DOUBLE AS max_n,
+           max(CASE WHEN doc_id % 9 <> 0
+                    THEN 3 + doc_id % 5 END)::DOUBLE AS max_f
+         FROM documents)
+         SELECT 'size' AS name, size AS metric, size >= 1.0 AS passed
+         FROM m
+         UNION ALL SELECT 'img_decode_rate', img_rate,
+           img_rate >= 0.9 AND img_rate <= 1.0 FROM m
+         UNION ALL SELECT 'aud_decode_rate', aud_rate,
+           aud_rate >= 0.9 AND aud_rate <= 1.0 FROM m
+         UNION ALL SELECT 'vid_decode_rate', vid_rate,
+           vid_rate >= 0.85 AND vid_rate <= 1.0 FROM m
+         UNION ALL SELECT 'all_modalities', all_rate,
+           all_rate >= 0.8 AND all_rate <= 1.0 FROM m
+         UNION ALL SELECT 'min(img_w)', min_w, min_w >= 4.0 FROM m
+         UNION ALL SELECT 'max(img_w)', max_w, max_w <= 8.0 FROM m
+         UNION ALL SELECT 'min(n_samples)', min_n, min_n >= 50.0 FROM m
+         UNION ALL SELECT 'max(n_samples)', max_n, max_n <= 81.0 FROM m
+         UNION ALL SELECT 'max(n_frames)', max_f, max_f <= 7.0 FROM m"""
   )
 }

@@ -85,6 +85,17 @@ class CodecFuzzSpec extends AnyFunSuite {
       (img: ImageCodec.DecodedImage) => ImageCodec.channelSums(img))
   }
 
+  test("decodeJpeg never throws under mutation, truncation, or splice") {
+    val img = new java.awt.image.BufferedImage(24, 16,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 16; x <- 0 until 24)
+      img.setRGB(x, y, ((x * 10) << 16) | ((y * 15) << 8) | ((x + y) * 5))
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "jpg", bos))
+    exercise("jpeg", bos.toByteArray, PngCodec.decodeJpeg,
+      (d: ImageCodec.DecodedImage) => ImageCodec.channelSums(d))
+  }
+
   test("decodeAuto never throws across sniffed containers under mutation") {
     // mutations can flip a payload's magic INTO another branch's —
     // the sniffing kernel must stay in-band on all of them
