@@ -33,7 +33,7 @@ object ExplainAudit {
         "tx42_snapshot_diff", "ss16_knn_graph", "ss17_knn_multiprobe",
         "dq3_quarantine", "gr8_modularity",
         "mm14_video_neardup", "mm15_decode_wire", "tx48_unicode_norm",
-        "mm16_frame_containment")
+        "mm16_frame_containment", "tx49_norm_neardup", "dq8_media_health")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

@@ -538,6 +538,31 @@ object TextQueries {
         .withColumn("twins", count(lit(1)).over(normW))
         .withColumn("raw_twins", count(lit(1)).over(rawW))
         .select("doc_id", "norm_key", "twins", "raw_twins")
+    }),
+
+    // Normalized MinHash near-dup (tx49) — tx48's expression in the
+    // SHINGLE path, at corpus scale: the corpus is salted with a
+    // +20000 homoglyph twin of every doc (every a/e/o/c swapped for
+    // its Cyrillic look-alike — EVERY word's bytes change, so raw
+    // dd2 signatures share nothing and the twin is invisible to
+    // byte-level MinHash), then dd2 runs over
+    // `unicode_norm_key(text)`. The twins normalize back to the
+    // original ASCII text, so every planted pair collides at full
+    // signature equality alongside dd2's natural candidates. The
+    // oracle performs NO normalization — it replays dd2 over two
+    // ASCII copies, which is exactly what a correct canonicalizer
+    // must reduce the salted corpus to; one mishandled codepoint
+    // anywhere in the multi-byte text desyncs a shingle and breaks
+    // the hash.
+    "tx49_norm_neardup" -> ((s, d) => {
+      val docs = documents(s, d).select("doc_id", "text")
+      val twin = docs.select((col("doc_id") + 20000).as("doc_id"),
+        translate(col("text"), "aeoc",
+          "\u0430\u0435\u043e\u0441").as("text"))
+      val corpus = docs.unionByName(twin).withColumn("text",
+        graft.functions.UnicodeNorm.unicodeNormKey(col("text")))
+      graft.operators.DedupOps.minhashCandidates(corpus,
+        "doc_id", "text", shingleK = 3, numPerm = 16, bands = 4)
     })
   )
 
@@ -1442,6 +1467,31 @@ object TextQueries {
          SELECT doc_id, norm_key,
            count(*) OVER (PARTITION BY norm_key) AS twins,
            count(*) OVER (PARTITION BY base, cls) AS raw_twins
-         FROM k"""
+         FROM k""",
+
+    // dd2's signature pipeline over TWO ASCII copies of every doc —
+    // what the salted homoglyph corpus must reduce to under a correct
+    // canonicalizer; no normalization happens here by design
+    "tx49_norm_neardup" ->
+      """WITH c AS (SELECT doc_id, text FROM documents
+                    UNION ALL SELECT doc_id + 20000, text FROM documents),
+         s AS (SELECT doc_id, string_split(text, ' ') w FROM c),
+         sh AS (SELECT doc_id,
+                  unnest(list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                                        for i in range(1, len(w)-1)])) AS s
+                FROM s WHERE len(w) >= 3),
+         xh AS (SELECT doc_id,
+                  (('0x' || substr(md5(s), 1, 15))::UBIGINT % 2147483647)::BIGINT AS x
+                FROM sh),
+         sig AS (SELECT doc_id, i,
+                   min(((i*1000003 + 12345) * x + i*999983 + 54321) % 2147483647) AS mh
+                 FROM xh CROSS JOIN (SELECT unnest(range(0,16)) AS i) perms
+                 GROUP BY doc_id, i),
+         bands AS (SELECT doc_id, i // 4 AS band,
+                     md5(string_agg(mh::VARCHAR, '|' ORDER BY i)) AS bh
+                   FROM sig GROUP BY doc_id, i // 4)
+         SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+         FROM bands l JOIN bands r
+           ON l.band = r.band AND l.bh = r.bh AND l.doc_id < r.doc_id"""
   )
 }

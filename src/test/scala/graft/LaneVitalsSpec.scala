@@ -141,6 +141,18 @@ class LaneVitalsSpec extends SparkSpec {
     simhashVitals("dd16_simhash_wide")
   }
 
+  test("tx49 normalized near-dup: full homoglyph-twin recall + natural pairs, both scales") {
+    for (d <- scales) {
+      val rows = run("tx49_norm_neardup", d)
+      val nDocs = docs(d).count()
+      val planted = rows.count(r => r.getLong(1) - r.getLong(0) == 20000L)
+      assert(planted == nDocs,
+        s"tx49@$d: $planted of $nDocs homoglyph twins recalled — " +
+          "the canonicalizer stopped reducing the salted corpus")
+      assert(rows.length > planted, s"tx49@$d: no natural candidates")
+    }
+  }
+
   // ---- byte-MinHash candidates (mm7) -------------------------------
   // no salted copies here; the vitals are that candidates exist, that
   // they include byte-DIFFERENT near-dups (not just exact-equal texts —
