@@ -17,7 +17,7 @@ import org.apache.spark.sql.functions._
   * <lanes>` replays just the named lanes — any comma-separated subset
   * of simhash, decon, bpe, overlap, curation, capbudget, graph, tri,
   * linkp, ivj, ivc, spj, recallcap, fuzzygeo, aqeskew, codecs, gcj,
-  * framedup.
+  * framedup, unorm.
   */
 object ScaleSmoke {
   def main(args: Array[String]): Unit = {
@@ -1021,6 +1021,44 @@ object ScaleSmoke {
       require(pairs == 3 * live && sharedSum == 8 * live,
         s"containment invariant broke: pairs=$pairs want=${3 * live} " +
           s"sharedSum=$sharedSum want=${8 * live}")
+    }
+
+    // unicode_norm_key in the dedup hot path at 10M docs (r13): even
+    // ids carry 24-word ASCII text (the fast path — returns the input
+    // uncopied), odd ids the SAME text homoglyph-swapped (every 'a' →
+    // Cyrillic а, so the whole string walks the NFKC + casefold +
+    // strip pipeline). Exact-dedup on md5(unicode_norm_key(text)) must
+    // collapse every odd id onto its even twin: exactly nDocs/2
+    // representatives — a single mis-normalized codepoint anywhere in
+    // 10M multi-byte rows leaves an extra group. Times the two rows
+    // separately is pointless (one job); the invariant plus wall time
+    // is the measurement: the canonicalizer must not turn dd1 into
+    // the bottleneck.
+    lane("unorm") {
+      val nDocs = 10000000L
+      val base = concat_ws(" ", (0 until 24).map(j =>
+        pmod(hash((col("id") - col("id") % 2), lit(j)).cast("long"),
+          lit(500000L)).cast("string")): _*)
+      // plant a letter so the homoglyph swap has something to hit:
+      // prefix each word stream with "alpha data" (contains a/e/o/c?
+      // 'a' twice, 'd' none) — swap targets 'a' only, enough to force
+      // the slow path on every odd row
+      val corpus = spark.range(nDocs).select(col("id"),
+        when(col("id") % 2 === 0,
+          concat(lit("alpha case "), base))
+          .otherwise(translate(concat(lit("alpha case "), base),
+            "aeoc", "\u0430\u0435\u043e\u0441")).as("text"))
+        .localCheckpoint()
+      val t0 = System.nanoTime()
+      val reps = operators.DedupOps.dedupExact(
+        corpus.withColumn("_k",
+          md5(graft.functions.UnicodeNorm.unicodeNormKey(col("text")))),
+        Seq("_k"), "id").count()
+      val unSec = (System.nanoTime() - t0) / 1e9
+      println(s"""{"unorm_docs":$nDocs,"sec":${round1(unSec)},"reps":$reps}""")
+      require(reps == nDocs / 2,
+        s"canonical dedup broke: $reps reps, want ${nDocs / 2}")
+      Release(corpus, blocking = true)
     }
 
     // Great-circle radius join at 2.1M × 2.1M with a CLOSED-FORM exact
