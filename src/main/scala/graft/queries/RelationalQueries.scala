@@ -291,6 +291,23 @@ object RelationalQueries {
         .agg(count(lit(1)).as("n"), sum("l_quantity").as("sum_qty"))
     }),
 
+    // Columnar-format interchange (q35): the managed partitioned sink
+    // at format = orc (Spark's second built-in columnar format), read
+    // back through the same file source — partition pruning on the
+    // directory layout and predicate/column pushdown must survive the
+    // format swap (plan-pinned), and the roundtrip must be lossless
+    // (the oracle reads the ORIGINAL parquet table).
+    "q35_orc_roundtrip" -> ((s, d) => {
+      val dir = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+        s"graft-orc-${math.abs(d.hashCode)}").toString
+      graft.sources.Compaction.writePartitioned(
+        documents(s, d).select("doc_id", "lang", "n_chars", "source"),
+        dir, Seq("source"), clusterBy = Seq("doc_id"), format = "orc")
+      s.read.orc(dir)
+        .filter(col("source") === "src3" && col("n_chars") >= 100)
+        .select("doc_id", "lang", "n_chars")
+    }),
+
     "q28_zonemap" -> ((s, d) => {
       val dir = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
         s"graft-zonemap-${math.abs(d.hashCode)}").toString
@@ -635,6 +652,11 @@ object RelationalQueries {
          FROM lineitem
          WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_size >= 48)
          GROUP BY 1""",
+    // losslessness is the assertion: the oracle reads the ORIGINAL
+    // parquet table, the lane reads its own ORC rewrite
+    "q35_orc_roundtrip" ->
+      """SELECT doc_id, lang, n_chars FROM documents
+         WHERE source = 'src3' AND n_chars >= 100""",
     "q25_fuzzy_join" ->
       """WITH n AS (SELECT p_name, count(*) AS m,
                       string_split(p_name, ' ')[-1] AS blk

@@ -26,7 +26,8 @@ object Compaction {
   def writePartitioned(df: DataFrame, path: String,
                        partCols: Seq[String],
                        clusterBy: Seq[String] = Nil,
-                       maxRecordsPerFile: Long = 1000000L): Unit = {
+                       maxRecordsPerFile: Long = 1000000L,
+                       format: String = "parquet"): Unit = {
     val parted = df.repartition(partCols.map(col): _*)
     val clustered =
       if (clusterBy.isEmpty) parted
@@ -35,7 +36,11 @@ object Compaction {
       .mode(SaveMode.Overwrite)
       .option("maxRecordsPerFile", maxRecordsPerFile)
       .partitionBy(partCols: _*)
-      .parquet(path)
+      // parquet and orc both ride Spark's columnar file source, so
+      // partition pruning / predicate pushdown / column pruning carry
+      // across formats unchanged (q35 pins this for orc)
+      .format(format)
+      .save(path)
   }
 
   /** Hash-sharded training-data export: the deterministic global

@@ -352,6 +352,32 @@ class PlanShapeSpec extends SparkSpec {
       s"scan reads $read")
   }
 
+  test("q35 ORC scan keeps partition pruning, pushdown, and column pruning across the format swap") {
+    def scansIn(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.FileSourceScanExec] = {
+      val here = p match {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => Seq(f)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          scansIn(q.plan)
+        case _ => Nil
+      }
+      here ++ p.children.flatMap(scansIn)
+    }
+    val scans = scansIn(finalPlan("q35_orc_roundtrip"))
+    assert(scans.nonEmpty, "no file scan in the q35 plan")
+    val sc = scans.head
+    assert(sc.relation.fileFormat.toString.toLowerCase.contains("orc"),
+      s"expected an ORC scan, got ${sc.relation.fileFormat}")
+    assert(sc.partitionFilters.exists(_.toString.contains("src3")),
+      s"partition pruning lost: ${sc.partitionFilters}")
+    assert(sc.metadata("PushedFilters")
+        .contains("GreaterThanOrEqual(n_chars,100)"),
+      s"predicate pushdown lost: ${sc.metadata("PushedFilters")}")
+    assert(sc.requiredSchema.fieldNames.toSet ==
+        Set("doc_id", "lang", "n_chars"),
+      s"column pruning lost: ${sc.requiredSchema.fieldNames.toSet}")
+  }
+
   test("entry parse is the codegen kernel, not a Scala UDF boundary") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
