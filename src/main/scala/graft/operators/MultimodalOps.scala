@@ -768,6 +768,112 @@ object MultimodalOps {
     }(enc)
   }
 
+  /** Triplet WAV fixture for SEGMENT-LEVEL audio containment (mm17) —
+    * [[synthY4mTrimAssets]]'s design on the audio axis: ids group in
+    * threes on `bs = id − id % 3`, all sampling one sample stream
+    * indexed by GLOBAL sample position —
+    *   - member 0: global windows 0..23 (three 8-window segments);
+    *   - member 1: global windows 8..31 — an offset re-cut sharing two
+    *     aligned segments with member 0 (different clip, different
+    *     whole-clip fingerprint, shared audio);
+    *   - member 2: member 0's samples behind a spliced LIST chunk
+    *     (byte-different, sample-identical — shares all three).
+    * Coarse groups: when `(q/2) % 5 == 1` two consecutive triplets
+    * share one stream (6 clips — natural cross-triplet collisions that
+    * stay under the cap). Flat triplets (`qk % 7 == 0`) are silence:
+    * every segment of every flat clip keys identically — the one
+    * degenerate bucket that grows with the corpus and trips the cap.
+    */
+  def synthWavTrimAssets(df: DataFrame, idCol: String): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("asset_id", LongType, nullable = false),
+      StructField("content", BinaryType, nullable = true)))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    df.select(col(idCol).cast("long").as("asset_id"))
+      .mapPartitions { it =>
+        it.map { r =>
+          val id = r.getLong(0)
+          val bs = id - id % 3
+          val m = id % 3
+          val q = bs / 3
+          val qk = if ((q / 2) % 5 == 1) q - q % 2 else q
+          val flat = qk % 7 == 0
+          val off = if (m == 1) 64 else 0 // 8 windows × 8 samples
+          val samples = Array.tabulate(192) { i =>
+            if (flat) 0.toShort
+            else ((qk * 9973 + (off + i) * 5741) % 65536 - 32768).toShort
+          }
+          val wav = AudioCodec.encodeWavPcm16(16000, samples)
+          val payload = if (m == 2) {
+            val extra = new Array[Byte](8 + 11 + 1)
+            extra(0) = 'L'; extra(1) = 'I'; extra(2) = 'S'; extra(3) = 'T'
+            extra(4) = 11
+            var i = 0
+            while (i < 11) { extra(8 + i) = ((id + i) % 256).toByte; i += 1 }
+            val spliced = wav.take(36) ++ extra ++ wav.drop(36)
+            val riffSize = spliced.length - 8
+            i = 0
+            while (i < 4) {
+              spliced(4 + i) = ((riffSize >>> (8 * i)) & 0xff).toByte; i += 1
+            }
+            spliced
+          } else wav
+          Row(id, payload)
+        }
+      }(enc)
+  }
+
+  /** Per-segment exact-energy keys as ROWS — the audio analog of
+    * [[videoFrameHashes]]: samples group into `windowSize`-sample
+    * windows (energy = Σ s², Long), `segmentWindows` consecutive
+    * complete windows form a segment, and each segment emits its
+    * energies as a canonical '|'-joined key — exact integers, so the
+    * key replays bit-for-bit in any engine and trimmed/offset re-cuts
+    * whose cut points align on segment boundaries share segment keys
+    * even though clip-level fingerprints differ. Corrupt payloads emit
+    * ONE in-band null-key row.
+    */
+  def audioSegmentKeys(assets: DataFrame, windowSize: Int = 8,
+                       segmentWindows: Int = 8,
+                       contentCol: String = "content"): DataFrame = {
+    require(windowSize > 0 && segmentWindows > 0,
+      s"bad segmenting: $windowSize x $segmentWindows")
+    val schema = StructType(assets.schema.fields ++ Seq(
+      StructField("seg_idx", LongType, nullable = true),
+      StructField("seg_key", StringType, nullable = true)))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    val idx = assets.schema.fieldIndex(contentCol)
+    assets.mapPartitions { it =>
+      it.flatMap { r =>
+        AudioCodec.decodeWavPcm16(r.getAs[Array[Byte]](idx)) match {
+          case Some(clip) =>
+            val segSamples = windowSize * segmentWindows
+            val nSeg = clip.samples.length / segSamples
+            (0 until nSeg).iterator.map { si =>
+              val sb = new java.lang.StringBuilder(segmentWindows * 12)
+              var w = 0
+              while (w < segmentWindows) {
+                var e = 0L
+                var j = 0
+                val base = si * segSamples + w * windowSize
+                while (j < windowSize) {
+                  val s = clip.samples(base + j).toLong
+                  e += s * s
+                  j += 1
+                }
+                if (w > 0) sb.append('|')
+                sb.append(e)
+                w += 1
+              }
+              Row.fromSeq(r.toSeq ++ Seq(si.toLong, sb.toString))
+            }
+          case None =>
+            Iterator.single(Row.fromSeq(r.toSeq ++ Seq(null, null)))
+        }
+      }
+    }(enc)
+  }
+
   /** Triplet Y4M fixture for FRAME-LEVEL containment (mm16): ids group
     * in threes on `bs = id − id % 3`, all sampling one luma stream
     * indexed by GLOBAL time t —

@@ -314,6 +314,32 @@ object MultimodalQueries {
       l.join(r, Seq("fhash")).filter(col("a") < col("b"))
         .groupBy("a", "b").agg(count(lit(1)).as("shared"))
         .filter(col("shared") >= 2)
+    }),
+
+    // Segment-level audio CONTAINMENT (mm17) — mm16's vote on the
+    // audio axis: per-segment exact-energy keys as rows, distinct
+    // within clip, the silence bucket (flat clips — every segment of
+    // every flat clip keys identically) capped, equi self-join,
+    // shared >= 2 vote. Catches offset re-cuts whose whole-clip
+    // energy contour differs while two aligned segments match, and
+    // container-noise twins the chunk walk flattens.
+    "mm17_audio_containment" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val sk = MultimodalOps.audioSegmentKeys(
+        MultimodalOps.synthWavTrimAssets(documents(s, d), "doc_id"))
+        .filter(col("seg_key").isNotNull)
+        .select(col("asset_id"), md5(col("seg_key")).as("skey"))
+        .distinct()
+      val bucketW = org.apache.spark.sql.expressions.Window
+        .partitionBy("skey")
+      val capped = sk
+        .withColumn("_n", count(lit(1)).over(bucketW))
+        .filter(col("_n") <= 8).drop("_n")
+      val l = capped.select(col("asset_id").as("a"), col("skey"))
+      val r = capped.select(col("asset_id").as("b"), col("skey"))
+      l.join(r, Seq("skey")).filter(col("a") < col("b"))
+        .groupBy("a", "b").agg(count(lit(1)).as("shared"))
+        .filter(col("shared") >= 2)
     })
   )
 
@@ -752,6 +778,40 @@ capped AS (
 SELECT l.id AS a, r.id AS b, count(*)::BIGINT AS shared
 FROM capped l JOIN capped r
   ON l.fhash = r.fhash AND l.id < r.id
+GROUP BY 1, 2
+HAVING count(*) >= 2""",
+
+    // segment keys replayed analytically over GLOBAL windows (the
+    // member offset shifts the sampled range, so offset re-cuts share
+    // exactly the aligned segments); same distinct + cap + vote
+    "mm17_audio_containment" ->
+      """WITH pars AS (
+  SELECT doc_id AS id, (doc_id - doc_id % 3) // 3 AS q, doc_id % 3 AS m
+  FROM documents),
+kq AS (
+  SELECT id, m,
+    CASE WHEN ((q // 2) % 5 = 1) THEN q - q % 2 ELSE q END AS qk
+  FROM pars),
+dims AS (
+  SELECT id, m, qk, (qk % 7 = 0) AS flat,
+    CASE WHEN m = 1 THEN 8 ELSE 0 END AS offw
+  FROM kq),
+win AS (SELECT id, qk, flat, offw, unnest(range(24)) AS lw FROM dims),
+smp AS (SELECT id, qk, flat, offw, lw, unnest(range(8)) AS j FROM win),
+en AS (SELECT id, lw,
+         sum(CASE WHEN flat THEN 0
+              ELSE ((qk*9973 + ((offw + lw)*8 + j)*5741) % 65536 - 32768)
+                 * ((qk*9973 + ((offw + lw)*8 + j)*5741) % 65536 - 32768)
+             END)::BIGINT AS e
+       FROM smp GROUP BY 1, 2),
+seg AS (SELECT id, lw // 8 AS si,
+          string_agg(e::VARCHAR, '|' ORDER BY lw) AS seg_key
+        FROM en GROUP BY 1, 2),
+sk AS (SELECT DISTINCT id, md5(seg_key) AS skey FROM seg),
+capped AS (SELECT id, skey FROM sk
+           QUALIFY count(*) OVER (PARTITION BY skey) <= 8)
+SELECT l.id AS a, r.id AS b, count(*)::BIGINT AS shared
+FROM capped l JOIN capped r ON l.skey = r.skey AND l.id < r.id
 GROUP BY 1, 2
 HAVING count(*) >= 2"""
   )

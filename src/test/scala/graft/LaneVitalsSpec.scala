@@ -141,6 +141,27 @@ class LaneVitalsSpec extends SparkSpec {
     simhashVitals("dd16_simhash_wide")
   }
 
+  test("mm17 audio containment: all planted regimes + natural + binding cap, both scales") {
+    for (d <- scales) {
+      val rows = run("mm17_audio_containment", d)
+      assert(rows.nonEmpty, s"mm17@$d: empty pair universe")
+      val full = rows.count(r => r.getLong(1) - r.getLong(0) == 2L &&
+        r.getLong(0) % 3 == 0)
+      val trim = rows.count(r => r.getLong(1) - r.getLong(0) == 1L &&
+        r.getLong(0) / 3 == r.getLong(1) / 3)
+      val natural = rows.count(r => r.getLong(0) / 3 != r.getLong(1) / 3)
+      assert(full > 0, s"mm17@$d: no container-noise re-mux pairs")
+      assert(trim > 0, s"mm17@$d: no offset-re-cut pairs — " +
+        "the capability the lane exists for")
+      assert(natural > 0, s"mm17@$d: no cross-triplet collisions")
+      val sk = MultimodalOps.audioSegmentKeys(
+          MultimodalOps.synthWavTrimAssets(docs(d), "doc_id"))
+        .filter(col("seg_key").isNotNull)
+        .select(col("asset_id"), md5(col("seg_key")).as("skey")).distinct()
+      assertCapBinds("mm17_audio_containment", d, sk, "skey", cap = 8)
+    }
+  }
+
   test("tx49 normalized near-dup: full homoglyph-twin recall + natural pairs, both scales") {
     for (d <- scales) {
       val rows = run("tx49_norm_neardup", d)

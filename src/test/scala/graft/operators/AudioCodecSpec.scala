@@ -106,6 +106,51 @@ class AudioCodecSpec extends SparkSpec {
     }
   }
 
+  test("segment keys: offset re-cuts share exactly the aligned segments, re-muxes share everything") {
+    val assets = MultimodalOps.synthWavTrimAssets(
+      spark.range(30).toDF("doc_id"), "doc_id")
+    val rows = MultimodalOps.audioSegmentKeys(assets)
+      .select(col("asset_id"), col("seg_idx"), col("seg_key"))
+      .as[(Long, Option[Long], Option[String])].collect()
+    val byId = rows.groupBy(_._1).map { case (id, rs) =>
+      id -> rs.flatMap(r => r._2.zip(r._3)).sortBy(_._1).map(_._2).toSeq
+    }
+    for (bs <- 0L until 30L by 3) {
+      val (m0, m1, m2) = (byId(bs), byId(bs + 1), byId(bs + 2))
+      assert(m0.length == 3 && m1.length == 3 && m2.length == 3)
+      assert(m0 == m2, s"container-noise re-mux diverged at bs=$bs")
+      // member 1 starts one segment (8 windows) later: its first two
+      // segments are member 0's last two
+      assert(m1.take(2) == m0.drop(1), s"segment overlap broke at bs=$bs")
+      // exact-integer keys: every window energy replays from the formula
+      val q = bs / 3
+      val qk = if ((q / 2) % 5 == 1) q - q % 2 else q
+      if (qk % 7 == 0)
+        assert(m0.forall(_ == Seq.fill(8)("0").mkString("|")),
+          s"flat (silence) keys wrong at bs=$bs")
+      else {
+        val want = (0 until 8).map { w =>
+          (0 until 8).map { j =>
+            val s = (qk * 9973 + (w * 8 + j) * 5741) % 65536 - 32768
+            s.toLong * s
+          }.sum
+        }.mkString("|")
+        assert(m0.head == want, s"segment-0 energies wrong at bs=$bs")
+      }
+    }
+    // bytes differ across the splice even though samples match
+    val md5s = assets.select(col("asset_id"), md5(col("content")))
+      .as[(Long, String)].collect().toMap
+    for (bs <- 0L until 30L by 3)
+      assert(md5s(bs) != md5s(bs + 2), s"splice not byte-different bs=$bs")
+    // corrupt payload → one in-band null-key row
+    val torn = MultimodalOps.audioSegmentKeys(
+      assets.withColumn("content", expr("substring(content, 1, 20)")))
+      .select(col("asset_id"), col("seg_key"))
+      .as[(Long, Option[String])].collect()
+    assert(torn.length == 30 && torn.forall(_._2.isEmpty))
+  }
+
   test("decodeAudioFeatures: real decode end-to-end, corrupt rows in-band") {
     val assets = MultimodalOps.synthWavAssets(
       spark.range(40).toDF("doc_id"), "doc_id")
