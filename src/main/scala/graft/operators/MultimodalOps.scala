@@ -987,6 +987,151 @@ object MultimodalOps {
     }(enc)
   }
 
+  /** Triplet BINARY fixture for content-defined-chunk dedup (mm18):
+    * ids group in threes on `bs = id − id % 3` over one analytic byte
+    * stream —
+    *   - member 0: 768 bytes;
+    *   - member 1: member 0 with 11 junk bytes INSERTED at offset 320
+    *     — the transform a fixed-stride gram pipeline (mm7)
+    *     structurally cannot absorb: every gram downstream of the
+    *     insertion shifts, while content-defined boundaries resync a
+    *     window later and every chunk outside the splice region keeps
+    *     its key;
+    *   - member 2: member 0 truncated to 512 bytes — prefix chunks
+    *     shared, the tail chunk honestly different.
+    * Coarse groups ((q/2) % 5 == 1: two triplets share the stream)
+    * give cap-safe natural cross-triplet collisions; flat triplets
+    * (qk % 7 == 0, all-zero bytes) chunk into identical minimum-size
+    * pieces — the degenerate bucket that grows with the corpus and
+    * trips the cap. The byte formula reduces mod 65537 BEFORE the
+    * byte cast: a plain mod-256 affine clones the payload every 256
+    * triplets and the cap starves the lane at sf0.1 (the mm14 lesson,
+    * measured again here).
+    */
+  def synthBinaryTrimAssets(df: DataFrame, idCol: String): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("asset_id", LongType, nullable = false),
+      StructField("content", BinaryType, nullable = true)))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    df.select(col(idCol).cast("long").as("asset_id"))
+      .mapPartitions { it =>
+        it.map { r =>
+          val id = r.getLong(0)
+          val bs = id - id % 3
+          val m = id % 3
+          val q = bs / 3
+          val qk = if ((q / 2) % 5 == 1) q - q % 2 else q
+          val flat = qk % 7 == 0
+          def g(i: Int): Byte =
+            if (flat) 0
+            else (((qk * 9973 + i.toLong * 5741) % 65537) % 256).toByte
+          val payload = m match {
+            case 1 =>
+              val out = new Array[Byte](779)
+              var i = 0
+              while (i < 320) { out(i) = g(i); i += 1 }
+              var t = 0
+              while (t < 11) {
+                out(320 + t) = (((qk * 7 + t) % 65537) % 256).toByte
+                t += 1
+              }
+              i = 320
+              while (i < 768) { out(i + 11) = g(i); i += 1 }
+              out
+            case 2 => Array.tabulate[Byte](512)(g)
+            case _ => Array.tabulate[Byte](768)(g)
+          }
+          Row(id, payload)
+        }
+      }(enc)
+  }
+
+  /** Content-defined chunk keys as ROWS — FastCDC-style dedup for
+    * opaque binary payloads: a Rabin rolling hash (the
+    * [[graft.functions.RollingHash]] B/M family) walks the bytes, a
+    * boundary cuts after any full window whose hash masks to zero once
+    * the chunk reaches `minChunk` (forced at `maxChunk`, tail
+    * remainder kept), and each chunk emits a content-addressed key —
+    * md5 over the chunk's UPPER-CASE hex encoding, the exact string
+    * any engine can rebuild, so the oracle replays boundaries AND keys
+    * bit-for-bit. Because boundaries depend only on local content,
+    * an insertion shifts every downstream byte but the cut points
+    * resync within a window — chunks outside the splice keep their
+    * keys, which is the whole point versus fixed-stride grams
+    * ([[binaryNearDupPairs]] documents that trade from the other
+    * side). Null/empty payloads emit ONE in-band null-key row.
+    */
+  def cdcChunkKeys(assets: DataFrame, window: Int = 8, maskBits: Int = 6,
+                   minChunk: Int = 32, maxChunk: Int = 128,
+                   contentCol: String = "content"): DataFrame = {
+    require(window > 0 && maskBits > 0 && minChunk >= window &&
+      maxChunk > minChunk, "bad chunking parameters")
+    val schema = StructType(assets.schema.fields ++ Seq(
+      StructField("chunk_idx", LongType, nullable = true),
+      StructField("chunk_key", StringType, nullable = true)))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    val idx = assets.schema.fieldIndex(contentCol)
+    val (bConst, mConst) = (graft.functions.RollingHash.B,
+      graft.functions.RollingHash.M)
+    assets.mapPartitions { it =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hexU = "0123456789ABCDEF".toCharArray
+      val hexL = "0123456789abcdef".toCharArray
+      def chunkKey(b: Array[Byte], s: Int, e: Int): String = {
+        md.reset()
+        val hex = new Array[Byte](2 * (e - s))
+        var i = s
+        var j = 0
+        while (i < e) {
+          hex(j) = hexU((b(i) >> 4) & 0xf).toByte
+          hex(j + 1) = hexU(b(i) & 0xf).toByte
+          i += 1; j += 2
+        }
+        val d = md.digest(hex)
+        val out = new Array[Char](32)
+        var k = 0
+        while (k < 16) {
+          out(2 * k) = hexL((d(k) >> 4) & 0xf)
+          out(2 * k + 1) = hexL(d(k) & 0xf)
+          k += 1
+        }
+        new String(out)
+      }
+      var bw = 1L
+      var t = 0
+      while (t < window) { bw = bw * bConst % mConst; t += 1 }
+      val mask = (1L << maskBits) - 1
+      it.flatMap { r =>
+        val b = r.getAs[Array[Byte]](idx)
+        if (b == null || b.isEmpty)
+          Iterator.single(Row.fromSeq(r.toSeq ++ Seq(null, null)))
+        else {
+          val cuts = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+          var start = 0
+          var h = 0L
+          var i = 0
+          while (i < b.length) {
+            h = (h * bConst + (b(i) & 0xffL)) % mConst
+            if (i - start >= window) {
+              h = (h - (b(i - window) & 0xffL) * bw % mConst) % mConst
+              if (h < 0) h += mConst
+            }
+            val clen = i - start + 1
+            if ((clen >= minChunk && clen >= window && (h & mask) == 0L)
+                || clen >= maxChunk) {
+              cuts += ((start, i + 1)); start = i + 1; h = 0L
+            }
+            i += 1
+          }
+          if (start < b.length) cuts += ((start, b.length))
+          cuts.iterator.zipWithIndex.map { case ((s, e), ci) =>
+            Row.fromSeq(r.toSeq ++ Seq(ci.toLong, chunkKey(b, s, e)))
+          }
+        }
+      }
+    }(enc)
+  }
+
   /** Near-duplicate candidate pairs over OPAQUE binary payloads: strided
     * byte k-grams → MinHash signature → LSH band self-join — the dd2
     * pipeline with byte-range shingles instead of word shingles, so it

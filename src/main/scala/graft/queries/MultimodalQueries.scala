@@ -340,6 +340,32 @@ object MultimodalQueries {
       l.join(r, Seq("skey")).filter(col("a") < col("b"))
         .groupBy("a", "b").agg(count(lit(1)).as("shared"))
         .filter(col("shared") >= 2)
+    }),
+
+    // Content-defined-chunk binary dedup (mm18): the insertion-robust
+    // half of binary near-dup that fixed-stride grams (mm7) document
+    // as their trade — an 11-byte splice shifts every downstream gram
+    // but CDC boundaries resync within a window, so chunks outside
+    // the splice keep their content-addressed keys. Distinct chunk
+    // keys per asset, degenerate bucket (all-zero payloads chunk into
+    // identical minimum pieces) capped, equi self-join, shared >= 2
+    // vote — the mm16/mm17 discipline on raw bytes.
+    "mm18_binary_cdc" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val ck = MultimodalOps.cdcChunkKeys(
+        MultimodalOps.synthBinaryTrimAssets(documents(s, d), "doc_id"))
+        .filter(col("chunk_key").isNotNull)
+        .select(col("asset_id"), col("chunk_key")).distinct()
+      val bucketW = org.apache.spark.sql.expressions.Window
+        .partitionBy("chunk_key")
+      val capped = ck
+        .withColumn("_n", count(lit(1)).over(bucketW))
+        .filter(col("_n") <= 8).drop("_n")
+      val l = capped.select(col("asset_id").as("a"), col("chunk_key"))
+      val r = capped.select(col("asset_id").as("b"), col("chunk_key"))
+      l.join(r, Seq("chunk_key")).filter(col("a") < col("b"))
+        .groupBy("a", "b").agg(count(lit(1)).as("shared"))
+        .filter(col("shared") >= 2)
     })
   )
 
@@ -812,6 +838,85 @@ capped AS (SELECT id, skey FROM sk
            QUALIFY count(*) OVER (PARTITION BY skey) <= 8)
 SELECT l.id AS a, r.id AS b, count(*)::BIGINT AS shared
 FROM capped l JOIN capped r ON l.skey = r.skey AND l.id < r.id
+GROUP BY 1, 2
+HAVING count(*) >= 2""",
+
+    // the WHOLE chunker replayed in SQL: a recursive CTE walks every
+    // byte (analytic byte formulas, the Rabin hash with B=257,
+    // M=2^31-1, BW=257^8 mod M = 1213495441), cuts where the kernel
+    // cuts, and keys each chunk as md5 over its upper-case hex — so a
+    // boundary off by one byte anywhere in ~770-byte payloads desyncs
+    // a key and breaks the hash
+    "mm18_binary_cdc" ->
+      """WITH RECURSIVE meta AS (
+  SELECT doc_id AS id, doc_id % 3 AS m,
+    CASE WHEN ((((doc_id - doc_id % 3) // 3) // 2) % 5 = 1)
+         THEN ((doc_id - doc_id % 3) // 3) - ((doc_id - doc_id % 3) // 3) % 2
+         ELSE ((doc_id - doc_id % 3) // 3) END AS qk
+  FROM documents),
+md AS (
+  SELECT id, m, qk, (qk % 7 = 0) AS flat,
+    CASE WHEN m = 1 THEN 779 WHEN m = 2 THEN 512 ELSE 768 END AS len
+  FROM meta),
+walk(id, i, start, h, cs, ce) AS (
+  SELECT id, 0, 0, 0::BIGINT, NULL::INT, NULL::INT FROM md
+  UNION ALL
+  SELECT id, i + 1,
+    CASE WHEN cut THEN i + 1 ELSE start END,
+    CASE WHEN cut THEN 0::BIGINT ELSE h2 END,
+    CASE WHEN cut THEN start END,
+    CASE WHEN cut THEN i + 1 END
+  FROM (
+    SELECT t.*,
+      ((t.i - t.start + 1 >= 32 AND (t.h2 & 63) = 0)
+       OR t.i - t.start + 1 >= 128) AS cut
+    FROM (
+      SELECT w.id, w.i, w.start,
+        ((((w.h * 257 + lat.bi)
+           - CASE WHEN w.i - w.start >= 8
+                  THEN (lat.bo * 1213495441) % 2147483647
+                  ELSE 0 END) % 2147483647)
+         + 2147483647) % 2147483647 AS h2
+      FROM walk w JOIN md d USING (id),
+      LATERAL (SELECT
+        CASE WHEN d.flat THEN 0 ELSE
+          CASE WHEN d.m = 1 AND w.i >= 320 AND w.i < 331
+               THEN ((d.qk*7 + (w.i - 320)) % 65537) % 256
+               WHEN d.m = 1 AND w.i >= 331
+               THEN ((d.qk*9973 + (w.i - 11)*5741) % 65537) % 256
+               ELSE ((d.qk*9973 + w.i*5741) % 65537) % 256 END
+        END AS bi,
+        CASE WHEN d.flat THEN 0 ELSE
+          CASE WHEN d.m = 1 AND (w.i - 8) >= 320 AND (w.i - 8) < 331
+               THEN ((d.qk*7 + (w.i - 8 - 320)) % 65537) % 256
+               WHEN d.m = 1 AND (w.i - 8) >= 331
+               THEN ((d.qk*9973 + (w.i - 8 - 11)*5741) % 65537) % 256
+               ELSE ((d.qk*9973 + (w.i - 8)*5741) % 65537) % 256 END
+        END AS bo) lat
+      WHERE w.i < d.len) t) s),
+bounds AS (
+  SELECT id, cs AS s, ce AS e FROM walk WHERE cs IS NOT NULL
+  UNION ALL
+  SELECT w.id, w.start, w.i FROM walk w JOIN md d USING (id)
+  WHERE w.i = d.len AND w.start < d.len),
+pos AS (SELECT id, s, e, s + unnest(range(e - s)) AS p FROM bounds),
+ck AS (
+  SELECT pos.id, s,
+    md5(string_agg(lpad(to_hex(
+      CASE WHEN d.flat THEN 0 ELSE
+        CASE WHEN d.m = 1 AND p >= 320 AND p < 331
+             THEN ((d.qk*7 + (p - 320)) % 65537) % 256
+             WHEN d.m = 1 AND p >= 331
+             THEN ((d.qk*9973 + (p - 11)*5741) % 65537) % 256
+             ELSE ((d.qk*9973 + p*5741) % 65537) % 256 END
+      END), 2, '0'), '' ORDER BY p)) AS ckey
+  FROM pos JOIN md d USING (id)
+  GROUP BY pos.id, s),
+sk AS (SELECT DISTINCT id, ckey FROM ck),
+capped AS (SELECT id, ckey FROM sk
+           QUALIFY count(*) OVER (PARTITION BY ckey) <= 8)
+SELECT l.id AS a, r.id AS b, count(*)::BIGINT AS shared
+FROM capped l JOIN capped r ON l.ckey = r.ckey AND l.id < r.id
 GROUP BY 1, 2
 HAVING count(*) >= 2"""
   )

@@ -162,6 +162,27 @@ class LaneVitalsSpec extends SparkSpec {
     }
   }
 
+  test("mm18 binary CDC: insert/trim/natural regimes + binding cap, both scales") {
+    for (d <- scales) {
+      val rows = run("mm18_binary_cdc", d)
+      assert(rows.nonEmpty, s"mm18@$d: empty pair universe")
+      val insert = rows.count(r => r.getLong(1) - r.getLong(0) == 1L &&
+        r.getLong(0) % 3 == 0)
+      val trim = rows.count(r => r.getLong(1) - r.getLong(0) == 2L &&
+        r.getLong(0) % 3 == 0)
+      val natural = rows.count(r => r.getLong(0) / 3 != r.getLong(1) / 3)
+      assert(insert > 0, s"mm18@$d: no spliced-insertion pairs — " +
+        "the insertion-robustness the lane exists for")
+      assert(trim > 0, s"mm18@$d: no truncation pairs")
+      assert(natural > 0, s"mm18@$d: no cross-triplet collisions")
+      val ck = MultimodalOps.cdcChunkKeys(
+          MultimodalOps.synthBinaryTrimAssets(docs(d), "doc_id"))
+        .filter(col("chunk_key").isNotNull)
+        .select(col("asset_id"), col("chunk_key")).distinct()
+      assertCapBinds("mm18_binary_cdc", d, ck, "chunk_key", cap = 8)
+    }
+  }
+
   test("tx49 normalized near-dup: full homoglyph-twin recall + natural pairs, both scales") {
     for (d <- scales) {
       val rows = run("tx49_norm_neardup", d)

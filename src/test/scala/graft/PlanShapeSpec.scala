@@ -545,10 +545,10 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("Window"), p.take(3000))
   }
 
-  test("mm12/mm13/mm14/mm16/mm17 perceptual pair joins are equi joins on fingerprints, never cross products") {
+  test("mm12-mm18 perceptual/containment pair joins are equi joins on fingerprints, never cross products") {
     for (lane <- Seq("mm12_ahash_pairs", "mm13_audio_neardup",
         "mm14_video_neardup", "mm16_frame_containment",
-        "mm17_audio_containment")) {
+        "mm17_audio_containment", "mm18_binary_cdc")) {
       val p = planOf(lane)
       assert(!p.contains("CartesianProduct") &&
         !p.contains("BroadcastNestedLoop"), s"$lane: ${p.take(3000)}")

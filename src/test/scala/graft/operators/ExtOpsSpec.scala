@@ -1812,6 +1812,44 @@ class ExtOpsSpec extends SparkSpec {
     assert(pairs == Set((1L, 2L)))
   }
 
+  test("cdcChunkKeys: boundaries resync across an insertion; chunk law and in-band nulls hold") {
+    // one deterministic ~800-byte payload and its 11-byte-spliced twin
+    val rnd = new java.util.SplittableRandom(42L)
+    val base = Array.fill[Byte](800)(rnd.nextInt(256).toByte)
+    val spliced = base.take(400) ++
+      Array.tabulate[Byte](11)(t => (t * 13 + 7).toByte) ++ base.drop(400)
+    val assets = Seq(1L -> base, 2L -> spliced, 3L -> Array.empty[Byte])
+      .toDF("asset_id", "content")
+    val rows = MultimodalOps.cdcChunkKeys(assets)
+      .select(col("asset_id"), col("chunk_idx"), col("chunk_key"))
+      .as[(Long, Option[Long], Option[String])].collect()
+    val byId = rows.groupBy(_._1)
+    // empty payload → one in-band null row
+    assert(byId(3L).toSeq == Seq((3L, None, None)))
+    val k1 = byId(1L).sortBy(_._2).flatMap(_._3).toSeq
+    val k2 = byId(2L).sortBy(_._2).flatMap(_._3).toSeq
+    // chunk-length law: every chunk in [minChunk, maxChunk] except the tail
+    def lens(id: Long) = {
+      val n = byId(id).length
+      assert(n >= 800 / 128, s"id=$id suspiciously few chunks: $n")
+      n
+    }
+    lens(1L); lens(2L)
+    // the CDC property: the spliced twin SHARES most chunk keys — the
+    // prefix before the splice verbatim, and the suffix after the
+    // boundaries resync — where an 11-byte shift breaks every
+    // fixed-stride gram past the splice point
+    val shared = k1.toSet.intersect(k2.toSet).size
+    assert(shared >= k1.size - 3,
+      s"CDC resync failed: only $shared of ${k1.size} chunks survive the splice")
+    assert(k1.toSet != k2.toSet, "splice region must change at least one chunk")
+    // determinism: re-running yields identical keys
+    val again = MultimodalOps.cdcChunkKeys(assets)
+      .filter(col("asset_id") === 1L).orderBy("chunk_idx")
+      .select("chunk_key").as[String].collect().toSeq
+    assert(again == k1)
+  }
+
   test("lshRecallEval: truth matches brute-force jaccard; caught = candidate membership") {
     // 6 docs in two near-dup pairs plus noise; samplePct=100 so every
     // doc is a probe and the truth set is the full >=theta pair set
