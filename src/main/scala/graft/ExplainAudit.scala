@@ -33,7 +33,8 @@ object ExplainAudit {
         "tx42_snapshot_diff", "ss16_knn_graph", "ss17_knn_multiprobe",
         "dq3_quarantine", "gr8_modularity",
         "mm14_video_neardup", "mm15_decode_wire", "tx48_unicode_norm",
-        "mm16_frame_containment", "tx49_norm_neardup", "dq8_media_health")
+        "mm16_frame_containment", "tx49_norm_neardup", "dq8_media_health",
+        "mm17_audio_containment", "mm18_binary_cdc", "q35_orc_roundtrip")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
