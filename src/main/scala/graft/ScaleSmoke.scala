@@ -972,12 +972,17 @@ object ScaleSmoke {
     // {0, 255} → aHash bit = pixel bit exactly), so hashes are unique
     // by construction: every non-flat triplet contributes exactly 3
     // pairs with shared (4, 2, 2) and nothing crosses triplets. Flat
-    // triplets (q % 7 = 0) paint constant luma — one all-zeros hash
-    // bucket of 3·F ≈ 143k rows that the cap must excise (the
-    // blank-leader hot key at volume, through the REAL lane shape:
-    // per-frame decode walk, distinct, window cap, equi join, vote).
-    lane("framedup") {
-      val nClips = 999999L
+    // triplets paint constant luma — one all-zeros hash bucket of 3·F
+    // rows that the cap must excise (the blank-leader hot key at
+    // volume, through the REAL lane shape: per-frame decode walk,
+    // distinct, BoundedCollect df-cap, map-side pair explode, vote).
+    // Two flat rates share the kernel: 1/7 (the r13 corpus) and the
+    // r14 planted-skew variant at 1/3 — ≥30% of the corpus in ONE
+    // degenerate fingerprint, the shape the window-form cap died on
+    // (count OVER (PARTITION BY fhash) put the whole 1M-row bucket in
+    // one window task; the posting-list cap crosses the exchange as
+    // O(cap) partial rows no matter the bucket size).
+    def framedupRun(nClips: Long, flatMod: Long): (Double, Long) = {
       val schema = org.apache.spark.sql.types.StructType(Seq(
         org.apache.spark.sql.types.StructField("asset_id",
           org.apache.spark.sql.types.LongType, false),
@@ -987,7 +992,7 @@ object ScaleSmoke {
       val clips = spark.range(nClips).mapPartitions { it =>
         it.map { jid => val id = jid.longValue
           val bs = id - id % 3; val m = id % 3; val q = bs / 3
-          val flat = q % 7 == 0
+          val flat = q % flatMod == 0
           val off = if (m == 1) 2 else 0
           def lum(f: Int, p: Int) =
             if (flat) 128
@@ -1001,26 +1006,35 @@ object ScaleSmoke {
       val fh = operators.MultimodalOps.videoFrameHashes(clips)
         .filter(col("fhash").isNotNull)
         .select(col("asset_id"), col("fhash")).distinct()
-      val bucketW = org.apache.spark.sql.expressions.Window
-        .partitionBy("fhash")
-      val capped = fh
-        .withColumn("_n", count(lit(1)).over(bucketW))
-        .filter(col("_n") <= 8).drop("_n")
-      val l = capped.select(col("asset_id").as("a"), col("fhash"))
-      val r2 = capped.select(col("asset_id").as("b"), col("fhash"))
-      val agg = l.join(r2, Seq("fhash")).filter(col("a") < col("b"))
-        .groupBy("a", "b").agg(count(lit(1)).as("shared"))
-        .filter(col("shared") >= 2)
+      val agg = operators.MultimodalOps
+        .cappedContainmentVotes(fh, "asset_id", "fhash",
+          cap = 8, minShared = 2)
         .agg(count(lit(1)), sum("shared")).first()
       val fdSec = (System.nanoTime() - t0) / 1e9
       val pairs = agg.getLong(0); val sharedSum = agg.getLong(1)
       val trips = nClips / 3
-      val flats = (trips + 6) / 7
+      val flats = (trips + flatMod - 1) / flatMod
       val live = trips - flats
-      println(s"""{"framedup_clips":$nClips,"sec":${round1(fdSec)},"pairs":$pairs}""")
       require(pairs == 3 * live && sharedSum == 8 * live,
-        s"containment invariant broke: pairs=$pairs want=${3 * live} " +
-          s"sharedSum=$sharedSum want=${8 * live}")
+        s"containment invariant broke (flatMod=$flatMod): pairs=$pairs " +
+          s"want=${3 * live} sharedSum=$sharedSum want=${8 * live}")
+      (fdSec, pairs)
+    }
+    lane("framedup") {
+      val nClips = 999999L
+      val (fdSec, pairs) = framedupRun(nClips, flatMod = 7L)
+      println(s"""{"framedup_clips":$nClips,"sec":${round1(fdSec)},"pairs":$pairs}""")
+    }
+
+    // The planted-skew variant: every third triplet flat → one
+    // degenerate all-zeros fhash bucket holding ~33% of the corpus
+    // (≈333k distinct (asset, hash) rows). Done-criterion from the r13
+    // verdict: completes in bounded time with the map-side cap; the
+    // invariant arithmetic is identical, only F changes.
+    lane("framedupskew") {
+      val nClips = 999999L
+      val (fdSec, pairs) = framedupRun(nClips, flatMod = 3L)
+      println(s"""{"framedupskew_clips":$nClips,"sec":${round1(fdSec)},"pairs":$pairs}""")
     }
 
     // unicode_norm_key in the dedup hot path at 10M docs (r13): even

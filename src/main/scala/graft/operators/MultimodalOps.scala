@@ -1188,4 +1188,60 @@ object MultimodalOps {
       .select(col("l._id").as("a"), col("r._id").as("b"))
       .distinct()
   }
+
+  /** Df-capped fingerprint pair formation — the shared scale shape of
+    * every mm pair lane (mm12/13/14 whole-asset fingerprints,
+    * mm16/17/18 per-frame/segment/chunk keys): group ids by the exact
+    * fingerprint into a size-capped posting list, DROP buckets larger
+    * than `cap` (a fingerprint shared by more than `cap` assets is a
+    * DEGENERATE pattern — flat frames, silence, all-zero payloads —
+    * not a duplicate cluster), pair map-side within each surviving
+    * list. Output `(a, b, keyCol)` with `a < b`, one row per shared
+    * fingerprint.
+    *
+    * Why not `count(*) OVER (PARTITION BY key)` + filter: `WindowExec`
+    * colocates EVERY row of a key in one task before the filter can
+    * drop it, and the hot key is precisely the degenerate bucket the
+    * cap exists to excise — at corpus scale that is an O(#flat assets)
+    * single-task sort. Here [[graft.functions.BoundedCollect]] caps
+    * each partial buffer at `cap + 1` (just enough for the size filter
+    * to see "too big"), so the hot key crosses the exchange as a
+    * handful of O(cap) partial rows and pairs form by exploding within
+    * posting lists — the dd12 discipline
+    * ([[graft.operators.DedupOps.containmentPairs]]), which also
+    * deletes the pair self-join the window form needed. A truncated
+    * list is by construction exactly `cap + 1` long, so exactly the
+    * over-frequent buckets drop, independent of which ids survived
+    * truncation — result-identical to the window form (which the
+    * oracle replays) for inputs with one row per (id, key).
+    *
+    * Null keys are excluded (the window form's equi join dropped them
+    * implicitly; the groupBy form would otherwise pair the null
+    * bucket). PlanShapeSpec pins WindowExec out of every mm pair plan.
+    */
+  def cappedFingerprintPairs(fp: DataFrame, idCol: String, keyCol: String,
+                             cap: Int = 8): DataFrame = {
+    val postings = fp
+      .filter(col(keyCol).isNotNull)
+      .groupBy(col(keyCol))
+      .agg(graft.functions.BoundedCollect
+        .boundedCollectList(col(idCol), cap + 1).as("_ids"))
+      .filter(size(col("_ids")) <= cap)
+    postings
+      .select(col(keyCol), explode(col("_ids")).as("a"), col("_ids"))
+      .select(col(keyCol), col("a"), explode(col("_ids")).as("b"))
+      .filter(col("a") < col("b"))
+      .select(col("a"), col("b"), col(keyCol))
+  }
+
+  /** The containment-vote composition of [[cappedFingerprintPairs]]
+    * (mm16/17/18): count distinct shared fingerprints per asset pair,
+    * keep pairs with at least `minShared` votes. Input must already be
+    * distinct per (id, key) — the lanes dedupe within asset first, so
+    * the vote counts distinct shared keys. */
+  def cappedContainmentVotes(fp: DataFrame, idCol: String, keyCol: String,
+                             cap: Int = 8, minShared: Int = 2): DataFrame =
+    cappedFingerprintPairs(fp, idCol, keyCol, cap)
+      .groupBy("a", "b").agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= minShared)
 }

@@ -208,15 +208,8 @@ object MultimodalQueries {
       val fp = MultimodalOps.aHashBits(
         MultimodalOps.synthBmpPairAssets(documents(s, d), "doc_id"))
         .select(col("asset_id"), col("ahash_bits"))
-      val bucketW = org.apache.spark.sql.expressions.Window
-        .partitionBy("ahash_bits")
-      val capped = fp
-        .withColumn("_n", count(lit(1)).over(bucketW))
-        .filter(col("_n") <= 8).drop("_n")
-      val l = capped.select(col("asset_id").as("a"), col("ahash_bits"))
-      val r = capped.select(col("asset_id").as("b"), col("ahash_bits"))
-      l.join(r, Seq("ahash_bits")).filter(col("a") < col("b"))
-        .select("a", "b", "ahash_bits")
+      MultimodalOps.cappedFingerprintPairs(fp, "asset_id", "ahash_bits",
+        cap = 8)
     }),
 
     // Audio container-noise near-dup (mm13) — mm12's discipline on the
@@ -232,15 +225,8 @@ object MultimodalQueries {
       val fp = MultimodalOps.audioEnergyFingerprint(
         MultimodalOps.synthWavPairAssets(documents(s, d), "doc_id"))
         .select(col("asset_id"), col("energy_bits"))
-      val bucketW = org.apache.spark.sql.expressions.Window
-        .partitionBy("energy_bits")
-      val capped = fp
-        .withColumn("_n", count(lit(1)).over(bucketW))
-        .filter(col("_n") <= 8).drop("_n")
-      val l = capped.select(col("asset_id").as("a"), col("energy_bits"))
-      val r = capped.select(col("asset_id").as("b"), col("energy_bits"))
-      l.join(r, Seq("energy_bits")).filter(col("a") < col("b"))
-        .select("a", "b", "energy_bits")
+      MultimodalOps.cappedFingerprintPairs(fp, "asset_id", "energy_bits",
+        cap = 8)
     }),
 
     // Video perceptual near-dup (mm14) — the third modality completes
@@ -259,15 +245,8 @@ object MultimodalQueries {
         MultimodalOps.synthY4mPairAssets(documents(s, d), "doc_id"),
         stride = 2)
         .select(col("asset_id"), col("vhash_bits"))
-      val bucketW = org.apache.spark.sql.expressions.Window
-        .partitionBy("vhash_bits")
-      val capped = fp
-        .withColumn("_n", count(lit(1)).over(bucketW))
-        .filter(col("_n") <= 8).drop("_n")
-      val l = capped.select(col("asset_id").as("a"), col("vhash_bits"))
-      val r = capped.select(col("asset_id").as("b"), col("vhash_bits"))
-      l.join(r, Seq("vhash_bits")).filter(col("a") < col("b"))
-        .select("a", "b", "vhash_bits")
+      MultimodalOps.cappedFingerprintPairs(fp, "asset_id", "vhash_bits",
+        cap = 8)
     }),
 
     // Real WIRE-FORMAT decode (mm15): mm8's contract on the containers
@@ -304,16 +283,8 @@ object MultimodalQueries {
         MultimodalOps.synthY4mTrimAssets(documents(s, d), "doc_id"))
         .filter(col("fhash").isNotNull)
         .select(col("asset_id"), col("fhash")).distinct()
-      val bucketW = org.apache.spark.sql.expressions.Window
-        .partitionBy("fhash")
-      val capped = fh
-        .withColumn("_n", count(lit(1)).over(bucketW))
-        .filter(col("_n") <= 8).drop("_n")
-      val l = capped.select(col("asset_id").as("a"), col("fhash"))
-      val r = capped.select(col("asset_id").as("b"), col("fhash"))
-      l.join(r, Seq("fhash")).filter(col("a") < col("b"))
-        .groupBy("a", "b").agg(count(lit(1)).as("shared"))
-        .filter(col("shared") >= 2)
+      MultimodalOps.cappedContainmentVotes(fh, "asset_id", "fhash",
+        cap = 8, minShared = 2)
     }),
 
     // Segment-level audio CONTAINMENT (mm17) — mm16's vote on the
@@ -330,16 +301,8 @@ object MultimodalQueries {
         .filter(col("seg_key").isNotNull)
         .select(col("asset_id"), md5(col("seg_key")).as("skey"))
         .distinct()
-      val bucketW = org.apache.spark.sql.expressions.Window
-        .partitionBy("skey")
-      val capped = sk
-        .withColumn("_n", count(lit(1)).over(bucketW))
-        .filter(col("_n") <= 8).drop("_n")
-      val l = capped.select(col("asset_id").as("a"), col("skey"))
-      val r = capped.select(col("asset_id").as("b"), col("skey"))
-      l.join(r, Seq("skey")).filter(col("a") < col("b"))
-        .groupBy("a", "b").agg(count(lit(1)).as("shared"))
-        .filter(col("shared") >= 2)
+      MultimodalOps.cappedContainmentVotes(sk, "asset_id", "skey",
+        cap = 8, minShared = 2)
     }),
 
     // Content-defined-chunk binary dedup (mm18): the insertion-robust
@@ -356,16 +319,8 @@ object MultimodalQueries {
         MultimodalOps.synthBinaryTrimAssets(documents(s, d), "doc_id"))
         .filter(col("chunk_key").isNotNull)
         .select(col("asset_id"), col("chunk_key")).distinct()
-      val bucketW = org.apache.spark.sql.expressions.Window
-        .partitionBy("chunk_key")
-      val capped = ck
-        .withColumn("_n", count(lit(1)).over(bucketW))
-        .filter(col("_n") <= 8).drop("_n")
-      val l = capped.select(col("asset_id").as("a"), col("chunk_key"))
-      val r = capped.select(col("asset_id").as("b"), col("chunk_key"))
-      l.join(r, Seq("chunk_key")).filter(col("a") < col("b"))
-        .groupBy("a", "b").agg(count(lit(1)).as("shared"))
-        .filter(col("shared") >= 2)
+      MultimodalOps.cappedContainmentVotes(ck, "asset_id", "chunk_key",
+        cap = 8, minShared = 2)
     })
   )
 

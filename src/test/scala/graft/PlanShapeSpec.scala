@@ -555,6 +555,22 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("mm pair lanes cap buckets map-side: bounded_collect_list postings, no WindowExec") {
+    // the degenerate-fingerprint bucket (flat frames, silence, zero
+    // chunks) must NEVER land whole in one task — the cap has to be a
+    // partial-aggregating posting build (BoundedCollect, O(cap) buffer
+    // per partial), not count(*) OVER (PARTITION BY fingerprint),
+    // which WindowExec would colocate before the filter can drop it
+    for (lane <- Seq("mm12_ahash_pairs", "mm13_audio_neardup",
+        "mm14_video_neardup", "mm16_frame_containment",
+        "mm17_audio_containment", "mm18_binary_cdc")) {
+      val p = planOf(lane)
+      assert(!p.contains("Window"), s"$lane plans a window cap: ${p.take(3000)}")
+      assert(p.contains("bounded_collect_list"),
+        s"$lane lost the posting-list cap: ${p.take(3000)}")
+    }
+  }
+
   test("ev21 nearest as-of is joinless: one union-sort exchange, no candidate pairs") {
     val p = planOf("ev21_asof_nearest")
     assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin") &&
