@@ -303,6 +303,73 @@ object MultimodalOps {
       }(enc)
   }
 
+  /** JPEG wire fixture — the dominant container of real image corpora:
+    * every id encodes through the JDK JPEG writer at pinned quality
+    * 0.75 with dims drawn from the id (w = 16 + id % 9,
+    * h = 12 + id % 7 — past the 8×8 MCU so the encoder exercises real
+    * block layout), gradient pixels. Every 13th id is truncated to 4
+    * bytes: SOI + one marker byte, signature intact, frame header gone
+    * — the [[PngCodec.jpegHeader]] miss path fires in-band. Pixels are
+    * LOSSY and decoder-dependent; only the header facts are
+    * deterministic, which is exactly what mm19 gates.
+    */
+  def synthJpegAssets(df: DataFrame, idCol: String): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("asset_id", LongType, nullable = false),
+      StructField("content", BinaryType, nullable = true)))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    df.select(col(idCol).cast("long").as("asset_id"))
+      .mapPartitions { it =>
+        it.map { r =>
+          val id = r.getLong(0)
+          val w = (16 + id % 9).toInt
+          val h = (12 + id % 7).toInt
+          val jpg = PngCodec.encodeJpeg24(w, h, 0.75f, (x, y) => (
+            ((id * 7 + 3 * x + 5 * y) % 256).toInt,
+            ((id * 11 + x + 2 * y) % 256).toInt,
+            ((id * 13 + 2 * x + y) % 256).toInt))
+          val payload =
+            if (id % 13 == 0) jpg.take(4) // SOI + FF, frame header gone
+            else jpg
+          Row(id, payload)
+        }
+      }(enc)
+  }
+
+  /** Frame-header profile over JPEG payloads — the hash-gateable half
+    * of the format ([[PngCodec.jpegHeader]]): dims, component count,
+    * sample precision, progressive flag, parse success in-band. The
+    * batch shape matches [[decodeImageFeatures]]: per-partition map,
+    * payload untouched beyond the marker walk (entropy data is never
+    * read, so cost is O(header) per asset no matter the payload size).
+    */
+  def jpegHeaderProfile(assets: DataFrame,
+                        contentCol: String = "content"): DataFrame = {
+    val schema = StructType(assets.schema.fields.filterNot(
+      _.name == contentCol) ++ Seq(
+      StructField("jpg_w", IntegerType, nullable = true),
+      StructField("jpg_h", IntegerType, nullable = true),
+      StructField("n_components", IntegerType, nullable = true),
+      StructField("bit_depth", IntegerType, nullable = true),
+      StructField("progressive", BooleanType, nullable = true),
+      StructField("parsed", BooleanType, nullable = false)))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    val idx = assets.schema.fieldIndex(contentCol)
+    val keep = assets.schema.fields.indices.filterNot(_ == idx)
+    assets.mapPartitions { it =>
+      it.map { r =>
+        val base = keep.map(r.get)
+        PngCodec.jpegHeader(r.getAs[Array[Byte]](idx)) match {
+          case Some(hd) =>
+            Row.fromSeq(base ++ Seq(hd.w, hd.h, hd.nComponents,
+              hd.precision, hd.progressive, true))
+          case None =>
+            Row.fromSeq(base ++ Seq(null, null, null, null, null, false))
+        }
+      }
+    }(enc)
+  }
+
   /** Pixel-duplicate BMP fixture: consecutive id pairs (2k, 2k+1)
     * share dims and pixels (both derived from gid = id − id % 2), and
     * the odd member's ROW-PADDING bytes are stamped with junk — same

@@ -115,4 +115,96 @@ object PngCodec {
     else if (hasPngSig(bytes)) readToRgb(bytes)
     else if (hasJpegSig(bytes)) readToRgb(bytes)
     else None
+
+  /** Encode a 24-bit RGB JPEG via the JDK writer at an EXPLICIT
+    * compression quality — fixtures must pin the quality so the
+    * deterministic half of the container (the header walked by
+    * [[jpegHeader]]) is reproducible; the lossy half (pixel values
+    * after IDCT) stays decoder-dependent and is never hash-gated
+    * (the mm15 design rule).
+    */
+  def encodeJpeg24(w: Int, h: Int, quality: Float,
+                   rgb: (Int, Int) => (Int, Int, Int)): Array[Byte] = {
+    require(w > 0 && h > 0, s"bad dims: ${w}x$h")
+    require(quality > 0f && quality <= 1f, s"bad quality: $quality")
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val (r, g, b) = rgb(x, y)
+        img.setRGB(x, y, ((r & 0xff) << 16) | ((g & 0xff) << 8) | (b & 0xff))
+        x += 1
+      }
+      y += 1
+    }
+    val writers = ImageIO.getImageWritersByFormatName("jpeg")
+    require(writers.hasNext, "JDK JPEG writer unavailable")
+    val writer = writers.next()
+    val param = writer.getDefaultWriteParam
+    param.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+    param.setCompressionQuality(quality)
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = ImageIO.createImageOutputStream(bos)
+    try {
+      writer.setOutput(ios)
+      writer.write(null, new javax.imageio.IIOImage(img, null, null), param)
+    } finally { ios.close(); writer.dispose() }
+    bos.toByteArray
+  }
+
+  /** The DETERMINISTIC half of a JPEG: frame-header facts fixed by the
+    * standard's marker syntax (ITU-T T.81 §B.2.2), independent of any
+    * decoder's IDCT. `progressive` = the frame is SOF2-coded. */
+  final case class JpegHeader(w: Int, h: Int, nComponents: Int,
+                              precision: Int, progressive: Boolean)
+
+  /** Marker-walk JPEG frame-header parse — pure arithmetic over the
+    * public wire syntax, NO entropy decode: skip SOI, then walk the
+    * length-prefixed marker segments to the first SOFn (C0–C3, C5–C7,
+    * C9–CB, CD–CF; C4/C8/CC are DHT/JPG/DAC, not frames) and read
+    * precision, height, width, component count big-endian. Unlike
+    * [[decodeJpeg]] this is hash-gateable: the header bytes are what
+    * the encoder wrote, deterministically, even though decoded pixels
+    * are not. None for torn/foreign payloads, a SOS/EOI reached before
+    * any SOF, a zero dimension (DNL-deferred height is out of scope —
+    * the JDK writer never emits it), or a segment length that walks
+    * off the buffer — in-band miss, never a task failure.
+    */
+  def jpegHeader(bytes: Array[Byte]): Option[JpegHeader] = {
+    if (bytes == null || !hasJpegSig(bytes)) return None
+    val n = bytes.length
+    var i = 2 // past SOI
+    while (i + 1 < n) {
+      // markers may be preceded by fill bytes (0xFF*)
+      if ((bytes(i) & 0xff) != 0xff) return None
+      var j = i
+      while (j + 1 < n && (bytes(j + 1) & 0xff) == 0xff) j += 1
+      if (j + 1 >= n) return None
+      val marker = bytes(j + 1) & 0xff
+      i = j + 2
+      marker match {
+        case 0x01 | 0xd8 => // TEM / SOI: standalone, no segment
+        case m if m >= 0xd0 && m <= 0xd7 => // RSTn: standalone
+        case 0xd9 | 0xda => return None // EOI / SOS before any SOF
+        case m if m >= 0xc0 && m <= 0xcf &&
+            m != 0xc4 && m != 0xc8 && m != 0xcc =>
+          if (i + 7 >= n) return None
+          val len = ((bytes(i) & 0xff) << 8) | (bytes(i + 1) & 0xff)
+          if (len < 8 || i + len > n) return None
+          val precision = bytes(i + 2) & 0xff
+          val h = ((bytes(i + 3) & 0xff) << 8) | (bytes(i + 4) & 0xff)
+          val w = ((bytes(i + 5) & 0xff) << 8) | (bytes(i + 6) & 0xff)
+          val nc = bytes(i + 7) & 0xff
+          if (w <= 0 || h <= 0 || nc <= 0) return None
+          return Some(JpegHeader(w, h, nc, precision, m == 0xc2))
+        case _ => // length-prefixed segment: skip
+          if (i + 1 >= n) return None
+          val len = ((bytes(i) & 0xff) << 8) | (bytes(i + 1) & 0xff)
+          if (len < 2 || i + len > n) return None
+          i += len
+      }
+    }
+    None
+  }
 }

@@ -321,6 +321,25 @@ object MultimodalQueries {
         .select(col("asset_id"), col("chunk_key")).distinct()
       MultimodalOps.cappedContainmentVotes(ck, "asset_id", "chunk_key",
         cap = 8, minShared = 2)
+    }),
+
+    // JPEG metadata profile (mm19): real corpora are JPEG-first and
+    // mm15 deliberately keeps JPEG pixels ungated (lossy, IDCT
+    // rounding is decoder-dependent) — but the FRAME HEADER is fixed
+    // by the marker syntax the encoder wrote, deterministically. The
+    // marker walk (PngCodec.jpegHeader) reads dims / component count /
+    // sample precision / progressive flag without touching entropy
+    // data; the oracle replays every field analytically from the
+    // fixture's generative parameters (the mm8 contract — pinned
+    // encoder quality, id-derived dims, every 13th payload torn to 4
+    // bytes so the miss path fires in-band on real wire bytes).
+    "mm19_jpeg_meta" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      MultimodalOps.jpegHeaderProfile(
+        MultimodalOps.synthJpegAssets(documents(s, d), "doc_id"))
+        .select(col("asset_id"), col("jpg_w"), col("jpg_h"),
+          col("n_components"), col("bit_depth"), col("progressive"),
+          col("parsed"))
     })
   )
 
@@ -873,6 +892,27 @@ capped AS (SELECT id, ckey FROM sk
 SELECT l.id AS a, r.id AS b, count(*)::BIGINT AS shared
 FROM capped l JOIN capped r ON l.ckey = r.ckey AND l.id < r.id
 GROUP BY 1, 2
-HAVING count(*) >= 2"""
+HAVING count(*) >= 2""",
+
+    // the deterministic half of the JPEG container, replayed purely
+    // from the fixture's generative parameters: the encoder was asked
+    // for baseline (SOF0 → not progressive), 8-bit, 3-component
+    // (TYPE_INT_RGB → JFIF YCbCr) frames at id-derived dims, and the
+    // marker walk must read exactly those facts back off the wire;
+    // torn ids (every 13th, 4-byte payload) miss in-band
+    "mm19_jpeg_meta" ->
+      """SELECT doc_id AS asset_id,
+           CASE WHEN doc_id % 13 = 0 THEN NULL
+                ELSE (16 + doc_id % 9)::INT END AS jpg_w,
+           CASE WHEN doc_id % 13 = 0 THEN NULL
+                ELSE (12 + doc_id % 7)::INT END AS jpg_h,
+           CASE WHEN doc_id % 13 = 0 THEN NULL ELSE 3::INT END
+             AS n_components,
+           CASE WHEN doc_id % 13 = 0 THEN NULL ELSE 8::INT END
+             AS bit_depth,
+           CASE WHEN doc_id % 13 = 0 THEN NULL ELSE FALSE END
+             AS progressive,
+           (doc_id % 13 <> 0) AS parsed
+         FROM documents"""
   )
 }

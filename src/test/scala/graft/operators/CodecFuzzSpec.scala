@@ -96,6 +96,17 @@ class CodecFuzzSpec extends AnyFunSuite {
       (d: ImageCodec.DecodedImage) => ImageCodec.channelSums(d))
   }
 
+  test("jpegHeader never throws under mutation, truncation, or splice") {
+    // the marker walk parses length fields straight off attacker-shaped
+    // bytes — every offset must be bounds-checked, and a surviving
+    // parse must carry sane fields (positive dims, per the contract)
+    val base = PngCodec.encodeJpeg24(24, 16, 0.75f,
+      (x, y) => (x * 10, y * 15, (x + y) * 5))
+    exercise("jpeg-header", base, PngCodec.jpegHeader,
+      (h: PngCodec.JpegHeader) =>
+        assert(h.w > 0 && h.h > 0 && h.nComponents > 0))
+  }
+
   test("decodeAuto never throws across sniffed containers under mutation") {
     // mutations can flip a payload's magic INTO another branch's —
     // the sniffing kernel must stay in-band on all of them

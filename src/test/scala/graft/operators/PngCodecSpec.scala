@@ -78,6 +78,53 @@ class PngCodecSpec extends SparkSpec {
     assert(PngCodec.decodeJpeg(jpeg.take(10)) == None) // torn, in-band
   }
 
+  test("jpegHeader walks the markers to SOF: dims, components, precision, baseline") {
+    for (id <- 0L until 20L) {
+      val w = (16 + id % 9).toInt; val h = (12 + id % 7).toInt
+      val jpg = PngCodec.encodeJpeg24(w, h, 0.75f, px(id))
+      val hd = PngCodec.jpegHeader(jpg)
+      assert(hd.contains(PngCodec.JpegHeader(w, h, 3, 8, false)),
+        s"id=$id got $hd")
+      // agreement with the full decoder on the deterministic half
+      val dec = PngCodec.decodeJpeg(jpg).get
+      assert(dec.w == w && dec.h == h, s"id=$id decoder dims")
+    }
+  }
+
+  test("jpegHeader reads SOF2 frames as progressive") {
+    // JDK writer in progressive mode emits an SOF2 frame header
+    val img = new java.awt.image.BufferedImage(24, 18,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 18; x <- 0 until 24)
+      img.setRGB(x, y, ((x * 10) << 16) | ((y * 14) << 8) | 64)
+    val writer = javax.imageio.ImageIO
+      .getImageWritersByFormatName("jpeg").next()
+    val param = writer.getDefaultWriteParam
+    param.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DEFAULT)
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    writer.setOutput(ios)
+    writer.write(null, new javax.imageio.IIOImage(img, null, null), param)
+    ios.close(); writer.dispose()
+    val hd = PngCodec.jpegHeader(bos.toByteArray)
+    assert(hd.contains(PngCodec.JpegHeader(24, 18, 3, 8, true)), s"got $hd")
+  }
+
+  test("jpegHeader misses in-band on torn, foreign, and SOF-less payloads") {
+    val jpg = PngCodec.encodeJpeg24(20, 15, 0.75f, px(5))
+    assert(PngCodec.jpegHeader(null) == None)
+    assert(PngCodec.jpegHeader(jpg.take(4)) == None)  // SOI + FF, no frame
+    assert(PngCodec.jpegHeader(jpg.take(2)) == None)  // bare SOI
+    assert(PngCodec.jpegHeader(jpg.take(20)) == None) // torn mid-segment
+    assert(PngCodec.jpegHeader(
+      PngCodec.encodePng24(4, 3, px(1))) == None)     // wrong container
+    assert(PngCodec.jpegHeader(
+      ImageCodec.encodeBmp24(4, 3, px(1))) == None)
+    // SOI then EOI with no frame: walk must stop, not scan entropy junk
+    assert(PngCodec.jpegHeader(Array(0xff, 0xd8, 0xff, 0xd9)
+      .map(_.toByte)) == None)
+  }
+
   test("decodeImageFeatures over the mixed wire fixture: both branches fire, torn rows in-band") {
     val assets = MultimodalOps.synthWireImageAssets(
       spark.range(40).toDF("doc_id"), "doc_id")
