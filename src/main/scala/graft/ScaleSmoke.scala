@@ -1053,10 +1053,11 @@ object ScaleSmoke {
       val base = concat_ws(" ", (0 until 24).map(j =>
         pmod(hash((col("id") - col("id") % 2), lit(j)).cast("long"),
           lit(500000L)).cast("string")): _*)
-      // plant a letter so the homoglyph swap has something to hit:
-      // prefix each word stream with "alpha data" (contains a/e/o/c?
-      // 'a' twice, 'd' none) — swap targets 'a' only, enough to force
-      // the slow path on every odd row
+      // plant letters so the homoglyph swap has something to hit:
+      // prefix each word stream with "alpha case " — it contains all
+      // four swap targets (a×3, e, c, and translate also maps o which
+      // the prefix lacks), enough to force the slow path on every odd
+      // row
       val corpus = spark.range(nDocs).select(col("id"),
         when(col("id") % 2 === 0,
           concat(lit("alpha case "), base))

@@ -26,9 +26,12 @@ object IvfFixture {
 
   private val built = new ConcurrentHashMap[String, String]()
 
+  // sanitized path, not hashCode: abs(Int.MinValue) stays negative and
+  // two dataset paths can collide on hashCode — a collision would let
+  // concurrent suites overwrite each other's index scratch dir
   private def scratch(prefix: String, sfDir: String): String =
     java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
-      s"$prefix-${math.abs(sfDir.hashCode)}").toString
+      s"$prefix-${sfDir.replaceAll("[^A-Za-z0-9._-]", "_")}").toString
 
   /** Torn-build guard shared by every persisted-index fixture. The
     * scratch path outlives the JVM, and each new JVM rebuilds with
@@ -174,7 +177,8 @@ object BandIndexFixture {
   def dir(spark: SparkSession, sfDir: String): String =
     IvfFixture.checkMarker(built.computeIfAbsent(s"band:$sfDir", _ => {
       val d = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
-        s"graft-band-index-${math.abs(sfDir.hashCode)}").toString
+        s"graft-band-index-${sfDir.replaceAll("[^A-Za-z0-9._-]", "_")}")
+        .toString
       IvfFixture.buildWithMarker(d) {
         DedupOps.bandIndexBuild(
           graft.Tables.documents(spark, sfDir)

@@ -759,9 +759,10 @@ object MultimodalOps {
           val clip = VideoCodec.encodeY4m420(w, h, nf, lum, chrU, chrV)
           val payload = if (id % 2 == 1) {
             // swap the chroma-siting tag: same layout, different bytes
-            val head = new String(clip, 0, 64,
+            val head = new String(clip, 0, math.min(clip.length, 64),
               java.nio.charset.StandardCharsets.US_ASCII)
             val at = head.indexOf("C420jpeg")
+            require(at >= 0, "fixture clip lost its chroma tag")
             clip.take(at) ++
               "C420mpeg2".getBytes(
                 java.nio.charset.StandardCharsets.US_ASCII) ++
@@ -983,9 +984,10 @@ object MultimodalOps {
           def chrV(f: Int, q2: Int) = ((bs * 13 + 2 * (f + f0) + q2) % 256).toInt
           val clip = VideoCodec.encodeY4m420(w, h, 4, lum, chrU, chrV)
           val payload = if (m == 2) {
-            val head = new String(clip, 0, 64,
+            val head = new String(clip, 0, math.min(clip.length, 64),
               java.nio.charset.StandardCharsets.US_ASCII)
             val at = head.indexOf("C420jpeg")
+            require(at >= 0, "fixture clip lost its chroma tag")
             clip.take(at) ++
               "C420mpeg2".getBytes(
                 java.nio.charset.StandardCharsets.US_ASCII) ++

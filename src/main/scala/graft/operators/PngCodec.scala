@@ -18,9 +18,13 @@ import javax.imageio.ImageIO
   * so every downstream feature op (channel sums, aHash) is
   * container-agnostic.
   *
-  * Scale: `setUseCache(false)` keeps executors off temp-file caches;
-  * the codec is a static kernel like the others — no per-row setup
-  * inside `mapPartitions`.
+  * Scale: `setUseCache(false)` keeps executors off temp-file caches.
+  * NOTE this flag is PROCESS-GLOBAL JVM state, set on first load of
+  * this object — any other ImageIO user in the same executor inherits
+  * in-memory (uncached) streams. That is the behavior a Spark executor
+  * wants (no temp-file churn under /tmp), but it is a deliberate,
+  * documented global. The codec is a static kernel like the others —
+  * no per-row setup inside `mapPartitions`.
   */
 object PngCodec {
 

@@ -298,8 +298,10 @@ object RelationalQueries {
     // format swap (plan-pinned), and the roundtrip must be lossless
     // (the oracle reads the ORIGINAL parquet table).
     "q35_orc_roundtrip" -> ((s, d) => {
+      // sanitized path, not hashCode: abs(Int.MinValue) stays negative
+      // and two dataset paths can collide on hashCode
       val dir = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
-        s"graft-orc-${math.abs(d.hashCode)}").toString
+        s"graft-orc-${d.replaceAll("[^A-Za-z0-9._-]", "_")}").toString
       graft.sources.Compaction.writePartitioned(
         documents(s, d).select("doc_id", "lang", "n_chars", "source"),
         dir, Seq("source"), clusterBy = Seq("doc_id"), format = "orc")
@@ -310,7 +312,7 @@ object RelationalQueries {
 
     "q28_zonemap" -> ((s, d) => {
       val dir = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
-        s"graft-zonemap-${math.abs(d.hashCode)}").toString
+        s"graft-zonemap-${d.replaceAll("[^A-Za-z0-9._-]", "_")}").toString
       val li = lineitem(s, d)
         .select("l_orderkey", "l_quantity", "l_extendedprice", "l_shipdate")
       li.repartitionByRange(8, col("l_shipdate"))
