@@ -187,3 +187,35 @@ object BandIndexFixture {
       }
     }))
 }
+
+/** Build-once-per-session holder for mm21's persisted frame-hash index
+  * — [[BandIndexFixture]]'s reasoning on the media axis, with the
+  * APPEND path inside the gated artifact: the standing corpus is the
+  * trim-asset clips of doc_id % 5 ∈ {1, 2, 3} built via
+  * [[MultimodalOps.frameHashIndexBuild]], then doc_id % 5 = 4 arrives
+  * as a later ingest through [[MultimodalOps.frameHashIndexAppend]].
+  * The lane queries the % 5 = 0 batch against the combined index, so
+  * the oracle's full-corpus replay hash-gates BOTH write paths: a row
+  * the append dropped, double-wrote, or mis-bucketed would shift a
+  * bucket cap or a vote count.
+  */
+object FrameIndexFixture {
+
+  private val built = new ConcurrentHashMap[String, String]()
+
+  def dir(spark: SparkSession, sfDir: String): String =
+    IvfFixture.checkMarker(built.computeIfAbsent(s"frame:$sfDir", _ => {
+      val d = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+        s"graft-frame-index-${sfDir.replaceAll("[^A-Za-z0-9._-]", "_")}")
+        .toString
+      IvfFixture.buildWithMarker(d) {
+        val assets = MultimodalOps.synthY4mTrimAssets(
+          graft.Tables.documents(spark, sfDir), "doc_id")
+        MultimodalOps.frameHashIndexBuild(
+          assets.filter(col("asset_id") % 5 >= 1 &&
+            col("asset_id") % 5 <= 3), d)
+        MultimodalOps.frameHashIndexAppend(
+          assets.filter(col("asset_id") % 5 === 4), d)
+      }
+    }))
+}

@@ -1313,4 +1313,92 @@ object MultimodalOps {
     cappedFingerprintPairs(fp, idCol, keyCol, cap)
       .groupBy("a", "b").agg(count(lit(1)).as("shared"))
       .filter(col("shared") >= minShared)
+
+  /** Distinct (asset_id, fhash) rows of a clip corpus — the posting
+    * unit of the persisted frame-hash index and the input shape of
+    * [[cappedContainmentVotes]]. */
+  def distinctFrameHashes(assets: DataFrame, stride: Int = 1): DataFrame =
+    videoFrameHashes(assets, stride)
+      .filter(col("fhash").isNotNull)
+      .select(col("asset_id"), col("fhash")).distinct()
+
+  private def frameHashBucket(buckets: Int): Column =
+    pmod(xxhash64(col("fhash")), lit(buckets.toLong)).as("_bkt")
+
+  /** Persist a clip corpus' frame-hash postings for INCREMENTAL
+    * containment detection — the dd10/ss18 discipline on the media
+    * axis: the expensive part of every ingest (decoding and per-frame
+    * hashing the EXISTING corpus) is paid once and written down,
+    * hive-partitioned by a bounded hash bucket of the fingerprint
+    * (fhash itself is too high-cardinality to be a directory key),
+    * files clustered by fhash so parquet min/max stats prune hash
+    * ranges within each bucket. New batches append theirs via
+    * [[frameHashIndexAppend]]; periodic `Compaction.compact` keeps
+    * file counts bounded.
+    */
+  def frameHashIndexBuild(assets: DataFrame, dir: String, stride: Int = 1,
+                          buckets: Int = 32): Unit =
+    graft.sources.Compaction.writePartitioned(
+      distinctFrameHashes(assets, stride)
+        .select(col("asset_id"), col("fhash"), frameHashBucket(buckets)),
+      dir, Seq("_bkt"), clusterBy = Seq("fhash"))
+
+  /** Append a new batch's frame-hash postings, preserving the build's
+    * layout invariant (repartitioned on the bucket, files clustered by
+    * fhash) — an unshaped append would write tasks × buckets sliver
+    * files with useless min/max stats until the next compaction.
+    * `buckets` MUST match the build's. */
+  def frameHashIndexAppend(assets: DataFrame, dir: String, stride: Int = 1,
+                           buckets: Int = 32,
+                           maxRecordsPerFile: Long = 1000000L): Unit =
+    distinctFrameHashes(assets, stride)
+      .select(col("asset_id"), col("fhash"), frameHashBucket(buckets))
+      .repartition(col("_bkt"))
+      .sortWithinPartitions(col("_bkt"), col("fhash"))
+      .write.mode(org.apache.spark.sql.SaveMode.Append)
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .partitionBy("_bkt").parquet(dir)
+
+  /** Frame-level containment of a NEW batch against the persisted
+    * index: ONLY the batch is decoded and hashed (the corpus' hashes
+    * are read back from the index), the index scan is bloom-reduced by
+    * the batch's fingerprint set before anything joins, and the
+    * mm16 vote runs over the merged postings. Output = exactly the
+    * full-rebuild mm16 pairs that involve at least one batch asset:
+    * for any hash a batch asset carries, the bloom passes the ENTIRE
+    * index bucket, so both the degenerate-bucket cap and the vote
+    * count see the same posting set a rebuild would — append ≡ rebuild
+    * by construction (mm21 hash-gates it). Bloom false positives admit
+    * index-only buckets whose pairs the batch-membership filter drops;
+    * they cost scan rows (~fpp of the index), never correctness.
+    */
+  def frameContainmentIncremental(batch: DataFrame, dir: String,
+                                  stride: Int = 1, cap: Int = 8,
+                                  minShared: Int = 2): DataFrame = {
+    val spark = batch.sparkSession
+    val bfh = distinctFrameHashes(batch, stride)
+    // sized from clips × a generous frames-per-clip bound; overestimate
+    // only costs bits. No persist: a cached plan would leak a
+    // CacheManager entry per ingest in the steady-state loop, and the
+    // batch side is small by premise (the dd10 trade).
+    val bloom = BloomJoin.buildBloom(bfh, col("fhash"),
+      math.max(batch.count() * 64L, 1L))
+    val index = spark.read.parquet(dir)
+      .filter(BloomJoin.mightContain(bloom, col("fhash")))
+      .select(col("asset_id"), col("fhash"))
+    val merged = bfh.unionByName(index)
+    val votes = cappedContainmentVotes(merged, "asset_id", "fhash",
+      cap, minShared)
+    // keep pairs involving >=1 batch asset — ONE consumer chain of two
+    // broadcast marker joins (batch ids are small by premise), not two
+    // semi-join branches that would evaluate the vote aggregate twice
+    val bids = bfh.select(col("asset_id")).distinct()
+    votes
+      .join(broadcast(bids.select(col("asset_id").as("a"),
+        lit(true).as("_na"))), Seq("a"), "left")
+      .join(broadcast(bids.select(col("asset_id").as("b"),
+        lit(true).as("_nb"))), Seq("b"), "left")
+      .filter(col("_na").isNotNull || col("_nb").isNotNull)
+      .select(col("a"), col("b"), col("shared"))
+  }
 }

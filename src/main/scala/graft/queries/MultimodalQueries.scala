@@ -340,6 +340,23 @@ object MultimodalQueries {
         .select(col("asset_id"), col("jpg_w"), col("jpg_h"),
           col("n_components"), col("bit_depth"), col("progressive"),
           col("parsed"))
+    }),
+
+    // Incremental frame-hash containment against the PERSISTED index
+    // (mm21): mm16 rebuilds the whole corpus' fingerprints every run —
+    // production banks them once (FrameIndexFixture: build on %5 in
+    // 1..3, APPEND %5=4) and each ingest decodes only its own batch
+    // (%5=0), bloom-reduces the index scan by the batch's fingerprint
+    // set, and votes over the merged postings. For any hash a batch
+    // asset carries the bloom passes the entire index bucket, so caps
+    // and vote counts equal the full rebuild's — append ≡ rebuild,
+    // hash-gated by the full-corpus oracle restricted to batch pairs.
+    "mm21_frame_index" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val dir = graft.operators.FrameIndexFixture.dir(s, d)
+      val batch = MultimodalOps.synthY4mTrimAssets(documents(s, d), "doc_id")
+        .filter(col("asset_id") % 5 === 0)
+      MultimodalOps.frameContainmentIncremental(batch, dir)
     })
   )
 
@@ -392,6 +409,53 @@ object MultimodalQueries {
            sum((id*11 + x + 2*y) % 256)::BIGINT AS sg,
            sum((id*13 + 2*x + y) % 256)::BIGINT AS sb
          FROM pxy GROUP BY 1, 2, 3)"""
+
+  /** The mm16 analytic frame-hash CTE chain over the TRIM fixture
+    * ([[MultimodalOps.synthY4mTrimAssets]]): per-frame hashes replayed
+    * over GLOBAL time t (member offsets shift the sampled range, so
+    * trims share exactly the overlapping frames), distinct within
+    * clip, the binding per-hash bucket cap applied — ends with
+    * `capped(id, fhash)`. Shared by mm16's full vote join and mm21's
+    * batch-restricted incremental replay. */
+  private[queries] val frameCappedCte: String =
+    """pars AS (
+  SELECT doc_id AS id, (doc_id - doc_id % 3) AS bs, doc_id % 3 AS m
+  FROM documents),
+dims AS (
+  SELECT id, bs, (bs // 3) AS q, ((bs // 3) % 7 = 0) AS flat,
+    (4 + 2 * ((bs // 3) % 3))::INT AS w,
+    (2 + 2 * ((bs // 3) % 2))::INT AS h,
+    CASE WHEN m = 1 THEN 2 ELSE 0 END AS f0
+  FROM pars),
+frm AS (SELECT id, bs, q, flat, w, h, f0 + unnest(range(4)) AS t
+        FROM dims),
+pxx AS (SELECT id, bs, q, flat, w, h, t, unnest(range(w)) AS x FROM frm),
+pxy AS (SELECT id, bs, q, flat, w, h, t, x, unnest(range(h)) AS y FROM pxx),
+lum AS (SELECT id, w, h, t,
+    ((y * 8 // h) * 8 + (x * 8 // w)) AS bk,
+    CASE WHEN flat THEN (q * 31) % 251
+         ELSE (bs*9973 + t*101 + (2*(q % 97) + 37)*(y*w + x)) % 256
+    END AS l
+  FROM pxy),
+blk AS (SELECT id, t, bk, sum(l)::BIGINT AS s, count(*)::BIGINT AS n
+        FROM lum GROUP BY 1, 2, 3),
+tot AS (SELECT id, t, sum(l)::BIGINT AS ts,
+               (max(w)::BIGINT * max(h)) AS np
+        FROM lum GROUP BY 1, 2),
+grid AS (SELECT id, t, unnest(range(64)) AS bk FROM frm),
+bits AS (
+  SELECT grid.id, grid.t,
+    string_agg(CASE WHEN coalesce(s, 0) * np > ts * coalesce(n, 0)
+                    THEN '1' ELSE '0' END, '' ORDER BY grid.bk) AS fhash
+  FROM grid
+  LEFT JOIN blk ON grid.id = blk.id AND grid.t = blk.t
+               AND grid.bk = blk.bk
+  JOIN tot ON grid.id = tot.id AND grid.t = tot.t
+  GROUP BY grid.id, grid.t),
+fh AS (SELECT DISTINCT id, fhash FROM bits),
+capped AS (
+  SELECT id, fhash FROM fh
+  QUALIFY count(*) OVER (PARTITION BY fhash) <= 8)"""
 
   val oracles: Map[String, String] = Map(
     "mm1_asset_meta" ->
@@ -737,47 +801,24 @@ object MultimodalQueries {
     // exactly the overlapping frames); distinct within clip, same
     // binding cap per frame hash, pair vote with shared >= 2
     "mm16_frame_containment" ->
-      """WITH pars AS (
-  SELECT doc_id AS id, (doc_id - doc_id % 3) AS bs, doc_id % 3 AS m
-  FROM documents),
-dims AS (
-  SELECT id, bs, (bs // 3) AS q, ((bs // 3) % 7 = 0) AS flat,
-    (4 + 2 * ((bs // 3) % 3))::INT AS w,
-    (2 + 2 * ((bs // 3) % 2))::INT AS h,
-    CASE WHEN m = 1 THEN 2 ELSE 0 END AS f0
-  FROM pars),
-frm AS (SELECT id, bs, q, flat, w, h, f0 + unnest(range(4)) AS t
-        FROM dims),
-pxx AS (SELECT id, bs, q, flat, w, h, t, unnest(range(w)) AS x FROM frm),
-pxy AS (SELECT id, bs, q, flat, w, h, t, x, unnest(range(h)) AS y FROM pxx),
-lum AS (SELECT id, w, h, t,
-    ((y * 8 // h) * 8 + (x * 8 // w)) AS bk,
-    CASE WHEN flat THEN (q * 31) % 251
-         ELSE (bs*9973 + t*101 + (2*(q % 97) + 37)*(y*w + x)) % 256
-    END AS l
-  FROM pxy),
-blk AS (SELECT id, t, bk, sum(l)::BIGINT AS s, count(*)::BIGINT AS n
-        FROM lum GROUP BY 1, 2, 3),
-tot AS (SELECT id, t, sum(l)::BIGINT AS ts,
-               (max(w)::BIGINT * max(h)) AS np
-        FROM lum GROUP BY 1, 2),
-grid AS (SELECT id, t, unnest(range(64)) AS bk FROM frm),
-bits AS (
-  SELECT grid.id, grid.t,
-    string_agg(CASE WHEN coalesce(s, 0) * np > ts * coalesce(n, 0)
-                    THEN '1' ELSE '0' END, '' ORDER BY grid.bk) AS fhash
-  FROM grid
-  LEFT JOIN blk ON grid.id = blk.id AND grid.t = blk.t
-               AND grid.bk = blk.bk
-  JOIN tot ON grid.id = tot.id AND grid.t = tot.t
-  GROUP BY grid.id, grid.t),
-fh AS (SELECT DISTINCT id, fhash FROM bits),
-capped AS (
-  SELECT id, fhash FROM fh
-  QUALIFY count(*) OVER (PARTITION BY fhash) <= 8)
+      s"""WITH $frameCappedCte
 SELECT l.id AS a, r.id AS b, count(*)::BIGINT AS shared
 FROM capped l JOIN capped r
   ON l.fhash = r.fhash AND l.id < r.id
+GROUP BY 1, 2
+HAVING count(*) >= 2""",
+
+    // the SAME full-corpus replay restricted to pairs touching the
+    // %5=0 ingest batch: the lane's index was built from %5 in 1..3
+    // and APPENDED with %5=4, so a row the append dropped,
+    // double-wrote, or mis-bucketed shifts a bucket cap or a vote
+    // count and breaks the hash — append ≡ rebuild is the gate
+    "mm21_frame_index" ->
+      s"""WITH $frameCappedCte
+SELECT l.id AS a, r.id AS b, count(*)::BIGINT AS shared
+FROM capped l JOIN capped r
+  ON l.fhash = r.fhash AND l.id < r.id
+WHERE l.id % 5 = 0 OR r.id % 5 = 0
 GROUP BY 1, 2
 HAVING count(*) >= 2""",
 

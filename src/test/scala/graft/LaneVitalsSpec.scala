@@ -115,6 +115,33 @@ class LaneVitalsSpec extends SparkSpec {
     }
   }
 
+  test("mm21 incremental frame index: equals mm16 restricted to batch pairs, cross-split evidence, both scales") {
+    for (d <- scales) {
+      val inc = run("mm21_frame_index", d)
+      assert(inc.nonEmpty, s"mm21@$d: empty incremental pair universe")
+      // every pair involves >=1 batch (%5=0) asset — nothing leaks
+      // from index-only buckets the bloom happened to pass
+      assert(inc.forall(r => r.getLong(0) % 5 == 0 || r.getLong(1) % 5 == 0),
+        s"mm21@$d: pair without a batch member")
+      // append ≡ rebuild: exactly the batch-touching slice of mm16
+      val full = run("mm16_frame_containment", d)
+        .filter(r => r.getLong(0) % 5 == 0 || r.getLong(1) % 5 == 0)
+      def key(r: Row) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      assert(inc.map(key).toSet == full.map(key).toSet,
+        s"mm21@$d: incremental diverged from the rebuild slice " +
+          s"(${inc.size} vs ${full.size})")
+      // the capability evidence: batch↔index pairs exist in BOTH index
+      // halves (built %5 in 1..3 and appended %5=4) — the append path
+      // is load-bearing, not vacuously green
+      assert(inc.exists(r => Seq(r.getLong(0) % 5, r.getLong(1) % 5)
+          .exists(m => m >= 1 && m <= 3)),
+        s"mm21@$d: no pair against the BUILT index half")
+      assert(inc.exists(r =>
+          r.getLong(0) % 5 == 4 || r.getLong(1) % 5 == 4),
+        s"mm21@$d: no pair against the APPENDED index half")
+    }
+  }
+
   // ---- SimHash Hamming family --------------------------------------
   // the corpus is salted with exact copies at +10000: every doc must
   // pair with its copy at hamming 0 (recall floor), and hamming 1..3
