@@ -411,6 +411,72 @@ object MultimodalOps {
       }(enc)
   }
 
+  /** Paired (caption, image) asset fixture — the CLIP-style corpus
+    * shape for CROSS-MODAL composite dedup (mm20). Ids quadruple on
+    * g = id − id % 4, and each member twins the group base through a
+    * different channel:
+    *   - member 0: base caption (keyed by g), base image (pixels keyed
+    *     by g);
+    *   - member 1: the CAPTION twin — base caption homoglyph-swapped
+    *     (byte-different, canonical-equal under `unicode_norm_key`),
+    *     image keyed by id (unique);
+    *   - member 2: the IMAGE twin — caption keyed by id (unique),
+    *     base pixels with junk stamped in the BMP row padding
+    *     (byte-different, pixel-identical);
+    *   - member 3: the FULL twin — swapped caption AND pad-stamped
+    *     base image (both channels vote).
+    * Every 7th group paints FLAT images (constant luma → the all-zeros
+    * aHash every flat image shares corpus-wide) — the degenerate
+    * bucket the composite cap must excise while the caption channel
+    * keeps pairing the group.
+    */
+  def synthCaptionImageAssets(df: DataFrame, idCol: String): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("asset_id", LongType, nullable = false),
+      StructField("caption", StringType, nullable = true),
+      StructField("content", BinaryType, nullable = true)))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    val swap = Map('a' -> 'а', 'e' -> 'е',
+      'o' -> 'о', 'c' -> 'с')
+    df.select(col(idCol).cast("long").as("asset_id"))
+      .mapPartitions { it =>
+        it.map { r =>
+          val id = r.getLong(0)
+          val g = id - id % 4; val m = id % 4
+          val flat = (g / 4) % 7 == 0
+          val ig = if (m == 1) id else g // image channel key
+          val cg = if (m == 2) id else g // caption channel key
+          val w = (4 + ig % 5).toInt
+          val h = (3 + ig % 4).toInt
+          val bmp =
+            if (flat) ImageCodec.encodeBmp24(w, h, (_, _) => (
+              ((g * 31) % 200 + 20).toInt, ((g * 17) % 200 + 20).toInt,
+              ((g * 13) % 200 + 20).toInt))
+            else ImageCodec.encodeBmp24(w, h, (x, y) => (
+              ((ig * 7 + 3 * x + 5 * y) % 256).toInt,
+              ((ig * 11 + x + 2 * y) % 256).toInt,
+              ((ig * 13 + 2 * x + y) % 256).toInt))
+          if (m == 2 || m == 3) { // byte-noise in the pad bytes, if any
+            val rowBytes = (w * 3 + 3) & ~3
+            var row = 0
+            while (row < h) {
+              var p = 3 * w
+              while (p < rowBytes) {
+                bmp(54 + row * rowBytes + p) = ((id + row + p) % 256).toByte
+                p += 1
+              }
+              row += 1
+            }
+          }
+          val base = s"caption group $cg alpha case"
+          val caption =
+            if (m == 1 || m == 3) base.map(ch => swap.getOrElse(ch, ch))
+            else base
+          Row(id, caption, bmp)
+        }
+      }(enc)
+  }
+
   /** Average-hash (aHash) perceptual fingerprint over DECODED pixels:
     * luminance (r+g+b) pooled onto the 8×8 block grid
     * (block(x, y) = (y·8/h)·8 + x·8/w), bit b set iff the block's mean

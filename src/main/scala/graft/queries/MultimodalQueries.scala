@@ -357,6 +357,33 @@ object MultimodalQueries {
       val batch = MultimodalOps.synthY4mTrimAssets(documents(s, d), "doc_id")
         .filter(col("asset_id") % 5 === 0)
       MultimodalOps.frameContainmentIncremental(batch, dir)
+    }),
+
+    // Cross-modal composite dedup (mm20): CLIP-style (caption, image)
+    // pairs where each modality dedups through its own canonical
+    // channel — md5(unicode_norm_key(caption)) for text (homoglyph
+    // twins collapse), aHash bits for pixels (padding-noise re-encodes
+    // collapse) — and the channels VOTE per asset pair (the mm16 shape
+    // across modalities): shared = 2 means both modalities agree (the
+    // full near-dup), 1 means a single channel caught what the other
+    // missed. Tagged keys ride ONE capped posting build, so the flat
+    // degenerate image bucket is excised map-side while the caption
+    // channel keeps pairing those same assets.
+    "mm20_crossmodal_dedup" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val assets = MultimodalOps.synthCaptionImageAssets(
+        documents(s, d), "doc_id")
+      val ckeys = assets.select(col("asset_id"),
+        concat(lit("c:"), md5(graft.functions.UnicodeNorm
+          .unicodeNormKey(col("caption")))).as("k"))
+      val ikeys = MultimodalOps.aHashBits(
+          assets.select("asset_id", "content"))
+        .filter(col("ahash_bits").isNotNull)
+        .select(col("asset_id"),
+          concat(lit("i:"), col("ahash_bits")).as("k"))
+      MultimodalOps.cappedContainmentVotes(
+        ckeys.unionByName(ikeys), "asset_id", "k",
+        cap = 8, minShared = 1)
     })
   )
 
@@ -934,6 +961,62 @@ SELECT l.id AS a, r.id AS b, count(*)::BIGINT AS shared
 FROM capped l JOIN capped r ON l.ckey = r.ckey AND l.id < r.id
 GROUP BY 1, 2
 HAVING count(*) >= 2""",
+
+    // cross-modal composite: the caption channel replays as canonical
+    // EQUALITY CLASSES (same cg ⇔ same md5(unicode_norm_key) — the
+    // homoglyph swap normalizes back by tx48's pinned rule, and cg is
+    // embedded verbatim so classes never collide), the image channel
+    // replays the aHash analytically from the generative pixel
+    // formulas (mm12's contract — natural cross-group collisions and
+    // the corpus-wide all-zeros flat bucket must both reproduce), and
+    // the composite cap + vote run over the tagged union exactly like
+    // the lane
+    "mm20_crossmodal_dedup" ->
+      """WITH pars AS (
+  SELECT doc_id AS id, (doc_id - doc_id % 4) AS g, doc_id % 4 AS m
+  FROM documents),
+par2 AS (
+  SELECT id, g, m, ((g // 4) % 7 = 0) AS flat,
+    CASE WHEN m = 1 THEN id ELSE g END AS ig,
+    CASE WHEN m = 2 THEN id ELSE g END AS cg
+  FROM pars),
+dimz AS (SELECT id, flat, cg, ig,
+    (4 + ig % 5)::INT AS w, (3 + ig % 4)::INT AS h FROM par2),
+nf AS (SELECT * FROM dimz WHERE NOT flat),
+pxx AS (SELECT id, ig, w, h, unnest(range(w)) AS x FROM nf),
+pxy AS (SELECT id, ig, w, h, x, unnest(range(h)) AS y FROM pxx),
+lum AS (SELECT id, w, h,
+    ((y * 8 // h) * 8 + (x * 8 // w)) AS b,
+    ((ig*7 + 3*x + 5*y) % 256) + ((ig*11 + x + 2*y) % 256)
+      + ((ig*13 + 2*x + y) % 256) AS l
+  FROM pxy),
+blk AS (SELECT id, b, sum(l)::BIGINT AS bs, count(*)::BIGINT AS bn
+        FROM lum GROUP BY 1, 2),
+tot AS (SELECT id, sum(l)::BIGINT AS ts, (max(w)::BIGINT * max(h)) AS n
+        FROM lum GROUP BY 1),
+grid AS (SELECT id, unnest(range(64)) AS b FROM nf),
+ibit AS (
+  SELECT grid.id,
+    string_agg(CASE WHEN coalesce(bs, 0) * n > ts * coalesce(bn, 0)
+                    THEN '1' ELSE '0' END, '' ORDER BY grid.b) AS bits
+  FROM grid
+  LEFT JOIN blk ON grid.id = blk.id AND grid.b = blk.b
+  JOIN tot ON grid.id = tot.id
+  GROUP BY grid.id),
+ibits AS (
+  SELECT id, bits FROM ibit
+  UNION ALL
+  SELECT id, repeat('0', 64) AS bits FROM dimz WHERE flat),
+keys AS (
+  SELECT id, 'c:' || cg::VARCHAR AS k FROM par2
+  UNION ALL
+  SELECT id, 'i:' || bits AS k FROM ibits),
+capped AS (
+  SELECT id, k FROM keys
+  QUALIFY count(*) OVER (PARTITION BY k) <= 8)
+SELECT l.id AS a, r.id AS b, count(*)::BIGINT AS shared
+FROM capped l JOIN capped r ON l.k = r.k AND l.id < r.id
+GROUP BY 1, 2""",
 
     // the deterministic half of the JPEG container, replayed purely
     // from the fixture's generative parameters: the encoder was asked

@@ -115,6 +115,39 @@ class LaneVitalsSpec extends SparkSpec {
     }
   }
 
+  test("mm20 cross-modal dedup: every planted twin class + flat-bucket cap, both scales") {
+    for (d <- scales) {
+      val rows = run("mm20_crossmodal_dedup", d)
+      assert(rows.nonEmpty, s"mm20@$d: empty pair universe")
+      def cls(r: Row) = (r.getLong(0) % 4, r.getLong(1) - r.getLong(0),
+        r.getLong(2))
+      // channels can only vote 1 or 2 — anything else is a key leak
+      assert(rows.forall(r => r.getLong(2) == 1 || r.getLong(2) == 2),
+        s"mm20@$d: vote outside {1, 2}")
+      // full twin: both channels agree on (g, g+3)
+      assert(rows.exists(cls(_) == ((0L, 3L, 2L))),
+        s"mm20@$d: no both-channel full twins")
+      // caption-only twin (g, g+1): homoglyph swap, different image
+      assert(rows.exists(cls(_) == ((0L, 1L, 1L))),
+        s"mm20@$d: no caption-channel twins")
+      // image-only twin (g, g+2): pad-stamped pixels, different caption
+      assert(rows.exists(cls(_) == ((0L, 2L, 1L))),
+        s"mm20@$d: no image-channel twins")
+      // FLAT groups: the corpus-wide all-zeros image bucket is capped,
+      // so their full-twin pair survives on the caption channel alone
+      val flatFull = rows.filter(r => r.getLong(0) % 4 == 0 &&
+        r.getLong(1) == r.getLong(0) + 3 && (r.getLong(0) / 4) % 7 == 0)
+      assert(flatFull.nonEmpty && flatFull.forall(_.getLong(2) == 1),
+        s"mm20@$d: flat groups' image votes escaped the cap")
+      // and the cap really binds on the composite key universe
+      val assets = MultimodalOps.synthCaptionImageAssets(docs(d), "doc_id")
+      assertCapBinds("mm20_crossmodal_dedup", d,
+        MultimodalOps.aHashBits(assets.select("asset_id", "content"))
+          .select(concat(lit("i:"), col("ahash_bits")).as("k")),
+        "k", cap = 8)
+    }
+  }
+
   test("mm21 incremental frame index: equals mm16 restricted to batch pairs, cross-split evidence, both scales") {
     for (d <- scales) {
       val inc = run("mm21_frame_index", d)

@@ -548,7 +548,8 @@ class PlanShapeSpec extends SparkSpec {
   test("mm12-mm18 perceptual/containment pair joins are equi joins on fingerprints, never cross products") {
     for (lane <- Seq("mm12_ahash_pairs", "mm13_audio_neardup",
         "mm14_video_neardup", "mm16_frame_containment",
-        "mm17_audio_containment", "mm18_binary_cdc")) {
+        "mm17_audio_containment", "mm18_binary_cdc",
+        "mm20_crossmodal_dedup")) {
       val p = planOf(lane)
       assert(!p.contains("CartesianProduct") &&
         !p.contains("BroadcastNestedLoop"), s"$lane: ${p.take(3000)}")
@@ -563,7 +564,8 @@ class PlanShapeSpec extends SparkSpec {
     // which WindowExec would colocate before the filter can drop it
     for (lane <- Seq("mm12_ahash_pairs", "mm13_audio_neardup",
         "mm14_video_neardup", "mm16_frame_containment",
-        "mm17_audio_containment", "mm18_binary_cdc")) {
+        "mm17_audio_containment", "mm18_binary_cdc",
+        "mm20_crossmodal_dedup")) {
       val p = planOf(lane)
       assert(!p.contains("Window"), s"$lane plans a window cap: ${p.take(3000)}")
       assert(p.contains("bounded_collect_list"),
