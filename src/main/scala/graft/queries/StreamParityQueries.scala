@@ -258,6 +258,48 @@ object StreamParityQueries {
           .withWatermark("ts", WM)
           .dropDuplicatesWithinWatermark("ahash_bits")
           .select(col("ahash_bits")))
+    }),
+
+    // STREAMING containment (st16): mm16's frame-hash vote as a
+    // stream-STATIC join — the ingest-time twin of mm21. The streamed
+    // clips (%5 = 0) decode and hash per micro-batch, the state store
+    // dedupes (asset, fhash) (st15's constant-event-time discipline),
+    // and the join probes the PERSISTED mm21 index. Scale shape: the
+    // static side is pre-filtered to corpus buckets <= cap (an
+    // index-only bucket past the cap — the all-zeros flat hash — can
+    // never survive the full-universe cap, so it must never reach the
+    // streaming join where it would fan out against every flat stream
+    // clip), which bounds per-stream-row fan-out at cap. The EXACT
+    // full-universe cap (stream members included) and the >= 2 vote run
+    // post-drain on the drained candidates: for any fhash with an index
+    // member, drained rows carry the complete stream-side bucket, so
+    // stream_n + index_n is exactly the rebuild's bucket size — the
+    // oracle replays mm16's capped universe restricted to
+    // (stream, corpus) pairs.
+    "st16_stream_containment" -> ((s, d) => {
+      import graft.operators.{FrameIndexFixture, MultimodalOps}
+      val index = s.read.parquet(FrameIndexFixture.dir(s, d))
+        .select(col("asset_id").as("b"), col("fhash"))
+      val indexN = index.groupBy("fhash").agg(count(lit(1)).as("_in"))
+      val probed = index.join(indexN.filter(col("_in") <= 8), Seq("fhash"))
+      val streamFh = MultimodalOps.videoFrameHashes(
+          MultimodalOps.synthY4mTrimAssets(
+            StreamParity.documentsStream(s, d), "doc_id")
+            .filter(col("asset_id") % 5 === 0))
+        .filter(col("fhash").isNotNull)
+        .withColumn("ts", lit("2020-01-01 00:00:00").cast("timestamp"))
+        .withWatermark("ts", WM)
+        .dropDuplicatesWithinWatermark("asset_id", "fhash")
+        .select(col("asset_id").as("a"), col("fhash"))
+      val drained = StreamParity.drainAppend(
+        streamFh.join(probed, Seq("fhash"))
+          .select(col("a"), col("b"), col("fhash"), col("_in")))
+      val streamN = drained.select("a", "fhash").distinct()
+        .groupBy("fhash").agg(count(lit(1)).as("_sn"))
+      drained.join(streamN, Seq("fhash"))
+        .filter(col("_sn") + col("_in") <= 8)
+        .groupBy("a", "b").agg(count(lit(1)).as("shared"))
+        .filter(col("shared") >= 2)
     })
   )
 
@@ -425,6 +467,19 @@ object StreamParityQueries {
     // event time → no key expiry → the full distinct set, exactly once)
     "st15_stream_neardup" ->
       s"""WITH ${MultimodalQueries.ahashBitsCte}
-         SELECT DISTINCT ahash_bits FROM bits"""
+         SELECT DISTINCT ahash_bits FROM bits""",
+
+    // st16 drained to completion equals mm16's capped containment vote
+    // restricted to (streamed clip, corpus clip) pairs: the full
+    // analytic frame-hash CTE (bucket cap over ALL ids — the streaming
+    // lane reconstructs exactly this via index_n + drained stream_n),
+    // sides split on the %5 ingest rule, no l<r needed (disjoint)
+    "st16_stream_containment" ->
+      s"""WITH ${MultimodalQueries.frameCappedCte}
+SELECT l.id AS a, r.id AS b, count(*)::BIGINT AS shared
+FROM capped l JOIN capped r ON l.fhash = r.fhash
+WHERE l.id % 5 = 0 AND r.id % 5 <> 0
+GROUP BY 1, 2
+HAVING count(*) >= 2"""
   )
 }

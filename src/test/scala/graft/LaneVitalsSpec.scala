@@ -175,6 +175,34 @@ class LaneVitalsSpec extends SparkSpec {
     }
   }
 
+  test("st16 streaming containment: cross pairs only, both index halves, equals batch slice, both scales") {
+    for (d <- scales) {
+      val rows = run("st16_stream_containment", d)
+      assert(rows.nonEmpty, s"st16@$d: empty streamed pair universe")
+      // the stream-static join can only emit (streamed, corpus) pairs
+      assert(rows.forall(r => r.getLong(0) % 5 == 0 && r.getLong(1) % 5 != 0),
+        s"st16@$d: pair outside the stream x corpus cross")
+      // the appended index half serves streaming probes too
+      assert(rows.exists(r => (1L to 3L).contains(r.getLong(1) % 5)),
+        s"st16@$d: no pair against the BUILT index half")
+      assert(rows.exists(_.getLong(1) % 5 == 4),
+        s"st16@$d: no pair against the APPENDED index half")
+      // drain ≡ batch: exactly mm16's cross-(%5) slice
+      val full = run("mm16_frame_containment", d)
+        .flatMap { r =>
+          val (x, y, n) = (r.getLong(0), r.getLong(1), r.getLong(2))
+          if (x % 5 == 0 && y % 5 != 0) Some((x, y, n))
+          else if (y % 5 == 0 && x % 5 != 0) Some((y, x, n))
+          else None
+        }.toSet
+      val got = rows.map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(got == full,
+        s"st16@$d: drained stream diverged from the batch slice " +
+          s"(${got.size} vs ${full.size})")
+    }
+  }
+
   // ---- SimHash Hamming family --------------------------------------
   // the corpus is salted with exact copies at +10000: every doc must
   // pair with its copy at hamming 0 (recall floor), and hamming 1..3
