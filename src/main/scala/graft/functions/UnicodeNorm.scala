@@ -19,10 +19,12 @@ import org.apache.spark.unsafe.types.UTF8String
   * Order matters and is pinned by spec: NFKC first (folds full-width
   * Ａ → A and composes e +  ́ → é), THEN lower-case (Ａ→A→a; Cyrillic
   * А→а), THEN the homoglyph map (so it only needs lower-case entries).
-  * The table is deliberately small and enumerated — the common
-  * Cyrillic/Greek lower-case homoglyphs — because the full Unicode
-  * confusables table is a data file, not a rule; a production
-  * deployment swaps in the full table behind the same expression.
+  * The table enumerates the major single-codepoint confusable classes
+  * of the public Unicode confusables data (Cyrillic + Greek +
+  * Armenian + Latin letterlike, r14) — the full file is data, not a
+  * rule, and this sandbox has no egress to fetch it; a production
+  * deployment regenerates the table from `confusables.txt` behind the
+  * same expression.
   *
   * Determinism: `java.text.Normalizer` implements Unicode normalization
   * exactly (stable across JVMs for a given Unicode version), Locale.ROOT
@@ -60,24 +62,59 @@ case class UnicodeNormKeyExpr(child: Expression) extends UnaryExpression {
 
 object UnicodeNorm {
 
-  /** Lower-case homoglyphs → ASCII. Cyrillic letters whose standard
-    * glyph is indistinguishable from a Latin letter in common fonts,
-    * plus the Greek omicron; applied AFTER casefold so capitals fold
-    * into these entries. Kept table-small on purpose (scaladoc above).
+  /** Lower-case homoglyphs → ASCII, applied AFTER casefold so capitals
+    * fold into these entries. Grown in r14 from the original 12-entry
+    * Cyrillic core to the major single-codepoint confusable classes of
+    * the public Unicode confusables data (Cyrillic, Greek, Armenian,
+    * and the Latin letterlike strays) — every entry is a lower-case
+    * letter whose standard glyph renders indistinguishably from (or as
+    * the canonical spoof of) an ASCII letter. Entries NFKC already
+    * folds (full-width forms, ℓ on some Unicode versions) are harmless
+    * here: the map only sees what survives normalization. Still
+    * enumerated rather than generated — the sandbox has no egress to
+    * fetch confusables.txt — and the swap seam is unchanged: a
+    * production deployment regenerates this table from the data file
+    * behind the same expression.
     */
   private val confusables: Map[Char, Char] = Map(
-    'а' -> 'a', // Cyrillic а
-    'е' -> 'e', // Cyrillic е
-    'о' -> 'o', // Cyrillic о
-    'р' -> 'p', // Cyrillic р
-    'с' -> 'c', // Cyrillic с
-    'у' -> 'y', // Cyrillic у
-    'х' -> 'x', // Cyrillic х
-    'і' -> 'i', // Cyrillic і
-    'ј' -> 'j', // Cyrillic ј
-    'һ' -> 'h', // Cyrillic һ
-    'ѕ' -> 's', // Cyrillic ѕ
-    'ο' -> 'o') // Greek ο
+    // Cyrillic
+    'а' -> 'a', // а
+    'е' -> 'e', // е
+    'о' -> 'o', // о
+    'р' -> 'p', // р
+    'с' -> 'c', // с
+    'у' -> 'y', // у
+    'х' -> 'x', // х
+    'і' -> 'i', // і
+    'ј' -> 'j', // ј
+    'һ' -> 'h', // һ
+    'ѕ' -> 's', // ѕ
+    'ԁ' -> 'd', // ԁ Komi de
+    'ԛ' -> 'q', // ԛ qa
+    'ԝ' -> 'w', // ԝ we
+    'ѵ' -> 'v', // ѵ izhitsa
+    'ӏ' -> 'l', // ӏ palochka
+    // Greek
+    'ο' -> 'o', // ο omicron
+    'ν' -> 'v', // ν nu
+    'ρ' -> 'p', // ρ rho
+    'ς' -> 'c', // ς final sigma — the NFKC image of lunate ϲ (U+03F2),
+                // which is the c-shaped glyph; entries must be the
+                // POST-NFKC codepoint or they never match
+    'υ' -> 'u', // υ upsilon
+    'ω' -> 'w', // ω omega
+    'γ' -> 'y', // γ gamma
+    'κ' -> 'k', // κ kappa
+    'ι' -> 'i', // ι iota
+    // Armenian
+    'օ' -> 'o', // օ oh
+    'ս' -> 'u', // ս seh
+    'հ' -> 'h', // հ ho
+    'ո' -> 'n', // ո vo
+    // Latin letterlike strays
+    'ı' -> 'i', // ı dotless i
+    'ȷ' -> 'j', // ȷ dotless j
+    'ℓ' -> 'l') // ℓ script l (when NFKC leaves it)
 
   def key(s: UTF8String): UTF8String = {
     val raw = s.toString

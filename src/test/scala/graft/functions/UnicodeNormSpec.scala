@@ -39,6 +39,27 @@ class UnicodeNormSpec extends SparkSpec {
   test("uppercase homoglyphs fold through casefold into the strip table") {
     // Cyrillic А (U+0410) → lower а (U+0430) → 'a'
     assert(k("\u0410\u0415") == "ae")
+    // Greek capital Rho (U+03A1) -> lower rho (U+03C1) -> 'p'
+    assert(k("\u03a1") == "p")
+  }
+
+  test("expanded confusable classes collapse: Cyrillic, Greek, Armenian, Latin strays") {
+    // r14 expansion - each class spells an ASCII word entirely in
+    // confusables; fixtures as escapes per the tx48 design rule
+    // Cyrillic Komi de / qa / we / izhitsa / palochka -> d q w v l
+    assert(k("\u0501\u051b\u051d\u0475\u04cf") == "dqwvl")
+    // Greek nu rho lunate-sigma upsilon omega gamma kappa iota
+    assert(k("\u03bd\u03c1\u03f2\u03c5\u03c9\u03b3\u03ba\u03b9")
+      == "vpcuwyki")
+    // Armenian oh seh ho vo -> o u h n
+    assert(k("\u0585\u057d\u0570\u0578") == "ouhn")
+    // Latin letterlike: dotless i, dotless j, script l (script l may
+    // fold under NFKC or the map - either path must land on 'l')
+    assert(k("\u0131\u0237\u2113") == "ijl")
+    // a full spoofed word: Cyrillic v-i-d-e + Greek omicron -> "video"
+    assert(k("\u0475\u0456\u0501\u0435\u03bf") == "video")
+    // distinct letters must NOT collapse: Greek sigma is not mapped
+    assert(k("\u03c3") == "\u03c3")
   }
 
   test("Column API and SQL registration agree with the JVM kernel; null stays null") {
