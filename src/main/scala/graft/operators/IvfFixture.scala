@@ -219,3 +219,31 @@ object FrameIndexFixture {
       }
     }))
 }
+
+/** [[FrameIndexFixture]]'s discipline on the audio axis (mm22): the
+  * standing corpus' segment-key postings banked via the GENERIC
+  * [[MultimodalOps.postingIndexBuild]], the %5 = 4 fifth appended —
+  * one posting-index implementation, two modalities, both append
+  * paths inside gated artifacts.
+  */
+object SegmentIndexFixture {
+
+  private val built = new ConcurrentHashMap[String, String]()
+
+  def dir(spark: SparkSession, sfDir: String): String =
+    IvfFixture.checkMarker(built.computeIfAbsent(s"segment:$sfDir", _ => {
+      val d = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+        s"graft-segment-index-${sfDir.replaceAll("[^A-Za-z0-9._-]", "_")}")
+        .toString
+      IvfFixture.buildWithMarker(d) {
+        val keys = MultimodalOps.distinctSegmentKeys(
+          MultimodalOps.synthWavTrimAssets(
+            graft.Tables.documents(spark, sfDir), "doc_id"))
+        MultimodalOps.postingIndexBuild(
+          keys.filter(col("asset_id") % 5 >= 1 &&
+            col("asset_id") % 5 <= 3), d, "asset_id", "skey")
+        MultimodalOps.postingIndexAppend(
+          keys.filter(col("asset_id") % 5 === 4), d, "asset_id", "skey")
+      }
+    }))
+}

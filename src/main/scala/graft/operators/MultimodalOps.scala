@@ -1388,83 +1388,118 @@ object MultimodalOps {
       .filter(col("fhash").isNotNull)
       .select(col("asset_id"), col("fhash")).distinct()
 
-  private def frameHashBucket(buckets: Int): Column =
-    pmod(xxhash64(col("fhash")), lit(buckets.toLong)).as("_bkt")
+  private def postingBucket(keyCol: String, buckets: Int): Column =
+    pmod(xxhash64(col(keyCol)), lit(buckets.toLong)).as("_bkt")
 
-  /** Persist a clip corpus' frame-hash postings for INCREMENTAL
-    * containment detection — the dd10/ss18 discipline on the media
-    * axis: the expensive part of every ingest (decoding and per-frame
-    * hashing the EXISTING corpus) is paid once and written down,
-    * hive-partitioned by a bounded hash bucket of the fingerprint
-    * (fhash itself is too high-cardinality to be a directory key),
-    * files clustered by fhash so parquet min/max stats prune hash
-    * ranges within each bucket. New batches append theirs via
-    * [[frameHashIndexAppend]]; periodic `Compaction.compact` keeps
-    * file counts bounded.
+  /** Persist a corpus' fingerprint postings for INCREMENTAL
+    * containment detection — the dd10/ss18 discipline generalized to
+    * ANY (id, fingerprint) modality (video frame hashes, audio segment
+    * keys, CDC chunk keys): the expensive part of every ingest
+    * (decoding and fingerprinting the EXISTING corpus) is paid once
+    * and written down, hive-partitioned by a bounded hash bucket of
+    * the fingerprint (the fingerprint itself is too high-cardinality
+    * for a directory key), files clustered by the fingerprint so
+    * parquet min/max stats prune ranges within each bucket. New
+    * batches append theirs via [[postingIndexAppend]]; periodic
+    * `Compaction.compact` keeps file counts bounded. Input must be
+    * distinct (id, key) rows.
     */
-  def frameHashIndexBuild(assets: DataFrame, dir: String, stride: Int = 1,
-                          buckets: Int = 32): Unit =
+  def postingIndexBuild(fp: DataFrame, dir: String, idCol: String,
+                        keyCol: String, buckets: Int = 32): Unit =
     graft.sources.Compaction.writePartitioned(
-      distinctFrameHashes(assets, stride)
-        .select(col("asset_id"), col("fhash"), frameHashBucket(buckets)),
-      dir, Seq("_bkt"), clusterBy = Seq("fhash"))
+      fp.select(col(idCol), col(keyCol), postingBucket(keyCol, buckets)),
+      dir, Seq("_bkt"), clusterBy = Seq(keyCol))
 
-  /** Append a new batch's frame-hash postings, preserving the build's
-    * layout invariant (repartitioned on the bucket, files clustered by
-    * fhash) — an unshaped append would write tasks × buckets sliver
-    * files with useless min/max stats until the next compaction.
-    * `buckets` MUST match the build's. */
-  def frameHashIndexAppend(assets: DataFrame, dir: String, stride: Int = 1,
-                           buckets: Int = 32,
-                           maxRecordsPerFile: Long = 1000000L): Unit =
-    distinctFrameHashes(assets, stride)
-      .select(col("asset_id"), col("fhash"), frameHashBucket(buckets))
+  /** Append a new batch's postings, preserving the build's layout
+    * invariant (repartitioned on the bucket, files clustered by the
+    * fingerprint) — an unshaped append would write tasks × buckets
+    * sliver files with useless min/max stats until the next
+    * compaction. `buckets` MUST match the build's. */
+  def postingIndexAppend(fp: DataFrame, dir: String, idCol: String,
+                         keyCol: String, buckets: Int = 32,
+                         maxRecordsPerFile: Long = 1000000L): Unit =
+    fp.select(col(idCol), col(keyCol), postingBucket(keyCol, buckets))
       .repartition(col("_bkt"))
-      .sortWithinPartitions(col("_bkt"), col("fhash"))
+      .sortWithinPartitions(col("_bkt"), col(keyCol))
       .write.mode(org.apache.spark.sql.SaveMode.Append)
       .option("maxRecordsPerFile", maxRecordsPerFile)
       .partitionBy("_bkt").parquet(dir)
 
-  /** Frame-level containment of a NEW batch against the persisted
-    * index: ONLY the batch is decoded and hashed (the corpus' hashes
-    * are read back from the index), the index scan is bloom-reduced by
-    * the batch's fingerprint set before anything joins, and the
-    * mm16 vote runs over the merged postings. Output = exactly the
-    * full-rebuild mm16 pairs that involve at least one batch asset:
-    * for any hash a batch asset carries, the bloom passes the ENTIRE
+  /** Containment of a NEW batch's fingerprints against the persisted
+    * index: ONLY the batch was decoded (the corpus' fingerprints read
+    * back from the index), the index scan is bloom-reduced by the
+    * batch's fingerprint set before anything joins, and the capped
+    * vote runs over the merged postings. Output = exactly the
+    * full-rebuild vote pairs that involve at least one batch asset:
+    * for any key a batch asset carries, the bloom passes the ENTIRE
     * index bucket, so both the degenerate-bucket cap and the vote
     * count see the same posting set a rebuild would — append ≡ rebuild
-    * by construction (mm21 hash-gates it). Bloom false positives admit
-    * index-only buckets whose pairs the batch-membership filter drops;
-    * they cost scan rows (~fpp of the index), never correctness.
+    * by construction (mm21/mm22 hash-gate it). Bloom false positives
+    * admit index-only buckets whose pairs the batch-membership filter
+    * drops; they cost scan rows (~fpp of the index), never
+    * correctness. `expectedKeys` sizes the bloom (overestimate only
+    * costs bits); `batchFp` must be distinct (id, key) rows.
     */
-  def frameContainmentIncremental(batch: DataFrame, dir: String,
-                                  stride: Int = 1, cap: Int = 8,
-                                  minShared: Int = 2): DataFrame = {
-    val spark = batch.sparkSession
-    val bfh = distinctFrameHashes(batch, stride)
-    // sized from clips × a generous frames-per-clip bound; overestimate
-    // only costs bits. No persist: a cached plan would leak a
+  def postingContainmentIncremental(batchFp: DataFrame, dir: String,
+                                    idCol: String, keyCol: String,
+                                    expectedKeys: Long, cap: Int = 8,
+                                    minShared: Int = 2): DataFrame = {
+    val spark = batchFp.sparkSession
+    // no persist of the batch side: a cached plan would leak a
     // CacheManager entry per ingest in the steady-state loop, and the
-    // batch side is small by premise (the dd10 trade).
-    val bloom = BloomJoin.buildBloom(bfh, col("fhash"),
-      math.max(batch.count() * 64L, 1L))
+    // batch is small by premise (the dd10 trade) — it evaluates twice
+    // (bloom build + merge)
+    val bloom = BloomJoin.buildBloom(batchFp, col(keyCol),
+      math.max(expectedKeys, 1L))
     val index = spark.read.parquet(dir)
-      .filter(BloomJoin.mightContain(bloom, col("fhash")))
-      .select(col("asset_id"), col("fhash"))
-    val merged = bfh.unionByName(index)
-    val votes = cappedContainmentVotes(merged, "asset_id", "fhash",
+      .filter(BloomJoin.mightContain(bloom, col(keyCol)))
+      .select(col(idCol), col(keyCol))
+    val merged = batchFp.select(col(idCol), col(keyCol)).unionByName(index)
+    val votes = cappedContainmentVotes(merged, idCol, keyCol,
       cap, minShared)
     // keep pairs involving >=1 batch asset — ONE consumer chain of two
     // broadcast marker joins (batch ids are small by premise), not two
     // semi-join branches that would evaluate the vote aggregate twice
-    val bids = bfh.select(col("asset_id")).distinct()
+    val bids = batchFp.select(col(idCol)).distinct()
     votes
-      .join(broadcast(bids.select(col("asset_id").as("a"),
+      .join(broadcast(bids.select(col(idCol).as("a"),
         lit(true).as("_na"))), Seq("a"), "left")
-      .join(broadcast(bids.select(col("asset_id").as("b"),
+      .join(broadcast(bids.select(col(idCol).as("b"),
         lit(true).as("_nb"))), Seq("b"), "left")
       .filter(col("_na").isNotNull || col("_nb").isNotNull)
       .select(col("a"), col("b"), col("shared"))
   }
+
+  /** Distinct (asset_id, skey) rows of an audio corpus — the posting
+    * unit of the segment-key index (mm17's fingerprint, md5-keyed so
+    * the exchange carries 32-char digests instead of the '|'-joined
+    * energy string). */
+  def distinctSegmentKeys(assets: DataFrame): DataFrame =
+    audioSegmentKeys(assets)
+      .filter(col("seg_key").isNotNull)
+      .select(col("asset_id"), md5(col("seg_key")).as("skey")).distinct()
+
+  /** The video instantiation of [[postingIndexBuild]] (mm21): distinct
+    * per-frame hashes as the posting unit. */
+  def frameHashIndexBuild(assets: DataFrame, dir: String, stride: Int = 1,
+                          buckets: Int = 32): Unit =
+    postingIndexBuild(distinctFrameHashes(assets, stride), dir,
+      "asset_id", "fhash", buckets)
+
+  /** The video instantiation of [[postingIndexAppend]] (mm21). */
+  def frameHashIndexAppend(assets: DataFrame, dir: String, stride: Int = 1,
+                           buckets: Int = 32,
+                           maxRecordsPerFile: Long = 1000000L): Unit =
+    postingIndexAppend(distinctFrameHashes(assets, stride), dir,
+      "asset_id", "fhash", buckets, maxRecordsPerFile)
+
+  /** The video instantiation of [[postingContainmentIncremental]]
+    * (mm21): only the batch clips decode; the bloom is sized from
+    * clips × a generous frames-per-clip bound. */
+  def frameContainmentIncremental(batch: DataFrame, dir: String,
+                                  stride: Int = 1, cap: Int = 8,
+                                  minShared: Int = 2): DataFrame =
+    postingContainmentIncremental(
+      distinctFrameHashes(batch, stride), dir, "asset_id", "fhash",
+      expectedKeys = batch.count() * 64L, cap = cap, minShared = minShared)
 }

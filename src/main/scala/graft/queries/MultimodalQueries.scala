@@ -359,6 +359,25 @@ object MultimodalQueries {
       MultimodalOps.frameContainmentIncremental(batch, dir)
     }),
 
+    // Incremental segment-key containment (mm22): mm21's append ≡
+    // rebuild discipline on the AUDIO axis, through the GENERIC
+    // posting-index seam (postingIndexBuild/Append/
+    // postingContainmentIncremental) — one implementation, two
+    // modalities. Batch = %5 = 0 clips, decoded alone; index = built
+    // %5 in 1..3, appended %5 = 4 (SegmentIndexFixture); oracle =
+    // mm17's full-corpus replay restricted to batch-touching pairs.
+    "mm22_segment_index" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val dir = graft.operators.SegmentIndexFixture.dir(s, d)
+      val batchAssets = MultimodalOps.synthWavTrimAssets(
+          documents(s, d), "doc_id")
+        .filter(col("asset_id") % 5 === 0)
+      MultimodalOps.postingContainmentIncremental(
+        MultimodalOps.distinctSegmentKeys(batchAssets), dir,
+        "asset_id", "skey",
+        expectedKeys = batchAssets.count() * 8L)
+    }),
+
     // Cross-modal composite dedup (mm20): CLIP-style (caption, image)
     // pairs where each modality dedups through its own canonical
     // channel — md5(unicode_norm_key(caption)) for text (homoglyph
@@ -483,6 +502,39 @@ fh AS (SELECT DISTINCT id, fhash FROM bits),
 capped AS (
   SELECT id, fhash FROM fh
   QUALIFY count(*) OVER (PARTITION BY fhash) <= 8)"""
+
+  /** The mm17 analytic segment-key CTE chain over the audio TRIM
+    * fixture ([[MultimodalOps.synthWavTrimAssets]]): per-segment exact
+    * energies over GLOBAL windows, '|'-joined into the canonical
+    * segment key, md5-keyed, distinct within clip, the binding bucket
+    * cap applied — ends with `capped(id, skey)`. Shared by mm17's full
+    * vote join and mm22's batch-restricted incremental replay. */
+  private[queries] val segmentCappedCte: String =
+    """pars AS (
+  SELECT doc_id AS id, (doc_id - doc_id % 3) // 3 AS q, doc_id % 3 AS m
+  FROM documents),
+kq AS (
+  SELECT id, m,
+    CASE WHEN ((q // 2) % 5 = 1) THEN q - q % 2 ELSE q END AS qk
+  FROM pars),
+dims AS (
+  SELECT id, m, qk, (qk % 7 = 0) AS flat,
+    CASE WHEN m = 1 THEN 8 ELSE 0 END AS offw
+  FROM kq),
+win AS (SELECT id, qk, flat, offw, unnest(range(24)) AS lw FROM dims),
+smp AS (SELECT id, qk, flat, offw, lw, unnest(range(8)) AS j FROM win),
+en AS (SELECT id, lw,
+         sum(CASE WHEN flat THEN 0
+              ELSE ((qk*9973 + ((offw + lw)*8 + j)*5741) % 65536 - 32768)
+                 * ((qk*9973 + ((offw + lw)*8 + j)*5741) % 65536 - 32768)
+             END)::BIGINT AS e
+       FROM smp GROUP BY 1, 2),
+seg AS (SELECT id, lw // 8 AS si,
+          string_agg(e::VARCHAR, '|' ORDER BY lw) AS seg_key
+        FROM en GROUP BY 1, 2),
+sk AS (SELECT DISTINCT id, md5(seg_key) AS skey FROM seg),
+capped AS (SELECT id, skey FROM sk
+           QUALIFY count(*) OVER (PARTITION BY skey) <= 8)"""
 
   val oracles: Map[String, String] = Map(
     "mm1_asset_meta" ->
@@ -853,33 +905,21 @@ HAVING count(*) >= 2""",
     // member offset shifts the sampled range, so offset re-cuts share
     // exactly the aligned segments); same distinct + cap + vote
     "mm17_audio_containment" ->
-      """WITH pars AS (
-  SELECT doc_id AS id, (doc_id - doc_id % 3) // 3 AS q, doc_id % 3 AS m
-  FROM documents),
-kq AS (
-  SELECT id, m,
-    CASE WHEN ((q // 2) % 5 = 1) THEN q - q % 2 ELSE q END AS qk
-  FROM pars),
-dims AS (
-  SELECT id, m, qk, (qk % 7 = 0) AS flat,
-    CASE WHEN m = 1 THEN 8 ELSE 0 END AS offw
-  FROM kq),
-win AS (SELECT id, qk, flat, offw, unnest(range(24)) AS lw FROM dims),
-smp AS (SELECT id, qk, flat, offw, lw, unnest(range(8)) AS j FROM win),
-en AS (SELECT id, lw,
-         sum(CASE WHEN flat THEN 0
-              ELSE ((qk*9973 + ((offw + lw)*8 + j)*5741) % 65536 - 32768)
-                 * ((qk*9973 + ((offw + lw)*8 + j)*5741) % 65536 - 32768)
-             END)::BIGINT AS e
-       FROM smp GROUP BY 1, 2),
-seg AS (SELECT id, lw // 8 AS si,
-          string_agg(e::VARCHAR, '|' ORDER BY lw) AS seg_key
-        FROM en GROUP BY 1, 2),
-sk AS (SELECT DISTINCT id, md5(seg_key) AS skey FROM seg),
-capped AS (SELECT id, skey FROM sk
-           QUALIFY count(*) OVER (PARTITION BY skey) <= 8)
+      s"""WITH $segmentCappedCte
 SELECT l.id AS a, r.id AS b, count(*)::BIGINT AS shared
 FROM capped l JOIN capped r ON l.skey = r.skey AND l.id < r.id
+GROUP BY 1, 2
+HAVING count(*) >= 2""",
+
+    // mm21's append ≡ rebuild gate on the audio axis, through the
+    // GENERIC posting index: the same full-corpus replay restricted to
+    // pairs touching the %5 = 0 ingest batch (index built from 1..3,
+    // appended with 4)
+    "mm22_segment_index" ->
+      s"""WITH $segmentCappedCte
+SELECT l.id AS a, r.id AS b, count(*)::BIGINT AS shared
+FROM capped l JOIN capped r ON l.skey = r.skey AND l.id < r.id
+WHERE l.id % 5 = 0 OR r.id % 5 = 0
 GROUP BY 1, 2
 HAVING count(*) >= 2""",
 

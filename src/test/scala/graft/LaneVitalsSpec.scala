@@ -148,31 +148,41 @@ class LaneVitalsSpec extends SparkSpec {
     }
   }
 
-  test("mm21 incremental frame index: equals mm16 restricted to batch pairs, cross-split evidence, both scales") {
+  /** mm21/mm22 shared contract: the incremental lane must equal its
+    * rebuild lane restricted to batch-touching pairs, with evidence
+    * against BOTH index halves (built %5 in 1..3, appended %5=4) so
+    * the append path is load-bearing, not vacuously green. */
+  private def incrementalIndexVitals(lane: String,
+                                     rebuildLane: String): Unit = {
     for (d <- scales) {
-      val inc = run("mm21_frame_index", d)
-      assert(inc.nonEmpty, s"mm21@$d: empty incremental pair universe")
+      val inc = run(lane, d)
+      assert(inc.nonEmpty, s"$lane@$d: empty incremental pair universe")
       // every pair involves >=1 batch (%5=0) asset — nothing leaks
       // from index-only buckets the bloom happened to pass
       assert(inc.forall(r => r.getLong(0) % 5 == 0 || r.getLong(1) % 5 == 0),
-        s"mm21@$d: pair without a batch member")
-      // append ≡ rebuild: exactly the batch-touching slice of mm16
-      val full = run("mm16_frame_containment", d)
+        s"$lane@$d: pair without a batch member")
+      // append ≡ rebuild: exactly the batch-touching slice
+      val full = run(rebuildLane, d)
         .filter(r => r.getLong(0) % 5 == 0 || r.getLong(1) % 5 == 0)
       def key(r: Row) = (r.getLong(0), r.getLong(1), r.getLong(2))
       assert(inc.map(key).toSet == full.map(key).toSet,
-        s"mm21@$d: incremental diverged from the rebuild slice " +
+        s"$lane@$d: incremental diverged from the rebuild slice " +
           s"(${inc.size} vs ${full.size})")
-      // the capability evidence: batch↔index pairs exist in BOTH index
-      // halves (built %5 in 1..3 and appended %5=4) — the append path
-      // is load-bearing, not vacuously green
       assert(inc.exists(r => Seq(r.getLong(0) % 5, r.getLong(1) % 5)
           .exists(m => m >= 1 && m <= 3)),
-        s"mm21@$d: no pair against the BUILT index half")
+        s"$lane@$d: no pair against the BUILT index half")
       assert(inc.exists(r =>
           r.getLong(0) % 5 == 4 || r.getLong(1) % 5 == 4),
-        s"mm21@$d: no pair against the APPENDED index half")
+        s"$lane@$d: no pair against the APPENDED index half")
     }
+  }
+
+  test("mm21 incremental frame index: equals mm16 restricted to batch pairs, cross-split evidence, both scales") {
+    incrementalIndexVitals("mm21_frame_index", "mm16_frame_containment")
+  }
+
+  test("mm22 incremental segment index: equals mm17 restricted to batch pairs, cross-split evidence, both scales") {
+    incrementalIndexVitals("mm22_segment_index", "mm17_audio_containment")
   }
 
   test("st16 streaming containment: cross pairs only, both index halves, equals batch slice, both scales") {

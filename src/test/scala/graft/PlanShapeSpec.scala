@@ -573,20 +573,22 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
-  test("mm21 incremental containment scans the persisted index bloom-reduced, only the batch decodes") {
-    val p = planOf("mm21_frame_index")
-    // the corpus side must be a parquet read of the banked postings
-    // (never a re-decode of corpus clips) with the batch's bloom
-    // probed ahead of the exact join
-    assert(p.contains("might_contain"), p.take(3000))
-    assert("Scan parquet".r.findAllIn(p).nonEmpty, p.take(3000))
-    // the same map-side cap discipline as the rebuild lanes
-    assert(!p.contains("Window"), p.take(3000))
-    assert(p.contains("bounded_collect_list"), p.take(3000))
-    // batch membership filters ride broadcast marker joins, never a
-    // nested loop over the OR predicate
-    assert(!p.contains("CartesianProduct") &&
-      !p.contains("BroadcastNestedLoop"), p.take(3000))
+  test("mm21/mm22 incremental containment scans the persisted index bloom-reduced, only the batch decodes") {
+    for (lane <- Seq("mm21_frame_index", "mm22_segment_index")) {
+      val p = planOf(lane)
+      // the corpus side must be a parquet read of the banked postings
+      // (never a re-decode of corpus clips) with the batch's bloom
+      // probed ahead of the exact join
+      assert(p.contains("might_contain"), s"$lane: ${p.take(3000)}")
+      assert("Scan parquet".r.findAllIn(p).nonEmpty, s"$lane: ${p.take(3000)}")
+      // the same map-side cap discipline as the rebuild lanes
+      assert(!p.contains("Window"), s"$lane: ${p.take(3000)}")
+      assert(p.contains("bounded_collect_list"), s"$lane: ${p.take(3000)}")
+      // batch membership filters ride broadcast marker joins, never a
+      // nested loop over the OR predicate
+      assert(!p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoop"), s"$lane: ${p.take(3000)}")
+    }
   }
 
   test("ev21 nearest as-of is joinless: one union-sort exchange, no candidate pairs") {
