@@ -247,3 +247,30 @@ object SegmentIndexFixture {
       }
     }))
 }
+
+/** [[FrameIndexFixture]]'s discipline on the BINARY axis (mm23): the
+  * corpus' CDC chunk-key postings banked and appended through the
+  * generic seam — the third modality on one implementation.
+  */
+object ChunkIndexFixture {
+
+  private val built = new ConcurrentHashMap[String, String]()
+
+  def dir(spark: SparkSession, sfDir: String): String =
+    IvfFixture.checkMarker(built.computeIfAbsent(s"chunk:$sfDir", _ => {
+      val d = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+        s"graft-chunk-index-${sfDir.replaceAll("[^A-Za-z0-9._-]", "_")}")
+        .toString
+      IvfFixture.buildWithMarker(d) {
+        val keys = MultimodalOps.distinctChunkKeys(
+          MultimodalOps.synthBinaryTrimAssets(
+            graft.Tables.documents(spark, sfDir), "doc_id"))
+        MultimodalOps.postingIndexBuild(
+          keys.filter(col("asset_id") % 5 >= 1 &&
+            col("asset_id") % 5 <= 3), d, "asset_id", "chunk_key")
+        MultimodalOps.postingIndexAppend(
+          keys.filter(col("asset_id") % 5 === 4), d, "asset_id",
+          "chunk_key")
+      }
+    }))
+}

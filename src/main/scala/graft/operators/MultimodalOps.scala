@@ -1479,6 +1479,14 @@ object MultimodalOps {
       .filter(col("seg_key").isNotNull)
       .select(col("asset_id"), md5(col("seg_key")).as("skey")).distinct()
 
+  /** Distinct (asset_id, chunk_key) rows of a binary corpus — the
+    * posting unit of the CDC-chunk index (mm18's content-addressed
+    * fingerprint). */
+  def distinctChunkKeys(assets: DataFrame): DataFrame =
+    cdcChunkKeys(assets)
+      .filter(col("chunk_key").isNotNull)
+      .select(col("asset_id"), col("chunk_key")).distinct()
+
   /** The video instantiation of [[postingIndexBuild]] (mm21): distinct
     * per-frame hashes as the posting unit. */
   def frameHashIndexBuild(assets: DataFrame, dir: String, stride: Int = 1,

@@ -378,6 +378,24 @@ object MultimodalQueries {
         expectedKeys = batchAssets.count() * 8L)
     }),
 
+    // Incremental CDC-chunk containment (mm23): the third modality on
+    // the generic posting-index seam — content-addressed chunk keys of
+    // the %5 = 0 binary batch against the built(1..3)+appended(4)
+    // index; oracle = mm18's recursive chunker replay restricted to
+    // batch-touching pairs. One implementation, three gated
+    // modalities (video frames, audio segments, binary chunks).
+    "mm23_chunk_index" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val dir = graft.operators.ChunkIndexFixture.dir(s, d)
+      val batchAssets = MultimodalOps.synthBinaryTrimAssets(
+          documents(s, d), "doc_id")
+        .filter(col("asset_id") % 5 === 0)
+      MultimodalOps.postingContainmentIncremental(
+        MultimodalOps.distinctChunkKeys(batchAssets), dir,
+        "asset_id", "chunk_key",
+        expectedKeys = batchAssets.count() * 32L)
+    }),
+
     // Cross-modal composite dedup (mm20): CLIP-style (caption, image)
     // pairs where each modality dedups through its own canonical
     // channel — md5(unicode_norm_key(caption)) for text (homoglyph
@@ -535,6 +553,82 @@ seg AS (SELECT id, lw // 8 AS si,
 sk AS (SELECT DISTINCT id, md5(seg_key) AS skey FROM seg),
 capped AS (SELECT id, skey FROM sk
            QUALIFY count(*) OVER (PARTITION BY skey) <= 8)"""
+
+  /** The mm18 recursive CDC-chunker replay over the binary TRIM
+    * fixture ([[MultimodalOps.synthBinaryTrimAssets]]): the WHOLE
+    * FastCDC walk in SQL (Rabin hash B=257, M=2^31-1,
+    * BW=257^8 mod M), chunk keys as md5 over upper-case hex, distinct
+    * within asset, the binding bucket cap applied — ends with
+    * `capped(id, ckey)`. Shared by mm18's full vote join and mm23's
+    * batch-restricted incremental replay. */
+  private[queries] val cdcCappedCte: String =
+    """meta AS (
+  SELECT doc_id AS id, doc_id % 3 AS m,
+    CASE WHEN ((((doc_id - doc_id % 3) // 3) // 2) % 5 = 1)
+         THEN ((doc_id - doc_id % 3) // 3) - ((doc_id - doc_id % 3) // 3) % 2
+         ELSE ((doc_id - doc_id % 3) // 3) END AS qk
+  FROM documents),
+md AS (
+  SELECT id, m, qk, (qk % 7 = 0) AS flat,
+    CASE WHEN m = 1 THEN 779 WHEN m = 2 THEN 512 ELSE 768 END AS len
+  FROM meta),
+walk(id, i, start, h, cs, ce) AS (
+  SELECT id, 0, 0, 0::BIGINT, NULL::INT, NULL::INT FROM md
+  UNION ALL
+  SELECT id, i + 1,
+    CASE WHEN cut THEN i + 1 ELSE start END,
+    CASE WHEN cut THEN 0::BIGINT ELSE h2 END,
+    CASE WHEN cut THEN start END,
+    CASE WHEN cut THEN i + 1 END
+  FROM (
+    SELECT t.*,
+      ((t.i - t.start + 1 >= 32 AND (t.h2 & 63) = 0)
+       OR t.i - t.start + 1 >= 128) AS cut
+    FROM (
+      SELECT w.id, w.i, w.start,
+        ((((w.h * 257 + lat.bi)
+           - CASE WHEN w.i - w.start >= 8
+                  THEN (lat.bo * 1213495441) % 2147483647
+                  ELSE 0 END) % 2147483647)
+         + 2147483647) % 2147483647 AS h2
+      FROM walk w JOIN md d USING (id),
+      LATERAL (SELECT
+        CASE WHEN d.flat THEN 0 ELSE
+          CASE WHEN d.m = 1 AND w.i >= 320 AND w.i < 331
+               THEN ((d.qk*7 + (w.i - 320)) % 65537) % 256
+               WHEN d.m = 1 AND w.i >= 331
+               THEN ((d.qk*9973 + (w.i - 11)*5741) % 65537) % 256
+               ELSE ((d.qk*9973 + w.i*5741) % 65537) % 256 END
+        END AS bi,
+        CASE WHEN d.flat THEN 0 ELSE
+          CASE WHEN d.m = 1 AND (w.i - 8) >= 320 AND (w.i - 8) < 331
+               THEN ((d.qk*7 + (w.i - 8 - 320)) % 65537) % 256
+               WHEN d.m = 1 AND (w.i - 8) >= 331
+               THEN ((d.qk*9973 + (w.i - 8 - 11)*5741) % 65537) % 256
+               ELSE ((d.qk*9973 + (w.i - 8)*5741) % 65537) % 256 END
+        END AS bo) lat
+      WHERE w.i < d.len) t) s),
+bounds AS (
+  SELECT id, cs AS s, ce AS e FROM walk WHERE cs IS NOT NULL
+  UNION ALL
+  SELECT w.id, w.start, w.i FROM walk w JOIN md d USING (id)
+  WHERE w.i = d.len AND w.start < d.len),
+pos AS (SELECT id, s, e, s + unnest(range(e - s)) AS p FROM bounds),
+ck AS (
+  SELECT pos.id, s,
+    md5(string_agg(lpad(to_hex(
+      CASE WHEN d.flat THEN 0 ELSE
+        CASE WHEN d.m = 1 AND p >= 320 AND p < 331
+             THEN ((d.qk*7 + (p - 320)) % 65537) % 256
+             WHEN d.m = 1 AND p >= 331
+             THEN ((d.qk*9973 + (p - 11)*5741) % 65537) % 256
+             ELSE ((d.qk*9973 + p*5741) % 65537) % 256 END
+      END), 2, '0'), '' ORDER BY p)) AS ckey
+  FROM pos JOIN md d USING (id)
+  GROUP BY pos.id, s),
+sk AS (SELECT DISTINCT id, ckey FROM ck),
+capped AS (SELECT id, ckey FROM sk
+           QUALIFY count(*) OVER (PARTITION BY ckey) <= 8)"""
 
   val oracles: Map[String, String] = Map(
     "mm1_asset_meta" ->
@@ -930,75 +1024,19 @@ HAVING count(*) >= 2""",
     // boundary off by one byte anywhere in ~770-byte payloads desyncs
     // a key and breaks the hash
     "mm18_binary_cdc" ->
-      """WITH RECURSIVE meta AS (
-  SELECT doc_id AS id, doc_id % 3 AS m,
-    CASE WHEN ((((doc_id - doc_id % 3) // 3) // 2) % 5 = 1)
-         THEN ((doc_id - doc_id % 3) // 3) - ((doc_id - doc_id % 3) // 3) % 2
-         ELSE ((doc_id - doc_id % 3) // 3) END AS qk
-  FROM documents),
-md AS (
-  SELECT id, m, qk, (qk % 7 = 0) AS flat,
-    CASE WHEN m = 1 THEN 779 WHEN m = 2 THEN 512 ELSE 768 END AS len
-  FROM meta),
-walk(id, i, start, h, cs, ce) AS (
-  SELECT id, 0, 0, 0::BIGINT, NULL::INT, NULL::INT FROM md
-  UNION ALL
-  SELECT id, i + 1,
-    CASE WHEN cut THEN i + 1 ELSE start END,
-    CASE WHEN cut THEN 0::BIGINT ELSE h2 END,
-    CASE WHEN cut THEN start END,
-    CASE WHEN cut THEN i + 1 END
-  FROM (
-    SELECT t.*,
-      ((t.i - t.start + 1 >= 32 AND (t.h2 & 63) = 0)
-       OR t.i - t.start + 1 >= 128) AS cut
-    FROM (
-      SELECT w.id, w.i, w.start,
-        ((((w.h * 257 + lat.bi)
-           - CASE WHEN w.i - w.start >= 8
-                  THEN (lat.bo * 1213495441) % 2147483647
-                  ELSE 0 END) % 2147483647)
-         + 2147483647) % 2147483647 AS h2
-      FROM walk w JOIN md d USING (id),
-      LATERAL (SELECT
-        CASE WHEN d.flat THEN 0 ELSE
-          CASE WHEN d.m = 1 AND w.i >= 320 AND w.i < 331
-               THEN ((d.qk*7 + (w.i - 320)) % 65537) % 256
-               WHEN d.m = 1 AND w.i >= 331
-               THEN ((d.qk*9973 + (w.i - 11)*5741) % 65537) % 256
-               ELSE ((d.qk*9973 + w.i*5741) % 65537) % 256 END
-        END AS bi,
-        CASE WHEN d.flat THEN 0 ELSE
-          CASE WHEN d.m = 1 AND (w.i - 8) >= 320 AND (w.i - 8) < 331
-               THEN ((d.qk*7 + (w.i - 8 - 320)) % 65537) % 256
-               WHEN d.m = 1 AND (w.i - 8) >= 331
-               THEN ((d.qk*9973 + (w.i - 8 - 11)*5741) % 65537) % 256
-               ELSE ((d.qk*9973 + (w.i - 8)*5741) % 65537) % 256 END
-        END AS bo) lat
-      WHERE w.i < d.len) t) s),
-bounds AS (
-  SELECT id, cs AS s, ce AS e FROM walk WHERE cs IS NOT NULL
-  UNION ALL
-  SELECT w.id, w.start, w.i FROM walk w JOIN md d USING (id)
-  WHERE w.i = d.len AND w.start < d.len),
-pos AS (SELECT id, s, e, s + unnest(range(e - s)) AS p FROM bounds),
-ck AS (
-  SELECT pos.id, s,
-    md5(string_agg(lpad(to_hex(
-      CASE WHEN d.flat THEN 0 ELSE
-        CASE WHEN d.m = 1 AND p >= 320 AND p < 331
-             THEN ((d.qk*7 + (p - 320)) % 65537) % 256
-             WHEN d.m = 1 AND p >= 331
-             THEN ((d.qk*9973 + (p - 11)*5741) % 65537) % 256
-             ELSE ((d.qk*9973 + p*5741) % 65537) % 256 END
-      END), 2, '0'), '' ORDER BY p)) AS ckey
-  FROM pos JOIN md d USING (id)
-  GROUP BY pos.id, s),
-sk AS (SELECT DISTINCT id, ckey FROM ck),
-capped AS (SELECT id, ckey FROM sk
-           QUALIFY count(*) OVER (PARTITION BY ckey) <= 8)
+      s"""WITH RECURSIVE $cdcCappedCte
 SELECT l.id AS a, r.id AS b, count(*)::BIGINT AS shared
 FROM capped l JOIN capped r ON l.ckey = r.ckey AND l.id < r.id
+GROUP BY 1, 2
+HAVING count(*) >= 2""",
+
+    // mm21's append ≡ rebuild gate on the BINARY axis: mm18's
+    // recursive chunker replay restricted to batch-touching pairs
+    "mm23_chunk_index" ->
+      s"""WITH RECURSIVE $cdcCappedCte
+SELECT l.id AS a, r.id AS b, count(*)::BIGINT AS shared
+FROM capped l JOIN capped r ON l.ckey = r.ckey AND l.id < r.id
+WHERE l.id % 5 = 0 OR r.id % 5 = 0
 GROUP BY 1, 2
 HAVING count(*) >= 2""",
 

@@ -185,6 +185,10 @@ class LaneVitalsSpec extends SparkSpec {
     incrementalIndexVitals("mm22_segment_index", "mm17_audio_containment")
   }
 
+  test("mm23 incremental chunk index: equals mm18 restricted to batch pairs, cross-split evidence, both scales") {
+    incrementalIndexVitals("mm23_chunk_index", "mm18_binary_cdc")
+  }
+
   test("st16 streaming containment: cross pairs only, both index halves, equals batch slice, both scales") {
     for (d <- scales) {
       val rows = run("st16_stream_containment", d)

@@ -573,8 +573,9 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
-  test("mm21/mm22 incremental containment scans the persisted index bloom-reduced, only the batch decodes") {
-    for (lane <- Seq("mm21_frame_index", "mm22_segment_index")) {
+  test("mm21/mm22/mm23 incremental containment scans the persisted index bloom-reduced, only the batch decodes") {
+    for (lane <- Seq("mm21_frame_index", "mm22_segment_index",
+        "mm23_chunk_index")) {
       val p = planOf(lane)
       // the corpus side must be a parquet read of the banked postings
       // (never a re-decode of corpus clips) with the batch's bloom
