@@ -982,14 +982,15 @@ object ScaleSmoke {
     // (count OVER (PARTITION BY fhash) put the whole 1M-row bucket in
     // one window task; the posting-list cap crosses the exchange as
     // O(cap) partial rows no matter the bucket size).
-    def framedupRun(nClips: Long, flatMod: Long): (Double, Long) = {
+    def framedupClips(nClips: Long,
+                      flatMod: Long): org.apache.spark.sql.DataFrame = {
       val schema = org.apache.spark.sql.types.StructType(Seq(
         org.apache.spark.sql.types.StructField("asset_id",
           org.apache.spark.sql.types.LongType, false),
         org.apache.spark.sql.types.StructField("content",
           org.apache.spark.sql.types.BinaryType, true)))
       val enc = org.apache.spark.sql.Encoders.row(schema)
-      val clips = spark.range(nClips).mapPartitions { it =>
+      spark.range(nClips).mapPartitions { it =>
         it.map { jid => val id = jid.longValue
           val bs = id - id % 3; val m = id % 3; val q = bs / 3
           val flat = q % flatMod == 0
@@ -1002,6 +1003,9 @@ object ScaleSmoke {
               (_, _) => 64, (_, _) => 192))
         }
       }(enc)
+    }
+    def framedupRun(nClips: Long, flatMod: Long): (Double, Long) = {
+      val clips = framedupClips(nClips, flatMod)
       val t0 = System.nanoTime()
       val fh = operators.MultimodalOps.videoFrameHashes(clips)
         .filter(col("fhash").isNotNull)
@@ -1035,6 +1039,53 @@ object ScaleSmoke {
       val nClips = 999999L
       val (fdSec, pairs) = framedupRun(nClips, flatMod = 3L)
       println(s"""{"framedupskew_clips":$nClips,"sec":${round1(fdSec)},"pairs":$pairs}""")
+    }
+
+    // Incremental posting index at 1M clips (r14, the mm21 shape): the
+    // corpus fifths %5 != 0 are banked once (decode + hash + postings
+    // write), then the %5 = 0 batch alone decodes and probes the index
+    // bloom-reduced. The invariant stays CLOSED-FORM via the triplet
+    // frame structure — a triplet has at most one %5 = 0 member (span
+    // 3 < 5), and its batch-touching pairs are exactly (2 pairs,
+    // shared 6) when the batch member is m0 or m2 (re-cut shares all
+    // 4 frames) and (2 pairs, shared 4) when it is m1 (trim shares 2
+    // with each) — summed exactly by a driver-side arithmetic loop
+    // over triplet indices. The index-side all-zeros flat bucket
+    // (~114k rows) passes the bloom (the batch has flat hashes too)
+    // and must be excised map-side by the posting cap.
+    lane("frameidx") {
+      val nClips = 999999L; val flatMod = 7L
+      val clips = framedupClips(nClips, flatMod)
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft-ss-frameidx").toString
+      val tb = System.nanoTime()
+      operators.MultimodalOps.frameHashIndexBuild(
+        clips.filter(col("asset_id") % 5 =!= 0), dir)
+      val buildSec = (System.nanoTime() - tb) / 1e9
+      val t0 = System.nanoTime()
+      val agg = operators.MultimodalOps.frameContainmentIncremental(
+          clips.filter(col("asset_id") % 5 === 0), dir)
+        .agg(count(lit(1)), sum("shared")).first()
+      val incSec = (System.nanoTime() - t0) / 1e9
+      val pairs = agg.getLong(0); val sharedSum = agg.getLong(1)
+      var wantPairs = 0L; var wantShared = 0L
+      var q = 0L
+      val trips = nClips / 3
+      while (q < trips) {
+        if (q % flatMod != 0) {
+          val bs = 3 * q
+          if (bs % 5 == 0) { wantPairs += 2; wantShared += 6 }
+          else if ((bs + 1) % 5 == 0) { wantPairs += 2; wantShared += 4 }
+          else if ((bs + 2) % 5 == 0) { wantPairs += 2; wantShared += 6 }
+        }
+        q += 1
+      }
+      println(s"""{"frameidx_clips":$nClips,"build_sec":${round1(buildSec)},"inc_sec":${round1(incSec)},"pairs":$pairs}""")
+      require(pairs == wantPairs && sharedSum == wantShared,
+        s"incremental index invariant broke: pairs=$pairs want=$wantPairs " +
+          s"sharedSum=$sharedSum want=$wantShared")
+      // tmp postings are per-run scratch
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
     }
 
     // unicode_norm_key in the dedup hot path at 10M docs (r13): even
