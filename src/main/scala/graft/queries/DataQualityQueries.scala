@@ -149,6 +149,28 @@ object DataQualityQueries {
           minOf("n_samples", 50.0),
           maxOf("n_samples", 81.0),
           maxOf("n_frames", 7.0)))
+    }),
+
+    // Persisted-index integrity (dq9): mm21's gate covers the index
+    // CONTENT only through capped, batch-intersecting buckets — this
+    // lane audits the whole artifact row-for-row: total postings must
+    // equal the corpus' distinct (asset, fingerprint) set (an append
+    // that double-writes inflates n_rows past n_distinct; one that
+    // drops rows deflates both against the analytic replay), no null
+    // keys may have been written, and the asset count pins that both
+    // index halves (built %5 in 1..3, appended %5=4) landed. Four
+    // exact integers off one aggregate pass over the parquet read.
+    "dq9_index_integrity" -> ((s, d) => {
+      val idx = s.read.parquet(
+          graft.operators.FrameIndexFixture.dir(s, d))
+        .select(col("asset_id"), col("fhash"))
+      idx.agg(
+        count(lit(1)).as("n_rows"),
+        count_distinct(struct(col("asset_id"), col("fhash")))
+          .as("n_distinct"),
+        coalesce(sum(when(col("fhash").isNull, 1L).otherwise(0L)),
+          lit(0L)).as("n_null_keys"),
+        count_distinct(col("asset_id")).as("n_assets"))
     })
   )
 
@@ -348,6 +370,19 @@ object DataQualityQueries {
          UNION ALL SELECT 'max(img_w)', max_w, max_w <= 8.0 FROM m
          UNION ALL SELECT 'min(n_samples)', min_n, min_n >= 50.0 FROM m
          UNION ALL SELECT 'max(n_samples)', max_n, max_n <= 81.0 FROM m
-         UNION ALL SELECT 'max(n_frames)', max_f, max_f <= 7.0 FROM m"""
+         UNION ALL SELECT 'max(n_frames)', max_f, max_f <= 7.0 FROM m""",
+
+    // the whole index artifact replayed analytically: the distinct
+    // (id, fhash) set of the %5 != 0 corpus IS what build+append must
+    // have written — any dropped, doubled, or mis-keyed posting moves
+    // one of the four integers
+    "dq9_index_integrity" ->
+      s"""WITH ${MultimodalQueries.frameCappedCte},
+idx AS (SELECT id, fhash FROM fh WHERE id % 5 <> 0)
+SELECT count(*)::BIGINT AS n_rows,
+  count(DISTINCT (id, fhash))::BIGINT AS n_distinct,
+  0::BIGINT AS n_null_keys,
+  count(DISTINCT id)::BIGINT AS n_assets
+FROM idx"""
   )
 }
