@@ -31,7 +31,7 @@ object PerfCompare {
     // GRAFT_PC_ONLY=parse,dsir runs only those blocks. Lane names:
     // topk, cc, bloom, span, containment, kernels, kmeans, ivf,
     // ivfcurve, bpehybrid, dsir, parse, skew, simhash, srccap, budget,
-    // knn, hh, mix, pagerank, stdrain, asof.
+    // knn, hh, mix, pagerank, stdrain, asof, paircap.
     // Default (unset) = all. Each lane builds and releases its own
     // caches, so skipping any subset is safe.
     val only = sys.env.get("GRAFT_PC_ONLY")
@@ -1214,6 +1214,75 @@ object PerfCompare {
       }
       Release(clicks, blocking = true)
       Release(purchases, blocking = true)
+    }
+
+    // Degenerate-bucket cap forms head-to-head (round 14, the r13
+    // charged finding): the same capped fingerprint-pair vote computed
+    // three ways on a 2M-asset corpus (4 fingerprints/asset, gid twins,
+    // 30% of assets carrying ONE degenerate fingerprint — a 600k-row
+    // hot bucket the cap must excise). (a) count(*) OVER (PARTITION BY
+    // fp) + filter + self-join — WindowExec colocates the whole hot
+    // bucket in one task before the filter sees it; (b) map-side
+    // groupBy(fp).count + join-back + self-join — the cap is partial-
+    // aggregated but pairs still pay a keyed self-join; (c) the shipped
+    // BoundedCollect posting form (cappedContainmentVotes) — O(cap)
+    // partial buffers AND map-side pair explosion. Results asserted
+    // identical; interleaved min-of-3 walls.
+    lane("paircap") {
+      val nAssets = math.min(rows, 2000000L)
+      val fpRows = spark.range(nAssets)
+        .select(col("id").as("a_id"),
+          explode(sequence(lit(0), lit(3))).as("j"))
+        .select(col("a_id"),
+          when(col("a_id") % 10 < 3 && col("j") === 0, lit("DEGENERATE"))
+            .otherwise(md5(concat_ws(":",
+              (col("a_id") - col("a_id") % 2).cast("string"),
+              col("j").cast("string")))).as("fp"))
+        .cache()
+      fpRows.count()
+      def agg(votes: org.apache.spark.sql.DataFrame): (Long, Long) = {
+        val r = votes.agg(count(lit(1)),
+          coalesce(sum("shared"), lit(0L))).first()
+        (r.getLong(0), r.getLong(1))
+      }
+      def viaWindow(): (Long, Long) = {
+        val w = Window.partitionBy("fp")
+        val capped = fpRows.withColumn("_n", count(lit(1)).over(w))
+          .filter(col("_n") <= 8).drop("_n")
+        val l = capped.select(col("a_id").as("a"), col("fp"))
+        val r = capped.select(col("a_id").as("b"), col("fp"))
+        agg(l.join(r, Seq("fp")).filter(col("a") < col("b"))
+          .groupBy("a", "b").agg(count(lit(1)).as("shared"))
+          .filter(col("shared") >= 2))
+      }
+      def viaCountJoin(): (Long, Long) = {
+        val keep = fpRows.groupBy("fp").agg(count(lit(1)).as("_n"))
+          .filter(col("_n") <= 8).select("fp")
+        val capped = fpRows.join(keep, Seq("fp"), "left_semi")
+        val l = capped.select(col("a_id").as("a"), col("fp"))
+        val r = capped.select(col("a_id").as("b"), col("fp"))
+        agg(l.join(r, Seq("fp")).filter(col("a") < col("b"))
+          .groupBy("a", "b").agg(count(lit(1)).as("shared"))
+          .filter(col("shared") >= 2))
+      }
+      def viaPosting(): (Long, Long) =
+        agg(operators.MultimodalOps.cappedContainmentVotes(
+          fpRows, "a_id", "fp", cap = 8, minShared = 2))
+      val rw0 = viaWindow(); val rc0 = viaCountJoin(); val rp0 = viaPosting()
+      require(rw0 == rc0 && rc0 == rp0,
+        s"cap forms disagree: $rw0 vs $rc0 vs $rp0")
+      val walls = (0 until 3).map { _ =>
+        (time(viaWindow()._1)._1, time(viaCountJoin()._1)._1,
+          time(viaPosting()._1)._1)
+      }
+      val tw = walls.map(_._1).min
+      val tc = walls.map(_._2).min
+      val tp = walls.map(_._3).min
+      println(s"""{"paircap_assets":$nAssets,"pairs":${rp0._1},""" +
+        s""""window_sec":${math.rint(tw * 10) / 10},""" +
+        s""""countjoin_sec":${math.rint(tc * 10) / 10},""" +
+        s""""posting_sec":${math.rint(tp * 10) / 10}}""")
+      Release(fpRows, blocking = true)
     }
     spark.stop()
   }
