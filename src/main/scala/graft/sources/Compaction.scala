@@ -79,6 +79,26 @@ object Compaction {
               maxRecordsPerFile: Long = 1000000L): Unit =
     writePartitioned(df, path, partCols, clusterBy, maxRecordsPerFile)
 
+  /** In-place compaction of a fragmented directory — the maintenance
+    * job an append-heavy posting index schedules. Spark refuses (or
+    * corrupts, depending on committer) an overwrite of a path that is
+    * also being read, so the frame is SNAPSHOTTED first
+    * (`localCheckpoint(eager)` — executor-storage materialization)
+    * and released after the rewrite. This is the bounded-size/local
+    * variant; a production pipeline over object storage writes to a
+    * temp prefix and swaps atomically instead of holding the snapshot
+    * in cluster storage.
+    */
+  def compactInPlace(spark: org.apache.spark.sql.SparkSession,
+                     path: String, partCols: Seq[String],
+                     clusterBy: Seq[String] = Nil,
+                     maxRecordsPerFile: Long = 1000000L): Unit = {
+    val snap = spark.read.parquet(path).localCheckpoint(true)
+    try writePartitioned(snap, path, partCols, clusterBy,
+      maxRecordsPerFile)
+    finally graft.Release(snap, blocking = true)
+  }
+
   /** Z-order-clustered write: range-partition and sort by the Morton
     * interleave of two int key columns, so rows close in EITHER
     * dimension land in the same files and parquet row-group min/max

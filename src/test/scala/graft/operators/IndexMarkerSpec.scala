@@ -32,4 +32,41 @@ class IndexMarkerSpec extends SparkSpec {
     val dir = BandIndexFixture.dir(spark, sfDir)
     assert(Files.exists(Paths.get(dir, IvfFixture.MarkerName)))
   }
+
+  test("posting index: append slivers compact away with results unchanged") {
+    import org.apache.spark.sql.functions._
+    // build from one half, append the other in FOUR sliver batches so
+    // the directory accumulates small files, then compact and require
+    // (a) the incremental containment result is byte-identical and
+    // (b) the parquet file count strictly dropped — the maintenance
+    // path a steady-state ingest loop relies on
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val assets = MultimodalOps.synthY4mTrimAssets(docs, "doc_id")
+    val dir = Files.createTempDirectory("graft-compact-spec").toString
+    MultimodalOps.frameHashIndexBuild(
+      assets.filter(col("asset_id") % 5 === 1), dir)
+    for (m <- Seq(2L, 3L, 4L)) // sliver appends
+      MultimodalOps.frameHashIndexAppend(
+        assets.filter(col("asset_id") % 5 === m), dir,
+        maxRecordsPerFile = 50L)
+    val batch = assets.filter(col("asset_id") % 5 === 0)
+    def result() = MultimodalOps.frameContainmentIncremental(batch, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    def parquetFiles() = {
+      val it = Files.walk(Paths.get(dir))
+      try it.filter(p => p.toString.endsWith(".parquet")).count()
+      finally it.close()
+    }
+    val before = result()
+    assert(before.nonEmpty, "pre-compaction pair universe empty")
+    val filesBefore = parquetFiles()
+    graft.sources.Compaction.compactInPlace(spark, dir,
+      Seq("_bkt"), clusterBy = Seq("fhash"))
+    val filesAfter = parquetFiles()
+    assert(filesAfter < filesBefore,
+      s"compaction did not reduce files: $filesBefore -> $filesAfter")
+    assert(result() == before, "compaction changed incremental results")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+  }
 }
