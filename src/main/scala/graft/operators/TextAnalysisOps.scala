@@ -171,17 +171,29 @@ object TextAnalysisOps {
     */
   def decontaminateSpans(train: DataFrame, eval_ : DataFrame,
                          idCol: String, textCol: String,
-                         k: Int = 3): DataFrame = {
+                         k: Int = 3,
+                         canonicalKeys: Boolean = false): DataFrame = {
+    // canonicalKeys: hash each gram's unicode_norm_key instead of its
+    // raw bytes — contamination hidden behind homoglyph swaps / NFD /
+    // full-width forms (the tx48 classes) matches the eval set anyway
+    // (tx50). Words are excised but the TEXT is never rewritten: the
+    // surviving words keep their original bytes. ASCII-lowercase grams
+    // take the expression's identity fast path, so the flag costs
+    // nothing on clean corpora.
+    val gkey = (c: Column) =>
+      if (canonicalKeys)
+        unhex(md5(graft.functions.UnicodeNorm.unicodeNormKey(c)))
+      else unhex(md5(c))
     val words = train.select(col(idCol),
       posexplode(split(col(textCol), " "))).toDF(idCol, "_i", "_w")
     val grams = train.select(col(idCol),
         posexplode(graft.functions.ShingleGen.shingleArray(
           col(textCol), k, distinct = false))).toDF(idCol, "_i", "_gt")
-      .select(col(idCol), col("_i"), unhex(md5(col("_gt"))).as("_g"))
+      .select(col(idCol), col("_i"), gkey(col("_gt")).as("_g"))
     val evalG = eval_.select(
         graft.functions.ShingleGen.shingleGen(col(textCol), k,
           distinct = true)).toDF("_gt")
-      .select(unhex(md5(col("_gt"))).as("_g")).distinct()
+      .select(gkey(col("_gt")).as("_g")).distinct()
     val hits = grams.join(evalG, Seq("_g"), "left_semi")
     val covered = hits.select(col(idCol),
       explode(sequence(col("_i"), col("_i") + lit(k - 1)))).toDF(idCol, "_i")

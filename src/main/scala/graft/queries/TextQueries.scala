@@ -318,6 +318,39 @@ object TextQueries {
           md5(col("clean_text")).as("clean_fp"))
     }),
 
+    // Evasion-resistant decontamination (tx50): tx35 matches grams by
+    // RAW bytes, so contamination hidden behind homoglyph swaps (the
+    // tx48 classes) sails through — the realistic leak shape when a
+    // benchmark is pasted through a "translation" laundering chain.
+    // The fixture salts every third train doc with a known eval phrase
+    // whose a/e/o/c are swapped for Cyrillic look-alikes (every salt
+    // word's bytes change); canonicalKeys=true hashes each gram's
+    // unicode_norm_key, so the disguised salt matches the eval set and
+    // is excised — raw tx35 would keep it. The oracle performs NO
+    // normalization: it replays tx35's machinery over the ASCII-salted
+    // twin corpus, which is exactly what a correct canonicalizer must
+    // reduce the disguised corpus to (the tx49 contract); surviving
+    // words keep their original ASCII bytes, so clean_fp hashes match.
+    "tx50_decontaminate_evasive" -> ((s, d) => {
+      val docs = documents(s, d)
+      val phrase = lit("alpha beta gamma delta epsilon")
+      val disguised = translate(phrase, "aeoc",
+        "\u0430\u0435\u043e\u0441")
+      val train = docs.filter(col("source") =!= "src0")
+        .select(col("doc_id"),
+          when(col("doc_id") % 3 === 0,
+            concat(col("text"), lit(" "), disguised))
+            .otherwise(col("text")).as("text"))
+      val evalPlus = docs.filter(col("source") === "src0")
+        .select(col("doc_id"), col("text"))
+        .unionByName(s.range(1)
+          .select(lit(-1L).as("doc_id"), phrase.as("text")))
+      TextAnalysisOps.decontaminateSpans(train, evalPlus,
+          "doc_id", "text", k = 3, canonicalKeys = true)
+        .select(col("doc_id"), col("n_words"), col("n_removed"),
+          md5(col("clean_text")).as("clean_fp"))
+    }),
+
     // BPE merge-candidate counts (tokenizer training, one merge
     // iteration): adjacent char pairs weighted by word frequency, top
     // 50 — corpus touched once, expansion runs on the vocab table.
@@ -980,6 +1013,54 @@ object TextQueries {
              AS n_removed,
            md5(coalesce(ka.clean_text, '')) AS clean_fp
          FROM train t LEFT JOIN ka ON ka.doc_id = t.doc_id""",
+    // tx35's machinery verbatim over the ASCII-SALTED twin corpus — no
+    // normalization anywhere in the replay (the tx49 contract): the
+    // lane's canonicalizer must reduce the homoglyph-disguised corpus
+    // to exactly this, and the salt words (all covered by the planted
+    // phrase's own grams) excise completely, so surviving words are
+    // pure ASCII on both engines and clean_fp hashes agree
+    "tx50_decontaminate_evasive" ->
+      """WITH train AS (SELECT doc_id,
+                CASE WHEN doc_id % 3 = 0
+                     THEN text || ' alpha beta gamma delta epsilon'
+                     ELSE text END AS text
+              FROM documents WHERE source <> 'src0'),
+         evald AS (SELECT text FROM documents WHERE source = 'src0'
+                   UNION ALL SELECT 'alpha beta gamma delta epsilon'),
+         ev0 AS (SELECT
+                  unnest([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                          for i in range(1, len(w)-1)]) AS g
+                FROM (SELECT string_split(text,' ') AS w FROM evald)
+                WHERE len(w) >= 3),
+         ev AS (SELECT DISTINCT md5(g) AS g FROM ev0),
+         tww AS (SELECT doc_id, string_split(text,' ') AS w FROM train),
+         tw AS (SELECT doc_id, generate_subscripts(w,1) - 1 AS i,
+                  unnest(w) AS word FROM tww),
+         tg AS (SELECT doc_id, generate_subscripts(g,1) - 1 AS i,
+                  unnest(g) AS gram
+                FROM (SELECT doc_id,
+                        [w[j] || ' ' || w[j+1] || ' ' || w[j+2]
+                         for j in range(1, len(w)-1)] AS g
+                      FROM tww WHERE len(w) >= 3)),
+         hits AS (SELECT DISTINCT tg.doc_id, tg.i
+                  FROM tg JOIN ev ON md5(tg.gram) = ev.g),
+         cov AS (SELECT DISTINCT doc_id, i + o AS i
+                 FROM hits CROSS JOIN (SELECT unnest(range(0,3)) AS o) os),
+         kept AS (SELECT tw.doc_id, tw.i, tw.word
+                  FROM tw LEFT JOIN cov
+                    ON cov.doc_id = tw.doc_id AND cov.i = tw.i
+                  WHERE cov.doc_id IS NULL),
+         ka AS (SELECT doc_id,
+                  string_agg(word, ' ' ORDER BY i) AS clean_text,
+                  count(*) AS n_kept
+                FROM kept GROUP BY doc_id)
+         SELECT t.doc_id,
+           len(string_split(t.text,' '))::BIGINT AS n_words,
+           (len(string_split(t.text,' ')) - coalesce(ka.n_kept, 0))::BIGINT
+             AS n_removed,
+           md5(coalesce(ka.clean_text, '')) AS clean_fp
+         FROM train t LEFT JOIN ka ON ka.doc_id = t.doc_id""",
+
     // pair expansion on the distinct-word table (vocab-sized), corpus
     // read once by the word agg; (n desc, pair asc) is a total order so
     // the LIMIT boundary is deterministic cross-engine

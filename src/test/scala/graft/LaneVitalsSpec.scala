@@ -217,6 +217,46 @@ class LaneVitalsSpec extends SparkSpec {
     }
   }
 
+  test("tx50 evasive decontamination: canonical keys excise the disguised salt raw keys miss, both scales") {
+    import graft.operators.TextAnalysisOps
+    for (d <- scales) {
+      val corpus = docs(d)
+      val phrase = lit("alpha beta gamma delta epsilon")
+      val disguised = translate(phrase, "aeoc",
+        "\u0430\u0435\u043e\u0441")
+      val train = corpus.filter(col("source") =!= "src0")
+        .select(col("doc_id"),
+          when(col("doc_id") % 3 === 0,
+            concat(col("text"), lit(" "), disguised))
+            .otherwise(col("text")).as("text"))
+      val evalPlus = corpus.filter(col("source") === "src0")
+        .select(col("doc_id"), col("text"))
+        .unionByName(spark.range(1)
+          .select(lit(-1L).as("doc_id"), phrase.as("text")))
+      def removedBy(canonical: Boolean): Map[Long, Long] =
+        TextAnalysisOps.decontaminateSpans(train, evalPlus,
+            "doc_id", "text", k = 3, canonicalKeys = canonical)
+          .select("doc_id", "n_removed").collect()
+          .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val can = removedBy(canonical = true)
+      val raw = removedBy(canonical = false)
+      assert(can.keySet == raw.keySet, s"tx50@$d: doc sets diverged")
+      for ((id, nc) <- can) {
+        val nr = raw(id)
+        if (id % 3 == 0)
+          // the 5 disguised salt words ARE the capability: canonical
+          // must excise at least them beyond whatever raw catches
+          assert(nc >= nr + 5,
+            s"tx50@$d doc $id: canonical removed $nc vs raw $nr — " +
+              "the disguised salt escaped")
+        else
+          // unsalted ASCII docs take the fast path: identical keys
+          assert(nc == nr,
+            s"tx50@$d doc $id: canonical diverged on a clean doc")
+      }
+    }
+  }
+
   // ---- SimHash Hamming family --------------------------------------
   // the corpus is salted with exact copies at +10000: every doc must
   // pair with its copy at hamming 0 (recall floor), and hamming 1..3
