@@ -127,6 +127,30 @@ object IvfFixture {
       }
     }))
 
+  /** Tombstoned IVF index (ss22): ss7's full-corpus build, then every
+    * vec_id % 17 == 0 logically DELETED — the tombstone set stays in
+    * the artifact and search masks it. Deleted ids can still appear as
+    * queries (deletion removes a vector from the searchable corpus,
+    * not from the world).
+    */
+  def ivfDeleteDir(spark: SparkSession, sfDir: String): String =
+    checkMarker(built.computeIfAbsent(s"ivfdel:$sfDir", _ => {
+      val dir = scratch("graft-ivf-delete-index", sfDir)
+      buildWithMarker(dir) {
+        val emb = graft.Tables.embeddings(spark, sfDir)
+        IvfIndex.build(emb, dir, nList = 8, kernel = kernel)
+        IvfIndex.delete(emb.filter(col("vec_id") % 17 === 0), dir)
+      }
+    }))
+
+  /** ss22's search half: ss7's query set against the tombstoned index. */
+  def searchIvfDelete(spark: SparkSession, sfDir: String) = {
+    val dir = ivfDeleteDir(spark, sfDir)
+    val emb = graft.Tables.embeddings(spark, sfDir)
+    IvfIndex.search(spark, dir, emb.filter(col("vec_id") < 10),
+      5, nProbe = 3, kernel = kernel)
+  }
+
   /** ss19's search half: ss14's query set against the appended index. */
   def searchIvfPqAppend(spark: SparkSession, sfDir: String) = {
     val dir = ivfPqAppendDir(spark, sfDir)

@@ -11,9 +11,11 @@ import org.apache.spark.sql.functions._
   * persisted==transient equality holds by construction.
   *
   * Layout under `dir`:
-  *   `centroids/` — nList rows `(_cell, _cvec)`;
-  *   `cells/`     — the corpus `(id, vector)` hive-partitioned by
-  *                  `_cell`, each cell clustered by id.
+  *   `centroids/`  — nList rows `(_cell, _cvec)`;
+  *   `cells/`      — the corpus `(id, vector)` hive-partitioned by
+  *                   `_cell`, each cell clustered by id;
+  *   `tombstones/` — optional append-only deleted-id list ([[delete]];
+  *                   masked at read, reclaimed by [[vacuum]]).
   *
   * The scale property lives in `search`: probed cell ids are collected
   * (≤ queries × nProbe ints — never vectors) and pushed as a static
@@ -211,8 +213,63 @@ object IvfIndex {
       idCol, vecCol, kernel).persist()
     val probedCells = probes.select("_cell").distinct()
       .collect().map(_.getInt(0)).toSeq
-    val cells = probedCellScan(spark, dir, probedCells)
+    val scanned = probedCellScan(spark, dir, probedCells)
+    val live = tombstoneScan(spark, dir, idCol) match {
+      case Some(ts) =>
+        // deletes are logical: the cell layout is immutable between
+        // vacuums, so deleted rows are masked by a broadcast anti-join
+        // against the (small-by-premise) tombstone set — the standard
+        // tombstone read path; [[vacuum]] physically reclaims
+        scanned.join(broadcast(ts), Seq(idCol), "left_anti")
+      case None => scanned
+    }
+    val cells = live
       .select(col(idCol).as("_cid"), col(vecCol).as("_cv"), col("_cell"))
     SimilarityOps.ivfScore(probes, cells, k, kernel)
   }
+
+  private def tombstoneScan(spark: SparkSession, dir: String,
+                            idCol: String): Option[DataFrame] = {
+    val path = new org.apache.hadoop.fs.Path(s"$dir/tombstones")
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(path))
+      Some(spark.read.parquet(path.toString).select(col(idCol)).distinct())
+    else None
+  }
+
+  /** Logical DELETE from the persisted index: the ids land in an
+    * append-only tombstone table and [[search]] masks them with a
+    * broadcast anti-join — the cell layout itself is immutable between
+    * [[vacuum]]s, so deletes never rewrite data files (the standard
+    * merge-on-read discipline every table format uses for deletes).
+    * A deleted id can still appear as a QUERY — deletion removes a
+    * vector from the searchable corpus, not from the world.
+    */
+  def delete(ids: DataFrame, dir: String,
+             idCol: String = "vec_id"): Unit =
+    ids.select(col(idCol)).distinct()
+      .coalesce(1) // tombstone batches are id-lists, not data
+      .write.mode(SaveMode.Append).parquet(s"$dir/tombstones")
+
+  /** Physical reclamation: rewrite the cell layout minus the
+    * tombstoned rows and drop the tombstone table — the maintenance
+    * job scheduled when the tombstone set grows past what a broadcast
+    * should carry. Search results are identical before and after by
+    * construction (the anti-join was already masking these rows); the
+    * snapshot-then-overwrite is the [[graft.sources.Compaction
+    * .compactInPlace]] discipline.
+    */
+  def vacuum(spark: SparkSession, dir: String,
+             idCol: String = "vec_id"): Unit =
+    tombstoneScan(spark, dir, idCol).foreach { ts =>
+      val snap = spark.read.parquet(s"$dir/cells")
+        .join(broadcast(ts), Seq(idCol), "left_anti")
+        .localCheckpoint(true)
+      try graft.sources.Compaction.writePartitioned(
+        snap, s"$dir/cells", Seq("_cell"), clusterBy = Seq(idCol))
+      finally graft.Release(snap, blocking = true)
+      val path = new org.apache.hadoop.fs.Path(s"$dir/tombstones")
+      path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .delete(path, true)
+    }
 }

@@ -184,6 +184,17 @@ object SimilarityQueries {
     "ss18_ivf_append" -> ((s, d) =>
       graft.operators.IvfFixture.searchIvfAppend(s, d)),
 
+    // Index DELETES (ss22): the lifecycle op build/append lacked —
+    // every vec_id % 17 == 0 is tombstoned (append-only id list in the
+    // artifact; the cell layout is never rewritten between vacuums)
+    // and search masks the set with a broadcast anti-join, the
+    // merge-on-read discipline every table format uses. Deleted ids
+    // remain valid QUERIES (ids 0 is both query and deleted here) but
+    // must never surface as neighbors; IvfIndex.vacuum physically
+    // reclaims and is pinned result-identical in AsOfIvfSpec.
+    "ss22_ivf_delete" -> ((s, d) =>
+      graft.operators.IvfFixture.searchIvfDelete(s, d)),
+
     // IVF-PQ composed search: the persisted two-level ANN artifact
     // (8 IVF cells × 2-subspace/4-centroid PQ codes, codes
     // hive-partitioned by cell). Search probes 3 cells per query,
@@ -332,7 +343,8 @@ object SimilarityQueries {
     * != 0) and then assigns everything against those frozen centroids
     * — exactly what `IvfIndex.append` does.
     */
-  private def ivfOracle(centroidSrc: String): String =
+  private def ivfOracle(centroidSrc: String,
+                        cellsPred: String = ""): String =
     s"""WITH cen AS (
            SELECT cell, list(mx ORDER BY pos) AS cv FROM (
              SELECT cell, pos,
@@ -348,7 +360,8 @@ object SimilarityQueries {
                        row_number() OVER (PARTITION BY e.vec_id
                          ORDER BY list_cosine_similarity(e.embedding,
                                     cen.cv) DESC, cen.cell ASC) AS rn
-                     FROM embeddings e CROSS JOIN cen) WHERE rn = 1),
+                     FROM embeddings e CROSS JOIN cen)
+                   WHERE rn = 1$cellsPred),
          probes AS (SELECT query_id, qv, cell FROM (
                       SELECT e.vec_id AS query_id, e.embedding AS qv,
                         cen.cell,
@@ -816,6 +829,11 @@ object SimilarityQueries {
          FROM a01 JOIN a11 USING (vec_id)""",
     "ss5_ivf_topk" -> ivfPipelineOracle,
     "ss7_ivf_index" -> ivfPipelineOracle,
+    // the full-corpus IVF replay with the tombstoned ids excluded from
+    // the CELLS only (queries keep them): exactly what merge-on-read
+    // deletion must produce
+    "ss22_ivf_delete" -> ivfOracle("embeddings",
+      cellsPred = " AND vec_id % 17 <> 0"),
     // ss14 = the ivfPipelineOracle's cen/cells/probes CTEs spliced with
     // ss12's PQ-train CTEs; candidates meet on the probed cell, score
     // is the same ADC sum. A query scores ONLY codes in its own probed

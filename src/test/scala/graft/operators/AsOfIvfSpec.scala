@@ -258,4 +258,44 @@ class AsOfIvfSpec extends SparkSpec {
     assert(java.nio.file.Files.exists(
       java.nio.file.Paths.get(dir, "dead-2.xml")))
   }
+
+  test("ivf delete: tombstones mask load-bearingly; vacuum is result-identical and reclaims") {
+    val emb = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-ivf-del-spec").toString
+    val kernel: (org.apache.spark.sql.Column,
+      org.apache.spark.sql.Column) => org.apache.spark.sql.Column =
+      graft.functions.CosineF32.cosineF32Native(_, _)
+    IvfIndex.build(emb, dir, nList = 8, kernel = kernel)
+    val queries = emb.filter(col("vec_id") < 10)
+    def results() = IvfIndex.search(spark, dir, queries, 5, nProbe = 3,
+        kernel = kernel)
+      .select("query_id", "neighbor_id")
+      .as[(Long, Long)].collect().toSet
+    val before = results()
+    // the delete must be LOAD-BEARING: some %17 id ranks as a
+    // neighbor pre-delete, else masking is vacuously green
+    assert(before.exists(_._2 % 17 == 0),
+      "no tombstone-target neighbor pre-delete — fixture vacuous")
+    IvfIndex.delete(emb.filter(col("vec_id") % 17 === 0), dir)
+    val masked = results()
+    assert(masked != before, "delete changed nothing")
+    assert(masked.forall(_._2 % 17 != 0), "a deleted id surfaced")
+    // deleted ids remain valid queries
+    assert(masked.exists(_._1 % 17 == 0), "deleted query ids vanished")
+    // vacuum: same results, tombstones gone, cells physically smaller
+    val cellsBefore = spark.read.parquet(s"$dir/cells").count()
+    IvfIndex.vacuum(spark, dir)
+    assert(results() == masked, "vacuum changed search results")
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(dir, "tombstones")), "tombstones survived")
+    val cellsAfter = spark.read.parquet(s"$dir/cells").count()
+    assert(cellsAfter < cellsBefore,
+      s"vacuum reclaimed nothing: $cellsBefore -> $cellsAfter")
+    // idempotent when no tombstones remain
+    IvfIndex.vacuum(spark, dir)
+    assert(results() == masked)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+  }
 }
