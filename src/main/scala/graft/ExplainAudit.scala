@@ -36,7 +36,8 @@ object ExplainAudit {
         "mm16_frame_containment", "tx49_norm_neardup", "dq8_media_health",
         "mm17_audio_containment", "mm18_binary_cdc", "q35_orc_roundtrip",
         "mm19_jpeg_meta", "mm20_crossmodal_dedup", "mm21_frame_index",
-        "mm22_segment_index", "mm23_chunk_index")
+        "mm22_segment_index", "mm23_chunk_index",
+        "tx50_decontaminate_evasive", "ss22_ivf_delete")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
