@@ -592,6 +592,17 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("ss22 tombstone mask is a broadcast anti-join; probed-cell pruning survives deletes") {
+    val p = planOf("ss22_ivf_delete")
+    // the delete mask must never shuffle the cells scan — tombstone
+    // id-lists are small by premise and ride a broadcast anti-join
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
+      p.take(3000))
+    assert(!p.contains("SortMergeJoin"), p.take(3000))
+    // the probed-cells IN still prunes partitions at file listing
+    assert(p.contains("PartitionFilters: [_cell"), p.take(3000))
+  }
+
   test("ev21 nearest as-of is joinless: one union-sort exchange, no candidate pairs") {
     val p = planOf("ev21_asof_nearest")
     assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin") &&
