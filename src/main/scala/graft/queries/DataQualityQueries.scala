@@ -160,19 +160,35 @@ object DataQualityQueries {
     // keys may have been written, and the asset count pins that both
     // index halves (built %5 in 1..3, appended %5=4) landed. Four
     // exact integers off one aggregate pass over the parquet read.
-    "dq9_index_integrity" -> ((s, d) => {
-      val idx = s.read.parquet(
-          graft.operators.FrameIndexFixture.dir(s, d))
-        .select(col("asset_id"), col("fhash"))
-      idx.agg(
+    "dq9_index_integrity" -> ((s, d) =>
+      indexIntegrity(s, graft.operators.FrameIndexFixture.dir(s, d),
+        "fhash")),
+
+    // dq9's whole-artifact audit on the other two posting indexes —
+    // one generic integrity aggregate, three gated artifacts
+    "dq10_segment_index_integrity" -> ((s, d) =>
+      indexIntegrity(s, graft.operators.SegmentIndexFixture.dir(s, d),
+        "skey")),
+
+    "dq11_chunk_index_integrity" -> ((s, d) =>
+      indexIntegrity(s, graft.operators.ChunkIndexFixture.dir(s, d),
+        "chunk_key"))
+  )
+
+  /** One aggregate pass over a posting-index read: total postings,
+    * distinct postings (an append that double-writes splits these),
+    * null keys (must be zero — builders filter them), distinct assets
+    * (pins that every index half landed). */
+  private def indexIntegrity(s: SparkSession, dir: String,
+                             keyCol: String): DataFrame =
+    s.read.parquet(dir).select(col("asset_id"), col(keyCol))
+      .agg(
         count(lit(1)).as("n_rows"),
-        count_distinct(struct(col("asset_id"), col("fhash")))
+        count_distinct(struct(col("asset_id"), col(keyCol)))
           .as("n_distinct"),
-        coalesce(sum(when(col("fhash").isNull, 1L).otherwise(0L)),
+        coalesce(sum(when(col(keyCol).isNull, 1L).otherwise(0L)),
           lit(0L)).as("n_null_keys"),
         count_distinct(col("asset_id")).as("n_assets"))
-    })
-  )
 
   /** One profile row per column over snapshot CTE `src`, tagged
     * old/new — the DuckDB twin of columnProfile's single-agg sweep. */
@@ -381,6 +397,26 @@ object DataQualityQueries {
 idx AS (SELECT id, fhash FROM fh WHERE id % 5 <> 0)
 SELECT count(*)::BIGINT AS n_rows,
   count(DISTINCT (id, fhash))::BIGINT AS n_distinct,
+  0::BIGINT AS n_null_keys,
+  count(DISTINCT id)::BIGINT AS n_assets
+FROM idx""",
+
+    // mm17's analytic segment-key set, restricted to the corpus fifths
+    "dq10_segment_index_integrity" ->
+      s"""WITH ${MultimodalQueries.segmentCappedCte},
+idx AS (SELECT id, skey FROM sk WHERE id % 5 <> 0)
+SELECT count(*)::BIGINT AS n_rows,
+  count(DISTINCT (id, skey))::BIGINT AS n_distinct,
+  0::BIGINT AS n_null_keys,
+  count(DISTINCT id)::BIGINT AS n_assets
+FROM idx""",
+
+    // mm18's recursive chunker replay, same restriction
+    "dq11_chunk_index_integrity" ->
+      s"""WITH RECURSIVE ${MultimodalQueries.cdcCappedCte},
+idx AS (SELECT id, ckey FROM sk WHERE id % 5 <> 0)
+SELECT count(*)::BIGINT AS n_rows,
+  count(DISTINCT (id, ckey))::BIGINT AS n_distinct,
   0::BIGINT AS n_null_keys,
   count(DISTINCT id)::BIGINT AS n_assets
 FROM idx"""

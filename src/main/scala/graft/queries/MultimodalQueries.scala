@@ -559,8 +559,15 @@ capped AS (SELECT id, skey FROM sk
     * FastCDC walk in SQL (Rabin hash B=257, M=2^31-1,
     * BW=257^8 mod M), chunk keys as md5 over upper-case hex, distinct
     * within asset, the binding bucket cap applied — ends with
-    * `capped(id, ckey)`. Shared by mm18's full vote join and mm23's
-    * batch-restricted incremental replay. */
+    * `capped(id, ckey)`. Shared by mm18's full vote join, mm23's
+    * batch-restricted incremental replay, and dq11's whole-artifact
+    * audit. Byte-model precedence is pinned by the FIXTURE: m=1
+    * splices its 11 bytes into FLAT payloads too (an insertion is an
+    * insertion, even into a blank file — content-defined chunking
+    * must localize it), so the splice CASE precedes the flat zero;
+    * the original flat-first ordering was a 24-posting divergence
+    * mm18's pair-level gate masked and dq11's posting-level audit
+    * caught (r14). */
   private[queries] val cdcCappedCte: String =
     """meta AS (
   SELECT doc_id AS id, doc_id % 3 AS m,
@@ -593,19 +600,19 @@ walk(id, i, start, h, cs, ce) AS (
          + 2147483647) % 2147483647 AS h2
       FROM walk w JOIN md d USING (id),
       LATERAL (SELECT
-        CASE WHEN d.flat THEN 0 ELSE
-          CASE WHEN d.m = 1 AND w.i >= 320 AND w.i < 331
-               THEN ((d.qk*7 + (w.i - 320)) % 65537) % 256
-               WHEN d.m = 1 AND w.i >= 331
-               THEN ((d.qk*9973 + (w.i - 11)*5741) % 65537) % 256
-               ELSE ((d.qk*9973 + w.i*5741) % 65537) % 256 END
+        CASE WHEN d.m = 1 AND w.i >= 320 AND w.i < 331
+             THEN ((d.qk*7 + (w.i - 320)) % 65537) % 256
+             WHEN d.flat THEN 0
+             WHEN d.m = 1 AND w.i >= 331
+             THEN ((d.qk*9973 + (w.i - 11)*5741) % 65537) % 256
+             ELSE ((d.qk*9973 + w.i*5741) % 65537) % 256
         END AS bi,
-        CASE WHEN d.flat THEN 0 ELSE
-          CASE WHEN d.m = 1 AND (w.i - 8) >= 320 AND (w.i - 8) < 331
-               THEN ((d.qk*7 + (w.i - 8 - 320)) % 65537) % 256
-               WHEN d.m = 1 AND (w.i - 8) >= 331
-               THEN ((d.qk*9973 + (w.i - 8 - 11)*5741) % 65537) % 256
-               ELSE ((d.qk*9973 + (w.i - 8)*5741) % 65537) % 256 END
+        CASE WHEN d.m = 1 AND (w.i - 8) >= 320 AND (w.i - 8) < 331
+             THEN ((d.qk*7 + (w.i - 8 - 320)) % 65537) % 256
+             WHEN d.flat THEN 0
+             WHEN d.m = 1 AND (w.i - 8) >= 331
+             THEN ((d.qk*9973 + (w.i - 8 - 11)*5741) % 65537) % 256
+             ELSE ((d.qk*9973 + (w.i - 8)*5741) % 65537) % 256
         END AS bo) lat
       WHERE w.i < d.len) t) s),
 bounds AS (
@@ -617,12 +624,12 @@ pos AS (SELECT id, s, e, s + unnest(range(e - s)) AS p FROM bounds),
 ck AS (
   SELECT pos.id, s,
     md5(string_agg(lpad(to_hex(
-      CASE WHEN d.flat THEN 0 ELSE
-        CASE WHEN d.m = 1 AND p >= 320 AND p < 331
-             THEN ((d.qk*7 + (p - 320)) % 65537) % 256
-             WHEN d.m = 1 AND p >= 331
-             THEN ((d.qk*9973 + (p - 11)*5741) % 65537) % 256
-             ELSE ((d.qk*9973 + p*5741) % 65537) % 256 END
+      CASE WHEN d.m = 1 AND p >= 320 AND p < 331
+           THEN ((d.qk*7 + (p - 320)) % 65537) % 256
+           WHEN d.flat THEN 0
+           WHEN d.m = 1 AND p >= 331
+           THEN ((d.qk*9973 + (p - 11)*5741) % 65537) % 256
+           ELSE ((d.qk*9973 + p*5741) % 65537) % 256
       END), 2, '0'), '' ORDER BY p)) AS ckey
   FROM pos JOIN md d USING (id)
   GROUP BY pos.id, s),
