@@ -210,6 +210,99 @@ object SpatialOps {
     * should fail loudly, not silently explode the exchange. Pick
     * `cell` near the TYPICAL box extent — the 1-D binSec rule, squared.
     */
+  /** Even-odd ray-cast point-in-polygon test as one column expression:
+    * true iff a ray from (px, py) toward +x crosses an odd number of
+    * polygon edges. `poly` is an `array<struct<x: long, y: long>>` of
+    * vertices in ring order (closing edge last→first implied); the
+    * polygon must be simple (non-self-intersecting) — vertex order
+    * direction does not matter.
+    *
+    * EXACT integer arithmetic: the textbook form compares px against
+    * the edge/ray intersection `x1 + (x2−x1)(py−y1)/(y2−y1)`, whose
+    * division is where float implementations flake at boundaries.
+    * Cross-multiplying by (y2−y1) — sign-flipped when negative — keeps
+    * every comparison in integers, so the verdict is bit-identical
+    * across engines and partitionings. Edge rule: an edge counts only
+    * when its endpoints STRADDLE the ray's line under strict `>` on
+    * both ends (the classic half-open rule, so a vertex exactly at py
+    * is counted by exactly one of its two incident edges — never zero,
+    * never both), and the crossing comparison is strict (`px` exactly
+    * on an edge resolves deterministically, same answer both engines).
+    *
+    * Overflow bound: |coord| ≤ c requires 4c² < 2^63, i.e. c < 1.5e9 —
+    * microdegrees (≤ 1.8e8) clear it by 8×. Runs as one HOF aggregate
+    * over the vertex array: O(V) per candidate pair, no explode, no
+    * extra rows.
+    */
+  def rayCastInside(poly: Column, px: Column, py: Column): Column = {
+    val n = size(poly)
+    val crossings = aggregate(
+      sequence(lit(0), n - 1), lit(0L),
+      (acc: Column, i: Column) => {
+        val a = element_at(poly, i + 1)
+        val b = element_at(poly, pmod(i + 1, n) + 1) // ring-closing edge
+        val (x1, y1) = (a.getField("x"), a.getField("y"))
+        val (x2, y2) = (b.getField("x"), b.getField("y"))
+        val dy = y2 - y1
+        val straddles = (y1 > py) =!= (y2 > py)
+        val lhs = (px - x1) * dy - (x2 - x1) * (py - y1)
+        val crosses = straddles &&
+          ((dy > 0 && lhs < 0) || (dy < 0 && lhs > 0))
+        acc + when(crosses, 1L).otherwise(0L)
+      })
+    pmod(crossings, lit(2L)) === 1L
+  }
+
+  /** Point-in-POLYGON containment join: every (polygon, point) pair
+    * where the point falls inside the simple polygon ring carried in
+    * `polyCol` (`array<struct<x: long, y: long>>`) — census tracts,
+    * admin boundaries, non-rectangular geofences; the general-geometry
+    * step past [[containsJoin]]'s boxes, for the reference's own
+    * geocoded-point domain (city-directories.js:325-336 emits the
+    * MultiPoint geometry this would be joined against).
+    *
+    * Lowering — prune with the proven cover join, decide exactly: the
+    * polygon's BOUNDING BOX (array min/max, computed in-column — no
+    * explode) replicates to every grid cell it covers; points map to
+    * their home cell only; a contained point's home cell is inside the
+    * bbox cover, so each qualifying pair meets EXACTLY ONCE, and the
+    * exact [[rayCastInside]] predicate runs only on bbox-candidate
+    * pairs at the match site. Same fan-out guard economics as
+    * [[containsJoin]]: replication is per-polygon O(bbox area /
+    * cell²), `maxCellsPerPoly` fails a continent-sized ring loudly.
+    * The vertex array rides the ×cover replication — keep rings
+    * decimated (tens of vertices) or join the ring back by polygon id
+    * when carrying thousand-vertex coastlines.
+    */
+  def polygonContainsJoin(polys: DataFrame, polyCol: String,
+                          points: DataFrame, pxCol: String, pyCol: String,
+                          cell: Long,
+                          maxCellsPerPoly: Long = 4096L): DataFrame = {
+    require(cell > 0, s"cell must be positive: $cell")
+    val xs = transform(col(polyCol), v => v.getField("x"))
+    val ys = transform(col(polyCol), v => v.getField("y"))
+    val x0 = fdiv(array_min(xs), cell)
+    val x1 = fdiv(array_max(xs), cell)
+    val y0 = fdiv(array_min(ys), cell)
+    val y1 = fdiv(array_max(ys), cell)
+    val nCells = (x1 - x0 + 1) * (y1 - y0 + 1)
+    val guarded = polys.withColumn("_nc",
+      when(nCells <= maxCellsPerPoly, nCells).otherwise(raise_error(
+        concat(lit(s"polygonContainsJoin: polygon bbox covers more than " +
+            s"$maxCellsPerPoly cells ("),
+          nCells, lit(s") at cell=$cell — raise cell or maxCellsPerPoly")))))
+    val polyCells = guarded
+      .withColumn("_cx", explode(sequence(x0, x1)))
+      .withColumn("_cy", explode(sequence(y0, y1)))
+      .drop("_nc")
+    val pointCells = points
+      .withColumn("_cx", fdiv(col(pxCol), cell))
+      .withColumn("_cy", fdiv(col(pyCol), cell))
+    polyCells.join(pointCells, Seq("_cx", "_cy"))
+      .filter(rayCastInside(col(polyCol), col(pxCol), col(pyCol)))
+      .drop("_cx", "_cy")
+  }
+
   def containsJoin(boxes: DataFrame, cxCol: String, cyCol: String,
                    hwCol: String, hhCol: String,
                    points: DataFrame, pxCol: String, pyCol: String,

@@ -124,8 +124,41 @@ object SpatialQueries {
           radiusMeters = 2000000.0, k = 3,
           bKey = "c_custkey", tieCol = "s_suppkey")
         .select("c_custkey", "s_suppkey", "chord2")
+    }),
+
+    // Point-in-POLYGON containment (sp6): supplier service areas as
+    // md5-parameterized hexagonal rings (six fixed angularly-ordered
+    // directions × per-vertex integer scales — star-shaped, hence
+    // simple, by construction; concavity genuinely possible since
+    // adjacent scales vary 6×) × customer points. Bbox cover join
+    // prunes, the exact-integer even-odd ray cast decides; the oracle
+    // replays all six unrolled crossing terms on the cross join. ~90
+    // pairs at sf0.01, ~8.8k at sf0.1.
+    "sp6_polygon_join" -> ((s, d) => {
+      val su = supplier(s, d).select(col("s_suppkey"),
+        coord(col("s_suppkey") + 7000000L, 1).as("sx"),
+        coord(col("s_suppkey") + 7000000L, 9).as("sy"))
+      val verts = PolyDirs.zipWithIndex.map { case ((dx, dy), v) =>
+        val sv = coord(col("s_suppkey") * 10 + lit(90000000L + v), 1) %
+          10001L + 2000L
+        struct((col("sx") + lit(dx) * sv).as("x"),
+          (col("sy") + lit(dy) * sv).as("y"))
+      }
+      val polys = su.withColumn("poly", array(verts: _*))
+      val cu = customer(s, d).select(col("c_custkey"),
+        coord(col("c_custkey"), 1).as("cx"),
+        coord(col("c_custkey"), 9).as("cy"))
+      SpatialOps.polygonContainsJoin(polys, "poly", cu, "cx", "cy",
+          cell = 50000L)
+        .select("s_suppkey", "c_custkey")
     })
   )
+
+  /** sp6's hexagon directions, in strictly increasing angular order
+    * (0°, 63°, 117°, 180°, 243°, 297°) so any positive per-vertex
+    * scales yield a simple star-shaped ring. */
+  private val PolyDirs: Seq[(Long, Long)] =
+    Seq((2L, 0L), (1L, 2L), (-1L, 2L), (-2L, 0L), (-1L, -2L), (1L, -2L))
 
   /** ECEF replay for the oracle SQL: per-point trig + rounding
     * mirrored VERBATIM from `SpatialOps.greatCircleRadiusJoin` — the
@@ -236,6 +269,55 @@ object SpatialQueries {
          FROM se, ce
          WHERE (ax - bx) * (ax - bx) + (ay - by) * (ay - by)
              + (az - bz) * (az - bz) <= ${cb}::BIGINT * ${cb}"""
+    },
+    "sp6_polygon_join" -> {
+      // per-vertex scale + vertex coordinates, replaying the Spark
+      // side's md5 windows verbatim (28-bit window % 1e6 % 10001 + 2000
+      // — the same double-mod as coord() composed with the scale mod)
+      val scales = (0 until 6).map { v =>
+        s"""((('0x' || substr(md5((s_suppkey * 10 + ${90000000 + v})::VARCHAR),
+              1, 7))::UBIGINT % 1000000) % 10001 + 2000)::BIGINT AS s$v"""
+      }.mkString(",\n             ")
+      val dirs = Seq((2L, 0L), (1L, 2L), (-1L, 2L), (-2L, 0L),
+        (-1L, -2L), (1L, -2L))
+      val verts = dirs.zipWithIndex.map { case ((dx, dy), v) =>
+        s"sx + ($dx) * s$v AS x$v, sy + ($dy) * s$v AS y$v"
+      }.mkString(",\n             ")
+      // even-odd ray cast, six unrolled exact-integer crossing terms:
+      // strict straddle test on both endpoints, cross-multiplied
+      // intersection comparison sign-flipped with dy — mirrors
+      // SpatialOps.rayCastInside term for term
+      val terms = (0 until 6).map { i =>
+        val j = (i + 1) % 6
+        s"""CASE WHEN (y$i > cy) <> (y$j > cy) AND
+               ((y$j - y$i > 0 AND
+                 (cx - x$i) * (y$j - y$i) - (x$j - x$i) * (cy - y$i) < 0) OR
+                (y$j - y$i < 0 AND
+                 (cx - x$i) * (y$j - y$i) - (x$j - x$i) * (cy - y$i) > 0))
+             THEN 1 ELSE 0 END"""
+      }.mkString("\n           + ")
+      s"""WITH su AS (
+           SELECT s_suppkey,
+             (('0x' || substr(md5((s_suppkey + 7000000)::VARCHAR), 1, 7))::UBIGINT
+               % 1000000)::BIGINT AS sx,
+             (('0x' || substr(md5((s_suppkey + 7000000)::VARCHAR), 9, 7))::UBIGINT
+               % 1000000)::BIGINT AS sy,
+             $scales
+           FROM supplier),
+         poly AS (
+           SELECT s_suppkey,
+             $verts
+           FROM su),
+         cu AS (
+           SELECT c_custkey,
+             (('0x' || substr(md5(c_custkey::VARCHAR), 1, 7))::UBIGINT
+               % 1000000)::BIGINT AS cx,
+             (('0x' || substr(md5(c_custkey::VARCHAR), 9, 7))::UBIGINT
+               % 1000000)::BIGINT AS cy
+           FROM customer)
+         SELECT s_suppkey, c_custkey
+         FROM poly, cu
+         WHERE ($terms) % 2 = 1"""
     },
     "sp5_greatcircle_knn" -> {
       val cb = chordBound(2000000.0)

@@ -528,6 +528,15 @@ class PlanShapeSpec extends SparkSpec {
       !p.contains("BroadcastNestedLoop"), p.take(3000))
   }
 
+  test("sp6 polygon join is an equi join on covered cells, never a cross product") {
+    // bbox cover join prunes; the ray-cast HOF decides at the match
+    // site — the notch candidates must never force a nested loop
+    val p = planOf("sp6_polygon_join")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoop"), p.take(3000))
+    assert(p.contains("_cx") && p.contains("_cy"), p.take(3000))
+  }
+
   test("sp4 great-circle join is an equi join on 3-D ECEF cells, never a cross product") {
     val p = planOf("sp4_greatcircle")
     assert(!p.contains("CartesianProduct") &&

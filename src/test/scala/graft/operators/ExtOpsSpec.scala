@@ -2004,6 +2004,95 @@ class ExtOpsSpec extends SparkSpec {
     assert(err.getMessage.contains("covers more than"), err.getMessage)
   }
 
+  /** rayCastInside's rule in plain Scala: even-odd crossing count,
+    * strict straddle on both endpoints, cross-multiplied intersection
+    * comparison sign-flipped with dy. */
+  private def insideModel(poly: Seq[(Long, Long)], px: Long, py: Long)
+      : Boolean = {
+    val n = poly.length
+    var c = 0
+    for (i <- 0 until n) {
+      val (x1, y1) = poly(i)
+      val (x2, y2) = poly((i + 1) % n)
+      val dy = y2 - y1
+      if ((y1 > py) != (y2 > py)) {
+        val lhs = (px - x1) * dy - (x2 - x1) * (py - y1)
+        if ((dy > 0 && lhs < 0) || (dy < 0 && lhs > 0)) c += 1
+      }
+    }
+    c % 2 == 1
+  }
+
+  test("polygonContainsJoin equals the predicate join on star-shaped and concave rings, exactly once, guard fires") {
+    // random star-shaped hexagons (six angularly-ordered directions ×
+    // hash-derived per-vertex scales — simple by construction, often
+    // concave because adjacent scales vary 6×)
+    val dirs = Seq((2L, 0L), (1L, 2L), (-1L, 2L), (-2L, 0L),
+      (-1L, -2L), (1L, -2L))
+    def scaleOf(id: Long, v: Int): Long =
+      math.floorMod(scala.util.hashing.MurmurHash3
+        .stringHash(s"poly-$id-$v"), 80) + 15L
+    val polyRows = (0L until 20L).map { id =>
+      val cx = math.floorMod(
+        scala.util.hashing.MurmurHash3.stringHash(s"cx-$id"), 600) - 300L
+      val cy = math.floorMod(
+        scala.util.hashing.MurmurHash3.stringHash(s"cy-$id"), 600) - 300L
+      val ring = dirs.zipWithIndex.map { case ((dx, dy), v) =>
+        (cx + dx * scaleOf(id, v), cy + dy * scaleOf(id, v))
+      }
+      (id, ring)
+    }
+    val pointRows = (0L until 300L).map { pid =>
+      (pid,
+        math.floorMod(scala.util.hashing.MurmurHash3
+          .stringHash(s"px-$pid"), 800) - 400L,
+        math.floorMod(scala.util.hashing.MurmurHash3
+          .stringHash(s"py-$pid"), 800) - 400L)
+    }
+    val polys = polyRows
+      .map { case (id, ring) => (id, ring.map { case (x, y) => (x, y) }) }
+      .toDF("pid", "ring")
+      .select(col("pid"), transform(col("ring"),
+        v => struct(v.getField("_1").as("x"), v.getField("_2").as("y")))
+        .as("poly"))
+    val pts = pointRows.toDF("qid", "px", "py")
+    for (cellSize <- Seq(25L, 120L, 2000L)) {
+      val got = SpatialOps.polygonContainsJoin(polys, "poly",
+          pts, "px", "py", cell = cellSize)
+        .select("pid", "qid").as[(Long, Long)].collect()
+      assert(got.length == got.toSet.size, s"dup pairs at cell=$cellSize")
+      val expected = (for {
+        (id, ring) <- polyRows; (qid, px, py) <- pointRows
+        if insideModel(ring, px, py)
+      } yield (id, qid)).toSet
+      assert(got.toSet == expected, s"cell=$cellSize")
+      assert(expected.nonEmpty &&
+        expected.size < polyRows.length * pointRows.length)
+    }
+    // concave canary: L-shape — the notch point is OUTSIDE even though
+    // it is inside the bounding box (a box join would keep it)
+    val ell = Seq((0L, 0L), (10L, 0L), (10L, 5L), (5L, 5L),
+      (5L, 10L), (0L, 10L))
+    val ellDf = Seq((1L, ell)).toDF("pid", "ring")
+      .select(col("pid"), transform(col("ring"),
+        v => struct(v.getField("_1").as("x"), v.getField("_2").as("y")))
+        .as("poly"))
+    val probe = Seq((1L, 2L, 7L), (2L, 7L, 7L), (3L, 2L, 2L))
+      .toDF("qid", "px", "py")
+    val kept = SpatialOps.polygonContainsJoin(ellDf, "poly",
+        probe, "px", "py", cell = 8L)
+      .select("qid").as[Long].collect().toSet
+    assert(kept == Set(1L, 3L))
+    assert(insideModel(ell, 2L, 7L) && !insideModel(ell, 7L, 7L))
+    // fan-out guard: a ring whose bbox covers more cells than the cap
+    // fails loudly
+    val err = intercept[Exception] {
+      SpatialOps.polygonContainsJoin(ellDf, "poly",
+        probe, "px", "py", cell = 1L, maxCellsPerPoly = 16L).collect()
+    }
+    assert(err.getMessage.contains("covers more than"), err.getMessage)
+  }
+
   /** The operator's per-point quantization replayed in plain Scala —
     * same JVM trig, same (R·cosφ)·cosλ association, and Spark's
     * HALF_UP rounding (math.round differs at negative .5). */
