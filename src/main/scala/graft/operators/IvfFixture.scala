@@ -272,6 +272,44 @@ object SegmentIndexFixture {
     }))
 }
 
+/** [[FrameIndexFixture]]'s discipline on the SPATIAL axis (sp7): the
+  * standing customer point corpus celled and banked via
+  * [[SpatialOps.pointIndexBuild]] (cell = 25000, the sp1 radius), the
+  * %5 = 4 fifth appended — the geocoded-address base a production
+  * ingest would probe new points against.
+  */
+object PointIndexFixture {
+
+  private val built = new ConcurrentHashMap[String, String]()
+
+  /** sp1's md5-microdegree coordinate recipe, shared with the sp7
+    * lane's batch side. */
+  def withCoords(cu: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    cu.select(col("c_custkey"),
+      (conv(substring(md5(col("c_custkey").cast("string")), 1, 7), 16, 10)
+        .cast("long") % 1000000L).as("cx"),
+      (conv(substring(md5(col("c_custkey").cast("string")), 9, 7), 16, 10)
+        .cast("long") % 1000000L).as("cy"))
+  }
+
+  def dir(spark: SparkSession, sfDir: String): String =
+    IvfFixture.checkMarker(built.computeIfAbsent(s"point:$sfDir", _ => {
+      val d = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+        s"graft-point-index-${sfDir.replaceAll("[^A-Za-z0-9._-]", "_")}")
+        .toString
+      IvfFixture.buildWithMarker(d) {
+        val pts = withCoords(graft.Tables.customer(spark, sfDir))
+        SpatialOps.pointIndexBuild(
+          pts.filter(col("c_custkey") % 5 >= 1 && col("c_custkey") % 5 <= 3),
+          d, "c_custkey", "cx", "cy", cell = 25000L)
+        SpatialOps.pointIndexAppend(
+          pts.filter(col("c_custkey") % 5 === 4), d, "c_custkey", "cx", "cy")
+      }
+    }))
+}
+
 /** [[FrameIndexFixture]]'s discipline on the BINARY axis (mm23): the
   * corpus' CDC chunk-key postings banked and appended through the
   * generic seam — the third modality on one implementation.

@@ -210,6 +210,122 @@ object SpatialOps {
     * should fail loudly, not silently explode the exchange. Pick
     * `cell` near the TYPICAL box extent — the 1-D binSec rule, squared.
     */
+  /** Grid-cell metadata persisted beside a point index so readers can
+    * never probe with the wrong geometry (a silent cell-size mismatch
+    * would MISS pairs — worse than the bucket-count mismatch the
+    * posting index merely documents). */
+  private val GridMetaName = "_GRAFT_GRID"
+
+  private def writeGridMeta(dir: String, cell: Long, buckets: Int): Unit =
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(dir, GridMetaName),
+      s"cell=$cell\nbuckets=$buckets\n")
+
+  private[operators] def gridMeta(dir: String): (Long, Int) = {
+    val p = java.nio.file.Paths.get(dir, GridMetaName)
+    require(java.nio.file.Files.exists(p),
+      s"point index at $dir has no $GridMetaName metadata — not a " +
+        "pointIndexBuild directory, or a torn build")
+    val kv = java.nio.file.Files.readString(p).linesIterator
+      .filter(_.contains("=")).map { l =>
+        val Array(k, v) = l.split("=", 2); (k, v)
+      }.toMap
+    (kv("cell").toLong, kv("buckets").toInt)
+  }
+
+  private def withCells(points: DataFrame, idCol: String, xCol: String,
+                        yCol: String, cell: Long, buckets: Int): DataFrame =
+    points.select(col(idCol), col(xCol), col(yCol),
+      fdiv(col(xCol), cell).as("_cx"), fdiv(col(yCol), cell).as("_cy"))
+      .withColumn("_bkt",
+        pmod(xxhash64(col("_cx"), col("_cy")), lit(buckets.toLong)))
+
+  /** Persist a point corpus' grid-cell index for INCREMENTAL radius
+    * joins — the dd10/ss18/mm21 banked-artifact discipline on the
+    * spatial axis: the standing corpus (a geocoded address base, the
+    * reference's accumulated output) is celled and written ONCE,
+    * hive-partitioned by a bounded hash bucket of the home cell (cells
+    * are too high-cardinality for a directory key), files clustered by
+    * (_cx, _cy) so parquet min/max stats prune within each bucket. New
+    * batches append via [[pointIndexAppend]] and probe via
+    * [[radiusJoinIncremental]] without the corpus ever being rescanned
+    * from source. `cell` bounds the largest radius later queries may
+    * use (probe neighborhoods are 3×3 home cells); it is persisted in
+    * the directory and re-read by append/probe, so a geometry mismatch
+    * is structurally impossible.
+    */
+  def pointIndexBuild(points: DataFrame, dir: String, idCol: String,
+                      xCol: String, yCol: String, cell: Long,
+                      buckets: Int = 32): Unit = {
+    require(cell > 0, s"cell must be positive: $cell")
+    graft.sources.Compaction.writePartitioned(
+      withCells(points, idCol, xCol, yCol, cell, buckets),
+      dir, Seq("_bkt"), clusterBy = Seq("_cx", "_cy"))
+    writeGridMeta(dir, cell, buckets)
+  }
+
+  /** Append a batch's points, preserving the build's layout invariant
+    * (repartitioned on the bucket, files clustered by cell); geometry
+    * comes from the persisted metadata, never from the caller. */
+  def pointIndexAppend(points: DataFrame, dir: String, idCol: String,
+                       xCol: String, yCol: String,
+                       maxRecordsPerFile: Long = 1000000L): Unit = {
+    val (cell, buckets) = gridMeta(dir)
+    withCells(points, idCol, xCol, yCol, cell, buckets)
+      .repartition(col("_bkt"))
+      .sortWithinPartitions(col("_bkt"), col("_cx"), col("_cy"))
+      .write.mode(org.apache.spark.sql.SaveMode.Append)
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .partitionBy("_bkt").parquet(dir)
+  }
+
+  /** Radius join of a NEW batch against the persisted corpus index:
+    * every (batch a, corpus b) pair with Δx² + Δy² ≤ radius², exactly
+    * once, with ONLY the batch's coordinates computed fresh — the
+    * corpus side reads back from the index, and the index scan is
+    * bloom-reduced by the batch's 3×3 probe-cell set before anything
+    * joins (bloom false positives admit index cells no probe matches;
+    * the equi join drops them — they cost scan rows, never
+    * correctness). Requires radius ≤ the index's persisted cell size
+    * (|Δ| ≤ radius ≤ cell ⟹ home cells differ by ≤ 1 per axis, so the
+    * 3×3 probe meets every qualifying pair in b's home cell — and only
+    * there: exactly-once with no dedup pass, sp1's invariant).
+    * `expectedCells` sizes the bloom (overestimate only costs bits).
+    * Output: (a = batch id, b = corpus id, d2).
+    */
+  def radiusJoinIncremental(batch: DataFrame, dir: String, idCol: String,
+                            xCol: String, yCol: String, radius: Long,
+                            expectedCells: Long): DataFrame = {
+    val spark = batch.sparkSession
+    val (cell, _) = gridMeta(dir)
+    require(radius > 0 && radius <= cell,
+      s"radius $radius must be in (0, cell=$cell] — the 3×3 probe " +
+        "neighborhood only covers one cell of slack; rebuild the index " +
+        "with a larger cell for wider queries")
+    val offsets = for { dx <- Seq(-1L, 0L, 1L); dy <- Seq(-1L, 0L, 1L) }
+      yield struct((fdiv(col("_ax"), cell) + dx).as("cx"),
+        (fdiv(col("_ay"), cell) + dy).as("cy"))
+    val probes = batch
+      .select(col(idCol).as("a"), col(xCol).as("_ax"), col(yCol).as("_ay"))
+      .withColumn("_cell", explode(array(offsets: _*)))
+      .withColumn("_cx", col("_cell.cx"))
+      .withColumn("_cy", col("_cell.cy"))
+      .drop("_cell")
+    val bloom = BloomJoin.buildBloom(probes,
+      xxhash64(col("_cx"), col("_cy")), math.max(expectedCells, 1L))
+    val index = spark.read.parquet(dir)
+      .filter(BloomJoin.mightContain(bloom,
+        xxhash64(col("_cx"), col("_cy"))))
+      .select(col(idCol).as("b"), col(xCol).as("_bx"),
+        col(yCol).as("_by"), col("_cx"), col("_cy"))
+    val dx = col("_ax") - col("_bx")
+    val dy = col("_ay") - col("_by")
+    probes.join(index, Seq("_cx", "_cy"))
+      .filter(dx * dx + dy * dy <= lit(radius) * lit(radius))
+      .withColumn("d2", dx * dx + dy * dy)
+      .select("a", "b", "d2")
+  }
+
   /** Even-odd ray-cast point-in-polygon test as one column expression:
     * true iff a ray from (px, py) toward +x crosses an odd number of
     * polygon edges. `poly` is an `array<struct<x: long, y: long>>` of

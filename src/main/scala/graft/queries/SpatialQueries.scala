@@ -151,6 +151,24 @@ object SpatialQueries {
       SpatialOps.polygonContainsJoin(polys, "poly", cu, "cx", "cy",
           cell = 50000L)
         .select("s_suppkey", "c_custkey")
+    }),
+
+    // Incremental radius join vs the PERSISTED point index (sp7): the
+    // standing customer corpus (%5 ∈ 1..3 built + %5 = 4 appended —
+    // the append path sits inside the gated artifact) banked once,
+    // cell-partitioned; the %5 = 0 batch probes its 3×3 neighborhoods
+    // with the index scan bloom-reduced to the batch's cells. Output ≡
+    // the full radius join restricted to (batch, corpus) pairs — a row
+    // the append dropped/double-wrote shifts the hash. ~700 pairs at
+    // sf0.01, ~70k at sf0.1.
+    "sp7_radius_incremental" -> ((s, d) => {
+      import graft.operators.PointIndexFixture
+      val dir = PointIndexFixture.dir(s, d)
+      val batch = PointIndexFixture.withCoords(customer(s, d))
+        .filter(col("c_custkey") % 5 === 0)
+      SpatialOps.radiusJoinIncremental(batch, dir, "c_custkey",
+          "cx", "cy", radius = 25000L, expectedCells = 200000L)
+        .select("a", "b", "d2")
     })
   )
 
@@ -270,6 +288,21 @@ object SpatialQueries {
          WHERE (ax - bx) * (ax - bx) + (ay - by) * (ay - by)
              + (az - bz) * (az - bz) <= ${cb}::BIGINT * ${cb}"""
     },
+    "sp7_radius_incremental" ->
+      """WITH cu AS (
+           SELECT c_custkey,
+             (('0x' || substr(md5(c_custkey::VARCHAR), 1, 7))::UBIGINT
+               % 1000000)::BIGINT AS cx,
+             (('0x' || substr(md5(c_custkey::VARCHAR), 9, 7))::UBIGINT
+               % 1000000)::BIGINT AS cy
+           FROM customer)
+         SELECT a.c_custkey AS a, b.c_custkey AS b,
+           (a.cx - b.cx) * (a.cx - b.cx)
+             + (a.cy - b.cy) * (a.cy - b.cy) AS d2
+         FROM cu a, cu b
+         WHERE a.c_custkey % 5 = 0 AND b.c_custkey % 5 <> 0
+           AND (a.cx - b.cx) * (a.cx - b.cx)
+             + (a.cy - b.cy) * (a.cy - b.cy) <= 25000 * 25000""",
     "sp6_polygon_join" -> {
       // per-vertex scale + vertex coordinates, replaying the Spark
       // side's md5 windows verbatim (28-bit window % 1e6 % 10001 + 2000

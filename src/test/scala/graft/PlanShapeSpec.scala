@@ -537,6 +537,16 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("_cx") && p.contains("_cy"), p.take(3000))
   }
 
+  test("sp7 incremental radius join bloom-reduces the index scan, equi join on cells") {
+    // only the batch computes coordinates; the corpus reads back from
+    // the parquet index with might_contain ahead of the join, and the
+    // probe meets it in an ordinary equi join on (_cx, _cy)
+    val p = planOf("sp7_radius_incremental")
+    assert(p.contains("might_contain"), p.take(3000))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoop"), p.take(3000))
+  }
+
   test("sp4 great-circle join is an equi join on 3-D ECEF cells, never a cross product") {
     val p = planOf("sp4_greatcircle")
     assert(!p.contains("CartesianProduct") &&

@@ -2004,6 +2004,51 @@ class ExtOpsSpec extends SparkSpec {
     assert(err.getMessage.contains("covers more than"), err.getMessage)
   }
 
+  test("point index: incremental radius join equals the full join restricted to batch pairs; geometry persisted; guards fire") {
+    val pts = spark.range(400).select(col("id"),
+      (pmod(hash(col("id")), lit(2000)) - 1000).cast("long").as("x"),
+      (pmod(hash(col("id"), lit(1)), lit(2000)) - 1000).cast("long").as("y"))
+    val dir = java.nio.file.Files.createTempDirectory("graft-ptidx")
+      .toString
+    SpatialOps.pointIndexBuild(
+      pts.filter(col("id") % 5 >= 1 && col("id") % 5 <= 3),
+      dir, "id", "x", "y", cell = 150L)
+    SpatialOps.pointIndexAppend(
+      pts.filter(col("id") % 5 === 4), dir, "id", "x", "y")
+    val batch = pts.filter(col("id") % 5 === 0)
+    val got = SpatialOps.radiusJoinIncremental(batch, dir, "id", "x", "y",
+        radius = 120L, expectedCells = 10000L)
+      .as[(Long, Long, Long)].collect()
+    assert(got.length == got.toSet.size) // exactly once under ×9 probes
+    val all = pts.as[(Long, Long, Long)].collect()
+    val expected = (for {
+      (a, ax, ay) <- all if a % 5 == 0
+      (b, bx, by) <- all if b % 5 != 0
+      d2 = (ax - bx) * (ax - bx) + (ay - by) * (ay - by)
+      if d2 <= 120L * 120L
+    } yield (a, b, d2)).toSet
+    assert(got.toSet == expected)
+    assert(expected.nonEmpty)
+    // both index halves load-bearing: the append (%5 == 4) must appear
+    assert(got.exists(_._2 % 5 == 4) && got.exists(_._2 % 5 != 4))
+    // radius wider than the persisted cell would silently miss pairs —
+    // must be rejected, with the geometry read from the index not the
+    // caller
+    val wide = intercept[IllegalArgumentException] {
+      SpatialOps.radiusJoinIncremental(batch, dir, "id", "x", "y",
+        radius = 151L, expectedCells = 100L)
+    }
+    assert(wide.getMessage.contains("cell=150"), wide.getMessage)
+    // a directory without grid metadata is not a point index
+    val bare = java.nio.file.Files.createTempDirectory("graft-noidx")
+      .toString
+    val miss = intercept[IllegalArgumentException] {
+      SpatialOps.radiusJoinIncremental(batch, bare, "id", "x", "y",
+        radius = 100L, expectedCells = 100L)
+    }
+    assert(miss.getMessage.contains("_GRAFT_GRID"), miss.getMessage)
+  }
+
   /** rayCastInside's rule in plain Scala: even-odd crossing count,
     * strict straddle on both endpoints, cross-multiplied intersection
     * comparison sign-flipped with dy. */
