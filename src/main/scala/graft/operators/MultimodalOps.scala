@@ -370,6 +370,77 @@ object MultimodalOps {
     }(enc)
   }
 
+  /** TIFF wire fixture — the metadata-bearing image container (mm24):
+    * every id writes a single-strip gray8 TIFF
+    * ([[TiffCodec.encodeTiffGray8]]) with id-derived dims, orientation
+    * and DateTime, byte order alternating by parity (even ids "II"
+    * little-endian — the EXIF default; odd ids "MM" big-endian: a
+    * reader that silently assumes one order fails half this corpus),
+    * gradient pixels. Corrupt taxonomy in-band: every 13th id
+    * truncated to 6 bytes (order mark + magic intact, IFD offset
+    * torn); every 17th (not also 13th) carries magic 0x2B2B ≠ 42 —
+    * both must MISS, never throw.
+    */
+  def synthTiffAssets(df: DataFrame, idCol: String): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("asset_id", LongType, nullable = false),
+      StructField("content", BinaryType, nullable = true)))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    df.select(col(idCol).cast("long").as("asset_id"))
+      .mapPartitions { it =>
+        it.map { r =>
+          val id = r.getLong(0)
+          val w = (6 + id % 9).toInt
+          val h = (5 + id % 7).toInt
+          val dt = f"2020:01:${1 + id % 28}%02d 12:00:${id % 60}%02d"
+          val tif = TiffCodec.encodeTiffGray8(w, h, (1 + id % 8).toInt,
+            dt, littleEndian = id % 2 == 0,
+            (x, y) => ((id * 7 + 3 * x + 5 * y) % 256).toInt)
+          val payload =
+            if (id % 13 == 0) tif.take(6)
+            else if (id % 17 == 0) {
+              tif(2) = 0x2b.toByte; tif(3) = 0x2b.toByte; tif
+            } else tif
+          Row(id, payload)
+        }
+      }(enc)
+  }
+
+  /** IFD metadata profile over TIFF payloads ([[TiffCodec.ifdWalk]]):
+    * dims, orientation, bits-per-sample, byte order, DateTime, parse
+    * success in-band — the EXIF-class facts a curation pipeline
+    * filters and groups on. O(header) per asset: the strip data is
+    * never read.
+    */
+  def tiffMetaProfile(assets: DataFrame,
+                      contentCol: String = "content"): DataFrame = {
+    val schema = StructType(assets.schema.fields.filterNot(
+      _.name == contentCol) ++ Seq(
+      StructField("tif_w", IntegerType, nullable = true),
+      StructField("tif_h", IntegerType, nullable = true),
+      StructField("orientation", IntegerType, nullable = true),
+      StructField("bits", IntegerType, nullable = true),
+      StructField("little_endian", BooleanType, nullable = true),
+      StructField("date_time", StringType, nullable = true),
+      StructField("parsed", BooleanType, nullable = false)))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    val idx = assets.schema.fieldIndex(contentCol)
+    val keep = assets.schema.fields.indices.filterNot(_ == idx)
+    assets.mapPartitions { it =>
+      it.map { r =>
+        val base = keep.map(r.get)
+        TiffCodec.ifdWalk(r.getAs[Array[Byte]](idx)) match {
+          case Some(m) =>
+            Row.fromSeq(base ++ Seq(m.w, m.h, m.orientation,
+              m.bitsPerSample, m.littleEndian, m.dateTime.orNull, true))
+          case None =>
+            Row.fromSeq(base ++ Seq(null, null, null, null, null, null,
+              false))
+        }
+      }
+    }(enc)
+  }
+
   /** Pixel-duplicate BMP fixture: consecutive id pairs (2k, 2k+1)
     * share dims and pixels (both derived from gid = id − id % 2), and
     * the odd member's ROW-PADDING bytes are stamped with junk — same

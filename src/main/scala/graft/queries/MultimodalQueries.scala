@@ -342,6 +342,22 @@ object MultimodalQueries {
           col("parsed"))
     }),
 
+    // TIFF IFD metadata profile (mm24): EXIF is a TIFF tag directory
+    // embedded in JPEG APP1, so the IFD walk is the load-bearing half
+    // of EXIF extraction — and unlike JPEG pixels the ENTIRE directory
+    // is deterministic wire bytes. Both byte orders live in the
+    // fixture (even ids II, odd ids MM); the oracle replays every
+    // field analytically from the generative parameters (the
+    // mm8/mm19 contract), torn and bad-magic ids miss in-band.
+    "mm24_tiff_meta" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      MultimodalOps.tiffMetaProfile(
+        MultimodalOps.synthTiffAssets(documents(s, d), "doc_id"))
+        .select(col("asset_id"), col("tif_w"), col("tif_h"),
+          col("orientation"), col("bits"), col("little_endian"),
+          col("date_time"), col("parsed"))
+    }),
+
     // Incremental frame-hash containment against the PERSISTED index
     // (mm21): mm16 rebuilds the whole corpus' fingerprints every run —
     // production banks them once (FrameIndexFixture: build on %5 in
@@ -1109,6 +1125,28 @@ GROUP BY 1, 2""",
     // (TYPE_INT_RGB → JFIF YCbCr) frames at id-derived dims, and the
     // marker walk must read exactly those facts back off the wire;
     // torn ids (every 13th, 4-byte payload) miss in-band
+    // the TIFF tag directory replayed purely from the fixture's
+    // generative parameters: id-derived dims/orientation/DateTime,
+    // byte order by parity; ids torn to 6 bytes (% 13) or stamped
+    // with magic 0x2B2B (% 17) miss in-band
+    "mm24_tiff_meta" ->
+      """SELECT doc_id AS asset_id,
+           CASE WHEN doc_id % 13 = 0 OR doc_id % 17 = 0 THEN NULL
+                ELSE (6 + doc_id % 9)::INT END AS tif_w,
+           CASE WHEN doc_id % 13 = 0 OR doc_id % 17 = 0 THEN NULL
+                ELSE (5 + doc_id % 7)::INT END AS tif_h,
+           CASE WHEN doc_id % 13 = 0 OR doc_id % 17 = 0 THEN NULL
+                ELSE (1 + doc_id % 8)::INT END AS orientation,
+           CASE WHEN doc_id % 13 = 0 OR doc_id % 17 = 0 THEN NULL
+                ELSE 8::INT END AS bits,
+           CASE WHEN doc_id % 13 = 0 OR doc_id % 17 = 0 THEN NULL
+                ELSE (doc_id % 2 = 0) END AS little_endian,
+           CASE WHEN doc_id % 13 = 0 OR doc_id % 17 = 0 THEN NULL
+                ELSE '2020:01:' || lpad((1 + doc_id % 28)::VARCHAR, 2, '0')
+                  || ' 12:00:' || lpad((doc_id % 60)::VARCHAR, 2, '0')
+           END AS date_time,
+           NOT (doc_id % 13 = 0 OR doc_id % 17 = 0) AS parsed
+         FROM documents""",
     "mm19_jpeg_meta" ->
       """SELECT doc_id AS asset_id,
            CASE WHEN doc_id % 13 = 0 THEN NULL

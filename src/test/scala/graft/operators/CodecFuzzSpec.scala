@@ -107,6 +107,16 @@ class CodecFuzzSpec extends AnyFunSuite {
         assert(h.w > 0 && h.h > 0 && h.nComponents > 0))
   }
 
+  test("ifdWalk never throws under mutation, truncation, or splice") {
+    // the IFD walk chases offsets and counts straight off the wire —
+    // every hop must be bounds-checked; a surviving parse must carry
+    // positive dims per the contract
+    val base = TiffCodec.encodeTiffGray8(9, 7, 3,
+      "2020:01:05 12:00:31", littleEndian = true, (x, y) => x * 3 + y)
+    exercise("tiff", base, TiffCodec.ifdWalk,
+      (m: TiffMeta) => assert(m.w > 0 && m.h > 0))
+  }
+
   test("decodeAuto never throws across sniffed containers under mutation") {
     // mutations can flip a payload's magic INTO another branch's —
     // the sniffing kernel must stay in-band on all of them
