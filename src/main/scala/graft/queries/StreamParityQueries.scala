@@ -1,8 +1,8 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{broadcast, col, count, expr, lit,
-  sum, unix_timestamp, when, window}
+import org.apache.spark.sql.functions.{array_join, broadcast, col, count,
+  expr, lit, sum, unix_timestamp, when, window}
 import graft.streaming.{StreamParity, StreamingOps}
 
 /** Oracle-gated drains of the Structured Streaming surface (st*).
@@ -300,6 +300,30 @@ object StreamParityQueries {
         .filter(col("_sn") + col("_in") <= 8)
         .groupBy("a", "b").agg(count(lit(1)).as("shared"))
         .filter(col("shared") >= 2)
+    }),
+
+    // STREAMING quality gate (st17): dq3's row-level constraint tagger
+    // running at INGEST time — the shape a 100-TB pipeline actually
+    // wants (bad rows tagged and routed the moment they land, not in a
+    // nightly batch). tagViolations is one stateless narrow projection,
+    // so it composes with Structured Streaming by construction; the
+    // lane gates the composition end-to-end per ROW (tag content, not
+    // just counts): drained rows carry each document's violation names
+    // in check order plus the quarantine verdict, hash-equal to the
+    // batch tagger's semantics replayed analytically. NULL predicates
+    // fail closed, exactly as in batch.
+    "st17_stream_quality" -> ((s, d) => {
+      import graft.operators.DataQualityOps
+      import graft.operators.DataQualityOps._
+      StreamParity.drainAppend(
+        DataQualityOps.tagViolations(
+          StreamParity.documentsStream(s, d), Seq(
+            rowInSet("lang", Seq("en", "de", "fr")),
+            rowMin("n_chars", 50L),
+            rowMax("n_chars", 520L)))
+          .select(col("doc_id"),
+            array_join(col("violations"), ",").as("violations"),
+            col("_quarantined").as("quarantined")))
     })
   )
 
@@ -480,6 +504,25 @@ SELECT l.id AS a, r.id AS b, count(*)::BIGINT AS shared
 FROM capped l JOIN capped r ON l.fhash = r.fhash
 WHERE l.id % 5 = 0 AND r.id % 5 <> 0
 GROUP BY 1, 2
-HAVING count(*) >= 2"""
+HAVING count(*) >= 2""",
+
+    // st17 is stateless: drained rows ≡ the batch tagger per row —
+    // violation names concatenated in check order (names are
+    // comma-free so the join is unambiguous), NULL predicates fail
+    // closed via the same coalesce
+    "st17_stream_quality" ->
+      """WITH v AS (SELECT doc_id,
+           NOT coalesce(lang IN ('en','de','fr'), FALSE) AS v_set,
+           NOT coalesce(n_chars >= 50, FALSE) AS v_min,
+           NOT coalesce(n_chars <= 520, FALSE) AS v_max
+         FROM documents)
+         SELECT doc_id,
+           substr(
+             (CASE WHEN v_set THEN ',in_set(lang)' ELSE '' END)
+             || (CASE WHEN v_min THEN ',min(n_chars)' ELSE '' END)
+             || (CASE WHEN v_max THEN ',max(n_chars)' ELSE '' END), 2)
+             AS violations,
+           v_set OR v_min OR v_max AS quarantined
+         FROM v"""
   )
 }
