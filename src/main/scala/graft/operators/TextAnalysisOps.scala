@@ -310,6 +310,34 @@ object TextAnalysisOps {
         longNumPattern, "<NUM>").as("redacted"))
   }
 
+  /** HTML → text extraction (boilerplate strip) — the first transform
+    * of every web-scraped corpus: remove script/style blocks whole,
+    * strip the remaining tags, decode the common character entities,
+    * collapse whitespace. Pure row-local regex + literal replaces —
+    * codegen'd, shuffle-free, O(len) per row; the patterns stay inside
+    * the RE2-compatible subset ((?s) + lazy quantifiers, explicit
+    * whitespace class — Java's \\s includes \\x0B, RE2's does not) so
+    * external engines replay them exactly. Entity decode runs `&amp;`
+    * LAST, so a literal "&amp;lt;" decodes to "&lt;" and not "<" — the
+    * standard single-pass rule.
+    */
+  def htmlExtract(df: DataFrame, idCol: String, htmlCol: String)
+      : DataFrame = {
+    val noScript = regexp_replace(col(htmlCol),
+      "(?s)<script[^>]*>.*?</script>", " ")
+    val noStyle = regexp_replace(noScript,
+      "(?s)<style[^>]*>.*?</style>", " ")
+    val noTags = regexp_replace(noStyle, "<[^>]*>", " ")
+    val decoded = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+      "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
+      .foldLeft(noTags) { case (c, (from, to)) =>
+        replace(c, lit(from), lit(to))
+      }
+    val text = trim(regexp_replace(decoded, "[ \\t\\n\\r]+", " "))
+    df.select(col(idCol), text.as("extracted"),
+      length(text).as("n_extracted"))
+  }
+
   /** Greedy sequence packing (training-batch prep): assign documents to
     * fixed-budget context bins by cumulative token count, walking each
     * stratum in deterministic id order. One windowed running sum per

@@ -331,6 +331,27 @@ object TextQueries {
     // twin corpus, which is exactly what a correct canonicalizer must
     // reduce the disguised corpus to (the tx49 contract); surviving
     // words keep their original ASCII bytes, so clean_fp hashes match.
+    // HTML boilerplate strip (tx51): the first transform of every
+    // web-scraped corpus. The fixture wraps each document in a
+    // deterministic page — head/title, a style block, an h1, the text
+    // in a p with entity-encoded tail, a script block, a footer div —
+    // and the extractor must recover exactly the visible text: blocks
+    // removed whole, tags stripped, entities decoded (&amp; last),
+    // whitespace collapsed. The oracle replays the identical
+    // RE2-subset pipeline in DuckDB.
+    "tx51_html_extract" -> ((s, d) => {
+      val html = concat(
+        lit("<html><head><title>Doc "), col("doc_id"),
+        lit("</title><style>body { margin: 0; }</style></head><body><h1>Doc "),
+        col("doc_id"), lit("</h1>\n<p>"), col("text"),
+        lit(" &amp; tail &lt;"), col("doc_id"),
+        lit("&gt;&nbsp;end</p><script>var a = "), col("doc_id"),
+        lit(";</script>\t<div class=\"nav\">footer &amp; nav</div></body></html>"))
+      TextAnalysisOps.htmlExtract(
+        documents(s, d).select(col("doc_id"), html.as("html")),
+        "doc_id", "html")
+    }),
+
     "tx50_decontaminate_evasive" -> ((s, d) => {
       val docs = documents(s, d)
       val phrase = lit("alpha beta gamma delta epsilon")
@@ -1019,6 +1040,33 @@ object TextQueries {
     // to exactly this, and the salt words (all covered by the planted
     // phrase's own grams) excise completely, so surviving words are
     // pure ASCII on both engines and clean_fp hashes agree
+    // the identical RE2-subset pipeline, stage by stage: block removal,
+    // tag strip, entity decode (&amp; last), whitespace collapse
+    "tx51_html_extract" ->
+      """WITH h AS (SELECT doc_id,
+           '<html><head><title>Doc ' || doc_id::VARCHAR
+           || '</title><style>body { margin: 0; }</style></head><body><h1>Doc '
+           || doc_id::VARCHAR || '</h1>' || chr(10) || '<p>' || text
+           || ' &amp; tail &lt;' || doc_id::VARCHAR
+           || '&gt;&nbsp;end</p><script>var a = ' || doc_id::VARCHAR
+           || ';</script>' || chr(9)
+           || '<div class="nav">footer &amp; nav</div></body></html>' AS html
+         FROM documents),
+         s1 AS (SELECT doc_id, regexp_replace(html,
+           '(?s)<script[^>]*>.*?</script>', ' ', 'g') AS t FROM h),
+         s2 AS (SELECT doc_id, regexp_replace(t,
+           '(?s)<style[^>]*>.*?</style>', ' ', 'g') AS t FROM s1),
+         s3 AS (SELECT doc_id, regexp_replace(t,
+           '<[^>]*>', ' ', 'g') AS t FROM s2),
+         s4 AS (SELECT doc_id,
+           replace(replace(replace(replace(replace(replace(t,
+             '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+             '&#39;', ''''), '&nbsp;', ' '), '&amp;', '&') AS t FROM s3),
+         s5 AS (SELECT doc_id, trim(regexp_replace(t,
+           '[ ' || chr(9) || chr(10) || chr(13) || ']+', ' ', 'g')) AS t
+         FROM s4)
+         SELECT doc_id, t AS extracted, length(t)::INT AS n_extracted
+         FROM s5""",
     "tx50_decontaminate_evasive" ->
       """WITH train AS (SELECT doc_id,
                 CASE WHEN doc_id % 3 = 0

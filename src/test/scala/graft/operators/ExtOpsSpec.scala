@@ -1493,6 +1493,26 @@ class ExtOpsSpec extends SparkSpec {
     assert(kernel == declarative)
   }
 
+  test("htmlExtract strips blocks and tags, decodes entities single-pass, collapses whitespace") {
+    val rows = Seq(
+      // script CONTENT carrying markup must go with the block (lazy
+      // match to the first real close tag), and "&amp;lt;" must decode
+      // to the literal "&lt;", never "<" (single-pass entity rule)
+      (1L, "<html><body><p>hello &amp;lt; world</p>" +
+        "<script>var a = '<x>';</script></body></html>"),
+      (2L, "<div>a\n\nb\tc</div>"),
+      (3L, "plain &nbsp; text &#39;q&#39; &quot;z&quot;"),
+      (4L, "<style type=\"text/css\">p > a { color: red; }</style>kept")
+    ).toDF("id", "html")
+    val got = TextAnalysisOps.htmlExtract(rows, "id", "html")
+      .as[(Long, String, Int)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got(1L) == (("hello &lt; world", 16)))
+    assert(got(2L) == (("a b c", 5)))
+    assert(got(3L) == (("plain text 'q' \"z\"", 18)))
+    assert(got(4L) == (("kept", 4)))
+  }
+
   test("redact replaces emails and long digit runs, counts matches") {
     val docs = Seq((1L, "mail bob@x.com or call 12345 ext 12"))
       .toDF("doc_id", "text")
