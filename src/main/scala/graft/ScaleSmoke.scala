@@ -739,6 +739,46 @@ object ScaleSmoke {
       Release(pts, blocking = true)
     }
 
+    // Persisted point index at corpus scale (sp7's machinery): a 10M
+    // point lattice (spacing 1000) banked with pointIndexBuild — rows
+    // j%5==4 APPENDED so the append half is load-bearing — then a 1M
+    // batch (every 10th column, shifted (+1,+1)) probed through
+    // radiusJoinIncremental at radius=1000. Closed form: each batch
+    // point catches exactly its own lattice site (d²=2) plus the +x
+    // and +y neighbors (d²=998002) — 3 matches — except the top row
+    // (j=n−1, no +y neighbor): want = 3·|batch| − (n/10). Exactly-once
+    // and append-correctness are both inside the invariant: a dropped
+    // append row or a double-counted cell shifts the count.
+    lane("ptidx") {
+      val n = 3160L // 10.0M index points; n % 10 == 0 so batch = n/10 columns
+      val pts = spark.range(n * n).select(col("id"),
+        ((col("id") % n) * 1000).as("x"),
+        (floor(col("id") / n).cast("long") * 1000).as("y"))
+      val dir = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+        "graft-ss-ptidx").toString
+      val (tb, _) = t {
+        operators.SpatialOps.pointIndexBuild(
+          pts.filter(floor(col("id") / n).cast("long") % 5 =!= 4),
+          dir, "id", "x", "y", cell = 1000L)
+        operators.SpatialOps.pointIndexAppend(
+          pts.filter(floor(col("id") / n).cast("long") % 5 === 4),
+          dir, "id", "x", "y")
+        0L
+      }
+      val batch = spark.range(n * n)
+        .filter(col("id") % n % 10 === 0)
+        .select((col("id") + n * n).as("id"),
+          ((col("id") % n) * 1000 + 1).as("x"),
+          (floor(col("id") / n).cast("long") * 1000 + 1).as("y"))
+      val (tp, pairs) = t(operators.SpatialOps.radiusJoinIncremental(
+        batch, dir, "id", "x", "y", radius = 1000L,
+        expectedCells = 4000000L).count())
+      val batchN = (n / 10) * n
+      val want = 3L * batchN - n / 10
+      println(s"""{"ptidx_points":${n * n},"batch":$batchN,"build_sec":${round1(tb)},"probe_sec":${round1(tp)},"pairs":$pairs}""")
+      require(pairs == want, s"incremental radius join broken: $pairs vs $want")
+    }
+
     // Triangle orientation under hub skew. The id-ordered failure mode
     // is a hub whose id sits in the MIDDLE of its neighbors' id range:
     // lower-id neighbors orient INTO it, higher-id ones OUT, so the
