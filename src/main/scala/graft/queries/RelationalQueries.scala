@@ -310,6 +310,37 @@ object RelationalQueries {
         .select("doc_id", "lang", "n_chars")
     }),
 
+    // CSV interchange (q36): the lingua-franca text format, gated on
+    // the part that actually breaks pipelines — QUOTING. Every row
+    // carries a field with an embedded delimiter, quote AND newline;
+    // the lane writes partitioned CSV with header and reads it back
+    // with an explicit schema (production never infers) under
+    // multiLine. Scale note: multiLine CSV files are NON-SPLITTABLE
+    // (a reader cannot seek into a quoted newline), so the writer caps
+    // maxRecordsPerFile — read parallelism survives as file count, the
+    // same trade gzip text makes. Partition pruning on the directory
+    // key still applies (source=src3 reads one branch). The oracle
+    // rebuilds the adversarial field from parquet: a quoting bug on
+    // either side shifts the hash.
+    "q36_csv_roundtrip" -> ((s, d) => {
+      val dir = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+        s"graft-csv-${d.replaceAll("[^A-Za-z0-9._-]", "_")}").toString
+      val tricky = concat(lit("v,\""), col("lang"), lit("\"\n"),
+        col("source"), lit(","), col("doc_id"))
+      documents(s, d)
+        .select(col("doc_id"), col("n_chars"), tricky.as("tricky"),
+          col("source"))
+        .repartition(col("source"))
+        .write.mode("overwrite").option("header", "true")
+        .option("maxRecordsPerFile", 2000L)
+        .partitionBy("source").csv(dir)
+      s.read.option("header", "true").option("multiLine", "true")
+        .schema("doc_id BIGINT, n_chars BIGINT, tricky STRING, source STRING")
+        .csv(dir)
+        .filter(col("source") === "src3")
+        .select("doc_id", "n_chars", "tricky")
+    }),
+
     "q28_zonemap" -> ((s, d) => {
       val dir = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
         s"graft-zonemap-${d.replaceAll("[^A-Za-z0-9._-]", "_")}").toString
@@ -659,6 +690,14 @@ object RelationalQueries {
     "q35_orc_roundtrip" ->
       """SELECT doc_id, lang, n_chars FROM documents
          WHERE source = 'src3' AND n_chars >= 100""",
+    // the adversarial field rebuilt from parquet — the CSV writer and
+    // reader must round-trip the embedded delimiter/quote/newline
+    // exactly or the hash shifts
+    "q36_csv_roundtrip" ->
+      """SELECT doc_id, n_chars,
+           'v,"' || lang || '"' || chr(10) || source || ','
+             || doc_id::VARCHAR AS tricky
+         FROM documents WHERE source = 'src3'""",
     "q25_fuzzy_join" ->
       """WITH n AS (SELECT p_name, count(*) AS m,
                       string_split(p_name, ' ')[-1] AS blk
