@@ -1462,6 +1462,28 @@ object MultimodalOps {
   private def postingBucket(keyCol: String, buckets: Int): Column =
     pmod(xxhash64(col(keyCol)), lit(buckets.toLong)).as("_bkt")
 
+  /** Bucket-count metadata persisted beside a posting index (the sp7
+    * `_GRAFT_GRID` discipline): append and probe read the geometry
+    * from the artifact, so a bucket mismatch — which would mis-route
+    * appends or prune wrong partitions — fails loudly instead of
+    * silently corrupting. Indexes built before this metadata existed
+    * read as `None`; callers then skip partition pruning (correct,
+    * just unpruned). */
+  private val PostingMetaName = "_GRAFT_POSTING"
+
+  private def writePostingMeta(dir: String, buckets: Int): Unit =
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(dir, PostingMetaName), s"buckets=$buckets\n")
+
+  private def readPostingMeta(dir: String): Option[Int] = {
+    val p = java.nio.file.Paths.get(dir, PostingMetaName)
+    if (!java.nio.file.Files.exists(p)) None
+    else Some(java.nio.file.Files.readString(p).linesIterator
+      .find(_.startsWith("buckets=")).map(_.drop("buckets=".length).trim.toInt)
+      .getOrElse(throw new IllegalArgumentException(
+        s"malformed $PostingMetaName at $dir")))
+  }
+
   /** Persist a corpus' fingerprint postings for INCREMENTAL
     * containment detection — the dd10/ss18 discipline generalized to
     * ANY (id, fingerprint) modality (video frame hashes, audio segment
@@ -1476,10 +1498,12 @@ object MultimodalOps {
     * distinct (id, key) rows.
     */
   def postingIndexBuild(fp: DataFrame, dir: String, idCol: String,
-                        keyCol: String, buckets: Int = 32): Unit =
+                        keyCol: String, buckets: Int = 32): Unit = {
     graft.sources.Compaction.writePartitioned(
       fp.select(col(idCol), col(keyCol), postingBucket(keyCol, buckets)),
       dir, Seq("_bkt"), clusterBy = Seq(keyCol))
+    writePostingMeta(dir, buckets)
+  }
 
   /** Append a new batch's postings, preserving the build's layout
     * invariant (repartitioned on the bucket, files clustered by the
@@ -1488,13 +1512,17 @@ object MultimodalOps {
     * compaction. `buckets` MUST match the build's. */
   def postingIndexAppend(fp: DataFrame, dir: String, idCol: String,
                          keyCol: String, buckets: Int = 32,
-                         maxRecordsPerFile: Long = 1000000L): Unit =
+                         maxRecordsPerFile: Long = 1000000L): Unit = {
+    readPostingMeta(dir).foreach(b => require(b == buckets,
+      s"posting index at $dir was built with buckets=$b, append asked " +
+        s"for $buckets — a mismatch would mis-route every posting"))
     fp.select(col(idCol), col(keyCol), postingBucket(keyCol, buckets))
       .repartition(col("_bkt"))
       .sortWithinPartitions(col("_bkt"), col(keyCol))
       .write.mode(org.apache.spark.sql.SaveMode.Append)
       .option("maxRecordsPerFile", maxRecordsPerFile)
       .partitionBy("_bkt").parquet(dir)
+  }
 
   /** Containment of a NEW batch's fingerprints against the persisted
     * index: ONLY the batch was decoded (the corpus' fingerprints read
@@ -1522,7 +1550,24 @@ object MultimodalOps {
     // (bloom build + merge)
     val bloom = BloomJoin.buildBloom(batchFp, col(keyCol),
       math.max(expectedKeys, 1L))
-    val index = spark.read.parquet(dir)
+    // directory-level pruning ahead of the row-level bloom — but ONLY
+    // for small batches: fingerprint keys are hash-uniform (no
+    // locality to preserve, unlike sp7's spatial tiles), so a batch
+    // beyond a few dozen distinct keys saturates the bucket set and
+    // the extra batchFp evaluation (a DECODE pass, the expensive part)
+    // would buy an all-pass filter. Below 2×buckets expected keys the
+    // expected coverage is ≲ 60 % and whole hive partitions drop; the
+    // collect is ≤ buckets values, bounded. Pre-metadata indexes read
+    // unpruned — correct, just wider.
+    val pruned = readPostingMeta(dir) match {
+      case Some(b) if expectedKeys <= 2L * b =>
+        val bkts = batchFp
+          .select(pmod(xxhash64(col(keyCol)), lit(b.toLong)).as("_bkt"))
+          .distinct().collect().map(_.getLong(0)).toSeq
+        spark.read.parquet(dir).filter(col("_bkt").isin(bkts: _*))
+      case _ => spark.read.parquet(dir)
+    }
+    val index = pruned
       .filter(BloomJoin.mightContain(bloom, col(keyCol)))
       .select(col(idCol), col(keyCol))
     val merged = batchFp.select(col(idCol), col(keyCol)).unionByName(index)

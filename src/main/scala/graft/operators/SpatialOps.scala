@@ -216,12 +216,13 @@ object SpatialOps {
     * posting index merely documents). */
   private val GridMetaName = "_GRAFT_GRID"
 
-  private def writeGridMeta(dir: String, cell: Long, buckets: Int): Unit =
+  private def writeGridMeta(dir: String, cell: Long, tile: Long,
+                            grid: Long): Unit =
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(dir, GridMetaName),
-      s"cell=$cell\nbuckets=$buckets\n")
+      s"cell=$cell\ntile=$tile\ngrid=$grid\n")
 
-  private[operators] def gridMeta(dir: String): (Long, Int) = {
+  private[operators] def gridMeta(dir: String): (Long, Long, Long) = {
     val p = java.nio.file.Paths.get(dir, GridMetaName)
     require(java.nio.file.Files.exists(p),
       s"point index at $dir has no $GridMetaName metadata — not a " +
@@ -230,23 +231,44 @@ object SpatialOps {
       .filter(_.contains("=")).map { l =>
         val Array(k, v) = l.split("=", 2); (k, v)
       }.toMap
-    (kv("cell").toLong, kv("buckets").toInt)
+    (kv("cell").toLong, kv("tile").toLong, kv("grid").toLong)
   }
 
+  /** The directory key: LOCALITY-PRESERVING tile residue, not a hash.
+    * Cells group into tile×tile squares; a tile maps to directory
+    * `(tileX mod g)·g + (tileY mod g)` — bounded at g² directories
+    * regardless of coordinate extent, and CONTIGUOUS batches stay in
+    * few directories: a batch spanning ≤ tile cells per axis touches
+    * ≤ 4 of the g² directories, so the probe-side partition filter
+    * skips ≥ (1 − 4/g²) of the index. A hash bucket of the cell would
+    * balance file sizes identically but scatter every neighborhood
+    * across ALL directories — with uniform-hash keys any batch beyond
+    * a few dozen cells saturates the bucket set and directory pruning
+    * never fires (the reason the mm21 posting index, whose fingerprint
+    * keys have no locality to preserve, prunes only small batches).
+    * Distant tiles sharing a residue cost scan width, never
+    * correctness — exactness lives in the cell equi join. */
+  private def tileBucket(cx: Column, cy: Column, tile: Long,
+                         grid: Long): Column =
+    pmod(fdiv(cx, tile), lit(grid)) * grid + pmod(fdiv(cy, tile), lit(grid))
+
   private def withCells(points: DataFrame, idCol: String, xCol: String,
-                        yCol: String, cell: Long, buckets: Int): DataFrame =
+                        yCol: String, cell: Long, tile: Long,
+                        grid: Long): DataFrame =
     points.select(col(idCol), col(xCol), col(yCol),
       fdiv(col(xCol), cell).as("_cx"), fdiv(col(yCol), cell).as("_cy"))
-      .withColumn("_bkt",
-        pmod(xxhash64(col("_cx"), col("_cy")), lit(buckets.toLong)))
+      .withColumn("_bkt", tileBucket(col("_cx"), col("_cy"), tile, grid))
 
   /** Persist a point corpus' grid-cell index for INCREMENTAL radius
     * joins — the dd10/ss18/mm21 banked-artifact discipline on the
     * spatial axis: the standing corpus (a geocoded address base, the
     * reference's accumulated output) is celled and written ONCE,
-    * hive-partitioned by a bounded hash bucket of the home cell (cells
-    * are too high-cardinality for a directory key), files clustered by
-    * (_cx, _cy) so parquet min/max stats prune within each bucket. New
+    * hive-partitioned by the bounded LOCALITY-PRESERVING tile residue of
+    * the home cell ([[tileBucket]] — cells are too high-cardinality
+    * for a directory key, and a hash of the cell would destroy the
+    * locality that makes probe-side directory pruning fire), files
+    * clustered by (_cx, _cy) so parquet min/max stats prune within
+    * each directory. New
     * batches append via [[pointIndexAppend]] and probe via
     * [[radiusJoinIncremental]] without the corpus ever being rescanned
     * from source. `cell` bounds the largest radius later queries may
@@ -256,12 +278,13 @@ object SpatialOps {
     */
   def pointIndexBuild(points: DataFrame, dir: String, idCol: String,
                       xCol: String, yCol: String, cell: Long,
-                      buckets: Int = 32): Unit = {
+                      tile: Long = 64L, grid: Long = 8L): Unit = {
     require(cell > 0, s"cell must be positive: $cell")
+    require(tile > 0 && grid > 0, s"bad tile/grid: $tile/$grid")
     graft.sources.Compaction.writePartitioned(
-      withCells(points, idCol, xCol, yCol, cell, buckets),
+      withCells(points, idCol, xCol, yCol, cell, tile, grid),
       dir, Seq("_bkt"), clusterBy = Seq("_cx", "_cy"))
-    writeGridMeta(dir, cell, buckets)
+    writeGridMeta(dir, cell, tile, grid)
   }
 
   /** Append a batch's points, preserving the build's layout invariant
@@ -270,8 +293,8 @@ object SpatialOps {
   def pointIndexAppend(points: DataFrame, dir: String, idCol: String,
                        xCol: String, yCol: String,
                        maxRecordsPerFile: Long = 1000000L): Unit = {
-    val (cell, buckets) = gridMeta(dir)
-    withCells(points, idCol, xCol, yCol, cell, buckets)
+    val (cell, tile, grid) = gridMeta(dir)
+    withCells(points, idCol, xCol, yCol, cell, tile, grid)
       .repartition(col("_bkt"))
       .sortWithinPartitions(col("_bkt"), col("_cx"), col("_cy"))
       .write.mode(org.apache.spark.sql.SaveMode.Append)
@@ -297,7 +320,7 @@ object SpatialOps {
                             xCol: String, yCol: String, radius: Long,
                             expectedCells: Long): DataFrame = {
     val spark = batch.sparkSession
-    val (cell, _) = gridMeta(dir)
+    val (cell, tile, grid) = gridMeta(dir)
     require(radius > 0 && radius <= cell,
       s"radius $radius must be in (0, cell=$cell] — the 3×3 probe " +
         "neighborhood only covers one cell of slack; rebuild the index " +
@@ -313,7 +336,18 @@ object SpatialOps {
       .drop("_cell")
     val bloom = BloomJoin.buildBloom(probes,
       xxhash64(col("_cx"), col("_cy")), math.max(expectedCells, 1L))
+    // directory-level pruning BEFORE the row-level bloom: probe cells
+    // map through the same locality-preserving tile residue as the
+    // build, the distinct set is ≤ grid² values by construction (the
+    // collect is bounded no matter the batch size), and a CONTIGUOUS
+    // batch touches a handful of them — the ss7
+    // probed-cells-as-partition-filters discipline, which only works
+    // because the directory key preserves locality (see tileBucket)
+    val probeBkts = probes
+      .select(tileBucket(col("_cx"), col("_cy"), tile, grid).as("_bkt"))
+      .distinct().collect().map(_.getLong(0)).toSeq
     val index = spark.read.parquet(dir)
+      .filter(col("_bkt").isin(probeBkts: _*))
       .filter(BloomJoin.mightContain(bloom,
         xxhash64(col("_cx"), col("_cy"))))
       .select(col(idCol).as("b"), col(xCol).as("_bx"),

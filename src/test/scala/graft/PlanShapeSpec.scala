@@ -537,12 +537,16 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("_cx") && p.contains("_cy"), p.take(3000))
   }
 
-  test("sp7 incremental radius join bloom-reduces the index scan, equi join on cells") {
+  test("sp7 incremental radius join prunes directories, bloom-reduces rows, equi join on cells") {
     // only the batch computes coordinates; the corpus reads back from
-    // the parquet index with might_contain ahead of the join, and the
+    // the parquet index with the probe tiles as PARTITION filters
+    // (directory-level — possible because the directory key preserves
+    // locality), might_contain row-level ahead of the join, and the
     // probe meets it in an ordinary equi join on (_cx, _cy)
     val p = planOf("sp7_radius_incremental")
     assert(p.contains("might_contain"), p.take(3000))
+    assert("PartitionFilters: \\[[^\\]]*_bkt".r.findFirstIn(p).isDefined,
+      p.take(3000))
     assert(!p.contains("CartesianProduct") &&
       !p.contains("BroadcastNestedLoop"), p.take(3000))
   }
