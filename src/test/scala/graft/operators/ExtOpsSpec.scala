@@ -2069,6 +2069,50 @@ class ExtOpsSpec extends SparkSpec {
     assert(miss.getMessage.contains("_GRAFT_GRID"), miss.getMessage)
   }
 
+  test("point index: a contiguous batch prunes to a fraction of the directories") {
+    // corpus spans 4×4 tiles (cells 0..255 at cell=1, tile=64) → 16 of
+    // the 64 possible directories hold data; a batch contained in ONE
+    // tile must read exactly one
+    val corpus = spark.range(4096).select(col("id"),
+      (col("id") % 64 * 4).as("x"),
+      ((col("id") / 64).cast("long") * 4).as("y"))
+    val dir = java.nio.file.Files.createTempDirectory("graft-ptprune")
+      .toString
+    SpatialOps.pointIndexBuild(corpus, dir, "id", "x", "y", cell = 1L)
+    val batch = spark.range(8).select((col("id") + 10000L).as("id"),
+      (col("id") * 4 + 17).as("x"), (col("id") * 4 + 32).as("y"))
+    val joined = SpatialOps.radiusJoinIncremental(batch, dir, "id",
+      "x", "y", radius = 1L, expectedCells = 1000L)
+    val got = joined.as[(Long, Long, Long)].collect()
+    // semantics first: equals brute force at radius 1
+    val cs = corpus.as[(Long, Long, Long)].collect()
+    val bs = batch.as[(Long, Long, Long)].collect()
+    val expected = (for {
+      (a, ax, ay) <- bs; (b, bx, by) <- cs
+      d2 = (ax - bx) * (ax - bx) + (ay - by) * (ay - by) if d2 <= 1L
+    } yield (a, b, d2)).toSet
+    assert(got.toSet == expected)
+    assert(expected.size == 8, s"fixture drifted: ${expected.size}")
+    // plan: the index scan SELECTS one hive directory after partition
+    // pruning, not the 16 the build wrote (selectedPartitions is the
+    // post-pruning listing; df.inputFiles would show the pre-pruning
+    // catalog and always list all 16)
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    val plan = joined.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    val scans = plan.collect { case f: FileSourceScanExec => f }
+    assert(scans.nonEmpty, plan.toString.take(2000))
+    val parts = scans.map(_.selectedPartitions.partitionCount)
+    assert(parts.contains(1), s"partitions selected per scan: $parts")
+    val bktsWritten = corpus.sparkSession.read.parquet(dir).inputFiles
+      .flatMap("_bkt=([0-9]+)".r.findFirstMatchIn(_).map(_.group(1)))
+      .toSet
+    assert(bktsWritten.size == 16, s"fixture drifted: $bktsWritten")
+  }
+
   /** rayCastInside's rule in plain Scala: even-odd crossing count,
     * strict straddle on both endpoints, cross-multiplied intersection
     * comparison sign-flipped with dy. */
