@@ -441,6 +441,78 @@ object MultimodalOps {
     }(enc)
   }
 
+  /** GIF wire fixture — the ANIMATION container (mm25): every id
+    * writes a multi-frame GIF89a via [[GifCodec.encodeGif]] with
+    * id-derived canvas, frame count, per-frame delays and loop count
+    * (every 3rd id omits the NETSCAPE extension — loop_count must come
+    * back null IN a successful parse, not as a miss). The LZW payload
+    * is the degenerate-valid encoding `javax.imageio` decodes
+    * (GifCodecSpec pins that); the walk itself never reads it. Corrupt
+    * taxonomy: every 13th id torn to 10 bytes (inside the logical
+    * screen descriptor); every 17th signature-stomped — both miss
+    * in-band.
+    */
+  def synthGifAssets(df: DataFrame, idCol: String): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("asset_id", LongType, nullable = false),
+      StructField("content", BinaryType, nullable = true)))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    df.select(col(idCol).cast("long").as("asset_id"))
+      .mapPartitions { it =>
+        it.map { r =>
+          val id = r.getLong(0)
+          val w = (4 + id % 5).toInt
+          val h = (3 + id % 4).toInt
+          val frames = (1 + id % 4).toInt
+          val delays = (0 until frames).map(f => (5 + (id + f) % 10).toInt)
+          val loop = if (id % 3 == 0) None else Some((id % 3).toInt)
+          val gif = GifCodec.encodeGif(w, h, delays, loop,
+            (f, x, y) => ((id * 7 + f + x + 2 * y) % 4).toInt)
+          val payload =
+            if (id % 13 == 0) gif.take(10)
+            else if (id % 17 == 0) { gif(0) = 'X'.toByte; gif }
+            else gif
+          Row(id, payload)
+        }
+      }(enc)
+  }
+
+  /** Animation-structure profile over GIF payloads
+    * ([[GifCodec.gifMeta]]): canvas dims, palette size, frame count,
+    * total animation time, loop count, parse success — the curation
+    * facts for an animated-image corpus (drop single-frame "animations",
+    * cap runtimes, split loopers) — at O(blocks) per asset, pixel data
+    * never read.
+    */
+  def gifStructProfile(assets: DataFrame,
+                       contentCol: String = "content"): DataFrame = {
+    val schema = StructType(assets.schema.fields.filterNot(
+      _.name == contentCol) ++ Seq(
+      StructField("gif_w", IntegerType, nullable = true),
+      StructField("gif_h", IntegerType, nullable = true),
+      StructField("gct_colors", IntegerType, nullable = true),
+      StructField("n_frames", IntegerType, nullable = true),
+      StructField("total_delay_cs", IntegerType, nullable = true),
+      StructField("loop_count", IntegerType, nullable = true),
+      StructField("parsed", BooleanType, nullable = false)))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    val idx = assets.schema.fieldIndex(contentCol)
+    val keep = assets.schema.fields.indices.filterNot(_ == idx)
+    assets.mapPartitions { it =>
+      it.map { r =>
+        val base = keep.map(r.get)
+        GifCodec.gifMeta(r.getAs[Array[Byte]](idx)) match {
+          case Some(m) =>
+            Row.fromSeq(base ++ Seq(m.w, m.h, m.gctColors, m.frames,
+              m.totalDelayCs, m.loopCount.map(Int.box).orNull, true))
+          case None =>
+            Row.fromSeq(base ++ Seq(null, null, null, null, null, null,
+              false))
+        }
+      }
+    }(enc)
+  }
+
   /** Pixel-duplicate BMP fixture: consecutive id pairs (2k, 2k+1)
     * share dims and pixels (both derived from gid = id − id % 2), and
     * the odd member's ROW-PADDING bytes are stamped with junk — same

@@ -358,6 +358,25 @@ object MultimodalQueries {
           col("date_time"), col("parsed"))
     }),
 
+    // GIF animation-structure profile (mm25): the block walk reads
+    // canvas/palette/frame-count/total-delay/loop off the wire without
+    // ever touching LZW data — O(blocks) per asset. The writer's
+    // degenerate-valid LZW is independently decoded by javax.imageio
+    // in GifCodecSpec, so these are real wire bytes, and the oracle
+    // replays every field analytically from the generative parameters
+    // (per-frame delays unrolled — frames ≤ 4). Torn (%13) and
+    // signature-stomped (%17) ids miss in-band; every 3rd id has no
+    // NETSCAPE extension, so loop_count is null INSIDE a successful
+    // parse.
+    "mm25_gif_struct" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      MultimodalOps.gifStructProfile(
+        MultimodalOps.synthGifAssets(documents(s, d), "doc_id"))
+        .select(col("asset_id"), col("gif_w"), col("gif_h"),
+          col("gct_colors"), col("n_frames"), col("total_delay_cs"),
+          col("loop_count"), col("parsed"))
+    }),
+
     // Incremental frame-hash containment against the PERSISTED index
     // (mm21): mm16 rebuilds the whole corpus' fingerprints every run —
     // production banks them once (FrameIndexFixture: build on %5 in
@@ -1125,6 +1144,33 @@ GROUP BY 1, 2""",
     // (TYPE_INT_RGB → JFIF YCbCr) frames at id-derived dims, and the
     // marker walk must read exactly those facts back off the wire;
     // torn ids (every 13th, 4-byte payload) miss in-band
+    // the GIF structure replayed purely from the generative
+    // parameters: per-frame delays unrolled over the ≤ 4 frames, loop
+    // null both on parse misses AND on the no-extension thirds
+    "mm25_gif_struct" ->
+      """SELECT doc_id AS asset_id,
+           CASE WHEN doc_id % 13 = 0 OR doc_id % 17 = 0 THEN NULL
+                ELSE (4 + doc_id % 5)::INT END AS gif_w,
+           CASE WHEN doc_id % 13 = 0 OR doc_id % 17 = 0 THEN NULL
+                ELSE (3 + doc_id % 4)::INT END AS gif_h,
+           CASE WHEN doc_id % 13 = 0 OR doc_id % 17 = 0 THEN NULL
+                ELSE 4::INT END AS gct_colors,
+           CASE WHEN doc_id % 13 = 0 OR doc_id % 17 = 0 THEN NULL
+                ELSE (1 + doc_id % 4)::INT END AS n_frames,
+           CASE WHEN doc_id % 13 = 0 OR doc_id % 17 = 0 THEN NULL
+                ELSE ((5 + doc_id % 10)
+                  + CASE WHEN 1 + doc_id % 4 > 1
+                         THEN 5 + (doc_id + 1) % 10 ELSE 0 END
+                  + CASE WHEN 1 + doc_id % 4 > 2
+                         THEN 5 + (doc_id + 2) % 10 ELSE 0 END
+                  + CASE WHEN 1 + doc_id % 4 > 3
+                         THEN 5 + (doc_id + 3) % 10 ELSE 0 END)::INT
+           END AS total_delay_cs,
+           CASE WHEN doc_id % 13 = 0 OR doc_id % 17 = 0 THEN NULL
+                WHEN doc_id % 3 = 0 THEN NULL
+                ELSE (doc_id % 3)::INT END AS loop_count,
+           NOT (doc_id % 13 = 0 OR doc_id % 17 = 0) AS parsed
+         FROM documents""",
     // the TIFF tag directory replayed purely from the fixture's
     // generative parameters: id-derived dims/orientation/DateTime,
     // byte order by parity; ids torn to 6 bytes (% 13) or stamped

@@ -117,6 +117,16 @@ class CodecFuzzSpec extends AnyFunSuite {
       (m: TiffMeta) => assert(m.w > 0 && m.h > 0))
   }
 
+  test("gifMeta never throws under mutation, truncation, or splice") {
+    // the block walk hops attacker-controlled length prefixes — every
+    // hop must be bounds-checked and the walk must terminate; a
+    // surviving parse must carry positive dims
+    val base = GifCodec.encodeGif(6, 5, Seq(10, 20, 30), Some(2),
+      (f, x, y) => (f + x + y) % 4)
+    exercise("gif", base, GifCodec.gifMeta,
+      (m: GifMeta) => assert(m.w > 0 && m.h > 0 && m.frames >= 0))
+  }
+
   test("decodeAuto never throws across sniffed containers under mutation") {
     // mutations can flip a payload's magic INTO another branch's —
     // the sniffing kernel must stay in-band on all of them
