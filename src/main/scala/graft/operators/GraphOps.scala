@@ -410,6 +410,65 @@ object GraphOps {
     (last, () => graft.Release(last))
   }
 
+  /** Multi-source BFS hop distances over the undirected graph —
+    * unweighted single/multi-source shortest paths, the reachability
+    * primitive (blast radius of a contaminated source, provenance
+    * neighborhoods, "how far is every doc from the seed set").
+    * Frontier expansion: hop h joins the CURRENT frontier to the edge
+    * list (one equi join — shuffle keyed by node id), anti-joins the
+    * already-settled set (BFS settles a node at its FIRST reach, which
+    * in unweighted graphs is its minimum hop count — no re-relaxation,
+    * unlike weighted Dijkstra), and stops EARLY when a frontier
+    * empties (the kcore discipline; `maxHops` is the runaway cap, not
+    * the expected round count). Each round's frames are
+    * localCheckpointed and the superseded generation released — state
+    * is O(settled + frontier), never the lineage of h joins.
+    * Output: (id, dist) for every node within `maxHops` of a seed;
+    * unreachable nodes are ABSENT, not infinity — filter or outer-join
+    * downstream, don't invent a sentinel.
+    */
+  def bfsDistances(edges: DataFrame, seeds: DataFrame,
+                   maxHops: Int): DataFrame =
+    bfsDistancesReleasable(edges, seeds, maxHops)._1
+
+  /** [[bfsDistances]] plus a release handle for the final settled
+    * checkpoint; internal checkpoints are released before return. */
+  def bfsDistancesReleasable(edges: DataFrame, seeds: DataFrame,
+                             maxHops: Int): (DataFrame, () => Unit) = {
+    require(maxHops >= 0, s"maxHops must be >= 0: $maxHops")
+    val ser = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER
+    val e = undirected(edges).localCheckpoint(true, ser)
+    var dist = seeds.select(col("id")).distinct()
+      .withColumn("dist", lit(0)).localCheckpoint(true, ser)
+    var frontier = dist.select("id").localCheckpoint(true, ser)
+    var hop = 0
+    var drained = false
+    while (hop < maxHops && !drained) {
+      hop += 1
+      val reached = e
+        .join(frontier.withColumnRenamed("id", "a"), "a")
+        .select(col("b").as("id")).distinct()
+        .join(dist.select("id"), Seq("id"), "left_anti")
+        .localCheckpoint(true, ser)
+      if (reached.count() == 0) {
+        graft.Release(reached)
+        drained = true
+      } else {
+        val settled = dist
+          .unionByName(reached.withColumn("dist", lit(hop)))
+          .localCheckpoint(true, ser)
+        graft.Release(dist)
+        graft.Release(frontier)
+        dist = settled
+        frontier = reached
+      }
+    }
+    graft.Release(frontier)
+    graft.Release(e)
+    val last = dist
+    (last, () => graft.Release(last))
+  }
+
   /** Per-node triangle counts over the UNDIRECTED graph. Edges are
     * canonically oriented low → high id so each triangle is enumerated
     * exactly once ((a,b),(b,c),(a,c) with a<b<c), then each corner

@@ -50,6 +50,19 @@ object GraphQueries {
     "gr2_label_prop" -> ((s, d) => leased("gr2_label_prop")(
       GraphOps.labelPropagationReleasable(knnEdges(s, d, 5), iters = 3))),
 
+    // Multi-source BFS hop distances (gr11): reachability over the
+    // undirected 5-NN graph from a sparse seed set (every 97th vector)
+    // — the blast-radius primitive (how far does a contaminated
+    // source's neighborhood extend). Frontier expansion with early
+    // stop, settled-set anti-join (first reach = min hops on
+    // unweighted edges); unreachable-within-4 nodes are absent, not
+    // sentinel rows. Oracle: recursive CTE walk, min(dist) per node.
+    "gr11_bfs" -> ((s, d) => leased("gr11_bfs")(
+      GraphOps.bfsDistancesReleasable(knnEdges(s, d, 5),
+        embeddings(s, d).select(col("vec_id").as("id"))
+          .filter(col("id") % 97 === 0),
+        maxHops = 4))),
+
     // 4-core of the MUTUAL 8-NN graph: mutuality bounds degree by 8 at
     // any corpus size (a fixed similarity threshold densifies with
     // scale and degenerates the peel — probed), so the same (k, cap)
@@ -204,6 +217,22 @@ object GraphQueries {
          GROUP BY e.a HAVING count(*) >= $k)"""
 
   val oracles: Map[String, String] = Map(
+    // recursive walk bounded by the hop cap; UNION (set) semantics
+    // keep the working set finite, min(dist) recovers the BFS level
+    "gr11_bfs" -> {
+      s"""WITH RECURSIVE ${knnCte(5)},
+         $undirCte,
+         seeds AS MATERIALIZED (
+           SELECT DISTINCT vec_id AS id FROM embeddings
+           WHERE vec_id % 97 = 0),
+         walk AS (
+           SELECT id, 0 AS dist FROM seeds
+           UNION
+           SELECT edges.b AS id, walk.dist + 1 AS dist
+           FROM walk JOIN edges ON edges.a = walk.id
+           WHERE walk.dist < 4)
+         SELECT id, min(dist)::INT AS dist FROM walk GROUP BY id"""
+    },
     "gr1_pagerank" -> {
       val iters = (1 to 3).map(i =>
         prIter(s"it$i", if (i == 1) "pr0" else s"it${i - 1}"))

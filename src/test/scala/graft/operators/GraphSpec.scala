@@ -56,6 +56,36 @@ class GraphSpec extends SparkSpec {
     assert(core3.isEmpty || core3.forall(Set(1L, 2L, 3L, 4L, 5L, 6L, 7L, 8L)))
   }
 
+  test("bfsDistances: hand levels, multi-seed min, early stop, absent unreachable") {
+    // from node 1 on the hand graph: block 1 at hops 1-2, the bridge
+    // puts node 5 at 3, second block at 4-5, pendant 9 at 6
+    val model = Map(1L -> 0, 2L -> 1, 3L -> 1, 4L -> 2, 5L -> 3,
+      6L -> 4, 7L -> 4, 8L -> 5, 9L -> 6)
+    val seeds1 = Seq(1L).toDF("id")
+    val full = GraphOps.bfsDistances(handEdges, seeds1, maxHops = 10)
+      .as[(Long, Int)].collect().toMap
+    assert(full == model, s"$full")
+    // the hop cap truncates: nodes past it are ABSENT, not capped
+    val capped = GraphOps.bfsDistances(handEdges, seeds1, maxHops = 3)
+      .as[(Long, Int)].collect().toMap
+    assert(capped == model.filter(_._2 <= 3), s"$capped")
+    // multi-seed: every node settles at its MIN distance over seeds
+    val multi = GraphOps.bfsDistances(handEdges,
+        Seq(1L, 9L).toDF("id"), maxHops = 10)
+      .as[(Long, Int)].collect().toMap
+    val model2 = model.map { case (n, d1) =>
+      n -> math.min(d1, Map(9L -> 0, 8L -> 1, 6L -> 2, 7L -> 2,
+        5L -> 3, 4L -> 4, 2L -> 5, 3L -> 5, 1L -> 6)(n))
+    }
+    assert(multi == model2, s"$multi")
+    // a seed disconnected from everything reports itself at 0 only;
+    // unreachable graph nodes never appear
+    val iso = GraphOps.bfsDistances(handEdges,
+        Seq(42L).toDF("id"), maxHops = 10)
+      .as[(Long, Int)].collect().toMap
+    assert(iso == Map(42L -> 0), s"$iso")
+  }
+
   test("gr3's peel converges inside the oracle's fixed 8 rounds at gated scales") {
     // the lane is correct either way (converged => extra unrolled
     // peels are no-ops; unconverged => both sides do exactly 8), but
