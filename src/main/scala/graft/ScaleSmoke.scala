@@ -779,6 +779,36 @@ object ScaleSmoke {
       require(pairs == want, s"incremental radius join broken: $pairs vs $want")
     }
 
+    // BFS frontier expansion at graph volume (gr11's machinery): a
+    // 1M-node grid lattice (right + down edges, 2M directed → 4M
+    // undirected), seeds = the whole left column, maxHops 25. The
+    // wavefront is planar — dist(x, y) = x exactly (vertical edges
+    // never shorten a path) — so settled count n·(h+1) and settled
+    // dist-sum n·h(h+1)/2 are both closed-form exact, and every round
+    // must settle exactly one column (a node revisited or dropped by
+    // the anti-join shifts both).
+    lane("bfs") {
+      val n = 1000L
+      val nodes = spark.range(n * n)
+      val right = nodes.filter(col("id") % n =!= n - 1)
+        .select(col("id").as("a"), (col("id") + 1).as("b"))
+      val down = nodes.filter(col("id") < n * (n - 1))
+        .select(col("id").as("a"), (col("id") + n).as("b"))
+      val edges = right.unionByName(down).localCheckpoint()
+      val seeds = spark.range(n).select((col("id") * n).as("id"))
+      val t0 = System.nanoTime()
+      val (dist, relDist) = operators.GraphOps.bfsDistancesReleasable(
+        edges, seeds, maxHops = 25)
+      val agg = dist.agg(count(lit(1)), sum(col("dist"))).collect()(0)
+      val bfsSec = (System.nanoTime() - t0) / 1e9
+      relDist()
+      val (cnt, dsum) = (agg.getLong(0), agg.getLong(1))
+      println(s"""{"bfs_nodes":${n * n},"sec":${round1(bfsSec)},"settled":$cnt,"dist_sum":$dsum}""")
+      require(cnt == n * 26 && dsum == n * (25L * 26 / 2),
+        s"bfs broken: $cnt/$dsum vs ${n * 26}/${n * 325}")
+      Release(edges, blocking = true)
+    }
+
     // Triangle orientation under hub skew. The id-ordered failure mode
     // is a hub whose id sits in the MIDDLE of its neighbors' id range:
     // lower-id neighbors orient INTO it, higher-id ones OUT, so the

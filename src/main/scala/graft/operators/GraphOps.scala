@@ -434,23 +434,38 @@ object GraphOps {
   /** [[bfsDistances]] plus a release handle for the final settled
     * checkpoint; internal checkpoints are released before return. */
   def bfsDistancesReleasable(edges: DataFrame, seeds: DataFrame,
-                             maxHops: Int): (DataFrame, () => Unit) = {
+                             maxHops: Int,
+                             broadcastFrontierMax: Long = 1000000L)
+      : (DataFrame, () => Unit) = {
     require(maxHops >= 0, s"maxHops must be >= 0: $maxHops")
     val ser = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER
     val e = undirected(edges).localCheckpoint(true, ser)
     var dist = seeds.select(col("id")).distinct()
       .withColumn("dist", lit(0)).localCheckpoint(true, ser)
     var frontier = dist.select("id").localCheckpoint(true, ser)
+    // the frontier size is already KNOWN each round (the early-stop
+    // count), so the expansion join dispatches on it for free: a small
+    // frontier broadcasts — the edge list is scanned map-side with NO
+    // exchange, the common regime since frontiers start at |seeds| and
+    // drain toward 0 — and only a genuinely wide wavefront pays the
+    // shuffle join (broadcasting it would OOM the executors). The
+    // geocodeAuto dispatch discipline; measured 92.5 s → (see PERF.md
+    // bfs) on a 25-round 1M-node lattice where every frontier is 1000
+    // rows.
+    var frontierN = dist.count()
     var hop = 0
     var drained = false
     while (hop < maxHops && !drained) {
       hop += 1
+      val f = frontier.withColumnRenamed("id", "a")
       val reached = e
-        .join(frontier.withColumnRenamed("id", "a"), "a")
+        .join(if (frontierN <= broadcastFrontierMax) broadcast(f) else f,
+          "a")
         .select(col("b").as("id")).distinct()
         .join(dist.select("id"), Seq("id"), "left_anti")
         .localCheckpoint(true, ser)
-      if (reached.count() == 0) {
+      frontierN = reached.count()
+      if (frontierN == 0) {
         graft.Release(reached)
         drained = true
       } else {
