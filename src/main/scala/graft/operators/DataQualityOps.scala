@@ -315,6 +315,41 @@ object DataQualityOps {
         col("distinct_drift") || col("range_drift"))
   }
 
+  /** Functional-dependency violation report: for each candidate rule
+    * `determinant → dependent`, how many determinant groups exist, how
+    * many of them carry MORE than one dependent value (the rule's
+    * violations), how many rows sit inside violating groups, and the
+    * worst group's dependent cardinality — the schema-rule discovery
+    * report (does source determine language? does id determine shard?)
+    * that uniqueness (dq7) can't express because the rule relates TWO
+    * columns. One aggregation per candidate pair (each needs its own
+    * grouping key; exact countDistinct is the point — an approximate
+    * count can't say "exactly one"), results unioned into one report
+    * frame. Null semantics: a NULL determinant forms its own group
+    * (the rows exist and must satisfy the rule); NULL dependents are
+    * ignored by countDistinct, so an all-null dependent group counts
+    * distinct 0 and never violates — the SQL-standard reading.
+    * Scale: each pass is a map-side-partial aggregate on the
+    * determinant; the report is |pairs| rows.
+    */
+  def fdReport(df: DataFrame, pairs: Seq[(String, String)]): DataFrame = {
+    require(pairs.nonEmpty, "empty FD candidate list")
+    pairs.map { case (det, dep) =>
+      df.groupBy(col(det))
+        .agg(countDistinct(col(dep)).as("_n_dep"),
+          count(lit(1)).as("_n_rows"))
+        .agg(count(lit(1)).as("n_groups"),
+          count(when(col("_n_dep") > 1, lit(1))).as("violating_groups"),
+          sum(when(col("_n_dep") > 1, col("_n_rows")).otherwise(0L))
+            .as("violating_rows"),
+          max(col("_n_dep")).as("max_distinct_dep"))
+        .select(lit(det).as("determinant"), lit(dep).as("dependent"),
+          col("n_groups"), col("violating_groups"),
+          col("violating_rows"), col("max_distinct_dep"),
+          (col("violating_groups") === 0).as("holds"))
+    }.reduce(_ unionByName _)
+  }
+
   /** Per-slice quality report: the same exact-integer metrics grouped
     * by a slice key (source, shard, date...) — how a bad shard
     * surfaces before it poisons a training mix. One shuffle on the

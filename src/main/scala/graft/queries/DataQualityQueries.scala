@@ -172,7 +172,21 @@ object DataQualityQueries {
 
     "dq11_chunk_index_integrity" -> ((s, d) =>
       indexIntegrity(s, graft.operators.ChunkIndexFixture.dir(s, d),
-        "chunk_key"))
+        "chunk_key")),
+
+    // Functional-dependency violation report (dq12): schema-rule
+    // discovery over column PAIRS — dq7's uniqueness can't express
+    // "does source determine language". Three candidate rules on the
+    // gated corpus: source → lang is VIOLATED (every source carries
+    // several languages), lang → its first letter HOLDS by
+    // construction, doc_id → source holds with one group per row —
+    // both verdicts and all counters fire.
+    "dq12_fd_report" -> ((s, d) => {
+      val docs = documents(s, d)
+        .withColumn("lang_family", substring(col("lang"), 1, 1))
+      DataQualityOps.fdReport(docs, Seq(
+        "source" -> "lang", "lang" -> "lang_family", "doc_id" -> "source"))
+    })
   )
 
   /** One aggregate pass over a posting-index read: total postings,
@@ -419,6 +433,28 @@ SELECT count(*)::BIGINT AS n_rows,
   count(DISTINCT (id, ckey))::BIGINT AS n_distinct,
   0::BIGINT AS n_null_keys,
   count(DISTINCT id)::BIGINT AS n_assets
-FROM idx"""
+FROM idx""",
+
+    // each rule replayed as its own grouped scan; HUGEINT sums cast
+    // back to BIGINT (the q32 dtype rule)
+    "dq12_fd_report" -> {
+      def one(det: String, dep: String) =
+        s"""SELECT '$det' AS determinant, '$dep' AS dependent,
+             count(*)::BIGINT AS n_groups,
+             count(CASE WHEN _n_dep > 1 THEN 1 END)::BIGINT
+               AS violating_groups,
+             sum(CASE WHEN _n_dep > 1 THEN _n_rows ELSE 0 END)::BIGINT
+               AS violating_rows,
+             max(_n_dep)::BIGINT AS max_distinct_dep,
+             count(CASE WHEN _n_dep > 1 THEN 1 END) = 0 AS holds
+           FROM (SELECT $det, count(DISTINCT $dep) AS _n_dep,
+                   count(*) AS _n_rows
+                 FROM d GROUP BY $det)"""
+      s"""WITH d AS (SELECT doc_id, source, lang,
+             substr(lang, 1, 1) AS lang_family FROM documents)
+         ${one("source", "lang")}
+         UNION ALL ${one("lang", "lang_family")}
+         UNION ALL ${one("doc_id", "source")}"""
+    }
   )
 }

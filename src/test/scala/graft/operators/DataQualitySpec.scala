@@ -153,6 +153,26 @@ class DataQualitySpec extends SparkSpec {
     }
   }
 
+  test("fdReport: violated and holding rules, null determinant groups, null dependents ignored") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Some("a"), Some("x")), (2L, Some("a"), Some("x")), // a holds
+      (3L, Some("b"), Some("y")), (4L, Some("b"), Some("z")), // b violates
+      (5L, None, Some("w")),              // NULL det = its own group
+      (6L, Some("c"), None), (7L, Some("c"), None) // all-null dep: 0 distinct
+    ).toDF("id", "det", "dep")
+    val got = DataQualityOps.fdReport(df, Seq("det" -> "dep", "id" -> "dep"))
+      .as[(String, String, Long, Long, Long, Long, Boolean)]
+      .collect().map(r => (r._1, r._2) -> r).toMap
+    // det→dep: groups a, b, NULL, c = 4; only b violates (2 rows in it)
+    assert(got(("det", "dep")) ==
+      (("det", "dep", 4L, 1L, 2L, 2L, false)))
+    // id→dep: one group per row, nothing violates — but the all-null
+    // dep groups count distinct 0, so max_distinct_dep is 1 not 0 only
+    // via the non-null groups
+    assert(got(("id", "dep")) == (("id", "dep", 7L, 0L, 0L, 1L, true)))
+  }
+
   test("uniquenessReport: uniqueness vs distinctness diverge; nulls excluded") {
     // k: perfect key. c: 3 distinct / 1 unique over 6 non-null values
     // (distinctness 0.5 while uniqueness is 0.167 — the divergence the
