@@ -341,6 +341,32 @@ object RelationalQueries {
         .select("doc_id", "n_chars", "tricky")
     }),
 
+    // Parquet schema evolution (q37): a long-lived dataset's writers
+    // gain a column mid-stream — the v1 files (doc_id, n_chars) and
+    // the appended v2 files (+ lang) coexist in one directory, and the
+    // read MUST set mergeSchema: the default samples ONE footer, so
+    // whether `lang` exists at all would depend on which file wins —
+    // the classic silent-column-loss bug. Merged rows surface v1's
+    // missing column as real nulls IN BAND (the null group aggregates
+    // like any other). Scale note: mergeSchema reads every footer at
+    // planning — fine as an explicit migration-window setting, wrong
+    // as a permanent default; production promotes the merged schema
+    // into an explicit read schema once the migration completes.
+    "q37_schema_evolution" -> ((s, d) => {
+      val dir = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+        s"graft-evo-${d.replaceAll("[^A-Za-z0-9._-]", "_")}").toString
+      val docs = documents(s, d)
+      docs.filter(col("doc_id") % 2 === 0)
+        .select("doc_id", "n_chars")
+        .write.mode("overwrite").parquet(dir)
+      docs.filter(col("doc_id") % 2 =!= 0)
+        .select("doc_id", "n_chars", "lang")
+        .write.mode("append").parquet(dir)
+      s.read.option("mergeSchema", "true").parquet(dir)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("sum_chars"))
+    }),
+
     "q28_zonemap" -> ((s, d) => {
       val dir = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
         s"graft-zonemap-${d.replaceAll("[^A-Za-z0-9._-]", "_")}").toString
@@ -690,6 +716,13 @@ object RelationalQueries {
     "q35_orc_roundtrip" ->
       """SELECT doc_id, lang, n_chars FROM documents
          WHERE source = 'src3' AND n_chars >= 100""",
+    // the merged view replayed from the unsplit table: even ids lose
+    // lang (the v1 files never had it), odd ids keep theirs
+    "q37_schema_evolution" ->
+      """SELECT CASE WHEN doc_id % 2 = 0 THEN NULL ELSE lang END AS lang,
+           count(*) AS n, sum(n_chars)::BIGINT AS sum_chars
+         FROM documents
+         GROUP BY 1""",
     // the adversarial field rebuilt from parquet — the CSV writer and
     // reader must round-trip the embedded delimiter/quote/newline
     // exactly or the hash shifts

@@ -71,6 +71,31 @@ object SimilarityQueries {
           round(col("_sim"), 4).as("sim"))
     }),
 
+    // Attribute-FILTERED ANN (ss23): "top-k neighbors WITH label = my
+    // label" — the filtered-vector-search shape every retrieval
+    // deployment needs (metadata predicates composed with similarity).
+    // The filter attribute becomes the JOIN KEY: queries equi-join the
+    // corpus on label, so the predicate prunes BEFORE any distance
+    // computes and Catalyst treats it like any dimension join — not a
+    // post-filter of a label-blind top-k, which silently under-fills k
+    // whenever the label is rare (the classic filtered-search bug).
+    // Selection on the bounded TopKPerKey heap, ss1's discipline.
+    "ss23_filtered_ann" -> ((s, d) => {
+      val emb = embeddings(s, d)
+      val q = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("label").as("_ql"),
+          col("embedding").as("_qv"))
+      val c = emb.select(col("vec_id").as("neighbor_id"),
+        col("label").as("_ql"), col("embedding").as("_cv"))
+      val scored = c.join(broadcast(q), Seq("_ql"))
+        .filter(col("query_id") =!= col("neighbor_id"))
+        .withColumn("_sim", cosineF32Native(col("_qv"), col("_cv")))
+      graft.plans.TopK.perKey(scored, Seq("query_id"),
+          Seq(col("_sim").desc, col("neighbor_id").asc), 5)
+        .select(col("query_id"), col("rk"), col("neighbor_id"),
+          round(col("_sim"), 4).as("sim"))
+    }),
+
     // ANN quality evaluation: recall@5 of the IVF(nProbe 3/8) search
     // against the exact brute-force ground truth, per query — the
     // accuracy side of the speed/recall trade every ANN deployment
@@ -654,6 +679,20 @@ object SimilarityQueries {
                         c.vec_id ASC) AS rk,
              round(list_cosine_similarity(q.embedding, c.embedding)::DOUBLE, 4) AS sim
            FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+           WHERE q.vec_id < 10)
+         WHERE rk <= 5""",
+    // ss1's exact ranking restricted to label-equal pairs — rank runs
+    // INSIDE the filtered candidate set, so k fills from the label's
+    // own population
+    "ss23_filtered_ann" ->
+      """SELECT query_id, rk, neighbor_id, sim FROM (
+           SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             row_number() OVER (PARTITION BY q.vec_id
+               ORDER BY list_cosine_similarity(q.embedding, c.embedding) DESC,
+                        c.vec_id ASC) AS rk,
+             round(list_cosine_similarity(q.embedding, c.embedding)::DOUBLE, 4) AS sim
+           FROM embeddings q JOIN embeddings c
+             ON q.vec_id <> c.vec_id AND q.label = c.label
            WHERE q.vec_id < 10)
          WHERE rk <= 5""",
     // the IVF side is the shared pipeline replay as a CTE; ground

@@ -44,6 +44,18 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("row_number"))
   }
 
+  test("ss23 filtered ANN joins on the filter attribute, heap-selects, no cross product") {
+    // the label predicate must be the JOIN key (prunes before any
+    // distance computes), not a post-filter of a label-blind cross
+    // join; selection on the bounded heap
+    val p = planOf("ss23_filtered_ann")
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoop"), p.take(3000))
+    assert(p.contains("TopKPerKey") || p.contains("LocalTopK"))
+    assert(!p.contains("row_number"))
+  }
+
   test("tx30 vocab top-N is a bounded TakeOrderedAndProject, not a full sort") {
     // each task keeps N rows and the driver merges — the vocabulary is
     // never globally sorted; the rank window that follows runs on ≤ N
