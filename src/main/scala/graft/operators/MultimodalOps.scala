@@ -513,6 +513,90 @@ object MultimodalOps {
     }(enc)
   }
 
+  /** WebVTT sidecar fixture — the timed-text modality (mm26): every id
+    * writes a caption file with id-derived cue count, starts,
+    * durations and payload line counts; even cues carry an identifier
+    * line and odd cues' END timestamps omit the hour field (both
+    * grammar branches of [[SubtitleCodec]]), every 5th id opens with a
+    * NOTE comment block. Durations run long enough that consecutive
+    * cues OVERLAP whenever (id+f−1) % 10 ≥ 3 — the auto-caption
+    * signature the profile exists to flag. Corrupt taxonomy: every
+    * 13th id loses its header; every 17th carries a malformed timing
+    * line — both miss in-band (strict parse: a torn sidecar must not
+    * contribute half its cues).
+    */
+  def synthVttAssets(df: DataFrame, idCol: String): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("asset_id", LongType, nullable = false),
+      StructField("vtt", StringType, nullable = true)))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    def fmtFull(ms: Long): String =
+      f"${ms / 3600000}%02d:${ms / 60000 % 60}%02d:${ms / 1000 % 60}%02d.${ms % 1000}%03d"
+    def fmtShort(ms: Long): String =
+      f"${ms / 60000 % 60}%02d:${ms / 1000 % 60}%02d.${ms % 1000}%03d"
+    df.select(col(idCol).cast("long").as("asset_id"))
+      .mapPartitions { it =>
+        it.map { r =>
+          val id = r.getLong(0)
+          val sb = new StringBuilder
+          sb.append(if (id % 13 == 0) "XEBVTT\n\n" else "WEBVTT\n\n")
+          if (id % 5 == 0) sb.append("NOTE generated fixture\n\n")
+          val nCues = (1 + id % 5).toInt
+          for (f <- 0 until nCues) {
+            val start = f * 4000L + (id % 7) * 100
+            val end = start + 3500 + ((id + f) % 10) * 200
+            if (f % 2 == 0) sb.append(s"c$f\n")
+            if (f == 0 && id % 17 == 0)
+              sb.append("00:00 --> bogus\n")
+            else
+              sb.append(s"${fmtFull(start)} --> ${
+                if (f % 2 == 1) fmtShort(end) else fmtFull(end)}\n")
+            val nl = (1 + (id + f) % 2).toInt
+            for (l <- 0 until nl) sb.append(s"caption $id $f $l\n")
+            sb.append("\n")
+          }
+          Row(id, sb.toString)
+        }
+      }(enc)
+  }
+
+  /** Cue-statistics profile over VTT sidecars
+    * ([[SubtitleCodec.vttCues]]): cue count, total captioned time,
+    * overlapping-cue count (auto-caption signature), payload line
+    * count, parse success in-band — the curation facts for a
+    * caption corpus. O(len) per document, one string walk.
+    */
+  def vttCueProfile(assets: DataFrame,
+                    textCol: String = "vtt"): DataFrame = {
+    val schema = StructType(assets.schema.fields.filterNot(
+      _.name == textCol) ++ Seq(
+      StructField("n_cues", IntegerType, nullable = true),
+      StructField("total_cue_ms", LongType, nullable = true),
+      StructField("n_overlaps", IntegerType, nullable = true),
+      StructField("n_lines", IntegerType, nullable = true),
+      StructField("parsed", BooleanType, nullable = false)))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    val idx = assets.schema.fieldIndex(textCol)
+    val keep = assets.schema.fields.indices.filterNot(_ == idx)
+    assets.mapPartitions { it =>
+      it.map { r =>
+        val base = keep.map(r.get)
+        SubtitleCodec.vttCues(r.getString(idx)) match {
+          case Some(cues) =>
+            val overlaps = cues.sliding(2).count {
+              case Seq(a, b) => b.startMs < a.endMs
+              case _ => false
+            }
+            Row.fromSeq(base ++ Seq(cues.length,
+              cues.map(c => c.endMs - c.startMs).sum,
+              overlaps, cues.map(_.nLines).sum, true))
+          case None =>
+            Row.fromSeq(base ++ Seq(null, null, null, null, false))
+        }
+      }
+    }(enc)
+  }
+
   /** Pixel-duplicate BMP fixture: consecutive id pairs (2k, 2k+1)
     * share dims and pixels (both derived from gid = id − id % 2), and
     * the odd member's ROW-PADDING bytes are stamped with junk — same

@@ -377,6 +377,21 @@ object MultimodalQueries {
           col("loop_count"), col("parsed"))
     }),
 
+    // WebVTT cue-statistics profile (mm26): the timed-text modality —
+    // video corpora ship caption sidecars, and curation filters on cue
+    // density / coverage / OVERLAP (auto-generated captions overlap,
+    // human ones rarely do) long before any audio model runs. Strict
+    // parse: a torn sidecar misses whole, in-band. The oracle replays
+    // every statistic analytically from the generative parameters
+    // (cues ≤ 5, unrolled).
+    "mm26_vtt_cues" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      MultimodalOps.vttCueProfile(
+        MultimodalOps.synthVttAssets(documents(s, d), "doc_id"))
+        .select(col("asset_id"), col("n_cues"), col("total_cue_ms"),
+          col("n_overlaps"), col("n_lines"), col("parsed"))
+    }),
+
     // Incremental frame-hash containment against the PERSISTED index
     // (mm21): mm16 rebuilds the whole corpus' fingerprints every run —
     // production banks them once (FrameIndexFixture: build on %5 in
@@ -1144,6 +1159,32 @@ GROUP BY 1, 2""",
     // (TYPE_INT_RGB → JFIF YCbCr) frames at id-derived dims, and the
     // marker walk must read exactly those facts back off the wire;
     // torn ids (every 13th, 4-byte payload) miss in-band
+    // cue statistics replayed from the generative parameters, f
+    // unrolled over the ≤ 5 cues; overlap(f−1, f) fires iff
+    // (id+f−1) % 10 ≥ 3 (duration beats the 4000 ms cue spacing)
+    "mm26_vtt_cues" -> {
+      val bad = "doc_id % 13 = 0 OR doc_id % 17 = 0"
+      def ifCue(f: Int, expr: String) =
+        s"CASE WHEN 1 + doc_id % 5 > $f THEN $expr ELSE 0 END"
+      val total = (0 until 5).map(f =>
+        ifCue(f, s"3500 + ((doc_id + $f) % 10) * 200")).mkString(" + ")
+      val overlaps = (1 until 5).map(f =>
+        ifCue(f, s"CASE WHEN (doc_id + $f - 1) % 10 >= 3 THEN 1 ELSE 0 END"))
+        .mkString(" + ")
+      val lines = (0 until 5).map(f =>
+        ifCue(f, s"1 + (doc_id + $f) % 2")).mkString(" + ")
+      s"""SELECT doc_id AS asset_id,
+           CASE WHEN $bad THEN NULL
+                ELSE (1 + doc_id % 5)::INT END AS n_cues,
+           CASE WHEN $bad THEN NULL
+                ELSE ($total)::BIGINT END AS total_cue_ms,
+           CASE WHEN $bad THEN NULL
+                ELSE ($overlaps)::INT END AS n_overlaps,
+           CASE WHEN $bad THEN NULL
+                ELSE ($lines)::INT END AS n_lines,
+           NOT ($bad) AS parsed
+         FROM documents"""
+    },
     // the GIF structure replayed purely from the generative
     // parameters: per-frame delays unrolled over the ≤ 4 frames, loop
     // null both on parse misses AND on the no-extension thirds
