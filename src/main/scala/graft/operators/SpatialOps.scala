@@ -315,6 +315,12 @@ object SpatialOps {
     * there: exactly-once with no dedup pass, sp1's invariant).
     * `expectedCells` sizes the bloom (overestimate only costs bits).
     * Output: (a = batch id, b = corpus id, d2).
+    *
+    * The batch side evaluates three times (probe-bucket distinct,
+    * bloom build, the join) — the dd10 no-persist trade: a cached plan
+    * would leak a CacheManager entry per ingest in the steady-state
+    * loop, and the batch is small by premise with CHEAP per-row work
+    * (coordinates, not decodes).
     */
   def radiusJoinIncremental(batch: DataFrame, dir: String, idCol: String,
                             xCol: String, yCol: String, radius: Long,

@@ -334,8 +334,14 @@ object TextAnalysisOps {
         replace(c, lit(from), lit(to))
       }
     val text = trim(regexp_replace(decoded, "[ \\t\\n\\r]+", " "))
-    df.select(col(idCol), text.as("extracted"),
-      length(text).as("n_extracted"))
+    // two-stage select: length() must reference the ATTRIBUTE so the
+    // regex chain is evaluated once per row, not once per consumer
+    // (the CollapseProject lesson — codegen subexpression elimination
+    // would usually rescue the single-projection form, but the
+    // interpreted path would not)
+    df.select(col(idCol), text.as("extracted"))
+      .select(col(idCol), col("extracted"),
+        length(col("extracted")).as("n_extracted"))
   }
 
   /** Greedy sequence packing (training-batch prep): assign documents to
