@@ -392,6 +392,40 @@ object MultimodalQueries {
           col("n_overlaps"), col("n_lines"), col("parsed"))
     }),
 
+    // Cross-modal caption-coverage gate (mm27): join the VIDEO decode
+    // profile (real Y4M kernel; fixture clips are 1 fps so duration_ms
+    // = n_frames · 1000) against the CAPTION profile (mm26) per asset
+    // and keep assets whose captioned time covers ≥ 1800 permille of
+    // the runtime — the caption-completeness gate an AV-training
+    // pipeline runs before pairing clips with transcripts. Exact
+    // integer arithmetic throughout (the keep comparison is
+    // cross-multiplied, the permille a floor division); EITHER side
+    // torn (video %9, vtt %13/%17) fails closed to keep = false with
+    // the nulls in-band. Both verdicts fire: 1-cue assets under-cover
+    // 3-second clips, multi-cue assets over-cover.
+    "mm27_caption_coverage" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      // stride 8 > the max frame count (7): exactly one row per asset
+      val vids = MultimodalOps.sampleVideoFrames(
+        MultimodalOps.synthY4mAssets(documents(s, d), "doc_id"),
+        stride = 8)
+        .select(col("asset_id"), col("n_frames"), col("decoded"))
+      val caps = MultimodalOps.vttCueProfile(
+        MultimodalOps.synthVttAssets(documents(s, d), "doc_id"))
+        .select(col("asset_id"), col("total_cue_ms"), col("parsed"))
+      val dur = col("n_frames").cast("long") * 1000L
+      val cap1000 = col("total_cue_ms") * 1000L
+      vids.join(caps, Seq("asset_id"))
+        .select(col("asset_id"),
+          when(col("decoded"), dur).as("duration_ms"),
+          col("total_cue_ms").as("captioned_ms"),
+          when(col("decoded") && col("parsed"),
+            ((cap1000 - pmod(cap1000, dur)) / dur).cast("long"))
+            .as("coverage_permille"),
+          (col("decoded") && col("parsed") && cap1000 >= dur * 1800L)
+            .as("keep"))
+    }),
+
     // Incremental frame-hash containment against the PERSISTED index
     // (mm21): mm16 rebuilds the whole corpus' fingerprints every run —
     // production banks them once (FrameIndexFixture: build on %5 in
@@ -1159,6 +1193,29 @@ GROUP BY 1, 2""",
     // (TYPE_INT_RGB → JFIF YCbCr) frames at id-derived dims, and the
     // marker walk must read exactly those facts back off the wire;
     // torn ids (every 13th, 4-byte payload) miss in-band
+    // both modality analytics composed: the video side's frame count,
+    // mm26's unrolled captioned time, the floor-division permille, and
+    // the cross-multiplied keep — either torn side nulls its columns
+    // and forces keep false
+    "mm27_caption_coverage" -> {
+      val badVtt = "doc_id % 13 = 0 OR doc_id % 17 = 0"
+      val total = (0 until 5).map(f =>
+        s"""CASE WHEN 1 + doc_id % 5 > $f
+             THEN 3500 + ((doc_id + $f) % 10) * 200 ELSE 0 END""")
+        .mkString(" + ")
+      s"""SELECT doc_id AS asset_id,
+           CASE WHEN doc_id % 9 = 0 THEN NULL
+                ELSE ((3 + doc_id % 5) * 1000)::BIGINT END AS duration_ms,
+           CASE WHEN $badVtt THEN NULL
+                ELSE ($total)::BIGINT END AS captioned_ms,
+           CASE WHEN doc_id % 9 = 0 OR $badVtt THEN NULL
+                ELSE ((($total) * 1000) // ((3 + doc_id % 5) * 1000))::BIGINT
+           END AS coverage_permille,
+           (doc_id % 9 <> 0 AND NOT ($badVtt)
+             AND ($total) * 1000 >= (3 + doc_id % 5) * 1000 * 1800)
+             AS keep
+         FROM documents"""
+    },
     // cue statistics replayed from the generative parameters, f
     // unrolled over the ≤ 5 cues; overlap(f−1, f) fires iff
     // (id+f−1) % 10 ≥ 3 (duration beats the 4000 ms cue spacing)
