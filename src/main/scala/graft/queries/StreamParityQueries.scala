@@ -324,6 +324,22 @@ object StreamParityQueries {
           .select(col("doc_id"),
             array_join(col("violations"), ",").as("violations"),
             col("_quarantined").as("quarantined")))
+    }),
+
+    // STREAMING caption ingest (st18): the mm26 VTT cue profile
+    // running unchanged on a readStream — sidecars arrive with their
+    // media and the cue statistics (incl. the strict in-band miss for
+    // torn files) are computed at ingest, st14's discipline on the
+    // timed-text modality. Stateless append; drained rows hash-equal
+    // the batch profile's semantics.
+    "st18_stream_captions" -> ((s, d) => {
+      import graft.operators.MultimodalOps
+      StreamParity.drainAppend(
+        MultimodalOps.vttCueProfile(
+          MultimodalOps.synthVttAssets(
+            StreamParity.documentsStream(s, d), "doc_id"))
+          .select(col("asset_id"), col("n_cues"), col("total_cue_ms"),
+            col("n_overlaps"), col("n_lines"), col("parsed")))
     })
   )
 
@@ -523,6 +539,10 @@ HAVING count(*) >= 2""",
              || (CASE WHEN v_max THEN ',max(n_chars)' ELSE '' END), 2)
              AS violations,
            v_set OR v_min OR v_max AS quarantined
-         FROM v"""
+         FROM v""",
+
+    // st18 is stateless: the drained stream must equal mm26's batch
+    // cue-profile semantics exactly — same analytic oracle
+    "st18_stream_captions" -> MultimodalQueries.oracles("mm26_vtt_cues")
   )
 }
