@@ -779,6 +779,43 @@ object ScaleSmoke {
       require(pairs == want, s"incremental radius join broken: $pairs vs $want")
     }
 
+    // Polygon containment at volume (sp6's machinery): 5M lattice
+    // points (spacing 1000) × 90k square rings (4-vertex polygons,
+    // half-side 1250, centered on interior lattice points) — each ring
+    // strictly contains exactly the 3×3 point block around its center
+    // (|Δ| ≤ 1000 < 1250, next ring of points at 2000 > 1250), so
+    // pairs = 9 · rings closed-form exact. Exactly-once under the
+    // bbox cover replication and the ray cast both sit inside the
+    // count.
+    lane("polyjoin") {
+      val n = 2236L
+      val pts = spark.range(n * n).select(col("id").as("pid"),
+        ((col("id") % n) * 1000).as("px"),
+        (floor(col("id") / n).cast("long") * 1000).as("py"))
+        .localCheckpoint()
+      val k = 300L // ring centers: a k×k sub-lattice strictly interior
+      val rings = spark.range(k * k).select(col("id").as("rid"),
+          ((col("id") % k + 2) * 1000).as("cx"),
+          (floor(col("id") / k).cast("long") + 2).as("_ry"))
+        .withColumn("cy", col("_ry") * 1000).drop("_ry")
+        .withColumn("poly", array(
+          struct((col("cx") - 1250).as("x"), (col("cy") - 1250).as("y")),
+          struct((col("cx") + 1250).as("x"), (col("cy") - 1250).as("y")),
+          struct((col("cx") + 1250).as("x"), (col("cy") + 1250).as("y")),
+          struct((col("cx") - 1250).as("x"), (col("cy") + 1250).as("y"))))
+        .select("rid", "poly")
+        .localCheckpoint()
+      val t0 = System.nanoTime()
+      val pairs = operators.SpatialOps.polygonContainsJoin(
+        rings, "poly", pts, "px", "py", cell = 2500L).count()
+      val pjSec = (System.nanoTime() - t0) / 1e9
+      val want = 9L * k * k
+      println(s"""{"polyjoin_points":${n * n},"rings":${k * k},"sec":${round1(pjSec)},"pairs":$pairs}""")
+      require(pairs == want, s"polygon join broken: $pairs vs $want")
+      Release(pts, blocking = true)
+      Release(rings, blocking = true)
+    }
+
     // BFS frontier expansion at graph volume (gr11's machinery): a
     // 1M-node grid lattice (right + down edges, 2M directed → 4M
     // undirected), seeds = the whole left column, maxHops 25. The

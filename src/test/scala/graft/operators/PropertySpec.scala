@@ -307,6 +307,62 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("rayCastInside equals the Scala model on random star-shaped rings, any vertex count") {
+    // star-shaped construction: K directions in strictly increasing
+    // angle (random angles, sorted) × positive integer radii — always
+    // a simple ring, frequently concave; one batched Spark job for
+    // all (ring, probe) pairs
+    def model(poly: Seq[(Long, Long)], px: Long, py: Long): Boolean = {
+      val n = poly.length
+      var c = 0
+      for (i <- 0 until n) {
+        val (x1, y1) = poly(i); val (x2, y2) = poly((i + 1) % n)
+        val dy = y2 - y1
+        if ((y1 > py) != (y2 > py)) {
+          val lhs = (px - x1) * dy - (x2 - x1) * (py - y1)
+          if ((dy > 0 && lhs < 0) || (dy < 0 && lhs > 0)) c += 1
+        }
+      }
+      c % 2 == 1
+    }
+    val cases = for (t <- 0 until 60) yield {
+      val k = 3 + rnd.nextInt(10) // 3..12 vertices
+      val angles = Seq.fill(k)(rnd.nextDouble() * 2 * math.Pi).sorted
+      // reject accidental duplicate angles (collinear-from-center spokes
+      // are fine; equal angles could self-intersect)
+      val ring =
+        if (angles.distinct.size < k) Seq((0L, 0L), (10L, 0L), (5L, 8L))
+        else angles.map { a =>
+          val r = 10 + rnd.nextInt(400)
+          (math.round(r * math.cos(a)), math.round(r * math.sin(a)))
+        }
+      val probes = Seq.fill(8)(
+        (rnd.nextInt(900) - 450L, rnd.nextInt(900) - 450L))
+      (t.toLong, ring, probes)
+    }
+    val rows = cases.flatMap { case (t, ring, probes) =>
+      probes.map { case (px, py) => (t, ring, px, py) }
+    }
+    val df = rows.toDF("t", "ring", "px", "py")
+      .select(col("t"), col("px"), col("py"),
+        transform(col("ring"), v =>
+          struct(v.getField("_1").as("x"), v.getField("_2").as("y")))
+          .as("poly"))
+      .withColumn("inside",
+        SpatialOps.rayCastInside(col("poly"), col("px"), col("py")))
+    val got = df.select("t", "px", "py", "inside")
+      .as[(Long, Long, Long, Boolean)].collect()
+      .map(r => (r._1, r._2, r._3) -> r._4).toMap
+    val byT = cases.map(c => c._1 -> c._2).toMap
+    var insides = 0
+    rows.foreach { case (t, _, px, py) =>
+      val want = model(byT(t), px, py)
+      assert(got((t, px, py)) == want, s"t=$t probe=($px,$py)")
+      if (want) insides += 1
+    }
+    assert(insides > 20, s"degenerate fixture: only $insides inside")
+  }
+
   test("morton interleave equals the naive bit model; order-preserving on quadrants") {
     def model(a: Int, b: Int): Long = {
       var z = 0L
