@@ -756,38 +756,55 @@ object DedupOps {
     * the fingerprint keeps result compare compact while pinning the
     * exact reassembly.
     *
-    * Scale shape: two shuffles, both at segment granularity — one on
-    * the span content for the first-occurrence window (partitions are
-    * per-span groups, tiny unless the corpus is one giant repeat; a
-    * skewed boilerplate span lands on one reducer but its group is
-    * processed streaming by the window), one on the id for reassembly.
-    * The corpus text crosses the wire once per shuffle with NO
-    * amplification (segments partition the text; the within-group sort
-    * key is `(id, seg_idx)`, not the text). No O(n²) pair formation
-    * anywhere.
+    * Scale shape: the first-occurrence selection is a MAP-SIDE ARGMIN —
+    * `groupBy(seg).agg(min(struct(id, seg_idx)))` — never a
+    * `row_number` window partitioned by span content. The hot key of
+    * this operator is, by construction, the boilerplate span it exists
+    * to excise: a span occurring in 10⁷–10⁸ documents would put its
+    * whole (id, seg_idx, seg) group through ONE task's external sort
+    * under WindowExec, whereas the argmin arrives at its reducer as
+    * O(partials) pre-combined rows (min ≡ first under the same
+    * (id, seg_idx) order, so results are identical). No join back to
+    * the segments is needed at all: the winner set IS the kept-span
+    * set, so reassembly aggregates winners by winner id, and the
+    * per-document segment TOTAL is row-local arithmetic on the source
+    * (`size(segmentArray(text))` — segmentation is deterministic, so
+    * the array length equals the exploded count; never empty for
+    * non-null text, matching the explode). The two per-id frames meet
+    * in a near-unique-key left join (docs whose every span lost
+    * resolve to n_kept = 0 / md5("")). ONE exchange carries span
+    * text (the argmin's partials), one carries only winner spans, one
+    * carries bare (id, n_segs) — the old window form shipped the full
+    * segment stream twice. No O(n²) pair formation anywhere.
+    * (PlanShapeSpec pins the no-WindowExec shape; ScaleSmoke
+    * `spandedupskew` proves it on a planted ≥30%-hot-span corpus.)
     */
   def spanDedup(df: DataFrame, idCol: String, textCol: String,
                 segWords: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     // native segment-array kernel under a BUILTIN posexplode — the
     // declarative twin below is the executable spec (ExtOpsSpec
     // parity); see SegmentArrayExpr for why this shape beats both the
     // interpreted HOF and a custom Generator
-    val segs = df.select(col(idCol),
+    val src = df.filter(col(textCol).isNotNull)
+    val segs = src.select(col(idCol),
       posexplode(graft.functions.ShingleGen.segmentArray(
         col(textCol), segWords)).as(Seq("seg_idx", "seg")))
-    val firstSeen = Window.partitionBy(col("seg"))
-      .orderBy(col(idCol).asc, col("seg_idx").asc)
-    segs
-      .withColumn("_rn", row_number().over(firstSeen))
-      .groupBy(col(idCol))
-      .agg(count(lit(1)).as("n_segs"),
-        sum(when(col("_rn") === 1, 1).otherwise(0)).cast("long")
-          .as("n_kept"),
+    val kept = segs.groupBy(col("seg"))
+      .agg(min(struct(col(idCol), col("seg_idx"))).as("_w"))
+      .groupBy(col("_w").getField(idCol).as(idCol))
+      .agg(count(lit(1)).as("_n_kept"),
         md5(array_join(transform(
           array_sort(collect_list(
-            when(col("_rn") === 1, struct(col("seg_idx"), col("seg"))))),
-          s => s.getField("seg")), " ")).as("text_fp"))
+            struct(col("_w").getField("seg_idx").as("seg_idx"),
+              col("seg")))),
+          s => s.getField("seg")), " ")).as("_fp"))
+    val totals = src.select(col(idCol),
+      size(graft.functions.ShingleGen.segmentArray(
+        col(textCol), segWords)).cast("long").as("n_segs"))
+    totals.join(kept, Seq(idCol), "left")
+      .select(col(idCol), col("n_segs"),
+        coalesce(col("_n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("_fp"), md5(lit(""))).as("text_fp"))
   }
 
   /** Declarative twin of [[spanDedup]]'s segmentation — the executable

@@ -344,23 +344,81 @@ object TextAnalysisOps {
         length(col("extracted")).as("n_extracted"))
   }
 
+  /** Exact per-stratum running sum WITHOUT a per-stratum window — the
+    * classic two-phase distributed prefix sum. A training mixture's
+    * dominant stratum (web ≈ 80% of real corpora) makes
+    * `sum(x) OVER (PARTITION BY stratum ORDER BY id)` one WindowExec
+    * partition = one task sorting and scanning most of the corpus.
+    * Instead: (1) range-partition on (stratum, orderCols…) — the
+    * dominant stratum SPLITS across range boundaries, so every partition is
+    * ~corpus/P regardless of the mixture; (2) a local running sum per
+    * (partition, stratum) — each window group is bounded by one range
+    * partition's slice, never a whole stratum; (3) per-(partition,
+    * stratum) subtotals (map-side-combined agg, P×strata rows — no ids,
+    * no text) cascaded into cross-partition offsets by a ≤P×strata-row
+    * window, broadcast-joined back; cum = offset + local. With
+    * `sumCol = lit(1)` the cum IS the per-stratum rank (row_number
+    * under the same total order). Exact for ANY boundary placement
+    * (partitions are ordered ranges of the global (stratum,
+    * orderCols…) order), so the result is deterministic even though
+    * range sampling is not part of the contract. The subtotal branch
+    * and the local branch share the range exchange via ReuseExchange
+    * (pinned in PlanShapeSpec), so the input is shuffled once.
+    *
+    * CONTRACT: `base` must carry ONLY columns referenced by
+    * `strataCol`/`orderCols`/`sumCol`. Both branches then prune to the
+    * same column set, the two planned range exchanges are identical,
+    * and ReuseExchange unifies them. This is a CORRECTNESS condition,
+    * not just perf: with two separate exchanges, AQE could coalesce
+    * the two stages differently (their byte sizes differ), giving the
+    * branches different _pid partitionings — offsets keyed to one
+    * partitioning applied to another. An extra payload column (pruned
+    * from the subtotal branch only) is exactly what breaks the match;
+    * join payloads back on the near-unique (stratum, order) key
+    * afterward instead (see shardManifest / packSequences).
+    */
+  private[graft] def stratumCumSum(base: DataFrame, strataCol: String,
+      orderCols: Seq[Column], sumCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val parted = base
+      .repartitionByRange((col(strataCol) +: orderCols): _*)
+      .withColumn("_pid", spark_partition_id())
+    val localW = Window.partitionBy(col("_pid"), col(strataCol))
+      .orderBy(orderCols: _*)
+    val local = parted.withColumn("_lcum",
+      sum(col(sumCol)).over(localW))
+    val subtotals = parted.groupBy(col("_pid"), col(strataCol))
+      .agg(sum(col(sumCol)).as("_psum"))
+      .select(col("_pid").as("_opid"), col(strataCol).as("_ostr"),
+        col("_psum"))
+    val offW = Window.partitionBy(col("_ostr")).orderBy(col("_opid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = subtotals
+      .withColumn("_off", coalesce(sum(col("_psum")).over(offW), lit(0L)))
+      .drop("_psum")
+    local.join(broadcast(offsets),
+        col("_pid") === col("_opid") && col(strataCol) === col("_ostr"))
+      .withColumn("cum", col("_off") + col("_lcum"))
+      .drop("_pid", "_lcum", "_opid", "_ostr", "_off")
+  }
+
   /** Greedy sequence packing (training-batch prep): assign documents to
     * fixed-budget context bins by cumulative token count, walking each
-    * stratum in deterministic id order. One windowed running sum per
-    * stratum — the window key is the stratum, so at scale each stratum
-    * sorts independently (no global sort). Bin b of stratum s holds the
+    * stratum in deterministic id order. The running sum is the
+    * two-phase distributed prefix sum ([[stratumCumSum]]) — a dominant
+    * stratum never lands in one task. Bin b of stratum s holds the
     * consecutive docs whose preceding cumulative tokens fall in
     * [b·budget, (b+1)·budget).
     */
   def packBins(df: DataFrame, idCol: String, textCol: String,
                strataCol: String, budgetTokens: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(strataCol).orderBy(idCol)
-    df.select(col(strataCol), col(idCol),
-        tokenCount(col(textCol)).as("n_tokens"))
-      .withColumn("cum", sum("n_tokens").over(w))
+    val base = df.select(col(strataCol), col(idCol),
+      tokenCount(col(textCol)).as("n_tokens"))
+    stratumCumSum(base, strataCol, Seq(col(idCol)), "n_tokens")
       .withColumn("bin",
         floor((col("cum") - col("n_tokens")) / budgetTokens).cast("int"))
+      .select(col(strataCol), col(idCol), col("n_tokens"), col("cum"),
+        col("bin"))
   }
 
   /** Materialize [[packBins]] assignments into actual training
@@ -374,17 +432,20 @@ object TextAnalysisOps {
   def packSequences(df: DataFrame, idCol: String, textCol: String,
                     strataCol: String, budgetTokens: Int,
                     eos: String = "<|eod|>"): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    // inline the packBins window with the text column carried through:
-    // the window shuffle moves the corpus once anyway, so threading the
-    // text costs nothing, where a join back to re-attach it would
-    // shuffle the corpus a second time
-    val w = Window.partitionBy(strataCol).orderBy(idCol)
-    df.select(col(strataCol), col(idCol), col(textCol),
-        tokenCount(col(textCol)).cast("int").as("n_tokens"))
-      .withColumn("cum", sum("n_tokens").over(w))
-      .withColumn("bin",
-        floor((col("cum") - col("n_tokens")) / budgetTokens).cast("int"))
+    // bin assignment runs NARROW (stratum, id, n_tokens — no text)
+    // through the two-phase prefix sum, then the text joins back on the
+    // near-unique (stratum, id) key. The corpus text moves twice (join
+    // hash + bin groupBy) — the same count as the old windowed form —
+    // but never through a per-stratum sort: the earlier inline-window
+    // shape threaded the full document text through
+    // `PARTITION BY stratum`, which parks a dominant stratum (web ≈ 80%
+    // of real mixtures) in ONE task's external sort, text included.
+    val bins = packBins(df, idCol, textCol, strataCol, budgetTokens)
+      .select(col(strataCol).as("_bstr"), col(idCol).as("_bid"),
+        col("n_tokens"), col("bin"))
+    df.select(col(strataCol), col(idCol), col(textCol))
+      .join(bins, col(strataCol) === col("_bstr") &&
+        col(idCol) === col("_bid"))
       .groupBy(col(strataCol), col("bin"))
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_tokens")).cast("long").as("seq_tokens"),
@@ -1225,26 +1286,41 @@ object TextAnalysisOps {
     * manifest is what a training job checks before trusting a shard set
     * — and what [[graft.sources.Compaction.writeHashSharded]] lays down.
     *
-    * Scale shape: one shuffle on the shard key + a per-shard sort (the
-    * rank window) — exactly the work the physical export does — then a
+    * Scale shape: the within-shard rank comes from the two-phase
+    * distributed prefix sum ([[stratumCumSum]] with a unit weight —
+    * cum ≡ row_number under the same (md5, id) total order), NOT a
+    * `row_number` window partitioned by the shard id: nShards is
+    * small by construction (16–1024), so a shard window parks
+    * corpus/nShards rows in ONE task's sort, while the range-
+    * partitioned form splits every shard across boundaries. Then a
     * map-side-combined agg to `nShards` rows. Fingerprint terms are
     * < 2^32, so the XOR stays in long range by construction.
     */
   def shardManifest(df: DataFrame, idCol: String, weightCol: String,
                     nShards: Int): DataFrame = {
-    val h = md5(col(idCol).cast("string"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("shard")).orderBy(h.asc, col(idCol).asc)
-    df.select(col(idCol), col(weightCol))
+    val assigned = df.select(col(idCol), col(weightCol))
       .withColumn("shard", shardAssign(col(idCol), nShards))
-      .withColumn("_rk", row_number().over(w))
+    // docs/weight need no rank — a plain map-side-combined agg; only
+    // the order-sensitive fingerprint rides the rank pipeline, kept
+    // MINIMAL-COLUMN (id, shard, _h, _one: exactly the columns BOTH
+    // prefix-sum branches reference) so column pruning yields the
+    // identical range exchange in both branches and ReuseExchange
+    // fires — see the stratumCumSum contract
+    val totals = assigned.groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col(weightCol).cast("long")).as("n_weight"))
+    val base = assigned.select(col(idCol), col("shard"))
+      .withColumn("_h", md5(col(idCol).cast("string")))
+      .withColumn("_one", lit(1))
+    val fps = stratumCumSum(base, "shard",
+        Seq(col("_h").asc, col(idCol).asc), "_one")
       .withColumn("_fpt", conv(substring(md5(concat(
-        col(idCol).cast("string"), lit(":"), col("_rk").cast("string"))),
+        col(idCol).cast("string"), lit(":"), col("cum").cast("string"))),
         1, 8), 16, 10).cast("long"))
       .groupBy(col("shard"))
-      .agg(count(lit(1)).as("n_docs"),
-        sum(col(weightCol).cast("long")).as("n_weight"),
-        expr("bit_xor(_fpt)").as("fp"))
+      .agg(expr("bit_xor(_fpt)").as("fp"))
+    totals.join(fps, Seq("shard"))
+      .select(col("shard"), col("n_docs"), col("n_weight"), col("fp"))
   }
 
   /** BPE merge-candidate counting — the inner loop of byte-pair-encoding

@@ -60,15 +60,19 @@ object RelationalQueries {
         .limit(10)
     }),
 
-    // Per-group top-k via window rank — one shuffle on the partition key.
+    // Per-group top-k: the rank-limited selection dispatches to the
+    // bounded per-key heap (TopKPerKey emits the rank), NOT
+    // row_number() OVER (PARTITION BY segment) — c_mktsegment has 5
+    // values, so the window form is 5 tasks each sorting 1/5 of the
+    // orders table at any scale, while the heap keeps ≤ k rows per key
+    // per task before the exchange. Same rows, same rk (the order has
+    // a unique o_orderkey tie-break).
     "q4_window_rank" -> ((s, d) => {
       val o = orders(s, d)
       val c = customer(s, d).select("c_custkey", "c_mktsegment")
-      val w = Window.partitionBy("c_mktsegment")
-        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
-      o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
-        .withColumn("rk", row_number().over(w))
-        .filter(col("rk") <= 3)
+      val joined = o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      graft.plans.TopK.perKey(joined, Seq("c_mktsegment"),
+          Seq(col("o_totalprice").desc, col("o_orderkey").asc), 3)
         .select(col("c_mktsegment"), col("rk"), col("o_orderkey"),
                 round(col("o_totalprice"), 2).as("price"))
     }),

@@ -500,13 +500,25 @@ object TextQueries {
     // cut). percent_rank is an exact small-integer quotient; ties
     // broken by doc_id so the kept set is deterministic.
     "tx24_quantile_filter" -> ((s, d) => {
-      import org.apache.spark.sql.expressions.Window
+      // percent_rank = (rank-1)/(n-1), with the rank from the two-phase
+      // prefix sum (unit weight ≡ row_number; the order has a unique
+      // doc_id tie-break so rank ≡ row_number) — NOT a window keyed by
+      // lang: the dominant language (English ≈ most of any real corpus)
+      // would be ONE WindowExec partition = one task sorting most of
+      // the corpus. n per lang is a map-side-combined count, broadcast
+      // back; identical IEEE math to percent_rank (double/double).
       val docs = documents(s, d)
       val q = TextAnalysisOps.qualityMetrics(docs, "doc_id", "text")
         .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
-      val w = Window.partitionBy(col("lang"))
-        .orderBy(col("stopword_ratio").desc, col("doc_id").asc)
-      q.withColumn("pr", round(percent_rank().over(w), 6))
+        .select(col("lang"), col("doc_id"), col("stopword_ratio"))
+        .withColumn("_one", lit(1))
+      val ranked = TextAnalysisOps.stratumCumSum(q, "lang",
+        Seq(col("stopword_ratio").desc, col("doc_id").asc), "_one")
+      val counts = docs.groupBy("lang").agg(count(lit(1)).as("_n"))
+      ranked.join(broadcast(counts), Seq("lang"))
+        .withColumn("pr", when(col("_n") === 1, lit(0.0))
+          .otherwise(round((col("cum") - 1).cast("double") /
+            (col("_n") - 1).cast("double"), 6)))
         .filter(col("pr") <= 0.3)
         .select(col("lang"), col("doc_id"), col("stopword_ratio"),
           col("pr"))
@@ -580,17 +592,22 @@ object TextQueries {
           .when(suffix === 3,                         // full-width
             lit(" \uff43\uff41\uff46\uff45"))
           .otherwise(lit(" \u0441\u0430f\u0435")))    // Cyrillic homoglyphs
-      val normW = org.apache.spark.sql.expressions.Window
-        .partitionBy("norm_key")
-      val rawW = org.apache.spark.sql.expressions.Window
-        .partitionBy("raw_md5")
-      documents(s, d)
+      // group sizes via map-side-combined counts joined back, NOT
+      // `count(*) OVER (PARTITION BY key)`: the hot key of a dedup
+      // fingerprint is by definition the most-duplicated content, and
+      // a WindowExec group cannot be split across tasks, while the
+      // count join's probe side can (build side is one row per key, so
+      // AQE's skew-join split applies cleanly)
+      val keyed = documents(s, d)
         .select(col("doc_id"),
           graft.functions.UnicodeNorm.unicodeNormKey(planted)
             .as("norm_key"),
           md5(planted).as("raw_md5"))
-        .withColumn("twins", count(lit(1)).over(normW))
-        .withColumn("raw_twins", count(lit(1)).over(rawW))
+      val normCnt = keyed.groupBy("norm_key")
+        .agg(count(lit(1)).as("twins"))
+      val rawCnt = keyed.groupBy("raw_md5")
+        .agg(count(lit(1)).as("raw_twins"))
+      keyed.join(normCnt, Seq("norm_key")).join(rawCnt, Seq("raw_md5"))
         .select("doc_id", "norm_key", "twins", "raw_twins")
     }),
 

@@ -140,7 +140,11 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"))
   }
 
-  test("dd11 span dedup shuffles at most twice (window + reassembly)") {
+  test("dd11 span dedup shuffles at most thrice, only the argmin exchange carrying span text") {
+    // argmin groupBy(seg) + winner reassembly groupBy(id) + the
+    // near-unique id join of the row-local totals frame; the old
+    // two-shuffle window form shipped the full segment stream through
+    // BOTH its exchanges and parked hot spans in one task
     val plan = finalPlan("dd11_span_dedup")
     def exchangesIn(p: org.apache.spark.sql.execution.SparkPlan): Int = {
       val here = p match {
@@ -151,7 +155,7 @@ class PlanShapeSpec extends SparkSpec {
       }
       here + p.children.map(exchangesIn).sum
     }
-    assert(exchangesIn(plan) <= 2, plan.toString)
+    assert(exchangesIn(plan) <= 3, plan.toString)
   }
 
   test("tx36 bpe: bounded top-N, and no shuffle carries document text") {
@@ -651,6 +655,72 @@ class PlanShapeSpec extends SparkSpec {
     // must not plan a second shuffle
     val p = planOf("ev20_interval_coalesce")
     assert("Exchange hashpartitioning".r.findAllIn(p).length == 1, p)
+  }
+
+  test("dd11 span dedup selects first occurrences map-side: no WindowExec") {
+    // the hot key of span dedup is the boilerplate span the operator
+    // exists to excise — a row_number window partitioned by span text
+    // would park that span's whole group in ONE task's external sort;
+    // the argmin (min(struct(id, seg_idx)) per seg) arrives at its
+    // reducer pre-combined and the join-back key (seg, id, seg_idx)
+    // is near-unique, so no skewed colocation anywhere
+    val p = planOf("dd11_span_dedup")
+    assert(!p.contains("Window"), p.take(3000))
+  }
+
+  test("tx13/tx23 packing: two-phase prefix sum — range partition, reused exchange, no stratum-only window") {
+    // the dominant stratum (web ≈ 80% of real mixtures) must split
+    // across range boundaries; every window is keyed by (_pid, stratum)
+    // (bounded by one range partition) or runs on the P×strata subtotal
+    // frame. The subtotal branch must REUSE the range exchange — a
+    // recomputed exchange would both double the shuffle and void the
+    // offset/partition correspondence the prefix sum relies on.
+    for (lane <- Seq("tx13_packing", "tx23_pack_sequences",
+        "tx32_shard_manifest", "tx24_quantile_filter")) {
+      val p = planOf(lane)
+      assert(p.contains("rangepartitioning"), s"$lane: ${p.take(3000)}")
+      assert(p.contains("ReusedExchange"),
+        s"$lane lost exchange reuse: ${p.take(4000)}")
+    }
+  }
+
+  test("no lane windows over raw rows on a content/stratum/fingerprint key (skew-class sweep)") {
+    // the structural pin for the bug class charged in r13 (mm pair
+    // caps) and r14 (dd11 spans, tx13/tx23 packing): a WindowExec
+    // group can NEVER be split across tasks, so a window partitioned
+    // by a low-cardinality or content-hot key over corpus-scale rows
+    // is one task sorting the hot group at any cluster size. Every
+    // logical Window in every lane plan must be keyed by an
+    // allowlisted high-cardinality key, include the range-partition
+    // id (_pid — the two-phase prefix-sum form, bounded by one range
+    // partition), or run over a REDUCED frame (an Aggregate or
+    // bounded-heap TopKPerKey below it). Documented exceptions only.
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
+    val highCard = Set("user_id", "o_custkey", "doc_id", "id", "_pid")
+    val exceptions = Map(
+      // compaction planning consumes a FILE MANIFEST (one row per
+      // file): metadata-scale input by construction, not corpus rows
+      "q33_compaction_plan" -> "file-manifest input",
+      // the r8 two-phase budget form: the only global window runs on
+      // the map-side-filtered boundary bucket (~1/256 of one source,
+      // PERF.md-measured); the bulk keep/drop never reaches a window
+      "tx41_token_budget" -> "boundary-bucket slice")
+    val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
+      if (exceptions.contains(name)) Nil
+      else {
+        val plan = SparkEntry.queries(name)(spark, sf)
+          .queryExecution.optimizedPlan
+        plan.collect {
+          case w: LWindow =>
+            val keys = w.partitionSpec.flatMap(_.references.map(_.name))
+            val reduced = w.child.exists(n => n.isInstanceOf[Aggregate] ||
+              n.getClass.getSimpleName == "TopKPerKey")
+            if (keys.exists(highCard) || reduced) None
+            else Some(s"$name windows on [${keys.mkString(",")}] over raw rows")
+        }.flatten
+      }
+    }
+    assert(offenders.isEmpty, offenders.mkString("; "))
   }
 
   test("gr1 pagerank final frame reads the iteration checkpoint, not lineage") {
