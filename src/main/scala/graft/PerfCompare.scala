@@ -31,7 +31,7 @@ object PerfCompare {
     // GRAFT_PC_ONLY=parse,dsir runs only those blocks. Lane names:
     // topk, cc, bloom, span, containment, kernels, kmeans, ivf,
     // ivfcurve, bpehybrid, dsir, parse, skew, simhash, srccap, budget,
-    // knn, hh, mix, pagerank, stdrain, asof, paircap.
+    // knn, hh, mix, pagerank, stdrain, asof, paircap, spanab, packab.
     // Default (unset) = all. Each lane builds and releases its own
     // caches, so skipping any subset is safe.
     val only = sys.env.get("GRAFT_PC_ONLY")
@@ -157,6 +157,80 @@ object PerfCompare {
       spanRun
       val (ts, ns) = time(spanRun)
       println(s"""{"span_docs":$spanDocs,"span_dedup_sec":$ts,"span_rows":$ns}""")
+      Release(corpus, blocking = true)
+    }
+
+    // r15 A/B: first-occurrence selection on a planted 100%-hot-span
+    // corpus (every doc opens with the same 8-word boilerplate) — the
+    // r14-charged row_number window partitioned by span TEXT vs the
+    // shipped map-side argmin + winner reassembly. The window form
+    // parks the whole hot group in one task's external sort; the
+    // argmin pre-combines it into O(partials) rows.
+    lane("spanab") {
+      val n = 1000000L
+      val hot = (0 until 8).map(j => s"boiler$j").mkString(" ")
+      val corpus = spark.range(n).select(col("id"),
+        concat(lit(hot + " "), concat_ws(" ", (0 until 16).map(j =>
+          concat(lit("w"), col("id"), lit(s"_$j"))): _*)).as("text"))
+        .cache()
+      corpus.count()
+      import org.apache.spark.sql.expressions.Window
+      def windowForm: Long = {
+        val segs = corpus.select(col("id"),
+          posexplode(graft.functions.ShingleGen.segmentArray(
+            col("text"), 8)).as(Seq("seg_idx", "seg")))
+        val w = Window.partitionBy(col("seg"))
+          .orderBy(col("id").asc, col("seg_idx").asc)
+        segs.withColumn("_rn", row_number().over(w))
+          .groupBy(col("id"))
+          .agg(sum(when(col("_rn") === 1, 1).otherwise(0)).cast("long")
+            .as("n_kept"))
+          .agg(sum("n_kept")).collect()(0).getLong(0)
+      }
+      def argminForm: Long =
+        operators.DedupOps.spanDedup(corpus, "id", "text", 8)
+          .agg(sum("n_kept")).collect()(0).getLong(0)
+      val (tw, kw) = time(windowForm)
+      val (ta, ka) = time(argminForm)
+      require(kw == ka && ka == 2 * n + 1,
+        s"spanab forms disagree: window=$kw argmin=$ka want ${2 * n + 1}")
+      println(s"""{"spanab_docs":$n,"window_sec":$tw,"argmin_sec":$ta}""")
+      Release(corpus, blocking = true)
+    }
+
+    // r15 A/B: per-stratum running sum with ONE dominant stratum (web
+    // = 80% of 5M docs, the real-mixture shape) — the r14-charged
+    // window (PARTITION BY stratum = one task scans 4M rows) vs the
+    // shipped two-phase prefix sum (range split + subtotal offsets).
+    // Every doc is 16 tokens so both forms must land max(cum) =
+    // 16·|web| exactly.
+    lane("packab") {
+      val n = 5000000L
+      val corpus = spark.range(n).select(col("id"),
+        when(col("id") % 5 < 4, lit("web")).otherwise(lit("code"))
+          .as("source"),
+        concat_ws(" ", (0 until 16).map(j => lit(s"t$j")): _*).as("text"))
+        .cache()
+      corpus.count()
+      import org.apache.spark.sql.expressions.Window
+      def windowForm: Long = {
+        val w = Window.partitionBy("source").orderBy("id")
+        corpus.select(col("source"), col("id"),
+            operators.TextAnalysisOps.tokenCount(col("text"))
+              .as("n_tokens"))
+          .withColumn("cum", sum("n_tokens").over(w))
+          .agg(max("cum")).collect()(0).getLong(0)
+      }
+      def twoPhaseForm: Long =
+        operators.TextAnalysisOps.packBins(corpus, "id", "text",
+            "source", budgetTokens = 512)
+          .agg(max("cum")).collect()(0).getLong(0)
+      val (tw, mw) = time(windowForm)
+      val (tt, mt) = time(twoPhaseForm)
+      require(mw == mt && mt == 16L * (n / 5 * 4),
+        s"packab forms disagree: window=$mw twophase=$mt " +
+          s"want ${16L * (n / 5 * 4)}")
+      println(s"""{"packab_docs":$n,"window_sec":$tw,"twophase_sec":$tt}""")
       Release(corpus, blocking = true)
     }
 

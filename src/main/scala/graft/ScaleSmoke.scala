@@ -1247,6 +1247,71 @@ object ScaleSmoke {
     // with negative scatter) and sit at ±59°: the ECEF gridding's
     // no-wrap/no-pole-case claim is exercised at volume, not just in
     // the 100-point spec.
+    // dd11 planted-skew smoke (r15): EVERY doc opens with the same
+    // 8-word boilerplate span — a 100%-hot span group, the degenerate
+    // worst case of the skew class the r14 verdict charged (the old
+    // row_number window parked the whole group in ONE task's external
+    // sort; the argmin form pre-combines it map-side). Closed form:
+    // 3 segs/doc, segs 2-3 are id-unique by construction (words carry
+    // the literal id, no hash collisions), so doc 0 keeps all 3 and
+    // every other doc keeps exactly 2: sum(n_kept) = 2N + 1.
+    lane("spandedupskew") {
+      val nDocs = 5000000L
+      val hot = (0 until 8).map(j => s"boiler$j").mkString(" ")
+      val uniq = concat_ws(" ", (0 until 16).map(j =>
+        concat(lit("w"), col("id"), lit(s"_$j"))): _*)
+      val corpus = spark.range(nDocs).select(col("id"),
+        concat(lit(hot + " "), uniq).as("text"))
+        .localCheckpoint()
+      val t0 = System.nanoTime()
+      val agg = operators.DedupOps.spanDedup(corpus, "id", "text", 8)
+        .agg(count(lit(1)).as("n"), sum(col("n_kept")).as("kept"),
+          min(col("n_kept")).as("mn"), max(col("n_kept")).as("mx"))
+        .collect()(0)
+      val sdSec = (System.nanoTime() - t0) / 1e9
+      val (n, kept) = (agg.getLong(0), agg.getLong(1))
+      println(s"""{"spandedupskew_docs":$nDocs,"sec":${round1(sdSec)},"kept":$kept}""")
+      require(n == nDocs && kept == 2 * nDocs + 1 &&
+        agg.getLong(2) == 2 && agg.getLong(3) == 3,
+        s"span skew invariant broke: n=$n kept=$kept " +
+          s"mn=${agg.getLong(2)} mx=${agg.getLong(3)} want kept=${2 * nDocs + 1}")
+      Release(corpus, blocking = true)
+    }
+
+    // tx13 dominant-stratum smoke (r15): 80% of the corpus in ONE
+    // stratum ('web'), the real-mixture shape that parked the old
+    // per-stratum running-sum window in a single task. Every doc is
+    // exactly 16 tokens, so the two-phase prefix sum has a closed
+    // form: doc at within-stratum rank r has cum = 16r, bin =
+    // (r-1)/32 — every bin holds exactly 32 docs when the stratum
+    // size divides 32, and max(cum) = 16·|stratum|.
+    lane("packskew") {
+      val nDocs = 5120000L // 4.096M web + 1.024M code, both % 32 == 0
+      val corpus = spark.range(nDocs).select(col("id"),
+        when(col("id") % 5 < 4, lit("web")).otherwise(lit("code"))
+          .as("source"),
+        concat_ws(" ", (0 until 16).map(j => lit(s"t$j")): _*).as("text"))
+        .localCheckpoint()
+      val t0 = System.nanoTime()
+      val bins = operators.TextAnalysisOps.packBins(
+        corpus, "id", "text", "source", budgetTokens = 512)
+      val agg = bins.groupBy(col("source"), col("bin"))
+        .agg(count(lit(1)).as("nd"), max(col("cum")).as("mc"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("nbins"), min(col("nd")).as("mnd"),
+          max(col("nd")).as("mxd"), max(col("mc")).as("mxc"))
+        .collect().map(r => r.getString(0) ->
+          (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+      val pkSec = (System.nanoTime() - t0) / 1e9
+      val (webN, codeN) = (nDocs / 5 * 4, nDocs / 5)
+      println(s"""{"packskew_docs":$nDocs,"sec":${round1(pkSec)},"webbins":${agg("web")._1}}""")
+      require(agg("web") == ((webN / 32, 32L, 32L, 16L * webN)) &&
+        agg("code") == ((codeN / 32, 32L, 32L, 16L * codeN)),
+        s"pack skew invariant broke: $agg want web=(${webN / 32},32,32," +
+          s"${16L * webN}) code=(${codeN / 32},32,32,${16L * codeN})")
+      Release(corpus, blocking = true)
+    }
+
     lane("gcj") {
       val latN = 119L; val lonN = 180L; val m = 100L
       val centers = latN * lonN

@@ -484,6 +484,168 @@ object GraphOps {
     (last, () => graft.Release(last))
   }
 
+  /** Directed bounded reach from ONE pivot id over a checkpointed
+    * (a, b) edge frame: the set of ids the pivot reaches (pivot
+    * included). Same frontier loop and frontier-size broadcast
+    * dispatch as [[bfsDistancesReleasable]], minus the distances and
+    * minus the undirected closure. `maxHops` is a RUNAWAY GUARD, not a
+    * truncation: an undrained frontier at the cap raises loudly —
+    * SCC intersection on a truncated reach set would silently SPLIT
+    * components, the worst failure mode for a dedup workhorse.
+    */
+  private def reachFrom(e: DataFrame, pivot: Long, maxHops: Int,
+                        broadcastFrontierMax: Long = 1000000L): DataFrame = {
+    val ser = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER
+    val spark = e.sparkSession
+    import spark.implicits._
+    var seen = Seq(pivot).toDF("id").localCheckpoint(true, ser)
+    var frontier = seen
+    var frontierN = 1L
+    var hop = 0
+    while (frontierN > 0) {
+      hop += 1
+      require(hop <= maxHops,
+        s"reachFrom: frontier not drained after $maxHops hops — raise " +
+          "maxHops (a truncated reach would silently split SCCs)")
+      val f = frontier.withColumnRenamed("id", "a")
+      val reached = e
+        .join(if (frontierN <= broadcastFrontierMax) broadcast(f) else f,
+          "a")
+        .select(col("b").as("id")).distinct()
+        .join(seen.select("id"), Seq("id"), "left_anti")
+        .localCheckpoint(true, ser)
+      frontierN = reached.count()
+      if (frontierN == 0) graft.Release(reached)
+      else {
+        val s2 = seen.unionByName(reached).localCheckpoint(true, ser)
+        if (frontier ne seen) graft.Release(frontier)
+        graft.Release(seen)
+        seen = s2
+        frontier = reached
+      }
+    }
+    if (frontier ne seen) graft.Release(frontier)
+    seen
+  }
+
+  /** Strongly connected components of a DIRECTED edge frame — the
+    * web-graph dedup workhorse (mirror rings, link farms, mutually-
+    * citing template families are SCCs; mere co-linking is not).
+    * Output: (id, scc) for every edge endpoint, `scc` = the MIN id in
+    * the component (deterministic, engine-independent).
+    *
+    * Algorithm: FB-Trim (forward-backward reachability with trimming,
+    * the standard distributed SCC decomposition — Slota et al. 2014,
+    * Orzan's coloring family), driven as a DataFrame loop:
+    *
+    *  1. TRIM, repeatedly: a node with no in-edge or no out-edge in
+    *     the REMAINING subgraph can sit in no cycle — it is a
+    *     singleton SCC. One anti-join peels the whole class per
+    *     round, so bow-tie tendrils (the BULK of a web graph: IN/OUT
+    *     pages, dead ends) drain in a few rounds at any scale,
+    *     without ever paying a reachability pass.
+    *  2. PIVOT: forward-reach ∩ backward-reach from the min remaining
+    *     id IS that pivot's SCC ([[reachFrom]] both ways on the
+    *     trimmed subgraph; the frontier-size dispatch broadcasts
+    *     small wavefronts). Assign, subtract, re-trim.
+    *
+    * Scale shape: every step is an equi/anti join or a distinct on id
+    * — no windows, no collects except the single-scalar pivot min.
+    * Superseded generations are localCheckpointed and released (the
+    * kcore discipline), so state is O(remaining + assigned). Rounds:
+    * trim rounds are bounded by the longest tendril CHAIN, pivot
+    * rounds by the number of NON-TRIVIAL SCCs (a bow-tie graph has
+    * few: the giant SCC and a tail) — both guarded by loud
+    * `require`s, never silent truncation. A condensation that is one
+    * long path of big SCCs is the documented worst case (one pivot
+    * each), the same trade every published FB-trim makes.
+    */
+  def stronglyConnectedComponents(edges: DataFrame, maxPivotRounds: Int,
+                                  maxHops: Int,
+                                  maxTrimRounds: Int = 64): DataFrame =
+    stronglyConnectedComponentsReleasable(edges, maxPivotRounds, maxHops,
+      maxTrimRounds)._1
+
+  /** [[stronglyConnectedComponents]] plus a release handle for the
+    * final assigned checkpoint. */
+  def stronglyConnectedComponentsReleasable(edges: DataFrame,
+      maxPivotRounds: Int, maxHops: Int, maxTrimRounds: Int = 64)
+      : (DataFrame, () => Unit) = {
+    val ser = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER
+    // self-loops are cycle-irrelevant (a is always in scc(a)); dropping
+    // them keeps the trim rule exact
+    var e = edges.select(col("a").cast("long").as("a"),
+        col("b").cast("long").as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+      .localCheckpoint(true, ser)
+    var nodes = e.select(col("a").as("id"))
+      .unionByName(e.select(col("b").as("id"))).distinct()
+      .localCheckpoint(true, ser)
+    var remN = nodes.count()
+    var assigned: DataFrame = null
+    def assign(df: DataFrame): Unit = {
+      val next =
+        (if (assigned == null) df
+         else assigned.unionByName(df)).localCheckpoint(true, ser)
+      if (assigned != null) graft.Release(assigned)
+      assigned = next
+    }
+    def subtract(ids: DataFrame): Unit = {
+      val n2 = nodes.join(ids, Seq("id"), "left_anti")
+        .localCheckpoint(true, ser)
+      val e2 = e
+        .join(ids.withColumnRenamed("id", "a"), Seq("a"), "left_anti")
+        .join(ids.withColumnRenamed("id", "b"), Seq("b"), "left_anti")
+        .localCheckpoint(true, ser)
+      graft.Release(nodes); graft.Release(e)
+      nodes = n2; e = e2
+      remN = nodes.count()
+    }
+    var pivots = 0
+    while (remN > 0) {
+      // trim to fixpoint
+      var trimming = true
+      var tr = 0
+      while (trimming && remN > 0) {
+        tr += 1
+        require(tr <= maxTrimRounds,
+          s"SCC trim did not drain in $maxTrimRounds rounds — tendril " +
+            "chains deeper than the cap; raise maxTrimRounds")
+        val core = e.select(col("a").as("id")).distinct()
+          .join(e.select(col("b").as("id")).distinct(), Seq("id"))
+        val singles = nodes.join(core, Seq("id"), "left_anti")
+          .localCheckpoint(true, ser)
+        if (singles.count() == 0) { trimming = false; graft.Release(singles) }
+        else {
+          assign(singles.withColumn("scc", col("id")))
+          subtract(singles)
+          graft.Release(singles)
+        }
+      }
+      if (remN > 0) {
+        pivots += 1
+        require(pivots <= maxPivotRounds,
+          s"SCC pivot rounds exceeded $maxPivotRounds — the condensation " +
+            "has more non-trivial components than the cap; raise " +
+            "maxPivotRounds")
+        val pivot = nodes.agg(min(col("id"))).collect()(0).getLong(0)
+        val fwd = reachFrom(e, pivot, maxHops)
+        val bwd = reachFrom(
+          e.select(col("b").as("a"), col("a").as("b")), pivot, maxHops)
+        val scc = fwd.join(bwd, Seq("id")).localCheckpoint(true, ser)
+        graft.Release(fwd); graft.Release(bwd)
+        assign(scc.withColumn("scc", lit(pivot)))
+        subtract(scc)
+        graft.Release(scc)
+      }
+    }
+    graft.Release(nodes); graft.Release(e)
+    val last = if (assigned != null) assigned
+      else edges.sparkSession.range(0)
+        .select(col("id"), col("id").as("scc")) // edgeless input
+    (last, () => graft.Release(last))
+  }
+
   /** Per-node triangle counts over the UNDIRECTED graph. Edges are
     * canonically oriented low → high id so each triangle is enumerated
     * exactly once ((a,b),(b,c),(a,c) with a<b<c), then each corner

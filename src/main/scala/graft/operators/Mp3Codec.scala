@@ -1,0 +1,203 @@
+package graft.operators
+
+/** Parsed facts from an MPEG-1 Layer III frame-header walk — the
+  * wire-audio analog of [[TiffMeta]]/JPEG mm19: everything here is
+  * fixed by the encoder's header bytes, no payload decode.
+  * `minBitrateKbps == maxBitrateKbps` ⟺ CBR. `durationMs` is the
+  * exact integer `nFrames · 1152 · 1000 / sampleRate` (truncating —
+  * both engines replay the same division). */
+case class Mp3Profile(nFrames: Int, sampleRate: Int, minBitrateKbps: Int,
+                      maxBitrateKbps: Int, channelMode: Int,
+                      durationMs: Long, hasId3: Boolean, hasCrc: Boolean)
+
+/** Parsed facts from an ADTS (AAC transport) header walk. Duration is
+  * `totalBlocks · 1024 · 1000 / sampleRate` — 1024 PCM samples per raw
+  * data block, `number_of_raw_data_blocks + 1` blocks per frame. */
+case class AdtsProfile(nFrames: Int, sampleRate: Int, profile: Int,
+                       channels: Int, durationMs: Long, hasCrc: Boolean)
+
+/** Pure-JVM MP3 (MPEG-1 Layer III) and ADTS (AAC) frame-header
+  * walkers + deterministic writers — the dominant wire-audio formats
+  * (WAV, the only previously gated audio container, is the RAW
+  * interchange shape; crawled audio is overwhelmingly MP3/AAC).
+  *
+  * Specs: ISO/IEC 11172-3 §2.4.1.3 (MP3 header fields, bitrate and
+  * sample-rate tables), ISO/IEC 13818-7 §6.2 (ADTS fixed+variable
+  * header). Both walks are O(n_frames) byte arithmetic over the
+  * header chain — sync word, table lookups, frame-length hop — the
+  * payload (huffman / spectral data) is NEVER decoded, per the mm15
+  * design rule: profiling a 100 MB asset costs the header chain only.
+  *
+  * Corrupt taxonomy IN-BAND (None, never thrown), the
+  * TiffCodec/GifCodec discipline: torn header, lost sync mid-stream,
+  * reserved version/layer/bitrate/sample-rate/emphasis codes,
+  * free-format bitrate (0 — length not derivable from the header, so
+  * the walk cannot continue honestly), truncated final frame, ID3v2
+  * size past EOF, zero frames.
+  */
+object Mp3Codec {
+
+  /** MPEG-1 Layer III bitrate table, kbps, index 1–14 (0 = free
+    * format, 15 = forbidden — both resolve None). */
+  private val BitrateL3 = Array(-1, 32, 40, 48, 56, 64, 80, 96, 112,
+    128, 160, 192, 224, 256, 320, -1)
+
+  /** MPEG-1 sample-rate table (index 3 reserved). */
+  private val SampleRates = Array(44100, 48000, 32000, -1)
+
+  private def u8(b: Array[Byte], at: Int): Int = b(at) & 0xff
+
+  /** Walk the whole frame chain. None on any structural violation. */
+  def mp3Walk(bytes: Array[Byte]): Option[Mp3Profile] = {
+    if (bytes == null || bytes.length < 4) return None
+    var off = 0
+    var hasId3 = false
+    if (bytes.length >= 10 && bytes(0) == 'I' && bytes(1) == 'D' &&
+        bytes(2) == '3') {
+      // ID3v2: 10-byte header, 28-bit synchsafe size (7 bits/byte)
+      val size = (u8(bytes, 6) << 21) | (u8(bytes, 7) << 14) |
+        (u8(bytes, 8) << 7) | u8(bytes, 9)
+      if ((u8(bytes, 6) | u8(bytes, 7) | u8(bytes, 8) | u8(bytes, 9))
+          >= 0x80) return None // synchsafe bytes must have bit 7 clear
+      off = 10 + size
+      if (off >= bytes.length) return None
+      hasId3 = true
+    }
+    var nFrames = 0
+    var sampleRate = -1
+    var minBr = Int.MaxValue
+    var maxBr = -1
+    var channelMode = -1
+    var hasCrc = false
+    while (off < bytes.length) {
+      if (off + 4 > bytes.length) return None // torn header
+      if (u8(bytes, off) != 0xff ||
+        (u8(bytes, off + 1) & 0xe0) != 0xe0) return None // lost sync
+      val b1 = u8(bytes, off + 1)
+      if (((b1 >> 3) & 3) != 3) return None // not MPEG-1 (2/2.5/resvd)
+      if (((b1 >> 1) & 3) != 1) return None // not Layer III
+      val crc = (b1 & 1) == 0
+      val b2 = u8(bytes, off + 2)
+      val br = BitrateL3((b2 >> 4) & 0xf)
+      if (br < 0) return None // free format / forbidden
+      val sr = SampleRates((b2 >> 2) & 3)
+      if (sr < 0) return None // reserved sample-rate index
+      val padding = (b2 >> 1) & 1
+      val b3 = u8(bytes, off + 3)
+      val mode = (b3 >> 6) & 3
+      if ((b3 & 3) == 2) return None // reserved emphasis
+      if (nFrames == 0) { sampleRate = sr; channelMode = mode }
+      else if (sr != sampleRate || mode != channelMode)
+        return None // mid-stream format switch = alien/corrupt
+      val frameLen = 144 * br * 1000 / sr + padding
+      if (frameLen < 4 || off + frameLen > bytes.length)
+        return None // truncated final frame
+      minBr = math.min(minBr, br); maxBr = math.max(maxBr, br)
+      hasCrc = hasCrc || crc
+      nFrames += 1
+      off += frameLen
+    }
+    if (nFrames == 0) None
+    else Some(Mp3Profile(nFrames, sampleRate, minBr, maxBr, channelMode,
+      nFrames.toLong * 1152L * 1000L / sampleRate, hasId3, hasCrc))
+  }
+
+  /** Deterministic MP3 writer for the synthetic corpus: `brIdx(i)`
+    * picks each frame's bitrate index (1–14), `padBit(i)` its padding
+    * bit. Payload bytes are a fixed id-free fill — the walk never
+    * reads them. */
+  def encodeMp3(nFrames: Int, srIdx: Int, mode: Int, withCrc: Boolean,
+                id3Size: Int, brIdx: Int => Int,
+                padBit: Int => Int): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    if (id3Size >= 0) {
+      out.write('I'); out.write('D'); out.write('3')
+      out.write(3); out.write(0); out.write(0) // v2.3, no flags
+      out.write((id3Size >> 21) & 0x7f); out.write((id3Size >> 14) & 0x7f)
+      out.write((id3Size >> 7) & 0x7f); out.write(id3Size & 0x7f)
+      out.write(new Array[Byte](id3Size))
+    }
+    val sr = SampleRates(srIdx)
+    for (i <- 0 until nFrames) {
+      val br = BitrateL3(brIdx(i))
+      val pad = padBit(i) & 1
+      val frameLen = 144 * br * 1000 / sr + pad
+      out.write(0xff)
+      out.write(0xe0 | (3 << 3) | (1 << 1) | (if (withCrc) 0 else 1))
+      out.write((brIdx(i) << 4) | (srIdx << 2) | (pad << 1))
+      out.write(mode << 6) // emphasis 0, original/copyright 0
+      out.write(new Array[Byte](frameLen - 4))
+    }
+    out.toByteArray
+  }
+
+  /** ADTS sampling-frequency table (index ≥ 13 reserved). */
+  private val AdtsRates = Array(96000, 88200, 64000, 48000, 44100,
+    32000, 24000, 22050, 16000, 12000, 11025, 8000, 7350, -1, -1, -1)
+
+  /** Walk an ADTS frame chain. None on any structural violation:
+    * torn/lost sync, layer ≠ 0, reserved sampling index, frame length
+    * shorter than its own header, truncated final frame, mid-stream
+    * format switch. */
+  def adtsWalk(bytes: Array[Byte]): Option[AdtsProfile] = {
+    if (bytes == null || bytes.length < 7) return None
+    var off = 0
+    var nFrames = 0
+    var sampleRate = -1
+    var profile = -1
+    var channels = -1
+    var hasCrc = false
+    var totalBlocks = 0L
+    while (off < bytes.length) {
+      if (off + 7 > bytes.length) return None
+      if (u8(bytes, off) != 0xff ||
+        (u8(bytes, off + 1) & 0xf0) != 0xf0) return None // sync 0xFFF
+      val b1 = u8(bytes, off + 1)
+      if (((b1 >> 1) & 3) != 0) return None // layer must be 00
+      val crcAbsent = b1 & 1
+      val b2 = u8(bytes, off + 2)
+      val prof = (b2 >> 6) & 3
+      val sfi = (b2 >> 2) & 0xf
+      val sr = AdtsRates(sfi)
+      if (sr < 0) return None
+      val chan = ((b2 & 1) << 2) | ((u8(bytes, off + 3) >> 6) & 3)
+      val frameLen = ((u8(bytes, off + 3) & 3) << 11) |
+        (u8(bytes, off + 4) << 3) | ((u8(bytes, off + 5) >> 5) & 7)
+      val blocks = (u8(bytes, off + 6) & 3) + 1
+      val headerLen = if (crcAbsent == 1) 7 else 9
+      if (frameLen < headerLen || off + frameLen > bytes.length)
+        return None
+      if (nFrames == 0) { sampleRate = sr; profile = prof; channels = chan }
+      else if (sr != sampleRate || prof != profile || chan != channels)
+        return None
+      hasCrc = hasCrc || crcAbsent == 0
+      totalBlocks += blocks
+      nFrames += 1
+      off += frameLen
+    }
+    if (nFrames == 0) None
+    else Some(AdtsProfile(nFrames, sampleRate, profile, channels,
+      totalBlocks * 1024L * 1000L / sampleRate, hasCrc))
+  }
+
+  /** Deterministic ADTS writer: `payloadLen(i)` sizes each frame's raw
+    * data beyond the header. */
+  def encodeAdts(nFrames: Int, sfi: Int, profile: Int, channels: Int,
+                 withCrc: Boolean, payloadLen: Int => Int): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    val headerLen = if (withCrc) 9 else 7
+    for (i <- 0 until nFrames) {
+      val frameLen = headerLen + payloadLen(i)
+      out.write(0xff)
+      out.write(0xf0 | (if (withCrc) 0 else 1)) // MPEG-4, layer 00
+      out.write((profile << 6) | (sfi << 2) | ((channels >> 2) & 1))
+      out.write(((channels & 3) << 6) | ((frameLen >> 11) & 3))
+      out.write((frameLen >> 3) & 0xff)
+      out.write(((frameLen & 7) << 5) | 0x1f) // buffer fullness high
+      out.write(0xfc) // fullness low 6 bits, 1 raw block (00)
+      if (withCrc) { out.write(0); out.write(0) }
+      out.write(new Array[Byte](payloadLen(i)))
+    }
+    out.toByteArray
+  }
+}

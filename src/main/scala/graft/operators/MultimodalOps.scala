@@ -406,6 +406,139 @@ object MultimodalOps {
       }(enc)
   }
 
+  /** Deterministic MP3 corpus from ids — the audio analog of
+    * [[synthTiffAssets]]: every header field is an arithmetic function
+    * of the id (the oracle replays the rule analytically, including
+    * the VBR min/max over the per-frame bitrate sequence), with the
+    * corrupt taxonomy planted at id % 13 (torn mid-frame) and id % 17
+    * (reserved sample-rate index patched into the first header). */
+  def synthMp3Assets(df: DataFrame, idCol: String): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("asset_id", LongType, nullable = false),
+      StructField("content", BinaryType, nullable = true)))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    df.select(col(idCol).cast("long").as("asset_id"))
+      .mapPartitions { it =>
+        it.map { r =>
+          val id = r.getLong(0)
+          val vbr = id % 4 == 0
+          val mp3 = Mp3Codec.encodeMp3(
+            nFrames = (3 + id % 5).toInt,
+            srIdx = (id % 3).toInt,
+            mode = (id % 4).toInt,
+            withCrc = id % 5 == 0,
+            id3Size = if (id % 2 == 0) (16 + id % 8).toInt else -1,
+            brIdx = i => (1 + (if (vbr) (id + i) % 14 else id % 14)).toInt,
+            padBit = i => if ((id + i) % 3 == 0) 1 else 0)
+          val payload =
+            if (id % 13 == 0) mp3.take(mp3.length * 3 / 5)
+            else if (id % 17 == 0) {
+              val at = (if (id % 2 == 0) 10 + 16 + id % 8 else 0).toInt
+              mp3(at + 2) = (mp3(at + 2) | 0x0c).toByte // srIdx -> 3
+              mp3
+            } else mp3
+          Row(id, payload)
+        }
+      }(enc)
+  }
+
+  /** Frame-header profile over MP3 payloads ([[Mp3Codec.mp3Walk]]):
+    * frame count, sample rate, bitrate envelope (min == max ⟺ CBR),
+    * channel mode, integer duration, tag/CRC presence, parse success
+    * in-band. O(n_frames) header hops per asset — the spectral
+    * payload is never read, so cost is independent of asset size. */
+  def mp3Profile(assets: DataFrame,
+                 contentCol: String = "content"): DataFrame = {
+    val schema = StructType(assets.schema.fields.filterNot(
+      _.name == contentCol) ++ Seq(
+      StructField("n_frames", IntegerType, nullable = true),
+      StructField("sample_rate", IntegerType, nullable = true),
+      StructField("min_br", IntegerType, nullable = true),
+      StructField("max_br", IntegerType, nullable = true),
+      StructField("channel_mode", IntegerType, nullable = true),
+      StructField("duration_ms", LongType, nullable = true),
+      StructField("has_id3", BooleanType, nullable = true),
+      StructField("has_crc", BooleanType, nullable = true),
+      StructField("parsed", BooleanType, nullable = false)))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    val idx = assets.schema.fieldIndex(contentCol)
+    val keep = assets.schema.fields.indices.filterNot(_ == idx)
+    assets.mapPartitions { it =>
+      it.map { r =>
+        val base = keep.map(r.get)
+        Mp3Codec.mp3Walk(r.getAs[Array[Byte]](idx)) match {
+          case Some(m) =>
+            Row.fromSeq(base ++ Seq(m.nFrames, m.sampleRate,
+              m.minBitrateKbps, m.maxBitrateKbps, m.channelMode,
+              m.durationMs, m.hasId3, m.hasCrc, true))
+          case None =>
+            Row.fromSeq(base ++ Seq(null, null, null, null, null, null,
+              null, null, false))
+        }
+      }
+    }(enc)
+  }
+
+  /** Deterministic ADTS (AAC) corpus from ids; corrupt taxonomy at
+    * id % 11 (torn) and id % 19 (nonzero layer bits patched into the
+    * first header). */
+  def synthAdtsAssets(df: DataFrame, idCol: String): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("asset_id", LongType, nullable = false),
+      StructField("content", BinaryType, nullable = true)))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    df.select(col(idCol).cast("long").as("asset_id"))
+      .mapPartitions { it =>
+        it.map { r =>
+          val id = r.getLong(0)
+          val aac = Mp3Codec.encodeAdts(
+            nFrames = (2 + id % 6).toInt,
+            sfi = (3 + id % 9).toInt,
+            profile = (id % 4).toInt,
+            channels = (1 + id % 6).toInt,
+            withCrc = id % 3 == 0,
+            payloadLen = i => (10 + (id + i) % 20).toInt)
+          val payload =
+            if (id % 11 == 0) aac.take(aac.length * 2 / 3)
+            else if (id % 19 == 0) {
+              aac(1) = (aac(1) | 0x02).toByte // layer 00 -> 01
+              aac
+            } else aac
+          Row(id, payload)
+        }
+      }(enc)
+  }
+
+  /** Header profile over ADTS payloads ([[Mp3Codec.adtsWalk]]). */
+  def adtsProfile(assets: DataFrame,
+                  contentCol: String = "content"): DataFrame = {
+    val schema = StructType(assets.schema.fields.filterNot(
+      _.name == contentCol) ++ Seq(
+      StructField("n_frames", IntegerType, nullable = true),
+      StructField("sample_rate", IntegerType, nullable = true),
+      StructField("aac_profile", IntegerType, nullable = true),
+      StructField("channels", IntegerType, nullable = true),
+      StructField("duration_ms", LongType, nullable = true),
+      StructField("has_crc", BooleanType, nullable = true),
+      StructField("parsed", BooleanType, nullable = false)))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    val idx = assets.schema.fieldIndex(contentCol)
+    val keep = assets.schema.fields.indices.filterNot(_ == idx)
+    assets.mapPartitions { it =>
+      it.map { r =>
+        val base = keep.map(r.get)
+        Mp3Codec.adtsWalk(r.getAs[Array[Byte]](idx)) match {
+          case Some(m) =>
+            Row.fromSeq(base ++ Seq(m.nFrames, m.sampleRate, m.profile,
+              m.channels, m.durationMs, m.hasCrc, true))
+          case None =>
+            Row.fromSeq(base ++ Seq(null, null, null, null, null, null,
+              false))
+        }
+      }
+    }(enc)
+  }
+
   /** IFD metadata profile over TIFF payloads ([[TiffCodec.ifdWalk]]):
     * dims, orientation, bits-per-sample, byte order, DateTime, parse
     * success in-band — the EXIF-class facts a curation pipeline
@@ -1628,13 +1761,11 @@ object MultimodalOps {
   private val PostingMetaName = "_GRAFT_POSTING"
 
   private def writePostingMeta(dir: String, buckets: Int): Unit =
-    java.nio.file.Files.writeString(
-      java.nio.file.Paths.get(dir, PostingMetaName), s"buckets=$buckets\n")
+    SidecarIO.write(dir, PostingMetaName, s"buckets=$buckets\n")
 
   private def readPostingMeta(dir: String): Option[Int] = {
-    val p = java.nio.file.Paths.get(dir, PostingMetaName)
-    if (!java.nio.file.Files.exists(p)) None
-    else Some(java.nio.file.Files.readString(p).linesIterator
+    if (!SidecarIO.exists(dir, PostingMetaName)) None
+    else Some(SidecarIO.read(dir, PostingMetaName).linesIterator
       .find(_.startsWith("buckets=")).map(_.drop("buckets=".length).trim.toInt)
       .getOrElse(throw new IllegalArgumentException(
         s"malformed $PostingMetaName at $dir")))

@@ -218,16 +218,14 @@ object SpatialOps {
 
   private def writeGridMeta(dir: String, cell: Long, tile: Long,
                             grid: Long): Unit =
-    java.nio.file.Files.writeString(
-      java.nio.file.Paths.get(dir, GridMetaName),
+    SidecarIO.write(dir, GridMetaName,
       s"cell=$cell\ntile=$tile\ngrid=$grid\n")
 
   private[operators] def gridMeta(dir: String): (Long, Long, Long) = {
-    val p = java.nio.file.Paths.get(dir, GridMetaName)
-    require(java.nio.file.Files.exists(p),
+    require(SidecarIO.exists(dir, GridMetaName),
       s"point index at $dir has no $GridMetaName metadata — not a " +
         "pointIndexBuild directory, or a torn build")
-    val kv = java.nio.file.Files.readString(p).linesIterator
+    val kv = SidecarIO.read(dir, GridMetaName).linesIterator
       .filter(_.contains("=")).map { l =>
         val Array(k, v) = l.split("=", 2); (k, v)
       }.toMap
@@ -385,8 +383,18 @@ object SpatialOps {
     * never both), and the crossing comparison is strict (`px` exactly
     * on an edge resolves deterministically, same answer both engines).
     *
-    * Overflow bound: |coord| ≤ c requires 4c² < 2^63, i.e. c < 1.5e9 —
-    * microdegrees (≤ 1.8e8) clear it by 8×. Runs as one HOF aggregate
+    * Overflow bound: |coord| ≤ c — `lhs` is the DIFFERENCE of two
+    * products each bounded by 4c², so the worst case is 8c² < 2^63,
+    * i.e. c < 1.07e9; microdegrees (≤ 1.8e8) clear it by ~6×.
+    *
+    * Degenerate rings (null, empty, or < 3 vertices) resolve IN-BAND
+    * to `false` — the codec discipline. Unguarded, `sequence(0, n-1)`
+    * with n = 0 is the DESCENDING [0, -1] (Spark sequence semantics),
+    * whose i = -1 step evaluates `element_at(poly, 0)` — a hard
+    * runtime error ("array indices start at 1") that would fail the
+    * whole job on one malformed ring.
+    *
+    * Runs as one HOF aggregate
     * over the vertex array: O(V) per candidate pair, no explode, no
     * extra rows.
     */
@@ -406,7 +414,7 @@ object SpatialOps {
           ((dy > 0 && lhs < 0) || (dy < 0 && lhs > 0))
         acc + when(crosses, 1L).otherwise(0L)
       })
-    pmod(crossings, lit(2L)) === 1L
+    when(n >= 3, pmod(crossings, lit(2L)) === 1L).otherwise(lit(false))
   }
 
   /** Point-in-POLYGON containment join: every (polygon, point) pair

@@ -33,7 +33,12 @@ object SubtitleCodec {
   def vttCues(text: String): Option[Seq[VttCue]] = {
     if (text == null) return None
     val lines = text.split("\n", -1).map(_.stripSuffix("\r"))
-    if (lines.isEmpty || !lines(0).startsWith("WEBVTT")) return None
+    // the spec's header grammar: "WEBVTT" followed by end-of-line,
+    // space, or tab — a bare prefix match would accept alien files
+    // whose first token merely STARTS with WEBVTT ("WEBVTTfoo")
+    if (lines.isEmpty || !(lines(0) == "WEBVTT" ||
+        lines(0).startsWith("WEBVTT ") || lines(0).startsWith("WEBVTT\t")))
+      return None
     val cues = Seq.newBuilder[VttCue]
     var i = 1
     while (i < lines.length) {

@@ -129,7 +129,30 @@ object GraphQueries {
     // neighbor list (the dd12 posting-list pattern); mutual-kNN-style
     // degree bounding makes the d² fan-out safe at any corpus size.
     "gr9_link_pred" -> ((s, d) =>
-      GraphOps.linkPrediction(knnEdges(s, d, 5), minCommon = 2L))
+      GraphOps.linkPrediction(knnEdges(s, d, 5), minCommon = 2L)),
+
+    // Strongly connected components (FB-Trim) over a DIRECTED graph
+    // with planted bow-tie structure derived arithmetically from
+    // doc_id (so the oracle is closed-form and sf-stable): ten 5-rings
+    // (doc_id < 50 — SCCs of 5, constant count at every sf) and a
+    // scale-growing tendril mass (every doc_id ≥ 50 hangs off ring
+    // node id%50, alternating direction by id%3 so BOTH trim classes
+    // — no-in and no-out — fire). The algorithmic (non-planted) gate
+    // is GraphSpec's random-digraph property test vs a driver Tarjan.
+    "gr12_scc" -> ((s, d) => {
+      val ids = documents(s, d)
+        .select(col("doc_id").cast("long").as("id"))
+      val ring = ids.filter(col("id") < 50).select(col("id").as("a"),
+        (col("id") - col("id") % 5 +
+          pmod(col("id") % 5 + 1, lit(5))).cast("long").as("b"))
+      val into = ids.filter(col("id") >= 50 && col("id") % 3 =!= 0)
+        .select(col("id").as("a"), (col("id") % 50).as("b"))
+      val outof = ids.filter(col("id") >= 50 && col("id") % 3 === 0)
+        .select((col("id") % 50).as("a"), col("id").as("b"))
+      leased("gr12_scc")(GraphOps.stronglyConnectedComponentsReleasable(
+        ring.unionByName(into).unionByName(outof),
+        maxPivotRounds = 16, maxHops = 8))
+    })
   )
 
   /** ss16's sign-bucket kNN edge SQL as a reusable CTE chain ending in
@@ -233,6 +256,14 @@ object GraphQueries {
            WHERE walk.dist < 4)
          SELECT id, min(dist)::INT AS dist FROM walk GROUP BY id"""
     },
+    // closed-form replay of the planted bow-tie: ring members (doc_id
+    // < 50) collapse to their ring's min id, every tendril node is its
+    // own singleton SCC — the arithmetic IS the expected decomposition
+    "gr12_scc" ->
+      """SELECT doc_id::BIGINT AS id,
+           (CASE WHEN doc_id < 50 THEN doc_id - doc_id % 5
+                 ELSE doc_id END)::BIGINT AS scc
+         FROM documents""",
     "gr1_pagerank" -> {
       val iters = (1 to 3).map(i =>
         prIter(s"it$i", if (i == 1) "pr0" else s"it${i - 1}"))

@@ -2761,4 +2761,28 @@ class ExtOpsSpec extends SparkSpec {
     assert(cachedRdds() == before)
     release2()
   }
+
+  test("rayCastInside resolves degenerate rings in-band: null/empty/point/segment are false, never an error") {
+    import spark.implicits._
+    // unguarded, sequence(0, n-1) at n = 0 is [0, -1] and the i = -1
+    // step throws on element_at(poly, 0) — one malformed ring must
+    // not fail the job
+    val rows = Seq(
+      (0L, Seq.empty[(Long, Long)]), // replaced with NULL below
+      (1L, Seq.empty[(Long, Long)]),
+      (2L, Seq((5L, 5L))),
+      (3L, Seq((0L, 0L), (10L, 10L))),
+      (4L, Seq((0L, 0L), (10L, 0L), (0L, 10L))))
+      .toDF("id", "ring")
+      .select(col("id"), transform(col("ring"),
+        v => struct(v.getField("_1").as("x"), v.getField("_2").as("y")))
+        .as("poly"))
+    val polyType = rows.schema("poly").dataType
+    val got = rows.select(col("id"), SpatialOps.rayCastInside(
+        when(col("id") === 0, lit(null).cast(polyType))
+          .otherwise(col("poly")), lit(2L), lit(2L)).as("in"))
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(got == Map(0L -> false, 1L -> false, 2L -> false,
+      3L -> false, 4L -> true), got.toString)
+  }
 }

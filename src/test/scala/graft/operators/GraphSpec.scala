@@ -391,6 +391,89 @@ class GraphSpec extends SparkSpec {
     }
   }
 
+  test("scc matches a driver Tarjan on random digraphs; trim classes and guards behave") {
+    import spark.implicits._
+    // iterative Tarjan (explicit stack — no JVM recursion limits)
+    def tarjan(n: Int, adj: Map[Int, Seq[Int]]): Map[Long, Long] = {
+      val index = Array.fill(n)(-1); val low = Array.fill(n)(0)
+      val onStack = Array.fill(n)(false)
+      val stack = scala.collection.mutable.Stack[Int]()
+      var counter = 0
+      val comp = Array.fill(n)(-1)
+      for (root <- 0 until n if index(root) < 0) {
+        // work stack of (node, child-iterator position)
+        val work = scala.collection.mutable.Stack[(Int, Int)]((root, 0))
+        while (work.nonEmpty) {
+          val (v, ci) = work.pop()
+          if (ci == 0) {
+            index(v) = counter; low(v) = counter; counter += 1
+            stack.push(v); onStack(v) = true
+          }
+          val kids = adj.getOrElse(v, Seq.empty)
+          var advanced = false
+          var i = ci
+          while (i < kids.length && !advanced) {
+            val w = kids(i)
+            if (index(w) < 0) {
+              work.push((v, i + 1)); work.push((w, 0)); advanced = true
+            } else {
+              if (onStack(w)) low(v) = math.min(low(v), index(w))
+              i += 1
+            }
+          }
+          if (!advanced && i >= kids.length) {
+            if (low(v) == index(v)) {
+              var done = false
+              val members = scala.collection.mutable.Buffer[Int]()
+              while (!done) {
+                val w = stack.pop(); onStack(w) = false
+                members += w; done = w == v
+              }
+              val m = members.min
+              members.foreach(comp(_) = m)
+            }
+            if (work.nonEmpty) {
+              val (p, _) = work.top
+              low(p) = math.min(low(p), low(v))
+            }
+          }
+        }
+      }
+      (0 until n).map(v => v.toLong -> comp(v).toLong).toMap
+    }
+    for (seed <- Seq(1, 2, 3)) {
+      val n = 30
+      val rnd = new scala.util.Random(seed)
+      val es = (for (a <- 0 until n; b <- 0 until n
+        if a != b && rnd.nextInt(100) < 8) yield (a.toLong, b.toLong))
+      val adj = es.groupBy(_._1.toInt)
+        .map { case (k, v) => k -> v.map(_._2.toInt).sorted.toSeq }
+      val got = GraphOps.stronglyConnectedComponents(
+          es.toDF("a", "b"), maxPivotRounds = 64, maxHops = 64)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // Tarjan over the full 0..n-1 set; the operator only emits edge
+      // endpoints, so restrict the model to them
+      val touched = es.flatMap(e => Seq(e._1, e._2)).toSet
+      val want = tarjan(n, adj).filter { case (v, _) => touched(v) }
+      assert(got == want, s"seed=$seed got=${got.toSeq.sorted.take(10)} " +
+        s"want=${want.toSeq.sorted.take(10)}")
+    }
+    // hand graph: ring 0->1->2->0, tendril-in 3->0, tendril-out 2->4
+    val hand = GraphOps.stronglyConnectedComponents(
+        Seq((0L, 1L), (1L, 2L), (2L, 0L), (3L, 0L), (2L, 4L))
+          .toDF("a", "b"), maxPivotRounds = 4, maxHops = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hand == Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 3L -> 3L, 4L -> 4L))
+    // truncated reach must FAIL LOUDLY, never split an SCC silently:
+    // a 5-ring with maxHops 2
+    val ringE = (0L until 5L).map(i => (i, (i + 1) % 5)).toDF("a", "b")
+    val err = intercept[Exception] {
+      GraphOps.stronglyConnectedComponents(ringE,
+        maxPivotRounds = 4, maxHops = 2).collect()
+    }
+    assert(err.getMessage.contains("maxHops"), err.getMessage)
+  }
+
   test("mutualEdges keeps exactly the reciprocated pairs") {
     val knn = Seq((1L, 2L), (2L, 1L), (1L, 3L), (3L, 2L), (2L, 3L))
       .toDF("a", "b")

@@ -36,5 +36,13 @@ class SubtitleCodecSpec extends AnyFunSuite {
     assert(SubtitleCodec.vttCues("WEBVTT\n").contains(Seq.empty[VttCue]))
     assert(SubtitleCodec.vttCues("WEBVTT\n\nNOTE only a comment\n")
       .contains(Seq.empty[VttCue]))
+    // spec header grammar: "WEBVTT" then EOL/space/tab — a glued
+    // suffix is an alien file, a space/tab-separated trailer is valid
+    assert(SubtitleCodec.vttCues(
+      "WEBVTTfoo\n\n00:01.000 --> 00:02.000\nx\n").isEmpty)
+    assert(SubtitleCodec.vttCues("WEBVTT - with a comment\n")
+      .contains(Seq.empty[VttCue]))
+    assert(SubtitleCodec.vttCues("WEBVTT\tkind: captions\n")
+      .contains(Seq.empty[VttCue]))
   }
 }
