@@ -221,10 +221,12 @@ object PerfCompare {
           .withColumn("cum", sum("n_tokens").over(w))
           .agg(max("cum")).collect()(0).getLong(0)
       }
-      def twoPhaseForm: Long =
-        operators.TextAnalysisOps.packBins(corpus, "id", "text",
-            "source", budgetTokens = 512)
-          .agg(max("cum")).collect()(0).getLong(0)
+      def twoPhaseForm: Long = {
+        val (bins, rel) = operators.TextAnalysisOps.packBinsReleasable(
+          corpus, "id", "text", "source", budgetTokens = 512)
+        val m = bins.agg(max("cum")).collect()(0).getLong(0)
+        rel(); m
+      }
       val (tw, mw) = time(windowForm)
       val (tt, mt) = time(twoPhaseForm)
       require(mw == mt && mt == 16L * (n / 5 * 4),

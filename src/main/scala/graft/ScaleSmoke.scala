@@ -53,7 +53,8 @@ object ScaleSmoke {
 
     // Targeted replays (the PerfCompare affordance): GRAFT_SS_ONLY
     // names a subset of the named lanes (simhash, decon, bpe, overlap, capbudget,
-    // curation, graph, tri); unset runs everything including the legacy block below.
+    // curation, graph, tri, scc, spandedupskew, packskew, ...); unset
+    // runs everything including the legacy block below.
     val only = sys.env.get("GRAFT_SS_ONLY")
       .map(_.split(",").map(_.trim.toLowerCase).filter(_.nonEmpty).toSet)
       .getOrElse(Set.empty[String])
@@ -1247,6 +1248,46 @@ object ScaleSmoke {
     // with negative scatter) and sit at ±59°: the ECEF gridding's
     // no-wrap/no-pole-case claim is exercised at volume, not just in
     // the 100-point spec.
+    // gr12 SCC smoke (r15): a 800k-node bow-tie with closed-form
+    // structure — one giant hub-and-spoke SCC (hub 0 ↔ 100k spokes,
+    // diameter 2, so the 100k-row frontier exercises the broadcast
+    // expansion at volume), one 10-ring (exercises multi-hop reach),
+    // and 700k tendril nodes each pointing INTO a spoke (indeg-0 —
+    // the whole mass must drain in ONE trim round, never via pivots).
+    // Exactly 2 pivot rounds and the component census is exact.
+    lane("scc") {
+      val spokes = 100000L
+      val nTendril = 700000L
+      val hubOut = spark.range(1L, spokes + 1)
+        .select(lit(0L).as("a"), col("id").as("b"))
+      val hubIn = spark.range(1L, spokes + 1)
+        .select(col("id").as("a"), lit(0L).as("b"))
+      val ring = spark.range(10L).select((col("id") + 200000L).as("a"),
+        ((col("id") + 1) % 10 + 200000L).as("b"))
+      val tendril = spark.range(300000L, 300000L + nTendril)
+        .select(col("id").as("a"), (col("id") % spokes + 1).as("b"))
+      val edges = hubOut.unionByName(hubIn).unionByName(ring)
+        .unionByName(tendril).localCheckpoint()
+      val t0 = System.nanoTime()
+      val (scc, rel) = operators.GraphOps
+        .stronglyConnectedComponentsReleasable(edges,
+          maxPivotRounds = 8, maxHops = 16)
+      val sizes = scc.groupBy(col("scc")).agg(count(lit(1)).as("n"))
+      val stats = sizes.agg(count(lit(1)).as("comps"), max(col("n")),
+        sum(col("n"))).collect()(0)
+      val ringN = sizes.filter(col("scc") === 200000L)
+        .collect()(0).getLong(1)
+      val sccSec = (System.nanoTime() - t0) / 1e9
+      println(s"""{"scc_nodes":${spokes + 1 + 10 + nTendril},"sec":${round1(sccSec)},"comps":${stats.getLong(0)}}""")
+      require(stats.getLong(0) == nTendril + 2 &&
+        stats.getLong(1) == spokes + 1 &&
+        stats.getLong(2) == spokes + 1 + 10 + nTendril && ringN == 10L,
+        s"scc census broke: comps=${stats.getLong(0)} " +
+          s"max=${stats.getLong(1)} sum=${stats.getLong(2)} ring=$ringN")
+      rel()
+      Release(edges, blocking = true)
+    }
+
     // dd11 planted-skew smoke (r15): EVERY doc opens with the same
     // 8-word boilerplate span — a 100%-hot span group, the degenerate
     // worst case of the skew class the r14 verdict charged (the old
@@ -1293,7 +1334,7 @@ object ScaleSmoke {
         concat_ws(" ", (0 until 16).map(j => lit(s"t$j")): _*).as("text"))
         .localCheckpoint()
       val t0 = System.nanoTime()
-      val bins = operators.TextAnalysisOps.packBins(
+      val (bins, pkRel) = operators.TextAnalysisOps.packBinsReleasable(
         corpus, "id", "text", "source", budgetTokens = 512)
       val agg = bins.groupBy(col("source"), col("bin"))
         .agg(count(lit(1)).as("nd"), max(col("cum")).as("mc"))
@@ -1309,6 +1350,7 @@ object ScaleSmoke {
         agg("code") == ((codeN / 32, 32L, 32L, 16L * codeN)),
         s"pack skew invariant broke: $agg want web=(${webN / 32},32,32," +
           s"${16L * webN}) code=(${codeN / 32},32,32,${16L * codeN})")
+      pkRel()
       Release(corpus, blocking = true)
     }
 

@@ -431,7 +431,10 @@ object MultimodalOps {
             brIdx = i => (1 + (if (vbr) (id + i) % 14 else id % 14)).toInt,
             padBit = i => if ((id + i) % 3 == 0) 1 else 0)
           val payload =
-            if (id % 13 == 0) mp3.take(mp3.length * 3 / 5)
+            // cut INSIDE the final frame (3 < any frame length), so
+            // the torn class can never land on a frame boundary and
+            // accidentally parse clean
+            if (id % 13 == 0) mp3.take(mp3.length - 3)
             else if (id % 17 == 0) {
               val at = (if (id % 2 == 0) 10 + 16 + id % 8 else 0).toInt
               mp3(at + 2) = (mp3(at + 2) | 0x0c).toByte // srIdx -> 3
@@ -499,7 +502,8 @@ object MultimodalOps {
             withCrc = id % 3 == 0,
             payloadLen = i => (10 + (id + i) % 20).toInt)
           val payload =
-            if (id % 11 == 0) aac.take(aac.length * 2 / 3)
+            if (id % 11 == 0) aac.take(aac.length - 3) // mid-final-frame
+
             else if (id % 19 == 0) {
               aac(1) = (aac(1) | 0x02).toByte // layer 00 -> 01
               aac

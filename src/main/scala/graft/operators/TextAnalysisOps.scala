@@ -361,28 +361,50 @@ object TextAnalysisOps {
     * under the same total order). Exact for ANY boundary placement
     * (partitions are ordered ranges of the global (stratum,
     * orderCols…) order), so the result is deterministic even though
-    * range sampling is not part of the contract. The subtotal branch
-    * and the local branch share the range exchange via ReuseExchange
-    * (pinned in PlanShapeSpec), so the input is shuffled once.
+    * range sampling is not part of the contract. The pid-stamped
+    * frame is materialized once (see the Releasable body on why that
+    * is load-bearing), so the input is shuffled exactly once and both
+    * branches read the same stored bytes.
     *
     * CONTRACT: `base` must carry ONLY columns referenced by
-    * `strataCol`/`orderCols`/`sumCol`. Both branches then prune to the
-    * same column set, the two planned range exchanges are identical,
-    * and ReuseExchange unifies them. This is a CORRECTNESS condition,
-    * not just perf: with two separate exchanges, AQE could coalesce
-    * the two stages differently (their byte sizes differ), giving the
-    * branches different _pid partitionings — offsets keyed to one
-    * partitioning applied to another. An extra payload column (pruned
-    * from the subtotal branch only) is exactly what breaks the match;
-    * join payloads back on the near-unique (stratum, order) key
-    * afterward instead (see shardManifest / packSequences).
+    * `strataCol`/`orderCols`/`sumCol` — the pid-stamped frame is
+    * MATERIALIZED (eager localCheckpoint), so every extra payload
+    * column is stored byte-for-byte; join payloads back on the
+    * near-unique (stratum, order) key afterward instead (see
+    * shardManifest / packSequences). The release handle frees the
+    * checkpoint — lane callers park it in [[graft.Leases]].
     */
   private[graft] def stratumCumSum(base: DataFrame, strataCol: String,
-      orderCols: Seq[Column], sumCol: String): DataFrame = {
+      orderCols: Seq[Column], sumCol: String): DataFrame =
+    stratumCumSumReleasable(base, strataCol, orderCols, sumCol)._1
+
+  private[graft] def stratumCumSumReleasable(base: DataFrame,
+      strataCol: String, orderCols: Seq[Column], sumCol: String)
+      : (DataFrame, () => Unit) = {
     import org.apache.spark.sql.expressions.Window
+    // The pid-stamped frame is EAGERLY MATERIALIZED, and that is a
+    // CORRECTNESS requirement, not a cache: spark_partition_id() is
+    // nondeterministic BY STAGE — the subtotal branch and the local
+    // branch are separate subtrees, and whenever the planner does not
+    // physically share one exchange between them (AQE re-reads a
+    // stage coalesced/local differently per consumer; a recomputed
+    // exchange re-evaluates the projection), the two branches stamp
+    // DIFFERENT _pid structures over the same logical rows — offsets
+    // keyed to one partitioning, applied to another (caught by the
+    // packskew ScaleSmoke at 64 partitions/5M rows: bins of 64 docs
+    // where the closed form says 32, dropped rows from the inner
+    // offset join). Freezing the stamped rows into checkpoint blocks
+    // makes every consumer read the SAME bytes. The explicit
+    // partition count keeps AQE from coalescing the range exchange
+    // underneath the stamp (REPARTITION_BY_NUM is exempt by
+    // contract).
     val parted = base
-      .repartitionByRange((col(strataCol) +: orderCols): _*)
+      .repartitionByRange(
+        base.sparkSession.sessionState.conf.numShufflePartitions,
+        (col(strataCol) +: orderCols): _*)
       .withColumn("_pid", spark_partition_id())
+      .localCheckpoint(true,
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     val localW = Window.partitionBy(col("_pid"), col(strataCol))
       .orderBy(orderCols: _*)
     val local = parted.withColumn("_lcum",
@@ -396,10 +418,11 @@ object TextAnalysisOps {
     val offsets = subtotals
       .withColumn("_off", coalesce(sum(col("_psum")).over(offW), lit(0L)))
       .drop("_psum")
-    local.join(broadcast(offsets),
+    val out = local.join(broadcast(offsets),
         col("_pid") === col("_opid") && col(strataCol) === col("_ostr"))
       .withColumn("cum", col("_off") + col("_lcum"))
       .drop("_pid", "_lcum", "_opid", "_ostr", "_off")
+    (out, () => graft.Release(parted))
   }
 
   /** Greedy sequence packing (training-batch prep): assign documents to
@@ -411,14 +434,21 @@ object TextAnalysisOps {
     * [b·budget, (b+1)·budget).
     */
   def packBins(df: DataFrame, idCol: String, textCol: String,
-               strataCol: String, budgetTokens: Int): DataFrame = {
+               strataCol: String, budgetTokens: Int): DataFrame =
+    packBinsReleasable(df, idCol, textCol, strataCol, budgetTokens)._1
+
+  /** [[packBins]] plus the release handle for the prefix-sum
+    * checkpoint (lane callers park it in [[graft.Leases]]). */
+  def packBinsReleasable(df: DataFrame, idCol: String, textCol: String,
+      strataCol: String, budgetTokens: Int): (DataFrame, () => Unit) = {
     val base = df.select(col(strataCol), col(idCol),
       tokenCount(col(textCol)).as("n_tokens"))
-    stratumCumSum(base, strataCol, Seq(col(idCol)), "n_tokens")
-      .withColumn("bin",
+    val (cum, rel) =
+      stratumCumSumReleasable(base, strataCol, Seq(col(idCol)), "n_tokens")
+    (cum.withColumn("bin",
         floor((col("cum") - col("n_tokens")) / budgetTokens).cast("int"))
       .select(col(strataCol), col(idCol), col("n_tokens"), col("cum"),
-        col("bin"))
+        col("bin")), rel)
   }
 
   /** Materialize [[packBins]] assignments into actual training
@@ -431,7 +461,15 @@ object TextAnalysisOps {
     */
   def packSequences(df: DataFrame, idCol: String, textCol: String,
                     strataCol: String, budgetTokens: Int,
-                    eos: String = "<|eod|>"): DataFrame = {
+                    eos: String = "<|eod|>"): DataFrame =
+    packSequencesReleasable(df, idCol, textCol, strataCol, budgetTokens,
+      eos)._1
+
+  /** [[packSequences]] plus the release handle for the prefix-sum
+    * checkpoint. */
+  def packSequencesReleasable(df: DataFrame, idCol: String,
+      textCol: String, strataCol: String, budgetTokens: Int,
+      eos: String = "<|eod|>"): (DataFrame, () => Unit) = {
     // bin assignment runs NARROW (stratum, id, n_tokens — no text)
     // through the two-phase prefix sum, then the text joins back on the
     // near-unique (stratum, id) key. The corpus text moves twice (join
@@ -440,10 +478,12 @@ object TextAnalysisOps {
     // shape threaded the full document text through
     // `PARTITION BY stratum`, which parks a dominant stratum (web ≈ 80%
     // of real mixtures) in ONE task's external sort, text included.
-    val bins = packBins(df, idCol, textCol, strataCol, budgetTokens)
+    val (binsAll, rel) =
+      packBinsReleasable(df, idCol, textCol, strataCol, budgetTokens)
+    val bins = binsAll
       .select(col(strataCol).as("_bstr"), col(idCol).as("_bid"),
         col("n_tokens"), col("bin"))
-    df.select(col(strataCol), col(idCol), col(textCol))
+    (df.select(col(strataCol), col(idCol), col(textCol))
       .join(bins, col(strataCol) === col("_bstr") &&
         col(idCol) === col("_bid"))
       .groupBy(col(strataCol), col("bin"))
@@ -451,7 +491,7 @@ object TextAnalysisOps {
         sum(col("n_tokens")).cast("long").as("seq_tokens"),
         array_join(transform(
           array_sort(collect_list(struct(col(idCol), col(textCol)))),
-          s => s.getField(textCol)), s" $eos ").as("seq_text"))
+          s => s.getField(textCol)), s" $eos ").as("seq_text")), rel)
   }
 
   /** Per-source document cap — the dominant-domain down-sampler
@@ -1297,30 +1337,37 @@ object TextAnalysisOps {
     * < 2^32, so the XOR stays in long range by construction.
     */
   def shardManifest(df: DataFrame, idCol: String, weightCol: String,
-                    nShards: Int): DataFrame = {
+                    nShards: Int): DataFrame =
+    shardManifestReleasable(df, idCol, weightCol, nShards)._1
+
+  /** [[shardManifest]] plus the release handle for the prefix-sum
+    * checkpoint. */
+  def shardManifestReleasable(df: DataFrame, idCol: String,
+      weightCol: String, nShards: Int): (DataFrame, () => Unit) = {
     val assigned = df.select(col(idCol), col(weightCol))
       .withColumn("shard", shardAssign(col(idCol), nShards))
     // docs/weight need no rank — a plain map-side-combined agg; only
     // the order-sensitive fingerprint rides the rank pipeline, kept
-    // MINIMAL-COLUMN (id, shard, _h, _one: exactly the columns BOTH
-    // prefix-sum branches reference) so column pruning yields the
-    // identical range exchange in both branches and ReuseExchange
-    // fires — see the stratumCumSum contract
+    // MINIMAL-COLUMN (id, shard, _h, _one: exactly the columns the
+    // prefix sum references) so the materialized pid-stamped frame
+    // stores nothing it does not need — the stratumCumSum contract
     val totals = assigned.groupBy(col("shard"))
       .agg(count(lit(1)).as("n_docs"),
         sum(col(weightCol).cast("long")).as("n_weight"))
     val base = assigned.select(col(idCol), col("shard"))
       .withColumn("_h", md5(col(idCol).cast("string")))
       .withColumn("_one", lit(1))
-    val fps = stratumCumSum(base, "shard",
-        Seq(col("_h").asc, col(idCol).asc), "_one")
+    val (cum, rel) = stratumCumSumReleasable(base, "shard",
+      Seq(col("_h").asc, col(idCol).asc), "_one")
+    val fps = cum
       .withColumn("_fpt", conv(substring(md5(concat(
         col(idCol).cast("string"), lit(":"), col("cum").cast("string"))),
         1, 8), 16, 10).cast("long"))
       .groupBy(col("shard"))
       .agg(expr("bit_xor(_fpt)").as("fp"))
-    totals.join(fps, Seq("shard"))
-      .select(col("shard"), col("n_docs"), col("n_weight"), col("fp"))
+    (totals.join(fps, Seq("shard"))
+      .select(col("shard"), col("n_docs"), col("n_weight"), col("fp")),
+      rel)
   }
 
   /** BPE merge-candidate counting — the inner loop of byte-pair-encoding

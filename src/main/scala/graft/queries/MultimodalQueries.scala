@@ -358,6 +358,38 @@ object MultimodalQueries {
           col("date_time"), col("parsed"))
     }),
 
+    // MP3 frame-header walk (mm29): the dominant wire audio format —
+    // WAV (mm9) is the raw interchange shape, crawled audio is MP3/AAC.
+    // Every header field is deterministic encoder output (sync,
+    // bitrate/sample-rate table indices, frame-length hop), so the
+    // whole profile is oracle-replayable from the generative rule,
+    // including the VBR bitrate envelope (min/max over the per-frame
+    // index sequence) and the integer duration. Torn (id%13) and
+    // reserved-sample-rate (id%17) assets miss in-band; the spectral
+    // payload is never decoded (the mm15 rule).
+    "mm29_mp3_meta" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      MultimodalOps.mp3Profile(
+        MultimodalOps.synthMp3Assets(documents(s, d), "doc_id"))
+        .select(col("asset_id"), col("n_frames"), col("sample_rate"),
+          col("min_br"), col("max_br"), col("channel_mode"),
+          col("duration_ms"), col("has_id3"), col("has_crc"),
+          col("parsed"))
+    }),
+
+    // ADTS (AAC transport) header walk (mm30): the other half of wire
+    // audio. Same discipline as mm29; duration counts 1024 PCM samples
+    // per raw data block. Torn (id%11) and nonzero-layer (id%19)
+    // assets miss in-band.
+    "mm30_adts_meta" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      MultimodalOps.adtsProfile(
+        MultimodalOps.synthAdtsAssets(documents(s, d), "doc_id"))
+        .select(col("asset_id"), col("n_frames"), col("sample_rate"),
+          col("aac_profile"), col("channels"), col("duration_ms"),
+          col("has_crc"), col("parsed"))
+    }),
+
     // GIF animation-structure profile (mm25): the block walk reads
     // canvas/palette/frame-count/total-delay/loop off the wire without
     // ever touching LZW data — O(blocks) per asset. The writer's
@@ -1291,6 +1323,59 @@ GROUP BY 1, 2""",
            END AS date_time,
            NOT (doc_id % 13 = 0 OR doc_id % 17 = 0) AS parsed
          FROM documents""",
+    "mm29_mp3_meta" ->
+      """WITH d AS (SELECT doc_id::BIGINT AS id FROM documents),
+         p AS (SELECT id,
+             (id % 13 = 0 OR id % 17 = 0) AS bad,
+             (3 + id % 5)::INT AS nf,
+             (CASE id % 3 WHEN 0 THEN 44100 WHEN 1 THEN 48000
+                          ELSE 32000 END)::INT AS sr
+           FROM d),
+         b AS (SELECT id, bad, nf, sr,
+             CASE WHEN id % 4 = 0 THEN
+               [list_extract([32,40,48,56,64,80,96,112,128,160,192,224,
+                              256,320], (((id + i) % 14) + 1)::INT)
+                for i in range(0, nf)]
+             ELSE
+               [list_extract([32,40,48,56,64,80,96,112,128,160,192,224,
+                              256,320], ((id % 14) + 1)::INT)]
+             END AS brs
+           FROM p)
+         SELECT id AS asset_id,
+           CASE WHEN bad THEN NULL ELSE nf END AS n_frames,
+           CASE WHEN bad THEN NULL ELSE sr END AS sample_rate,
+           CASE WHEN bad THEN NULL ELSE list_min(brs)::INT END AS min_br,
+           CASE WHEN bad THEN NULL ELSE list_max(brs)::INT END AS max_br,
+           CASE WHEN bad THEN NULL ELSE (id % 4)::INT END AS channel_mode,
+           CASE WHEN bad THEN NULL
+                ELSE ((nf::BIGINT * 1152 * 1000) // sr)::BIGINT
+           END AS duration_ms,
+           CASE WHEN bad THEN NULL ELSE id % 2 = 0 END AS has_id3,
+           CASE WHEN bad THEN NULL ELSE id % 5 = 0 END AS has_crc,
+           NOT bad AS parsed
+         FROM b""",
+    "mm30_adts_meta" ->
+      """WITH d AS (SELECT doc_id::BIGINT AS id FROM documents),
+         p AS (SELECT id,
+             (id % 11 = 0 OR id % 19 = 0) AS bad,
+             (2 + id % 6)::INT AS nf,
+             (CASE 3 + id % 9
+                WHEN 3 THEN 48000 WHEN 4 THEN 44100 WHEN 5 THEN 32000
+                WHEN 6 THEN 24000 WHEN 7 THEN 22050 WHEN 8 THEN 16000
+                WHEN 9 THEN 12000 WHEN 10 THEN 11025 ELSE 8000
+              END)::INT AS sr
+           FROM d)
+         SELECT id AS asset_id,
+           CASE WHEN bad THEN NULL ELSE nf END AS n_frames,
+           CASE WHEN bad THEN NULL ELSE sr END AS sample_rate,
+           CASE WHEN bad THEN NULL ELSE (id % 4)::INT END AS aac_profile,
+           CASE WHEN bad THEN NULL ELSE (1 + id % 6)::INT END AS channels,
+           CASE WHEN bad THEN NULL
+                ELSE ((nf::BIGINT * 1024 * 1000) // sr)::BIGINT
+           END AS duration_ms,
+           CASE WHEN bad THEN NULL ELSE id % 3 = 0 END AS has_crc,
+           NOT bad AS parsed
+         FROM p""",
     "mm19_jpeg_meta" ->
       """SELECT doc_id AS asset_id,
            CASE WHEN doc_id % 13 = 0 THEN NULL

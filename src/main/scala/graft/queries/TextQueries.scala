@@ -157,7 +157,9 @@ object TextQueries {
     "tx32_shard_manifest" -> ((s, d) => {
       val docs = documents(s, d)
         .withColumn("n_tokens", size(split(col("text"), " ")))
-      TextAnalysisOps.shardManifest(docs, "doc_id", "n_tokens", 16)
+      val (m, rel) = TextAnalysisOps.shardManifestReleasable(
+        docs, "doc_id", "n_tokens", 16)
+      graft.Leases.swap("tx32_shard_manifest", rel)(m)
     }),
 
     // Sketch-based distinct counting. The raw HLL estimate is
@@ -481,18 +483,20 @@ object TextQueries {
     // Greedy sequence packing: documents → fixed-budget context bins by
     // per-source running token count (training-batch prep).
     "tx13_packing" -> ((s, d) => {
-      TextAnalysisOps.packBins(documents(s, d), "doc_id", "text",
-        "source", budgetTokens = 512)
+      val (out, rel) = TextAnalysisOps.packBinsReleasable(
+        documents(s, d), "doc_id", "text", "source", budgetTokens = 512)
+      graft.Leases.swap("tx13_packing", rel)(out)
     }),
 
     // Materialized training sequences: packBins assignments concatenated
     // in id order with an EOS separator — the final "make training
     // examples" step; sequence text pinned by fingerprint.
     "tx23_pack_sequences" -> ((s, d) => {
-      TextAnalysisOps.packSequences(documents(s, d), "doc_id", "text",
-          "source", budgetTokens = 512)
-        .select(col("source"), col("bin"), col("n_docs"),
-          col("seq_tokens"), md5(col("seq_text")).as("seq_fp"))
+      val (seq, rel) = TextAnalysisOps.packSequencesReleasable(
+        documents(s, d), "doc_id", "text", "source", budgetTokens = 512)
+      graft.Leases.swap("tx23_pack_sequences", rel)(
+        seq.select(col("source"), col("bin"), col("n_docs"),
+          col("seq_tokens"), md5(col("seq_text")).as("seq_fp")))
     }),
 
     // Quantile-gated curation: keep the top 30% of docs per language
@@ -512,16 +516,18 @@ object TextQueries {
         .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
         .select(col("lang"), col("doc_id"), col("stopword_ratio"))
         .withColumn("_one", lit(1))
-      val ranked = TextAnalysisOps.stratumCumSum(q, "lang",
-        Seq(col("stopword_ratio").desc, col("doc_id").asc), "_one")
+      val (ranked, rel) = TextAnalysisOps.stratumCumSumReleasable(q,
+        "lang", Seq(col("stopword_ratio").desc, col("doc_id").asc),
+        "_one")
       val counts = docs.groupBy("lang").agg(count(lit(1)).as("_n"))
+      graft.Leases.swap("tx24_quantile_filter", rel)(
       ranked.join(broadcast(counts), Seq("lang"))
         .withColumn("pr", when(col("_n") === 1, lit(0.0))
           .otherwise(round((col("cum") - 1).cast("double") /
             (col("_n") - 1).cast("double"), 6)))
         .filter(col("pr") <= 0.3)
         .select(col("lang"), col("doc_id"), col("stopword_ratio"),
-          col("pr"))
+          col("pr")))
     }),
 
     // KMV (k-minimum-values) distinct-count sketch, k=16: because the

@@ -668,19 +668,55 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("Window"), p.take(3000))
   }
 
-  test("tx13/tx23 packing: two-phase prefix sum — range partition, reused exchange, no stratum-only window") {
-    // the dominant stratum (web ≈ 80% of real mixtures) must split
-    // across range boundaries; every window is keyed by (_pid, stratum)
-    // (bounded by one range partition) or runs on the P×strata subtotal
-    // frame. The subtotal branch must REUSE the range exchange — a
-    // recomputed exchange would both double the shuffle and void the
-    // offset/partition correspondence the prefix sum relies on.
+  test("tx13/tx23/tx24/tx32: prefix-sum lanes read the materialized pid-stamped checkpoint; windows only per (_pid, stratum) or reduced") {
+    // the dominant stratum (web ≈ 80% of real mixtures) splits across
+    // range boundaries; the pid-stamped frame is an EAGER checkpoint
+    // (a LogicalRDD leaf) so the subtotal branch and the local branch
+    // read the SAME stored partition ids — spark_partition_id() is
+    // stage-nondeterministic, and two independently materialized
+    // branches can stamp different structures over the same rows
+    // (caught by the packskew smoke: wrong bins, dropped rows). Every
+    // window must be keyed by _pid (bounded by one range partition)
+    // or run above an Aggregate (the P×strata offsets frame).
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
     for (lane <- Seq("tx13_packing", "tx23_pack_sequences",
         "tx32_shard_manifest", "tx24_quantile_filter")) {
-      val p = planOf(lane)
-      assert(p.contains("rangepartitioning"), s"$lane: ${p.take(3000)}")
-      assert(p.contains("ReusedExchange"),
-        s"$lane lost exchange reuse: ${p.take(4000)}")
+      val plan = SparkEntry.queries(lane)(spark, sf)
+        .queryExecution.optimizedPlan
+      assert(plan.collectLeaves().exists(
+        _.isInstanceOf[org.apache.spark.sql.execution.LogicalRDD]),
+        s"$lane lost the prefix-sum checkpoint leaf:\n${plan.toString.take(2000)}")
+      val bad = plan.collect {
+        case w: LWindow
+          if !w.partitionSpec.flatMap(_.references.map(_.name))
+            .contains("_pid") &&
+            !w.child.exists(_.isInstanceOf[Aggregate]) => w
+      }
+      assert(bad.isEmpty,
+        s"$lane windows outside the two-phase discipline: $bad")
+      graft.Leases.release(lane)
+    }
+  }
+
+  test("prefix-sum and scc lanes keep storage flat across invocations (Leases swap)") {
+    // the gr-lane storage-flat contract extended to the r15
+    // Releasable-backed lanes: invocation N frees invocation N-1's
+    // checkpoint via Leases.swap, so repeated bench passes hold O(1)
+    // checkpoints per lane
+    val sc = spark.sparkContext
+    def ids: Set[Int] = sc.getPersistentRDDs.keySet.toSet
+    for (lane <- Seq("tx13_packing", "tx23_pack_sequences",
+        "tx24_quantile_filter", "tx32_shard_manifest", "gr12_scc")) {
+      val base = ids
+      def run(): Int = {
+        SparkEntry.queries(lane)(spark, sf).collect()
+        (ids -- base).size
+      }
+      val s1 = run(); val s2 = run(); val s3 = run()
+      assert(s1 == s2 && s2 == s3 && s1 <= 2,
+        s"$lane accumulates checkpoints across invocations: $s1 -> $s2 -> $s3")
+      graft.Leases.release(lane)
+      assert((ids -- base).isEmpty, s"$lane: Leases.release left storage")
     }
   }
 
@@ -720,6 +756,7 @@ class PlanShapeSpec extends SparkSpec {
         }.flatten
       }
     }
+    graft.Leases.releaseAll() // constructing leased lanes parks handles
     assert(offenders.isEmpty, offenders.mkString("; "))
   }
 

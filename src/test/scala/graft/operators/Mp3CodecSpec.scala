@@ -1,0 +1,82 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Byte-level contracts for the MP3/ADTS header walks: writer→walker
+  * roundtrip across the parameter space, every corrupt-taxonomy class
+  * resolving None in-band, and the exact integer duration rule. */
+class Mp3CodecSpec extends AnyFunSuite {
+
+  test("mp3 roundtrip: CBR, VBR envelope, padding, CRC, ID3 skip, duration") {
+    // CBR, no tag, no CRC
+    val cbr = Mp3Codec.encodeMp3(4, srIdx = 0, mode = 1, withCrc = false,
+      id3Size = -1, brIdx = _ => 9, padBit = _ => 0)
+    val p = Mp3Codec.mp3Walk(cbr).get
+    assert(p == Mp3Profile(4, 44100, 128, 128, 1,
+      4L * 1152 * 1000 / 44100, hasId3 = false, hasCrc = false))
+    // VBR + ID3 + CRC + per-frame padding
+    val vbr = Mp3Codec.encodeMp3(5, srIdx = 2, mode = 3, withCrc = true,
+      id3Size = 23, brIdx = i => 1 + (i * 5) % 14, padBit = i => i % 2)
+    val q = Mp3Codec.mp3Walk(vbr).get
+    assert(q.nFrames == 5 && q.sampleRate == 32000 && q.hasId3 && q.hasCrc)
+    // brIdx 1,6,11,2,7 -> 32,80,192,40,96
+    assert(q.minBitrateKbps == 32 && q.maxBitrateKbps == 192)
+    assert(q.durationMs == 5L * 1152 * 1000 / 32000)
+  }
+
+  test("mp3 corrupt taxonomy is in-band: torn, lost sync, reserved codes, bad synchsafe, free format") {
+    val good = Mp3Codec.encodeMp3(3, 1, 0, withCrc = false, id3Size = -1,
+      brIdx = _ => 5, padBit = _ => 0)
+    assert(Mp3Codec.mp3Walk(null).isEmpty)
+    assert(Mp3Codec.mp3Walk(Array[Byte](1, 2)).isEmpty)
+    assert(Mp3Codec.mp3Walk(good.dropRight(3)).isEmpty) // torn final frame
+    val lost = good.clone(); lost(0) = 0x00
+    assert(Mp3Codec.mp3Walk(lost).isEmpty) // lost sync
+    val v2 = good.clone(); v2(1) = (v2(1) & ~0x18).toByte
+    assert(Mp3Codec.mp3Walk(v2).isEmpty) // non-MPEG1 version
+    val badSr = good.clone(); badSr(2) = (badSr(2) | 0x0c).toByte
+    assert(Mp3Codec.mp3Walk(badSr).isEmpty) // reserved sample rate
+    val free = good.clone(); free(2) = (free(2) & 0x0f).toByte
+    assert(Mp3Codec.mp3Walk(free).isEmpty) // free-format bitrate
+    val emph = good.clone(); emph(3) = (emph(3) | 0x02).toByte
+    assert(Mp3Codec.mp3Walk(emph).isEmpty) // reserved emphasis
+    // ID3 size bytes must be synchsafe (bit 7 clear)
+    val tagged = Mp3Codec.encodeMp3(2, 0, 0, withCrc = false, id3Size = 8,
+      brIdx = _ => 3, padBit = _ => 0)
+    val badTag = tagged.clone(); badTag(6) = 0x80.toByte
+    assert(Mp3Codec.mp3Walk(badTag).isEmpty)
+    // mid-stream format switch: two CBR streams at different rates
+    val a = Mp3Codec.encodeMp3(1, 0, 0, withCrc = false, id3Size = -1,
+      brIdx = _ => 3, padBit = _ => 0)
+    val b = Mp3Codec.encodeMp3(1, 1, 0, withCrc = false, id3Size = -1,
+      brIdx = _ => 3, padBit = _ => 0)
+    assert(Mp3Codec.mp3Walk(a ++ b).isEmpty)
+  }
+
+  test("adts roundtrip and corrupt taxonomy") {
+    val ok = Mp3Codec.encodeAdts(3, sfi = 4, profile = 1, channels = 2,
+      withCrc = false, payloadLen = i => 12 + i)
+    val p = Mp3Codec.adtsWalk(ok).get
+    assert(p == AdtsProfile(3, 44100, 1, 2,
+      3L * 1024 * 1000 / 44100, hasCrc = false))
+    val crc = Mp3Codec.encodeAdts(2, sfi = 11, profile = 3, channels = 6,
+      withCrc = true, payloadLen = _ => 5)
+    val q = Mp3Codec.adtsWalk(crc).get
+    assert(q.sampleRate == 8000 && q.channels == 6 && q.hasCrc)
+    assert(Mp3Codec.adtsWalk(null).isEmpty)
+    assert(Mp3Codec.adtsWalk(ok.dropRight(3)).isEmpty) // torn
+    val lost = ok.clone(); lost(0) = 0x12
+    assert(Mp3Codec.adtsWalk(lost).isEmpty)
+    val layer = ok.clone(); layer(1) = (layer(1) | 0x02).toByte
+    assert(Mp3Codec.adtsWalk(layer).isEmpty) // layer != 00
+    val badSfi = Mp3Codec.encodeAdts(1, sfi = 13, profile = 0,
+      channels = 1, withCrc = false, payloadLen = _ => 4)
+    assert(Mp3Codec.adtsWalk(badSfi).isEmpty) // reserved rate index
+    // mid-stream switch
+    val c1 = Mp3Codec.encodeAdts(1, sfi = 4, profile = 1, channels = 2,
+      withCrc = false, payloadLen = _ => 4)
+    val c2 = Mp3Codec.encodeAdts(1, sfi = 5, profile = 1, channels = 2,
+      withCrc = false, payloadLen = _ => 4)
+    assert(Mp3Codec.adtsWalk(c1 ++ c2).isEmpty)
+  }
+}
