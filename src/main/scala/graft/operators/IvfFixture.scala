@@ -244,6 +244,40 @@ object FrameIndexFixture {
     }))
 }
 
+/** [[FrameIndexFixture]] plus a standing TAKEDOWN (mm28): the same
+  * build(%5 ∈ 1..3) + append(%5 = 4) frame-hash index, then every
+  * banked asset with id % 7 == 1 logically deleted via
+  * [[MultimodalOps.postingIndexDelete]] — the merge-on-read tombstone
+  * state an incremental probe must mask (the lane hash-gates
+  * delete ≡ fresh-rebuild-without-the-deleted). Separate dir from
+  * mm21's fixture: that lane gates the UNdeleted index.
+  */
+object FrameDeleteIndexFixture {
+
+  private val built = new ConcurrentHashMap[String, String]()
+
+  def dir(spark: SparkSession, sfDir: String): String =
+    IvfFixture.checkMarker(built.computeIfAbsent(s"framedel:$sfDir", _ => {
+      val d = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+        s"graft-framedel-index-${sfDir.replaceAll("[^A-Za-z0-9._-]", "_")}")
+        .toString
+      IvfFixture.buildWithMarker(d) {
+        val assets = MultimodalOps.synthY4mTrimAssets(
+          graft.Tables.documents(spark, sfDir), "doc_id")
+        MultimodalOps.frameHashIndexBuild(
+          assets.filter(col("asset_id") % 5 >= 1 &&
+            col("asset_id") % 5 <= 3), d)
+        MultimodalOps.frameHashIndexAppend(
+          assets.filter(col("asset_id") % 5 === 4), d)
+        MultimodalOps.postingIndexDelete(
+          graft.Tables.documents(spark, sfDir)
+            .select(col("doc_id").as("asset_id"))
+            .filter(col("asset_id") % 7 === 1 &&
+              col("asset_id") % 5 =!= 0), d, "asset_id")
+      }
+    }))
+}
+
 /** [[FrameIndexFixture]]'s discipline on the audio axis (mm22): the
   * standing corpus' segment-key postings banked via the GENERIC
   * [[MultimodalOps.postingIndexBuild]], the %5 = 4 fifth appended —

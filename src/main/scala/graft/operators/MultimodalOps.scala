@@ -1815,6 +1815,73 @@ object MultimodalOps {
       .partitionBy("_bkt").parquet(dir)
   }
 
+  /** Logical DELETE from a posting index (takedown / right-to-erasure
+    * — the operational reality of media corpora): asset ids land in an
+    * append-only tombstone table under `_tombstones` (the leading
+    * underscore hides it from the hive-partition discovery of the
+    * posting read, the `_SUCCESS` convention), and
+    * [[postingContainmentIncremental]] masks them with a broadcast
+    * anti-join — the bucket layout is immutable between
+    * [[postingIndexVacuum]]s, so deletes never rewrite data files
+    * (the ss22 / merge-on-read discipline). A deleted id can still
+    * appear in a NEW batch: deletion removes an asset from the banked
+    * corpus, not from the world. */
+  def postingIndexDelete(ids: DataFrame, dir: String,
+                         idCol: String): Unit =
+    ids.select(col(idCol)).distinct()
+      .coalesce(1) // tombstone batches are id-lists, not data
+      .write.mode(org.apache.spark.sql.SaveMode.Append)
+      .parquet(s"$dir/_tombstones")
+
+  private def postingTombstones(spark: org.apache.spark.sql.SparkSession, dir: String,
+                                idCol: String): Option[DataFrame] = {
+    val path = new org.apache.hadoop.fs.Path(s"$dir/_tombstones")
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(path))
+      Some(spark.read.parquet(path.toString).select(col(idCol)).distinct())
+    else None
+  }
+
+  /** Physical reclamation: rewrite ONLY the bucket directories that
+    * hold a tombstoned asset's postings, then drop the tombstone
+    * table. Unlike ss22's whole-layout vacuum, an asset's postings
+    * spread over at most `buckets` directories and usually far fewer,
+    * so the affected set (a ≤-buckets-value collect from a semi-join,
+    * bounded) is the entire rewrite. A bucket whose every row is
+    * tombstoned is deleted outright (a dynamic partition overwrite
+    * cannot emit an EMPTY partition, which would strand the stale
+    * rows). Probe results are identical before and after by
+    * construction — the anti-join was already masking these rows; the
+    * snapshot-then-overwrite is the `Compaction.compactInPlace`
+    * discipline (same torn-write caveat, same answer: re-run).
+    */
+  def postingIndexVacuum(spark: org.apache.spark.sql.SparkSession, dir: String, idCol: String,
+                         keyCol: String): Unit =
+    postingTombstones(spark, dir, idCol).foreach { ts =>
+      val idx = spark.read.parquet(dir)
+      val affected = idx.join(broadcast(ts), Seq(idCol), "left_semi")
+        .select(col("_bkt")).distinct()
+        .collect().map(_.getInt(0)).toSeq // bounded by bucket count
+      val fs = new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (affected.nonEmpty) {
+        val snap = idx.filter(col("_bkt").isin(affected: _*))
+          .join(broadcast(ts), Seq(idCol), "left_anti")
+          .localCheckpoint(true)
+        try {
+          affected.foreach { b =>
+            fs.delete(new org.apache.hadoop.fs.Path(dir, s"_bkt=$b"), true)
+          }
+          snap.select(col(idCol), col(keyCol), col("_bkt"))
+            .repartition(col("_bkt"))
+            .sortWithinPartitions(col("_bkt"), col(keyCol))
+            .write.mode(org.apache.spark.sql.SaveMode.Append)
+            .partitionBy("_bkt").parquet(dir)
+        } finally graft.Release(snap, blocking = true)
+      }
+      fs.delete(new org.apache.hadoop.fs.Path(s"$dir/_tombstones"), true)
+    }
+
   /** Containment of a NEW batch's fingerprints against the persisted
     * index: ONLY the batch was decoded (the corpus' fingerprints read
     * back from the index), the index scan is bloom-reduced by the
@@ -1858,9 +1925,18 @@ object MultimodalOps {
         spark.read.parquet(dir).filter(col("_bkt").isin(bkts: _*))
       case _ => spark.read.parquet(dir)
     }
-    val index = pruned
+    val unmasked = pruned
       .filter(BloomJoin.mightContain(bloom, col(keyCol)))
       .select(col(idCol), col(keyCol))
+    // tombstone mask BEFORE the capped vote: the df cap must count the
+    // post-delete posting set, exactly what a fresh rebuild without
+    // the deleted assets would see (mm28 hash-gates delete ≡ rebuild).
+    // Broadcast anti-join — the tombstone set is an id list bounded by
+    // vacuum cadence, the ss22 trade.
+    val index = postingTombstones(spark, dir, idCol) match {
+      case Some(ts) => unmasked.join(broadcast(ts), Seq(idCol), "left_anti")
+      case None => unmasked
+    }
     val merged = batchFp.select(col(idCol), col(keyCol)).unionByName(index)
     val votes = cappedContainmentVotes(merged, idCol, keyCol,
       cap, minShared)

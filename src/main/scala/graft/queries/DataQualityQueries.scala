@@ -174,6 +174,17 @@ object DataQualityQueries {
       indexIntegrity(s, graft.operators.ChunkIndexFixture.dir(s, d),
         "chunk_key")),
 
+    // Tombstone-state audit (dq13): dq9's whole-artifact discipline
+    // extended to the MERGE-ON-READ state mm28 introduced — ghost
+    // rows (postings of tombstoned assets still on disk) are
+    // legitimate between vacuums but must be exactly the tombstoned
+    // assets' postings, and the tombstone table itself must census
+    // against the deletion rule; n_ghost_rows is the number an
+    // operator watches to schedule postingIndexVacuum.
+    "dq13_tombstone_audit" -> ((s, d) =>
+      tombstoneAudit(s, graft.operators.FrameDeleteIndexFixture.dir(s, d),
+        "fhash")),
+
     // Functional-dependency violation report (dq12): schema-rule
     // discovery over column PAIRS — dq7's uniqueness can't express
     // "does source determine language". Three candidate rules on the
@@ -203,6 +214,31 @@ object DataQualityQueries {
         coalesce(sum(when(col(keyCol).isNull, 1L).otherwise(0L)),
           lit(0L)).as("n_null_keys"),
         count_distinct(col("asset_id")).as("n_assets"))
+
+  /** One aggregate pass over a tombstoned posting index: row/asset
+    * totals, ghost rows (tombstoned assets' postings still on disk —
+    * the pre-vacuum merge-on-read state), dead assets present in the
+    * index, and the tombstone census. The tombstone table is the
+    * `_tombstones` subdir (hidden from the hive discovery of the main
+    * read by its underscore name). */
+  private def tombstoneAudit(s: SparkSession, dir: String,
+                             keyCol: String): DataFrame = {
+    val idx = s.read.parquet(dir).select(col("asset_id"), col(keyCol))
+    val dead = s.read.parquet(s"$dir/_tombstones")
+      .select(col("asset_id")).distinct()
+    idx.join(broadcast(dead.withColumn("_dead", lit(true))),
+        Seq("asset_id"), "left")
+      .agg(
+        count(lit(1)).as("n_rows"),
+        count_distinct(col("asset_id")).as("n_assets"),
+        coalesce(sum(when(col("_dead").isNotNull, 1L).otherwise(0L)),
+          lit(0L)).as("n_ghost_rows"),
+        count_distinct(when(col("_dead").isNotNull, col("asset_id")))
+          .as("n_dead_assets"))
+      .crossJoin(broadcast(dead.agg(count(lit(1)).as("n_tombstones"))))
+      .select(col("n_rows"), col("n_assets"), col("n_ghost_rows"),
+        col("n_dead_assets"), col("n_tombstones"))
+  }
 
   /** One profile row per column over snapshot CTE `src`, tagged
     * old/new — the DuckDB twin of columnProfile's single-agg sweep. */
@@ -413,6 +449,20 @@ SELECT count(*)::BIGINT AS n_rows,
   count(DISTINCT (id, fhash))::BIGINT AS n_distinct,
   0::BIGINT AS n_null_keys,
   count(DISTINCT id)::BIGINT AS n_assets
+FROM idx""",
+
+    // the fixture's deletion rule (%7 = 1 banked assets) replayed over
+    // the analytic posting set: ghosts = those assets' postings
+    "dq13_tombstone_audit" ->
+      s"""WITH ${MultimodalQueries.frameCappedCte},
+idx AS (SELECT id, fhash FROM fh WHERE id % 5 <> 0)
+SELECT count(*)::BIGINT AS n_rows,
+  count(DISTINCT id)::BIGINT AS n_assets,
+  sum(CASE WHEN id % 7 = 1 THEN 1 ELSE 0 END)::BIGINT AS n_ghost_rows,
+  count(DISTINCT CASE WHEN id % 7 = 1 THEN id END)::BIGINT
+    AS n_dead_assets,
+  (SELECT count(*) FROM documents
+   WHERE doc_id % 7 = 1 AND doc_id % 5 <> 0)::BIGINT AS n_tombstones
 FROM idx""",
 
     // mm17's analytic segment-key set, restricted to the corpus fifths

@@ -367,6 +367,23 @@ object MultimodalQueries {
     // index sequence) and the integer duration. Torn (id%13) and
     // reserved-sample-rate (id%17) assets miss in-band; the spectral
     // payload is never decoded (the mm15 rule).
+    // Merge-on-read DELETE on the frame-hash posting index (mm28):
+    // the mm21 probe against a fixture whose %7 = 1 banked assets are
+    // tombstoned (takedown / right-to-erasure). The mask is a
+    // broadcast anti-join applied BEFORE the df cap, so the cap counts
+    // the post-delete posting set — the oracle replays a fresh rebuild
+    // WITHOUT the deleted assets (delete ≡ rebuild, the ss22
+    // discipline on the media axis). Vacuum (physical rewrite of only
+    // the affected bucket directories) is probe-equivalence-gated in
+    // ExtOpsSpec.
+    "mm28_index_delete" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val dir = graft.operators.FrameDeleteIndexFixture.dir(s, d)
+      val batch = MultimodalOps.synthY4mTrimAssets(documents(s, d), "doc_id")
+        .filter(col("asset_id") % 5 === 0)
+      MultimodalOps.frameContainmentIncremental(batch, dir)
+    }),
+
     "mm29_mp3_meta" -> ((s, d) => {
       import org.apache.spark.sql.functions._
       MultimodalOps.mp3Profile(
@@ -1323,6 +1340,22 @@ GROUP BY 1, 2""",
            END AS date_time,
            NOT (doc_id % 13 = 0 OR doc_id % 17 = 0) AS parsed
          FROM documents""",
+    // fresh-rebuild-without-the-deleted replay: the fh postings minus
+    // the tombstoned ids, the df cap recomputed over the LIVE set
+    // (capping before deletion would keep ghost assets binding the
+    // cap), batch-touching pairs only — byte-identical to the masked
+    // incremental probe or the lane fails
+    "mm28_index_delete" ->
+      s"""WITH $frameCappedCte,
+live AS (SELECT id, fhash FROM fh
+         WHERE NOT (id % 7 = 1 AND id % 5 <> 0)),
+capl AS (SELECT id, fhash FROM live
+         QUALIFY count(*) OVER (PARTITION BY fhash) <= 8)
+SELECT l.id AS a, r.id AS b, count(*)::BIGINT AS shared
+FROM capl l JOIN capl r ON l.fhash = r.fhash AND l.id < r.id
+WHERE l.id % 5 = 0 OR r.id % 5 = 0
+GROUP BY 1, 2
+HAVING count(*) >= 2""",
     "mm29_mp3_meta" ->
       """WITH d AS (SELECT doc_id::BIGINT AS id FROM documents),
          p AS (SELECT id,

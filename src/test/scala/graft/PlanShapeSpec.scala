@@ -612,6 +612,19 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("mm28 tombstone mask is a broadcast anti-join over the bloom-reduced index scan") {
+    // the ss22 delete discipline on the posting index: the mask never
+    // shuffles the index side (tombstone id-lists are small by
+    // premise), and it composes with the bloom + cap machinery the
+    // append-only lanes pin
+    val p = planOf("mm28_index_delete")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
+      p.take(3000))
+    assert(p.contains("might_contain"), p.take(3000))
+    assert(p.contains("bounded_collect_list"), p.take(3000))
+    assert(!p.contains("Window"), p.take(3000))
+  }
+
   test("mm21/mm22/mm23 incremental containment scans the persisted index bloom-reduced, only the batch decodes") {
     for (lane <- Seq("mm21_frame_index", "mm22_segment_index",
         "mm23_chunk_index")) {

@@ -69,4 +69,63 @@ class IndexMarkerSpec extends SparkSpec {
     assert(result() == before, "compaction changed incremental results")
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
   }
+
+  test("posting index delete: tombstone mask ≡ vacuum; vacuum rewrites only affected buckets") {
+    import org.apache.spark.sql.functions._
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val assets = MultimodalOps.synthY4mTrimAssets(docs, "doc_id")
+    val dir = Files.createTempDirectory("graft-vacuum-spec").toString
+    MultimodalOps.frameHashIndexBuild(
+      assets.filter(col("asset_id") % 5 >= 1), dir)
+    val batch = assets.filter(col("asset_id") % 5 === 0)
+    def result() = MultimodalOps.frameContainmentIncremental(batch, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    val undeleted = result()
+    assert(undeleted.nonEmpty, "pair universe empty")
+    // tombstone ONE banked asset (id 4: banked %5 = 4, in a NON-flat
+    // triplet — triplet 0's flat hashes are cap-excised, so asset 1
+    // would mask nothing — and its sibling 5 is in the batch, so the
+    // (4, 5) pair exists and the mask is observable); a single asset
+    // touches at most its-distinct-hash-count buckets, which keeps the
+    // only-affected-rewrite claim testable at this scale (the mm28
+    // LANE gates the mass-delete semantics)
+    assert(undeleted.exists { case (a, b, _) => a == 4 || b == 4 },
+      "fixture drifted: asset 4 pairless, pick another deletion target")
+    MultimodalOps.postingIndexDelete(
+      docs.select(col("doc_id").as("asset_id"))
+        .filter(col("asset_id") === 4), dir, "asset_id")
+    val masked = result()
+    assert(masked != undeleted, "tombstones did not mask anything")
+    assert(!masked.exists { case (a, b, _) => a == 4 || b == 4 },
+      "the deleted asset survived the mask")
+    // file listing per bucket dir before vacuum
+    def bucketFiles(): Map[String, Set[String]] =
+      new java.io.File(dir).listFiles()
+        .filter(f => f.isDirectory && f.getName.startsWith("_bkt="))
+        .map(d => d.getName -> d.listFiles().map(_.getName)
+          .filter(_.endsWith(".parquet")).toSet).toMap
+    val filesBefore = bucketFiles()
+    // buckets that hold the tombstoned asset's postings
+    val affected = spark.read.parquet(dir)
+      .filter(col("asset_id") === 4)
+      .select(col("_bkt")).distinct().collect().map(_.getInt(0))
+      .map(b => s"_bkt=$b").toSet
+    assert(affected.nonEmpty && affected.size < filesBefore.size,
+      s"fixture degenerate: ${affected.size} of ${filesBefore.size} " +
+        "buckets affected — the only-affected-rewrite claim is untestable")
+    MultimodalOps.postingIndexVacuum(spark, dir, "asset_id", "fhash")
+    assert(!Files.exists(Paths.get(dir, "_tombstones")),
+      "vacuum left the tombstone table")
+    val filesAfter = bucketFiles()
+    for ((bkt, fs) <- filesBefore if !affected(bkt))
+      assert(filesAfter.get(bkt).contains(fs),
+        s"vacuum touched unaffected $bkt")
+    // physical state now equals the mask: same probe result, and no
+    // deleted id remains on disk
+    assert(result() == masked, "vacuum changed probe results")
+    assert(spark.read.parquet(dir).filter(col("asset_id") === 4)
+      .count() == 0, "vacuum left deleted rows on disk")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+  }
 }
