@@ -219,6 +219,21 @@ object StreamParityQueries {
           "30 minutes", WM))
     }),
 
+    // FULL-outer stream-stream interval join (st19): st13 gates only
+    // the LEFT side's eviction path; here BOTH sides emit null-padded
+    // rows on expiry, and the two sides evict at DIFFERENT watermark
+    // offsets (purchases at purchase_ts, clicks at click_ts + window —
+    // the range condition's forward interval), which the oracle
+    // encodes exactly. Min-of-sides operative watermark as in st13.
+    "st19_stream_fullouter" -> ((s, d) => {
+      val ev = StreamParity.eventsStream(s, d)
+      StreamParity.drainAppend(
+        StreamingOps.clickAttributionFullOuterStream(
+          ev.filter(col("event_type") === "click"),
+          ev.filter(col("event_type") === "purchase"),
+          "30 minutes", WM))
+    }),
+
     // STREAMING media ingest (st14): the real BMP synth + decode
     // kernels run UNCHANGED on a readStream — stateless mapPartitions
     // compose with Structured Streaming by construction, and this lane
@@ -478,6 +493,37 @@ object StreamParityQueries {
          FROM p, wm2
          WHERE p.event_id NOT IN (SELECT purchase_id FROM m)
            AND epoch_us(p.ts) < wm_us""",
+    // st13's min-of-sides watermark, TWO eviction cutoffs: purchases
+    // unmatched emit once wm passes purchase_ts; clicks unmatched emit
+    // once wm passes click_ts + the 30-minute forward match interval
+    // (the state watermark Spark derives from the range condition) —
+    // the 1800000000 us offset brackets exactly that trailing edge
+    "st19_stream_fullouter" ->
+      """WITH wm2 AS (SELECT least(
+           (SELECT (epoch_us(max(ts))//1000)*1000 FROM events
+            WHERE event_type = 'click'),
+           (SELECT (epoch_us(max(ts))//1000)*1000 FROM events
+            WHERE event_type = 'purchase')) - 7200000000 AS wm_us),
+         p AS (SELECT event_id, user_id, ts FROM events
+               WHERE event_type = 'purchase'),
+         c AS (SELECT event_id, user_id, ts FROM events
+               WHERE event_type = 'click'),
+         m AS (SELECT p.event_id AS purchase_id, p.user_id,
+                 c.event_id AS click_id
+               FROM p JOIN c ON p.user_id = c.user_id
+                AND epoch_us(c.ts) >= epoch_us(p.ts) - 1800000000
+                AND epoch_us(c.ts) < epoch_us(p.ts))
+         SELECT purchase_id, user_id, click_id FROM m
+         UNION ALL
+         SELECT p.event_id, p.user_id, NULL::BIGINT
+         FROM p, wm2
+         WHERE p.event_id NOT IN (SELECT purchase_id FROM m)
+           AND epoch_us(p.ts) < wm_us
+         UNION ALL
+         SELECT NULL::BIGINT, c.user_id, c.event_id
+         FROM c, wm2
+         WHERE c.event_id NOT IN (SELECT click_id FROM m)
+           AND epoch_us(c.ts) + 1800000000 < wm_us""",
     "st12_stream_enrich" ->
       s"""WITH $WmCte
          SELECT (floor(epoch(ts))::BIGINT // 21600) * 21600 AS win_start,

@@ -341,6 +341,38 @@ object StreamingOps {
       .select("purchase_id", "user_id", "click_id")
   }
 
+  /** FULL OUTER twin of [[clickAttributionStream]] — the remaining
+    * stream-stream join shape: BOTH sides emit their null-padded row
+    * on watermark expiry, so unattributed conversions (purchase, null
+    * click) AND dead-end clicks (null purchase, click) surface
+    * in-band. State eviction is per-side, derived from the range
+    * condition: a purchase p buffers until the watermark passes
+    * `purchase_ts` (no older click can still arrive), a click c until
+    * the watermark passes `click_ts + window` (no purchase inside
+    * c's forward match interval can still arrive) — so the click
+    * side's outer rows trail the purchase side's by exactly the
+    * window width, which the st19 oracle encodes and brackets at
+    * both gated sfs. Same min-of-sides operative watermark as st13.
+    * Cost: nothing beyond the inner join's bounded state.
+    */
+  def clickAttributionFullOuterStream(clicks: DataFrame,
+      purchases: DataFrame, window: String = "30 minutes",
+      watermark: String = "1 hour"): DataFrame = {
+    val c = clicks.withWatermark("ts", watermark)
+      .select(col("user_id").as("c_user"), col("ts").as("click_ts"),
+        col("event_id").as("click_id"))
+    val p = purchases.withWatermark("ts", watermark)
+      .select(col("user_id"), col("ts").as("purchase_ts"),
+        col("event_id").as("purchase_id"))
+    p.join(c, expr(
+      s"""user_id = c_user AND
+          click_ts >= purchase_ts - INTERVAL $window AND
+          click_ts < purchase_ts"""), "fullOuter")
+      .select(col("purchase_id"),
+        coalesce(col("user_id"), col("c_user")).as("user_id"),
+        col("click_id"))
+  }
+
   final case class UserEvent(user_id: Long, value: Double)
   final case class UserTotal(user_id: Long, n: Long, total: Double)
 

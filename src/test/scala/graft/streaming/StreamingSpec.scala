@@ -305,6 +305,35 @@ class StreamingSpec extends SparkSpec {
     assert(out == Set((100L, 10L, Some(1L)), (101L, 20L, None)))
   }
 
+  test("full-outer interval join: both sides emit null-padded rows at their OWN eviction offsets") {
+    implicit val sqlCtx = spark.sqlContext
+    val t = (s: Int) => java.sql.Timestamp.valueOf(
+      java.time.LocalDateTime.of(2024, 1, 1, 0, 0, 0).plusSeconds(s))
+    val clicks = MemoryStream[Ev]
+    val purchases = MemoryStream[Ev]
+    // watermark advances to t(90000) - 1h = t(86400) on both sides
+    clicks.addData(
+      Ev(1, t(300), 10, "click", 1.0),     // matches purchase 100
+      Ev(2, t(1200), 30, "click", 1.0),    // unmatched; 1200+1800 < 86400 → NULL row
+      Ev(3, t(85000), 30, "click", 1.0),   // unmatched; 85000+1800 > 86400 → withheld
+      Ev(4, t(90000), 10, "click", 1.0))   // watermark driver; withheld
+    purchases.addData(
+      Ev(100, t(600), 10, "purchase", 5.0),   // matched → real click_id
+      Ev(101, t(1200), 20, "purchase", 5.0),  // unmatched, < wm → NULL click
+      Ev(102, t(90000), 20, "purchase", 5.0)) // unmatched, ≥ wm → withheld
+    val out = StreamingOps.drainToTable(
+      StreamingOps.clickAttributionFullOuterStream(clicks.toDF(),
+        purchases.toDF(), "30 minutes", watermark = "1 hour"),
+      "t_attrib_fullouter",
+      org.apache.spark.sql.streaming.OutputMode.Append())
+      .as[(Option[Long], Long, Option[Long])].collect().toSet
+    assert(out == Set(
+      (Some(100L), 10L, Some(1L)),  // matched pair
+      (Some(101L), 20L, None),      // purchase-side eviction
+      (None, 30L, Some(2L))),       // click-side eviction (trailing 30m)
+      out.toString)
+  }
+
   test("stateful query resumes from its checkpoint across a restart") {
     implicit val sqlCtx = spark.sqlContext
     val ckpt = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
