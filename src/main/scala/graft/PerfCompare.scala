@@ -190,49 +190,107 @@ object PerfCompare {
       def argminForm: Long =
         operators.DedupOps.spanDedup(corpus, "id", "text", 8)
           .agg(sum("n_kept")).collect()(0).getLong(0)
-      val (tw, kw) = time(windowForm)
-      val (ta, ka) = time(argminForm)
+      // wall-clock at local[32] understates the win (one memory bus,
+      // and a 1M-row single-task sort is cheap on one box); the
+      // cluster-honest signal is the WIDEST TASK — wall-clock at
+      // 1000 executors is the slowest task, and rows-into-one-task is
+      // the skew itself (the skew-probe listener discipline)
+      val mx = new java.util.concurrent.atomic.AtomicLong
+      val mr = new java.util.concurrent.atomic.AtomicLong
+      val lst = new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(
+            te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+          mx.updateAndGet(m => math.max(m, te.taskInfo.duration))
+          mr.updateAndGet(m =>
+            math.max(m, te.taskMetrics.shuffleReadMetrics.recordsRead))
+        }
+      }
+      def measured(f: => Long): (Double, Long, Long, Long) = {
+        mx.set(0); mr.set(0)
+        spark.sparkContext.addSparkListener(lst)
+        try { val (t, k) = time(f)
+          Thread.sleep(500) // let the listener bus drain (private API)
+          (t, k, mx.get, mr.get)
+        } finally spark.sparkContext.removeSparkListener(lst)
+      }
+      val (tw, kw, wMs, wRows) = measured(windowForm)
+      val (ta, ka, aMs, aRows) = measured(argminForm)
       require(kw == ka && ka == 2 * n + 1,
         s"spanab forms disagree: window=$kw argmin=$ka want ${2 * n + 1}")
-      println(s"""{"spanab_docs":$n,"window_sec":$tw,"argmin_sec":$ta}""")
+      println(s"""{"spanab_docs":$n,"window_sec":$tw,"argmin_sec":$ta,""" +
+        s""""window_max_task_ms":$wMs,"argmin_max_task_ms":$aMs,""" +
+        s""""window_max_read_rows":$wRows,"argmin_max_read_rows":$aRows}""")
       Release(corpus, blocking = true)
     }
 
-    // r15 A/B: per-stratum running sum with ONE dominant stratum (web
-    // = 80% of 5M docs, the real-mixture shape) — the r14-charged
-    // window (PARTITION BY stratum = one task scans 4M rows) vs the
-    // shipped two-phase prefix sum (range split + subtotal offsets).
-    // Every doc is 16 tokens so both forms must land max(cum) =
-    // 16·|web| exactly.
+    // r15 A/B: sequence packing with ONE dominant stratum (web = 80%
+    // of 2M ~200-byte docs, the real-mixture shape) — the r14-charged
+    // form (the per-stratum running-sum window with the DOCUMENT TEXT
+    // threaded through it: one task sorts and scans 80% of the
+    // corpus, text included) vs the shipped narrow two-phase prefix
+    // sum + join-back. Every doc is 32 tokens so both forms land the
+    // same bin census exactly.
     lane("packab") {
-      val n = 5000000L
+      val n = 2000000L
       val corpus = spark.range(n).select(col("id"),
         when(col("id") % 5 < 4, lit("web")).otherwise(lit("code"))
           .as("source"),
-        concat_ws(" ", (0 until 16).map(j => lit(s"t$j")): _*).as("text"))
+        concat_ws(" ", (0 until 32).map(j =>
+          concat(lit("w"), pmod(col("id") * 31 + j, lit(99999L)))): _*)
+          .as("text"))
         .cache()
       corpus.count()
       import org.apache.spark.sql.expressions.Window
       def windowForm: Long = {
         val w = Window.partitionBy("source").orderBy("id")
-        corpus.select(col("source"), col("id"),
+        corpus.select(col("source"), col("id"), col("text"),
             operators.TextAnalysisOps.tokenCount(col("text"))
-              .as("n_tokens"))
+              .cast("int").as("n_tokens"))
           .withColumn("cum", sum("n_tokens").over(w))
-          .agg(max("cum")).collect()(0).getLong(0)
+          .withColumn("bin",
+            floor((col("cum") - col("n_tokens")) / 512).cast("int"))
+          .groupBy(col("source"), col("bin"))
+          .agg(count(lit(1)).as("n_docs"),
+            md5(array_join(transform(
+              array_sort(collect_list(struct(col("id"), col("text")))),
+              x => x.getField("text")), " <|eod|> ")).as("fp"))
+          .agg(count(lit(1))).collect()(0).getLong(0)
       }
-      def twoPhaseForm: Long = {
-        val (bins, rel) = operators.TextAnalysisOps.packBinsReleasable(
-          corpus, "id", "text", "source", budgetTokens = 512)
-        val m = bins.agg(max("cum")).collect()(0).getLong(0)
+      def joinBackForm: Long = {
+        val (seq, rel) = operators.TextAnalysisOps
+          .packSequencesReleasable(corpus, "id", "text", "source",
+            budgetTokens = 512)
+        val m = seq.agg(count(lit(1))).collect()(0).getLong(0)
         rel(); m
       }
-      val (tw, mw) = time(windowForm)
-      val (tt, mt) = time(twoPhaseForm)
-      require(mw == mt && mt == 16L * (n / 5 * 4),
-        s"packab forms disagree: window=$mw twophase=$mt " +
-          s"want ${16L * (n / 5 * 4)}")
-      println(s"""{"packab_docs":$n,"window_sec":$tw,"twophase_sec":$tt}""")
+      // same listener rationale as spanab: the widest task IS the
+      // cluster cost; the text-carrying stratum window funnels 80% of
+      // the corpus (text included) through one task's read+sort
+      val mx = new java.util.concurrent.atomic.AtomicLong
+      val mr = new java.util.concurrent.atomic.AtomicLong
+      val lst = new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(
+            te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+          mx.updateAndGet(m => math.max(m, te.taskInfo.duration))
+          mr.updateAndGet(m =>
+            math.max(m, te.taskMetrics.shuffleReadMetrics.recordsRead))
+        }
+      }
+      def measured(f: => Long): (Double, Long, Long, Long) = {
+        mx.set(0); mr.set(0)
+        spark.sparkContext.addSparkListener(lst)
+        try { val (t, k) = time(f)
+          Thread.sleep(500) // let the listener bus drain (private API)
+          (t, k, mx.get, mr.get)
+        } finally spark.sparkContext.removeSparkListener(lst)
+      }
+      val (tw, mw, wMs, wRows) = measured(windowForm)
+      val (tt, mt, jMs, jRows) = measured(joinBackForm)
+      require(mw == mt && mt == n / 16,
+        s"packab forms disagree: window=$mw joinback=$mt want ${n / 16}")
+      println(s"""{"packab_docs":$n,"window_sec":$tw,"joinback_sec":$tt,""" +
+        s""""window_max_task_ms":$wMs,"joinback_max_task_ms":$jMs,""" +
+        s""""window_max_read_rows":$wRows,"joinback_max_read_rows":$jRows}""")
       Release(corpus, blocking = true)
     }
 
