@@ -494,12 +494,22 @@ object GraphOps {
     * components, the worst failure mode for a dedup workhorse.
     */
   private def reachFrom(e: DataFrame, pivot: Long, maxHops: Int,
-                        broadcastFrontierMax: Long = 1000000L): DataFrame = {
+                        broadcastFrontierMax: Long = 1000000L)
+      : (DataFrame, () => Unit) = {
     val ser = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER
     val spark = e.sparkSession
     import spark.implicits._
-    var seen = Seq(pivot).toDF("id").localCheckpoint(true, ser)
-    var frontier = seen
+    // the settled set is the UNION of the (disjoint) checkpointed
+    // frontiers, never re-materialized per hop: re-checkpointing
+    // `seen` each round writes O(settled) blocks per hop = O(n·hops)
+    // total — the union view writes each row exactly once and the
+    // anti-join reads the cached frontier checkpoints directly. The
+    // release closure frees every frontier (a union of checkpoints is
+    // NOT releasable through graft.Release's LogicalRDD fast path).
+    val frontiers = scala.collection.mutable.Buffer[DataFrame]()
+    var frontier = Seq(pivot).toDF("id").localCheckpoint(true, ser)
+    frontiers += frontier
+    var seen = frontier: DataFrame
     var frontierN = 1L
     var hop = 0
     while (frontierN > 0) {
@@ -517,15 +527,12 @@ object GraphOps {
       frontierN = reached.count()
       if (frontierN == 0) graft.Release(reached)
       else {
-        val s2 = seen.unionByName(reached).localCheckpoint(true, ser)
-        if (frontier ne seen) graft.Release(frontier)
-        graft.Release(seen)
-        seen = s2
+        frontiers += reached
+        seen = seen.unionByName(reached)
         frontier = reached
       }
     }
-    if (frontier ne seen) graft.Release(frontier)
-    seen
+    (seen, () => frontiers.foreach(graft.Release(_)))
   }
 
   /** Strongly connected components of a DIRECTED edge frame — the
@@ -582,14 +589,12 @@ object GraphOps {
       .unionByName(e.select(col("b").as("id"))).distinct()
       .localCheckpoint(true, ser)
     var remN = nodes.count()
-    var assigned: DataFrame = null
-    def assign(df: DataFrame): Unit = {
-      val next =
-        (if (assigned == null) df
-         else assigned.unionByName(df)).localCheckpoint(true, ser)
-      if (assigned != null) graft.Release(assigned)
-      assigned = next
-    }
+    // assigned components accumulate as a BUFFER of checkpointed
+    // parts unioned lazily at the end — re-checkpointing the growing
+    // union per round is the same O(n·rounds) rewrite reachFrom
+    // avoids; each part is written once and released through the
+    // handle
+    val parts = scala.collection.mutable.Buffer[DataFrame]()
     def subtract(ids: DataFrame): Unit = {
       val n2 = nodes.join(ids, Seq("id"), "left_anti")
         .localCheckpoint(true, ser)
@@ -614,12 +619,11 @@ object GraphOps {
         val core = e.select(col("a").as("id")).distinct()
           .join(e.select(col("b").as("id")).distinct(), Seq("id"))
         val singles = nodes.join(core, Seq("id"), "left_anti")
-          .localCheckpoint(true, ser)
+          .withColumn("scc", col("id")).localCheckpoint(true, ser)
         if (singles.count() == 0) { trimming = false; graft.Release(singles) }
         else {
-          assign(singles.withColumn("scc", col("id")))
-          subtract(singles)
-          graft.Release(singles)
+          parts += singles
+          subtract(singles.select("id"))
         }
       }
       if (remN > 0) {
@@ -629,21 +633,24 @@ object GraphOps {
             "has more non-trivial components than the cap; raise " +
             "maxPivotRounds")
         val pivot = nodes.agg(min(col("id"))).collect()(0).getLong(0)
-        val fwd = reachFrom(e, pivot, maxHops)
-        val bwd = reachFrom(
+        val (fwd, relF) = reachFrom(e, pivot, maxHops)
+        val (bwd, relB) = reachFrom(
           e.select(col("b").as("a"), col("a").as("b")), pivot, maxHops)
-        val scc = fwd.join(bwd, Seq("id")).localCheckpoint(true, ser)
-        graft.Release(fwd); graft.Release(bwd)
-        assign(scc.withColumn("scc", lit(pivot)))
-        subtract(scc)
-        graft.Release(scc)
+        val scc = fwd.join(bwd, Seq("id")).withColumn("scc", lit(pivot))
+          .localCheckpoint(true, ser)
+        relF(); relB()
+        parts += scc
+        subtract(scc.select("id"))
       }
     }
     graft.Release(nodes); graft.Release(e)
-    val last = if (assigned != null) assigned
-      else edges.sparkSession.range(0)
-        .select(col("id"), col("id").as("scc")) // edgeless input
-    (last, () => graft.Release(last))
+    if (parts.isEmpty)
+      (edges.sparkSession.range(0)
+        .select(col("id"), col("id").as("scc")), () => ()) // edgeless
+    else {
+      val kept = parts.toSeq
+      (kept.reduce(_ unionByName _), () => kept.foreach(graft.Release(_)))
+    }
   }
 
   /** Per-node triangle counts over the UNDIRECTED graph. Edges are

@@ -85,6 +85,70 @@ object SimilarityOps {
       .select("query_id", "neighbor_id", "sim", "rk")
   }
 
+  /** Per-dimension (min, max) codebook for SQ8 scalar quantization —
+    * the OTHER standard vector-compression family beside PQ (ss12/
+    * ss14/ss20): 4× memory vs f32 with one byte per dimension and an
+    * all-integer distance kernel, no centroid training. One
+    * map-side-combined agg over the exploded dims; the collect is
+    * DIMS-bounded (64 here, a few thousand anywhere — the documented
+    * driver-scalar class). */
+  def sq8Train(corpus: DataFrame,
+               vecCol: String = "embedding"): Array[(Float, Float)] =
+    corpus.select(posexplode(col(vecCol)).as(Seq("_d", "_x")))
+      .groupBy("_d").agg(min("_x").as("mn"), max("_x").as("mx"))
+      .orderBy("_d").collect()
+      .map(r => (r.getFloat(1), r.getFloat(2)))
+
+  /** SQ8 encode expression:
+    * `q_d = clamp(floor((x_d − mn_d) · 256 / (mx_d − mn_d)), 0, 255)`,
+    * all arithmetic in f64 (f32→f64 widening is exact, so both engines
+    * evaluate the identical IEEE tree). FLOOR, not round — half-up vs
+    * half-even drift between engines is exactly the tx28 tie-bug
+    * class; floor is unambiguous. A degenerate dimension (mx = mn)
+    * codes 0. The codebook rides the expression as LITERAL arrays —
+    * whole-stage codegen, no join, no broadcast. */
+  def sq8Code(vec: Column, codebook: Array[(Float, Float)]): Column = {
+    val mins = array(codebook.map(c => lit(c._1.toDouble)): _*)
+    val spans = array(codebook.map(c =>
+      lit(c._2.toDouble - c._1.toDouble)): _*)
+    transform(vec, (x, i) => {
+      val mn = element_at(mins, i + 1)
+      val span = element_at(spans, i + 1)
+      when(span === 0.0, lit(0)).otherwise(
+        least(greatest(floor((x.cast("double") - mn) * 256.0 / span),
+          lit(0.0)), lit(255.0)).cast("int"))
+    })
+  }
+
+  /** Exact-integer dot product of two SQ8 code arrays — the symmetric
+    * quantized distance. Bounded by 255²·dims (≈ 4.2 M at 64 dims), so
+    * the long accumulator never saturates and the score is BIT-EXACT
+    * on any engine, any partitioning. */
+  def sq8Dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L),
+      (acc, x) => acc + x)
+
+  /** Brute-force top-k over SQ8 codes ([[bruteForceTopK]]'s shape:
+    * corpus × broadcast queries, ranked on the bounded heap) — the
+    * baseline the compressed index variants compare against, and the
+    * exact-integer lane surface: scores are integers, so the oracle
+    * replays them bit-for-bit with no rounding contract at all. */
+  def sq8TopK(corpus: DataFrame, queries: DataFrame, k: Int,
+              codebook: Array[(Float, Float)],
+              idCol: String = "vec_id",
+              vecCol: String = "embedding"): DataFrame = {
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+      sq8Code(col(vecCol), codebook).as("_cq"))
+    val q = queries.select(col(idCol).as("query_id"),
+      sq8Code(col(vecCol), codebook).as("_qq"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("score", sq8Dot(col("_qq"), col("_cq")))
+    graft.plans.TopK.perKey(scored, Seq("query_id"),
+      Seq(col("score").desc, col("neighbor_id").asc), k)
+      .select("query_id", "neighbor_id", "score", "rk")
+  }
+
   /** All pairs above a similarity threshold between a broadcast query set
     * and the corpus — rank-free, so exactly reproducible.
     */

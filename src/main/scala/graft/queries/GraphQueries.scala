@@ -133,27 +133,59 @@ object GraphQueries {
 
     // Strongly connected components (FB-Trim) over a DIRECTED graph
     // with planted bow-tie structure derived arithmetically from
-    // doc_id (so the oracle is closed-form and sf-stable): ten 5-rings
-    // (doc_id < 50 — SCCs of 5, constant count at every sf) and a
-    // scale-growing tendril mass (every doc_id ≥ 50 hangs off ring
-    // node id%50, alternating direction by id%3 so BOTH trim classes
+    // doc_id (so the oracle is closed-form and sf-stable): two 5-rings
+    // (doc_id < 10 — SCCs of 5, one pivot round each) and a
+    // scale-growing tendril mass (every doc_id ≥ 10 hangs off ring
+    // node id%10, alternating direction by id%3 so BOTH trim classes
     // — no-in and no-out — fire). The algorithmic (non-planted) gate
     // is GraphSpec's random-digraph property test vs a driver Tarjan.
-    "gr12_scc" -> ((s, d) => {
-      val ids = documents(s, d)
-        .select(col("doc_id").cast("long").as("id"))
-      val ring = ids.filter(col("id") < 50).select(col("id").as("a"),
-        (col("id") - col("id") % 5 +
-          pmod(col("id") % 5 + 1, lit(5))).cast("long").as("b"))
-      val into = ids.filter(col("id") >= 50 && col("id") % 3 =!= 0)
-        .select(col("id").as("a"), (col("id") % 50).as("b"))
-      val outof = ids.filter(col("id") >= 50 && col("id") % 3 === 0)
-        .select((col("id") % 50).as("a"), col("id").as("b"))
+    "gr12_scc" -> ((s, d) =>
       leased("gr12_scc")(GraphOps.stronglyConnectedComponentsReleasable(
-        ring.unionByName(into).unionByName(outof),
-        maxPivotRounds = 16, maxHops = 8))
+        sccBowtieEdges(s, d), maxPivotRounds = 16, maxHops = 8))),
+
+    // SCC-collapse dedup (gr13): the mirror-ring use case END-TO-END —
+    // every mutually-linked family (an SCC of the directed link graph)
+    // collapses to ONE representative, kept-best by content length
+    // with a deterministic id tie-break (the dd17 keep-best rule on
+    // the gr12 components). Selection is the map-side argmin
+    // (min(struct(-n_chars, id))), never a window keyed by the
+    // component — the same skew discipline as dd11: the giant SCC of a
+    // web graph is the hot key by construction.
+    "gr13_scc_collapse" -> ((s, d) => {
+      val (scc, rel) = GraphOps.stronglyConnectedComponentsReleasable(
+        sccBowtieEdges(s, d), maxPivotRounds = 16, maxHops = 8)
+      val sized = scc.join(
+        documents(s, d).select(col("doc_id").cast("long").as("id"),
+          col("n_chars")), Seq("id"))
+      graft.Leases.swap("gr13_scc_collapse", rel)(
+        sized.groupBy(col("scc"))
+          .agg(count(lit(1)).as("n_members"),
+            min(struct((-col("n_chars")).as("_neg"), col("id")))
+              .as("_best"))
+          .select(col("scc"), col("n_members"),
+            col("_best").getField("id").as("rep_id"),
+            (-col("_best").getField("_neg")).as("rep_chars")))
     })
   )
+
+  /** gr12/gr13's planted bow-tie: two 5-rings (doc_id < 10 — SCCs of
+    * 5; each costs a pivot round of driver-side BFS jobs, so the
+    * CONSTANT count is deliberately small — the trim path, which is
+    * where web-graph mass actually drains, gets the scale-growing
+    * side) plus the tendril mass (every doc_id ≥ 10 hangs off ring
+    * node id % 10, alternating direction by id % 3 so BOTH trim
+    * classes fire). */
+  private def sccBowtieEdges(s: SparkSession, d: String): DataFrame = {
+    val ids = documents(s, d).select(col("doc_id").cast("long").as("id"))
+    val ring = ids.filter(col("id") < 10).select(col("id").as("a"),
+      (col("id") - col("id") % 5 +
+        pmod(col("id") % 5 + 1, lit(5))).cast("long").as("b"))
+    val into = ids.filter(col("id") >= 10 && col("id") % 3 =!= 0)
+      .select(col("id").as("a"), (col("id") % 10).as("b"))
+    val outof = ids.filter(col("id") >= 10 && col("id") % 3 === 0)
+      .select((col("id") % 10).as("a"), col("id").as("b"))
+    ring.unionByName(into).unionByName(outof)
+  }
 
   /** ss16's sign-bucket kNN edge SQL as a reusable CTE chain ending in
     * `knn(a, b, sim)` (directed, top-`k` per `a`; gr7 consumes `sim`,
@@ -261,9 +293,25 @@ object GraphQueries {
     // own singleton SCC — the arithmetic IS the expected decomposition
     "gr12_scc" ->
       """SELECT doc_id::BIGINT AS id,
-           (CASE WHEN doc_id < 50 THEN doc_id - doc_id % 5
+           (CASE WHEN doc_id < 10 THEN doc_id - doc_id % 5
                  ELSE doc_id END)::BIGINT AS scc
          FROM documents""",
+    // the closed-form components joined back to content size; the
+    // representative is the (n_chars DESC, id ASC) argmax per SCC
+    "gr13_scc_collapse" ->
+      """WITH a AS (SELECT doc_id::BIGINT AS id,
+             (CASE WHEN doc_id < 10 THEN doc_id - doc_id % 5
+                   ELSE doc_id END)::BIGINT AS scc,
+             n_chars
+           FROM documents),
+         r AS (SELECT scc, id, n_chars,
+                 row_number() OVER (PARTITION BY scc
+                   ORDER BY n_chars DESC, id ASC) AS rn
+               FROM a)
+         SELECT scc, count(*)::BIGINT AS n_members,
+           max(CASE WHEN rn = 1 THEN id END)::BIGINT AS rep_id,
+           max(CASE WHEN rn = 1 THEN n_chars END)::INT AS rep_chars
+         FROM r GROUP BY scc""",
     "gr1_pagerank" -> {
       val iters = (1 to 3).map(i =>
         prIter(s"it$i", if (i == 1) "pr0" else s"it${i - 1}"))

@@ -80,6 +80,21 @@ object SimilarityQueries {
     // post-filter of a label-blind top-k, which silently under-fills k
     // whenever the label is rare (the classic filtered-search bug).
     // Selection on the bounded TopKPerKey heap, ss1's discipline.
+    // SQ8 scalar-quantized top-k (ss24): the second compression family
+    // beside PQ — per-dim (min, max) codebook, one byte per dim (4×
+    // vs f32), symmetric INTEGER dot ranking. Quantization uses floor
+    // in f64 (no rounding contract to drift between engines) and the
+    // scores are exact integers, so the oracle replays every byte of
+    // the codes and every score bit-for-bit. Queries vec_id < 10,
+    // ranked on the bounded heap — never a window sort.
+    "ss24_sq8_topk" -> ((s, d) => {
+      val emb = embeddings(s, d)
+      val cb = SimilarityOps.sq8Train(emb)
+      SimilarityOps.sq8TopK(emb, emb.filter(col("vec_id") < 10), 5, cb)
+        .select(col("query_id"), col("rk"), col("neighbor_id"),
+          col("score"))
+    }),
+
     "ss23_filtered_ann" -> ((s, d) => {
       val emb = embeddings(s, d)
       val q = emb.filter(col("vec_id") < 10)
@@ -680,6 +695,37 @@ object SimilarityQueries {
              round(list_cosine_similarity(q.embedding, c.embedding)::DOUBLE, 4) AS sim
            FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
            WHERE q.vec_id < 10)
+         WHERE rk <= 5""",
+    // the SQ8 pipeline replayed end-to-end: per-dim min/max over the
+    // corpus, floor-quantize in f64 (identical IEEE tree — f32→f64
+    // widening is exact on both engines), integer dot, rank — zero
+    // rounding anywhere
+    "ss24_sq8_topk" ->
+      """WITH ex AS (
+           SELECT vec_id,
+             unnest([{'d': i, 'x': embedding[i+1]::DOUBLE}
+                     for i in range(0, len(embedding))],
+                    recursive := true)
+           FROM embeddings),
+         dims AS (SELECT d, min(x) AS mn, max(x) AS mx
+                  FROM ex GROUP BY d),
+         qs AS (SELECT ex.vec_id, ex.d,
+                  (CASE WHEN dims.mx = dims.mn THEN 0
+                        ELSE least(greatest(floor(
+                          (ex.x - dims.mn) * 256 / (dims.mx - dims.mn)),
+                          0), 255) END)::INT AS q
+                FROM ex JOIN dims USING (d)),
+         dots AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+                    sum(a.q * b.q)::BIGINT AS score
+                  FROM qs a JOIN qs b
+                    ON a.d = b.d AND b.vec_id <> a.vec_id
+                  WHERE a.vec_id < 10
+                  GROUP BY 1, 2)
+         SELECT query_id, rk, neighbor_id, score FROM (
+           SELECT query_id, neighbor_id, score,
+             row_number() OVER (PARTITION BY query_id
+               ORDER BY score DESC, neighbor_id ASC)::INT AS rk
+           FROM dots)
          WHERE rk <= 5""",
     // ss1's exact ranking restricted to label-equal pairs — rank runs
     // INSIDE the filtered candidate set, so k fills from the label's

@@ -725,8 +725,11 @@ class PlanShapeSpec extends SparkSpec {
         SparkEntry.queries(lane)(spark, sf).collect()
         (ids -- base).size
       }
+      // the count per invocation is algorithm-dependent (gr12's result
+      // is a union of per-round checkpointed parts) but must be
+      // CONSTANT across invocations — accumulation is the leak
       val s1 = run(); val s2 = run(); val s3 = run()
-      assert(s1 == s2 && s2 == s3 && s1 <= 2,
+      assert(s1 == s2 && s2 == s3 && s1 <= 6,
         s"$lane accumulates checkpoints across invocations: $s1 -> $s2 -> $s3")
       graft.Leases.release(lane)
       assert((ids -- base).isEmpty, s"$lane: Leases.release left storage")
