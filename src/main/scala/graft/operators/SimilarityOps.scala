@@ -149,6 +149,51 @@ object SimilarityOps {
       .select("query_id", "neighbor_id", "score", "rk")
   }
 
+  /** Binary (sign) quantization: dim d contributes bit `d mod 64` of
+    * word `d / 64` when `x_d > 0` (strict — zeros code 0 on every
+    * engine, no tie rule needed). 32× memory vs f32 and the distance
+    * kernel is XOR + popcount — the coarsest, fastest rung of the
+    * compression ladder under PQ (ss12) and SQ8 (ss24), the standard
+    * first-pass filter before a re-rank. */
+  def signPack(vec: Column, dims: Int): Column = {
+    val words = (dims + 63) / 64
+    array((0 until words).map { w =>
+      val lo = w * 64
+      val hi = math.min(lo + 64, dims)
+      (lo until hi).map(d =>
+        when(element_at(vec, d + 1) > 0f,
+          lit(1L << (d - lo))).otherwise(lit(0L)))
+        .reduce(_.bitwiseOR(_))
+    }: _*)
+  }
+
+  /** Hamming distance between two sign-packed code arrays:
+    * Σ popcount(a_w XOR b_w) — exact small integers, engine-independent
+    * by construction (the oracle replays the UNPACKED per-dimension
+    * sign-disagreement count, which is the same number by definition —
+    * no bit-layout contract crosses the compare). */
+  def hamming(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => bit_count(x.bitwiseXOR(y))),
+      lit(0), (acc, x) => acc + x)
+
+  /** Brute-force top-k by sign-code Hamming distance
+    * ([[bruteForceTopK]]'s shape: corpus × broadcast queries, ranked
+    * on the bounded heap, ties by neighbor id). */
+  def hammingTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+                  dims: Int, idCol: String = "vec_id",
+                  vecCol: String = "embedding"): DataFrame = {
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+      signPack(col(vecCol), dims).as("_cb"))
+    val q = queries.select(col(idCol).as("query_id"),
+      signPack(col(vecCol), dims).as("_qb"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("hamming", hamming(col("_qb"), col("_cb")))
+    graft.plans.TopK.perKey(scored, Seq("query_id"),
+      Seq(col("hamming").asc, col("neighbor_id").asc), k)
+      .select("query_id", "neighbor_id", "hamming", "rk")
+  }
+
   /** All pairs above a similarity threshold between a broadcast query set
     * and the corpus — rank-free, so exactly reproducible.
     */

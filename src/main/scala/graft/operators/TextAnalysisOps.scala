@@ -310,6 +310,46 @@ object TextAnalysisOps {
         longNumPattern, "<NUM>").as("redacted"))
   }
 
+  /** Script-mix profile — the multilingual-curation fact language-ID
+    * alone misses: a doc can be confidently "ru" yet 40% Latin
+    * (code-switching, spam keyword stuffing, transliteration noise),
+    * and homoglyph-salted spam is EXACTLY a script mix. Counts
+    * codepoints per Unicode block (Basic Latin letters, Cyrillic
+    * U+0400–U+04FF, Greek U+0370–U+03FF, ASCII digits), names the
+    * dominant script with a fixed latin→cyrillic→greek tie priority,
+    * and flags multi-script docs. Pure row-local regex over codepoint
+    * ranges — codegen'd, shuffle-free; the classes are literal-range
+    * RE2-compatible so external engines count the identical
+    * codepoints. All outputs exact integers/strings.
+    */
+  def scriptMix(df: DataFrame, idCol: String, textCol: String)
+      : DataFrame = {
+    val t = col(textCol)
+    def cnt(cls: String) =
+      size(regexp_extract_all(t, lit(cls), lit(0)))
+    val latin = cnt("[A-Za-z]")
+    // escape sequences, NEVER literal glyphs (the tx48 rule): a tool
+    // silently NFD-normalizing the source would decompose U+0400 and
+    // quietly change the class
+    val cyr = cnt("[\u0400-\u04ff]")
+    val greek = cnt("[\u0370-\u03ff]")
+    df.select(col(idCol),
+        latin.as("n_latin"), cyr.as("n_cyrillic"), greek.as("n_greek"),
+        cnt("[0-9]").as("n_digit"))
+      .withColumn("_g", greatest(col("n_latin"), col("n_cyrillic"),
+        col("n_greek")))
+      .withColumn("dominant",
+        when(col("_g") === 0, lit("none"))
+          .when(col("n_latin") === col("_g"), lit("latin"))
+          .when(col("n_cyrillic") === col("_g"), lit("cyrillic"))
+          .otherwise(lit("greek")))
+      .withColumn("mixed",
+        (when(col("n_latin") > 0, 1).otherwise(0) +
+          when(col("n_cyrillic") > 0, 1).otherwise(0) +
+          when(col("n_greek") > 0, 1).otherwise(0)) >= 2)
+      .drop("_g")
+  }
+
   /** HTML → text extraction (boilerplate strip) — the first transform
     * of every web-scraped corpus: remove script/style blocks whole,
     * strip the remaining tags, decode the common character entities,

@@ -80,6 +80,21 @@ object SimilarityQueries {
     // post-filter of a label-blind top-k, which silently under-fills k
     // whenever the label is rare (the classic filtered-search bug).
     // Selection on the bounded TopKPerKey heap, ss1's discipline.
+    // Binary sign-quantized top-k (ss25): the coarsest rung of the
+    // compression ladder (f32 → SQ8 ss24 → PQ ss12 → 1 bit/dim here,
+    // 32× vs f32) — sign bits packed into longs, ranked by XOR +
+    // popcount Hamming distance, the standard first-pass filter before
+    // an exact re-rank. Strict `> 0` sign rule (zeros code 0 — no tie
+    // contract), so the oracle replays the per-dim sign-disagreement
+    // count directly: the packed layout never crosses the compare.
+    "ss25_binary_hamming" -> ((s, d) => {
+      val emb = embeddings(s, d)
+      SimilarityOps.hammingTopK(emb, emb.filter(col("vec_id") < 10),
+          5, dims = 64)
+        .select(col("query_id"), col("rk"), col("neighbor_id"),
+          col("hamming"))
+    }),
+
     // SQ8 scalar-quantized top-k (ss24): the second compression family
     // beside PQ — per-dim (min, max) codebook, one byte per dim (4×
     // vs f32), symmetric INTEGER dot ranking. Quantization uses floor
@@ -695,6 +710,26 @@ object SimilarityQueries {
              round(list_cosine_similarity(q.embedding, c.embedding)::DOUBLE, 4) AS sim
            FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
            WHERE q.vec_id < 10)
+         WHERE rk <= 5""",
+    // sign-disagreement count per pair — by definition equal to the
+    // packed XOR+popcount (the bit layout is engine-internal)
+    "ss25_binary_hamming" ->
+      """WITH s AS (
+           SELECT vec_id,
+             [CASE WHEN x > 0 THEN 1 ELSE 0 END
+              for x in embedding] AS bits
+           FROM embeddings),
+         h AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+                 list_sum([abs(a.bits[i+1] - b.bits[i+1])
+                           for i in range(0, len(a.bits))])::INT
+                   AS hamming
+               FROM s a JOIN s b ON b.vec_id <> a.vec_id
+               WHERE a.vec_id < 10)
+         SELECT query_id, rk, neighbor_id, hamming FROM (
+           SELECT query_id, neighbor_id, hamming,
+             row_number() OVER (PARTITION BY query_id
+               ORDER BY hamming ASC, neighbor_id ASC)::INT AS rk
+           FROM h)
          WHERE rk <= 5""",
     // the SQ8 pipeline replayed end-to-end: per-dim min/max over the
     // corpus, floor-quantize in f64 (identical IEEE tree — f32→f64

@@ -341,6 +341,27 @@ object TextQueries {
     // removed whole, tags stripped, entities decoded (&amp; last),
     // whitespace collapsed. The oracle replays the identical
     // RE2-subset pipeline in DuckDB.
+    // Script-mix profile (tx52): Unicode-block codepoint census per
+    // doc — the multilingual-curation fact language-ID misses
+    // (code-switching, transliteration noise, homoglyph stuffing ARE
+    // script mixes). Scripts planted by id%4: 1 → Cyrillic swap of
+    // a/e/o/c (mixed), 2 → Greek swap of a/e/o/t (mixed), 0 → a-only
+    // Cyrillic (mixed), 3 → pure lowered Latin. Exact integer counts,
+    // fixed tie priority, both dominant verdicts and the mixed flag
+    // fire. Escapes, never glyphs (the tx48 rule).
+    "tx52_script_mix" -> ((s, d) => {
+      val base = lower(col("text"))
+      val planted = when(col("doc_id") % 4 === 1,
+          translate(base, "aeoc", "\u0430\u0435\u043e\u0441"))
+        .when(col("doc_id") % 4 === 2,
+          translate(base, "aeot", "\u03b1\u03b5\u03bf\u03c4"))
+        .when(col("doc_id") % 4 === 0, translate(base, "a", "\u0430"))
+        .otherwise(base)
+      TextAnalysisOps.scriptMix(
+        documents(s, d).select(col("doc_id"), planted.as("text")),
+        "doc_id", "text")
+    }),
+
     "tx51_html_extract" -> ((s, d) => {
       val html = concat(
         lit("<html><head><title>Doc "), col("doc_id"),
@@ -1063,6 +1084,33 @@ object TextQueries {
     // to exactly this, and the salt words (all covered by the planted
     // phrase's own grams) excise completely, so surviving words are
     // pure ASCII on both engines and clean_fp hashes agree
+    // the block census replayed over the same planted translate —
+    // identical literal-range RE2 classes, identical tie CASE
+    "tx52_script_mix" ->
+      """WITH p AS (SELECT doc_id,
+           CASE doc_id % 4
+             WHEN 1 THEN translate(lower(text), 'aeoc', '\u0430\u0435\u043e\u0441')
+             WHEN 2 THEN translate(lower(text), 'aeot', '\u03b1\u03b5\u03bf\u03c4')
+             WHEN 0 THEN translate(lower(text), 'a', '\u0430')
+             ELSE lower(text) END AS t
+         FROM documents),
+         c AS (SELECT doc_id,
+             len(regexp_extract_all(t, '[A-Za-z]'))::INT AS n_latin,
+             len(regexp_extract_all(t, '[\u0400-\u04ff]'))::INT AS n_cyrillic,
+             len(regexp_extract_all(t, '[\u0370-\u03ff]'))::INT AS n_greek,
+             len(regexp_extract_all(t, '[0-9]'))::INT AS n_digit
+           FROM p)
+         SELECT doc_id, n_latin, n_cyrillic, n_greek, n_digit,
+           CASE WHEN greatest(n_latin, n_cyrillic, n_greek) = 0 THEN 'none'
+                WHEN n_latin = greatest(n_latin, n_cyrillic, n_greek)
+                  THEN 'latin'
+                WHEN n_cyrillic = greatest(n_latin, n_cyrillic, n_greek)
+                  THEN 'cyrillic'
+                ELSE 'greek' END AS dominant,
+           ((CASE WHEN n_latin > 0 THEN 1 ELSE 0 END) +
+            (CASE WHEN n_cyrillic > 0 THEN 1 ELSE 0 END) +
+            (CASE WHEN n_greek > 0 THEN 1 ELSE 0 END)) >= 2 AS mixed
+         FROM c""",
     // the identical RE2-subset pipeline, stage by stage: block removal,
     // tag strip, entity decode (&amp; last), whitespace collapse
     "tx51_html_extract" ->
