@@ -438,6 +438,57 @@ object SpatialOps {
     * decimated (tens of vertices) or join the ring back by polygon id
     * when carrying thousand-vertex coastlines.
     */
+  /** Exact-integer polygon census: vertex count, twice-area (shoelace,
+    * |Σ cross|), winding orientation, and centroid — the geometry
+    * facts a spatial-curation pass filters on (degenerate slivers,
+    * inverted rings, size buckets) before any join. All sums are
+    * EXACT LONGS; the only floats are the two final one-IEEE-division
+    * centroid quotients (the ss13 recipe, replayed verbatim by the
+    * oracle).
+    *
+    * Overflow: the centroid numerator is CUBIC in coordinates, so the
+    * sums run over BBOX-SHIFTED vertices (shoelace is translation-
+    * invariant; the centroid shifts back by the bbox min as a final
+    * double add) — the bound is 4e³ < 2^63 on the polygon EXTENT e
+    * (e < 1.3e6), not on the absolute position: a city-block ring at
+    * the far end of a microdegree world stays exact. Degenerate rings
+    * (< 3 vertices, or zero signed area) resolve in-band: area2 = 0,
+    * ccw/cx/cy null. Three row-local HOF aggregates over the ring —
+    * no explode, no shuffle.
+    */
+  def polygonStats(polys: DataFrame, polyCol: String): DataFrame = {
+    val p = col(polyCol)
+    val n = size(p)
+    val xs = transform(p, v => v.getField("x"))
+    val ys = transform(p, v => v.getField("y"))
+    val mnx = array_min(xs)
+    val mny = array_min(ys)
+    def shx(i: Column) = element_at(xs, i) - mnx
+    def shy(i: Column) = element_at(ys, i) - mny
+    def crossAt(i: Column) = {
+      val j = pmod(i, n) + 1 // ring-closing successor (1-based)
+      shx(i) * shy(j) - shx(j) * shy(i)
+    }
+    val idx = sequence(lit(1), n) // 1-based vertex positions
+    val signed = aggregate(idx, lit(0L), (acc, i) => acc + crossAt(i))
+    val cxNum = aggregate(idx, lit(0L),
+      (acc, i) => acc + (shx(i) + shx(pmod(i, n) + 1)) * crossAt(i))
+    val cyNum = aggregate(idx, lit(0L),
+      (acc, i) => acc + (shy(i) + shy(pmod(i, n) + 1)) * crossAt(i))
+    val ok = n >= 3 && signed =!= 0L
+    polys
+      .withColumn("n_verts", when(p.isNotNull, n).otherwise(lit(0)))
+      .withColumn("_signed", when(col("n_verts") >= 3, signed)
+        .otherwise(lit(0L)))
+      .withColumn("area2", abs(col("_signed")))
+      .withColumn("ccw", when(col("_signed") =!= 0L, col("_signed") > 0L))
+      .withColumn("cx", when(ok,
+        mnx + cxNum.cast("double") / (lit(3L) * signed).cast("double")))
+      .withColumn("cy", when(ok,
+        mny + cyNum.cast("double") / (lit(3L) * signed).cast("double")))
+      .drop("_signed")
+  }
+
   def polygonContainsJoin(polys: DataFrame, polyCol: String,
                           points: DataFrame, pxCol: String, pyCol: String,
                           cell: Long,

@@ -153,6 +153,31 @@ object SpatialQueries {
         .select("s_suppkey", "c_custkey")
     }),
 
+    // Exact-integer polygon census (sp8): shoelace twice-area, winding
+    // orientation, and the bbox-shifted centroid over the sp6 hexagon
+    // fixture — ODD suppkeys get their ring REVERSED so both winding
+    // verdicts fire (area and centroid are orientation-invariant: the
+    // signed sums flip sign together and (-a)/(-b) is the identical
+    // IEEE quotient). The only floats are the two final divisions,
+    // replayed verbatim.
+    "sp8_polygon_stats" -> ((s, d) => {
+      val su = supplier(s, d).select(col("s_suppkey"),
+        coord(col("s_suppkey") + 7000000L, 1).as("sx"),
+        coord(col("s_suppkey") + 7000000L, 9).as("sy"))
+      val verts = PolyDirs.zipWithIndex.map { case ((dx, dy), v) =>
+        val sv = coord(col("s_suppkey") * 10 + lit(90000000L + v), 1) %
+          10001L + 2000L
+        struct((col("sx") + lit(dx) * sv).as("x"),
+          (col("sy") + lit(dy) * sv).as("y"))
+      }
+      val ring = array(verts: _*)
+      val polys = su.withColumn("poly",
+        when(col("s_suppkey") % 2 === 1, reverse(ring)).otherwise(ring))
+      SpatialOps.polygonStats(polys, "poly")
+        .select(col("s_suppkey"), col("n_verts"), col("area2"),
+          col("ccw"), col("cx"), col("cy"))
+    }),
+
     // Incremental radius join vs the PERSISTED point index (sp7): the
     // standing customer corpus (%5 ∈ 1..3 built + %5 = 4 appended —
     // the append path sits inside the gated artifact) banked once,
@@ -287,6 +312,64 @@ object SpatialQueries {
          FROM se, ce
          WHERE (ax - bx) * (ax - bx) + (ay - by) * (ay - by)
              + (az - bz) * (az - bz) <= ${cb}::BIGINT * ${cb}"""
+    },
+    // sp6's vertex construction replayed, then the shoelace sums over
+    // BBOX-SHIFTED coordinates exactly as the engine runs them; the
+    // odd-key ring reversal only flips the winding verdict (the two
+    // signed sums negate together, and (-a)/(-b) is the identical IEEE
+    // quotient, so area and centroid come from the canonical ring)
+    "sp8_polygon_stats" -> {
+      val scales = (0 until 6).map { v =>
+        s"""((('0x' || substr(md5((s_suppkey * 10 + ${90000000 + v})::VARCHAR),
+              1, 7))::UBIGINT % 1000000) % 10001 + 2000)::BIGINT AS s$v"""
+      }.mkString(",\n             ")
+      val dirs = Seq((2L, 0L), (1L, 2L), (-1L, 2L), (-2L, 0L),
+        (-1L, -2L), (1L, -2L))
+      val verts = dirs.zipWithIndex.map { case ((dx, dy), v) =>
+        s"sx + ($dx) * s$v AS x$v, sy + ($dy) * s$v AS y$v"
+      }.mkString(",\n             ")
+      val mnx = s"least(${(0 until 6).map(i => s"x$i").mkString(", ")})"
+      val mny = s"least(${(0 until 6).map(i => s"y$i").mkString(", ")})"
+      def cross(i: Int) = {
+        val j = (i + 1) % 6
+        s"((x$i - mnx) * (y$j - mny) - (x$j - mnx) * (y$i - mny))"
+      }
+      val signed = (0 until 6).map(cross).mkString(" + ")
+      val cxNum = (0 until 6).map(i =>
+        s"((x$i - mnx) + (x${(i + 1) % 6} - mnx)) * ${cross(i)}")
+        .mkString(" + ")
+      val cyNum = (0 until 6).map(i =>
+        s"((y$i - mny) + (y${(i + 1) % 6} - mny)) * ${cross(i)}")
+        .mkString(" + ")
+      s"""WITH su AS (
+           SELECT s_suppkey,
+             (('0x' || substr(md5((s_suppkey + 7000000)::VARCHAR), 1, 7))::UBIGINT
+               % 1000000)::BIGINT AS sx,
+             (('0x' || substr(md5((s_suppkey + 7000000)::VARCHAR), 9, 7))::UBIGINT
+               % 1000000)::BIGINT AS sy,
+             $scales
+           FROM supplier),
+         poly AS (SELECT s_suppkey, $verts FROM su),
+         sh AS (SELECT s_suppkey, $mnx AS mnx, $mny AS mny,
+                  x0, y0, x1, y1, x2, y2, x3, y3, x4, y4, x5, y5
+                FROM poly),
+         agg AS (SELECT s_suppkey, mnx, mny,
+                   ($signed)::BIGINT AS signed,
+                   ($cxNum)::BIGINT AS cxnum,
+                   ($cyNum)::BIGINT AS cynum
+                 FROM sh)
+         SELECT s_suppkey, 6::INT AS n_verts,
+           abs(signed)::BIGINT AS area2,
+           CASE WHEN signed = 0 THEN NULL
+                WHEN s_suppkey % 2 = 1 THEN signed < 0
+                ELSE signed > 0 END AS ccw,
+           CASE WHEN signed = 0 THEN NULL
+                ELSE mnx + cxnum::DOUBLE / (3 * signed)::DOUBLE
+           END AS cx,
+           CASE WHEN signed = 0 THEN NULL
+                ELSE mny + cynum::DOUBLE / (3 * signed)::DOUBLE
+           END AS cy
+         FROM agg"""
     },
     "sp7_radius_incremental" ->
       """WITH cu AS (

@@ -2762,6 +2762,35 @@ class ExtOpsSpec extends SparkSpec {
     release2()
   }
 
+  test("polygonStats: hand square both windings, bbox shift, degenerate in-band") {
+    import spark.implicits._
+    val sq = Seq((0L, 0L), (10L, 0L), (10L, 10L), (0L, 10L))
+    val rows = Seq(
+      (1L, sq),                        // ccw square: 2A=200, c=(5,5)
+      (2L, sq.reverse),                // cw: same area/centroid, ccw=false
+      (3L, sq.map { case (x, y) => (x + 1000000L, y + 1000000L) }),
+      (4L, Seq((5L, 5L), (6L, 6L))),   // segment: area 0, ccw null
+      (5L, Seq((1L, 1L), (2L, 2L), (3L, 3L)))) // collinear: signed 0
+      .toDF("id", "ring")
+      .select(col("id"), transform(col("ring"),
+        v => struct(v.getField("_1").as("x"), v.getField("_2").as("y")))
+        .as("poly"))
+    val got = SpatialOps.polygonStats(rows, "poly")
+      .select("id", "n_verts", "area2", "ccw", "cx", "cy")
+      .collect().map(r => r.getLong(0) ->
+        (r.getInt(1), r.getLong(2),
+          if (r.isNullAt(3)) None else Some(r.getBoolean(3)),
+          if (r.isNullAt(4)) None else Some(r.getDouble(4)),
+          if (r.isNullAt(5)) None else Some(r.getDouble(5)))).toMap
+    assert(got(1L) == ((4, 200L, Some(true), Some(5.0), Some(5.0))))
+    assert(got(2L) == ((4, 200L, Some(false), Some(5.0), Some(5.0))))
+    // far-translated square: bbox shift keeps the cubic sums exact
+    assert(got(3L) == ((4, 200L, Some(true),
+      Some(1000005.0), Some(1000005.0))))
+    assert(got(4L) == ((2, 0L, None, None, None)))
+    assert(got(5L) == ((3, 0L, None, None, None)))
+  }
+
   test("rayCastInside resolves degenerate rings in-band: null/empty/point/segment are false, never an error") {
     import spark.implicits._
     // unguarded, sequence(0, n-1) at n = 0 is [0, -1] and the i = -1
