@@ -350,6 +350,32 @@ object DataQualityOps {
     }.reduce(_ unionByName _)
   }
 
+  /** k-anonymity census over a quasi-identifier column set — the
+    * governance gate a training corpus with person-adjacent attributes
+    * must pass before release: any quasi-identifier combination shared
+    * by FEWER than k rows re-identifies its members. Reports group
+    * counts, the violating census, and the rows at risk — exact
+    * integers off ONE map-side-combined aggregate on the quasi key
+    * (the group frame is |distinct combinations| rows, never the
+    * corpus). Suppression/generalization is the caller's next step;
+    * this is the measurement.
+    */
+  def kAnonymity(df: DataFrame, quasiCols: Seq[String],
+                 k: Long): DataFrame = {
+    require(quasiCols.nonEmpty, "empty quasi-identifier list")
+    df.groupBy(quasiCols.map(col): _*)
+      .agg(count(lit(1)).as("_n"))
+      .agg(count(lit(1)).as("n_groups"),
+        count(when(col("_n") < k, lit(1))).as("violating_groups"),
+        coalesce(sum(when(col("_n") < k, col("_n"))), lit(0L))
+          .as("rows_at_risk"),
+        min(col("_n")).as("min_group"),
+        max(col("_n")).as("max_group"))
+      .select(lit(k).as("k"), col("n_groups"), col("violating_groups"),
+        col("rows_at_risk"), col("min_group"), col("max_group"),
+        (col("violating_groups") === 0).as("anonymous"))
+  }
+
   /** Per-slice quality report: the same exact-integer metrics grouped
     * by a slice key (source, shard, date...) — how a bad shard
     * surfaces before it poisons a training mix. One shuffle on the

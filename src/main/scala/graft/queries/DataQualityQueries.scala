@@ -185,6 +185,18 @@ object DataQualityQueries {
       tombstoneAudit(s, graft.operators.FrameDeleteIndexFixture.dir(s, d),
         "fhash")),
 
+    // k-anonymity census (dq14): quasi-identifier = (nation, market
+    // segment, account-balance century) over the customer dimension —
+    // a combination shared by < 5 rows re-identifies its members. The
+    // bucket count scales the group census into the violating regime
+    // at every sf (≈2.8k combinations vs 1.5k/15k customers), so both
+    // the violating and the safe mass are non-trivial.
+    "dq14_kanonymity" -> ((s, d) =>
+      DataQualityOps.kAnonymity(
+        customer(s, d).withColumn("bal_c",
+          floor(col("c_acctbal") / 100).cast("long")),
+        Seq("c_nationkey", "c_mktsegment", "bal_c"), k = 5L)),
+
     // Functional-dependency violation report (dq12): schema-rule
     // discovery over column PAIRS — dq7's uniqueness can't express
     // "does source determine language". Three candidate rules on the
@@ -450,6 +462,22 @@ SELECT count(*)::BIGINT AS n_rows,
   0::BIGINT AS n_null_keys,
   count(DISTINCT id)::BIGINT AS n_assets
 FROM idx""",
+
+    "dq14_kanonymity" ->
+      """WITH g AS (
+           SELECT c_nationkey, c_mktsegment,
+             floor(c_acctbal / 100)::BIGINT AS bal_c,
+             count(*) AS n
+           FROM customer GROUP BY 1, 2, 3)
+         SELECT 5::BIGINT AS k,
+           count(*)::BIGINT AS n_groups,
+           count(CASE WHEN n < 5 THEN 1 END)::BIGINT AS violating_groups,
+           coalesce(sum(CASE WHEN n < 5 THEN n END), 0)::BIGINT
+             AS rows_at_risk,
+           min(n)::BIGINT AS min_group,
+           max(n)::BIGINT AS max_group,
+           count(CASE WHEN n < 5 THEN 1 END) = 0 AS anonymous
+         FROM g""",
 
     // the fixture's deletion rule (%7 = 1 banked assets) replayed over
     // the analytic posting set: ghosts = those assets' postings

@@ -44,6 +44,20 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("row_number"))
   }
 
+  test("ss24/ss25 quantized top-k rank on the bounded heap over codegen'd literal codebooks") {
+    // the SQ8 codebook and the sign-pack masks must ride the quantize
+    // expression as literals (no join, no broadcast variable), and the
+    // per-query ranking is the heap — a row_number window would sort
+    // every scored row
+    for (lane <- Seq("ss24_sq8_topk", "ss25_binary_hamming")) {
+      val p = planOf(lane)
+      assert(p.contains("TopKPerKey") || p.contains("LocalTopK"),
+        s"$lane: ${p.take(2000)}")
+      assert(!p.contains("row_number"), s"$lane: ${p.take(2000)}")
+      assert(!p.contains("Window"), s"$lane: ${p.take(2000)}")
+    }
+  }
+
   test("ss23 filtered ANN joins on the filter attribute, heap-selects, no cross product") {
     // the label predicate must be the JOIN key (prunes before any
     // distance computes), not a post-filter of a label-blind cross
