@@ -37,7 +37,11 @@ object ExplainAudit {
         "mm17_audio_containment", "mm18_binary_cdc", "q35_orc_roundtrip",
         "mm19_jpeg_meta", "mm20_crossmodal_dedup", "mm21_frame_index",
         "mm22_segment_index", "mm23_chunk_index",
-        "tx50_decontaminate_evasive", "ss22_ivf_delete")
+        "tx50_decontaminate_evasive", "ss22_ivf_delete",
+        "gr12_scc", "gr13_scc_collapse", "mm28_index_delete",
+        "mm29_mp3_meta", "ss24_sq8_topk", "ss25_binary_hamming",
+        "tx52_script_mix", "sp8_polygon_stats", "dq14_kanonymity",
+        "st19_stream_fullouter", "tx13_packing", "dd11_span_dedup")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
