@@ -653,6 +653,25 @@ object GraphOps {
     }
   }
 
+  /** Condensation (SCC quotient) edges: the distinct component-level
+    * DAG a web-graph analysis works on once SCCs collapse — which
+    * mirror families FEED which (crawl frontier ordering, dedup
+    * provenance, bow-tie IN/OUT classification all read this graph,
+    * which is orders of magnitude smaller than the page graph). Two
+    * broadcast-able-or-shuffle equi joins of the edge list against the
+    * assignment (high-cardinality id key — no skew), same-component
+    * edges dropped, one distinct on the (scc_a, scc_b) pairs.
+    */
+  def condensationEdges(edges: DataFrame, scc: DataFrame): DataFrame = {
+    val e = edges.select(col("a").cast("long").as("a"),
+      col("b").cast("long").as("b"))
+    e.join(scc.select(col("id").as("a"), col("scc").as("scc_a")), Seq("a"))
+      .join(scc.select(col("id").as("b"), col("scc").as("scc_b")),
+        Seq("b"))
+      .filter(col("scc_a") =!= col("scc_b"))
+      .select(col("scc_a"), col("scc_b")).distinct()
+  }
+
   /** Per-node triangle counts over the UNDIRECTED graph. Edges are
     * canonically oriented low → high id so each triangle is enumerated
     * exactly once ((a,b),(b,c),(a,c) with a<b<c), then each corner

@@ -131,6 +131,74 @@ object Mp3Codec {
     out.toByteArray
   }
 
+  /** ID3v2.3 text frames (the metadata layer crawled MP3s actually
+    * carry): returns frameId → text for every ISO-8859-1 text frame
+    * in the tag ("TIT2" title, "TPE1" artist, "TALB" album, …).
+    * None when the tag is absent, alien, or STRUCTURALLY torn (a
+    * frame size running past the tag boundary) — never a partial
+    * read. Non-latin encodings (UTF-16 etc.) are spec-valid but
+    * skipped (counted by the caller via map size vs profile needs);
+    * padding (a zero where a frame id should start) ends the walk
+    * per spec §3. Only the 10 + size tag bytes are touched. */
+  def id3TextFrames(bytes: Array[Byte]): Option[Map[String, String]] = {
+    if (bytes == null || bytes.length < 10) return None
+    if (!(bytes(0) == 'I' && bytes(1) == 'D' && bytes(2) == '3'))
+      return None
+    if (u8(bytes, 3) != 3) return None // v2.3 only (the wire majority)
+    if ((u8(bytes, 6) | u8(bytes, 7) | u8(bytes, 8) | u8(bytes, 9))
+        >= 0x80) return None // synchsafe violation
+    val size = (u8(bytes, 6) << 21) | (u8(bytes, 7) << 14) |
+      (u8(bytes, 8) << 7) | u8(bytes, 9)
+    val end = 10 + size
+    if (end > bytes.length) return None // torn tag
+    var off = 10
+    val out = Map.newBuilder[String, String]
+    while (off < end) {
+      if (bytes(off) == 0) return Some(out.result()) // padding
+      if (off + 10 > end) return None // torn frame header
+      val id = new String(bytes, off, 4,
+        java.nio.charset.StandardCharsets.US_ASCII)
+      if (!id.forall(c => (c >= 'A' && c <= 'Z') || (c >= '0' && c <= '9')))
+        return None // alien frame id
+      val fsize = (u8(bytes, off + 4) << 24) | (u8(bytes, off + 5) << 16) |
+        (u8(bytes, off + 6) << 8) | u8(bytes, off + 7)
+      if (fsize < 1 || off + 10 + fsize > end) return None // overrun
+      if (id.startsWith("T") && u8(bytes, off + 10) == 0) {
+        // ISO-8859-1 text frame; text may be NUL-terminated
+        val raw = new String(bytes, off + 11, fsize - 1,
+          java.nio.charset.StandardCharsets.ISO_8859_1)
+        out += id -> raw.takeWhile(_ != 0.toChar)
+      }
+      off += 10 + fsize
+    }
+    Some(out.result())
+  }
+
+  /** Deterministic ID3v2.3 writer for the synthetic corpus: ISO-8859-1
+    * text frames + `pad` padding bytes. */
+  def encodeId3(frames: Seq[(String, String)], pad: Int): Array[Byte] = {
+    val body = new java.io.ByteArrayOutputStream()
+    for ((id, text) <- frames) {
+      val t = text.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+      body.write(id.getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+      val fsize = t.length + 1
+      body.write((fsize >> 24) & 0xff); body.write((fsize >> 16) & 0xff)
+      body.write((fsize >> 8) & 0xff); body.write(fsize & 0xff)
+      body.write(0); body.write(0) // frame flags
+      body.write(0) // ISO-8859-1 encoding byte
+      body.write(t)
+    }
+    body.write(new Array[Byte](pad))
+    val b = body.toByteArray
+    val out = new java.io.ByteArrayOutputStream()
+    out.write('I'); out.write('D'); out.write('3')
+    out.write(3); out.write(0); out.write(0)
+    out.write((b.length >> 21) & 0x7f); out.write((b.length >> 14) & 0x7f)
+    out.write((b.length >> 7) & 0x7f); out.write(b.length & 0x7f)
+    out.write(b)
+    out.toByteArray
+  }
+
   /** ADTS sampling-frequency table (index ≥ 13 reserved). */
   private val AdtsRates = Array(96000, 88200, 64000, 48000, 44100,
     32000, 24000, 22050, 16000, 12000, 11025, 8000, 7350, -1, -1, -1)

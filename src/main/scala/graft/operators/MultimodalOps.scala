@@ -482,6 +482,67 @@ object MultimodalOps {
     }(enc)
   }
 
+  /** Deterministic TAGGED MP3 corpus from ids: a real ID3v2.3 tag
+    * (title/artist always, album for id % 3 ≠ 0, id-varying padding)
+    * ahead of one audio frame. Corrupt taxonomy: id % 13 carries NO
+    * tag at all, id % 17 a frame whose size runs past the tag
+    * boundary — both resolve in-band. */
+  def synthTaggedMp3Assets(df: DataFrame, idCol: String): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("asset_id", LongType, nullable = false),
+      StructField("content", BinaryType, nullable = true)))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    df.select(col(idCol).cast("long").as("asset_id"))
+      .mapPartitions { it =>
+        it.map { r =>
+          val id = r.getLong(0)
+          val frames = Seq("TIT2" -> s"Track $id",
+            "TPE1" -> s"Artist ${id % 7}") ++
+            (if (id % 3 != 0) Seq("TALB" -> s"Album ${id % 5}") else Nil)
+          val tag = Mp3Codec.encodeId3(frames, pad = (id % 6).toInt)
+          val audio = Mp3Codec.encodeMp3(1, (id % 3).toInt, 0,
+            withCrc = false, id3Size = -1, _ => 5, _ => 0)
+          val payload =
+            if (id % 13 == 0) audio // tagless
+            else if (id % 17 == 0) {
+              tag(14) = 0x7f.toByte // first frame size -> overrun
+              tag ++ audio
+            } else tag ++ audio
+          Row(id, payload)
+        }
+      }(enc)
+  }
+
+  /** ID3v2.3 tag profile over MP3 payloads
+    * ([[Mp3Codec.id3TextFrames]]): the canonical text frames plus the
+    * frame census, parse success in-band. Only the tag bytes are
+    * walked — never the audio stream. */
+  def mp3TagProfile(assets: DataFrame,
+                    contentCol: String = "content"): DataFrame = {
+    val schema = StructType(assets.schema.fields.filterNot(
+      _.name == contentCol) ++ Seq(
+      StructField("title", StringType, nullable = true),
+      StructField("artist", StringType, nullable = true),
+      StructField("album", StringType, nullable = true),
+      StructField("n_text_frames", IntegerType, nullable = true),
+      StructField("parsed", BooleanType, nullable = false)))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    val idx = assets.schema.fieldIndex(contentCol)
+    val keep = assets.schema.fields.indices.filterNot(_ == idx)
+    assets.mapPartitions { it =>
+      it.map { r =>
+        val base = keep.map(r.get)
+        Mp3Codec.id3TextFrames(r.getAs[Array[Byte]](idx)) match {
+          case Some(m) =>
+            Row.fromSeq(base ++ Seq(m.get("TIT2").orNull,
+              m.get("TPE1").orNull, m.get("TALB").orNull, m.size, true))
+          case None =>
+            Row.fromSeq(base ++ Seq(null, null, null, null, false))
+        }
+      }
+    }(enc)
+  }
+
   /** Deterministic ADTS (AAC) corpus from ids; corrupt taxonomy at
     * id % 11 (torn) and id % 19 (nonzero layer bits patched into the
     * first header). */

@@ -143,6 +143,19 @@ object GraphQueries {
       leased("gr12_scc")(GraphOps.stronglyConnectedComponentsReleasable(
         sccBowtieEdges(s, d), maxPivotRounds = 16, maxHops = 8))),
 
+    // Condensation DAG (gr14): the SCC quotient edges of the planted
+    // bow-tie — the component-level graph a crawl analysis orders and
+    // classifies once mirror families collapse. Every tendril is its
+    // own component hanging off a ring component, so the quotient is
+    // closed-form: (tendril → ring-min) for id%3 ≠ 0, (ring-min →
+    // tendril) for id%3 = 0, ring-internal edges vanish.
+    "gr14_condensation" -> ((s, d) => {
+      val (scc, rel) = GraphOps.stronglyConnectedComponentsReleasable(
+        sccBowtieEdges(s, d), maxPivotRounds = 16, maxHops = 8)
+      graft.Leases.swap("gr14_condensation", rel)(
+        GraphOps.condensationEdges(sccBowtieEdges(s, d), scc))
+    }),
+
     // SCC-collapse dedup (gr13): the mirror-ring use case END-TO-END —
     // every mutually-linked family (an SCC of the directed link graph)
     // collapses to ONE representative, kept-best by content length
@@ -296,6 +309,17 @@ object GraphQueries {
            (CASE WHEN doc_id < 10 THEN doc_id - doc_id % 5
                  ELSE doc_id END)::BIGINT AS scc
          FROM documents""",
+    // the quotient closed-form: each tendril (id ≥ 10) is its own
+    // component wired to its ring's min id, direction by id%3;
+    // ring-internal edges vanish
+    "gr14_condensation" ->
+      """SELECT DISTINCT
+           (CASE WHEN id % 3 <> 0 THEN id
+                 ELSE (id % 10) - (id % 10) % 5 END)::BIGINT AS scc_a,
+           (CASE WHEN id % 3 <> 0 THEN (id % 10) - (id % 10) % 5
+                 ELSE id END)::BIGINT AS scc_b
+         FROM (SELECT doc_id::BIGINT AS id FROM documents
+               WHERE doc_id >= 10)""",
     // the closed-form components joined back to content size; the
     // representative is the (n_chars DESC, id ASC) argmax per SCC
     "gr13_scc_collapse" ->

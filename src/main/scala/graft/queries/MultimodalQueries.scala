@@ -384,6 +384,20 @@ object MultimodalQueries {
       MultimodalOps.frameContainmentIncremental(batch, dir)
     }),
 
+    // ID3v2.3 tag extraction (mm31): the metadata layer crawled MP3s
+    // actually carry — title/artist/album text frames walked from the
+    // real tag bytes (frame headers, sizes, encoding byte, padding
+    // stop), never the audio stream. Tagless (id%13) and
+    // frame-overrun (id%17) assets miss in-band; the oracle replays
+    // the generative strings analytically.
+    "mm31_id3_tags" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      MultimodalOps.mp3TagProfile(
+        MultimodalOps.synthTaggedMp3Assets(documents(s, d), "doc_id"))
+        .select(col("asset_id"), col("title"), col("artist"),
+          col("album"), col("n_text_frames"), col("parsed"))
+    }),
+
     "mm29_mp3_meta" -> ((s, d) => {
       import org.apache.spark.sql.functions._
       MultimodalOps.mp3Profile(
@@ -1356,6 +1370,21 @@ FROM capl l JOIN capl r ON l.fhash = r.fhash AND l.id < r.id
 WHERE l.id % 5 = 0 OR r.id % 5 = 0
 GROUP BY 1, 2
 HAVING count(*) >= 2""",
+    "mm31_id3_tags" ->
+      """WITH d AS (SELECT doc_id::BIGINT AS id FROM documents),
+         p AS (SELECT id, (id % 13 = 0 OR id % 17 = 0) AS bad FROM d)
+         SELECT id AS asset_id,
+           CASE WHEN bad THEN NULL
+                ELSE 'Track ' || id::VARCHAR END AS title,
+           CASE WHEN bad THEN NULL
+                ELSE 'Artist ' || (id % 7)::VARCHAR END AS artist,
+           CASE WHEN bad OR id % 3 = 0 THEN NULL
+                ELSE 'Album ' || (id % 5)::VARCHAR END AS album,
+           CASE WHEN bad THEN NULL
+                ELSE (2 + CASE WHEN id % 3 <> 0 THEN 1 ELSE 0 END)::INT
+           END AS n_text_frames,
+           NOT bad AS parsed
+         FROM p""",
     "mm29_mp3_meta" ->
       """WITH d AS (SELECT doc_id::BIGINT AS id FROM documents),
          p AS (SELECT id,

@@ -53,6 +53,32 @@ class Mp3CodecSpec extends AnyFunSuite {
     assert(Mp3Codec.mp3Walk(a ++ b).isEmpty)
   }
 
+  test("id3v2.3 text frames: roundtrip, padding stop, corrupt taxonomy in-band") {
+    val tag = Mp3Codec.encodeId3(
+      Seq("TIT2" -> "A Title", "TPE1" -> "Someone", "TALB" -> "An LP"),
+      pad = 7)
+    val m = Mp3Codec.id3TextFrames(tag).get
+    assert(m == Map("TIT2" -> "A Title", "TPE1" -> "Someone",
+      "TALB" -> "An LP"))
+    // trailing audio bytes are never read past the tag boundary
+    val audio = Mp3Codec.encodeMp3(1, 0, 0, withCrc = false,
+      id3Size = -1, _ => 5, _ => 0)
+    assert(Mp3Codec.id3TextFrames(tag ++ audio).contains(m))
+    // tagless / alien / torn / overrun all miss in-band
+    assert(Mp3Codec.id3TextFrames(null).isEmpty)
+    assert(Mp3Codec.id3TextFrames(audio).isEmpty) // no tag
+    val v4 = tag.clone(); v4(3) = 4
+    assert(Mp3Codec.id3TextFrames(v4).isEmpty) // unsupported version
+    assert(Mp3Codec.id3TextFrames(tag.dropRight(12)).isEmpty) // torn tag
+    val overrun = tag.clone(); overrun(14) = 0x7f.toByte
+    assert(Mp3Codec.id3TextFrames(overrun).isEmpty) // frame size overrun
+    val alien = tag.clone(); alien(10) = 'x'.toByte
+    assert(Mp3Codec.id3TextFrames(alien).isEmpty) // bad frame id
+    // empty tag (pure padding) is a VALID zero-frame tag
+    assert(Mp3Codec.id3TextFrames(Mp3Codec.encodeId3(Nil, pad = 16))
+      .contains(Map.empty[String, String]))
+  }
+
   test("adts roundtrip and corrupt taxonomy") {
     val ok = Mp3Codec.encodeAdts(3, sfi = 4, profile = 1, channels = 2,
       withCrc = false, payloadLen = i => 12 + i)
