@@ -733,7 +733,8 @@ class PlanShapeSpec extends SparkSpec {
     val sc = spark.sparkContext
     def ids: Set[Int] = sc.getPersistentRDDs.keySet.toSet
     for (lane <- Seq("tx13_packing", "tx23_pack_sequences",
-        "tx24_quantile_filter", "tx32_shard_manifest", "gr12_scc")) {
+        "tx24_quantile_filter", "tx32_shard_manifest", "gr12_scc",
+        "gr13_scc_collapse", "gr14_condensation")) {
       val base = ids
       def run(): Int = {
         SparkEntry.queries(lane)(spark, sf).collect()
