@@ -579,14 +579,17 @@ object GraphOps {
       maxPivotRounds: Int, maxHops: Int, maxTrimRounds: Int = 64)
       : (DataFrame, () => Unit) = {
     val ser = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER
-    // self-loops are cycle-irrelevant (a is always in scc(a)); dropping
-    // them keeps the trim rule exact
-    var e = edges.select(col("a").cast("long").as("a"),
-        col("b").cast("long").as("b"))
-      .filter(col("a") =!= col("b")).distinct()
+    val rawE = edges.select(col("a").cast("long").as("a"),
+      col("b").cast("long").as("b"))
+    // self-loops are cycle-irrelevant for MULTI-node SCCs (a is always
+    // in scc(a)), so the working edge set drops them to keep the trim
+    // rule exact — but the NODE set must come from the raw endpoints:
+    // a page whose only links are self-links (common in web graphs) is
+    // still a valid singleton SCC member of the output contract
+    var e = rawE.filter(col("a") =!= col("b")).distinct()
       .localCheckpoint(true, ser)
-    var nodes = e.select(col("a").as("id"))
-      .unionByName(e.select(col("b").as("id"))).distinct()
+    var nodes = rawE.select(col("a").as("id"))
+      .unionByName(rawE.select(col("b").as("id"))).distinct()
       .localCheckpoint(true, ser)
     var remN = nodes.count()
     // assigned components accumulate as a BUFFER of checkpointed

@@ -42,9 +42,9 @@ object IvfFixture {
     * the last table lands; every access checks it, so a torn index
     * fails loudly instead of silently serving partial results.
     */
-  private[operators] val MarkerName = "_GRAFT_INDEX_OK"
+  private[graft] val MarkerName = "_GRAFT_INDEX_OK"
 
-  private[operators] def buildWithMarker(dir: String)(build: => Unit): String = {
+  private[graft] def buildWithMarker(dir: String)(build: => Unit): String = {
     import java.nio.file.{Files, Paths}
     val marker = Paths.get(dir, MarkerName)
     Files.deleteIfExists(marker)
@@ -53,7 +53,7 @@ object IvfFixture {
     dir
   }
 
-  private[operators] def checkMarker(dir: String): String = {
+  private[graft] def checkMarker(dir: String): String = {
     val marker = java.nio.file.Paths.get(dir, MarkerName)
     require(java.nio.file.Files.exists(marker),
       s"persisted index at $dir has no $MarkerName marker — " +

@@ -444,8 +444,10 @@ class GraphSpec extends SparkSpec {
     for (seed <- Seq(1, 2, 3)) {
       val n = 30
       val rnd = new scala.util.Random(seed)
+      // self-loops INCLUDED: a node whose only edges are self-loops
+      // must still appear in the output as its own singleton SCC
       val es = (for (a <- 0 until n; b <- 0 until n
-        if a != b && rnd.nextInt(100) < 8) yield (a.toLong, b.toLong))
+        if rnd.nextInt(100) < 8) yield (a.toLong, b.toLong))
       val adj = es.groupBy(_._1.toInt)
         .map { case (k, v) => k -> v.map(_._2.toInt).sorted.toSeq }
       val got = GraphOps.stronglyConnectedComponents(
@@ -458,12 +460,15 @@ class GraphSpec extends SparkSpec {
       assert(got == want, s"seed=$seed got=${got.toSeq.sorted.take(10)} " +
         s"want=${want.toSeq.sorted.take(10)}")
     }
-    // hand graph: ring 0->1->2->0, tendril-in 3->0, tendril-out 2->4
+    // hand graph: ring 0->1->2->0, tendril-in 3->0, tendril-out 2->4,
+    // plus 5 whose ONLY edge is the self-loop 5->5 — it must surface
+    // as its own singleton SCC, not silently vanish
     val hand = GraphOps.stronglyConnectedComponents(
-        Seq((0L, 1L), (1L, 2L), (2L, 0L), (3L, 0L), (2L, 4L))
+        Seq((0L, 1L), (1L, 2L), (2L, 0L), (3L, 0L), (2L, 4L), (5L, 5L))
           .toDF("a", "b"), maxPivotRounds = 4, maxHops = 4)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(hand == Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 3L -> 3L, 4L -> 4L))
+    assert(hand == Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 3L -> 3L,
+      4L -> 4L, 5L -> 5L))
     // truncated reach must FAIL LOUDLY, never split an SCC silently:
     // a 5-ring with maxHops 2
     val ringE = (0L until 5L).map(i => (i, (i + 1) % 5)).toDF("a", "b")
