@@ -33,7 +33,9 @@ case class AdtsProfile(nFrames: Int, sampleRate: Int, profile: Int,
   * reserved version/layer/bitrate/sample-rate/emphasis codes,
   * free-format bitrate (0 — length not derivable from the header, so
   * the walk cannot continue honestly), truncated final frame, ID3v2
-  * size past EOF, zero frames.
+  * size past EOF, zero frames. NOT corrupt: a trailing 128-byte ID3v1
+  * "TAG" block (ubiquitous in crawled MP3s — ends the walk cleanly)
+  * and an ID3v2 footer (flag bit 4 — the leading hop skips it).
   */
 object Mp3Codec {
 
@@ -59,7 +61,9 @@ object Mp3Codec {
         (u8(bytes, 8) << 7) | u8(bytes, 9)
       if ((u8(bytes, 6) | u8(bytes, 7) | u8(bytes, 8) | u8(bytes, 9))
           >= 0x80) return None // synchsafe bytes must have bit 7 clear
-      off = 10 + size
+      // footer flag (v2.4 §3.1, bit 4): the size field excludes the
+      // 10-byte trailer copy of the header, so hop it too
+      off = 10 + size + (if ((u8(bytes, 5) & 0x10) != 0) 10 else 0)
       if (off >= bytes.length) return None
       hasId3 = true
     }
@@ -70,6 +74,13 @@ object Mp3Codec {
     var channelMode = -1
     var hasCrc = false
     while (off < bytes.length) {
+      // ID3v1 trailer: exactly 128 "TAG"-led bytes at EOF (extremely
+      // common in crawled MP3s) is metadata, not lost sync — end the
+      // walk, don't corrupt-classify the file
+      if (bytes.length - off == 128 && bytes(off) == 'T' &&
+          bytes(off + 1) == 'A' && bytes(off + 2) == 'G')
+        return finishMp3(nFrames, sampleRate, minBr, maxBr, channelMode,
+          hasId3, hasCrc)
       if (off + 4 > bytes.length) return None // torn header
       if (u8(bytes, off) != 0xff ||
         (u8(bytes, off + 1) & 0xe0) != 0xe0) return None // lost sync
@@ -97,10 +108,16 @@ object Mp3Codec {
       nFrames += 1
       off += frameLen
     }
+    finishMp3(nFrames, sampleRate, minBr, maxBr, channelMode, hasId3,
+      hasCrc)
+  }
+
+  private def finishMp3(nFrames: Int, sampleRate: Int, minBr: Int,
+      maxBr: Int, channelMode: Int, hasId3: Boolean,
+      hasCrc: Boolean): Option[Mp3Profile] =
     if (nFrames == 0) None
     else Some(Mp3Profile(nFrames, sampleRate, minBr, maxBr, channelMode,
       nFrames.toLong * 1152L * 1000L / sampleRate, hasId3, hasCrc))
-  }
 
   /** Deterministic MP3 writer for the synthetic corpus: `brIdx(i)`
     * picks each frame's bitrate index (1–14), `padBit(i)` its padding
@@ -133,7 +150,9 @@ object Mp3Codec {
 
   /** ID3v2.3 text frames (the metadata layer crawled MP3s actually
     * carry): returns frameId → text for every ISO-8859-1 text frame
-    * in the tag ("TIT2" title, "TPE1" artist, "TALB" album, …).
+    * in the tag ("TIT2" title, "TPE1" artist, "TALB" album, …);
+    * user-defined TXXX frames carry their own description/value
+    * layout and come back keyed "TXXX:<description>".
     * None when the tag is absent, alien, or STRUCTURALLY torn (a
     * frame size running past the tag boundary) — never a partial
     * read. Non-latin encodings (UTF-16 etc.) are spec-valid but
@@ -163,7 +182,18 @@ object Mp3Codec {
       val fsize = (u8(bytes, off + 4) << 24) | (u8(bytes, off + 5) << 16) |
         (u8(bytes, off + 6) << 8) | u8(bytes, off + 7)
       if (fsize < 1 || off + 10 + fsize > end) return None // overrun
-      if (id.startsWith("T") && u8(bytes, off + 10) == 0) {
+      if (id == "TXXX" && u8(bytes, off + 10) == 0) {
+        // user-defined text (§4.2.2): encoding byte, NUL-terminated
+        // description, then the value — NOT the plain-text layout, so
+        // it needs its own split; keyed "TXXX:<description>" because
+        // the spec allows many TXXX frames per tag
+        val raw = new String(bytes, off + 11, fsize - 1,
+          java.nio.charset.StandardCharsets.ISO_8859_1)
+        val nul = raw.indexOf(0.toChar)
+        if (nul < 0) return None // description never terminates: torn
+        out += s"TXXX:${raw.substring(0, nul)}" ->
+          raw.substring(nul + 1).takeWhile(_ != 0.toChar)
+      } else if (id.startsWith("T") && u8(bytes, off + 10) == 0) {
         // ISO-8859-1 text frame; text may be NUL-terminated
         val raw = new String(bytes, off + 11, fsize - 1,
           java.nio.charset.StandardCharsets.ISO_8859_1)

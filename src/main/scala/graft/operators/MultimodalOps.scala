@@ -1912,36 +1912,108 @@ object MultimodalOps {
     * tombstoned is deleted outright (a dynamic partition overwrite
     * cannot emit an EMPTY partition, which would strand the stale
     * rows). Probe results are identical before and after by
-    * construction — the anti-join was already masking these rows; the
-    * snapshot-then-overwrite is the `Compaction.compactInPlace`
-    * discipline (same torn-write caveat, same answer: re-run).
+    * construction — the anti-join was already masking these rows.
+    *
+    * Crash safety — STAGED swap, never delete-then-rewrite-from-memory:
+    * the surviving rows are written to `_vacuum_tmp` on the SAME
+    * filesystem first (hidden from partition discovery like
+    * `_tombstones`), a commit marker lands after the last staged byte,
+    * and only then are affected buckets deleted and the staged dirs
+    * renamed in. Every interruption point is recoverable: before the
+    * marker, the old buckets and the tombstone table are intact (the
+    * next vacuum discards the torn stage and re-runs); after the
+    * marker, [[finishVacuumSwap]] is idempotent (a staged dir still
+    * present has not been renamed yet, so delete-dst-then-rename
+    * resumes exactly where the crash hit) and runs first on the next
+    * vacuum. At no point do live postings exist only in this app's
+    * memory — unlike `Compaction.compactInPlace`, the source bytes
+    * here cannot be re-derived.
     */
   def postingIndexVacuum(spark: org.apache.spark.sql.SparkSession, dir: String, idCol: String,
-                         keyCol: String): Unit =
+                         keyCol: String): Unit = {
+    finishVacuumSwap(spark, dir) // heal an interrupted swap first
     postingTombstones(spark, dir, idCol).foreach { ts =>
       val idx = spark.read.parquet(dir)
       val affected = idx.join(broadcast(ts), Seq(idCol), "left_semi")
         .select(col("_bkt")).distinct()
         .collect().map(_.getInt(0)).toSeq // bounded by bucket count
+      if (affected.nonEmpty) {
+        stageVacuumSwap(spark, dir, idCol, keyCol, ts, affected)
+        finishVacuumSwap(spark, dir)
+      }
       val fs = new org.apache.hadoop.fs.Path(dir)
         .getFileSystem(spark.sparkContext.hadoopConfiguration)
-      if (affected.nonEmpty) {
-        val snap = idx.filter(col("_bkt").isin(affected: _*))
-          .join(broadcast(ts), Seq(idCol), "left_anti")
-          .localCheckpoint(true)
-        try {
-          affected.foreach { b =>
-            fs.delete(new org.apache.hadoop.fs.Path(dir, s"_bkt=$b"), true)
-          }
-          snap.select(col(idCol), col(keyCol), col("_bkt"))
-            .repartition(col("_bkt"))
-            .sortWithinPartitions(col("_bkt"), col(keyCol))
-            .write.mode(org.apache.spark.sql.SaveMode.Append)
-            .partitionBy("_bkt").parquet(dir)
-        } finally graft.Release(snap, blocking = true)
-      }
       fs.delete(new org.apache.hadoop.fs.Path(s"$dir/_tombstones"), true)
     }
+  }
+
+  private val VacuumTmp = "_vacuum_tmp"
+  private val VacuumReady = "_GRAFT_SWAP_READY"
+  private val VacuumEmptyList = "_empty_buckets"
+
+  /** Stage the affected buckets' SURVIVING rows under `_vacuum_tmp`,
+    * record which affected buckets stage no survivors (fully
+    * tombstoned — they must be deleted outright, and the distinction
+    * matters during recovery: a bucket absent from the stage is either
+    * fully tombstoned or already renamed in, and only the former may
+    * be deleted), then drop the commit marker. The marker is the
+    * atomic commit point of the whole vacuum. */
+  private[operators] def stageVacuumSwap(spark: org.apache.spark.sql.SparkSession,
+      dir: String, idCol: String, keyCol: String,
+      ts: DataFrame, affected: Seq[Int]): Unit = {
+    val tmp = s"$dir/$VacuumTmp"
+    spark.read.parquet(dir)
+      .filter(col("_bkt").isin(affected: _*))
+      .join(broadcast(ts), Seq(idCol), "left_anti")
+      .select(col(idCol), col(keyCol), col("_bkt"))
+      .repartition(col("_bkt"))
+      .sortWithinPartitions(col("_bkt"), col(keyCol))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .partitionBy("_bkt").parquet(tmp)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val staged = fs.listStatus(new org.apache.hadoop.fs.Path(tmp))
+      .map(_.getPath.getName).filter(_.startsWith("_bkt="))
+      .map(_.stripPrefix("_bkt=").toInt).toSet
+    val emptyOut = fs.create(
+      new org.apache.hadoop.fs.Path(tmp, VacuumEmptyList), true)
+    emptyOut.write(affected.filterNot(staged).mkString("\n")
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    emptyOut.close()
+    fs.create(new org.apache.hadoop.fs.Path(tmp, VacuumReady), true)
+      .close()
+  }
+
+  /** Complete (or discard) a staged vacuum swap; idempotent, called
+    * first by every [[postingIndexVacuum]] so a crashed swap
+    * self-heals on the next run. No marker → the stage never
+    * committed, the live index and tombstones are untouched: discard.
+    * Marker present → delete the fully-tombstoned buckets, then for
+    * each staged dir delete the (old) destination and rename in —
+    * a staged dir's presence proves its rename has not happened. */
+  private[operators] def finishVacuumSwap(
+      spark: org.apache.spark.sql.SparkSession, dir: String): Unit = {
+    val dirP = new org.apache.hadoop.fs.Path(dir)
+    val fs = dirP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new org.apache.hadoop.fs.Path(dir, VacuumTmp)
+    if (!fs.exists(tmp)) return
+    if (!fs.exists(new org.apache.hadoop.fs.Path(tmp, VacuumReady))) {
+      fs.delete(tmp, true); return
+    }
+    val in = fs.open(new org.apache.hadoop.fs.Path(tmp, VacuumEmptyList))
+    val emptyB = try scala.io.Source.fromInputStream(in).getLines()
+      .filter(_.nonEmpty).toList finally in.close()
+    emptyB.foreach { b =>
+      fs.delete(new org.apache.hadoop.fs.Path(dir, s"_bkt=$b"), true)
+    }
+    fs.listStatus(tmp).filter(_.getPath.getName.startsWith("_bkt="))
+      .foreach { st =>
+        val dst = new org.apache.hadoop.fs.Path(dir, st.getPath.getName)
+        fs.delete(dst, true)
+        fs.rename(st.getPath, dst)
+      }
+    fs.delete(tmp, true)
+  }
 
   /** Containment of a NEW batch's fingerprints against the persisted
     * index: ONLY the batch was decoded (the corpus' fingerprints read

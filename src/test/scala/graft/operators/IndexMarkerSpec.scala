@@ -128,4 +128,71 @@ class IndexMarkerSpec extends SparkSpec {
       .count() == 0, "vacuum left deleted rows on disk")
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
   }
+
+  test("vacuum swap is staged and self-heals from both interruption classes") {
+    import org.apache.spark.sql.functions._
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val assets = MultimodalOps.synthY4mTrimAssets(docs, "doc_id")
+    val dir = Files.createTempDirectory("graft-vacuum-crash-spec").toString
+    MultimodalOps.frameHashIndexBuild(
+      assets.filter(col("asset_id") % 5 >= 1), dir)
+    val batch = assets.filter(col("asset_id") % 5 === 0)
+    def result() = MultimodalOps.frameContainmentIncremental(batch, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    def tombstoneAndStage(id: Long): Unit = {
+      MultimodalOps.postingIndexDelete(
+        docs.select(col("doc_id").as("asset_id"))
+          .filter(col("asset_id") === id), dir, "asset_id")
+      val ts = spark.read.parquet(s"$dir/_tombstones")
+      val affected = spark.read.parquet(dir)
+        .join(broadcast(ts), Seq("asset_id"), "left_semi")
+        .select(col("_bkt")).distinct().collect().map(_.getInt(0)).toSeq
+      assert(affected.nonEmpty,
+        s"fixture drifted: asset $id has no postings to vacuum")
+      MultimodalOps.stageVacuumSwap(spark, dir, "asset_id", "fhash",
+        ts, affected)
+    }
+    def assertConverged(deleted: Long, want: Set[(Long, Long, Long)])
+        : Unit = {
+      assert(!Files.exists(Paths.get(dir, "_vacuum_tmp")),
+        "vacuum left the stage dir")
+      assert(!Files.exists(Paths.get(dir, "_tombstones")),
+        "vacuum left the tombstone table")
+      assert(result() == want, "recovery changed probe results")
+      assert(spark.read.parquet(dir)
+        .filter(col("asset_id") === deleted).count() == 0,
+        "recovery left deleted rows on disk")
+    }
+
+    // class 1 — crash BEFORE the commit marker: the stage is fully
+    // written but never committed; the next vacuum must discard it
+    // (old buckets + tombstones are intact) and converge by re-running
+    MultimodalOps.postingIndexDelete(
+      docs.select(col("doc_id").as("asset_id"))
+        .filter(col("asset_id") === 4), dir, "asset_id")
+    val masked4 = result()
+    tombstoneAndStage(4) // re-staging the same tombstones is harmless
+    Files.delete(Paths.get(dir, "_vacuum_tmp", "_GRAFT_SWAP_READY"))
+    MultimodalOps.postingIndexVacuum(spark, dir, "asset_id", "fhash")
+    assertConverged(4L, masked4)
+
+    // class 2 — crash AFTER the marker, mid-swap: one staged bucket
+    // already renamed in (its old dir deleted first, exactly the swap
+    // loop's order), the rest still staged; the entry heal must finish
+    // the remaining renames without re-deleting the moved bucket
+    tombstoneAndStage(9)
+    val masked9 = result()
+    val tmpDir = new java.io.File(dir, "_vacuum_tmp")
+    val staged = tmpDir.listFiles().filter(_.getName.startsWith("_bkt="))
+    if (staged.nonEmpty) { // partial progress only exists with survivors
+      val one = staged.head
+      org.apache.commons.io.FileUtils.deleteDirectory(
+        new java.io.File(dir, one.getName))
+      Files.move(one.toPath, Paths.get(dir, one.getName))
+    }
+    MultimodalOps.postingIndexVacuum(spark, dir, "asset_id", "fhash")
+    assertConverged(9L, masked9)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+  }
 }

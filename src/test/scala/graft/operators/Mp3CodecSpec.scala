@@ -105,4 +105,88 @@ class Mp3CodecSpec extends AnyFunSuite {
       withCrc = false, payloadLen = _ => 4)
     assert(Mp3Codec.adtsWalk(c1 ++ c2).isEmpty)
   }
+
+  test("trailing ID3v1 TAG block and ID3v2 footer are metadata, not corrupt") {
+    val audio = Mp3Codec.encodeMp3(3, srIdx = 0, mode = 1,
+      withCrc = false, id3Size = -1, brIdx = _ => 9, padBit = _ => 0)
+    // 128-byte ID3v1 trailer: TAG + title/artist/album/year/comment
+    val v1 = new Array[Byte](128)
+    v1(0) = 'T'; v1(1) = 'A'; v1(2) = 'G'
+    val p = Mp3Codec.mp3Walk(audio ++ v1).get
+    assert(p.nFrames == 3 && !p.hasId3, "v1 trailer must end the walk")
+    // a 128-byte non-TAG tail is still lost sync
+    val junk = new Array[Byte](128)
+    assert(Mp3Codec.mp3Walk(audio ++ junk).isEmpty)
+    // a TAG block NOT at EOF (frames follow) is still lost sync
+    assert(Mp3Codec.mp3Walk(audio ++ v1 ++ audio).isEmpty)
+    // ID3v2 with footer flag: size excludes the 10-byte trailer copy
+    val withFooter = {
+      val out = new java.io.ByteArrayOutputStream()
+      out.write('I'); out.write('D'); out.write('3')
+      out.write(4); out.write(0); out.write(0x10) // v2.4, footer flag
+      out.write(0); out.write(0); out.write(0); out.write(8)
+      out.write(new Array[Byte](8))
+      out.write('3'); out.write('D'); out.write('I') // footer header
+      out.write(4); out.write(0); out.write(0x10)
+      out.write(0); out.write(0); out.write(0); out.write(8)
+      out.toByteArray ++ audio
+    }
+    val q = Mp3Codec.mp3Walk(withFooter).get
+    assert(q.nFrames == 3 && q.hasId3, "footer hop missed the frames")
+  }
+
+  test("TXXX user-defined frames parse their description/value layout") {
+    // hand-build a TXXX frame: encoding 0, desc NUL value
+    def txxx(desc: String, value: String): Array[Byte] = {
+      val body = (desc + "\u0000" + value).getBytes(
+        java.nio.charset.StandardCharsets.ISO_8859_1)
+      val out = new java.io.ByteArrayOutputStream()
+      out.write("TXXX".getBytes(
+        java.nio.charset.StandardCharsets.US_ASCII))
+      val fsize = body.length + 1
+      out.write((fsize >> 24) & 0xff); out.write((fsize >> 16) & 0xff)
+      out.write((fsize >> 8) & 0xff); out.write(fsize & 0xff)
+      out.write(0); out.write(0) // flags
+      out.write(0) // ISO-8859-1
+      out.write(body)
+      out.toByteArray
+    }
+    // splice two TXXX frames plus a plain text frame into one tag
+    val plain = Mp3Codec.encodeId3(Seq("TIT2" -> "Title"), pad = 0)
+    val frames = plain.drop(10) ++ txxx("replaygain", "-3.1 dB") ++
+      txxx("catalog", "X42")
+    val out = new java.io.ByteArrayOutputStream()
+    out.write('I'); out.write('D'); out.write('3')
+    out.write(3); out.write(0); out.write(0)
+    out.write((frames.length >> 21) & 0x7f)
+    out.write((frames.length >> 14) & 0x7f)
+    out.write((frames.length >> 7) & 0x7f)
+    out.write(frames.length & 0x7f)
+    out.write(frames)
+    val m = Mp3Codec.id3TextFrames(out.toByteArray).get
+    assert(m == Map("TIT2" -> "Title", "TXXX:replaygain" -> "-3.1 dB",
+      "TXXX:catalog" -> "X42"), m.toString)
+    // a TXXX whose description never NUL-terminates is torn
+    val torn = {
+      val body = "no-terminator".getBytes(
+        java.nio.charset.StandardCharsets.ISO_8859_1)
+      val o = new java.io.ByteArrayOutputStream()
+      o.write("TXXX".getBytes(
+        java.nio.charset.StandardCharsets.US_ASCII))
+      val fsize = body.length + 1
+      o.write((fsize >> 24) & 0xff); o.write((fsize >> 16) & 0xff)
+      o.write((fsize >> 8) & 0xff); o.write(fsize & 0xff)
+      o.write(0); o.write(0); o.write(0)
+      o.write(body)
+      val f = o.toByteArray
+      val t = new java.io.ByteArrayOutputStream()
+      t.write('I'); t.write('D'); t.write('3')
+      t.write(3); t.write(0); t.write(0)
+      t.write((f.length >> 21) & 0x7f); t.write((f.length >> 14) & 0x7f)
+      t.write((f.length >> 7) & 0x7f); t.write(f.length & 0x7f)
+      t.write(f)
+      t.toByteArray
+    }
+    assert(Mp3Codec.id3TextFrames(torn).isEmpty)
+  }
 }
