@@ -763,7 +763,20 @@ class PlanShapeSpec extends SparkSpec {
     // partition), or run over a REDUCED frame (an Aggregate or
     // bounded-heap TopKPerKey below it). Documented exceptions only.
     import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
-    val highCard = Set("user_id", "o_custkey", "doc_id", "id", "_pid")
+    // `_pid` is the two-phase prefix-sum form: group size is bounded
+    // by one range partition BY CONSTRUCTION (checkpoint-pinned
+    // elsewhere in this suite), so it is structural, not probed.
+    // Every other allowlisted NAME is a claim, and the r15 verdict's
+    // watch item 2 is exactly that a claim by name is forgeable — a
+    // content column aliased to `id` would sail through. So any window
+    // admitted by name is now also PROBED: evaluate the window's child
+    // frame and require the hottest partition key to be splittable
+    // (max group ≤ max(256, rows/50) — entity-keyed groups stay
+    // CONSTANT as the corpus grows, measured ~90 rows/user at every
+    // sf, while the dd11/tx13 bug class plants 30%+ of ALL rows on
+    // one value and fails both arms at every sf). A content column
+    // aliased to an allowlisted name fails no matter what it's called.
+    val highCardNames = Set("user_id", "o_custkey", "doc_id", "id")
     val exceptions = Map(
       // compaction planning consumes a FILE MANIFEST (one row per
       // file): metadata-scale input by construction, not corpus rows
@@ -782,7 +795,24 @@ class PlanShapeSpec extends SparkSpec {
             val keys = w.partitionSpec.flatMap(_.references.map(_.name))
             val reduced = w.child.exists(n => n.isInstanceOf[Aggregate] ||
               n.getClass.getSimpleName == "TopKPerKey")
-            if (keys.exists(highCard) || reduced) None
+            if (reduced || keys.contains("_pid")) None
+            else if (keys.exists(highCardNames)) {
+              import org.apache.spark.sql.functions.{count, lit, max}
+              val childDf = org.apache.spark.sql.graft.ColumnBridge
+                .ofRows(spark, w.child)
+              val keyCols = w.partitionSpec.map(
+                org.apache.spark.sql.graft.ColumnBridge.column)
+              val Array(maxGroup, n) = childDf.groupBy(keyCols: _*)
+                .agg(count(lit(1)).as("g"))
+                .agg(max(org.apache.spark.sql.functions.col("g")),
+                  org.apache.spark.sql.functions.sum(
+                    org.apache.spark.sql.functions.col("g")))
+                .head().toSeq.map(_.asInstanceOf[Long]).toArray
+              if (maxGroup <= math.max(256L, n / 50)) None
+              else Some(s"$name windows on [${keys.mkString(",")}] " +
+                s"whose hottest group holds $maxGroup of $n rows — " +
+                "allowlisted NAME but not actually splittable")
+            }
             else Some(s"$name windows on [${keys.mkString(",")}] over raw rows")
         }.flatten
       }
