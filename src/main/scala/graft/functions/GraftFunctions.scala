@@ -52,7 +52,9 @@ object GraftFunctions {
     "char_entropy" -> (exprs => CharEntropyExpr(exprs(0))),
     "unicode_norm_key" -> (exprs => UnicodeNormKeyExpr(exprs(0))),
     "repetition_stats" -> (exprs => RepetitionStatsExpr(exprs(0))),
-    "morton" -> (exprs => MortonExpr(exprs(0), exprs(1))))
+    "morton" -> (exprs => MortonExpr(exprs(0), exprs(1))),
+    "canonical_url" -> (exprs => CanonicalUrlExpr(exprs(0))),
+    "registered_domain" -> (exprs => RegisteredDomainExpr(exprs(0))))
 
   /** Session-local registration (idempotent). */
   def register(spark: SparkSession): Unit =

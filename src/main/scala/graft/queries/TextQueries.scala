@@ -349,6 +349,53 @@ object TextQueries {
     // Cyrillic (mixed), 3 → pure lowered Latin. Exact integer counts,
     // fixed tie priority, both dominant verdicts and the mixed flag
     // fire. Escapes, never glyphs (the tx48 rule).
+    // URL canonicalization + registered domain (tx53): the KEY side
+    // of web ingest — sourceCap (tx40), heavy hitters (tx43), and
+    // contamination ledgers group on "the source", which raw crawl
+    // URLs split across case-shifted hosts, default ports, unsorted
+    // queries, tracking params, percent-variants, dot-segments and
+    // fragments. Messy URLs are planted arithmetically from doc_id
+    // (every normalization class fires on a known residue), the
+    // native codegen'd expressions canonicalize, and the oracle is
+    // the CLOSED-FORM canonical string — the operator must invert
+    // exactly the mess the generator applied, end to end. Per-row
+    // projection, no shuffle: the 100-TB shape is embarrassingly
+    // parallel and whole-stage-codegen'd.
+    "tx53_url_canon" -> ((s, d) => {
+      val id = col("doc_id").cast("long")
+      val site = concat(lit("Site"), (id % 7).cast("string"))
+      val messy = concat(
+        when(id % 2 === 0, lit("HTTP")).otherwise(lit("https")),
+        lit("://"),
+        when(id % 3 === 0, concat(lit("WWW."), site, lit(".CO.UK")))
+          .when(id % 3 === 1, concat(lit("Sub."), site, lit(".COM")))
+          .otherwise(concat(site, lit(".org"))),
+        when(id % 4 === 0,
+            when(id % 2 === 0, lit(":80")).otherwise(lit(":443")))
+          .when(id % 4 === 1, lit(":8080"))
+          .when(id % 4 === 3,
+            when(id % 2 === 0, lit(":080")).otherwise(lit(":0443")))
+          .otherwise(lit("")),
+        when(id % 5 === 0, concat(lit("/a/./b/../c"), (id % 11)))
+          .when(id % 5 === 1, concat(lit("/%7Edir/p"), (id % 11)))
+          .when(id % 5 === 2, lit(""))
+          .when(id % 5 === 3, concat(lit("/x//y"), (id % 11), lit("/")))
+          .otherwise(concat(lit("/p"), (id % 11))),
+        when(id % 6 === 0, lit("?utm_source=feed&b=2&a=1"))
+          .when(id % 6 === 1, concat(lit("?gclid=g"), id))
+          .when(id % 6 === 2, lit("?z=%41&y=2"))
+          .when(id % 6 === 4, lit("?flag&a=%2F"))
+          .when(id % 6 === 5, concat(lit("?k"), (id % 9), lit("=v")))
+          .otherwise(lit("")),
+        when(id % 2 === 1, concat(lit("#sec"), id)).otherwise(lit("")))
+      documents(s, d).select(col("doc_id"), messy.as("url"))
+        .select(col("doc_id"),
+          graft.functions.UrlCanon.canonicalUrl(col("url"))
+            .as("url_canon"),
+          graft.functions.UrlCanon.registeredDomainCol(col("url"))
+            .as("domain"))
+    }),
+
     "tx52_script_mix" -> ((s, d) => {
       val base = lower(col("text"))
       val planted = when(col("doc_id") % 4 === 1,
@@ -1086,6 +1133,36 @@ object TextQueries {
     // pure ASCII on both engines and clean_fp hashes agree
     // the block census replayed over the same planted translate —
     // identical literal-range RE2 classes, identical tie CASE
+    // tx53: the CLOSED-FORM canonical string — the generator's mess
+    // (case, default/zero-padded ports, dot-segments, %7E decode,
+    // %2F retention, tracking strip, query sort, fragment) inverted
+    // arithmetically, never re-canonicalized in SQL
+    "tx53_url_canon" ->
+      """SELECT doc_id,
+           (CASE WHEN doc_id % 2 = 0 THEN 'http' ELSE 'https' END)
+           || '://'
+           || (CASE doc_id % 3
+                 WHEN 0 THEN 'www.site' || (doc_id % 7) || '.co.uk'
+                 WHEN 1 THEN 'sub.site' || (doc_id % 7) || '.com'
+                 ELSE 'site' || (doc_id % 7) || '.org' END)
+           || (CASE WHEN doc_id % 4 = 1 THEN ':8080' ELSE '' END)
+           || (CASE doc_id % 5
+                 WHEN 0 THEN '/a/c' || (doc_id % 11)
+                 WHEN 1 THEN '/~dir/p' || (doc_id % 11)
+                 WHEN 2 THEN '/'
+                 WHEN 3 THEN '/x//y' || (doc_id % 11) || '/'
+                 ELSE '/p' || (doc_id % 11) END)
+           || (CASE doc_id % 6
+                 WHEN 0 THEN '?a=1&b=2'
+                 WHEN 2 THEN '?y=2&z=A'
+                 WHEN 4 THEN '?a=%2F&flag'
+                 WHEN 5 THEN '?k' || (doc_id % 9) || '=v'
+                 ELSE '' END) AS url_canon,
+           'site' || (doc_id % 7) ||
+             (CASE doc_id % 3 WHEN 0 THEN '.co.uk'
+                WHEN 1 THEN '.com' ELSE '.org' END) AS domain
+         FROM documents""",
+
     "tx52_script_mix" ->
       """WITH p AS (SELECT doc_id,
            CASE doc_id % 4
