@@ -604,6 +604,86 @@ object MultimodalOps {
     }(enc)
   }
 
+  /** Deterministic WARC corpus from (id, text) — the crawl-container
+    * analog of [[synthMp3Assets]]: each doc becomes one WARC file of
+    * warcinfo + request + response (payload = the doc's text bytes,
+    * so the response digest is honestly content-derived and the
+    * oracle replays it as md5(text)) + metadata on id % 3 = 0.
+    * Corrupt taxonomy: id % 13 torn mid-terminator (final 3 bytes
+    * cut), id % 17 (not also 13) an alien version line — both miss
+    * in-band. */
+  def synthWarcAssets(df: DataFrame, idCol: String,
+                      textCol: String): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("asset_id", LongType, nullable = false),
+      StructField("content", BinaryType, nullable = true)))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    df.select(col(idCol).cast("long").as("asset_id"),
+        col(textCol).cast("string").as("_t"))
+      .mapPartitions { it =>
+        val utf8 = java.nio.charset.StandardCharsets.UTF_8
+        it.map { r =>
+          val id = r.getLong(0)
+          val uri = s"http://site${id % 7}.org/p${id % 11}"
+          val recs = Seq(
+            ("warcinfo", null: String,
+              "software: graft-synth 1.0".getBytes(utf8)),
+            ("request", uri,
+              "GET / HTTP/1.1\r\nHost: example.com\r\n\r\n"
+                .getBytes(utf8)),
+            ("response", uri, r.getString(1).getBytes(utf8))) ++
+            (if (id % 3 == 0)
+              Seq(("metadata", uri,
+                s"fetchTimeMs: ${id % 1000}".getBytes(utf8)))
+            else Nil)
+          val warc = WarcCodec.encodeWarc(recs)
+          val payload =
+            if (id % 13 == 0) warc.take(warc.length - 3)
+            else if (id % 17 == 0) {
+              warc(0) = 'H'; warc(1) = 'T'; warc(2) = 'T'; warc(3) = 'P'
+              warc
+            } else warc
+          Row(id, payload)
+        }
+      }(enc)
+  }
+
+  /** Record census over WARC payloads ([[WarcCodec.warcWalk]]):
+    * counts by record type, total payload octets, response-payload
+    * md5, parse success in-band. O(records) header hops per file —
+    * payloads are never parsed (the response md5 update is the one
+    * payload read, and it IS the profile's point). */
+  def warcProfile(assets: DataFrame,
+                  contentCol: String = "content"): DataFrame = {
+    val schema = StructType(assets.schema.fields.filterNot(
+      _.name == contentCol) ++ Seq(
+      StructField("n_records", IntegerType, nullable = true),
+      StructField("n_warcinfo", IntegerType, nullable = true),
+      StructField("n_request", IntegerType, nullable = true),
+      StructField("n_response", IntegerType, nullable = true),
+      StructField("n_metadata", IntegerType, nullable = true),
+      StructField("payload_bytes", LongType, nullable = true),
+      StructField("response_md5", StringType, nullable = true),
+      StructField("parsed", BooleanType, nullable = false)))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    val idx = assets.schema.fieldIndex(contentCol)
+    val keep = assets.schema.fields.indices.filterNot(_ == idx)
+    assets.mapPartitions { it =>
+      it.map { r =>
+        val base = keep.map(r.get)
+        WarcCodec.warcWalk(r.getAs[Array[Byte]](idx)) match {
+          case Some(w) =>
+            Row.fromSeq(base ++ Seq(w.nRecords, w.nWarcinfo, w.nRequest,
+              w.nResponse, w.nMetadata, w.payloadBytes, w.responseMd5,
+              true))
+          case None =>
+            Row.fromSeq(base ++ Seq(null, null, null, null, null, null,
+              null, false))
+        }
+      }
+    }(enc)
+  }
+
   /** IFD metadata profile over TIFF payloads ([[TiffCodec.ifdWalk]]):
     * dims, orientation, bits-per-sample, byte order, DateTime, parse
     * success in-band — the EXIF-class facts a curation pipeline

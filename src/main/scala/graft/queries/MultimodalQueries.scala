@@ -398,6 +398,25 @@ object MultimodalQueries {
           col("album"), col("n_text_frames"), col("parsed"))
     }),
 
+    // WARC container walk (mm32): the wire format of web crawls — the
+    // single most common source a 100-TB pretraining ingest reads.
+    // Each doc becomes one synthetic WARC (warcinfo + request +
+    // response whose payload IS the doc text + metadata on id%3=0);
+    // the walk censuses records by type, sums payload octets, and
+    // digests the response payload — the oracle replays the census
+    // arithmetically and the digest as md5(text), so the byte-walk is
+    // content-gated end to end. Torn terminator (id%13) and alien
+    // version line (id%17) miss in-band. O(records) header hops per
+    // file; embarrassingly parallel at any scale (the tar-scan shape).
+    "mm32_warc_walk" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      MultimodalOps.warcProfile(
+        MultimodalOps.synthWarcAssets(documents(s, d), "doc_id", "text"))
+        .select(col("asset_id"), col("n_records"), col("n_warcinfo"),
+          col("n_request"), col("n_response"), col("n_metadata"),
+          col("payload_bytes"), col("response_md5"), col("parsed"))
+    }),
+
     "mm29_mp3_meta" -> ((s, d) => {
       import org.apache.spark.sql.functions._
       MultimodalOps.mp3Profile(
@@ -1385,6 +1404,36 @@ HAVING count(*) >= 2""",
            END AS n_text_frames,
            NOT bad AS parsed
          FROM p""",
+    // mm32: the census replayed arithmetically, the digest as
+    // md5(text) — constants 25/37/13 are the writer's fixed warcinfo /
+    // request / metadata-prefix payload octet counts (a drift in
+    // either engine breaks the hash, which is the gate)
+    "mm32_warc_walk" ->
+      """WITH d AS (SELECT doc_id::BIGINT AS id, text FROM documents),
+         p AS (SELECT id, text,
+             (id % 13 = 0 OR id % 17 = 0) AS bad,
+             (id % 3 = 0) AS meta
+           FROM d)
+         SELECT id AS asset_id,
+           CASE WHEN bad THEN NULL
+                ELSE (3 + CASE WHEN meta THEN 1 ELSE 0 END) END::INT
+             AS n_records,
+           CASE WHEN bad THEN NULL ELSE 1 END::INT AS n_warcinfo,
+           CASE WHEN bad THEN NULL ELSE 1 END::INT AS n_request,
+           CASE WHEN bad THEN NULL ELSE 1 END::INT AS n_response,
+           CASE WHEN bad THEN NULL
+                ELSE CASE WHEN meta THEN 1 ELSE 0 END END::INT
+             AS n_metadata,
+           CASE WHEN bad THEN NULL
+                ELSE 25 + 37 + octet_length(encode(text)) +
+                  CASE WHEN meta
+                    THEN 13 + length((id % 1000)::VARCHAR)
+                    ELSE 0 END
+           END::BIGINT AS payload_bytes,
+           CASE WHEN bad THEN NULL ELSE md5(text) END AS response_md5,
+           NOT bad AS parsed
+         FROM p""",
+
     "mm29_mp3_meta" ->
       """WITH d AS (SELECT doc_id::BIGINT AS id FROM documents),
          p AS (SELECT id,
