@@ -1319,6 +1319,43 @@ object ScaleSmoke {
       Release(corpus, blocking = true)
     }
 
+    // dd20 planted-skew smoke (r16): EVERY doc opens with the same
+    // 12-token boilerplate paragraph (stronger than the ≥30% bar) —
+    // the hot anchor grams' first-occurrence argmin must pre-combine
+    // map-side and the join-back must keep the hot gram on the
+    // AQE-splittable probe side. Closed form: each doc is 12 hot +
+    // 12 id-unique tokens (24 total, 19 anchors); the 7 pure-hot
+    // anchors (p 0..6) are non-first everywhere except doc 0, the
+    // boundary and tail anchors are id-unique firsts, so every doc
+    // except doc 0 excises exactly the [0,12) run: sum(dup_tokens) =
+    // 12(N-1), sum(dup_runs) = N-1, doc-0 row = (24, 0, 0).
+    lane("substrskew") {
+      val nDocs = 2000000L
+      val hot = (0 until 12).map(j => s"boiler$j").mkString(" ")
+      val uniq = concat_ws(" ", (0 until 12).map(j =>
+        concat(lit("w"), col("id"), lit(s"_$j"))): _*)
+      val corpus = spark.range(nDocs).select(col("id"),
+        concat(lit(hot + " "), uniq).as("text"))
+        .localCheckpoint()
+      val t0 = System.nanoTime()
+      val agg = operators.DedupOps
+        .exactSubstringStats(corpus, "id", "text", minTokens = 6)
+        .agg(count(lit(1)).as("n"), sum(col("dup_tokens")).as("dt"),
+          sum(col("dup_runs")).as("dr"), max(col("dup_tokens")).as("mx"),
+          min(col("n_tokens")).as("tmin"), max(col("n_tokens")).as("tmax"))
+        .collect()(0)
+      val ssSec = (System.nanoTime() - t0) / 1e9
+      println(s"""{"substrskew_docs":$nDocs,"sec":${round1(ssSec)},""" +
+        s""""dup_tokens":${agg.getLong(1)}}""")
+      require(agg.getLong(0) == nDocs &&
+        agg.getLong(1) == 12L * (nDocs - 1) &&
+        agg.getLong(2) == nDocs - 1 && agg.getLong(3) == 12L &&
+        agg.getLong(4) == 24L && agg.getLong(5) == 24L,
+        s"substr skew invariant broke: $agg " +
+          s"want dup_tokens=${12L * (nDocs - 1)} dup_runs=${nDocs - 1}")
+      Release(corpus, blocking = true)
+    }
+
     // tx13 dominant-stratum smoke (r15): 80% of the corpus in ONE
     // stratum ('web'), the real-mixture shape that parked the old
     // per-stratum running-sum window in a single task. Every doc is

@@ -807,6 +807,93 @@ object DedupOps {
         coalesce(col("_fp"), md5(lit(""))).as("text_fp"))
   }
 
+  /** Variable-length EXACT-SUBSTRING dedup stats — the suffix-array
+    * dedup primitive (Lee et al. 2022, "Deduplicating Training Data
+    * Makes Language Models Better") re-expressed in the bucketed
+    * discipline: every shared token run of ≥ `minTokens` words that
+    * already occurred earlier in the corpus (global (id, position)
+    * order — keep-first, dd11's rule) is marked, and per document the
+    * marks merge into MAXIMAL runs. [[spanDedup]] covers fixed
+    * windows on fixed boundaries; this catches a duplicated substring
+    * at ANY offset and ANY length ≥ the floor — the complement
+    * (prefix/suffix boilerplate, mid-document quotes).
+    *
+    * Returns one row per input document:
+    * `(id, n_tokens, dup_tokens, dup_runs)` — dup_tokens = tokens
+    * covered by some non-first shared run, dup_runs = count of
+    * maximal such runs (the excision intervals).
+    *
+    * Formulation — anchors instead of suffixes: a shared run of
+    * length L ≥ N is covered by exactly its L−N+1 anchor N-grams, and
+    * the union of their [p, p+N) intervals reconstructs the FULL
+    * variable-length run, so no suffix array is ever materialized.
+    * Scale shape: (1) anchor grams are one codegen'd kernel pass +
+    * posexplode per doc; (2) global first-occurrence per gram is the
+    * dd11 map-side argmin (`groupBy(gram).agg(min(struct(id, p)))` —
+    * splittable partials, never a content-keyed window); (3) non-first
+    * anchors come from joining anchors back against the ONE-row-per-
+    * gram winner table — the hot boilerplate gram is the probe side
+    * of an equi join, exactly the AQE-splittable shape (build side
+    * has one row per key); (4) the per-document interval merge is a
+    * sorted `aggregate()` HOF over that doc's anchor positions —
+    * group size ≤ the doc's token count, never corpus-shaped.
+    * (ScaleSmoke `substrskew` proves the plan on a planted
+    * ≥30%-hot-boilerplate corpus.)
+    */
+  def exactSubstringStats(df: DataFrame, idCol: String, textCol: String,
+                          minTokens: Int): DataFrame = {
+    require(minTokens >= 2, "minTokens must be >= 2")
+    val src = df.filter(col(textCol).isNotNull)
+    val grams = src.select(col(idCol),
+      posexplode(graft.functions.ShingleGen.shingleArray(
+        col(textCol), minTokens, distinct = false))
+        .as(Seq("p", "gram")))
+    val firsts = grams.groupBy(col("gram"))
+      .agg(min(struct(col(idCol), col("p"))).as("_f"))
+    val marked = grams.join(firsts, Seq("gram"))
+      .filter(col(idCol) =!= col("_f").getField(idCol) ||
+        col("p") =!= col("_f").getField("p"))
+      .select(col(idCol), col("p").cast("long").as("p"))
+    val n = lit(minTokens.toLong)
+    val zero = struct(lit(0L).as("runs"), lit(0L).as("cov"),
+      lit(-1L).as("s"), lit(-1L).as("e"))
+    // sorted interval merge: anchors ascend, every interval is N wide,
+    // so [p, p+N) merges into the open run iff p <= e (abutting runs
+    // are one contiguous token range)
+    val stats = marked.groupBy(col(idCol))
+      .agg(array_sort(collect_list(col("p"))).as("_ps"))
+      .select(col(idCol),
+        aggregate(col("_ps"), zero,
+          (st, p) => when(st.getField("e") < 0,
+              struct(st.getField("runs").as("runs"),
+                st.getField("cov").as("cov"),
+                p.as("s"), (p + n).as("e")))
+            .when(p <= st.getField("e"),
+              struct(st.getField("runs").as("runs"),
+                st.getField("cov").as("cov"),
+                st.getField("s").as("s"), (p + n).as("e")))
+            .otherwise(struct(
+              (st.getField("runs") + 1).as("runs"),
+              (st.getField("cov") + st.getField("e") -
+                st.getField("s")).as("cov"),
+              p.as("s"), (p + n).as("e"))),
+          st => struct(
+            when(st.getField("e") < 0, st.getField("runs"))
+              .otherwise(st.getField("runs") + 1).as("dup_runs"),
+            when(st.getField("e") < 0, st.getField("cov"))
+              .otherwise(st.getField("cov") + st.getField("e") -
+                st.getField("s")).as("dup_tokens"))).as("_st"))
+      .select(col(idCol),
+        col("_st").getField("dup_tokens").as("dup_tokens"),
+        col("_st").getField("dup_runs").as("dup_runs"))
+    val totals = src.select(col(idCol),
+      size(split(col(textCol), " ")).cast("long").as("n_tokens"))
+    totals.join(stats, Seq(idCol), "left")
+      .select(col(idCol), col("n_tokens"),
+        coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),
+        coalesce(col("dup_runs"), lit(0L)).as("dup_runs"))
+  }
+
   /** Declarative twin of [[spanDedup]]'s segmentation — the executable
     * spec [[graft.functions.SegmentArrayExpr]] is parity-tested
     * against (ExtOpsSpec), never the production path.

@@ -63,6 +63,28 @@ object DedupQueries {
         segWords = 8)
     }),
 
+    // Variable-length exact-substring dedup (dd20, Lee-et-al-style):
+    // dd11 covers fixed 8-word windows on fixed boundaries; this
+    // catches a duplicated run at ANY offset and length ≥ 6. Plants:
+    // a 10-token PREFIX on id%7=0 docs and a 12-token SUFFIX
+    // boilerplate on id%5=0 docs — anchor 6-grams find both, and the
+    // interval union reconstructs the full variable-length runs
+    // (prefix → dup_tokens ≥ 10 from position 0, suffix → ≥ 12 at the
+    // tail) in every doc except each plant's global first occurrence.
+    "dd20_exact_substring" -> ((s, d) => {
+      val planted = documents(s, d).select(col("doc_id"),
+        concat(
+          when(col("doc_id") % 7 === 0,
+            lit("breaking news today market update report stocks " +
+              "rally sharply higher ")).otherwise(lit("")),
+          col("text"),
+          when(col("doc_id") % 5 === 0,
+            lit(" the quick brown fox jumps over the lazy dog " +
+              "again and again")).otherwise(lit(""))).as("text"))
+      DedupOps.exactSubstringStats(planted, "doc_id", "text",
+        minTokens = 6)
+    }),
+
     // Directional containment: corpus + 20-word excerpts of the first
     // 50 docs at doc_id+20000 — every excerpt is fully contained in its
     // source (containment 1.0) while symmetric Jaccard would miss it.
@@ -335,6 +357,51 @@ object DedupQueries {
            md5(coalesce(string_agg(CASE WHEN rn = 1 THEN seg END, ' '
                                    ORDER BY seg_idx), '')) AS text_fp
          FROM r GROUP BY doc_id""",
+    // dd20: the anchor-gram machinery replayed — same plants, 6-gram
+    // anchors at every position, keep-first by (doc_id, p) encoded as
+    // doc_id*1000000+p (token positions < 1e6 at every sf), islands
+    // merged per doc with the same p <= prev+6 rule
+    "dd20_exact_substring" ->
+      """WITH c AS (SELECT doc_id,
+             (CASE WHEN doc_id % 7 = 0
+               THEN 'breaking news today market update report stocks rally sharply higher '
+               ELSE '' END)
+             || text
+             || (CASE WHEN doc_id % 5 = 0
+               THEN ' the quick brown fox jumps over the lazy dog again and again'
+               ELSE '' END) AS text
+           FROM documents),
+         w AS (SELECT doc_id, string_split(text, ' ') AS w FROM c),
+         g AS (SELECT doc_id, u.p AS p, u.g AS gram FROM (
+             SELECT doc_id,
+               unnest([{'p': i - 1,
+                        'g': array_to_string(w[i:i+5], ' ')}
+                       for i in range(1, len(w) - 4)]) AS u
+             FROM w)),
+         f AS (SELECT gram, min(doc_id * 1000000 + p) AS fk
+               FROM g GROUP BY gram),
+         m AS (SELECT doc_id, p FROM g JOIN f USING (gram)
+               WHERE doc_id * 1000000 + p <> fk),
+         r AS (SELECT doc_id, p,
+                 CASE WHEN lag(p) OVER (PARTITION BY doc_id ORDER BY p)
+                        IS NULL
+                      OR p - lag(p) OVER (PARTITION BY doc_id ORDER BY p)
+                        > 6
+                      THEN 1 ELSE 0 END AS st
+               FROM m),
+         rr AS (SELECT doc_id, p,
+                  sum(st) OVER (PARTITION BY doc_id ORDER BY p
+                                ROWS UNBOUNDED PRECEDING) AS rid
+                FROM r),
+         runs AS (SELECT doc_id, rid, min(p) AS s, max(p) + 6 AS e
+                  FROM rr GROUP BY doc_id, rid),
+         st AS (SELECT doc_id, count(*)::BIGINT AS dup_runs,
+                  sum(e - s)::BIGINT AS dup_tokens
+                FROM runs GROUP BY doc_id)
+         SELECT w.doc_id, len(w.w)::BIGINT AS n_tokens,
+           coalesce(st.dup_tokens, 0)::BIGINT AS dup_tokens,
+           coalesce(st.dup_runs, 0)::BIGINT AS dup_runs
+         FROM w LEFT JOIN st ON w.doc_id = st.doc_id""",
     "dd13_minhash_estimate" ->
       """WITH s AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
          shl AS (SELECT doc_id,

@@ -246,6 +246,47 @@ class ExtOpsSpec extends SparkSpec {
     assert(out(3L) == ((2L, 2L, fp("p q r"))))
   }
 
+  test("exactSubstringStats: prefix/suffix/mid runs found at full variable length") {
+    // minTokens = 3. doc 1 owns everything (lowest id). doc 2 copies a
+    // 5-token MID run of doc 1 ("b c d e f") into its middle; doc 3
+    // copies doc 1's 4-token PREFIX ("a b c d"); doc 4 copies doc 1's
+    // 4-token SUFFIX ("e f g h") at its tail; doc 5 shares nothing;
+    // doc 6 contains a WITHIN-DOC repeat (its own 3-token run twice).
+    val docs = Seq(
+      (1L, "a b c d e f g h"),
+      (2L, "m1 m2 b c d e f m3 m4"),
+      (3L, "a b c d z1 z2 z3"),
+      (4L, "y1 y2 y3 e f g h"),
+      (5L, "u1 u2 u3 u4 u5"),
+      (6L, "r s t k1 k2 r s t")).toDF("doc_id", "text")
+    val out = DedupOps.exactSubstringStats(docs, "doc_id", "text",
+        minTokens = 3)
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(out(1L) == ((8L, 0L, 0L)))       // global first: nothing marked
+    assert(out(2L) == ((9L, 5L, 1L)))       // mid run, full 5 tokens
+    assert(out(3L) == ((7L, 4L, 1L)))       // prefix run, full 4 tokens
+    assert(out(4L) == ((7L, 4L, 1L)))       // suffix run, full 4 tokens
+    assert(out(5L) == ((5L, 0L, 0L)))       // clean
+    assert(out(6L) == ((8L, 3L, 1L)))       // within-doc repeat, 2nd copy
+    // two DISJOINT shared runs in one doc stay two runs
+    val two = Seq(
+      (1L, "a b c d e f g h"),
+      (2L, "a b c q1 q2 q3 f g h")).toDF("doc_id", "text")
+    val o2 = DedupOps.exactSubstringStats(two, "doc_id", "text", 3)
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(o2(2L) == ((9L, 6L, 2L)))
+    // runs shorter than the floor are invisible
+    val shortRun = Seq(
+      (1L, "a b c d"),
+      (2L, "a b x y")).toDF("doc_id", "text")
+    val o3 = DedupOps.exactSubstringStats(shortRun, "doc_id", "text", 3)
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(o3(2L) == ((4L, 0L, 0L)))
+  }
+
   test("segmentGen: native segmenter matches the declarative spec row-for-row") {
     val docs = Seq(
       (1L, "a b c d a b"),          // even split
