@@ -376,6 +376,70 @@ object DataQualityOps {
         (col("violating_groups") === 0).as("anonymous"))
   }
 
+  /** End-to-end RECORD-LEVEL provenance audit (dq15) — the lineage
+    * check the shard manifests (tx32) and snapshot diffs (tx42) leave
+    * open, and the third leg of the takedown discipline (mm28/ss22
+    * delete semantics): every placed record must trace back to a live,
+    * transform-approved source record, every approved record must be
+    * placed exactly once, and the manifest's per-shard claims must
+    * match what actually landed. Inputs: the SOURCE id universe, the
+    * transform's KEPT id set, the TOMBSTONED (takedown) id set, the
+    * PLACEMENTS (id, shard) that were actually written, and the
+    * MANIFEST's (shard, n_docs) claims.
+    *
+    * Returns one row per check, `(check_name, n_bad)` — zero
+    * everywhere ⟺ the chain is intact:
+    *  - `ghost_placements`: placement rows whose id exists in no
+    *    source record (fabricated / join-bug output)
+    *  - `tombstone_leaks`: placement rows carrying a tombstoned id —
+    *    the takedown-compliance violation
+    *  - `unplanned_placements`: placement rows whose id is in the
+    *    source but NOT transform-approved (dropped records that
+    *    shipped anyway)
+    *  - `lost_records`: approved, non-tombstoned ids with no
+    *    placement at all
+    *  - `duplicate_placement_ids`: ids placed more than once
+    *  - `manifest_drift_shards`: shards whose claimed n_docs ≠ the
+    *    actual placement count (either side missing counts)
+    *
+    * Scale shape: every check is an id-keyed anti/semi equi join or a
+    * map-side-combined aggregate — no windows, no collects; the six
+    * single-row counts union at the end. At 100 TB the placements and
+    * source scans dominate and shuffle once each on the id.
+    */
+  def provenanceAudit(source: DataFrame, kept: DataFrame,
+                      tombstones: DataFrame, placements: DataFrame,
+                      manifest: DataFrame, idCol: String): DataFrame = {
+    val s = source.select(col(idCol)).distinct()
+    val k = kept.select(col(idCol)).distinct()
+    val ts = tombstones.select(col(idCol)).distinct()
+    val p = placements.select(col(idCol), col("shard"))
+    def cnt(df: DataFrame, name: String): DataFrame =
+      df.agg(count(lit(1)).cast("long").as("n_bad"))
+        .select(lit(name).as("check_name"), col("n_bad"))
+    val ghost = cnt(p.join(s, Seq(idCol), "left_anti"),
+      "ghost_placements")
+    val leak = cnt(p.join(ts, Seq(idCol), "left_semi"),
+      "tombstone_leaks")
+    val unplanned = cnt(p.join(s, Seq(idCol), "left_semi")
+      .join(k, Seq(idCol), "left_anti"), "unplanned_placements")
+    val lost = cnt(k.join(ts, Seq(idCol), "left_anti")
+      .join(p.select(col(idCol)).distinct(), Seq(idCol), "left_anti"),
+      "lost_records")
+    val dup = cnt(p.groupBy(col(idCol))
+      .agg(count(lit(1)).as("_c")).filter(col("_c") > 1),
+      "duplicate_placement_ids")
+    val actual = p.groupBy(col("shard"))
+      .agg(count(lit(1)).cast("long").as("_actual"))
+    val drift = cnt(manifest
+      .select(col("shard"), col("n_docs").cast("long").as("_claimed"))
+      .join(actual, Seq("shard"), "full_outer")
+      .filter(coalesce(col("_claimed"), lit(0L)) =!=
+        coalesce(col("_actual"), lit(0L))), "manifest_drift_shards")
+    ghost.unionByName(leak).unionByName(unplanned).unionByName(lost)
+      .unionByName(dup).unionByName(drift)
+  }
+
   /** Per-slice quality report: the same exact-integer metrics grouped
     * by a slice key (source, shard, date...) — how a bad shard
     * surfaces before it poisons a training mix. One shuffle on the

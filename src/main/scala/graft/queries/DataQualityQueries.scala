@@ -197,6 +197,47 @@ object DataQualityQueries {
           floor(col("c_acctbal") / 100).cast("long")),
         Seq("c_nationkey", "c_mktsegment", "bal_c"), k = 5L)),
 
+    // End-to-end record-level provenance audit (dq15): source →
+    // transform → shard placement ≡ manifest claim, the lineage loop
+    // tx32's manifests and the mm28/ss22 takedown discipline leave
+    // open. The lane builds the chain in-lane (kept = ≥5 tokens and
+    // id%3≠1; tombstones = id%17; placements = shardAssign 16) and
+    // then CORRUPTS the placements so every violation class fires
+    // nonzero: %97 placements dropped (lost), ghosts at id+700000 for
+    // %89 (never in source), tombstoned-but-even ids shipped anyway
+    // (takedown leaks), transform-dropped %3=1∧%79=0 ids shipped
+    // (unplanned), %101 placements doubled (dups); the manifest keeps
+    // the UNcorrupted claims, so drift counts the shifted shards.
+    "dq15_provenance" -> ((s, d) => {
+      import graft.operators.TextAnalysisOps.shardAssign
+      val docs = documents(s, d).select(col("doc_id"),
+        size(split(col("text"), " ")).as("n_tokens"))
+      val kept = docs.filter(col("n_tokens") >= 5 &&
+        col("doc_id") % 3 =!= 1)
+      val tombs = docs.filter(col("doc_id") % 17 === 0)
+        .select("doc_id")
+      val truePlace = kept.join(tombs, Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), shardAssign(col("doc_id"), 16).as("shard"))
+      val manifest = truePlace.groupBy(col("shard"))
+        .agg(count(lit(1)).as("n_docs"))
+      val corrupted = truePlace
+        .filter(col("doc_id") % 97 =!= 0)
+        .unionByName(docs.filter(col("doc_id") % 89 === 0)
+          .select((col("doc_id") + 700000).as("doc_id"),
+            shardAssign(col("doc_id") + 700000, 16).as("shard")))
+        .unionByName(kept.join(tombs, Seq("doc_id"), "left_semi")
+          .filter(col("doc_id") % 2 === 0)
+          .select(col("doc_id"),
+            shardAssign(col("doc_id"), 16).as("shard")))
+        .unionByName(docs
+          .filter(col("doc_id") % 3 === 1 && col("doc_id") % 79 === 0)
+          .select(col("doc_id"),
+            shardAssign(col("doc_id"), 16).as("shard")))
+        .unionByName(truePlace.filter(col("doc_id") % 101 === 0))
+      DataQualityOps.provenanceAudit(docs, kept, tombs, corrupted,
+        manifest, "doc_id")
+    }),
+
     // Functional-dependency violation report (dq12): schema-rule
     // discovery over column PAIRS — dq7's uniqueness can't express
     // "does source determine language". Three candidate rules on the
@@ -462,6 +503,72 @@ SELECT count(*)::BIGINT AS n_rows,
   0::BIGINT AS n_null_keys,
   count(DISTINCT id)::BIGINT AS n_assets
 FROM idx""",
+
+    // dq15: the chain, the plants, and all six checks replayed
+    // row-wise — shard = md5-hex-prefix mod 16, the tx32 replay rule
+    "dq15_provenance" ->
+      """WITH docs AS (SELECT doc_id,
+             len(string_split(text, ' ')) AS n_tokens FROM documents),
+         kept AS (SELECT doc_id FROM docs
+                  WHERE n_tokens >= 5 AND doc_id % 3 <> 1),
+         tombs AS (SELECT doc_id FROM docs WHERE doc_id % 17 = 0),
+         tp AS (SELECT doc_id,
+                  (('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::UBIGINT
+                   % 16)::BIGINT AS shard
+                FROM kept
+                WHERE doc_id NOT IN (SELECT doc_id FROM tombs)),
+         manifest AS (SELECT shard, count(*)::BIGINT AS claimed
+                      FROM tp GROUP BY shard),
+         corrupted AS (
+           SELECT doc_id, shard FROM tp WHERE doc_id % 97 <> 0
+           UNION ALL
+           SELECT doc_id + 700000,
+             (('0x' || substr(md5((doc_id + 700000)::VARCHAR), 1, 8))
+              ::UBIGINT % 16)::BIGINT
+           FROM docs WHERE doc_id % 89 = 0
+           UNION ALL
+           SELECT k.doc_id,
+             (('0x' || substr(md5(k.doc_id::VARCHAR), 1, 8))::UBIGINT
+              % 16)::BIGINT
+           FROM kept k JOIN tombs t USING (doc_id)
+           WHERE k.doc_id % 2 = 0
+           UNION ALL
+           SELECT doc_id,
+             (('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::UBIGINT
+              % 16)::BIGINT
+           FROM docs WHERE doc_id % 3 = 1 AND doc_id % 79 = 0
+           UNION ALL
+           SELECT doc_id, shard FROM tp WHERE doc_id % 101 = 0),
+         actual AS (SELECT shard, count(*)::BIGINT AS act
+                    FROM corrupted GROUP BY shard)
+         SELECT 'ghost_placements' AS check_name, count(*)::BIGINT AS n_bad
+         FROM corrupted c
+         WHERE NOT EXISTS (SELECT 1 FROM docs s WHERE s.doc_id = c.doc_id)
+         UNION ALL
+         SELECT 'tombstone_leaks', count(*)::BIGINT
+         FROM corrupted c JOIN tombs t ON c.doc_id = t.doc_id
+         UNION ALL
+         SELECT 'unplanned_placements', count(*)::BIGINT
+         FROM corrupted c
+         WHERE EXISTS (SELECT 1 FROM docs s WHERE s.doc_id = c.doc_id)
+           AND NOT EXISTS (SELECT 1 FROM kept k WHERE k.doc_id = c.doc_id)
+         UNION ALL
+         SELECT 'lost_records', count(*)::BIGINT
+         FROM kept k
+         WHERE NOT EXISTS (SELECT 1 FROM tombs t WHERE t.doc_id = k.doc_id)
+           AND NOT EXISTS (SELECT 1 FROM corrupted c
+                           WHERE c.doc_id = k.doc_id)
+         UNION ALL
+         SELECT 'duplicate_placement_ids', count(*)::BIGINT
+         FROM (SELECT doc_id FROM corrupted
+               GROUP BY doc_id HAVING count(*) > 1)
+         UNION ALL
+         SELECT 'manifest_drift_shards', count(*)::BIGINT
+         FROM (SELECT coalesce(m.claimed, 0) AS claimed,
+                 coalesce(a.act, 0) AS act
+               FROM manifest m FULL OUTER JOIN actual a
+                 ON m.shard = a.shard)
+         WHERE claimed <> act""",
 
     "dq14_kanonymity" ->
       """WITH g AS (

@@ -203,6 +203,41 @@ class DataQualitySpec extends SparkSpec {
     assert(out("partial") == ((4L, 1L, false)))
   }
 
+  test("provenanceAudit: intact chain is all-zeros; each violation class counts exactly") {
+    import spark.implicits._
+    val source = (1L to 20L).map(i => (i, s"t$i")).toDF("doc_id", "t")
+    val kept = source.filter($"doc_id" % 4 =!= 0) // 15 ids
+    val tombs = Seq(3L, 6L).toDF("doc_id")
+    val clean = kept.join(tombs, Seq("doc_id"), "left_anti")
+      .select($"doc_id", ($"doc_id" % 5).as("shard")) // 13 placements
+    val manifest = clean.groupBy($"shard").agg(count(lit(1)).as("n_docs"))
+    def audit(p: org.apache.spark.sql.DataFrame,
+              m: org.apache.spark.sql.DataFrame = manifest) =
+      provenanceAudit(source, kept, tombs, p, m, "doc_id")
+        .as[(String, Long)].collect().toMap
+    // intact chain: every check zero
+    assert(audit(clean).values.forall(_ == 0L), audit(clean).toString)
+    // one violation of each class, counted exactly once
+    val corrupted = clean
+      .filter($"doc_id" =!= 7L) // lost: 7 approved, never placed
+      .unionByName(Seq((99L, 0L)).toDF("doc_id", "shard")) // ghost
+      .unionByName(Seq((3L, 3L)).toDF("doc_id", "shard")) // leak
+      .unionByName(Seq((4L, 4L)).toDF("doc_id", "shard")) // unplanned
+      .unionByName(Seq((2L, 2L)).toDF("doc_id", "shard")) // dup: 2 is
+        // already placed by `clean`, this second row doubles it
+    val got = audit(corrupted)
+    assert(got("ghost_placements") == 1L, got.toString)
+    assert(got("tombstone_leaks") == 1L)
+    assert(got("unplanned_placements") == 1L)
+    assert(got("lost_records") == 1L)
+    assert(got("duplicate_placement_ids") == 1L)
+    assert(got("manifest_drift_shards") > 0L)
+    // manifest drift both ways: a claimed-but-empty shard and an
+    // unclaimed-but-placed shard each count
+    val m2 = manifest.unionByName(Seq((7L, 1L)).toDF("shard", "n_docs"))
+    assert(audit(clean, m2)("manifest_drift_shards") == 1L)
+  }
+
   test("referentialIntegrity: the dim marker side broadcasts") {
     val fact = Seq((1L, 10L)).toDF("id", "fk")
     val dim = Seq(10L).toDF("pk")
