@@ -496,9 +496,23 @@ object GraphOps {
   private def reachFrom(e: DataFrame, pivot: Long, maxHops: Int,
                         broadcastFrontierMax: Long = 1000000L)
       : (DataFrame, () => Unit) = {
-    val ser = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER
     val spark = e.sparkSession
     import spark.implicits._
+    reachFromSeeds(e, Seq(pivot).toDF("id"), maxHops,
+      broadcastFrontierMax)
+  }
+
+  /** Directed multi-source reachability: the settled id set reachable
+    * FROM `seeds` (seeds included), plus the release handle for the
+    * per-hop frontier checkpoints. Loud `require` when the frontier
+    * has not drained within `maxHops` — a truncated reach silently
+    * misclassifies downstream consumers (SCC splits, bow-tie regions).
+    */
+  private def reachFromSeeds(e: DataFrame, seeds: DataFrame,
+                             maxHops: Int,
+                             broadcastFrontierMax: Long = 1000000L)
+      : (DataFrame, () => Unit) = {
+    val ser = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER
     // the settled set is the UNION of the (disjoint) checkpointed
     // frontiers, never re-materialized per hop: re-checkpointing
     // `seen` each round writes O(settled) blocks per hop = O(n·hops)
@@ -507,10 +521,11 @@ object GraphOps {
     // release closure frees every frontier (a union of checkpoints is
     // NOT releasable through graft.Release's LogicalRDD fast path).
     val frontiers = scala.collection.mutable.Buffer[DataFrame]()
-    var frontier = Seq(pivot).toDF("id").localCheckpoint(true, ser)
+    var frontier = seeds.select(col("id").cast("long").as("id"))
+      .distinct().localCheckpoint(true, ser)
     frontiers += frontier
     var seen = frontier: DataFrame
-    var frontierN = 1L
+    var frontierN = frontier.count()
     var hop = 0
     while (frontierN > 0) {
       hop += 1
@@ -673,6 +688,66 @@ object GraphOps {
         Seq("b"))
       .filter(col("scc_a") =!= col("scc_b"))
       .select(col("scc_a"), col("scc_b")).distinct()
+  }
+
+  /** Bow-tie classification (Broder et al. 2000, "Graph structure in
+    * the web") over a DIRECTED graph with a standing SCC assignment:
+    * the CORE is the largest component (ties to the smallest
+    * component id — deterministic), IN is everything that reaches the
+    * core without being in it, OUT everything the core reaches,
+    * OTHER the rest (tendrils off IN/OUT, tubes, disconnected
+    * regions). This is the map a crawl scheduler orders fetches by
+    * and a dedup pipeline uses to bound mirror blast radius — the
+    * condensation's coarsest useful summary.
+    *
+    * Output: (id, cls ∈ {core,in,out,other}) for every assigned node.
+    * With exact (drained) reachability a non-core node can never be
+    * in BOTH reach sets — a core→x→core path would put x in the core
+    * component — so the in/out branches are disjoint by construction;
+    * [[reachFromSeeds]]'s loud drain `require` guards the truncation
+    * case that could fake it.
+    *
+    * Scale shape: core selection is a map-side-combined size agg into
+    * a 1-row TakeOrdered (the pivot-min collect discipline); the two
+    * reach passes are [[reachFromSeeds]] (frontier-size broadcast
+    * dispatch, union-of-checkpoints settled set); classification is
+    * two left joins on id. The result is eagerly checkpointed so the
+    * reach frontiers release before return.
+    */
+  def bowtieClassify(edges: DataFrame, scc: DataFrame,
+                     maxHops: Int): DataFrame =
+    bowtieClassifyReleasable(edges, scc, maxHops)._1
+
+  /** [[bowtieClassify]] plus the release handle for the result
+    * checkpoint. */
+  def bowtieClassifyReleasable(edges: DataFrame, scc: DataFrame,
+      maxHops: Int): (DataFrame, () => Unit) = {
+    val ser = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER
+    val e = edges.select(col("a").cast("long").as("a"),
+        col("b").cast("long").as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+      .localCheckpoint(true, ser)
+    val top = scc.groupBy(col("scc")).agg(count(lit(1)).as("_n"))
+      .orderBy(col("_n").desc, col("scc").asc).limit(1).collect()
+    require(top.nonEmpty, "bowtieClassify: empty SCC assignment")
+    val coreId = top(0).getLong(0)
+    val coreNodes = scc.filter(col("scc") === coreId)
+      .select(col("id")).localCheckpoint(true, ser)
+    val (fwd, relF) = reachFromSeeds(e, coreNodes, maxHops)
+    val (bwd, relB) = reachFromSeeds(
+      e.select(col("b").as("a"), col("a").as("b")), coreNodes, maxHops)
+    val cls = scc.select(col("id"), (col("scc") === coreId).as("_c"))
+      .join(fwd.select(col("id"), lit(true).as("_f")), Seq("id"), "left")
+      .join(bwd.select(col("id"), lit(true).as("_b")), Seq("id"), "left")
+      .select(col("id"),
+        when(col("_c"), "core")
+          .when(col("_b").isNotNull, "in")
+          .when(col("_f").isNotNull, "out")
+          .otherwise("other").as("cls"))
+      .localCheckpoint(true, ser)
+    relF(); relB()
+    graft.Release(e); graft.Release(coreNodes)
+    (cls, () => graft.Release(cls))
   }
 
   /** Per-node triangle counts over the UNDIRECTED graph. Edges are

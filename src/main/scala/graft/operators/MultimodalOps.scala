@@ -613,7 +613,22 @@ object MultimodalOps {
     * cut), id % 17 (not also 13) an alien version line — both miss
     * in-band. */
   def synthWarcAssets(df: DataFrame, idCol: String,
-                      textCol: String): DataFrame = {
+                      textCol: String): DataFrame =
+    synthWarcCore(df, idCol, textCol, (_, t) => t)
+
+  /** [[synthWarcAssets]] with the response payload wrapped in tx51's
+    * exact HTML template — the composition corpus for the
+    * walk-then-extract ingest slice (mm33). */
+  def synthWarcHtmlAssets(df: DataFrame, idCol: String,
+                          textCol: String): DataFrame =
+    synthWarcCore(df, idCol, textCol, (id, t) =>
+      s"<html><head><title>Doc $id</title><style>body { margin: 0; }" +
+        s"</style></head><body><h1>Doc $id</h1>\n<p>$t &amp; tail " +
+        s"&lt;$id&gt;&nbsp;end</p><script>var a = $id;</script>\t" +
+        "<div class=\"nav\">footer &amp; nav</div></body></html>")
+
+  private def synthWarcCore(df: DataFrame, idCol: String,
+      textCol: String, respBody: (Long, String) => String): DataFrame = {
     val schema = StructType(Seq(
       StructField("asset_id", LongType, nullable = false),
       StructField("content", BinaryType, nullable = true)))
@@ -631,7 +646,8 @@ object MultimodalOps {
             ("request", uri,
               "GET / HTTP/1.1\r\nHost: example.com\r\n\r\n"
                 .getBytes(utf8)),
-            ("response", uri, r.getString(1).getBytes(utf8))) ++
+            ("response", uri,
+              respBody(id, r.getString(1)).getBytes(utf8))) ++
             (if (id % 3 == 0)
               Seq(("metadata", uri,
                 s"fetchTimeMs: ${id % 1000}".getBytes(utf8)))
@@ -646,6 +662,37 @@ object MultimodalOps {
           Row(id, payload)
         }
       }(enc)
+  }
+
+  /** Response payloads of parsed WARC files as UTF-8 text, one row
+    * per response record `(asset_id, resp_idx, payload)` — the hand-
+    * off from container walk to content processing (HTML extraction,
+    * quality scoring, dedup all consume this). Corrupt files have no
+    * rows here BY DESIGN: their in-band miss lives in
+    * [[warcProfile]]'s `parsed` column, and an ingest pipeline reads
+    * both (profile for the ledger, payloads for the content path).
+    */
+  def warcResponseTexts(assets: DataFrame,
+                        contentCol: String = "content"): DataFrame = {
+    val schema = StructType(assets.schema.fields.filterNot(
+      _.name == contentCol) ++ Seq(
+      StructField("resp_idx", IntegerType, nullable = false),
+      StructField("payload", StringType, nullable = false)))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    val idx = assets.schema.fieldIndex(contentCol)
+    val keep = assets.schema.fields.indices.filterNot(_ == idx)
+    assets.mapPartitions { it =>
+      val utf8 = java.nio.charset.StandardCharsets.UTF_8
+      it.flatMap { r =>
+        val base = keep.map(r.get)
+        WarcCodec.responsePayloads(r.getAs[Array[Byte]](idx)) match {
+          case Some(ps) => ps.zipWithIndex.map { case (p, i) =>
+            Row.fromSeq(base ++ Seq(i, new String(p, utf8)))
+          }
+          case None => Nil
+        }
+      }
+    }(enc)
   }
 
   /** Record census over WARC payloads ([[WarcCodec.warcWalk]]):

@@ -50,73 +50,98 @@ object WarcCodec {
     -1
   }
 
-  /** Walk the whole record chain. None on any structural violation. */
-  def warcWalk(bytes: Array[Byte]): Option[WarcProfile] = {
-    if (bytes == null || bytes.length < 12) return None
+  /** Shared record loop: calls `onRecord(recType, payloadOff,
+    * payloadLen)` per record in file order; false on any structural
+    * violation (including zero records). */
+  private def walkRecords(bytes: Array[Byte])
+      (onRecord: (String, Int, Int) => Unit): Boolean = {
+    if (bytes == null || bytes.length < 12) return false
     var off = 0
     var nRecords = 0
-    var nWarcinfo = 0; var nRequest = 0; var nResponse = 0
-    var nMetadata = 0; var nOther = 0
-    var payloadBytes = 0L
-    var md: java.security.MessageDigest = null
     while (off < bytes.length) {
       val vEnd = lineEnd(bytes, off)
-      if (vEnd < 0) return None // torn version line
+      if (vEnd < 0) return false // torn version line
       val version = new String(bytes, off, vEnd - off,
         java.nio.charset.StandardCharsets.US_ASCII)
       if (version != "WARC/1.0" && version != "WARC/1.1")
-        return None // alien / unsupported version
+        return false // alien / unsupported version
       off = vEnd + 2
       var recType: String = null
       var contentLength = -1L
       var inHeaders = true
       while (inHeaders) {
         val hEnd = lineEnd(bytes, off)
-        if (hEnd < 0) return None // headers never terminate
+        if (hEnd < 0) return false // headers never terminate
         if (hEnd == off) { inHeaders = false; off += 2 } // blank line
         else {
           val line = new String(bytes, off, hEnd - off,
             java.nio.charset.StandardCharsets.US_ASCII)
           val colon = line.indexOf(':')
-          if (colon <= 0) return None // torn header line
+          if (colon <= 0) return false // torn header line
           val name = line.substring(0, colon).trim
           val value = line.substring(colon + 1).trim
           if (name.equalsIgnoreCase("WARC-Type")) recType = value
           else if (name.equalsIgnoreCase("Content-Length")) {
             if (value.isEmpty || !value.forall(c => c >= '0' && c <= '9'))
-              return None // non-numeric length
+              return false // non-numeric length
             contentLength = value.toLong
           }
           off = hEnd + 2
         }
       }
-      if (contentLength < 0) return None // no Content-Length
+      if (contentLength < 0) return false // no Content-Length
       if (off + contentLength + 4 > bytes.length)
-        return None // payload or terminator past EOF
+        return false // payload or terminator past EOF
       val pOff = off
       off += contentLength.toInt
       if (!(bytes(off) == '\r' && bytes(off + 1) == '\n' &&
           bytes(off + 2) == '\r' && bytes(off + 3) == '\n'))
-        return None // missing record terminator
+        return false // missing record terminator
       off += 4
       nRecords += 1
-      payloadBytes += contentLength
+      onRecord(recType, pOff, contentLength.toInt)
+    }
+    nRecords > 0
+  }
+
+  /** Walk the whole record chain. None on any structural violation. */
+  def warcWalk(bytes: Array[Byte]): Option[WarcProfile] = {
+    var nRecords = 0
+    var nWarcinfo = 0; var nRequest = 0; var nResponse = 0
+    var nMetadata = 0; var nOther = 0
+    var payloadBytes = 0L
+    var md: java.security.MessageDigest = null
+    val ok = walkRecords(bytes) { (recType, pOff, pLen) =>
+      nRecords += 1
+      payloadBytes += pLen
       recType match {
         case "warcinfo" => nWarcinfo += 1
         case "request"  => nRequest += 1
         case "response" =>
           nResponse += 1
           if (md == null) md = java.security.MessageDigest.getInstance("MD5")
-          md.update(bytes, pOff, contentLength.toInt)
+          md.update(bytes, pOff, pLen)
         case "metadata" => nMetadata += 1
         case _          => nOther += 1 // incl. absent WARC-Type
       }
     }
-    if (nRecords == 0) None
+    if (!ok) None
     else Some(WarcProfile(nRecords, nWarcinfo, nRequest, nResponse,
       nMetadata, nOther, payloadBytes,
       if (md == null) null
       else md.digest().map(b => f"${b & 0xff}%02x").mkString))
+  }
+
+  /** Response-record payload bytes in file order; None on the same
+    * structural violations as [[warcWalk]]. The hand-off from the
+    * container walk to content processing. */
+  def responsePayloads(bytes: Array[Byte]): Option[Seq[Array[Byte]]] = {
+    val out = scala.collection.mutable.Buffer[Array[Byte]]()
+    val ok = walkRecords(bytes) { (recType, pOff, pLen) =>
+      if (recType == "response")
+        out += java.util.Arrays.copyOfRange(bytes, pOff, pOff + pLen)
+    }
+    if (ok) Some(out.toSeq) else None
   }
 
   /** Deterministic WARC writer for the synthetic corpus: one record

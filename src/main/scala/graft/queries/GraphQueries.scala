@@ -164,6 +164,17 @@ object GraphQueries {
     // (min(struct(-n_chars, id))), never a window keyed by the
     // component — the same skew discipline as dd11: the giant SCC of a
     // web graph is the hot key by construction.
+    // Bow-tie classification (gr15): the Broder map of the planted
+    // graph, consuming the standing assignment like gr13/gr14. Core =
+    // ring 0 (two 5-rings tie on size, smallest component id wins);
+    // its into-tendrils (id%10 < 5, id%3 ≠ 0) are IN, its
+    // out-tendrils (id%3 = 0) are OUT, ring 1 and its tendrils are
+    // OTHER — entirely closed-form for the oracle.
+    "gr15_bowtie" -> ((s, d) =>
+      leased("gr15_bowtie")(GraphOps.bowtieClassifyReleasable(
+        sccBowtieEdges(s, d), SccAssignmentFixture.assignment(s, d),
+        maxHops = 8))),
+
     // Reads the standing assignment like gr14 — the collapse is then a
     // single equi join + map-side argmin, no decomposition re-run.
     "gr13_scc_collapse" -> ((s, d) => {
@@ -308,6 +319,17 @@ object GraphQueries {
       """SELECT doc_id::BIGINT AS id,
            (CASE WHEN doc_id < 10 THEN doc_id - doc_id % 5
                  ELSE doc_id END)::BIGINT AS scc
+         FROM documents""",
+    // gr15 closed-form: ring 0 is the core (size tie to ring 1 breaks
+    // to the smaller component id); its tendrils split in/out by
+    // edge direction (id%3); everything hanging off ring 1 is other
+    "gr15_bowtie" ->
+      """SELECT doc_id::BIGINT AS id,
+           CASE WHEN doc_id < 5 THEN 'core'
+                WHEN doc_id < 10 THEN 'other'
+                WHEN doc_id % 10 < 5 AND doc_id % 3 <> 0 THEN 'in'
+                WHEN doc_id % 10 < 5 THEN 'out'
+                ELSE 'other' END AS cls
          FROM documents""",
     // the quotient closed-form: each tendril (id ≥ 10) is its own
     // component wired to its ring's min id, direction by id%3;

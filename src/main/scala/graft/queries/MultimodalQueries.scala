@@ -417,6 +417,22 @@ object MultimodalQueries {
           col("payload_bytes"), col("response_md5"), col("parsed"))
     }),
 
+    // WARC → HTML-extract composition (mm33): the full ingest slice a
+    // crawl pipeline actually runs — container walk (mm32's codec)
+    // hands the response payloads to the tx51 boilerplate strip. The
+    // payloads carry tx51's exact HTML template around the doc text,
+    // so the oracle is tx51's replay restricted to parseable files
+    // (corrupt %13/%17 WARCs contribute NO content rows — their miss
+    // is mm32's `parsed` ledger, not silent nulls here).
+    "mm33_warc_html" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      graft.operators.TextAnalysisOps.htmlExtract(
+        MultimodalOps.warcResponseTexts(
+          MultimodalOps.synthWarcHtmlAssets(
+            documents(s, d), "doc_id", "text")),
+        "asset_id", "payload")
+    }),
+
     "mm29_mp3_meta" -> ((s, d) => {
       import org.apache.spark.sql.functions._
       MultimodalOps.mp3Profile(
@@ -1433,6 +1449,35 @@ HAVING count(*) >= 2""",
            CASE WHEN bad THEN NULL ELSE md5(text) END AS response_md5,
            NOT bad AS parsed
          FROM p""",
+
+    // mm33: tx51's extraction replay over the parseable WARC subset
+    "mm33_warc_html" ->
+      """WITH h AS (SELECT doc_id,
+           '<html><head><title>Doc ' || doc_id::VARCHAR
+           || '</title><style>body { margin: 0; }</style></head><body><h1>Doc '
+           || doc_id::VARCHAR || '</h1>' || chr(10) || '<p>' || text
+           || ' &amp; tail &lt;' || doc_id::VARCHAR
+           || '&gt;&nbsp;end</p><script>var a = ' || doc_id::VARCHAR
+           || ';</script>' || chr(9)
+           || '<div class="nav">footer &amp; nav</div></body></html>' AS html
+         FROM documents
+         WHERE doc_id % 13 <> 0 AND doc_id % 17 <> 0),
+         s1 AS (SELECT doc_id, regexp_replace(html,
+           '(?s)<script[^>]*>.*?</script>', ' ', 'g') AS t FROM h),
+         s2 AS (SELECT doc_id, regexp_replace(t,
+           '(?s)<style[^>]*>.*?</style>', ' ', 'g') AS t FROM s1),
+         s3 AS (SELECT doc_id, regexp_replace(t,
+           '<[^>]*>', ' ', 'g') AS t FROM s2),
+         s4 AS (SELECT doc_id,
+           replace(replace(replace(replace(replace(replace(t,
+             '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+             '&#39;', ''''), '&nbsp;', ' '), '&amp;', '&') AS t FROM s3),
+         s5 AS (SELECT doc_id, trim(regexp_replace(t,
+           '[ ' || chr(9) || chr(10) || chr(13) || ']+', ' ', 'g')) AS t
+         FROM s4)
+         SELECT doc_id AS asset_id, t AS extracted,
+           length(t)::INT AS n_extracted
+         FROM s5""",
 
     "mm29_mp3_meta" ->
       """WITH d AS (SELECT doc_id::BIGINT AS id FROM documents),

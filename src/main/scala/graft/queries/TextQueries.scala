@@ -8,6 +8,40 @@ import graft.operators.TextAnalysisOps
 /** Text-analysis queries over `documents`. */
 object TextQueries {
 
+  /** tx53/tx54's messy-URL generator: every canonicalization class
+    * planted on a known doc_id residue (case, default/zero-padded
+    * ports, dot-segments, %-variants, tracking params, unsorted
+    * query, fragment) — the oracles replay the CANONICAL form
+    * closed-form, so the expressions must invert exactly this mess. */
+  private def messyUrl(id: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column = {
+    val site = concat(lit("Site"), (id % 7).cast("string"))
+    concat(
+      when(id % 2 === 0, lit("HTTP")).otherwise(lit("https")),
+      lit("://"),
+      when(id % 3 === 0, concat(lit("WWW."), site, lit(".CO.UK")))
+        .when(id % 3 === 1, concat(lit("Sub."), site, lit(".COM")))
+        .otherwise(concat(site, lit(".org"))),
+      when(id % 4 === 0,
+          when(id % 2 === 0, lit(":80")).otherwise(lit(":443")))
+        .when(id % 4 === 1, lit(":8080"))
+        .when(id % 4 === 3,
+          when(id % 2 === 0, lit(":080")).otherwise(lit(":0443")))
+        .otherwise(lit("")),
+      when(id % 5 === 0, concat(lit("/a/./b/../c"), (id % 11)))
+        .when(id % 5 === 1, concat(lit("/%7Edir/p"), (id % 11)))
+        .when(id % 5 === 2, lit(""))
+        .when(id % 5 === 3, concat(lit("/x//y"), (id % 11), lit("/")))
+        .otherwise(concat(lit("/p"), (id % 11))),
+      when(id % 6 === 0, lit("?utm_source=feed&b=2&a=1"))
+        .when(id % 6 === 1, concat(lit("?gclid=g"), id))
+        .when(id % 6 === 2, lit("?z=%41&y=2"))
+        .when(id % 6 === 4, lit("?flag&a=%2F"))
+        .when(id % 6 === 5, concat(lit("?k"), (id % 9), lit("=v")))
+        .otherwise(lit("")),
+      when(id % 2 === 1, concat(lit("#sec"), id)).otherwise(lit("")))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Token counting: whitespace tokens + BPE-ish subword pieces.
     "tx1_tokens" -> ((s, d) => {
@@ -361,39 +395,28 @@ object TextQueries {
     // exactly the mess the generator applied, end to end. Per-row
     // projection, no shuffle: the 100-TB shape is embarrassingly
     // parallel and whole-stage-codegen'd.
-    "tx53_url_canon" -> ((s, d) => {
-      val id = col("doc_id").cast("long")
-      val site = concat(lit("Site"), (id % 7).cast("string"))
-      val messy = concat(
-        when(id % 2 === 0, lit("HTTP")).otherwise(lit("https")),
-        lit("://"),
-        when(id % 3 === 0, concat(lit("WWW."), site, lit(".CO.UK")))
-          .when(id % 3 === 1, concat(lit("Sub."), site, lit(".COM")))
-          .otherwise(concat(site, lit(".org"))),
-        when(id % 4 === 0,
-            when(id % 2 === 0, lit(":80")).otherwise(lit(":443")))
-          .when(id % 4 === 1, lit(":8080"))
-          .when(id % 4 === 3,
-            when(id % 2 === 0, lit(":080")).otherwise(lit(":0443")))
-          .otherwise(lit("")),
-        when(id % 5 === 0, concat(lit("/a/./b/../c"), (id % 11)))
-          .when(id % 5 === 1, concat(lit("/%7Edir/p"), (id % 11)))
-          .when(id % 5 === 2, lit(""))
-          .when(id % 5 === 3, concat(lit("/x//y"), (id % 11), lit("/")))
-          .otherwise(concat(lit("/p"), (id % 11))),
-        when(id % 6 === 0, lit("?utm_source=feed&b=2&a=1"))
-          .when(id % 6 === 1, concat(lit("?gclid=g"), id))
-          .when(id % 6 === 2, lit("?z=%41&y=2"))
-          .when(id % 6 === 4, lit("?flag&a=%2F"))
-          .when(id % 6 === 5, concat(lit("?k"), (id % 9), lit("=v")))
-          .otherwise(lit("")),
-        when(id % 2 === 1, concat(lit("#sec"), id)).otherwise(lit("")))
-      documents(s, d).select(col("doc_id"), messy.as("url"))
+    "tx53_url_canon" -> ((s, d) =>
+      documents(s, d).select(col("doc_id"),
+          messyUrl(col("doc_id").cast("long")).as("url"))
         .select(col("doc_id"),
           graft.functions.UrlCanon.canonicalUrl(col("url"))
             .as("url_canon"),
           graft.functions.UrlCanon.registeredDomainCol(col("url"))
+            .as("domain"))),
+
+    // Per-DOMAIN document cap (tx54): tx40's dominant-source
+    // down-sampler on the key real crawls actually need — the
+    // registered domain extracted from the raw (messy) URL by the
+    // tx53 expressions, feeding sourceCap's heap/histogram dispatch
+    // unchanged. Cap 10 over ~21 planted domains so every domain
+    // genuinely overflows at both gated scales.
+    "tx54_domain_cap" -> ((s, d) => {
+      val keyed = documents(s, d).select(col("doc_id"),
+          messyUrl(col("doc_id").cast("long")).as("url"))
+        .select(col("doc_id"),
+          graft.functions.UrlCanon.registeredDomainCol(col("url"))
             .as("domain"))
+      TextAnalysisOps.sourceCap(keyed, "doc_id", "domain", cap = 10)
     }),
 
     "tx52_script_mix" -> ((s, d) => {
@@ -1133,6 +1156,20 @@ object TextQueries {
     // pure ASCII on both engines and clean_fp hashes agree
     // the block census replayed over the same planted translate —
     // identical literal-range RE2 classes, identical tie CASE
+    // tx54: the domain closed-form (the tx53 rule) + sourceCap's keep
+    // rule replayed — top-10 per domain by (md5(id) asc, id asc)
+    "tx54_domain_cap" ->
+      """WITH u AS (SELECT doc_id,
+             'site' || (doc_id % 7) ||
+               (CASE doc_id % 3 WHEN 0 THEN '.co.uk'
+                  WHEN 1 THEN '.com' ELSE '.org' END) AS domain
+           FROM documents),
+         r AS (SELECT doc_id, domain,
+                 row_number() OVER (PARTITION BY domain
+                   ORDER BY md5(doc_id::VARCHAR) ASC, doc_id ASC) AS rn
+               FROM u)
+         SELECT domain, doc_id FROM r WHERE rn <= 10""",
+
     // tx53: the CLOSED-FORM canonical string — the generator's mess
     // (case, default/zero-padded ports, dot-segments, %7E decode,
     // %2F retention, tracking strip, query sort, fragment) inverted

@@ -479,6 +479,32 @@ class GraphSpec extends SparkSpec {
     assert(err.getMessage.contains("maxHops"), err.getMessage)
   }
 
+  test("bowtieClassify: core pick, in/out/other regions, tie-break, disjointness") {
+    import spark.implicits._
+    // ring 0->1->2->0 is the core; 3 reaches it (in), 4 is reached
+    // (out), 5->6 is a disconnected tendril pair (other), 7 hangs off
+    // the IN node 3 (tendril-of-IN: cannot reach the core node set?
+    // it CAN: 7->3->0 — so 7 is 'in' too), 8 is reached from OUT
+    // (core->4->8: 'out')
+    val edges = Seq((0L, 1L), (1L, 2L), (2L, 0L), (3L, 0L), (2L, 4L),
+      (5L, 6L), (7L, 3L), (4L, 8L)).toDF("a", "b")
+    val scc = GraphOps.stronglyConnectedComponents(edges,
+      maxPivotRounds = 8, maxHops = 8)
+    val cls = GraphOps.bowtieClassify(edges, scc, maxHops = 8)
+      .as[(Long, String)].collect().toMap
+    assert(cls == Map(0L -> "core", 1L -> "core", 2L -> "core",
+      3L -> "in", 4L -> "out", 5L -> "other", 6L -> "other",
+      7L -> "in", 8L -> "out"), cls.toString)
+    // size tie breaks to the smallest component id: rings {0,1} and
+    // {2,3} both size 2 -> core is component 0
+    val tie = Seq((0L, 1L), (1L, 0L), (2L, 3L), (3L, 2L)).toDF("a", "b")
+    val sccT = GraphOps.stronglyConnectedComponents(tie, 8, 8)
+    val clsT = GraphOps.bowtieClassify(tie, sccT, maxHops = 8)
+      .as[(Long, String)].collect().toMap
+    assert(clsT == Map(0L -> "core", 1L -> "core",
+      2L -> "other", 3L -> "other"), clsT.toString)
+  }
+
   test("mutualEdges keeps exactly the reciprocated pairs") {
     val knn = Seq((1L, 2L), (2L, 1L), (1L, 3L), (3L, 2L), (2L, 3L))
       .toDF("a", "b")

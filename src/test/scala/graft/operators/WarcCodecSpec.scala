@@ -44,6 +44,26 @@ class WarcCodecSpec extends AnyFunSuite {
       .payloadBytes == 0L)
   }
 
+  test("responsePayloads: bytes in file order, same corrupt taxonomy") {
+    val body = "HTTP/1.1 200 OK\r\n\r\npayload-one"
+    val w = WarcCodec.encodeWarc(corpus(body))
+    val ps = WarcCodec.responsePayloads(w).get
+    assert(ps.map(new String(_, utf8)) == Seq(body))
+    val two = WarcCodec.encodeWarc(Seq(
+      ("response", "u", "first".getBytes(utf8)),
+      ("metadata", "u", "skip".getBytes(utf8)),
+      ("response", "u", "second".getBytes(utf8))))
+    assert(WarcCodec.responsePayloads(two).get
+      .map(new String(_, utf8)) == Seq("first", "second"))
+    // no responses → empty seq INSIDE a successful parse
+    val none = WarcCodec.encodeWarc(Seq(("metadata", "u",
+      "m".getBytes(utf8))))
+    assert(WarcCodec.responsePayloads(none).contains(Seq.empty))
+    // same structural taxonomy as the profile walk
+    assert(WarcCodec.responsePayloads(w.take(w.length - 3)).isEmpty)
+    assert(WarcCodec.responsePayloads(null).isEmpty)
+  }
+
   test("corrupt taxonomy is in-band: None, never thrown") {
     val good = WarcCodec.encodeWarc(corpus("body"))
     assert(WarcCodec.warcWalk(null).isEmpty)
