@@ -664,6 +664,80 @@ object MultimodalOps {
       }(enc)
   }
 
+  /** Deterministic mixed-charset wire-text corpus from (id, text) —
+    * the transcode-normalization analog of [[synthWarcAssets]]: the
+    * same doc text shipped as UTF-8+BOM (%5=0), UTF-16LE (%5=1),
+    * UTF-16BE (%5=2), bare UTF-8 (%5=3), and latin-1 with a planted
+    * non-UTF-8 byte pair 0xE9 0x20 ("é ") forcing the fallback
+    * (%5=4). Corrupt: id % 13 a UTF-16LE stream torn mid code unit.
+    * The gated corpus is pure ASCII (probed), so every decode is
+    * byte-replayable by the oracle. */
+  def synthCharsetAssets(df: DataFrame, idCol: String,
+                         textCol: String): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("asset_id", LongType, nullable = false),
+      StructField("content", BinaryType, nullable = true)))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    df.select(col(idCol).cast("long").as("asset_id"),
+        col(textCol).cast("string").as("_t"))
+      .mapPartitions { it =>
+        val utf8 = java.nio.charset.StandardCharsets.UTF_8
+        it.map { r =>
+          val id = r.getLong(0)
+          val t = r.getString(1)
+          val payload: Array[Byte] =
+            if (id % 13 == 0) {
+              val b = t.getBytes(java.nio.charset.StandardCharsets.UTF_16LE)
+              Array(0xff.toByte, 0xfe.toByte) ++ b.take(b.length - 1)
+            } else (id % 5) match {
+              case 0 => Array(0xef.toByte, 0xbb.toByte, 0xbf.toByte) ++
+                t.getBytes(utf8)
+              case 1 => Array(0xff.toByte, 0xfe.toByte) ++
+                t.getBytes(java.nio.charset.StandardCharsets.UTF_16LE)
+              case 2 => Array(0xfe.toByte, 0xff.toByte) ++
+                t.getBytes(java.nio.charset.StandardCharsets.UTF_16BE)
+              case 3 => t.getBytes(utf8)
+              case _ => t.getBytes(
+                java.nio.charset.StandardCharsets.ISO_8859_1) ++
+                Array(0xe9.toByte, 0x20.toByte)
+            }
+          Row(id, payload)
+        }
+      }(enc)
+  }
+
+  /** Charset profile over wire-text payloads ([[CharsetCodec.sniff]]):
+    * detected charset, decoded char count, md5 of the UTF-8
+    * re-encoding (the normalized bytes every downstream text op
+    * consumes), parse success in-band. One byte pass per asset. */
+  def charsetProfile(assets: DataFrame,
+                     contentCol: String = "content"): DataFrame = {
+    val schema = StructType(assets.schema.fields.filterNot(
+      _.name == contentCol) ++ Seq(
+      StructField("charset", StringType, nullable = true),
+      StructField("n_chars", IntegerType, nullable = true),
+      StructField("text_md5", StringType, nullable = true),
+      StructField("parsed", BooleanType, nullable = false)))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    val idx = assets.schema.fieldIndex(contentCol)
+    val keep = assets.schema.fields.indices.filterNot(_ == idx)
+    assets.mapPartitions { it =>
+      val utf8 = java.nio.charset.StandardCharsets.UTF_8
+      it.map { r =>
+        val base = keep.map(r.get)
+        CharsetCodec.sniff(r.getAs[Array[Byte]](idx)) match {
+          case Some(s) =>
+            val md = java.security.MessageDigest.getInstance("MD5")
+              .digest(s.text.getBytes(utf8))
+              .map(b => f"${b & 0xff}%02x").mkString
+            Row.fromSeq(base ++ Seq(s.charset, s.text.length, md, true))
+          case None =>
+            Row.fromSeq(base ++ Seq(null, null, null, false))
+        }
+      }
+    }(enc)
+  }
+
   /** Response payloads of parsed WARC files as UTF-8 text, one row
     * per response record `(asset_id, resp_idx, payload)` — the hand-
     * off from container walk to content processing (HTML extraction,

@@ -417,6 +417,24 @@ object MultimodalQueries {
           col("payload_bytes"), col("response_md5"), col("parsed"))
     }),
 
+    // Charset sniff + transcode (mm34): the wire-text normalization
+    // every downstream text op assumes — the same doc text shipped in
+    // five encodings by id residue (UTF-8±BOM, UTF-16 both endians,
+    // latin-1 with a planted non-UTF-8 byte forcing the fallback),
+    // sniffed by deterministic byte rules (BOMs, full RFC 3629
+    // validation walk) and decoded; torn UTF-16 (id%13) misses
+    // in-band. Oracle: the charset label is residue arithmetic and
+    // every decode is byte-replayable on the ASCII gated corpus
+    // (md5 of the UTF-8 re-encoding).
+    "mm34_charset" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      MultimodalOps.charsetProfile(
+        MultimodalOps.synthCharsetAssets(documents(s, d), "doc_id",
+          "text"))
+        .select(col("asset_id"), col("charset"), col("n_chars"),
+          col("text_md5"), col("parsed"))
+    }),
+
     // WARC → HTML-extract composition (mm33): the full ingest slice a
     // crawl pipeline actually runs — container walk (mm32's codec)
     // hands the response payloads to the tx51 boilerplate strip. The
@@ -1449,6 +1467,26 @@ HAVING count(*) >= 2""",
            CASE WHEN bad THEN NULL ELSE md5(text) END AS response_md5,
            NOT bad AS parsed
          FROM p""",
+
+    // mm34: label by residue; decoded text = the original text except
+    // the latin-1 arm's planted "é " tail; length() is chars in both
+    // engines
+    "mm34_charset" ->
+      """SELECT doc_id::BIGINT AS asset_id,
+           CASE WHEN doc_id % 13 = 0 THEN NULL
+                WHEN doc_id % 5 = 0 THEN 'utf-8-bom'
+                WHEN doc_id % 5 = 1 THEN 'utf-16le'
+                WHEN doc_id % 5 = 2 THEN 'utf-16be'
+                WHEN doc_id % 5 = 3 THEN 'utf-8'
+                ELSE 'latin-1' END AS charset,
+           CASE WHEN doc_id % 13 = 0 THEN NULL
+                WHEN doc_id % 5 = 4 THEN length(text) + 2
+                ELSE length(text) END::INT AS n_chars,
+           CASE WHEN doc_id % 13 = 0 THEN NULL
+                WHEN doc_id % 5 = 4 THEN md5(text || chr(233) || ' ')
+                ELSE md5(text) END AS text_md5,
+           doc_id % 13 <> 0 AS parsed
+         FROM documents""",
 
     // mm33: tx51's extraction replay over the parseable WARC subset
     "mm33_warc_html" ->
