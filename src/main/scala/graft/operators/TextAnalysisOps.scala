@@ -1357,6 +1357,49 @@ object TextAnalysisOps {
     conv(substring(md5(id.cast("string")), 1, 8), 16, 10)
       .cast("long") % nShards
 
+  /** Train/eval split audit (tx55) — the leakage check a training
+    * pipeline runs before trusting a split: a split keyed by DOCUMENT
+    * id puts near-identical pages of one site on both sides
+    * (contamination by construction), while a split keyed by the
+    * GROUP (registered domain, source) is leakage-free because the
+    * assignment is a pure function of the key. Both strategies are
+    * evaluated side by side: deterministic md5-percent assignment
+    * (`md5(x) % 100 < trainPct`, the shardAssign rule), per-strategy
+    * train/eval row counts, and the count of LEAKY KEYS — group keys
+    * with rows on both sides (zero for the by-key strategy by
+    * construction; the audit proves it rather than assumes it).
+    *
+    * Scale shape: two map-side-combined aggregations (one per
+    * strategy) plus a key-grouped distinct-count for leaks; no
+    * windows, no collects, output is two rows.
+    */
+  def splitLeakageAudit(df: DataFrame, idCol: String, keyCol: String,
+                        trainPct: Int): DataFrame = {
+    require(trainPct > 0 && trainPct < 100,
+      s"trainPct must be in (0,100): $trainPct")
+    def pct(c: Column): Column =
+      conv(substring(md5(c.cast("string")), 1, 8), 16, 10)
+        .cast("long") % 100
+    def audit(assigned: DataFrame, name: String): DataFrame = {
+      val counts = assigned.agg(
+        sum(when(col("_train"), 1L).otherwise(0L)).as("n_train"),
+        sum(when(!col("_train"), 1L).otherwise(0L)).as("n_eval"))
+      val leaky = assigned.groupBy(col(keyCol))
+        .agg(countDistinct(col("_train")).as("_sides"))
+        .filter(col("_sides") > 1)
+        .agg(count(lit(1)).cast("long").as("n_leaky_keys"))
+      counts.crossJoin(leaky)
+        .select(lit(name).as("strategy"), col("n_train"),
+          col("n_eval"), col("n_leaky_keys"))
+    }
+    val base = df.select(col(idCol), col(keyCol))
+    audit(base.withColumn("_train", pct(col(keyCol)) < trainPct),
+        "by_key")
+      .unionByName(
+        audit(base.withColumn("_train", pct(col(idCol)) < trainPct),
+          "by_id"))
+  }
+
   /** Per-shard export manifest for the deterministic global shuffle:
     * every doc lands in `shard = md5(id) % nShards`, ordered within the
     * shard by its md5 (the reproducible shuffle order — no RNG state),

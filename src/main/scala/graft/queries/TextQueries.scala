@@ -404,6 +404,22 @@ object TextQueries {
           graft.functions.UrlCanon.registeredDomainCol(col("url"))
             .as("domain"))),
 
+    // Leakage-safe split audit (tx55): train/eval assignment keyed by
+    // the registered domain (tx53's key) vs keyed by doc id, side by
+    // side — the by-id strategy leaks (domains straddle the split:
+    // nonzero leaky keys on 21 planted domains across 500+ docs), the
+    // by-key strategy is leak-free by construction and the audit
+    // PROVES it (n_leaky_keys = 0). md5-percent assignment, 90/10.
+    "tx55_split_audit" -> ((s, d) => {
+      val keyed = documents(s, d).select(col("doc_id"),
+          messyUrl(col("doc_id").cast("long")).as("url"))
+        .select(col("doc_id"),
+          graft.functions.UrlCanon.registeredDomainCol(col("url"))
+            .as("domain"))
+      TextAnalysisOps.splitLeakageAudit(keyed, "doc_id", "domain",
+        trainPct = 90)
+    }),
+
     // Per-DOMAIN document cap (tx54): tx40's dominant-source
     // down-sampler on the key real crawls actually need — the
     // registered domain extracted from the raw (messy) URL by the
@@ -1156,6 +1172,40 @@ object TextQueries {
     // pure ASCII on both engines and clean_fp hashes agree
     // the block census replayed over the same planted translate —
     // identical literal-range RE2 classes, identical tie CASE
+    // tx55: both strategies replayed — md5-hex-prefix percent rule on
+    // the closed-form domain and on the doc id
+    "tx55_split_audit" ->
+      """WITH u AS (SELECT doc_id,
+             'site' || (doc_id % 7) ||
+               (CASE doc_id % 3 WHEN 0 THEN '.co.uk'
+                  WHEN 1 THEN '.com' ELSE '.org' END) AS domain
+           FROM documents),
+         bk AS (SELECT doc_id, domain,
+                  (('0x' || substr(md5(domain), 1, 8))::UBIGINT % 100)
+                    < 90 AS tr
+                FROM u),
+         bi AS (SELECT doc_id, domain,
+                  (('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::UBIGINT
+                    % 100) < 90 AS tr
+                FROM u),
+         lk AS (SELECT count(*)::BIGINT AS n FROM (
+                  SELECT domain FROM bk GROUP BY domain
+                  HAVING count(DISTINCT tr) > 1)),
+         li AS (SELECT count(*)::BIGINT AS n FROM (
+                  SELECT domain FROM bi GROUP BY domain
+                  HAVING count(DISTINCT tr) > 1))
+         SELECT 'by_key' AS strategy,
+           sum(CASE WHEN tr THEN 1 ELSE 0 END)::BIGINT AS n_train,
+           sum(CASE WHEN tr THEN 0 ELSE 1 END)::BIGINT AS n_eval,
+           (SELECT n FROM lk) AS n_leaky_keys
+         FROM bk
+         UNION ALL
+         SELECT 'by_id',
+           sum(CASE WHEN tr THEN 1 ELSE 0 END)::BIGINT,
+           sum(CASE WHEN tr THEN 0 ELSE 1 END)::BIGINT,
+           (SELECT n FROM li)
+         FROM bi""",
+
     // tx54: the domain closed-form (the tx53 rule) + sourceCap's keep
     // rule replayed — top-10 per domain by (md5(id) asc, id asc)
     "tx54_domain_cap" ->
