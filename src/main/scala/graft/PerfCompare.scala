@@ -31,7 +31,8 @@ object PerfCompare {
     // GRAFT_PC_ONLY=parse,dsir runs only those blocks. Lane names:
     // topk, cc, bloom, span, containment, kernels, kmeans, ivf,
     // ivfcurve, bpehybrid, dsir, parse, skew, simhash, srccap, budget,
-    // knn, hh, mix, pagerank, stdrain, asof, paircap, spanab, packab.
+    // knn, hh, mix, pagerank, stdrain, asof, paircap, spanab, packab,
+    // substrab.
     // Default (unset) = all. Each lane builds and releases its own
     // caches, so skipping any subset is safe.
     val only = sys.env.get("GRAFT_PC_ONLY")
@@ -291,6 +292,76 @@ object PerfCompare {
       println(s"""{"packab_docs":$n,"window_sec":$tw,"joinback_sec":$tt,""" +
         s""""window_max_task_ms":$wMs,"joinback_max_task_ms":$jMs,""" +
         s""""window_max_read_rows":$wRows,"joinback_max_read_rows":$jRows}""")
+      Release(corpus, blocking = true)
+    }
+
+    // r16 A/B: dd20's anchor first-occurrence selection on a planted
+    // 100%-hot-boilerplate corpus (every doc opens with the same
+    // 12-token paragraph) — the charged bug class's row_number window
+    // partitioned by GRAM TEXT vs the shipped map-side argmin + FULL-
+    // KEY anti join. Same selection semantics (non-first anchors);
+    // the window parks every hot gram's occurrence set in one task's
+    // sort, while the anti join's (gram, id, p) key is unique per row
+    // so the hot gram hashes across ALL partitions — no skewed
+    // partition EXISTS. (The intermediate design — equi join back on
+    // gram alone — measured here first: it re-parks the hot gram in
+    // one probe partition, and AQE's skew split cannot rescue it
+    // because the winner side's Aggregate breaks OptimizeSkewedJoin's
+    // SMJ(Sort(stage), Sort(stage)) pattern. The full-key anti join
+    // removes the skew structurally instead of hoping a threshold
+    // fires.)
+    lane("substrab") {
+      val n = 1000000L
+      val hot = (0 until 12).map(j => s"boiler$j").mkString(" ")
+      val corpus = spark.range(n).select(col("id"),
+        concat(lit(hot + " "), concat_ws(" ", (0 until 12).map(j =>
+          concat(lit("w"), col("id"), lit(s"_$j"))): _*)).as("text"))
+        .cache()
+      corpus.count()
+      def grams = corpus.select(col("id"),
+        posexplode(graft.functions.ShingleGen.shingleArray(
+          col("text"), 6, distinct = false)).as(Seq("p", "gram")))
+      import org.apache.spark.sql.expressions.Window
+      def windowForm: Long = {
+        val w = Window.partitionBy(col("gram"))
+          .orderBy(col("id").asc, col("p").asc)
+        grams.withColumn("_rn", row_number().over(w))
+          .filter(col("_rn") > 1).count()
+      }
+      def argminForm: Long = {
+        val firsts = grams.groupBy(col("gram"))
+          .agg(min(struct(col("id"), col("p"))).as("_f"))
+          .select(col("gram"), col("_f").getField("id").as("id"),
+            col("_f").getField("p").as("p"))
+        grams.join(firsts, Seq("gram", "id", "p"), "left_anti").count()
+      }
+      val mx = new java.util.concurrent.atomic.AtomicLong
+      val mr = new java.util.concurrent.atomic.AtomicLong
+      val lst = new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(
+            te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+          mx.updateAndGet(m => math.max(m, te.taskInfo.duration))
+          mr.updateAndGet(m =>
+            math.max(m, te.taskMetrics.shuffleReadMetrics.recordsRead))
+        }
+      }
+      def measured(f: => Long): (Double, Long, Long, Long) = {
+        mx.set(0); mr.set(0)
+        spark.sparkContext.addSparkListener(lst)
+        try { val (t, k) = time(f)
+          Thread.sleep(500) // let the listener bus drain (private API)
+          (t, k, mx.get, mr.get)
+        } finally spark.sparkContext.removeSparkListener(lst)
+      }
+      // 7 pure-hot anchors per doc are non-first everywhere but doc 0
+      val want = 7L * (n - 1)
+      val (tw, kw, wMs, wRows) = measured(windowForm)
+      val (ta, ka, aMs, aRows) = measured(argminForm)
+      require(kw == ka && ka == want,
+        s"substrab forms disagree: window=$kw argmin=$ka want $want")
+      println(s"""{"substrab_docs":$n,"window_sec":$tw,"argmin_sec":$ta,""" +
+        s""""window_max_task_ms":$wMs,"argmin_max_task_ms":$aMs,""" +
+        s""""window_max_read_rows":$wRows,"argmin_max_read_rows":$aRows}""")
       Release(corpus, blocking = true)
     }
 

@@ -831,14 +831,20 @@ object DedupOps {
     * posexplode per doc; (2) global first-occurrence per gram is the
     * dd11 map-side argmin (`groupBy(gram).agg(min(struct(id, p)))` —
     * splittable partials, never a content-keyed window); (3) non-first
-    * anchors come from joining anchors back against the ONE-row-per-
-    * gram winner table — the hot boilerplate gram is the probe side
-    * of an equi join, exactly the AQE-splittable shape (build side
-    * has one row per key); (4) the per-document interval merge is a
-    * sorted `aggregate()` HOF over that doc's anchor positions —
+    * anchors come from a LEFT ANTI join of the anchors against the
+    * winner ROWS on the FULL (gram, id, p) key — the key is unique
+    * per row, so the hot boilerplate gram's occurrences hash across
+    * ALL partitions and no skewed partition exists by construction
+    * (a join keyed on gram alone would park the hot gram's whole
+    * occurrence set in one partition, and AQE's skew split cannot
+    * rescue it there: the winner side carries an Aggregate between
+    * its shuffle and the join, which breaks OptimizeSkewedJoin's
+    * required SMJ(Sort(stage), Sort(stage)) pattern — measured in
+    * PerfCompare `substrab`); (4) the per-document interval merge is
+    * a sorted `aggregate()` HOF over that doc's anchor positions —
     * group size ≤ the doc's token count, never corpus-shaped.
     * (ScaleSmoke `substrskew` proves the plan on a planted
-    * ≥30%-hot-boilerplate corpus.)
+    * 100%-hot-boilerplate corpus.)
     */
   def exactSubstringStats(df: DataFrame, idCol: String, textCol: String,
                           minTokens: Int): DataFrame = {
@@ -850,9 +856,10 @@ object DedupOps {
         .as(Seq("p", "gram")))
     val firsts = grams.groupBy(col("gram"))
       .agg(min(struct(col(idCol), col("p"))).as("_f"))
-    val marked = grams.join(firsts, Seq("gram"))
-      .filter(col(idCol) =!= col("_f").getField(idCol) ||
-        col("p") =!= col("_f").getField("p"))
+      .select(col("gram"), col("_f").getField(idCol).as(idCol),
+        col("_f").getField("p").as("p"))
+    val marked = grams
+      .join(firsts, Seq("gram", idCol, "p"), "left_anti")
       .select(col(idCol), col("p").cast("long").as("p"))
     val n = lit(minTokens.toLong)
     val zero = struct(lit(0L).as("runs"), lit(0L).as("cov"),
