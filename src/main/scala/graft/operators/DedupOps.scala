@@ -861,6 +861,91 @@ object DedupOps {
     val marked = grams
       .join(firsts, Seq("gram", idCol, "p"), "left_anti")
       .select(col(idCol), col("p").cast("long").as("p"))
+    substrStatsFromMarked(src, marked, idCol, textCol, minTokens)
+  }
+
+  /** Bank the standing corpus' first-occurrence anchor grams for
+    * incremental exact-substring dedup — the dd10 artifact reasoning
+    * on the dd20 axis: production banks the corpus' gram table once
+    * and ingests many batches against it. One row per DISTINCT gram
+    * `(gram, id, p)` (the global argmin), hash-bucketed on the gram
+    * for layout stability and future compaction, clustered so
+    * min/max gram stats survive. The 1-row-per-gram shape matters
+    * beyond size: it makes the probe join's build side a bare
+    * parquet scan, which keeps OptimizeSkewedJoin's
+    * SMJ(Sort(stage), Sort(stage)) pattern INTACT for a hot batch
+    * gram — the in-query Aggregate that blocked AQE's skew split in
+    * the substrab A/B never exists here.
+    */
+  def substrBankBuild(corpus: DataFrame, dir: String, idCol: String,
+                      textCol: String, minTokens: Int,
+                      buckets: Int = 64): Unit = {
+    val src = corpus.filter(col(textCol).isNotNull)
+    val grams = src.select(col(idCol),
+      posexplode(graft.functions.ShingleGen.shingleArray(
+        col(textCol), minTokens, distinct = false))
+        .as(Seq("p", "gram")))
+    val firsts = grams.groupBy(col("gram"))
+      .agg(min(struct(col(idCol), col("p"))).as("_f"))
+      .select(col("gram"), col("_f").getField(idCol).as(idCol),
+        col("_f").getField("p").cast("long").as("p"))
+      .withColumn("_bkt", pmod(xxhash64(col("gram")), lit(buckets)))
+    graft.sources.Compaction.writePartitioned(firsts, dir,
+      Seq("_bkt"), clusterBy = Seq("gram"))
+  }
+
+  /** Exact-substring stats of a NEW batch against the banked standing
+    * corpus — generation-ordered keep-first (the production rule: an
+    * earlier ingest's occurrence wins regardless of id): EVERY batch
+    * occurrence of a banked gram is duplicated (class a), and among
+    * grams the bank has never seen, batch-internal non-firsts mark
+    * exactly as in [[exactSubstringStats]] (class b — the full-key
+    * anti join). Only the batch is gram-expanded; the bank scan is
+    * bloom-reduced by the batch's gram set before either join (the
+    * dd10 inversion: batch ≪ bank), and the class-a semi join's
+    * build side is the bare bloom-filtered bank scan, so a hot batch
+    * gram stays AQE-skew-splittable. Returns the same
+    * `(id, n_tokens, dup_tokens, dup_runs)` shape as the full
+    * operator, restricted to batch documents.
+    */
+  def exactSubstringStatsIncremental(batch: DataFrame, dir: String,
+      idCol: String, textCol: String, minTokens: Int): DataFrame = {
+    val spark = batch.sparkSession
+    val src = batch.filter(col(textCol).isNotNull)
+    val grams = src.select(col(idCol),
+      posexplode(graft.functions.ShingleGen.shingleArray(
+        col(textCol), minTokens, distinct = false))
+        .as(Seq("p", "gram")))
+    // bloom sized from one cheap agg over the batch (token count
+    // bounds the gram count); no persist — the batch is small by
+    // premise and a cached plan would leak per ingest (the dd10 rule)
+    val approxGrams = src.agg(
+      sum(size(split(col(textCol), " "))).cast("long")).collect()(0)
+      .getLong(0)
+    val bloom = BloomJoin.buildBloom(grams, col("gram"),
+      math.max(approxGrams, 1L))
+    val bank = spark.read.parquet(dir)
+      .filter(BloomJoin.mightContain(bloom, col("gram")))
+      .select(col("gram"))
+    val hit = grams.join(bank, Seq("gram"), "left_semi")
+      .select(col(idCol), col("p").cast("long").as("p"))
+    val rest = grams.join(bank, Seq("gram"), "left_anti")
+    val bFirsts = rest.groupBy(col("gram"))
+      .agg(min(struct(col(idCol), col("p"))).as("_f"))
+      .select(col("gram"), col("_f").getField(idCol).as(idCol),
+        col("_f").getField("p").as("p"))
+    val bdup = rest.join(bFirsts, Seq("gram", idCol, "p"), "left_anti")
+      .select(col(idCol), col("p").cast("long").as("p"))
+    substrStatsFromMarked(src, hit.unionByName(bdup), idCol, textCol,
+      minTokens)
+  }
+
+  /** Shared tail of the exact-substring family: merge a document's
+    * marked anchor positions into maximal intervals (sorted
+    * `aggregate()` HOF, group ≤ doc tokens) and join the stats back
+    * onto per-doc token totals. */
+  private def substrStatsFromMarked(src: DataFrame, marked: DataFrame,
+      idCol: String, textCol: String, minTokens: Int): DataFrame = {
     val n = lit(minTokens.toLong)
     val zero = struct(lit(0L).as("runs"), lit(0L).as("cov"),
       lit(-1L).as("s"), lit(-1L).as("e"))

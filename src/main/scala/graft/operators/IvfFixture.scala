@@ -212,6 +212,40 @@ object BandIndexFixture {
     }))
 }
 
+/** Build-once-per-session holder for dd21's persisted exact-substring
+  * gram bank over the STANDING corpus (`documents` where source !=
+  * src0, with the 12-token boilerplate planted on id % 3 = 0 so
+  * banked-gram hits exist) — [[BandIndexFixture]]'s artifact
+  * reasoning on the dd20 axis: production banks the corpus' first-
+  * occurrence grams once and ingests many batches against it. The
+  * plant phrase is shared verbatim with the dd21 lane and oracle.
+  */
+object SubstrBankFixture {
+
+  private val built = new ConcurrentHashMap[String, String]()
+
+  /** The standing-corpus boilerplate the lane's batch re-encounters. */
+  val Boilerplate =
+    "the quick brown fox jumps over the lazy dog again and again"
+
+  def dir(spark: SparkSession, sfDir: String): String =
+    IvfFixture.checkMarker(built.computeIfAbsent(s"substr:$sfDir", _ => {
+      val d = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+        s"graft-substr-bank-${sfDir.replaceAll("[^A-Za-z0-9._-]", "_")}")
+        .toString
+      IvfFixture.buildWithMarker(d) {
+        import org.apache.spark.sql.functions.{col, concat, lit, when}
+        val standing = graft.Tables.documents(spark, sfDir)
+          .filter(col("source") =!= "src0")
+          .select(col("doc_id"), concat(col("text"),
+            when(col("doc_id") % 3 === 0, lit(" " + Boilerplate))
+              .otherwise(lit(""))).as("text"))
+        DedupOps.substrBankBuild(standing, d, "doc_id", "text",
+          minTokens = 6)
+      }
+    }))
+}
+
 /** Build-once-per-session holder for mm21's persisted frame-hash index
   * — [[BandIndexFixture]]'s reasoning on the media axis, with the
   * APPEND path inside the gated artifact: the standing corpus is the

@@ -85,6 +85,30 @@ object DedupQueries {
         minTokens = 6)
     }),
 
+    // Incremental exact-substring dedup (dd21): the src0 batch
+    // ingested against the STANDING gram bank ([[SubstrBankFixture]]
+    // — dd10's artifact discipline on the dd20 axis), generation-
+    // ordered keep-first: every batch occurrence of a banked gram is
+    // duplicated (batch id%2=0 docs re-carry the standing boilerplate
+    // → class-a hits), batch-only grams keep their batch-internal
+    // first (id%3=0 docs share a batch-only phrase the bank never saw
+    // → class-b marks everywhere but the lowest batch id).
+    "dd21_substr_incremental" -> ((s, d) => {
+      val bank = graft.operators.SubstrBankFixture.dir(s, d)
+      val boiler = graft.operators.SubstrBankFixture.Boilerplate
+      val batch = documents(s, d).filter(col("source") === "src0")
+        .select(col("doc_id"),
+          concat(
+            when(col("doc_id") % 3 === 0,
+              lit("zeta eta theta iota kappa lambda mu nu "))
+              .otherwise(lit("")),
+            col("text"),
+            when(col("doc_id") % 2 === 0, lit(" " + boiler))
+              .otherwise(lit(""))).as("text"))
+      DedupOps.exactSubstringStatsIncremental(batch, bank, "doc_id",
+        "text", minTokens = 6)
+    }),
+
     // Directional containment: corpus + 20-word excerpts of the first
     // 50 docs at doc_id+20000 — every excerpt is fully contained in its
     // source (containment 1.0) while symmetric Jaccard would miss it.
@@ -402,6 +426,66 @@ object DedupQueries {
            coalesce(st.dup_tokens, 0)::BIGINT AS dup_tokens,
            coalesce(st.dup_runs, 0)::BIGINT AS dup_runs
          FROM w LEFT JOIN st ON w.doc_id = st.doc_id""",
+    // dd21: generation-ordered replay — banked-gram existence marks
+    // every batch occurrence (class a), batch-only grams replay the
+    // dd20 keep-first rule (class b), same island merge
+    "dd21_substr_incremental" ->
+      """WITH stand AS (SELECT doc_id,
+             text || CASE WHEN doc_id % 3 = 0
+               THEN ' the quick brown fox jumps over the lazy dog again and again'
+               ELSE '' END AS text
+           FROM documents WHERE source <> 'src0'),
+         sw AS (SELECT string_split(text, ' ') AS w FROM stand),
+         sg AS (SELECT DISTINCT u.g AS gram FROM (
+             SELECT unnest([{'g': array_to_string(w[i:i+5], ' ')}
+                            for i in range(1, len(w) - 4)]) AS u
+             FROM sw)),
+         bt AS (SELECT doc_id,
+             (CASE WHEN doc_id % 3 = 0
+               THEN 'zeta eta theta iota kappa lambda mu nu '
+               ELSE '' END)
+             || text
+             || (CASE WHEN doc_id % 2 = 0
+               THEN ' the quick brown fox jumps over the lazy dog again and again'
+               ELSE '' END) AS text
+           FROM documents WHERE source = 'src0'),
+         bw AS (SELECT doc_id, string_split(text, ' ') AS w FROM bt),
+         bg AS (SELECT doc_id, u.p AS p, u.g AS gram FROM (
+             SELECT doc_id,
+               unnest([{'p': i - 1,
+                        'g': array_to_string(w[i:i+5], ' ')}
+                       for i in range(1, len(w) - 4)]) AS u
+             FROM bw)),
+         hit AS (SELECT doc_id, p FROM bg
+                 WHERE gram IN (SELECT gram FROM sg)),
+         rest AS (SELECT * FROM bg
+                  WHERE gram NOT IN (SELECT gram FROM sg)),
+         bfirst AS (SELECT gram, min(doc_id * 1000000 + p) AS fk
+                    FROM rest GROUP BY gram),
+         bdup AS (SELECT doc_id, p FROM rest JOIN bfirst USING (gram)
+                  WHERE doc_id * 1000000 + p <> fk),
+         m AS (SELECT doc_id, p FROM hit
+               UNION ALL SELECT doc_id, p FROM bdup),
+         r AS (SELECT doc_id, p,
+                 CASE WHEN lag(p) OVER (PARTITION BY doc_id ORDER BY p)
+                        IS NULL
+                      OR p - lag(p) OVER (PARTITION BY doc_id ORDER BY p)
+                        > 6
+                      THEN 1 ELSE 0 END AS st
+               FROM m),
+         rr AS (SELECT doc_id, p,
+                  sum(st) OVER (PARTITION BY doc_id ORDER BY p
+                                ROWS UNBOUNDED PRECEDING) AS rid
+                FROM r),
+         runs AS (SELECT doc_id, rid, min(p) AS s, max(p) + 6 AS e
+                  FROM rr GROUP BY doc_id, rid),
+         st AS (SELECT doc_id, count(*)::BIGINT AS dup_runs,
+                  sum(e - s)::BIGINT AS dup_tokens
+                FROM runs GROUP BY doc_id)
+         SELECT bw.doc_id, len(bw.w)::BIGINT AS n_tokens,
+           coalesce(st.dup_tokens, 0)::BIGINT AS dup_tokens,
+           coalesce(st.dup_runs, 0)::BIGINT AS dup_runs
+         FROM bw LEFT JOIN st ON bw.doc_id = st.doc_id""",
     "dd13_minhash_estimate" ->
       """WITH s AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
          shl AS (SELECT doc_id,

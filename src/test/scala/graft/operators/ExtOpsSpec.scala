@@ -287,6 +287,38 @@ class ExtOpsSpec extends SparkSpec {
     assert(o3(2L) == ((4L, 0L, 0L)))
   }
 
+  test("exactSubstringStatsIncremental: banked grams mark every batch occurrence, batch-only grams keep-first") {
+    val bank = java.nio.file.Files
+      .createTempDirectory("graft-substr-bank-spec").toString
+    // standing corpus owns "a b c d e f" (and all its 3-grams)
+    val standing = Seq((100L, "a b c d e f")).toDF("doc_id", "text")
+    DedupOps.substrBankBuild(standing, bank, "doc_id", "text",
+      minTokens = 3, buckets = 8)
+    val batch = Seq(
+      // class a: carries the banked run mid-doc — BOTH its
+      // occurrences mark (generation order: the bank always wins,
+      // even over the batch's own internal first)
+      (1L, "x1 b c d x2 b c d"),
+      // class b: a batch-only phrase shared with doc 3 — doc 1 < 3
+      // is absent here so doc 2 keeps it, doc 3 marks it
+      (2L, "q r s t u1 u2"),
+      (3L, "v1 q r s t v2"),
+      // clean
+      (4L, "z1 z2 z3 z4")).toDF("doc_id", "text")
+    val out = DedupOps.exactSubstringStatsIncremental(batch, bank,
+        "doc_id", "text", minTokens = 3)
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    // doc 1: "b c d" banked -> marked at p=1 and p=5: two 3-runs
+    assert(out(1L) == ((8L, 6L, 2L)), out.toString)
+    // doc 2: "q r s t" is batch-first -> kept entirely
+    assert(out(2L) == ((6L, 0L, 0L)))
+    // doc 3: shares the 4-token run with doc 2 -> marked [1,5)
+    assert(out(3L) == ((6L, 4L, 1L)))
+    assert(out(4L) == ((4L, 0L, 0L)))
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(bank))
+  }
+
   test("segmentGen: native segmenter matches the declarative spec row-for-row") {
     val docs = Seq(
       (1L, "a b c d a b"),          // even split
