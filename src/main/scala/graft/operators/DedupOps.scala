@@ -940,6 +940,47 @@ object DedupOps {
       minTokens)
   }
 
+  /** Per-document gram-NOVELTY against the standing bank (dd22) — the
+    * corpus-growth telemetry an ingest loop tracks batch over batch:
+    * the share of a batch document's anchor grams the bank has never
+    * seen. Falling novelty = the crawl is re-fetching known content;
+    * per-doc novelty ~0 = the whole document is recycled (route to
+    * dedup review). Same bloom-reduced bank probe as
+    * [[exactSubstringStatsIncremental]] — the second consumer of the
+    * banked artifact, which is the point of banking it. Exact integer
+    * counts plus ONE IEEE quotient; docs with fewer than `minTokens`
+    * words report zero grams and a null rate in-band.
+    */
+  def gramNoveltyReport(batch: DataFrame, dir: String, idCol: String,
+      textCol: String, minTokens: Int): DataFrame = {
+    val spark = batch.sparkSession
+    val src = batch.filter(col(textCol).isNotNull)
+    val grams = src.select(col(idCol),
+      posexplode(graft.functions.ShingleGen.shingleArray(
+        col(textCol), minTokens, distinct = false))
+        .as(Seq("p", "gram")))
+    val approxGrams = src.agg(
+      sum(size(split(col(textCol), " "))).cast("long")).collect()(0)
+      .getLong(0)
+    val bloom = BloomJoin.buildBloom(grams, col("gram"),
+      math.max(approxGrams, 1L))
+    val bank = spark.read.parquet(dir)
+      .filter(BloomJoin.mightContain(bloom, col("gram")))
+      .select(col("gram"))
+    val novel = grams.join(bank, Seq("gram"), "left_anti")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).cast("long").as("_novel"))
+    val totals = src.select(col(idCol),
+      greatest(size(split(col(textCol), " ")) - (minTokens - 1),
+        lit(0)).cast("long").as("n_grams"))
+    totals.join(novel, Seq(idCol), "left")
+      .select(col(idCol), col("n_grams"),
+        coalesce(col("_novel"), lit(0L)).as("n_novel"),
+        when(col("n_grams") > 0,
+          coalesce(col("_novel"), lit(0L)).cast("double") /
+            col("n_grams")).as("novelty"))
+  }
+
   /** Shared tail of the exact-substring family: merge a document's
     * marked anchor positions into maximal intervals (sorted
     * `aggregate()` HOF, group ≤ doc tokens) and join the stats back

@@ -109,6 +109,18 @@ object DedupQueries {
         "text", minTokens = 6)
     }),
 
+    // Gram-novelty telemetry (dd22): the src0 batch's share of
+    // never-banked 6-grams per doc — the second consumer of the dd21
+    // bank (banking is only worth it when many probes amortize it).
+    // Raw batch docs, no plants: natural cross-corpus overlap drives
+    // the signal and the oracle replays it exactly.
+    "dd22_gram_novelty" -> ((s, d) =>
+      DedupOps.gramNoveltyReport(
+        documents(s, d).filter(col("source") === "src0")
+          .select(col("doc_id"), col("text")),
+        graft.operators.SubstrBankFixture.dir(s, d), "doc_id", "text",
+        minTokens = 6)),
+
     // Directional containment: corpus + 20-word excerpts of the first
     // 50 docs at doc_id+20000 — every excerpt is fully contained in its
     // source (containment 1.0) while symmetric Jaccard would miss it.
@@ -426,6 +438,38 @@ object DedupQueries {
            coalesce(st.dup_tokens, 0)::BIGINT AS dup_tokens,
            coalesce(st.dup_runs, 0)::BIGINT AS dup_runs
          FROM w LEFT JOIN st ON w.doc_id = st.doc_id""",
+    // dd22: novelty = grams absent from the PLANTED standing gram set
+    // (the bank carries the fixture's boilerplate plant)
+    "dd22_gram_novelty" ->
+      """WITH stand AS (SELECT doc_id,
+             text || CASE WHEN doc_id % 3 = 0
+               THEN ' the quick brown fox jumps over the lazy dog again and again'
+               ELSE '' END AS text
+           FROM documents WHERE source <> 'src0'),
+         sw AS (SELECT string_split(text, ' ') AS w FROM stand),
+         sg AS (SELECT DISTINCT u.g AS gram FROM (
+             SELECT unnest([{'g': array_to_string(w[i:i+5], ' ')}
+                            for i in range(1, len(w) - 4)]) AS u
+             FROM sw)),
+         bw AS (SELECT doc_id, string_split(text, ' ') AS w
+                FROM documents WHERE source = 'src0'),
+         bg AS (SELECT doc_id, u.g AS gram FROM (
+             SELECT doc_id,
+               unnest([{'g': array_to_string(w[i:i+5], ' ')}
+                       for i in range(1, len(w) - 4)]) AS u
+             FROM bw)),
+         nv AS (SELECT doc_id, count(*)::BIGINT AS n_novel FROM bg
+                WHERE gram NOT IN (SELECT gram FROM sg)
+                GROUP BY doc_id)
+         SELECT bw.doc_id,
+           greatest(len(bw.w) - 5, 0)::BIGINT AS n_grams,
+           coalesce(nv.n_novel, 0)::BIGINT AS n_novel,
+           CASE WHEN len(bw.w) - 5 > 0
+             THEN coalesce(nv.n_novel, 0)::DOUBLE
+               / (len(bw.w) - 5)::DOUBLE
+             ELSE NULL END AS novelty
+         FROM bw LEFT JOIN nv ON bw.doc_id = nv.doc_id""",
+
     // dd21: generation-ordered replay — banked-gram existence marks
     // every batch occurrence (class a), batch-only grams replay the
     // dd20 keep-first rule (class b), same island merge
