@@ -355,6 +355,23 @@ object StreamParityQueries {
             StreamParity.documentsStream(s, d), "doc_id"))
           .select(col("asset_id"), col("n_cues"), col("total_cue_ms"),
             col("n_overlaps"), col("n_lines"), col("parsed")))
+    }),
+
+    // STREAMING crawl ingest (st20): the mm32 WARC container walk
+    // running unchanged on a readStream — crawl archives arrive as a
+    // stream in production and the record census (types, payload
+    // octets, response digest, in-band corrupt taxonomy) is computed
+    // at ingest. Stateless append (mapPartitions codec kernel);
+    // drained rows hash-equal the batch walk's semantics.
+    "st20_stream_warc" -> ((s, d) => {
+      import graft.operators.MultimodalOps
+      StreamParity.drainAppend(
+        MultimodalOps.warcProfile(
+          MultimodalOps.synthWarcAssets(
+            StreamParity.documentsStream(s, d), "doc_id", "text"))
+          .select(col("asset_id"), col("n_records"), col("n_warcinfo"),
+            col("n_request"), col("n_response"), col("n_metadata"),
+            col("payload_bytes"), col("response_md5"), col("parsed")))
     })
   )
 
@@ -589,6 +606,9 @@ HAVING count(*) >= 2""",
 
     // st18 is stateless: the drained stream must equal mm26's batch
     // cue-profile semantics exactly — same analytic oracle
-    "st18_stream_captions" -> MultimodalQueries.oracles("mm26_vtt_cues")
+    "st18_stream_captions" -> MultimodalQueries.oracles("mm26_vtt_cues"),
+
+    // st20 is stateless: drained WARC census ≡ mm32's batch semantics
+    "st20_stream_warc" -> MultimodalQueries.oracles("mm32_warc_walk")
   )
 }
