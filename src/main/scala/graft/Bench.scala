@@ -44,13 +44,10 @@ object Bench {
       // every entrypoint, not just Verify/Smoke (advisor r4).
       .config("spark.sql.session.timeZone", "UTC")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    // Warmup pass: run every query once untimed so the timed numbers
-    // measure steady-state query cost, not session/JIT/codegen/scan
-    // warmup (first-query overhead was ~8s of pure startup).
-    selected.foreach { case (_, fn) =>
-      try force(fn(spark, sfDir)) catch { case _: Throwable => }
-    }
+    // ERROR, not WARN: the r16 driver artifact's stdout tail was pure
+    // localCheckpoint/AQE WARN spam that crowded the JSON lines out of
+    // the driver's bounded tail window.
+    spark.sparkContext.setLogLevel("ERROR")
     // min of N timed runs (default 3): single-shot numbers on a shared
     // box produced phantom 5-10x "regressions" in earlier rounds, and
     // min-of-2 still let ~1s transient stalls through (r4 showed 2-12x
@@ -63,10 +60,46 @@ object Bench {
     // disproven by replay); with ~interleaved passes a stall window
     // covers different queries in different passes, so the per-query
     // min decorrelates from any single stall. Same total work.
+    //
+    // BUDGET-ADAPTIVE pass count (r16: warmup + 3 fixed passes over the
+    // 266-lane catalog blew the driver's wall-clock cap — BENCH_r16
+    // rc:124/parsed:null, no driver-side 2x artifact). Pass 1 now
+    // doubles as the warmup AND a timed pass (warm-pass times are
+    // >= steady state, so they enter the per-lane min only when they'd
+    // lower nothing), and a further pass starts only if it fits the
+    // remaining budget with a 1.2x safety factor. Elapsed is measured
+    // from JVM start (run is forked, so this covers everything since
+    // sbt handed off); STARTUP_ALLOWANCE_SEC covers sbt launch+compile
+    // before the fork. Partial results flush to the out-file after
+    // EVERY pass, so even a kill mid-pass leaves a parseable artifact.
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt.max(1)
+    val budgetSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_SEC", "1080")
+      .toDouble
+    val jvmStartMs =
+      java.lang.management.ManagementFactory.getRuntimeMXBean.getStartTime
+    def elapsedSec: Double = (System.currentTimeMillis() - jvmStartMs) / 1e3
+    val maxPasses = runs + 1 // pass 1 is the warmup; runs timed follow
     val ordered = selected.toVector
-    val passes: Seq[Map[String, Double]] = (1 to runs).map { _ =>
-      ordered.map { case (name, fn) =>
+    def writeOut(results: Map[String, Double], passesDone: Int): String = {
+      val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+        .mkString("{", ",", "}")
+      val total = if (results.nonEmpty) results.values.sum else 0.0
+      val json = s"""{"metric":"total","value":$total,"unit":"sec",""" +
+        s""""queries":$qs,"sf":"$sfDir","passes":$passesDone}"""
+      // The driver truncates stdout (two rounds of BENCH_r{N}
+      // parsed:null), so the JSON line ALSO lands in a file it can
+      // read whole.
+      try java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(outFile), json + "\n")
+      catch { case _: Throwable => }
+      json
+    }
+    var passes = Vector.empty[Map[String, Double]]
+    var lastPassSec = 0.0
+    var stop = false
+    while (!stop && passes.size < maxPasses) {
+      val p0 = elapsedSec
+      val pass = ordered.map { case (name, fn) =>
         val t0 = System.nanoTime()
         name -> (try { force(fn(spark, sfDir)); (System.nanoTime() - t0) / 1e9 }
         catch { case e: Throwable =>
@@ -74,21 +107,24 @@ object Bench {
           -1.0 // a failed run reports -1, not a fake elapsed time
         })
       }.toMap
+      passes = passes :+ pass
+      lastPassSec = elapsedSec - p0
+      val sofar = ordered.map { case (name, _) =>
+        val times = passes.map(_(name))
+        name -> (if (times.contains(-1.0)) -1.0 else times.min)
+      }.toMap
+      writeOut(sofar, passes.size)
+      System.err.println(f"[bench] pass ${passes.size}: $lastPassSec%.1f s, " +
+        f"elapsed $elapsedSec%.1f / $budgetSec%.0f s budget")
+      // steady-state passes run faster than the warm pass, so gating the
+      // NEXT pass on 1.2x the LAST pass is conservative after pass 1
+      stop = elapsedSec + 1.2 * lastPassSec > budgetSec
     }
     val results = ordered.map { case (name, _) =>
       val times = passes.map(_(name))
       name -> (if (times.contains(-1.0)) -1.0 else times.min)
     }.toMap
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
-    // The driver truncates stdout (two rounds of BENCH_r{N} parsed:null),
-    // so the JSON line ALSO lands in a file it can read whole.
-    try java.nio.file.Files.writeString(
-      java.nio.file.Paths.get(outFile), json + "\n")
-    catch { case _: Throwable => }
+    val json = writeOut(results, passes.size)
     Leases.releaseAll()
     spark.stop()
     // The driver captures a bounded stdout TAIL: the ~6KB per-query JSON
@@ -97,9 +133,10 @@ object Bench {
     // the VERY LAST line so any plausible tail window holds one complete
     // parseable JSON object; per-query detail stays in the file.
     println(json)
+    val total = if (results.nonEmpty) results.values.sum else 0.0
     val totalR = math.round(total * 1000).toDouble / 1000 // locale-free 3dp
     val compact =
-      s"""{"metric":"total","value":$totalR,"unit":"sec","n_queries":${results.size},"sf":"$sfDir","detail":"$outFile"}"""
+      s"""{"metric":"total","value":$totalR,"unit":"sec","n_queries":${results.size},"passes":${passes.size},"sf":"$sfDir","detail":"$outFile"}"""
     println(compact)
   }
 }

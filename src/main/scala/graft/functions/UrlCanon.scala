@@ -343,7 +343,16 @@ object UrlCanon {
         val bracket = hp.lastIndexOf(']')
         val colon = hp.indexOf(':', math.max(bracket, 0))
         if (colon < 0) hp else hp.substring(0, colon)
-      } else raw.toLowerCase(java.util.Locale.ROOT).stripSuffix(".")
+      } else {
+        // bare host may still carry :port (and IPv6 brackets) — split
+        // it off exactly as the URL branch does; trailing-dot handling
+        // stays with the shared single stripSuffix below so
+        // "example.com.." nulls consistently on both branches
+        val lc = raw.toLowerCase(java.util.Locale.ROOT)
+        val bracket = lc.lastIndexOf(']')
+        val colon = lc.indexOf(':', math.max(bracket, 0))
+        if (colon < 0) lc else lc.substring(0, colon)
+      }
     }
     val host = host0.stripSuffix(".")
     if (host.isEmpty) return null

@@ -918,10 +918,11 @@ object DedupOps {
         .as(Seq("p", "gram")))
     // bloom sized from one cheap agg over the batch (token count
     // bounds the gram count); no persist — the batch is small by
-    // premise and a cached plan would leak per ingest (the dd10 rule)
+    // premise and a cached plan would leak per ingest (the dd10 rule).
+    // coalesce: an empty batch (legal in an ingest loop) sums to null.
     val approxGrams = src.agg(
-      sum(size(split(col(textCol), " "))).cast("long")).collect()(0)
-      .getLong(0)
+      coalesce(sum(size(split(col(textCol), " "))).cast("long"), lit(0L)))
+      .collect()(0).getLong(0)
     val bloom = BloomJoin.buildBloom(grams, col("gram"),
       math.max(approxGrams, 1L))
     val bank = spark.read.parquet(dir)
@@ -960,8 +961,8 @@ object DedupOps {
         col(textCol), minTokens, distinct = false))
         .as(Seq("p", "gram")))
     val approxGrams = src.agg(
-      sum(size(split(col(textCol), " "))).cast("long")).collect()(0)
-      .getLong(0)
+      coalesce(sum(size(split(col(textCol), " "))).cast("long"), lit(0L)))
+      .collect()(0).getLong(0)
     val bloom = BloomJoin.buildBloom(grams, col("gram"),
       math.max(approxGrams, 1L))
     val bank = spark.read.parquet(dir)

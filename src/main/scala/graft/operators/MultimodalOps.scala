@@ -2201,9 +2201,15 @@ object MultimodalOps {
     if (!fs.exists(new org.apache.hadoop.fs.Path(tmp, VacuumReady))) {
       fs.delete(tmp, true); return
     }
-    val in = fs.open(new org.apache.hadoop.fs.Path(tmp, VacuumEmptyList))
-    val emptyB = try scala.io.Source.fromInputStream(in).getLines()
-      .filter(_.nonEmpty).toList finally in.close()
+    // A crash between deleting _empty_buckets and removing the marker
+    // would otherwise wedge every later vacuum on FileNotFound; by that
+    // point all staged dirs have been renamed out, so absence ≡ empty.
+    val emptyP = new org.apache.hadoop.fs.Path(tmp, VacuumEmptyList)
+    val emptyB = if (!fs.exists(emptyP)) Nil else {
+      val in = fs.open(emptyP)
+      try scala.io.Source.fromInputStream(in).getLines()
+        .filter(_.nonEmpty).toList finally in.close()
+    }
     emptyB.foreach { b =>
       fs.delete(new org.apache.hadoop.fs.Path(dir, s"_bkt=$b"), true)
     }

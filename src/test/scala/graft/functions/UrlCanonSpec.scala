@@ -108,6 +108,14 @@ class UrlCanonSpec extends graft.SparkSpec {
     assert(rd("http://h:bad-port/") == null) // URL path inherits canon
     assert(rd("a..b.com") == null) // empty label
     assert(rd("") == null)
+    // bare host with :port — port split off, never leaks into labels
+    assert(rd("example.com:8080") == "example.com")
+    assert(rd("sub.example.co.uk:443") == "example.co.uk")
+    assert(rd("[2001:db8::1]:8080") == "[2001:db8::1]")
+    assert(rd("192.168.0.1:53") == "192.168.0.1")
+    // at most ONE trailing dot is stripped: a double dot is an empty
+    // label on both the bare and the URL branch
+    assert(rd("example.com..") == null)
   }
 
   test("column API + SQL registration round-trip") {

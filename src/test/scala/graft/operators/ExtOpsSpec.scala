@@ -316,6 +316,20 @@ class ExtOpsSpec extends SparkSpec {
     // doc 3: shares the 4-token run with doc 2 -> marked [1,5)
     assert(out(3L) == ((6L, 4L, 1L)))
     assert(out(4L) == ((4L, 0L, 0L)))
+    // a production ingest loop can legitimately receive an empty (or
+    // all-null-text) batch: both bank probes must return empty, not
+    // NPE on the null bloom-size aggregate (advisor r16)
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(DedupOps.exactSubstringStatsIncremental(
+      empty, bank, "doc_id", "text", minTokens = 3).count() == 0L)
+    assert(DedupOps.gramNoveltyReport(
+      empty, bank, "doc_id", "text", minTokens = 3).count() == 0L)
+    val allNull = Seq((9L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    assert(DedupOps.exactSubstringStatsIncremental(
+      allNull, bank, "doc_id", "text", minTokens = 3).count() == 0L)
+    assert(DedupOps.gramNoveltyReport(
+      allNull, bank, "doc_id", "text", minTokens = 3).count() == 0L)
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(bank))
   }
 

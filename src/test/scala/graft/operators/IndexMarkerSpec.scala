@@ -193,6 +193,25 @@ class IndexMarkerSpec extends SparkSpec {
     }
     MultimodalOps.postingIndexVacuum(spark, dir, "asset_id", "fhash")
     assertConverged(9L, masked9)
+
+    // class 3 — crash at the very END of the swap: every staged bucket
+    // renamed out AND _empty_buckets deleted, only the marker left in
+    // the tmp dir (the final recursive delete was interrupted mid-way).
+    // The heal must treat the missing _empty_buckets as an empty list
+    // and clear the stage instead of wedging on FileNotFound
+    // (advisor r16)
+    tombstoneAndStage(14)
+    val masked14Stage = new java.io.File(dir, "_vacuum_tmp")
+    masked14Stage.listFiles().filter(_.getName.startsWith("_bkt="))
+      .foreach { one =>
+        org.apache.commons.io.FileUtils.deleteDirectory(
+          new java.io.File(dir, one.getName))
+        Files.move(one.toPath, Paths.get(dir, one.getName))
+      }
+    Files.deleteIfExists(Paths.get(dir, "_vacuum_tmp", "_empty_buckets"))
+    val masked14 = result()
+    MultimodalOps.postingIndexVacuum(spark, dir, "asset_id", "fhash")
+    assertConverged(14L, masked14)
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
   }
 }
