@@ -57,8 +57,14 @@ object StreamParity {
     * ~70 % of an empty drain; pinning the DRAIN's state partitioning
     * to 2 removes the partitions×stores blowup without touching the
     * plan (values are partitioning-independent; the oracle hash gate
-    * sorts). Production deployments keep their real partitioning — the
-    * pin rides the drain harness, not the operators.
+    * sorts). 2, not 1: empty-drain probes show the store machinery is
+    * partition-proportional all the way down (4-store join ~1.5 s at
+    * 1 partition, ~2.1 s at 2, ~2.8 s at 8), but at sf0.1 the lanes
+    * carry real rows and a same-session A/B (r17, min-of-4) measured
+    * the 20-lane family at 42.3 s with 1 partition vs 38.1 s with 2 —
+    * the lost data parallelism outweighs the saved store cycles.
+    * Production deployments keep their real partitioning — the pin
+    * rides the drain harness, not the operators.
     */
   val DrainStatePartitions: Int = 2
 
@@ -120,16 +126,37 @@ object StreamParity {
     dir.toString
   }
 
+  /** Source schemas, cached per (sfDir, table): the drop-dir file is a
+    * byte-identical staged copy of the batch parquet, so its schema is
+    * immutable for the life of the stage (stageDropDir re-stages only
+    * when size+mtime change — and the testdata fixtures never change
+    * schema without changing bytes). Reading the footer per drain cost
+    * ~0.15 s × 20 st lanes × every bench pass, all for the same answer.
+    */
+  private val schemaCache =
+    new java.util.concurrent.ConcurrentHashMap[
+      (String, String), org.apache.spark.sql.types.StructType]()
+
+  private def sourceSchema(spark: SparkSession, sfDir: String,
+      table: String): org.apache.spark.sql.types.StructType =
+    schemaCache.computeIfAbsent((sfDir, table),
+      _ => spark.read.parquet(s"$sfDir/$table.parquet").schema)
+
   /** The events table as a file-source STREAM with the same `ts`
     * normalization as the batch loader (`Tables.events` runs first so
-    * the legacy-nanos conf and UTC-zone enforcement apply identically).
+    * the legacy-nanos conf and UTC-zone enforcement apply identically;
+    * cached after the first call per sf dir, like the schema).
     */
+  private val eventsConfDone =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
   def eventsStream(spark: SparkSession, sfDir: String): DataFrame = {
-    graft.Tables.events(spark, sfDir) // conf side effects + schema parity
+    if (eventsConfDone.add(sfDir)) {
+      graft.Tables.events(spark, sfDir) // conf side effects + schema parity
+    }
     val drop = stageDropDir(sfDir, "events")
-    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
     graft.Tables.normalizeEventTs(
-      spark.readStream.schema(schema).parquet(drop))
+      spark.readStream.schema(sourceSchema(spark, sfDir, "events"))
+        .parquet(drop))
   }
 
   /** The documents table as a file-source STREAM — the ingest shape of
@@ -138,8 +165,8 @@ object StreamParity {
     */
   def documentsStream(spark: SparkSession, sfDir: String): DataFrame = {
     val drop = stageDropDir(sfDir, "documents")
-    val schema = spark.read.parquet(s"$sfDir/documents.parquet").schema
-    spark.readStream.schema(schema).parquet(drop)
+    spark.readStream.schema(sourceSchema(spark, sfDir, "documents"))
+      .parquet(drop)
   }
 
   /** Run a streaming frame to completion (`AvailableNow`) through a
