@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.storage.StorageLevel
+
+/** The iterative-operator checkpoint primitive (pagerank/label-prop/
+  * SCC/BFS rounds, connected-components, BPE merge rounds).
+  *
+  * Default: eager `localCheckpoint(level)` — executor-local
+  * materialization, no filesystem round-trip, the fastest choice on a
+  * healthy cluster and the only sane one for the local harness. Its
+  * known weakness at deployment scale: lineage is TRUNCATED, so losing
+  * an executor mid-job makes the checkpointed blocks unrecoverable and
+  * a 2-hour SCC dies with it (r16 verdict item 3).
+  *
+  * Set `spark.graft.checkpoint.dir` to a durable directory (HDFS/S3 on
+  * a real cluster) and every iterative operator switches to RELIABLE
+  * `checkpoint()`: rounds materialize to files, and executor loss
+  * recomputes downstream tasks from the files instead of aborting the
+  * job. The session's `sparkContext.checkpointDir` is set on first use
+  * (and re-pointed if the conf changes). Superseded generations are
+  * freed by [[Release]] in both modes — block unpersist locally,
+  * recursive file delete for reliable checkpoints (guarded to paths
+  * under the configured dir, see Release's scaladoc).
+  *
+  * Same contract either way: the returned frame is EAGER (materialized
+  * before return) and lineage-free, so loops can release the previous
+  * generation safely.
+  */
+object Ckpt {
+
+  /** Session conf key; empty/unset = localCheckpoint (default). */
+  val DirConf = "spark.graft.checkpoint.dir"
+
+  def reliableDir(df: DataFrame): Option[String] =
+    df.sparkSession.conf.getOption(DirConf).map(_.trim).filter(_.nonEmpty)
+
+  def apply(df: DataFrame,
+            level: StorageLevel = StorageLevel.MEMORY_AND_DISK): DataFrame =
+    reliableDir(df) match {
+      case Some(dir) =>
+        val sc = df.sparkSession.sparkContext
+        // setCheckpointDir appends a fresh UUID subdir each call, so
+        // re-setting per checkpoint would litter — only on change.
+        // getCheckpointDir reports a qualified URI ("file:/..."): strip
+        // the scheme before comparing with the raw conf value.
+        val want = dir.stripPrefix("file:")
+        if (!sc.getCheckpointDir.map(_.stripPrefix("file:"))
+            .exists(_.startsWith(want))) {
+          sc.setCheckpointDir(dir)
+        }
+        df.checkpoint(eager = true)
+      case None => df.localCheckpoint(eager = true, storageLevel = level)
+    }
+
+  implicit final class CkptOps(private val df: DataFrame) extends AnyVal {
+    /** `df.iterCkpt(ser)` — postfix form for loop bodies. */
+    def iterCkpt(level: StorageLevel): DataFrame = Ckpt(df, level)
+    def iterCkpt: DataFrame = Ckpt(df)
+  }
+}

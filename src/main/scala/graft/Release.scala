@@ -24,7 +24,26 @@ import org.apache.spark.sql.execution.LogicalRDD
 object Release {
   def apply(df: Dataset[_], blocking: Boolean = false): Unit = {
     df.queryExecution.analyzed match {
-      case lr: LogicalRDD => lr.rdd.unpersist(blocking)
+      case lr: LogicalRDD =>
+        lr.rdd.unpersist(blocking)
+        // RELIABLE checkpoints ([[Ckpt]] with spark.graft.checkpoint.dir
+        // set) hold files, not blocks — delete them, symmetrically with
+        // the block unpersist, but ONLY under the graft-configured dir:
+        // a checkpoint file someone else owns (sc.setCheckpointDir set
+        // by the application for its own frames) is not ours to reap.
+        // Call discipline is the caller's, same as for blocks: release
+        // a generation only after its successor is materialized.
+        lr.rdd.getCheckpointFile.foreach { f =>
+          val owned = df.sparkSession.conf.getOption(Ckpt.DirConf)
+            .map(_.trim).filter(_.nonEmpty)
+            .exists(d => f.stripPrefix("file:").startsWith(d) ||
+              f.startsWith(d))
+          if (owned) {
+            val p = new org.apache.hadoop.fs.Path(f)
+            p.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
+              .delete(p, true)
+          }
+        }
       case _ => df.unpersist(blocking); ()
     }
   }

@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import graft.Ckpt.CkptOps
 
 /** Deduplication operators for large-scale corpus pipelines: exact,
   * MinHash+LSH, SimHash, and blocked n-gram Jaccard.
@@ -500,7 +501,7 @@ object DedupOps {
         greatest(col(aCol).cast("long"), col(bCol).cast("long")).as("hi"),
         least(col(aCol).cast("long"), col(bCol).cast("long")).as("lo"))
       .filter(col("hi") =!= col("lo")).distinct()
-      .localCheckpoint(true, ckptLevel)
+      .iterCkpt(ckptLevel)
     var converged = e.isEmpty
     while (!converged) {
       // large-star: for every node u, connect each LARGER neighbor v to
@@ -520,7 +521,7 @@ object DedupOps {
         .select(col("lo").as("hi"), col("m").as("lo"))
         .unionAll(minLo.select(col("hi"), col("m").as("lo")))
         .filter(col("hi") =!= col("lo")).distinct()
-        .localCheckpoint(true, ckptLevel)
+        .iterCkpt(ckptLevel)
       // Both sides are distinct sets, so |next| == |e| plus next ⊆ e
       // implies equality; the cheap count-equality test short-circuits
       // the except in the early rounds where the edge set is still

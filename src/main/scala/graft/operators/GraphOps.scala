@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import graft.Ckpt.CkptOps
 
 /** Iterative graph analytics over an edge DataFrame — the round-9
   * extension family (gr*). The reference has no graph surface; a
@@ -12,8 +13,10 @@ import org.apache.spark.sql.functions._
   *
   * Design choices, all scale-driven:
   *
-  *  - DataFrame loops with `localCheckpoint` per superseded iteration
-  *    (released via [[graft.Release]]), not GraphX: these lanes run a
+  *  - DataFrame loops with an eager checkpoint per superseded
+  *    iteration (released via [[graft.Release]]; local by default,
+  *    reliable when `spark.graft.checkpoint.dir` is set — see
+  *    [[graft.Ckpt]]), not GraphX: these lanes run a
   *    FIXED small iteration count where the per-iteration plan is two
   *    shuffles (join on src, aggregate on dst) — the dd6 A/B measured
   *    the DF form ahead of GraphX until ~1e8 edges, and unlike GraphX
@@ -172,15 +175,15 @@ object GraphOps {
     val e = edges.select(col("a").cast("long").as("a"),
       col("b").cast("long").as("b"), wChecked.as("w"))
       .filter(col("w") > 0L)
-      .localCheckpoint(true, ser)
+      .iterCkpt(ser)
     val nodes = e.select(col("a").as("id"))
       .unionByName(e.select(col("b").as("id"))).distinct()
-      .localCheckpoint(true, ser)
+      .iterCkpt(ser)
     val n = nodes.count()
     require(n > 0, "pagerank needs a non-empty edge set")
     val sumw = e.groupBy(col("a").as("id"))
       .agg(sum(col("w")).as("sumw"))
-      .localCheckpoint(true, ser)
+      .iterCkpt(ser)
     val init = PrScale / n
     val base = (100L - dampingPct) * init / 100L
     // the rank frame CARRIES the static out-weight through every
@@ -197,7 +200,7 @@ object GraphOps {
     var pr = nodes.join(sumw, Seq("id"), "left")
       .select(col("id"), coalesce(col("sumw"), lit(0L)).as("sumw"),
         lit(init).as("pr_fixed"))
-      .localCheckpoint(true, ser)
+      .iterCkpt(ser)
     // nodes/sumw staging is folded into the init checkpoint above —
     // free it now, not at session end
     graft.Release(nodes)
@@ -229,7 +232,7 @@ object GraphOps {
           (lit(base) + expr(s"(${dampingPct.toLong} * s) div 100"))
             .as("pr_fixed"))
       if (i % checkpointEvery == 0 || i == iters) {
-        val ck = next.localCheckpoint(true, ser)
+        val ck = next.iterCkpt(ser)
         // only now is the previous checkpoint safe to free: a LAZY
         // intermediate still reads it until this materialization
         graft.Release(lastCkpt)
@@ -264,7 +267,7 @@ object GraphOps {
     val ser = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER
     val e = edges.select(col("a").cast("long").as("a"),
       col("b").cast("long").as("b"))
-      .localCheckpoint(true, ser)
+      .iterCkpt(ser)
     val nodes = e.select(col("a").as("id"))
       .unionByName(e.select(col("b").as("id"))).distinct()
     val outdeg = e.groupBy(col("a").as("id"))
@@ -272,7 +275,7 @@ object GraphOps {
     val seedIds = seeds.select(col(seeds.columns.head).cast("long")
       .as("id")).distinct()
     val seedNodes = nodes.join(seedIds, Seq("id"), "left_semi")
-      .localCheckpoint(true, ser)
+      .iterCkpt(ser)
     val nSeeds = seedNodes.count()
     require(nSeeds > 0, "no seed intersects the graph's node set")
     val init = PrScale / nSeeds
@@ -282,7 +285,7 @@ object GraphOps {
       .select(col("id"), coalesce(col("outdeg"), lit(0L)).as("outdeg"),
         coalesce(col("_seed"), lit(false)).as("is_seed"),
         when(col("_seed"), lit(init)).otherwise(lit(0L)).as("pr_fixed"))
-      .localCheckpoint(true, ser)
+      .iterCkpt(ser)
     graft.Release(seedNodes)
     for (_ <- 1 to iters) {
       val contrib = pr.filter(col("outdeg") > 0L && col("pr_fixed") > 0L)
@@ -296,7 +299,7 @@ object GraphOps {
         .select(col("id"), col("outdeg"), col("is_seed"),
           (when(col("is_seed"), lit(base)).otherwise(lit(0L)) +
             expr(s"(${dampingPct.toLong} * s) div 100")).as("pr_fixed"))
-        .localCheckpoint(true, ser)
+        .iterCkpt(ser)
       graft.Release(pr)
       pr = next
     }
@@ -337,10 +340,10 @@ object GraphOps {
       : (DataFrame, () => Unit) = {
     require(iters >= 1, s"iters must be >= 1: $iters")
     val ser = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER
-    val e = undirected(edges).localCheckpoint(true, ser)
+    val e = undirected(edges).iterCkpt(ser)
     var lbl = e.select(col("a").as("id")).distinct()
       .withColumn("lbl", col("id"))
-      .localCheckpoint(true, ser)
+      .iterCkpt(ser)
     for (_ <- 1 to iters) {
       val counts = e.join(lbl.withColumnRenamed("id", "b"), "b")
         .groupBy(col("a").as("id"), col("lbl"))
@@ -352,7 +355,7 @@ object GraphOps {
         .withColumn("_rn", row_number().over(w))
         .filter(col("_rn") === 1)
         .select(col("id"), col("lbl"))
-        .localCheckpoint(true, ser)
+        .iterCkpt(ser)
       graft.Release(lbl)
       lbl = next
     }
@@ -383,9 +386,9 @@ object GraphOps {
       : (DataFrame, () => Unit) = {
     require(k >= 1, s"k must be >= 1: $k")
     val ser = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER
-    val e = undirected(edges).localCheckpoint(true, ser)
+    val e = undirected(edges).iterCkpt(ser)
     var alive = e.select(col("a").as("id")).distinct()
-      .localCheckpoint(true, ser)
+      .iterCkpt(ser)
     var aliveN = alive.count()
     var round = 0
     var stable = false
@@ -397,7 +400,7 @@ object GraphOps {
         .agg(count(lit(1)).as("deg"))
         .filter(col("deg") >= k)
         .select("id")
-        .localCheckpoint(true, ser)
+        .iterCkpt(ser)
       val nextN = next.count()
       stable = nextN == aliveN
       graft.Release(alive)
@@ -439,10 +442,10 @@ object GraphOps {
       : (DataFrame, () => Unit) = {
     require(maxHops >= 0, s"maxHops must be >= 0: $maxHops")
     val ser = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER
-    val e = undirected(edges).localCheckpoint(true, ser)
+    val e = undirected(edges).iterCkpt(ser)
     var dist = seeds.select(col("id")).distinct()
-      .withColumn("dist", lit(0)).localCheckpoint(true, ser)
-    var frontier = dist.select("id").localCheckpoint(true, ser)
+      .withColumn("dist", lit(0)).iterCkpt(ser)
+    var frontier = dist.select("id").iterCkpt(ser)
     // the frontier size is already KNOWN each round (the early-stop
     // count), so the expansion join dispatches on it for free: a small
     // frontier broadcasts — the edge list is scanned map-side with NO
@@ -463,7 +466,7 @@ object GraphOps {
           "a")
         .select(col("b").as("id")).distinct()
         .join(dist.select("id"), Seq("id"), "left_anti")
-        .localCheckpoint(true, ser)
+        .iterCkpt(ser)
       frontierN = reached.count()
       if (frontierN == 0) {
         graft.Release(reached)
@@ -471,7 +474,7 @@ object GraphOps {
       } else {
         val settled = dist
           .unionByName(reached.withColumn("dist", lit(hop)))
-          .localCheckpoint(true, ser)
+          .iterCkpt(ser)
         graft.Release(dist)
         graft.Release(frontier)
         dist = settled
@@ -522,7 +525,7 @@ object GraphOps {
     // NOT releasable through graft.Release's LogicalRDD fast path).
     val frontiers = scala.collection.mutable.Buffer[DataFrame]()
     var frontier = seeds.select(col("id").cast("long").as("id"))
-      .distinct().localCheckpoint(true, ser)
+      .distinct().iterCkpt(ser)
     frontiers += frontier
     var seen = frontier: DataFrame
     var frontierN = frontier.count()
@@ -538,7 +541,7 @@ object GraphOps {
           "a")
         .select(col("b").as("id")).distinct()
         .join(seen.select("id"), Seq("id"), "left_anti")
-        .localCheckpoint(true, ser)
+        .iterCkpt(ser)
       frontierN = reached.count()
       if (frontierN == 0) graft.Release(reached)
       else {
@@ -602,10 +605,10 @@ object GraphOps {
     // a page whose only links are self-links (common in web graphs) is
     // still a valid singleton SCC member of the output contract
     var e = rawE.filter(col("a") =!= col("b")).distinct()
-      .localCheckpoint(true, ser)
+      .iterCkpt(ser)
     var nodes = rawE.select(col("a").as("id"))
       .unionByName(rawE.select(col("b").as("id"))).distinct()
-      .localCheckpoint(true, ser)
+      .iterCkpt(ser)
     var remN = nodes.count()
     // assigned components accumulate as a BUFFER of checkpointed
     // parts unioned lazily at the end — re-checkpointing the growing
@@ -615,11 +618,11 @@ object GraphOps {
     val parts = scala.collection.mutable.Buffer[DataFrame]()
     def subtract(ids: DataFrame): Unit = {
       val n2 = nodes.join(ids, Seq("id"), "left_anti")
-        .localCheckpoint(true, ser)
+        .iterCkpt(ser)
       val e2 = e
         .join(ids.withColumnRenamed("id", "a"), Seq("a"), "left_anti")
         .join(ids.withColumnRenamed("id", "b"), Seq("b"), "left_anti")
-        .localCheckpoint(true, ser)
+        .iterCkpt(ser)
       graft.Release(nodes); graft.Release(e)
       nodes = n2; e = e2
       remN = nodes.count()
@@ -637,7 +640,7 @@ object GraphOps {
         val core = e.select(col("a").as("id")).distinct()
           .join(e.select(col("b").as("id")).distinct(), Seq("id"))
         val singles = nodes.join(core, Seq("id"), "left_anti")
-          .withColumn("scc", col("id")).localCheckpoint(true, ser)
+          .withColumn("scc", col("id")).iterCkpt(ser)
         if (singles.count() == 0) { trimming = false; graft.Release(singles) }
         else {
           parts += singles
@@ -655,7 +658,7 @@ object GraphOps {
         val (bwd, relB) = reachFrom(
           e.select(col("b").as("a"), col("a").as("b")), pivot, maxHops)
         val scc = fwd.join(bwd, Seq("id")).withColumn("scc", lit(pivot))
-          .localCheckpoint(true, ser)
+          .iterCkpt(ser)
         relF(); relB()
         parts += scc
         subtract(scc.select("id"))
@@ -726,13 +729,13 @@ object GraphOps {
     val e = edges.select(col("a").cast("long").as("a"),
         col("b").cast("long").as("b"))
       .filter(col("a") =!= col("b")).distinct()
-      .localCheckpoint(true, ser)
+      .iterCkpt(ser)
     val top = scc.groupBy(col("scc")).agg(count(lit(1)).as("_n"))
       .orderBy(col("_n").desc, col("scc").asc).limit(1).collect()
     require(top.nonEmpty, "bowtieClassify: empty SCC assignment")
     val coreId = top(0).getLong(0)
     val coreNodes = scc.filter(col("scc") === coreId)
-      .select(col("id")).localCheckpoint(true, ser)
+      .select(col("id")).iterCkpt(ser)
     val (fwd, relF) = reachFromSeeds(e, coreNodes, maxHops)
     val (bwd, relB) = reachFromSeeds(
       e.select(col("b").as("a"), col("a").as("b")), coreNodes, maxHops)
@@ -744,7 +747,7 @@ object GraphOps {
           .when(col("_b").isNotNull, "in")
           .when(col("_f").isNotNull, "out")
           .otherwise("other").as("cls"))
-      .localCheckpoint(true, ser)
+      .iterCkpt(ser)
     relF(); relB()
     graft.Release(e); graft.Release(coreNodes)
     (cls, () => graft.Release(cls))
@@ -770,7 +773,7 @@ object GraphOps {
       : (DataFrame, () => Unit) = {
     val ser = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER
     val ce = undirected(edges).filter(col("a") < col("b"))
-      .localCheckpoint(true, ser)
+      .iterCkpt(ser)
     val tri = ce.as("e1")
       .join(ce.as("e2"), col("e2.a") === col("e1.b"))
       .join(ce.as("e3"),
@@ -837,7 +840,7 @@ object GraphOps {
   def triangleCountsDegreeOrderedReleasable(edges: DataFrame)
       : (DataFrame, () => Unit) = {
     val ser = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER
-    val und = undirected(edges).localCheckpoint(true, ser)
+    val und = undirected(edges).iterCkpt(ser)
     val deg = und.groupBy(col("a").as("_n")).agg(count(lit(1)).as("_d"))
     val ce = und
       .join(deg.select(col("_n").as("a"), col("_d").as("_da")), Seq("a"))
@@ -845,7 +848,7 @@ object GraphOps {
       .filter(col("_da") < col("_db") ||
         (col("_da") === col("_db") && col("a") < col("b")))
       .select("a", "b")
-      .localCheckpoint(true, ser)
+      .iterCkpt(ser)
     graft.Release(und)
     val tri = ce.as("e1")
       .join(ce.as("e2"), col("e2.a") === col("e1.b"))

@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import graft.Ckpt.CkptOps
 
 /** Text-analysis operators for training-data pipelines: token counting,
   * quality scoring, language identification, fingerprinting. All
@@ -1656,7 +1657,7 @@ object TextAnalysisOps {
       // superseded: by the probe's collected array on the local path,
       // by the distributed loop's own first vocab checkpoint otherwise.
       val ser = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER
-      val words = wordsAgg.localCheckpoint(true, ser)
+      val words = wordsAgg.iterCkpt(ser)
       val probeCap = math.min(maxLocalVocab, Int.MaxValue - 2L).toInt
       val probe = words.limit(probeCap + 1).as[(String, Long)].collect()
       if (probe.length <= probeCap) {
@@ -1790,7 +1791,7 @@ object TextAnalysisOps {
       .select(col("w"), concat(lit("  "), concat_ws("  ",
           regexp_extract_all(col("w"), lit("[a-z]"), lit(0))), lit("  "))
         .as("sym"), col("wf"))
-      .localCheckpoint(true, ser)
+      .iterCkpt(ser)
     val merges = Seq.newBuilder[(Int, String, Long)]
     var rank = 1
     var exhausted = false
@@ -1811,7 +1812,7 @@ object TextAnalysisOps {
             replace(col("sym"), lit(" " + pair.replace(" ", "  ") + " "),
               lit(" " + pair.replace(" ", "") + " ")).as("sym"),
             col("wf"))
-          .localCheckpoint(true, ser)
+          .iterCkpt(ser)
         graft.Release(vocab)
         vocab = next
         rank += 1

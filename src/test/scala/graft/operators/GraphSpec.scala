@@ -218,6 +218,60 @@ class GraphSpec extends SparkSpec {
       handEdges, Seq(1L).toDF("id"), iters = 3))
   }
 
+  test("reliable-checkpoint switch: same results, files created and reaped") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-reliable-ckpt").toString
+    def rddDirs(): Seq[String] = {
+      val root = new java.io.File(dir)
+      if (!root.exists()) Seq.empty
+      else root.listFiles().toSeq.flatMap(u =>
+        Option(u.listFiles()).toSeq.flatten).map(_.getName)
+        .filter(_.startsWith("rdd-"))
+    }
+    // local-mode answers first (conf unset = default localCheckpoint)
+    val (prLocalDf, prRelL) = GraphOps.pagerankReleasable(handEdges, iters = 3)
+    val prLocal = prLocalDf.select("id", "pr_fixed")
+      .as[(Long, Long)].collect().sorted.toSeq
+    prRelL()
+    val (sccLocalDf, relL) =
+      GraphOps.stronglyConnectedComponentsReleasable(
+        handEdges.unionByName(Seq((9L, 1L)).toDF("a", "b")),
+        maxPivotRounds = 16, maxHops = 32)
+    val sccLocal = sccLocalDf.as[(Long, Long)].collect().sorted.toSeq
+    relL()
+    spark.conf.set(graft.Ckpt.DirConf, dir)
+    try {
+      // the primitive itself: eager, lineage-free, file-backed, reaped
+      val ck = graft.Ckpt(handEdges)
+      val rdd = ck.queryExecution.analyzed
+        .asInstanceOf[org.apache.spark.sql.execution.LogicalRDD].rdd
+      assert(rdd.isCheckpointed, "Ckpt under the conf must be reliable")
+      val f = rdd.getCheckpointFile.get
+      assert(f.stripPrefix("file:").startsWith(dir), f)
+      assert(rddDirs().nonEmpty, "no checkpoint files written")
+      graft.Release(ck)
+      assert(rddDirs().isEmpty, "Release left reliable checkpoint files")
+      // full iterative ops: identical answers, and every superseded
+      // generation's files reaped by the in-loop Release discipline
+      val (prDf, prRelR) = GraphOps.pagerankReleasable(handEdges, iters = 3)
+      val prRel = prDf.select("id", "pr_fixed")
+        .as[(Long, Long)].collect().sorted.toSeq
+      prRelR()
+      assert(prRel == prLocal, "pagerank differs under reliable ckpt")
+      val (sccDf, rel) = GraphOps.stronglyConnectedComponentsReleasable(
+        handEdges.unionByName(Seq((9L, 1L)).toDF("a", "b")),
+        maxPivotRounds = 16, maxHops = 32)
+      val sccRel = sccDf.as[(Long, Long)].collect().sorted.toSeq
+      assert(sccRel == sccLocal, "scc differs under reliable ckpt")
+      rel()
+      assert(rddDirs().isEmpty,
+        s"iterative ops left reliable checkpoint files: ${rddDirs()}")
+    } finally {
+      spark.conf.unset(graft.Ckpt.DirConf)
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    }
+  }
+
   test("degree-ordered triangle orientation: identical count map on random and adversarial graphs") {
     val rnd = new scala.util.Random(42)
     def assertEqualCounts(edges: org.apache.spark.sql.DataFrame): Unit = {
