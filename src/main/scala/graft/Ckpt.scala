@@ -36,8 +36,8 @@ object Ckpt {
     df.sparkSession.conf.getOption(DirConf).map(_.trim).filter(_.nonEmpty)
 
   def apply(df: DataFrame,
-            level: StorageLevel = StorageLevel.MEMORY_AND_DISK): DataFrame =
-    reliableDir(df) match {
+            level: StorageLevel = StorageLevel.MEMORY_AND_DISK): DataFrame = {
+    val ck = reliableDir(df) match {
       case Some(dir) =>
         val sc = df.sparkSession.sparkContext
         // setCheckpointDir appends a fresh UUID subdir each call, so
@@ -52,6 +52,11 @@ object Ckpt {
         df.checkpoint(eager = true)
       case None => df.localCheckpoint(eager = true, storageLevel = level)
     }
+    // keep stats (broadcast sizing), drop lazily-propagated origin
+    // constraints — they crash Spark 4.1's Union constraint rewrite on
+    // the iterative union-of-generations shape (see CleanLeaf scaladoc)
+    org.apache.spark.sql.graftshim.CleanLeaf.stripConstraints(ck)
+  }
 
   implicit final class CkptOps(private val df: DataFrame) extends AnyVal {
     /** `df.iterCkpt(ser)` — postfix form for loop bodies. */

@@ -487,24 +487,6 @@ object GraphOps {
     (last, () => graft.Release(last))
   }
 
-  /** Directed bounded reach from ONE pivot id over a checkpointed
-    * (a, b) edge frame: the set of ids the pivot reaches (pivot
-    * included). Same frontier loop and frontier-size broadcast
-    * dispatch as [[bfsDistancesReleasable]], minus the distances and
-    * minus the undirected closure. `maxHops` is a RUNAWAY GUARD, not a
-    * truncation: an undrained frontier at the cap raises loudly —
-    * SCC intersection on a truncated reach set would silently SPLIT
-    * components, the worst failure mode for a dedup workhorse.
-    */
-  private def reachFrom(e: DataFrame, pivot: Long, maxHops: Int,
-                        broadcastFrontierMax: Long = 1000000L)
-      : (DataFrame, () => Unit) = {
-    val spark = e.sparkSession
-    import spark.implicits._
-    reachFromSeeds(e, Seq(pivot).toDF("id"), maxHops,
-      broadcastFrontierMax)
-  }
-
   /** Directed multi-source reachability: the settled id set reachable
     * FROM `seeds` (seeds included), plus the release handle for the
     * per-hop frontier checkpoints. Loud `require` when the frontier
@@ -553,6 +535,54 @@ object GraphOps {
     (seen, () => frontiers.foreach(graft.Release(_)))
   }
 
+  /** REGION-TAGGED directed multi-source reachability — the multi-pivot
+    * FB-trim workhorse: seeds are (id, reg) pairs over an edge frame
+    * whose edges are already intra-region (weak-component seeding or
+    * the FB cross-class drop guarantee this), so a wavefront can never
+    * cross regions and the settled set carries each id's region along
+    * for free. Same frontier loop, union-of-checkpoints accumulation,
+    * frontier-size broadcast dispatch, and loud undrained-frontier
+    * `require` as [[reachFromSeeds]].
+    */
+  private def reachFromSeedsTagged(e: DataFrame, seeds: DataFrame,
+                                   maxHops: Int,
+                                   broadcastFrontierMax: Long = 1000000L)
+      : (DataFrame, () => Unit) = {
+    val ser = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER
+    val frontiers = scala.collection.mutable.Buffer[DataFrame]()
+    var frontier = seeds.select(col("id").cast("long").as("id"),
+      col("reg").cast("long").as("reg")).distinct().iterCkpt(ser)
+    frontiers += frontier
+    var seen = frontier: DataFrame
+    var frontierN = frontier.count()
+    var hop = 0
+    while (frontierN > 0) {
+      hop += 1
+      require(hop <= maxHops,
+        s"reachFromSeedsTagged: frontier not drained after $maxHops hops" +
+          " — raise maxHops (a truncated reach would silently split SCCs)")
+      val f = frontier.withColumnRenamed("id", "a")
+      val reached = e
+        .join(if (frontierN <= broadcastFrontierMax) broadcast(f) else f,
+          "a")
+        .select(col("b").as("id"), col("reg")).distinct()
+        .join(seen.select("id"), Seq("id"), "left_anti")
+        .iterCkpt(ser)
+      frontierN = reached.count()
+      if (frontierN == 0) graft.Release(reached)
+      else {
+        frontiers += reached
+        seen = seen.unionByName(reached)
+        frontier = reached
+      }
+    }
+    (seen, () => frontiers.foreach(graft.Release(_)))
+  }
+
+  /** Driver-round telemetry for the last SCC run (PERF.md bookkeeping):
+    * the number of multi-pivot rounds the decomposition took. */
+  @volatile private[graft] var lastSccPivotRounds: Int = -1
+
   /** Strongly connected components of a DIRECTED edge frame — the
     * web-graph dedup workhorse (mirror rings, link farms, mutually-
     * citing template families are SCCs; mere co-linking is not).
@@ -569,8 +599,11 @@ object GraphOps {
     *     round, so bow-tie tendrils (the BULK of a web graph: IN/OUT
     *     pages, dead ends) drain in a few rounds at any scale,
     *     without ever paying a reachability pass.
-    *  2. PIVOT: forward-reach ∩ backward-reach from the min remaining
-    *     id IS that pivot's SCC ([[reachFrom]] both ways on the
+    *  2. PIVOT, one per REGION per round (parallel FB): regions seed
+    *     as the weak components of the trimmed core and refine by the
+    *     FB theorem (F\SCC / B\SCC / remainder) after each round;
+    *     forward-reach ∩ backward-reach from each region's min id IS
+    *     that pivot's SCC ([[reachFromSeedsTagged]] both ways on the
     *     trimmed subgraph; the frontier-size dispatch broadcasts
     *     small wavefronts). Assign, subtract, re-trim.
     *
@@ -579,11 +612,13 @@ object GraphOps {
     * Superseded generations are localCheckpointed and released (the
     * kcore discipline), so state is O(remaining + assigned). Rounds:
     * trim rounds are bounded by the longest tendril CHAIN, pivot
-    * rounds by the number of NON-TRIVIAL SCCs (a bow-tie graph has
-    * few: the giant SCC and a tail) — both guarded by loud
-    * `require`s, never silent truncation. A condensation that is one
-    * long path of big SCCs is the documented worst case (one pivot
-    * each), the same trade every published FB-trim makes.
+    * rounds by the DEPTH of the FB recursion (disconnected families
+    * all resolve in round 1 off the weak-component seeding; a bow-tie
+    * graph needs one round for the giant plus the refinement tail) —
+    * both guarded by loud `require`s, never silent truncation. A
+    * condensation that is one long path of big SCCs inside one weak
+    * component is the documented worst case (one pivot per round),
+    * the same trade every published FB-trim makes.
     */
   def stronglyConnectedComponents(edges: DataFrame, maxPivotRounds: Int,
                                   maxHops: Int,
@@ -627,7 +662,22 @@ object GraphOps {
       nodes = n2; e = e2
       remN = nodes.count()
     }
+    // MULTI-PIVOT rounds (r16 verdict item 4): one pivot per remaining
+    // REGION per round, not one per round globally — the standard
+    // parallel FB-trim. Regions start as the weak components of the
+    // post-trim core (one distributed CC pass, so every disconnected
+    // family resolves its pivot in round 1 instead of queueing), and
+    // refine by the FB theorem after each round: every SCC not
+    // containing its region's pivot lies entirely within F\SCC, B\SCC,
+    // or the untouched remainder, so those three classes become the
+    // next round's regions (relabeled by min id — labels stay plain
+    // longs at any depth) and cross-class edges are dropped. Rounds
+    // now scale with the DEPTH of the FB recursion, not the COUNT of
+    // non-trivial components; a condensation that is one long path of
+    // big SCCs inside one weak component remains the documented
+    // one-pivot-per-round worst case.
     var pivots = 0
+    var regNodes: DataFrame = null // (id, reg); null until first pivot
     while (remN > 0) {
       // trim to fixpoint
       var trimming = true
@@ -651,19 +701,68 @@ object GraphOps {
         pivots += 1
         require(pivots <= maxPivotRounds,
           s"SCC pivot rounds exceeded $maxPivotRounds — the condensation " +
-            "has more non-trivial components than the cap; raise " +
-            "maxPivotRounds")
-        val pivot = nodes.agg(min(col("id"))).collect()(0).getLong(0)
-        val (fwd, relF) = reachFrom(e, pivot, maxHops)
-        val (bwd, relB) = reachFrom(
-          e.select(col("b").as("a"), col("a").as("b")), pivot, maxHops)
-        val scc = fwd.join(bwd, Seq("id")).withColumn("scc", lit(pivot))
+            "has deeper FB recursion than the cap; raise maxPivotRounds")
+        if (regNodes == null) {
+          // seed: one region per weak component of the trimmed core
+          val (cc, relCc) = DedupOps.clustersAutoReleasable(e)
+          regNodes = nodes.join(
+            cc.select(col("member").as("id"), col("cluster_rep").as("reg")),
+            Seq("id")).iterCkpt(ser)
+          relCc()
+        } else {
+          // trim since last round may have removed region members
+          val rn = regNodes.join(nodes, Seq("id")).iterCkpt(ser)
+          graft.Release(regNodes); regNodes = rn
+        }
+        // pivot = min id per region: a 2-column aggregate, no collect.
+        // pid IS its SCC's min (pid ∈ its SCC ⊆ its region, and pid is
+        // the region min), preserving the output contract.
+        val pvts = regNodes.groupBy(col("reg"))
+          .agg(min(col("id")).as("pid")).iterCkpt(ser)
+        val seeds = pvts.select(col("pid").as("id"), col("reg"))
+        val (fwd, relF) = reachFromSeedsTagged(e, seeds, maxHops)
+        val (bwd, relB) = reachFromSeedsTagged(
+          e.select(col("b").as("a"), col("a").as("b")), seeds, maxHops)
+        val scc = fwd.join(bwd.select("id"), Seq("id"))
+          .join(pvts, Seq("reg"))
+          .select(col("id"), col("pid").as("scc"))
           .iterCkpt(ser)
-        relF(); relB()
         parts += scc
-        subtract(scc.select("id"))
+        // FB refinement of the remaining nodes; relabel by min id so
+        // region labels never grow past a long
+        val assigned = scc.select("id")
+        val fOnly = fwd.join(assigned, Seq("id"), "left_anti")
+          .select(col("id"), col("reg")).withColumn("k", lit(1))
+        val bOnly = bwd.join(assigned, Seq("id"), "left_anti")
+          .select(col("id"), col("reg")).withColumn("k", lit(2))
+        val rest = regNodes
+          .join(fwd.select("id"), Seq("id"), "left_anti")
+          .join(bwd.select("id"), Seq("id"), "left_anti")
+          .select(col("id"), col("reg")).withColumn("k", lit(3))
+        val classed = fOnly.unionByName(bOnly).unionByName(rest)
+        val relabel = classed.groupBy(col("reg"), col("k"))
+          .agg(min(col("id")).as("nreg"))
+        val regNext = classed.join(relabel, Seq("reg", "k"))
+          .select(col("id"), col("nreg").as("reg")).iterCkpt(ser)
+        relF(); relB(); graft.Release(pvts)
+        // subtract assigned nodes; rebuild edges INTRA-REGION only
+        // (regNext covers exactly the unassigned nodes, so the join
+        // also drops assigned endpoints — no separate anti join)
+        val n2 = nodes.join(assigned, Seq("id"), "left_anti").iterCkpt(ser)
+        val e2 = e
+          .join(regNext.select(col("id").as("a"), col("reg").as("rega")),
+            Seq("a"))
+          .join(regNext.select(col("id").as("b"), col("reg").as("regb")),
+            Seq("b"))
+          .filter(col("rega") === col("regb"))
+          .select(col("a"), col("b")).iterCkpt(ser)
+        graft.Release(nodes); graft.Release(e); graft.Release(regNodes)
+        nodes = n2; e = e2; regNodes = regNext
+        remN = nodes.count()
       }
     }
+    lastSccPivotRounds = pivots
+    if (regNodes != null) graft.Release(regNodes)
     graft.Release(nodes); graft.Release(e)
     if (parts.isEmpty)
       (edges.sparkSession.range(0)

@@ -199,7 +199,7 @@ object GraphQueries {
     * side) plus the tendril mass (every doc_id ≥ 10 hangs off ring
     * node id % 10, alternating direction by id % 3 so BOTH trim
     * classes fire). */
-  private[queries] def sccBowtieEdges(s: SparkSession, d: String): DataFrame = {
+  private[graft] def sccBowtieEdges(s: SparkSession, d: String): DataFrame = {
     val ids = documents(s, d).select(col("doc_id").cast("long").as("id"))
     val ring = ids.filter(col("id") < 10).select(col("id").as("a"),
       (col("id") - col("id") % 5 +
