@@ -15,11 +15,15 @@ import org.apache.spark.sql.types._
   * ([[AudioCodec]], mono 16-bit PCM WAV: RIFF chunk walk), and
   * [[sampleVideoFrames]] ([[VideoCodec]], YUV4MPEG2/C444: frame-marker
   * walk with in-place plane reduction) — proving the batching plumbing
-  * carries actual codecs end-to-end. The original md5 stub
-  * (`decodeStub`/`decodeFeatures`) remains as the spec twin for the
-  * batch shape and for compressed formats this container genuinely
-  * cannot decode (no JPEG/PNG/MP3 codecs shipped — a real deployment
-  * drops its codec into the same mapPartitions slot).
+  * carries actual codecs end-to-end. COMPRESSED formats (r17): PNG
+  * decodes through the from-scratch [[PngNative]] (chunk walk + CRCs,
+  * JDK-Inflater IDAT, all five scanline filters, every color
+  * type/depth, Adam7) — hash-gated like BMP since PNG is lossless;
+  * JPEG parses its frame header deterministically ([[PngCodec.jpegHeader]])
+  * and decodes pixels through the JDK reader only (IDCT rounding is
+  * decoder-dependent — never hash-gated); MP3 stays meta-only. The
+  * original md5 stub (`decodeStub`/`decodeFeatures`) remains as the
+  * spec twin for the batch shape.
   *
   * Scale: binary payloads stay opaque until the last possible operator
   * (no accidental row-cache of decoded frames); per-partition batching
@@ -298,6 +302,44 @@ object MultimodalOps {
           val payload =
             if (id % 13 == 0) img.take(20) // signature ok, body gone
             else img
+          Row(id, payload)
+        }
+      }(enc)
+  }
+
+  /** PNG-only wire fixture with TWO corrupt classes for the
+    * from-scratch decoder's in-band taxonomy (mm35): every id encodes
+    * through the JDK PNG writer (same parametric pixels as
+    * [[synthWireImageAssets]] so the analytic oracle is shared); every
+    * 13th payload is torn after the signature (truncated-stream
+    * class); every 11th has one byte flipped in the IDAT tail
+    * (CRC-mismatch class — the wire-integrity check a meta-only parse
+    * never exercises). */
+  def synthPngCorruptAssets(df: DataFrame, idCol: String): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("asset_id", LongType, nullable = false),
+      StructField("content", BinaryType, nullable = true)))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    df.select(col(idCol).cast("long").as("asset_id"))
+      .mapPartitions { it =>
+        it.map { r =>
+          val id = r.getLong(0)
+          val w = (4 + id % 5).toInt
+          val h = (3 + id % 4).toInt
+          def px(x: Int, y: Int) = (
+            ((id * 7 + 3 * x + 5 * y) % 256).toInt,
+            ((id * 11 + x + 2 * y) % 256).toInt,
+            ((id * 13 + 2 * x + y) % 256).toInt)
+          val img = PngCodec.encodePng24(w, h, px)
+          val payload =
+            if (id % 13 == 0) img.take(20) // signature ok, body gone
+            else if (id % 11 == 0) {
+              // last byte of the IDAT chunk CRC (IEND is the final 12
+              // bytes): any flip here must fail the chunk-walk CRC
+              val c = img.clone()
+              c(c.length - 13) = (c(c.length - 13) ^ 0x5a).toByte
+              c
+            } else img
           Row(id, payload)
         }
       }(enc)

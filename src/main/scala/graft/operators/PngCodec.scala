@@ -110,13 +110,16 @@ object PngCodec {
 
   /** Magic-sniffing kernel for mixed-container corpora — the
     * [[MultimodalOps.decodeImageFeatures]] seam: BMP routes to the
-    * byte-exact hand-rolled codec, PNG/JPEG to the JDK readers,
+    * byte-exact hand-rolled codec, PNG to the from-scratch
+    * [[PngNative]] decoder (r17; PngNativeSpec pins it byte-identical
+    * to the JDK reader on every color type), JPEG to the JDK reader
+    * (pixel values are decoder-dependent there — never hash-gated),
     * anything else is an in-band miss. One kernel, any wire format.
     */
   def decodeAuto(bytes: Array[Byte]): Option[ImageCodec.DecodedImage] =
     if (bytes == null || bytes.length < 3) None
     else if (bytes(0) == 'B' && bytes(1) == 'M') ImageCodec.decodeBmp24(bytes)
-    else if (hasPngSig(bytes)) readToRgb(bytes)
+    else if (hasPngSig(bytes)) PngNative.decode(bytes)
     else if (hasJpegSig(bytes)) readToRgb(bytes)
     else None
 

@@ -267,6 +267,26 @@ object MultimodalQueries {
           col("sum_r"), col("sum_g"), col("sum_b"), col("decoded"))
     }),
 
+    // FROM-SCRATCH PNG pixel decode under the oracle (mm35): the same
+    // analytic-sum contract as mm8/mm15, but the kernel is PngNative —
+    // chunk walk with CRC verification, Inflater'd IDAT, scanline
+    // unfilter, sample extraction — no image library in the path. Two
+    // corrupt classes fire in-band: every 13th payload torn after the
+    // signature (truncated stream), every 11th with a flipped byte in
+    // the IDAT tail (CRC mismatch — the integrity check a meta-only
+    // parse never runs). The JDK writer picks per-row filters
+    // adaptively, so the unfilter paths are exercised by real encoder
+    // output, and one wrong predictor byte shifts a channel sum and
+    // breaks the hash.
+    "mm35_png_native" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      MultimodalOps.decodeImageFeatures(
+        MultimodalOps.synthPngCorruptAssets(documents(s, d), "doc_id"),
+        kernel = graft.operators.PngNative.decode)
+        .select(col("asset_id"), col("img_w"), col("img_h"),
+          col("sum_r"), col("sum_g"), col("sum_b"), col("decoded"))
+    }),
+
     // Frame-level video CONTAINMENT (mm16): the trimmed-re-cut shape
     // mm14's whole-clip fingerprint structurally misses — an offset
     // clip has a different frame set, so the concatenated bits differ
@@ -1174,6 +1194,21 @@ capped AS (SELECT id, ckey FROM sk
            CASE WHEN id % 13 = 0 THEN NULL ELSE sg END AS sum_g,
            CASE WHEN id % 13 = 0 THEN NULL ELSE sb END AS sum_b,
            (id % 13 <> 0) AS decoded
+         FROM sums""",
+
+    // the from-scratch decoder replays the same analytic CTE; the two
+    // corrupt classes (torn stream, flipped IDAT-tail byte) both null
+    // in-band — a decoder that skipped CRC verification would "decode"
+    // the flipped class and break every id % 11 row
+    "mm35_png_native" ->
+      s"""WITH $sumsCte
+         SELECT id AS asset_id,
+           CASE WHEN id % 13 = 0 OR id % 11 = 0 THEN NULL ELSE w::INT END AS img_w,
+           CASE WHEN id % 13 = 0 OR id % 11 = 0 THEN NULL ELSE h::INT END AS img_h,
+           CASE WHEN id % 13 = 0 OR id % 11 = 0 THEN NULL ELSE sr END AS sum_r,
+           CASE WHEN id % 13 = 0 OR id % 11 = 0 THEN NULL ELSE sg END AS sum_g,
+           CASE WHEN id % 13 = 0 OR id % 11 = 0 THEN NULL ELSE sb END AS sum_b,
+           (id % 13 <> 0 AND id % 11 <> 0) AS decoded
          FROM sums""",
 
     // per-frame hashes replayed analytically over GLOBAL time t

@@ -85,6 +85,16 @@ class CodecFuzzSpec extends AnyFunSuite {
       (img: ImageCodec.DecodedImage) => ImageCodec.channelSums(img))
   }
 
+  test("PngNative.decode never throws under mutation, truncation, or splice") {
+    val base = PngCodec.encodePng24(9, 7, (x, y) => (x * 29, y * 53, x + y))
+    // every CRC-checked chunk makes most mutations reject, which is the
+    // point: the native decoder's reject path must be as crash-free as
+    // its decode path. Survivors exist because the mutator also emits
+    // pristine-prefix truncation splices past IEND (ignored trailer).
+    exercise("png-native", base, PngNative.decode,
+      (img: ImageCodec.DecodedImage) => ImageCodec.channelSums(img))
+  }
+
   test("decodeJpeg never throws under mutation, truncation, or splice") {
     val img = new java.awt.image.BufferedImage(24, 16,
       java.awt.image.BufferedImage.TYPE_INT_RGB)
