@@ -1356,6 +1356,64 @@ object ScaleSmoke {
       Release(corpus, blocking = true)
     }
 
+    // tx56 fused crawl→training-text smoke (r17): the WHOLE ingest
+    // chain — WARC wrap → container walk → HTML extract → langid +
+    // gopher + exact-substring marks — at the 10M-doc size under the
+    // tight heap. Closed form: ids %13/%17 are corrupt WARCs and
+    // contribute nothing; every 4th parseable doc carries the 12-token
+    // boilerplate block whose 7 interior 6-grams mark as ONE 12-token
+    // run everywhere but the generation-first boiler doc (id 4);
+    // extracted docs are 23 or 35 tokens exactly; zero stopwords and
+    // under-50 word counts make lang='en' (tie precedence) and
+    // keep=false everywhere.
+    lane("warcpipe") {
+      val nDocs = sys.env.getOrElse("GRAFT_SS_WARCPIPE_DOCS",
+        "10000000").toLong
+      val hot = (0 until 12).map(j => s"boiler$j").mkString(" ")
+      val uniq = concat_ws(" ", (0 until 12).map(j =>
+        concat(lit("w"), col("id"), lit(s"_$j"))): _*)
+      val corpus = spark.range(nDocs).select(col("id"),
+        when(col("id") % 4 === 0, concat(lit(hot + " "), uniq))
+          .otherwise(uniq).as("text"))
+      val t0 = System.nanoTime()
+      val ext = graft.Ckpt(operators.TextAnalysisOps.htmlExtract(
+          operators.MultimodalOps.warcResponseTexts(
+            operators.MultimodalOps.synthWarcHtmlAssets(
+              corpus, "id", "text")),
+          "asset_id", "payload")
+          .select(col("asset_id").as("id"), col("extracted").as("text")),
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+      val lang = operators.TextAnalysisOps.langId(ext, "id", "text")
+        .select(col("id"), col("predicted"))
+      val gop = operators.TextAnalysisOps.gopherRules(ext, "id", "text")
+        .select(col("id"), col("keep"))
+      val sub = operators.DedupOps.exactSubstringStats(
+        ext, "id", "text", minTokens = 6)
+      val agg = ext.select("id").join(lang, "id").join(gop, "id")
+        .join(sub, "id")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("predicted") === "en", 0L).otherwise(1L)).as("ne"),
+          sum(when(col("keep"), 1L).otherwise(0L)).as("nk"),
+          sum(col("dup_tokens")).as("dt"), sum(col("dup_runs")).as("dr"),
+          max(col("dup_tokens")).as("mx"),
+          min(col("n_tokens")).as("tmin"), max(col("n_tokens")).as("tmax"))
+        .collect()(0)
+      val wpSec = (System.nanoTime() - t0) / 1e9
+      def cnt(m: Long): Long = (nDocs - 1) / m + 1 // ids in [0,N) ≡ 0 (mod m)
+      val parseable = nDocs - cnt(13) - cnt(17) + cnt(221)
+      val boiler = cnt(4) - cnt(52) - cnt(68) + cnt(884)
+      println(s"""{"warcpipe_docs":$nDocs,"sec":${round1(wpSec)},""" +
+        s""""rows":${agg.getLong(0)},"dup_tokens":${agg.getLong(3)}}""")
+      require(agg.getLong(0) == parseable &&
+        agg.getLong(1) == 0L && agg.getLong(2) == 0L &&
+        agg.getLong(3) == 12L * (boiler - 1) &&
+        agg.getLong(4) == boiler - 1 && agg.getLong(5) == 12L &&
+        agg.getLong(6) == 23L && agg.getLong(7) == 35L,
+        s"warcpipe invariant broke: $agg want rows=$parseable " +
+          s"dup_tokens=${12L * (boiler - 1)} dup_runs=${boiler - 1}")
+      Release(ext, blocking = true)
+    }
+
     // tx13 dominant-stratum smoke (r15): 80% of the corpus in ONE
     // stratum ('web'), the real-mixture shape that parked the old
     // per-stratum running-sum window in a single task. Every doc is

@@ -461,6 +461,44 @@ object TextQueries {
         "doc_id", "html")
     }),
 
+    // FUSED crawl→training-text pipeline (tx56): the canonical 100 TB
+    // use of this engine in ONE lane — WARC container walk (mm32's
+    // codec) → response payloads → HTML boilerplate strip (tx51) →
+    // language-ID (tx3) + gopher quality rules (tx29) as in-row
+    // projections over the extracted text → exact-substring dup marks
+    // (dd20's gram machinery, minTokens 6). The extracted text is
+    // materialized ONCE (the plan forks there: per-row scalars on one
+    // branch, the gram self-join on the other) and released through
+    // the lane lease; corrupt WARCs (%13 torn terminator, %17 alien
+    // version) contribute no rows, exactly the ingest contract. The
+    // oracle replays the whole chain: mm33's extraction CTE feeding
+    // tx3's scores, tx29's integer rules, and dd20's first-occurrence
+    // interval merge.
+    "tx56_warc_pipeline" -> ((s, d) => {
+      val ext0 = TextAnalysisOps.htmlExtract(
+        graft.operators.MultimodalOps.warcResponseTexts(
+          graft.operators.MultimodalOps.synthWarcHtmlAssets(
+            documents(s, d), "doc_id", "text")),
+        "asset_id", "payload")
+        .select(col("asset_id").as("doc_id"), col("extracted").as("text"))
+      val ext = graft.Ckpt(ext0,
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+      val lang = TextAnalysisOps.langId(ext, "doc_id", "text")
+        .select(col("doc_id"), col("predicted").as("lang"))
+      val gopher = TextAnalysisOps.gopherRules(ext)
+        .select(col("doc_id"), col("n_words"), col("keep"))
+      val sub = graft.operators.DedupOps.exactSubstringStats(
+        ext, "doc_id", "text", minTokens = 6)
+        .select(col("doc_id"), col("dup_tokens"), col("dup_runs"))
+      val out = ext.select(col("doc_id"),
+          length(col("text")).cast("int").as("n_extracted"))
+        .join(lang, Seq("doc_id"))
+        .join(gopher, Seq("doc_id"))
+        .join(sub, Seq("doc_id"))
+      graft.Leases.swap("tx56_warc_pipeline",
+        () => graft.Release(ext))(out)
+    }),
+
     "tx50_decontaminate_evasive" -> ((s, d) => {
       val docs = documents(s, d)
       val phrase = lit("alpha beta gamma delta epsilon")
@@ -1302,6 +1340,108 @@ object TextQueries {
          FROM s4)
          SELECT doc_id, t AS extracted, length(t)::INT AS n_extracted
          FROM s5""",
+    // tx56: the full crawl→text chain replayed — mm33's extraction CTE
+    // restricted to parseable WARCs feeds tx3's language scores, tx29's
+    // integer quality rules, and dd20's first-occurrence interval merge
+    // (minTokens 6), one SELECT at the end
+    "tx56_warc_pipeline" ->
+      s"""WITH h AS (SELECT doc_id,
+           '<html><head><title>Doc ' || doc_id::VARCHAR
+           || '</title><style>body { margin: 0; }</style></head><body><h1>Doc '
+           || doc_id::VARCHAR || '</h1>' || chr(10) || '<p>' || text
+           || ' &amp; tail &lt;' || doc_id::VARCHAR
+           || '&gt;&nbsp;end</p><script>var a = ' || doc_id::VARCHAR
+           || ';</script>' || chr(9)
+           || '<div class="nav">footer &amp; nav</div></body></html>' AS html
+         FROM documents
+         WHERE doc_id % 13 <> 0 AND doc_id % 17 <> 0),
+         s1 AS (SELECT doc_id, regexp_replace(html,
+           '(?s)<script[^>]*>.*?</script>', ' ', 'g') AS t FROM h),
+         s2 AS (SELECT doc_id, regexp_replace(t,
+           '(?s)<style[^>]*>.*?</style>', ' ', 'g') AS t FROM s1),
+         s3 AS (SELECT doc_id, regexp_replace(t,
+           '<[^>]*>', ' ', 'g') AS t FROM s2),
+         s4 AS (SELECT doc_id,
+           replace(replace(replace(replace(replace(replace(t,
+             '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+             '&#39;', ''''), '&nbsp;', ' '), '&amp;', '&') AS t FROM s3),
+         base AS (SELECT doc_id, trim(regexp_replace(t,
+           '[ ' || chr(9) || chr(10) || chr(13) || ']+', ' ', 'g')) AS text
+         FROM s4),
+         lang AS (SELECT doc_id,
+             CASE WHEN se >= ss AND se >= sd AND se >= sf THEN 'en'
+                  WHEN ss >= sd AND ss >= sf THEN 'es'
+                  WHEN sd >= sf THEN 'de'
+                  ELSE 'fr' END AS lang
+           FROM (SELECT doc_id,
+               len(list_filter(string_split(text,' '),
+                 w -> w IN ('the','and','of','is','with'))) AS se,
+               len(list_filter(string_split(text,' '),
+                 w -> w IN ('el','la','de','que','los'))) AS ss,
+               len(list_filter(string_split(text,' '),
+                 w -> w IN ('der','die','das','und','nicht'))) AS sd,
+               len(list_filter(string_split(text,' '),
+                 w -> w IN ('le','les','et','est','une'))) AS sf
+             FROM base)),
+         gw AS (SELECT doc_id, text,
+             CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+                  ELSE string_split_regex(trim(text), '\\s+')
+             END AS words
+           FROM base),
+         gc AS (SELECT doc_id,
+             len(words)::INT AS n_words,
+             coalesce(list_sum(list_transform(words,
+               x -> length(x)::BIGINT)), 0)::BIGINT AS wc,
+             (length(text) - length(replace(text, '#', '')))::BIGINT AS nh,
+             ((length(text) - length(replace(text, '...', ''))) / 3)
+               ::BIGINT AS ne,
+             len(list_filter(words,
+               x -> regexp_matches(x, '[A-Za-z]')))::BIGINT AS na,
+             len(list_filter(words,
+               x -> lower(x) IN ($stop)))::BIGINT AS ns
+           FROM gw),
+         gop AS (SELECT doc_id, n_words,
+             (n_words >= 50 AND n_words <= 100000)
+               AND (wc >= 3 * n_words AND wc <= 10 * n_words)
+               AND (10 * (nh + ne) < n_words)
+               AND (10 * na >= 8 * n_words)
+               AND ns >= 2 AS keep
+           FROM gc),
+         ww AS (SELECT doc_id, string_split(text, ' ') AS w FROM base),
+         g AS (SELECT doc_id, u.p AS p, u.g AS gram FROM (
+             SELECT doc_id,
+               unnest([{'p': i - 1,
+                        'g': array_to_string(w[i:i+5], ' ')}
+                       for i in range(1, len(w) - 4)]) AS u
+             FROM ww)),
+         f AS (SELECT gram, min(doc_id * 1000000 + p) AS fk
+               FROM g GROUP BY gram),
+         m AS (SELECT doc_id, p FROM g JOIN f USING (gram)
+               WHERE doc_id * 1000000 + p <> fk),
+         r AS (SELECT doc_id, p,
+                 CASE WHEN lag(p) OVER (PARTITION BY doc_id ORDER BY p)
+                        IS NULL
+                      OR p - lag(p) OVER (PARTITION BY doc_id ORDER BY p)
+                        > 6
+                      THEN 1 ELSE 0 END AS st
+               FROM m),
+         rr AS (SELECT doc_id, p,
+                  sum(st) OVER (PARTITION BY doc_id ORDER BY p
+                                ROWS UNBOUNDED PRECEDING) AS rid
+                FROM r),
+         runs AS (SELECT doc_id, rid, min(p) AS s, max(p) + 6 AS e
+                  FROM rr GROUP BY doc_id, rid),
+         st AS (SELECT doc_id, count(*)::BIGINT AS dup_runs,
+                  sum(e - s)::BIGINT AS dup_tokens
+                FROM runs GROUP BY doc_id)
+         SELECT base.doc_id, length(base.text)::INT AS n_extracted,
+           lang.lang, gop.n_words, gop.keep,
+           coalesce(st.dup_tokens, 0)::BIGINT AS dup_tokens,
+           coalesce(st.dup_runs, 0)::BIGINT AS dup_runs
+         FROM base
+         JOIN lang ON base.doc_id = lang.doc_id
+         JOIN gop ON base.doc_id = gop.doc_id
+         LEFT JOIN st ON base.doc_id = st.doc_id""",
     "tx50_decontaminate_evasive" ->
       """WITH train AS (SELECT doc_id,
                 CASE WHEN doc_id % 3 = 0
