@@ -425,7 +425,8 @@ object DedupOps {
         col(bCol).cast("long").as("b"))
       .filter(col("a") =!= col("b"))
       .localCheckpoint()
-    (clustersGraphx(e), () => graft.Release(e))
+    val (out, relInner) = clustersGraphxReleasable(e)
+    (out, () => { relInner(); graft.Release(e) })
   }
 
   /** Measured GraphX ↔ DataFrame-CC crossover (same-box A/B, PERF.md):
@@ -467,9 +468,10 @@ object DedupOps {
         col(bCol).cast("long").as("b"))
       .filter(col("a") =!= col("b"))
       .localCheckpoint()
-    val out = if (e.count() <= maxGraphxEdges) clustersGraphx(e)
-              else clustersDataFrame(e)
-    (out, () => graft.Release(e))
+    val (out, relInner) =
+      if (e.count() <= maxGraphxEdges) clustersGraphxReleasable(e)
+      else clustersDataFrameReleasable(e)
+    (out, () => { relInner(); graft.Release(e) })
   }
 
   /** Pure-DataFrame connected components: alternating large-star /
@@ -494,7 +496,17 @@ object DedupOps {
     * aggregation state spills instead of dying.
     */
   def clustersDataFrame(pairs: DataFrame, aCol: String = "a",
-                        bCol: String = "b"): DataFrame = {
+                        bCol: String = "b"): DataFrame =
+    clustersDataFrameReleasable(pairs, aCol, bCol)._1
+
+  /** [[clustersDataFrame]] plus the release handle for the FINAL
+    * star-forest checkpoint the returned frame reads lazily (the
+    * internal rounds already release superseded generations; without
+    * this handle the fixed point lingers until ContextCleaner GC —
+    * the leak class the r17 storage-flat pin caught on the SCC
+    * weak-component seeding). */
+  def clustersDataFrameReleasable(pairs: DataFrame, aCol: String = "a",
+                        bCol: String = "b"): (DataFrame, () => Unit) = {
     val ckptLevel = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER
     // Canonical directed edges hi→lo (hi > lo), self-loops dropped.
     var e = pairs.select(
@@ -535,8 +547,10 @@ object DedupOps {
       e = next
     }
     // Fixed point is a star forest hi→componentMin; add the roots.
-    e.select(col("hi").as("member"), col("lo").as("cluster_rep"))
-      .unionAll(e.select(col("lo"), col("lo")).distinct())
+    val fixed = e
+    (fixed.select(col("hi").as("member"), col("lo").as("cluster_rep"))
+      .unionAll(fixed.select(col("lo"), col("lo")).distinct()),
+      () => graft.Release(fixed))
   }
 
   /** GraphX twin of [[clusters]] (RDD Pregel `connectedComponents`).
@@ -552,18 +566,29 @@ object DedupOps {
     * shuffled-hash build, PERF.md).
     */
   def clustersGraphx(pairs: DataFrame, aCol: String = "a",
-                     bCol: String = "b"): DataFrame = {
+                     bCol: String = "b"): DataFrame =
+    clustersGraphxReleasable(pairs, aCol, bCol)._1
+
+  /** [[clustersGraphx]] plus the release handle for the CACHED GraphX
+    * graphs (base + CC result). GraphX persists vertices and edges and
+    * never unpersists them itself, so without the handle every call
+    * parks RDDs until ContextCleaner GC — nondeterministic under a
+    * lane loop (the r17 storage-flat flake). Same contract as every
+    * Releasable here: invoke only after consuming the result. */
+  def clustersGraphxReleasable(pairs: DataFrame, aCol: String = "a",
+                     bCol: String = "b"): (DataFrame, () => Unit) = {
     val spark = pairs.sparkSession
     import spark.implicits._
     val edges = pairs
       .select(col(aCol).cast("long"), col(bCol).cast("long"))
       .as[(Long, Long)].rdd
       .map { case (a, b) => org.apache.spark.graphx.Edge(a, b, ()) }
-    org.apache.spark.graphx.Graph.fromEdges(edges, (),
+    val g = org.apache.spark.graphx.Graph.fromEdges(edges, (),
         edgeStorageLevel = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK,
         vertexStorageLevel = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      .connectedComponents().vertices // component id = min vertex id
-      .toDF("member", "cluster_rep")
+    val cc = g.connectedComponents() // component id = min vertex id
+    (cc.vertices.toDF("member", "cluster_rep"),
+      () => { cc.unpersist(blocking = false); g.unpersist(blocking = false) })
   }
 
   /** Leakage-free train/val/test split: the split key is the near-dup
