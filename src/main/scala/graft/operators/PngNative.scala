@@ -137,7 +137,10 @@ object PngNative {
       var off = 0
       while (off < raw.length && !inf.finished()) {
         val n = inf.inflate(raw, off, raw.length - off)
-        if (n == 0 && inf.needsInput()) return None // truncated stream
+        // n == 0 while unfinished means the stream is truncated OR
+        // demands a preset dictionary (FDICT) — both corrupt for PNG
+        // (spec forbids FDICT); returning here also prevents a spin
+        if (n == 0) return None
         off += n
       }
       if (off < raw.length) return None // inflated short

@@ -830,5 +830,28 @@ class PlanShapeSpec extends SparkSpec {
     assert(leaves.nonEmpty && leaves.forall(
       _.isInstanceOf[org.apache.spark.sql.execution.LogicalRDD]),
       df.queryExecution.optimizedPlan.toString)
+    graft.Leases.release("gr1_pagerank")
+  }
+
+  test("tx56 fused pipeline materializes the extraction exactly once; every branch reads the checkpoint") {
+    // the fused crawl→text lane's contract: the WARC walk + HTML
+    // extract run ONCE (one checkpoint at the plan fork), and the
+    // langid/gopher/substring branches all read that LogicalRDD — a
+    // lineage leak here would re-run the container walk once per
+    // consumer on every action
+    val df = SparkEntry.queries("tx56_warc_pipeline")(spark, sf)
+    val leaves = df.queryExecution.optimizedPlan.collectLeaves()
+    assert(leaves.nonEmpty, "no leaves")
+    assert(leaves.forall(
+      _.isInstanceOf[org.apache.spark.sql.execution.LogicalRDD]),
+      s"non-checkpoint leaf (extraction lineage leaked into a branch):\n" +
+        df.queryExecution.optimizedPlan.toString)
+    // all leaves are the SAME checkpoint (one materialization, n reads)
+    val rdds = leaves.map(
+      _.asInstanceOf[org.apache.spark.sql.execution.LogicalRDD].rdd.id)
+      .toSet
+    assert(rdds.size == 1,
+      s"expected one shared extraction checkpoint, got rdd ids $rdds")
+    graft.Leases.release("tx56_warc_pipeline")
   }
 }
