@@ -103,6 +103,8 @@ object Bench {
     var passes = Vector.empty[Map[String, Double]]
     var lastPassSec = 0.0
     var stop = false
+    var results = Map.empty[String, Double]
+    var json = writeOut(results, 0)
     while (!stop && passes.size < maxPasses) {
       val p0 = elapsedSec
       val pass = ordered.map { case (name, fn) =>
@@ -115,22 +117,17 @@ object Bench {
       }.toMap
       passes = passes :+ pass
       lastPassSec = elapsedSec - p0
-      val sofar = ordered.map { case (name, _) =>
+      results = ordered.map { case (name, _) =>
         val times = passes.map(_(name))
         name -> (if (times.contains(-1.0)) -1.0 else times.min)
       }.toMap
-      writeOut(sofar, passes.size)
+      json = writeOut(results, passes.size)
       System.err.println(f"[bench] pass ${passes.size}: $lastPassSec%.1f s, " +
         f"elapsed $elapsedSec%.1f / $budgetSec%.0f s budget")
       // steady-state passes run faster than the warm pass, so gating the
       // NEXT pass on 1.2x the LAST pass is conservative after pass 1
       stop = elapsedSec + 1.2 * lastPassSec > budgetSec
     }
-    val results = ordered.map { case (name, _) =>
-      val times = passes.map(_(name))
-      name -> (if (times.contains(-1.0)) -1.0 else times.min)
-    }.toMap
-    val json = writeOut(results, passes.size)
     Leases.releaseAll()
     spark.stop()
     // The driver captures a bounded stdout TAIL: the ~6KB per-query JSON

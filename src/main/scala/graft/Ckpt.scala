@@ -35,20 +35,48 @@ object Ckpt {
   def reliableDir(df: DataFrame): Option[String] =
     df.sparkSession.conf.getOption(DirConf).map(_.trim).filter(_.nonEmpty)
 
+  /** The context checkpoint dirs (the `<dir>/<uuid>` subdirs Spark
+    * creates) that THIS primitive pointed the context at — recorded so
+    * [[Release]] can establish ownership of a checkpoint file even
+    * after the conf is unset or re-pointed (otherwise reliable files
+    * would leak permanently on the durable store: review r17). Bounded
+    * by the number of distinct conf values a session uses. */
+  private val setDirs =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** True when `file` (a qualified URI or raw path) sits under `dir`
+    * with a real path-separator boundary — `/data/ckpt-app/x` is NOT
+    * under `/data/ckpt` (review r17: bare startsWith reaped sibling
+    * dirs sharing a string prefix). */
+  private[graft] def underDir(file: String, dir: String): Boolean = {
+    val f = file.stripPrefix("file:")
+    val d = dir.stripPrefix("file:").stripSuffix("/")
+    f == d || f.startsWith(d + "/")
+  }
+
+  /** Ownership test for [[Release]]: the file is under the currently
+    * configured graft checkpoint dir, or under a context checkpoint
+    * dir this primitive itself set (survives conf unset/change). */
+  private[graft] def owns(df: org.apache.spark.sql.Dataset[_],
+                          file: String): Boolean =
+    df.sparkSession.conf.getOption(DirConf).map(_.trim).filter(_.nonEmpty)
+      .exists(d => underDir(file, d)) ||
+      setDirs.stream().anyMatch(d => underDir(file, d))
+
   def apply(df: DataFrame,
             level: StorageLevel = StorageLevel.MEMORY_AND_DISK): DataFrame = {
     val ck = reliableDir(df) match {
       case Some(dir) =>
         val sc = df.sparkSession.sparkContext
         // setCheckpointDir appends a fresh UUID subdir each call, so
-        // re-setting per checkpoint would litter — only on change.
-        // getCheckpointDir reports a qualified URI ("file:/..."): strip
-        // the scheme before comparing with the raw conf value.
-        val want = dir.stripPrefix("file:")
-        if (!sc.getCheckpointDir.map(_.stripPrefix("file:"))
-            .exists(_.startsWith(want))) {
+        // re-setting per checkpoint would litter — only when the
+        // current context dir is not under the configured dir (with a
+        // separator boundary: "/data/ckpt-app" must not satisfy a
+        // "/data/ckpt" conf — review r17).
+        if (!sc.getCheckpointDir.exists(cur => underDir(cur, dir))) {
           sc.setCheckpointDir(dir)
         }
+        sc.getCheckpointDir.foreach(setDirs.add)
         df.checkpoint(eager = true)
       case None => df.localCheckpoint(eager = true, storageLevel = level)
     }

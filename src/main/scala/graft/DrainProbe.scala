@@ -44,7 +44,7 @@ object DrainProbe {
       spark.catalog.dropTempView(qname)
       val t3 = System.nanoTime()
       spark.conf.set("spark.sql.shuffle.partitions", prev)
-      println(s"== $name: start=${(t1 - t0) / 1e9}%s await=${(t2 - t1) / 1e9} " +
+      println(s"== $name: start=${(t1 - t0) / 1e9} await=${(t2 - t1) / 1e9} " +
         s"read=${(t3 - t2) / 1e9}")
       q.recentProgress.foreach { p =>
         println(s"   batch ${p.batchId}: ${p.durationMs}")

@@ -28,17 +28,16 @@ object Release {
         lr.rdd.unpersist(blocking)
         // RELIABLE checkpoints ([[Ckpt]] with spark.graft.checkpoint.dir
         // set) hold files, not blocks — delete them, symmetrically with
-        // the block unpersist, but ONLY under the graft-configured dir:
-        // a checkpoint file someone else owns (sc.setCheckpointDir set
-        // by the application for its own frames) is not ours to reap.
-        // Call discipline is the caller's, same as for blocks: release
-        // a generation only after its successor is materialized.
+        // the block unpersist, but ONLY when graft owns them: under the
+        // configured dir (path-boundary compare) or under a context
+        // checkpoint dir Ckpt itself set (so the reap still works after
+        // the conf is unset — review r17). A checkpoint file someone
+        // else owns (sc.setCheckpointDir set by the application for its
+        // own frames) is not ours to reap. Call discipline is the
+        // caller's, same as for blocks: release a generation only after
+        // its successor is materialized.
         lr.rdd.getCheckpointFile.foreach { f =>
-          val owned = df.sparkSession.conf.getOption(Ckpt.DirConf)
-            .map(_.trim).filter(_.nonEmpty)
-            .exists(d => f.stripPrefix("file:").startsWith(d) ||
-              f.startsWith(d))
-          if (owned) {
+          if (Ckpt.owns(df, f)) {
             val p = new org.apache.hadoop.fs.Path(f)
             p.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
               .delete(p, true)

@@ -345,13 +345,18 @@ object UrlCanon {
         if (colon < 0) hp else hp.substring(0, colon)
       } else {
         // bare host may still carry :port (and IPv6 brackets) — split
-        // it off exactly as the URL branch does; trailing-dot handling
-        // stays with the shared single stripSuffix below so
-        // "example.com.." nulls consistently on both branches
+        // it off like the URL branch; trailing-dot handling stays with
+        // the shared single stripSuffix below so "example.com.." nulls
+        // consistently on both branches. A colon AFTER a ']' or the
+        // ONLY colon in the string is a port separator; two-plus
+        // colons with no bracket is an unbracketed IPv6 literal, which
+        // must pass through whole, not truncate at "2001" (review r17)
         val lc = raw.toLowerCase(java.util.Locale.ROOT)
         val bracket = lc.lastIndexOf(']')
         val colon = lc.indexOf(':', math.max(bracket, 0))
-        if (colon < 0) lc else lc.substring(0, colon)
+        val single = colon >= 0 && lc.indexOf(':', colon + 1) < 0
+        if (colon >= 0 && (bracket >= 0 || single)) lc.substring(0, colon)
+        else lc
       }
     }
     val host = host0.stripSuffix(".")

@@ -489,50 +489,18 @@ object GraphOps {
 
   /** Directed multi-source reachability: the settled id set reachable
     * FROM `seeds` (seeds included), plus the release handle for the
-    * per-hop frontier checkpoints. Loud `require` when the frontier
-    * has not drained within `maxHops` — a truncated reach silently
-    * misclassifies downstream consumers (SCC splits, bow-tie regions).
+    * per-hop frontier checkpoints. One region tag (0) over
+    * [[reachFromSeedsTagged]] — a single frontier loop to maintain
+    * (review r17), same loud undrained-frontier `require`.
     */
   private def reachFromSeeds(e: DataFrame, seeds: DataFrame,
                              maxHops: Int,
                              broadcastFrontierMax: Long = 1000000L)
       : (DataFrame, () => Unit) = {
-    val ser = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER
-    // the settled set is the UNION of the (disjoint) checkpointed
-    // frontiers, never re-materialized per hop: re-checkpointing
-    // `seen` each round writes O(settled) blocks per hop = O(n·hops)
-    // total — the union view writes each row exactly once and the
-    // anti-join reads the cached frontier checkpoints directly. The
-    // release closure frees every frontier (a union of checkpoints is
-    // NOT releasable through graft.Release's LogicalRDD fast path).
-    val frontiers = scala.collection.mutable.Buffer[DataFrame]()
-    var frontier = seeds.select(col("id").cast("long").as("id"))
-      .distinct().iterCkpt(ser)
-    frontiers += frontier
-    var seen = frontier: DataFrame
-    var frontierN = frontier.count()
-    var hop = 0
-    while (frontierN > 0) {
-      hop += 1
-      require(hop <= maxHops,
-        s"reachFrom: frontier not drained after $maxHops hops — raise " +
-          "maxHops (a truncated reach would silently split SCCs)")
-      val f = frontier.withColumnRenamed("id", "a")
-      val reached = e
-        .join(if (frontierN <= broadcastFrontierMax) broadcast(f) else f,
-          "a")
-        .select(col("b").as("id")).distinct()
-        .join(seen.select("id"), Seq("id"), "left_anti")
-        .iterCkpt(ser)
-      frontierN = reached.count()
-      if (frontierN == 0) graft.Release(reached)
-      else {
-        frontiers += reached
-        seen = seen.unionByName(reached)
-        frontier = reached
-      }
-    }
-    (seen, () => frontiers.foreach(graft.Release(_)))
+    val (tagged, rel) = reachFromSeedsTagged(e,
+      seeds.select(col("id")).withColumn("reg", lit(0L)),
+      maxHops, broadcastFrontierMax)
+    (tagged.select("id"), rel)
   }
 
   /** REGION-TAGGED directed multi-source reachability — the multi-pivot

@@ -281,6 +281,17 @@ object MultimodalOps {
     * intact, body gone — the decode-miss path fires on BOTH container
     * branches in-band.
     */
+  /** The parametric image formulas every wire fixture AND its analytic
+    * DuckDB oracle share (mm8/mm15/mm35's `sumsCte`) — ONE definition,
+    * so a drift between a fixture copy and the oracle is impossible
+    * (review r17). */
+  private def wireDims(id: Long): (Int, Int) =
+    ((4 + id % 5).toInt, (3 + id % 4).toInt)
+  private def wirePx(id: Long)(x: Int, y: Int): (Int, Int, Int) = (
+    ((id * 7 + 3 * x + 5 * y) % 256).toInt,
+    ((id * 11 + x + 2 * y) % 256).toInt,
+    ((id * 13 + 2 * x + y) % 256).toInt)
+
   def synthWireImageAssets(df: DataFrame, idCol: String): DataFrame = {
     val schema = StructType(Seq(
       StructField("asset_id", LongType, nullable = false),
@@ -290,15 +301,10 @@ object MultimodalOps {
       .mapPartitions { it =>
         it.map { r =>
           val id = r.getLong(0)
-          val w = (4 + id % 5).toInt
-          val h = (3 + id % 4).toInt
-          def px(x: Int, y: Int) = (
-            ((id * 7 + 3 * x + 5 * y) % 256).toInt,
-            ((id * 11 + x + 2 * y) % 256).toInt,
-            ((id * 13 + 2 * x + y) % 256).toInt)
+          val (w, h) = wireDims(id)
           val img =
-            if (id % 2 == 0) PngCodec.encodePng24(w, h, px)
-            else ImageCodec.encodeBmp24(w, h, px)
+            if (id % 2 == 0) PngCodec.encodePng24(w, h, wirePx(id))
+            else ImageCodec.encodeBmp24(w, h, wirePx(id))
           val payload =
             if (id % 13 == 0) img.take(20) // signature ok, body gone
             else img
@@ -324,13 +330,8 @@ object MultimodalOps {
       .mapPartitions { it =>
         it.map { r =>
           val id = r.getLong(0)
-          val w = (4 + id % 5).toInt
-          val h = (3 + id % 4).toInt
-          def px(x: Int, y: Int) = (
-            ((id * 7 + 3 * x + 5 * y) % 256).toInt,
-            ((id * 11 + x + 2 * y) % 256).toInt,
-            ((id * 13 + 2 * x + y) % 256).toInt)
-          val img = PngCodec.encodePng24(w, h, px)
+          val (w, h) = wireDims(id)
+          val img = PngCodec.encodePng24(w, h, wirePx(id))
           val payload =
             if (id % 13 == 0) img.take(20) // signature ok, body gone
             else if (id % 11 == 0) {

@@ -147,10 +147,13 @@ object StreamParity {
     * the legacy-nanos conf and UTC-zone enforcement apply identically;
     * cached after the first call per sf dir, like the schema).
     */
+  // keyed by (session identity, sfDir), not sfDir alone: SQLConf is
+  // per-SparkSession, so a second session in the same JVM must replay
+  // the conf side effects or lose the nanos/UTC pinning (review r17)
   private val eventsConfDone =
-    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+    java.util.concurrent.ConcurrentHashMap.newKeySet[(Int, String)]()
   def eventsStream(spark: SparkSession, sfDir: String): DataFrame = {
-    if (eventsConfDone.add(sfDir)) {
+    if (eventsConfDone.add((System.identityHashCode(spark), sfDir))) {
       graft.Tables.events(spark, sfDir) // conf side effects + schema parity
     }
     val drop = stageDropDir(sfDir, "events")

@@ -110,6 +110,10 @@ class UrlCanonSpec extends graft.SparkSpec {
     assert(rd("") == null)
     // bare host with :port — port split off, never leaks into labels
     assert(rd("example.com:8080") == "example.com")
+    // UNBRACKETED IPv6 is not a host:port — it passes through whole,
+    // never truncates at the first colon into a fake numeric domain
+    assert(rd("2001:db8::1") == "2001:db8::1")
+    assert(rd("::1") == "::1")
     assert(rd("sub.example.co.uk:443") == "example.co.uk")
     assert(rd("[2001:db8::1]:8080") == "[2001:db8::1]")
     assert(rd("192.168.0.1:53") == "192.168.0.1")
