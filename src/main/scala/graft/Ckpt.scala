@@ -29,8 +29,25 @@ import org.apache.spark.storage.StorageLevel
   */
 object Ckpt {
 
-  /** Session conf key; empty/unset = localCheckpoint (default). */
+  /** Session conf key; empty/unset = localCheckpoint (default).
+    *
+    * CONTEXT-DIR OWNERSHIP (advisor r17): `sparkContext.checkpointDir`
+    * is context-global, and `DataFrame.checkpoint` offers no per-call
+    * override — so while this conf is set, graft POINTS THE CONTEXT
+    * DIR at it (once per distinct value) and the host application's
+    * own subsequent `.checkpoint()` calls will also write under it.
+    * graft never restores a prior dir: restoring after every call
+    * would mint a fresh `<dir>/<uuid>` subdir per checkpoint (Spark
+    * appends one per `setCheckpointDir`) and litter the durable store.
+    * Hosts that checkpoint their own RDDs under a different dir should
+    * leave this conf unset (localCheckpoint mode) or accept shared
+    * ownership of the configured dir. A foreign dir being overridden
+    * is logged loudly once per (foreign, configured) pair.
+    */
   val DirConf = "spark.graft.checkpoint.dir"
+
+  private val warnedForeign =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[(String, String)]()
 
   def reliableDir(df: DataFrame): Option[String] =
     df.sparkSession.conf.getOption(DirConf).map(_.trim).filter(_.nonEmpty)
@@ -74,6 +91,18 @@ object Ckpt {
         // separator boundary: "/data/ckpt-app" must not satisfy a
         // "/data/ckpt" conf — review r17).
         if (!sc.getCheckpointDir.exists(cur => underDir(cur, dir))) {
+          // overriding a dir graft did not set itself re-homes the host
+          // application's own .checkpoint() output too — documented on
+          // DirConf; surfaced once per pair so it can't scroll away
+          sc.getCheckpointDir
+            .filter(cur => !setDirs.contains(cur))
+            .foreach { cur =>
+              if (warnedForeign.add((cur, dir))) System.err.println(
+                s"[graft.Ckpt] WARNING: re-pointing context checkpoint " +
+                  s"dir '$cur' -> '$dir' ($DirConf is set); the host " +
+                  "application's own .checkpoint() calls now write " +
+                  "there too — see Ckpt.DirConf scaladoc")
+            }
           sc.setCheckpointDir(dir)
         }
         sc.getCheckpointDir.foreach(setDirs.add)

@@ -421,10 +421,16 @@ object DedupOps {
     */
   def clustersReleasable(pairs: DataFrame, aCol: String = "a",
                          bCol: String = "b"): (DataFrame, () => Unit) = {
-    val e = pairs.select(col(aCol).cast("long").as("a"),
+    // staging goes through Ckpt, not bare localCheckpoint, so reliable
+    // mode (spark.graft.checkpoint.dir) covers the seeding pass of a
+    // long run too (advisor r17). The GraphX path's INTERNAL Pregel
+    // caching remains executor-local regardless — reliable mode narrows
+    // the executor-loss window to GraphX's own rounds, it cannot close
+    // it; clustersDataFrame checkpoints every round and is the fully
+    // covered variant.
+    val e = graft.Ckpt(pairs.select(col(aCol).cast("long").as("a"),
         col(bCol).cast("long").as("b"))
-      .filter(col("a") =!= col("b"))
-      .localCheckpoint()
+      .filter(col("a") =!= col("b")))
     val (out, relInner) = clustersGraphxReleasable(e)
     (out, () => { relInner(); graft.Release(e) })
   }
@@ -464,10 +470,12 @@ object DedupOps {
                              bCol: String = "b",
                              maxGraphxEdges: Long = ClustersGraphxMaxEdges)
       : (DataFrame, () => Unit) = {
-    val e = pairs.select(col(aCol).cast("long").as("a"),
+    // Ckpt, not bare localCheckpoint: reliable mode must cover the
+    // staging/count pass too (advisor r17; GraphX-internal exposure
+    // documented on clustersReleasable)
+    val e = graft.Ckpt(pairs.select(col(aCol).cast("long").as("a"),
         col(bCol).cast("long").as("b"))
-      .filter(col("a") =!= col("b"))
-      .localCheckpoint()
+      .filter(col("a") =!= col("b")))
     val (out, relInner) =
       if (e.count() <= maxGraphxEdges) clustersGraphxReleasable(e)
       else clustersDataFrameReleasable(e)

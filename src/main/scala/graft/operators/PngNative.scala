@@ -64,7 +64,18 @@ object PngNative {
   private final case class Header(w: Int, h: Int, depth: Int,
                                   colorType: Int, interlace: Int)
 
-  def decode(bytes: Array[Byte]): Option[ImageCodec.DecodedImage] = {
+  /** The in-band contract is "None, never throw": every taxonomy branch
+    * returns None explicitly, and this wrapper backstops anything a
+    * crafted header still sneaks past the guards (advisor r17).
+    * NonFatal does not catch ControlThrowable, so the nested-def
+    * `return` plumbing below is unaffected.
+    */
+  def decode(bytes: Array[Byte]): Option[ImageCodec.DecodedImage] =
+    try decodeImpl(bytes)
+    catch { case scala.util.control.NonFatal(_) => None }
+
+  private def decodeImpl(
+      bytes: Array[Byte]): Option[ImageCodec.DecodedImage] = {
     if (bytes == null || bytes.length < 8 + 25) return None
     var i = 0
     while (i < 8) { if ((bytes(i) & 0xff) != Sig(i)) return None; i += 1 }
@@ -118,7 +129,11 @@ object PngNative {
     // bytes per pixel for filter arithmetic (>=1 even for sub-byte)
     val bpp = math.max(1, channels * hd.depth / 8)
 
-    def lineBytes(w: Int): Int = (w * channels * hd.depth + 7) / 8
+    // Long throughout: w*channels*depth overflows Int for headers the
+    // 3L*w*h IHDR guard admits (e.g. w=2^25, h=1, RGBA/16 = 64 bits/px
+    // — advisor r17); the Int view is taken only after the raster-size
+    // checks below bound every per-line value
+    def lineBytesL(w: Int): Long = (w.toLong * channels * hd.depth + 7) / 8
     // expected raster: per pass (interlaced) or single image
     val passes: Seq[(Int, Int)] = // (passW, passH)
       if (hd.interlace == 0) Seq((hd.w, hd.h))
@@ -127,9 +142,17 @@ object PngNative {
           if (hd.h > y0) (hd.h - y0 + dy - 1) / dy else 0)
       }
     val expected = passes.map { case (pw, ph) =>
-      if (pw == 0 || ph == 0) 0L else ph.toLong * (1L + lineBytes(pw))
+      if (pw == 0 || ph == 0) 0L else ph.toLong * (1L + lineBytesL(pw))
     }.sum
     if (expected > Int.MaxValue) return None
+    // a few-hundred-byte file cannot legitimately claim a multi-GB
+    // raster: zlib's maximum expansion is ~1030.3:1 (stored-block
+    // framing floor), so bound the allocation by the actual payload —
+    // past this, inflate is guaranteed to come up short anyway, and
+    // rejecting BEFORE new Array keeps a crafted header from driving
+    // allocation/GC churn proportional to its claim (advisor r17)
+    if (expected > idat.size().toLong * 1032L) return None
+    def lineBytes(w: Int): Int = lineBytesL(w).toInt
     val raw = new Array[Byte](expected.toInt)
     val inf = new Inflater()
     try {

@@ -147,13 +147,24 @@ object StreamParity {
     * the legacy-nanos conf and UTC-zone enforcement apply identically;
     * cached after the first call per sf dir, like the schema).
     */
-  // keyed by (session identity, sfDir), not sfDir alone: SQLConf is
+  // keyed by (session, sfDir), not sfDir alone: SQLConf is
   // per-SparkSession, so a second session in the same JVM must replay
-  // the conf side effects or lose the nanos/UTC pinning (review r17)
-  private val eventsConfDone =
-    java.util.concurrent.ConcurrentHashMap.newKeySet[(Int, String)]()
+  // the conf side effects or lose the nanos/UTC pinning (review r17).
+  // A WeakHashMap on the session OBJECT (SparkSession doesn't override
+  // equals, so keying is by identity), not identityHashCode: identity
+  // hashes are reused after GC, so a new session could collide with a
+  // stopped one's entry and silently skip the conf side effects
+  // (advisor r17). Weak keys keep stopped sessions collectable.
+  private val eventsConfDone = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession,
+      java.util.Set[String]]())
+  private def eventsConfFirst(spark: SparkSession, sfDir: String): Boolean =
+    eventsConfDone
+      .computeIfAbsent(spark,
+        _ => java.util.concurrent.ConcurrentHashMap.newKeySet[String]())
+      .add(sfDir)
   def eventsStream(spark: SparkSession, sfDir: String): DataFrame = {
-    if (eventsConfDone.add((System.identityHashCode(spark), sfDir))) {
+    if (eventsConfFirst(spark, sfDir)) {
       graft.Tables.events(spark, sfDir) // conf side effects + schema parity
     }
     val drop = stageDropDir(sfDir, "events")

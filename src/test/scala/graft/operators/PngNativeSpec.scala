@@ -270,5 +270,14 @@ class PngNativeSpec extends SparkSpec {
     assert(PngNative.decode(null).isEmpty)
     assert(PngNative.decode(Array.emptyByteArray).isEmpty)
     assert(PngNative.decode(Array.fill[Byte](64)(0x42)).isEmpty)
+    // line-byte Int overflow: w=2^25, h=1, RGBA/16 = 64 bits/px passes
+    // the 3L*w*h IHDR bound but w*channels*depth overflows Int — must
+    // reject in-band, not NegativeArraySizeException (advisor r18)
+    assert(PngNative.decode(
+      png(1 << 25, 1, 16, 6, 0, Array[Byte](0))).isEmpty)
+    // allocation bound: a ~60-byte file claiming a ~100 MB raster must
+    // reject on the zlib max-expansion bound BEFORE allocating
+    assert(PngNative.decode(
+      png(1000000, 100, 8, 0, 0, Array[Byte](0))).isEmpty)
   }
 }
