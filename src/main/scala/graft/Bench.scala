@@ -86,12 +86,34 @@ object Bench {
     def elapsedSec: Double = (System.currentTimeMillis() - jvmStartMs) / 1e3
     val maxPasses = runs + 1 // pass 1 is the warmup; runs timed follow
     val ordered = selected.toVector
+    // UNTIMED prelude (r17 verdict item 1): force every session
+    // fixture build BEFORE pass 1 so no timed lane is charged a
+    // build it only triggered first (the driver's BENCH_r17 recorded
+    // ss7 at 49.5 s — the in-lane IVF k-means build — vs its 0.75 s
+    // steady state). The prelude's own wall time is reported as its
+    // own field, never folded into any lane or the total.
+    val preludeT0 = elapsedSec
+    val preludeSec =
+      try { SessionFixtures.buildAll(spark, sfDir); elapsedSec - preludeT0 }
+      catch { case e: Throwable =>
+        // a failed fixture build surfaces in its lane's timed run (and
+        // the correctness gate); the prelude must not kill the bench
+        System.err.println(s"[bench] prelude failed: ${e.getMessage}")
+        elapsedSec - preludeT0
+      }
     def writeOut(results: Map[String, Double], passesDone: Int): String = {
       val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
         .mkString("{", ",", "}")
       val total = if (results.nonEmpty) results.values.sum else 0.0
+      // warm_only: pass 1 doubles as warmup AND a timed pass; when the
+      // budget fits only that one pass the recorded mins are warm-pass
+      // times (>= steady state) — flagged so the gate can adjudicate
+      // instead of reading a contended warm pass as plan cost
+      val warmOnly = passesDone <= 1
+      val preludeR = math.round(preludeSec * 1000).toDouble / 1000 // locale-free
       val json = s"""{"metric":"total","value":$total,"unit":"sec",""" +
-        s""""queries":$qs,"sf":"$sfDir","passes":$passesDone}"""
+        s""""queries":$qs,"sf":"$sfDir","passes":$passesDone,""" +
+        s""""prelude_sec":$preludeR,"warm_only":$warmOnly}"""
       // The driver truncates stdout (two rounds of BENCH_r{N}
       // parsed:null), so the JSON line ALSO lands in a file it can
       // read whole.
@@ -139,7 +161,7 @@ object Bench {
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val totalR = math.round(total * 1000).toDouble / 1000 // locale-free 3dp
     val compact =
-      s"""{"metric":"total","value":$totalR,"unit":"sec","n_queries":${results.size},"passes":${passes.size},"sf":"$sfDir","detail":"$outFile"}"""
+      s"""{"metric":"total","value":$totalR,"unit":"sec","n_queries":${results.size},"passes":${passes.size},"warm_only":${passes.size <= 1},"sf":"$sfDir","detail":"$outFile"}"""
     println(compact)
   }
 }

@@ -261,9 +261,12 @@ object GraphOps {
     * forward mass).
     */
   def personalizedPagerankReleasable(edges: DataFrame, seeds: DataFrame,
-                                     iters: Int = 3, dampingPct: Int = 85)
+                                     iters: Int = 3, dampingPct: Int = 85,
+                                     checkpointEvery: Int = 1)
       : (DataFrame, () => Unit) = {
     require(iters >= 1, s"iters must be >= 1: $iters")
+    require(checkpointEvery >= 1,
+      s"checkpointEvery must be >= 1: $checkpointEvery")
     val ser = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER
     val e = edges.select(col("a").cast("long").as("a"),
       col("b").cast("long").as("b"))
@@ -287,7 +290,15 @@ object GraphOps {
         when(col("_seed"), lit(init)).otherwise(lit(0L)).as("pr_fixed"))
       .iterCkpt(ser)
     graft.Release(seedNodes)
-    for (_ <- 1 to iters) {
+    // checkpointEvery: the weightedCore knob — every=1 materializes
+    // each round (O(1) lineage, the long-chain shape); every=iters
+    // folds the short chain into ONE lazy multi-shuffle job, halving
+    // the driver-round job count the gr6 lane pays (the r17 driver
+    // run's worst contended entries were exactly these many-tiny-job
+    // iterative lanes). Ranks are identical either way — integer
+    // arithmetic doesn't care how many jobs compute it.
+    var lastCkpt = pr
+    for (i <- 1 to iters) {
       val contrib = pr.filter(col("outdeg") > 0L && col("pr_fixed") > 0L)
         .select(col("id"), expr("pr_fixed div outdeg").as("c"))
         .join(e, col("id") === col("a"))
@@ -299,12 +310,19 @@ object GraphOps {
         .select(col("id"), col("outdeg"), col("is_seed"),
           (when(col("is_seed"), lit(base)).otherwise(lit(0L)) +
             expr(s"(${dampingPct.toLong} * s) div 100")).as("pr_fixed"))
-        .iterCkpt(ser)
-      graft.Release(pr)
-      pr = next
+      if (i % checkpointEvery == 0 || i == iters) {
+        val ck = next.iterCkpt(ser)
+        // only now is the previous checkpoint safe to free: a LAZY
+        // intermediate still reads it until this materialization
+        graft.Release(lastCkpt)
+        lastCkpt = ck
+        pr = ck
+      } else {
+        pr = next
+      }
     }
     graft.Release(e)
-    val last = pr
+    val last = lastCkpt
     val out = last.select(col("id"), col("pr_fixed"),
       (col("pr_fixed").cast("double") / lit(PrScale.toDouble)).as("pr"))
     (out, () => graft.Release(last))
@@ -443,9 +461,19 @@ object GraphOps {
     require(maxHops >= 0, s"maxHops must be >= 0: $maxHops")
     val ser = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER
     val e = undirected(edges).iterCkpt(ser)
-    var dist = seeds.select(col("id")).distinct()
+    // UNION-OF-CHECKPOINTS accumulation (the reachFromSeedsTagged
+    // pattern): each hop checkpoints ONLY its newly-reached (id, dist)
+    // frontier, and the settled set is the lazy union of the per-hop
+    // parts — the previous shape re-materialized the ENTIRE settled
+    // set per round (a second checkpoint job copying all prior hops'
+    // rows again), which is both a driver-round job the gr11 lane
+    // pays per hop and O(settled) redundant storage writes per round
+    // at cluster scale. One checkpoint + one count job per hop now.
+    val parts = scala.collection.mutable.Buffer[DataFrame]()
+    var frontier = seeds.select(col("id")).distinct()
       .withColumn("dist", lit(0)).iterCkpt(ser)
-    var frontier = dist.select("id").iterCkpt(ser)
+    parts += frontier
+    var settledIds = frontier.select("id"): DataFrame
     // the frontier size is already KNOWN each round (the early-stop
     // count), so the expansion join dispatches on it for free: a small
     // frontier broadcasts — the edge list is scanned map-side with NO
@@ -455,36 +483,33 @@ object GraphOps {
     // geocodeAuto dispatch discipline; measured 92.5 s → (see PERF.md
     // bfs) on a 25-round 1M-node lattice where every frontier is 1000
     // rows.
-    var frontierN = dist.count()
+    var frontierN = frontier.count()
     var hop = 0
-    var drained = false
-    while (hop < maxHops && !drained) {
+    while (hop < maxHops && frontierN > 0) {
       hop += 1
-      val f = frontier.withColumnRenamed("id", "a")
+      val f = frontier.select(col("id").as("a"))
       val reached = e
         .join(if (frontierN <= broadcastFrontierMax) broadcast(f) else f,
           "a")
         .select(col("b").as("id")).distinct()
-        .join(dist.select("id"), Seq("id"), "left_anti")
+        .join(settledIds, Seq("id"), "left_anti")
+        .withColumn("dist", lit(hop))
         .iterCkpt(ser)
       frontierN = reached.count()
       if (frontierN == 0) {
         graft.Release(reached)
-        drained = true
       } else {
-        val settled = dist
-          .unionByName(reached.withColumn("dist", lit(hop)))
-          .iterCkpt(ser)
-        graft.Release(dist)
-        graft.Release(frontier)
-        dist = settled
+        parts += reached
+        settledIds = settledIds.unionByName(reached.select("id"))
         frontier = reached
       }
     }
-    graft.Release(frontier)
     graft.Release(e)
-    val last = dist
-    (last, () => graft.Release(last))
+    // Release on a union frame only frees LogicalRDD LEAVES it can see
+    // eagerly — return an explicit all-parts closure (the reachFrom/
+    // SCC discipline) so no generation leaks past the handle.
+    val allParts = parts.toVector
+    (allParts.reduce(_ unionByName _), () => allParts.foreach(graft.Release(_)))
   }
 
   /** Directed multi-source reachability: the settled id set reachable
