@@ -81,6 +81,25 @@ object StreamParity {
     else Paths.get(System.getProperty("java.io.tmpdir"))
   }
 
+  /** Whether drain checkpoints ride the CRC-free [[RawCkptFileSystem]]
+    * (default on; `SPARK_GRAFT_DRAIN_RAWFS=0` restores `file://` for
+    * A/B). See the scheme's scaladoc for why this is semantically free
+    * for ephemeral drain checkpoints.
+    */
+  private val rawFsEnabled: Boolean =
+    sys.env.getOrElse("SPARK_GRAFT_DRAIN_RAWFS", "1") != "0"
+
+  /** Checkpoint-location string for a scratch dir: `rawckpt://` when
+    * enabled (registering the scheme on the session first), else the
+    * plain local path.
+    */
+  private def ckptLocation(spark: SparkSession,
+      p: java.nio.file.Path): String =
+    if (rawFsEnabled) {
+      RawCkptFileSystem.register(spark)
+      RawCkptFileSystem.wrap(p)
+    } else p.toString
+
   /** Run `body` with the session's shuffle partitions pinned to
     * [[DrainStatePartitions]], restoring after. Safe for streaming
     * starts: StreamExecution CLONES the session (and its conf) in its
@@ -207,7 +226,7 @@ object StreamParity {
         df.writeStream
           .format("memory").queryName(name)
           .outputMode(mode)
-          .option("checkpointLocation", ckpt.toString)
+          .option("checkpointLocation", ckptLocation(spark, ckpt))
           .trigger(Trigger.AvailableNow())
           .start()
       }
@@ -259,7 +278,7 @@ object StreamParity {
           .select(col("user_id"), col("ts"), col("event_id"), col("value"))
         withDrainParallelism(spark) {
           StreamingOps.upsertSink(ev, stateDir,
-            root.resolve(s"ck$i").toString, Seq("user_id"), "ts")
+            ckptLocation(spark, root.resolve(s"ck$i")), Seq("user_id"), "ts")
         }.awaitTermination()
       }
       val v = StreamingOps.latestVersion(stateDir)
