@@ -28,6 +28,11 @@ object DrainProbe {
               mode: OutputMode): Unit = {
       val ckpt = java.nio.file.Files.createTempDirectory(
         java.nio.file.Paths.get("/dev/shm"), "graft-probe-")
+      val ckptLoc =
+        if (sys.env.getOrElse("GRAFT_PROBE_RAWFS", "1") != "0") {
+          graft.streaming.RawCkptFileSystem.register(spark)
+          graft.streaming.RawCkptFileSystem.wrap(ckpt)
+        } else ckpt.toString
       val qname = "probe_" + name + "_" + System.nanoTime()
       val prev = spark.conf.get("spark.sql.shuffle.partitions")
       spark.conf.set("spark.sql.shuffle.partitions",
@@ -35,7 +40,7 @@ object DrainProbe {
       val t0 = System.nanoTime()
       val q = df.writeStream.format("memory").queryName(qname)
         .outputMode(mode)
-        .option("checkpointLocation", ckpt.toString)
+        .option("checkpointLocation", ckptLoc)
         .trigger(Trigger.AvailableNow()).start()
       val t1 = System.nanoTime()
       q.awaitTermination()

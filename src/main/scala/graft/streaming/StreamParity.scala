@@ -66,7 +66,8 @@ object StreamParity {
     * Production deployments keep their real partitioning — the pin
     * rides the drain harness, not the operators.
     */
-  val DrainStatePartitions: Int = 2
+  val DrainStatePartitions: Int =
+    sys.env.getOrElse("SPARK_GRAFT_DRAIN_PARTS", "2").toInt
 
   /** Scratch root for drain checkpoints: tmpfs when available. These
     * checkpoints are DELIBERATELY ephemeral — created per drain and
