@@ -1209,13 +1209,39 @@ object DedupOps {
   def lshRecallEval(df: DataFrame, idCol: String, textCol: String,
                     shingleK: Int, numPerm: Int, bands: Int,
                     theta: Double, samplePct: Int,
-                    maxTruthDf: Int = 100000): DataFrame = {
+                    maxTruthDf: Int = 100000): DataFrame =
+    lshRecallEvalReleasable(df, idCol, textCol, shingleK, numPerm, bands,
+      theta, samplePct, maxTruthDf)._1
+
+  /** [[lshRecallEval]] plus the release handle for the staged gram
+    * checkpoint the returned frame reads lazily — the
+    * [[clustersReleasable]] contract. The staging exists for plan
+    * shape, not semantics: the df-tagged gram table feeds FIVE
+    * consumers (size denominators ×2, probe side, build side, and the
+    * frequency join underneath them), and un-staged Catalyst
+    * re-derives the shingle explode + digest for each — the r18 plan
+    * audit measured 10 Generate subtrees / 40 parquet scans in the
+    * dd18 plan, 3.5× the lane's steady cost. One checkpoint of the raw
+    * grams (the shingle explode computed ONCE) plus one of the
+    * df-tagged table turns every downstream consumer into a block
+    * scan; the grams checkpoint is released inline once the tagged
+    * table is materialized. Results are bit-identical (same
+    * expressions, same cap discipline — the oracle replays unchanged).
+    */
+  def lshRecallEvalReleasable(df: DataFrame, idCol: String, textCol: String,
+                    shingleK: Int, numPerm: Int, bands: Int,
+                    theta: Double, samplePct: Int,
+                    maxTruthDf: Int = 100000): (DataFrame, () => Unit) = {
     require(maxTruthDf >= 1, s"maxTruthDf must be >= 1: $maxTruthDf")
-    val grams = df.select(col(idCol).as("_id"),
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER
+    val grams = graft.Ckpt(df.select(col(idCol).as("_id"),
         explode(shingles(col(textCol), shingleK)).as("_s"))
-      .select(col("_id"), unhex(md5(col("_s"))).as("_g"))
+      .select(col("_id"), unhex(md5(col("_s"))).as("_g")),
+      MEMORY_AND_DISK_SER)
     val dfreq = grams.groupBy("_g").agg(count(lit(1)).as("_df"))
-    val tagged = grams.join(dfreq, Seq("_g"))
+    val tagged = graft.Ckpt(grams.join(dfreq, Seq("_g")),
+      MEMORY_AND_DISK_SER)
+    graft.Release(grams) // tagged is materialized; nothing reads grams now
     val sizes = tagged.groupBy("_id").agg(
       sum(when(col("_df") <= maxTruthDf, 1L).otherwise(0L)).as("_n"),
       sum(when(col("_df") > maxTruthDf, 1L).otherwise(0L)).as("_nc"))
@@ -1241,13 +1267,14 @@ object DedupOps {
     val cand = minhashCandidates(df, idCol, textCol, shingleK, numPerm,
         bands)
       .withColumn("_hit", lit(true))
-    truth
+    val out = truth
       .join(cand,
         least(truth("a"), truth("b")) === cand("a") &&
           greatest(truth("a"), truth("b")) === cand("b"), "left")
       .select(truth("a"), truth("b"), col("jaccard"),
         coalesce(col("_hit"), lit(false)).as("caught"),
         col("a_capped"), col("b_capped"))
+    (out, () => graft.Release(tagged))
   }
 
   /** The global bias ledger for a capped [[lshRecallEval]]: one row per

@@ -287,9 +287,13 @@ object DedupQueries {
       // certificates; at sf0.1 most grams cap, exercising the heavy
       // regime) — the capped-universe truth path is what the oracle
       // replays, not the unbounded join the cap replaced
-      DedupOps.lshRecallEval(docs.unionByName(halves), "doc_id", "text",
+      // Releasable + Leases: the staged gram checkpoint is read lazily
+      // by the returned frame (GraphQueries.leased rationale)
+      val (out, rel) = DedupOps.lshRecallEvalReleasable(
+        docs.unionByName(halves), "doc_id", "text",
         shingleK = 3, numPerm = 16, bands = 4, theta = 0.3,
         samplePct = 10, maxTruthDf = 10)
+      graft.Leases.swap("dd18_lsh_recall", rel)(out)
     }),
 
     // The capped eval's bias ledger: every gram the dd18 cap dropped
