@@ -48,6 +48,7 @@ object SessionFixtures {
       "point_index" -> (() => PointIndexFixture.dir(spark, sfDir)),
       "scc_assignment" ->
         (() => graft.queries.SccAssignmentFixture.dir(spark, sfDir)),
+      "zonemap" -> (() => graft.queries.ZonemapFixture.dir(spark, sfDir)),
       "knn5_edges" ->
         (() => graft.queries.KnnEdgesFixture.dir(spark, sfDir, 5)),
       "knn8_edges" ->
