@@ -592,10 +592,17 @@ object MultimodalQueries {
       val batchAssets = MultimodalOps.synthWavTrimAssets(
           documents(s, d), "doc_id")
         .filter(col("asset_id") % 5 === 0)
+      // expectedKeys sizes the bloom + the metadata-pruning branch; the
+      // synth is 1:1 per input row (asset_id = doc_id), so this count
+      // EQUALS batchAssets.count() — computed from the raw documents
+      // table instead, which skips a second full synth+decode pass
+      // (the old eager count re-ran the expensive pipeline just to
+      // size a filter; value identical, so branch and bloom unchanged)
       MultimodalOps.postingContainmentIncremental(
         MultimodalOps.distinctSegmentKeys(batchAssets), dir,
         "asset_id", "skey",
-        expectedKeys = batchAssets.count() * 8L)
+        expectedKeys =
+          documents(s, d).filter(col("doc_id") % 5 === 0).count() * 8L)
     }),
 
     // Incremental CDC-chunk containment (mm23): the third modality on
@@ -610,10 +617,14 @@ object MultimodalQueries {
       val batchAssets = MultimodalOps.synthBinaryTrimAssets(
           documents(s, d), "doc_id")
         .filter(col("asset_id") % 5 === 0)
+      // same identical-value count relocation as mm22: the synth is 1:1
+      // per input row, so counting the raw table skips a second full
+      // synth+decode pass with bit-identical bloom sizing and branch
       MultimodalOps.postingContainmentIncremental(
         MultimodalOps.distinctChunkKeys(batchAssets), dir,
         "asset_id", "chunk_key",
-        expectedKeys = batchAssets.count() * 32L)
+        expectedKeys =
+          documents(s, d).filter(col("doc_id") % 5 === 0).count() * 32L)
     }),
 
     // Cross-modal composite dedup (mm20): CLIP-style (caption, image)
