@@ -2369,11 +2369,18 @@ object MultimodalOps {
 
   /** The video instantiation of [[postingContainmentIncremental]]
     * (mm21): only the batch clips decode; the bloom is sized from
-    * clips × a generous frames-per-clip bound. */
+    * clips × a generous frames-per-clip bound. `expectedClips` lets a
+    * caller that already knows the batch cardinality (e.g. a 1:1 synth
+    * off a keyed table) supply it and skip the eager `batch.count()`,
+    * which re-runs the whole synth pipeline once more just to size the
+    * bloom; -1 keeps the self-counting default. */
   def frameContainmentIncremental(batch: DataFrame, dir: String,
                                   stride: Int = 1, cap: Int = 8,
-                                  minShared: Int = 2): DataFrame =
+                                  minShared: Int = 2,
+                                  expectedClips: Long = -1L): DataFrame =
     postingContainmentIncremental(
       distinctFrameHashes(batch, stride), dir, "asset_id", "fhash",
-      expectedKeys = batch.count() * 64L, cap = cap, minShared = minShared)
+      expectedKeys =
+        (if (expectedClips >= 0L) expectedClips else batch.count()) * 64L,
+      cap = cap, minShared = minShared)
 }

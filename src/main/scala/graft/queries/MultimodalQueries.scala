@@ -401,7 +401,11 @@ object MultimodalQueries {
       val dir = graft.operators.FrameDeleteIndexFixture.dir(s, d)
       val batch = MultimodalOps.synthY4mTrimAssets(documents(s, d), "doc_id")
         .filter(col("asset_id") % 5 === 0)
-      MultimodalOps.frameContainmentIncremental(batch, dir)
+      // 1:1 synth: the batch cardinality comes from the raw table, so
+      // the synth+decode pipeline runs once (mm22/mm23 rationale;
+      // value identical, bloom and pruning branch unchanged)
+      MultimodalOps.frameContainmentIncremental(batch, dir, expectedClips =
+        documents(s, d).filter(col("doc_id") % 5 === 0).count())
     }),
 
     // ID3v2.3 tag extraction (mm31): the metadata layer crawled MP3s
@@ -576,7 +580,11 @@ object MultimodalQueries {
       val dir = graft.operators.FrameIndexFixture.dir(s, d)
       val batch = MultimodalOps.synthY4mTrimAssets(documents(s, d), "doc_id")
         .filter(col("asset_id") % 5 === 0)
-      MultimodalOps.frameContainmentIncremental(batch, dir)
+      // 1:1 synth: the batch cardinality comes from the raw table, so
+      // the synth+decode pipeline runs once (mm22/mm23 rationale;
+      // value identical, bloom and pruning branch unchanged)
+      MultimodalOps.frameContainmentIncremental(batch, dir, expectedClips =
+        documents(s, d).filter(col("doc_id") % 5 === 0).count())
     }),
 
     // Incremental segment-key containment (mm22): mm21's append ≡
