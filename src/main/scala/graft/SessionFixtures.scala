@@ -57,12 +57,29 @@ object SessionFixtures {
         (() => graft.streaming.StreamParity.stageDropDir(sfDir, "events")),
       "stream_stage_documents" ->
         (() => graft.streaming.StreamParity.stageDropDir(sfDir, "documents")),
-      // one empty stateless drain: loads/JITs StreamExecution, the
-      // file-source listing, the memory sink, and the checkpoint-log
-      // classes so the first TIMED st lane doesn't pay them
+      // empty drains: load/JIT StreamExecution, the file-source
+      // listing, the memory sink and checkpoint-log classes — PLUS the
+      // state-store save path (windowed agg) and the symmetric-hash
+      // join path, which the stateless warm never touches (DrainProbe:
+      // first agg drain pays ~1.8 s and first join drain ~1 s of
+      // classload/JIT over steady state; on a warm_only driver box
+      // that lands in the first timed st lane)
       "stream_warm" -> (() => graft.streaming.StreamParity.drainAppend(
         graft.streaming.StreamParity.eventsStream(spark, sfDir)
-          .filter(lit(false)).select(col("event_id"))))
+          .filter(lit(false)).select(col("event_id")))),
+      "stream_warm_agg" -> (() => graft.streaming.StreamParity.drainAppend(
+        graft.streaming.StreamingOps.tumblingStream(
+          graft.streaming.StreamParity.eventsStream(spark, sfDir)
+            .filter(lit(false)), "1 hour"))),
+      "stream_warm_join" -> (() => {
+        val ev = graft.streaming.StreamParity.eventsStream(spark, sfDir)
+          .filter(lit(false))
+        graft.streaming.StreamParity.drainAppend(
+          graft.streaming.StreamingOps.clickAttributionStream(
+            ev.filter(col("event_type") === "click"),
+            ev.filter(col("event_type") === "purchase"),
+            "30 minutes", "2 hours"))
+      })
     )
     builds.foreach { case (_, b) => b() }
     builds.size

@@ -259,7 +259,8 @@ object DataQualityQueries {
     * (pins that every index half landed). */
   private def indexIntegrity(s: SparkSession, dir: String,
                              keyCol: String): DataFrame =
-    s.read.parquet(dir).select(col("asset_id"), col(keyCol))
+    graft.Tables.immutablePath(s, dir)
+      .select(col("asset_id"), col(keyCol))
       .agg(
         count(lit(1)).as("n_rows"),
         count_distinct(struct(col("asset_id"), col(keyCol)))
@@ -276,8 +277,9 @@ object DataQualityQueries {
     * read by its underscore name). */
   private def tombstoneAudit(s: SparkSession, dir: String,
                              keyCol: String): DataFrame = {
-    val idx = s.read.parquet(dir).select(col("asset_id"), col(keyCol))
-    val dead = s.read.parquet(s"$dir/_tombstones")
+    val idx = graft.Tables.immutablePath(s, dir)
+      .select(col("asset_id"), col(keyCol))
+    val dead = graft.Tables.immutablePath(s, s"$dir/_tombstones")
       .select(col("asset_id")).distinct()
     idx.join(broadcast(dead.withColumn("_dead", lit(true))),
         Seq("asset_id"), "left")

@@ -581,9 +581,10 @@ object SccAssignmentFixture {
         }
       }))
 
-  /** The banked (id, scc) table. */
+  /** The banked (id, scc) table (plan-memoized: the artifact is
+    * immutable once marker-built in this process). */
   def assignment(s: SparkSession, d: String): DataFrame =
-    s.read.parquet(
+    graft.Tables.immutablePath(s,
       java.nio.file.Paths.get(dir(s, d), "assign").toString)
 }
 
@@ -623,8 +624,9 @@ object KnnEdgesFixture {
         }
       }))
 
-  /** The banked directed (a, b, sim) top-k edge table. */
+  /** The banked directed (a, b, sim) top-k edge table (plan-memoized:
+    * the artifact is immutable once marker-built in this process). */
   def edges(s: SparkSession, d: String, k: Int): DataFrame =
-    s.read.parquet(
+    graft.Tables.immutablePath(s,
       java.nio.file.Paths.get(dir(s, d, k), "edges").toString)
 }

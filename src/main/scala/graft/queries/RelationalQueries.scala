@@ -381,7 +381,7 @@ object RelationalQueries {
     // in CompactionSpec and its wall time lands in the bench prelude).
     "q28_zonemap" -> ((s, d) => {
       val fx = ZonemapFixture.dir(s, d)
-      val manifest = s.read.parquet(s"$fx/manifest")
+      val manifest = graft.Tables.immutablePath(s, s"$fx/manifest")
       val lo = lit("1997-01-01").cast("timestamp")
       val hi = lit("1997-12-31").cast("timestamp")
       graft.sources.Compaction.zonemapPrunedRead(s, manifest,

@@ -293,7 +293,7 @@ object StreamParityQueries {
     // (stream, corpus) pairs.
     "st16_stream_containment" -> ((s, d) => {
       import graft.operators.{FrameIndexFixture, MultimodalOps}
-      val index = s.read.parquet(FrameIndexFixture.dir(s, d))
+      val index = graft.Tables.immutablePath(s, FrameIndexFixture.dir(s, d))
         .select(col("asset_id").as("b"), col("fhash"))
       val indexN = index.groupBy("fhash").agg(count(lit(1)).as("_in"))
       val probed = index.join(indexN.filter(col("_in") <= 8), Seq("fhash"))
