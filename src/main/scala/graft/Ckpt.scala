@@ -81,7 +81,11 @@ object Ckpt {
       setDirs.stream().anyMatch(d => underDir(file, d))
 
   def apply(df: DataFrame,
-            level: StorageLevel = StorageLevel.MEMORY_AND_DISK): DataFrame = {
+            level: StorageLevel = StorageLevel.MEMORY_AND_DISK): DataFrame =
+    mark(df, level, eager = true)
+
+  private def mark(df: DataFrame, level: StorageLevel,
+                   eager: Boolean): DataFrame = {
     val ck = reliableDir(df) match {
       case Some(dir) =>
         val sc = df.sparkSession.sparkContext
@@ -106,8 +110,8 @@ object Ckpt {
           sc.setCheckpointDir(dir)
         }
         sc.getCheckpointDir.foreach(setDirs.add)
-        df.checkpoint(eager = true)
-      case None => df.localCheckpoint(eager = true, storageLevel = level)
+        df.checkpoint(eager = eager)
+      case None => df.localCheckpoint(eager = eager, storageLevel = level)
     }
     // keep stats (broadcast sizing), drop lazily-propagated origin
     // constraints — they crash Spark 4.1's Union constraint rewrite on
@@ -115,9 +119,35 @@ object Ckpt {
     org.apache.spark.sql.graftshim.CleanLeaf.stripConstraints(ck)
   }
 
+  /** Checkpoint + row count in ONE driver job (r19, guide §2 driver-
+    * round latency). The eager form runs an internal materialization
+    * job and every iterative loop then pays a SECOND job for the
+    * early-stop `count()` — pure scheduling overhead, since the count
+    * only reads the just-persisted blocks. Marking the checkpoint LAZY
+    * and counting immediately materializes the blocks during the count
+    * itself: same rows, same storage, same lineage truncation, half
+    * the driver round-trips per iteration. The returned frame is
+    * FULLY MATERIALIZED on return (the count is an action over every
+    * partition, and local checkpoints finalize in the post-job
+    * `doCheckpoint` hook), so the caller may Release superseded
+    * generations exactly as with the eager form. In reliable mode the
+    * checkpoint files are written by the standard post-action
+    * checkpoint job, as with `checkpoint(eager = true)` — no change in
+    * durability semantics.
+    */
+  def counted(df: DataFrame,
+              level: StorageLevel = StorageLevel.MEMORY_AND_DISK)
+      : (DataFrame, Long) = {
+    val ck = mark(df, level, eager = false)
+    (ck, ck.count())
+  }
+
   implicit final class CkptOps(private val df: DataFrame) extends AnyVal {
     /** `df.iterCkpt(ser)` — postfix form for loop bodies. */
     def iterCkpt(level: StorageLevel): DataFrame = Ckpt(df, level)
     def iterCkpt: DataFrame = Ckpt(df)
+    /** `df.iterCkptCounted(ser)` — checkpoint + count, one job. */
+    def iterCkptCounted(level: StorageLevel): (DataFrame, Long) =
+      Ckpt.counted(df, level)
   }
 }

@@ -176,10 +176,10 @@ object GraphOps {
       col("b").cast("long").as("b"), wChecked.as("w"))
       .filter(col("w") > 0L)
       .iterCkpt(ser)
-    val nodes = e.select(col("a").as("id"))
+    // checkpoint + count fold: one job (Ckpt.counted, r19)
+    val (nodes, n) = e.select(col("a").as("id"))
       .unionByName(e.select(col("b").as("id"))).distinct()
-      .iterCkpt(ser)
-    val n = nodes.count()
+      .iterCkptCounted(ser)
     require(n > 0, "pagerank needs a non-empty edge set")
     val sumw = e.groupBy(col("a").as("id"))
       .agg(sum(col("w")).as("sumw"))
@@ -277,9 +277,9 @@ object GraphOps {
       .agg(count(lit(1)).as("outdeg"))
     val seedIds = seeds.select(col(seeds.columns.head).cast("long")
       .as("id")).distinct()
-    val seedNodes = nodes.join(seedIds, Seq("id"), "left_semi")
-      .iterCkpt(ser)
-    val nSeeds = seedNodes.count()
+    // checkpoint + count fold: one job (Ckpt.counted, r19)
+    val (seedNodes, nSeeds) = nodes.join(seedIds, Seq("id"), "left_semi")
+      .iterCkptCounted(ser)
     require(nSeeds > 0, "no seed intersects the graph's node set")
     val init = PrScale / nSeeds
     val base = (100L - dampingPct) * init / 100L
@@ -405,21 +405,21 @@ object GraphOps {
     require(k >= 1, s"k must be >= 1: $k")
     val ser = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER
     val e = undirected(edges).iterCkpt(ser)
-    var alive = e.select(col("a").as("id")).distinct()
-      .iterCkpt(ser)
-    var aliveN = alive.count()
+    // checkpoint + early-stop count fold to ONE job per round
+    // (Ckpt.counted — r19, guide §2 driver-round latency)
+    var (alive, aliveN) = e.select(col("a").as("id")).distinct()
+      .iterCkptCounted(ser)
     var round = 0
     var stable = false
     while (round < maxRounds && !stable) {
-      val next = e
+      val (next, nextN) = e
         .join(alive.withColumnRenamed("id", "b"), "b")
         .join(alive.withColumnRenamed("id", "a"), "a")
         .groupBy(col("a").as("id"))
         .agg(count(lit(1)).as("deg"))
         .filter(col("deg") >= k)
         .select("id")
-        .iterCkpt(ser)
-      val nextN = next.count()
+        .iterCkptCounted(ser)
       stable = nextN == aliveN
       graft.Release(alive)
       alive = next
@@ -470,8 +470,10 @@ object GraphOps {
     // pays per hop and O(settled) redundant storage writes per round
     // at cluster scale. One checkpoint + one count job per hop now.
     val parts = scala.collection.mutable.Buffer[DataFrame]()
-    var frontier = seeds.select(col("id")).distinct()
-      .withColumn("dist", lit(0)).iterCkpt(ser)
+    // checkpoint + early-stop count fold to ONE job per hop
+    // (Ckpt.counted — r19, guide §2 driver-round latency)
+    var (frontier, frontierN) = seeds.select(col("id")).distinct()
+      .withColumn("dist", lit(0)).iterCkptCounted(ser)
     parts += frontier
     var settledIds = frontier.select("id"): DataFrame
     // the frontier size is already KNOWN each round (the early-stop
@@ -483,19 +485,18 @@ object GraphOps {
     // geocodeAuto dispatch discipline; measured 92.5 s → (see PERF.md
     // bfs) on a 25-round 1M-node lattice where every frontier is 1000
     // rows.
-    var frontierN = frontier.count()
     var hop = 0
     while (hop < maxHops && frontierN > 0) {
       hop += 1
       val f = frontier.select(col("id").as("a"))
-      val reached = e
+      val (reached, n) = e
         .join(if (frontierN <= broadcastFrontierMax) broadcast(f) else f,
           "a")
         .select(col("b").as("id")).distinct()
         .join(settledIds, Seq("id"), "left_anti")
         .withColumn("dist", lit(hop))
-        .iterCkpt(ser)
-      frontierN = reached.count()
+        .iterCkptCounted(ser)
+      frontierN = n
       if (frontierN == 0) {
         graft.Release(reached)
       } else {
@@ -543,11 +544,13 @@ object GraphOps {
       : (DataFrame, () => Unit) = {
     val ser = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER
     val frontiers = scala.collection.mutable.Buffer[DataFrame]()
-    var frontier = seeds.select(col("id").cast("long").as("id"),
-      col("reg").cast("long").as("reg")).distinct().iterCkpt(ser)
+    // checkpoint + early-stop count fold to ONE job per hop
+    // (Ckpt.counted — r19, guide §2 driver-round latency)
+    var (frontier, frontierN) = seeds.select(
+      col("id").cast("long").as("id"),
+      col("reg").cast("long").as("reg")).distinct().iterCkptCounted(ser)
     frontiers += frontier
     var seen = frontier: DataFrame
-    var frontierN = frontier.count()
     var hop = 0
     while (frontierN > 0) {
       hop += 1
@@ -555,13 +558,13 @@ object GraphOps {
         s"reachFromSeedsTagged: frontier not drained after $maxHops hops" +
           " — raise maxHops (a truncated reach would silently split SCCs)")
       val f = frontier.withColumnRenamed("id", "a")
-      val reached = e
+      val (reached, n) = e
         .join(if (frontierN <= broadcastFrontierMax) broadcast(f) else f,
           "a")
         .select(col("b").as("id"), col("reg")).distinct()
         .join(seen.select("id"), Seq("id"), "left_anti")
-        .iterCkpt(ser)
-      frontierN = reached.count()
+        .iterCkptCounted(ser)
+      frontierN = n
       if (frontierN == 0) graft.Release(reached)
       else {
         frontiers += reached
@@ -575,6 +578,19 @@ object GraphOps {
   /** Driver-round telemetry for the last SCC run (PERF.md bookkeeping):
     * the number of multi-pivot rounds the decomposition took. */
   @volatile private[graft] var lastSccPivotRounds: Int = -1
+
+  // dev-only phase tracer (GRAFT_SCC_TRACE=1): wall time per SCC phase,
+  // for the r19 driver-round audit; zero cost when unset
+  private val sccTrace = sys.env.get("GRAFT_SCC_TRACE").contains("1")
+  @inline private def traced[A](name: String)(body: => A): A =
+    if (!sccTrace) body
+    else {
+      val t0 = System.nanoTime()
+      val r = body
+      System.err.println(
+        f"[scc-trace] $name: ${(System.nanoTime() - t0) / 1e9}%.3f s")
+      r
+    }
 
   /** Strongly connected components of a DIRECTED edge frame — the
     * web-graph dedup workhorse (mirror rings, link farms, mutually-
@@ -634,27 +650,16 @@ object GraphOps {
     // still a valid singleton SCC member of the output contract
     var e = rawE.filter(col("a") =!= col("b")).distinct()
       .iterCkpt(ser)
-    var nodes = rawE.select(col("a").as("id"))
+    // checkpoint + count fold: one job (Ckpt.counted, r19)
+    var (nodes, remN) = rawE.select(col("a").as("id"))
       .unionByName(rawE.select(col("b").as("id"))).distinct()
-      .iterCkpt(ser)
-    var remN = nodes.count()
+      .iterCkptCounted(ser)
     // assigned components accumulate as a BUFFER of checkpointed
     // parts unioned lazily at the end — re-checkpointing the growing
     // union per round is the same O(n·rounds) rewrite reachFrom
     // avoids; each part is written once and released through the
     // handle
     val parts = scala.collection.mutable.Buffer[DataFrame]()
-    def subtract(ids: DataFrame): Unit = {
-      val n2 = nodes.join(ids, Seq("id"), "left_anti")
-        .iterCkpt(ser)
-      val e2 = e
-        .join(ids.withColumnRenamed("id", "a"), Seq("a"), "left_anti")
-        .join(ids.withColumnRenamed("id", "b"), Seq("b"), "left_anti")
-        .iterCkpt(ser)
-      graft.Release(nodes); graft.Release(e)
-      nodes = n2; e = e2
-      remN = nodes.count()
-    }
     // MULTI-PIVOT rounds (r16 verdict item 4): one pivot per remaining
     // REGION per round, not one per round globally — the standard
     // parallel FB-trim. Regions start as the weak components of the
@@ -672,7 +677,15 @@ object GraphOps {
     var pivots = 0
     var regNodes: DataFrame = null // (id, reg); null until first pivot
     while (remN > 0) {
-      // trim to fixpoint
+      // trim to fixpoint — 3 driver jobs per peeling round and ONE for
+      // the fixpoint check, down from 5/2 (r18 verdict item 2, guide §2
+      // driver-round latency): the singles checkpoint and its count
+      // fold into one job (Ckpt.counted), and the remaining-node count
+      // is ARITHMETIC (remN - nSingles — the peel partitions nodes
+      // exactly), never a re-count job. The node/edge subtract
+      // checkpoints stay one job each (each must materialize before its
+      // predecessor is released — the O(current-round) state
+      // discipline).
       var trimming = true
       var tr = 0
       while (trimming && remN > 0) {
@@ -680,14 +693,30 @@ object GraphOps {
         require(tr <= maxTrimRounds,
           s"SCC trim did not drain in $maxTrimRounds rounds — tendril " +
             "chains deeper than the cap; raise maxTrimRounds")
+        traced(s"trim round $tr") {
         val core = e.select(col("a").as("id")).distinct()
           .join(e.select(col("b").as("id")).distinct(), Seq("id"))
-        val singles = nodes.join(core, Seq("id"), "left_anti")
-          .withColumn("scc", col("id")).iterCkpt(ser)
-        if (singles.count() == 0) { trimming = false; graft.Release(singles) }
+        val (singles, nSingles) = nodes.join(core, Seq("id"), "left_anti")
+          .withColumn("scc", col("id")).iterCkptCounted(ser)
+        if (nSingles == 0) { trimming = false; graft.Release(singles) }
         else {
           parts += singles
-          subtract(singles.select("id"))
+          val ids = singles.select("id")
+          // independent materializations off the same parents —
+          // overlap them (guide §2.6); release the parents only after
+          // BOTH successors are materialized
+          val e2F = scala.concurrent.Future(e
+            .join(ids.withColumnRenamed("id", "a"), Seq("a"), "left_anti")
+            .join(ids.withColumnRenamed("id", "b"), Seq("b"), "left_anti")
+            .iterCkpt(ser))(scala.concurrent.ExecutionContext.global)
+          val n2 = nodes.join(ids, Seq("id"), "left_anti")
+            .iterCkpt(ser)
+          val e2 = scala.concurrent.Await.result(e2F,
+            scala.concurrent.duration.Duration.Inf)
+          graft.Release(nodes); graft.Release(e)
+          nodes = n2; e = e2
+          remN = remN - nSingles
+        }
         }
       }
       if (remN > 0) {
@@ -697,10 +726,11 @@ object GraphOps {
             "has deeper FB recursion than the cap; raise maxPivotRounds")
         if (regNodes == null) {
           // seed: one region per weak component of the trimmed core
-          val (cc, relCc) = DedupOps.clustersAutoReleasable(e)
-          regNodes = nodes.join(
+          val (cc, relCc) = traced("cc seeding")(
+            DedupOps.clustersAutoReleasable(e))
+          regNodes = traced("regNodes ckpt")(nodes.join(
             cc.select(col("member").as("id"), col("cluster_rep").as("reg")),
-            Seq("id")).iterCkpt(ser)
+            Seq("id")).iterCkpt(ser))
           relCc()
         } else {
           // trim since last round may have removed region members
@@ -710,16 +740,28 @@ object GraphOps {
         // pivot = min id per region: a 2-column aggregate, no collect.
         // pid IS its SCC's min (pid ∈ its SCC ⊆ its region, and pid is
         // the region min), preserving the output contract.
-        val pvts = regNodes.groupBy(col("reg"))
-          .agg(min(col("id")).as("pid")).iterCkpt(ser)
+        val pvts = traced("pivot agg")(regNodes.groupBy(col("reg"))
+          .agg(min(col("id")).as("pid")).iterCkpt(ser))
         val seeds = pvts.select(col("pid").as("id"), col("reg"))
-        val (fwd, relF) = reachFromSeedsTagged(e, seeds, maxHops)
-        val (bwd, relB) = reachFromSeedsTagged(
-          e.select(col("b").as("a"), col("a").as("b")), seeds, maxHops)
-        val scc = fwd.join(bwd.select("id"), Seq("id"))
+        // the two reaches are INDEPENDENT BFS loops over the same
+        // materialized edge checkpoint — overlap them on two driver
+        // threads (guide §2.6) so the wall cost is max(fwd, bwd), not
+        // the sum: each loop is a chain of tiny driver-synchronous
+        // frontier jobs whose tasks nowhere near fill the executors,
+        // and the results are deterministic regardless of interleaving
+        // (disjoint checkpoints, no shared mutable state).
+        val bwdF = scala.concurrent.Future(traced("bwd reach")(
+          reachFromSeedsTagged(
+            e.select(col("b").as("a"), col("a").as("b")), seeds, maxHops)))(
+          scala.concurrent.ExecutionContext.global)
+        val (fwd, relF) = traced("fwd reach")(
+          reachFromSeedsTagged(e, seeds, maxHops))
+        val (bwd, relB) = scala.concurrent.Await.result(bwdF,
+          scala.concurrent.duration.Duration.Inf)
+        val scc = traced("scc ckpt")(fwd.join(bwd.select("id"), Seq("id"))
           .join(pvts, Seq("reg"))
           .select(col("id"), col("pid").as("scc"))
-          .iterCkpt(ser)
+          .iterCkpt(ser))
         parts += scc
         // FB refinement of the remaining nodes; relabel by min id so
         // region labels never grow past a long
@@ -741,17 +783,25 @@ object GraphOps {
         // subtract assigned nodes; rebuild edges INTRA-REGION only
         // (regNext covers exactly the unassigned nodes, so the join
         // also drops assigned endpoints — no separate anti join)
-        val n2 = nodes.join(assigned, Seq("id"), "left_anti").iterCkpt(ser)
-        val e2 = e
+        // checkpoint + count fold: one job (Ckpt.counted, r19);
+        // node subtract and edge rebuild are independent — overlap
+        // (guide §2.6), release parents only after both materialize
+        val e2F = scala.concurrent.Future(traced("pivot edge rebuild")(e
           .join(regNext.select(col("id").as("a"), col("reg").as("rega")),
             Seq("a"))
           .join(regNext.select(col("id").as("b"), col("reg").as("regb")),
             Seq("b"))
           .filter(col("rega") === col("regb"))
-          .select(col("a"), col("b")).iterCkpt(ser)
+          .select(col("a"), col("b")).iterCkpt(ser)))(
+          scala.concurrent.ExecutionContext.global)
+        val (n2, n2N) = traced("pivot subtract")(
+          nodes.join(assigned, Seq("id"), "left_anti")
+          .iterCkptCounted(ser))
+        val e2 = scala.concurrent.Await.result(e2F,
+          scala.concurrent.duration.Duration.Inf)
         graft.Release(nodes); graft.Release(e); graft.Release(regNodes)
         nodes = n2; e = e2; regNodes = regNext
-        remN = nodes.count()
+        remN = n2N
       }
     }
     lastSccPivotRounds = pivots
@@ -828,9 +878,15 @@ object GraphOps {
     val coreId = top(0).getLong(0)
     val coreNodes = scc.filter(col("scc") === coreId)
       .select(col("id")).iterCkpt(ser)
+    // independent BFS loops over the same materialized edge checkpoint
+    // — overlap on two driver threads (guide §2.6, the SCC pivot
+    // discipline): wall cost max(fwd, bwd), deterministic results
+    val bwdF = scala.concurrent.Future(reachFromSeeds(
+      e.select(col("b").as("a"), col("a").as("b")), coreNodes, maxHops))(
+      scala.concurrent.ExecutionContext.global)
     val (fwd, relF) = reachFromSeeds(e, coreNodes, maxHops)
-    val (bwd, relB) = reachFromSeeds(
-      e.select(col("b").as("a"), col("a").as("b")), coreNodes, maxHops)
+    val (bwd, relB) = scala.concurrent.Await.result(bwdF,
+      scala.concurrent.duration.Duration.Inf)
     val cls = scc.select(col("id"), (col("scc") === coreId).as("_c"))
       .join(fwd.select(col("id"), lit(true).as("_f")), Seq("id"), "left")
       .join(bwd.select(col("id"), lit(true).as("_b")), Seq("id"), "left")
