@@ -189,7 +189,8 @@ object DedupOps {
     */
   def dedupIncremental(batch: DataFrame, dir: String, idCol: String,
                        textCol: String, shingleK: Int = 1, numPerm: Int = 16,
-                       bands: Int = 4): DataFrame = {
+                       bands: Int = 4,
+                       immutable: Boolean = false): DataFrame = {
     val spark = batch.sparkSession
     val newBanded = bandRows(batch, idCol, textCol, shingleK, numPerm,
       bands)
@@ -201,7 +202,11 @@ object DedupOps {
     // join) is the cheaper trade
     val bloom = BloomJoin.buildBloom(newBanded, key,
       math.max(batch.count() * bands, 1L))
-    val index = spark.read.parquet(dir)
+    // immutable = true: the banked index is a marker-gated fixture
+    // never rewritten in-process — route through the resolved-relation
+    // memo; ingest loops that re-bank between probes keep direct reads
+    val index = (if (immutable) graft.Tables.immutablePath(spark, dir)
+                 else spark.read.parquet(dir))
       .filter(BloomJoin.mightContain(bloom, key))
       .select(col("_id").as("_old"), col("_band"), col("_bh"))
     newBanded.join(index, Seq("_band", "_bh"))
@@ -472,12 +477,14 @@ object DedupOps {
       : (DataFrame, () => Unit) = {
     // Ckpt, not bare localCheckpoint: reliable mode must cover the
     // staging/count pass too (advisor r17; GraphX-internal exposure
-    // documented on clustersReleasable)
-    val e = graft.Ckpt(pairs.select(col(aCol).cast("long").as("a"),
+    // documented on clustersReleasable). Checkpoint + selector count
+    // fold to ONE job (Ckpt.counted, r19).
+    val (e, eN) = graft.Ckpt.counted(
+      pairs.select(col(aCol).cast("long").as("a"),
         col(bCol).cast("long").as("b"))
       .filter(col("a") =!= col("b")))
     val (out, relInner) =
-      if (e.count() <= maxGraphxEdges) clustersGraphxReleasable(e)
+      if (eN <= maxGraphxEdges) clustersGraphxReleasable(e)
       else clustersDataFrameReleasable(e)
     (out, () => { relInner(); graft.Release(e) })
   }
@@ -517,12 +524,16 @@ object DedupOps {
                         bCol: String = "b"): (DataFrame, () => Unit) = {
     val ckptLevel = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER
     // Canonical directed edges hi→lo (hi > lo), self-loops dropped.
-    var e = pairs.select(
+    // checkpoint + convergence count fold to ONE job per round
+    // (Ckpt.counted, r19): the count-equality convergence test reuses
+    // the materializing count instead of scheduling its own job, and
+    // the superseded round's count is carried, never re-asked.
+    var (e, eN) = pairs.select(
         greatest(col(aCol).cast("long"), col(bCol).cast("long")).as("hi"),
         least(col(aCol).cast("long"), col(bCol).cast("long")).as("lo"))
       .filter(col("hi") =!= col("lo")).distinct()
-      .iterCkpt(ckptLevel)
-    var converged = e.isEmpty
+      .iterCkptCounted(ckptLevel)
+    var converged = eN == 0
     while (!converged) {
       // large-star: for every node u, connect each LARGER neighbor v to
       // the minimum m of u's full neighborhood (m <= u < v).
@@ -537,22 +548,23 @@ object DedupOps {
       // small-star: on hi→lo edges, reattach hi and all its smaller
       // neighbors to the minimum lo.
       val minLo = large.groupBy("hi").agg(min(col("lo")).as("m"))
-      val next = large.join(minLo, "hi")
+      val (next, nextN) = large.join(minLo, "hi")
         .select(col("lo").as("hi"), col("m").as("lo"))
         .unionAll(minLo.select(col("hi"), col("m").as("lo")))
         .filter(col("hi") =!= col("lo")).distinct()
-        .iterCkpt(ckptLevel)
+        .iterCkptCounted(ckptLevel)
       // Both sides are distinct sets, so |next| == |e| plus next ⊆ e
       // implies equality; the cheap count-equality test short-circuits
       // the except in the early rounds where the edge set is still
       // shrinking.
-      converged = next.count() == e.count() && next.except(e).isEmpty
+      converged = nextN == eN && next.except(e).isEmpty
       // `next` is fully materialized; drop the superseded round's blocks
       // so live checkpoint state stays O(1) edge sets, not O(rounds).
       // Release, not Dataset.unpersist: the latter no-ops on a
       // checkpointed frame (CacheManager never saw the RDD persist).
       graft.Release(e)
       e = next
+      eN = nextN
     }
     // Fixed point is a star forest hi→componentMin; add the roots.
     val fixed = e
@@ -943,7 +955,8 @@ object DedupOps {
     * operator, restricted to batch documents.
     */
   def exactSubstringStatsIncremental(batch: DataFrame, dir: String,
-      idCol: String, textCol: String, minTokens: Int): DataFrame = {
+      idCol: String, textCol: String, minTokens: Int,
+      immutable: Boolean = false): DataFrame = {
     val spark = batch.sparkSession
     val src = batch.filter(col(textCol).isNotNull)
     val grams = src.select(col(idCol),
@@ -959,7 +972,8 @@ object DedupOps {
       .collect()(0).getLong(0)
     val bloom = BloomJoin.buildBloom(grams, col("gram"),
       math.max(approxGrams, 1L))
-    val bank = spark.read.parquet(dir)
+    val bank = (if (immutable) graft.Tables.immutablePath(spark, dir)
+                else spark.read.parquet(dir))
       .filter(BloomJoin.mightContain(bloom, col("gram")))
       .select(col("gram"))
     val hit = grams.join(bank, Seq("gram"), "left_semi")
@@ -987,7 +1001,8 @@ object DedupOps {
     * words report zero grams and a null rate in-band.
     */
   def gramNoveltyReport(batch: DataFrame, dir: String, idCol: String,
-      textCol: String, minTokens: Int): DataFrame = {
+      textCol: String, minTokens: Int,
+      immutable: Boolean = false): DataFrame = {
     val spark = batch.sparkSession
     val src = batch.filter(col(textCol).isNotNull)
     val grams = src.select(col(idCol),
@@ -999,7 +1014,8 @@ object DedupOps {
       .collect()(0).getLong(0)
     val bloom = BloomJoin.buildBloom(grams, col("gram"),
       math.max(approxGrams, 1L))
-    val bank = spark.read.parquet(dir)
+    val bank = (if (immutable) graft.Tables.immutablePath(spark, dir)
+                else spark.read.parquet(dir))
       .filter(BloomJoin.mightContain(bloom, col("gram")))
       .select(col("gram"))
     val novel = grams.join(bank, Seq("gram"), "left_anti")
@@ -1149,6 +1165,43 @@ object DedupOps {
       .select(col("a"), col("b"), col("n_shared"), col("containment"))
   }
 
+  /** [[containmentPairs]] with the posting table CHECKPOINTED between
+    * its two consumers instead of riding the ReusedExchange — the dd18
+    * staging shape, kept as an A/B variant (Dd12AB probe, r18 verdict
+    * item 4). Result-identical by construction (same posting lists,
+    * same arithmetic); only the materialization boundary differs. The
+    * PRODUCTION form stays [[containmentPairs]] — measured faster at
+    * both 500 k synthetic docs (r17, +9 % for the staged form) and the
+    * dd12 lane's sf0.1 input (r19: see OPTIMIZATION_r19.md).
+    */
+  private[graft] def containmentPairsStagedReleasable(df: DataFrame,
+      idCol: String, textCol: String, k: Int, threshold: Double,
+      maxDf: Int): (DataFrame, () => Unit) = {
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER
+    val sh = df.select(col(idCol),
+      graft.functions.ShingleGen.shingleGen(col(textCol), k,
+        distinct = true)).toDF(idCol, "_s")
+    val postings = graft.Ckpt(sh.groupBy(col("_s"))
+      .agg(graft.functions.BoundedCollect
+        .boundedCollectList(col(idCol), maxDf + 1).as("_ids"))
+      .filter(size(col("_ids")) <= maxDf)
+      .select(col("_ids")), MEMORY_AND_DISK_SER)
+    val nA = postings.select(explode(col("_ids")).as(idCol))
+      .groupBy(col(idCol)).agg(count(lit(1)).as("n_a"))
+    val pairs = postings
+      .select(explode(col("_ids")).as("a"), col("_ids"))
+      .select(col("a"), explode(col("_ids")).as("b"))
+      .filter(col("a") =!= col("b"))
+      .groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("n_shared"))
+    val out = pairs.join(nA.select(col(idCol).as("a"), col("n_a")), Seq("a"))
+      .withColumn("containment",
+        round(col("n_shared").cast("double") / col("n_a"), 4))
+      .filter(col("containment") >= threshold)
+      .select(col("a"), col("b"), col("n_shared"), col("containment"))
+    (out, () => graft.Release(postings))
+  }
+
   /** Blocked n-gram Jaccard similarity pairs: self-join restricted to a
     * caller-supplied blocking key (e.g. a text prefix, an LSH band, a
     * length bucket), Jaccard over distinct word sets, threshold filter.
@@ -1209,9 +1262,17 @@ object DedupOps {
   def lshRecallEval(df: DataFrame, idCol: String, textCol: String,
                     shingleK: Int, numPerm: Int, bands: Int,
                     theta: Double, samplePct: Int,
-                    maxTruthDf: Int = 100000): DataFrame =
-    lshRecallEvalReleasable(df, idCol, textCol, shingleK, numPerm, bands,
-      theta, samplePct, maxTruthDf)._1
+                    maxTruthDf: Int = 100000): DataFrame = {
+    val (out, rel) = lshRecallEvalReleasable(df, idCol, textCol, shingleK,
+      numPerm, bands, theta, samplePct, maxTruthDf)
+    // Park the handle instead of discarding it (advisor r18): a
+    // discarded handle leaks the tagged checkpoint's blocks per call —
+    // and in reliable mode (spark.graft.checkpoint.dir) its FILES,
+    // permanently. The deferred-by-one swap frees the previous call's
+    // checkpoint once its frame has been consumed; the last one is
+    // freed by Leases.releaseAll or the next call.
+    graft.Leases.swap("dedupops.lshRecallEval", rel)(out)
+  }
 
   /** [[lshRecallEval]] plus the release handle for the staged gram
     * checkpoint the returned frame reads lazily — the
