@@ -148,7 +148,7 @@ object IvfFixture {
     val dir = ivfDeleteDir(spark, sfDir)
     val emb = graft.Tables.embeddings(spark, sfDir)
     IvfIndex.search(spark, dir, emb.filter(col("vec_id") < 10),
-      5, nProbe = 3, kernel = kernel)
+      5, nProbe = 3, kernel = kernel, immutable = true)
   }
 
   /** ss19's search half: ss14's query set against the appended index. */
@@ -156,7 +156,8 @@ object IvfFixture {
     val dir = ivfPqAppendDir(spark, sfDir)
     val emb = graft.Tables.embeddings(spark, sfDir)
     IvfIndex.searchPq(spark, dir, emb.filter(col("vec_id") < 10),
-      k = 5, nProbe = 3, m = 2, subDim = 32, kernel = kernel)
+      k = 5, nProbe = 3, m = 2, subDim = 32, kernel = kernel,
+      immutable = true)
   }
 
   /** ss18's search half: ss7's query set against the appended index. */
@@ -164,7 +165,7 @@ object IvfFixture {
     val dir = ivfAppendDir(spark, sfDir)
     val emb = graft.Tables.embeddings(spark, sfDir)
     IvfIndex.search(spark, dir, emb.filter(col("vec_id") < 10),
-      5, nProbe = 3, kernel = kernel)
+      5, nProbe = 3, kernel = kernel, immutable = true)
   }
 
   /** ss7's search half against the memoized index. */
@@ -172,7 +173,7 @@ object IvfFixture {
     val dir = ivfDir(spark, sfDir)
     val emb = graft.Tables.embeddings(spark, sfDir)
     IvfIndex.search(spark, dir, emb.filter(col("vec_id") < 10),
-      5, nProbe = 3, kernel = kernel)
+      5, nProbe = 3, kernel = kernel, immutable = true)
   }
 
   /** ss14's search half against the memoized index. */
@@ -180,7 +181,8 @@ object IvfFixture {
     val dir = ivfPqDir(spark, sfDir)
     val emb = graft.Tables.embeddings(spark, sfDir)
     IvfIndex.searchPq(spark, dir, emb.filter(col("vec_id") < 10),
-      k = 5, nProbe = 3, m = 2, subDim = 32, kernel = kernel)
+      k = 5, nProbe = 3, m = 2, subDim = 32, kernel = kernel,
+      immutable = true)
   }
 }
 

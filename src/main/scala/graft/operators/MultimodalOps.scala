@@ -2139,11 +2139,15 @@ object MultimodalOps {
       .parquet(s"$dir/_tombstones")
 
   private def postingTombstones(spark: org.apache.spark.sql.SparkSession, dir: String,
-                                idCol: String): Option[DataFrame] = {
+                                idCol: String,
+                                immutable: Boolean = false)
+      : Option[DataFrame] = {
     val path = new org.apache.hadoop.fs.Path(s"$dir/_tombstones")
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(path))
-      Some(spark.read.parquet(path.toString).select(col(idCol)).distinct())
+      Some((if (immutable) graft.Tables.immutablePath(spark, path.toString)
+            else spark.read.parquet(path.toString))
+        .select(col(idCol)).distinct())
     else None
   }
 
@@ -2283,7 +2287,17 @@ object MultimodalOps {
   def postingContainmentIncremental(batchFp: DataFrame, dir: String,
                                     idCol: String, keyCol: String,
                                     expectedKeys: Long, cap: Int = 8,
-                                    minShared: Int = 2): DataFrame = {
+                                    minShared: Int = 2,
+                                    immutable: Boolean = false)
+      : DataFrame = {
+    // immutable = true routes the index reads through the per-session
+    // resolved-relation memo (Tables.immutablePath) — ONLY for callers
+    // whose dir is a marker-gated fixture never rewritten in-process
+    // (the mm21/22/23/28 lanes); anything that appends/deletes/vacuums
+    // between probes keeps the direct read (r18 verdict item 5)
+    def readIdx(path: String): DataFrame =
+      if (immutable) graft.Tables.immutablePath(batchFp.sparkSession, path)
+      else batchFp.sparkSession.read.parquet(path)
     val spark = batchFp.sparkSession
     // no persist of the batch side: a cached plan would leak a
     // CacheManager entry per ingest in the steady-state loop, and the
@@ -2305,8 +2319,8 @@ object MultimodalOps {
         val bkts = batchFp
           .select(pmod(xxhash64(col(keyCol)), lit(b.toLong)).as("_bkt"))
           .distinct().collect().map(_.getLong(0)).toSeq
-        spark.read.parquet(dir).filter(col("_bkt").isin(bkts: _*))
-      case _ => spark.read.parquet(dir)
+        readIdx(dir).filter(col("_bkt").isin(bkts: _*))
+      case _ => readIdx(dir)
     }
     val unmasked = pruned
       .filter(BloomJoin.mightContain(bloom, col(keyCol)))
@@ -2316,7 +2330,7 @@ object MultimodalOps {
     // the deleted assets would see (mm28 hash-gates delete ≡ rebuild).
     // Broadcast anti-join — the tombstone set is an id list bounded by
     // vacuum cadence, the ss22 trade.
-    val index = postingTombstones(spark, dir, idCol) match {
+    val index = postingTombstones(spark, dir, idCol, immutable) match {
       case Some(ts) => unmasked.join(broadcast(ts), Seq(idCol), "left_anti")
       case None => unmasked
     }
@@ -2377,10 +2391,11 @@ object MultimodalOps {
   def frameContainmentIncremental(batch: DataFrame, dir: String,
                                   stride: Int = 1, cap: Int = 8,
                                   minShared: Int = 2,
-                                  expectedClips: Long = -1L): DataFrame =
+                                  expectedClips: Long = -1L,
+                                  immutable: Boolean = false): DataFrame =
     postingContainmentIncremental(
       distinctFrameHashes(batch, stride), dir, "asset_id", "fhash",
       expectedKeys =
         (if (expectedClips >= 0L) expectedClips else batch.count()) * 64L,
-      cap = cap, minShared = minShared)
+      cap = cap, minShared = minShared, immutable = immutable)
 }

@@ -322,7 +322,8 @@ object SpatialOps {
     */
   def radiusJoinIncremental(batch: DataFrame, dir: String, idCol: String,
                             xCol: String, yCol: String, radius: Long,
-                            expectedCells: Long): DataFrame = {
+                            expectedCells: Long,
+                            immutable: Boolean = false): DataFrame = {
     val spark = batch.sparkSession
     val (cell, tile, grid) = gridMeta(dir)
     require(radius > 0 && radius <= cell,
@@ -350,7 +351,10 @@ object SpatialOps {
     val probeBkts = probes
       .select(tileBucket(col("_cx"), col("_cy"), tile, grid).as("_bkt"))
       .distinct().collect().map(_.getLong(0)).toSeq
-    val index = spark.read.parquet(dir)
+    // immutable = true: marker-gated point-index fixture, never
+    // rewritten in-process — resolved-relation memo (r18 verdict item 5)
+    val index = (if (immutable) graft.Tables.immutablePath(spark, dir)
+                 else spark.read.parquet(dir))
       .filter(col("_bkt").isin(probeBkts: _*))
       .filter(BloomJoin.mightContain(bloom,
         xxhash64(col("_cx"), col("_cy"))))

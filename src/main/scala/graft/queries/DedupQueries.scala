@@ -49,7 +49,8 @@ object DedupQueries {
       val dir = BandIndexFixture.dir(s, d)
       DedupOps.dedupIncremental(
         documents(s, d).filter(col("source") === "src0"),
-        dir, "doc_id", "text", shingleK = 3, numPerm = 16, bands = 4)
+        dir, "doc_id", "text", shingleK = 3, numPerm = 16, bands = 4,
+        immutable = true)
     }),
 
     // Cross-document span dedup (C4/RefinedWeb-style): 8-word windows,
@@ -106,7 +107,7 @@ object DedupQueries {
             when(col("doc_id") % 2 === 0, lit(" " + boiler))
               .otherwise(lit(""))).as("text"))
       DedupOps.exactSubstringStatsIncremental(batch, bank, "doc_id",
-        "text", minTokens = 6)
+        "text", minTokens = 6, immutable = true)
     }),
 
     // Gram-novelty telemetry (dd22): the src0 batch's share of
@@ -119,7 +120,7 @@ object DedupQueries {
         documents(s, d).filter(col("source") === "src0")
           .select(col("doc_id"), col("text")),
         graft.operators.SubstrBankFixture.dir(s, d), "doc_id", "text",
-        minTokens = 6)),
+        minTokens = 6, immutable = true)),
 
     // Directional containment: corpus + 20-word excerpts of the first
     // 50 docs at doc_id+20000 — every excerpt is fully contained in its

@@ -405,7 +405,8 @@ object MultimodalQueries {
       // the synth+decode pipeline runs once (mm22/mm23 rationale;
       // value identical, bloom and pruning branch unchanged)
       MultimodalOps.frameContainmentIncremental(batch, dir, expectedClips =
-        documents(s, d).filter(col("doc_id") % 5 === 0).count())
+        documents(s, d).filter(col("doc_id") % 5 === 0).count(),
+        immutable = true)
     }),
 
     // ID3v2.3 tag extraction (mm31): the metadata layer crawled MP3s
@@ -584,7 +585,8 @@ object MultimodalQueries {
       // the synth+decode pipeline runs once (mm22/mm23 rationale;
       // value identical, bloom and pruning branch unchanged)
       MultimodalOps.frameContainmentIncremental(batch, dir, expectedClips =
-        documents(s, d).filter(col("doc_id") % 5 === 0).count())
+        documents(s, d).filter(col("doc_id") % 5 === 0).count(),
+        immutable = true)
     }),
 
     // Incremental segment-key containment (mm22): mm21's append ≡
@@ -610,7 +612,8 @@ object MultimodalQueries {
         MultimodalOps.distinctSegmentKeys(batchAssets), dir,
         "asset_id", "skey",
         expectedKeys =
-          documents(s, d).filter(col("doc_id") % 5 === 0).count() * 8L)
+          documents(s, d).filter(col("doc_id") % 5 === 0).count() * 8L,
+        immutable = true)
     }),
 
     // Incremental CDC-chunk containment (mm23): the third modality on
@@ -632,7 +635,8 @@ object MultimodalQueries {
         MultimodalOps.distinctChunkKeys(batchAssets), dir,
         "asset_id", "chunk_key",
         expectedKeys =
-          documents(s, d).filter(col("doc_id") % 5 === 0).count() * 32L)
+          documents(s, d).filter(col("doc_id") % 5 === 0).count() * 32L,
+        immutable = true)
     }),
 
     // Cross-modal composite dedup (mm20): CLIP-style (caption, image)

@@ -192,7 +192,8 @@ object SpatialQueries {
       val batch = PointIndexFixture.withCoords(customer(s, d))
         .filter(col("c_custkey") % 5 === 0)
       SpatialOps.radiusJoinIncremental(batch, dir, "c_custkey",
-          "cx", "cy", radius = 25000L, expectedCells = 200000L)
+          "cx", "cy", radius = 25000L, expectedCells = 200000L,
+          immutable = true)
         .select("a", "b", "d2")
     })
   )
