@@ -34,6 +34,18 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
       "/root/repo/BENCH.json")
+    // Per-cpu-count twin of the detail file (r18 verdict item 6): the
+    // driver runs the bench at two core counts and the second run's
+    // detail OVERWROTE the first's in BENCH.json, losing the c32
+    // per-query map except in a truncated stdout tail. Every write goes
+    // to BOTH the contract path (unchanged) and a `_c$cpus` sibling, so
+    // each core count's per-query detail survives the other run.
+    val outFileCpu = {
+      val dot = outFile.lastIndexOf('.')
+      if (dot > 0) outFile.substring(0, dot) + s"_c$cpus" +
+        outFile.substring(dot)
+      else outFile + s"_c$cpus"
+    }
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -93,8 +105,12 @@ object Bench {
     // steady state). The prelude's own wall time is reported as its
     // own field, never folded into any lane or the total.
     val preludeT0 = elapsedSec
+    var preludeDetail: Seq[(String, Double)] = Seq.empty
     val preludeSec =
-      try { SessionFixtures.buildAll(spark, sfDir); elapsedSec - preludeT0 }
+      try {
+        preludeDetail = SessionFixtures.buildAllDetail(spark, sfDir)
+        elapsedSec - preludeT0
+      }
       catch { case e: Throwable =>
         // a failed fixture build surfaces in its lane's timed run (and
         // the correctness gate); the prelude must not kill the bench
@@ -111,14 +127,24 @@ object Bench {
       // instead of reading a contended warm pass as plan cost
       val warmOnly = passesDone <= 1
       val preludeR = math.round(preludeSec * 1000).toDouble / 1000 // locale-free
+      // per-fixture breakdown (r18 verdict item 7): diffable prelude
+      val pd = preludeDetail.map { case (k, v) =>
+        "\"" + k + "\":" + math.round(v * 1000).toDouble / 1000
+      }.mkString("{", ",", "}")
       val json = s"""{"metric":"total","value":$total,"unit":"sec",""" +
         s""""queries":$qs,"sf":"$sfDir","passes":$passesDone,""" +
-        s""""prelude_sec":$preludeR,"warm_only":$warmOnly}"""
+        s""""cpus":$cpus,"prelude_sec":$preludeR,""" +
+        s""""prelude_detail":$pd,"warm_only":$warmOnly}"""
       // The driver truncates stdout (two rounds of BENCH_r{N}
       // parsed:null), so the JSON line ALSO lands in a file it can
-      // read whole.
-      try java.nio.file.Files.writeString(
-        java.nio.file.Paths.get(outFile), json + "\n")
+      // read whole — plus the per-cpu sibling, so two core counts'
+      // details never clobber each other.
+      try {
+        java.nio.file.Files.writeString(
+          java.nio.file.Paths.get(outFile), json + "\n")
+        java.nio.file.Files.writeString(
+          java.nio.file.Paths.get(outFileCpu), json + "\n")
+      }
       catch { case _: Throwable => }
       json
     }

@@ -28,8 +28,11 @@ object DrainProbe {
               mode: OutputMode): Unit = {
       val ckpt = java.nio.file.Files.createTempDirectory(
         java.nio.file.Paths.get("/dev/shm"), "graft-probe-")
+      // same knob as the harness it probes (SPARK_GRAFT_DRAIN_RAWFS) —
+      // the probe-only GRAFT_PROBE_RAWFS alias is kept for old notes
       val ckptLoc =
-        if (sys.env.getOrElse("GRAFT_PROBE_RAWFS", "1") != "0") {
+        if (sys.env.getOrElse("SPARK_GRAFT_DRAIN_RAWFS",
+            sys.env.getOrElse("GRAFT_PROBE_RAWFS", "1")) != "0") {
           graft.streaming.RawCkptFileSystem.register(spark)
           graft.streaming.RawCkptFileSystem.wrap(ckpt)
         } else ckpt.toString

@@ -31,7 +31,18 @@ object SessionFixtures {
     * fixture builds forced (all of them — memoized builds return
     * instantly, so calling this twice is free).
     */
-  def buildAll(spark: SparkSession, sfDir: String): Int = {
+  def buildAll(spark: SparkSession, sfDir: String): Int =
+    buildAllDetail(spark, sfDir).size
+
+  /** [[buildAll]] with a per-fixture wall-time breakdown, in build
+    * order — the r18 verdict's prelude watch item: the untimed prelude
+    * is where timed work would quietly migrate if discipline slipped,
+    * so [[Bench]] reports `prelude_detail` (name → seconds) and a
+    * future round can diff it fixture by fixture instead of watching
+    * one opaque total grow.
+    */
+  def buildAllDetail(spark: SparkSession,
+                     sfDir: String): Seq[(String, Double)] = {
     import graft.operators._
     val builds: Seq[(String, () => Any)] = Seq(
       "ivf" -> (() => IvfFixture.ivfDir(spark, sfDir)),
@@ -81,7 +92,10 @@ object SessionFixtures {
             "30 minutes", "2 hours"))
       })
     )
-    builds.foreach { case (_, b) => b() }
-    builds.size
+    builds.map { case (name, b) =>
+      val t0 = System.nanoTime()
+      b()
+      name -> (System.nanoTime() - t0) / 1e9
+    }
   }
 }

@@ -27,15 +27,28 @@ object Tables {
     * scans parquet. Self-joins of a memoized frame are safe — Catalyst's
     * DeduplicateRelations re-instances attribute ids when the same
     * LogicalRelation appears twice in one plan (verified: full 268-lane
-    * oracle gate green on top of this memo). Weak session keys keep
-    * stopped sessions collectable; the test tables are immutable for
-    * the life of a process, so there is no staleness channel. Mutable
-    * fixture dirs (index append/delete/vacuum lanes) do NOT go through
-    * here by design.
+    * oracle gate green on top of this memo). The test tables are
+    * immutable for the life of a process, so there is no staleness
+    * channel. Mutable fixture dirs (index append/delete/vacuum lanes)
+    * do NOT go through here by design.
+    *
+    * Lifecycle (advisor r18): the session keys are weak, but the cached
+    * DataFrames strongly reference their session, so the value chain
+    * alone would pin every entry forever — the map is therefore also
+    * CLEARED on `SparkListenerApplicationEnd`, which is when a stopped
+    * session's context (classic Spark: one live context per JVM) goes
+    * away. A child session discarded WITHOUT stopping its context stays
+    * cached until that context ends — bounded by the host's session
+    * churn per context, not "collectable" as the earlier doc claimed.
     */
   private val relCache = java.util.Collections.synchronizedMap(
     new java.util.WeakHashMap[SparkSession,
       java.util.concurrent.ConcurrentHashMap[String, DataFrame]]())
+
+  // one clear-on-end hook per context; the listener captures nothing
+  // session-scoped, so it cannot itself pin a session
+  private val endHooked =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
     immutablePath(spark, s"$sfDir/$name.parquet")
@@ -49,8 +62,20 @@ object Tables {
     */
   def immutablePath(spark: SparkSession, path: String): DataFrame =
     relCache
-      .computeIfAbsent(spark,
-        _ => new java.util.concurrent.ConcurrentHashMap[String, DataFrame]())
+      .computeIfAbsent(spark, s => {
+        val sc = s.sparkContext
+        if (endHooked.add(sc.applicationId)) {
+          sc.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+            override def onApplicationEnd(
+                e: org.apache.spark.scheduler.SparkListenerApplicationEnd)
+                : Unit = {
+              relCache.clear()
+              endHooked.remove(sc.applicationId)
+            }
+          })
+        }
+        new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+      })
       .computeIfAbsent(path, spark.read.parquet(_))
 
   def lineitem(s: SparkSession, d: String): DataFrame = table(s, d, "lineitem")

@@ -67,7 +67,19 @@ object StreamParity {
     * rides the drain harness, not the operators.
     */
   val DrainStatePartitions: Int =
-    sys.env.getOrElse("SPARK_GRAFT_DRAIN_PARTS", "2").toInt
+    sys.env.get("SPARK_GRAFT_DRAIN_PARTS") match {
+      case None => 2
+      case Some(v) => scala.util.Try(v.trim.toInt).filter(_ >= 1)
+        .getOrElse {
+          // a malformed value at object init would otherwise surface as
+          // an ExceptionInInitializerError on every StreamParity use
+          // (advisor r18) — fall back loudly instead
+          System.err.println(
+            s"[graft] SPARK_GRAFT_DRAIN_PARTS='$v' is not a positive " +
+              "int — using the default 2")
+          2
+        }
+    }
 
   /** Scratch root for drain checkpoints: tmpfs when available. These
     * checkpoints are DELIBERATELY ephemeral — created per drain and
