@@ -55,20 +55,24 @@ object StreamParity {
     * for a stream-stream join, all fixed machinery, no data. The
     * PerfCompare stdrain breakdown measured the state machinery at
     * ~70 % of an empty drain; pinning the DRAIN's state partitioning
-    * to 2 removes the partitions×stores blowup without touching the
-    * plan (values are partitioning-independent; the oracle hash gate
-    * sorts). 2, not 1: empty-drain probes show the store machinery is
-    * partition-proportional all the way down (4-store join ~1.5 s at
-    * 1 partition, ~2.1 s at 2, ~2.8 s at 8), but at sf0.1 the lanes
-    * carry real rows and a same-session A/B (r17, min-of-4) measured
-    * the 20-lane family at 42.3 s with 1 partition vs 38.1 s with 2 —
-    * the lost data parallelism outweighs the saved store cycles.
-    * Production deployments keep their real partitioning — the pin
-    * rides the drain harness, not the operators.
+    * removes the partitions×stores blowup without touching the plan
+    * (values are partitioning-independent; the oracle hash gate
+    * sorts). The default was 2 through r18, tuned when every state
+    * commit paid a ChecksumFileSystem `.crc` twin; with the r18
+    * `rawckpt://` drain fs that per-store cost dropped ~10×, and the
+    * r19 re-A/B (20-lane family, sf0.1, min-of-4, fresh JVM per
+    * setting) now favors more data parallelism at BOTH driver core
+    * counts: c32 — 2 parts 24.3 s, 4 → 23.2, 8 → 22.2, 16 → 21.6;
+    * c8 — 2 parts 25.5 s, 8 → 23.1. Default is 8: past it the curve
+    * is flat at c32 and untested at c8, and the heavier lanes (st3
+    * 2.23→1.62, st8 2.18→1.85) carry the win; the one counter-move
+    * (st11 +0.10 s) is inside run noise. Production deployments keep
+    * their real partitioning — the pin rides the drain harness, not
+    * the operators.
     */
   val DrainStatePartitions: Int =
     sys.env.get("SPARK_GRAFT_DRAIN_PARTS") match {
-      case None => 2
+      case None => 8
       case Some(v) => scala.util.Try(v.trim.toInt).filter(_ >= 1)
         .getOrElse {
           // a malformed value at object init would otherwise surface as
@@ -76,8 +80,8 @@ object StreamParity {
           // (advisor r18) — fall back loudly instead
           System.err.println(
             s"[graft] SPARK_GRAFT_DRAIN_PARTS='$v' is not a positive " +
-              "int — using the default 2")
-          2
+              "int — using the default 8")
+          8
         }
     }
 
